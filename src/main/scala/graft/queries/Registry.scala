@@ -1,0 +1,10 @@
+package graft.queries
+
+/** Central inventory of every verifiable operator query. SparkEntry
+  * derives `queries` / `oracleSql` from this list; graft.Bench times the
+  * `bench = true` subset.
+  */
+object Registry {
+  def all: Seq[Q] =
+    RelationalQueries.all
+}
