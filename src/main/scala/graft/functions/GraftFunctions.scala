@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public Column API for the reference's scalar-function gap list
+  * (SURVEY.md §2.9: HASH_CODE, IS_DIGIT, IS_ALPHA, IS_DECIMAL,
+  * SIMILAR TO, SPLIT_INDEX — FlinkSqlOperatorTable.java /
+  * SqlFunctionUtils.java) plus the M6 vector kernels. Where Spark
+  * built-ins compose cleanly (regex predicates), we compose them —
+  * RLike is codegen'd; custom Catalyst expressions are reserved for what
+  * built-ins can't express efficiently.
+  */
+object GraftFunctions {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  /** Java String.hashCode (ref: HASH_CODE). */
+  def hash_code(c: Column): Column = col(JavaHashCode(expr(c)))
+
+  /** Cosine similarity over array<float> embeddings (M6). */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
+
+  /** Dot product over array<float> embeddings (M6). */
+  def dot_f(a: Column, b: Column): Column = col(DotProductFloat(expr(a), expr(b)))
+
+  /** IS_DIGIT(str) (ref: SqlFunctionUtils.isDigit): all chars in [0-9],
+    * non-empty.
+    */
+  def is_digit(c: Column): Column = c.rlike("^[0-9]+$")
+
+  /** IS_ALPHA(str) (ref: SqlFunctionUtils.isAlpha). */
+  def is_alpha(c: Column): Column = c.rlike("^[a-zA-Z]+$")
+
+  /** IS_DECIMAL(str) (ref: SqlFunctionUtils.isDecimal): parseable as a
+    * decimal number.
+    */
+  def is_decimal(c: Column): Column = c.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$")
+
+  /** ANSI SQL `SIMILAR TO` (ref: FlinkSqlOperatorTable SIMILAR TO):
+    * full-string match where `%` = any sequence, `_` = any char; the
+    * remaining regex-like syntax (|, *, +, [..], (..)) passes through.
+    */
+  def similar_to(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + similarToRegex(pattern) + ")$")
+
+  private[graft] def similarToRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    var inClass = false
+    pattern.foreach {
+      case '%' if !inClass => sb.append(".*")
+      case '_' if !inClass => sb.append('.')
+      case '[' => inClass = true; sb.append('[')
+      case ']' => inClass = false; sb.append(']')
+      case '.' if !inClass => sb.append("\\.")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** SPLIT_INDEX(str, sep, index) (ref: SqlFunctionUtils.splitIndex) —
+    * 0-based; null when out of range (element_at is 1-based).
+    */
+  def split_index(c: Column, sep: String, index: Int): Column =
+    element_at(split(c, java.util.regex.Pattern.quote(sep)), index + 1)
+
+  /** SQL-side registration so `spark.sql("SELECT hash_code(x) ...")`
+    * resolves; idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hash_code", es => JavaHashCode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimFloat(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_f", es => DotProductFloat(es.head, es(1)), "built-in")
+  }
+}
