@@ -6,5 +6,5 @@ package graft.queries
   */
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ FunctionQueries.all
+    RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time window semantics over the `events` table, batch form
+  * (SURVEY.md §2.6 group windows + §2.4 interval/temporal joins). The
+  * same `window()`/`session_window()` expressions power the streaming
+  * queries (StreamingQueries.scala) — Spark evaluates them identically
+  * in batch, which is exactly the unified batch/stream model the
+  * reference advertises.
+  *
+  * Oracle alignment: Spark's `window()` origin is epoch-aligned; DuckDB
+  * `time_bucket` origin (2000-01-01) is a multiple of every width used
+  * here, so bucket edges coincide.
+  */
+object WindowQueries {
+
+  /** TUMBLE window aggregate (ref: StreamExecGroupWindowAggregate
+    * .scala:33, Tumble class; SQL TUMBLE_START/_END).
+    */
+  def windowTumble(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("event_type"), col("cnt"), col("sv"))
+      .orderBy("wstart", "event_type")
+
+  val windowTumbleSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin
+
+  /** HOP (sliding) window aggregate, size 1h slide 30m (ref: Slide class,
+    * SQL HOP). Each event lands in size/slide = 2 windows; the oracle
+    * materializes that expansion with a UNION ALL of shifted buckets.
+    */
+  def windowHop(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("wstart"), col("cnt"), col("sv"))
+      .orderBy("wstart")
+
+  val windowHopSql: String =
+    Tables.eventsCte +
+      """
+        |, expanded AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM ev
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM ev)
+        |SELECT wstart, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM expanded GROUP BY wstart ORDER BY wstart""".stripMargin
+
+  /** SESSION window per user, 30 min gap (ref: EventTimeSessionWindows
+    * .java:45, MergingWindowSet.java; Session class). Spark's
+    * `session_window` end-exclusive merge rule: a gap >= 30 min starts a
+    * new session — the oracle's islands computation uses the same `>=`.
+    */
+  def windowSession(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("user_id"), col("w.start").as("sstart"), col("cnt"), col("sv"))
+      .orderBy("user_id", "sstart")
+
+  val windowSessionSql: String =
+    Tables.eventsCte +
+      """
+        |, marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS sstart, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin
+
+  /** Interval (time-bounded) join (ref: KeyedStream.intervalJoin:425,
+    * TimeBoundedStreamJoin.java:52): purchases within 1 hour after each
+    * signup, per user. Equi-key on user_id keeps it a hash join with a
+    * range residual — no cross product.
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user")
+          && col("b_ts") > col("a_ts")
+          && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("a_id"))
+      .agg(count(col("b_id")).as("follows"))
+      .orderBy("a_id")
+  }
+
+  val joinIntervalSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id AS a_id, count(b.event_id) AS follows
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a_id""".stripMargin
+
+  /** As-of (temporal) join via graft.operators.AsOfJoin: each purchase
+    * event picks up the latest prior click of the same user. Oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    AsOfJoin.backward(
+      purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      payload = Seq("click_id"), tieBreak = Some("click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id, a.user_id, b.click_id
+        |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_window_tumble", windowTumble, Some(windowTumbleSql)),
+    Q("q_window_hop", windowHop, Some(windowHopSql)),
+    Q("q_window_session", windowSession, Some(windowSessionSql)),
+    Q("q_join_interval", joinInterval, Some(joinIntervalSql)),
+    Q("q_join_asof", joinAsof, Some(joinAsofSql))
+  )
+}
