@@ -66,7 +66,9 @@ object GraftFunctions {
     * 0-based; null when out of range (element_at is 1-based).
     */
   def split_index(c: Column, sep: String, index: Int): Column =
-    element_at(split(c, java.util.regex.Pattern.quote(sep)), index + 1)
+    // try_element_at: out-of-range yields NULL (Flink semantics) instead
+    // of the ANSI-mode error element_at raises in Spark 4.
+    try_element_at(split(c, java.util.regex.Pattern.quote(sep)), lit(index + 1))
 
   /** SQL-side registration so `spark.sql("SELECT hash_code(x) ...")`
     * resolves; idempotent.

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md M6):
+  * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash+LSH
+  * banding, and SimHash with pigeonhole banding.
+  *
+  * Scale design: every method is one or two hash-partitioned shuffles on
+  * bounded keys (fingerprint, token, band signature) — never an all-pairs
+  * cross join. Candidate generation is always bucketed (inverted index /
+  * LSH band / simhash chunk) so the quadratic blowup is confined to
+  * within-bucket pairs, which banding keeps small on real corpora.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint: one hash-agg
+    * shuffle; keeper = min doc_id per group.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** All-pairs n-gram (word-level) Jaccard ≥ threshold via an inverted
+    * index: explode distinct tokens, self-join on token (bucketed
+    * shuffle, not a cross join), count co-occurrences, then
+    * |A∩B| / (|A|+|B|−|A∩B|). `leftFilter` restricts the probe side —
+    * at 100 TB you never run unrestricted all-pairs; you shard the probe
+    * side or use [[minHashPairs]] first.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      leftFilter: Column = lit(true),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val words = toks.select(col("id"), explode(col("ts")).as("word"))
+    val sizes = toks.select(col("id"), size(col("ts")).as("sz"))
+    val inter = words.filter(leftFilter).withColumnRenamed("id", "da")
+      .join(words.withColumnRenamed("id", "db"), "word")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("sz", "sa"), "da")
+      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("sz", "sb"), "db")
+      .withColumn("jacc", col("i") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), col("jacc"))
+  }
+
+  /** Large Mersenne prime; keeps (a*x + b) inside 63 bits for x,a,b < p,
+    * so the arithmetic is ANSI-mode safe (no long overflow).
+    */
+  private val P = 2147483647L
+
+  private def permCoeffs(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerms)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** MinHash signature: numPerms universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod p over xxhash64 token hashes, min per
+    * permutation. Pure higher-order functions — computed inside the scan
+    * stage, no shuffle.
+    */
+  def minHashSignature(textCol: Column, numPerms: Int = 64, seed: Long = 42L): Column = {
+    val hashed = transform(TextAnalysis.tokenSet(textCol), t => pmod(xxhash64(t), lit(P)))
+    array(permCoeffs(numPerms, seed).map { case (a, b) =>
+      array_min(transform(hashed, x => pmod(x * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified with true Jaccard.
+    * bands·rows = numPerms; a pair collides if any band of `rows`
+    * signature slots matches exactly (P[collide] = 1−(1−j^r)^b). Shuffles:
+    * one on (band, signature-slice) for candidates, one token-explode
+    * join to verify — both bucketed.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      bands: Int = 8,
+      rows: Int = 8,
+      verifyThreshold: Double = 0.85,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("ts"),
+      minHashSignature(col(textCol), bands * rows).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("ts"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), concat_ws(",", slice(col("sig"), j * rows + 1, rows)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("ts"), col("bk.band"), col("bk.key"))
+    val cands = banded.as("x")
+      .join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        col("x.ts").as("ta"), col("y.ts").as("tb"))
+      .dropDuplicates("da", "db")
+    cands
+      .withColumn("jacc",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jacc") >= verifyThreshold)
+      .select("da", "db", "jacc")
+  }
+
+  /** SimHash near-dup groups via pigeonhole banding: split the 64-bit
+    * simhash into 4 × 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk
+    * identical, so grouping by (chunk-index, chunk-value) finds all such
+    * pairs with one bucketed shuffle. Verification = bit_count(XOR).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("ci"), shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+      }: _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+    chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .dropDuplicates("da", "db")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash (see [[simHashPairs]]): per bit position k, sum ±1
+    * over token hashes and take the sign. 64 aggregate passes over the
+    * token-hash array — linear per document, codegen'd, no shuffle.
+    */
+  def simHash64(textCol: Column): Column = {
+    val hashes = transform(TextAnalysis.tokenSet(textCol), t => xxhash64(t))
+    (0 until 64).map { k =>
+      val weight = aggregate(hashes, lit(0L),
+        (w, h) => w + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(weight > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+}

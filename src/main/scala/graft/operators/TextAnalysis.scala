@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md M6): normalization, fingerprinting, token statistics,
+  * quality scoring, language identification. All pure Column expressions
+  * (higher-order functions, codegen'd built-ins) — a single narrow
+  * projection per document, no UDFs, no shuffles; at 100 TB these run
+  * embarrassingly parallel inside the scan stage.
+  */
+object TextAnalysis {
+
+  /** Lowercase, collapse whitespace runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content-defined document fingerprint: md5 of the normalized text.
+    * Identical fingerprint ⇒ exact (normalization-insensitive) duplicate.
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalizeText(text), " ")
+
+  /** Distinct token set (the unit for Jaccard / MinHash). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, and punctuation each
+    * count as a token (a cheap proxy for byte-pair tokenizer cost).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "une"))
+
+  /** Count of tokens belonging to `set` (exact word match on normalized
+    * tokens). Integer counts — engine-exact, unlike float ratios.
+    */
+  def stopwordCount(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(set.map(lit(_)): _*))).cast("long")
+
+  def stopwordCount(text: Column, lang: String): Column =
+    stopwordCount(text, stopwords(lang))
+
+  /** N-gram-heuristic language ID (SURVEY.md M6 "language-ID"): CJK
+    * codepoint presence short-circuits to zh; otherwise argmax of
+    * per-language stopword hits with a fixed preference order
+    * (en > de > es > fr) on ties.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, "en"); val de = stopwordCount(text, "de")
+    val es = stopwordCount(text, "es"); val fr = stopwordCount(text, "fr")
+    when(size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality metrics as a flat struct: char/token counts, punctuation
+    * count, stopword count, mean token length (exact rational — same
+    * integer division on both engines), and a coarse quality bucket.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("long")
+    val stops = stopwordCount(text, "en")
+    Seq(
+      "n_tokens" -> toks,
+      "n_punct" -> punct,
+      "n_stop" -> stops,
+      "mean_tok_len" -> (length(regexp_replace(normalizeText(text), " ", "")) / toks),
+      "stop_ratio" -> (stops.cast("double") / toks),
+      "quality_bucket" ->
+        when(toks < 20, "short")
+          .when(stops === 0, "no_stopwords")
+          .otherwise("ok"))
+  }
+
+  /** Winnowing-style rolling fingerprint (ref: SURVEY.md M6 "document
+    * fingerprinting (rolling hash)"): hash every k-token shingle, then
+    * keep the minimum hash of each sliding window of `w` shingles.
+    * Deterministic via xxhash64; engine-specific, so covered by ScalaTest
+    * rather than a DuckDB oracle.
+    */
+  def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over documents/embeddings
+  * (SURVEY.md M6): fingerprinting, token stats, quality scoring,
+  * language ID, exact + near dedup (Jaccard inverted index, MinHash LSH,
+  * SimHash), and similarity search (brute-force + sign-LSH ANN).
+  *
+  * Engine-specific hash functions (xxhash64) have no DuckDB twin, so
+  * MinHash/SimHash/ANN entries are declared without oracles (driver
+  * records rows-only checks); their correctness is covered by ScalaTest
+  * against brute-force ground truth.
+  */
+object PipelineQueries {
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id"
+
+  def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_sub"))
+      .orderBy("doc_id")
+
+  val docTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split($normSql, ' '))::BIGINT AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_sub
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def docQuality(s: SparkSession, dir: String): DataFrame = {
+    val metrics = TextAnalysis.qualityMetrics(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  val docQualitySql: String =
+    s"""WITH d AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+       |t AS (SELECT *, len(string_split(norm, ' '))::BIGINT AS n_tokens,
+       |  len(list_filter(string_split(norm, ' '),
+       |    x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stop FROM d)
+       |SELECT doc_id, n_tokens,
+       |  len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+       |  n_stop,
+       |  length(replace(norm, ' ', '')) / n_tokens AS mean_tok_len,
+       |  n_stop * 1.0 / n_tokens AS stop_ratio,
+       |  CASE WHEN n_tokens < 20 THEN 'short'
+       |       WHEN n_stop = 0 THEN 'no_stopwords'
+       |       ELSE 'ok' END AS quality_bucket
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  def docLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.stopwordCount(col("text"), "en").as("score_en"),
+        TextAnalysis.stopwordCount(col("text"), "de").as("score_de"),
+        TextAnalysis.stopwordCount(col("text"), "es").as("score_es"),
+        TextAnalysis.stopwordCount(col("text"), "fr").as("score_fr"))
+      .orderBy("doc_id")
+
+  val docLangIdSql: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, text,
+       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS score_en,
+       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein')))::BIGINT AS score_de,
+       |  len(list_filter(toks, x -> x IN ('el','la','de','los','es','una')))::BIGINT AS score_es,
+       |  len(list_filter(toks, x -> x IN ('le','les','et','des','est','une')))::BIGINT AS score_fr
+       |FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |       WHEN score_es >= score_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred,
+       |  score_en, score_de, score_es, score_fr
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  def docExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+      .orderBy("fp")
+
+  val docExactDedupSql: String =
+    s"""SELECT md5($normSql) AS fp, min(doc_id) AS keeper, count(*) AS cnt
+       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Sampled-probe all-pairs Jaccard (probe side doc_id < 100). At scale
+    * the probe side is always restricted or pre-bucketed — see
+    * Dedup.jaccardPairs scaladoc.
+    */
+  def docJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.9,
+        leftFilter = col("id") < 100)
+      .orderBy("da", "db")
+
+  val docJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 100 GROUP BY 1, 2)
+       |SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
+
+  /** MinHash LSH near-dup pairs (no oracle: xxhash64-based). */
+  def docMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(Tables.documents(s, dir))
+      .orderBy("da", "db")
+
+  /** SimHash near-dup pairs (no oracle: xxhash64-based). */
+  def docSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 10)
+      .orderBy("da", "db")
+
+  def embTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.bruteForceTopK(queries, emb, k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val embTopKSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding::DOUBLE[]) AS c
+      |      FROM q, embeddings WHERE vec_id <> qid),
+      |r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Sign-LSH bucketed ANN (no oracle: seeded-hyperplane specific; recall
+    * vs brute force covered in ScalaTest).
+    */
+  def embAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.annTopK(queries, emb, k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    Q("q_doc_tokens", docTokens, Some(docTokensSql)),
+    Q("q_doc_quality", docQuality, Some(docQualitySql)),
+    Q("q_doc_langid", docLangId, Some(docLangIdSql)),
+    Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
+    Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
+    Q("q_doc_minhash", docMinHash, None),
+    Q("q_doc_simhash", docSimHash, None),
+    Q("q_emb_topk", embTopK, Some(embTopKSql)),
+    Q("q_emb_ann", embAnn, None)
+  )
+}

@@ -6,5 +6,6 @@ package graft.queries
   */
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all
+    RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all ++
+      PipelineQueries.all
 }

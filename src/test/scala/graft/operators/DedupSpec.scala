@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    "the quick brown fox jumps over the lazy dog in the morning light today",
+    "completely different words about database engines and query optimization plans here",
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+
+  /** docs: for each base text, an exact copy (normalized-equal), a near
+    * copy (one token changed), and an unrelated permutation.
+    */
+  private lazy val docs = {
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val near = (toks.dropRight(1) :+ "changed").mkString(" ")
+      Seq(
+        (i * 10L, t),
+        (i * 10L + 1, "  " + t.toUpperCase + "  "), // exact after normalization
+        (i * 10L + 2, near))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalization-equal texts") {
+    val groups = Dedup.exact(docs).collect()
+    val dupGroups = groups.filter(_.getAs[Long]("cnt") > 1)
+    assert(dupGroups.length === base.length)
+    assert(dupGroups.forall(_.getAs[Long]("cnt") === 2))
+    // keeper is the min id of each pair (i*10)
+    assert(dupGroups.map(_.getAs[Long]("keeper")).sorted.toSeq === Seq(0L, 10L, 20L))
+  }
+
+  test("jaccardPairs finds near and exact duplicates, not unrelated pairs") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jacc")))
+    // exact pairs at jacc 1.0
+    assert(pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet ===
+      Set((0L, 1L), (10L, 11L), (20L, 21L)))
+    // near pairs present with jacc in (0.5, 1)
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 2L && j > 0.5 && j < 1.0 })
+    // no cross-base pairs
+    assert(!pairs.exists { case (a, b, _) => a / 10 != b / 10 })
+  }
+
+  test("minHashPairs recall vs brute-force Jaccard ground truth") {
+    val truth = Dedup.jaccardPairs(docs, threshold = 0.85)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val found = Dedup.minHashPairs(docs, bands = 8, rows = 8, verifyThreshold = 0.85)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision; banding should catch all
+    // high-similarity pairs here (P[miss | j>=0.9] < 2%)
+    assert(found.subsetOf(truth))
+    assert(found === truth, s"missed: ${truth -- found}")
+  }
+
+  test("minHash signature is deterministic and length numPerms") {
+    val sig = docs.select(Dedup.minHashSignature(col("text"), numPerms = 16).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(sig.length === 16)
+    val sig2 = docs.select(Dedup.minHashSignature(col("text"), numPerms = 16).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(sig === sig2)
+  }
+
+  test("simHashPairs: exact dups at hamming 0, near dups close, unrelated far") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
+      .collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Long]("hamming")))
+      .toMap
+    assert(pairs((0L, 1L)) === 0L)
+    assert(pairs((10L, 11L)) === 0L)
+    pairs.get((0L, 2L)).foreach(h => assert(h <= 16))
+    // unrelated pairs (different base) must not appear under a tight radius
+    assert(!pairs.keys.exists { case (a, b) => a / 10 != b / 10 && pairs((a, b)) <= 3 })
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(7)
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+    v.map(_ / n)
+  }
+  private def randVec(): Array[Float] = unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  private def jitter(v: Array[Float]): Array[Float] =
+    unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+
+  /** 20 base vectors; for each base, 3 jittered near-neighbors. */
+  private lazy val (queries, corpus) = {
+    val bases = (0 until 20).map(i => (i.toLong, randVec()))
+    val near = bases.flatMap { case (i, v) =>
+      (0 until 3).map(j => (1000L + i * 10 + j, jitter(v)))
+    }
+    val q = bases.toDF("qid", "qe")
+    val c = (bases.map { case (i, v) => (i, v) } ++ near).toDF("vec_id", "embedding")
+    (q, c)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, nearest are the jittered copies") {
+    val res = Similarity.bruteForceTopK(queries, corpus, k = 3).collect()
+    assert(res.length === 20 * 3)
+    // for each query, all top-3 are its own jittered family (cos ~0.999)
+    res.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val nid = r.getAs[Long]("nid")
+      assert(nid >= 1000L + qid * 10 && nid < 1000L + qid * 10 + 3,
+        s"qid=$qid got unexpected neighbor $nid")
+      assert(r.getAs[Double]("cos") > 0.9)
+    }
+  }
+
+  test("annTopK recall vs brute force on clustered data") {
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(queries, corpus, k = 3, numPlanes = 6, dim = dim)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+    // ANN never invents non-corpus neighbors and respects the qid exclusion
+    assert(ann.forall { case (q, n) => n != q })
+  }
+
+  test("cosine_sim kernel matches scala computation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.cosine_sim(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+}

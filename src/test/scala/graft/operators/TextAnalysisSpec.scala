@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize + fingerprint are case/whitespace insensitive") {
+    val df = Seq("Hello  World", "  hello world ", "hello worlds").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("token counts") {
+    val r = Seq("one two  three").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text"))).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 3L)
+    val sub = Seq("can't stop-2x!").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).head().getLong(0)
+    // can + ' + t, stop + - + 2 + x, ! => 8
+    assert(sub === 8L)
+  }
+
+  test("langId picks stopword-majority language with CJK short-circuit") {
+    val cases = Seq(
+      "the cat and the dog of a house" -> "en",
+      "der hund und die katze ist ein tier" -> "de",
+      "el perro y la casa de los gatos es una" -> "es",
+      "le chien et les chats des maisons est une" -> "fr",
+      "中文文本" -> "zh",
+      "xyzzy qwerty" -> "en") // no signal: preference order says en
+    cases.foreach { case (t, want) =>
+      val got = Seq(t).toDF("text").select(TextAnalysis.langId(col("text"))).as[String].head()
+      assert(got === want, s"langId('$t')")
+    }
+  }
+
+  test("winnowFingerprint: identical docs share all fingerprints; shifted docs share most") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "w0 " + a // one-token prefix shift
+    val df = Seq(a, a, b).toDF("text")
+      .select(TextAnalysis.winnowFingerprint(col("text")).as("fp"))
+    val fps = df.as[Seq[Long]].collect()
+    assert(fps(0) === fps(1))
+    val shared = fps(0).toSet & fps(2).toSet
+    assert(shared.size.toDouble / fps(0).size >= 0.5, "shifted doc should share most fingerprints")
+  }
+
+  test("quality bucket boundaries") {
+    val short = "only three words"
+    val noStop = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val ok = "the " + (1 to 25).map(i => s"tok$i").mkString(" ")
+    val got = Seq(short, noStop, ok).toDF("text")
+      .select(TextAnalysis.qualityMetrics(col("text")).find(_._1 == "quality_bucket").get._2)
+      .as[String].collect()
+    assert(got.toSeq === Seq("short", "no_stopwords", "ok"))
+  }
+}
