@@ -1,0 +1,89 @@
+package graft.cep
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** CEP execution on Spark (ref: flink-cep CepOperator.java:83 keyed NFA
+  * with event-time sorting buffer; SURVEY.md §2.11 mapping).
+  *
+  * Batch: per-key sort + NFA over the group — one shuffle on the key,
+  * group-local matching, embarrassingly parallel across keys.
+  *
+  * Streaming: flatMapGroupsWithState keeps an event buffer per key; at
+  * each micro-batch the watermark-complete prefix is replayed through
+  * the same NFA. A match starting at t0 is only emitted once
+  * t0 + within <= watermark (all its candidate events have arrived), so
+  * results equal the batch output regardless of arrival order.
+  * Streaming patterns REQUIRE within() — it bounds both correctness
+  * horizon and state size.
+  */
+object CEP {
+
+  /** Batch pattern matching: one row per match via `emit`. `tsFn` must
+    * return MICROseconds since epoch (Event.tsUs).
+    */
+  def batch[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O
+  ): Dataset[O] =
+    ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
+      val events = it.toIndexedSeq.sortBy(tsFn)
+      NFA.findMatches(events, tsFn, pattern, tsPerMs = 1000L).iterator.map(m => emit(key, m))
+    }
+
+  /** Per-key streaming state: events not yet consumed by an emitted
+    * match and not yet expired below the matchable horizon.
+    */
+  final case class CepState[T](buffer: Seq[T])
+
+  /** Streaming pattern matching (append-style: each match emitted exactly
+    * once, when decidable). Use with update/append output via
+    * `flatMapGroupsWithState`.
+    */
+  def streaming[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O
+  )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
+    // tsFn is in MICROseconds (matching parquet timestamp precision so
+    // same-millisecond events keep a stable order); GroupState watermarks
+    // and timeouts are in milliseconds.
+    val withinUs = 1000L * pattern.withinMs.getOrElse(
+      throw new IllegalArgumentException("streaming CEP requires pattern.within()"))
+
+    def fn(key: K, rows: Iterator[T], state: GroupState[CepState[T]]): Iterator[O] = {
+      val old = if (state.exists) state.get.buffer else Seq.empty[T]
+      val all = (old ++ rows).sortBy(tsFn).toIndexedSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // decidable starts: t0 + within <= watermark — every event that
+      // could belong to such a match has arrived
+      val matches = NFA.findMatches(all, tsFn, pattern, tsPerMs = 1000L)
+        .filter(m => tsFn(all(m.startIdx)) + withinUs <= wmUs)
+      val consumed: Set[Int] = pattern.afterMatch match {
+        case AfterMatch.SkipPastLast =>
+          matches.flatMap(m => m.startIdx to m.endIdx).toSet
+        case AfterMatch.NoSkip => Set.empty
+      }
+      // expiry: an event with ts + within <= wm cannot belong to any
+      // still-undecidable match (their starts are all > wm - within) —
+      // this also retires emitted starts, preventing re-emission
+      val keep = all.zipWithIndex.collect {
+        case (e, i) if !consumed.contains(i) && tsFn(e) + withinUs > wmUs => e
+      }
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(CepState(keep))
+        state.setTimeoutTimestamp(keep.map(tsFn).min / 1000L + pattern.withinMs.get + 1)
+      }
+      matches.iterator.map(m => emit(key, m))
+    }
+
+    ds.groupByKey(keyFn)(implicitly[Encoder[K]])
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.cep
+
+import scala.collection.mutable
+
+/** NFA-style matcher over an event-time-sorted sequence (ref: flink-cep
+  * NFA.java:1053, NFACompiler, CepOperator.java:83 — semantics
+  * re-derived; the implementation is a fresh backtracking matcher suited
+  * to per-key sorted groups under Spark).
+  *
+  * Used per key: batch mode sorts each group (flatMapGroups), streaming
+  * mode replays the watermark-complete prefix of the state buffer
+  * (flatMapGroupsWithState). Events per key are assumed to fit in memory
+  * — the same assumption Flink's per-key SharedBuffer makes.
+  *
+  * Semantics: greedy quantifiers with backtracking; `followedBy` scans
+  * forward over non-matching events; `next` requires the immediate
+  * successor; negated guards invalidate a match if the guard predicate
+  * fires in the gap they cover; `within` bounds last−first event time.
+  * Per start index at most one (greedy-first) match is produced —
+  * followedByAny/allowCombinations enumeration is out of scope.
+  */
+object NFA {
+
+  /** @param tsPerMs scale of `ts` relative to milliseconds (1000 when ts
+    *                is in microseconds, as with parquet event times) —
+    *                `pattern.withinMs` is scaled by it.
+    */
+  def findMatches[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      pattern: Pattern[T],
+      tsPerMs: Long = 1L
+  ): Seq[PatternMatch[T]] = {
+    require(pattern.stages.nonEmpty, "empty pattern")
+    require(!pattern.stages.head.negated, "pattern cannot begin with a negated stage")
+    val out = mutable.ArrayBuffer.empty[PatternMatch[T]]
+    var i = 0
+    while (i < events.length) {
+      matchFrom(events, ts, pattern, i, tsPerMs) match {
+        case Some(m) =>
+          out += m
+          pattern.afterMatch match {
+            case AfterMatch.SkipPastLast => i = m.endIdx + 1
+            case AfterMatch.NoSkip       => i += 1
+          }
+        case None => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def matchFrom[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      pattern: Pattern[T],
+      start: Int,
+      tsPerMs: Long
+  ): Option[PatternMatch[T]] = {
+    val n = events.length
+    val startTs = ts(events(start))
+    val deadline = pattern.withinMs.map(w => startTs + w * tsPerMs).getOrElse(Long.MaxValue)
+    def inWindow(idx: Int): Boolean = ts(events(idx)) <= deadline
+
+    /** Greedy walk of a loop quantifier starting at `first`: all indices
+      * the loop would take, honoring inner contiguity and the window.
+      */
+    def loopWalk(st: Stage[T], first: Int): Vector[Int] = {
+      val taken = mutable.ArrayBuffer[Int](first)
+      var continue = taken.length < st.quantifier.max
+      while (continue) {
+        val next: Option[Int] = st.innerContiguity match {
+          case Contiguity.Strict =>
+            val c = taken.last + 1
+            if (c < n && inWindow(c) && st.where(events(c))) Some(c) else None
+          case Contiguity.Relaxed =>
+            var c = taken.last + 1
+            while (c < n && inWindow(c) && !st.where(events(c))) c += 1
+            if (c < n && inWindow(c) && st.where(events(c))) Some(c) else None
+        }
+        next match {
+          case Some(c) =>
+            taken += c
+            continue = taken.length < st.quantifier.max
+          case None => continue = false
+        }
+      }
+      taken.toVector
+    }
+
+    /** Match stages from `si` onward.
+      * @param from    first event index eligible for the next stage
+      * @param prevEnd index of the last matched positive event
+      * @param guard   pending negated stage covering the gap before the
+      *                next positive stage
+      */
+    def go(si: Int, from: Int, prevEnd: Int, guard: Option[Stage[T]],
+        acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
+      if (si == pattern.stages.length) {
+        // trailing guard: applies to the window remainder / immediate successor
+        guard match {
+          case None => Some((acc, prevEnd))
+          case Some(g) =>
+            g.contiguity match {
+              case Contiguity.Strict =>
+                val c = prevEnd + 1
+                if (c < n && inWindow(c) && g.where(events(c))) None else Some((acc, prevEnd))
+              case Contiguity.Relaxed =>
+                if (pattern.withinMs.isEmpty)
+                  throw new IllegalArgumentException("trailing notFollowedBy requires within()")
+                val bad = (prevEnd + 1 until n).exists(j => inWindow(j) && g.where(events(j)))
+                if (bad) None else Some((acc, prevEnd))
+            }
+        }
+      } else {
+        val st = pattern.stages(si)
+        if (st.negated) {
+          require(guard.isEmpty, "consecutive negated stages are not supported")
+          go(si + 1, from, prevEnd, Some(st), acc)
+        } else matchPositive(si, st, from, prevEnd, guard, acc)
+      }
+    }
+
+    def matchPositive(si: Int, st: Stage[T], from: Int, prevEnd: Int,
+        guard: Option[Stage[T]],
+        acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
+      val isFirst = si == 0
+
+      def guardAllows(c: Int): Boolean = guard match {
+        case None => true
+        case Some(g) =>
+          g.contiguity match {
+            case Contiguity.Strict  => !(prevEnd + 1 < c && g.where(events(prevEnd + 1)))
+            case Contiguity.Relaxed => !(prevEnd + 1 until c).exists(j => g.where(events(j)))
+          }
+      }
+
+      def tryAt(c: Int): Option[(List[(String, Seq[T])], Int)] = {
+        val walk = if (st.quantifier.max == 1) Vector(c) else loopWalk(st, c)
+        val minTake = math.max(st.quantifier.min, 1)
+        // longest-first backtracking over the loop length
+        (minTake to walk.length).reverseIterator
+          .map { k =>
+            val lastIdx = walk(k - 1)
+            val evs = walk.take(k).map(events(_))
+            go(si + 1, lastIdx + 1, lastIdx, None, acc :+ (st.name -> evs))
+          }
+          .collectFirst { case Some(r) => r }
+      }
+
+      val attempt: Option[(List[(String, Seq[T])], Int)] =
+        if (isFirst) {
+          if (st.where(events(start)) && inWindow(start)) tryAt(start) else None
+        } else st.contiguity match {
+          case Contiguity.Strict =>
+            val c = prevEnd + 1
+            if (c < n && inWindow(c) && st.where(events(c)) && guardAllows(c)) tryAt(c)
+            else None
+          case Contiguity.Relaxed =>
+            // scan candidates in order; a relaxed-guard violation at any
+            // gap event also poisons every later candidate → stop early.
+            var c = from
+            var res: Option[(List[(String, Seq[T])], Int)] = None
+            var poisoned = false
+            while (res.isEmpty && !poisoned && c < n && inWindow(c)) {
+              if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.where(events(c))))
+                poisoned = true
+              else if (st.where(events(c)) && guardAllows(c))
+                res = tryAt(c) match {
+                  case some @ Some(_) => some
+                  case None           => { c += 1; None }
+                }
+              else c += 1
+            }
+            res
+        }
+
+      // min == 0 (optional): greedy — only if taking the stage failed
+      attempt.orElse {
+        if (st.quantifier.min == 0 && !isFirst)
+          go(si + 1, from, prevEnd, guard, acc :+ (st.name -> Seq.empty[T]))
+        else None
+      }
+    }
+
+    go(0, start, start - 1, None, Nil).map { case (acc, endIdx) =>
+      PatternMatch(acc.toMap, start, endIdx)
+    }
+  }
+}

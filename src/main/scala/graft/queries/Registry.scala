@@ -7,5 +7,5 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ StreamingQueries.all
 }

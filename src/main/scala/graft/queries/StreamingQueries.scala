@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import graft.cep.{AfterMatch, CEP, Pattern}
+import graft.streaming.{Event, StreamingOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** REAL Structured Streaming executions inside driver-verifiable query
+  * entries: each builds a file-source stream over events.parquet, runs
+  * with Trigger.AvailableNow into a memory sink, and returns the sink
+  * table. Watermark-gated emission makes the results deterministic, so
+  * they get DuckDB oracles with the watermark filter spelled out
+  * (final watermark = max event time − delay; Spark's no-data final
+  * micro-batch flushes state once the watermark advances).
+  */
+object StreamingQueries {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with the ns→µs conversion. The file
+    * source requires a DIRECTORY; the testdata dir mixes all tables, so
+    * we expose events.parquet alone through a symlink under /tmp.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft-stream-src",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
+    val qname = s"mem_$name"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out.sparkSession.table(qname)
+  }
+
+  /** Streaming tumbling-window aggregate with a 10-minute watermark,
+    * append mode (ref: StreamExecGroupWindowAggregate.scala:33 +
+    * WatermarkAssigner). Emitted ⇔ window end <= final watermark.
+    */
+  def streamTumble(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sv"))
+    runToTable("stream_tumble", out, "append").orderBy("wstart", "event_type")
+  }
+
+  val streamTumbleSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev
+        |GROUP BY 1, 2
+        |HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        |ORDER BY wstart, event_type""".stripMargin
+
+  /** Streaming session windows per user (ref: EventTimeSessionWindows),
+    * append mode: emitted ⇔ session end (last ts + gap) <= final
+    * watermark.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("sstart"), col("cnt"))
+    runToTable("stream_session", out, "append").orderBy("user_id", "sstart")
+  }
+
+  val streamSessionSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS sstart, count(*) AS cnt
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+        |ORDER BY user_id, sstart""".stripMargin
+
+  /** Stream-stream interval join (ref: TimeBoundedStreamJoin.java:52):
+    * signup ⋈ purchase within 1h, inner append — all pairs emitted.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select("a_id", "b_id")
+    runToTable("stream_ij", out, "append").orderBy("a_id", "b_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Streaming top-N per user via flatMapGroupsWithState (ref:
+    * UpdatableTopNFunction.java), update mode. Single-batch AvailableNow
+    * ⇒ exactly one (final) ranking emission per user.
+    */
+  def streamTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.topNByKey[Event](ev, _.user_id, _.event_id, _.value, n = 3)
+    runToTable("stream_topn", out.toDF(), "update")
+      .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
+        col("score").as("value"))
+      .orderBy("user_id", "rank")
+  }
+
+  val streamTopNSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM ev)
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+
+  /** Streaming CEP (ref: CepOperator.java:83): signup followed by a
+    * purchase within 1 hour per user, NoSkip after-match. Emitted ⇔
+    * start ts + within <= final watermark.
+    */
+  def streamCep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("signup").where(_.event_type == "signup")
+      .followedBy("purchase").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    val out = CEP.streaming[Event, Long, (Long, Long, Long)](
+      ev, _.user_id, _.tsUs, pattern,
+      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      .toDF("user_id", "signup_id", "purchase_id")
+    runToTable("stream_cep", out, "append").orderBy("signup_id")
+  }
+
+  val streamCepSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT user_id, signup_id, purchase_id FROM (
+        |  SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
+        |    row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts, b.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |  JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
+        |WHERE rn = 1 ORDER BY signup_id""".stripMargin
+
+  /** Batch CEP over the same pattern (ref: MATCH_RECOGNIZE batch path) —
+    * no watermark gate, so every signup matches.
+    */
+  def cepFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("signup").where(_.event_type == "signup")
+      .followedBy("purchase").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    CEP.batch[Event, Long, (Long, Long, Long)](
+      ev, _.user_id, _.tsUs, pattern,
+      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      .toDF("user_id", "signup_id", "purchase_id")
+      .orderBy("signup_id")
+  }
+
+  val cepFunnelSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id, signup_id, purchase_id FROM (
+        |  SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
+        |    row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts, b.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |  JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |WHERE rn = 1 ORDER BY signup_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),
+    Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
+    Q("q_stream_session", streamSession, Some(streamSessionSql)),
+    Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
+    Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
+    Q("q_stream_cep", streamCep, Some(streamCepSql))
+  )
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators the reference has and Spark lacks as
+  * built-ins (SURVEY.md §2.8 streaming Top-N / keep-last dedup, §2.10
+  * KeyedProcessFunction), implemented on flatMapGroupsWithState /
+  * mapGroupsWithState. State per key is O(N) for top-N and O(1) for
+  * dedup-last — bounded regardless of stream length.
+  */
+object StreamingOps {
+
+  /** Streaming top-N per key (ref: StreamExecRank.scala:52,
+    * UpdatableTopNFunction.java): maintains the N best (score, id) per
+    * key, emits the refreshed ranking whenever it changes (update-style,
+    * like the reference's retract stream collapsed to upserts per rank).
+    */
+  final case class TopNState(entries: Seq[(Double, Long)])
+  final case class TopNRow(key: Long, rank: Long, id: Long, score: Double)
+
+  def topNByKey[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      scoreFn: T => Double,
+      n: Int
+  )(implicit te: Encoder[T]): Dataset[TopNRow] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[TopNState]): Iterator[TopNRow] = {
+      val old = if (state.exists) state.get.entries else Seq.empty
+      val merged = (old ++ rows.map(r => (scoreFn(r), idFn(r))))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(n)
+      if (merged != old) {
+        state.update(TopNState(merged))
+        merged.iterator.zipWithIndex.map { case ((s, id), i) =>
+          TopNRow(key, i + 1L, id, s)
+        }
+      } else Iterator.empty
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Keep-LAST dedup per key (ref: DeduplicateKeepLastRowFunction.java):
+    * emits the latest row per key each time it changes. Keep-first is
+    * Spark's built-in `dropDuplicates` — this covers the gap.
+    */
+  final case class LastState(tsUs: Long, id: Long)
+
+  def dedupKeepLast[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      tsUsFn: T => Long
+  )(implicit te: Encoder[T]): Dataset[(Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[LastState]): Iterator[(Long, Long, Long)] = {
+      val incoming = rows.map(r => (tsUsFn(r), idFn(r))).maxByOption(identity)
+      val old = if (state.exists) Some((state.get.tsUs, state.get.id)) else None
+      val best = (incoming.toSeq ++ old.toSeq).maxOption
+      best match {
+        case Some((ts, id)) if !old.contains((ts, id)) =>
+          state.update(LastState(ts, id))
+          Iterator.single((key, id, ts))
+        case _ => Iterator.empty
+      }
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
+    * KeyedProcessFunction.java): user code sees (key, new events sorted
+    * by time, previous state) and returns (outputs, new state) — value
+    * state plus event-time timer emulation via GroupState timeouts.
+    * Timers fire as timed-out invocations with an empty event iterator.
+    */
+  trait KeyedProcess[K, T, S, O] extends Serializable {
+    def process(key: K, events: Seq[T], state: Option[S], watermarkMs: Long): (Seq[O], Option[S])
+    /** absolute event-time ms at which to call back with no events */
+    def timerMs(state: S): Option[Long] = None
+  }
+
+  def process[K: Encoder, T, S: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsUsFn: T => Long,
+      proc: KeyedProcess[K, T, S, O]
+  )(implicit te: Encoder[T]): Dataset[O] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[S]): Iterator[O] = {
+      val sorted = rows.toSeq.sortBy(tsUsFn)
+      val (out, next) = proc.process(key, sorted, if (state.exists) Some(state.get) else None,
+        state.getCurrentWatermarkMs())
+      next match {
+        case Some(s) =>
+          state.update(s)
+          proc.timerMs(s).foreach(state.setTimeoutTimestamp)
+        case None => if (state.exists) state.remove()
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

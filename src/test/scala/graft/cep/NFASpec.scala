@@ -1,0 +1,146 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration._
+
+/** Pattern-semantics tests mirroring the reference's CEP ITCase shapes
+  * (flink-cep PatternTest / CEPITCase scenarios, re-derived by hand).
+  * Events are (ts, label); matches are asserted on bound labels.
+  */
+class NFASpec extends AnyFunSuite {
+  private type E = (Long, String)
+  private def ts(e: E): Long = e._1
+  private def seq(labels: String*): IndexedSeq[E] =
+    labels.zipWithIndex.map { case (l, i) => (i.toLong * 10, l) }.toIndexedSeq
+  private def is(l: String): E => Boolean = _._2 == l
+
+  private def labels(m: PatternMatch[E], stage: String): Seq[String] =
+    m.bindings(stage).map(_._2)
+
+  test("begin.followedBy skips non-matching events (relaxed contiguity)") {
+    val p = Pattern.begin[E]("a").where(is("A")).followedBy("b").where(is("B"))
+    val ms = NFA.findMatches(seq("A", "X", "X", "B"), ts, p)
+    assert(ms.length === 1)
+    assert(ms.head.startIdx === 0 && ms.head.endIdx === 3)
+  }
+
+  test("begin.next requires immediate successor (strict contiguity)") {
+    val p = Pattern.begin[E]("a").where(is("A")).next("b").where(is("B"))
+    assert(NFA.findMatches(seq("A", "X", "B"), ts, p).isEmpty)
+    assert(NFA.findMatches(seq("A", "B"), ts, p).length === 1)
+  }
+
+  test("oneOrMore is greedy with relaxed internal contiguity") {
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore
+      .followedBy("b").where(is("B"))
+    val ms = NFA.findMatches(seq("A", "X", "A", "B"), ts, p)
+    assert(ms.length === 2) // NoSkip: starts at idx 0 and idx 2
+    assert(labels(ms.head, "a") === Seq("A", "A"))
+    assert(labels(ms(1), "a") === Seq("A"))
+  }
+
+  test("oneOrMore.consecutive requires adjacent loop events") {
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore.consecutive
+      .followedBy("b").where(is("B"))
+    val ms = NFA.findMatches(seq("A", "A", "X", "A", "B"), ts, p)
+    // greedy from idx0: A,A then (X breaks the loop) B binds at idx4
+    assert(labels(ms.head, "a") === Seq("A", "A"))
+  }
+
+  test("times(n) exact count") {
+    val p = Pattern.begin[E]("a").where(is("A")).times(2)
+      .followedBy("b").where(is("B"))
+    val ms = NFA.findMatches(seq("A", "A", "B"), ts, p)
+    assert(ms.length === 1)
+    assert(labels(ms.head, "a") === Seq("A", "A"))
+    assert(NFA.findMatches(seq("A", "B"), ts, p).isEmpty)
+  }
+
+  test("times(from,to) backtracks from greedy to feasible") {
+    val p = Pattern.begin[E]("a").where(is("A")).times(1, 3)
+      .next("b").where(is("B"))
+    // A A A B: greedy 3 As then strict B works
+    assert(labels(NFA.findMatches(seq("A", "A", "A", "B"), ts, p).head, "a").length === 3)
+    // A A B: greedy tries 2 then B strict — works with 2
+    assert(labels(NFA.findMatches(seq("A", "A", "B"), ts, p).head, "a").length === 2)
+  }
+
+  test("optional stage can be skipped") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("m").where(is("M")).optional
+      .followedBy("b").where(is("B"))
+    val withM = NFA.findMatches(seq("A", "M", "B"), ts, p)
+    assert(labels(withM.head, "m") === Seq("M"))
+    val withoutM = NFA.findMatches(seq("A", "B"), ts, p)
+    assert(withoutM.head.bindings("m").isEmpty)
+  }
+
+  test("notFollowedBy guard kills the match when guard fires in the gap") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .notFollowedBy("g").where(is("G"))
+      .followedBy("b").where(is("B"))
+    assert(NFA.findMatches(seq("A", "G", "B"), ts, p).isEmpty)
+    assert(NFA.findMatches(seq("A", "X", "B"), ts, p).length === 1)
+  }
+
+  test("notNext guard checks only the immediate successor") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .notNext("g").where(is("G"))
+      .followedBy("b").where(is("B"))
+    assert(NFA.findMatches(seq("A", "G", "B"), ts, p).isEmpty)
+    assert(NFA.findMatches(seq("A", "X", "G", "B"), ts, p).length === 1)
+  }
+
+  test("trailing notFollowedBy requires within and guards the window") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("b").where(is("B"))
+      .notFollowedBy("g").where(is("G"))
+      .within(1.second)
+    // G inside the window after B → no match
+    assert(NFA.findMatches(IndexedSeq((0L, "A"), (10L, "B"), (20L, "G")), ts, p).isEmpty)
+    // G outside the window → match survives
+    assert(NFA.findMatches(IndexedSeq((0L, "A"), (10L, "B"), (2000L, "G")), ts, p).length === 1)
+    val noWithin = Pattern.begin[E]("a").where(is("A")).notFollowedBy("g").where(is("G"))
+    assertThrows[IllegalArgumentException] {
+      NFA.findMatches(IndexedSeq((0L, "A")), ts, noWithin)
+    }
+  }
+
+  test("within bounds first-to-last event time") {
+    val p = Pattern.begin[E]("a").where(is("A")).followedBy("b").where(is("B"))
+      .within(15.millis)
+    val events = IndexedSeq((0L, "A"), (10L, "B"), (100L, "A"), (200L, "B"))
+    val ms = NFA.findMatches(events, ts, p)
+    assert(ms.length === 1) // second pair is 100ms apart > 15ms
+    assert(ms.head.startIdx === 0)
+  }
+
+  test("afterMatch SkipPastLast suppresses overlapping matches") {
+    val p = Pattern.begin[E]("a").where(is("A")).followedBy("b").where(is("B"))
+      .afterMatchSkipPastLast
+    // A A B B: NoSkip would give (0,2) and (1,2); SkipPastLast gives (0,2) then (3,? none)
+    val ms = NFA.findMatches(seq("A", "A", "B", "B"), ts, p)
+    assert(ms.length === 1)
+    assert(ms.head.startIdx === 0 && ms.head.endIdx === 2)
+    val noSkip = p.copy(afterMatch = AfterMatch.NoSkip)
+    assert(NFA.findMatches(seq("A", "A", "B", "B"), ts, noSkip).length === 2)
+  }
+
+  test("or predicate composition") {
+    val p = Pattern.begin[E]("a").where(is("A")).or(is("C"))
+      .followedBy("b").where(is("B"))
+    assert(NFA.findMatches(seq("C", "B"), ts, p).length === 1)
+  }
+
+  test("three-stage funnel with tsPerMs scaling") {
+    val p = Pattern.begin[E]("s").where(is("S"))
+      .followedBy("v").where(is("V"))
+      .followedBy("p").where(is("P"))
+      .within(1.minute)
+    // ts in "microseconds": 1 minute = 60e6 µs with tsPerMs=1000
+    val events = IndexedSeq((0L, "S"), (30L * 1000000, "V"), (59L * 1000000, "P"))
+    assert(NFA.findMatches(events, ts, p, tsPerMs = 1000L).length === 1)
+    val late = IndexedSeq((0L, "S"), (30L * 1000000, "V"), (61L * 1000000, "P"))
+    assert(NFA.findMatches(late, ts, p, tsPerMs = 1000L).isEmpty)
+  }
+}

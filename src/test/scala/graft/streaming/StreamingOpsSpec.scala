@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cep.{CEP, Pattern}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import scala.concurrent.duration._
+
+/** MemoryStream harness tests for the stateful operators — the analog of
+  * the reference's operator harness tests (GroupAggregateHarnessTest
+  * .scala pattern: feed controlled batches, assert state-driven output).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, tsMs: Long, user: Long, typ: String, value: Double): Event =
+    Event(id, new Timestamp(tsMs), user, typ, value)
+
+  test("topNByKey emits refreshed rankings as better rows arrive") {
+    val input = MemoryStream[Event]
+    val out = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 2)
+    val q = out.writeStream.format("memory").queryName("topn_t").outputMode("update").start()
+    try {
+      input.addData(ev(1, 1000, 7, "x", 5.0), ev(2, 2000, 7, "x", 3.0))
+      q.processAllAvailable()
+      val r1 = spark.table("topn_t").as[StreamingOps.TopNRow].collect().toSeq
+      assert(r1.map(r => (r.rank, r.id)).sorted === Seq((1L, 1L), (2L, 2L)))
+      // a new best displaces rank 2; a worse row changes nothing
+      input.addData(ev(3, 3000, 7, "x", 9.0), ev(4, 4000, 7, "x", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table("topn_t").as[StreamingOps.TopNRow].collect().toSeq.drop(r1.size)
+      assert(r2.map(r => (r.rank, r.id)).sorted === Seq((1L, 3L), (2L, 1L)))
+      input.addData(ev(5, 5000, 7, "x", 0.5))
+      q.processAllAvailable()
+      assert(spark.table("topn_t").count() === (r1.size + r2.size)) // no emission
+    } finally q.stop()
+  }
+
+  test("dedupKeepLast emits only when the latest row per key changes") {
+    val input = MemoryStream[Event]
+    val out = StreamingOps.dedupKeepLast[Event](input.toDS(), _.user_id, _.event_id, _.tsUs)
+    val q = out.writeStream.format("memory").queryName("dl_t").outputMode("update").start()
+    try {
+      input.addData(ev(1, 1000, 7, "x", 1.0), ev(2, 5000, 7, "x", 1.0))
+      q.processAllAvailable()
+      val r1 = spark.table("dl_t").as[(Long, Long, Long)].collect()
+      assert(r1.map(_._2).toSeq === Seq(2L)) // latest of the batch
+      input.addData(ev(3, 3000, 7, "x", 1.0)) // older than current last → silent
+      q.processAllAvailable()
+      assert(spark.table("dl_t").count() === 1)
+      input.addData(ev(4, 9000, 7, "x", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dl_t").as[(Long, Long, Long)].collect().last._2 === 4L)
+    } finally q.stop()
+  }
+
+  test("streaming CEP with out-of-order arrival matches batch semantics") {
+    val input = MemoryStream[Event]
+    val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
+      .followedBy("p").where(_.event_type == "purchase")
+      .within(1.minute)
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = CEP.streaming[Event, Long, (Long, Long, Long)](
+      withWm, _.user_id, _.tsUs, pattern,
+      (k, m) => (k, m.bindings("s").head.event_id, m.bindings("p").head.event_id))
+    val q = out.writeStream.format("memory").queryName("cep_t").outputMode("append").start()
+    try {
+      // purchase arrives BEFORE its signup (out of order within the batch)
+      input.addData(ev(2, 30000, 7, "purchase", 1.0), ev(1, 10000, 7, "signup", 1.0))
+      q.processAllAvailable()
+      // watermark still below decidability → nothing yet
+      // advance watermark far past signup+within
+      input.addData(ev(9, 200000, 8, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(10, 300000, 8, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cep_t").as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((7L, 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("GraftStream facade: map/filter/keyBy/matchPattern batch path") {
+    val events = Seq(
+      ev(1, 1000, 1, "signup", 1.0),
+      ev(2, 2000, 1, "purchase", 5.0),
+      ev(3, 3000, 2, "signup", 1.0)).toDS()
+    val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
+      .followedBy("p").where(_.event_type == "purchase")
+      .within(1.minute)
+    val matches = GraftStream(events)
+      .filter(_.value > 0)
+      .keyBy(_.user_id)
+      .matchPattern(_.tsUs, pattern)((k, m) => (k, m.bindings("p").head.event_id))
+      .collect()
+    assert(matches.toSeq === Seq((1L, 2L)))
+  }
+}
