@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch kernels for the dedup operators (SURVEY.md M6): MinHash
+  * signatures and SimHash computed in ONE tight JVM pass over the token
+  * array. The higher-order-function formulation (transform + 64×
+  * aggregate) costs an interpreted lambda invocation per token per
+  * permutation/bit — these expressions replace ~64·|tokens| lambda calls
+  * per document with a primitive loop, the difference between minutes
+  * and seconds at corpus scale. CodegenFallback is fine here: the cost
+  * is per-document (coarse), not per-primitive-column.
+  */
+private object SketchHashing {
+  /** Mersenne prime 2^31−1: keeps a·x+b inside 63 bits (overflow-free). */
+  val P = 2147483647L
+
+  def tokenHash(s: UTF8String): Long = {
+    val h = XxHash64Function.hash(s, StringType, 42L) % P
+    if (h < 0) h + P else h
+  }
+
+  def coeffs(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(numPerms)(1L + rnd.nextInt((P - 1).toInt).toLong)
+    val b = Array.fill(numPerms)(rnd.nextInt(P.toInt).toLong)
+    (a, b)
+  }
+}
+
+/** MinHash signature over array<string> tokens:
+  * sig[i] = min_tokens((a_i·h(token) + b_i) mod P).
+  */
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val (ca, cb) = SketchHashing.coeffs(numPerms, seed)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val x = SketchHashing.tokenHash(arr.getUTF8String(t))
+      var i = 0
+      while (i < numPerms) {
+        val v = (ca(i) * x + cb(i)) % SketchHashing.P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over array<string> tokens: bit k = sign of
+  * Σ_tokens (±1 by bit k of h(token)).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) w(k) += 1 else w(k) -= 1
+        k += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (w(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

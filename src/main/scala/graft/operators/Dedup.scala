@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Deduplication operators for training-data pipelines (SURVEY.md M6):
   * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash+LSH
@@ -54,27 +55,14 @@ object Dedup {
       .select(col("da"), col("db"), col("jacc"))
   }
 
-  /** Large Mersenne prime; keeps (a*x + b) inside 63 bits for x,a,b < p,
-    * so the arithmetic is ANSI-mode safe (no long overflow).
-    */
-  private val P = 2147483647L
-
-  private def permCoeffs(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPerms)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-  }
-
   /** MinHash signature: numPerms universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over xxhash64 token hashes, min per
-    * permutation. Pure higher-order functions — computed inside the scan
-    * stage, no shuffle.
+    * permutation. Native expression (graft.functions.MinHashSig) — one
+    * primitive loop per document inside the scan stage, no shuffle.
     */
-  def minHashSignature(textCol: Column, numPerms: Int = 64, seed: Long = 42L): Column = {
-    val hashed = transform(TextAnalysis.tokenSet(textCol), t => pmod(xxhash64(t), lit(P)))
-    array(permCoeffs(numPerms, seed).map { case (a, b) =>
-      array_min(transform(hashed, x => pmod(x * a + b, lit(P))))
-    }: _*)
-  }
+  def minHashSignature(textCol: Column, numPerms: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(TextAnalysis.tokenSet(textCol)), numPerms, seed))
 
   /** MinHash+LSH near-dup candidate pairs, verified with true Jaccard.
     * bands·rows = numPerms; a pair collides if any band of `rows`
@@ -90,23 +78,32 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    // Phase 1 — candidates: explode band signatures and self-join on
+    // (band, key) carrying ONLY doc ids. On self-similar corpora the
+    // band join fans out heavily; keeping the joined rows to two longs
+    // (instead of dragging token arrays through the shuffle) is the
+    // difference between MBs and GBs of exchange at scale.
     val sigs = docs.select(
       col(idCol).as("id"),
-      TextAnalysis.tokenSet(col(textCol)).as("ts"),
       minHashSignature(col(textCol), bands * rows).as("sig"))
     val banded = sigs.select(
-      col("id"), col("ts"),
+      col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"), concat_ws(",", slice(col("sig"), j * rows + 1, rows)).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("ts"), col("bk.band"), col("bk.key"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val cands = banded.as("x")
       .join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"),
-        col("x.ts").as("ta"), col("y.ts").as("tb"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
       .dropDuplicates("da", "db")
+    // Phase 2 — verify: attach the two token sets to each surviving
+    // pair (docs side is join-key partitioned; Catalyst broadcasts it
+    // when small) and compute exact Jaccard.
+    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
     cands
+      .join(toks.select(col("id").as("da"), col("ts").as("ta")), "da")
+      .join(toks.select(col("id").as("db"), col("ts").as("tb")), "db")
       .withColumn("jacc",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))))
@@ -131,20 +128,17 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-      .dropDuplicates("da", "db")
+      // filter BEFORE the dedup shuffle: hamming is computed map-side,
+      // so far pairs never enter the exchange
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("da", "db")
   }
 
   /** 64-bit SimHash (see [[simHashPairs]]): per bit position k, sum ±1
-    * over token hashes and take the sign. 64 aggregate passes over the
-    * token-hash array — linear per document, codegen'd, no shuffle.
+    * over token hashes and take the sign. Native expression
+    * (graft.functions.SimHash64) — one primitive loop per document.
     */
-  def simHash64(textCol: Column): Column = {
-    val hashes = transform(TextAnalysis.tokenSet(textCol), t => xxhash64(t))
-    (0 until 64).map { k =>
-      val weight = aggregate(hashes, lit(0L),
-        (w, h) => w + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(weight > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simHash64(textCol: Column): Column =
+    ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(TextAnalysis.tokenSet(textCol))))
 }
