@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TableEnvironment-like facade (ref: TableEnvironmentImpl.java:585
+  * sqlQuery/executeSql): registers the warehouse tables as temp views
+  * (with the events timestamp normalization) and the graft function
+  * library, then delegates SQL to Catalyst — the entire §3.1 planner
+  * stack (parse → analyze → optimize → codegen) is Spark's.
+  */
+final class TableEnv(val spark: SparkSession, dir: String) {
+  GraftFunctions.register(spark)
+  Seq("region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings").foreach { t =>
+    Tables(spark, dir, t).createOrReplaceTempView(t)
+  }
+
+  /** ref: TableEnvironment.sqlQuery */
+  def sqlQuery(sql: String): DataFrame = spark.sql(sql)
+
+  /** ref: TableEnvironment.from(tableName) */
+  def from(table: String): DataFrame = spark.table(table)
+}
+
+object TableEnv {
+  def apply(spark: SparkSession, dir: String): TableEnv = new TableEnv(spark, dir)
+}

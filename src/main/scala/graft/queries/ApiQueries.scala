@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{TableEnv, Tables}
+import graft.functions.WeightedMean
+import graft.operators.{Iterations, SideOutputs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** API-surface queries: SQL via TableEnv (§3.1), typed Dataset APIs —
+  * cogroup, flatMapGroups table-aggregate, Aggregator UDAF,
+  * mapPartitions (§2.2/2.5/2.10), driver-loop iterations (§2.12), side
+  * outputs (§2.2).
+  */
+object ApiQueries {
+
+  /** Pure-SQL query through the TableEnv facade — TPC-H Q3 shape
+    * (shipping priority): the whole §3.1 stack exercised as SQL text.
+    */
+  def sqlRevenue(s: SparkSession, dir: String): DataFrame =
+    TableEnv(s, dir).sqlQuery(
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+
+  val sqlRevenueSql: String =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Typed coGroup (ref: DataSet.coGroup:1118 → KeyValueGroupedDataset
+    * .cogroup): both sides grouped on the key, user code sees the two
+    * iterators per key.
+    */
+  def cogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).select(col("c_custkey")).as[Long]
+    val ords = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    cust.groupByKey(identity)
+      .cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+        val prices = os.map(_._2).toSeq
+        Iterator.single((k, cs.nonEmpty, prices.length.toLong, prices.sum))
+      }
+      .toDF("k", "has_cust", "n_orders", "total")
+      .select(col("k"), col("has_cust"), col("n_orders"), round(col("total"), 2).as("total"))
+      .orderBy("k")
+  }
+
+  val cogroupSql: String =
+    """SELECT coalesce(c.k, o.k) AS k, c.k IS NOT NULL AS has_cust,
+      |  coalesce(o.n, 0) AS n_orders, coalesce(o.t, 0) AS total
+      |FROM (SELECT c_custkey AS k FROM customer) c
+      |FULL JOIN (SELECT o_custkey AS k, count(*) AS n, round(sum(o_totalprice), 2) AS t
+      |           FROM orders GROUP BY 1) o ON c.k = o.k
+      |ORDER BY k""".stripMargin
+
+  /** Table aggregate — one group, many output rows (ref:
+    * Table.flatAggregate:1115, GroupTableAggFunction.java): emit the
+    * top-2 orders per status from a flatMapGroups.
+    */
+  def flatAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")).as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (status, it) =>
+        it.toSeq.sortBy { case (_, k, p) => (-p, k) }.take(2).zipWithIndex.map {
+          case ((_, k, p), i) => (status, k, p, i + 1L)
+        }.iterator
+      }
+      .toDF("status", "o_orderkey", "total", "rnk")
+      .orderBy("status", "rnk")
+  }
+
+  val flatAggregateSql: String =
+    """SELECT o_orderstatus AS status, o_orderkey, o_totalprice AS total, rnk FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 2 ORDER BY status, rnk""".stripMargin
+
+  /** Typed Aggregator UDAF (ref: AggregateFunction contract §2.10):
+    * quantity-weighted mean price per return flag.
+    */
+  def udafWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wm = new WeightedMean[(String, Double, Double)](_._2, _._3)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .agg(wm.toColumn.name("wmean"))
+      .toDF("l_returnflag", "wmean")
+      .select(col("l_returnflag"), round(col("wmean"), 4).as("wmean"))
+      .orderBy("l_returnflag")
+  }
+
+  val udafWeightedSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS wmean
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** mapPartitions (ref: DataSet.mapPartition:237): per-partition
+    * imperative parse with a reused "parser" instance, then a normal
+    * aggregation.
+    */
+  def mapPartitionsParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = Tables.events(s, dir).select(col("props")).as[String]
+      .mapPartitions { it =>
+        val pattern = java.util.regex.Pattern.compile("\\d+") // init once per partition
+        it.map { props =>
+          val m = pattern.matcher(props)
+          if (m.find()) m.group().toLong % 10 else -1L
+        }
+      }
+    parsed.toDF("k_mod").groupBy("k_mod").agg(count(lit(1)).as("cnt")).orderBy("k_mod")
+  }
+
+  val mapPartitionsParseSql: String =
+    """SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Driver-loop BSP iteration (ref: DataSet.iterate:1156): BFS over a
+    * graph derived from nation/region, verified against a recursive CTE.
+    */
+  def iterateBfs(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val e1 = n.select(col("n_nationkey").cast("long").as("src"), (col("n_regionkey") + 100).cast("long").as("dst"))
+    val e2 = e1.select(col("dst").as("src"), col("src").as("dst"))
+    val e3 = n.select((col("n_regionkey") + 100).cast("long").as("src"),
+      (pmod(col("n_regionkey") + 1, lit(5)) + 100).cast("long").as("dst")).distinct()
+    val e4 = e3.select(col("dst").as("src"), col("src").as("dst"))
+    val edges = e1.union(e2).union(e3).union(e4).distinct()
+
+    import s.implicits._
+    val init = Seq((0L, 0L)).toDF("node", "dist")
+    val result = Iterations.loop(init, maxIter = 12) { dist =>
+      dist.union(
+          dist.join(edges, dist("node") === edges("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    result.orderBy("node")
+  }
+
+  val iterateBfsSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey::BIGINT AS src, (n_regionkey + 100)::BIGINT AS dst FROM nation
+      |  UNION SELECT (n_regionkey + 100)::BIGINT, n_nationkey::BIGINT FROM nation
+      |  UNION SELECT DISTINCT (n_regionkey + 100)::BIGINT, (((n_regionkey + 1) % 5) + 100)::BIGINT FROM nation
+      |  UNION SELECT DISTINCT (((n_regionkey + 1) % 5) + 100)::BIGINT, (n_regionkey + 100)::BIGINT FROM nation),
+      |walk AS (
+      |  SELECT 0::BIGINT AS node, 0::BIGINT AS dist
+      |  UNION
+      |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.src WHERE w.dist < 12)
+      |SELECT node, min(dist) AS dist FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  /** Side outputs (ref: OutputTag / ctx.output): first-match-wins
+    * tagging, counted per tag.
+    */
+  def sideOutputs(s: SparkSession, dir: String): DataFrame = {
+    val tagged = SideOutputs.tag(
+      Tables.events(s, dir),
+      Seq(
+        "errors" -> (col("event_type") === "error"),
+        "whales" -> (col("value") > 95.0)))
+    tagged.groupBy(col(SideOutputs.TagCol).as("tag"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .orderBy("tag")
+  }
+
+  val sideOutputsSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT CASE WHEN event_type = 'error' THEN 'errors'
+        |            WHEN value > 95.0 THEN 'whales'
+        |            ELSE 'main' END AS tag,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev GROUP BY 1 ORDER BY tag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_sql_revenue", sqlRevenue, Some(sqlRevenueSql)),
+    Q("q_cogroup", cogroup, Some(cogroupSql)),
+    Q("q_flat_agg", flatAggregate, Some(flatAggregateSql)),
+    Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
+    Q("q_map_partitions", mapPartitionsParse, Some(mapPartitionsParseSql)),
+    Q("q_iterate_bfs", iterateBfs, Some(iterateBfsSql)),
+    Q("q_side_outputs", sideOutputs, Some(sideOutputsSql))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink/format coverage (SURVEY §2.1): numeric range source,
+  * CSV and JSON round-trips (writeAsCsv/readTextFile/Csv/Json format
+  * family), and a dynamic-partition parquet sink
+  * (FileSystemTableSink/DynamicPartitionWriter ≈ write.partitionBy).
+  * Each query WRITES through the sink then READS back through the
+  * matching source, so both directions are exercised; the oracle
+  * computes the same result directly from the warehouse tables.
+  */
+object SourceQueries {
+
+  private def sinkDir(dir: String, name: String): String =
+    s"/tmp/graft-sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** env.generateSequence ≈ spark.range. */
+  def sourceRange(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 1001)
+      .agg(count(lit(1)).as("cnt"), sum("id").as("total"),
+        min("id").as("mn"), max("id").as("mx"))
+
+  val sourceRangeSql: String =
+    """SELECT count(*) AS cnt, CAST(sum(i) AS BIGINT) AS total,
+      |  min(i) AS mn, max(i) AS mx
+      |FROM range(1, 1001) t(i)""".stripMargin
+
+  /** CSV sink + source round-trip of an aggregate. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "csv_agg")
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema(StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("cnt", LongType),
+        StructField("total", DoubleType))))
+      .option("header", "true")
+      .csv(out)
+      .orderBy("o_orderstatus")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** JSON sink + source round-trip. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "json_agg")
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .coalesce(1)
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema(StructType(Seq(
+        StructField("c_mktsegment", StringType),
+        StructField("cnt", LongType),
+        StructField("avg_bal", DoubleType))))
+      .json(out)
+      .orderBy("c_mktsegment")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Dynamic-partition parquet sink: write orders partitioned by
+    * status, read back with partition pruning (one status), aggregate.
+    */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "orders_by_status")
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F") // prunes to the F partition dir
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val partitionedSinkSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_source_range", sourceRange, Some(sourceRangeSql)),
+    Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
+    Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
+    Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql))
+  )
+}

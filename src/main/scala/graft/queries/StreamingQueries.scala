@@ -200,6 +200,36 @@ object StreamingQueries {
         |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
         |WHERE rn = 1 ORDER BY signup_id""".stripMargin
 
+  /** Streaming row-time OVER aggregate (ref:
+    * RowTimeRowsUnboundedPrecedingFunction.java): running sum/count per
+    * user, each event emitted once its ts clears the watermark.
+    */
+  def streamOver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.overUnboundedPreceding[Event](ev, _.user_id, _.event_id, _.tsUs, _.value)
+    runToTable("stream_over", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        round(col("running_sum"), 4).as("rsum"), col("running_cnt").as("rcnt"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val streamOverSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rsum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rcnt
+        |FROM ev
+        |QUALIFY ts <= (SELECT w FROM wm)
+        |ORDER BY user_id, event_id""".stripMargin
+
   /** Batch CEP over the same pattern (ref: MATCH_RECOGNIZE batch path) —
     * no watermark gate, so every signup matches.
     */
@@ -236,6 +266,7 @@ object StreamingQueries {
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
+    Q("q_stream_over", streamOver, Some(streamOverSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql))
   )
 }

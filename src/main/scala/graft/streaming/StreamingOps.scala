@@ -71,6 +71,51 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** Streaming row-time OVER aggregate, ROWS UNBOUNDED PRECEDING (ref:
+    * RowTimeRowsUnboundedPrecedingFunction.java — SURVEY §2.7 "no
+    * streaming window functions in Spark"): per key, each event is
+    * emitted exactly once — with its running sum/count — when the
+    * watermark passes its timestamp. Late rows (below the last emitted
+    * timestamp) are dropped, mirroring the reference's late-data drop.
+    * State is O(out-of-order window): the running accumulator plus the
+    * not-yet-emittable buffer.
+    */
+  final case class OverState(sum: Double, cnt: Long, lastEmittedUs: Long,
+      buffer: Seq[(Long, Long, Double)])
+  final case class OverRow(key: Long, id: Long, tsUs: Long, running_sum: Double, running_cnt: Long)
+
+  def overUnboundedPreceding[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Double
+  )(implicit te: Encoder[T]): Dataset[OverRow] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[OverState]): Iterator[OverRow] = {
+      val st = if (state.exists) state.get else OverState(0.0, 0L, Long.MinValue, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val incoming = rows.map(r => (tsUsFn(r), idFn(r), valueFn(r)))
+        .filter(_._1 > st.lastEmittedUs) // late rows dropped
+      val all = (st.buffer ++ incoming).sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(_._1 <= wmUs)
+      var sum = st.sum; var cnt = st.cnt
+      val out = ready.map { case (t, id, v) =>
+        sum += v; cnt += 1
+        OverRow(key, id, t, sum, cnt)
+      }
+      val nextLast = if (ready.nonEmpty) ready.last._1 else st.lastEmittedUs
+      if (hold.isEmpty && cnt == 0) state.remove()
+      else {
+        state.update(OverState(sum, cnt, nextLast, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value
