@@ -155,7 +155,35 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Multimodal binary-column pipeline (M6): documents text packed as
+    * opaque media payloads; container features + frame sampling. The
+    * oracle mirrors binary chunking through lowercase-hex strings
+    * (DuckDB v1.0 lacks blob substring/md5).
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+    val feats = graft.operators.Multimodal.withMediaFeatures(media, "data")
+    val frames = graft.operators.Multimodal.sampleFrames(feats, "data", frameBytes = 256, maxFrames = 4)
+    frames
+      .groupBy("doc_id", "byte_len", "header_hex", "content_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("frame_idx") === 0, col("frame_sig"))).as("frame0"))
+      .orderBy("doc_id")
+  }
+
+  val mmFeaturesSql: String =
+    """WITH m AS (SELECT doc_id, text::BLOB AS b FROM documents),
+      |f AS (SELECT doc_id, octet_length(b)::BIGINT AS byte_len, lower(hex(b)) AS hx FROM m)
+      |SELECT doc_id, byte_len,
+      |  substr(hx, 1, 8) AS header_hex,
+      |  md5(hx) AS content_id,
+      |  least((byte_len + 255) // 256, 4) AS n_frames,
+      |  md5(substr(hx, 1, 512)) AS frame0
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
     Q("q_doc_quality", docQuality, Some(docQualitySql)),
