@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.cep.MatchRecognize
+import graft.operators.LookupJoin
+import graft.streaming.Event
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATCH_RECOGNIZE, lookup join, and the second scalar-function battery. */
+object MiscQueries {
+
+  /** SQL row-pattern matching (ref: MATCH_RECOGNIZE, SURVEY §2.11):
+    * PARTITION BY user_id ORDER BY ts PATTERN (S P+) DEFINE S = signup,
+    * P = purchase, over the signup/purchase sub-stream. STRICT
+    * contiguity + greedy P+ + SKIP PAST LAST — the oracle computes each
+    * signup's run of immediately-following purchases.
+    */
+  def matchRecognize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    MatchRecognize[Event, Long, (Long, Long, Long)](
+      ev,
+      partitionBy = _.user_id,
+      orderTsUs = _.tsUs,
+      pattern = "S P+",
+      define = Map(
+        "S" -> (_.event_type == "signup"),
+        "P" -> (_.event_type == "purchase")),
+      measures = (k, m) =>
+        (k, m.bindings("S").head.event_id, m.bindings("P").length.toLong))
+      .toDF("user_id", "signup_id", "n_purchases")
+      .orderBy("signup_id")
+  }
+
+  val matchRecognizeSql: String =
+    Tables.eventsCte +
+      """
+        |, sp AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM ev WHERE event_type IN ('signup', 'purchase')),
+        |runs AS (
+        |  SELECT s.user_id, s.event_id AS signup_id,
+        |    coalesce((SELECT min(x.rn) FROM sp x
+        |              WHERE x.user_id = s.user_id AND x.rn > s.rn AND x.event_type <> 'purchase'),
+        |             (SELECT max(x.rn) + 1 FROM sp x WHERE x.user_id = s.user_id)) - s.rn - 1 AS n_purchases
+        |  FROM sp s WHERE s.event_type = 'signup')
+        |SELECT user_id, signup_id, n_purchases FROM runs WHERE n_purchases >= 1
+        |ORDER BY signup_id""".stripMargin
+
+  /** Lookup join (ref: StreamExecLookupJoin): events enriched against
+    * the customer dimension by point lookup; unmatched keep NULLs.
+    */
+  def lookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    LookupJoin.viaBroadcast(ev, dim, col("user_id") === col("c_custkey"))
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .orderBy("segment")
+  }
+
+  val lookupJoinSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Scalar-function battery 2: bin/hex/chr/unicode/position/printf
+    * family (ref: FlinkSqlOperatorTable BIN, HEX, CHR, ASCII, POSITION,
+    * and misc string tail).
+    */
+  def fnString2(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      bin(col("s_suppkey")).as("b"),
+      lower(hex(col("s_suppkey"))).as("hx"),
+      chr(col("s_nationkey") + 65).as("ch"),
+      expr("position('a' IN s_name)").cast("long").as("pos"),
+      format_string("%s#%d", col("s_name"), col("s_suppkey")).as("fmt"),
+      initcap(col("s_name")).as("ic"),
+      octet_length(col("s_name")).cast("long").as("ol"),
+      conv(col("s_suppkey").cast("string"), 10, 16).as("cv"))
+      .orderBy("s_suppkey")
+
+  val fnString2Sql: String =
+    """SELECT s_suppkey,
+      |  bin(s_suppkey) AS b,
+      |  lower(hex(s_suppkey)) AS hx,
+      |  chr(s_nationkey + 65) AS ch,
+      |  position('a' IN s_name)::BIGINT AS pos,
+      |  printf('%s#%d', s_name, s_suppkey) AS fmt,
+      |  upper(s_name[1]) || s_name[2:] AS ic,
+      |  octet_length(s_name::BLOB)::BIGINT AS ol,
+      |  upper(to_hex(s_suppkey)) AS cv
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
+    Q("q_lookup_join", lookupJoin, Some(lookupJoinSql)),
+    Q("q_fn_string2", fnString2, Some(fnString2Sql))
+  )
+}

@@ -1,0 +1,46 @@
+package graft.cep
+
+import graft.SparkSpec
+import graft.streaming.Event
+import java.sql.Timestamp
+
+class MatchRecognizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, tsMs: Long, typ: String) =
+    Event(id, new Timestamp(tsMs), 1L, typ, 1.0)
+
+  test("pattern compiler: quantifiers and strict contiguity") {
+    val p = MatchRecognize.compile[Event]("A B+ C? D{2}", Map(
+      "A" -> (_.event_type == "a"), "B" -> (_.event_type == "b"),
+      "C" -> (_.event_type == "c"), "D" -> (_.event_type == "d")))
+    assert(p.stages.map(_.name) === Vector("A", "B", "C", "D"))
+    assert(p.stages(1).quantifier === Quantifier.OneOrMore)
+    assert(p.stages(2).quantifier === Quantifier.Optional)
+    assert(p.stages(3).quantifier === Quantifier.Times(2, 2))
+    assert(p.stages(1).contiguity === Contiguity.Strict)
+    assert(p.stages(1).innerContiguity === Contiguity.Strict)
+    assert(p.afterMatch === AfterMatch.SkipPastLast)
+  }
+
+  test("SQL semantics: consecutive rows only, greedy runs, skip past last") {
+    val events = Seq(
+      ev(1, 1000, "s"), ev(2, 2000, "p"), ev(3, 3000, "p"), // S P P  → one match, 2 purchases
+      ev(4, 4000, "x"), // breaks
+      ev(5, 5000, "s"), ev(6, 6000, "x"), // S then non-P adjacent → no match (strict)
+      ev(7, 7000, "s"), ev(8, 8000, "p") // S P
+    ).toDS()
+    val out = MatchRecognize[Event, Long, (Long, Long)](
+      events, _.user_id, _.tsUs, "S P+",
+      Map("S" -> (_.event_type == "s"), "P" -> (_.event_type == "p")),
+      (_, m) => (m.bindings("S").head.event_id, m.bindings("P").length.toLong))
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L), (7L, 1L)))
+  }
+
+  test("rejects unknown pattern variables") {
+    assertThrows[IllegalArgumentException] {
+      MatchRecognize.compile[Event]("A B", Map("A" -> (_ => true)))
+    }
+  }
+}
