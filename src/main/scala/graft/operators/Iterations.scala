@@ -10,10 +10,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterations {
 
-  /** Iterate `step` until `maxIter` or until `done(prev, next)`. */
+  /** Iterate `step` until `maxIter` or until `done(prev, next)`.
+    * `checkpointEvery` is load-bearing: a step that unions its input
+    * with a derivation of itself DOUBLES the logical plan per iteration
+    * (2^n nodes by iteration n) — eager localCheckpoint every few
+    * iterations keeps planning and re-execution linear.
+    */
   def loop(init: DataFrame, maxIter: Int,
       done: (DataFrame, DataFrame) => Boolean = (_, _) => false,
-      checkpointEvery: Int = 10)(step: DataFrame => DataFrame): DataFrame = {
+      checkpointEvery: Int = 2)(step: DataFrame => DataFrame): DataFrame = {
     var cur = init
     var i = 0
     var stop = false

@@ -140,7 +140,9 @@ object ApiQueries {
 
     import s.implicits._
     val init = Seq((0L, 0L)).toDF("node", "dist")
-    val result = Iterations.loop(init, maxIter = 12) { dist =>
+    // 8 iterations > graph diameter (≤6: nation→region→chain of 5);
+    // the oracle CTE bound stays at 12, extra iterations change nothing.
+    val result = Iterations.loop(init, maxIter = 8) { dist =>
       dist.union(
           dist.join(edges, dist("node") === edges("src"))
             .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
