@@ -200,6 +200,27 @@ object StreamingQueries {
         |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
         |WHERE rn = 1 ORDER BY signup_id""".stripMargin
 
+  /** Streaming UNBOUNDED group aggregate, update mode (ref:
+    * StreamExecGroupAggregate.scala:52 / GroupAggFunction.java): per-key
+    * running aggregates emitted as upserts. Single-batch AvailableNow ⇒
+    * the final upsert per key, which equals the batch aggregate.
+    */
+  def streamGroupAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"),
+        round(avg("value"), 6).as("av"))
+    runToTable("stream_groupagg", out, "update").orderBy("user_id", "event_type")
+  }
+
+  val streamGroupAggSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id, event_type, count(*) AS cnt,
+        |  round(sum(value), 4) AS sv, round(avg(value), 6) AS av
+        |FROM ev GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+
   /** Streaming row-time OVER aggregate (ref:
     * RowTimeRowsUnboundedPrecedingFunction.java): running sum/count per
     * user, each event emitted once its ts clears the watermark.
@@ -266,6 +287,7 @@ object StreamingQueries {
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
+    Q("q_stream_groupagg", streamGroupAgg, Some(streamGroupAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql))
   )

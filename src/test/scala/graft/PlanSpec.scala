@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Plan-shape regression tests: the scale architecture depends on
+  * filters/columns reaching the parquet scan and dimension sides being
+  * broadcast — assert it so a refactor can't silently regress the
+  * physical plan (SURVEY §4 "optimize for scale" checklist).
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_agg_pricing pushes the shipdate filter and prunes columns at the scan") {
+    val p = planString("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "pruned column still read")
+  }
+
+  test("q_join_inner broadcasts the dimension sides") {
+    val p = planString("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_calc keeps project+filter in one whole-stage codegen span over the scan") {
+    val df = SparkEntry.queries("q_calc")(spark, dir)
+    // collect() executes THIS QueryExecution (count() would build a new
+    // one), finalizing the adaptive plan so codegen nodes materialize
+    df.collect()
+    val finalPlan: SparkPlan = df.queryExecution.executedPlan
+    val codegenSpans = collectWithSubqueries(finalPlan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, s"no WholeStageCodegen in:\n$finalPlan")
+    assert(finalPlan.toString.contains("PushedFilters"))
+  }
+
+  test("q_emb_topk uses the codegen cosine kernel (no UDF in the plan)") {
+    val p = planString("q_emb_topk")
+    assert(p.contains("cosine_sim"))
+    assert(!p.toLowerCase.contains("batchevalpython"))
+    assert(!p.contains("ScalaUDF"))
+  }
+}
