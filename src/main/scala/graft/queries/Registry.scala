@@ -8,5 +8,5 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all ++
       PipelineQueries.all ++ StreamingQueries.all ++ ApiQueries.all ++
-      SourceQueries.all ++ MiscQueries.all
+      SourceQueries.all ++ MiscQueries.all ++ TpchQueries.all
 }
