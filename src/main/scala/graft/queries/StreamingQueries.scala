@@ -46,15 +46,24 @@ object StreamingQueries {
   }
 
   private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
-    val qname = s"mem_$name"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(qname)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    out.sparkSession.table(qname)
+    val spark = out.sparkSession
+    // Stateful operators pay a per-partition state-store commit each
+    // micro-batch; 32 shuffle partitions is pure overhead at local test
+    // scale. Scope a smaller setting to the streaming run (on a cluster
+    // this maps to sizing state partitions to executor count).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qname = s"mem_$name"
+      val q = out.writeStream
+        .format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(qname)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Streaming tumbling-window aggregate with a 10-minute watermark,
