@@ -104,6 +104,12 @@ object Dedup {
     cands
       .join(toks.select(col("id").as("da"), col("ts").as("ta")), "da")
       .join(toks.select(col("id").as("db"), col("ts").as("tb")), "db")
+      // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+      // pairs failing the ratio can never clear the threshold — prunes
+      // before the O(|A|+|B|) intersect.
+      .filter(
+        least(size(col("ta")), size(col("tb"))).cast("double") /
+          greatest(size(col("ta")), size(col("tb"))) >= verifyThreshold)
       .withColumn("jacc",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))))

@@ -244,6 +244,25 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, prio""".stripMargin
 
+  /** CUBE grouping sets (ref: DecomposeGroupingSetsRule — all 4
+    * combinations of the two keys).
+    */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("cnt"))
+      .orderBy("status", "prio")
+
+  val aggCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, prio""".stripMargin
+
   /** Statistical aggregates STDDEV/VAR family (ref: FlinkSqlOperatorTable
     * agg section; AggsHandlerCodeGenerator.scala).
     */
@@ -522,6 +541,7 @@ object RelationalQueries {
     Q("q_join_theta", joinTheta, Some(joinThetaSql)),
     Q("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
     Q("q_agg_rollup", aggRollup, Some(aggRollupSql)),
+    Q("q_agg_cube", aggCube, Some(aggCubeSql)),
     Q("q_agg_stats", aggStats, Some(aggStatsSql)),
     Q("q_agg_collect", aggCollect, Some(aggCollectSql)),
     Q("q_agg_minmax_by", aggMinMaxBy, Some(aggMinMaxBySql)),
