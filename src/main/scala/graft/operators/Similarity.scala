@@ -56,6 +56,51 @@ object Similarity {
       when(dot_f(embedding, typedlit(p)) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
+    * `nlist` centroids, probe only the `nprobe` cells nearest each
+    * query. Centroids here are a deterministic sample of the corpus
+    * (ids < nlist) — at production scale you'd k-means them; the
+    * dataflow (cell assignment scan → cell equi-join → in-cell rank) is
+    * identical. Complements sign-LSH: IVF adapts to data geometry,
+    * LSH needs no training.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qe)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+    // cell assignment: nearest centroid per corpus vector (centroids broadcast)
+    val wAssign = Window.partitionBy("vec_id").orderBy(round(col("cd"), 6).desc, col("cid"))
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine_sim(col("embedding"), col("ce")).as("cd"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "cid")
+
+    // probe list: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy("qid").orderBy(round(col("qd"), 6).desc, col("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("cid"), cosine_sim(col("qe"), col("ce")).as("qd"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qe", "cid")
+
+    val w = Window.partitionBy("qid").orderBy(round(col("c"), 6).desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine_sim(col("qe"), col("embedding")).as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rn"))
+  }
+
   /** Approximate nearest neighbors: bucket corpus AND queries by sign-LSH,
     * equi-join on bucket, rank within query by cosine. Probes only its
     * own bucket (single-probe) — recall measured against

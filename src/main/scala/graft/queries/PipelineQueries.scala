@@ -155,6 +155,17 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  /** IVF ANN, nprobe cells per query (no oracle: centroid-sample
+    * specific; recall vs brute force covered in ScalaTest).
+    */
+  def embIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 4)
+      .orderBy("qid", "rn")
+  }
+
   /** Multimodal binary-column pipeline (M6): documents text packed as
     * opaque media payloads; container features + frame sampling. The
     * oracle mirrors binary chunking through lowercase-hex strings
@@ -193,6 +204,7 @@ object PipelineQueries {
     Q("q_doc_minhash", docMinHash, None),
     Q("q_doc_simhash", docSimHash, None),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
-    Q("q_emb_ann", embAnn, None)
+    Q("q_emb_ann", embAnn, None),
+    Q("q_emb_ivf", embIvf, None)
   )
 }

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Upsert-collapse at the sink: an update-mode top-1 stream merged into
+  * a keyed store must converge to the batch answer — the supported
+  * changelog strategy (SURVEY §7 hard part #1).
+  */
+class ChangelogSinkSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, tsMs: Long, user: Long, v: Double) =
+    Event(id, new Timestamp(tsMs), user, "x", v)
+
+  test("update-mode top-1 stream collapsed via foreachBatch equals final state") {
+    val input = MemoryStream[Event]
+    val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
+    val store = new ChangelogSink.MemoryUpsertStore[Long]
+    val q = ChangelogSink.upsertWriter(top1.toDF(), (r: Row) => r.getAs[Long]("key"), store)
+      .start()
+    try {
+      input.addData(ev(1, 1000, 7, 5.0), ev(2, 2000, 8, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3000, 7, 9.0)) // displaces user 7's top-1 → upsert
+      q.processAllAvailable()
+      input.addData(ev(4, 4000, 8, 0.5)) // no change for user 8
+      q.processAllAvailable()
+      val finalState = store.snapshot.map { case (k, r) => k -> r.getAs[Long]("id") }
+      assert(finalState === Map(7L -> 3L, 8L -> 2L))
+    } finally q.stop()
+  }
+
+  test("store idempotence: replaying a batchId is a no-op") {
+    val store = new ChangelogSink.MemoryUpsertStore[Long]
+    val row1 = Row(1L, "a")
+    val row2 = Row(1L, "b")
+    store.upsert(0L, Seq(1L -> row1))
+    store.upsert(0L, Seq(1L -> row2)) // replay with different content ignored
+    assert(store.snapshot(1L) === row1)
+  }
+}
