@@ -91,8 +91,26 @@ object SourceQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** ORC sink + source round-trip (ref: OrcColumnarRowSplitReader /
+    * flink-orc — Spark's vectorized ORC reader is built in).
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "orc_agg")
+    Tables.part(s, dir)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("cnt"), round(avg("p_retailprice"), 4).as("avg_price"))
+      .coalesce(1)
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("p_type")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT p_type, count(*) AS cnt, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
+    Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql))

@@ -209,6 +209,46 @@ object StreamingQueries {
         |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
         |WHERE rn = 1 ORDER BY signup_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join (ref: StreamExecJoin
+    * .scala:49 outer variants, OuterJoinRecordStateViews.java): matched
+    * pairs emit immediately; unmatched signups emit with NULLs once the
+    * watermark passes their join window (a_ts + 1h).
+    */
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("a_id", "b_id")
+    runToTable("stream_loj", out, "append").orderBy("a_id", "b_id")
+  }
+
+  val streamLeftJoinSql: String =
+    Tables.eventsCte +
+      """
+        |, a AS (SELECT event_id AS a_id, user_id, ts AS a_ts FROM ev WHERE event_type = 'signup'),
+        |b AS (SELECT event_id AS b_id, user_id, ts AS b_ts FROM ev WHERE event_type = 'purchase'),
+        |-- global watermark = MIN over the two watermarked source streams
+        |wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+        |         - INTERVAL 10 MINUTE AS w),
+        |matched AS (
+        |  SELECT a_id, b_id FROM a JOIN b USING (user_id)
+        |  WHERE b_ts > a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        |  SELECT a_id, NULL::BIGINT AS b_id FROM a
+        |  WHERE a_id NOT IN (SELECT a_id FROM matched)
+        |    AND a_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
+        |SELECT a_id, b_id FROM matched UNION ALL SELECT a_id, b_id FROM unmatched
+        |ORDER BY a_id, b_id""".stripMargin
+
   /** Streaming UNBOUNDED group aggregate, update mode (ref:
     * StreamExecGroupAggregate.scala:52 / GroupAggFunction.java): per-key
     * running aggregates emitted as upserts. Single-batch AvailableNow ⇒
@@ -295,6 +335,7 @@ object StreamingQueries {
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
+    Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
     Q("q_stream_groupagg", streamGroupAgg, Some(streamGroupAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),

@@ -76,11 +76,33 @@ object TpchQueries {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  val q7: String =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val q14: String =
+    """SELECT year(l_shipdate) AS ship_year,
+      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |GROUP BY year(l_shipdate) ORDER BY ship_year""".stripMargin
+
   /** Q17's correlated scalar subquery compares l_quantity against a
     * per-part average — both engines decorrelate it to a join; the
     * single-row result is rounded to absorb summation-order noise.
     */
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q7", sql(q7), Some(q7)),
+    Q("q_tpch_q14", sql(q14), Some(q14)),
     Q("q_tpch_q5", sql(q5), Some(q5)),
     Q("q_tpch_q10", sql(q10), Some(q10)),
     Q("q_tpch_q12", sql(q12), Some(q12)),
