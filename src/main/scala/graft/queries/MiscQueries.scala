@@ -103,7 +103,49 @@ object MiscQueries {
       |  upper(to_hex(s_suppkey)) AS cv
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Explicit GROUPING SETS + GROUPING/GROUPING_ID (ref:
+    * FlinkSqlOperatorTable GROUPING/GROUPING_ID; DecomposeGroupingSetsRule)
+    * — same SQL text on both engines.
+    */
+  val groupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      |ORDER BY status, prio""".stripMargin
+
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(groupingSetsSql)
+
+  /** Bounded ROWS frame, 2 preceding / 1 following (ref:
+    * BatchExecOverAggregate SlidingOverFrame).
+    */
+  def overBounded(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, 1)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("frame_sum"),
+        count(lit(1)).over(w).as("frame_cnt"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val overBoundedSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER w, 2) AS frame_sum,
+      |  count(*) OVER w AS frame_cnt
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    Q("q_over_bounded", overBounded, Some(overBoundedSql)),
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
     Q("q_lookup_join", lookupJoin, Some(lookupJoinSql)),
     Q("q_fn_string2", fnString2, Some(fnString2Sql))

@@ -6,8 +6,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
-/** Changelog/retraction handling (SURVEY §7 hard part #1): the
-  * reference propagates UPDATE_BEFORE/UPDATE_AFTER row kinds through
+/** Changelog/retraction handling (SURVEY §7 hard part #1; ref:
+  * flink-core RowKind.java:32-55, ChangelogMode, and
+  * TwoPhaseCommitSinkFunction.java for the exactly-once sink contract):
+  * the reference propagates UPDATE_BEFORE/UPDATE_AFTER row kinds through
   * operator chains; Spark confines updates to the sink. The supported
   * strategy: run the stateful operator in Update mode and COLLAPSE the
   * upsert stream at the sink via foreachBatch merge — the sink-side

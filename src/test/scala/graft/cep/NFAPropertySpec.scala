@@ -1,0 +1,71 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import scala.concurrent.duration._
+
+/** Property test: the NFA's relaxed two-stage matching must agree with
+  * an independently-written brute-force reference on random event
+  * sequences (the reference enumerates start indices and scans — no
+  * shared code with the NFA's recursive matcher).
+  */
+class NFAPropertySpec extends AnyFunSuite {
+
+  /** deterministic sampling loop (scalatestplus bridge is not in the
+    * offline cache — drive scalacheck's Gen directly) */
+  private def forAll(gen: Gen[IndexedSeq[(Long, String)]])(body: IndexedSeq[(Long, String)] => Unit): Unit =
+    (0 until 300).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private type E = (Long, String)
+  private def ts(e: E): Long = e._1
+
+  private val eventsGen: Gen[IndexedSeq[E]] =
+    Gen.listOf(Gen.oneOf("A", "B", "X")).map(_.zipWithIndex.map {
+      case (l, i) => (i.toLong * 10, l)
+    }.toIndexedSeq)
+
+  /** Brute force: for each index holding A, the match is the first B at
+    * or after the next index within the window; NoSkip semantics.
+    */
+  private def bruteForce(events: IndexedSeq[E], withinMs: Option[Long]): Seq[(Int, Int)] =
+    events.indices.flatMap { i =>
+      if (events(i)._2 != "A") None
+      else {
+        val deadline = withinMs.map(ts(events(i)) + _).getOrElse(Long.MaxValue)
+        ((i + 1) until events.length)
+          .find(j => events(j)._2 == "B" && ts(events(j)) <= deadline)
+          .map(j => (i, j))
+      }
+    }
+
+  test("A followedBy B agrees with brute force (no window)") {
+    val p = Pattern.begin[E]("a").where(_._2 == "A").followedBy("b").where(_._2 == "B")
+    forAll(eventsGen) { events =>
+      val nfa = NFA.findMatches(events, ts, p).map(m => (m.startIdx, m.endIdx))
+      assert(nfa === bruteForce(events, None))
+    }
+  }
+
+  test("A followedBy B agrees with brute force (25ms window)") {
+    val p = Pattern.begin[E]("a").where(_._2 == "A").followedBy("b").where(_._2 == "B")
+      .within(25.millis)
+    forAll(eventsGen) { events =>
+      val nfa = NFA.findMatches(events, ts, p).map(m => (m.startIdx, m.endIdx))
+      assert(nfa === bruteForce(events, Some(25L)))
+    }
+  }
+
+  test("strict A next B agrees with adjacency brute force") {
+    val p = Pattern.begin[E]("a").where(_._2 == "A").next("b").where(_._2 == "B")
+    forAll(eventsGen) { events =>
+      val nfa = NFA.findMatches(events, ts, p).map(m => (m.startIdx, m.endIdx))
+      val ref = events.indices.dropRight(1)
+        .filter(i => events(i)._2 == "A" && events(i + 1)._2 == "B")
+        .map(i => (i, i + 1))
+      assert(nfa === ref)
+    }
+  }
+}
