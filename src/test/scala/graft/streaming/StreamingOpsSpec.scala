@@ -80,6 +80,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftStream window helpers: tumble/session aggregation") {
+    val events = Seq(
+      ev(1, 0, 1, "x", 1.0), ev(2, 30000, 1, "x", 2.0), // same 1-min tumble
+      ev(3, 90000, 1, "x", 3.0)).toDS()
+    val tumbled = GraftStream.tumble(events.toDF(), "ts", "1 minute")
+      .count().collect()
+    assert(tumbled.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+    val sessions = GraftStream.session(events.toDF(), "ts", "45 seconds")
+      .count().collect()
+    assert(sessions.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("GraftStream reduce (KeyedStream.reduce analog)") {
+    val events = Seq(ev(1, 0, 1, "x", 1.0), ev(2, 1, 1, "x", 5.0), ev(3, 2, 2, "x", 7.0)).toDS()
+    val reduced = GraftStream(events).keyBy(_.user_id)
+      .reduce((a, b) => if (a.value >= b.value) a else b)
+      .collect().toMap
+    assert(reduced(1L).event_id === 2L)
+    assert(reduced(2L).event_id === 3L)
+  }
+
   test("GraftStream facade: map/filter/keyBy/matchPattern batch path") {
     val events = Seq(
       ev(1, 1000, 1, "signup", 1.0),
