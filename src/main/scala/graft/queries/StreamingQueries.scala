@@ -300,6 +300,38 @@ object StreamingQueries {
         |QUALIFY ts <= (SELECT w FROM wm)
         |ORDER BY user_id, event_id""".stripMargin
 
+  /** Streaming row-time temporal join (ref: TemporalRowTimeJoinOperator
+    * .java:400): each purchase probes the latest prior click of the same
+    * user; probes resolve when the watermark passes them. Oracle =
+    * DuckDB ASOF LEFT JOIN gated on the union-stream watermark.
+    */
+  def streamTemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val probes = ev.filter(col("event_type") === "purchase").as[Event]
+    val versions = ev.filter(col("event_type") === "click").as[Event]
+    val out = graft.streaming.TemporalJoin.rowTime[Event, Event](
+      probes, versions, watermarkDelay = "10 minutes",
+      _.user_id, _.ts, _.event_id,
+      _.user_id, _.ts, _.event_id, _.value)
+    runToTable("stream_tj", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("probe_id"), col("version_id").as("click_id"))
+      .orderBy("probe_id")
+  }
+
+  val streamTemporalJoinSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT * FROM ev WHERE event_type IN ('purchase', 'click')),
+        |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM u)
+        |SELECT a.user_id, a.event_id AS probe_id, b.click_id
+        |FROM (SELECT event_id, user_id, ts FROM u WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM u WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |WHERE a.ts <= (SELECT w FROM wm)
+        |ORDER BY probe_id""".stripMargin
+
   /** Batch CEP over the same pattern (ref: MATCH_RECOGNIZE batch path) —
     * no watermark gate, so every signup matches.
     */
@@ -339,6 +371,7 @@ object StreamingQueries {
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
     Q("q_stream_groupagg", streamGroupAgg, Some(streamGroupAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),
+    Q("q_stream_temporal_join", streamTemporalJoin, Some(streamTemporalJoinSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql))
   )
 }
