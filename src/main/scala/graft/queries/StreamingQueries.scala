@@ -362,7 +362,51 @@ object StreamingQueries {
         |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
         |WHERE rn = 1 ORDER BY signup_id""".stripMargin
 
+  /** CEP with a NEGATIVE pattern (ref: Pattern.notFollowedBy,
+    * flink-cep pattern/Pattern.java): signup followed by a purchase
+    * within 1h with NO intervening click — the guard kills the match
+    * if a click precedes the first purchase (clicks are frequent, so
+    * the guard actually fires on this data). Oracle: first
+    * purchase/click race per signup.
+    */
+  def cepNegative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("signup").where(_.event_type == "signup")
+      .notFollowedBy("poison").where(_.event_type == "click")
+      .followedBy("purchase").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    CEP.batch[Event, Long, (Long, Long, Long)](
+      ev, _.user_id, _.tsUs, pattern,
+      (k, m) => (k, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      .toDF("user_id", "signup_id", "purchase_id")
+      .orderBy("signup_id")
+  }
+
+  val cepNegativeSql: String =
+    Tables.eventsCte +
+      """
+        |, sp AS (SELECT * FROM ev WHERE event_type IN ('signup', 'purchase', 'click')),
+        |firsts AS (
+        |  SELECT a.event_id AS signup_id, a.user_id,
+        |    (SELECT min(b.ts) FROM sp b WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+        |       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR) AS first_purchase_ts,
+        |    (SELECT min(e.ts) FROM sp e WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |       AND e.ts > a.ts) AS first_error_ts
+        |  FROM sp a WHERE a.event_type = 'signup')
+        |SELECT f.user_id, f.signup_id,
+        |  (SELECT min(b.event_id) FROM sp b WHERE b.user_id = f.user_id
+        |     AND b.event_type = 'purchase' AND b.ts = f.first_purchase_ts) AS purchase_id
+        |FROM firsts f
+        |WHERE first_purchase_ts IS NOT NULL
+        |  AND (first_error_ts IS NULL OR first_error_ts > first_purchase_ts)
+        |ORDER BY signup_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
     Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
