@@ -136,17 +136,27 @@ object ApiQueries {
     val e3 = n.select((col("n_regionkey") + 100).cast("long").as("src"),
       (pmod(col("n_regionkey") + 1, lit(5)) + 100).cast("long").as("dst")).distinct()
     val e4 = e3.select(col("dst").as("src"), col("src").as("dst"))
+    // Materialize the static edge set ONCE: without this every iteration
+    // re-executes the 4-scan + distinct subtree (8 iterations x 4 parquet
+    // scans + a 32-partition shuffle each — the round-1 bench outlier).
     val edges = e1.union(e2).union(e3).union(e4).distinct()
+      .coalesce(1).localCheckpoint()
 
     import s.implicits._
     val init = Seq((0L, 0L)).toDF("node", "dist")
-    // 8 iterations > graph diameter (≤6: nation→region→chain of 5);
-    // the oracle CTE bound stays at 12, extra iterations change nothing.
-    val result = Iterations.loop(init, maxIter = 8) { dist =>
+    // maxIter 8 > graph diameter (≤6: nation→region→chain of 5); the
+    // convergence exit stops as soon as no new node is reached (BFS
+    // invariant: first discovery is shortest, so count-stable = fixpoint).
+    // coalesce(1): the frontier is KB-sized — at production scale keep
+    // partitioning proportional to |frontier| instead.
+    val result = Iterations.loop(init, maxIter = 8,
+        done = (prev, next) => next.count() == prev.count(),
+        checkpointEvery = 1) { dist =>
       dist.union(
           dist.join(edges, dist("node") === edges("src"))
             .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
+        .coalesce(1)
     }
     result.orderBy("node")
   }

@@ -296,11 +296,11 @@ object RelationalQueries {
   def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.nation(s, dir)
       .groupBy("n_regionkey")
-      .agg(sort_array(collect_list(col("n_name"))).as("names"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
       .orderBy("n_regionkey")
 
   val aggCollectSql: String =
-    """SELECT n_regionkey, list_sort(list(n_name)) AS names
+    """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** minBy/maxBy (ref: KeyedStream.minBy/maxBy, KeyedStream.java:701-997)

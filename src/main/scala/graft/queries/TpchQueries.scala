@@ -44,8 +44,8 @@ object TpchQueries {
 
   val q12: String =
     """SELECT year(l_shipdate) AS ship_year,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders, lineitem
       |WHERE o_orderkey = l_orderkey AND l_shipdate >= o_orderdate
       |GROUP BY year(l_shipdate) ORDER BY ship_year""".stripMargin
