@@ -96,8 +96,11 @@ object NFA {
     def go(si: Int, from: Int, prevEnd: Int, guard: Option[Stage[T]],
         acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
       if (si == pattern.stages.length) {
+        // zero-width matches (every stage optional and skipped) are not
+        // produced — a match must consume at least one event.
+        if (prevEnd < start) None
         // trailing guard: applies to the window remainder / immediate successor
-        guard match {
+        else guard match {
           case None => Some((acc, prevEnd))
           case Some(g) =>
             g.contiguity match {
@@ -123,7 +126,10 @@ object NFA {
     def matchPositive(si: Int, st: Stage[T], from: Int, prevEnd: Int,
         guard: Option[Stage[T]],
         acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
-      val isFirst = si == 0
+      // "first" = no event consumed yet (covers optional skipped leading
+      // stages too): the first POSITIVE take must anchor at `start`, else
+      // the same match would also be found from a later start index.
+      val isFirst = prevEnd < start
 
       def guardAllows(c: Int): Boolean = guard match {
         case None => true
@@ -174,9 +180,11 @@ object NFA {
             res
         }
 
-      // min == 0 (optional): greedy — only if taking the stage failed
+      // min == 0 (optional): greedy — only if taking the stage failed.
+      // A skipped FIRST stage keeps isFirst true downstream, so 'A* B'
+      // still matches a bare B anchored at the start index.
       attempt.orElse {
-        if (st.quantifier.min == 0 && !isFirst)
+        if (st.quantifier.min == 0)
           go(si + 1, from, prevEnd, guard, acc :+ (st.name -> Seq.empty[T]))
         else None
       }

@@ -42,24 +42,26 @@ object AsOfJoin {
     val ts = "__asof_ts"
     val side = "__asof_side"
     val tie = "__asof_tie"
+    val pack = "__asof_pack"
 
     val tieCol = tieBreak.map(col).getOrElse(lit(0L))
     // Right rows sort BEFORE left rows at an equal timestamp so the
-    // inclusive bound (right.ts <= left.ts) holds.
+    // inclusive bound (right.ts <= left.ts) holds. The payload travels
+    // as ONE non-null struct per right row (not bare columns): a right
+    // version whose payload VALUE is NULL must still win over older
+    // versions — last(_, ignoreNulls) over bare columns would skip it.
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTs).as(ts), lit(0).as(side), tieCol.cast("long").as(tie)) ++
-        payload.map(col): _*)
+        col(rightTs).as(ts), lit(0).as(side), tieCol.cast("long").as(tie),
+        struct(payload.map(col): _*).as(pack)): _*)
     val l = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1)).withColumn(tie, lit(0L))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc, col(side).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    withPayload
+    val withPayload = unioned.withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+    payload.foldLeft(withPayload)((df, p) => df.withColumn(p, col(s"$pack.$p")))
       .filter(col(side) === 1)
-      .drop(ts, side, tie)
+      .drop(ts, side, tie, pack)
   }
 }

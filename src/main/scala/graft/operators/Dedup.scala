@@ -31,17 +31,34 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|). `leftFilter` restricts the probe side —
     * at 100 TB you never run unrestricted all-pairs; you shard the probe
     * side or use [[minHashPairs]] first.
+    *
+    * `maxDf` is the hot-key lever: a near-universal token ("the") puts
+    * every document in one bucket and the within-bucket self-join goes
+    * quadratic on that key. Capping document frequency drops those
+    * tokens from the index AND from the per-doc set sizes, so the
+    * Jaccard stays self-consistent over the reduced vocabulary — the
+    * standard df-cut, cf. search-engine stopword elimination.
     */
   def jaccardPairs(
       docs: DataFrame,
       threshold: Double,
       leftFilter: Column = lit(true),
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      maxDf: Option[Long] = None
   ): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
-    val words = toks.select(col("id"), explode(col("ts")).as("word"))
-    val sizes = toks.select(col("id"), size(col("ts")).as("sz"))
+    val words0 = toks.select(col("id"), explode(col("ts")).as("word"))
+    val (words, sizes) = maxDf match {
+      case Some(cap) =>
+        // the hot-token list is tiny by construction → broadcast anti-join
+        val hot = words0.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("word")
+        val kept = words0.join(broadcast(hot), Seq("word"), "left_anti")
+        (kept, kept.groupBy("id").agg(count(lit(1)).as("sz")))
+      case None =>
+        (words0, toks.select(col("id"), size(col("ts")).as("sz")))
+    }
     val inter = words.filter(leftFilter).withColumnRenamed("id", "da")
       .join(words.withColumnRenamed("id", "db"), "word")
       .filter(col("da") < col("db"))

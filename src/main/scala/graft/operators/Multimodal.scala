@@ -30,7 +30,7 @@ object Multimodal {
     df
       .withColumn("byte_len", length(col(dataCol)).cast("long"))
       .withColumn("header_hex", lower(hex(substring(col(dataCol), 1, 4))))
-      .withColumn("content_id", md5(lower(hex(col(dataCol)))))
+      .withColumn("content_id", md5(col(dataCol)))
 
   /** Frame sampling: split the payload into fixed-size chunks and emit
     * (frame_idx, frame_sig) rows, at most `maxFrames` per media row.
@@ -42,10 +42,13 @@ object Multimodal {
       expr(s"(length($dataCol) + ${frameBytes - 1}) div $frameBytes"),
       lit(maxFrames.toLong))
     df
-      .withColumn("__fi", explode(sequence(lit(0L), nFrames - 1)))
+      // sequence(0, n-1) with n = 0 would DESCEND to [0, -1]; pad the
+      // upper bound to >= 0 and filter so empty payloads emit zero rows.
+      .withColumn("__fi", explode(sequence(lit(0L), greatest(nFrames, lit(1L)) - 1)))
+      .filter(col("__fi") < nFrames)
       .withColumn("frame_idx", col("__fi").cast("long"))
       .withColumn("frame_sig",
-        md5(lower(hex(expr(s"substring($dataCol, __fi * $frameBytes + 1, $frameBytes)")))))
+        md5(expr(s"substring($dataCol, __fi * $frameBytes + 1, $frameBytes)")))
       .drop("__fi")
   }
 

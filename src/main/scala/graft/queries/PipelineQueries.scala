@@ -123,9 +123,12 @@ object PipelineQueries {
     Dedup.minHashPairs(Tables.documents(s, dir))
       .orderBy("da", "db")
 
-  /** SimHash near-dup pairs (no oracle: xxhash64-based). */
+  /** SimHash near-dup pairs (no oracle: xxhash64-based). maxHamming = 3
+    * keeps the 4×16-bit pigeonhole banding exact (valid for hamming ≤ 3;
+    * see Dedup.simHashPairs) — larger radii would need more chunks.
+    */
   def docSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 10)
+    Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3)
       .orderBy("da", "db")
 
   def embTopK(s: SparkSession, dir: String): DataFrame = {
@@ -177,9 +180,14 @@ object PipelineQueries {
     val feats = graft.operators.Multimodal.withMediaFeatures(media, "data")
     val frames = graft.operators.Multimodal.sampleFrames(feats, "data", frameBytes = 256, maxFrames = 4)
     frames
+      // The operator hashes raw binary; DuckDB's md5 takes VARCHAR only,
+      // so for oracle parity this QUERY re-derives the two digest columns
+      // through lowercase hex. The operator columns stay raw-binary.
+      .withColumn("content_id", md5(lower(hex(col("data")))))
       .groupBy("doc_id", "byte_len", "header_hex", "content_id")
       .agg(count(lit(1)).as("n_frames"),
-        min(when(col("frame_idx") === 0, col("frame_sig"))).as("frame0"))
+        min(when(col("frame_idx") === 0,
+          md5(lower(hex(expr("substring(data, 1, 256)")))))).as("frame0"))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
 import java.util.concurrent.ConcurrentHashMap
@@ -60,5 +62,41 @@ object ChangelogSink {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** DISTRIBUTED upsert sink (the scale-safe counterpart of
+    * [[MemoryUpsertStore]] — no `.collect()` anywhere): each micro-batch
+    * lands executor-parallel as a parquet partition directory keyed by
+    * batchId; a replayed batchId overwrites its own directory with the
+    * same deterministic content, which is the parquet analog of the
+    * store-side idempotence check. `snapshot` resolves last-writer-wins
+    * per key at read time with one hash-partitioned window — the same
+    * merge a JDBC/Delta MERGE sink would run, kept engine-local here.
+    */
+  object ParquetUpsertSink {
+    val batchCol = "ingest_batch"
+
+    /** Idempotent landing of one micro-batch (exposed for tests/replay). */
+    def writeBatch(batch: Dataset[Row], batchId: Long, path: String): Unit =
+      batch.write.mode("overwrite").parquet(s"$path/$batchCol=$batchId")
+
+    def writer(updates: DataFrame, path: String): DataStreamWriter[Row] =
+      updates.writeStream
+        .outputMode("update")
+        .foreachBatch((batch: Dataset[Row], batchId: Long) => writeBatch(batch, batchId, path))
+
+    /** Current upserted state: latest batch wins per key; `tieBreak`
+      * orders rows that share key AND batch (unneeded when the upstream
+      * operator emits ≤1 row per key per batch, the update-mode norm).
+      */
+    def snapshot(spark: SparkSession, path: String, keyCols: Seq[String],
+        tieBreak: Seq[String] = Nil): DataFrame = {
+      val all = spark.read.parquet(path) // partition discovery adds batchCol
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(batchCol).desc +: tieBreak.map(col(_).desc): _*)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", batchCol)
+    }
   }
 }

@@ -132,6 +132,20 @@ class NFASpec extends AnyFunSuite {
     assert(NFA.findMatches(seq("C", "B"), ts, p).length === 1)
   }
 
+  test("optional FIRST stage can match zero occurrences (A* B ~ bare B)") {
+    // SQL row-pattern semantics: PATTERN (A* B) matches a bare B.
+    val p = Pattern.begin[E]("a").where(is("A")).times(0, 2)
+      .next("b").where(is("B")).afterMatchSkipPastLast
+    val ms = NFA.findMatches(seq("B", "X", "A", "B"), ts, p)
+    // bare B at idx 0 (zero A's, anchored at start); A B at idx 2-3
+    assert(ms.map(m => (m.startIdx, m.endIdx)) === Seq((0, 0), (2, 3)))
+    assert(labels(ms.head, "a") === Seq.empty)
+    assert(labels(ms(1), "a") === Seq("A"))
+    // zero-width matches are never produced: A* alone on non-A input
+    val pStar = Pattern.begin[E]("a").where(is("A")).times(0, 2)
+    assert(NFA.findMatches(seq("X", "X"), ts, pStar).isEmpty)
+  }
+
   test("three-stage funnel with tsPerMs scaling") {
     val p = Pattern.begin[E]("s").where(is("S"))
       .followedBy("v").where(is("V"))

@@ -33,6 +33,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res(4L) === None) // no right rows for key
   }
 
+  test("a NULL-payload latest version wins (no fallback to older versions)") {
+    val left = Seq((1L, "k", ts(100))).toDF("id", "k", "ts")
+    val right = Seq(("k", ts(50), Some(500L)), ("k", ts(90), None))
+      .toDF("k", "rts", "payload")
+    // FOR SYSTEM_TIME AS OF: the ts(90) version is the match even though
+    // its payload value is NULL — it must not be skipped for ts(50).
+    val res = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(res(1L) === None)
+  }
+
   test("ties between concurrent right versions resolve to the larger tieBreak") {
     val left = Seq((1L, "k", ts(100))).toDF("id", "k", "ts")
     val right = Seq(("k", ts(100), 7L), ("k", ts(100), 9L)).toDF("k", "rts", "payload")

@@ -68,6 +68,24 @@ class DedupSpec extends SparkSpec {
     assert(sig === sig2)
   }
 
+  test("jaccardPairs maxDf drops near-universal tokens self-consistently") {
+    val texts = Seq(
+      (0L, "zz apple banana cherry date"),
+      (1L, "zz apple banana cherry fig"),
+      (2L, "zz totally unrelated words here"),
+      (3L, "zz another distinct document body"))
+    val withHot = texts.toDF("doc_id", "text")
+    val stripped = texts.map { case (i, t) => (i, t.replace("zz ", "")) }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Option[Long]) =
+      Dedup.jaccardPairs(df, threshold = 0.5, maxDf = cap).collect()
+        .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Double]("jacc"))).toMap
+    // df("zz") = 4 > 3 → dropped from index AND sizes: capped result over
+    // the hot-token corpus equals the uncapped result with "zz" removed
+    assert(pairs(withHot, Some(3L)) === pairs(stripped, None))
+    // sanity: uncapped, "zz" inflates the (0,1) similarity
+    assert(pairs(withHot, None)((0L, 1L)) > pairs(withHot, Some(3L))((0L, 1L)))
+  }
+
   test("simHashPairs: exact dups at hamming 0, near dups close, unrelated far") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
       .collect()

@@ -32,6 +32,15 @@ class MultimodalSpec extends SparkSpec {
     assert(sigs.length === 1) // 'A'*256 twice
   }
 
+  test("sampleFrames: empty payload emits zero frame rows") {
+    val withEmpty = Seq((1L, Array.emptyByteArray), (2L, "xy".getBytes("UTF-8")))
+      .toDF("id", "data")
+    val frames = Multimodal.sampleFrames(withEmpty, "data", frameBytes = 256, maxFrames = 4)
+      .select("id", "frame_idx").collect()
+    assert(frames.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(frames.head.getLong(1) === 0L)
+  }
+
   test("decodeStub: per-partition codec, deterministic metadata") {
     val ds = Seq((1L, "abc".getBytes("UTF-8")), (2L, "abcd".getBytes("UTF-8"))).toDS()
     val out1 = Multimodal.decodeStub(ds).collect().sortBy(_.id)

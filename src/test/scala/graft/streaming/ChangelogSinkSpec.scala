@@ -34,6 +34,30 @@ class ChangelogSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ParquetUpsertSink: distributed landing + last-writer-wins snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[Event]
+    val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
+    val q = ChangelogSink.ParquetUpsertSink.writer(top1.toDF(), dir).start()
+    try {
+      input.addData(ev(1, 1000, 7, 5.0), ev(2, 2000, 8, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3000, 7, 9.0)) // displaces user 7's top-1
+      q.processAllAvailable()
+      val snap = ChangelogSink.ParquetUpsertSink.snapshot(spark, dir, Seq("key"))
+        .select($"key", $"id").as[(Long, Long)].collect().toMap
+      assert(snap === Map(7L -> 3L, 8L -> 2L))
+    } finally q.stop()
+    // replaying a batchId overwrites its own directory with the same
+    // content → snapshot unchanged (the parquet analog of idempotence)
+    val replay = Seq((7L, 1L, 3L, 9.0)).toDF("key", "rank", "id", "score")
+    ChangelogSink.ParquetUpsertSink.writeBatch(replay, 1L, dir)
+    ChangelogSink.ParquetUpsertSink.writeBatch(replay, 1L, dir)
+    val snap2 = ChangelogSink.ParquetUpsertSink.snapshot(spark, dir, Seq("key"))
+      .select($"key", $"id").as[(Long, Long)].collect().toMap
+    assert(snap2 === Map(7L -> 3L, 8L -> 2L))
+  }
+
   test("store idempotence: replaying a batchId is a no-op") {
     val store = new ChangelogSink.MemoryUpsertStore[Long]
     val row1 = Row(1L, "a")
