@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.GraftFunctions.{cosine_sim, dot_f}
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md M6): brute-force
@@ -20,6 +21,49 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Bounded top-k list aggregator over (nid, cosine) candidates,
+    * ordered like the oracle: round(c, 6) desc, then nid asc (Spark's
+    * round is HALF_UP — mirrored here so ties resolve identically).
+    * `merge` is associative and the buffer is capped at k, so Catalyst
+    * runs it as a partial + final aggregation: each scan partition keeps
+    * a k-bounded list map-side and the shuffle carries only k rows per
+    * (partition, query).
+    */
+  private final class TopKAgg(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]]
+      with Serializable {
+    private def key(s: (Long, Double)): (Double, Long) =
+      (-BigDecimal(s._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s._1)
+    override def zero: Seq[(Long, Double)] = Vector.empty
+    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+      // nids are unique per query, so key equality can't occur: a full
+      // buffer whose worst entry sorts before `a` rejects `a` outright.
+      if (b.length >= k && Ordering[(Double, Long)].lt(key(b.last), key(a))) b
+      else (b :+ a).sortBy(key).take(k)
+    override def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (x ++ y).sortBy(key).take(k)
+    override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r.sortBy(key)
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  }
+
+  /** Final ranking shared by the exact and ANN variants: exact top-k per
+    * query WITHOUT a per-query global window. `row_number() OVER
+    * (PARTITION BY qid)` funnels every scored row into ≤|queries| tasks —
+    * at 100 TB that is a handful of tasks sorting the whole corpus. The
+    * two-phase aggregate bounds what crosses the wire to k·partitions
+    * candidate rows per query and keeps the scan stage fully parallel.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Long, Double)]())
+    scored
+      .groupBy("qid")
+      .agg(topk(col("nid"), col("c")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._1").as("nid"),
+        round(col("col._2"), 4).as("cos"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); ordering ties broken by neighbor id after
     * rounding to 6 decimals so results are engine-deterministic.
@@ -33,11 +77,7 @@ object Similarity {
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine_sim(col("qe"), col("embedding")).as("c"))
-    val w = Window.partitionBy("qid").orderBy(round(col("c"), 6).desc, col("nid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rn"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: numPlanes × dim doubles from a
@@ -91,14 +131,13 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select("qid", "qe", "cid")
 
-    val w = Window.partitionBy("qid").orderBy(round(col("c"), 6).desc, col("nid"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    // each corpus vector lives in exactly ONE cell (rn === 1 above), so a
+    // (qid, nid) pair meets at most once — no candidate dedup needed
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine_sim(col("qe"), col("embedding")).as("c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rn"))
+    rankTopK(scored, k)
   }
 
   /** Approximate nearest neighbors: bucket corpus AND queries by sign-LSH,
@@ -119,10 +158,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine_sim(col("qe"), col("embedding")).as("c"))
-    val w = Window.partitionBy("qid").orderBy(round(col("c"), 6).desc, col("nid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rn"))
+    rankTopK(scored, k)
   }
 }

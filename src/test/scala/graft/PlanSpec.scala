@@ -45,4 +45,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.toLowerCase.contains("batchevalpython"))
     assert(!p.contains("ScalaUDF"))
   }
+
+  test("q_emb_topk ranks via two-phase aggregation, not a per-query window") {
+    val p = planString("q_emb_topk")
+    // the scale-killer shape: row_number() OVER (PARTITION BY qid) pushes
+    // every scored corpus row into ≤|queries| tasks
+    assert(!p.contains("Window"), s"global per-qid window back in plan:\n$p")
+    // partial (map-side) + final top-k aggregate instead
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
 }
