@@ -45,6 +45,21 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Fresh per-(sfDir, name) output directory under /tmp — cleaned before
+    * each run so reruns are deterministic.
+    */
+  private def freshDir(dir: String, name: String): String = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get("/tmp/graft-stream-out",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     // Stateful operators pay a per-partition state-store commit each
@@ -249,6 +264,195 @@ object StreamingQueries {
         |SELECT a_id, b_id FROM matched UNION ALL SELECT a_id, b_id FROM unmatched
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** Stream-stream LEFT SEMI join (ref: StreamingSemiAntiJoinOperator
+    * .java:35, SemiAntiJoinStreamITCase): signups with at least one
+    * purchase in (a_ts, a_ts + 1h]. A matched left row emits exactly once
+    * as soon as its first match arrives (no watermark wait); unmatched
+    * rows are silently dropped at state eviction — so the oracle is a
+    * plain EXISTS with no watermark gate.
+    */
+  def streamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select("a_id")
+    runToTable("stream_sj", out, "append").orderBy("a_id")
+  }
+
+  val streamSemiJoinSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id AS a_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |WHERE EXISTS (
+        |  SELECT 1 FROM ev b WHERE b.event_type = 'purchase'
+        |    AND b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |ORDER BY a_id""".stripMargin
+
+  /** Stream-stream ANTI join (ref: StreamingSemiAntiJoinOperator.java:35
+    * anti path). Spark's stream-stream joins have no native left_anti —
+    * the supported composition is LEFT OUTER + IS NULL filter: an
+    * unmatched signup emits with NULLs once the watermark passes its join
+    * window, and the filter keeps exactly those. Emission ⇔ a_ts + 1h <=
+    * final min-watermark, mirrored in the oracle.
+    */
+  def streamAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .filter(col("b_id").isNull)
+      .select("a_id")
+    runToTable("stream_aj", out, "append").orderBy("a_id")
+  }
+
+  val streamAntiJoinSql: String =
+    Tables.eventsCte +
+      """
+        |, a AS (SELECT event_id AS a_id, user_id, ts AS a_ts FROM ev WHERE event_type = 'signup'),
+        |b AS (SELECT user_id, ts AS b_ts FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+        |         - INTERVAL 10 MINUTE AS w)
+        |SELECT a_id FROM a
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM b WHERE b.user_id = a.user_id
+        |      AND b.b_ts > a.a_ts AND b.b_ts <= a.a_ts + INTERVAL 1 HOUR)
+        |  AND a.a_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY a_id""".stripMargin
+
+  /** Streaming keep-LAST dedup per key (ref:
+    * DeduplicateKeepLastRowFunction.java, DeduplicateITCase), update
+    * mode: the latest event per user wins; single-batch AvailableNow ⇒
+    * exactly one (final) upsert per user = the batch keep-last answer.
+    */
+  def streamDedupLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.dedupKeepLast[Event](ev, _.user_id, _.event_id, _.tsUs)
+      .toDF("user_id", "event_id", "ts_us")
+    runToTable("stream_dedup_last", out, "update").orderBy("user_id")
+  }
+
+  val streamDedupLastSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Streaming BOUNDED-frame row-time OVER (ref:
+    * RowTimeRowsBoundedPrecedingFunction.java:301, OverWindowITCase):
+    * ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per user, each event
+    * emitted once when the watermark passes it.
+    */
+  def streamOverBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.overRowsBounded[Event](
+      ev, _.user_id, _.event_id, _.tsUs, _.value, nPreceding = 2)
+    runToTable("stream_over_bounded", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        round(col("running_sum"), 4).as("rsum3"), col("running_cnt").as("rcnt3"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val streamOverBoundedSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rsum3,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rcnt3
+        |FROM ev
+        |QUALIFY ts <= (SELECT w FROM wm)
+        |ORDER BY user_id, event_id""".stripMargin
+
+  /** PROC-time temporal join (ref: TemporalProcessTimeJoinOperator.java,
+    * TemporalJoinITCase proc-time cases): purchases join the customer
+    * dimension snapshot taken when their micro-batch executes. Under
+    * AvailableNow the snapshot is static, so the oracle is a plain
+    * left join — what varies in production is WHICH snapshot each batch
+    * sees, not the join shape.
+    */
+  def streamTemporalProcJoin(s: SparkSession, dir: String): DataFrame = {
+    val probes = eventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+    val out = freshDir(dir, "tproc")
+    val q = graft.streaming.TemporalJoin.procTime(
+      probes,
+      () => Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      col("user_id") === col("c_custkey"), "left_outer", out)
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("event_id"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .orderBy("event_id")
+  }
+
+  val streamTemporalProcJoinSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT event_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment
+        |FROM ev LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+
+  /** Streaming file sink (ref: StreamingFileSink / FileSystem table sink
+    * with partitioned commit): the stream lands as parquet files with
+    * checkpointed exactly-once commit semantics, then is read back for
+    * the deterministic summary the oracle checks.
+    */
+  def streamFileSink(s: SparkSession, dir: String): DataFrame = {
+    val out = freshDir(dir, "filesink")
+    val ckpt = freshDir(dir, "filesink_ckpt")
+    val q = eventStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .orderBy("event_type")
+  }
+
+  val streamFileSinkSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Streaming UNBOUNDED group aggregate, update mode (ref:
     * StreamExecGroupAggregate.scala:52 / GroupAggFunction.java): per-key
     * running aggregates emitted as upserts. Single-batch AvailableNow ⇒
@@ -412,6 +616,12 @@ object StreamingQueries {
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
+    Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),
+    Q("q_stream_anti_join", streamAntiJoin, Some(streamAntiJoinSql)),
+    Q("q_stream_dedup_last", streamDedupLast, Some(streamDedupLastSql)),
+    Q("q_stream_over_bounded", streamOverBounded, Some(streamOverBoundedSql)),
+    Q("q_stream_temporal_proc", streamTemporalProcJoin, Some(streamTemporalProcJoinSql)),
+    Q("q_stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
     Q("q_stream_groupagg", streamGroupAgg, Some(streamGroupAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),

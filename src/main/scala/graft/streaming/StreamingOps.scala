@@ -116,6 +116,53 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Streaming row-time OVER aggregate with a BOUNDED ROWS frame —
+    * `ROWS BETWEEN nPreceding PRECEDING AND CURRENT ROW` (ref:
+    * RowTimeRowsBoundedPrecedingFunction.java:301 — the reference keeps
+    * a per-key ring of the last N rows and retracts the oldest on each
+    * emit; same idea here). Each event is emitted exactly once, when the
+    * watermark passes its timestamp, carrying the sum/count of itself
+    * plus the nPreceding prior rows of its key. State is O(nPreceding +
+    * out-of-order window): the retained tail plus the not-yet-emittable
+    * buffer — bounded regardless of stream length.
+    */
+  final case class BoundedOverState(lastEmittedUs: Long,
+      tail: Seq[(Long, Long, Double)], buffer: Seq[(Long, Long, Double)])
+
+  def overRowsBounded[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Double,
+      nPreceding: Int
+  )(implicit te: Encoder[T]): Dataset[OverRow] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[BoundedOverState]): Iterator[OverRow] = {
+      val st = if (state.exists) state.get else BoundedOverState(Long.MinValue, Nil, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val incoming = rows.map(r => (tsUsFn(r), idFn(r), valueFn(r)))
+        .filter(_._1 > st.lastEmittedUs) // late rows dropped
+      val all = (st.buffer ++ incoming).sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(_._1 <= wmUs)
+      var frame = st.tail // last ≤ nPreceding emitted rows, oldest first
+      val out = ready.map { case e @ (t, id, v) =>
+        frame = (frame :+ e).takeRight(nPreceding + 1)
+        OverRow(key, id, t, frame.map(_._3).sum, frame.length.toLong)
+      }
+      val nextLast = if (ready.nonEmpty) ready.last._1 else st.lastEmittedUs
+      val nextTail = frame.takeRight(nPreceding)
+      if (hold.isEmpty && nextTail.isEmpty) state.remove()
+      else {
+        state.update(BoundedOverState(nextLast, nextTail, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value

@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming row-time temporal (as-of) join (ref:
   * TemporalRowTimeJoinOperator.java:400, StreamExecTemporalJoin.scala:51
@@ -84,4 +84,31 @@ object TemporalJoin {
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** PROC-time temporal join (ref: TemporalProcessTimeJoinOperator.java,
+    * StreamExecTemporalJoin.scala proc-time flavor — `FOR SYSTEM_TIME AS
+    * OF PROCTIME()`): each probe row joins whatever dimension snapshot
+    * exists when its micro-batch executes. Spark-first mapping: a
+    * foreachBatch that re-evaluates the dimension thunk per micro-batch
+    * — a fresh scan each trigger picks up dim updates at the next batch,
+    * exactly the reference's snapshot semantics. Results land
+    * executor-parallel and idempotently into a per-batchId parquet
+    * partition (same landing contract as ChangelogSink.ParquetUpsertSink:
+    * a replayed batch overwrites its own directory).
+    */
+  def procTime(
+      probes: DataFrame,
+      dimOf: () => DataFrame,
+      joinCond: Column,
+      joinType: String,
+      outPath: String
+  ): StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ChangelogSink.ParquetUpsertSink.writeBatch(
+          batch.join(dimOf(), joinCond, joinType), batchId, outPath)
+      }
+      .start()
 }

@@ -55,6 +55,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("overRowsBounded: bounded frame, watermark-gated, out-of-order safe") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = StreamingOps.overRowsBounded[Event](
+      withWm, _.user_id, _.event_id, _.tsUs, _.value, nPreceding = 1)
+    val q = out.writeStream.format("memory").queryName("ob_t").outputMode("append").start()
+    try {
+      // out of order WITHIN the batch: id 2 (t=20s) arrives before id 1
+      input.addData(ev(2, 20000, 7, "x", 3.0), ev(1, 10000, 7, "x", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(9, 60000, 8, "x", 0.0)) // advances the watermark
+      q.processAllAvailable()
+      input.addData(ev(10, 120000, 8, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ob_t").as[StreamingOps.OverRow].collect()
+        .filter(_.key == 7L).sortBy(_.id)
+        .map(r => (r.id, r.running_sum, r.running_cnt)).toSeq
+      // frame = self + 1 preceding: id1 → (1.0, 1), id2 → (1+3, 2)
+      assert(got === Seq((1L, 1.0, 1L), (2L, 4.0, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming CEP with out-of-order arrival matches batch semantics") {
     val input = MemoryStream[Event]
     val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
