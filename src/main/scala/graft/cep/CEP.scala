@@ -29,9 +29,22 @@ object CEP {
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => O
   ): Dataset[O] =
+    batchFlat[T, K, O](ds, keyFn, tsFn, pattern, (k, m) => Seq(emit(k, m)))
+
+  /** Batch pattern matching with MULTI-row emission per match — the ALL
+    * ROWS PER MATCH surface (each match expands via `emit`, typically one
+    * output row per matched event).
+    */
+  def batchFlat[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => IterableOnce[O]
+  ): Dataset[O] =
     ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
       val events = it.toIndexedSeq.sortBy(tsFn)
-      NFA.findMatches(events, tsFn, pattern, tsPerMs = 1000L).iterator.map(m => emit(key, m))
+      NFA.findMatches(events, tsFn, pattern, tsPerMs = 1000L).iterator.flatMap(m => emit(key, m))
     }
 
   /** Per-key streaming state: events not yet consumed by an emitted
@@ -67,7 +80,10 @@ object CEP {
       val consumed: Set[Int] = pattern.afterMatch match {
         case AfterMatch.SkipPastLast =>
           matches.flatMap(m => m.startIdx to m.endIdx).toSet
-        case AfterMatch.NoSkip => Set.empty
+        // SkipToFirst/Last rescan part of the match, so no event can be
+        // retired on emission; expiry below still bounds the state and
+        // prevents re-emission (decidable ⇔ start expired).
+        case _ => Set.empty
       }
       // expiry: an event with ts + within <= wm cannot belong to any
       // still-undecidable match (their starts are all > wm - within) —

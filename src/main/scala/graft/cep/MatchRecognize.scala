@@ -7,21 +7,23 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * PATTERN string + DEFINE predicates onto the graft NFA with SQL
   * semantics — STRICT contiguity between variables (SQL patterns match
   * consecutive rows of the ordered partition), greedy quantifiers
-  * `+ * ? {n} {n,m}`, AFTER MATCH SKIP PAST LAST ROW.
+  * `+ * ? {n} {n,m} {n,}` plus their reluctant `?`-suffixed forms
+  * (`+? *? {n,m}?`), AFTER MATCH SKIP PAST LAST ROW.
   *
-  * Supported: variable names, the four quantifiers, one-level patterns
-  * (no alternation groups or PERMUTE). MEASURES are expressed as the
-  * `measures` callback over the match bindings (RUNNING/FINAL collapse
-  * to FINAL in batch/append semantics).
+  * Supported: variable names, quantifiers as above, one-level patterns
+  * (no alternation groups or PERMUTE). ONE ROW PER MATCH measures are
+  * the `measures` callback over the match bindings (FINAL semantics);
+  * ALL ROWS PER MATCH with RUNNING vs FINAL aggregates and CLASSIFIER()
+  * is [[allRows]].
   */
 object MatchRecognize {
 
-  private val Token = """([A-Za-z_][A-Za-z0-9_]*)([+*?]|\{\d+(,\d+)?\})?""".r
+  private val Token = """([A-Za-z_][A-Za-z0-9_]*)([+*?]|\{\d+(,\d*)?\})?(\?)?""".r
 
   private[cep] def compile[T](patternStr: String, define: Map[String, T => Boolean]): Pattern[T] = {
     val stages = patternStr.trim.split("\\s+").toVector.zipWithIndex.map { case (tok, i) =>
-      val (name, quant) = tok match {
-        case Token(n, q, _) => (n, Option(q))
+      val (name, quant, reluctant) = tok match {
+        case Token(n, q, _, r) => (n, Option(q), r != null)
         case _ => throw new IllegalArgumentException(s"bad pattern token: $tok")
       }
       val pred = define.getOrElse(name,
@@ -33,17 +35,26 @@ object MatchRecognize {
         case Some("?")   => Quantifier.Optional
         case Some(braces) =>
           val inner = braces.stripPrefix("{").stripSuffix("}")
-          inner.split(",") match {
-            case Array(n)    => Quantifier.Times(n.toInt, n.toInt)
-            case Array(n, m) => Quantifier.Times(n.toInt, m.toInt)
+          inner.split(",", -1) match {
+            case Array(n)     => Quantifier.Times(n.toInt, n.toInt)
+            case Array(n, "") => Quantifier.Times(n.toInt, Int.MaxValue) // {n,}
+            case Array(n, m)  => Quantifier.Times(n.toInt, m.toInt)
           }
       }
       Stage[T](name, pred, q,
         contiguity = if (i == 0) Contiguity.Relaxed else Contiguity.Strict,
-        innerContiguity = Contiguity.Strict)
+        innerContiguity = Contiguity.Strict,
+        greedy = !reluctant)
     }
     Pattern(stages, withinMs = None, afterMatch = AfterMatch.SkipPastLast)
   }
+
+  /** Per-row measures context for ALL ROWS PER MATCH (ref:
+    * StreamExecMatch RUNNING/FINAL handling; SQL:2016): `classifier` =
+    * CLASSIFIER(), `runningCnt` = RUNNING count(*) — rows of the match up
+    * to and including this one — and `finalCnt` = FINAL count(*).
+    */
+  final case class RowCtx(classifier: String, runningCnt: Long, finalCnt: Long)
 
   /** Batch row-pattern matching over each partition ordered by event
     * time (ref: batch MATCH_RECOGNIZE path).
@@ -57,4 +68,24 @@ object MatchRecognize {
       measures: (K, PatternMatch[T]) => O
   ): Dataset[O] =
     CEP.batch(ds, partitionBy, orderTsUs, compile(pattern, define), measures)
+
+  /** ALL ROWS PER MATCH: one output row per MATCHED event (rows skipped
+    * by the initial relaxed scan are not part of the match), with
+    * RUNNING/FINAL counts and CLASSIFIER supplied per row.
+    */
+  def allRows[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      partitionBy: T => K,
+      orderTsUs: T => Long,
+      pattern: String,
+      define: Map[String, T => Boolean],
+      measures: (K, T, RowCtx) => O
+  ): Dataset[O] =
+    CEP.batchFlat(ds, partitionBy, orderTsUs, compile(pattern, define),
+      (k: K, m: PatternMatch[T]) => {
+        val rows = m.rows
+        rows.zipWithIndex.map { case ((cls, e), i) =>
+          measures(k, e, RowCtx(cls, i + 1L, rows.size.toLong))
+        }
+      })
 }

@@ -42,6 +42,12 @@ object NFA {
           pattern.afterMatch match {
             case AfterMatch.SkipPastLast => i = m.endIdx + 1
             case AfterMatch.NoSkip       => i += 1
+            // max(_, i + 1) guarantees progress when the skip target is
+            // the match start itself (Flink throws there; we advance)
+            case AfterMatch.SkipToFirst(v) =>
+              i = math.max(m.indices.getOrElse(v, Nil).headOption.getOrElse(m.endIdx + 1), i + 1)
+            case AfterMatch.SkipToLast(v) =>
+              i = math.max(m.indices.getOrElse(v, Nil).lastOption.getOrElse(m.endIdx + 1), i + 1)
           }
         case None => i += 1
       }
@@ -61,21 +67,24 @@ object NFA {
     val deadline = pattern.withinMs.map(w => startTs + w * tsPerMs).getOrElse(Long.MaxValue)
     def inWindow(idx: Int): Boolean = ts(events(idx)) <= deadline
 
-    /** Greedy walk of a loop quantifier starting at `first`: all indices
-      * the loop would take, honoring inner contiguity and the window.
+    /** Maximal walk of a loop quantifier starting at `first`: all indices
+      * the loop could take, honoring inner contiguity, the window, and
+      * the `until` stop condition (checked BEFORE `where`, as in the
+      * reference: an event matching both stops the loop).
       */
     def loopWalk(st: Stage[T], first: Int): Vector[Int] = {
+      def stop(c: Int): Boolean = st.until.exists(u => u(events(c)))
       val taken = mutable.ArrayBuffer[Int](first)
       var continue = taken.length < st.quantifier.max
       while (continue) {
         val next: Option[Int] = st.innerContiguity match {
           case Contiguity.Strict =>
             val c = taken.last + 1
-            if (c < n && inWindow(c) && st.where(events(c))) Some(c) else None
+            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
           case Contiguity.Relaxed =>
             var c = taken.last + 1
-            while (c < n && inWindow(c) && !st.where(events(c))) c += 1
-            if (c < n && inWindow(c) && st.where(events(c))) Some(c) else None
+            while (c < n && inWindow(c) && !stop(c) && !st.where(events(c))) c += 1
+            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
         }
         next match {
           case Some(c) =>
@@ -87,14 +96,16 @@ object NFA {
       taken.toVector
     }
 
-    /** Match stages from `si` onward.
+    /** Match stages from `si` onward. `acc` carries EVENT INDICES per
+      * stage (events are attached at the end) so skip strategies and
+      * all-rows emission know each binding's position.
       * @param from    first event index eligible for the next stage
       * @param prevEnd index of the last matched positive event
       * @param guard   pending negated stage covering the gap before the
       *                next positive stage
       */
     def go(si: Int, from: Int, prevEnd: Int, guard: Option[Stage[T]],
-        acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
+        acc: List[(String, Seq[Int])]): Option[(List[(String, Seq[Int])], Int)] = {
       if (si == pattern.stages.length) {
         // zero-width matches (every stage optional and skipped) are not
         // produced — a match must consume at least one event.
@@ -125,7 +136,7 @@ object NFA {
 
     def matchPositive(si: Int, st: Stage[T], from: Int, prevEnd: Int,
         guard: Option[Stage[T]],
-        acc: List[(String, Seq[T])]): Option[(List[(String, Seq[T])], Int)] = {
+        acc: List[(String, Seq[Int])]): Option[(List[(String, Seq[Int])], Int)] = {
       // "first" = no event consumed yet (covers optional skipped leading
       // stages too): the first POSITIVE take must anchor at `start`, else
       // the same match would also be found from a later start index.
@@ -140,20 +151,21 @@ object NFA {
           }
       }
 
-      def tryAt(c: Int): Option[(List[(String, Seq[T])], Int)] = {
+      def tryAt(c: Int): Option[(List[(String, Seq[Int])], Int)] = {
         val walk = if (st.quantifier.max == 1) Vector(c) else loopWalk(st, c)
         val minTake = math.max(st.quantifier.min, 1)
-        // longest-first backtracking over the loop length
-        (minTake to walk.length).reverseIterator
+        // backtracking over the loop length: greedy = longest-first,
+        // reluctant = shortest-first
+        val lengths = minTake to walk.length
+        (if (st.greedy) lengths.reverseIterator else lengths.iterator)
           .map { k =>
             val lastIdx = walk(k - 1)
-            val evs = walk.take(k).map(events(_))
-            go(si + 1, lastIdx + 1, lastIdx, None, acc :+ (st.name -> evs))
+            go(si + 1, lastIdx + 1, lastIdx, None, acc :+ (st.name -> walk.take(k)))
           }
           .collectFirst { case Some(r) => r }
       }
 
-      val attempt: Option[(List[(String, Seq[T])], Int)] =
+      val attempt: Option[(List[(String, Seq[Int])], Int)] =
         if (isFirst) {
           if (st.where(events(start)) && inWindow(start)) tryAt(start) else None
         } else st.contiguity match {
@@ -165,7 +177,7 @@ object NFA {
             // scan candidates in order; a relaxed-guard violation at any
             // gap event also poisons every later candidate → stop early.
             var c = from
-            var res: Option[(List[(String, Seq[T])], Int)] = None
+            var res: Option[(List[(String, Seq[Int])], Int)] = None
             var poisoned = false
             while (res.isEmpty && !poisoned && c < n && inWindow(c)) {
               if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.where(events(c))))
@@ -185,13 +197,14 @@ object NFA {
       // still matches a bare B anchored at the start index.
       attempt.orElse {
         if (st.quantifier.min == 0)
-          go(si + 1, from, prevEnd, guard, acc :+ (st.name -> Seq.empty[T]))
+          go(si + 1, from, prevEnd, guard, acc :+ (st.name -> Seq.empty[Int]))
         else None
       }
     }
 
     go(0, start, start - 1, None, Nil).map { case (acc, endIdx) =>
-      PatternMatch(acc.toMap, start, endIdx)
+      PatternMatch(acc.map { case (s, is) => s -> is.map(events(_)) }.toMap,
+        start, endIdx, acc.toMap)
     }
   }
 }

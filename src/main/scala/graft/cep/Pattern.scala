@@ -39,6 +39,12 @@ object AfterMatch {
   case object NoSkip extends AfterMatch
   /** restart after the last consumed event (ref: skipPastLastEvent) */
   case object SkipPastLast extends AfterMatch
+  /** restart at the FIRST event bound to `variable` (ref: skipToFirst);
+    * always advances at least one index past the previous start so a
+    * self-referential skip cannot loop forever. */
+  final case class SkipToFirst(variable: String) extends AfterMatch
+  /** restart at the LAST event bound to `variable` (ref: skipToLast) */
+  final case class SkipToLast(variable: String) extends AfterMatch
 }
 
 /** One pattern stage. `negated` stages are guards: the pattern fails if
@@ -51,7 +57,14 @@ final case class Stage[T](
     contiguity: Contiguity = Contiguity.Relaxed,
     /** contiguity INSIDE a loop quantifier (consecutive() ⇒ Strict) */
     innerContiguity: Contiguity = Contiguity.Relaxed,
-    negated: Boolean = false
+    negated: Boolean = false,
+    /** loop STOP condition (ref: Pattern.java:220 until()): once an event
+      * matching it is reached, the loop accepts no further events. */
+    until: Option[T => Boolean] = None,
+    /** greedy loops backtrack longest-first, reluctant ones shortest-first
+      * (this engine yields ONE match per start, so the flag picks WHICH —
+      * the reference enumerates alternatives instead; SURVEY §2.11). */
+    greedy: Boolean = true
 ) {
   def or(p: T => Boolean): Stage[T] = copy(where = e => where(e) || p(e))
 }
@@ -81,11 +94,21 @@ final case class Pattern[T](
   def oneOrMore: Pattern[T] = updLast(_.copy(quantifier = Quantifier.OneOrMore))
   def times(n: Int): Pattern[T] = updLast(_.copy(quantifier = Quantifier.Times(n, n)))
   def times(from: Int, to: Int): Pattern[T] = updLast(_.copy(quantifier = Quantifier.Times(from, to)))
+  /** n or more occurrences — `{n,}` (ref: Pattern.timesOrMore) */
+  def timesOrMore(n: Int): Pattern[T] = updLast(_.copy(quantifier = Quantifier.Times(n, Int.MaxValue)))
   /** strict contiguity inside the preceding loop quantifier */
   def consecutive: Pattern[T] = updLast(_.copy(innerContiguity = Contiguity.Strict))
+  /** stop condition for the preceding loop (ref: Pattern.java:220) */
+  def until(p: T => Boolean): Pattern[T] = updLast(_.copy(until = Some(p)))
+  /** longest-first loop preference — the default (ref: Pattern.greedy) */
+  def greedy: Pattern[T] = updLast(_.copy(greedy = true))
+  /** shortest-first loop preference (SQL reluctant quantifiers `+?`) */
+  def reluctant: Pattern[T] = updLast(_.copy(greedy = false))
 
   def within(d: Duration): Pattern[T] = copy(withinMs = Some(d.toMillis))
   def afterMatchSkipPastLast: Pattern[T] = copy(afterMatch = AfterMatch.SkipPastLast)
+  def afterMatchSkipToFirst(v: String): Pattern[T] = copy(afterMatch = AfterMatch.SkipToFirst(v))
+  def afterMatchSkipToLast(v: String): Pattern[T] = copy(afterMatch = AfterMatch.SkipToLast(v))
 }
 
 object Pattern {
@@ -93,5 +116,18 @@ object Pattern {
     Pattern(Vector(Stage[T](name, _ => true, contiguity = Contiguity.Relaxed)))
 }
 
-/** A completed match: stage name → matched events in order. */
-final case class PatternMatch[T](bindings: Map[String, Seq[T]], startIdx: Int, endIdx: Int)
+/** A completed match: stage name → matched events in order. `indices`
+  * carries each binding's position in the sorted per-key sequence (used
+  * by SKIP_TO_FIRST/LAST and ALL ROWS PER MATCH row ordering).
+  */
+final case class PatternMatch[T](bindings: Map[String, Seq[T]], startIdx: Int, endIdx: Int,
+    indices: Map[String, Seq[Int]] = Map.empty) {
+  /** matched (stageName, event) rows in sequence order — the ALL ROWS
+    * PER MATCH view; gap events skipped by relaxed contiguity are not
+    * part of the match and do not appear. */
+  def rows: Seq[(String, T)] =
+    bindings.keys.toSeq
+      .flatMap(s => indices(s).zip(bindings(s)).map { case (i, e) => (i, s, e) })
+      .sortBy(_._1)
+      .map { case (_, s, e) => (s, e) }
+}

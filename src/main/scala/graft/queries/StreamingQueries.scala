@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.cep.{AfterMatch, CEP, Pattern}
+import graft.cep.{AfterMatch, CEP, MatchRecognize, Pattern}
 import graft.streaming.{Event, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -609,8 +609,110 @@ object StreamingQueries {
         |  AND (first_error_ts IS NULL OR first_error_ts > first_purchase_ts)
         |ORDER BY signup_id""".stripMargin
 
+  /** CEP quantifier tail (ref: Pattern.java timesOrMore:420, until:220,
+    * greedy): at least two clicks — views may intervene, the `until`
+    * stop condition ends the loop at the first purchase — followed by
+    * that purchase; SKIP PAST LAST; ALL-ROWS emission with CLASSIFIER +
+    * RUNNING/FINAL count measures. Greedy + until ⇒ the match binds ALL
+    * clicks of the inter-purchase segment, which is what the
+    * gaps-and-islands oracle computes.
+    */
+  def cepUntil(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("a").where(_.event_type == "click")
+      .timesOrMore(2).until(_.event_type == "purchase").greedy
+      .followedBy("b").where(_.event_type == "purchase")
+      .afterMatchSkipPastLast
+    CEP.batchFlat[Event, Long, (Long, Long, String, Long, Long)](
+      ev, _.user_id, _.tsUs, pattern,
+      (k, m) => {
+        val rows = m.rows
+        rows.zipWithIndex.map { case ((cls, e), i) =>
+          (k, e.event_id, cls, i + 1L, rows.size.toLong)
+        }
+      })
+      .toDF("user_id", "event_id", "classifier", "running_cnt", "final_cnt")
+      .orderBy("user_id", "event_id")
+  }
+
+  val cepUntilSql: String =
+    Tables.eventsCte +
+      """
+        |, sp AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rid
+        |  FROM ev WHERE event_type IN ('click', 'view', 'purchase')),
+        |-- segment id = number of purchases strictly before the row
+        |seg AS (
+        |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY rid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM sp),
+        |qual AS (
+        |  SELECT user_id, sid FROM seg GROUP BY user_id, sid
+        |  HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 2
+        |     AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1),
+        |m AS (
+        |  SELECT s.user_id, s.event_id, s.event_type, s.rid, s.sid
+        |  FROM seg s JOIN qual q USING (user_id, sid)
+        |  WHERE s.event_type IN ('click', 'purchase'))
+        |SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS classifier,
+        |  CAST(row_number() OVER (PARTITION BY user_id, sid ORDER BY rid) AS BIGINT) AS running_cnt,
+        |  CAST(count(*) OVER (PARTITION BY user_id, sid) AS BIGINT) AS final_cnt
+        |FROM m ORDER BY user_id, event_id""".stripMargin
+
+  /** MATCH_RECOGNIZE ALL ROWS PER MATCH (ref: MatchRecognizeITCase,
+    * StreamExecMatch RUNNING/FINAL): PATTERN (a+ b) with SQL strict
+    * contiguity — maximal runs of CONSECUTIVE clicks ended immediately
+    * by a purchase — emitting per matched row CLASSIFIER(), RUNNING
+    * count(*) and FINAL count(*).
+    */
+  def matchAllRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    MatchRecognize.allRows[Event, Long, (Long, Long, String, Long, Long)](
+      ev, _.user_id, _.tsUs, "a+ b",
+      Map("a" -> (_.event_type == "click"), "b" -> (_.event_type == "purchase")),
+      (k, e, ctx) => (k, e.event_id, ctx.classifier, ctx.runningCnt, ctx.finalCnt))
+      .toDF("user_id", "event_id", "classifier", "running_cnt", "final_cnt")
+      .orderBy("user_id", "event_id")
+  }
+
+  val matchAllRowsSql: String =
+    Tables.eventsCte +
+      """
+        |, sp AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rid
+        |  FROM ev WHERE event_type IN ('click', 'view', 'purchase')),
+        |-- pnc = rid of the last non-click row before this one
+        |pb AS (
+        |  SELECT *, coalesce(max(CASE WHEN event_type <> 'click' THEN rid END)
+        |    OVER (PARTITION BY user_id ORDER BY rid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pnc
+        |  FROM sp),
+        |m AS (
+        |  SELECT user_id, rid AS prid, pnc FROM pb
+        |  WHERE event_type = 'purchase' AND rid - pnc >= 2)
+        |SELECT s.user_id, s.event_id,
+        |  CASE WHEN s.event_type = 'click' THEN 'a' ELSE 'b' END AS classifier,
+        |  CAST(s.rid - m.pnc AS BIGINT) AS running_cnt,
+        |  CAST(m.prid - m.pnc AS BIGINT) AS final_cnt
+        |FROM m JOIN pb s ON s.user_id = m.user_id AND s.rid BETWEEN m.pnc + 1 AND m.prid
+        |ORDER BY s.user_id, s.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
+    Q("q_cep_until", cepUntil, Some(cepUntilSql)),
+    Q("q_match_all_rows", matchAllRows, Some(matchAllRowsSql)),
     Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),

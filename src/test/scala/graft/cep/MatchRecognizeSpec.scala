@@ -38,6 +38,34 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L), (7L, 1L)))
   }
 
+  test("pattern compiler: {n,} open ranges and reluctant quantifiers") {
+    val p = MatchRecognize.compile[Event]("A{2,} B+? C*?", Map(
+      "A" -> (_.event_type == "a"), "B" -> (_.event_type == "b"),
+      "C" -> (_.event_type == "c")))
+    assert(p.stages(0).quantifier === Quantifier.Times(2, Int.MaxValue))
+    assert(p.stages(0).greedy)
+    assert(p.stages(1).quantifier === Quantifier.OneOrMore)
+    assert(!p.stages(1).greedy)
+    assert(p.stages(2).quantifier === Quantifier.Times(0, Int.MaxValue))
+    assert(!p.stages(2).greedy)
+  }
+
+  test("ALL ROWS PER MATCH: CLASSIFIER + RUNNING vs FINAL count") {
+    val events = Seq(
+      ev(1, 1000, "p"), ev(2, 2000, "p"), ev(3, 3000, "b"), // P P B
+      ev(4, 4000, "x"),
+      ev(5, 5000, "p"), ev(6, 6000, "b") // P B
+    ).toDS()
+    val out = MatchRecognize.allRows[Event, Long, (Long, String, Long, Long)](
+      events, _.user_id, _.tsUs, "P+ B",
+      Map("P" -> (_.event_type == "p"), "B" -> (_.event_type == "b")),
+      (_, e, ctx) => (e.event_id, ctx.classifier, ctx.runningCnt, ctx.finalCnt))
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "P", 1L, 3L), (2L, "P", 2L, 3L), (3L, "B", 3L, 3L),
+      (5L, "P", 1L, 2L), (6L, "B", 2L, 2L)))
+  }
+
   test("rejects unknown pattern variables") {
     assertThrows[IllegalArgumentException] {
       MatchRecognize.compile[Event]("A B", Map("A" -> (_ => true)))

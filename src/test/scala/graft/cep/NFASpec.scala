@@ -146,6 +146,67 @@ class NFASpec extends AnyFunSuite {
     assert(NFA.findMatches(seq("X", "X"), ts, pStar).isEmpty)
   }
 
+  test("timesOrMore(n) takes n or more, greedy by default") {
+    val p = Pattern.begin[E]("a").where(is("A")).timesOrMore(2)
+      .followedBy("b").where(is("B"))
+    assert(NFA.findMatches(seq("A", "B"), ts, p).isEmpty) // one A is not enough
+    val ms = NFA.findMatches(seq("A", "A", "A", "B"), ts, p)
+    assert(labels(ms.head, "a") === Seq("A", "A", "A")) // greedy takes all
+  }
+
+  test("until() stops the loop at the first stop-condition event") {
+    // without until: greedy a+ swallows the A AFTER the first C, binding
+    // b to the SECOND C; with until the loop halts at the first C
+    val base = Pattern.begin[E]("a").where(is("A")).oneOrMore
+      .followedBy("b").where(is("C"))
+    val events = seq("A", "A", "C", "A", "C")
+    val noUntil = NFA.findMatches(events, ts, base)
+    assert(labels(noUntil.head, "a") === Seq("A", "A", "A"))
+    assert(noUntil.head.endIdx === 4)
+    val withUntil = NFA.findMatches(events, ts,
+      Pattern.begin[E]("a").where(is("A")).oneOrMore.until(is("C"))
+        .followedBy("b").where(is("C")))
+    assert(labels(withUntil.head, "a") === Seq("A", "A"))
+    assert(withUntil.head.endIdx === 2)
+  }
+
+  test("reluctant loop binds the shortest viable run") {
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore.reluctant
+      .followedBy("b").where(is("B"))
+    val ms = NFA.findMatches(seq("A", "A", "A", "B"), ts, p)
+    assert(labels(ms.head, "a") === Seq("A")) // shortest-first
+    assert(ms.head.startIdx === 0 && ms.head.endIdx === 3)
+  }
+
+  test("afterMatchSkipToFirst/SkipToLast resume inside the match") {
+    val p = Pattern.begin[E]("a").where(is("A")).times(2).consecutive
+      .next("b").where(is("B"))
+    // A A A B: match 1 binds a=[0,1], b=3? no — strict: a=[idx0,idx1] b=idx2? events A A B A A B
+    val events = seq("A", "A", "B", "A", "A", "B")
+    // SkipToLast("a"): after match (a=[0,1], b=2) resume at idx 1 → the
+    // pair (1,?) fails (A B at 1,2 is only one A) ... then matches (3,4,5)
+    val toLast = NFA.findMatches(events, ts, p.afterMatchSkipToLast("a"))
+      .map(m => (m.startIdx, m.endIdx))
+    assert(toLast === Seq((0, 2), (3, 5)))
+    // NoSkip for contrast: starts 0 and 3 both match; start 1 fails (A B)
+    val noSkip = NFA.findMatches(events, ts, p)
+      .map(m => (m.startIdx, m.endIdx))
+    assert(noSkip === Seq((0, 2), (3, 5)))
+    // SkipToFirst("a") must still make progress (target == start)
+    val toFirst = NFA.findMatches(events, ts, p.afterMatchSkipToFirst("a"))
+      .map(m => (m.startIdx, m.endIdx))
+    assert(toFirst === Seq((0, 2), (3, 5)))
+  }
+
+  test("match indices are exposed for skip strategies and all-rows") {
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore
+      .followedBy("b").where(is("B"))
+    val m = NFA.findMatches(seq("A", "X", "A", "B"), ts, p).head
+    assert(m.indices("a") === Seq(0, 2))
+    assert(m.indices("b") === Seq(3))
+    assert(m.rows.map(_._1) === Seq("a", "a", "b"))
+  }
+
   test("three-stage funnel with tsPerMs scaling") {
     val p = Pattern.begin[E]("s").where(is("S"))
       .followedBy("v").where(is("V"))
