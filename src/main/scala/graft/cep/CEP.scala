@@ -41,10 +41,23 @@ object CEP {
       tsFn: T => Long,
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => IterableOnce[O]
+  ): Dataset[O] = batchFlatMulti(ds, keyFn, tsFn, Seq(pattern), emit)
+
+  /** Batch matching over preference-ordered pattern ALTERNATIVES (the
+    * PERMUTE / top-level-alternation expansion — see
+    * NFA.findMatchesMulti).
+    */
+  def batchFlatMulti[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      patterns: Seq[Pattern[T]],
+      emit: (K, PatternMatch[T]) => IterableOnce[O]
   ): Dataset[O] =
     ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
       val events = it.toIndexedSeq.sortBy(tsFn)
-      NFA.findMatches(events, tsFn, pattern, tsPerMs = 1000L).iterator.flatMap(m => emit(key, m))
+      NFA.findMatchesMulti(events, tsFn, patterns, tsPerMs = 1000L)
+        .iterator.flatMap(m => emit(key, m))
     }
 
   /** Per-key streaming state: events not yet consumed by an emitted

@@ -8,45 +8,81 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * semantics — STRICT contiguity between variables (SQL patterns match
   * consecutive rows of the ordered partition), greedy quantifiers
   * `+ * ? {n} {n,m} {n,}` plus their reluctant `?`-suffixed forms
-  * (`+? *? {n,m}?`), AFTER MATCH SKIP PAST LAST ROW.
+  * (`+? *? {n,m}?`), alternation groups `(A|B)` (an event binds under
+  * the first alternative whose DEFINE accepts it — SQL lexicographic
+  * preference), `PERMUTE(A,B,...)` (expanded, like the reference's
+  * NFACompiler, into the lexicographically-ordered permutation
+  * alternatives), and AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW.
   *
-  * Supported: variable names, quantifiers as above, one-level patterns
-  * (no alternation groups or PERMUTE). ONE ROW PER MATCH measures are
-  * the `measures` callback over the match bindings (FINAL semantics);
-  * ALL ROWS PER MATCH with RUNNING vs FINAL aggregates and CLASSIFIER()
-  * is [[allRows]].
+  * ONE ROW PER MATCH measures are the `measures` callback over the match
+  * bindings (FINAL semantics); ALL ROWS PER MATCH with RUNNING vs FINAL
+  * aggregates and CLASSIFIER() is [[allRows]].
   */
 object MatchRecognize {
 
-  private val Token = """([A-Za-z_][A-Za-z0-9_]*)([+*?]|\{\d+(,\d*)?\})?(\?)?""".r
+  private val Token        = """([A-Za-z_][A-Za-z0-9_]*)([+*?]|\{\d+(,\d*)?\})?(\?)?""".r
+  private val GroupToken   = """\(([A-Za-z0-9_|]+)\)([+*?]|\{\d+(,\d*)?\})?(\?)?""".r
+  private val PermuteToken = """PERMUTE\(([A-Za-z0-9_,]+)\)""".r
+
+  private def quantOf(quant: Option[String]): Quantifier.Q = quant match {
+    case None      => Quantifier.Once
+    case Some("+") => Quantifier.OneOrMore
+    case Some("*") => Quantifier.Times(0, Int.MaxValue)
+    case Some("?") => Quantifier.Optional
+    case Some(braces) =>
+      val inner = braces.stripPrefix("{").stripSuffix("}")
+      inner.split(",", -1) match {
+        case Array(n)     => Quantifier.Times(n.toInt, n.toInt)
+        case Array(n, "") => Quantifier.Times(n.toInt, Int.MaxValue) // {n,}
+        case Array(n, m)  => Quantifier.Times(n.toInt, m.toInt)
+      }
+  }
+
+  /** Compile to preference-ordered pattern alternatives — one for a plain
+    * sequence, k!·… for PERMUTE factors (cross product keeps declared
+    * order = SQL lexicographic preference).
+    */
+  private[cep] def compileMulti[T](
+      patternStr: String,
+      define: Map[String, T => Boolean],
+      afterMatch: AfterMatch = AfterMatch.SkipPastLast): Seq[Pattern[T]] = {
+    def predOf(name: String): T => Boolean = define.getOrElse(name,
+      throw new IllegalArgumentException(s"no DEFINE for pattern variable $name"))
+    // normalize whitespace inside (A | B) / PERMUTE(A, B) so tokens split on spaces
+    val norm = patternStr.trim
+      .replaceAll("\\s*\\|\\s*", "|")
+      .replaceAll("\\(\\s*", "(").replaceAll("\\s*\\)", ")")
+      .replaceAll("\\s*,\\s*", ",")
+    val perTok: Vector[Seq[Vector[Stage[T]]]] = norm.split("\\s+").toVector.map {
+      case PermuteToken(vars) =>
+        val names = vars.split(",").toVector
+        names.permutations.toSeq.map(_.map(n =>
+          Stage[T](n, predOf(n), Quantifier.Once, innerContiguity = Contiguity.Strict)))
+      case GroupToken(alts, q, _, r) =>
+        val names = alts.split("\\|").toSeq
+        Seq(Vector(Stage.oneOf(names.map(n => n -> predOf(n)), Contiguity.Strict)
+          .copy(quantifier = quantOf(Option(q)),
+            innerContiguity = Contiguity.Strict, greedy = r == null)))
+      case Token(n, q, _, r) =>
+        Seq(Vector(Stage[T](n, predOf(n), quantOf(Option(q)),
+          innerContiguity = Contiguity.Strict, greedy = r == null)))
+      case tok => throw new IllegalArgumentException(s"bad pattern token: $tok")
+    }
+    val seqs = perTok.foldLeft(Seq(Vector.empty[Stage[T]])) { (accs, alts) =>
+      for (a <- accs; b <- alts) yield a ++ b
+    }
+    seqs.map { stages =>
+      val adjusted = stages.zipWithIndex.map { case (st, i) =>
+        st.copy(contiguity = if (i == 0) Contiguity.Relaxed else Contiguity.Strict)
+      }
+      Pattern(adjusted, withinMs = None, afterMatch = afterMatch)
+    }
+  }
 
   private[cep] def compile[T](patternStr: String, define: Map[String, T => Boolean]): Pattern[T] = {
-    val stages = patternStr.trim.split("\\s+").toVector.zipWithIndex.map { case (tok, i) =>
-      val (name, quant, reluctant) = tok match {
-        case Token(n, q, _, r) => (n, Option(q), r != null)
-        case _ => throw new IllegalArgumentException(s"bad pattern token: $tok")
-      }
-      val pred = define.getOrElse(name,
-        throw new IllegalArgumentException(s"no DEFINE for pattern variable $name"))
-      val q = quant match {
-        case None        => Quantifier.Once
-        case Some("+")   => Quantifier.OneOrMore
-        case Some("*")   => Quantifier.Times(0, Int.MaxValue)
-        case Some("?")   => Quantifier.Optional
-        case Some(braces) =>
-          val inner = braces.stripPrefix("{").stripSuffix("}")
-          inner.split(",", -1) match {
-            case Array(n)     => Quantifier.Times(n.toInt, n.toInt)
-            case Array(n, "") => Quantifier.Times(n.toInt, Int.MaxValue) // {n,}
-            case Array(n, m)  => Quantifier.Times(n.toInt, m.toInt)
-          }
-      }
-      Stage[T](name, pred, q,
-        contiguity = if (i == 0) Contiguity.Relaxed else Contiguity.Strict,
-        innerContiguity = Contiguity.Strict,
-        greedy = !reluctant)
-    }
-    Pattern(stages, withinMs = None, afterMatch = AfterMatch.SkipPastLast)
+    val ps = compileMulti(patternStr, define)
+    require(ps.size == 1, "PERMUTE patterns expand to multiple candidates — use the multi-candidate entry points")
+    ps.head
   }
 
   /** Per-row measures context for ALL ROWS PER MATCH (ref:
@@ -57,7 +93,9 @@ object MatchRecognize {
   final case class RowCtx(classifier: String, runningCnt: Long, finalCnt: Long)
 
   /** Batch row-pattern matching over each partition ordered by event
-    * time (ref: batch MATCH_RECOGNIZE path).
+    * time (ref: batch MATCH_RECOGNIZE path). `skip` selects the AFTER
+    * MATCH strategy (SKIP PAST LAST ROW by default; NoSkip = SKIP TO
+    * NEXT ROW).
     */
   def apply[T, K: Encoder, O: Encoder](
       ds: Dataset[T],
@@ -65,9 +103,11 @@ object MatchRecognize {
       orderTsUs: T => Long,
       pattern: String,
       define: Map[String, T => Boolean],
-      measures: (K, PatternMatch[T]) => O
+      measures: (K, PatternMatch[T]) => O,
+      skip: AfterMatch = AfterMatch.SkipPastLast
   ): Dataset[O] =
-    CEP.batch(ds, partitionBy, orderTsUs, compile(pattern, define), measures)
+    CEP.batchFlatMulti(ds, partitionBy, orderTsUs, compileMulti(pattern, define, skip),
+      (k: K, m: PatternMatch[T]) => Seq(measures(k, m)))
 
   /** ALL ROWS PER MATCH: one output row per MATCHED event (rows skipped
     * by the initial relaxed scan are not part of the match), with
@@ -79,9 +119,10 @@ object MatchRecognize {
       orderTsUs: T => Long,
       pattern: String,
       define: Map[String, T => Boolean],
-      measures: (K, T, RowCtx) => O
+      measures: (K, T, RowCtx) => O,
+      skip: AfterMatch = AfterMatch.SkipPastLast
   ): Dataset[O] =
-    CEP.batchFlat(ds, partitionBy, orderTsUs, compile(pattern, define),
+    CEP.batchFlatMulti(ds, partitionBy, orderTsUs, compileMulti(pattern, define, skip),
       (k: K, m: PatternMatch[T]) => {
         val rows = m.rows
         rows.zipWithIndex.map { case ((cls, e), i) =>

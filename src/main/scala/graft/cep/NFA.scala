@@ -30,16 +30,35 @@ object NFA {
       ts: T => Long,
       pattern: Pattern[T],
       tsPerMs: Long = 1L
+  ): Seq[PatternMatch[T]] = findMatchesMulti(events, ts, Seq(pattern), tsPerMs)
+
+  /** Preference-ordered pattern ALTERNATIVES (ref: NFACompiler's
+    * expansion of PERMUTE / top-level alternation into a union of
+    * sequential patterns): at each start index the candidates are tried
+    * in declared order and the first that matches wins — SQL's
+    * lexicographic preference. All candidates must share the after-match
+    * strategy (the winner's is applied).
+    */
+  def findMatchesMulti[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      patterns: Seq[Pattern[T]],
+      tsPerMs: Long = 1L
   ): Seq[PatternMatch[T]] = {
-    require(pattern.stages.nonEmpty, "empty pattern")
-    require(!pattern.stages.head.negated, "pattern cannot begin with a negated stage")
+    require(patterns.nonEmpty, "no pattern alternatives")
+    patterns.foreach { p =>
+      require(p.stages.nonEmpty, "empty pattern")
+      require(!p.stages.head.negated, "pattern cannot begin with a negated stage")
+    }
     val out = mutable.ArrayBuffer.empty[PatternMatch[T]]
     var i = 0
     while (i < events.length) {
-      matchFrom(events, ts, pattern, i, tsPerMs) match {
-        case Some(m) =>
+      patterns.iterator
+        .map(p => matchFrom(events, ts, p, i, tsPerMs).map((p, _)))
+        .collectFirst { case Some(r) => r } match {
+        case Some((pat, m)) =>
           out += m
-          pattern.afterMatch match {
+          pat.afterMatch match {
             case AfterMatch.SkipPastLast => i = m.endIdx + 1
             case AfterMatch.NoSkip       => i += 1
             // max(_, i + 1) guarantees progress when the skip target is
@@ -203,8 +222,25 @@ object NFA {
     }
 
     go(0, start, start - 1, None, Nil).map { case (acc, endIdx) =>
-      PatternMatch(acc.map { case (s, is) => s -> is.map(events(_)) }.toMap,
-        start, endIdx, acc.toMap)
+      // Alternation re-attribution: a group stage's events re-bind under
+      // the first alternative whose predicate accepts each event (SQL
+      // lexicographic preference). acc entries are appended one per
+      // positive stage, in stage order — zip to recover the Stage.
+      val positives = pattern.stages.filterNot(_.negated)
+      val expanded = acc.zip(positives).flatMap { case ((sname, is), st) =>
+        if (st.alternatives.isEmpty) Seq(sname -> is)
+        else {
+          val byAlt = is.groupBy(i =>
+            st.alternatives.find(_._2(events(i))).map(_._1).getOrElse(sname))
+          st.alternatives.map(_._1).filter(byAlt.contains).map(a => a -> byAlt(a))
+        }
+      }
+      // same variable appearing in several stages (e.g. `(a|b) c (a|d)`)
+      // accumulates all its events, like the reference's shared buffer
+      val merged = expanded.groupBy(_._1).view
+        .mapValues(_.flatMap(_._2).sorted).toSeq
+      PatternMatch(merged.map { case (s, is) => s -> is.map(events(_)) }.toMap,
+        start, endIdx, merged.toMap)
     }
   }
 }

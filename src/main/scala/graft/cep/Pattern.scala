@@ -64,9 +64,22 @@ final case class Stage[T](
     /** greedy loops backtrack longest-first, reluctant ones shortest-first
       * (this engine yields ONE match per start, so the flag picks WHICH —
       * the reference enumerates alternatives instead; SURVEY §2.11). */
-    greedy: Boolean = true
+    greedy: Boolean = true,
+    /** alternation group `(A|B)` (ref: NFACompiler GroupPattern; SQL row
+      * pattern alternation): the stage accepts an event iff SOME
+      * alternative does, and the event binds under the FIRST matching
+      * alternative's name — SQL's lexicographic preference for
+      * overlapping defines. Empty = plain single-variable stage. */
+    alternatives: Seq[(String, T => Boolean)] = Nil
 ) {
   def or(p: T => Boolean): Stage[T] = copy(where = e => where(e) || p(e))
+}
+
+object Stage {
+  /** Build an alternation-group stage from its alternatives. */
+  def oneOf[T](alts: Seq[(String, T => Boolean)], contiguity: Contiguity): Stage[T] =
+    Stage[T](alts.map(_._1).mkString("|"),
+      e => alts.exists(_._2(e)), contiguity = contiguity, alternatives = alts)
 }
 
 final case class Pattern[T](
@@ -85,6 +98,12 @@ final case class Pattern[T](
     copy(stages = stages :+ Stage[T](name, _ => true, contiguity = Contiguity.Strict))
   def followedBy(name: String): Pattern[T] =
     copy(stages = stages :+ Stage[T](name, _ => true, contiguity = Contiguity.Relaxed))
+  /** alternation group with strict contiguity — `next (A|B)` */
+  def nextOneOf(alts: (String, T => Boolean)*): Pattern[T] =
+    copy(stages = stages :+ Stage.oneOf(alts, Contiguity.Strict))
+  /** alternation group with relaxed contiguity — `followedBy (A|B)` */
+  def followedByOneOf(alts: (String, T => Boolean)*): Pattern[T] =
+    copy(stages = stages :+ Stage.oneOf(alts, Contiguity.Relaxed))
   def notNext(name: String): Pattern[T] =
     copy(stages = stages :+ Stage[T](name, _ => true, contiguity = Contiguity.Strict, negated = true))
   def notFollowedBy(name: String): Pattern[T] =
@@ -114,6 +133,9 @@ final case class Pattern[T](
 object Pattern {
   def begin[T](name: String): Pattern[T] =
     Pattern(Vector(Stage[T](name, _ => true, contiguity = Contiguity.Relaxed)))
+  /** begin with an alternation group — `PATTERN ((A|B) ...)` */
+  def beginOneOf[T](alts: (String, T => Boolean)*): Pattern[T] =
+    Pattern(Vector(Stage.oneOf(alts, Contiguity.Relaxed)))
 }
 
 /** A completed match: stage name → matched events in order. `indices`

@@ -31,4 +31,38 @@ object Iterations {
     }
     cur
   }
+
+  /** Delta iteration — solution set + workset (ref: DataSet
+    * .iterateDelta:1206, DeltaIteration.java): each step maps
+    * (solution, workset) to (delta, nextWorkset); the delta UPSERTS into
+    * the solution on `keyCols` and the loop ends when the workset is
+    * empty (the reference's empty-workset convergence criterion) or at
+    * `maxIter`.
+    *
+    * Scale shape: the solution set stays put while only the (shrinking)
+    * delta moves — the anti-join probe side is `broadcast(delta)`, so a
+    * large solution is never reshuffled per iteration (the Spark analog
+    * of the reference's indexed solution-set state). Each iteration's
+    * results are localCheckpoint'ed: lineage stays linear and the
+    * emptiness check doesn't recompute the chain.
+    */
+  def deltaLoop(initialSolution: DataFrame, initialWorkset: DataFrame,
+      keyCols: Seq[String], maxIter: Int)(
+      step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    var solution = initialSolution.localCheckpoint()
+    var workset = initialWorkset.localCheckpoint()
+    var i = 0
+    while (i < maxIter && !workset.isEmpty) {
+      val (deltaRaw, nextWorkRaw) = step(solution, workset)
+      val delta = deltaRaw.localCheckpoint()
+      solution = solution
+        .join(broadcast(delta.select(keyCols.map(col): _*)), keyCols, "left_anti")
+        .unionByName(delta)
+        .localCheckpoint()
+      workset = nextWorkRaw.localCheckpoint()
+      i += 1
+    }
+    solution
+  }
 }

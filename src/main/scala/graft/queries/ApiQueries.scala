@@ -173,6 +173,89 @@ object ApiQueries {
       |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.src WHERE w.dist < 12)
       |SELECT node, min(dist) AS dist FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  /** Delta iteration (ref: DataSet.iterateDelta:1206): connected
+    * components by min-label propagation over the nation→region star
+    * graph (region-chain edges omitted, so there are 5 components — one
+    * per region, labeled by its smallest nation key). The workset is the
+    * set of nodes whose label improved; convergence = empty workset, the
+    * reference's criterion. Verified against a recursive-CTE transitive
+    * closure.
+    */
+  def iterateDelta(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val e1 = n.select(col("n_nationkey").cast("long").as("src"),
+      (col("n_regionkey") + 100).cast("long").as("dst"))
+    val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().coalesce(1).localCheckpoint()
+    val init = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    val result = Iterations.deltaLoop(init, init, Seq("node"), maxIter = 10) {
+      (solution, workset) =>
+        val cand = workset.join(edges, workset("node") === edges("src"))
+          .select(col("dst").as("node"), col("comp"))
+          .groupBy("node").agg(min("comp").as("comp"))
+        val delta = cand.join(solution.withColumnRenamed("comp", "old"), Seq("node"))
+          .filter(col("comp") < col("old"))
+          .select("node", "comp")
+          .coalesce(1) // KB-sized here; keep ∝ |delta| at scale
+        (delta, delta)
+    }
+    result.orderBy("node")
+  }
+
+  val iterateDeltaSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey::BIGINT AS src, (n_regionkey + 100)::BIGINT AS dst FROM nation
+      |  UNION SELECT (n_regionkey + 100)::BIGINT, n_nationkey::BIGINT FROM nation),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+      |SELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  /** partitionCustom + sortPartition + mapPartition in one pipeline (ref:
+    * DataStream.partitionCustom:338, DataSet.sortPartition:1479): events
+    * routed by an explicit `user_id % 8` Partitioner, each partition
+    * delivered sorted by (user_id, ts, event_id) out of the shuffle merge
+    * (repartitionAndSortWithinPartitions — spills, so partition size is
+    * unbounded at scale), then a per-partition fold emits
+    * (pid, cnt, first/last event, sum). Oracle-safe precisely because the
+    * routing function is explicit: unlike murmur3-expression
+    * repartitioning, DuckDB can recompute pid = user_id % 8.
+    */
+  def partitionCustom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 8
+    val keyed = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .rdd.map { case (u, t, e, v) => ((u, t, e), v) }
+    val parted = graft.operators.Partitioning.customSorted(keyed,
+      new graft.operators.Partitioning.ModPartitioner(n, _.asInstanceOf[(Long, Long, Long)]._1))
+    val stats = parted.mapPartitionsWithIndex { (pid, it) =>
+      var cnt = 0L; var first = -1L; var last = -1L; var sv = 0.0
+      it.foreach { case ((_, _, e), v) =>
+        if (cnt == 0L) first = e
+        last = e; cnt += 1; sv += v
+      }
+      if (cnt == 0L) Iterator.empty
+      else Iterator.single((pid.toLong, cnt, first, last, sv))
+    }
+    s.createDataFrame(stats).toDF("pid", "cnt", "first_event", "last_event", "sv")
+      .select(col("pid"), col("cnt"), col("first_event"), col("last_event"),
+        round(col("sv"), 4).as("sv"))
+      .orderBy("pid")
+  }
+
+  val partitionCustomSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id % 8 AS pid, count(*) AS cnt,
+        |  first(event_id ORDER BY user_id, ts, event_id) AS first_event,
+        |  last(event_id ORDER BY user_id, ts, event_id) AS last_event,
+        |  round(sum(value), 4) AS sv
+        |FROM ev GROUP BY 1 ORDER BY pid""".stripMargin
+
   /** Side outputs (ref: OutputTag / ctx.output): first-match-wins
     * tagging, counted per tag.
     */
@@ -203,6 +286,8 @@ object ApiQueries {
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
     Q("q_map_partitions", mapPartitionsParse, Some(mapPartitionsParseSql)),
     Q("q_iterate_bfs", iterateBfs, Some(iterateBfsSql)),
+    Q("q_partition_custom", partitionCustom, Some(partitionCustomSql)),
+    Q("q_iterate_delta", iterateDelta, Some(iterateDeltaSql)),
     Q("q_side_outputs", sideOutputs, Some(sideOutputsSql))
   )
 }

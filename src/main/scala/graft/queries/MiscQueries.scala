@@ -52,6 +52,95 @@ object MiscQueries {
         |SELECT user_id, signup_id, n_purchases FROM runs WHERE n_purchases >= 1
         |ORDER BY signup_id""".stripMargin
 
+  /** Row-pattern ALTERNATION (ref: StreamExecMatch / NFACompiler group
+    * patterns; SQL 2016 `PATTERN ((A|B) P)`): a click-or-view immediately
+    * followed by a purchase; CLASSIFIER() reports which alternative
+    * bound. Lexicographic preference is exercised by overlapping DEFINEs
+    * being impossible here (disjoint types), overlap-free by
+    * construction, so SKIP PAST LAST equals the per-pair oracle.
+    */
+  def matchAlternation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    MatchRecognize[Event, Long, (Long, Long, String, Long)](
+      ev,
+      partitionBy = _.user_id,
+      orderTsUs = _.tsUs,
+      pattern = "(A|B) P",
+      define = Map(
+        "A" -> (_.event_type == "click"),
+        "B" -> (_.event_type == "view"),
+        "P" -> (_.event_type == "purchase")),
+      measures = (k, m) => {
+        val (cls, x) = m.bindings.get("A").map(es => ("A", es.head))
+          .getOrElse(("B", m.bindings("B").head))
+        (k, x.event_id, cls, m.bindings("P").head.event_id)
+      })
+      .toDF("user_id", "x_id", "classifier", "p_id")
+      .orderBy("x_id")
+  }
+
+  val matchAlternationSql: String =
+    Tables.eventsCte +
+      """
+        |, o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+        |    lead(event_id)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+        |  FROM ev)
+        |SELECT user_id, event_id AS x_id,
+        |  CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS classifier,
+        |  nid AS p_id
+        |FROM o WHERE event_type IN ('click', 'view') AND nt = 'purchase'
+        |ORDER BY x_id""".stripMargin
+
+  /** PERMUTE row pattern (ref: NFACompiler PERMUTE expansion; SQL 2016
+    * `PATTERN (S PERMUTE(A,B))`): a signup immediately followed by click
+    * and view in EITHER order; `ord` reports which permutation matched
+    * (candidates tried in lexicographic order). Matches cannot overlap
+    * (the 2nd/3rd rows are never signups), so SKIP PAST LAST equals the
+    * per-triple oracle.
+    */
+  def matchPermute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    MatchRecognize[Event, Long, (Long, Long, Long, Long, String)](
+      ev,
+      partitionBy = _.user_id,
+      orderTsUs = _.tsUs,
+      pattern = "S PERMUTE(A,B)",
+      define = Map(
+        "S" -> (_.event_type == "signup"),
+        "A" -> (_.event_type == "click"),
+        "B" -> (_.event_type == "view")),
+      measures = (k, m) => {
+        val seq = m.rows.drop(1) // (classifier, event) in row order, after S
+        (k, m.bindings("S").head.event_id,
+          seq.head._2.event_id, seq.last._2.event_id,
+          if (seq.head._1 == "A") "AB" else "BA")
+      })
+      .toDF("user_id", "s_id", "first_id", "second_id", "ord")
+      .orderBy("s_id")
+  }
+
+  val matchPermuteSql: String =
+    Tables.eventsCte +
+      """
+        |, o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+        |    lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS s_id, id1 AS first_id, id2 AS second_id,
+        |  CASE WHEN t1 = 'click' THEN 'AB' ELSE 'BA' END AS ord
+        |FROM o WHERE event_type = 'signup'
+        |  AND ((t1 = 'click' AND t2 = 'view') OR (t1 = 'view' AND t2 = 'click'))
+        |ORDER BY s_id""".stripMargin
+
   /** Lookup join (ref: StreamExecLookupJoin): events enriched against
     * the customer dimension by point lookup; unmatched keep NULLs.
     */
@@ -147,6 +236,8 @@ object MiscQueries {
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q_over_bounded", overBounded, Some(overBoundedSql)),
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
+    Q("q_match_alternation", matchAlternation, Some(matchAlternationSql)),
+    Q("q_match_permute", matchPermute, Some(matchPermuteSql)),
     Q("q_lookup_join", lookupJoin, Some(lookupJoinSql)),
     Q("q_fn_string2", fnString2, Some(fnString2Sql))
   )

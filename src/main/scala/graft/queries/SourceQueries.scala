@@ -108,7 +108,39 @@ object SourceQueries {
     """SELECT p_type, count(*) AS cnt, round(avg(p_retailprice), 4) AS avg_price
       |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  /** JDBC sink + source round-trip (ref: flink-jdbc
+    * JDBCOutputFormat/JDBCInputFormat — Spark's built-in jdbc data source).
+    * The environment ships no DB server, so this runs against embedded
+    * Derby (in /opt/spark/jars for the Hive metastore) — same JVM, real
+    * JDBC protocol, DerbyDialect type mapping. The sink write is
+    * `coalesce(1)` because embedded Derby serializes concurrent writers;
+    * against a server-mode DB the partitioned write (one connection per
+    * partition, numPartitions/batchsize options) is the scale path. Read
+    * back with a pushed predicate (shows up in the generated WHERE).
+    */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
+    val db  = sinkDir(dir, "derby_db").replace("/tmp/graft-sink", "/tmp/graft-derby")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .jdbc(url, "NATION_T", props)
+    s.read.jdbc(url, "NATION_T", props)
+      .filter(col("n_regionkey") < 3) // pushed into the Derby-side WHERE
+      .orderBy("n_nationkey")
+  }
+
+  val jdbcRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
     Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),

@@ -709,7 +709,66 @@ object StreamingQueries {
         |FROM m JOIN pb s ON s.user_id = m.user_id AND s.rid BETWEEN m.pnc + 1 AND m.prid
         |ORDER BY s.user_id, s.event_id""".stripMargin
 
+  /** Streaming sort/limit in Complete mode (ref: StreamExecSortLimit
+    * .scala — the reference keeps the global top rows as retractable
+    * state; Spark allows orderBy+limit after a streaming aggregation in
+    * Complete output mode, where every trigger re-emits the full sorted
+    * prefix). Top-3 event types by count.
+    */
+  def streamSortLimit(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+    runToTable("stream_sort_limit", out, "complete")
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
+  val streamSortLimitSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin
+
+  /** Per-key count windows — GlobalWindows + CountTrigger(5) + purge
+    * (ref: GlobalWindows.java, CountTrigger.java:36, KeyedStream
+    * .countWindow): every 5th event of a user fires a window over those
+    * 5, in watermark-gated (ts, id) order; the trailing partial window
+    * never fires, and events above the final watermark never enter a
+    * window.
+    */
+  def streamCountWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.countWindow[Event](ev, _.user_id, _.event_id, _.tsUs, _.value, size = 5)
+    runToTable("stream_count_window", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("wid"), col("cnt"),
+        col("first_id"), col("last_id"), round(col("sv"), 4).as("sv"))
+      .orderBy("user_id", "wid")
+  }
+
+  val streamCountWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM ev WHERE ts <= (SELECT w FROM wm))
+        |SELECT user_id, rn // 5 AS wid, count(*) AS cnt,
+        |  first(event_id ORDER BY rn) AS first_id,
+        |  last(event_id ORDER BY rn) AS last_id,
+        |  round(sum(value), 4) AS sv
+        |FROM r GROUP BY 1, 2 HAVING count(*) = 5
+        |ORDER BY user_id, wid""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
+    Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
     Q("q_cep_until", cepUntil, Some(cepUntilSql)),
     Q("q_match_all_rows", matchAllRows, Some(matchAllRowsSql)),

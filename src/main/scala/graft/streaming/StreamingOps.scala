@@ -163,6 +163,55 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Count windows — GlobalWindows + CountTrigger(size) + purge (ref:
+    * GlobalWindows.java, CountTrigger.java:36, PurgingTrigger.java;
+    * KeyedStream.countWindow): per key, every `size`-th element fires the
+    * window over exactly those `size` elements and purges it; a trailing
+    * partial window never fires (count-trigger semantics). Elements enter
+    * windows in (event-time, id) order, gated on the watermark so
+    * out-of-order arrival across micro-batches cannot reorder windows —
+    * an element joins a window only once the watermark passes it. State
+    * is O(size + out-of-order window): the <size leftover plus the
+    * not-yet-ready buffer.
+    */
+  final case class CountWinState(emitted: Long,
+      leftover: Seq[(Long, Long, Double)], buffer: Seq[(Long, Long, Double)])
+  final case class CountWinRow(key: Long, wid: Long, cnt: Long,
+      first_id: Long, last_id: Long, sv: Double)
+
+  def countWindow[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Double,
+      size: Int
+  )(implicit te: Encoder[T]): Dataset[CountWinRow] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[CountWinState]): Iterator[CountWinRow] = {
+      val st = if (state.exists) state.get else CountWinState(0L, Nil, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val all = (st.buffer ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
+        .sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(_._1 <= wmUs)
+      val seq = st.leftover ++ ready
+      val (full, partial) = seq.grouped(size).toSeq.partition(_.length == size)
+      val out = full.zipWithIndex.map { case (w, i) =>
+        CountWinRow(key, st.emitted + i, w.length.toLong,
+          w.head._2, w.last._2, w.map(_._3).sum)
+      }
+      val leftover = partial.flatten
+      if (hold.isEmpty && leftover.isEmpty) state.remove()
+      else {
+        state.update(CountWinState(st.emitted + full.length, leftover, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value

@@ -66,6 +66,52 @@ class MatchRecognizeSpec extends SparkSpec {
       (5L, "P", 1L, 2L), (6L, "B", 2L, 2L)))
   }
 
+  test("alternation group: event binds under first matching alternative, loops allowed") {
+    val events = Seq(
+      ev(1, 1000, "a"), ev(2, 2000, "b"), ev(3, 3000, "a"), ev(4, 4000, "p"), // (a|b)+ p
+      ev(5, 5000, "x"),
+      ev(6, 6000, "b"), ev(7, 7000, "p")
+    ).toDS()
+    val out = MatchRecognize.allRows[Event, Long, (Long, String)](
+      events, _.user_id, _.tsUs, "(A|B)+ P",
+      Map("A" -> (_.event_type == "a"), "B" -> (_.event_type == "b"),
+        "P" -> (_.event_type == "p")),
+      (_, e, ctx) => (e.event_id, ctx.classifier))
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "A"), (2L, "B"), (3L, "A"), (4L, "P"),
+      (6L, "B"), (7L, "P")))
+  }
+
+  test("alternation preference: overlapping defines classify as the FIRST alternative") {
+    val events = Seq(ev(1, 1000, "a"), ev(2, 2000, "p")).toDS()
+    val out = MatchRecognize.allRows[Event, Long, (Long, String)](
+      events, _.user_id, _.tsUs, "(X|Y) P",
+      Map("X" -> (_.event_type == "a"), "Y" -> (_.event_type == "a"), // both match
+        "P" -> (_.event_type == "p")),
+      (_, e, ctx) => (e.event_id, ctx.classifier))
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "X"), (2L, "P")))
+  }
+
+  test("PERMUTE matches any order; candidates tried lexicographically") {
+    val events = Seq(
+      ev(1, 1000, "a"), ev(2, 2000, "b"), // A B
+      ev(3, 3000, "x"),
+      ev(4, 4000, "b"), ev(5, 5000, "a") // B A
+    ).toDS()
+    val out = MatchRecognize[Event, Long, (Long, Long, String)](
+      events, _.user_id, _.tsUs, "PERMUTE(A,B)",
+      Map("A" -> (_.event_type == "a"), "B" -> (_.event_type == "b")),
+      (_, m) => {
+        val rows = m.rows
+        (rows.head._2.event_id, rows.last._2.event_id,
+          rows.map(_._1).mkString)
+      })
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, "AB"), (4L, 5L, "BA")))
+  }
+
   test("rejects unknown pattern variables") {
     assertThrows[IllegalArgumentException] {
       MatchRecognize.compile[Event]("A B", Map("A" -> (_ => true)))

@@ -27,6 +27,59 @@ class MiscOpsSpec extends SparkSpec {
     assert(out.collect().sorted === (1 to 100).map(_ * 2).toArray)
   }
 
+  test("AsyncEnrich.mapAsyncUnordered yields every result exactly once (completion order)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ds = (1 to 100).toDS()
+    val out = AsyncEnrich.mapAsyncUnordered(ds, parallelism = 8, timeout = 30.seconds) { i =>
+      Future {
+        Thread.sleep(if (i % 7 == 0) 20 else 1) // slow lookups must not block others
+        i * 2
+      }
+    }
+    assert(out.collect().sorted === (1 to 100).map(_ * 2).toArray)
+  }
+
+  test("Iterations.deltaLoop converges on empty workset and upserts the delta") {
+    // min-label propagation on a 2-component path graph: 1-2-3, 4-5
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst").localCheckpoint()
+    val init = edges.select($"src".as("node")).distinct().withColumn("comp", $"node")
+    val res = Iterations.deltaLoop(init, init, Seq("node"), maxIter = 10) {
+      (solution, workset) =>
+        val cand = workset.join(edges, workset("node") === edges("src"))
+          .select(col("dst").as("node"), col("comp"))
+          .groupBy("node").agg(min("comp").as("comp"))
+        val delta = cand.join(solution.withColumnRenamed("comp", "old"), Seq("node"))
+          .filter(col("comp") < col("old")).select("node", "comp")
+        (delta, delta)
+    }
+    assert(res.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("StreamingOps.countWindow fires every N watermark-ready events, never a partial window") {
+    val input = MemoryStream[Event]
+    def ev(id: Long, tsMs: Long, v: Double) = Event(id, new Timestamp(tsMs), 1L, "x", v)
+    val out = StreamingOps.countWindow[Event](
+      input.toDS().withWatermark("ts", "5 seconds"), _.user_id, _.event_id, _.tsUs, _.value, size = 2)
+    val q = out.writeStream.format("memory").queryName("cw_t").outputMode("append").start()
+    try {
+      // out-of-order arrival: 2 before 1 — the watermark gate must still
+      // window them in event-time order
+      input.addData(ev(2, 20000, 2.0), ev(1, 10000, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 40000, 3.0), ev(4, 41000, 4.0)) // wm → 36s: window(1,2) fires
+      q.processAllAvailable()
+      input.addData(ev(5, 60000, 5.0)) // wm → 55s: window(3,4) fires; 5 stays partial
+      q.processAllAvailable()
+      input.addData(ev(6, 99000, 6.0)) // wm → 94s: (5,6) still partial at fire time? no — both ready, fires
+      q.processAllAvailable()
+      val rows = spark.table("cw_t").as[StreamingOps.CountWinRow].collect().sortBy(_.wid)
+      assert(rows.map(r => (r.wid, r.first_id, r.last_id, r.sv)).toSeq ===
+        Seq((0L, 1L, 2L, 3.0), (1L, 3L, 4L, 7.0)))
+    } finally q.stop()
+  }
+
   test("SideOutputs.split routes rows first-match-wins and partitions completely") {
     val df = Seq((1, "error", 10.0), (2, "view", 99.0), (3, "view", 1.0)).toDF("id", "t", "v")
     val parts = SideOutputs.split(df, Seq(
