@@ -140,6 +140,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (SURVEY M6 dedup family;
+    * public-knowledge banded sign-LSH, Charikar 2002 + the MinHash
+    * banding trick): a pair is a candidate iff it agrees on ALL
+    * `rowsPerBand` hyperplane signs of SOME band, then candidates are
+    * exact-verified with the codegen'd cosine kernel and thresholded.
+    *
+    * Scale shape: one explode to `bands` rows per vector, one shuffle on
+    * (band, bucket), within-bucket self-join (`a < b` halves it), then a
+    * hash-agg dedup of multi-band hits. No all-pairs join anywhere; the
+    * band/bucket granularity bounds each task's join. Recall tuning:
+    * P(candidate) = 1 − (1 − p^r)^B with p = 1 − θ/π per sign bit —
+    * r=8, B=16 gives >0.999 at cosine ≥ 0.95. Like the MinHash/SimHash
+    * operators, verified by a planted-duplicate recall spec (no SQL
+    * oracle: bucket membership is hash-based).
+    */
+  def nearDupPairs(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      minCos: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val banded = corpus.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          lshBucket(col("embedding"), rowsPerBand, dim, seed + 7919L * b).as("bkt"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bkt"))
+    val lhs = banded.select(col("band"), col("bkt"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val rhs = banded.select(col("band"), col("bkt"), col("vec_id").as("b"), col("embedding").as("eb"))
+    lhs.join(rhs, Seq("band", "bkt"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine_sim(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= minCos)
+      .groupBy("a", "b") // a (a,b) pair can collide in several bands
+      .agg(round(max("c"), 4).as("cos"))
+  }
+
   /** Approximate nearest neighbors: bucket corpus AND queries by sign-LSH,
     * equi-join on bucket, rank within query by cosine. Probes only its
     * own bucket (single-probe) — recall measured against

@@ -169,6 +169,17 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify
+    * (no oracle: bucket membership is seeded-hyperplane specific; the
+    * planted-duplicate recall spec covers correctness). The synthetic
+    * embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
+    * driver threshold sits at 0.35 to exercise the full candidate →
+    * verify → dedup path on real volume.
+    */
+  def embNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.35)
+      .orderBy("a", "b")
+
   /** Multimodal binary-column pipeline (M6): documents text packed as
     * opaque media payloads; container features + frame sampling. The
     * oracle mirrors binary chunking through lowercase-hex strings
@@ -213,6 +224,7 @@ object PipelineQueries {
     Q("q_doc_simhash", docSimHash, None),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_ann", embAnn, None),
-    Q("q_emb_ivf", embIvf, None)
+    Q("q_emb_ivf", embIvf, None),
+    Q("q_emb_neardup", embNearDup, None)
   )
 }

@@ -96,11 +96,217 @@ object TpchQueries {
       |WHERE l_partkey = p_partkey
       |GROUP BY year(l_shipdate) ORDER BY ship_year""".stripMargin
 
+  /** Q1 pricing summary — the full 8-aggregate shape over
+    * returnflag × linestatus (map-side partial agg + tiny final shuffle).
+    */
+  val q1: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q2 shape (min-cost supplier): the schema has no partsupp, so the
+    * correlated MIN runs over the suppliers that actually shipped the
+    * part (via lineitem) — same decorrelated-scalar-subquery plan.
+    */
+  val q2: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 15 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND s_acctbal = (
+      |    SELECT min(s2.s_acctbal)
+      |    FROM supplier s2, lineitem l2, nation n2, region r2
+      |    WHERE p_partkey = l2.l_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |GROUP BY s_acctbal, s_name, n_name, p_partkey, p_type
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q4 shape (order priority with EXISTS): commit/receipt dates are not
+    * in the schema; the EXISTS probes late-shipping lineitems instead —
+    * same semi-join-after-decorrelation plan.
+    */
+  val q4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q6 forecasting revenue — pure scan + filter + single agg: the
+    * whole query should collapse into one WholeStageCodegen span over
+    * the parquet scan with every predicate pushed.
+    */
+  val q6: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q8 national market share — 7-table join, share-of-total via
+    * conditional aggregation per year.
+    */
+  val q8: String =
+    """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+      |    / sum(volume), 4) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND c_nationkey = n2.n_nationkey
+      |    AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |    AND s_nationkey = n1.n_nationkey AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q9 product type profit shape: no partsupp supplycost — retail price
+    * stands in as unit cost (profit = revenue − cost·qty), keeping the
+    * LIKE filter and per-nation-per-year rollup.
+    */
+  val q9: String =
+    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND l_orderkey = o_orderkey
+      |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 important-stock shape: supplier shipment value with a HAVING
+    * threshold from a global scalar subquery (same two-pass plan as the
+    * partsupp original).
+    */
+  val q11: String =
+    """SELECT s_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |GROUP BY s_suppkey
+      |HAVING sum(l_extendedprice * l_quantity) > (
+      |  SELECT 0.05 * sum(l_extendedprice * l_quantity)
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+      |ORDER BY value DESC, s_suppkey""".stripMargin
+
+  /** Q13 customer order-count distribution — LEFT outer join with an
+    * ON-clause filter, then a second aggregation over the counts.
+    */
+  val q13: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15 top supplier: revenue per supplier, winner(s) via a scalar MAX
+    * subquery over the same derived table.
+    */
+  val q15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q19 discounted revenue — the disjunction-of-conjunctions predicate
+    * (brand × size × quantity bands) that exercises OR-pushdown and
+    * join-condition hoisting.
+    */
+  val q19: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |    AND l_quantity >= 1 AND l_quantity <= 11 AND p_size BETWEEN 1 AND 5)
+      |  OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |    AND l_quantity >= 10 AND l_quantity <= 20 AND p_size BETWEEN 1 AND 10)
+      |  OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |    AND l_quantity >= 20 AND l_quantity <= 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  /** Q20 potential-promotion shape: nested IN chain (suppliers → parts →
+    * heavy shippers) without partsupp — the inner HAVING plays the
+    * excess-stock threshold role.
+    */
+  val q20: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |ORDER BY s_name, s_acctbal""".stripMargin
+
+  /** Q21 waiting-orders shape: EXISTS (another supplier on the order) +
+    * NOT EXISTS (another LATE supplier) — late = shipped after the order
+    * date, standing in for the missing receipt/commit dates.
+    */
+  val q21: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** Q22 global-sales-opportunity shape: no phone column — the nation
+    * key bucket plays the country-code role; keeps the avg-balance
+    * scalar subquery + NOT EXISTS anti join.
+    */
+  val q22: String =
+    """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM (
+      |  SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey % 5 IN (0, 1, 2)
+      |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01')) custsale
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   /** Q17's correlated scalar subquery compares l_quantity against a
     * per-part average — both engines decorrelate it to a join; the
     * single-row result is rounded to absorb summation-order noise.
     */
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q1", sql(q1), Some(q1)),
+    Q("q_tpch_q2", sql(q2), Some(q2)),
+    Q("q_tpch_q4", sql(q4), Some(q4)),
+    Q("q_tpch_q6", sql(q6), Some(q6)),
+    Q("q_tpch_q8", sql(q8), Some(q8)),
+    Q("q_tpch_q9", sql(q9), Some(q9)),
+    Q("q_tpch_q11", sql(q11), Some(q11)),
+    Q("q_tpch_q13", sql(q13), Some(q13)),
+    Q("q_tpch_q15", sql(q15), Some(q15)),
+    Q("q_tpch_q19", sql(q19), Some(q19)),
+    Q("q_tpch_q20", sql(q20), Some(q20)),
+    Q("q_tpch_q21", sql(q21), Some(q21)),
+    Q("q_tpch_q22", sql(q22), Some(q22)),
     Q("q_tpch_q7", sql(q7), Some(q7)),
     Q("q_tpch_q14", sql(q14), Some(q14)),
     Q("q_tpch_q5", sql(q5), Some(q5)),

@@ -52,6 +52,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("nearDupPairs finds every planted near-duplicate, no sub-threshold pair") {
+    // plant 10 near-dup pairs (cos > 0.98: tiny seeded perturbation) in a
+    // sea of 200 random vectors — banded LSH must recover ALL of them
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val planted = (0 until 10).map { i =>
+      val (origId, v) = base(i)
+      (1000L + origId, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(corpus, minCos = 0.95)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, 1000L + i)), s"missed planted pair $i")
+    }
+    // exact verification: nothing below the threshold leaks through
+    assert(pairs.forall(_._3 >= 0.95))
+  }
+
   test("cosine_sim kernel matches scala computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
