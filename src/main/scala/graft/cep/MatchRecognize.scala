@@ -88,9 +88,19 @@ object MatchRecognize {
   /** Per-row measures context for ALL ROWS PER MATCH (ref:
     * StreamExecMatch RUNNING/FINAL handling; SQL:2016): `classifier` =
     * CLASSIFIER(), `runningCnt` = RUNNING count(*) — rows of the match up
-    * to and including this one — and `finalCnt` = FINAL count(*).
+    * to and including this one — `finalCnt` = FINAL count(*), and
+    * `prev`/`next` = the PREV()/NEXT() navigation offsets over the
+    * match's rows (None off either end, like SQL's null).
     */
-  final case class RowCtx(classifier: String, runningCnt: Long, finalCnt: Long)
+  final case class RowCtx(classifier: String, runningCnt: Long, finalCnt: Long,
+      matchRows: Seq[(String, Any)] = Nil) {
+    private def at(i: Long): Option[Any] =
+      if (i >= 0 && i < matchRows.length) Some(matchRows(i.toInt)._2) else None
+    /** PREV(expr, n): the row `n` positions earlier in the match */
+    def prev(n: Int = 1): Option[Any] = at(runningCnt - 1 - n)
+    /** NEXT(expr, n): the row `n` positions later in the match */
+    def next(n: Int = 1): Option[Any] = at(runningCnt - 1 + n)
+  }
 
   /** Batch row-pattern matching over each partition ordered by event
     * time (ref: batch MATCH_RECOGNIZE path). `skip` selects the AFTER
@@ -125,8 +135,9 @@ object MatchRecognize {
     CEP.batchFlatMulti(ds, partitionBy, orderTsUs, compileMulti(pattern, define, skip),
       (k: K, m: PatternMatch[T]) => {
         val rows = m.rows
+        val ctxRows = rows.map { case (c, e) => (c, e: Any) }
         rows.zipWithIndex.map { case ((cls, e), i) =>
-          measures(k, e, RowCtx(cls, i + 1L, rows.size.toLong))
+          measures(k, e, RowCtx(cls, i + 1L, rows.size.toLong, ctxRows))
         }
       })
 }

@@ -766,7 +766,53 @@ object StreamingQueries {
         |FROM r GROUP BY 1, 2 HAVING count(*) = 5
         |ORDER BY user_id, wid""".stripMargin
 
+  /** Streaming CUMULATE via pane slicing (ref: the cumulate slicing in
+    * StreamExecWindowAggregate — aggregate step-sized panes once,
+    * assemble windows from panes): the STREAM runs a plain 15-minute
+    * tumbling aggregate (watermark-legal append mode, one pane of state
+    * per key), and the emitted panes expand statelessly into the
+    * expanding windows they feed. Emitted ⇔ wend within the flushed pane
+    * horizon (every pane of such a window has end ≤ watermark, so its
+    * sum is complete).
+    */
+  def streamCumulate(s: SparkSession, dir: String): DataFrame = {
+    val panes = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("svr")) // round AFTER assembly
+      .select(col("w.start").as("pstart"), col("cnt"), col("svr"))
+    val sunk = runToTable("stream_cumulate", panes, "append")
+    val horizon = sunk.agg(max(unix_micros(col("pstart")) + 900L * 1000000L)).head.getLong(0)
+    graft.operators.CumulateWindows.assemblePanes(sunk, "pstart", stepSec = 900, maxK = 4)
+      .filter(unix_micros(col("wend")) <= horizon)
+      .groupBy("wstart", "wend")
+      .agg(sum("cnt").as("cnt"), round(sum("svr"), 4).as("sv"))
+      .orderBy("wstart", "wend")
+  }
+
+  val streamCumulateSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |pane AS (
+        |  SELECT pstart, cnt, svr FROM (
+        |    SELECT time_bucket(INTERVAL '15 minutes', ts) AS pstart,
+        |      count(*) AS cnt, sum(value) AS svr
+        |    FROM ev GROUP BY 1)
+        |  WHERE pstart + INTERVAL '15 minutes' <= (SELECT w FROM wm)),
+        |mx AS (SELECT max(pstart) + INTERVAL '15 minutes' AS m FROM pane),
+        |base AS (SELECT *, date_trunc('hour', pstart) AS wstart,
+        |    CAST(floor(epoch(pstart - date_trunc('hour', pstart)) / 900) AS BIGINT) AS i FROM pane)
+        |SELECT * FROM (
+        |  SELECT wstart, wstart + k * INTERVAL '15 minutes' AS wend,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(svr), 4) AS sv
+        |  FROM base JOIN generate_series(1, 4) t(k) ON t.k > base.i
+        |  GROUP BY wstart, wend)
+        |WHERE wend <= (SELECT m FROM mx)
+        |ORDER BY wstart, wend""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_cumulate", streamCumulate, Some(streamCumulateSql)),
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
     Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),

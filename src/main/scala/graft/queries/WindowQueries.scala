@@ -143,7 +143,29 @@ object WindowQueries {
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY a.event_id""".stripMargin
 
+  /** CUMULATE windows, batch form (ref: windowing TVF CUMULATE(step 15m,
+    * size 1h)): each event feeds every expanding window that contains it
+    * — explode bounded by maxK, one shuffle to the aggregate.
+    */
+  def windowCumulate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CumulateWindows
+      .assign(Tables.events(s, dir), "ts", stepSec = 900, maxK = 4)
+      .groupBy("wstart", "wend")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .orderBy("wstart", "wend")
+
+  val windowCumulateSql: String =
+    Tables.eventsCte +
+      """
+        |, base AS (SELECT *, date_trunc('hour', ts) AS wstart,
+        |    CAST(floor(epoch(ts - date_trunc('hour', ts)) / 900) AS BIGINT) AS k0 FROM ev)
+        |SELECT wstart, wstart + k * INTERVAL '15 minutes' AS wend,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM base JOIN generate_series(1, 4) t(k) ON t.k > base.k0
+        |GROUP BY wstart, wend ORDER BY wstart, wend""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_window_cumulate", windowCumulate, Some(windowCumulateSql)),
     Q("q_window_tumble", windowTumble, Some(windowTumbleSql)),
     Q("q_window_hop", windowHop, Some(windowHopSql)),
     Q("q_window_session", windowSession, Some(windowSessionSql)),

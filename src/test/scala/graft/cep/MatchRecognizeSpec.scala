@@ -112,6 +112,18 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, "AB"), (4L, 5L, "BA")))
   }
 
+  test("PREV/NEXT navigate the match's own rows, null off the ends") {
+    val events = Seq(ev(1, 1000, "p"), ev(2, 2000, "p"), ev(3, 3000, "b")).toDS()
+    val out = MatchRecognize.allRows[Event, Long, (Long, Long, Long)](
+      events, _.user_id, _.tsUs, "P+ B",
+      Map("P" -> (_.event_type == "p"), "B" -> (_.event_type == "b")),
+      (_, e, ctx) => (e.event_id,
+        ctx.prev().map(_.asInstanceOf[Event].event_id).getOrElse(-1L),
+        ctx.next().map(_.asInstanceOf[Event].event_id).getOrElse(-1L)))
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, -1L, 2L), (2L, 1L, 3L), (3L, 2L, -1L)))
+  }
+
   test("rejects unknown pattern variables") {
     assertThrows[IllegalArgumentException] {
       MatchRecognize.compile[Event]("A B", Map("A" -> (_ => true)))
