@@ -7,7 +7,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (n <- Seq("q_agg_pricing", "q_join_inner", "q_emb_topk", "q_topn_group")) {
+    for (n <- args.toSeq) {
       println(s"===== $n")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
     }

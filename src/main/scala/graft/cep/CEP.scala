@@ -60,6 +60,25 @@ object CEP {
         .iterator.flatMap(m => emit(key, m))
     }
 
+  /** Batch ENUMERATING pattern matching (ref: Pattern.followedByAny /
+    * Quantifier.ALLOW_COMBINATIONS — the reference's kept "ignore"
+    * edges): every viable assignment emits as its own match, NoSkip
+    * across starts, capped per start. See NFA.findAllMatches.
+    */
+  def batchAll[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O,
+      maxPerStart: Int = 10000
+  ): Dataset[O] =
+    ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
+      val events = it.toIndexedSeq.sortBy(tsFn)
+      NFA.findAllMatches(events, tsFn, pattern, tsPerMs = 1000L, maxPerStart)
+        .iterator.map(m => emit(key, m))
+    }
+
   /** Per-key streaming state: events not yet consumed by an emitted
     * match and not yet expired below the matchable horizon.
     */

@@ -221,26 +221,216 @@ object NFA {
       }
     }
 
-    go(0, start, start - 1, None, Nil).map { case (acc, endIdx) =>
-      // Alternation re-attribution: a group stage's events re-bind under
-      // the first alternative whose predicate accepts each event (SQL
-      // lexicographic preference). acc entries are appended one per
-      // positive stage, in stage order — zip to recover the Stage.
-      val positives = pattern.stages.filterNot(_.negated)
-      val expanded = acc.zip(positives).flatMap { case ((sname, is), st) =>
-        if (st.alternatives.isEmpty) Seq(sname -> is)
-        else {
-          val byAlt = is.groupBy(i =>
-            st.alternatives.find(_._2(events(i))).map(_._1).getOrElse(sname))
-          st.alternatives.map(_._1).filter(byAlt.contains).map(a => a -> byAlt(a))
+    go(0, start, start - 1, None, Nil).map(r => buildMatch(events, pattern, start, r))
+  }
+
+  /** Attach events to the index accumulator and re-attribute alternation
+    * groups: a group stage's events re-bind under the first alternative
+    * whose predicate accepts each event (SQL lexicographic preference).
+    * acc entries are appended one per positive stage, in stage order —
+    * zip to recover the Stage.
+    */
+  private def buildMatch[T](events: IndexedSeq[T], pattern: Pattern[T], start: Int,
+      result: (List[(String, Seq[Int])], Int)): PatternMatch[T] = {
+    val (acc, endIdx) = result
+    val positives = pattern.stages.filterNot(_.negated)
+    val expanded = acc.zip(positives).flatMap { case ((sname, is), st) =>
+      if (st.alternatives.isEmpty) Seq(sname -> is)
+      else {
+        val byAlt = is.groupBy(i =>
+          st.alternatives.find(_._2(events(i))).map(_._1).getOrElse(sname))
+        st.alternatives.map(_._1).filter(byAlt.contains).map(a => a -> byAlt(a))
+      }
+    }
+    // same variable appearing in several stages (e.g. `(a|b) c (a|d)`)
+    // accumulates all its events, like the reference's shared buffer
+    val merged = expanded.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).sorted).toSeq
+    PatternMatch(merged.map { case (s, is) => s -> is.map(events(_)) }.toMap,
+      start, endIdx, merged.toMap)
+  }
+
+  /** ENUMERATING matcher (ref: the NFA edges Flink keeps alive for
+    * followedByAny / ALLOW_COMBINATIONS): per start index, every viable
+    * assignment becomes its own match — NoSkip semantics across starts —
+    * capped at `maxPerStart` against the combinatorial blowup the
+    * reference documents for these modes. Stages WITHOUT
+    * anyMatch/combinations keep single-match semantics (first successful
+    * candidate, greedy-first loop length), so a mixed pattern only
+    * branches where asked.
+    */
+  def findAllMatches[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      pattern: Pattern[T],
+      tsPerMs: Long = 1L,
+      maxPerStart: Int = 10000
+  ): Seq[PatternMatch[T]] = {
+    require(pattern.stages.nonEmpty, "empty pattern")
+    require(!pattern.stages.head.negated, "pattern cannot begin with a negated stage")
+    pattern.stages.filter(_.combinations).foreach(st =>
+      require(st.innerContiguity == Contiguity.Relaxed,
+        "allowCombinations and consecutive() are mutually exclusive"))
+    (0 until events.length).flatMap { start =>
+      enumFrom(events, ts, pattern, start, tsPerMs)
+        .take(maxPerStart)
+        .map(r => buildMatch(events, pattern, start, r))
+        .toSeq
+    }
+  }
+
+  private def enumFrom[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      pattern: Pattern[T],
+      start: Int,
+      tsPerMs: Long
+  ): Iterator[(List[(String, Seq[Int])], Int)] = {
+    val n = events.length
+    val startTs = ts(events(start))
+    val deadline = pattern.withinMs.map(w => startTs + w * tsPerMs).getOrElse(Long.MaxValue)
+    def inWindow(idx: Int): Boolean = ts(events(idx)) <= deadline
+
+    // contiguous-run prefixes, greedy order — identical to the
+    // single-match loop walk
+    def loopRuns(st: Stage[T], first: Int): Seq[Vector[Int]] = {
+      def stop(c: Int): Boolean = st.until.exists(u => u(events(c)))
+      val taken = mutable.ArrayBuffer[Int](first)
+      var continue = taken.length < st.quantifier.max
+      while (continue) {
+        val next: Option[Int] = st.innerContiguity match {
+          case Contiguity.Strict =>
+            val c = taken.last + 1
+            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+          case Contiguity.Relaxed =>
+            var c = taken.last + 1
+            while (c < n && inWindow(c) && !stop(c) && !st.where(events(c))) c += 1
+            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+        }
+        next match {
+          case Some(c) => taken += c; continue = taken.length < st.quantifier.max
+          case None    => continue = false
         }
       }
-      // same variable appearing in several stages (e.g. `(a|b) c (a|d)`)
-      // accumulates all its events, like the reference's shared buffer
-      val merged = expanded.groupBy(_._1).view
-        .mapValues(_.flatMap(_._2).sorted).toSeq
-      PatternMatch(merged.map { case (s, is) => s -> is.map(events(_)) }.toMap,
-        start, endIdx, merged.toMap)
+      val walk = taken.toVector
+      val minTake = math.max(st.quantifier.min, 1)
+      val lengths = minTake to walk.length
+      (if (st.greedy) lengths.reverse else lengths).map(k => walk.take(k))
     }
+
+    // any in-order subsequence anchored at `first` (gaps over MATCHING
+    // events allowed — the combinations semantics). Tail capped at 20
+    // choice events; within() is the real-world bound.
+    def loopCombos(st: Stage[T], first: Int): Seq[Vector[Int]] = {
+      val tail = {
+        val out = Vector.newBuilder[Int]
+        var c = first + 1
+        var stopped = false
+        while (!stopped && c < n && inWindow(c)) {
+          if (st.until.exists(u => u(events(c)))) stopped = true
+          else { if (st.where(events(c))) out += c; c += 1 }
+        }
+        out.result().take(20)
+      }
+      val subs = (0 until (1 << tail.length)).map { m =>
+        Vector(first) ++ tail.zipWithIndex.collect { case (idx, j) if (m & (1 << j)) != 0 => idx }
+      }
+      import scala.math.Ordering.Implicits._
+      subs.filter(v => v.length >= math.max(st.quantifier.min, 1) && v.length <= st.quantifier.max)
+        .sortBy(v => (-v.length, v)) // longest first, then earliest indices
+    }
+
+    def guardAllows(guard: Option[Stage[T]], prevEnd: Int, c: Int): Boolean = guard match {
+      case None => true
+      case Some(g) =>
+        g.contiguity match {
+          case Contiguity.Strict  => !(prevEnd + 1 < c && g.where(events(prevEnd + 1)))
+          case Contiguity.Relaxed => !(prevEnd + 1 until c).exists(j => g.where(events(j)))
+        }
+    }
+
+    def go(si: Int, from: Int, prevEnd: Int, guard: Option[Stage[T]],
+        acc: List[(String, Seq[Int])]): Iterator[(List[(String, Seq[Int])], Int)] = {
+      if (si == pattern.stages.length) {
+        if (prevEnd < start) Iterator.empty
+        else guard match {
+          case None => Iterator.single((acc, prevEnd))
+          case Some(g) =>
+            g.contiguity match {
+              case Contiguity.Strict =>
+                val c = prevEnd + 1
+                if (c < n && inWindow(c) && g.where(events(c))) Iterator.empty
+                else Iterator.single((acc, prevEnd))
+              case Contiguity.Relaxed =>
+                if (pattern.withinMs.isEmpty)
+                  throw new IllegalArgumentException("trailing notFollowedBy requires within()")
+                val bad = (prevEnd + 1 until n).exists(j => inWindow(j) && g.where(events(j)))
+                if (bad) Iterator.empty else Iterator.single((acc, prevEnd))
+            }
+        }
+      } else {
+        val st = pattern.stages(si)
+        if (st.negated) {
+          require(guard.isEmpty, "consecutive negated stages are not supported")
+          go(si + 1, from, prevEnd, Some(st), acc)
+        } else {
+          val isFirst = prevEnd < start
+          def takes(c: Int): Seq[Vector[Int]] =
+            if (st.quantifier.max == 1) Seq(Vector(c))
+            else if (st.combinations) loopCombos(st, c)
+            else loopRuns(st, c)
+          def after(tk: Vector[Int]): Iterator[(List[(String, Seq[Int])], Int)] =
+            go(si + 1, tk.last + 1, tk.last, None, acc :+ (st.name -> tk))
+          // combinations enumerates every take; otherwise single-match
+          // semantics keep only the FIRST take with a completion
+          def expand(c: Int): Iterator[(List[(String, Seq[Int])], Int)] =
+            if (st.combinations) takes(c).iterator.flatMap(after)
+            else takes(c).iterator.map(tk => after(tk).toSeq)
+              .find(_.nonEmpty).map(_.iterator).getOrElse(Iterator.empty)
+          val candidates: Seq[Int] =
+            if (isFirst) {
+              if (st.where(events(start)) && inWindow(start)) Seq(start) else Nil
+            } else st.contiguity match {
+              case Contiguity.Strict =>
+                val c = prevEnd + 1
+                if (c < n && inWindow(c) && st.where(events(c)) && guardAllows(guard, prevEnd, c))
+                  Seq(c)
+                else Nil
+              case Contiguity.Relaxed =>
+                // a relaxed-guard hit poisons every later candidate
+                val buf = Vector.newBuilder[Int]
+                var c = from
+                var poisoned = false
+                while (!poisoned && c < n && inWindow(c)) {
+                  if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.where(events(c))))
+                    poisoned = true
+                  else {
+                    if (st.where(events(c)) && guardAllows(guard, prevEnd, c)) buf += c
+                    c += 1
+                  }
+                }
+                buf.result()
+            }
+          val expansions: Iterator[(List[(String, Seq[Int])], Int)] =
+            if (st.anyMatch) candidates.iterator.flatMap(expand)
+            else {
+              // single-match stage: first candidate with ANY completion
+              // wins; all of ITS completions continue downstream
+              candidates.iterator.map(c => expand(c).toSeq)
+                .find(_.nonEmpty).map(_.iterator).getOrElse(Iterator.empty)
+            }
+          if (st.quantifier.min == 0) {
+            // optional: branch into the skip too when enumerating this
+            // stage; otherwise mimic single-match (skip only on failure)
+            lazy val skip = go(si + 1, from, prevEnd, guard, acc :+ (st.name -> Seq.empty[Int]))
+            if (st.anyMatch || st.combinations) expansions ++ skip
+            else if (expansions.hasNext) expansions
+            else skip
+          } else expansions
+        }
+      }
+    }
+
+    go(0, start, start - 1, None, Nil)
   }
 }

@@ -70,7 +70,17 @@ final case class Stage[T](
       * alternative does, and the event binds under the FIRST matching
       * alternative's name — SQL's lexicographic preference for
       * overlapping defines. Empty = plain single-variable stage. */
-    alternatives: Seq[(String, T => Boolean)] = Nil
+    alternatives: Seq[(String, T => Boolean)] = Nil,
+    /** followedByAny (ref: Pattern.followedByAny / the kept "ignore"
+      * edge on matching events): under [[NFA.findAllMatches]] EVERY
+      * matching candidate branches, not just the first — one match per
+      * alternative binding. No effect under the single-match matcher. */
+    anyMatch: Boolean = false,
+    /** allowCombinations (ref: Quantifier.ALLOW_COMBINATIONS): under
+      * [[NFA.findAllMatches]] a loop may take any in-order SUBSEQUENCE
+      * of its matching events (gaps over matching events allowed), not
+      * only contiguous runs. No effect under the single-match matcher. */
+    combinations: Boolean = false
 ) {
   def or(p: T => Boolean): Stage[T] = copy(where = e => where(e) || p(e))
 }
@@ -98,6 +108,14 @@ final case class Pattern[T](
     copy(stages = stages :+ Stage[T](name, _ => true, contiguity = Contiguity.Strict))
   def followedBy(name: String): Pattern[T] =
     copy(stages = stages :+ Stage[T](name, _ => true, contiguity = Contiguity.Relaxed))
+  /** relaxed contiguity, ALL matching candidates branch under the
+    * enumerating matcher (ref: Pattern.followedByAny) */
+  def followedByAny(name: String): Pattern[T] =
+    copy(stages = stages :+ Stage[T](name, _ => true,
+      contiguity = Contiguity.Relaxed, anyMatch = true))
+  /** the preceding loop may take any in-order subsequence under the
+    * enumerating matcher (ref: oneOrMore().allowCombinations()) */
+  def allowCombinations: Pattern[T] = updLast(_.copy(combinations = true))
   /** alternation group with strict contiguity — `next (A|B)` */
   def nextOneOf(alts: (String, T => Boolean)*): Pattern[T] =
     copy(stages = stages :+ Stage.oneOf(alts, Contiguity.Strict))

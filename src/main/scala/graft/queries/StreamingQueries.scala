@@ -64,10 +64,11 @@ object StreamingQueries {
     val spark = out.sparkSession
     // Stateful operators pay a per-partition state-store commit each
     // micro-batch; 32 shuffle partitions is pure overhead at local test
-    // scale. Scope a smaller setting to the streaming run (on a cluster
-    // this maps to sizing state partitions to executor count).
+    // scale (4 beat 8 by ~15-20% on the stream-stream joins at sf0.1).
+    // Scope the smaller setting to the streaming run — on a cluster this
+    // maps to sizing state partitions to executor count.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val qname = s"mem_$name"
       val q = out.writeStream
@@ -811,7 +812,37 @@ object StreamingQueries {
         |WHERE wend <= (SELECT m FROM mx)
         |ORDER BY wstart, wend""".stripMargin
 
+  /** followedByAny enumeration (ref: Pattern.followedByAny — the kept
+    * ignore edge): EVERY purchase within an hour of a signup pairs with
+    * it, one match per pair — the oracle is the plain interval join the
+    * semantics collapse to for a 2-stage pattern.
+    */
+  def cepAny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
+      .followedByAny("p").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    CEP.batchAll[Event, Long, (Long, Long)](ev, _.user_id, _.tsUs, pattern,
+      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id))
+      .toDF("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val cepAnySql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_cep_any", cepAny, Some(cepAnySql)),
     Q("q_stream_cumulate", streamCumulate, Some(streamCumulateSql)),
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
     Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),

@@ -207,6 +207,45 @@ class NFASpec extends AnyFunSuite {
     assert(m.rows.map(_._1) === Seq("a", "a", "b"))
   }
 
+  test("followedByAny enumerates one match per matching candidate") {
+    val p = Pattern.begin[E]("a").where(is("A")).followedByAny("b").where(is("B"))
+    val ms = NFA.findAllMatches(seq("A", "B", "X", "B", "B"), ts, p)
+    // start at A: three B candidates, one match each
+    assert(ms.map(m => (m.startIdx, m.indices("b").head)) === Seq((0, 1), (0, 3), (0, 4)))
+    // plain followedBy under the enumerating matcher keeps first-match
+    val single = Pattern.begin[E]("a").where(is("A")).followedBy("b").where(is("B"))
+    assert(NFA.findAllMatches(seq("A", "B", "X", "B", "B"), ts, single)
+      .map(m => m.indices("b").head) === Seq(1))
+  }
+
+  test("allowCombinations takes every in-order subsequence of the loop") {
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore.allowCombinations
+      .followedBy("b").where(is("B"))
+    val ms = NFA.findAllMatches(seq("A", "A", "A", "B"), ts, p)
+    val byStart = ms.groupBy(_.startIdx).view.mapValues(_.map(_.indices("a")).toSet).toMap
+    // anchor 0: subsets of {1,2} appended → 4; anchor 1: subsets of {2} → 2; anchor 2: 1
+    assert(byStart(0) === Set(Seq(0), Seq(0, 1), Seq(0, 2), Seq(0, 1, 2)))
+    assert(byStart(1) === Set(Seq(1), Seq(1, 2)))
+    assert(byStart(2) === Set(Seq(2)))
+    assert(ms.length === 7)
+  }
+
+  test("enumerating matcher equals single matcher on flag-free patterns (randomized)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("A", "B", "C")
+    for (_ <- 1 to 100) {
+      val events = seq(Vector.fill(8)(alphabet(rnd.nextInt(3))): _*)
+      val p = Pattern.begin[E]("a").where(is("A")).oneOrMore
+        .followedBy("b").where(is("B"))
+        .followedBy("c").where(is("C")).optional
+      val single = NFA.findMatches(events, ts, p) // NoSkip default
+      val all = NFA.findAllMatches(events, ts, p)
+      assert(all.map(m => (m.startIdx, m.endIdx, m.indices)) ===
+        single.map(m => (m.startIdx, m.endIdx, m.indices)),
+        s"divergence on ${events.map(_._2).mkString}")
+    }
+  }
+
   test("three-stage funnel with tsPerMs scaling") {
     val p = Pattern.begin[E]("s").where(is("S"))
       .followedBy("v").where(is("V"))
