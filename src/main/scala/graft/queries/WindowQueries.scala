@@ -164,7 +164,39 @@ object WindowQueries {
         |FROM base JOIN generate_series(1, 4) t(k) ON t.k > base.k0
         |GROUP BY wstart, wend ORDER BY wstart, wend""".stripMargin
 
+  /** Session windows with a DYNAMIC gap (ref: SessionWindowTimeGapExtractor
+    * / EventTimeSessionWindows.withDynamicGap): each event extends its
+    * session by its own gap — purchases keep sessions alive 60 minutes,
+    * everything else 15. The oracle replays the merge rule directly: a
+    * new session starts when an event's time reaches the running max of
+    * (prior ts + prior gap), in exact microseconds.
+    */
+  def windowSessionDynamic(s: SparkSession, dir: String): DataFrame = {
+    // gap must be CalendarIntervalType: string forms, not DayTimeInterval
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("15 minutes"))
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("sstart"), col("cnt"))
+      .orderBy("user_id", "sstart")
+  }
+
+  val windowSessionDynamicSql: String =
+    Tables.eventsCte +
+      """
+        |, g AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 900000000 END AS gap_us FROM ev),
+        |m AS (SELECT *,
+        |    max(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+        |  FROM g),
+        |s AS (SELECT *, CASE WHEN reach IS NULL OR epoch_us(ts) >= reach THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts) AS sstart, count(*) AS cnt
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_window_session_dynamic", windowSessionDynamic, Some(windowSessionDynamicSql)),
     Q("q_window_cumulate", windowCumulate, Some(windowCumulateSql)),
     Q("q_window_tumble", windowTumble, Some(windowTumbleSql)),
     Q("q_window_hop", windowHop, Some(windowHopSql)),
