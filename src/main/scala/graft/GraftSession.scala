@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 64m broadcast ceiling (vs 10m default): the dedup/similarity
+      // verify phases re-attach a payload table to millions of candidate
+      // pairs — broadcasting the payload side up to executor-memory-safe
+      // sizes removes two shuffles of the (big) pair stream. Standard
+      // prod knob; at cluster scale the same setting rides executor RAM.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -841,7 +841,41 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** Evictor window (ref: WindowedStream.evictor — CountEvictor(3)
+    * before the window function): hourly tumbling windows per user keep
+    * only their LAST 3 events (by event time) when firing; the window
+    * function aggregates the survivors.
+    */
+  def streamEvictWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.evictingTumbleWindow[Event](
+      ev, _.user_id, _.event_id, _.tsUs, _.value,
+      windowUs = 3600L * 1000000L, keepCount = Some(3))
+    runToTable("stream_evict", out.toDF(), "append")
+      .select(col("key").as("user_id"), timestamp_micros(col("wstartUs")).as("wstart"),
+        col("cnt"), round(col("sv"), 4).as("sv"))
+      .orderBy("user_id", "wstart")
+  }
+
+  val streamEvictWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |r AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS wstart, value,
+        |    row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, wstart, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM r WHERE rn <= 3 AND wstart + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |GROUP BY 1, 2 ORDER BY user_id, wstart""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
     Q("q_cep_any", cepAny, Some(cepAnySql)),
     Q("q_stream_cumulate", streamCumulate, Some(streamCumulateSql)),
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),

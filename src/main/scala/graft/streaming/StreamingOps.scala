@@ -212,6 +212,59 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Tumbling event-time window with an EVICTOR and a user window
+    * function (ref: WindowedStream.evictor:190 — CountEvictor.java /
+    * TimeEvictor.java — + apply(ProcessWindowFunction)): elements buffer
+    * per (key, window); when the watermark passes the window end, the
+    * evictor prunes the buffer (keep the last `keepCount` elements
+    * and/or only those within `keepLastMs` of the window's max
+    * timestamp — both BEFORE the function, like the reference's
+    * evictBefore), then `fn` sees the surviving elements in (ts, id)
+    * order. State is one pruned buffer per open window per key.
+    */
+  final case class EvictWinState(buffer: Seq[(Long, Long, Double)])
+  final case class EvictWinRow(key: Long, wstartUs: Long, cnt: Long, sv: Double)
+
+  def evictingTumbleWindow[T](
+      ds: Dataset[T],
+      keyFn: T => Long,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Double,
+      windowUs: Long,
+      keepCount: Option[Int] = None,
+      keepLastUs: Option[Long] = None
+  )(implicit te: Encoder[T]): Dataset[EvictWinRow] = {
+    import ds.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[T], state: GroupState[EvictWinState]): Iterator[EvictWinRow] = {
+      val st = if (state.exists) state.get else EvictWinState(Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val all = (st.buffer ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
+        .sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(e => (e._1 / windowUs + 1) * windowUs <= wmUs)
+      val out = ready.groupBy(_._1 / windowUs).toSeq.sortBy(_._1).map { case (w, elems) =>
+        val maxTs = elems.map(_._1).max
+        val afterTime = keepLastUs match {
+          case Some(t) => elems.filter(_._1 >= maxTs - t)
+          case None    => elems
+        }
+        val kept = keepCount match {
+          case Some(c) => afterTime.takeRight(c)
+          case None    => afterTime
+        }
+        EvictWinRow(key, w * windowUs, kept.length.toLong, kept.map(_._3).sum)
+      }
+      if (hold.isEmpty) state.remove()
+      else {
+        state.update(EvictWinState(hold))
+        state.setTimeoutTimestamp(((hold.head._1 / windowUs + 1) * windowUs) / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value

@@ -80,6 +80,25 @@ class MiscOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evictingTumbleWindow: time evictor keeps only the tail of each fired window") {
+    val input = MemoryStream[Event]
+    def ev(id: Long, tsMs: Long, v: Double) = Event(id, new Timestamp(tsMs), 1L, "x", v)
+    // 10s windows; TimeEvictor keeps elements within 3s of the window max
+    val out = StreamingOps.evictingTumbleWindow[Event](
+      input.toDS().withWatermark("ts", "2 seconds"), _.user_id, _.event_id, _.tsUs, _.value,
+      windowUs = 10L * 1000000L, keepLastUs = Some(3L * 1000000L))
+    val q = out.writeStream.format("memory").queryName("evict_t").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1.0), ev(2, 5000, 2.0), ev(3, 8000, 4.0), ev(4, 9000, 8.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 15000, 16.0)) // wm → 13s: window [0,10) fires
+      q.processAllAvailable()
+      val rows = spark.table("evict_t").as[StreamingOps.EvictWinRow].collect()
+      // max ts 9s → keep >= 6s: events 3 and 4 survive, 1 and 2 evicted
+      assert(rows.map(r => (r.wstartUs, r.cnt, r.sv)).toSeq === Seq((0L, 2L, 12.0)))
+    } finally q.stop()
+  }
+
   test("SideOutputs.split routes rows first-match-wins and partitions completely") {
     val df = Seq((1, "error", 10.0), (2, "view", 99.0), (3, "view", 1.0)).toDF("id", "t", "v")
     val parts = SideOutputs.split(df, Seq(
