@@ -70,6 +70,17 @@ object GraftFunctions {
     // of the ANSI-mode error element_at raises in Spark 4.
     try_element_at(split(c, java.util.regex.Pattern.quote(sep)), lit(index + 1))
 
+  /** SINGLE_VALUE aggregate (ref: FlinkSqlOperatorTable SINGLE_VALUE —
+    * the scalar-subquery enforcement agg): the group's one value, or a
+    * runtime error if the group has more than one row. Composed from
+    * codegen'd built-ins (count guard + first), so it plans as a normal
+    * two-phase aggregate.
+    */
+  def single_value(c: Column): Column =
+    when(count(lit(1)) > 1,
+      raise_error(lit("SINGLE_VALUE: group contains more than one row")))
+      .otherwise(first(c))
+
   /** SQL-side registration so `spark.sql("SELECT hash_code(x) ...")`
     * resolves; idempotent.
     */

@@ -141,6 +141,20 @@ object MiscQueries {
         |  AND ((t1 = 'click' AND t2 = 'view') OR (t1 = 'view' AND t2 = 'click'))
         |ORDER BY s_id""".stripMargin
 
+  /** SINGLE_VALUE aggregate (ref: FlinkSqlOperatorTable SINGLE_VALUE):
+    * enforced-singleton groups — region keys are unique, so each group
+    * yields its one name; a multi-row group would raise at runtime
+    * (error path covered in GraftFunctionsSpec).
+    */
+  def fnSingleValue(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir)
+      .groupBy("r_regionkey")
+      .agg(graft.functions.GraftFunctions.single_value(col("r_name")).as("name"))
+      .orderBy("r_regionkey")
+
+  val fnSingleValueSql: String =
+    "SELECT r_regionkey, min(r_name) AS name FROM region GROUP BY 1 ORDER BY 1"
+
   /** Lookup join (ref: StreamExecLookupJoin): events enriched against
     * the customer dimension by point lookup; unmatched keep NULLs.
     */
@@ -238,6 +252,7 @@ object MiscQueries {
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
     Q("q_match_alternation", matchAlternation, Some(matchAlternationSql)),
     Q("q_match_permute", matchPermute, Some(matchPermuteSql)),
+    Q("q_fn_single_value", fnSingleValue, Some(fnSingleValueSql)),
     Q("q_lookup_join", lookupJoin, Some(lookupJoinSql)),
     Q("q_fn_string2", fnString2, Some(fnString2Sql))
   )

@@ -767,6 +767,32 @@ object StreamingQueries {
         |FROM r GROUP BY 1, 2 HAVING count(*) = 5
         |ORDER BY user_id, wid""".stripMargin
 
+  /** Streaming sliding/hopping window (ref: SlidingEventTimeWindows /
+    * SQL HOP): 1-hour windows every 30 minutes, append mode — each
+    * event feeds 2 windows; emitted ⇔ window end ≤ final watermark.
+    */
+  def streamHop(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("wstart"), col("cnt"), col("sv"))
+    runToTable("stream_hop", out, "append").orderBy("wstart")
+  }
+
+  val streamHopSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |expanded AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM ev
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM ev)
+        |SELECT wstart, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM expanded GROUP BY wstart
+        |HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        |ORDER BY wstart""".stripMargin
+
   /** Streaming CUMULATE via pane slicing (ref: the cumulate slicing in
     * StreamExecWindowAggregate — aggregate step-sized panes once,
     * assemble windows from panes): the STREAM runs a plain 15-minute
@@ -876,6 +902,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
+    Q("q_stream_hop", streamHop, Some(streamHopSql)),
     Q("q_cep_any", cepAny, Some(cepAnySql)),
     Q("q_stream_cumulate", streamCumulate, Some(streamCumulateSql)),
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),

@@ -54,4 +54,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // partial (map-side) + final top-k aggregate instead
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("q_tpch_q6 pushes every predicate to the scan and aggregates in one span") {
+    val p = planString("q_tpch_q6")
+    // toString truncates long filter lists — assert the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown:\n$p")
+    assert(!p.contains("Join"), s"scan-agg query grew a join:\n$p")
+  }
+
+  test("q_window_cumulate: bounded explode, no join, single agg exchange") {
+    val p = planString("q_window_cumulate")
+    assert(p.contains("Generate explode"), s"explode missing:\n$p")
+    assert(!p.contains("Join"), s"cumulate should not join:\n$p")
+  }
+
+  test("q_emb_neardup candidates come from a bucket equi-join, never a cartesian") {
+    val p = planString("q_emb_neardup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
 }

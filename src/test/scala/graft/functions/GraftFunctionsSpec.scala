@@ -64,4 +64,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(0) === "abc".hashCode)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("single_value returns the singleton and raises on multi-row groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ok = Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .groupBy("k").agg(GraftFunctions.single_value(col("v")).as("v"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(ok.toSeq === Seq((1, "a"), (2, "b")))
+    val multi = Seq((1, "a"), (1, "b")).toDF("k", "v")
+      .groupBy("k").agg(GraftFunctions.single_value(col("v")).as("v"))
+    val e = intercept[Exception] { multi.collect() }
+    assert(e.getMessage.contains("SINGLE_VALUE"))
+  }
 }
