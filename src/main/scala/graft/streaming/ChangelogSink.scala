@@ -99,4 +99,56 @@ object ChangelogSink {
         .drop("__rn", batchCol)
     }
   }
+
+  /** JDBC upsert sink (ref: flink-jdbc JdbcUpsertTableSink /
+    * TableJdbcUpsertOutputFormat): each micro-batch merges
+    * EXECUTOR-PARALLEL into a keyed table — one connection per
+    * partition, UPDATE-then-INSERT per key (the dialect-portable MERGE).
+    * Key-based last-writer-wins makes replayed batches rewrite the same
+    * state — the idempotence the two-phase-commit contract needs from a
+    * keyed external store. Runs here against embedded Derby (the
+    * environment's only DB); against a server-mode DB the same code
+    * fans out one connection per executor partition.
+    */
+  object JdbcUpsertSink {
+
+    def ensureTable(url: String, table: String, ddlColumns: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().executeUpdate(s"CREATE TABLE $table ($ddlColumns)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+      finally conn.close()
+    }
+
+    def writer(updates: DataFrame, url: String, table: String,
+        keyCols: Seq[String]): DataStreamWriter[Row] = {
+      val cols = updates.columns.toSeq
+      val valCols = cols.filterNot(keyCols.contains)
+      def q(c: String) = "\"" + c + "\"" // quoted: column names may be SQL reserved words
+      val update = s"UPDATE $table SET ${valCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+      val insert = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      updates.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.foreachPartition { rows: Iterator[Row] =>
+            if (rows.nonEmpty) {
+              val conn = java.sql.DriverManager.getConnection(url)
+              try {
+                val up = conn.prepareStatement(update)
+                val ins = conn.prepareStatement(insert)
+                rows.foreach { r =>
+                  valCols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
+                  keyCols.zipWithIndex.foreach { case (c, i) => up.setObject(valCols.length + i + 1, r.getAs[Any](c)) }
+                  if (up.executeUpdate() == 0) {
+                    cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+                    ins.executeUpdate()
+                  }
+                }
+              } finally conn.close()
+            }
+          }
+        }
+    }
+  }
 }
