@@ -58,6 +58,22 @@ class NFAPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("A followedByAny B enumerates exactly the all-pairs brute force (25ms window)") {
+    val p = Pattern.begin[E]("a").where(_._2 == "A").followedByAny("b").where(_._2 == "B")
+      .within(25.millis)
+    forAll(eventsGen) { events =>
+      val nfa = NFA.findAllMatches(events, ts, p)
+        .map(m => (m.indices("a").head, m.indices("b").head))
+      // independent model: EVERY (A, later B within window) pair
+      val ref = for {
+        i <- events.indices if events(i)._2 == "A"
+        j <- (i + 1) until events.length
+        if events(j)._2 == "B" && ts(events(j)) <= ts(events(i)) + 25L
+      } yield (i, j)
+      assert(nfa.sorted === ref.sorted)
+    }
+  }
+
   test("strict A next B agrees with adjacency brute force") {
     val p = Pattern.begin[E]("a").where(_._2 == "A").next("b").where(_._2 == "B")
     forAll(eventsGen) { events =>
