@@ -94,6 +94,38 @@ object CEP {
       tsFn: T => Long,
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => O
+  )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] =
+    streamingWith(ds, keyFn, tsFn, pattern, emit,
+      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findMatches(evs, tsFn, p, tsPerMs = 1000L))
+
+  /** Streaming ENUMERATING pattern matching (followedByAny /
+    * allowCombinations): every viable assignment emits exactly once,
+    * when its start becomes decidable. Enumeration implies NoSkip, so
+    * no event is retired on emission — the within-horizon expiry both
+    * bounds state and prevents re-emission (a decidable start is, by
+    * the same inequality, an expired one).
+    */
+  def streamingAll[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O,
+      maxPerStart: Int = 10000
+  )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
+    require(pattern.afterMatch == AfterMatch.NoSkip,
+      "enumerating CEP is NoSkip by construction")
+    streamingWith(ds, keyFn, tsFn, pattern, emit,
+      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findAllMatches(evs, tsFn, p, tsPerMs = 1000L, maxPerStart))
+  }
+
+  private def streamingWith[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O,
+      matcher: (IndexedSeq[T], Pattern[T]) => Seq[PatternMatch[T]]
   )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
     // tsFn is in MICROseconds (matching parquet timestamp precision so
     // same-millisecond events keep a stable order); GroupState watermarks
@@ -107,7 +139,7 @@ object CEP {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // decidable starts: t0 + within <= watermark — every event that
       // could belong to such a match has arrived
-      val matches = NFA.findMatches(all, tsFn, pattern, tsPerMs = 1000L)
+      val matches = matcher(all, pattern)
         .filter(m => tsFn(all(m.startIdx)) + withinUs <= wmUs)
       val consumed: Set[Int] = pattern.afterMatch match {
         case AfterMatch.SkipPastLast =>

@@ -900,7 +900,40 @@ object StreamingQueries {
         |FROM r WHERE rn <= 3 AND wstart + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         |GROUP BY 1, 2 ORDER BY user_id, wstart""".stripMargin
 
+  /** STREAMING followedByAny enumeration (ref: CepOperator with the
+    * kept ignore edge): each (signup, purchase-within-1h) pair emits
+    * exactly once, when its signup clears the decidability horizon
+    * (signup + within ≤ final watermark).
+    */
+  def streamCepAny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
+      .followedByAny("p").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    val out = CEP.streamingAll[Event, Long, (Long, Long)](ev, _.user_id, _.tsUs, pattern,
+      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id))
+    runToTable("stream_cep_any", out.toDF("a_id", "b_id"), "append")
+      .orderBy("a_id", "b_id")
+  }
+
+  val streamCepAnySql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
     Q("q_stream_hop", streamHop, Some(streamHopSql)),
     Q("q_cep_any", cepAny, Some(cepAnySql)),
