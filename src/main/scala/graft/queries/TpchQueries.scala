@@ -212,8 +212,12 @@ object TpchQueries {
       |  GROUP BY c_custkey) c_orders
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
-  /** Q15 top supplier: revenue per supplier, winner(s) via a scalar MAX
-    * subquery over the same derived table.
+  /** Q15 top supplier. The textbook scalar-MAX-subquery form references
+    * the revenue view twice, and BOTH engines inline it into two full
+    * lineitem scan+agg subtrees — at scale that doubles the dominant
+    * scan. The empty-frame window max keeps one evaluation (the window
+    * runs over the ~|suppliers| aggregate, not the fact table) with
+    * identical semantics, so the shared SQL is the scale-correct form.
     */
   val q15: String =
     """WITH revenue AS (
@@ -223,9 +227,9 @@ object TpchQueries {
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, total_revenue
-      |FROM supplier, revenue
-      |WHERE s_suppkey = supplier_no
-      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |FROM supplier,
+      |  (SELECT supplier_no, total_revenue, max(total_revenue) OVER () AS mx FROM revenue) r
+      |WHERE s_suppkey = supplier_no AND total_revenue = mx
       |ORDER BY s_suppkey""".stripMargin
 
   /** Q19 discounted revenue — the disjunction-of-conjunctions predicate
