@@ -185,19 +185,20 @@ object TpchQueries {
       |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%') profit
       |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
 
-  /** Q11 important-stock shape: supplier shipment value with a HAVING
-    * threshold from a global scalar subquery (same two-pass plan as the
-    * partsupp original).
+  /** Q11 important-stock shape: supplier shipment value against a
+    * share-of-total threshold. The textbook HAVING-scalar-subquery form
+    * repeats the whole join+agg; the window total over the grouped
+    * result keeps one pass (same single-scan rationale as Q15).
     */
   val q11: String =
-    """SELECT s_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS value
-      |FROM lineitem, supplier, nation
-      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
-      |GROUP BY s_suppkey
-      |HAVING sum(l_extendedprice * l_quantity) > (
-      |  SELECT 0.05 * sum(l_extendedprice * l_quantity)
+    """SELECT s_suppkey, value FROM (
+      |  SELECT s_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS value,
+      |    sum(l_extendedprice * l_quantity) AS raw,
+      |    sum(sum(l_extendedprice * l_quantity)) OVER () AS tot
       |  FROM lineitem, supplier, nation
-      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |  GROUP BY s_suppkey)
+      |WHERE raw > 0.05 * tot
       |ORDER BY value DESC, s_suppkey""".stripMargin
 
   /** Q13 customer order-count distribution — LEFT outer join with an
