@@ -22,12 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // 64m broadcast ceiling (vs 10m default): the dedup/similarity
-      // verify phases re-attach a payload table to millions of candidate
-      // pairs — broadcasting the payload side up to executor-memory-safe
-      // sizes removes two shuffles of the (big) pair stream. Standard
-      // prod knob; at cluster scale the same setting rides executor RAM.
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Broadcast threshold stays at the 10m default: raising it globally
+      // flips fact-fact joins (lineitem⋈orders at bench scale) into
+      // broadcasts, which at cluster scale means shipping multi-GB build
+      // sides to every executor. Joins that WANT a big broadcast payload
+      // (dedup/similarity verify phases) carry an explicit broadcast()
+      // hint at the join site instead, where the size reasoning lives.
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {
