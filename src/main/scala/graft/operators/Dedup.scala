@@ -84,8 +84,23 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs, verified with true Jaccard.
     * bands·rows = numPerms; a pair collides if any band of `rows`
     * signature slots matches exactly (P[collide] = 1−(1−j^r)^b). Shuffles:
-    * one on (band, signature-slice) for candidates, one token-explode
-    * join to verify — both bucketed.
+    * one on (band, signature-slice) for candidates, one hash-agg dedup of
+    * multi-band hits — both bucketed.
+    *
+    * `maxBucket` is the hot-bucket lever (the LSH analog of
+    * [[jaccardPairs]]' `maxDf`): a band bucket holding m documents emits
+    * m²/2 candidate rows, so one degenerate bucket — a boilerplate-heavy
+    * corpus where thousands of docs share a band signature — turns into
+    * a single quadratic task. Buckets over the cap are dropped; a true
+    * pair in a dropped bucket is still found through any of its other
+    * bands, so recall degrades gracefully instead of the job going
+    * quadratic (standard LSH practice).
+    *
+    * `broadcastVerify` broadcasts the token-set payload to the verify
+    * join so the (much bigger) candidate-pair stream never shuffles and
+    * each document's token set is materialized once. Set false when the
+    * corpus token table exceeds executor memory — Catalyst then picks a
+    * shuffled join keyed on doc id.
     */
   def minHashPairs(
       docs: DataFrame,
@@ -93,7 +108,9 @@ object Dedup {
       rows: Int = 8,
       verifyThreshold: Double = 0.85,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      maxBucket: Option[Int] = Some(4096),
+      broadcastVerify: Boolean = true
   ): DataFrame = {
     // Phase 1 — candidates: explode band signatures and self-join on
     // (band, key) carrying ONLY doc ids. On self-similar corpora the
@@ -103,35 +120,138 @@ object Dedup {
     val sigs = docs.select(
       col(idCol).as("id"),
       minHashSignature(col(textCol), bands * rows).as("sig"))
-    val banded = sigs.select(
+    // Spread the probe side BEFORE the self-join: a small corpus file
+    // scans as one partition, and a broadcast self-join inherits the
+    // probe side's partitioning — without this, every within-bucket
+    // pair (quadratic in bucket size!) is produced and deduped on a
+    // single core. Hash-repartitioning the (tiny) sig rows on (id, band)
+    // also spreads a hot bucket's probe rows across tasks, so one
+    // degenerate bucket cannot pin one task (cap aside). Deterministic
+    // (column-hash, not round-robin) → safe under task retries.
+    val banded0 = sigs.select(
       col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"), concat_ws(",", slice(col("sig"), j * rows + 1, rows)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+      // explicit partition count: AQE would coalesce a by-size estimate
+      // of the tiny sig rows back to one partition, re-serializing the
+      // (quadratic) join work it feeds
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"), col("band"))
+    val banded = maxBucket match {
+      case Some(cap) =>
+        // the over-cap bucket list is tiny by construction → broadcast anti-join
+        val hot = banded0.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select("band", "key")
+        banded0.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      case None => banded0
+    }
     val cands = banded.as("x")
       .join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"))
-      .dropDuplicates("da", "db")
-    // Phase 2 — verify: attach the two token sets to each surviving
-    // pair (docs side is join-key partitioned; Catalyst broadcasts it
-    // when small) and compute exact Jaccard.
-    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    // Phase 2 — verify, THEN dedup multi-band hits: attach the two
+    // token-hash sets (sorted longs, see TokenHashes) to each raw
+    // candidate; |A∩B| is one two-pointer merge per pair and |A∪B| =
+    // |A|+|B|−|A∩B| over the array lengths — no string comparisons, no
+    // per-pair allocation. Verifying before deduplication is deliberate:
+    // the merge is so cheap that re-verifying a pair once per colliding
+    // band costs less than globally deduplicating the (much larger) raw
+    // candidate stream — the exchange then carries only verified
+    // survivors. All copies of a pair compute the identical jacc, so the
+    // final hash-agg keeps any one.
+    val toks0 = docs.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+    val toks = if (broadcastVerify) broadcast(toks0) else toks0
     cands
-      .join(toks.select(col("id").as("da"), col("ts").as("ta")), "da")
-      .join(toks.select(col("id").as("db"), col("ts").as("tb")), "db")
+      .join(toks.select(col("id").as("da"), col("th").as("ta")), "da")
+      .join(toks.select(col("id").as("db"), col("th").as("tb")), "db")
       // size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
       // pairs failing the ratio can never clear the threshold — prunes
-      // before the O(|A|+|B|) intersect.
+      // before the O(|A|+|B|) merge.
       .filter(
         least(size(col("ta")), size(col("tb"))).cast("double") /
           greatest(size(col("ta")), size(col("tb"))) >= verifyThreshold)
+      .withColumn("i", ColumnBridge.column(graft.functions.SortedIntersectCount(
+        ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb")))))
       .withColumn("jacc",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))))
+        col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
       .filter(col("jacc") >= verifyThreshold)
-      .select("da", "db", "jacc")
+      .groupBy("da", "db").agg(first("jacc").as("jacc"))
+  }
+
+  /** Sorted distinct token-hash set (array<long>) for a text column —
+    * the verify-phase representation used by [[minHashPairs]].
+    */
+  def tokenHashes(textCol: Column): Column =
+    ColumnBridge.column(graft.functions.TokenHashes(
+      ColumnBridge.expression(TextAnalysis.tokenSet(textCol))))
+
+  /** Near-dup CLUSTER assignment: (doc_id, keeper) where keeper is the
+    * minimum doc id in the document's connected component over verified
+    * MinHash near-dup edges (true Jaccard ≥ `verifyThreshold`).
+    * Singletons keep themselves. This is the contract real dedup
+    * pipelines want — "which row do I keep" — and unlike the all-pairs
+    * output of [[minHashPairs]] it is linear in corpus size, not
+    * quadratic in cluster size.
+    *
+    * Components by min-label propagation: each round every doc takes the
+    * min of its own label and its neighbors' labels; near-dup components
+    * are dense (near-cliques), so the loop converges in a handful of
+    * rounds. Per round: one join of the (small, verified) edge list with
+    * the label table and one hash-agg — all hash-partitioned on doc id,
+    * nothing driver-side but the convergence flag. For adversarially
+    * long path-shaped graphs the alternating large-star/small-star
+    * rounds of Kiveris et al. (2014) bound the iteration count; dedup
+    * graphs do not need them.
+    *
+    * Defaults use bands=16 × rows=4 (same 64-perm signature cost as
+    * [[minHashPairs]]' 8×8): P[miss | j ≥ 0.9] = (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸,
+    * so the candidate stage is effectively exhaustive at the 0.9
+    * verify threshold and the output is deterministic — it equals
+    * min-id-over-true-Jaccard-components, which a SQL oracle can check.
+    */
+  def minHashClusters(
+      docs: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      verifyThreshold: Double = 0.9,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucket: Option[Int] = Some(4096),
+      maxIter: Int = 25
+  ): DataFrame = {
+    val edges0 = minHashPairs(docs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
+      .select(col("da"), col("db"))
+    // Contraction components: each round every node relabels to the min
+    // of itself and its neighborhood, then the edge list is rewritten in
+    // label space (self-loops dropped, parallel edges merged). Near-dup
+    // components are dense, so almost everything collapses in the first
+    // round and the edge list shrinks brutally — the loop runs O(log
+    // component-diameter) rounds on rapidly vanishing data instead of
+    // O(diameter) rounds over the full adjacency (plain label
+    // propagation took 8 full-size rounds on the bench corpus). Per
+    // round: one hash-agg and two joins keyed on node id — all
+    // distributed; the driver sees only the emptiness flag.
+    var mapping = docs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
+    var e = edges0.union(edges0.select(col("db"), col("da"))).toDF("u", "v").localCheckpoint()
+    var i = 0
+    while (i < maxIter && !e.isEmpty) {
+      val l = e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("x"), least(col("u"), col("mn")).as("lx"))
+        .localCheckpoint()
+      // compose into the doc mapping (docs absent from e keep their label)
+      mapping = mapping.join(l.withColumnRenamed("x", "lbl"), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lx"), col("lbl")).as("lbl")).localCheckpoint()
+      // contract the edge list into label space
+      e = e.join(l.toDF("u", "lu"), "u").join(l.toDF("v", "lv"), "v")
+        .select(col("lu").as("u"), col("lv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      i += 1
+    }
+    mapping.select(col("id").as(idCol), col("lbl").as("keeper"))
   }
 
   /** SimHash near-dup groups via pigeonhole banding: split the 64-bit
@@ -147,6 +267,11 @@ object Dedup {
         struct(lit(j).as("ci"), shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("c"))
       .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+      // spread probe rows pre-join — see the matching comment in
+      // minHashPairs; without it a single-file corpus runs the whole
+      // within-chunk pair generation on one core
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"), col("ci"))
     chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"),

@@ -123,6 +123,37 @@ object PipelineQueries {
     Dedup.minHashPairs(Tables.documents(s, dir))
       .orderBy("da", "db")
 
+  /** MinHash near-dup cluster keepers: (doc_id, keeper) with keeper the
+    * min doc_id of the connected component over true-Jaccard ≥ 0.9
+    * edges. Oracle-able even though candidate generation is
+    * xxhash64-based: at bands=16 × rows=4 the candidate miss probability
+    * for a pair at j ≥ 0.9 is (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸, so the verified edge
+    * set equals the exact-Jaccard edge set and keeper assignment is
+    * deterministic. The oracle rebuilds the same edges in SQL and takes
+    * component minima with a recursive reachability CTE.
+    */
+  def docMinHashKeeper(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashClusters(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  val docMinHashKeeperSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |e AS (SELECT da, db FROM inter
+       |  JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |  WHERE i / (ca.sz + cb.sz - i) >= 0.9),
+       |edges AS (SELECT da AS u, db AS v FROM e UNION ALL SELECT db AS u, da AS v FROM e),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, edges.v AS r FROM reach JOIN edges ON edges.u = reach.r)
+       |SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs (no oracle: xxhash64-based). maxHamming = 3
     * keeps the 4×16-bit pigeonhole banding exact (valid for hamming ≤ 3;
     * see Dedup.simHashPairs) — larger radii would need more chunks.
@@ -221,6 +252,7 @@ object PipelineQueries {
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
+    Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_ann", embAnn, None),

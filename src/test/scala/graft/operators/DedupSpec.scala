@@ -59,6 +59,39 @@ class DedupSpec extends SparkSpec {
     assert(found === truth, s"missed: ${truth -- found}")
   }
 
+  test("minHashClusters assigns component-min keepers; singletons keep themselves") {
+    // at threshold 0.8 each base's exact + near copies form one component
+    val keepers = Dedup.minHashClusters(docs, verifyThreshold = 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(keepers.size === docs.count())
+    for (base <- Seq(0L, 10L, 20L); off <- Seq(0L, 1L, 2L))
+      assert(keepers(base + off) === base, s"doc ${base + off}")
+    // at threshold 0.95 only the normalization-equal copy clusters; the
+    // near copy (one token changed, j ≈ 0.85) becomes a singleton
+    val strict = Dedup.minHashClusters(docs, verifyThreshold = 0.95)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    for (base <- Seq(0L, 10L, 20L)) {
+      assert(strict(base) === base)
+      assert(strict(base + 1) === base)
+      assert(strict(base + 2) === base + 2)
+    }
+  }
+
+  test("minHashPairs hot-bucket cap drops degenerate buckets, keeps others") {
+    // an aggressive cap of 1 drops every bucket that holds a pair → no output
+    val capped = Dedup.minHashPairs(docs, bands = 8, rows = 8,
+      verifyThreshold = 0.85, maxBucket = Some(1))
+    assert(capped.count() === 0)
+    // a cap above the largest cluster changes nothing
+    val roomy = Dedup.minHashPairs(docs, bands = 8, rows = 8,
+      verifyThreshold = 0.85, maxBucket = Some(100))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minHashPairs(docs, bands = 8, rows = 8,
+      verifyThreshold = 0.85, maxBucket = None)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(roomy === uncapped)
+  }
+
   test("minHash signature is deterministic and length numPerms") {
     val sig = docs.select(Dedup.minHashSignature(col("text"), numPerms = 16).as("sig"))
       .head().getAs[scala.collection.Seq[Long]](0).toSeq
