@@ -27,9 +27,10 @@ object CEP {
       keyFn: T => K,
       tsFn: T => Long,
       pattern: Pattern[T],
-      emit: (K, PatternMatch[T]) => O
+      emit: (K, PatternMatch[T]) => O,
+      tieFn: T => Long = (_: T) => 0L
   ): Dataset[O] =
-    batchFlat[T, K, O](ds, keyFn, tsFn, pattern, (k, m) => Seq(emit(k, m)))
+    batchFlat[T, K, O](ds, keyFn, tsFn, pattern, (k, m) => Seq(emit(k, m)), tieFn)
 
   /** Batch pattern matching with MULTI-row emission per match — the ALL
     * ROWS PER MATCH surface (each match expands via `emit`, typically one
@@ -40,8 +41,9 @@ object CEP {
       keyFn: T => K,
       tsFn: T => Long,
       pattern: Pattern[T],
-      emit: (K, PatternMatch[T]) => IterableOnce[O]
-  ): Dataset[O] = batchFlatMulti(ds, keyFn, tsFn, Seq(pattern), emit)
+      emit: (K, PatternMatch[T]) => IterableOnce[O],
+      tieFn: T => Long = (_: T) => 0L
+  ): Dataset[O] = batchFlatMulti(ds, keyFn, tsFn, Seq(pattern), emit, tieFn)
 
   /** Batch matching over preference-ordered pattern ALTERNATIVES (the
     * PERMUTE / top-level-alternation expansion — see
@@ -52,10 +54,11 @@ object CEP {
       keyFn: T => K,
       tsFn: T => Long,
       patterns: Seq[Pattern[T]],
-      emit: (K, PatternMatch[T]) => IterableOnce[O]
+      emit: (K, PatternMatch[T]) => IterableOnce[O],
+      tieFn: T => Long = (_: T) => 0L
   ): Dataset[O] =
     ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
-      val events = it.toIndexedSeq.sortBy(tsFn)
+      val events = it.toIndexedSeq.sortBy(e => (tsFn(e), tieFn(e)))
       NFA.findMatchesMulti(events, tsFn, patterns, tsPerMs = 1000L)
         .iterator.flatMap(m => emit(key, m))
     }
@@ -71,10 +74,11 @@ object CEP {
       tsFn: T => Long,
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => O,
-      maxPerStart: Int = 10000
+      maxPerStart: Int = 10000,
+      tieFn: T => Long = (_: T) => 0L
   ): Dataset[O] =
     ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
-      val events = it.toIndexedSeq.sortBy(tsFn)
+      val events = it.toIndexedSeq.sortBy(e => (tsFn(e), tieFn(e)))
       NFA.findAllMatches(events, tsFn, pattern, tsPerMs = 1000L, maxPerStart)
         .iterator.map(m => emit(key, m))
     }
@@ -93,10 +97,11 @@ object CEP {
       keyFn: T => K,
       tsFn: T => Long,
       pattern: Pattern[T],
-      emit: (K, PatternMatch[T]) => O
+      emit: (K, PatternMatch[T]) => O,
+      tieFn: T => Long = (_: T) => 0L
   )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] =
     streamingWith(ds, keyFn, tsFn, pattern, emit,
-      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findMatches(evs, tsFn, p, tsPerMs = 1000L))
+      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findMatches(evs, tsFn, p, tsPerMs = 1000L), tieFn)
 
   /** Streaming ENUMERATING pattern matching (followedByAny /
     * allowCombinations): every viable assignment emits exactly once,
@@ -111,12 +116,13 @@ object CEP {
       tsFn: T => Long,
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => O,
-      maxPerStart: Int = 10000
+      maxPerStart: Int = 10000,
+      tieFn: T => Long = (_: T) => 0L
   )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
     require(pattern.afterMatch == AfterMatch.NoSkip,
       "enumerating CEP is NoSkip by construction")
     streamingWith(ds, keyFn, tsFn, pattern, emit,
-      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findAllMatches(evs, tsFn, p, tsPerMs = 1000L, maxPerStart))
+      (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findAllMatches(evs, tsFn, p, tsPerMs = 1000L, maxPerStart), tieFn)
   }
 
   private def streamingWith[T, K: Encoder, O: Encoder](
@@ -125,7 +131,8 @@ object CEP {
       tsFn: T => Long,
       pattern: Pattern[T],
       emit: (K, PatternMatch[T]) => O,
-      matcher: (IndexedSeq[T], Pattern[T]) => Seq[PatternMatch[T]]
+      matcher: (IndexedSeq[T], Pattern[T]) => Seq[PatternMatch[T]],
+      tieFn: T => Long = (_: T) => 0L
   )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
     // tsFn is in MICROseconds (matching parquet timestamp precision so
     // same-millisecond events keep a stable order); GroupState watermarks
@@ -135,7 +142,7 @@ object CEP {
 
     def fn(key: K, rows: Iterator[T], state: GroupState[CepState[T]]): Iterator[O] = {
       val old = if (state.exists) state.get.buffer else Seq.empty[T]
-      val all = (old ++ rows).sortBy(tsFn).toIndexedSeq
+      val all = (old ++ rows).sortBy(e => (tsFn(e), tieFn(e))).toIndexedSeq
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // decidable starts: t0 + within <= watermark — every event that
       // could belong to such a match has arrived

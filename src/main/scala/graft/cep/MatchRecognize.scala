@@ -48,9 +48,13 @@ object MatchRecognize {
       afterMatch: AfterMatch = AfterMatch.SkipPastLast): Seq[Pattern[T]] = {
     def predOf(name: String): T => Boolean = define.getOrElse(name,
       throw new IllegalArgumentException(s"no DEFINE for pattern variable $name"))
-    // normalize whitespace inside (A | B) / PERMUTE(A, B) so tokens split on spaces
+    // normalize whitespace inside (A | B) / PERMUTE(A, B) so tokens split
+    // on spaces — including between the PERMUTE keyword and its paren,
+    // or 'PERMUTE (A,B)' would tokenize as a bare variable PERMUTE and
+    // fail with a misleading "no DEFINE" error
     val norm = patternStr.trim
       .replaceAll("\\s*\\|\\s*", "|")
+      .replaceAll("PERMUTE\\s+\\(", "PERMUTE(")
       .replaceAll("\\(\\s*", "(").replaceAll("\\s*\\)", ")")
       .replaceAll("\\s*,\\s*", ",")
     val perTok: Vector[Seq[Vector[Stage[T]]]] = norm.split("\\s+").toVector.map {

@@ -21,6 +21,25 @@ import scala.collection.mutable
   */
 object NFA {
 
+  /** allowCombinations choice-point bound: a loop stage enumerates
+    * subsequences of at most this many matching tail events per anchor.
+    */
+  val combinationTailCap: Int = 20
+
+  @volatile private var tailTruncationWarned = false
+
+  /** Surface (once per JVM, not once per anchor — dense data would spam)
+    * that a combinations loop saw more matching events than
+    * [[combinationTailCap]] and valid longer subsequences were dropped.
+    */
+  private def warnTailTruncated(): Unit =
+    if (!tailTruncationWarned) {
+      tailTruncationWarned = true
+      System.err.println(
+        s"[graft.cep] allowCombinations tail exceeded $combinationTailCap matching events; " +
+          "longer subsequences are not enumerated (tighten within() or the quantifier)")
+    }
+
   /** @param tsPerMs scale of `ts` relative to milliseconds (1000 when ts
     *                is in microseconds, as with parquet event times) —
     *                `pattern.withinMs` is scaled by it.
@@ -319,25 +338,39 @@ object NFA {
     }
 
     // any in-order subsequence anchored at `first` (gaps over MATCHING
-    // events allowed — the combinations semantics). Tail capped at 20
-    // choice events; within() is the real-world bound.
-    def loopCombos(st: Stage[T], first: Int): Seq[Vector[Int]] = {
-      val tail = {
+    // events allowed — the combinations semantics), enumerated LAZILY in
+    // preference order: longest first, then lexicographically earliest
+    // indices. Laziness matters: the subsequence space is 2^|tail|, and
+    // the caller's maxPerStart cap can only short-circuit an iterator —
+    // materializing the power set up front (the old shape) cost up to
+    // 2^20 Vector allocations per candidate anchor before any cap
+    // applied. Tail capped at `combinationTailCap` choice events
+    // (within() is the real-world bound); the truncation is surfaced,
+    // not silent.
+    def loopCombos(st: Stage[T], first: Int): Iterator[Vector[Int]] = {
+      val (tail, truncated) = {
         val out = Vector.newBuilder[Int]
         var c = first + 1
         var stopped = false
+        var found = 0
         while (!stopped && c < n && inWindow(c)) {
           if (st.until.exists(u => u(events(c)))) stopped = true
-          else { if (st.where(events(c))) out += c; c += 1 }
+          else {
+            if (st.where(events(c))) { if (found < combinationTailCap) out += c; found += 1 }
+            c += 1
+          }
         }
-        out.result().take(20)
+        (out.result(), found > combinationTailCap)
       }
-      val subs = (0 until (1 << tail.length)).map { m =>
-        Vector(first) ++ tail.zipWithIndex.collect { case (idx, j) if (m & (1 << j)) != 0 => idx }
+      if (truncated) warnTailTruncated()
+      // k = events taken from the tail (the anchor is always taken)
+      val hiK = math.min(tail.length, st.quantifier.max - 1)
+      val loK = math.max(math.max(st.quantifier.min, 1) - 1, 0)
+      (hiK to loK by -1).iterator.flatMap { k =>
+        // combinations() yields position sets in lexicographic order,
+        // which over the ascending tail IS earliest-indices order
+        tail.indices.combinations(k).map(cs => first +: cs.map(tail).toVector)
       }
-      import scala.math.Ordering.Implicits._
-      subs.filter(v => v.length >= math.max(st.quantifier.min, 1) && v.length <= st.quantifier.max)
-        .sortBy(v => (-v.length, v)) // longest first, then earliest indices
     }
 
     def guardAllows(guard: Option[Stage[T]], prevEnd: Int, c: Int): Boolean = guard match {
@@ -375,17 +408,17 @@ object NFA {
           go(si + 1, from, prevEnd, Some(st), acc)
         } else {
           val isFirst = prevEnd < start
-          def takes(c: Int): Seq[Vector[Int]] =
-            if (st.quantifier.max == 1) Seq(Vector(c))
+          def takes(c: Int): Iterator[Vector[Int]] =
+            if (st.quantifier.max == 1) Iterator.single(Vector(c))
             else if (st.combinations) loopCombos(st, c)
-            else loopRuns(st, c)
+            else loopRuns(st, c).iterator
           def after(tk: Vector[Int]): Iterator[(List[(String, Seq[Int])], Int)] =
             go(si + 1, tk.last + 1, tk.last, None, acc :+ (st.name -> tk))
           // combinations enumerates every take; otherwise single-match
           // semantics keep only the FIRST take with a completion
           def expand(c: Int): Iterator[(List[(String, Seq[Int])], Int)] =
-            if (st.combinations) takes(c).iterator.flatMap(after)
-            else takes(c).iterator.map(tk => after(tk).toSeq)
+            if (st.combinations) takes(c).flatMap(after)
+            else takes(c).map(tk => after(tk).toSeq)
               .find(_.nonEmpty).map(_.iterator).getOrElse(Iterator.empty)
           val candidates: Seq[Int] =
             if (isFirst) {

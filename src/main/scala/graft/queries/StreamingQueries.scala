@@ -207,7 +207,8 @@ object StreamingQueries {
       .within(scala.concurrent.duration.Duration(1, "hour"))
     val out = CEP.streaming[Event, Long, (Long, Long, Long)](
       ev, _.user_id, _.tsUs, pattern,
-      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id),
+      tieFn = _.event_id)
       .toDF("user_id", "signup_id", "purchase_id")
     runToTable("stream_cep", out, "append").orderBy("signup_id")
   }
@@ -551,7 +552,8 @@ object StreamingQueries {
       .within(scala.concurrent.duration.Duration(1, "hour"))
     CEP.batch[Event, Long, (Long, Long, Long)](
       ev, _.user_id, _.tsUs, pattern,
-      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      (key, m) => (key, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id),
+      tieFn = _.event_id)
       .toDF("user_id", "signup_id", "purchase_id")
       .orderBy("signup_id")
   }
@@ -586,7 +588,8 @@ object StreamingQueries {
       .within(scala.concurrent.duration.Duration(1, "hour"))
     CEP.batch[Event, Long, (Long, Long, Long)](
       ev, _.user_id, _.tsUs, pattern,
-      (k, m) => (k, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id))
+      (k, m) => (k, m.bindings("signup").head.event_id, m.bindings("purchase").head.event_id),
+      tieFn = _.event_id)
       .toDF("user_id", "signup_id", "purchase_id")
       .orderBy("signup_id")
   }
@@ -635,7 +638,7 @@ object StreamingQueries {
         rows.zipWithIndex.map { case ((cls, e), i) =>
           (k, e.event_id, cls, i + 1L, rows.size.toLong)
         }
-      })
+      }, tieFn = _.event_id)
       .toDF("user_id", "event_id", "classifier", "running_cnt", "final_cnt")
       .orderBy("user_id", "event_id")
   }
@@ -809,9 +812,17 @@ object StreamingQueries {
       .agg(count(lit(1)).as("cnt"), sum("value").as("svr")) // round AFTER assembly
       .select(col("w.start").as("pstart"), col("cnt"), col("svr"))
     val sunk = runToTable("stream_cumulate", panes, "append")
-    val horizon = sunk.agg(max(unix_micros(col("pstart")) + 900L * 1000000L)).head.getLong(0)
+    // Pane horizon (end of the last flushed pane) as a window max INSIDE
+    // the frame — every pane appears in ≥1 assembled row, so the max
+    // over assembled rows equals the max over panes. No driver-side
+    // collect: one fewer job, and an empty sink yields an empty result
+    // instead of a null-horizon NPE. The global window is over the tiny
+    // pane-aggregate table (bounded by time span), not the input stream.
     graft.operators.CumulateWindows.assemblePanes(sunk, "pstart", stepSec = 900, maxK = 4)
-      .filter(unix_micros(col("wend")) <= horizon)
+      .withColumn("__horizon",
+        max(unix_micros(col("pstart")) + 900L * 1000000L)
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(unix_micros(col("wend")) <= col("__horizon"))
       .groupBy("wstart", "wend")
       .agg(sum("cnt").as("cnt"), round(sum("svr"), 4).as("sv"))
       .orderBy("wstart", "wend")
@@ -853,7 +864,8 @@ object StreamingQueries {
       .followedByAny("p").where(_.event_type == "purchase")
       .within(scala.concurrent.duration.Duration(1, "hour"))
     CEP.batchAll[Event, Long, (Long, Long)](ev, _.user_id, _.tsUs, pattern,
-      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id))
+      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id),
+      tieFn = _.event_id)
       .toDF("a_id", "b_id")
       .orderBy("a_id", "b_id")
   }
@@ -916,7 +928,8 @@ object StreamingQueries {
       .followedByAny("p").where(_.event_type == "purchase")
       .within(scala.concurrent.duration.Duration(1, "hour"))
     val out = CEP.streamingAll[Event, Long, (Long, Long)](ev, _.user_id, _.tsUs, pattern,
-      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id))
+      (_, m) => (m.bindings("s").head.event_id, m.bindings("p").head.event_id),
+      tieFn = _.event_id)
     runToTable("stream_cep_any", out.toDF("a_id", "b_id"), "append")
       .orderBy("a_id", "b_id")
   }

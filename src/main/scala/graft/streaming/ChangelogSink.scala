@@ -112,9 +112,20 @@ object ChangelogSink {
     */
   object JdbcUpsertSink {
 
-    def ensureTable(url: String, table: String, ddlColumns: String): Unit = {
+    /** `keyCols` become the table's PRIMARY KEY: the per-row
+      * UPDATE-then-INSERT below is not transactional, so a retried or
+      * speculative task could race past the UPDATE miss and INSERT a
+      * second row for the key — the constraint makes that race fail
+      * loudly (and [[writer]] treats the duplicate-key failure as
+      * "row exists, re-run the UPDATE") instead of silently corrupting
+      * the upsert contract.
+      */
+    def ensureTable(url: String, table: String, ddlColumns: String,
+        keyCols: Seq[String] = Nil): Unit = {
+      val pk = if (keyCols.isEmpty) ""
+        else s", PRIMARY KEY (${keyCols.map(c => "\"" + c + "\"").mkString(", ")})"
       val conn = java.sql.DriverManager.getConnection(url)
-      try conn.createStatement().executeUpdate(s"CREATE TABLE $table ($ddlColumns)")
+      try conn.createStatement().executeUpdate(s"CREATE TABLE $table ($ddlColumns$pk)")
       catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
       finally conn.close()
     }
@@ -142,7 +153,14 @@ object ChangelogSink {
                   keyCols.zipWithIndex.foreach { case (c, i) => up.setObject(valCols.length + i + 1, r.getAs[Any](c)) }
                   if (up.executeUpdate() == 0) {
                     cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
-                    ins.executeUpdate()
+                    try ins.executeUpdate()
+                    catch {
+                      // duplicate key ⇒ lost an insert race with a
+                      // retried/speculative task — the row exists, so
+                      // last-writer-wins via the UPDATE
+                      case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                        up.executeUpdate()
+                    }
                   }
                 }
               } finally conn.close()

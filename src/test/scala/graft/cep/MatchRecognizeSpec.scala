@@ -112,6 +112,16 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, "AB"), (4L, 5L, "BA")))
   }
 
+  test("PERMUTE tolerates whitespace before its parenthesis") {
+    val events = Seq(ev(1, 1000, "a"), ev(2, 2000, "b")).toDS()
+    val out = MatchRecognize[Event, Long, (Long, Long)](
+      events, _.user_id, _.tsUs, "PERMUTE (A, B)",
+      Map("A" -> (_.event_type == "a"), "B" -> (_.event_type == "b")),
+      (_, m) => (m.rows.head._2.event_id, m.rows.last._2.event_id))
+      .collect()
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
   test("PREV/NEXT navigate the match's own rows, null off the ends") {
     val events = Seq(ev(1, 1000, "p"), ev(2, 2000, "p"), ev(3, 3000, "b")).toDS()
     val out = MatchRecognize.allRows[Event, Long, (Long, Long, Long)](

@@ -62,7 +62,8 @@ class ChangelogSinkSpec extends SparkSpec {
     System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
     val url = s"jdbc:derby:/tmp/graft-derby/upsert_spec_${System.nanoTime()};create=true"
     ChangelogSink.JdbcUpsertSink.ensureTable(url, "TOP1",
-      """"key" BIGINT PRIMARY KEY, "rank" BIGINT, "id" BIGINT, "score" DOUBLE""")
+      """"key" BIGINT NOT NULL, "rank" BIGINT, "id" BIGINT, "score" DOUBLE""",
+      keyCols = Seq("key"))
     val input = MemoryStream[Event]
     val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
     val q = ChangelogSink.JdbcUpsertSink.writer(top1.toDF(), url, "TOP1", Seq("key")).start()
