@@ -476,6 +476,46 @@ object StreamingQueries {
         |FROM ev GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin
 
+  /** Retraction through an aggregate-of-aggregate chain (ref: RowKind
+    * .java:32-55 UPDATE_BEFORE/AFTER flowing between chained
+    * StreamExecGroupAggregates): Spark cannot retract between two
+    * streaming aggregates, so the chain is cut at the sink — the inner
+    * unbounded per-user aggregate runs in Update mode and lands its
+    * upsert stream in the executor-parallel ParquetUpsertSink; the
+    * outer aggregate (users per event-count) runs over the collapsed
+    * snapshot, in which every superseded per-user count has been
+    * retracted by last-writer-wins. The source is split into 3
+    * micro-batches so later batches REALLY retract counts the outer
+    * aggregate would otherwise double-count: the final answer equals
+    * the batch aggregate-of-aggregate, which is the oracle.
+    */
+  def streamAggOfAgg(s: SparkSession, dir: String): DataFrame = {
+    val splits = freshDir(dir, "agg_of_agg_src")
+    Tables.events(s, dir).select("event_id", "user_id")
+      .repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(splits)
+    val inner = s.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1") // one batch per split → real retractions
+      .parquet(splits)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val store = freshDir(dir, "agg_of_agg_store")
+    val q = graft.streaming.ChangelogSink.ParquetUpsertSink.writer(inner, store)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.ChangelogSink.ParquetUpsertSink.snapshot(s, store, Seq("user_id"))
+      .groupBy("n_events").agg(count(lit(1)).as("n_users"))
+      .orderBy("n_events")
+  }
+
+  val streamAggOfAggSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT n_events, count(*) AS n_users
+        |FROM (SELECT user_id, count(*) AS n_events FROM ev GROUP BY 1)
+        |GROUP BY 1 ORDER BY n_events""".stripMargin
+
   /** Streaming row-time OVER aggregate (ref:
     * RowTimeRowsUnboundedPrecedingFunction.java): running sum/count per
     * user, each event emitted once its ts clears the watermark.
@@ -969,6 +1009,7 @@ object StreamingQueries {
     Q("q_stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),
     Q("q_stream_groupagg", streamGroupAgg, Some(streamGroupAggSql)),
+    Q("q_stream_agg_of_agg", streamAggOfAgg, Some(streamAggOfAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),
     Q("q_stream_temporal_join", streamTemporalJoin, Some(streamTemporalJoinSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql))

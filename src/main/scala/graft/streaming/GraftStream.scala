@@ -53,6 +53,28 @@ final class KeyedGraftStream[K, T](stream: GraftStream[T], keyFn: T => K)(implic
 object GraftStream {
   def apply[T](ds: Dataset[T]): GraftStream[T] = new GraftStream(ds)
 
+  /** Early-fire emit strategy for streaming window aggregates (ref: the
+    * planner's WindowEmitStrategy + the early-fire emit options — emit
+    * partial window results every `interval` BEFORE the watermark
+    * closes the window). Spark mapping: Update output mode (each
+    * micro-batch upserts the windows it changed) paced by a
+    * processing-time trigger — batch cadence IS the early-fire delay.
+    * Downstream consumes the result as an upsert stream keyed by the
+    * window (same contract as the reference's early-fire changelog).
+    *
+    * Late fire — emitting ANOTHER update after the watermark has closed
+    * a window — is NOT expressible: Structured Streaming evicts window
+    * state at the watermark, and by design there is nothing left to
+    * re-aggregate a late row into (the allowed-lateness surface in
+    * LateData.scala routes those rows to a side output instead). This
+    * is the documented gap in COVERAGE.md §2.6.
+    */
+  def earlyFire(windowAgg: DataFrame, interval: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    windowAgg.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+
   /** Tumbling/sliding/session window aggregation helpers (ref:
     * WindowedStream.java — the window()/aggregate() pairing). DataFrame
     * level because window assignment is a Column expression.

@@ -102,6 +102,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftStream.earlyFire emits growing partials per batch, before window close") {
+    val input = MemoryStream[Event]
+    val agg = input.toDS()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 minute").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .select(org.apache.spark.sql.functions.col("w.start").as("wstart"),
+        org.apache.spark.sql.functions.col("cnt"))
+    val q = GraftStream.earlyFire(agg, "0 seconds")
+      .format("memory").queryName("early_t").start()
+    try {
+      // three micro-batches inside the SAME 1-minute window: each fires
+      // an updated partial for it — emission count is per batch, not per
+      // window close (the watermark never reaches the window end)
+      for (i <- 1 to 3) {
+        input.addData(ev(i.toLong, 1000L * i, 7, "x", 1.0))
+        q.processAllAvailable()
+      }
+      val fires = spark.table("early_t").as[(Timestamp, Long)].collect().toSeq
+      assert(fires.map(_._2) === Seq(1L, 2L, 3L)) // growing partials
+      assert(fires.map(_._1).distinct.size === 1) // all for the same window
+    } finally q.stop()
+  }
+
   test("GraftStream window helpers: tumble/session aggregation") {
     val events = Seq(
       ev(1, 0, 1, "x", 1.0), ev(2, 30000, 1, "x", 2.0), // same 1-min tumble
