@@ -175,7 +175,7 @@ object StreamingQueries {
     val ev = eventStream(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.topNByKey[Event](ev, _.user_id, _.event_id, _.value, n = 3)
+    val out = StreamingOps.topNByKey[Event, Long](ev, _.user_id, _.event_id, _.value, n = 3)
     runToTable("stream_topn", out.toDF(), "update")
       .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
         col("score").as("value"))
@@ -349,7 +349,7 @@ object StreamingQueries {
     val ev = eventStream(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.dedupKeepLast[Event](ev, _.user_id, _.event_id, _.tsUs)
+    val out = StreamingOps.dedupKeepLast[Event, Long](ev, _.user_id, _.event_id, _.tsUs)
       .toDF("user_id", "event_id", "ts_us")
     runToTable("stream_dedup_last", out, "update").orderBy("user_id")
   }
@@ -374,7 +374,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.overRowsBounded[Event](
+    val out = StreamingOps.overRowsBounded[Event, Long](
       ev, _.user_id, _.event_id, _.tsUs, _.value, nPreceding = 2)
     runToTable("stream_over_bounded", out.toDF(), "append")
       .select(col("key").as("user_id"), col("id").as("event_id"),
@@ -526,7 +526,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.overUnboundedPreceding[Event](ev, _.user_id, _.event_id, _.tsUs, _.value)
+    val out = StreamingOps.overUnboundedPreceding[Event, Long](ev, _.user_id, _.event_id, _.tsUs, _.value)
     runToTable("stream_over", out.toDF(), "append")
       .select(col("key").as("user_id"), col("id").as("event_id"),
         round(col("running_sum"), 4).as("rsum"), col("running_cnt").as("rcnt"))
@@ -788,7 +788,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.countWindow[Event](ev, _.user_id, _.event_id, _.tsUs, _.value, size = 5)
+    val out = StreamingOps.countWindow[Event, Long](ev, _.user_id, _.event_id, _.tsUs, _.value, size = 5)
     runToTable("stream_count_window", out.toDF(), "append")
       .select(col("key").as("user_id"), col("wid"), col("cnt"),
         col("first_id"), col("last_id"), round(col("sv"), 4).as("sv"))
@@ -930,7 +930,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    val out = StreamingOps.evictingTumbleWindow[Event](
+    val out = StreamingOps.evictingTumbleWindow[Event, Long](
       ev, _.user_id, _.event_id, _.tsUs, _.value,
       windowUs = 3600L * 1000000L, keepCount = Some(3))
     runToTable("stream_evict", out.toDF(), "append")

@@ -1,13 +1,19 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.reflect.runtime.universe.TypeTag
 
 /** Stateful streaming operators the reference has and Spark lacks as
   * built-ins (SURVEY.md §2.8 streaming Top-N / keep-last dedup, §2.10
   * KeyedProcessFunction), implemented on flatMapGroupsWithState /
   * mapGroupsWithState. State per key is O(N) for top-N and O(1) for
-  * dedup-last — bounded regardless of stream length.
+  * dedup-last — bounded regardless of stream length. Keys are generic
+  * (`K: Encoder`, like the reference's KeyedStream<T, K>); element ids
+  * stay Long (they double as deterministic tie-breaks) and measures
+  * Double.
   */
 object StreamingOps {
 
@@ -17,17 +23,16 @@ object StreamingOps {
     * like the reference's retract stream collapsed to upserts per rank).
     */
   final case class TopNState(entries: Seq[(Double, Long)])
-  final case class TopNRow(key: Long, rank: Long, id: Long, score: Double)
+  final case class TopNRow[K](key: K, rank: Long, id: Long, score: Double)
 
-  def topNByKey[T](
+  def topNByKey[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       scoreFn: T => Double,
       n: Int
-  )(implicit te: Encoder[T]): Dataset[TopNRow] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[TopNState]): Iterator[TopNRow] = {
+  )(implicit te: Encoder[T]): Dataset[TopNRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[TopNState]): Iterator[TopNRow[K]] = {
       val old = if (state.exists) state.get.entries else Seq.empty
       val merged = (old ++ rows.map(r => (scoreFn(r), idFn(r))))
         .sortBy { case (s, id) => (-s, id) }
@@ -40,7 +45,8 @@ object StreamingOps {
       } else Iterator.empty
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+        ExpressionEncoder[TopNState](), ExpressionEncoder[TopNRow[K]]())
   }
 
   /** Keep-LAST dedup per key (ref: DeduplicateKeepLastRowFunction.java):
@@ -49,14 +55,13 @@ object StreamingOps {
     */
   final case class LastState(tsUs: Long, id: Long)
 
-  def dedupKeepLast[T](
+  def dedupKeepLast[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       tsUsFn: T => Long
-  )(implicit te: Encoder[T]): Dataset[(Long, Long, Long)] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[LastState]): Iterator[(Long, Long, Long)] = {
+  )(implicit te: Encoder[T]): Dataset[(K, Long, Long)] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[LastState]): Iterator[(K, Long, Long)] = {
       val incoming = rows.map(r => (tsUsFn(r), idFn(r))).maxByOption(identity)
       val old = if (state.exists) Some((state.get.tsUs, state.get.id)) else None
       val best = (incoming.toSeq ++ old.toSeq).maxOption
@@ -68,7 +73,8 @@ object StreamingOps {
       }
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+        ExpressionEncoder[LastState](), ExpressionEncoder[(K, Long, Long)]())
   }
 
   /** Streaming row-time OVER aggregate, ROWS UNBOUNDED PRECEDING (ref:
@@ -82,17 +88,16 @@ object StreamingOps {
     */
   final case class OverState(sum: Double, cnt: Long, lastEmittedUs: Long,
       buffer: Seq[(Long, Long, Double)])
-  final case class OverRow(key: Long, id: Long, tsUs: Long, running_sum: Double, running_cnt: Long)
+  final case class OverRow[K](key: K, id: Long, tsUs: Long, running_sum: Double, running_cnt: Long)
 
-  def overUnboundedPreceding[T](
+  def overUnboundedPreceding[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       tsUsFn: T => Long,
       valueFn: T => Double
-  )(implicit te: Encoder[T]): Dataset[OverRow] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[OverState]): Iterator[OverRow] = {
+  )(implicit te: Encoder[T]): Dataset[OverRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[OverState]): Iterator[OverRow[K]] = {
       val st = if (state.exists) state.get else OverState(0.0, 0L, Long.MinValue, Nil)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val incoming = rows.map(r => (tsUsFn(r), idFn(r), valueFn(r)))
@@ -113,7 +118,8 @@ object StreamingOps {
       out.iterator
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[OverState](), ExpressionEncoder[OverRow[K]]())
   }
 
   /** Streaming row-time OVER aggregate with a BOUNDED ROWS frame —
@@ -129,16 +135,15 @@ object StreamingOps {
   final case class BoundedOverState(lastEmittedUs: Long,
       tail: Seq[(Long, Long, Double)], buffer: Seq[(Long, Long, Double)])
 
-  def overRowsBounded[T](
+  def overRowsBounded[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       tsUsFn: T => Long,
       valueFn: T => Double,
       nPreceding: Int
-  )(implicit te: Encoder[T]): Dataset[OverRow] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[BoundedOverState]): Iterator[OverRow] = {
+  )(implicit te: Encoder[T]): Dataset[OverRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[BoundedOverState]): Iterator[OverRow[K]] = {
       val st = if (state.exists) state.get else BoundedOverState(Long.MinValue, Nil, Nil)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val incoming = rows.map(r => (tsUsFn(r), idFn(r), valueFn(r)))
@@ -160,7 +165,8 @@ object StreamingOps {
       out.iterator
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[BoundedOverState](), ExpressionEncoder[OverRow[K]]())
   }
 
   /** Count windows — GlobalWindows + CountTrigger(size) + purge (ref:
@@ -176,19 +182,18 @@ object StreamingOps {
     */
   final case class CountWinState(emitted: Long,
       leftover: Seq[(Long, Long, Double)], buffer: Seq[(Long, Long, Double)])
-  final case class CountWinRow(key: Long, wid: Long, cnt: Long,
+  final case class CountWinRow[K](key: K, wid: Long, cnt: Long,
       first_id: Long, last_id: Long, sv: Double)
 
-  def countWindow[T](
+  def countWindow[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       tsUsFn: T => Long,
       valueFn: T => Double,
       size: Int
-  )(implicit te: Encoder[T]): Dataset[CountWinRow] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[CountWinState]): Iterator[CountWinRow] = {
+  )(implicit te: Encoder[T]): Dataset[CountWinRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[CountWinState]): Iterator[CountWinRow[K]] = {
       val st = if (state.exists) state.get else CountWinState(0L, Nil, Nil)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val all = (st.buffer ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
@@ -209,7 +214,8 @@ object StreamingOps {
       out.iterator
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[CountWinState](), ExpressionEncoder[CountWinRow[K]]())
   }
 
   /** Tumbling event-time window with an EVICTOR and a user window
@@ -223,20 +229,19 @@ object StreamingOps {
     * order. State is one pruned buffer per open window per key.
     */
   final case class EvictWinState(buffer: Seq[(Long, Long, Double)])
-  final case class EvictWinRow(key: Long, wstartUs: Long, cnt: Long, sv: Double)
+  final case class EvictWinRow[K](key: K, wstartUs: Long, cnt: Long, sv: Double)
 
-  def evictingTumbleWindow[T](
+  def evictingTumbleWindow[T, K: Encoder: TypeTag](
       ds: Dataset[T],
-      keyFn: T => Long,
+      keyFn: T => K,
       idFn: T => Long,
       tsUsFn: T => Long,
       valueFn: T => Double,
       windowUs: Long,
       keepCount: Option[Int] = None,
       keepLastUs: Option[Long] = None
-  )(implicit te: Encoder[T]): Dataset[EvictWinRow] = {
-    import ds.sparkSession.implicits._
-    def fn(key: Long, rows: Iterator[T], state: GroupState[EvictWinState]): Iterator[EvictWinRow] = {
+  )(implicit te: Encoder[T]): Dataset[EvictWinRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[EvictWinState]): Iterator[EvictWinRow[K]] = {
       val st = if (state.exists) state.get else EvictWinState(Nil)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val all = (st.buffer ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
@@ -262,7 +267,8 @@ object StreamingOps {
       out.iterator
     }
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[EvictWinState](), ExpressionEncoder[EvictWinRow[K]]())
   }
 
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,

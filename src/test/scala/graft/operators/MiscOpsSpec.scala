@@ -60,7 +60,7 @@ class MiscOpsSpec extends SparkSpec {
   test("StreamingOps.countWindow fires every N watermark-ready events, never a partial window") {
     val input = MemoryStream[Event]
     def ev(id: Long, tsMs: Long, v: Double) = Event(id, new Timestamp(tsMs), 1L, "x", v)
-    val out = StreamingOps.countWindow[Event](
+    val out = StreamingOps.countWindow[Event, Long](
       input.toDS().withWatermark("ts", "5 seconds"), _.user_id, _.event_id, _.tsUs, _.value, size = 2)
     val q = out.writeStream.format("memory").queryName("cw_t").outputMode("append").start()
     try {
@@ -74,7 +74,7 @@ class MiscOpsSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(6, 99000, 6.0)) // wm → 94s: (5,6) still partial at fire time? no — both ready, fires
       q.processAllAvailable()
-      val rows = spark.table("cw_t").as[StreamingOps.CountWinRow].collect().sortBy(_.wid)
+      val rows = spark.table("cw_t").as[StreamingOps.CountWinRow[Long]].collect().sortBy(_.wid)
       assert(rows.map(r => (r.wid, r.first_id, r.last_id, r.sv)).toSeq ===
         Seq((0L, 1L, 2L, 3.0), (1L, 3L, 4L, 7.0)))
     } finally q.stop()
@@ -84,7 +84,7 @@ class MiscOpsSpec extends SparkSpec {
     val input = MemoryStream[Event]
     def ev(id: Long, tsMs: Long, v: Double) = Event(id, new Timestamp(tsMs), 1L, "x", v)
     // 10s windows; TimeEvictor keeps elements within 3s of the window max
-    val out = StreamingOps.evictingTumbleWindow[Event](
+    val out = StreamingOps.evictingTumbleWindow[Event, Long](
       input.toDS().withWatermark("ts", "2 seconds"), _.user_id, _.event_id, _.tsUs, _.value,
       windowUs = 10L * 1000000L, keepLastUs = Some(3L * 1000000L))
     val q = out.writeStream.format("memory").queryName("evict_t").outputMode("append").start()
@@ -93,7 +93,7 @@ class MiscOpsSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(5, 15000, 16.0)) // wm → 13s: window [0,10) fires
       q.processAllAvailable()
-      val rows = spark.table("evict_t").as[StreamingOps.EvictWinRow].collect()
+      val rows = spark.table("evict_t").as[StreamingOps.EvictWinRow[Long]].collect()
       // max ts 9s → keep >= 6s: events 3 and 4 survive, 1 and 2 evicted
       assert(rows.map(r => (r.wstartUs, r.cnt, r.sv)).toSeq === Seq((0L, 2L, 12.0)))
     } finally q.stop()
@@ -124,7 +124,7 @@ class MiscOpsSpec extends SparkSpec {
   test("streaming overUnboundedPreceding emits watermarked prefix with running aggs, drops late rows") {
     val input = MemoryStream[Event]
     def ev(id: Long, tsMs: Long, v: Double) = Event(id, new Timestamp(tsMs), 1L, "x", v)
-    val out = StreamingOps.overUnboundedPreceding[Event](
+    val out = StreamingOps.overUnboundedPreceding[Event, Long](
       input.toDS().withWatermark("ts", "5 seconds"), _.user_id, _.event_id, _.tsUs, _.value)
     val q = out.writeStream.format("memory").queryName("over_t").outputMode("append").start()
     try {
@@ -132,13 +132,13 @@ class MiscOpsSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(3, 40000, 3.0)) // advances watermark to 35s → rows 1,2 emit
       q.processAllAvailable()
-      val r1 = spark.table("over_t").as[StreamingOps.OverRow].collect().sortBy(_.id)
+      val r1 = spark.table("over_t").as[StreamingOps.OverRow[Long]].collect().sortBy(_.id)
       assert(r1.map(r => (r.id, r.running_sum, r.running_cnt)).toSeq ===
         Seq((1L, 1.0, 1L), (2L, 3.0, 2L)))
       // a late row below the last emitted ts must be dropped
       input.addData(ev(4, 15000, 100.0), ev(5, 60000, 5.0)) // wm → 55s: row 3 emits, row 4 dropped
       q.processAllAvailable()
-      val r2 = spark.table("over_t").as[StreamingOps.OverRow].collect().sortBy(_.id)
+      val r2 = spark.table("over_t").as[StreamingOps.OverRow[Long]].collect().sortBy(_.id)
       assert(r2.map(_.id).toSeq === Seq(1L, 2L, 3L))
       assert(r2.last.running_sum === 6.0)
     } finally q.stop()

@@ -18,7 +18,7 @@ class ChangelogSinkSpec extends SparkSpec {
 
   test("update-mode top-1 stream collapsed via foreachBatch equals final state") {
     val input = MemoryStream[Event]
-    val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
+    val top1 = StreamingOps.topNByKey[Event, Long](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
     val store = new ChangelogSink.MemoryUpsertStore[Long]
     val q = ChangelogSink.upsertWriter(top1.toDF(), (r: Row) => r.getAs[Long]("key"), store)
       .start()
@@ -37,7 +37,7 @@ class ChangelogSinkSpec extends SparkSpec {
   test("ParquetUpsertSink: distributed landing + last-writer-wins snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
     val input = MemoryStream[Event]
-    val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
+    val top1 = StreamingOps.topNByKey[Event, Long](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
     val q = ChangelogSink.ParquetUpsertSink.writer(top1.toDF(), dir).start()
     try {
       input.addData(ev(1, 1000, 7, 5.0), ev(2, 2000, 8, 1.0))
@@ -65,7 +65,7 @@ class ChangelogSinkSpec extends SparkSpec {
       """"key" BIGINT NOT NULL, "rank" BIGINT, "id" BIGINT, "score" DOUBLE""",
       keyCols = Seq("key"))
     val input = MemoryStream[Event]
-    val top1 = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
+    val top1 = StreamingOps.topNByKey[Event, Long](input.toDS(), _.user_id, _.event_id, _.value, n = 1)
     val q = ChangelogSink.JdbcUpsertSink.writer(top1.toDF(), url, "TOP1", Seq("key")).start()
     def state(): Map[Long, Long] = {
       val conn = java.sql.DriverManager.getConnection(url)

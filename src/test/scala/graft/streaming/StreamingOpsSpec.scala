@@ -19,17 +19,17 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("topNByKey emits refreshed rankings as better rows arrive") {
     val input = MemoryStream[Event]
-    val out = StreamingOps.topNByKey[Event](input.toDS(), _.user_id, _.event_id, _.value, n = 2)
+    val out = StreamingOps.topNByKey[Event, Long](input.toDS(), _.user_id, _.event_id, _.value, n = 2)
     val q = out.writeStream.format("memory").queryName("topn_t").outputMode("update").start()
     try {
       input.addData(ev(1, 1000, 7, "x", 5.0), ev(2, 2000, 7, "x", 3.0))
       q.processAllAvailable()
-      val r1 = spark.table("topn_t").as[StreamingOps.TopNRow].collect().toSeq
+      val r1 = spark.table("topn_t").as[StreamingOps.TopNRow[Long]].collect().toSeq
       assert(r1.map(r => (r.rank, r.id)).sorted === Seq((1L, 1L), (2L, 2L)))
       // a new best displaces rank 2; a worse row changes nothing
       input.addData(ev(3, 3000, 7, "x", 9.0), ev(4, 4000, 7, "x", 1.0))
       q.processAllAvailable()
-      val r2 = spark.table("topn_t").as[StreamingOps.TopNRow].collect().toSeq.drop(r1.size)
+      val r2 = spark.table("topn_t").as[StreamingOps.TopNRow[Long]].collect().toSeq.drop(r1.size)
       assert(r2.map(r => (r.rank, r.id)).sorted === Seq((1L, 3L), (2L, 1L)))
       input.addData(ev(5, 5000, 7, "x", 0.5))
       q.processAllAvailable()
@@ -37,9 +37,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful operators accept non-Long keys (String, like KeyedStream<T, K>)") {
+    val input = MemoryStream[Event]
+    val out = StreamingOps.topNByKey[Event, String](
+      input.toDS(), _.event_type, _.event_id, _.value, n = 1)
+    val q = out.writeStream.format("memory").queryName("topn_s").outputMode("update").start()
+    try {
+      input.addData(ev(1, 1000, 1, "alpha", 5.0), ev(2, 2000, 2, "beta", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("topn_s").as[StreamingOps.TopNRow[String]].collect()
+      assert(rows.map(r => r.key -> r.id).toMap === Map("alpha" -> 1L, "beta" -> 2L))
+    } finally q.stop()
+    val input2 = MemoryStream[Event]
+    val dl = StreamingOps.dedupKeepLast[Event, String](
+      input2.toDS(), _.event_type, _.event_id, _.tsUs)
+    val q2 = dl.writeStream.format("memory").queryName("dl_s").outputMode("update").start()
+    try {
+      input2.addData(ev(1, 1000, 1, "alpha", 1.0), ev(2, 5000, 1, "alpha", 1.0))
+      q2.processAllAvailable()
+      assert(spark.table("dl_s").as[(String, Long, Long)].collect().toSeq
+        === Seq(("alpha", 2L, 5000000L)))
+    } finally q2.stop()
+  }
+
   test("dedupKeepLast emits only when the latest row per key changes") {
     val input = MemoryStream[Event]
-    val out = StreamingOps.dedupKeepLast[Event](input.toDS(), _.user_id, _.event_id, _.tsUs)
+    val out = StreamingOps.dedupKeepLast[Event, Long](input.toDS(), _.user_id, _.event_id, _.tsUs)
     val q = out.writeStream.format("memory").queryName("dl_t").outputMode("update").start()
     try {
       input.addData(ev(1, 1000, 7, "x", 1.0), ev(2, 5000, 7, "x", 1.0))
@@ -58,7 +81,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("overRowsBounded: bounded frame, watermark-gated, out-of-order safe") {
     val input = MemoryStream[Event]
     val withWm = input.toDS().withWatermark("ts", "5 seconds")
-    val out = StreamingOps.overRowsBounded[Event](
+    val out = StreamingOps.overRowsBounded[Event, Long](
       withWm, _.user_id, _.event_id, _.tsUs, _.value, nPreceding = 1)
     val q = out.writeStream.format("memory").queryName("ob_t").outputMode("append").start()
     try {
@@ -69,7 +92,7 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(10, 120000, 8, "x", 0.0))
       q.processAllAvailable()
-      val got = spark.table("ob_t").as[StreamingOps.OverRow].collect()
+      val got = spark.table("ob_t").as[StreamingOps.OverRow[Long]].collect()
         .filter(_.key == 7L).sortBy(_.id)
         .map(r => (r.id, r.running_sum, r.running_cnt)).toSeq
       // frame = self + 1 preceding: id1 → (1.0, 1), id2 → (1+3, 2)
