@@ -234,7 +234,12 @@ object Dedup {
     // round: one hash-agg and two joins keyed on node id — all
     // distributed; the driver sees only the emptiness flag.
     var mapping = docs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
-    var e = edges0.union(edges0.select(col("db"), col("da"))).toDF("u", "v").localCheckpoint()
+    // materialize the verified edge list ONCE before mirroring it: both
+    // union branches read it, and un-checkpointed they would each re-run
+    // the full candidate+verify pipeline (the single most expensive part
+    // of the whole operator)
+    val edges = edges0.localCheckpoint()
+    var e = edges.union(edges.select(col("db"), col("da"))).toDF("u", "v").localCheckpoint()
     var i = 0
     while (i < maxIter && !e.isEmpty) {
       val l = e.groupBy("u").agg(min("v").as("mn"))

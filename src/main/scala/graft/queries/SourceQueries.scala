@@ -139,7 +139,37 @@ object SourceQueries {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin
 
+  /** Avro sink + source round-trip (ref: flink-formats/flink-avro —
+    * AvroWriterFactory/AvroInputFormat). Implemented directly on the
+    * Avro jars Spark itself ships (no spark-avro module on this
+    * classpath) — see [[graft.sources.AvroIO]]: per-partition container
+    * files out, a splittable Hadoop input format back in. The slice
+    * written here carries long, string, double and timestamp-micros
+    * columns, so both logical-type directions are exercised; the oracle
+    * computes the same aggregate straight from the parquet table.
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "avro_orders")
+    graft.sources.AvroIO.write(
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      out)
+    graft.sources.AvroIO.read(s, out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("mn_key"), max("o_orderdate").as("mx_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  val avroRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS mn_key, max(o_orderdate) AS mx_date
+      |FROM orders WHERE o_totalprice > 150000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sink_avro", avroRoundtrip, Some(avroRoundtripSql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
     Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
