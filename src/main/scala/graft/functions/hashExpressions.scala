@@ -126,6 +126,47 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First band index (0-based) at which two equal-length MinHash
+  * signatures agree on ALL `rowsPerBand` slots, or -1 if no band
+  * matches. The LSH candidate join filters on
+  * `band_first_match(sigA, sigB) = band` so each colliding pair is
+  * emitted from exactly one band — map-side, inside the join stage —
+  * which removes the candidate-dedup exchange entirely (a pair at
+  * Jaccard ≥ 0.9 otherwise re-appears in E ≈ 5–10 colliding bands and
+  * either gets re-verified per band or has to be shuffled for
+  * dropDuplicates). Early exit: scanning stops at the first matching
+  * band, which for the filtering use is never past the probing band.
+  */
+case class BandFirstMatch(left: Expression, right: Expression, rowsPerBand: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "band_first_match"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val bands = n / rowsPerBand
+    var bi = 0
+    while (bi < bands) {
+      var ri = bi * rowsPerBand
+      val end = ri + rowsPerBand
+      var all = true
+      while (all && ri < end) {
+        if (a.getLong(ri) != b.getLong(ri)) all = false
+        ri += 1
+      }
+      if (all) return java.lang.Integer.valueOf(bi)
+      bi += 1
+    }
+    java.lang.Integer.valueOf(-1)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandFirstMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over array<string> tokens: bit k = sign of
   * Σ_tokens (±1 by bit k of h(token)).
   */

@@ -83,18 +83,19 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs, verified with true Jaccard.
     * bands·rows = numPerms; a pair collides if any band of `rows`
-    * signature slots matches exactly (P[collide] = 1−(1−j^r)^b). Shuffles:
-    * one on (band, signature-slice) for candidates, one hash-agg dedup of
-    * multi-band hits — both bucketed.
+    * signature slots matches exactly (P[collide] = 1−(1−j^r)^b). ONE
+    * shuffle total — on (band, signature-slice-hash) for candidates;
+    * multi-band hits are collapsed map-side inside the candidate join
+    * (first-match-band emission, see [[bandCandidates]]), so there is no
+    * dedup exchange and each pair is verified exactly once.
     *
     * `maxBucket` is the hot-bucket lever (the LSH analog of
     * [[jaccardPairs]]' `maxDf`): a band bucket holding m documents emits
     * m²/2 candidate rows, so one degenerate bucket — a boilerplate-heavy
     * corpus where thousands of docs share a band signature — turns into
-    * a single quadratic task. Buckets over the cap are dropped; a true
-    * pair in a dropped bucket is still found through any of its other
-    * bands, so recall degrades gracefully instead of the job going
-    * quadratic (standard LSH practice).
+    * a single quadratic task. Buckets over the cap are dropped; recall
+    * degrades gracefully instead of the job going quadratic (standard
+    * LSH practice; see [[bandCandidates]] for the first-match caveat).
     *
     * `broadcastVerify` broadcasts the token-set payload to the verify
     * join so the (much bigger) candidate-pair stream never shuffles and
@@ -111,14 +112,57 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Option[Int] = Some(4096),
       broadcastVerify: Boolean = true
+  ): DataFrame =
+    // Candidates are unique by construction (first-match-band emission,
+    // see bandCandidates), so the verified pairs ARE the result — no
+    // dedup aggregation anywhere in the pipeline.
+    verifyJaccard(
+      bandCandidates(docs, bands, rows, idCol, textCol, maxBucket, verifyThreshold),
+      docs, verifyThreshold, idCol, textCol, broadcastVerify)
+
+  /** Phase 1 — LSH band candidates (da < db), each colliding pair
+    * emitted EXACTLY ONCE: explode band signatures and self-join on
+    * (band, slice-hash), then keep a joined row only when the probing
+    * band is the FIRST band on which the two full signatures agree
+    * ([[graft.functions.BandFirstMatch]], map-side, early-exit). On
+    * self-similar corpora a true pair collides in E ≈ 5–10 bands; the
+    * naive join either re-verifies it per band or pays a global
+    * dropDuplicates exchange over the raw candidate stream (tens of
+    * millions of rows at sf0.1 — measured 15 s at 16×4). First-match
+    * emission does the dedup inside the join stage for the cost of one
+    * early-exit signature scan per joined row, so NOTHING downstream
+    * ever sees a duplicate.
+    *
+    * The join key is xxhash64(band, slice) — 8 bytes instead of a
+    * `concat_ws` string of the slice (~10 bytes/slot); a 64-bit key
+    * collision only merges two buckets (false candidates that verify
+    * rejects), it cannot lose a pair.
+    *
+    * `minSizeRatio` prunes inside the join: J(A,B) ≤ min(|A|,|B|) /
+    * max(|A|,|B|), so a pair whose token-set sizes are off by more than
+    * the verify threshold can never survive and is dropped before it is
+    * even emitted.
+    *
+    * With `maxBucket` set, a pair whose first-matching band sits in a
+    * dropped hot bucket is lost even if a later band's bucket survives
+    * (the naive join would find it there). In practice the loss is the
+    * same graceful-recall story as the cap itself: hot buckets are
+    * boilerplate clusters whose pairs are near-identical, so the bands
+    * are hot together — a pair first-matching in a hot band almost
+    * surely has its other colliding bands hot too.
+    */
+  private def bandCandidates(
+      docs: DataFrame,
+      bands: Int,
+      rows: Int,
+      idCol: String,
+      textCol: String,
+      maxBucket: Option[Int],
+      minSizeRatio: Double
   ): DataFrame = {
-    // Phase 1 — candidates: explode band signatures and self-join on
-    // (band, key) carrying ONLY doc ids. On self-similar corpora the
-    // band join fans out heavily; keeping the joined rows to two longs
-    // (instead of dragging token arrays through the shuffle) is the
-    // difference between MBs and GBs of exchange at scale.
     val sigs = docs.select(
       col(idCol).as("id"),
+      size(TextAnalysis.tokenSet(col(textCol))).as("sz"),
       minHashSignature(col(textCol), bands * rows).as("sig"))
     // Spread the probe side BEFORE the self-join: a small corpus file
     // scans as one partition, and a broadcast self-join inherits the
@@ -129,11 +173,12 @@ object Dedup {
     // degenerate bucket cannot pin one task (cap aside). Deterministic
     // (column-hash, not round-robin) → safe under task retries.
     val banded0 = sigs.select(
-      col("id"),
+      col("id"), col("sz"), col("sig"),
       explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), concat_ws(",", slice(col("sig"), j * rows + 1, rows)).as("key"))
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice(col("sig"), j * rows + 1, rows)).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+      .select(col("id"), col("sz"), col("sig"), col("bk.band"), col("bk.key"))
       // explicit partition count: AQE would coalesce a by-size estimate
       // of the tiny sig rows back to one partition, re-serializing the
       // (quadratic) join work it feeds
@@ -147,20 +192,36 @@ object Dedup {
         banded0.join(broadcast(hot), Seq("band", "key"), "left_anti")
       case None => banded0
     }
-    val cands = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
+      // size-ratio prune BEFORE emission (cheap int compare first) …
+      .filter(
+        least(col("x.sz"), col("y.sz")).cast("double") /
+          greatest(col("x.sz"), col("y.sz")) >= minSizeRatio)
+      // … then one early-exit signature scan keeps only the first
+      // matching band's copy of the pair
+      .filter(ColumnBridge.column(graft.functions.BandFirstMatch(
+        ColumnBridge.expression(col("x.sig")),
+        ColumnBridge.expression(col("y.sig")), rows)) === col("band"))
       .select(col("x.id").as("da"), col("y.id").as("db"))
-    // Phase 2 — verify, THEN dedup multi-band hits: attach the two
-    // token-hash sets (sorted longs, see TokenHashes) to each raw
-    // candidate; |A∩B| is one two-pointer merge per pair and |A∪B| =
-    // |A|+|B|−|A∩B| over the array lengths — no string comparisons, no
-    // per-pair allocation. Verifying before deduplication is deliberate:
-    // the merge is so cheap that re-verifying a pair once per colliding
-    // band costs less than globally deduplicating the (much larger) raw
-    // candidate stream — the exchange then carries only verified
-    // survivors. All copies of a pair compute the identical jacc, so the
-    // final hash-agg keeps any one.
+  }
+
+  /** Phase 2 — true-Jaccard verification of (da, db) candidates: attach
+    * the two token-hash sets (sorted longs, see TokenHashes); |A∩B| is
+    * one two-pointer merge per pair and |A∪B| = |A|+|B|−|A∩B| over the
+    * array lengths — no string comparisons, no per-pair allocation.
+    * One verify per candidate row — [[bandCandidates]] guarantees each
+    * pair arrives exactly once.
+    */
+  private def verifyJaccard(
+      cands: DataFrame,
+      docs: DataFrame,
+      verifyThreshold: Double,
+      idCol: String,
+      textCol: String,
+      broadcastVerify: Boolean
+  ): DataFrame = {
     val toks0 = docs.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
     val toks = if (broadcastVerify) broadcast(toks0) else toks0
     cands
@@ -177,7 +238,7 @@ object Dedup {
       .withColumn("jacc",
         col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
       .filter(col("jacc") >= verifyThreshold)
-      .groupBy("da", "db").agg(first("jacc").as("jacc"))
+      .select(col("da"), col("db"), col("jacc"))
   }
 
   /** Sorted distinct token-hash set (array<long>) for a text column —
@@ -205,11 +266,28 @@ object Dedup {
     * rounds of Kiveris et al. (2014) bound the iteration count; dedup
     * graphs do not need them.
     *
+    * Exact duplicates are collapsed FIRST (fingerprint → min-id
+    * representative, [[exact]]'s contract): identical normalized text
+    * means identical token set, so an exact-dup group is one clique of
+    * the near-dup graph and can enter LSH as a single representative —
+    * real pipelines always run exact-before-fuzzy, because boilerplate
+    * groups otherwise enter the band join as m-sized buckets emitting
+    * m²/2 candidate rows each. Component minima are preserved: each
+    * group's representative IS its minimum id, so the min over a
+    * component of representatives equals the min over the full
+    * component, and members inherit their representative's keeper.
+    *
     * Defaults use bands=16 × rows=4 (same 64-perm signature cost as
     * [[minHashPairs]]' 8×8): P[miss | j ≥ 0.9] = (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸,
     * so the candidate stage is effectively exhaustive at the 0.9
     * verify threshold and the output is deterministic — it equals
     * min-id-over-true-Jaccard-components, which a SQL oracle can check.
+    * 4-row bands admit more mid-similarity candidates than 8-row
+    * configs (P[collide | j=0.5]: 0.64 vs 0.12 for 32×8), but with
+    * first-match emission each candidate costs ONE cheap sorted-merge
+    * verify — measured, that beats 32×8's 4×-heavier signature payload
+    * through the band exchange (64 vs 256 slots carried in every
+    * exploded row) at equal recall.
     */
   def minHashClusters(
       docs: DataFrame,
@@ -221,7 +299,11 @@ object Dedup {
       maxBucket: Option[Int] = Some(4096),
       maxIter: Int = 25
   ): DataFrame = {
-    val edges0 = minHashPairs(docs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
+    val fps = docs.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val reps = fps.groupBy("fp").agg(min("id").as("rep"))
+    val docRep = fps.join(reps, "fp").select(col("id"), col("rep"))
+    val repDocs = docs.join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val edges0 = minHashPairs(repDocs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
       .select(col("da"), col("db"))
     // Contraction components: each round every node relabels to the min
     // of itself and its neighborhood, then the edge list is rewritten in
@@ -233,7 +315,7 @@ object Dedup {
     // propagation took 8 full-size rounds on the bench corpus). Per
     // round: one hash-agg and two joins keyed on node id — all
     // distributed; the driver sees only the emptiness flag.
-    var mapping = docs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
+    var mapping = repDocs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
     // materialize the verified edge list ONCE before mirroring it: both
     // union branches read it, and un-checkpointed they would each re-run
     // the full candidate+verify pipeline (the single most expensive part
@@ -256,7 +338,11 @@ object Dedup {
         .localCheckpoint()
       i += 1
     }
-    mapping.select(col("id").as(idCol), col("lbl").as("keeper"))
+    // members inherit their exact-dup representative's keeper (the
+    // representative is the group minimum, so component minima are
+    // unchanged — see scaladoc)
+    docRep.join(mapping.select(col("id").as("rep"), col("lbl")), "rep")
+      .select(col("id").as(idCol), col("lbl").as("keeper"))
   }
 
   /** SimHash near-dup groups via pigeonhole banding: split the 64-bit
