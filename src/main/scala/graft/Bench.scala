@@ -31,10 +31,12 @@ object Bench {
       isolate(spark)
       name -> time(fn)
     }
-    // The slowest tail gets a confirmation re-run (isolated, warm JVM)
-    // and keeps the better of the two timings: single-shot numbers for
-    // heavy queries are the noisiest (JIT, first-touch of the state
-    // store) and round-over-round comparisons need them reproducible.
+    // STATED POLICY — slowest-5 tail: min of two isolated runs. The
+    // re-run removes JIT/first-touch noise; taking the min (not median)
+    // slightly flatters heavy queries but is stable round-over-round,
+    // and every round since r4 uses the same rule, so cross-round
+    // comparisons of the tail are like-for-like. All other queries are
+    // single-shot.
     val rerun = firstPass.sortBy(-_._2).take(5).map { case (name, _) =>
       isolate(spark)
       name -> time(SparkEntry.queries(name))

@@ -985,7 +985,104 @@ object StreamingQueries {
         |WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** Late-fire emission by side-output merge-back (ref: WindowEmitStrategy
+    * .scala late-fire triggers; WindowedStream.java:158 allowedLateness;
+    * WindowOperator.java's late-element branch). Spark's streaming
+    * aggregate cannot re-fire a window already emitted past the
+    * watermark, so the reference's OBSERVABLE late-fire behavior is
+    * reproduced outside it: the [[graft.streaming.LateData]] splitter
+    * classifies each micro-batch against the same monotonic watermark the
+    * engine would use; on-time rows append 1-hour tumbling-window
+    * partials to a store, watermark-late rows within the allowed lateness
+    * (window end + 1 h still above the watermark) append UPDATE partials
+    * into the same windows — these are the late fires, counted per window
+    * in `n_late` — and rows past allowed lateness are dropped exactly
+    * like the reference's too-late branch. The snapshot groupBy collapses
+    * the partial history into final window rows, i.e. the result a
+    * downstream consumer of ALLOWED_LATENESS + late-fire updates would
+    * retain.
+    *
+    * The 3-way micro-batch split is ntile(3) over a deterministic
+    * jittered ordering (pure arithmetic on (ts, event_id)), so batch
+    * membership, each batch's watermark, and the late/merged/dropped
+    * classification are all SQL-expressible — the DuckDB oracle replays
+    * the whole pipeline exactly, n_late included.
+    */
+  def streamLateUpdate(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+
+    val jitterKey = unix_micros(col("ts")) + (col("event_id") % 97) * lit(300000000L)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("b", ntile(3).over(Window.orderBy(jitterKey, col("event_id"))) - 1)
+    // one file per micro-batch, named so (mtime, path) both give b0<b1<b2
+    val srcDir = freshDir(dir, "late_update_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"late_update_tmp$b")
+      ev.filter(col("b") === b).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, Paths.get(srcDir, s"b$b.parquet"))
+    }
+
+    val store = freshDir(dir, "late_update_store")
+    val splitter = new graft.streaming.LateData("ts", delayMs = 10 * 60 * 1000L)
+    val latenessUs = 3600L * 1000000L
+    def partials(df: DataFrame, late: Boolean): DataFrame =
+      df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sv"),
+          (if (late) col("cnt") else lit(0L)).as("n_late"))
+    val handler = splitter.foreachBatch(
+      main = b => partials(b, late = false).write.mode("append").parquet(store),
+      late = b => {
+        // allowed lateness: merge only while the window's end + lateness
+        // is still ahead of the watermark (the splitter's wm is updated
+        // AFTER the handlers run, so this is the batch's own cutoff)
+        val merged = b.filter(
+          expr("((unix_micros(ts) div 3600000000) + 1) * 3600000000") + lit(latenessUs)
+            > lit(splitter.watermarkUs))
+        partials(merged, late = true).write.mode("append").parquet(store)
+      })
+
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = src.writeStream.foreachBatch(handler).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(store)
+      .groupBy("wstart", "event_type")
+      .agg(sum("cnt").as("cnt"), round(sum("sv"), 4).as("sv"), sum("n_late").as("n_late"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val streamLateUpdateSql: String =
+    Tables.eventsCte +
+      """
+        |, bt AS (SELECT event_id, ts, event_type, value,
+        |    ntile(3) OVER (ORDER BY epoch_us(ts) + (event_id % 97) * 300000000, event_id) - 1 AS b
+        |  FROM ev)
+        |, wms AS (SELECT b,
+        |    max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - INTERVAL 10 MINUTE AS wm
+        |  FROM (SELECT b, max(ts) AS mx FROM bt GROUP BY b))
+        |, cls AS (SELECT bt.*, wms.wm,
+        |    (wms.wm IS NOT NULL AND bt.ts < wms.wm) AS late
+        |  FROM bt JOIN wms USING (b))
+        |, kept AS (SELECT * FROM cls
+        |  WHERE NOT late OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL 2 HOUR > wm)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*)::BIGINT AS cnt, round(sum(value), 4) AS sv,
+        |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
+        |FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
     Q("q_stream_hop", streamHop, Some(streamHopSql)),
