@@ -81,6 +81,63 @@ case class CosineSimFloat(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All banded sign-LSH bucket ids of an embedding in ONE pass:
+  * bucket[b] bit j = sign(v · plane_{b,j}) > 0, planes drawn from the
+  * seeded RNG (seed + 7919·b per band — Charikar 2002 sign-LSH, same
+  * construction as graft.operators.Similarity.planes). Replaces
+  * bands × rowsPerBand separate dot_f(embedding, typedlit(plane))
+  * expressions whose generated code — 128 unrolled 64-float literal
+  * traversals at the near-dup defaults — took multiple seconds of
+  * first-run janino/JIT compilation and re-read the embedding 128
+  * times per row. Double accumulation in the same sequential order as
+  * DotProductFloat ⇒ bit-identical buckets to the per-plane
+  * formulation. CodegenFallback is fine: cost is per-embedding.
+  */
+case class SignLshBuckets(child: Expression, bands: Int, rowsPerBand: Int, dim: Int, seed: Long)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_buckets"
+
+  // [bands*rowsPerBand][dim], band-major — one JVM-wide build per plan
+  @transient private lazy val planes: Array[Array[Float]] =
+    (0 until bands).toArray.flatMap(b => SignLshBuckets.planes(rowsPerBand, dim, seed + 7919L * b))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = planes(b * rowsPerBand + j)
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += v.getFloat(d).toDouble * p(d).toDouble; d += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+object SignLshBuckets {
+  /** Deterministic Gaussian hyperplanes; draw order (plane-major, then
+    * dimension) must stay fixed — bucket ids are part of query results.
+    */
+  def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+}
+
 /** DOT_F(a, b) over array<float>: double-accumulated dot product (IVF /
   * pre-normalized embedding path — cosine on unit vectors is a dot).
   */

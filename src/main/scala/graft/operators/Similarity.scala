@@ -1,10 +1,11 @@
 package graft.operators
 
-import graft.functions.GraftFunctions.{cosine_sim, dot_f}
+import graft.functions.GraftFunctions.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Similarity search over embedding columns (SURVEY.md M6): brute-force
   * cosine top-k as the exact baseline, and a sign-LSH (random
@@ -83,18 +84,23 @@ object Similarity {
   /** Deterministic random hyperplanes: numPlanes × dim doubles from a
     * seeded RNG (public-knowledge sign-LSH, Charikar 2002).
     */
-  private[operators] def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
-  }
+  private[operators] def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] =
+    graft.functions.SignLshBuckets.planes(numPlanes, dim, seed).toSeq.map(_.toSeq)
 
-  /** Sign-LSH bucket id: bit j = sign(embedding · plane_j). dot_f is the
-    * codegen'd kernel, so bucketing stays inside the scan stage.
+  /** All `bands` sign-LSH bucket ids in one pass (array<long>, one per
+    * band; band b's planes are seeded seed + 7919·b). Native expression —
+    * one primitive loop per embedding inside the scan stage.
+    */
+  def lshBandBuckets(embedding: Column, bands: Int, rowsPerBand: Int, dim: Int,
+      seed: Long = 42L): Column =
+    ColumnBridge.column(graft.functions.SignLshBuckets(
+      ColumnBridge.expression(embedding), bands, rowsPerBand, dim, seed))
+
+  /** Sign-LSH bucket id: bit j = sign(embedding · plane_j), computed by
+    * the single-band case of [[lshBandBuckets]].
     */
   def lshBucket(embedding: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    planes(numPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
-      when(dot_f(embedding, typedlit(p)) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    element_at(lshBandBuckets(embedding, 1, numPlanes, dim, seed), 1)
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
     * `nlist` centroids, probe only the `nprobe` cells nearest each
@@ -164,11 +170,8 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val banded = corpus.select(col("vec_id"), col("embedding"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          lshBucket(col("embedding"), rowsPerBand, dim, seed + 7919L * b).as("bkt"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bkt"))
+      posexplode(lshBandBuckets(col("embedding"), bands, rowsPerBand, dim, seed)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkt"))
     val lhs = banded.select(col("band"), col("bkt"), col("vec_id").as("a"), col("embedding").as("ea"))
     val rhs = banded.select(col("band"), col("bkt"), col("vec_id").as("b"), col("embedding").as("eb"))
     lhs.join(rhs, Seq("band", "bkt"))
