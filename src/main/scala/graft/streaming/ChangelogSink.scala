@@ -112,13 +112,14 @@ object ChangelogSink {
     */
   object JdbcUpsertSink {
 
-    /** `keyCols` become the table's PRIMARY KEY: the per-row
-      * UPDATE-then-INSERT below is not transactional, so a retried or
-      * speculative task could race past the UPDATE miss and INSERT a
-      * second row for the key — the constraint makes that race fail
-      * loudly (and [[writer]] treats the duplicate-key failure as
-      * "row exists, re-run the UPDATE") instead of silently corrupting
-      * the upsert contract.
+    /** `keyCols` become the table's PRIMARY KEY. [[writer]] applies each
+      * partition as ONE transaction, so a failed or retried task rolls
+      * back wholesale rather than leaving half-applied rows; the
+      * constraint remains as the backstop against CONCURRENT writers
+      * (a speculative duplicate task committing between this task's
+      * UPDATE miss and INSERT) — that race fails loudly with a
+      * duplicate-key error, which [[writer]] resolves as "row exists,
+      * re-run the UPDATE" (last-writer-wins).
       */
     def ensureTable(url: String, table: String, ddlColumns: String,
         keyCols: Seq[String] = Nil): Unit = {
@@ -146,22 +147,34 @@ object ChangelogSink {
             if (rows.nonEmpty) {
               val conn = java.sql.DriverManager.getConnection(url)
               try {
-                val up = conn.prepareStatement(update)
-                val ins = conn.prepareStatement(insert)
-                rows.foreach { r =>
-                  valCols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
-                  keyCols.zipWithIndex.foreach { case (c, i) => up.setObject(valCols.length + i + 1, r.getAs[Any](c)) }
-                  if (up.executeUpdate() == 0) {
-                    cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
-                    try ins.executeUpdate()
-                    catch {
-                      // duplicate key ⇒ lost an insert race with a
-                      // retried/speculative task — the row exists, so
-                      // last-writer-wins via the UPDATE
-                      case e: java.sql.SQLException if e.getSQLState == "23505" =>
-                        up.executeUpdate()
+                // one transaction per partition: a failed task's partial
+                // writes roll back, so a retry re-applies the partition
+                // from a clean slate instead of racing its own leftovers
+                conn.setAutoCommit(false)
+                try {
+                  val up = conn.prepareStatement(update)
+                  val ins = conn.prepareStatement(insert)
+                  rows.foreach { r =>
+                    valCols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
+                    keyCols.zipWithIndex.foreach { case (c, i) => up.setObject(valCols.length + i + 1, r.getAs[Any](c)) }
+                    if (up.executeUpdate() == 0) {
+                      cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+                      try ins.executeUpdate()
+                      catch {
+                        // duplicate key ⇒ lost an insert race with a
+                        // CONCURRENT (speculative) task that committed
+                        // this key — the row exists, so last-writer-wins
+                        // via the UPDATE
+                        case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                          up.executeUpdate()
+                      }
                     }
                   }
+                  conn.commit()
+                } catch {
+                  case t: Throwable =>
+                    try conn.rollback() catch { case _: java.sql.SQLException => () }
+                    throw t
                 }
               } finally conn.close()
             }
