@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * SimHash), and similarity search (brute-force + sign-LSH ANN).
   *
   * Engine-specific hash functions (xxhash64) have no DuckDB twin, so
-  * MinHash/SimHash/ANN entries are declared without oracles (driver
-  * records rows-only checks); their correctness is covered by ScalaTest
-  * against brute-force ground truth.
+  * the MinHash/SimHash pair entries are declared without oracles
+  * (driver records rows-only checks); their correctness is covered by
+  * ScalaTest against brute-force ground truth. The embedding-side
+  * sketches ARE oracled: sign-LSH planes are materialized as SQL
+  * literals (bit-identical bucket signs) and IVF's dataflow is plain
+  * rounded-cosine ranking.
   */
 object PipelineQueries {
 
@@ -178,8 +181,12 @@ object PipelineQueries {
       |      FROM s)
       |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  /** Sign-LSH bucketed ANN (no oracle: seeded-hyperplane specific; recall
-    * vs brute force covered in ScalaTest).
+  /** Sign-LSH bucketed ANN. Fully oracled since r5: the hyperplanes are
+    * seeded-deterministic, so they are materialized as literal DOUBLE[]
+    * rows in the SQL and DuckDB reproduces the exact bucket assignment —
+    * float×float products are exact in double and both engines
+    * accumulate sequentially, so the sign of every dot product (hence
+    * every bucket bit) matches bit-for-bit.
     */
   def embAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -189,8 +196,34 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
-  /** IVF ANN, nprobe cells per query (no oracle: centroid-sample
-    * specific; recall vs brute force covered in ScalaTest).
+  /** Exact double value of each float printed so DuckDB parses back the
+    * identical number ((double)0.1f ≠ parse("0.1") as double).
+    */
+  private def sqlDoubleArray(p: Array[Float]): String =
+    p.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ", ", "]")
+
+  val embAnnSql: String = {
+    val planes = graft.functions.SignLshBuckets.planes(numPlanes = 8, dim = 64, seed = 42L)
+    val values = planes.zipWithIndex
+      .map { case (p, j) => s"($j, ${sqlDoubleArray(p)}::DOUBLE[])" }.mkString(",\n")
+    s"""WITH planes(j, p) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bkt AS (SELECT vec_id, sum(CASE WHEN list_dot_product(e, p) > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
+       |        FROM emb, planes GROUP BY vec_id),
+       |be AS (SELECT vec_id, e, bucket FROM emb JOIN bkt USING (vec_id)),
+       |s AS (SELECT q.vec_id AS qid, b.vec_id AS nid, list_cosine_similarity(q.e, b.e) AS c
+       |      FROM be q JOIN be b USING (bucket)
+       |      WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+       |r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+       |      FROM s)
+       |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** IVF ANN, nprobe cells per query. Fully oracled since r5: centroids
+    * are a deterministic sample (vec_id < nlist) and cell assignment /
+    * probe ranking use the same rounded-cosine + id tie-break as the
+    * operator, so the SQL replays the whole dataflow.
     */
   def embIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -200,16 +233,56 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
-  /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify
-    * (no oracle: bucket membership is seeded-hyperplane specific; the
-    * planted-duplicate recall spec covers correctness). The synthetic
-    * embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
-    * driver threshold sits at 0.35 to exercise the full candidate →
-    * verify → dedup path on real volume.
+  val embIvfSql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 16),
+      |assigned AS (SELECT vec_id, e, cid FROM (
+      |  SELECT m.vec_id, m.e, c.cid,
+      |    row_number() OVER (PARTITION BY m.vec_id
+      |      ORDER BY round(list_cosine_similarity(m.e, c.ce), 6) DESC, c.cid) AS rn
+      |  FROM emb m, cent c) WHERE rn = 1),
+      |probes AS (SELECT qid, qe, cid FROM (
+      |  SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.e, c.ce), 6) DESC, c.cid) AS rn
+      |  FROM emb q, cent c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |s AS (SELECT qid, a.vec_id AS nid, list_cosine_similarity(qe, a.e) AS c
+      |      FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+      |r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
+    * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
+    * materialized as SQL literals and DuckDB replays candidate
+    * generation (any-band bucket match), verification, and pair dedup.
+    * The synthetic embeddings are near-orthogonal (max pairwise cosine
+    * ≈ 0.51), so the driver threshold sits at 0.35 to exercise the full
+    * candidate → verify → dedup path on real volume.
     */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.35)
       .orderBy("a", "b")
+
+  val embNearDupSql: String = {
+    val values = (0 until 16).flatMap { b =>
+      graft.functions.SignLshBuckets.planes(numPlanes = 8, dim = 64, seed = 42L + 7919L * b)
+        .zipWithIndex.map { case (p, j) => s"($b, $j, ${sqlDoubleArray(p)}::DOUBLE[])" }
+    }.mkString(",\n")
+    s"""WITH planes(band, j, p) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bkt AS (SELECT vec_id, band,
+       |          sum(CASE WHEN list_dot_product(e, p) > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
+       |        FROM emb, planes GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |         FROM bkt x JOIN bkt y USING (band, bucket)
+       |         WHERE x.vec_id < y.vec_id)
+       |SELECT a, b, round(list_cosine_similarity(ea.e, eb.e), 4) AS cos
+       |FROM cand JOIN emb ea ON ea.vec_id = a JOIN emb eb ON eb.vec_id = b
+       |WHERE list_cosine_similarity(ea.e, eb.e) >= 0.35
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** Multimodal binary-column pipeline (M6): documents text packed as
     * opaque media payloads; container features + frame sampling. The
@@ -255,8 +328,8 @@ object PipelineQueries {
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
-    Q("q_emb_ann", embAnn, None),
-    Q("q_emb_ivf", embIvf, None),
-    Q("q_emb_neardup", embNearDup, None)
+    Q("q_emb_ann", embAnn, Some(embAnnSql)),
+    Q("q_emb_ivf", embIvf, Some(embIvfSql)),
+    Q("q_emb_neardup", embNearDup, Some(embNearDupSql))
   )
 }
