@@ -73,4 +73,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
   }
+
+  test("q_doc_minhash: first-match emission leaves no dedup aggregate or extra exchange") {
+    // Candidates are unique by construction (BandFirstMatch filter inside
+    // the band join), so the plan must contain NO aggregate at all — the
+    // old pipeline's groupBy(da,db) dedup — and only the two deliberate
+    // exchanges: the probe-spreading repartition and the hot-bucket
+    // cap's aggregation branch.
+    val p = planString("q_doc_minhash")
+    assert(!p.contains("SortAggregate"), s"dedup agg crept back:\n$p")
+    assert(p.contains("band_first_match"), s"first-match filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    // HashAggregate may appear only in the (tiny) hot-bucket-cap branch,
+    // never downstream of the band self-join's verify phase: the final
+    // operator of the plan must be the verify projection, not an agg.
+    val lines = p.linesIterator.toSeq
+    val firstOp = lines.find(l => l.nonEmpty && !l.startsWith("AdaptiveSparkPlan")).getOrElse("")
+    assert(!firstOp.contains("Aggregate"), s"plan root is an aggregate (post-verify dedup):\n$p")
+  }
 }
