@@ -1016,15 +1016,21 @@ object StreamingQueries {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withColumn("b", ntile(3).over(Window.orderBy(jitterKey, col("event_id"))) - 1)
-    // one file per micro-batch, named so (mtime, path) both give b0<b1<b2
+    // one file per micro-batch: ONE partitionBy write (a single job —
+    // three filter+sort+write jobs cost ~3× the prep latency), then
+    // explicit names AND strictly increasing mtimes so the file source
+    // processes b0<b1<b2 regardless of its (mtime, path) tie rules
     val srcDir = freshDir(dir, "late_update_src")
     Files.createDirectories(Paths.get(srcDir))
+    val tmp = freshDir(dir, "late_update_tmp")
+    ev.coalesce(1).write.partitionBy("b").mode("overwrite").parquet(tmp)
     for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"late_update_tmp$b")
-      ev.filter(col("b") === b).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      val part = Files.list(Paths.get(tmp, s"b=$b")).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.move(part, Paths.get(srcDir, s"b$b.parquet"))
+      val dest = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + b * 2000L))
     }
 
     val store = freshDir(dir, "late_update_store")
