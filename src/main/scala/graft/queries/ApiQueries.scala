@@ -279,7 +279,53 @@ object ApiQueries {
         |  count(*) AS cnt, round(sum(value), 4) AS sv
         |FROM ev GROUP BY 1 ORDER BY tag""".stripMargin
 
+  /** Two-phase salted aggregation on a genuinely hot grouping key
+    * (l_returnflag — 3 values over the whole table): partial-aggregate
+    * on (key, salt), final on key (ref: SplitAggregateRule /
+    * PartialFinalType in StreamExecGroupAggregate). The oracle is the
+    * PLAIN group-by — salting must be semantically invisible.
+    */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      Tables.lineitem(s, dir),
+      keys = Seq("l_returnflag"),
+      buckets = 32,
+      saltBy = col("l_orderkey"),
+      partial = Seq(count(lit(1)).as("pc"), sum("l_quantity").as("ps")),
+      finalAgg = Seq(sum("pc").as("cnt"), round(sum("ps"), 2).as("sq")))
+      .orderBy("l_returnflag")
+
+  val skewSaltedAggSql: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS cnt, round(sum(l_quantity), 2) AS sq
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Salted join against a replicable dimension when every left row
+    * shares 3 join keys (maximal skew — one partition per key without
+    * salting): left rows salt by hash(l_orderkey) % 8, the 3-row dim is
+    * replicated 8×. Aggregated so the oracle is a plain join+group-by:
+    * replication must be semantically invisible.
+    */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+      .toDF("l_returnflag", "label")
+    graft.operators.Skew.saltedJoin(
+      Tables.lineitem(s, dir), dim, keys = Seq("l_returnflag"),
+      buckets = 8, leftSaltBy = col("l_orderkey"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("label")
+  }
+
+  val skewSaltedJoinSql: String =
+    """WITH dim(l_returnflag, label) AS (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+      |SELECT label, count(*)::BIGINT AS cnt, round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem JOIN dim USING (l_returnflag)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_skew_salted_agg", skewSaltedAgg, Some(skewSaltedAggSql)),
+    Q("q_skew_salted_join", skewSaltedJoin, Some(skewSaltedJoinSql)),
     Q("q_sql_revenue", sqlRevenue, Some(sqlRevenueSql)),
     Q("q_cogroup", cogroup, Some(cogroupSql)),
     Q("q_flat_agg", flatAggregate, Some(flatAggregateSql)),
