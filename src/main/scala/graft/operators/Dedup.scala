@@ -299,10 +299,16 @@ object Dedup {
       maxBucket: Option[Int] = Some(4096),
       maxIter: Int = 25
   ): DataFrame = {
+    // fps and repDocs each feed several consumers (signature scan,
+    // verify scan, mapping init, final member re-attach) — checkpoint
+    // them once instead of re-running scan+fingerprint+semi-join per
+    // consumer. Both are one row per doc / per representative: tiny.
     val fps = docs.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint()
     val reps = fps.groupBy("fp").agg(min("id").as("rep"))
     val docRep = fps.join(reps, "fp").select(col("id"), col("rep"))
     val repDocs = docs.join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
     val edges0 = minHashPairs(repDocs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
       .select(col("da"), col("db"))
     // Contraction components: each round every node relabels to the min
@@ -316,12 +322,15 @@ object Dedup {
     // round: one hash-agg and two joins keyed on node id — all
     // distributed; the driver sees only the emptiness flag.
     var mapping = repDocs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
-    // materialize the verified edge list ONCE before mirroring it: both
-    // union branches read it, and un-checkpointed they would each re-run
-    // the full candidate+verify pipeline (the single most expensive part
-    // of the whole operator)
-    val edges = edges0.localCheckpoint()
-    var e = edges.union(edges.select(col("db"), col("da"))).toDF("u", "v").localCheckpoint()
+    // mirror each verified edge in the SAME pass that materializes it
+    // (explode of the two orientations): one checkpoint job over the
+    // expensive candidate+verify pipeline instead of checkpoint-then-
+    // union-then-checkpoint-again
+    var e = edges0.select(explode(array(
+        struct(col("da").as("u"), col("db").as("v")),
+        struct(col("db").as("u"), col("da").as("v")))).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
+      .localCheckpoint()
     var i = 0
     while (i < maxIter && !e.isEmpty) {
       val l = e.groupBy("u").agg(min("v").as("mn"))
