@@ -30,9 +30,13 @@ object Bench {
     // compiler, and parquet reader paths once, so the one-time cost is
     // not attributed to whichever query sorts first (r4: q_agg_collect,
     // a 25-row nation aggregate, was charged 4.3 s of it).
-    spark.range(100000).selectExpr("id % 7 AS k", "cast(id as double) AS v")
-      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    // best-effort, like every timed query: a bad SF dir must not abort
+    // the sweep before anything is timed
+    try {
+      spark.range(100000).selectExpr("id % 7 AS k", "cast(id as double) AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
+      spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    } catch { case _: Throwable => () }
     // deterministic order: stable warmup attribution across rounds
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       isolate(spark)

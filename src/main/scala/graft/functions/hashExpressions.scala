@@ -126,18 +126,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** First band index (0-based) at which two equal-length MinHash
-  * signatures agree on ALL `rowsPerBand` slots, or -1 if no band
-  * matches. The LSH candidate join filters on
-  * `band_first_match(sigA, sigB) = band` so each colliding pair is
-  * emitted from exactly one band — map-side, inside the join stage —
-  * which removes the candidate-dedup exchange entirely (a pair at
-  * Jaccard ≥ 0.9 otherwise re-appears in E ≈ 5–10 colliding bands and
-  * either gets re-verified per band or has to be shuffled for
-  * dropDuplicates). Early exit: scanning stops at the first matching
-  * band, which for the filtering use is never past the probing band.
+/** First index (0-based) at which two equal-length long arrays hold the
+  * same value, or -1. The LSH candidate join filters on
+  * `band_first_match(keysA, keysB) = band` — the arrays are the
+  * per-band bucket keys, so each colliding pair is emitted from exactly
+  * one band, map-side, inside the join stage — which removes the
+  * candidate-dedup exchange entirely (a pair at Jaccard ≥ 0.9 otherwise
+  * re-appears in E ≈ 5–10 colliding bands and either gets re-verified
+  * per band or has to be shuffled for dropDuplicates). Comparing the
+  * key arrays (one long per band) instead of the raw signatures keeps
+  * the exploded join rows ~4× smaller and makes the emission criterion
+  * IDENTICAL to the join criterion — a hash-collision bucket merge
+  * emits the (false) pair exactly once and verify rejects it; no pair
+  * can be lost. Early exit: the scan never passes the probing band.
   */
-case class BandFirstMatch(left: Expression, right: Expression, rowsPerBand: Int)
+case class BandFirstMatch(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "band_first_match"
@@ -146,18 +149,10 @@ case class BandFirstMatch(left: Expression, right: Expression, rowsPerBand: Int)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    val bands = n / rowsPerBand
-    var bi = 0
-    while (bi < bands) {
-      var ri = bi * rowsPerBand
-      val end = ri + rowsPerBand
-      var all = true
-      while (all && ri < end) {
-        if (a.getLong(ri) != b.getLong(ri)) all = false
-        ri += 1
-      }
-      if (all) return java.lang.Integer.valueOf(bi)
-      bi += 1
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return java.lang.Integer.valueOf(i)
+      i += 1
     }
     java.lang.Integer.valueOf(-1)
   }

@@ -121,22 +121,25 @@ object Dedup {
       docs, verifyThreshold, idCol, textCol, broadcastVerify)
 
   /** Phase 1 — LSH band candidates (da < db), each colliding pair
-    * emitted EXACTLY ONCE: explode band signatures and self-join on
-    * (band, slice-hash), then keep a joined row only when the probing
-    * band is the FIRST band on which the two full signatures agree
-    * ([[graft.functions.BandFirstMatch]], map-side, early-exit). On
-    * self-similar corpora a true pair collides in E ≈ 5–10 bands; the
-    * naive join either re-verifies it per band or pays a global
-    * dropDuplicates exchange over the raw candidate stream (tens of
-    * millions of rows at sf0.1 — measured 15 s at 16×4). First-match
-    * emission does the dedup inside the join stage for the cost of one
-    * early-exit signature scan per joined row, so NOTHING downstream
-    * ever sees a duplicate.
+    * emitted EXACTLY ONCE: compute the per-band bucket-key array
+    * (xxhash64 over (band, signature slice) — 8 bytes/band instead of a
+    * `concat_ws` string of the slice), posexplode it, self-join on
+    * (band, key), then keep a joined row only when the probing band is
+    * the FIRST band whose keys agree ([[graft.functions.BandFirstMatch]]
+    * over the two key arrays, map-side, early-exit). On self-similar
+    * corpora a true pair collides in E ≈ 5–10 bands; the naive join
+    * either re-verifies it per band or pays a global dropDuplicates
+    * exchange over the raw candidate stream (tens of millions of rows
+    * at sf0.1 — measured 15 s at 16×4). First-match emission does the
+    * dedup inside the join stage for the cost of one early-exit key
+    * scan per joined row, so NOTHING downstream ever sees a duplicate.
     *
-    * The join key is xxhash64(band, slice) — 8 bytes instead of a
-    * `concat_ws` string of the slice (~10 bytes/slot); a 64-bit key
-    * collision only merges two buckets (false candidates that verify
-    * rejects), it cannot lose a pair.
+    * Exploded rows carry only (id, sz, keys[bands], band, key) — the
+    * raw signature never enters the exchange. Because the emission
+    * criterion compares the SAME keys the join buckets on, a 64-bit
+    * key collision merely merges two buckets: the (false) pair is
+    * emitted exactly once from the first colliding band and the verify
+    * stage rejects it — no pair can be lost or duplicated.
     *
     * `minSizeRatio` prunes inside the join: J(A,B) ≤ min(|A|,|B|) /
     * max(|A|,|B|), so a pair whose token-set sizes are off by more than
@@ -164,23 +167,23 @@ object Dedup {
       col(idCol).as("id"),
       size(TextAnalysis.tokenSet(col(textCol))).as("sz"),
       minHashSignature(col(textCol), bands * rows).as("sig"))
+    val keyed = sigs.select(col("id"), col("sz"),
+      array((0 until bands).map { j =>
+        xxhash64(lit(j), slice(col("sig"), j * rows + 1, rows))
+      }: _*).as("keys"))
     // Spread the probe side BEFORE the self-join: a small corpus file
     // scans as one partition, and a broadcast self-join inherits the
     // probe side's partitioning — without this, every within-bucket
     // pair (quadratic in bucket size!) is produced and deduped on a
-    // single core. Hash-repartitioning the (tiny) sig rows on (id, band)
+    // single core. Hash-repartitioning the (tiny) key rows on (id, band)
     // also spreads a hot bucket's probe rows across tasks, so one
     // degenerate bucket cannot pin one task (cap aside). Deterministic
     // (column-hash, not round-robin) → safe under task retries.
-    val banded0 = sigs.select(
-      col("id"), col("sz"), col("sig"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64(lit(j), slice(col("sig"), j * rows + 1, rows)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sz"), col("sig"), col("bk.band"), col("bk.key"))
+    val banded0 = keyed
+      .select(col("id"), col("sz"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
       // explicit partition count: AQE would coalesce a by-size estimate
-      // of the tiny sig rows back to one partition, re-serializing the
+      // of the tiny key rows back to one partition, re-serializing the
       // (quadratic) join work it feeds
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("id"), col("band"))
@@ -199,11 +202,11 @@ object Dedup {
       .filter(
         least(col("x.sz"), col("y.sz")).cast("double") /
           greatest(col("x.sz"), col("y.sz")) >= minSizeRatio)
-      // … then one early-exit signature scan keeps only the first
-      // matching band's copy of the pair
+      // … then one early-exit key scan keeps only the first matching
+      // band's copy of the pair
       .filter(ColumnBridge.column(graft.functions.BandFirstMatch(
-        ColumnBridge.expression(col("x.sig")),
-        ColumnBridge.expression(col("y.sig")), rows)) === col("band"))
+        ColumnBridge.expression(col("x.keys")),
+        ColumnBridge.expression(col("y.keys")))) === col("band"))
       .select(col("x.id").as("da"), col("y.id").as("db"))
   }
 

@@ -1025,8 +1025,8 @@ object StreamingQueries {
     val tmp = freshDir(dir, "late_update_tmp")
     ev.coalesce(1).write.partitionBy("b").mode("overwrite").parquet(tmp)
     for (b <- 0 until 3) {
-      val part = Files.list(Paths.get(tmp, s"b=$b")).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = new java.io.File(s"$tmp/b=$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
       val dest = Paths.get(srcDir, s"b$b.parquet")
       Files.move(part, dest)
       Files.setLastModifiedTime(dest,

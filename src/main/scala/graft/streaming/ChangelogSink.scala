@@ -114,12 +114,16 @@ object ChangelogSink {
 
     /** `keyCols` become the table's PRIMARY KEY. [[writer]] applies each
       * partition as ONE transaction, so a failed or retried task rolls
-      * back wholesale rather than leaving half-applied rows; the
-      * constraint remains as the backstop against CONCURRENT writers
-      * (a speculative duplicate task committing between this task's
-      * UPDATE miss and INSERT) — that race fails loudly with a
-      * duplicate-key error, which [[writer]] resolves as "row exists,
-      * re-run the UPDATE" (last-writer-wins).
+      * back wholesale rather than leaving half-applied rows. Stated
+      * tradeoff: under speculative execution a duplicate task now
+      * BLOCKS on the original's row locks until its end-of-partition
+      * commit (and may hit the DB's lock timeout → clean rollback →
+      * retry) instead of interleaving per-row — correct but slower in
+      * that corner; the 23505 duplicate-key backstop below remains for
+      * the residual window where a concurrent writer commits between
+      * this transaction's UPDATE miss and INSERT. The exercised path
+      * here (embedded Derby, one writer per partition, no speculation)
+      * never blocks.
       */
     def ensureTable(url: String, table: String, ddlColumns: String,
         keyCols: Seq[String] = Nil): Unit = {

@@ -84,11 +84,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortAggregate"), s"dedup agg crept back:\n$p")
     assert(p.contains("band_first_match"), s"first-match filter missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
-    // HashAggregate may appear only in the (tiny) hot-bucket-cap branch,
-    // never downstream of the band self-join's verify phase: the final
-    // operator of the plan must be the verify projection, not an agg.
-    val lines = p.linesIterator.toSeq
-    val firstOp = lines.find(l => l.nonEmpty && !l.startsWith("AdaptiveSparkPlan")).getOrElse("")
-    assert(!firstOp.contains("Aggregate"), s"plan root is an aggregate (post-verify dedup):\n$p")
+    // The old pipeline deduped with groupBy(da,db).agg(first(jacc)) —
+    // lock on that aggregate function directly: the only aggregates
+    // allowed in this plan are the hot-bucket cap's count and the
+    // fingerprint min, never a first() over verified pairs.
+    assert(!p.contains("first("), s"post-verify first() dedup agg crept back:\n$p")
   }
 }

@@ -57,21 +57,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
-  test("band_first_match returns the first fully-agreeing band, else -1") {
+  test("band_first_match returns the first agreeing slot, else -1") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // rows=2 over 6-slot signatures → bands 0,1,2
     def bfm(a: Seq[Long], b: Seq[Long]): Int = {
       val df = Seq((a, b)).toDF("a", "b")
       df.select(ColumnBridge.column(
         BandFirstMatch(ColumnBridge.expression(col("a")),
-          ColumnBridge.expression(col("b")), rowsPerBand = 2)).as("m"))
+          ColumnBridge.expression(col("b")))).as("m"))
         .as[Int].collect().head
     }
-    val base = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val base = Seq(1L, 2L, 3L)
     assert(bfm(base, base) === 0) // every band agrees → first
-    assert(bfm(base, Seq(9L, 9L, 3L, 4L, 5L, 6L)) === 1) // band 0 differs
-    assert(bfm(base, Seq(9L, 9L, 9L, 9L, 5L, 6L)) === 2) // only last band
-    assert(bfm(base, Seq(9L, 2L, 3L, 9L, 5L, 9L)) === -1) // one slot off per band
+    assert(bfm(base, Seq(9L, 2L, 3L)) === 1) // band 0 differs
+    assert(bfm(base, Seq(9L, 9L, 3L)) === 2) // only last band
+    assert(bfm(base, Seq(9L, 9L, 9L)) === -1) // no band agrees
   }
 
   test("SQL registration resolves hash_code and cosine_sim") {
