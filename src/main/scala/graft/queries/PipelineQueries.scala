@@ -92,6 +92,46 @@ object PipelineQueries {
        |  score_en, score_de, score_es, score_fr
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-5 terms per document (smooth idf = ln((N+1)/(df+1)) + 1,
+    * the standard sklearn-style smoothing). Distributed shape: one
+    * explode + two hash aggregations + a per-document window — the
+    * window partitions by doc_id, so ranking never funnels the corpus
+    * into few tasks. Scores are rounded to 6 decimals on BOTH sides —
+    * ln() is a transcendental and JVM Math.log vs C libm differ in the
+    * last ulp for some inputs (observed at sf0.1: a last-ulp score
+    * difference flipped a rank-3/4 tie), so ranking and output must use
+    * the rounded value.
+    */
+  def docTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(idf, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("tok"), col("score"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val docTfidfSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+       |idf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |sc AS (SELECT doc_id, tok, round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS score
+       |       FROM tf JOIN idf USING (tok), n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+       |      FROM sc)
+       |SELECT doc_id, tok, score, rn FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
   def docExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir))
       .orderBy("fp")
@@ -322,6 +362,7 @@ object PipelineQueries {
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
     Q("q_doc_quality", docQuality, Some(docQualitySql)),
     Q("q_doc_langid", docLangId, Some(docLangIdSql)),
+    Q("q_doc_tfidf", docTfidf, Some(docTfidfSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
