@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -324,6 +324,53 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Sequence packing: greedy next-fit token-budget bins per shard (the
+    * dedup→pack step that turns a corpus into fixed-length training
+    * sequences). The oracle replays the same greedy fold with a
+    * recursive CTE stepping through each shard's rank order.
+    */
+  def docPack(s: SparkSession, dir: String): DataFrame =
+    Packing.packGreedy(Tables.documents(s, dir), budget = 256, shards = 32,
+        idCol = "doc_id", tokensCol = TextAnalysis.tokenCount(col("text")))
+      .orderBy("doc_id")
+
+  val docPackSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id % 32 AS shard, doc_id,
+       |         len(string_split($normSql, ' '))::BIGINT AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS bin, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |         CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+       |         CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+       |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, doc_id, n_tokens, bin FROM pack ORDER BY doc_id""".stripMargin
+
+  /** Language-rebalancing deterministic hash sample: every language is
+    * downsampled to ~the smallest language's size via an md5-prefix
+    * threshold — pure per-row predicate + broadcast rate table, the only
+    * sampling shape that survives an 80 %-one-language corpus at 100 TB
+    * (see [[graft.operators.Sampling]]).
+    */
+  def docSampleBalanced(s: SparkSession, dir: String): DataFrame =
+    Sampling.balancedHashSample(Tables.documents(s, dir), "lang", "doc_id")
+      .select(col("lang"), col("doc_id"), round(col("rate"), 6).as("rate"))
+      .orderBy("lang", "doc_id")
+
+  val docSampleBalancedSql: String =
+    """WITH c AS (SELECT lang, count(*)::BIGINT AS str_cnt FROM documents GROUP BY 1),
+      |t AS (SELECT min(str_cnt) AS target FROM c),
+      |r AS (SELECT lang, target::DOUBLE / str_cnt AS rate FROM c, t)
+      |SELECT lang, doc_id, round(rate, 6) AS rate
+      |FROM documents JOIN r USING (lang)
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 8) <=
+      |      lpad(lower(hex(least(floor(rate * 4294967296.0)::BIGINT, 4294967295))), 8, '0')
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Multimodal binary-column pipeline (M6): documents text packed as
     * opaque media payloads; container features + frame sampling. The
     * oracle mirrors binary chunking through lowercase-hex strings
@@ -363,6 +410,8 @@ object PipelineQueries {
     Q("q_doc_quality", docQuality, Some(docQualitySql)),
     Q("q_doc_langid", docLangId, Some(docLangIdSql)),
     Q("q_doc_tfidf", docTfidf, Some(docTfidfSql)),
+    Q("q_doc_pack", docPack, Some(docPackSql)),
+    Q("q_doc_sample_balanced", docSampleBalanced, Some(docSampleBalancedSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
