@@ -90,4 +90,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // fingerprint min, never a first() over verified pairs.
     assert(!p.contains("first("), s"post-verify first() dedup agg crept back:\n$p")
   }
+
+  test("q_doc_sample_balanced joins the rate table by broadcast, not shuffle") {
+    // The corpus side must stream through a map stage: the per-stratum
+    // rate table (a handful of rows) is broadcast and the keep decision
+    // is a per-row predicate — a shuffle join here would be the shape
+    // that dies on an 80%-one-language corpus.
+    val p = planString("q_doc_sample_balanced")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"non-codegen predicate:\n$p")
+  }
+
+  test("q_doc_pack shuffles once (shard repartition) and sorts only within partitions") {
+    // Greedy packing = one hash exchange on the shard key + an intra-
+    // partition sort feeding the sequential pass. A global Sort (with its
+    // own range exchange) before the mapPartitions would mean the packing
+    // no longer scales out; the final orderBy of the QUERY is allowed.
+    val packed = graft.operators.Packing.packGreedy(
+      graft.Tables.documents(spark, dir), budget = 256, shards = 32,
+      idCol = "doc_id", tokensCol = graft.operators.TextAnalysis.tokenCount(
+        org.apache.spark.sql.functions.col("text")))
+    val p = packed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
 }
