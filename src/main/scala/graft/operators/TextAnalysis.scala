@@ -86,6 +86,19 @@ object TextAnalysis {
           .otherwise("ok"))
   }
 
+  /** k-token shingles of the normalized text (consecutive token windows
+    * joined by single spaces); empty array when the doc has fewer than k
+    * tokens. Pure codegen'd higher-order functions — evaluated inside
+    * the scan stage, no shuffle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Winnowing-style rolling fingerprint (ref: SURVEY.md M6 "document
     * fingerprinting (rolling hash)"): hash every k-token shingle, then
     * keep the minimum hash of each sliding window of `w` shingles.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -350,6 +350,32 @@ object PipelineQueries {
        |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
        |SELECT shard, doc_id, n_tokens, bin FROM pack ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination: flag train docs sharing ≥3 distinct
+    * trigram shingles with the (held-out) eval slice. Eval side is
+    * broadcast — the corpus never shuffles its shingles (see
+    * [[graft.operators.Decontamination]]).
+    */
+  def docDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.ngramOverlap(
+        train = docs.filter(col("doc_id") % 10 =!= 0),
+        eval = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", k = 3, minShared = 3L)
+      .orderBy("train_id", "eval_id")
+  }
+
+  val docDecontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+       |      FROM d WHERE len(toks) >= 3),
+       |ev AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+       |tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+       |hits AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*)::BIGINT AS n_shared
+       |         FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+       |SELECT train_id, eval_id, n_shared FROM hits WHERE n_shared >= 3
+       |ORDER BY train_id, eval_id""".stripMargin
+
   /** Language-rebalancing deterministic hash sample: every language is
     * downsampled to ~the smallest language's size via an md5-prefix
     * threshold — pure per-row predicate + broadcast rate table, the only
@@ -410,6 +436,7 @@ object PipelineQueries {
     Q("q_doc_quality", docQuality, Some(docQualitySql)),
     Q("q_doc_langid", docLangId, Some(docLangIdSql)),
     Q("q_doc_tfidf", docTfidf, Some(docTfidfSql)),
+    Q("q_doc_decontaminate", docDecontaminate, Some(docDecontaminateSql)),
     Q("q_doc_pack", docPack, Some(docPackSql)),
     Q("q_doc_sample_balanced", docSampleBalanced, Some(docSampleBalancedSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),

@@ -102,6 +102,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("ScalaUDF"), s"non-codegen predicate:\n$p")
   }
 
+  test("q_doc_decontaminate broadcasts the eval shingles; corpus shingles never shuffle") {
+    // Benchmark sets are tiny next to a 100 TB corpus: the eval side's
+    // exploded shingle table must be broadcast (both the anti-join on
+    // ids and the shingle join), leaving the only exchange to the sparse
+    // (train_id, eval_id) hit aggregation.
+    val p = planString("q_doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shingles shuffled for the join:\n$p")
+  }
+
   test("q_doc_pack shuffles once (shard repartition) and sorts only within partitions") {
     // Greedy packing = one hash exchange on the shard key + an intra-
     // partition sort feeding the sequential pass. A global Sort (with its

@@ -51,6 +51,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shared.size.toDouble / fps(0).size >= 0.5, "shifted doc should share most fingerprints")
   }
 
+  test("shingles: sliding k-token windows, empty under k tokens") {
+    val got = Seq("a b c d", "a b", "  A  b ").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)  // 2 tokens < k
+    assert(got(2) === Seq.empty)  // normalization first: "a b" is 2 tokens
+  }
+
+  test("ngramOverlap: counts distinct shared shingles, excludes eval docs from train side") {
+    val docs = Seq(
+      (0L, "x y z x y z x y z"),        // eval: shingles {x y z, y z x, z x y}
+      (1L, "x y z x y z q"),            // shares 3 distinct shingles with doc 0
+      (2L, "x y z only"),               // shares 1
+      (10L, "totally different words here")).toDF("doc_id", "text")
+    val out = Decontamination.ngramOverlap(
+        train = docs.filter($"doc_id" =!= 0L), eval = docs.filter($"doc_id" === 0L),
+        idCol = "doc_id", textCol = "text", k = 3, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 3L)))
+  }
+
   test("quality bucket boundaries") {
     val short = "only three words"
     val noStop = (1 to 25).map(i => s"tok$i").mkString(" ")
