@@ -99,6 +99,19 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 1-based token start offsets for overlapping chunks of `chunkSize`
+    * tokens advancing by `stride` (< chunkSize ⇒ overlap). Chunks cover
+    * every token; the last chunk may be shorter (HF-tokenizer
+    * `return_overflowing_tokens` convention). A doc with ≤ chunkSize
+    * tokens yields the single start [1].
+    */
+  def chunkStarts(text: Column, chunkSize: Int, stride: Int): Column = {
+    val n = size(tokens(text))
+    // upper bound n-chunkSize+stride: the smallest stride-multiple start
+    // >= n-chunkSize+1 is generated (tail covered), the next one is not
+    sequence(lit(1), greatest(n - chunkSize + stride, lit(1)), lit(stride))
+  }
+
   /** Winnowing-style rolling fingerprint (ref: SURVEY.md M6 "document
     * fingerprinting (rolling hash)"): hash every k-token shingle, then
     * keep the minimum hash of each sliding window of `w` shingles.

@@ -350,6 +350,35 @@ object PipelineQueries {
        |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
        |SELECT shard, doc_id, n_tokens, bin FROM pack ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking: overlapping 32-token chunks, stride 24
+    * (8-token overlap), short tail kept. One generator inside the scan
+    * stage — per-row work only, no shuffle; at 100 TB this is the
+    * RAG/training pre-tokenization split and runs embarrassingly
+    * parallel.
+    */
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
+        posexplode(TextAnalysis.chunkStarts(col("text"), 32, 24)).as(Seq("pos", "start")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        least(lit(32), size(col("toks")) - col("start") + 1).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(32))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+       |st AS (SELECT doc_id, toks, n,
+       |         unnest(range(1, greatest(n - 32 + 24, 1) + 1, 24)) AS start FROM s)
+       |SELECT doc_id, ((start - 1) // 24)::BIGINT AS chunk_idx, start::BIGINT AS chunk_start,
+       |  least(32, n - start + 1)::BIGINT AS n_chunk_tokens,
+       |  array_to_string(toks[start:start+31], ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Benchmark decontamination: flag train docs sharing ≥3 distinct
     * trigram shingles with the (held-out) eval slice. Eval side is
     * broadcast — the corpus never shuffles its shingles (see
@@ -436,6 +465,7 @@ object PipelineQueries {
     Q("q_doc_quality", docQuality, Some(docQualitySql)),
     Q("q_doc_langid", docLangId, Some(docLangIdSql)),
     Q("q_doc_tfidf", docTfidf, Some(docTfidfSql)),
+    Q("q_doc_chunk", docChunk, Some(docChunkSql)),
     Q("q_doc_decontaminate", docDecontaminate, Some(docDecontaminateSql)),
     Q("q_doc_pack", docPack, Some(docPackSql)),
     Q("q_doc_sample_balanced", docSampleBalanced, Some(docSampleBalancedSql)),

@@ -73,6 +73,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Set((1L, 0L, 3L)))
   }
 
+  test("chunkStarts: full coverage with stride overlap, short tail kept") {
+    def starts(n: Int) = Seq((1 to n).map(i => s"t$i").mkString(" ")).toDF("text")
+      .select(TextAnalysis.chunkStarts(col("text"), 8, 6).as("s"))
+      .as[Seq[Int]].head()
+    assert(starts(5) === Seq(1))            // under chunkSize: one chunk
+    assert(starts(8) === Seq(1))            // exactly chunkSize
+    assert(starts(9) === Seq(1, 7))         // 1..8 then 7..9 (tail of 3)
+    assert(starts(14) === Seq(1, 7))        // 7..14 fills the second chunk
+    assert(starts(20) === Seq(1, 7, 13))    // 13..20 full
+    // invariant: last chunk reaches the end, consecutive chunks overlap
+    for (n <- 1 to 40) {
+      val st = starts(n)
+      assert(st.head === 1 && st.last + 8 - 1 >= n, s"n=$n uncovered: $st")
+      st.zip(st.tail).foreach { case (a, b) => assert(b === a + 6) }
+    }
+  }
+
   test("quality bucket boundaries") {
     val short = "only three words"
     val noStop = (1 to 25).map(i => s"tok$i").mkString(" ")
