@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines (SURVEY.md
+  * M6 extensions): repetition filtering, PII scrubbing, per-domain caps,
+  * weighted epoch mixing, and semantic (centroid-distance) outlier
+  * scoring.
+  *
+  * Scale design mirrors [[TextAnalysis]]: every per-document operator is
+  * a pure Column expression (codegen'd higher-order functions / regex
+  * built-ins) evaluated inside the scan stage — zero shuffle, no UDFs in
+  * the hot path. The two whole-corpus operators are shaped so nothing
+  * quadratic or driver-side exists: the domain cap is a bounded
+  * two-phase aggregate (never a global per-domain window) and centroid
+  * scoring broadcasts the tiny centroid table back over a second scan.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- //
+  // Repetition metrics (Gopher-style quality filters)                //
+  // ---------------------------------------------------------------- //
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1, public
+    * literature): token distinctness, most-frequent-word mass, and
+    * duplicate-2-gram mass. High values of the last two mark
+    * boilerplate / degenerate repetition that a curation pipeline drops
+    * before training. All pure array expressions over the token list —
+    * per-row work only (O(distinct · n) for the top-word scan on docs of
+    * ~100 tokens), embarrassingly parallel at 100 TB.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    val dist = array_distinct(toks)
+    val grams = TextAnalysis.shingles(text, 2)
+    val ng = size(grams)
+    val topCnt = array_max(transform(dist, w => size(filter(toks, t => t === w))))
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "distinct_frac" -> round(size(dist) * lit(1.0) / n, 6),
+      "top_word_frac" -> round(topCnt * lit(1.0) / n, 6),
+      "dup_2gram_frac" -> round(
+        when(ng > 0, (ng - size(array_distinct(grams))) * lit(1.0) / ng)
+          .otherwise(lit(0.0)), 6))
+  }
+
+  // ---------------------------------------------------------------- //
+  // PII scrubbing                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** Email addresses (conservative RFC-ish pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** US-style 7-digit phone fragment NNN-NNNN. */
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, then IPv4s, then phone fragments — widest pattern
+    * first so the narrower numeric patterns never match inside an
+    * already-redacted span. Spark regexp_replace is global, same as the
+    * oracle's 'g' flag.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts + scrubbed-text digest. Phone counts
+    * run on the email/IP-scrubbed text (matching [[scrubPii]]'s order)
+    * so a digit run inside an email or IP is never double-counted.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val noEmailIp =
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    val scrubbed = regexp_replace(noEmailIp, PhoneRe, "<PHONE>")
+    Seq(
+      "n_email" -> regexp_count(text, lit(EmailRe)).cast("long"),
+      "n_phone" -> regexp_count(noEmailIp, lit(PhoneRe)).cast("long"),
+      "n_ip" -> regexp_count(text, lit(Ipv4Re)).cast("long"),
+      "scrub_fp" -> md5(scrubbed),
+      "scrub_len" -> length(scrubbed).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Per-domain cap                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Bounded keep-list aggregator: retains the `cap` smallest
+    * (priority, id) pairs. `merge` is associative and the buffer is
+    * capped, so Catalyst runs it as partial + final aggregation — each
+    * scan partition ships at most `cap` rows per domain, making the
+    * shuffle O(domains · cap · partitions) regardless of corpus size.
+    */
+  private final class KeepKAgg(cap: Int)
+      extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]]
+      with Serializable {
+    override def zero: Seq[(String, Long)] = Vector.empty
+    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
+      if (b.length >= cap && Ordering[(String, Long)].lt(b.last, a)) b
+      else (b :+ a).sorted.take(cap)
+    override def merge(x: Seq[(String, Long)], y: Seq[(String, Long)]): Seq[(String, Long)] =
+      (x ++ y).sorted.take(cap)
+    override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r.sorted
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+  }
+
+  /** Per-domain document cap (CCNet / RefinedWeb-style anti-dominance
+    * dedup, public literature): keep at most `cap` documents per domain,
+    * chosen by a deterministic hash priority (md5 of the id) so the kept
+    * subset is a uniform sample, stable across runs and partitionings.
+    *
+    * Deliberately NOT the `row_number() OVER (PARTITION BY domain)`
+    * rewrite: a global window funnels every row of a hot domain into one
+    * task — at 100 TB a single dominant domain is the norm, not the
+    * exception. The bounded two-phase aggregate ships ≤ cap rows per
+    * (domain, partition) and one hot domain costs O(cap · partitions).
+    *
+    * Output: (domain, id, rn) with rn the 1-based priority rank.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    val keep = udaf(new KeepKAgg(cap), ExpressionEncoder[(String, Long)]())
+    docs
+      .select(col(domainCol).as("domain"), col(idCol).cast("long").as("id"))
+      .withColumn("pri", md5(col("id").cast("string")))
+      .groupBy("domain")
+      .agg(keep(col("pri"), col("id")).as("kept"))
+      .select(col("domain"), posexplode(col("kept")))
+      .select(col("domain"), col("col._2").as("id"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Weighted epoch mixing                                            //
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic weighted epoch mixing: repeat each document
+    * weight(stratum) times with a 1-based epoch index — the standard
+    * "upsample high-quality strata N epochs" mixture step of a training
+    * run. A pure generator (explode of a sequence) inside the scan
+    * stage: zero shuffle, and the blow-up factor is exactly the mixture
+    * weight applied streaming — the repeated corpus is never
+    * materialized.
+    */
+  def epochMix(docs: DataFrame, stratumCol: String, weights: Map[String, Int],
+      defaultWeight: Int = 1): DataFrame = {
+    val wt = coalesce(element_at(typedLit(weights), col(stratumCol)), lit(defaultWeight))
+    docs.withColumn("epoch", explode(sequence(lit(1L), wt.cast("long"))))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Semantic outlier scoring (centroid distance)                     //
+  // ---------------------------------------------------------------- //
+
+  /** SemDeDup-style semantic scoring (Abbas et al. 2023, public
+    * literature): cosine of every embedding to its class centroid — low
+    * scores mark semantic outliers / mislabeled points, extreme-high
+    * scores mark semantic near-duplicates of the class core.
+    *
+    * Scale shape: posexplode to (label, pos, component) feeds a hash
+    * aggregate whose partial (map-side) phase reduces each scan
+    * partition to dim · |labels| rows; the assembled centroid table is
+    * tiny and is BROADCAST back over a second corpus scan. The corpus
+    * itself never shuffles. Centroid components are rounded to 6
+    * decimals so partial-agg summation order cannot leak into the
+    * score; the cosine is the explicit sequential dot / sqrt(‖a‖²·‖b‖²)
+    * fold that the oracle mirrors term-for-term.
+    *
+    * Output: (id, label, cos_centroid) with cos rounded to 4 decimals.
+    */
+  def centroidScores(emb: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      col(embCol).cast("array<double>").as("e"))
+    val centroids = e
+      .select(col("lbl"), posexplode(col("e")))
+      .groupBy("lbl", "pos").agg(round(avg("col"), 6).as("c"))
+      .groupBy("lbl")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("lbl"), transform(col("pc"), x => x.getField("c")).as("ce"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    e.join(broadcast(centroids), "lbl")
+      .select(col("id"), col("lbl"),
+        round(dot(col("e"), col("ce")) /
+          sqrt(dot(col("e"), col("e")) * dot(col("ce"), col("ce"))), 4)
+          .as("cos_centroid"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Decontamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,110 @@ object PipelineQueries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
        |      FROM sc)
        |SELECT doc_id, tok, score, rn FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
+  /** Gopher-style repetition metrics (pure scan-stage column exprs). */
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    val metrics = Curation.repetitionMetrics(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS dist,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |      FROM d)
+       |SELECT doc_id, n::BIGINT AS n_tokens,
+       |  round(len(dist) * 1.0 / n, 6) AS distinct_frac,
+       |  round(list_max(list_transform(dist, w -> len(list_filter(toks, t -> t = w)))) * 1.0 / n, 6) AS top_word_frac,
+       |  round(CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams) ELSE 0.0 END, 6) AS dup_2gram_frac
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing. The corpus is synthetic (no PII), so the query
+    * injects deterministic doc_id-derived email/phone/IP spans into each
+    * document and both engines scrub the same text — the redaction
+    * regexes are exercised on real positives, not on a no-op corpus.
+    */
+  def docPii(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com ph 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 200).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 200).cast("string"), lit(".25"))
+    val cols = Curation.piiColumns(injected)
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  val docPiiSql: String =
+    """WITH p AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id::VARCHAR || '@example.com ph 555-' ||
+      |  lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.' || (doc_id % 200)::VARCHAR ||
+      |  '.' || ((doc_id * 7) % 200)::VARCHAR || '.25' AS t FROM documents),
+      |s AS (SELECT doc_id, t,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+      |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2 FROM p)
+      |SELECT doc_id, n_email,
+      |  len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone, n_ip,
+      |  md5(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_fp,
+      |  length(regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g'))::BIGINT AS scrub_len
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Per-domain cap via the bounded two-phase keep-list aggregate — the
+    * oracle states the SAME contract as the obvious window rewrite, but
+    * the plan ships ≤ cap rows per (domain, partition) instead of
+    * funneling hot domains (see [[graft.operators.Curation.domainCap]]).
+    */
+  def docDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(Tables.documents(s, dir), "source", "doc_id", cap = 10)
+      .select(col("domain").as("source"), col("id").as("doc_id"), col("rn"))
+      .orderBy("source", "rn")
+
+  val docDomainCapSql: String =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+
+  /** Weighted epoch mixing: language-keyed mixture weights, one output
+    * row per (document, epoch). Zero-shuffle generator.
+    */
+  def docMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Curation.epochMix(Tables.documents(s, dir), "lang",
+        Map("en" -> 1, "zh" -> 2, "de" -> 3, "es" -> 2), defaultWeight = 4)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  val docMixEpochsSql: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 2 ELSE 4 END AS wt
+      |  FROM documents)
+      |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
+      |FROM w ORDER BY doc_id, epoch""".stripMargin
+
+  /** SemDeDup-style centroid outlier scores over the embeddings table.
+    * Oracle replays the exact dataflow: per-(label, position) averages
+    * rounded to 6, then the explicit dot / sqrt(‖a‖²·‖b‖²) cosine.
+    */
+  def embOutlierScore(s: SparkSession, dir: String): DataFrame =
+    Curation.centroidScores(Tables.embeddings(s, dir))
+      .select(col("id").as("vec_id"), col("lbl").as("label"), col("cos_centroid"))
+      .orderBy("vec_id")
+
+  val embOutlierScoreSql: String =
+    """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |comp AS (SELECT label, i, round(avg(e[i]), 6) AS c
+      |         FROM emb, range(1, 65) t(i) GROUP BY 1, 2),
+      |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM comp GROUP BY 1)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(e, ce) /
+      |        sqrt(list_dot_product(e, e) * list_dot_product(ce, ce)), 4) AS cos_centroid
+      |FROM emb JOIN cent USING (label) ORDER BY vec_id""".stripMargin
 
   def docExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir))
@@ -469,6 +573,11 @@ object PipelineQueries {
     Q("q_doc_decontaminate", docDecontaminate, Some(docDecontaminateSql)),
     Q("q_doc_pack", docPack, Some(docPackSql)),
     Q("q_doc_sample_balanced", docSampleBalanced, Some(docSampleBalancedSql)),
+    Q("q_doc_repetition", docRepetition, Some(docRepetitionSql)),
+    Q("q_doc_pii", docPii, Some(docPiiSql)),
+    Q("q_doc_domain_cap", docDomainCap, Some(docDomainCapSql)),
+    Q("q_doc_mix_epochs", docMixEpochs, Some(docMixEpochsSql)),
+    Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),

@@ -113,6 +113,43 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"corpus shingles shuffled for the join:\n$p")
   }
 
+  test("q_doc_domain_cap caps via two-phase aggregate, not a per-domain window") {
+    // A global row_number() OVER (PARTITION BY source) funnels every row
+    // of a hot domain into one task — the norm at 100 TB, where one
+    // domain dominates. The bounded keep-list aggregate ships ≤ cap rows
+    // per (domain, partition) map-side instead.
+    val p = planString("q_doc_domain_cap")
+    assert(!p.contains("Window"), s"per-domain window back in plan:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"bounded keep-list aggregate missing:\n$p")
+  }
+
+  test("q_doc_repetition and q_doc_pii run inside the scan stage — no shuffle, no UDF") {
+    for (name <- Seq("q_doc_repetition", "q_doc_pii")) {
+      val p = planString(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+      assert(!p.contains("Join"), s"$name joins:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$name uses a UDF:\n$p")
+    }
+  }
+
+  test("q_doc_mix_epochs is a pure generator — explode, no hash exchange") {
+    val p = planString("q_doc_mix_epochs")
+    assert(p.contains("Generate explode"), s"epoch generator missing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"mix shuffles:\n$p")
+    assert(!p.contains("Join"), s"mix joins:\n$p")
+  }
+
+  test("q_emb_outlier_score broadcasts centroids back over the corpus scan") {
+    // The corpus never shuffles: the only exchanges belong to the tiny
+    // (label, pos) centroid aggregation; scoring joins the assembled
+    // centroid table by broadcast.
+    val p = planString("q_emb_outlier_score")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the centroid join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"non-codegen scoring:\n$p")
+  }
+
   test("q_doc_pack shuffles once (shard repartition) and sorts only within partitions") {
     // Greedy packing = one hash exchange on the shard key + an intra-
     // partition sort feeding the sequential pass. A global Sort (with its

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionMetrics: hand-computed fractions") {
+    val df = Seq((1L, "a a b"), (2L, "x y z"), (3L, "p p p p")).toDF("id", "text")
+    val m = Curation.repetitionMetrics(col("text"))
+    val r = df.select(col("id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").collect()
+    def near(a: Double, b: Double): Boolean = math.abs(a - b) <= 1e-6
+    // "a a b": 3 toks, 2 distinct, top word "a" ×2, grams [a a, a b] all distinct
+    assert(r(0).getLong(1) == 3L)
+    assert(near(r(0).getDouble(2), 2.0 / 3))
+    assert(near(r(0).getDouble(3), 2.0 / 3))
+    assert(r(0).getDouble(4) == 0.0)
+    // "x y z": fully distinct
+    assert(r(1).getDouble(2) == 1.0 && near(r(1).getDouble(3), 1.0 / 3))
+    // "p p p p": grams [p p, p p, p p] → dup frac 2/3
+    assert(near(r(2).getDouble(4), 2.0 / 3))
+  }
+
+  test("scrubPii redacts emails, IPs, phones and is idempotent") {
+    val df = Seq(
+      "mail a.b+c@foo-bar.org and x@y.io here",
+      "server 192.168.0.1 dialed 555-0142",
+      "clean text no pii").toDF("text")
+    val out = df.select(Curation.scrubPii(col("text")).as("s")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> and <EMAIL> here")
+    assert(out(1) == "server <IP> dialed <PHONE>")
+    assert(out(2) == "clean text no pii")
+    val twice = df.select(Curation.scrubPii(Curation.scrubPii(col("text"))).as("s"))
+      .as[String].collect()
+    assert(twice.sameElements(out))
+  }
+
+  test("piiColumns counts each category once per hit") {
+    val df = Seq("a@b.co c@d.org 10.0.0.1 555-1234 999-123").toDF("text")
+    val cols = Curation.piiColumns(col("text"))
+    val r = df.select(cols.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(r.getAs[Long]("n_email") == 2L)
+    assert(r.getAs[Long]("n_ip") == 1L)
+    assert(r.getAs[Long]("n_phone") == 1L) // 999-123 is not NNN-NNNN
+  }
+
+  test("domainCap keeps at most cap per domain, deterministically") {
+    val docs = (1L to 100L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "src")
+    val capped = Curation.domainCap(docs, "src", "doc_id", cap = 5)
+    val byDomain = capped.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byDomain.values.forall(_ == 5L))
+    // rank contiguous 1..5 and stable under repartitioning
+    val again = Curation.domainCap(docs.repartition(7), "src", "doc_id", cap = 5)
+    assert(capped.orderBy("domain", "rn").collect()
+      .sameElements(again.orderBy("domain", "rn").collect()))
+    val small = Curation.domainCap(docs.filter(col("doc_id") <= 4), "src", "doc_id", cap = 5)
+    assert(small.count() == 4) // cap above group size keeps everything
+  }
+
+  test("epochMix repeats each row weight(stratum) times with 1-based epochs") {
+    val docs = Seq((1L, "hi"), (2L, "lo"), (3L, "xx")).toDF("doc_id", "tier")
+    val mixed = Curation.epochMix(docs, "tier", Map("hi" -> 3, "lo" -> 1))
+    val counts = mixed.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 1L, 3L -> 1L)) // default weight 1
+    val epochs = mixed.filter(col("doc_id") === 1).select("epoch").as[Long].collect().sorted
+    assert(epochs.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("centroidScores: identical vectors score 1.0 against their centroid") {
+    val e = Seq(
+      (1L, 0, Seq(1f, 0f, 0f)),
+      (2L, 0, Seq(1f, 0f, 0f)),
+      (3L, 1, Seq(0f, 3f, 4f))).toDF("vec_id", "label", "embedding")
+    val r = Curation.centroidScores(e).orderBy("id")
+      .select("cos_centroid").as[Double].collect()
+    assert(r(0) == 1.0 && r(1) == 1.0 && r(2) == 1.0)
+  }
+
+  test("centroidScores: orthogonal members score symmetrically") {
+    val e = Seq(
+      (1L, 0, Seq(1f, 0f)),
+      (2L, 0, Seq(0f, 1f))).toDF("vec_id", "label", "embedding")
+    // centroid (0.5, 0.5): cos = 0.5 / (1 * sqrt(0.5)) = 0.7071
+    val r = Curation.centroidScores(e).select("cos_centroid").as[Double].collect()
+    assert(r.forall(v => math.abs(v - 0.7071) < 1e-9))
+  }
+}
