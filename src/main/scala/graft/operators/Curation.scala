@@ -157,6 +157,58 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Chunk-level (paragraph) dedup with document reassembly           //
+  // ---------------------------------------------------------------- //
+
+  /** CCNet-style sub-document exact dedup (Wenzek et al. 2020, public
+    * literature): split every document into consecutive `chunkTokens`-
+    * token chunks, drop every chunk whose exact text already occurred
+    * earlier in the corpus (first owner = smallest (doc, chunk-index)),
+    * and reassemble what's left. This removes repeated boilerplate
+    * (headers, navigation, license blocks) that document-level dedup
+    * can't touch.
+    *
+    * Scale shape: chunking is a scan-stage generator; ownership is ONE
+    * hash shuffle keyed on the chunk fingerprint with map-side partial
+    * min (the exact-dedup shape); reassembly is one shuffle keyed on
+    * doc id. No windows, no cartesian anything; both exchanges are on
+    * high-cardinality keys, so the plan survives 100 TB unchanged.
+    *
+    * Output: (id, n_chunks, n_kept, clean_fp) — clean_fp the md5 of the
+    * space-joined surviving chunks (md5("") when every chunk was a
+    * repeat).
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = chunkTokens
+    val chunks = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) + lit(k - 1)) / lit(k)).cast("int") - 1)).as("ci"))
+      .select(col("id"), col("ci"),
+        concat_ws(" ", slice(col("toks"), col("ci") * k + 1, lit(k))).as("ctext"))
+      .withColumn("fp", md5(col("ctext")))
+      // chunk indexes are bounded far below 1e6 (docs are ~100 tokens);
+      // the packed key makes "first owner" a single min aggregate
+      .withColumn("okey", col("id") * 1000000L + col("ci"))
+    val owners = chunks.groupBy("fp").agg(min("okey").as("owner"))
+    val kept = chunks.join(owners, "fp").filter(col("okey") === col("owner"))
+    val reassembled = kept
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("ci"), col("ctext")))).as("parts"))
+      .select(col("id"), col("n_kept"),
+        md5(concat_ws(" ", transform(col("parts"), p => p.getField("ctext")))).as("clean_fp"))
+    chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Semantic outlier scoring (centroid distance)                     //
   // ---------------------------------------------------------------- //
 

@@ -217,6 +217,30 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** CCNet-style chunk-level dedup + reassembly: drop every 8-token
+    * chunk whose exact text occurred earlier in the corpus, md5 the
+    * surviving document. One fp-keyed shuffle + one id-keyed shuffle
+    * (see [[graft.operators.Curation.chunkDedup]]).
+    */
+  def docChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDedup(Tables.documents(s, dir), chunkTokens = 8)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"), col("clean_fp"))
+      .orderBy("doc_id")
+
+  val docChunkDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, unnest(range(0, (len(toks) + 7) // 8)) AS ci, toks FROM d),
+       |ch AS (SELECT doc_id, ci, array_to_string(toks[ci*8+1 : ci*8+8], ' ') AS ctext FROM c),
+       |f AS (SELECT doc_id, ci, ctext, md5(ctext) AS fp, doc_id * 1000000 + ci AS k FROM ch),
+       |own AS (SELECT fp, min(k) AS mk FROM f GROUP BY 1),
+       |kept AS (SELECT doc_id, ci, ctext FROM f JOIN own ON f.fp = own.fp AND f.k = own.mk),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |        md5(string_agg(ctext, ' ' ORDER BY ci)) AS clean_fp FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM f GROUP BY 1)
+       |SELECT doc_id, n_chunks, coalesce(n_kept, 0)::BIGINT AS n_kept,
+       |       coalesce(clean_fp, md5('')) AS clean_fp
+       |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** SemDeDup-style centroid outlier scores over the embeddings table.
     * Oracle replays the exact dataflow: per-(label, position) averages
     * rounded to 6, then the explicit dot / sqrt(‖a‖²·‖b‖²) cosine.
@@ -577,6 +601,7 @@ object PipelineQueries {
     Q("q_doc_pii", docPii, Some(docPiiSql)),
     Q("q_doc_domain_cap", docDomainCap, Some(docDomainCapSql)),
     Q("q_doc_mix_epochs", docMixEpochs, Some(docMixEpochsSql)),
+    Q("q_doc_chunk_dedup", docChunkDedup, Some(docChunkDedupSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),

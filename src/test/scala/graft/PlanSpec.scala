@@ -150,6 +150,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("ScalaUDF"), s"non-codegen scoring:\n$p")
   }
 
+  test("q_doc_chunk_dedup shuffles only on high-cardinality keys — no window, no cartesian") {
+    val p = planString("q_doc_chunk_dedup")
+    assert(!p.contains("Window"), s"window crept into chunk dedup:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in chunk dedup:\n$p")
+  }
+
   test("q_doc_pack shuffles once (shard repartition) and sorts only within partitions") {
     // Greedy packing = one hash exchange on the shard key + an intra-
     // partition sort feeding the sequential pass. A global Sort (with its

@@ -68,6 +68,33 @@ class CurationSpec extends SparkSpec {
     assert(epochs.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("chunkDedup drops repeated chunks, keeps first owner, reassembles in order") {
+    // doc 1 owns both chunks; doc 2 repeats doc 1's first chunk exactly
+    // and contributes one fresh chunk; doc 3 is entirely doc 1's text.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d w x y z"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = Curation.chunkDedup(docs, chunkTokens = 4).orderBy("id").collect()
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 2L) // doc 1 keeps all
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == 1L) // doc 2 loses "a b c d"
+    assert(r(2).getLong(1) == 2L && r(2).getLong(2) == 0L) // doc 3 loses everything
+    // doc 2's surviving text is exactly its second chunk
+    val fpWxyz = docs.sparkSession.sql("SELECT md5('w x y z')").collect()(0).getString(0)
+    assert(r(1).getString(3) == fpWxyz)
+    // fully-dropped doc hashes the empty string
+    val fpEmpty = docs.sparkSession.sql("SELECT md5('')").collect()(0).getString(0)
+    assert(r(2).getString(3) == fpEmpty)
+  }
+
+  test("chunkDedup: short tail chunk participates like any other") {
+    val docs = Seq((1L, "a b c d e"), (2L, "e")).toDF("doc_id", "text")
+    // doc 1 → chunks ["a b c d", "e"]; doc 2 → ["e"] which doc 1 owns
+    val r = Curation.chunkDedup(docs, chunkTokens = 4).orderBy("id").collect()
+    assert(r(0).getLong(2) == 2L)
+    assert(r(1).getLong(2) == 0L)
+  }
+
   test("centroidScores: identical vectors score 1.0 against their centroid") {
     val e = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),
