@@ -217,6 +217,39 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** Per-language corpus statistics with EXACT percentiles (the
+    * length-distribution profile a curation run reports before choosing
+    * filter thresholds). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition; the
+    * interpolated values are rounded to 6 on both sides. One hash
+    * aggregation — percentile is a partial-aggregating ImperativeAgg,
+    * so the shuffle carries per-(partition, lang) digests, not rows.
+    */
+  def docCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        round(avg("n"), 6).as("mean_tokens"),
+        round(expr("percentile(n, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.75)"), 6).as("p75"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        min("n").as("min_tokens"),
+        max("n").as("max_tokens"))
+      .orderBy("lang")
+
+  val docCorpusStatsSql: String =
+    s"""WITH t AS (SELECT lang, len(string_split($normSql, ' '))::BIGINT AS n FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+       |  round(avg(n), 6) AS mean_tokens,
+       |  round(quantile_cont(n, 0.25), 6) AS p25, round(quantile_cont(n, 0.5), 6) AS p50,
+       |  round(quantile_cont(n, 0.75), 6) AS p75, round(quantile_cont(n, 0.9), 6) AS p90,
+       |  min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   /** CCNet-style chunk-level dedup + reassembly: drop every 8-token
     * chunk whose exact text occurred earlier in the corpus, md5 the
     * surviving document. One fp-keyed shuffle + one id-keyed shuffle
@@ -602,6 +635,7 @@ object PipelineQueries {
     Q("q_doc_domain_cap", docDomainCap, Some(docDomainCapSql)),
     Q("q_doc_mix_epochs", docMixEpochs, Some(docMixEpochsSql)),
     Q("q_doc_chunk_dedup", docChunkDedup, Some(docChunkDedupSql)),
+    Q("q_doc_corpus_stats", docCorpusStats, Some(docCorpusStatsSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
