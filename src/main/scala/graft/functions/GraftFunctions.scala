@@ -28,6 +28,21 @@ object GraftFunctions {
   /** Dot product over array<float> embeddings (M6). */
   def dot_f(a: Column, b: Column): Column = col(DotProductFloat(expr(a), expr(b)))
 
+  /** Sequential left-to-right dot product over array<double> columns —
+    * the exact fold DuckDB's list_dot_product performs, so oracle
+    * comparisons are bit-identical (each product rounded to double,
+    * then added in order; no FMA contraction).
+    */
+  def dot_double(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine over array<double> columns via [[dot_double]] with the
+    * explicit dot / sqrt(‖a‖²·‖b‖²) formula (mirrored term-for-term by
+    * oracles).
+    */
+  def cosine_double(a: Column, b: Column): Column =
+    dot_double(a, b) / sqrt(dot_double(a, a) * dot_double(b, b))
+
   /** IS_DIGIT(str) (ref: SqlFunctionUtils.isDigit): all chars in [0-9],
     * non-empty.
     */

@@ -238,12 +238,9 @@ object Curation {
       .groupBy("lbl")
       .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("lbl"), transform(col("pc"), x => x.getField("c")).as("ce"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     e.join(broadcast(centroids), "lbl")
       .select(col("id"), col("lbl"),
-        round(dot(col("e"), col("ce")) /
-          sqrt(dot(col("e"), col("e")) * dot(col("ce"), col("ce"))), 4)
+        round(graft.functions.GraftFunctions.cosine_double(col("e"), col("ce")), 4)
           .as("cos_centroid"))
   }
 }

@@ -146,6 +146,58 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Distributed k-means (Lloyd) over an embedding column — the
+    * centroid-training step the IVF index calls for at production scale
+    * (public-knowledge algorithm). Deterministic: initial centroids are
+    * the first `k` vectors by id, assignment ranks by ROUNDED cosine
+    * with centroid-id tie-break, updated components are rounded to 6 —
+    * so the fixpoint trajectory is engine-exact and fully oracle-able.
+    *
+    * Scale shape per iteration: centroids (k · dim doubles) BROADCAST to
+    * a corpus scan for assignment; the update is a posexplode +
+    * (cid, pos)-keyed hash aggregate whose partial phase reduces each
+    * scan partition to k · dim rows. The corpus never shuffles; the
+    * driver holds nothing but the loop counter. Iterations compose as a
+    * linear plan chain (fine for the handful of Lloyd rounds that
+    * k-means needs; checkpoint between rounds if you run hundreds).
+    *
+    * Empty clusters vanish (no assigned members → no updated centroid) —
+    * identically on both engines.
+    *
+    * Returns (cid, ce: array<double>) after `iters` rounds.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val e = corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e"))
+    var cent = e.filter(col("vid") < k).select(col("vid").cast("int").as("cid"), col("e").as("ce"))
+    for (_ <- 1 to iters) {
+      // argmax by (rounded cosine, smaller cid) via max_by — NOT a
+      // per-vector window: the k joined rows of each vector are
+      // co-located in their scan partition, so the partial aggregate
+      // reduces them to one row map-side and the shuffle carries the
+      // corpus once, not k times
+      val assigned = e.join(broadcast(cent))
+        .select(col("vid"), col("e"), col("cid"),
+          round(cosine_double(col("e"), col("ce")), 6).as("cd"))
+        .groupBy("vid")
+        .agg(max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"),
+          first(col("e")).as("e"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy("cid", "pos").agg(round(avg("col"), 6).as("c"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("ce"))
+    }
+    cent
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (SURVEY M6 dedup family;
     * public-knowledge banded sign-LSH, Charikar 2002 + the MinHash
     * banding trick): a pair is a candidate iff it agrees on ALL

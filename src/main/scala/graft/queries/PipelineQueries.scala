@@ -453,6 +453,36 @@ object PipelineQueries {
       |      FROM s)
       |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Distributed Lloyd k-means centroids (k=8, 3 iterations) — the
+    * training step behind the IVF index. Output is the final centroid
+    * component table; the oracle unrolls the same three assign/update
+    * rounds as CTEs (deterministic: rounded-cosine ranking, cid
+    * tie-break, components rounded to 6 each round).
+    */
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansCentroids(Tables.embeddings(s, dir), k = 8, iters = 3)
+      .select(col("cid"), posexplode(col("ce")))
+      .select(col("cid"), col("pos").cast("long").as("pos"), col("col").as("c"))
+      .orderBy("cid", "pos")
+
+  val embKmeansSql: String = {
+    val cos = (e: String, c: String) =>
+      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
+         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
+         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT cid, i::BIGINT AS pos, c FROM comp3 ORDER BY cid, pos""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
     * materialized as SQL literals and DuckDB replays candidate
@@ -645,6 +675,7 @@ object PipelineQueries {
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
+    Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql))
   )
 }

@@ -32,6 +32,35 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("kmeansCentroids separates two obvious clusters and tracks their means") {
+    // ids 0 and 1 seed one init centroid inside each true cluster
+    val a = Seq((0L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (4L, Seq(0.95f, 0f, 0.05f)))
+    val b = Seq((1L, Seq(0f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0f)), (5L, Seq(0f, 0.95f, 0.05f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(corpus, k = 2, iters = 3)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(cent.keySet == Set(0, 1))
+    // centroid 0 ≈ mean of cluster a: first component dominant; centroid 1 mirrors
+    assert(cent(0)(0) > 0.8 && cent(0)(1) < 0.1)
+    assert(cent(1)(1) > 0.8 && cent(1)(0) < 0.1)
+    val meanA0 = a.map(_._2(0).toDouble).sum / 3
+    assert(math.abs(cent(0)(0) - meanA0) < 1e-6)
+  }
+
+  test("kmeansCentroids drops empty clusters like the oracle does") {
+    // every vector sits on centroid 0's side; centroid 1 loses all members
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(-1f, 0.001f)),
+      (2L, Seq(1f, 0.01f)), (3L, Seq(1f, -0.01f))).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(corpus, k = 2, iters = 2)
+      .as[(Int, Seq[Double])].collect().toMap
+    // iter 1: vec 1 is alone with centroid 1; after it reassigns (its own
+    // centroid persists only while it is nearest) the set can shrink —
+    // assert the operator returns SOME centroid per surviving cluster
+    // and never a NaN component
+    assert(cent.nonEmpty && cent.values.forall(_.forall(d => !d.isNaN)))
+  }
+
   test("ivfTopK recall vs brute force on clustered data") {
     val dim = 16
     val rnd = new scala.util.Random(11)
