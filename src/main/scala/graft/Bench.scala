@@ -37,8 +37,16 @@ object Bench {
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
       spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
     } catch { case _: Throwable => () }
-    // deterministic order: stable warmup attribution across rounds
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // deterministic order: stable warmup attribution across rounds.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated, local dev only) restricts
+    // the sweep for isolated re-timing; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       isolate(spark)
       name -> time(fn)
     }
