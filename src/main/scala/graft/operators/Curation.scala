@@ -153,7 +153,13 @@ object Curation {
   def epochMix(docs: DataFrame, stratumCol: String, weights: Map[String, Int],
       defaultWeight: Int = 1): DataFrame = {
     val wt = coalesce(element_at(typedLit(weights), col(stratumCol)), lit(defaultWeight))
-    docs.withColumn("epoch", explode(sequence(lit(1L), wt.cast("long"))))
+    // weight ≤ 0 must DROP the stratum: Spark's sequence(1, 0) counts
+    // DOWN ([1, 0]) instead of being empty, so guard explicitly —
+    // exploding an empty array erases the row, matching range(1, w+1)
+    // semantics everywhere
+    docs.withColumn("epoch",
+      explode(when(wt >= 1, sequence(lit(1L), wt.cast("long")))
+        .otherwise(array().cast("array<bigint>"))))
   }
 
   // ---------------------------------------------------------------- //

@@ -68,6 +68,13 @@ class CurationSpec extends SparkSpec {
     assert(epochs.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("epochMix weight 0 drops the stratum (sequence must not count down)") {
+    val docs = Seq((1L, "keep"), (2L, "drop")).toDF("doc_id", "tier")
+    val mixed = Curation.epochMix(docs, "tier", Map("keep" -> 2, "drop" -> 0))
+    val ids = mixed.select("doc_id").as[Long].collect()
+    assert(ids.forall(_ == 1L) && ids.length == 2)
+  }
+
   test("chunkDedup drops repeated chunks, keeps first owner, reassembles in order") {
     // doc 1 owns both chunks; doc 2 repeats doc 1's first chunk exactly
     // and contributes one fresh chunk; doc 3 is entirely doc 1's text.
