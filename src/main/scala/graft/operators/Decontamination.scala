@@ -20,6 +20,14 @@ object Decontamination {
   /** Per (train doc, eval doc) count of distinct shared k-shingles,
     * filtered to pairs sharing at least `minShared`. Rows of `eval`
     * are excluded from the train side by id.
+    *
+    * The train side's RAW (id, text) rows are hash-repartitioned by doc
+    * id before any string work (same rationale as the LSH probe spread
+    * in `Dedup.bandCandidates`): a small corpus file scans as one
+    * partition, which would serialize the normalize/shingle/explode
+    * work and the broadcast-join probe on one core. The exchange
+    * carries only the narrow raw rows — all derived work (shingling,
+    * explode, probe, partial agg) runs after it, in parallel.
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame,
                    idCol: String, textCol: String,
@@ -29,7 +37,9 @@ object Decontamination {
           explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("shingle"))
     val evalIds = eval.select(col(idCol).cast("long").as("eval_id"))
     val trainSh = exploded(
-      train.join(broadcast(evalIds), col(idCol) === col("eval_id"), "left_anti"), "train_id")
+      train.join(broadcast(evalIds), col(idCol) === col("eval_id"), "left_anti")
+        .repartition(train.sparkSession.sessionState.conf.numShufflePartitions, col(idCol)),
+      "train_id")
     val evalSh = exploded(eval, "eval_id")
     trainSh.join(broadcast(evalSh), "shingle")
       .groupBy("train_id", "eval_id")
