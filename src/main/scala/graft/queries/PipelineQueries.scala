@@ -217,6 +217,43 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** End-to-end curation funnel — the user-story composition of the
+    * library: repetition/length quality gates → exact dedup (keep the
+    * min-id representative) → per-source survivor stats. Every stage is
+    * the operator the inventory ships (Curation.repetitionMetrics,
+    * TextAnalysis.fingerprint, Dedup's keeper contract); the whole
+    * funnel is one declarative plan — scan-stage metrics, one fp
+    * shuffle, one source aggregate — so Catalyst fuses/prunes across
+    * stage boundaries (nothing materializes between "stages").
+    */
+  def docPipeline(s: SparkSession, dir: String): DataFrame = {
+    val metrics = Curation.repetitionMetrics(col("text")).toMap
+    val filtered = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        metrics("n_tokens").as("n_tokens"),
+        metrics("top_word_frac").as("twf"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .filter(col("n_tokens") >= 20 && col("twf") <= 0.12)
+    val keepers = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    filtered.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
+      .orderBy("source")
+  }
+
+  val docPipelineSql: String =
+    s"""WITH d AS (SELECT doc_id, source, $normSql AS norm,
+       |             string_split($normSql, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, source, md5(norm) AS fp, len(toks)::BIGINT AS n_tokens,
+       |        round(list_max(list_transform(list_distinct(toks),
+       |          w -> len(list_filter(toks, t -> t = w)))) * 1.0 / len(toks), 6) AS twf
+       |      FROM d),
+       |f AS (SELECT * FROM m WHERE n_tokens >= 20 AND twf <= 0.12),
+       |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+       |kept AS (SELECT f.* FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_total
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-language corpus statistics with EXACT percentiles (the
     * length-distribution profile a curation run reports before choosing
     * filter thresholds). Spark's `percentile` and DuckDB's
@@ -666,6 +703,7 @@ object PipelineQueries {
     Q("q_doc_mix_epochs", docMixEpochs, Some(docMixEpochsSql)),
     Q("q_doc_chunk_dedup", docChunkDedup, Some(docChunkDedupSql)),
     Q("q_doc_corpus_stats", docCorpusStats, Some(docCorpusStatsSql)),
+    Q("q_doc_pipeline", docPipeline, Some(docPipelineSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
