@@ -102,6 +102,35 @@ class CurationSpec extends SparkSpec {
     assert(r(1).getLong(2) == 0L)
   }
 
+  test("chunkDedup property: kept chunks are exactly the global first-owners") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    // random docs over a tiny vocab force plenty of chunk collisions
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 4
+    val df = docs.toDF("doc_id", "text")
+    val result = Curation.chunkDedup(df, chunkTokens = k)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // brute force: enumerate chunks, first (doc, idx) per distinct text wins
+    val chunks = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(k).zipWithIndex.map { case (c, ci) => (id, ci, c.mkString(" ")) }
+    }
+    val firstOwner = chunks.groupBy(_._3).map { case (t, cs) =>
+      t -> cs.map(c => (c._1, c._2)).min
+    }
+    val expectKept = chunks.filter(c => firstOwner(c._3) == ((c._1, c._2)))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    docs.foreach { case (id, text) =>
+      val nChunks = (text.split(" ").length + k - 1) / k
+      assert(result(id)._2 == nChunks.toLong, s"doc $id n_chunks")
+      assert(result(id)._3 == expectKept.getOrElse(id, 0L), s"doc $id n_kept")
+    }
+    // every distinct chunk text is kept exactly once corpus-wide
+    assert(result.values.map(_._3).sum == firstOwner.size.toLong)
+  }
+
   test("centroidScores: identical vectors score 1.0 against their centroid") {
     val e = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),
