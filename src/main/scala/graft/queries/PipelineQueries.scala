@@ -225,6 +225,11 @@ object PipelineQueries {
     * funnel is one declarative plan — scan-stage metrics, one fp
     * shuffle, one source aggregate — so Catalyst fuses/prunes across
     * stage boundaries (nothing materializes between "stages").
+    *
+    * Keeper selection is a single `min_by` over the payload struct —
+    * ONE corpus scan and one partial-aggregating fp shuffle, instead of
+    * the groupBy + self-semi-join shape that scans (and recomputes the
+    * scan-stage metrics) twice.
     */
   def docPipeline(s: SparkSession, dir: String): DataFrame = {
     val metrics = Curation.repetitionMetrics(col("text")).toMap
@@ -234,10 +239,11 @@ object PipelineQueries {
         metrics("top_word_frac").as("twf"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .filter(col("n_tokens") >= 20 && col("twf") <= 0.12)
-    val keepers = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    filtered.join(keepers, Seq("fp", "doc_id"), "left_semi")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
+    filtered
+      .groupBy("fp")
+      .agg(min_by(struct(col("source"), col("n_tokens")), col("doc_id")).as("r"))
+      .groupBy(col("r.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("r.n_tokens").as("n_tokens_total"))
       .orderBy("source")
   }
 
