@@ -217,6 +217,33 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** Deequ-style data-quality audit (validation gate before training):
+    * completeness, key uniqueness, domain membership, and metadata
+    * consistency (`n_chars` vs the actual text length) in ONE
+    * aggregation pass — every check is a conditional count inside the
+    * same partial-aggregating scan, so auditing 100 TB costs one read.
+    */
+  def docAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("doc_id")).as("n_id_nonnull"),
+        countDistinct(col("doc_id")).as("n_id_distinct"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)).as("n_text_empty"),
+        sum(when(!col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L)).as("n_lang_bad"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_chars_mismatch"),
+        sum(when(!col("source").rlike("^src[0-9]+$"), 1L).otherwise(0L)).as("n_source_bad"))
+
+  val docAuditSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  count(doc_id)::BIGINT AS n_id_nonnull,
+      |  count(DISTINCT doc_id)::BIGINT AS n_id_distinct,
+      |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_text_empty,
+      |  sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END)::BIGINT AS n_lang_bad,
+      |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS n_chars_mismatch,
+      |  sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_source_bad
+      |FROM documents""".stripMargin
+
   /** End-to-end curation funnel — the user-story composition of the
     * library: repetition/length quality gates → exact dedup (keep the
     * min-id representative) → per-source survivor stats. Every stage is
@@ -710,6 +737,7 @@ object PipelineQueries {
     Q("q_doc_chunk_dedup", docChunkDedup, Some(docChunkDedupSql)),
     Q("q_doc_corpus_stats", docCorpusStats, Some(docCorpusStatsSql)),
     Q("q_doc_pipeline", docPipeline, Some(docPipelineSql)),
+    Q("q_doc_audit", docAudit, Some(docAuditSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
