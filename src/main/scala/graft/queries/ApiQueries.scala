@@ -213,6 +213,65 @@ object ApiQueries {
       |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
       |SELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node""".stripMargin
 
+  /** PageRank (5 damped iterations, d = 0.85) over the same symmetric
+    * nation/region graph as [[iterateBfs]] — the canonical
+    * [[graft.operators.Iterations.loop]] workload. Symmetric edges ⇒ no
+    * dangling mass; N comes from a broadcast one-row aggregate (never a
+    * driver collect); out-degrees are pre-joined onto the checkpointed
+    * edge table once; each round is one join + one dst-keyed partial
+    * aggregation, ranks rounded to 9 so both engines walk the identical
+    * trajectory. The oracle unrolls the five rounds as CTEs.
+    */
+  def iteratePagerank(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val e1 = n.select(col("n_nationkey").cast("long").as("src"), (col("n_regionkey") + 100).cast("long").as("dst"))
+    val e2 = e1.select(col("dst").as("src"), col("src").as("dst"))
+    val e3 = n.select((col("n_regionkey") + 100).cast("long").as("src"),
+      (pmod(col("n_regionkey") + 1, lit(5)) + 100).cast("long").as("dst")).distinct()
+    val e4 = e3.select(col("dst").as("src"), col("src").as("dst"))
+    val edges = e1.union(e2).union(e3).union(e4).distinct().coalesce(1).localCheckpoint()
+    val edgesD = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    val init = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), round(lit(1.0) / col("n"), 9).as("rank"))
+    val result = Iterations.loop(init, maxIter = 5, checkpointEvery = 1) { pr =>
+      val inbound = pr.join(edgesD, pr("node") === edgesD("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("m"))
+      nodes.join(inbound, Seq("node"), "left")
+        .crossJoin(broadcast(nCnt))
+        .select(col("node"),
+          round(lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)), 9).as("rank"))
+        .coalesce(1) // KB-sized graph; keep ∝ |nodes| at scale
+    }
+    result.select(col("node"), round(col("rank"), 6).as("rank")).orderBy("node")
+  }
+
+  val iteratePagerankSql: String = {
+    val iter = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT n.node, round(0.15 / t.n + 0.85 * coalesce(s.m, 0), 9) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / e.deg) AS m
+         |    FROM r${i - 1} r JOIN edgesd e ON r.node = e.src GROUP BY 1) s
+         |  ON n.node = s.node CROSS JOIN total t)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT n_nationkey::BIGINT AS src, (n_regionkey + 100)::BIGINT AS dst FROM nation
+       |  UNION SELECT (n_regionkey + 100)::BIGINT, n_nationkey::BIGINT FROM nation
+       |  UNION SELECT DISTINCT (n_regionkey + 100)::BIGINT, (((n_regionkey + 1) % 5) + 100)::BIGINT FROM nation
+       |  UNION SELECT DISTINCT (((n_regionkey + 1) % 5) + 100)::BIGINT, (n_regionkey + 100)::BIGINT FROM nation),
+       |edgesd AS (SELECT e.src, e.dst, d.deg FROM edges e
+       |           JOIN (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1) d USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |total AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |r0 AS (SELECT node, round(1.0 / t.n, 9) AS rank FROM nodes, total t),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** partitionCustom + sortPartition + mapPartition in one pipeline (ref:
     * DataStream.partitionCustom:338, DataSet.sortPartition:1479): events
     * routed by an explicit `user_id % 8` Partitioner, each partition
@@ -334,6 +393,7 @@ object ApiQueries {
     Q("q_iterate_bfs", iterateBfs, Some(iterateBfsSql)),
     Q("q_partition_custom", partitionCustom, Some(partitionCustomSql)),
     Q("q_iterate_delta", iterateDelta, Some(iterateDeltaSql)),
+    Q("q_iterate_pagerank", iteratePagerank, Some(iteratePagerankSql)),
     Q("q_side_outputs", sideOutputs, Some(sideOutputsSql))
   )
 }
