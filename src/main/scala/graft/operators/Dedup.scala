@@ -251,6 +251,72 @@ object Dedup {
     ColumnBridge.column(graft.functions.TokenHashes(
       ColumnBridge.expression(TextAnalysis.tokenSet(textCol))))
 
+  /** Modulus for the portable (cross-engine) MinHash permutations:
+    * a ~2^30 prime keeps a·x + b inside 63 bits for BIGINT arithmetic
+    * that DuckDB reproduces exactly.
+    */
+  val PortableP = 1000000007L
+
+  /** Deterministic (a, b) permutation constants for [[minHashPairsPortable]];
+    * materialized as literals in BOTH the Spark plan and the oracle SQL.
+    */
+  def portablePerms(numPerms: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerms)(
+      (rnd.nextInt(Int.MaxValue).toLong % (PortableP - 1) + 1,
+        rnd.nextInt(Int.MaxValue).toLong % PortableP))
+  }
+
+  /** Cross-engine-REPRODUCIBLE MinHash LSH near-dup pairs: token hashes
+    * from md5 (which every engine shares) instead of xxhash64, and
+    * permutation constants as literals — so the ENTIRE pipeline (token
+    * hash → per-perm signature minima → banded keys → candidate
+    * self-join → exact-Jaccard verify) replays in DuckDB SQL and the
+    * driver hash-checks it end-to-end. [[minHashPairs]] remains the
+    * production path (one codegen'd primitive loop per doc); this
+    * portable twin proves the LSH algebra against an independent engine.
+    *
+    * Everything up to the band explode is a single scan-stage
+    * projection: the md5 token-hash array is computed once per doc and
+    * each signature slot is an `array_min(transform(...))` over it —
+    * no explode to tokens × perms rows on either engine. Band keys
+    * embed the band index in the md5 preimage, so the candidate join
+    * needs only the key column. `leftFilter` restricts the probe side
+    * exactly like [[jaccardPairs]] — the pairs contract at scale is
+    * always probe-restricted.
+    */
+  def minHashPairsPortable(
+      docs: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      verifyThreshold: Double = 0.9,
+      leftFilter: Column = lit(true),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
+    val perms = portablePerms(bands * rows, seed)
+    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(PortableP)))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), x => pmod(x * a + b, lit(PortableP)))).as(s"s$i")
+    }
+    val sigs = docs.select(col(idCol).as("id"), hs.as("hs"))
+      .select(col("id") +: sigCols: _*)
+    val keyCols = (0 until bands).map { bnd =>
+      md5(concat_ws("-",
+        lit(bnd.toString) +: (0 until rows).map(r => col(s"s${bnd * rows + r}").cast("string")): _*))
+        .as(s"k$bnd")
+    }
+    val banded = sigs.select(col("id") +: keyCols: _*)
+      .select(col("id"), explode(array((0 until bands).map(b => col(s"k$b")): _*)).as("key"))
+    val cand = banded.filter(leftFilter).as("x").join(banded.as("y"), "key")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
+    verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
+  }
+
   /** Near-dup CLUSTER assignment: (doc_id, keeper) where keeper is the
     * minimum doc id in the document's connected component over verified
     * MinHash near-dup edges (true Jaccard ≥ `verifyThreshold`).

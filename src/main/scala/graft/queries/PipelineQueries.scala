@@ -428,6 +428,53 @@ object PipelineQueries {
        |  SELECT reach.id, edges.v AS r FROM reach JOIN edges ON edges.u = reach.r)
        |SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Portable MinHash LSH pairs — the fully-oracled twin of
+    * `q_doc_minhash`: md5 token hashes + literal permutation constants,
+    * so DuckDB replays signature minima, banded keys, the candidate
+    * join, and the exact-Jaccard verify, hash-checking the LSH algebra
+    * end-to-end (see [[graft.operators.Dedup.minHashPairsPortable]]).
+    * Probe-restricted like `q_doc_jaccard` (pairs contract at scale is
+    * always probe-restricted).
+    */
+  def docMinHashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairsPortable(Tables.documents(s, dir),
+        leftFilter = col("id") < 100)
+      .orderBy("da", "db")
+
+  val docMinHashPortableSql: String = {
+    val perms = Dedup.portablePerms(64)
+    val p = Dedup.PortableP
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $p)) AS s$i"
+    }.mkString(",\n  ")
+    val keyCols = (0 until 16).map { bnd =>
+      val parts = (0 until 4).map(r => s"s${bnd * 4 + r}::VARCHAR").mkString(" || '-' || ")
+      s"md5('$bnd' || '-' || $parts) AS k$bnd"
+    }.mkString(",\n  ")
+    val keyList = (0 until 16).map(b => s"k$b").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |h AS (SELECT doc_id, list_transform(ts, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % $p) AS hs FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h),
+       |keys AS (SELECT doc_id,
+       |  $keyCols
+       |FROM sig),
+       |banded AS (SELECT doc_id, unnest([$keyList]) AS key FROM keys),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM banded a JOIN banded b USING (key)
+       |         WHERE a.doc_id < b.doc_id AND a.doc_id < 100),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN w wa ON wa.doc_id = c.da
+       |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
+       |          GROUP BY 1, 2)
+       |SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
+  }
+
   /** SimHash near-dup pairs (no oracle: xxhash64-based). maxHamming = 3
     * keeps the 4×16-bit pigeonhole banding exact (valid for hamming ≤ 3;
     * see Dedup.simHashPairs) — larger radii would need more chunks.
@@ -742,6 +789,7 @@ object PipelineQueries {
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
+    Q("q_doc_minhash_portable", docMinHashPortable, Some(docMinHashPortableSql)),
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
