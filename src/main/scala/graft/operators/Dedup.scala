@@ -317,6 +317,47 @@ object Dedup {
     verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
   }
 
+  /** Cross-engine-reproducible SimHash pairs — the fully-oracled twin
+    * of [[simHashPairs]], like [[minHashPairsPortable]] is for MinHash:
+    * 60-bit fingerprints built from md5 token hashes (15 hex chars →
+    * 60 usable bits), per-bit majority votes, 4 × 15-bit pigeonhole
+    * chunks (exact for hamming ≤ 3), and a `bit_count(xor)` verify —
+    * every step shared arithmetic both engines reproduce bit-for-bit.
+    * The fingerprint is one scan-stage projection (60 bounded array
+    * folds over the per-doc hash array — no explode before banding).
+    */
+  def simHashPairsPortable(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val bits = 60
+    val chunkBits = 15
+    val chunks = 4 // pigeonhole: hamming <= 3 => some chunk identical
+    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map { j =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, x) => acc + shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L)).as(s"b$j")
+    }
+    val fp = docs.select(col(idCol).as("id"), hs.as("hs"))
+      .select(col("id") +: voteCols: _*)
+      .select(col("id"),
+        (0 until bits).map(j => col(s"b$j")).reduce(_ bitwiseOR _).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
+      }: _*)).as(Seq("ci", "cv")))
+    chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup CLUSTER assignment: (doc_id, keeper) where keeper is the
     * minimum doc id in the document's connected component over verified
     * MinHash near-dup edges (true Jaccard ≥ `verifyThreshold`).

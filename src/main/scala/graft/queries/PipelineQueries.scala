@@ -483,6 +483,32 @@ object PipelineQueries {
     Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3)
       .orderBy("da", "db")
 
+  /** Portable SimHash pairs — fully-oracled twin of `q_doc_simhash`
+    * (see [[graft.operators.Dedup.simHashPairsPortable]]).
+    */
+  def docSimHashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairsPortable(Tables.documents(s, dir))
+      .orderBy("da", "db")
+
+  val docSimHashPortableSql: String = {
+    val votes = (0 until 60).map { j =>
+      s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) & 1) * 2 - 1)) > 0 THEN (1::BIGINT << $j) ELSE 0 END AS b$j"
+    }.mkString(",\n  ")
+    val fp = (0 until 60).map(j => s"b$j").mkString(" | ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |h AS (SELECT doc_id, list_transform(ts, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs FROM t),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |FROM h),
+       |f AS (SELECT doc_id, $fp AS fp FROM v),
+       |ch AS (SELECT doc_id, fp, unnest(range(0, 4)) AS ci FROM f),
+       |chv AS (SELECT doc_id, fp, ci, (fp >> (15 * ci::INTEGER)) & 32767 AS cv FROM ch),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, a.fp AS fa, b.doc_id AS db, b.fp AS fb
+       |         FROM chv a JOIN chv b USING (ci, cv) WHERE a.doc_id < b.doc_id)
+       |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
+  }
+
   def embTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
@@ -792,6 +818,7 @@ object PipelineQueries {
     Q("q_doc_minhash_portable", docMinHashPortable, Some(docMinHashPortableSql)),
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),
+    Q("q_doc_simhash_portable", docSimHashPortable, Some(docSimHashPortableSql)),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
