@@ -198,6 +198,45 @@ object Similarity {
     cent
   }
 
+  /** IVF ANN over a SUPPLIED centroid table — the production
+    * composition [[ivfTopK]]'s scaladoc promises: train centroids with
+    * [[kmeansCentroids]], then probe. Same scale shape (centroids
+    * broadcast twice, corpus never shuffles); cell assignment uses the
+    * `max_by` partial-aggregate argmax (corpus crosses the wire once),
+    * probe selection a window over the tiny query set.
+    */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, // (qid, qe: array<float>)
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      centroids: DataFrame, // (cid: int, ce: array<double>)
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      col("embedding").cast("array<double>").as("ed"))
+    val assigned = e.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine_double(col("ed"), col("ce")), 6).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qd").desc, col("cid"))
+    val probes = queries
+      .select(col("qid"), col("qe"), col("qe").cast("array<double>").as("qd8"))
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("cid"),
+        round(cosine_double(col("qd8"), col("ce")), 6).as("qd"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qe", "cid")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine_sim(col("qe"), col("embedding")).as("c"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (SURVEY M6 dedup family;
     * public-knowledge banded sign-LSH, Charikar 2002 + the MinHash
     * banding trick): a pair is a candidate iff it agrees on ALL

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * SimHash), and similarity search (brute-force + sign-LSH ANN).
   *
   * Engine-specific hash functions (xxhash64) have no DuckDB twin, so
-  * the MinHash/SimHash pair entries are declared without oracles
-  * (driver records rows-only checks); their correctness is covered by
-  * ScalaTest against brute-force ground truth. The embedding-side
-  * sketches ARE oracled: sign-LSH planes are materialized as SQL
-  * literals (bit-identical bucket signs) and IVF's dataflow is plain
+  * the production MinHash/SimHash pair entries are declared without
+  * oracles (driver records rows-only checks; ScalaTest covers them
+  * against brute-force ground truth) — but each has a PORTABLE
+  * fully-oracled twin (`*_portable`) built on md5-derived hashes and
+  * literal constants that DuckDB replays end-to-end, so the sketch
+  * algebra itself is hash-checked. The embedding-side sketches are
+  * oracled directly: sign-LSH planes are materialized as SQL literals
+  * (bit-identical bucket signs) and IVF's dataflow is plain
   * rounded-cosine ranking.
   */
 object PipelineQueries {
@@ -626,6 +629,53 @@ object PipelineQueries {
        |SELECT cid, i::BIGINT AS pos, c FROM comp3 ORDER BY cid, pos""".stripMargin
   }
 
+  /** IVF probing k-means-TRAINED centroids — the production composition
+    * (train with [[graft.operators.Similarity.kmeansCentroids]], probe
+    * with [[graft.operators.Similarity.ivfTopKWithCentroids]]). The
+    * oracle chains the two replays: 2 unrolled Lloyd rounds, then
+    * assignment / probe / rank.
+    */
+  def embIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    Similarity.ivfTopKWithCentroids(queries, emb, cent, k = 5, nprobe = 3)
+      .orderBy("qid", "rn")
+  }
+
+  val embIvfKmeansSql: String = {
+    val cos = (e: String, c: String) =>
+      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
+         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
+         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |${(1 to 2).map(iter).mkString(",\n")},
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT m.vec_id, m.e, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb m, c2 c) WHERE rn = 1),
+       |probes AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cos("q.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb q, c2 c WHERE q.vec_id < 10) WHERE rn <= 3),
+       |s AS (SELECT qid, a.vec_id AS nid, list_cosine_similarity(qe, a.e) AS c
+       |      FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+       |      FROM s)
+       |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
     * materialized as SQL literals and DuckDB replays candidate
@@ -823,6 +873,7 @@ object PipelineQueries {
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
+    Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql))
   )
 }
