@@ -139,6 +139,31 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Deterministic train/val/test split                               //
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic hash split: assign each row to a named fraction
+    * bucket by the md5 of its id — stable across runs, partitionings,
+    * and engines (the property that matters: a doc NEVER migrates
+    * between train and test when the corpus grows). `fractions` are
+    * cumulative-checked to sum to 1. Pure per-row predicate in the scan
+    * stage — zero shuffle.
+    */
+  def hashSplit(docs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    // first 8 md5 hex chars as a uniform draw in [0, 1)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val cut = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = fractions.map(_._1).zip(cut).reverse
+      .foldLeft(lit(fractions.last._1)) { case (els, (name, c)) =>
+        when(u < c, name).otherwise(els)
+      }
+    docs.withColumn("split", assign)
+  }
+
+  // ---------------------------------------------------------------- //
   // Weighted epoch mixing                                            //
   // ---------------------------------------------------------------- //
 

@@ -220,6 +220,25 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** Deterministic 90/5/5 train/val/test split: md5-uniform draw per
+    * doc, stable across runs/partitionings/engines — a doc never
+    * migrates between splits when the corpus grows. Zero-shuffle
+    * per-row predicate (see [[graft.operators.Curation.hashSplit]]).
+    */
+  def docSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  val docSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Deequ-style data-quality audit (validation gate before training):
     * completeness, key uniqueness, domain membership, and metadata
     * consistency (`n_chars` vs the actual text length) in ONE
@@ -861,6 +880,7 @@ object PipelineQueries {
     Q("q_doc_corpus_stats", docCorpusStats, Some(docCorpusStatsSql)),
     Q("q_doc_pipeline", docPipeline, Some(docPipelineSql)),
     Q("q_doc_audit", docAudit, Some(docAuditSql)),
+    Q("q_doc_split", docSplit, Some(docSplitSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),

@@ -131,6 +131,24 @@ class CurationSpec extends SparkSpec {
     assert(result.values.map(_._3).sum == firstOwner.size.toLong)
   }
 
+  test("hashSplit: covers all rows, roughly proportional, stable under growth") {
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val split = Curation.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts.getOrElse("val", 0L) > 50 && counts.getOrElse("test", 0L) > 50)
+    // growth stability: assignments of the first 1000 ids are unchanged
+    // when the corpus doubles — the property random-split lacks
+    val small = Curation.hashSplit(docs.filter(col("doc_id") < 1000), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val bigFirst = split.filter(col("doc_id") < 1000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small == bigFirst)
+  }
+
   test("centroidScores: identical vectors score 1.0 against their centroid") {
     val e = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),

@@ -92,6 +92,31 @@ class DedupSpec extends SparkSpec {
     assert(roomy === uncapped)
   }
 
+  test("minHashPairsPortable equals brute-force Jaccard pairs at its threshold") {
+    // 16x4 banding at j >= 0.9 has miss prob ~4e-8 — on this fixture the
+    // portable pipeline must return EXACTLY the brute-force pair set
+    val out = Dedup.minHashPairsPortable(docs)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val texts = docs.as[(Long, String)].collect()
+    def sets = texts.map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSet
+    }
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.9
+    } yield (a, b)).toSet
+    assert(out == truth, s"portable=$out truth=$truth")
+  }
+
+  test("simHashPairsPortable: exact dups at hamming 0, unrelated pairs absent") {
+    val out = Dedup.simHashPairsPortable(docs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // normalization-equal copies collide at hamming 0
+    for (i <- base.indices) assert(out((i * 10L, i * 10L + 1)) == 0L)
+    // cross-base pairs (different content) never appear
+    assert(out.keys.forall { case (a, b) => a / 10 == b / 10 })
+  }
+
   test("minHash signature is deterministic and length numPerms") {
     val sig = docs.select(Dedup.minHashSignature(col("text"), numPerms = 16).as("sig"))
       .head().getAs[scala.collection.Seq[Long]](0).toSeq
