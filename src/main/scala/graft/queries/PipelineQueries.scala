@@ -220,6 +220,38 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** CCNet-style LM quality proxy: per-document mean unigram negative
+    * log-probability under a model estimated from the corpus itself
+    * (high = rare-token-heavy / gibberish, low = common boilerplate;
+    * curation keeps the middle band). Distributed shape: one explode +
+    * token-count aggregate builds the model (map-side partials), the
+    * scoring join is token-keyed, the final per-doc mean is doc-keyed —
+    * all high-cardinality shuffles. Probabilities rounded to 9 before
+    * ln (transcendental, last-ulp engine differences) and the mean to 6.
+    */
+  def docUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("total"))
+    toks.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
+      .groupBy("doc_id")
+      .agg(round(avg("nlp"), 6).as("mean_nlp"), count(lit(1)).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val docUnigramLogprobSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |m AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM m)
+       |SELECT doc_id, round(avg(-ln(round(cnt * 1.0 / total, 9))), 6) AS mean_nlp,
+       |       count(*)::BIGINT AS n_tokens
+       |FROM t JOIN m USING (tok), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic 90/5/5 train/val/test split: md5-uniform draw per
     * doc, stable across runs/partitionings/engines — a doc never
     * migrates between splits when the corpus grows. Zero-shuffle
@@ -881,6 +913,7 @@ object PipelineQueries {
     Q("q_doc_pipeline", docPipeline, Some(docPipelineSql)),
     Q("q_doc_audit", docAudit, Some(docAuditSql)),
     Q("q_doc_split", docSplit, Some(docSplitSql)),
+    Q("q_doc_unigram_logprob", docUnigramLogprob, Some(docUnigramLogprobSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
