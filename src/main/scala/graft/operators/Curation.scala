@@ -127,6 +127,7 @@ object Curation {
     * Output: (domain, id, rn) with rn the 1-based priority rank.
     */
   def domainCap(docs: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap") // cap=0 would read .last of an empty buffer
     val keep = udaf(new KeepKAgg(cap), ExpressionEncoder[(String, Long)]())
     docs
       .select(col(domainCol).as("domain"), col(idCol).cast("long").as("id"))
@@ -151,6 +152,7 @@ object Curation {
     */
   def hashSplit(docs: DataFrame, idCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
     // first 8 md5 hex chars as a uniform draw in [0, 1)
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
