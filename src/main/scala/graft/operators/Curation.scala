@@ -190,6 +190,46 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Content-defined chunking                                         //
+  // ---------------------------------------------------------------- //
+
+  /** Content-defined chunking (rsync/FastCDC idea, public literature,
+    * applied at token granularity): a chunk boundary falls AFTER any
+    * token whose md5-derived hash ≡ 0 (mod `divisor`) — so boundaries
+    * depend only on local content, and inserting one token near the
+    * start of a document shifts ONE chunk instead of re-aligning every
+    * fixed-size window (the property that makes downstream chunk-level
+    * dedup robust to edits). Expected chunk length = `divisor` tokens;
+    * the tail chunk may be shorter.
+    *
+    * Pure scan-stage column work: per-token hash, boundary flags, a
+    * running boundary-count (chunk id) via an inclusive-prefix
+    * `transform` over token positions, then one `(id, chunk)` grouping
+    * that — like every per-document explode→regroup here — shuffles
+    * narrow rows keyed by doc.
+    *
+    * Returns one row per chunk: (id, chunk_idx, n_chunk_tokens,
+    * chunk_fp).
+    */
+  def cdcChunks(docs: DataFrame, divisor: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // boundary AFTER position i ⇔ hash(tok_i) % divisor == 0; chunk id
+    // of token i = number of boundaries strictly before i
+    val hashes = transform(toks,
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(divisor.toLong)))
+    docs
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"), hashes.as("hs"))
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")),
+        // tokens 0..pos-1 with hash 0 = boundaries before this token
+        size(filter(slice(col("hs"), lit(1), col("pos")), h => h === 0L)).cast("long").as("chunk"))
+      .groupBy("id", "chunk")
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"))).as("chunk_fp"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Chunk-level (paragraph) dedup with document reassembly           //
   // ---------------------------------------------------------------- //
 

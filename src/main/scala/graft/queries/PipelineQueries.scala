@@ -220,6 +220,48 @@ object PipelineQueries {
       |SELECT doc_id, lang, unnest(range(1, wt + 1))::BIGINT AS epoch
       |FROM w ORDER BY doc_id, epoch""".stripMargin
 
+  /** PMI bigram collocations (phrase mining): pointwise mutual
+    * information of adjacent token pairs over the whole corpus,
+    * top-20 by (rounded) PMI among bigrams seen ≥ 5 times. Three
+    * map-side-partial aggregates + one broadcast of the two scalar
+    * totals; ranking is a global top-k over the (already tiny)
+    * thresholded bigram table.
+    */
+  def docPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val bi = docs.select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum("cu").as("tu")).crossJoin(bi.agg(sum("cb").as("tb")))
+    val scored = bi.filter(col("cb") >= 5)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("cb"),
+        round(log((col("cb") / col("tb")) /
+          ((col("c1") / col("tu")) * (col("c2") / col("tu")))), 6).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
+  }
+
+  val docPmiBigramsSql: String =
+    s"""WITH toks AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |uni AS (SELECT unnest(t) AS tok FROM toks),
+       |u AS (SELECT tok, count(*)::BIGINT AS cu FROM uni GROUP BY 1),
+       |bis AS (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks WHERE len(t) >= 2),
+       |b AS (SELECT bigram, count(*)::BIGINT AS cb FROM bis GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cu) FROM u) AS tu, (SELECT sum(cb) FROM b) AS tb),
+       |s AS (SELECT bigram, cb,
+       |        round(ln((cb * 1.0 / tb) /
+       |          ((c1.cu * 1.0 / tu) * (c2.cu * 1.0 / tu))), 6) AS pmi
+       |      FROM b JOIN u c1 ON c1.tok = string_split(bigram, ' ')[1]
+       |             JOIN u c2 ON c2.tok = string_split(bigram, ' ')[2], tot
+       |      WHERE cb >= 5)
+       |SELECT bigram, cb, pmi FROM s ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
   /** CCNet-style LM quality proxy: per-document mean unigram negative
     * log-probability under a model estimated from the corpus itself
     * (high = rare-token-heavy / gibberish, low = common boilerplate;
@@ -814,6 +856,29 @@ object PipelineQueries {
        |  array_to_string(toks[start:start+31], ' ') AS chunk_text
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Content-defined chunking (FastCDC-style at token granularity):
+    * boundaries where the token hash ≡ 0 (mod 8) — edit-robust chunking
+    * for downstream dedup (see [[graft.operators.Curation.cdcChunks]]).
+    */
+  def docCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.cdcChunks(Tables.documents(s, dir), divisor = 8)
+      .select(col("id").as("doc_id"), col("chunk"), col("n_chunk_tokens"), col("chunk_fp"))
+      .orderBy("doc_id", "chunk")
+
+  val docCdcChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |x AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos1 FROM d),
+       |h AS (SELECT doc_id, pos1, tok,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 AS hv FROM x),
+       |c AS (SELECT doc_id, pos1, tok,
+       |        coalesce(sum(CASE WHEN hv = 0 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos1
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk
+       |      FROM h)
+       |SELECT doc_id, chunk, count(*)::BIGINT AS n_chunk_tokens,
+       |       md5(string_agg(tok, ' ' ORDER BY pos1)) AS chunk_fp
+       |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+
   /** Benchmark decontamination: flag train docs sharing ≥3 distinct
     * trigram shingles with the (held-out) eval slice. Eval side is
     * broadcast — the corpus never shuffles its shingles (see
@@ -914,6 +979,8 @@ object PipelineQueries {
     Q("q_doc_audit", docAudit, Some(docAuditSql)),
     Q("q_doc_split", docSplit, Some(docSplitSql)),
     Q("q_doc_unigram_logprob", docUnigramLogprob, Some(docUnigramLogprobSql)),
+    Q("q_doc_pmi_bigrams", docPmiBigrams, Some(docPmiBigramsSql)),
+    Q("q_doc_cdc_chunks", docCdcChunks, Some(docCdcChunksSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),

@@ -149,6 +149,24 @@ class CurationSpec extends SparkSpec {
     assert(small == bigFirst)
   }
 
+  test("cdcChunks: edits shift only the containing chunk (fixed-size chunking cannot)") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val edited = "inserted " + text // one token prepended
+    val docs = Seq((1L, text), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(docs, divisor = 8)
+      .select("id", "chunk_fp").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // all chunks after the first boundary are content-identical: the
+    // edited doc shares every original chunk except the one containing
+    // the insertion point
+    val shared = chunks(1L) & chunks(2L)
+    assert(shared.size >= chunks(1L).size - 1, s"CDC lost alignment: ${chunks(1L).size} vs shared ${shared.size}")
+    // sanity: token totals conserved
+    val totals = Curation.cdcChunks(docs, divisor = 8)
+      .groupBy("id").agg(sum("n_chunk_tokens").as("n")).as[(Long, Long)].collect().toMap
+    assert(totals(1L) == 60L && totals(2L) == 61L)
+  }
+
   test("centroidScores: identical vectors score 1.0 against their centroid") {
     val e = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),
