@@ -40,8 +40,15 @@ object Bench {
     // deterministic order: stable warmup attribution across rounds.
     // SPARK_GRAFT_BENCH_ONLY (comma-separated, local dev only) restricts
     // the sweep for isolated re-timing; the driver never sets it.
+    // Unknown names fail fast (a typo must not silently record a partial
+    // sweep) and a filtered run is stamped into the output JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
@@ -50,18 +57,22 @@ object Bench {
       isolate(spark)
       name -> time(fn)
     }
-    // STATED POLICY — slowest-5 tail: min of two isolated runs. The
-    // re-run removes JIT/first-touch noise; taking the min (not median)
-    // slightly flatters heavy queries but is stable round-over-round,
-    // and every round since r4 uses the same rule, so cross-round
-    // comparisons of the tail are like-for-like. All other queries are
+    // STATED POLICY (since r6) — slowest-10 tail: median of three
+    // isolated runs (the first-pass timing + two isolated re-runs).
+    // The r4/r5 files documented 15-30 % same-code drift that kept
+    // muddying round-over-round comparisons; the median is robust to
+    // one-off JIT/GC outliers in either direction where the old
+    // min-of-two flattered heavy queries. All other queries are
     // single-shot.
-    val rerun = firstPass.sortBy(-_._2).take(5).map { case (name, _) =>
-      isolate(spark)
-      name -> time(SparkEntry.queries(name))
+    val rerun = firstPass.sortBy(-_._2).take(10).map { case (name, s0) =>
+      val samples = Seq(s0) ++ (1 to 2).map { _ =>
+        isolate(spark)
+        time(SparkEntry.queries(name))
+      }
+      name -> samples.sorted.apply(1) // median of 3
     }.toMap
     val results = firstPass.map { case (name, s) =>
-      name -> math.min(s, rerun.getOrElse(name, s))
+      name -> rerun.getOrElse(name, s)
     }
     // The driver captures only the TAIL of the sbt log (~2.7k chars) and
     // parses one JSON line out of it; the full ~120-query map no longer
@@ -74,7 +85,8 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def lineOf(rs: Seq[(String, Double)]): String = {
       val total = results.map(_._2).sum // total is ALWAYS the full sweep
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapOf(rs)},"sf":"$sfDir"}"""
+      val filtered = if (only.isDefined) ""","filtered":true""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapOf(rs)},"sf":"$sfDir"$filtered}"""
     }
     val full = lineOf(results)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

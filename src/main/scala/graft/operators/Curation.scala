@@ -29,8 +29,11 @@ object Curation {
     * duplicate-2-gram mass. High values of the last two mark
     * boilerplate / degenerate repetition that a curation pipeline drops
     * before training. All pure array expressions over the token list —
-    * per-row work only (O(distinct · n) for the top-word scan on docs of
-    * ~100 tokens), embarrassingly parallel at 100 TB.
+    * per-row work only, embarrassingly parallel at 100 TB. The top-word
+    * count is ONE fold over the sorted token array (longest equal run =
+    * most frequent word, O(n log n) per doc) — never the per-distinct
+    * rescan, which is O(distinct · n) and dominates on real 10³–10⁵-token
+    * documents (see LongDocSpec).
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
     val toks = TextAnalysis.tokens(text)
@@ -38,7 +41,18 @@ object Curation {
     val dist = array_distinct(toks)
     val grams = TextAnalysis.shingles(text, 2)
     val ng = size(grams)
-    val topCnt = array_max(transform(dist, w => size(filter(toks, t => t === w))))
+    // longest run in the sorted array: carry (previous token, current
+    // run length, best run length) through a single aggregate fold
+    val topCnt = aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     Seq(
       "n_tokens" -> n.cast("long"),
       "distinct_frac" -> round(size(dist) * lit(1.0) / n, 6),
@@ -202,31 +216,45 @@ object Curation {
     * dedup robust to edits). Expected chunk length = `divisor` tokens;
     * the tail chunk may be shorter.
     *
-    * Pure scan-stage column work: per-token hash, boundary flags, a
-    * running boundary-count (chunk id) via an inclusive-prefix
-    * `transform` over token positions, then one `(id, chunk)` grouping
-    * that — like every per-document explode→regroup here — shuffles
-    * narrow rows keyed by doc.
+    * Pure scan-stage column work, LINEAR in document length: per-token
+    * hash, the (sparse) list of chunk-ending token positions, then one
+    * `transform` over that list slices out each chunk and fingerprints
+    * it in place — O(tokens) total per doc, ZERO shuffle (the old
+    * explode→per-position-prefix-scan→regroup shape was O(tokens²) per
+    * doc and paid a (id, chunk) exchange; see LongDocSpec for the
+    * 50k-token guard).
     *
-    * Returns one row per chunk: (id, chunk_idx, n_chunk_tokens,
-    * chunk_fp).
+    * Returns one row per chunk: (id, chunk, n_chunk_tokens, chunk_fp).
     */
   def cdcChunks(docs: DataFrame, divisor: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // boundary AFTER position i ⇔ hash(tok_i) % divisor == 0; chunk id
-    // of token i = number of boundaries strictly before i
     val hashes = transform(toks,
       t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(divisor.toLong)))
+    // 0-based positions of chunk-ENDING tokens: every boundary token
+    // (hash ≡ 0), plus the final token when the doc does not end on a
+    // boundary (tail chunk). `get` is 0-based and null-safe; a null
+    // last-boundary comparison falls through `when` to the append arm.
+    val lastBnd = get(col("bnd"), size(col("bnd")) - 1)
     docs
       .select(col(idCol).cast("long").as("id"), toks.as("toks"), hashes.as("hs"))
-      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")),
-        // tokens 0..pos-1 with hash 0 = boundaries before this token
-        size(filter(slice(col("hs"), lit(1), col("pos")), h => h === 0L)).cast("long").as("chunk"))
-      .groupBy("id", "chunk")
-      .agg(count(lit(1)).as("n_chunk_tokens"),
-        md5(concat_ws(" ", sort_array(collect_list(struct(col("pos"), col("tok"))))
-          .getField("tok"))).as("chunk_fp"))
+      .select(col("id"), col("toks"),
+        filter(transform(col("hs"), (h, i) => when(h === 0L, i)), x => x.isNotNull).as("bnd"))
+      .select(col("id"), col("toks"),
+        when(size(col("toks")) === 0, array().cast("array<int>"))
+          .when(lastBnd === size(col("toks")) - 1, col("bnd"))
+          .otherwise(concat(col("bnd"), array(size(col("toks")) - 1))).as("ends"))
+      .select(col("id"), posexplode(
+        transform(col("ends"), (e, j) => {
+          // previous chunk's end (0-based), −1 before the first chunk;
+          // element_at is 1-based so index j IS the (j−1)-th element
+          val prevEnd = coalesce(when(j > 0, element_at(col("ends"), j)), lit(-1))
+          val len = e - prevEnd
+          struct(len.cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("toks"), prevEnd + lit(2), len))).as("chunk_fp"))
+        })).as(Seq("chunk", "c")))
+      .select(col("id"), col("chunk").cast("long").as("chunk"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"), col("c.chunk_fp").as("chunk_fp"))
   }
 
   // ---------------------------------------------------------------- //
@@ -263,11 +291,12 @@ object Curation {
       .select(col("id"), col("ci"),
         concat_ws(" ", slice(col("toks"), col("ci") * k + 1, lit(k))).as("ctext"))
       .withColumn("fp", md5(col("ctext")))
-      // chunk indexes are bounded far below 1e6 (docs are ~100 tokens);
-      // the packed key makes "first owner" a single min aggregate
-      .withColumn("okey", col("id") * 1000000L + col("ci"))
-    val owners = chunks.groupBy("fp").agg(min("okey").as("owner"))
-    val kept = chunks.join(owners, "fp").filter(col("okey") === col("owner"))
+    // first owner = lexicographic min of (id, chunk-index) — a struct
+    // min is a single aggregate with no packing bounds to overflow
+    val owners = chunks.groupBy("fp")
+      .agg(min(struct(col("id"), col("ci"))).as("owner"))
+    val kept = chunks.join(owners, "fp")
+      .filter(struct(col("id"), col("ci")) === col("owner"))
     val reassembled = kept
       .groupBy("id")
       .agg(count(lit(1)).as("n_kept"),

@@ -332,6 +332,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for maxHamming <= 3, got $maxHamming")
     val bits = 60
     val chunkBits = 15
     val chunks = 4 // pigeonhole: hamming <= 3 => some chunk identical
@@ -466,17 +468,27 @@ object Dedup {
 
   /** SimHash near-dup groups via pigeonhole banding: split the 64-bit
     * simhash into 4 × 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk
-    * identical, so grouping by (chunk-index, chunk-value) finds all such
+    * identical, so joining on (chunk-index, chunk-value) finds all such
     * pairs with one bucketed shuffle. Verification = bit_count(XOR).
+    * A pair colliding in several chunks is emitted from its FIRST
+    * matching chunk only ([[graft.functions.BandFirstMatch]] over the
+    * two chunk arrays, map-side) — the same trick [[bandCandidates]]
+    * uses, so there is no dedup exchange over the candidate stream.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // 4-chunk pigeonhole is exact only for hamming <= 3: at radius 4 a
+    // pair can differ in every chunk and silently vanish — fail fast
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for maxHamming <= 3, got $maxHamming")
     val sh = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map { j =>
-        struct(lit(j).as("ci"), shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
-      }: _*)).as("c"))
-      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+    val keyed = sh.select(col("id"), col("sh"),
+      array((0 until 4).map { j =>
+        shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*).as("keys"))
+    val chunked = keyed
+      .select(col("id"), col("sh"), col("keys"),
+        posexplode(col("keys")).as(Seq("ci", "cv")))
       // spread probe rows pre-join — see the matching comment in
       // minHashPairs; without it a single-file corpus runs the whole
       // within-chunk pair generation on one core
@@ -484,12 +496,15 @@ object Dedup {
         col("id"), col("ci"))
     chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
       .filter(col("x.id") < col("y.id"))
+      // first matching chunk keeps the pair; later chunks drop it —
+      // dedup happens inside the join stage, nothing downstream ever
+      // sees a duplicate
+      .filter(ColumnBridge.column(graft.functions.BandFirstMatch(
+        ColumnBridge.expression(col("x.keys")),
+        ColumnBridge.expression(col("y.keys")))) === col("ci"))
       .select(col("x.id").as("da"), col("y.id").as("db"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-      // filter BEFORE the dedup shuffle: hamming is computed map-side,
-      // so far pairs never enter the exchange
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("da", "db")
   }
 
   /** 64-bit SimHash (see [[simHashPairs]]): per bit position k, sum ±1

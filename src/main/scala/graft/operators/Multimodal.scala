@@ -52,29 +52,76 @@ object Multimodal {
       .drop("__fi")
   }
 
-  /** ======= STUB: media decode =======
-    * Deterministic fake decoder standing in for an image library: it
-    * derives (width, height, channels) from the payload hash. The
-    * mapPartitions shape — codec initialized once per partition,
-    * rows processed in a batch loop — is exactly what a real libjpeg/
-    * ffmpeg binding needs.
-    */
-  final case class DecodedMeta(id: Long, width: Int, height: Int, channels: Int)
+  /** Decoded raster metadata + pixel statistics for one media row. */
+  final case class PnmImage(id: Long, format: String, width: Int, height: Int,
+      maxVal: Int, channels: Int, nPixels: Long, minGray: Int, maxGray: Int,
+      meanGray: Double)
 
-  def decodeStub(ds: Dataset[(Long, Array[Byte])]): Dataset[DecodedMeta] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      // ??? real codec init goes here (one instance per partition/task)
-      val codec = new FakeCodec
-      it.map { case (id, bytes) => codec.decode(id, bytes) }
+  /** Real (deliberately small) media codec: binary PNM — P5 graymap /
+    * P6 pixmap with 8-bit samples — parsed directly from the payload
+    * bytes: magic, whitespace/`#`-comment-tolerant header integers
+    * (width, height, maxval), exactly one whitespace byte, then the
+    * raster. Returns None for anything that is not a complete valid
+    * image (bad magic, malformed header, maxval > 255, truncated
+    * raster). `meanGray` averages ALL raster samples — for P6 that is
+    * the interleaved-RGB mean.
+    */
+  object PnmCodec extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): Option[PnmImage] = {
+      if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
+      val fmt = bytes(1) match {
+        case '5' => "P5"
+        case '6' => "P6"
+        case _ => return None
+      }
+      var pos = 2
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && pos < bytes.length) {
+          val b = bytes(pos)
+          if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+          else if (b == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else go = false
+        }
+      }
+      def readInt(): Int = { // -1 = no digits at cursor
+        skipWsAndComments()
+        val st = pos
+        var v = 0
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9' && v < (1 << 24)) {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        if (pos == st) -1 else v
+      }
+      val w = readInt(); val h = readInt(); val mv = readInt()
+      if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+      val channels = if (fmt == "P6") 3 else 1
+      val n = w.toLong * h * channels
+      // exactly one whitespace byte separates maxval from the raster
+      if (pos >= bytes.length || bytes.length - (pos + 1) < n) return None
+      pos += 1
+      var mn = 255; var mx = 0; var sum = 0L
+      var i = pos
+      val end = pos + n.toInt
+      while (i < end) {
+        val v = bytes(i) & 0xFF
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        i += 1
+      }
+      Some(PnmImage(id, fmt, w, h, mv, channels, n, mn, mx, sum.toDouble / n))
     }
   }
 
-  private final class FakeCodec extends Serializable {
-    def decode(id: Long, bytes: Array[Byte]): DecodedMeta = {
-      val h = java.util.Arrays.hashCode(bytes)
-      DecodedMeta(id, 64 + math.abs(h % 1024), 64 + math.abs((h / 1024) % 1024),
-        if (h % 2 == 0) 3 else 1)
-    }
+  /** Distributed decode: one codec pass per partition over (id, payload)
+    * rows — the same mapPartitions shape a heavier libjpeg/ffmpeg
+    * binding would use (per-partition init, sequential batch loop).
+    * Undecodable payloads are dropped; pair with a `left_anti` join on
+    * the decoded ids to quarantine them instead.
+    */
+  def decodePnm(ds: Dataset[(Long, Array[Byte])]): Dataset[PnmImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.flatMap { case (id, bytes) => PnmCodec.decode(id, bytes) })
   }
 }

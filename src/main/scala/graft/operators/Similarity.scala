@@ -149,7 +149,10 @@ object Similarity {
   /** Distributed k-means (Lloyd) over an embedding column — the
     * centroid-training step the IVF index calls for at production scale
     * (public-knowledge algorithm). Deterministic: initial centroids are
-    * the first `k` vectors by id, assignment ranks by ROUNDED cosine
+    * the vectors with `id < k` — which REQUIRES dense 0-based ids (the
+    * driver tables guarantee it; with sparse or offset ids seed via
+    * `orderBy(id).limit(k)` and renumber, mirroring the oracle).
+    * Assignment ranks by ROUNDED cosine
     * with centroid-id tie-break, updated components are rounded to 6 —
     * so the fixpoint trajectory is engine-exact and fully oracle-able.
     *
@@ -244,13 +247,13 @@ object Similarity {
     * exact-verified with the codegen'd cosine kernel and thresholded.
     *
     * Scale shape: one explode to `bands` rows per vector, one shuffle on
-    * (band, bucket), within-bucket self-join (`a < b` halves it), then a
-    * hash-agg dedup of multi-band hits. No all-pairs join anywhere; the
-    * band/bucket granularity bounds each task's join. Recall tuning:
-    * P(candidate) = 1 − (1 − p^r)^B with p = 1 − θ/π per sign bit —
-    * r=8, B=16 gives >0.999 at cosine ≥ 0.95. Like the MinHash/SimHash
-    * operators, verified by a planted-duplicate recall spec (no SQL
-    * oracle: bucket membership is hash-based).
+    * (band, bucket), within-bucket self-join (`a < b` halves it), with a
+    * pair colliding in several bands emitted from its FIRST matching
+    * band only ([[graft.functions.BandFirstMatch]] over the two bucket
+    * arrays, map-side) — no dedup exchange over the verified pairs. No
+    * all-pairs join anywhere; the band/bucket granularity bounds each
+    * task's join. Recall tuning: P(candidate) = 1 − (1 − p^r)^B with
+    * p = 1 − θ/π per sign bit — r=8, B=16 gives >0.999 at cosine ≥ 0.95.
     */
   def nearDupPairs(
       corpus: DataFrame, // (vec_id, embedding: array<float>)
@@ -260,17 +263,25 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    val banded = corpus.select(col("vec_id"), col("embedding"),
-      posexplode(lshBandBuckets(col("embedding"), bands, rowsPerBand, dim, seed)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkt"))
-    val lhs = banded.select(col("band"), col("bkt"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val rhs = banded.select(col("band"), col("bkt"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val keyed = corpus.select(col("vec_id"), col("embedding"),
+      lshBandBuckets(col("embedding"), bands, rowsPerBand, dim, seed).as("keys"))
+    val banded = keyed
+      .select(col("vec_id"), col("embedding"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "bkt")))
+    val lhs = banded.select(col("band"), col("bkt"),
+      col("vec_id").as("a"), col("embedding").as("ea"), col("keys").as("ka"))
+    val rhs = banded.select(col("band"), col("bkt"),
+      col("vec_id").as("b"), col("embedding").as("eb"), col("keys").as("kb"))
     lhs.join(rhs, Seq("band", "bkt"))
       .filter(col("a") < col("b"))
+      // first matching band keeps the pair — dedup inside the join
+      // stage, exactly one cosine verification per unique pair
+      .filter(ColumnBridge.column(graft.functions.BandFirstMatch(
+        ColumnBridge.expression(col("ka")),
+        ColumnBridge.expression(col("kb")))) === col("band"))
       .select(col("a"), col("b"), cosine_sim(col("ea"), col("eb")).as("c"))
       .filter(col("c") >= minCos)
-      .groupBy("a", "b") // a (a,b) pair can collide in several bands
-      .agg(round(max("c"), 4).as("cos"))
+      .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
   }
 
   /** Approximate nearest neighbors: bucket corpus AND queries by sign-LSH,

@@ -88,14 +88,30 @@ object TextAnalysis {
 
   /** k-token shingles of the normalized text (consecutive token windows
     * joined by single spaces); empty array when the doc has fewer than k
-    * tokens. Pure codegen'd higher-order functions — evaluated inside
-    * the scan stage, no shuffle.
+    * tokens. Pure higher-order functions — evaluated inside the scan
+    * stage, no shuffle.
+    *
+    * Built as a chain of k−1 `zip_with`s against shifted slices of the
+    * token array: each HOF evaluates its ARGUMENT arrays once per row,
+    * so the whole shingle set costs O(k·n) per document. The obvious
+    * `transform(sequence(...), i => slice(toks, i, k))` form instead
+    * re-evaluates the `toks` expression (normalize + split over the
+    * full text) for EVERY element of the sequence — O(n²) per document,
+    * invisible on ~100-token fixtures and ruinous at 10⁴⁺ tokens (see
+    * LongDocSpec). Never reference a non-attribute array expression
+    * inside a lambda body.
     */
   def shingles(text: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
     val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // after j zips, element i (1-based) = toks_i .. toks_{i+j} for
+    // i <= n-j; beyond that zip_with's null padding propagates nulls,
+    // which the final slice drops
+    val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= k, slice(joined, lit(1), size(toks) - (k - 1)))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -121,11 +137,21 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    val grams = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(w)))))
+    // per-shingle hashes without referencing `toks` inside a lambda —
+    // same O(k·n) zip-chain rationale as [[shingles]]; a doc shorter
+    // than k yields the single hash of its whole token list
+    val grams = when(n >= k, transform(shingles(text, k), g => xxhash64(g)))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    val m = size(grams)
+    // sliding-window minima as a least-chain of shifted slices (same
+    // once-per-row evaluation argument); trailing zip_with null padding
+    // is harmless because least() ignores nulls and the slice drops it
+    val mins = (1 until w).foldLeft(grams) { (acc, j) =>
+      zip_with(acc, slice(grams, lit(j + 1), greatest(m - j, lit(0))),
+        (a, b) => least(a, b))
+    }
+    array_distinct(
+      when(m >= w, slice(mins, lit(1), m - (w - 1)))
+        .otherwise(array(array_min(grams))))
   }
 }

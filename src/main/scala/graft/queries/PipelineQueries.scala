@@ -222,17 +222,27 @@ object PipelineQueries {
 
   /** PMI bigram collocations (phrase mining): pointwise mutual
     * information of adjacent token pairs over the whole corpus,
-    * top-20 by (rounded) PMI among bigrams seen ≥ 5 times. Three
-    * map-side-partial aggregates + one broadcast of the two scalar
-    * totals; ranking is a global top-k over the (already tiny)
-    * thresholded bigram table.
+    * top-20 by (rounded) PMI among bigrams seen ≥ 5 times. ONE
+    * tokenize pass: unigrams and bigrams leave the scan as a single
+    * exploded (kind, term) stream feeding one partial-aggregating
+    * exchange, which ReuseExchange then shares across the four
+    * downstream consumers (two unigram joins, bigram table, totals);
+    * ranking is a global top-k over the (already tiny) thresholded
+    * bigram table.
     */
   def docPmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cu"))
-    val bi = docs.select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val counts = docs.select(explode(concat(
+        transform(TextAnalysis.tokens(col("text")),
+          t => struct(lit(0).as("k"), t.as("term"))),
+        transform(TextAnalysis.shingles(col("text"), 2),
+          g => struct(lit(1).as("k"), g.as("term"))))).as("e"))
+      .select(col("e.k").as("k"), col("e.term").as("term"))
+      .groupBy("k", "term").agg(count(lit(1)).as("c"))
+    val uni = counts.filter(col("k") === 0)
+      .select(col("term").as("tok"), col("c").as("cu"))
+    val bi = counts.filter(col("k") === 1)
+      .select(col("term").as("bigram"), col("c").as("cb"))
     val totals = uni.agg(sum("cu").as("tu")).crossJoin(bi.agg(sum("cb").as("tb")))
     val scored = bi.filter(col("cb") >= 5)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -958,8 +968,49 @@ object PipelineQueries {
       |  md5(substr(hx, 1, 512)) AS frame0
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Real media decode: build a deterministic binary PGM (P5) image per
+    * document — header + doc_id-derived gray raster — then decode it
+    * with the REAL byte-level codec ([[graft.operators.Multimodal.PnmCodec]])
+    * and report raster stats. The oracle recomputes the stats from the
+    * generation parameters, so any header mis-parse or raster offset bug
+    * in the codec shows up as a hash mismatch (decoder-inverts-encoder
+    * check, same pattern as the PII injection query). Decode runs
+    * per-partition inside the scan stage — zero shuffle.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = col("doc_id") % 5 + 4
+    val h = col("doc_id") % 4 + 3
+    val header = concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(transform(sequence(lit(0L), w * h - 1),
+      i => lpad(hex(pmod(col("doc_id") * 31 + i, lit(256L))), 2, "0")), "")
+    val img = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"),
+        concat(header.cast("binary"), unhex(pixHex)).as("_2"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.decodePnm(img).toDF()
+      .select(col("id").as("doc_id"), col("format"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("maxVal").cast("long").as("maxval"), col("channels").cast("long").as("channels"),
+        col("nPixels").as("n_pixels"), col("minGray").cast("long").as("min_gray"),
+        col("maxGray").cast("long").as("max_gray"), round(col("meanGray"), 6).as("mean_gray"))
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 5 + 4)::BIGINT AS w, (doc_id % 4 + 3)::BIGINT AS h
+      |           FROM documents),
+      |e AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM p)
+      |SELECT doc_id, 'P5' AS format, w AS width, h AS height,
+      |  255::BIGINT AS maxval, 1::BIGINT AS channels, count(*)::BIGINT AS n_pixels,
+      |  min((doc_id * 31 + i) % 256)::BIGINT AS min_gray,
+      |  max((doc_id * 31 + i) % 256)::BIGINT AS max_gray,
+      |  round(avg((doc_id * 31 + i) % 256), 6) AS mean_gray
+      |FROM e GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
+    Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
     Q("q_doc_quality", docQuality, Some(docQualitySql)),

@@ -72,6 +72,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val p = planString("q_emb_neardup")
     assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    // multi-band hits are collapsed by first-match emission inside the
+    // join stage — the old groupBy(a,b) dedup exchange must stay gone
+    assert(p.contains("band_first_match"), s"first-match filter missing:\n$p")
+    assert(!p.contains("max("), s"post-verify max() dedup agg crept back:\n$p")
+  }
+
+  test("q_doc_simhash dedups by first-match emission, not a dropDuplicates exchange") {
+    val p = planString("q_doc_simhash")
+    assert(p.contains("band_first_match"), s"first-match filter missing:\n$p")
+    // dropDuplicates(da, db) compiled to an aggregate over the candidate
+    // stream; with first-match emission no aggregate belongs in the plan
+    assert(!p.contains("first("), s"dropDuplicates agg crept back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+  }
+
+  test("q_doc_cdc_chunks runs inside the scan stage — linear, no shuffle, no window") {
+    // chunk ids, sizes, and fingerprints are all computed in the array
+    // domain in one pass; the old explode→prefix-scan→regroup shape was
+    // O(tokens²) per doc and paid an (id, chunk) exchange
+    val p = planString("q_doc_cdc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"), s"cdc chunking shuffles:\n$p")
+    assert(!p.contains("Window"), s"window crept into cdc chunking:\n$p")
+    assert(!p.contains("Join"), s"cdc chunking joins:\n$p")
   }
 
   test("q_doc_minhash: first-match emission leaves no dedup aggregate or extra exchange") {

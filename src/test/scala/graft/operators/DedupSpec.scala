@@ -144,15 +144,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(withHot, None)((0L, 1L)) > pairs(withHot, Some(3L))((0L, 1L)))
   }
 
-  test("simHashPairs: exact dups at hamming 0, near dups close, unrelated far") {
-    val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
+  test("simHashPairs: exact dups at hamming 0, unrelated pairs absent") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
       .collect()
       .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Long]("hamming")))
       .toMap
     assert(pairs((0L, 1L)) === 0L)
     assert(pairs((10L, 11L)) === 0L)
-    pairs.get((0L, 2L)).foreach(h => assert(h <= 16))
-    // unrelated pairs (different base) must not appear under a tight radius
-    assert(!pairs.keys.exists { case (a, b) => a / 10 != b / 10 && pairs((a, b)) <= 3 })
+    // unrelated pairs (different base) must not appear within the radius
+    assert(!pairs.keys.exists { case (a, b) => a / 10 != b / 10 })
+  }
+
+  test("simHashPairs: radii beyond the pigeonhole guarantee fail fast") {
+    // 4-chunk banding is exact only for hamming <= 3 — a wider radius
+    // would silently drop valid pairs, so it must be rejected outright
+    intercept[IllegalArgumentException](Dedup.simHashPairs(docs, maxHamming = 16))
+    intercept[IllegalArgumentException](Dedup.simHashPairsPortable(docs, maxHamming = 4))
   }
 }
