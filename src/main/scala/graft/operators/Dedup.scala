@@ -430,10 +430,19 @@ object Dedup {
     // round and the edge list shrinks brutally — the loop runs O(log
     // component-diameter) rounds on rapidly vanishing data instead of
     // O(diameter) rounds over the full adjacency (plain label
-    // propagation took 8 full-size rounds on the bench corpus). Per
-    // round: one hash-agg and two joins keyed on node id — all
-    // distributed; the driver sees only the emptiness flag.
-    var mapping = repDocs.select(col(idCol).as("id"), col(idCol).as("lbl")).localCheckpoint()
+    // propagation took 8 full-size rounds on the bench corpus).
+    //
+    // ONE checkpoint job per round (the contracted edge list; r5 ran
+    // three): the round's label table is NOT materialized — inside the
+    // contraction job its two references dedupe via exchange reuse, and
+    // the doc mapping is composed ONCE after the loop by replaying the
+    // per-round label tables (each an aggregate over an already-
+    // checkpointed, rapidly shrinking edge list). At sf0.1 the loop is
+    // flat job-scheduling overhead, not data — fewer jobs is the win;
+    // at cluster scale the same change just removes two barriers/round.
+    def labels(edges: DataFrame): DataFrame =
+      edges.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("x"), least(col("u"), col("mn")).as("lx"))
     // mirror each verified edge in the SAME pass that materializes it
     // (explode of the two orientations): one checkpoint job over the
     // expensive candidate+verify pipeline instead of checkpoint-then-
@@ -443,14 +452,11 @@ object Dedup {
         struct(col("db").as("u"), col("da").as("v")))).as("uv"))
       .select(col("uv.u").as("u"), col("uv.v").as("v"))
       .localCheckpoint()
+    var rounds = List.empty[DataFrame] // checkpointed edge list per round, newest last
     var i = 0
     while (i < maxIter && !e.isEmpty) {
-      val l = e.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u").as("x"), least(col("u"), col("mn")).as("lx"))
-        .localCheckpoint()
-      // compose into the doc mapping (docs absent from e keep their label)
-      mapping = mapping.join(l.withColumnRenamed("x", "lbl"), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lx"), col("lbl")).as("lbl")).localCheckpoint()
+      rounds :+= e
+      val l = labels(e)
       // contract the edge list into label space
       e = e.join(l.toDF("u", "lu"), "u").join(l.toDF("v", "lv"), "v")
         .select(col("lu").as("u"), col("lv").as("v"))
@@ -458,6 +464,14 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       i += 1
+    }
+    // compose the doc mapping through the per-round label tables (docs
+    // absent from a round's edges keep their label) — a ~rounds-deep
+    // lazy join chain folded into the final join, one job total
+    val mapping = rounds.foldLeft(
+      repDocs.select(col(idCol).as("id"), col(idCol).as("lbl"))) { (m, er) =>
+      m.join(labels(er).withColumnRenamed("x", "lbl"), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lx"), col("lbl")).as("lbl"))
     }
     // members inherit their exact-dup representative's keeper (the
     // representative is the group minimum, so component minima are
