@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for LLM training-data pipelines (SURVEY.md
@@ -308,6 +308,53 @@ object Curation {
       .select(col("id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Token-budget corpus snapshot                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic token-budget snapshot — the "cut an N-token training
+    * subset out of the corpus" step: order documents by a stable md5
+    * priority (a uniform draw, so the kept subset is an unbiased sample,
+    * reproducible across runs, partitionings, and engines) and keep the
+    * maximal prefix whose running token total stays within `budget`.
+    *
+    * The defining semantics is `sum(n) OVER (ORDER BY priority)` — but a
+    * GLOBAL ordered window funnels the whole corpus through ONE task
+    * (the classic scale-killer, same family as the per-query window
+    * [[Similarity]] refuses). Instead, a two-phase distributed prefix
+    * sum: (1) bucket each doc by the leading byte of its priority —
+    * buckets are priority-CONTIGUOUS, so per-bucket token totals (one
+    * partial-aggregating scan, 256 rows out) give each bucket's
+    * exclusive global offset via a window over just those 256 rows;
+    * (2) broadcast the offsets back and run the ordered window WITHIN
+    * each bucket — 256-way parallel, each task holding ~1/256 of the
+    * corpus. Identical arithmetic to the global window (integer sums —
+    * engine-exact), which is exactly what the oracle replays.
+    *
+    * Output: (id, n_tokens, cum_tokens) for kept docs — cum_tokens the
+    * running total including the doc itself.
+    */
+  def corpusBudget(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val t = docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n"),
+      md5(col(idCol).cast("string")).as("pri"))
+      .withColumn("bucket", substring(col("pri"), 1, 2))
+    // 256 bucket totals → exclusive offsets; the single-partition window
+    // here touches 256 aggregated rows, never the corpus
+    val offsets = t.groupBy("bucket").agg(sum("n").as("bn"))
+      .withColumn("off",
+        coalesce(sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    val wInBucket = Window.partitionBy("bucket").orderBy("pri", "id")
+    t.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum("n").over(wInBucket))
+      .filter(col("cum") <= budget)
+      .select(col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
   }
 
   // ---------------------------------------------------------------- //

@@ -272,6 +272,73 @@ object PipelineQueries {
        |      WHERE cb >= 5)
        |SELECT bigram, cb, pmi FROM s ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  /** Deterministic token-budget snapshot: keep the maximal md5-priority
+    * prefix of the corpus whose running token total fits the budget —
+    * the "cut an N-token training subset" step. The defining semantics
+    * is a global ordered window; the operator computes it as a 256-way
+    * bucketed two-phase prefix sum so no task ever sees more than
+    * ~1/256 of the corpus (see [[graft.operators.Curation.corpusBudget]]).
+    * Integer arithmetic end-to-end — engine-exact.
+    */
+  def docBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusBudget(Tables.documents(s, dir), budget = 25000L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+
+  val docBudgetSql: String =
+    s"""WITH t AS (SELECT doc_id, len(string_split($normSql, ' '))::BIGINT AS n,
+       |             md5(doc_id::VARCHAR) AS pri FROM documents),
+       |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY pri, doc_id)::BIGINT AS cum FROM t)
+       |SELECT doc_id, n AS n_tokens, cum AS cum_tokens FROM c
+       |WHERE cum <= 25000 ORDER BY doc_id""".stripMargin
+
+  /** Interpolated bigram LM quality proxy (the context-aware upgrade of
+    * [[docUnigramLogprob]], CCNet's perplexity-filter idea): per-doc
+    * mean negative log of p(w2|w1) = (c(w1w2) + 0.5·p_uni(w2)) /
+    * (c(w1) + 0.5) under counts estimated from the corpus itself.
+    * Same distributed shape as the unigram model — token-keyed model
+    * joins, broadcast scalar total, doc-keyed mean; probabilities
+    * rounded to 9 before ln, the mean to 6 (transcendental last-ulp).
+    */
+  def docBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bi = docs.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val bc = bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val total = uni.agg(sum("cu").as("total"))
+    bi.join(bc, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(round((col("cb") + lit(0.5) * col("c2") / col("total")) /
+          (col("c1") + lit(0.5)), 9))).as("nll"))
+      .groupBy("doc_id")
+      .agg(round(avg("nll"), 6).as("mean_nll"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val docBigramLogprobSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |         i -> t[i] || ' ' || t[i+1])) AS bigram FROM d WHERE len(t) >= 2),
+       |u AS (SELECT unnest(t) AS tok FROM d),
+       |uc AS (SELECT tok, count(*)::BIGINT AS cu FROM u GROUP BY 1),
+       |bc AS (SELECT bigram, count(*)::BIGINT AS cb FROM bi GROUP BY 1),
+       |tu AS (SELECT sum(cu)::BIGINT AS total FROM uc)
+       |SELECT doc_id,
+       |  round(avg(-ln(round((cb + 0.5 * c2.cu / total) / (c1.cu + 0.5), 9))), 6) AS mean_nll,
+       |  count(*)::BIGINT AS n_bigrams
+       |FROM bi JOIN bc USING (bigram)
+       |  JOIN uc c1 ON c1.tok = string_split(bigram, ' ')[1]
+       |  JOIN uc c2 ON c2.tok = string_split(bigram, ' ')[2], tu
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style LM quality proxy: per-document mean unigram negative
     * log-probability under a model estimated from the corpus itself
     * (high = rare-token-heavy / gibberish, low = common boilerplate;
@@ -1011,6 +1078,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
+    Q("q_doc_budget", docBudget, Some(docBudgetSql)),
+    Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
     Q("q_doc_quality", docQuality, Some(docQualitySql)),

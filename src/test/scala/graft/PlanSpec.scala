@@ -180,6 +180,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"non-equi join in chunk dedup:\n$p")
   }
 
+  test("q_doc_budget: the corpus prefix sum runs in a bucket-partitioned window") {
+    // The defining semantics is sum(n) OVER (ORDER BY pri) — but an
+    // UNPARTITIONED ordered window funnels the whole corpus through one
+    // task. The corpus-side window must partition by the priority bucket
+    // (256-way parallel); only the 256-row bucket-offset table may see a
+    // single-partition window, and it reaches the corpus via broadcast.
+    val p = planString("q_doc_budget")
+    assert("windowspecdefinition\\(bucket#\\d+, pri#".r.findFirstIn(p).isDefined,
+      s"bucket-partitioned corpus window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
+  }
+
   test("q_doc_pack shuffles once (shard repartition) and sorts only within partitions") {
     // Greedy packing = one hash exchange on the shard key + an intra-
     // partition sort feeding the sequential pass. A global Sort (with its

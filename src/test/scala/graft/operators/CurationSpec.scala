@@ -23,6 +23,35 @@ class CurationSpec extends SparkSpec {
     assert(near(r(2).getDouble(4), 2.0 / 3))
   }
 
+  test("corpusBudget keeps the maximal priority prefix within the token budget") {
+    // 40 docs of varying token counts; compare against the single-window
+    // reference computed driver-side from the same md5 priorities
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "))).toDF("doc_id", "text")
+    val budget = 60L
+    val got = Curation.corpusBudget(docs, budget).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: order by (md5(id), id), running sum, cut at budget
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def pri(i: Long): String =
+      md5.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (1L to 40L).map(i => (i, (i % 7) + 1)).sortBy { case (i, _) => (pri(i), i) }
+    val ref = ordered.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (i, n)) => (i, n, cum + n) }
+      .tail.takeWhile(_._3 <= budget).sortBy(_._1)
+    assert(got.toSeq == ref)
+    // the NEXT doc in priority order would overflow (prefix is maximal)
+    val lastCum = ref.map(_._3).max
+    val nextN = ordered.drop(ref.length).headOption.map(_._2)
+    nextN.foreach(n => assert(lastCum + n > budget))
+  }
+
+  test("corpusBudget: zero budget keeps nothing, huge budget keeps everything") {
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(Curation.corpusBudget(docs, 0L).count() == 0L)
+    val all = Curation.corpusBudget(docs, 1000L).collect()
+    assert(all.length == 2 && all.map(_.getLong(1)).sum == 3L)
+  }
+
   test("scrubPii redacts emails, IPs, phones and is idempotent") {
     val df = Seq(
       "mail a.b+c@foo-bar.org and x@y.io here",
