@@ -357,6 +357,39 @@ object Curation {
       .select(col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
   }
 
+  /** Stratified token-budget snapshot — the mixture-building step
+    * ("N tokens of web, M of code, …"): [[corpusBudget]]'s semantics
+    * applied independently per stratum, each with its own budget.
+    * Same 256-way bucketed two-phase prefix sum, with every window and
+    * aggregate additionally keyed by the stratum — a hot stratum
+    * (80 %-one-language corpora are the norm) still spreads over 256
+    * bucket tasks. Strata absent from `budgets` get `defaultBudget`.
+    *
+    * Output: (stratum, id, n_tokens, cum_tokens) for kept docs, with
+    * cum_tokens the running within-stratum total.
+    */
+  def corpusBudgetByStratum(docs: DataFrame, budgets: Map[String, Long],
+      stratumCol: String, idCol: String = "doc_id", textCol: String = "text",
+      defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    val t = docs.select(col(stratumCol).as("stratum"),
+      col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n"),
+      md5(col(idCol).cast("string")).as("pri"))
+      .withColumn("bucket", substring(col("pri"), 1, 2))
+    val offsets = t.groupBy("stratum", "bucket").agg(sum("n").as("bn"))
+      .withColumn("off",
+        coalesce(sum("bn").over(Window.partitionBy("stratum").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("stratum", "bucket", "off")
+    val wInBucket = Window.partitionBy("stratum", "bucket").orderBy("pri", "id")
+    val budgetCol = coalesce(element_at(typedLit(budgets), col("stratum")), lit(defaultBudget))
+    t.join(broadcast(offsets), Seq("stratum", "bucket"))
+      .withColumn("cum", col("off") + sum("n").over(wInBucket))
+      .filter(col("cum") <= budgetCol)
+      .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
+  }
+
   // ---------------------------------------------------------------- //
   // Semantic outlier scoring (centroid distance)                     //
   // ---------------------------------------------------------------- //

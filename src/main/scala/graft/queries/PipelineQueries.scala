@@ -292,6 +292,29 @@ object PipelineQueries {
        |SELECT doc_id, n AS n_tokens, cum AS cum_tokens FROM c
        |WHERE cum <= 25000 ORDER BY doc_id""".stripMargin
 
+  /** Stratified token-budget snapshot: per-language token budgets — the
+    * mixture-building composition of [[docBudget]]'s prefix-sum shape,
+    * every window additionally keyed by stratum so one dominant
+    * language still spreads over 256 bucket tasks.
+    */
+  def docBudgetMix(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusBudgetByStratum(Tables.documents(s, dir),
+        budgets = Map("en" -> 12000L, "de" -> 4000L, "zh" -> 3000L, "es" -> 3000L),
+        stratumCol = "lang", defaultBudget = 2000L)
+      .select(col("stratum").as("lang"), col("id").as("doc_id"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("lang", "doc_id")
+
+  val docBudgetMixSql: String =
+    s"""WITH t AS (SELECT lang, doc_id, len(string_split($normSql, ' '))::BIGINT AS n,
+       |             md5(doc_id::VARCHAR) AS pri FROM documents),
+       |c AS (SELECT lang, doc_id, n,
+       |        sum(n) OVER (PARTITION BY lang ORDER BY pri, doc_id)::BIGINT AS cum FROM t)
+       |SELECT lang, doc_id, n AS n_tokens, cum AS cum_tokens FROM c
+       |WHERE cum <= CASE lang WHEN 'en' THEN 12000 WHEN 'de' THEN 4000
+       |                       WHEN 'zh' THEN 3000 WHEN 'es' THEN 3000 ELSE 2000 END
+       |ORDER BY lang, doc_id""".stripMargin
+
   /** Interpolated bigram LM quality proxy (the context-aware upgrade of
     * [[docUnigramLogprob]], CCNet's perplexity-filter idea): per-doc
     * mean negative log of p(w2|w1) = (c(w1w2) + 0.5·p_uni(w2)) /
@@ -1079,6 +1102,7 @@ object PipelineQueries {
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
+    Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),

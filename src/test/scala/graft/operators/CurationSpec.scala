@@ -45,6 +45,27 @@ class CurationSpec extends SparkSpec {
     nextN.foreach(n => assert(lastCum + n > budget))
   }
 
+  test("corpusBudgetByStratum enforces each stratum's budget independently") {
+    val docs = (1L to 30L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.corpusBudgetByStratum(docs,
+        budgets = Map("a" -> 10L), stratumCol = "lang", defaultBudget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byStratum = got.groupBy(_._1)
+    // within-stratum totals respect each budget
+    assert(byStratum("a").map(_._3).sum <= 10L)
+    assert(byStratum("b").map(_._3).sum <= 5L)
+    // cum_tokens is a within-stratum running total: max equals the sum
+    for ((_, rows) <- byStratum)
+      assert(rows.map(_._4).max == rows.map(_._3).sum)
+    // deterministic: same input → same kept set
+    val again = Curation.corpusBudgetByStratum(docs,
+        budgets = Map("a" -> 10L), stratumCol = "lang", defaultBudget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
   test("corpusBudget: zero budget keeps nothing, huge budget keeps everything") {
     val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     assert(Curation.corpusBudget(docs, 0L).count() == 0L)
