@@ -423,56 +423,11 @@ object Dedup {
       .localCheckpoint()
     val edges0 = minHashPairs(repDocs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
       .select(col("da"), col("db"))
-    // Contraction components: each round every node relabels to the min
-    // of itself and its neighborhood, then the edge list is rewritten in
-    // label space (self-loops dropped, parallel edges merged). Near-dup
-    // components are dense, so almost everything collapses in the first
-    // round and the edge list shrinks brutally — the loop runs O(log
-    // component-diameter) rounds on rapidly vanishing data instead of
-    // O(diameter) rounds over the full adjacency (plain label
-    // propagation took 8 full-size rounds on the bench corpus).
-    //
-    // ONE checkpoint job per round (the contracted edge list; r5 ran
-    // three): the round's label table is NOT materialized — inside the
-    // contraction job its two references dedupe via exchange reuse, and
-    // the doc mapping is composed ONCE after the loop by replaying the
-    // per-round label tables (each an aggregate over an already-
-    // checkpointed, rapidly shrinking edge list). At sf0.1 the loop is
-    // flat job-scheduling overhead, not data — fewer jobs is the win;
-    // at cluster scale the same change just removes two barriers/round.
-    def labels(edges: DataFrame): DataFrame =
-      edges.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u").as("x"), least(col("u"), col("mn")).as("lx"))
-    // mirror each verified edge in the SAME pass that materializes it
-    // (explode of the two orientations): one checkpoint job over the
-    // expensive candidate+verify pipeline instead of checkpoint-then-
-    // union-then-checkpoint-again
-    var e = edges0.select(explode(array(
-        struct(col("da").as("u"), col("db").as("v")),
-        struct(col("db").as("u"), col("da").as("v")))).as("uv"))
-      .select(col("uv.u").as("u"), col("uv.v").as("v"))
-      .localCheckpoint()
-    var rounds = List.empty[DataFrame] // checkpointed edge list per round, newest last
-    var i = 0
-    while (i < maxIter && !e.isEmpty) {
-      rounds :+= e
-      val l = labels(e)
-      // contract the edge list into label space
-      e = e.join(l.toDF("u", "lu"), "u").join(l.toDF("v", "lv"), "v")
-        .select(col("lu").as("u"), col("lv").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      i += 1
-    }
-    // compose the doc mapping through the per-round label tables (docs
-    // absent from a round's edges keep their label) — a ~rounds-deep
-    // lazy join chain folded into the final join, one job total
-    val mapping = rounds.foldLeft(
-      repDocs.select(col(idCol).as("id"), col(idCol).as("lbl"))) { (m, er) =>
-      m.join(labels(er).withColumnRenamed("x", "lbl"), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lx"), col("lbl")).as("lbl"))
-    }
+    // min-label contraction components over the verified edges — the
+    // shared [[Components.minLabel]] engine (one checkpoint job per
+    // shrinking round, mapping composed once after the loop)
+    val mapping = Components.minLabel(edges0,
+      repDocs.select(col(idCol).as("id")), maxIter)
     // members inherit their exact-dup representative's keeper (the
     // representative is the group minimum, so component minima are
     // unchanged — see scaladoc)

@@ -284,6 +284,30 @@ object Similarity {
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
   }
 
+  /** Embedding near-dup CLUSTER assignment — the linear-output keeper
+    * contract for the embedding family, like [[Dedup.minHashClusters]]
+    * is for text (SemDeDup-flavored: keep one representative per
+    * semantic near-dup group): (vec_id, keeper) with keeper the minimum
+    * vec_id in the vector's connected component over verified
+    * [[nearDupPairs]] edges (exact cosine ≥ minCos). Singletons keep
+    * themselves. Components via the shared [[Components.minLabel]]
+    * contraction loop — one checkpoint job per shrinking round, nothing
+    * driver-side but the emptiness flag.
+    */
+  def nearDupKeeper(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      minCos: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val edges = nearDupPairs(corpus, minCos, bands, rowsPerBand, dim, seed)
+      .select(col("a").as("da"), col("b").as("db"))
+    Components.minLabel(edges, corpus.select(col("vec_id").as("id")))
+      .select(col("id").as("vec_id"), col("lbl").as("keeper"))
+  }
+
   /** Approximate nearest neighbors: bucket corpus AND queries by sign-LSH,
     * equi-join on bucket, rank within query by cosine. Probes only its
     * own bucket (single-probe) — recall measured against

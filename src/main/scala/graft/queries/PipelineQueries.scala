@@ -881,12 +881,16 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.35)
       .orderBy("a", "b")
 
-  val embNearDupSql: String = {
+  /** Shared CTE chain for the neardup contracts: sign-LSH candidate
+    * generation (planes as literals) + exact-cosine scoring, ending in
+    * `vp(a, b, c)` — the scored candidate pairs.
+    */
+  private def embNearDupCtes: String = {
     val values = (0 until 16).flatMap { b =>
       graft.functions.SignLshBuckets.planes(numPlanes = 8, dim = 64, seed = 42L + 7919L * b)
         .zipWithIndex.map { case (p, j) => s"($b, $j, ${sqlDoubleArray(p)}::DOUBLE[])" }
     }.mkString(",\n")
-    s"""WITH planes(band, j, p) AS (VALUES
+    s"""planes(band, j, p) AS (VALUES
        |$values),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |bkt AS (SELECT vec_id, band,
@@ -894,12 +898,33 @@ object PipelineQueries {
        |        FROM emb, planes GROUP BY vec_id, band),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |         FROM bkt x JOIN bkt y USING (band, bucket)
-       |         WHERE x.vec_id < y.vec_id)
-       |SELECT a, b, round(list_cosine_similarity(ea.e, eb.e), 4) AS cos
-       |FROM cand JOIN emb ea ON ea.vec_id = a JOIN emb eb ON eb.vec_id = b
-       |WHERE list_cosine_similarity(ea.e, eb.e) >= 0.35
-       |ORDER BY a, b""".stripMargin
+       |         WHERE x.vec_id < y.vec_id),
+       |vp AS (SELECT a, b, list_cosine_similarity(ea.e, eb.e) AS c
+       |       FROM cand JOIN emb ea ON ea.vec_id = a JOIN emb eb ON eb.vec_id = b)""".stripMargin
   }
+
+  val embNearDupSql: String =
+    s"""WITH $embNearDupCtes
+       |SELECT a, b, round(c, 4) AS cos FROM vp WHERE c >= 0.35 ORDER BY a, b""".stripMargin
+
+  /** Embedding near-dup keeper — the linear-output cluster contract for
+    * the embedding family (SemDeDup-flavored "which row do I keep"):
+    * min vec_id over connected components of the verified near-dup
+    * edges, via the shared contraction-components engine.
+    */
+  def embNearDupKeeper(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupKeeper(Tables.embeddings(s, dir), minCos = 0.35)
+      .orderBy("vec_id")
+
+  val embNearDupKeeperSql: String =
+    s"""WITH RECURSIVE $embNearDupCtes,
+       |e AS (SELECT a, b FROM vp WHERE c >= 0.35),
+       |edges AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT reach.id, edges.v AS r FROM reach JOIN edges ON edges.u = reach.r)
+       |SELECT id AS vec_id, min(r) AS keeper FROM reach GROUP BY 1 ORDER BY vec_id""".stripMargin
 
   /** Sequence packing: greedy next-fit token-budget bins per shard (the
     * dedup→pack step that turns a corpus into fixed-length training
@@ -1138,6 +1163,7 @@ object PipelineQueries {
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
-    Q("q_emb_neardup", embNearDup, Some(embNearDupSql))
+    Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
+    Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql))
   )
 }

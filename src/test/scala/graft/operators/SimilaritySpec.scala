@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.95))
   }
 
+  test("nearDupKeeper assigns planted duplicates to their original; singletons keep themselves") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec()))
+    // two copies of vector 3 → a 3-node component {3, 1003, 2003}
+    val planted = Seq(
+      (1003L, base(3)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)),
+      (2003L, base(3)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)),
+      (1007L, base(7)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val keepers = Similarity.nearDupKeeper(corpus, minCos = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(keepers.size == 103)
+    assert(keepers(1003L) == 3L && keepers(2003L) == 3L && keepers(3L) == 3L)
+    assert(keepers(1007L) == 7L && keepers(7L) == 7L)
+    // untouched vectors are their own keeper
+    assert(keepers(50L) == 50L)
+  }
+
   test("cosine_sim kernel matches scala computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
