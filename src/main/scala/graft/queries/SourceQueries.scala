@@ -91,6 +91,37 @@ object SourceQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Bucketed tables + co-located join (the "bucketing for co-located
+    * joins" scale technique; ref analog: Flink's batch-shuffle reuse /
+    * pre-partitioned inputs): write orders and customer bucketed 8 ways
+    * on the join key, then join + aggregate with ZERO hash exchanges —
+    * the bucket layout carries the required partitioning from scan
+    * through sort-merge join into the aggregate (plan-locked). At
+    * 100 TB this is how repeated fact-dim joins amortize their shuffle:
+    * pay it once at write time, every downstream join is exchange-free.
+    * The merge hint keeps the tiny bench-scale dim side from
+    * broadcasting, which would bypass the layout being demonstrated.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir(dir, "bucketed")
+    Tables.orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders").saveAsTable("b_orders")
+    Tables.customer(s, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer").saveAsTable("b_customer")
+    s.table("b_orders").hint("merge")
+      .join(s.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
   /** ORC sink + source round-trip (ref: OrcColumnarRowSplitReader /
     * flink-orc — Spark's vectorized ORC reader is built in).
     */
@@ -173,6 +204,7 @@ object SourceQueries {
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
     Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
+    Q("q_sink_bucketed", bucketedJoin, Some(bucketedJoinSql)),
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql))

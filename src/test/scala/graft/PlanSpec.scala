@@ -180,6 +180,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"non-equi join in chunk dedup:\n$p")
   }
 
+  test("q_sink_bucketed: co-located join — zero hash exchanges scan→join→aggregate") {
+    // Both tables are bucketed 8 ways on the join key, so the sort-merge
+    // join and the follow-on aggregate must inherit the bucket layout:
+    // any Exchange hashpartitioning here means the write-time shuffle
+    // amortization is broken (the final orderBy's range exchange is the
+    // query's presentation sort, not part of the join pipeline).
+    val p = planString("q_sink_bucketed")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not sort-merge:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"bucket layout not reused:\n$p")
+  }
+
   test("q_doc_budget: the corpus prefix sum runs in a bucket-partitioned window") {
     // The defining semantics is sum(n) OVER (ORDER BY pri) — but an
     // UNPARTITIONED ordered window funnels the whole corpus through one
