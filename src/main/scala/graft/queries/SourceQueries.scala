@@ -122,6 +122,41 @@ object SourceQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** Dynamic partition pruning (runtime partition elimination — the
+    * scan-reduction that makes star-schema joins viable at 100 TB):
+    * the fact table is partitioned on the join key; the dim side's
+    * filter is only known at runtime, so Catalyst injects a dynamic
+    * pruning subquery (reusing the broadcast) and the fact scan reads
+    * ONLY the surviving partitions (plan-locked on
+    * dynamicpruningexpression). Static pruning's counterpart is
+    * q_sink_partitioned.
+    */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = sinkDir(dir, "orders_by_priority_dpp")
+    Tables.orders(s, dir).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(out)
+    val fact = s.read.parquet(out)
+    // the dim must be a FILE relation: a filtered in-memory relation is
+    // constant-folded (ConvertToLocalRelation) before the pruning rule
+    // runs, leaving no selective predicate for DPP to key on
+    val dimPath = s"${sinkDir(dir, "priority_dim")}"
+    Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+      .toDF("priority", "temp").write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    fact.join(dim.filter(col("temp") === "hot"),
+        col("o_orderpriority") === col("priority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val dppJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** ORC sink + source round-trip (ref: OrcColumnarRowSplitReader /
     * flink-orc — Spark's vectorized ORC reader is built in).
     */
@@ -205,6 +240,7 @@ object SourceQueries {
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
     Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
     Q("q_sink_bucketed", bucketedJoin, Some(bucketedJoinSql)),
+    Q("q_sink_dpp", dppJoin, Some(dppJoinSql)),
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql))

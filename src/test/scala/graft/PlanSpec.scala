@@ -191,6 +191,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Exchange hashpartitioning"), s"bucket layout not reused:\n$p")
   }
 
+  test("q_sink_dpp: fact scan carries a dynamic partition pruning filter") {
+    // The dim filter is only known at runtime; the fact scan must read
+    // only the surviving partitions via the injected pruning subquery —
+    // without it, a star join reads the whole fact table at 100 TB.
+    val p = planString("q_sink_dpp")
+    assert(p.contains("dynamicpruningexpression"), s"DPP did not fire:\n$p")
+  }
+
   test("q_doc_budget: the corpus prefix sum runs in a bucket-partitioned window") {
     // The defining semantics is sum(n) OVER (ORDER BY pri) — but an
     // UNPARTITIONED ordered window funnels the whole corpus through one
