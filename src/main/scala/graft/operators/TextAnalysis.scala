@@ -21,6 +21,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Aggressive dedup folding (CCNet/Wenzek 2020 §3 normalization,
+    * public literature): lowercase, every digit → 0, punctuation →
+    * space, whitespace collapsed. Exact dedup over the FOLDED text
+    * merges trivial variants (casing, version numbers, dates, edition
+    * punctuation) that byte-exact fingerprints miss — the standard
+    * pre-fingerprint step for web-corpus dedup. Pure scan-stage
+    * regexes, and every step is shared arithmetic an oracle replays.
+    */
+  def dedupFold(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+      "\\s+", " "))
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalizeText(text), " ")
 

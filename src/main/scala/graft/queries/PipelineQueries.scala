@@ -272,6 +272,37 @@ object PipelineQueries {
        |      WHERE cb >= 5)
        |SELECT bigram, cb, pmi FROM s ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  /** CCNet-style dedup folding: two deterministic variants of each
+    * document (casing, spacing, punctuation, and digit differences —
+    * injected like the PII query so the folding is exercised on real
+    * positives) must produce DIFFERENT raw fingerprints but the SAME
+    * folded fingerprint. Scan-stage regexes only.
+    */
+  def docFoldFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val a = concat(col("text"), lit(" Ver 42!"))
+    val b = concat(upper(col("text")), lit("   ver 43."))
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(TextAnalysis.dedupFold(a)).as("fp_a"),
+        md5(TextAnalysis.dedupFold(b)).as("fp_b"),
+        (md5(a) =!= md5(b)).as("raw_differs"))
+      .withColumn("merged", col("fp_a") === col("fp_b"))
+      .orderBy("doc_id")
+  }
+
+  val docFoldFingerprintSql: String =
+    """WITH v AS (SELECT doc_id,
+      |  text || ' Ver 42!' AS a, upper(text) || '   ver 43.' AS b FROM documents),
+      |f AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(a),
+      |    '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp_a,
+      |  md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(b),
+      |    '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp_b,
+      |  md5(a) <> md5(b) AS raw_differs
+      |FROM v)
+      |SELECT doc_id, fp_a, fp_b, raw_differs, fp_a = fp_b AS merged
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** Deterministic token-budget snapshot: keep the maximal md5-priority
     * prefix of the corpus whose running token total fits the budget —
     * the "cut an N-token training subset" step. The defining semantics
@@ -1128,6 +1159,7 @@ object PipelineQueries {
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
+    Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),

@@ -73,6 +73,18 @@ class CurationSpec extends SparkSpec {
     assert(all.length == 2 && all.map(_.getLong(1)).sum == 3L)
   }
 
+  test("dedupFold merges case/digit/punctuation variants, keeps real differences") {
+    val df = Seq(
+      (1L, "Release v2.14 (final)!"),
+      (2L, "release V9.03 -- FINAL"),
+      (3L, "a genuinely different document")).toDF("id", "text")
+    val folded = df.select(col("id"), TextAnalysis.dedupFold(col("text")).as("f"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(folded(0) == "release v0 00 final")
+    assert(folded(0) == folded(1), "variants must fold to the same text")
+    assert(folded(2) != folded(0))
+  }
+
   test("scrubPii redacts emails, IPs, phones and is idempotent") {
     val df = Seq(
       "mail a.b+c@foo-bar.org and x@y.io here",
