@@ -72,6 +72,64 @@ object Dedup {
       .select(col("da"), col("db"), col("jacc"))
   }
 
+  /** Incremental (delta) dedup — the daily-crawl-increment contract:
+    * classify a batch of ARRIVING documents against an existing corpus
+    * as `exact` (normalized-fingerprint match), `near` (word-set
+    * Jaccard ≥ threshold against an inverted index over the corpus), or
+    * `new`, with the minimum matching corpus id as keeper (arrivals
+    * keep themselves when new). The corpus is INDEXED, never
+    * self-joined: arrivals probe the token index DIRECTIONALLY
+    * (delta → base), so an increment costs O(delta · avg-posting-list)
+    * regardless of corpus size — at production scale the fingerprint
+    * table and token index are persisted once (bucketed by word, see
+    * the bucketed-join pattern) and each day's batch probes them.
+    *
+    * `maxDf` is the same hot-token lever as [[jaccardPairs]] — required
+    * on real corpora where stop-word posting lists go quadratic.
+    *
+    * Output: (id, verdict, keeper), one row per delta document.
+    */
+  def deltaDedup(
+      base: DataFrame,
+      delta: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Option[Long] = None
+  ): DataFrame = {
+    val bFp = base.select(col(idCol).as("bid"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val dFp = delta.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exact = dFp.join(bFp, "fp").groupBy("id").agg(min("bid").as("ex_keeper"))
+    val bW0 = base.select(col(idCol).as("bid"), explode(TextAnalysis.tokenSet(col(textCol))).as("word"))
+    val dW0 = delta.select(col(idCol).as("id"), explode(TextAnalysis.tokenSet(col(textCol))).as("word"))
+    // df-cap drops hot tokens from the index AND from BOTH sides' set
+    // sizes, keeping the Jaccard self-consistent over the reduced
+    // vocabulary (same contract as jaccardPairs' maxDf)
+    val (bW, dW) = maxDf match {
+      case Some(cap) =>
+        val hot = bW0.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("word")
+        (bW0.join(broadcast(hot), Seq("word"), "left_anti"),
+          dW0.join(broadcast(hot), Seq("word"), "left_anti"))
+      case None => (bW0, dW0)
+    }
+    val bSz = bW.groupBy("bid").agg(count(lit(1)).as("bsz"))
+    val dSz = dW.groupBy("id").agg(count(lit(1)).as("dsz"))
+    val near = dW.join(bW, "word")
+      .groupBy("id", "bid").agg(count(lit(1)).as("i"))
+      .join(dSz, "id").join(bSz, "bid")
+      .filter(col("i") / (col("dsz") + col("bsz") - col("i")) >= threshold)
+      .groupBy("id").agg(min("bid").as("nr_keeper"))
+    delta.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("ex_keeper").isNotNull, "exact")
+          .when(col("nr_keeper").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("ex_keeper"), col("nr_keeper"), col("id")).as("keeper"))
+  }
+
   /** MinHash signature: numPerms universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over xxhash64 token hashes, min per
     * permutation. Native expression (graft.functions.MinHashSig) — one

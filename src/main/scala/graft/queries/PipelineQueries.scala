@@ -272,6 +272,46 @@ object PipelineQueries {
        |      WHERE cb >= 5)
        |SELECT bigram, cb, pmi FROM s ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  /** Incremental delta dedup: the 10 %-slice "daily batch" — plus a few
+    * re-labeled corpus members standing in for re-crawled pages — probes
+    * the remaining corpus: exact fingerprint match, word-set Jaccard
+    * ≥ 0.8 against the corpus token index, or new (see
+    * [[graft.operators.Dedup.deltaDedup]]; the corpus never self-joins).
+    * The injection guarantees every verdict branch fires on real rows.
+    */
+  def docDeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val recrawled = docs.filter(col("doc_id") % 100 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Dedup.deltaDedup(
+        base = docs.filter(col("doc_id") % 10 =!= 7),
+        delta = docs.filter(col("doc_id") % 10 === 7).unionByName(recrawled),
+        threshold = 0.8)
+      .orderBy("id")
+  }
+
+  val docDeltaDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $normSql AS nt,
+       |             list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |d AS (SELECT * FROM t WHERE doc_id % 10 = 7
+       |      UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id, nt, ts FROM t WHERE doc_id % 100 = 1),
+       |b AS (SELECT * FROM t WHERE doc_id % 10 <> 7),
+       |ex AS (SELECT d.doc_id AS id, min(b.doc_id) AS exk
+       |       FROM d JOIN b ON md5(d.nt) = md5(b.nt) GROUP BY 1),
+       |dw AS (SELECT doc_id AS id, unnest(ts) AS word, len(ts) AS dsz FROM d),
+       |bw AS (SELECT doc_id AS bid, unnest(ts) AS word, len(ts) AS bsz FROM b),
+       |nr AS (SELECT id, min(bid) AS nrk FROM (
+       |         SELECT dw.id, bw.bid, count(*) AS i, min(dw.dsz) AS dsz, min(bw.bsz) AS bsz
+       |         FROM dw JOIN bw USING (word) GROUP BY 1, 2)
+       |       WHERE i * 1.0 / (dsz + bsz - i) >= 0.8 GROUP BY 1)
+       |SELECT d.doc_id AS id,
+       |  CASE WHEN ex.exk IS NOT NULL THEN 'exact'
+       |       WHEN nr.nrk IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       |  coalesce(ex.exk, nr.nrk, d.doc_id) AS keeper
+       |FROM d LEFT JOIN ex ON ex.id = d.doc_id LEFT JOIN nr ON nr.id = d.doc_id
+       |ORDER BY id""".stripMargin
+
   /** CCNet-style dedup folding: two deterministic variants of each
     * document (casing, spacing, punctuation, and digit differences —
     * injected like the PII query so the folding is exercised on real
@@ -1160,6 +1200,7 @@ object PipelineQueries {
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
     Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
+    Q("q_doc_delta_dedup", docDeltaDedup, Some(docDeltaDedupSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),

@@ -155,6 +155,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a / 10 != b / 10 })
   }
 
+  test("deltaDedup classifies arrivals: exact copy, near variant, genuinely new") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "ALPHA beta   gamma delta epsilon"), // exact after normalization
+      (11L, "one two three four five seven"), // 5/7 jaccard near
+      (12L, "completely unrelated words here")).toDF("doc_id", "text")
+    val out = Dedup.deltaDedup(base, delta, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L) == ("exact", 1L))
+    assert(out(11L) == ("near", 2L))
+    assert(out(12L) == ("new", 12L))
+  }
+
   test("simHashPairs: radii beyond the pigeonhole guarantee fail fast") {
     // 4-chunk banding is exact only for hamming <= 3 — a wider radius
     // would silently drop valid pairs, so it must be rejected outright
