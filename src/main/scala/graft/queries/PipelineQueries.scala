@@ -312,6 +312,35 @@ object PipelineQueries {
        |FROM d LEFT JOIN ex ON ex.id = d.doc_id LEFT JOIN nr ON nr.id = d.doc_id
        |ORDER BY id""".stripMargin
 
+  /** URL parsing for web curation (the raw-crawl step feeding domain
+    * caps and blocklists): host / registrable-domain / path from a URL
+    * column via Spark's native codegen'd `parse_url` (host, path) plus
+    * a last-two-labels regex for the registrable domain. URLs injected
+    * deterministically like the PII query; DuckDB mirrors with regexes
+    * over the same controlled shape.
+    */
+  def docUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://www.site"), (col("doc_id") % 50).cast("string"),
+      lit(".example.com/docs/"), col("doc_id").cast("string"), lit("?ref=corpus"))
+    val host = parse_url(url, lit("HOST"))
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        host.as("host"),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        parse_url(url, lit("PATH")).as("path"))
+      .orderBy("doc_id")
+  }
+
+  val docUrlParseSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  'https://www.site' || (doc_id % 50)::VARCHAR || '.example.com/docs/' ||
+      |  doc_id::VARCHAR || '?ref=corpus' AS url FROM documents),
+      |h AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path FROM u)
+      |SELECT doc_id, host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, path
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** CCNet-style dedup folding: two deterministic variants of each
     * document (casing, spacing, punctuation, and digit differences —
     * injected like the PII query so the folding is exercised on real
@@ -1201,6 +1230,7 @@ object PipelineQueries {
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
     Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
     Q("q_doc_delta_dedup", docDeltaDedup, Some(docDeltaDedupSql)),
+    Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
