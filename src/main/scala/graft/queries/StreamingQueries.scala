@@ -363,6 +363,31 @@ object StreamingQueries {
         |  FROM ev)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Streaming dedup with BOUNDED state via
+    * `dropDuplicatesWithinWatermark` (ref: Flink's deduplication with
+    * state-TTL retention, `DeduplicateFunctionBase` — state for a key
+    * is dropped once the watermark passes, so unbounded streams dedup
+    * in bounded memory; plain dropDuplicates state grows forever).
+    * Only the dedup key columns are emitted: which physical row
+    * represents a key within a micro-batch is partition-order-
+    * dependent, the key set itself is deterministic.
+    */
+  def streamDedupWm(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val out = ev.dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable("stream_dedup_wm", out, "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDedupWmSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT DISTINCT user_id, event_type FROM ev
+        |ORDER BY user_id, event_type""".stripMargin
+
   /** Streaming BOUNDED-frame row-time OVER (ref:
     * RowTimeRowsBoundedPrecedingFunction.java:301, OverWindowITCase):
     * ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per user, each event
@@ -1107,6 +1132,7 @@ object StreamingQueries {
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),
     Q("q_stream_anti_join", streamAntiJoin, Some(streamAntiJoinSql)),
     Q("q_stream_dedup_last", streamDedupLast, Some(streamDedupLastSql)),
+    Q("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Q("q_stream_over_bounded", streamOverBounded, Some(streamOverBoundedSql)),
     Q("q_stream_temporal_proc", streamTemporalProcJoin, Some(streamTemporalProcJoinSql)),
     Q("q_stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
