@@ -315,6 +315,46 @@ object StreamingQueries {
         |UNION ALL SELECT a_id, b_id FROM unmatched_b
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** Stream-stream RIGHT OUTER join — completes the outer family with
+    * [[streamLeftJoin]] and [[streamFullJoin]]: matched pairs emit on
+    * arrival; an unmatched purchase emits with NULL signup once the
+    * watermark passes b_ts (same bound as the full join's right side).
+    */
+  def streamRightJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "signup")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "right_outer")
+      .select("a_id", "b_id")
+    runToTable("stream_roj", out, "append").orderBy("a_id", "b_id")
+  }
+
+  val streamRightJoinSql: String =
+    Tables.eventsCte +
+      """
+        |, a AS (SELECT event_id AS a_id, user_id, ts AS a_ts FROM ev WHERE event_type = 'signup'),
+        |b AS (SELECT event_id AS b_id, user_id, ts AS b_ts FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+        |         - INTERVAL 10 MINUTE AS w),
+        |matched AS (
+        |  SELECT a_id, b_id FROM a JOIN b USING (user_id)
+        |  WHERE b_ts > a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR),
+        |unmatched_b AS (
+        |  SELECT NULL::BIGINT AS a_id, b_id FROM b
+        |  WHERE b_id NOT IN (SELECT b_id FROM matched)
+        |    AND b_ts <= (SELECT w FROM wm))
+        |SELECT a_id, b_id FROM matched
+        |UNION ALL SELECT a_id, b_id FROM unmatched_b
+        |ORDER BY a_id, b_id""".stripMargin
+
   /** Stream-stream LEFT SEMI join (ref: StreamingSemiAntiJoinOperator
     * .java:35, SemiAntiJoinStreamITCase): signups with at least one
     * purchase in (a_ts, a_ts + 1h]. A matched left row emits exactly once
@@ -1183,6 +1223,7 @@ object StreamingQueries {
     Q("q_stream_dedup_last", streamDedupLast, Some(streamDedupLastSql)),
     Q("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Q("q_stream_full_join", streamFullJoin, Some(streamFullJoinSql)),
+    Q("q_stream_right_join", streamRightJoin, Some(streamRightJoinSql)),
     Q("q_stream_over_bounded", streamOverBounded, Some(streamOverBoundedSql)),
     Q("q_stream_temporal_proc", streamTemporalProcJoin, Some(streamTemporalProcJoinSql)),
     Q("q_stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
