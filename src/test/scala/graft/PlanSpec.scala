@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("q_tpch_q9 (join-heavy): equi-joins only, no cartesian, pushdown intact") {
+    val p = planString("q_tpch_q9")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join crept into q9:\n$p")
+    assert(p.contains("PushedFilters"), s"scan pushdown lost:\n$p")
+  }
+
   test("q_tpch_q6 pushes every predicate to the scan and aggregates in one span") {
     val p = planString("q_tpch_q6")
     // toString truncates long filter lists — assert the stable prefix
