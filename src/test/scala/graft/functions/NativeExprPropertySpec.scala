@@ -1,0 +1,137 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Seeded randomized cross-checks for the custom native Catalyst
+  * expressions — the hand-written per-row loops that replace Spark
+  * built-ins in the dedup/similarity hot paths. Each is compared
+  * against an independent reference implementation of its documented
+  * contract over random inputs (duplicates, empty arrays, zero
+  * vectors included), so a future edit to a loop bound or hash seed
+  * cannot silently change results.
+  */
+class NativeExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(77L)
+  private val P = 2147483647L // MinHash modulus (Mersenne 2^31-1)
+
+  private def xx(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+
+  private def randTokens(): Seq[String] = {
+    val vocab = Vector("a", "bb", "ccc", "Dd", "e5", "!!", "longer-token", "ü")
+    Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+  }
+
+  private lazy val tokenDocs: Seq[(Long, Seq[String])] =
+    (0L until 50L).map(i => (i, randTokens())) :+ (50L, Seq.empty[String])
+
+  test("MinHashSig equals the (a·h+b) mod P minima reference") {
+    val numPerms = 16; val seed = 42L
+    // same draw order as the expression: all a's, then all b's
+    val r = new scala.util.Random(seed)
+    val ca = Array.fill(numPerms)(1L + r.nextInt((P - 1).toInt).toLong)
+    val cb = Array.fill(numPerms)(r.nextInt(P.toInt).toLong)
+    def ref(toks: Seq[String]): Seq[Long] = {
+      val sig = Array.fill(numPerms)(Long.MaxValue)
+      for (t <- toks) {
+        val h0 = xx(t) % P
+        val x = if (h0 < 0) h0 + P else h0
+        for (i <- 0 until numPerms)
+          sig(i) = math.min(sig(i), (ca(i) * x + cb(i)) % P)
+      }
+      sig.toSeq
+    }
+    val got = tokenDocs.toDF("id", "toks")
+      .select(col("id"), ColumnBridge.column(
+        MinHashSig(ColumnBridge.expression(col("toks")), numPerms, seed)).as("sig"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getSeq[Long](1)).toMap
+    for ((id, toks) <- tokenDocs)
+      assert(got(id) == ref(toks), s"doc $id: $toks")
+  }
+
+  test("TokenHashes equals sorted full-width xxhash64 of the tokens") {
+    val got = tokenDocs.toDF("id", "toks")
+      .select(col("id"), ColumnBridge.column(
+        TokenHashes(ColumnBridge.expression(col("toks")))).as("th"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, toks) <- tokenDocs)
+      assert(got(id) == toks.map(xx).sorted, s"doc $id: $toks")
+  }
+
+  test("SortedIntersectCount equals set-intersection size on sorted distinct arrays") {
+    val pairs = (0L until 40L).map { i =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), ColumnBridge.column(SortedIntersectCount(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, a, b) <- pairs)
+      assert(got(id) == a.toSet.intersect(b.toSet).size, s"case $id")
+  }
+
+  test("SimHash64 equals the per-bit majority-vote reference") {
+    def ref(toks: Seq[String]): Long = {
+      val w = new Array[Int](64)
+      for (t <- toks; k <- 0 until 64)
+        if (((xx(t) >>> k) & 1L) == 1L) w(k) += 1 else w(k) -= 1
+      (0 until 64).foldLeft(0L)((acc, k) => if (w(k) > 0) acc | (1L << k) else acc)
+    }
+    val got = tokenDocs.toDF("id", "toks")
+      .select(col("id"), ColumnBridge.column(
+        SimHash64(ColumnBridge.expression(col("toks")))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, toks) <- tokenDocs)
+      assert(got(id) == ref(toks), s"doc $id: $toks")
+  }
+
+  test("SignLshBuckets equals the sign-of-dot-product reference (zero vector included)") {
+    val bands = 4; val rows = 8; val dim = 16; val seed = 42L
+    val planes = (0 until bands).toArray
+      .flatMap(b => SignLshBuckets.planes(rows, dim, seed + 7919L * b))
+    def ref(v: Seq[Float]): Seq[Long] =
+      (0 until bands).map { b =>
+        (0 until rows).foldLeft(0L) { (bucket, j) =>
+          val p = planes(b * rows + j)
+          var dot = 0.0
+          for (d <- 0 until math.min(v.length, dim)) dot += v(d).toDouble * p(d).toDouble
+          if (dot > 0) bucket | (1L << j) else bucket
+        }
+      }
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat))) :+
+      (30L, Seq.fill(dim)(0.0f))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), ColumnBridge.column(SignLshBuckets(
+        ColumnBridge.expression(col("v")), bands, rows, dim, seed)).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, v) <- vecs)
+      assert(got(id) == ref(v), s"vec $id")
+  }
+
+  test("BandFirstMatch equals the first-equal-index reference") {
+    val pairs = (0L until 40L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      val a = Seq.fill(n)(rnd.nextInt(4).toLong)
+      val b = Seq.fill(n)(rnd.nextInt(4).toLong)
+      (i, a, b)
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), ColumnBridge.column(BandFirstMatch(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, a, b) <- pairs) {
+      val want = a.zip(b).indexWhere { case (x, y) => x == y }
+      assert(got(id) == want, s"case $id: $a vs $b")
+    }
+  }
+}
