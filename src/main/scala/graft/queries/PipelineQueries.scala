@@ -341,6 +341,75 @@ object PipelineQueries {
       |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, path
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation funnel v2 — the round-6 composition (the
+    * original `q_doc_pipeline` predates these operators): aggressive
+    * fold-dedup (CCNet normalization, min-id keeper) → benchmark
+    * decontamination against the held-out eval slice (≥ 3 shared
+    * trigrams ⇒ dropped) → token-budget snapshot (20k tokens, bucketed
+    * prefix sum) → deterministic 90/5/5 hash split → per-split doc and
+    * token totals. ONE declarative plan end to end: Catalyst fuses the
+    * scan-stage folding/shingling, reuses exchanges across stages, and
+    * the only wide operations are the keyed aggregates each stage needs
+    * anyway.
+    */
+  def docPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val folded = docs.withColumn("ffp", md5(TextAnalysis.dedupFold(col("text"))))
+    val keepers = folded.groupBy("ffp").agg(min("doc_id").as("keeper"))
+    val deduped = folded.join(keepers, "ffp")
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text")
+    val train = deduped.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val contaminated = Decontamination
+      .ngramOverlap(train, eval, "doc_id", "text", k = 3, minShared = 3L)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = Curation.corpusBudget(clean, budget = 20000L)
+    // CORRELATED-HASH PITFALL: corpusBudget keeps the md5(doc_id)-
+    // ascending prefix, so splitting on the SAME md5 draw would send
+    // every kept doc to 'train' (u is small by construction). Chained
+    // hash-keyed stages must use independent keys — salt the split id.
+    val split = Curation.hashSplit(
+      kept.select(col("id").as("doc_id"), col("n_tokens"),
+        concat(lit("s"), col("id").cast("string")).as("salted_id")), "salted_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split")
+  }
+
+  val docPipelineFullSql: String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |  md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |    '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS ffp
+       |  FROM documents),
+       |k AS (SELECT ffp, min(doc_id) AS keeper FROM f GROUP BY 1),
+       |dd AS (SELECT f.doc_id FROM f JOIN k USING (ffp) WHERE f.doc_id = k.keeper),
+       |tr AS (SELECT doc_id FROM dd WHERE doc_id % 10 <> 0),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+       |      FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)
+       |      WHERE len(toks) >= 3),
+       |evg AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+       |trg AS (SELECT g.* FROM g JOIN tr USING (doc_id)),
+       |cont AS (SELECT DISTINCT train_id AS doc_id FROM (
+       |    SELECT trg.doc_id AS train_id, evg.doc_id AS eval_id, count(*) AS n
+       |    FROM trg JOIN evg USING (shingle) GROUP BY 1, 2) WHERE n >= 3),
+       |clean AS (SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |t AS (SELECT d.doc_id, len(string_split($normSql, ' '))::BIGINT AS n,
+       |        md5(d.doc_id::VARCHAR) AS pri
+       |      FROM documents d JOIN clean USING (doc_id)),
+       |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY pri, doc_id) AS cum FROM t),
+       |kept AS (SELECT doc_id, n FROM c WHERE cum <= 20000),
+       |sp AS (SELECT doc_id, n,
+       |        CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+       |       FROM (SELECT doc_id, n,
+       |               ('0x' || substr(md5('s' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+       |             FROM kept))
+       |SELECT split, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CCNet-style dedup folding: two deterministic variants of each
     * document (casing, spacing, punctuation, and digit differences —
     * injected like the PII query so the folding is exercised on real
@@ -1229,6 +1298,7 @@ object PipelineQueries {
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
     Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
+    Q("q_doc_pipeline_full", docPipelineFull, Some(docPipelineFullSql)),
     Q("q_doc_delta_dedup", docDeltaDedup, Some(docDeltaDedupSql)),
     Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
