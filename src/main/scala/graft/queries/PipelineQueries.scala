@@ -410,6 +410,36 @@ object PipelineQueries {
        |SELECT split, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Domain blocklist filtering (the URL-level removal step every web
+    * pipeline runs before content filters): parse the registrable
+    * domain from each document's URL, drop blocklisted domains via a
+    * BROADCAST anti-join (the corpus streams through a map stage — a
+    * shuffle here would be the shape that dies when one domain
+    * dominates), then per-domain survivor stats.
+    */
+  def docBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://www.example"), (col("doc_id") % 20).cast("string"),
+      lit(".org/p/"), col("doc_id").cast("string"))
+    val domain = regexp_extract(parse_url(url, lit("HOST")), "([^.]+\\.[^.]+)$", 1)
+    val blocked = Seq("example3.org", "example7.org", "example11.org").toDF("domain")
+    Tables.documents(s, dir)
+      .withColumn("domain", domain)
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("domain")
+  }
+
+  val docBlocklistSql: String =
+    s"""WITH u AS (SELECT doc_id, text,
+       |  'example' || (doc_id % 20)::VARCHAR || '.org' AS domain FROM documents)
+       |SELECT domain, count(*)::BIGINT AS n_docs,
+       |  sum(len(string_split($normSql, ' ')))::BIGINT AS n_tokens
+       |FROM u WHERE domain NOT IN ('example3.org', 'example7.org', 'example11.org')
+       |GROUP BY domain ORDER BY domain""".stripMargin
+
   /** CCNet-style dedup folding: two deterministic variants of each
     * document (casing, spacing, punctuation, and digit differences —
     * injected like the PII query so the folding is exercised on real
@@ -1301,6 +1331,7 @@ object PipelineQueries {
     Q("q_doc_pipeline_full", docPipelineFull, Some(docPipelineFullSql)),
     Q("q_doc_delta_dedup", docDeltaDedup, Some(docDeltaDedupSql)),
     Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
+    Q("q_doc_blocklist", docBlocklist, Some(docBlocklistSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
