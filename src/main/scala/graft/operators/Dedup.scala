@@ -87,6 +87,14 @@ object Dedup {
     * `maxDf` is the same hot-token lever as [[jaccardPairs]] — required
     * on real corpora where stop-word posting lists go quadratic.
     *
+    * Each input crosses the scanner EXACTLY ONCE: the staged prep
+    * frames below ARE the "fingerprint table + token index" the
+    * contract persists — without the [[Funnel.stage]] boundaries every
+    * downstream reference (exact probe, df census, index probe, set
+    * sizes, final classify) re-spliced the corpus scan and the physical
+    * plan read the base parquet 11 times (round-7 Explain; PlanSpec now
+    * locks the scan count).
+    *
     * Output: (id, verdict, keeper), one row per delta document.
     */
   def deltaDedup(
@@ -97,11 +105,16 @@ object Dedup {
       textCol: String = "text",
       maxDf: Option[Long] = None
   ): DataFrame = {
-    val bFp = base.select(col(idCol).as("bid"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val dFp = delta.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val exact = dFp.join(bFp, "fp").groupBy("id").agg(min("bid").as("ex_keeper"))
-    val bW0 = base.select(col(idCol).as("bid"), explode(TextAnalysis.tokenSet(col(textCol))).as("word"))
-    val dW0 = delta.select(col(idCol).as("id"), explode(TextAnalysis.tokenSet(col(textCol))).as("word"))
+    def prep(df: DataFrame, out: String): DataFrame = Funnel.stage(
+      df.select(col(idCol).as(out),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        TextAnalysis.tokenSet(col(textCol)).as("ts")))
+    val bPrep = prep(base, "bid")
+    val dPrep = prep(delta, "id")
+    val exact = dPrep.select("id", "fp").join(bPrep.select("bid", "fp"), "fp")
+      .groupBy("id").agg(min("bid").as("ex_keeper"))
+    val bW0 = bPrep.select(col("bid"), explode(col("ts")).as("word"))
+    val dW0 = dPrep.select(col("id"), explode(col("ts")).as("word"))
     // df-cap drops hot tokens from the index AND from BOTH sides' set
     // sizes, keeping the Jaccard self-consistent over the reduced
     // vocabulary (same contract as jaccardPairs' maxDf)
@@ -120,7 +133,7 @@ object Dedup {
       .join(dSz, "id").join(bSz, "bid")
       .filter(col("i") / (col("dsz") + col("bsz") - col("i")) >= threshold)
       .groupBy("id").agg(min("bid").as("nr_keeper"))
-    delta.select(col(idCol).as("id"))
+    dPrep.select("id")
       .join(exact, Seq("id"), "left")
       .join(near, Seq("id"), "left")
       .select(col("id"),

@@ -232,4 +232,54 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
   }
+
+  // ---------------------------------------------------------------- //
+  // Scan-count locks: "a second reference silently doubles the       //
+  // lineage" is the composition bug class (the round-6 funnel plan   //
+  // scanned the corpus 24×, delta-dedup 11×). Lock every             //
+  // multi-reference composition's parquet-scan count at its healthy  //
+  // value so a dropped Funnel.stage boundary (or a new stage frame   //
+  // referenced twice without one) fails here, not in the bench.      //
+  // ---------------------------------------------------------------- //
+
+  private def scanCounts(name: String): (Int, Int) = {
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    val parquet = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    val rdd = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }.size
+    (parquet, rdd)
+  }
+
+  test("q_doc_pipeline_full: stage boundaries hold — no parquet re-scan in the final plan") {
+    val (parquet, rdd) = scanCounts("q_doc_pipeline_full")
+    // all three stages are checkpointed; the final split+aggregate reads
+    // only materialized stage blocks (was 24 parquet scans without them)
+    assert(parquet == 0, s"funnel v2 re-reads parquet $parquet times — a stage boundary was dropped")
+    assert(rdd >= 1, "no materialized stage blocks in the plan — Funnel.stage removed?")
+  }
+
+  test("q_doc_pipeline: single-pass min_by funnel scans the corpus exactly once") {
+    assert(scanCounts("q_doc_pipeline")._1 == 1)
+  }
+
+  test("q_doc_delta_dedup: prep stages scan base and delta once; classify reads staged blocks") {
+    val (parquet, _) = scanCounts("q_doc_delta_dedup")
+    assert(parquet == 0, s"delta dedup re-reads parquet $parquet times (was 11 before staging)")
+  }
+
+  test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
+    // healthy values measured r7: keeper = 1 parquet (corpus join-back)
+    // + 3 staged-block reads; the iterate loops end on checkpointed
+    // frames. Growth past these means a loop stopped truncating lineage.
+    val bounds = Map("q_emb_neardup_keeper" -> 4,
+      "q_iterate_bfs" -> 3, "q_iterate_delta" -> 3, "q_iterate_pagerank" -> 3)
+    for ((name, bound) <- bounds) {
+      val (parquet, rdd) = scanCounts(name)
+      assert(parquet + rdd <= bound,
+        s"$name plan holds $parquet parquet + $rdd rdd scans — lineage growing across iterations")
+    }
+  }
 }
