@@ -57,6 +57,13 @@ object Components {
         .localCheckpoint()
       i += 1
     }
+    // exhausting maxIter with edges left means the labeling below would
+    // be silently PARTIAL (wrong keepers, no signal) — fail fast; the
+    // final isEmpty is free when the loop already drained (cached flag)
+    require(i < maxIter || e.isEmpty,
+      s"minLabel: $maxIter rounds exhausted with edges remaining — " +
+        "component labeling would be partial; raise maxIter (path-shaped " +
+        "graphs contract ~1 node/round, not O(log d))")
     // compose the node mapping through the per-round label tables (nodes
     // absent from a round's edges keep their label) — a ~rounds-deep
     // lazy join chain folded into the caller's final join, one job total

@@ -5,12 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY.md M6): image/audio/video as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
-  * frame-sample operators. The Spark-side plumbing — schema, binary
-  * chunking, per-partition codec reuse, batch shape — is real and
-  * tested; the actual media decode is STUBBED deterministically
-  * (this environment ships no image/audio libraries), clearly marked
-  * below. Swap `FakeCodec` for a real decoder without touching the
-  * dataflow.
+  * frame-sample operators. The media decode is a REAL byte-level codec
+  * ([[PnmCodec]]: binary PNM P5/P6, oracled by a decoder-inverts-encoder
+  * round trip) run through the same `mapPartitions` dataflow a heavier
+  * libjpeg/ffmpeg binding would use — swap the codec, keep the plumbing.
   *
   * Scale notes: all feature extraction is per-row inside the scan stage
   * (no shuffle); frame sampling explodes to size/frameBytes rows —
@@ -84,21 +82,28 @@ object Multimodal {
           else go = false
         }
       }
-      def readInt(): Int = { // -1 = no digits at cursor
+      def readInt(): Int = { // -1 = no digits at cursor, or overflow
         skipWsAndComments()
         val st = pos
         var v = 0
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9' && v < (1 << 24)) {
           v = v * 10 + (bytes(pos) - '0'); pos += 1
         }
-        if (pos == st) -1 else v
+        if (pos == st) -1
+        // digits remain past the size cap: an oversized value must read
+        // as malformed, not silently truncate into a plausible triple
+        else if (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') -1
+        else v
       }
       val w = readInt(); val h = readInt(); val mv = readInt()
       if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
       val channels = if (fmt == "P6") 3 else 1
       val n = w.toLong * h * channels
-      // exactly one whitespace byte separates maxval from the raster
+      // exactly one whitespace byte separates maxval from the raster —
+      // anything else (e.g. "255X<raster>") would shift the raster
       if (pos >= bytes.length || bytes.length - (pos + 1) < n) return None
+      val sep = bytes(pos)
+      if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
       pos += 1
       var mn = 255; var mx = 0; var sum = 0L
       var i = pos

@@ -471,6 +471,14 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  // FIXTURE INVARIANT: SELECT DISTINCT is only equivalent to
+  // dropDuplicatesWithinWatermark while every duplicate of a
+  // (user_id, event_type) key arrives within the 10-minute watermark
+  // delay — duplicates spaced further apart in event time re-emit the
+  // key on the streaming side and would diverge from this oracle. The
+  // driver's events fixture satisfies it (each user's events span well
+  // under the delay); revisit this oracle before changing the fixture
+  // or the delay.
   val streamDedupWmSql: String =
     Tables.eventsCte +
       """
