@@ -425,4 +425,38 @@ object Curation {
         round(graft.functions.GraftFunctions.cosine_double(col("e"), col("ce")), 4)
           .as("cos_centroid"))
   }
+
+  // ---------------------------------------------------------------- //
+  // Corpus-duplicated n-gram fraction                                //
+  // ---------------------------------------------------------------- //
+
+  /** Fraction of each document's distinct k-gram shingles that occur in
+    * at least one OTHER document — the cross-document duplication
+    * metric (RefinedWeb / Penedo et al. 2023 report it as a filter
+    * signal; [[repetitionMetrics]] covers the WITHIN-document repeats,
+    * this covers boilerplate shared ACROSS pages that document-level
+    * dedup missed and chunk dedup only catches at chunk granularity).
+    *
+    * Scale shape: distinct shingles per doc are a scan-stage array op;
+    * document frequency is ONE shingle-keyed hash aggregate with
+    * map-side partials; the join back is shingle-keyed too, so both
+    * exchanges ride high-cardinality keys (no hot-key funnel — a
+    * shingle's df counts DOCUMENTS, and `array_distinct` bounds each
+    * doc's contribution to 1). The per-doc roll-up is the usual
+    * doc-keyed aggregate.
+    *
+    * Output: (id, n_shingles, n_dup, dup_frac) — docs shorter than k
+    * tokens emit no shingles and are absent, matching the oracle.
+    */
+  def dupNgramFraction(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_shingles"), 6))
+  }
 }

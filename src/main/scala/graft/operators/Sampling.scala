@@ -43,4 +43,57 @@ object Sampling {
     df.join(broadcast(rates), strataCol)
       .filter(substring(md5(col(idCol).cast("string")), 1, 8) <= hexThreshold(col("rate")))
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public literature): score every SOURCE document by how much its
+    * hashed-bigram distribution looks like the TARGET corpus —
+    * `logw = Σ_features log(p_target(b) / p_source(b))` over the doc's
+    * bigram features hashed into `buckets` buckets, with add-one
+    * smoothing over the bucket domain. High-weight docs are the ones
+    * importance resampling keeps when fitting a raw crawl to a quality
+    * target (the continued-pretraining data-selection step).
+    *
+    * Scale shape: both bucket histograms are one explode + partial
+    * hash aggregate collapsing to `buckets` rows; the log-ratio table
+    * (`buckets` rows) is BROADCAST back over the source's feature
+    * stream, so the corpus never shuffles on anything but the final
+    * per-doc aggregate. The bucket hash is md5-derived (4 hex digits →
+    * integer), so the oracle replays the weights bit-for-bit: the
+    * probability ratio is rounded to 9 before `ln`, and each λ is then
+    * fixed to INTEGER nano-units so the per-doc sum is an exact integer
+    * aggregate — a float sum here is order-dependent across engines and
+    * flips the 6-decimal rounding on boundary docs (observed once at
+    * sf0.01 before the integer fix).
+    *
+    * Output: (id, n_feats, logw) per source document.
+    */
+  def dsirWeights(source: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must fit 4 hex digits, got $buckets")
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long"), lit(buckets.toLong)))
+    val srcF = feats(source)
+    val tgtF = feats(target)
+    val srcC = srcF.groupBy("b").agg(count(lit(1)).as("cs"))
+    val tgtC = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    // full bucket domain so features unseen on one side still carry
+    // their smoothed mass into the ratio
+    val dom = source.sparkSession.range(buckets).select(col("id").as("b"))
+    val lam = dom
+      .join(srcC, Seq("b"), "left").join(tgtC, Seq("b"), "left")
+      .crossJoin(broadcast(srcC.agg(sum("cs").as("ts"))))
+      .crossJoin(broadcast(tgtC.agg(sum("ct").as("tt"))))
+      .select(col("b"), round(log(round(
+        ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + buckets)) /
+          ((coalesce(col("cs"), lit(0L)) + 1).cast("double") / (col("ts") + buckets)),
+        9)) * 1e9).cast("long").as("lam_nano"))
+    srcF.join(broadcast(lam), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum("lam_nano") / 1e9, 6).as("logw"))
+  }
 }

@@ -1336,7 +1336,114 @@ object PipelineQueries {
       |  round(avg((doc_id * 31 + i) % 256), 6) AS mean_gray
       |FROM e GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    * literature): score every document with the corpus-estimated
+    * unigram LM ([[docUnigramLogprob]]'s model), then split each
+    * LANGUAGE's score distribution at its tertiles into head (most
+    * fluent) / middle / tail — CCNet trains on head+middle and drops
+    * the tail. Thresholds are per-language because score scales are
+    * not comparable across languages.
+    *
+    * Scale shape: scoring is the LM explode + token-keyed join; the
+    * scored table is a [[graft.operators.Funnel.stage]] boundary
+    * because BOTH the tertile aggregate and the bucket join reference
+    * it (without the boundary the whole explode+join subtree runs
+    * twice — the funnel blow-up class); the per-language threshold
+    * table is tiny and broadcasts back over the staged scores.
+    * Percentiles interpolate identically in Spark and DuckDB; scores
+    * and thresholds round to 6 before the comparison.
+    */
+  def docPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("total"))
+    val scores = Funnel.stage(toks.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
+      .groupBy("doc_id", "lang")
+      .agg(round(avg("nlp"), 6).as("mean_nlp")))
+    val th = scores.groupBy("lang").agg(
+      round(expr("percentile(mean_nlp, 1.0D/3)"), 6).as("t1"),
+      round(expr("percentile(mean_nlp, 2.0D/3)"), 6).as("t2"))
+    scores.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_nlp"),
+        when(col("mean_nlp") <= col("t1"), "head")
+          .when(col("mean_nlp") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val docPplBucketsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |m AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM m),
+       |s AS (SELECT doc_id, lang, round(avg(-ln(round(cnt * 1.0 / total, 9))), 6) AS mean_nlp
+       |      FROM t JOIN m USING (tok), tot GROUP BY doc_id, lang),
+       |th AS (SELECT lang, round(quantile_cont(mean_nlp, 1.0/3), 6) AS t1,
+       |              round(quantile_cont(mean_nlp, 2.0/3), 6) AS t2 FROM s GROUP BY lang)
+       |SELECT doc_id, lang, mean_nlp,
+       |  CASE WHEN mean_nlp <= t1 THEN 'head'
+       |       WHEN mean_nlp <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM s JOIN th USING (lang) ORDER BY doc_id""".stripMargin
+
+  /** Cross-document duplicated 8-gram fraction per doc (see
+    * [[graft.operators.Curation.dupNgramFraction]]) — the boilerplate
+    * signal document-level dedup misses.
+    */
+  def docDupNgrams(s: SparkSession, dir: String): DataFrame =
+    Curation.dupNgramFraction(Tables.documents(s, dir), k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val docDupNgramsSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+       |        i -> array_to_string(t[i:i+7], ' ')))) AS sh FROM d WHERE len(t) >= 8),
+       |f AS (SELECT sh, count(*)::BIGINT AS df FROM g GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+       |FROM g JOIN f USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance weights for data selection (see
+    * [[graft.operators.Sampling.dsirWeights]]): the held-out eval
+    * slice (doc_id % 10 = 0) stands in as the quality target; every
+    * remaining document gets a hashed-bigram log-importance weight.
+    */
+  def docDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.dsirWeights(
+        source = docs.filter(col("doc_id") % 10 =!= 0),
+        target = docs.filter(col("doc_id") % 10 === 0),
+        buckets = 128)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val docDsirSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |         i -> t[i] || ' ' || t[i+1])) AS bg FROM d WHERE len(t) >= 2),
+       |hb AS (SELECT doc_id, ('0x' || substr(md5(bg), 1, 4))::BIGINT % 128 AS b FROM bg),
+       |src AS (SELECT * FROM hb WHERE doc_id % 10 <> 0),
+       |tgt AS (SELECT * FROM hb WHERE doc_id % 10 = 0),
+       |sc AS (SELECT b, count(*)::BIGINT AS cs FROM src GROUP BY 1),
+       |tc AS (SELECT b, count(*)::BIGINT AS ct FROM tgt GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cs) FROM sc) AS ts, (SELECT sum(ct) FROM tc) AS tt),
+       |lam AS (SELECT r.b,
+       |          round(ln(round(((coalesce(tc.ct, 0) + 1) * 1.0 / (tt + 128)) /
+       |            ((coalesce(sc.cs, 0) + 1) * 1.0 / (ts + 128)), 9)) * 1e9)::BIGINT AS lam_nano
+       |        FROM range(128) r(b) LEFT JOIN sc ON sc.b = r.b LEFT JOIN tc ON tc.b = r.b, tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_feats,
+       |  round(sum(lam_nano)::BIGINT / 1e9, 6) AS logw
+       |FROM src JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
+    Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
+    Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),

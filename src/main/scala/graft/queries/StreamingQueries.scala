@@ -611,6 +611,70 @@ object StreamingQueries {
     * aggregate would otherwise double-count: the final answer equals
     * the batch aggregate-of-aggregate, which is the oracle.
     */
+  /** Streaming INCREMENTAL curation — the continuous-ingestion path the
+    * batch funnel implies (ref: Flink's continuous dedup keeps per-key
+    * state with TTL, `DeduplicateFunctionBase`; here the keeper state
+    * lives in a mergeable store instead of operator memory): the corpus
+    * arrives as 3 micro-batches; each batch is quality-filtered
+    * (n_tokens ≥ 20), PRE-DEDUPED within the batch (per-fingerprint
+    * `min_by` keeper — the map-side-combine of the incremental world:
+    * state writes are bounded by batch cardinality, not batch rows),
+    * and appended to the keeper store; compaction happens on read with
+    * the same `min_by` merge. Because min is associative/commutative,
+    * the final keeper set is EXACTLY batch exact-dedup no matter how
+    * the stream was batched or ordered — which is what the oracle
+    * replays. At scale the store-side merge is the standard LSM shape:
+    * appends stay cheap, the merge rides the read.
+    */
+  def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val splits = freshDir(dir, "curate_src")
+    Tables.documents(s, dir).select("doc_id", "source", "text")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(splits)
+    val store = freshDir(dir, "curate_store")
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1") // one batch per range split
+      .parquet(splits)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .filter(col("n_tokens") >= 20)
+          .groupBy("fp")
+          .agg(min_by(struct(col("doc_id"), col("source"), col("n_tokens")),
+            col("doc_id")).as("r"))
+          .select(col("fp"), col("r.doc_id").as("doc_id"),
+            col("r.source").as("source"), col("r.n_tokens").as("n_tokens"))
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(store)
+      .groupBy("fp")
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_tokens")), col("doc_id")).as("r"))
+      .groupBy(col("r.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("r.n_tokens")).as("n_tokens_total"))
+      .orderBy("source")
+  }
+
+  val streamCurateSql: String =
+    """WITH m AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |f AS (SELECT * FROM m WHERE n_tokens >= 20),
+      |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+      |kept AS (SELECT f.* FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id)
+      |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_total
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   def streamAggOfAgg(s: SparkSession, dir: String): DataFrame = {
     val splits = freshDir(dir, "agg_of_agg_src")
     Tables.events(s, dir).select("event_id", "user_id")
@@ -1210,6 +1274,7 @@ object StreamingQueries {
         |FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q_stream_curate", streamCurate, Some(streamCurateSql)),
     Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),

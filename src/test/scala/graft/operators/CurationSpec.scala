@@ -247,4 +247,21 @@ class CurationSpec extends SparkSpec {
     val r = Curation.centroidScores(e).select("cos_centroid").as[Double].collect()
     assert(r.forall(v => math.abs(v - 0.7071) < 1e-9))
   }
+
+  test("dupNgramFraction: shared spans counted, unique docs score 0, short docs absent") {
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"), // shares exactly the 9-token boilerplate
+      (3L, "one two three four five six seven eight nine ten"), // fully unique
+      (4L, "too short")).toDF("doc_id", "text")
+    val r = Curation.dupNgramFraction(docs, k = 8)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L), "short doc must emit no shingles")
+    // the 9-token boilerplate contributes exactly two shared 8-grams
+    assert(r(0)._3 === 2L && r(1)._3 === 2L)
+    assert(r(2)._3 === 0L && r(2)._4 === 0.0)
+    // doc1: 14 tokens -> 7 shingles; frac = 2/7
+    assert(math.abs(r(0)._4 - math.rint(2.0 / 7 * 1e6) / 1e6) < 1e-9)
+  }
 }

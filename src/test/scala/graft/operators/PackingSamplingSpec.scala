@@ -69,4 +69,21 @@ class PackingSamplingSpec extends SparkSpec {
     assert(counts.keySet === Set("en", "de", "fr"))
     counts.values.foreach(c => assert(c > target * 0.5 && c < target * 1.5, s"count $c vs target $target"))
   }
+
+  test("dsirWeights: target-like docs outweigh target-unlike docs; weights deterministic") {
+    val target = (0L until 40L).map(i => (i, "alpha beta gamma delta " * 5)).toDF("doc_id", "text")
+    val source = Seq(
+      (100L, "alpha beta gamma delta alpha beta gamma delta"), // target-like
+      (101L, "zip zap zop quux corge grault garply waldo")     // target-unlike
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(source, target, buckets = 128)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(w.map(_._1).toSeq === Seq(100L, 101L))
+    assert(w(0)._3 > w(1)._3,
+      s"target-like doc must score higher: ${w(0)._3} vs ${w(1)._3}")
+    assert(w(0)._3 > 0 && w(1)._3 < 0, "signs should separate like from unlike")
+    val w2 = Sampling.dsirWeights(source, target, buckets = 128)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(w.sameElements(w2), "weights must be deterministic")
+  }
 }
