@@ -452,11 +452,61 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+    // only the DUPLICATED shingles matter downstream — filtering the df
+    // table to df>1 before the join shrinks the build side to the
+    // (sparse) boilerplate set instead of the whole shingle vocabulary
+    val dups = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("sh"), lit(1L).as("is_dup"))
+    sh.join(dups, Seq("sh"), "left")
       .groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_shingles"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).cast("long").as("n_dup"))
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup"))
       .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Exact-substring duplication coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", public
+    * literature — the ExactSubstr criterion, with the suffix array
+    * replaced by a distributed k-gram occurrence count): the fraction
+    * of each document's TOKENS covered by some length-k window whose
+    * exact text occurs at least twice in the corpus (cross-doc or
+    * within-doc). [[dupNgramFraction]] counts duplicated windows; this
+    * measures how much of the document they blanket — the number Lee et
+    * al. cut on.
+    *
+    * Scale shape: every token position emits one k-gram (posexplode in
+    * the scan stage); occurrence counting is ONE shingle-keyed hash
+    * aggregate; the count joins back shingle-keyed (AQE skew-split
+    * handles mega-hot boilerplate shingles); coverage is computed in
+    * the ARRAY domain per doc — positions collect to one sorted array
+    * and a single `transform` sums interval-union lengths, O(positions)
+    * per doc with no window function.
+    *
+    * Output: (id, n_tokens, covered_tokens, coverage_frac) for docs
+    * with ≥ k tokens.
+    */
+  def dupCoverage(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      TextAnalysis.shingles(col(textCol), k).as("shs"))
+    val occ = base.select(col("id"), posexplode(col("shs")).as(Seq("pos", "sh")))
+    val cnt = occ.groupBy("sh").agg(count(lit(1)).as("c"))
+    val cov = occ.join(cnt, "sh")
+      .filter(col("c") >= 2)
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), aggregate(
+        // union of [p, p+k-1] intervals over sorted positions: each
+        // position contributes min(k, gap to the next position)
+        transform(col("ps"), (p, j) =>
+          least(lit(k), coalesce(get(col("ps"), j + 1), p + k) - p)),
+        lit(0L), (acc, x) => acc + x).as("covered_tokens"))
+    base.filter(col("n_tokens") >= k).select("id", "n_tokens")
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_frac",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
   }
 }

@@ -78,8 +78,12 @@ object Sampling {
           pmod(conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long"), lit(buckets.toLong)))
     val srcF = feats(source)
     val tgtF = feats(target)
-    val srcC = srcF.groupBy("b").agg(count(lit(1)).as("cs"))
-    val tgtC = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    // the histograms are `buckets` rows but their LINEAGE is a full
+    // corpus explode — each is referenced twice below (ratio join +
+    // total), so without a stage boundary the plan re-scans the corpus
+    // 5× (r7 Explain); staging 128 rows is free
+    val srcC = Funnel.stage(srcF.groupBy("b").agg(count(lit(1)).as("cs")))
+    val tgtC = Funnel.stage(tgtF.groupBy("b").agg(count(lit(1)).as("ct")))
     // full bucket domain so features unseen on one side still carry
     // their smoothed mass into the ratio
     val dom = source.sparkSession.range(buckets).select(col("id").as("b"))

@@ -1407,6 +1407,31 @@ object PipelineQueries {
        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
        |FROM g JOIN f USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring duplication coverage at k=8 (see
+    * [[graft.operators.Curation.dupCoverage]]): how much of each doc
+    * duplicated windows blanket — the ExactSubstr cut criterion.
+    */
+  def docDupCoverage(s: SparkSession, dir: String): DataFrame =
+    Curation.dupCoverage(Tables.documents(s, dir), k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val docDupCoverageSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |p AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t FROM d WHERE len(t) >= 8),
+       |sh AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS sh FROM p),
+       |c AS (SELECT sh, count(*)::BIGINT AS c FROM sh GROUP BY 1),
+       |dup AS (SELECT doc_id, pos FROM sh JOIN c USING (sh) WHERE c >= 2),
+       |gap AS (SELECT doc_id, pos,
+       |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dup),
+       |cov AS (SELECT doc_id,
+       |          sum(least(8, coalesce(nxt, pos + 8) - pos))::BIGINT AS covered
+       |        FROM gap GROUP BY doc_id),
+       |n AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM d WHERE len(t) >= 8)
+       |SELECT n.doc_id, n_tokens, coalesce(covered, 0)::BIGINT AS covered_tokens,
+       |  round(coalesce(covered, 0) * 1.0 / n_tokens, 6) AS coverage_frac
+       |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** DSIR importance weights for data selection (see
     * [[graft.operators.Sampling.dsirWeights]]): the held-out eval
     * slice (doc_id % 10 = 0) stands in as the quality target; every
@@ -1443,6 +1468,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
+    Q("q_doc_dup_coverage", docDupCoverage, Some(docDupCoverageSql)),
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),

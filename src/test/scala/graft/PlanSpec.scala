@@ -270,6 +270,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(parquet == 0, s"delta dedup re-reads parquet $parquet times (was 11 before staging)")
   }
 
+  test("q_doc_dsir / q_doc_ppl_buckets: staged intermediates keep corpus scans bounded") {
+    // dsir: the two histogram stages each scan once off-plan; the final
+    // plan re-explodes the source side exactly once (was 5 scans before
+    // the histogram stages). ppl_buckets: scores staged, final plan
+    // reads only staged blocks.
+    assert(scanCounts("q_doc_dsir")._1 <= 1)
+    assert(scanCounts("q_doc_ppl_buckets")._1 == 0)
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed

@@ -264,4 +264,23 @@ class CurationSpec extends SparkSpec {
     // doc1: 14 tokens -> 7 shingles; frac = 2/7
     assert(math.abs(r(0)._4 - math.rint(2.0 / 7 * 1e6) / 1e6) < 1e-9)
   }
+
+  test("dupCoverage: interval union merges overlaps and splits across gaps") {
+    val run = "a b c d e f g h" // one 8-token window
+    val docs = Seq(
+      // the run at pos 0 and pos 11 (gap > 8): two disjoint spans = 16 tokens
+      (1L, s"$run x1 y1 z1 $run"),
+      // 9 tokens fully shared with doc 3: dup windows at pos 0 and 1
+      // OVERLAP -> union is 9 tokens, coverage 1.0
+      (2L, "p q r s t u v w x"),
+      (3L, "p q r s t u v w x o1 o2 o3 o4 o5 o6 o7 o8"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9") // no duplicated window
+    ).toDF("doc_id", "text")
+    val r = Curation.dupCoverage(docs, k = 8)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(r(0)._1 === 1L && r(0)._2 === 19L && r(0)._3 === 16L)
+    assert(r(1)._1 === 2L && r(1)._3 === 9L && r(1)._4 === 1.0)
+    assert(r(2)._1 === 3L && r(2)._3 === 9L) // shared prefix only
+    assert(r(3)._1 === 4L && r(3)._3 === 0L && r(3)._4 === 0.0)
+  }
 }
