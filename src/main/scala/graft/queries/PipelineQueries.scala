@@ -1082,6 +1082,56 @@ object PipelineQueries {
        |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Product-quantization ANN (see
+    * [[graft.operators.Similarity.pqTopK]]): 64 dims → 4 subspaces ×
+    * 4-centroid codebooks (2 Lloyd rounds), corpus encoded as 4 codes,
+    * queries answered by ADC. The oracle replays the whole thing —
+    * subspace axis grouped, training rounds unrolled, per-subspace
+    * distances in integer micro-units.
+    */
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.pqTopK(queries, emb, dims = 64, m = 4, ksub = 4, iters = 2, topK = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val embPqSql: String = {
+    val l2 = (a: String, b: String) =>
+      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vid, s, cid FROM (
+         |  SELECT m.vec_id AS vid, m.s, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id, m.s
+         |      ORDER BY round(${l2("m.v", "c.cv")}, 6) ASC, c.cid) AS rn
+         |  FROM sub m JOIN c${i - 1} c USING (s)) WHERE rn = 1),
+         |comp$i AS (SELECT a$i.s, cid, i, round(avg(v[i + 1]), 6) AS c
+         |           FROM a$i JOIN sub ON sub.vec_id = a$i.vid AND sub.s = a$i.s, range(0, 16) t(i)
+         |           GROUP BY 1, 2, 3),
+         |c$i AS (SELECT s, cid, list(c ORDER BY i) AS cv FROM comp$i GROUP BY 1, 2)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT vec_id, s, e[s * 16 + 1 : s * 16 + 16] AS v FROM emb, range(0, 4) t(s)),
+       |c0 AS (SELECT s, vec_id::INTEGER AS cid, v AS cv FROM sub WHERE vec_id < 4),
+       |${(1 to 2).map(iter).mkString(",\n")},
+       |codes AS (SELECT vid, s, cid FROM (
+       |  SELECT m.vec_id AS vid, m.s, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id, m.s
+       |      ORDER BY round(${l2("m.v", "c.cv")}, 6) ASC, c.cid) AS rn
+       |  FROM sub m JOIN c2 c USING (s)) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS qid, s, v FROM sub WHERE vec_id < 10),
+       |dt AS (SELECT q.qid, c.s, c.cid,
+       |         round((${l2("q.v", "c.cv")}) * 1e6)::BIGINT AS dn
+       |       FROM qsub q JOIN c2 c USING (s)),
+       |ad AS (SELECT dt.qid, codes.vid AS nid, sum(dn)::BIGINT AS adn
+       |       FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+       |       WHERE codes.vid <> dt.qid GROUP BY 1, 2)
+       |SELECT qid, nid, adist, rn FROM (
+       |  SELECT qid, nid, round(adn / 1e6, 4) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
     * materialized as SQL literals and DuckDB replays candidate
@@ -1513,6 +1563,7 @@ object PipelineQueries {
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
+    Q("q_emb_pq", embPq, Some(embPqSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql))

@@ -270,6 +270,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(parquet == 0, s"delta dedup re-reads parquet $parquet times (was 11 before staging)")
   }
 
+  test("q_emb_pq / q_emb_kmeans: staged training input — no per-round parquet re-read") {
+    // the cast/subvector table is materialized once (MLlib-persist
+    // discipline); before the stages the plans re-read the embeddings
+    // parquet once per Lloyd round (8 scans for PQ, 4 for kmeans).
+    // PQ's one remaining scan is the query side's probe read.
+    assert(scanCounts("q_emb_pq")._1 <= 1)
+    assert(scanCounts("q_emb_kmeans")._1 == 0)
+  }
+
   test("q_doc_dsir / q_doc_ppl_buckets: staged intermediates keep corpus scans bounded") {
     // dsir: the two histogram stages each scan once off-plan; the final
     // plan re-explodes the source side exactly once (was 5 scans before

@@ -81,4 +81,29 @@ class SkewAndIvfSpec extends SparkSpec {
     val recall = (ivf & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
+
+  test("pqTopK recall vs brute force on clustered data") {
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat; v.map(_ / n)
+    }
+    val bases = (0 until 8).map(i => (i.toLong, unit(Array.fill(dim)(rnd.nextGaussian().toFloat))))
+    val near = bases.flatMap { case (i, v) =>
+      (0 until 4).map(j => (1000L + i * 10 + j,
+        unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))))
+    }
+    val corpus = (bases ++ near).toDF("vec_id", "embedding")
+    val queries = bases.toDF("qid", "qe")
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(queries, corpus,
+        dims = dim, m = 4, ksub = 8, iters = 3, topK = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (pq & truth).size.toDouble / truth.size
+    // PQ quantizes both sides to 4 codes; on tightly clustered data the
+    // cluster members collapse to the same code word, so recall of the
+    // planted near-copies must stay high
+    assert(recall >= 0.6, s"PQ recall $recall too low")
+  }
 }
