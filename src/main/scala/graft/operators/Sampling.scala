@@ -44,6 +44,31 @@ object Sampling {
       .filter(substring(md5(col(idCol).cast("string")), 1, 8) <= hexThreshold(col("rate")))
   }
 
+  /** Temperature-based mixture sampling (the multilingual rebalancing
+    * step of mBERT/XLM-R-style pipelines, public literature — Conneau
+    * et al. 2020 §3.1 sample languages ∝ n^α): stratum l gets target
+    * share q_l = n_l^α / Σ n_m^α (α < 1 upsamples the tail relative to
+    * the head), and a `targetTotal`-row mixture implies keep-rate
+    * min(1, targetTotal·q_l / n_l). Selection is the same
+    * hash-threshold predicate as [[balancedHashSample]] — deterministic,
+    * engine-portable, zero-shuffle for the corpus side.
+    *
+    * `pow` is transcendental, so each weight is rounded to 6 and the
+    * final rate to 9 before the threshold derives — both engines then
+    * build the identical cut string.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+    val w = round(pow(col("n"), alpha), 6)
+    val z = counts.agg(sum(round(pow(col("n"), alpha), 6)).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(strataCol),
+        round(least(lit(1.0), lit(targetTotal) * w / col("z") / col("n")), 9).as("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(substring(md5(col(idCol).cast("string")), 1, 8) <= hexThreshold(col("rate")))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * public literature): score every SOURCE document by how much its

@@ -1457,6 +1457,32 @@ object PipelineQueries {
        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
        |FROM g JOIN f USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Temperature-sampled language mixture (α = 0.7, 300-doc target; see
+    * [[graft.operators.Sampling.temperatureSample]]) — per-language
+    * keep-rate and surviving doc/token totals.
+    */
+  def docMixTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, dir), "lang", "doc_id",
+        alpha = 0.7, targetTotal = 300L)
+      .groupBy("lang")
+      .agg(first(col("rate")).as("rate"),
+        count(lit(1)).as("n_kept"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens_kept"))
+      .orderBy("lang")
+
+  val docMixTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+       |z AS (SELECT sum(round(pow(n, 0.7), 6)) AS z FROM c),
+       |r AS (SELECT lang, n,
+       |        round(least(1.0, 300 * round(pow(n, 0.7), 6) / z / n), 9) AS rate FROM c, z),
+       |k AS (SELECT d.doc_id, d.lang, d.text, r.rate
+       |      FROM documents d JOIN r USING (lang)
+       |      WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) <=
+       |        lpad(lower(hex(least(floor(rate * 4294967296.0)::BIGINT, 4294967295))), 8, '0'))
+       |SELECT lang, any_value(rate) AS rate, count(*)::BIGINT AS n_kept,
+       |  sum(len(string_split($normSql, ' ')))::BIGINT AS n_tokens_kept
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Exact-substring duplication coverage at k=8 (see
     * [[graft.operators.Curation.dupCoverage]]): how much of each doc
     * duplicated windows blanket — the ExactSubstr cut criterion.
@@ -1519,6 +1545,7 @@ object PipelineQueries {
     Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
     Q("q_doc_dup_coverage", docDupCoverage, Some(docDupCoverageSql)),
+    Q("q_doc_mix_temperature", docMixTemperature, Some(docMixTemperatureSql)),
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),

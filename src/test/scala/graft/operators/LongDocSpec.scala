@@ -126,4 +126,26 @@ class LongDocSpec extends SparkSpec {
         TextAnalysis.fingerprint(col("text")).as("fp")).collect()
     }
   }
+
+  test("dupCoverage is linear: interval union in the array domain, no per-position rescan") {
+    // docs 1 and 3 are identical 50k-token texts: EVERY window is
+    // duplicated, so the coverage union runs over ~50k positions per
+    // doc — the regime where a per-position rescan (O(n²)) dies and
+    // the single indexed transform stays cheap
+    val rows = bounded("dupCoverage", 60) {
+      Curation.dupCoverage(docs, k = 8).orderBy("id").collect()
+    }
+    assert(rows.length == 3)
+    val r1 = rows.head
+    assert(r1.getLong(1) == N && r1.getLong(2) == N,
+      s"identical docs must be fully covered: ${r1.mkString(",")}")
+  }
+
+  test("dupNgramFraction is linear over long docs; identical docs fully duplicated") {
+    val rows = bounded("dupNgramFraction", 60) {
+      Curation.dupNgramFraction(docs, k = 8).orderBy("id").collect()
+    }
+    assert(rows.length == 3)
+    assert(rows.head.getDouble(3) == 1.0, "identical docs: every shingle duplicated")
+  }
 }

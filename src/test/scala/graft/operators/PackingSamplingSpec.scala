@@ -70,6 +70,24 @@ class PackingSamplingSpec extends SparkSpec {
     counts.values.foreach(c => assert(c > target * 0.5 && c < target * 1.5, s"count $c vs target $target"))
   }
 
+  test("temperatureSample: alpha<1 upsamples the tail; alpha=1 keeps proportions") {
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 10 < 8) "en" else "is")) // 800 en / 200 is
+      .toDF("doc_id", "lang")
+    def rates(alpha: Double): Map[String, Double] =
+      Sampling.temperatureSample(df, "lang", "doc_id", alpha, targetTotal = 500L)
+        .groupBy("lang").agg(first("rate").as("r"))
+        .as[(String, Double)].collect().toMap
+    val r1 = rates(1.0)
+    assert(math.abs(r1("en") - 0.5) < 1e-6 && math.abs(r1("is") - 0.5) < 1e-6,
+      s"alpha=1 must keep proportions: $r1")
+    val r07 = rates(0.7)
+    assert(r07("is") > r07("en"), s"alpha<1 must upsample the tail stratum: $r07")
+    // expected-kept stays ~targetTotal: sum over strata of rate*n
+    val exp = r07("en") * 800 + r07("is") * 200
+    assert(math.abs(exp - 500.0) < 1.0, s"expected kept $exp drifted from target")
+  }
+
   test("dsirWeights: target-like docs outweigh target-unlike docs; weights deterministic") {
     val target = (0L until 40L).map(i => (i, "alpha beta gamma delta " * 5)).toDF("doc_id", "text")
     val source = Seq(
