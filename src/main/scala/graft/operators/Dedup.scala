@@ -366,6 +366,20 @@ object Dedup {
       textCol: String = "text",
       seed: Long = 42L
   ): DataFrame = {
+    val banded = portableBandKeys(docs, bands, rows, idCol, textCol, seed)
+    val cand = banded.filter(leftFilter).as("x").join(banded.as("y"), "key")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
+    verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
+  }
+
+  /** Portable (md5-based) per-doc LSH band keys, one (id, key) row per
+    * band — the construction shared by [[minHashPairsPortable]] and
+    * [[deltaMinHashKeepers]].
+    */
+  private def portableBandKeys(docs: DataFrame, bands: Int, rows: Int,
+      idCol: String, textCol: String, seed: Long): DataFrame = {
     val perms = portablePerms(bands * rows, seed)
     val hs = transform(TextAnalysis.tokenSet(col(textCol)),
       t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(PortableP)))
@@ -379,13 +393,44 @@ object Dedup {
         lit(bnd.toString) +: (0 until rows).map(r => col(s"s${bnd * rows + r}").cast("string")): _*))
         .as(s"k$bnd")
     }
-    val banded = sigs.select(col("id") +: keyCols: _*)
+    sigs.select(col("id") +: keyCols: _*)
       .select(col("id"), explode(array((0 until bands).map(b => col(s"k$b")): _*)).as("key"))
-    val cand = banded.filter(leftFilter).as("x").join(banded.as("y"), "key")
-      .filter(col("x.id") < col("y.id"))
+  }
+
+  /** Incremental near-dup against a persisted LSH band index — the
+    * daily-increment analog of [[minHashPairsPortable]], exactly as
+    * [[deltaDedup]] is of [[jaccardPairs]]: the BASE corpus's band keys
+    * are built once and staged (in production: the persisted band
+    * index, bucketed by key), and arrivals probe DIRECTIONALLY
+    * delta → base — a day's increment costs O(delta·bands + collisions)
+    * regardless of corpus size, and the corpus never self-joins.
+    * Verified matches (true Jaccard ≥ threshold) collapse to the
+    * minimum matching base id per arrival. Ids must be globally unique
+    * across base ∪ delta (caller contract, as in [[deltaDedup]]).
+    *
+    * Output: (id, keeper, jacc) for delta docs with ≥ 1 verified match;
+    * arrivals with none are new documents (absent here).
+    */
+  def deltaMinHashKeepers(
+      base: DataFrame,
+      delta: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      verifyThreshold: Double = 0.9,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
+    val bBand = Funnel.stage(portableBandKeys(base, bands, rows, idCol, textCol, seed))
+    val dBand = portableBandKeys(delta, bands, rows, idCol, textCol, seed)
+    val cand = dBand.as("x").join(bBand.as("y"), "key")
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct()
-    verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
+    verifyJaccard(cand, delta.unionByName(base), verifyThreshold, idCol, textCol,
+        broadcastVerify = true)
+      .groupBy("da")
+      .agg(min_by(struct(col("db"), col("jacc")), col("db")).as("m"))
+      .select(col("da").as("id"), col("m.db").as("keeper"), col("m.jacc").as("jacc"))
   }
 
   /** Cross-engine-reproducible SimHash pairs — the fully-oracled twin

@@ -884,6 +884,63 @@ object PipelineQueries {
        |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
   }
 
+  /** Incremental MinHash-LSH near-dup: the 10 %-slice "daily batch"
+    * plus re-crawled copies probe the remaining corpus's staged band
+    * index directionally (see
+    * [[graft.operators.Dedup.deltaMinHashKeepers]]). Same fixture as
+    * [[docDeltaDedup]] so every re-crawl finds its original.
+    */
+  def docDeltaMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val recrawled = docs.filter(col("doc_id") % 100 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Dedup.deltaMinHashKeepers(
+        base = docs.filter(col("doc_id") % 10 =!= 7),
+        delta = docs.filter(col("doc_id") % 10 === 7).unionByName(recrawled))
+      .orderBy("id")
+  }
+
+  val docDeltaMinhashSql: String = {
+    val perms = Dedup.portablePerms(64)
+    val p = Dedup.PortableP
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $p)) AS s$i"
+    }.mkString(",\n  ")
+    val keyCols = (0 until 16).map { bnd =>
+      val parts = (0 until 4).map(r => s"s${bnd * 4 + r}::VARCHAR").mkString(" || '-' || ")
+      s"md5('$bnd' || '-' || $parts) AS k$bnd"
+    }.mkString(",\n  ")
+    val keyList = (0 until 16).map(b => s"k$b").mkString(", ")
+    s"""WITH t0 AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |t AS (SELECT doc_id, ts FROM t0
+       |      UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id, ts FROM t0 WHERE doc_id % 100 = 1),
+       |h AS (SELECT doc_id, list_transform(ts, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % $p) AS hs FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h),
+       |keys AS (SELECT doc_id,
+       |  $keyCols
+       |FROM sig),
+       |banded AS (SELECT doc_id, unnest([$keyList]) AS key FROM keys),
+       |bb AS (SELECT * FROM banded WHERE doc_id < 1000000 AND doc_id % 10 <> 7),
+       |dd AS (SELECT * FROM banded WHERE doc_id >= 1000000 OR doc_id % 10 = 7),
+       |cand AS (SELECT DISTINCT d.doc_id AS da, b.doc_id AS db
+       |         FROM dd d JOIN bb b USING (key)),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN w wa ON wa.doc_id = c.da
+       |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
+       |          GROUP BY 1, 2),
+       |ver AS (SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |        FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |        WHERE i / (ca.sz + cb.sz - i) >= 0.9)
+       |SELECT da AS id, db AS keeper, jacc FROM (
+       |  SELECT da, db, jacc, row_number() OVER (PARTITION BY da ORDER BY db) AS rn FROM ver)
+       |WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
   /** SimHash near-dup pairs (no oracle: xxhash64-based). maxHamming = 3
     * keeps the 4×16-bit pigeonhole banding exact (valid for hamming ≤ 3;
     * see Dedup.simHashPairs) — larger radii would need more chunks.
@@ -1457,6 +1514,36 @@ object PipelineQueries {
        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
        |FROM g JOIN f USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Frequency-cut vocabulary builder (the WordPiece/unigram-tokenizer
+    * seeding step: rank the corpus vocabulary, measure what the top-K
+    * covers): top 1000 tokens by count with rank and CUMULATIVE corpus
+    * coverage. Scale shape: one token-keyed hash aggregate; the global
+    * top-K compiles to TakeOrderedAndProject (per-partition heaps, no
+    * full sort); the running-coverage window orders 1000 aggregated
+    * rows — bounded, same class as the 256-row budget-offset window.
+    */
+  def docVocab(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = c.agg(sum("cnt").as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok"))
+    c.orderBy(col("cnt").desc, col("tok")).limit(1000)
+      .crossJoin(broadcast(total))
+      .select(row_number().over(w).as("rank"), col("tok"), col("cnt"),
+        round(sum("cnt").over(w) / col("total"), 6).as("cum_frac"))
+      .orderBy("rank")
+  }
+
+  val docVocabSql: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+       |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 1000)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank, tok, cnt,
+       |  round(sum(cnt) OVER (ORDER BY cnt DESC, tok) * 1.0 / total, 6) AS cum_frac
+       |FROM top, tot ORDER BY rank""".stripMargin
+
   /** Temperature-sampled language mixture (α = 0.7, 300-doc target; see
     * [[graft.operators.Sampling.temperatureSample]]) — per-language
     * keep-rate and surviving doc/token totals.
@@ -1546,6 +1633,7 @@ object PipelineQueries {
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
     Q("q_doc_dup_coverage", docDupCoverage, Some(docDupCoverageSql)),
     Q("q_doc_mix_temperature", docMixTemperature, Some(docMixTemperatureSql)),
+    Q("q_doc_vocab", docVocab, Some(docVocabSql)),
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
@@ -1554,6 +1642,7 @@ object PipelineQueries {
     Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
     Q("q_doc_pipeline_full", docPipelineFull, Some(docPipelineFullSql)),
     Q("q_doc_delta_dedup", docDeltaDedup, Some(docDeltaDedupSql)),
+    Q("q_doc_delta_minhash", docDeltaMinhash, Some(docDeltaMinhashSql)),
     Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
     Q("q_doc_blocklist", docBlocklist, Some(docBlocklistSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),

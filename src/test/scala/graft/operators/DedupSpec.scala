@@ -176,4 +176,19 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simHashPairs(docs, maxHamming = 16))
     intercept[IllegalArgumentException](Dedup.simHashPairsPortable(docs, maxHamming = 4))
   }
+
+  test("deltaMinHashKeepers: arrivals match their originals via the staged index, new docs absent") {
+    val baseDf = docs // ids 0..32
+    val delta = Seq(
+      (100L, "  " + base(0).toUpperCase + "  "), // re-crawl of doc 0 (and its copy 1)
+      (101L, base(2)), // re-crawl of doc 20/21
+      (102L, "entirely novel content with no counterpart anywhere in the base corpus at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.deltaMinHashKeepers(baseDf, delta)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    // doc 100 matches base docs 0 AND 1 (both normalize equal) -> keeper = min = 0
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((100L, 0L), (101L, 20L)),
+      s"unexpected matches: ${r.mkString(",")}")
+    assert(r.forall(_._3 == 1.0), "exact re-crawls must verify at jacc 1.0")
+  }
 }
