@@ -599,4 +599,57 @@ object Dedup {
   def simHash64(textCol: Column): Column =
     ColumnBridge.column(graft.functions.SimHash64(
       ColumnBridge.expression(TextAnalysis.tokenSet(textCol))))
+
+  /** Winnowing duplicate-detection pairs (Schleimer et al. 2003, the
+    * MOSS algorithm; ref: SURVEY.md M6 "document fingerprinting"):
+    * every k-token shingle is hashed, each sliding window of `w`
+    * shingle hashes keeps its MINIMUM (so ~1/w of the positions are
+    * selected, and any shared run of ≥ w+k−1 tokens is guaranteed to
+    * share at least one selected fingerprint), and documents sharing
+    * ≥ `minShared` selected fingerprints pair up with
+    * containment = shared / min(|fpa|, |fpb|).
+    *
+    * Portable arithmetic throughout (md5-derived 60-bit shingle
+    * hashes via [[TextAnalysis.winnowFingerprint]]'s pluggable hash) —
+    * DuckDB replays the whole pipeline, so unlike the xxhash64
+    * production fingerprint this variant is end-to-end oracled.
+    *
+    * Scale shape: fingerprint selection is a scan-stage projection
+    * (zip-chain HOFs, no explode before selection); the posting-list
+    * self-join is bucketed by fingerprint with a `maxDf` cap dropping
+    * boilerplate fingerprints (df > maxDf) BEFORE pair generation —
+    * the same hot-bucket lever as [[jaccardPairs]]' inverted index, so
+    * no fingerprint emits more than maxDf²/2 candidate rows. Sizes for
+    * the containment denominator are computed over the capped posting
+    * set (both engines agree on the universe).
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val portable: Column => Column =
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    // staged: the capped posting list feeds three consumers (both join
+    // sides + the size table) — one fingerprint computation, not three
+    val fps = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowFingerprint(col(textCol), k, w, portable)).as("fp"))
+    val dfOk = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val capped = Funnel.stage(fps.join(dfOk, Seq("fp"), "left_semi"))
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
+    capped.as("x").join(capped.as("y"), "fp")
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("da"), col("y.id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("n_shared"),
+        round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"))
+  }
 }

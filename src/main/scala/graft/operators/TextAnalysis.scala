@@ -146,17 +146,20 @@ object TextAnalysis {
   /** Winnowing-style rolling fingerprint (ref: SURVEY.md M6 "document
     * fingerprinting (rolling hash)"): hash every k-token shingle, then
     * keep the minimum hash of each sliding window of `w` shingles.
-    * Deterministic via xxhash64; engine-specific, so covered by ScalaTest
-    * rather than a DuckDB oracle.
+    * The default `hash` is xxhash64 (production: one codegen'd
+    * primitive pass, engine-specific → ScalaTest-covered); pass a
+    * portable md5-derived hash (see [[Dedup.winnowPairs]]) to get a
+    * construction DuckDB replays bit-for-bit.
     */
-  def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4,
+      hash: Column => Column = xxhash64(_)): Column = {
     val toks = tokens(text)
     val n = size(toks)
     // per-shingle hashes without referencing `toks` inside a lambda —
     // same O(k·n) zip-chain rationale as [[shingles]]; a doc shorter
     // than k yields the single hash of its whole token list
-    val grams = when(n >= k, transform(shingles(text, k), g => xxhash64(g)))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    val grams = when(n >= k, transform(shingles(text, k), g => hash(g)))
+      .otherwise(array(hash(concat_ws(" ", toks))))
     val m = size(grams)
     // sliding-window minima as a least-chain of shifted slices (same
     // once-per-row evaluation argument); trailing zip_with null padding

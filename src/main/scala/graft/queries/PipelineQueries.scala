@@ -1628,7 +1628,38 @@ object PipelineQueries {
        |  round(sum(lam_nano)::BIGINT / 1e9, 6) AS logw
        |FROM src JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Winnowing (MOSS) duplicate-detection pairs at k=4, w=4 (see
+    * [[graft.operators.Dedup.winnowPairs]]): guaranteed detection of
+    * any shared ≥ 7-token run, ~4× fewer postings than the full
+    * shingle index, df-capped at 32.
+    */
+  def docWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, dir))
+      .orderBy("da", "db")
+
+  val docWinnowSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(t) >= 4
+       |        THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' '))
+       |        ELSE [array_to_string(t, ' ')] END AS sh FROM d),
+       |h AS (SELECT doc_id, list_transform(sh, x -> ('0x'||substr(md5(x),1,15))::BIGINT) AS hs FROM g),
+       |wm AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+       |        THEN list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3]))
+       |        ELSE [list_min(hs)] END AS mins FROM h),
+       |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wm),
+       |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 32),
+       |ff AS (SELECT fp.* FROM fp JOIN ok USING (fp)),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM ff GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS n_shared
+       |       FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2
+       |       HAVING count(*) >= 2)
+       |SELECT da, db, n_shared,
+       |  round(n_shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+       |FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+       |ORDER BY da, db""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_winnow", docWinnow, Some(docWinnowSql)),
     Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
     Q("q_doc_dup_coverage", docDupCoverage, Some(docDupCoverageSql)),

@@ -191,4 +191,25 @@ class DedupSpec extends SparkSpec {
       s"unexpected matches: ${r.mkString(",")}")
     assert(r.forall(_._3 == 1.0), "exact re-crawls must verify at jacc 1.0")
   }
+
+  test("winnowPairs: shared >= w+k-1 token run guarantees a pair; unrelated docs absent") {
+    // winnowing guarantee: any run of >= w+k-1 = 7 shared tokens shares
+    // at least one SELECTED fingerprint. Docs 0/1 share a 10-token run;
+    // doc 2 shares nothing.
+    val run = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (0L, s"$run alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"prefix padding words here $run suffix tail words end"),
+      (2L, "wholly disjoint vocabulary nothing matches anything else at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, minShared = 1L)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"planted shared run not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"spurious pair with doc 2: $pairs")
+    // exact copy: containment 1.0 against itself-shaped twin
+    val exact = Seq((0L, run), (1L, run)).toDF("doc_id", "text")
+    val e = Dedup.winnowPairs(exact, minShared = 1L)
+      .select("da", "db", "containment").as[(Long, Long, Double)].collect()
+    assert(e.toSeq == Seq((0L, 1L, 1.0)), s"exact twin: ${e.mkString(",")}")
+  }
 }
