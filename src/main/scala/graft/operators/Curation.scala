@@ -390,6 +390,48 @@ object Curation {
       .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
   }
 
+  /** Water-filling budget allocation across strata — the mixture-design
+    * step that decides HOW MANY tokens each source contributes before
+    * [[corpusBudgetByStratum]] cuts the per-source snapshots: allocate
+    * `budget` tokens across strata as alloc_i = min(cap_i, θ) with the
+    * single water level θ chosen so Σ alloc = budget (uniform fill;
+    * sources too small to reach the level are taken whole — "saturated"
+    * — and the remainder re-levels among the rest). The classic capped
+    * fair-share allocation; closed form via the ascending-caps prefix
+    * sum: with caps sorted ascending, f(i) = cap_i·(n−i+1) + P_{i−1} is
+    * nondecreasing, the saturated set is exactly the prefix where
+    * f(i) ≤ budget, and θ = (budget − P_k)/(n − k) for the k saturated
+    * strata. If budget ≥ Σ cap every stratum saturates and θ is moot.
+    *
+    * Scale shape: the per-stratum cap table is the output of one hash
+    * aggregate over the corpus; everything after runs windows over
+    * |strata| aggregated rows (tens — a mixture has few components),
+    * the same bounded-window class as [[corpusBudget]]'s 256 offsets.
+    *
+    * Output: (stratum, cap, saturated, alloc) with θ-allocations
+    * rounded to 6 decimals; Σ alloc = budget up to that rounding.
+    */
+  def waterfill(caps: DataFrame, budget: Long,
+      stratumCol: String = "stratum", capCol: String = "cap"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.orderBy(capCol, stratumCol)
+    val t = caps.select(col(stratumCol).as("stratum"), col(capCol).as("cap"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("p", sum("cap").over(w)) // inclusive prefix sum
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("saturated",
+        col("cap") * (col("n") - col("i") + 1) + (col("p") - col("cap")) <= budget)
+    val agg = Window.partitionBy()
+    t.withColumn("k", sum(when(col("saturated"), 1L).otherwise(0L)).over(agg))
+      .withColumn("pk", sum(when(col("saturated"), col("cap")).otherwise(0L)).over(agg))
+      .withColumn("theta",
+        when(col("k") < col("n"),
+          round((lit(budget) - col("pk")) / (col("n") - col("k")), 6)))
+      .select(col("stratum"), col("cap"), col("saturated"),
+        when(col("saturated"), col("cap").cast("double"))
+          .otherwise(col("theta")).as("alloc"))
+  }
+
   // ---------------------------------------------------------------- //
   // Semantic outlier scoring (centroid distance)                     //
   // ---------------------------------------------------------------- //

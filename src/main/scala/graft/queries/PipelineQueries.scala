@@ -1658,7 +1658,77 @@ object PipelineQueries {
        |FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
        |ORDER BY da, db""".stripMargin
 
+  /** Water-filling token-budget allocation across sources (see
+    * [[graft.operators.Curation.waterfill]]): 10k tokens spread at a
+    * uniform water level over the per-source capacity table; small
+    * sources are taken whole, the remainder re-levels.
+    */
+  def docWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val caps = Tables.documents(s, dir)
+      .groupBy(col("source").as("stratum"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("cap"))
+    Curation.waterfill(caps, budget = 10000L).orderBy("stratum")
+  }
+
+  val docWaterfillSql: String =
+    s"""WITH c AS (SELECT source AS stratum,
+       |        sum(len(string_split($normSql, ' ')))::BIGINT AS cap
+       |      FROM documents GROUP BY 1),
+       |t AS (SELECT stratum, cap,
+       |        row_number() OVER (ORDER BY cap, stratum) AS i,
+       |        sum(cap) OVER (ORDER BY cap, stratum) AS p,
+       |        count(*) OVER () AS n FROM c),
+       |sat AS (SELECT *, (cap * (n - i + 1) + (p - cap) <= 10000) AS saturated FROM t),
+       |a AS (SELECT *, sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS k,
+       |        sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS pk FROM sat)
+       |SELECT stratum, cap::BIGINT AS cap, saturated,
+       |  CASE WHEN saturated THEN cap * 1.0
+       |       ELSE round((10000 - pk) * 1.0 / (n - k), 6) END AS alloc
+       |FROM a ORDER BY stratum""".stripMargin
+
+  /** Cross-source duplication audit matrix: distinct 8-gram overlap
+    * between every pair of sources, with Jaccard similarity of the
+    * shingle sets — "how much does source A repeat source B" (the
+    * corpus-composition audit run before mixing; per-doc
+    * [[docDupNgrams]] is the within-corpus signal, this is the
+    * between-component one). Scale shape: ONE distinct
+    * (source, shingle) aggregate over the corpus (staged — it feeds
+    * both join sides and the size table); the shingle-keyed self-join
+    * emits at most |sources|²/2 rows per shingle, and a mixture has
+    * tens of components, so the pair stage is bounded — the output is
+    * |sources|² rows regardless of corpus size.
+    */
+  def docSrcOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = Funnel.stage(Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 8)).as("sh"))
+      .distinct())
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"), "sh")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val docSrcOverlapSql: String =
+    s"""WITH d AS (SELECT source, string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(t)-6),
+       |        i -> array_to_string(t[i:i+7], ' ')))) AS sh FROM d WHERE len(t) >= 8),
+       |sz AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY 1),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+       |       FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+       |FROM pr JOIN sz sa ON pr.src_a = sa.source JOIN sz sb ON pr.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_waterfill", docWaterfill, Some(docWaterfillSql)),
+    Q("q_doc_src_overlap", docSrcOverlap, Some(docSrcOverlapSql)),
     Q("q_doc_winnow", docWinnow, Some(docWinnowSql)),
     Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),

@@ -283,4 +283,18 @@ class CurationSpec extends SparkSpec {
     assert(r(2)._1 === 3L && r(2)._3 === 9L) // shared prefix only
     assert(r(3)._1 === 4L && r(3)._3 === 0L && r(3)._4 === 0.0)
   }
+
+  test("waterfill: saturated prefix, uniform level, sums to budget; full-budget edge") {
+    val caps = Seq(("a", 100L), ("b", 1000L), ("c", 5000L), ("d", 5000L)).toDF("stratum", "cap")
+    val r = Curation.waterfill(caps, budget = 4100L)
+      .orderBy("stratum").as[(String, Long, Boolean, Double)].collect()
+    // level θ = (4100 - 1100) / 2 = 1500: a and b saturate, c/d get 1500 each
+    assert(r.map(x => (x._1, x._3, x._4)).toSeq ===
+      Seq(("a", true, 100.0), ("b", true, 1000.0), ("c", false, 1500.0), ("d", false, 1500.0)))
+    assert(r.map(_._4).sum === 4100.0)
+    // budget >= total caps: everything saturates, allocs are the caps
+    val full = Curation.waterfill(caps, budget = 20000L)
+      .orderBy("stratum").as[(String, Long, Boolean, Double)].collect()
+    assert(full.forall(_._3) && full.map(_._4).toSeq === Seq(100.0, 1000.0, 5000.0, 5000.0))
+  }
 }
