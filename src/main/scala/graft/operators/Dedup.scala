@@ -634,10 +634,28 @@ object Dedup {
   ): DataFrame = {
     val portable: Column => Column =
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    // each HOF level consumes the PREVIOUS level as a projected
+    // attribute (toks → grams → mins): a nested single-expression form
+    // re-evaluates its upstream tree at every reference — O(k·w)
+    // normalize+hash passes per row — which measured 20.9 s at sf0.1
+    // vs ~1 s staged (see the winnowFingerprint scaladoc)
+    val gramsExpr = when(size(col("toks")) >= k,
+        transform(TextAnalysis.shinglesOf(col("toks"), k), portable))
+      .otherwise(array(portable(concat_ws(" ", col("toks")))))
+    val m = size(col("grams"))
+    val minsChain = (1 until w).foldLeft(col("grams")) { (acc, j) =>
+      zip_with(acc, slice(col("grams"), lit(j + 1), greatest(m - j, lit(0))),
+        (a, b) => least(a, b))
+    }
+    val selected = array_distinct(
+      when(m >= w, slice(minsChain, lit(1), m - (w - 1)))
+        .otherwise(array(array_min(col("grams")))))
     // staged: the capped posting list feeds three consumers (both join
     // sides + the size table) — one fingerprint computation, not three
-    val fps = docs.select(col(idCol).as("id"),
-      explode(TextAnalysis.winnowFingerprint(col(textCol), k, w, portable)).as("fp"))
+    val fps = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), gramsExpr.as("grams"))
+      .select(col("id"), explode(selected).as("fp"))
     val dfOk = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val capped = Funnel.stage(fps.join(dfOk, Seq("fp"), "left_semi"))

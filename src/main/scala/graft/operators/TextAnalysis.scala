@@ -116,9 +116,18 @@ object TextAnalysis {
     * LongDocSpec). Never reference a non-attribute array expression
     * inside a lambda body.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
+
+  /** [[shingles]] over an already-computed token-array column. Pass an
+    * ATTRIBUTE (a projected column), not a nested expression, when
+    * composing further HOF stages on top: every `toks` reference below
+    * is re-evaluated per row, which is O(1) for an attribute but
+    * re-runs the whole upstream tree for a composite expression — the
+    * stacked-HOF multiplication that made the first winnowPairs draft
+    * 20× slower than its staged form (see [[Dedup.winnowPairs]]).
+    */
+  def shinglesOf(toks: Column, k: Int): Column = {
     require(k >= 1, s"shingle size must be >= 1, got $k")
-    val toks = tokens(text)
     // after j zips, element i (1-based) = toks_i .. toks_{i+j} for
     // i <= n-j; beyond that zip_with's null padding propagates nulls,
     // which the final slice drops
@@ -150,6 +159,15 @@ object TextAnalysis {
     * primitive pass, engine-specific → ScalaTest-covered); pass a
     * portable md5-derived hash (see [[Dedup.winnowPairs]]) to get a
     * construction DuckDB replays bit-for-bit.
+    *
+    * CONVENIENCE form for single-expression use (specs, ad-hoc
+    * columns): the mins chain below references the grams expression w
+    * times and grams references the text ~2k times, so the whole
+    * normalize→shingle→hash tree is re-evaluated O(k·w) times per row.
+    * Harmless for one fingerprint column; a PIPELINE must stage each
+    * level as a projected attribute instead — [[Dedup.winnowPairs]] is
+    * the staged form (measured 20.9 → ~1 s at sf0.1 from exactly this
+    * restructure).
     */
   def winnowFingerprint(text: Column, k: Int = 3, w: Int = 4,
       hash: Column => Column = xxhash64(_)): Column = {
