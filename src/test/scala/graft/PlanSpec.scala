@@ -288,6 +288,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scanCounts("q_doc_ppl_buckets")._1 == 0)
   }
 
+  test("q_doc_winnow / q_doc_src_overlap: staged posting lists — one corpus scan off-plan") {
+    // both stage a multiply-referenced posting table (winnow: capped
+    // postings feed two join sides + sizes; overlap: distinct
+    // (source, shingle) feeds two join sides + sizes) — the final plan
+    // must read only staged blocks, never the corpus parquet again
+    assert(scanCounts("q_doc_winnow")._1 == 0,
+      "winnow postings not staged — corpus parquet re-entered the pair plan")
+    assert(scanCounts("q_doc_src_overlap")._1 == 0,
+      "overlap shingle sets not staged — corpus parquet re-entered the pair plan")
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed

@@ -148,4 +148,19 @@ class LongDocSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.head.getDouble(3) == 1.0, "identical docs: every shingle duplicated")
   }
+
+  test("winnowPairs' staged selection is linear; identical 50k-token docs pair at containment 1.0") {
+    // the staged toks → grams → mins pipeline must stay O(k·w·n); the
+    // single-expression form (winnowFingerprint's documented caveat)
+    // would re-run the normalize+shingle+hash tree O(k·w) times per row
+    // note: mkText's token values cycle with period 40000, so ALL salts
+    // produce rotations of the same periodic sequence — every doc pair
+    // here is a true near-duplicate and must appear
+    val pairs = bounded("winnowPairs", 60) {
+      Dedup.winnowPairs(docs).orderBy("da", "db").collect()
+    }
+    assert(pairs.length == 3, s"all rotated-cycle pairs expected: ${pairs.mkString(";")}")
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L).get
+    assert(exact.getDouble(3) == 1.0, "identical docs must share every selected fingerprint")
+  }
 }
