@@ -244,6 +244,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Incremental ANN index routing — the daily-increment analog of
+    * [[ivfTopKWithCentroids]], completing the delta family
+    * ([[Dedup.deltaDedup]] / [[Dedup.deltaMinHashKeepers]]) on the
+    * embedding side: centroids are trained on the BASE corpus only and
+    * the base cell assignment is built once and staged (the persisted
+    * IVF index posture — an arriving batch never retrains or re-scans
+    * the corpus). Arrivals route to their nearest centroid (nprobe=1,
+    * the index-update step) and rank their top-k nearest EXISTING
+    * vectors within that cell.
+    *
+    * Scale shape: a day's increment costs O(delta·k) routing +
+    * within-cell candidates, independent of corpus size; the cell join
+    * broadcasts the (small) arrival batch over the staged index. At
+    * production scale nlist is thousands, so cells are fine-grained
+    * and a plain cid-partitioned join replaces the broadcast.
+    *
+    * Output: (qid, nid, cos, rn) for rn ≤ topK, nid from the base.
+    */
+  def deltaAssign(
+      base: DataFrame, // (vec_id, embedding: array<float>)
+      delta: DataFrame, // (vec_id, embedding: array<float>)
+      k: Int,
+      iters: Int,
+      topK: Int
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val cent = kmeansCentroids(base, k, iters)
+    def assignCell(df: DataFrame, idOut: String, embOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut), col("embedding").as(embOut),
+          col("embedding").cast("array<double>").as("ed"))
+        .join(broadcast(cent))
+        .select(col(idOut), col(embOut), col("cid"),
+          round(cosine_double(col("ed"), col("ce")), 6).as("cd"))
+        .groupBy(idOut)
+        .agg(max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"),
+          first(col(embOut)).as(embOut))
+    val index = Funnel.stage(assignCell(base, "vec_id", "embedding"))
+    val probes = assignCell(delta, "qid", "qe")
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine_sim(col("qe"), col("embedding")).as("c"))
+    rankTopK(scored, topK)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (SURVEY M6 dedup family;
     * public-knowledge banded sign-LSH, Charikar 2002 + the MinHash
     * banding trick): a pair is a candidate iff it agrees on ALL

@@ -1139,6 +1139,56 @@ object PipelineQueries {
        |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Incremental ANN routing (see
+    * [[graft.operators.Similarity.deltaAssign]]): vec_id % 10 = 0
+    * stands in for the arriving batch; centroids train on the base
+    * slice only (2 Lloyd rounds, k=8), the staged base assignment is
+    * the persisted index, arrivals route nprobe=1 and rank top-3
+    * existing neighbors in their cell.
+    */
+  def embDeltaAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.deltaAssign(
+        base = emb.filter(col("vec_id") % 10 =!= 0),
+        delta = emb.filter(col("vec_id") % 10 === 0),
+        k = 8, iters = 2, topK = 3)
+      .orderBy("qid", "rn")
+  }
+
+  val embDeltaAssignSql: String = {
+    val cos = (e: String, c: String) =>
+      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM b m, c${i - 1} c) WHERE rn = 1),
+         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
+         |           FROM a$i JOIN b ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+       |d AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM b WHERE vec_id < 8),
+       |${(1 to 2).map(iter).mkString(",\n")},
+       |idx AS (SELECT vec_id, e, cid FROM (
+       |  SELECT m.vec_id, m.e, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM b m, c2 c) WHERE rn = 1),
+       |da AS (SELECT qid, qe, cid FROM (
+       |  SELECT m.vec_id AS qid, m.e AS qe, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM d m, c2 c) WHERE rn = 1),
+       |s AS (SELECT qid, idx.vec_id AS nid, list_cosine_similarity(qe, idx.e) AS c
+       |      FROM da JOIN idx USING (cid)),
+       |r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+       |      FROM s)
+       |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Product-quantization ANN (see
     * [[graft.operators.Similarity.pqTopK]]): 64 dims → 4 subspaces ×
     * 4-centroid codebooks (2 Lloyd rounds), corpus encoded as 4 codes,
@@ -1781,6 +1831,7 @@ object PipelineQueries {
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_pq", embPq, Some(embPqSql)),
+    Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql))

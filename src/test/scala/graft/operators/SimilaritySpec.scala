@@ -104,4 +104,32 @@ class SimilaritySpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("deltaAssign routes arrivals to their cluster and ranks in-cell neighbors") {
+    // fresh deterministic fixture: 10 well-separated cluster seeds, 4
+    // jittered members each; arrivals are new jitters of clusters 0 and
+    // 5 — each must route to its cluster's cell and rank that cluster's
+    // members on top
+    val local = new scala.util.Random(42)
+    def lUnit(v: Array[Float]) = unit(v)
+    def lRand() = lUnit(Array.fill(dim)(local.nextGaussian().toFloat))
+    def lJitter(v: Array[Float]) = lUnit(v.map(x => x + 0.05f * local.nextGaussian().toFloat))
+    val seeds = (0 until 10).map(i => (i.toLong, lRand()))
+    val members = seeds.flatMap { case (i, v) =>
+      (0 until 4).map(j => (1000L + i * 10 + j, lJitter(v)))
+    }
+    val base = (seeds ++ members).toDF("vec_id", "embedding")
+    val delta = Seq((9000L, lJitter(seeds(0)._2)), (9001L, lJitter(seeds(5)._2)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.deltaAssign(base, delta, k = 8, iters = 2, topK = 3)
+      .orderBy("qid", "rn").collect()
+    assert(r.length == 6, s"two arrivals x top-3 expected, got ${r.length}")
+    // rank-1 neighbor of each arrival is a member of its own cluster
+    val top1 = r.filter(_.getLong(3) == 1L).map(x => x.getLong(0) -> x.getLong(1)).toMap
+    def cluster(nid: Long): Long = if (nid < 1000) nid else (nid - 1000) / 10
+    assert(cluster(top1(9000L)) == 0L, s"arrival 9000 nearest ${top1(9000L)}")
+    assert(cluster(top1(9001L)) == 5L, s"arrival 9001 nearest ${top1(9001L)}")
+    // arrivals never appear as neighbors: the index is base-only
+    assert(r.forall(_.getLong(1) < 9000L), "delta vectors leaked into the index")
+  }
 }
