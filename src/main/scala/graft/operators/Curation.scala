@@ -390,6 +390,51 @@ object Curation {
       .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
   }
 
+  /** Model-based quality scoring — the fasttext-classifier step of
+    * CCNet/RefinedWeb-style pipelines (Wenzek 2020 §4: a linear
+    * classifier over hashed token features gates documents before the
+    * expensive stages), with the model already trained: token →
+    * hashed feature bucket → weight lookup, mean weight = logit,
+    * sigmoid = score, keep at 0.5.
+    *
+    * Scale shape: the model is a LITERAL array riding the plan (a real
+    * fasttext model broadcasts the same way); scoring is one
+    * `aggregate` fold over the token array inside the scan stage —
+    * zero shuffles, embarrassingly parallel, the ideal 100-TB filter.
+    * Weights are integer milli-units so the fold is exact integer
+    * arithmetic on both engines; only the final mean/sigmoid is
+    * floating point, rounded before and after `exp`.
+    *
+    * Returns (logit, score, keep) columns over a token-array COLUMN —
+    * pass a projected attribute (see the stacked-HOF caveat on
+    * [[TextAnalysis.winnowFingerprint]]).
+    */
+  def qualityModelColumns(toks: Column, weightsMilli: Seq[Long],
+      buckets: Int): Seq[(String, Column)] = {
+    require(weightsMilli.length == buckets, s"need $buckets weights, got ${weightsMilli.length}")
+    val w = typedLit(weightsMilli)
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets).cast("int")
+    val sumMilli = aggregate(toks, lit(0L), (acc, t) => acc + element_at(w, bucket(t) + 1))
+    val logit = round(sumMilli / (lit(1000.0) * size(toks)), 6)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+    Seq("logit" -> logit, "score" -> score, "keep" -> (score >= 0.5))
+  }
+
+  /** Deterministic pretend-trained weight table for
+    * [[qualityModelColumns]] demos/oracles: bucket b ↦
+    * (md5(b) mod 2001) − 1000 milli-units, embedded as literals on
+    * both engines (a real model's weights ship the same way).
+    */
+  def demoWeightsMilli(buckets: Int): Seq[Long] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until buckets).map { b =>
+      val hex = digest.digest(b.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
   /** Water-filling budget allocation across strata — the mixture-design
     * step that decides HOW MANY tokens each source contributes before
     * [[corpusBudgetByStratum]] cuts the per-source snapshots: allocate

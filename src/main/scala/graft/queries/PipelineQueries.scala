@@ -1776,7 +1776,35 @@ object PipelineQueries {
        |FROM pr JOIN sz sa ON pr.src_a = sa.source JOIN sz sb ON pr.src_b = sb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Model-based quality gate (see
+    * [[graft.operators.Curation.qualityModelColumns]]): hashed-token
+    * linear classifier with a 128-bucket literal weight table, scored
+    * entirely inside the scan stage.
+    */
+  def docQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val cols = Curation.qualityModelColumns(col("toks"),
+      Curation.demoWeightsMilli(128), buckets = 128)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  val docQualityModelSql: String = {
+    val wList = Curation.demoWeightsMilli(128).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  round(list_sum(list_transform(toks, x ->
+       |    list_extract($wList, (('0x'||substr(md5(x),1,4))::BIGINT % 128) + 1)))
+       |    / (1000.0 * len(toks)), 6) AS logit FROM t)
+       |SELECT doc_id, logit,
+       |  round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+       |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("q_doc_waterfill", docWaterfill, Some(docWaterfillSql)),
     Q("q_doc_src_overlap", docSrcOverlap, Some(docSrcOverlapSql)),
     Q("q_doc_winnow", docWinnow, Some(docWinnowSql)),

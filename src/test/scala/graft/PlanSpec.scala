@@ -288,6 +288,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scanCounts("q_doc_ppl_buckets")._1 == 0)
   }
 
+  test("q_doc_quality_model scores inside the scan stage — no shuffle, no UDF") {
+    val plan = SparkEntry.queries("q_doc_quality_model")(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only exchange is the final global orderBy's range partitioning
+    assert(exchanges.size <= 1,
+      s"model scoring must ride the scan stage; found ${exchanges.size} exchanges")
+    assert(!plan.toString.contains("BatchEvalPython") && !plan.toString.contains("ScalaUDF"),
+      "classifier must be literal-table expressions, not a UDF")
+  }
+
   test("q_doc_winnow / q_doc_src_overlap: staged posting lists — one corpus scan off-plan") {
     // both stage a multiply-referenced posting table (winnow: capped
     // postings feed two join sides + sizes; overlap: distinct

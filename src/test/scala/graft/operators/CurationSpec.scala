@@ -284,6 +284,29 @@ class CurationSpec extends SparkSpec {
     assert(r(3)._1 === 4L && r(3)._3 === 0L && r(3)._4 === 0.0)
   }
 
+  test("qualityModelColumns matches an independent per-token recomputation") {
+    val buckets = 128
+    val w = Curation.demoWeightsMilli(buckets)
+    val texts = Seq((1L, "the quick brown fox"), (2L, "alpha beta gamma delta epsilon"))
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val expected = texts.map { case (id, t) =>
+      val toks = t.split(" ")
+      val logit = BigDecimal(toks.map(tk => w(bucket(tk))).sum / (1000.0 * toks.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> logit
+    }.toMap
+    val cols = Curation.qualityModelColumns(col("toks"), w, buckets)
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected, s"logits diverge: got $got expected $expected")
+  }
+
   test("waterfill: saturated prefix, uniform level, sums to budget; full-budget edge") {
     val caps = Seq(("a", 100L), ("b", 1000L), ("c", 5000L), ("d", 5000L)).toDF("stratum", "cap")
     val r = Curation.waterfill(caps, budget = 4100L)
