@@ -1803,7 +1803,49 @@ object PipelineQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** EXACT per-source length quantiles (type-1 / inverse-CDF: smallest
+    * n with cum ≥ ⌈q·total⌉, integer-ceil arithmetic both engines)
+    * WITHOUT a global sort: aggregate to a (source, n_tokens) count
+    * histogram first, then window over histogram rows only. Token
+    * counts are bounded (≤ context-length scale), so the histogram is
+    * thousands of rows per source regardless of corpus size — the
+    * standard exact-quantile shape at 100 TB, where `ORDER BY n` over
+    * raw rows (or a single-partition percentile) is the anti-pattern
+    * and approx sketches are the alternative when even the histogram
+    * key space is unbounded.
+    */
+  def docLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy("source", "n").agg(count(lit(1)).as("cnt"))
+    val t = h
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("source").orderBy("n")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("source")))
+    // integer ceil(p% · total) via `div` — double division would hold
+    // only below 2^53, and a 100-TB corpus row count is close enough
+    // to care
+    def pct(p: Int) =
+      min(when(col("cum") >= expr(s"(total * $p + 99) div 100"), col("n")))
+    t.groupBy("source")
+      .agg(max("total").as("n_docs"), pct(50).as("p50"), pct(90).as("p90"), pct(99).as("p99"))
+      .orderBy("source")
+  }
+
+  val docLengthQuantilesSql: String =
+    s"""WITH h AS (SELECT source, len(string_split($normSql, ' '))::BIGINT AS n,
+       |             count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+       |t AS (SELECT source, n, cnt,
+       |        sum(cnt) OVER (PARTITION BY source ORDER BY n) AS cum,
+       |        sum(cnt) OVER (PARTITION BY source) AS total FROM h)
+       |SELECT source, max(total)::BIGINT AS n_docs,
+       |  min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN n END)::BIGINT AS p50,
+       |  min(CASE WHEN cum >= (total * 90 + 99) // 100 THEN n END)::BIGINT AS p90,
+       |  min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n END)::BIGINT AS p99
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_length_quantiles", docLengthQuantiles, Some(docLengthQuantilesSql)),
     Q("q_doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("q_doc_waterfill", docWaterfill, Some(docWaterfillSql)),
     Q("q_doc_src_overlap", docSrcOverlap, Some(docSrcOverlapSql)),
