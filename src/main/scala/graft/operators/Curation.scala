@@ -372,6 +372,33 @@ object Curation {
       stratumCol: String, idCol: String = "doc_id", textCol: String = "text",
       defaultBudget: Long = 0L): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    val budgetCol = coalesce(element_at(typedLit(budgets), col("stratum")), lit(defaultBudget))
+    stratumPrefix(docs, stratumCol, idCol, textCol)
+      .filter(col("cum") <= budgetCol)
+      .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
+  }
+
+  /** [[corpusBudgetByStratum]] with the budgets as DATA — a
+    * (stratum, budget) DataFrame, broadcast-joined — instead of a
+    * driver-side Map. This is the composable form: an upstream
+    * allocator (e.g. [[waterfill]]) computes budgets distributedly and
+    * they never round-trip through the driver. Strata absent from
+    * `budgets` are dropped (inner join) — the allocator owns the
+    * stratum universe.
+    */
+  def corpusBudgetByStratum(docs: DataFrame, budgets: DataFrame,
+      stratumCol: String, idCol: String, textCol: String): DataFrame =
+    stratumPrefix(docs, stratumCol, idCol, textCol)
+      .join(broadcast(budgets.select(col("stratum"), col("budget"))), Seq("stratum"))
+      .filter(col("cum") <= col("budget"))
+      .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
+
+  /** Shared prefix-sum core of the stratified budget cuts: per-stratum
+    * md5-ordered running token totals via the 256-way bucketed
+    * two-phase sum (see [[corpusBudget]]).
+    */
+  private def stratumPrefix(docs: DataFrame, stratumCol: String,
+      idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(stratumCol).as("stratum"),
       col(idCol).cast("long").as("id"),
       TextAnalysis.tokenCount(col(textCol)).as("n"),
@@ -383,11 +410,8 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("stratum", "bucket", "off")
     val wInBucket = Window.partitionBy("stratum", "bucket").orderBy("pri", "id")
-    val budgetCol = coalesce(element_at(typedLit(budgets), col("stratum")), lit(defaultBudget))
     t.join(broadcast(offsets), Seq("stratum", "bucket"))
       .withColumn("cum", col("off") + sum("n").over(wInBucket))
-      .filter(col("cum") <= budgetCol)
-      .select(col("stratum"), col("id"), col("n").as("n_tokens"), col("cum").as("cum_tokens"))
   }
 
   /** Model-based quality scoring — the fasttext-classifier step of

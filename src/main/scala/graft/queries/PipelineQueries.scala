@@ -1844,7 +1844,57 @@ object PipelineQueries {
        |  min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN n END)::BIGINT AS p99
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Mixture pipeline — allocator composed with the stratified cut:
+    * per-source capacities → [[graft.operators.Curation.waterfill]]
+    * (10k tokens at a uniform water level) → ⌊alloc⌋ becomes each
+    * source's budget AS DATA (never a driver round-trip) →
+    * [[graft.operators.Curation.corpusBudgetByStratum]] prefix-sum cut
+    * → per-source kept totals against the allocation. The allocation
+    * table is a [[graft.operators.Funnel.stage]] boundary: it feeds
+    * the budget join and the final report join.
+    */
+  def docMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val caps = docs.groupBy(col("source").as("stratum"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("cap"))
+    val alloc = Funnel.stage(
+      Curation.waterfill(caps, budget = 10000L)
+        .select(col("stratum"), floor(col("alloc")).cast("long").as("budget")))
+    val kept = Curation.corpusBudgetByStratum(docs, alloc,
+      stratumCol = "source", idCol = "doc_id", textCol = "text")
+    kept.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_kept"))
+      .join(alloc, Seq("stratum"))
+      .select(col("stratum"), col("budget"), col("n_docs"), col("n_kept"))
+      .orderBy("stratum")
+  }
+
+  val docMixtureSql: String =
+    s"""WITH c AS (SELECT source AS stratum,
+       |        sum(len(string_split($normSql, ' ')))::BIGINT AS cap
+       |      FROM documents GROUP BY 1),
+       |t0 AS (SELECT stratum, cap,
+       |        row_number() OVER (ORDER BY cap, stratum) AS i,
+       |        sum(cap) OVER (ORDER BY cap, stratum) AS p,
+       |        count(*) OVER () AS n FROM c),
+       |sat AS (SELECT *, (cap * (n - i + 1) + (p - cap) <= 10000) AS saturated FROM t0),
+       |al AS (SELECT stratum,
+       |        floor(CASE WHEN saturated THEN cap * 1.0
+       |              ELSE round((10000 - sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER ())
+       |                * 1.0 / (n - sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER ()), 6)
+       |              END)::BIGINT AS budget FROM sat),
+       |d AS (SELECT source AS stratum, doc_id,
+       |        len(string_split($normSql, ' '))::BIGINT AS nt,
+       |        md5(doc_id::VARCHAR) AS pri FROM documents),
+       |cm AS (SELECT stratum, doc_id, nt,
+       |        sum(nt) OVER (PARTITION BY stratum ORDER BY pri, doc_id)::BIGINT AS cum FROM d),
+       |k AS (SELECT cm.* FROM cm JOIN al USING (stratum) WHERE cum <= budget)
+       |SELECT stratum, any_value(al.budget)::BIGINT AS budget,
+       |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_kept
+       |FROM k JOIN al USING (stratum) GROUP BY stratum ORDER BY stratum""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_mixture", docMixture, Some(docMixtureSql)),
     Q("q_doc_length_quantiles", docLengthQuantiles, Some(docLengthQuantilesSql)),
     Q("q_doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("q_doc_waterfill", docWaterfill, Some(docWaterfillSql)),

@@ -284,6 +284,22 @@ class CurationSpec extends SparkSpec {
     assert(r(3)._1 === 4L && r(3)._3 === 0L && r(3)._4 === 0.0)
   }
 
+  test("corpusBudgetByStratum with budgets-as-data equals the Map form; absent strata drop") {
+    val docs = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) "a" else "b", ("tok " * (i % 5 + 1).toInt).trim)
+    }.toDF("doc_id", "stratum", "text")
+    val asMap = Curation.corpusBudgetByStratum(docs, Map("a" -> 12L, "b" -> 7L), "stratum")
+      .orderBy("stratum", "id").collect().toSeq
+    val budgets = Seq(("a", 12L), ("b", 7L)).toDF("stratum", "budget")
+    val asData = Curation.corpusBudgetByStratum(docs, budgets, "stratum", "doc_id", "text")
+      .orderBy("stratum", "id").collect().toSeq
+    assert(asMap == asData, "the two budget forms must agree row-for-row")
+    val onlyA = Curation.corpusBudgetByStratum(docs,
+        Seq(("a", 12L)).toDF("stratum", "budget"), "stratum", "doc_id", "text")
+      .select("stratum").distinct().as[String].collect().toSeq
+    assert(onlyA == Seq("a"), "strata absent from the budget table must drop")
+  }
+
   test("qualityModelColumns matches an independent per-token recomputation") {
     val buckets = 128
     val w = Curation.demoWeightsMilli(buckets)
