@@ -675,6 +675,110 @@ object StreamingQueries {
       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_total
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
+  /** Streaming INCREMENTAL MinHash near-dup — the continuous-ingestion
+    * analog of [[PipelineQueries.docDeltaMinhash]] and the sketch-level
+    * upgrade of [[streamCurate]]'s exact dedup: the corpus (plus
+    * planted re-crawls) arrives as 3 micro-batches; each batch probes
+    * the accumulated doc store DIRECTIONALLY with
+    * [[graft.operators.Dedup.deltaMinHashKeepers]] (band-key candidate
+    * join, Jaccard ≥ 0.9 verify, min-keeper) and is THEN appended —
+    * probe-before-append, so a doc can only match strictly earlier
+    * batches, which is exactly what the oracle replays (batch id =
+    * doc_id mod 3; match requires db's batch < da's batch). Batch files
+    * carry forced ascending mtimes so the file source replays arrival
+    * order deterministically. At production scale the store would also
+    * persist the band INDEX (as [[docDeltaMinhash]]'s staged base
+    * does); the dataflow — append-only store, directional probe,
+    * per-increment cost tracking the increment — is the contract here.
+    */
+  def streamDeltaMinhash(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val recrawl = docs
+      .filter(col("doc_id") % 100 === 1 && col("doc_id") % 3 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val all = docs.unionByName(recrawl)
+    val srcDir = freshDir(dir, "dmh_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"dmh_tmp$b")
+      all.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val docStore = freshDir(dir, "dmh_docs")
+    val resDir = freshDir(dir, "dmh_res")
+    // pre-seed both stores so the first batch reads valid empty tables
+    all.filter(lit(false)).write.mode("overwrite").parquet(docStore)
+    s.range(0).select(col("id"), col("id").as("keeper"),
+      lit(0.0).as("jacc")).write.mode("overwrite").parquet(resDir)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = s.read.parquet(docStore)
+        graft.operators.Dedup.deltaMinHashKeepers(base, batch)
+          .write.mode("append").parquet(resDir)
+        batch.write.mode("append").parquet(docStore)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("id")
+  }
+
+  val streamDeltaMinhashSql: String = {
+    import graft.operators.Dedup
+    val perms = Dedup.portablePerms(64)
+    val p = Dedup.PortableP
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $p)) AS s$i"
+    }.mkString(",\n  ")
+    val keyCols = (0 until 16).map { bnd =>
+      val parts = (0 until 4).map(r => s"s${bnd * 4 + r}::VARCHAR").mkString(" || '-' || ")
+      s"md5('$bnd' || '-' || $parts) AS k$bnd"
+    }.mkString(",\n  ")
+    val keyList = (0 until 16).map(b => s"k$b").mkString(", ")
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH t0 AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ts FROM documents),
+       |t AS (SELECT doc_id, ts FROM t0
+       |      UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id, ts FROM t0
+       |      WHERE doc_id % 100 = 1 AND doc_id % 3 = 1),
+       |h AS (SELECT doc_id, list_transform(ts, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % $p) AS hs FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h),
+       |keys AS (SELECT doc_id,
+       |  $keyCols
+       |FROM sig),
+       |banded AS (SELECT doc_id, unnest([$keyList]) AS key FROM keys),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM banded a JOIN banded b USING (key)
+       |         WHERE b.doc_id % 3 < a.doc_id % 3),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN w wa ON wa.doc_id = c.da
+       |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
+       |          GROUP BY 1, 2),
+       |ver AS (SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |        FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |        WHERE i / (ca.sz + cb.sz - i) >= 0.9)
+       |SELECT da AS id, db AS keeper, jacc FROM (
+       |  SELECT da, db, jacc, row_number() OVER (PARTITION BY da ORDER BY db) AS rn FROM ver)
+       |WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
   def streamAggOfAgg(s: SparkSession, dir: String): DataFrame = {
     val splits = freshDir(dir, "agg_of_agg_src")
     Tables.events(s, dir).select("event_id", "user_id")
@@ -1275,6 +1379,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_stream_curate", streamCurate, Some(streamCurateSql)),
+    Q("q_stream_delta_minhash", streamDeltaMinhash, Some(streamDeltaMinhashSql)),
     Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),

@@ -50,4 +50,20 @@ class QueryFixtureSpec extends SparkSpec {
     assert(math.abs(xy._3 - expected) < 1e-9, s"pmi ${xy._3} vs $expected")
     assert(!out.exists(_._1 == "x z")) // below the count floor
   }
+
+  test("streamDeltaMinhash: probe-before-append — matches point only to strictly earlier batches") {
+    // identical docs landing in batches 0/1/2 (batch = doc_id mod 3):
+    // 4 matches 3; 5 matches min(3,4) = 3; 3 (first arrival) and the
+    // unrelated 7 match nothing
+    val d = java.nio.file.Files.createTempDirectory("graft-sdm").toString
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    Seq((3L, t1, "en", "src0", 9L), (4L, t1, "en", "src0", 9L),
+        (5L, t1, "en", "src0", 9L),
+        (7L, "wholly unrelated vocabulary nothing shared here", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.queries.StreamingQueries.streamDeltaMinhash(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((4L, 3L, 1.0), (5L, 3L, 1.0)), s"got $r")
+  }
 }
