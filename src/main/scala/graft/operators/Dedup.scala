@@ -421,17 +421,55 @@ object Dedup {
       textCol: String = "text",
       seed: Long = 42L
   ): DataFrame = {
-    val bBand = Funnel.stage(portableBandKeys(base, bands, rows, idCol, textCol, seed))
-    val dBand = portableBandKeys(delta, bands, rows, idCol, textCol, seed)
-    val cand = dBand.as("x").join(bBand.as("y"), "key")
+    val bBand = Funnel.stage(bandIndex(base, bands, rows, idCol, textCol, seed))
+    deltaMinHashKeepersWithIndex(bBand, base, delta, bands, rows,
+      verifyThreshold, idCol, textCol, seed)
+  }
+
+  /** [[deltaMinHashKeepers]] against a PREBUILT base band index — the
+    * form a continuously-ingesting pipeline uses: the index (one
+    * (id, key) table from [[bandIndex]], persisted and appended to as
+    * batches commit) is READ, never recomputed, so a batch's probe
+    * cost is O(batch·bands + collisions) no matter how large the
+    * store has grown. `base` supplies only the verify-phase texts of
+    * candidate matches.
+    */
+  def deltaMinHashKeepersWithIndex(
+      baseIndex: DataFrame, // (id, key) from bandIndex
+      base: DataFrame,
+      delta: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      verifyThreshold: Double = 0.9,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
+    val dBand = bandIndex(delta, bands, rows, idCol, textCol, seed)
+    // staged: the candidate set feeds the id-restriction AND the verify
+    // join — without the boundary the probe join would run twice
+    val cand = Funnel.stage(dBand.as("x").join(baseIndex.as("y"), "key")
       .select(col("x.id").as("da"), col("y.id").as("db"))
-      .distinct()
-    verifyJaccard(cand, delta.unionByName(base), verifyThreshold, idCol, textCol,
+      .distinct())
+    // verify hashes ONLY candidate docs — the store may be arbitrarily
+    // large, but the increment touches O(candidates) of it
+    val candIds = cand.select(col("da").as(idCol))
+      .union(cand.select(col("db").as(idCol))).distinct()
+    val docsV = delta.unionByName(base).join(candIds, Seq(idCol), "left_semi")
+    verifyJaccard(cand, docsV, verifyThreshold, idCol, textCol,
         broadcastVerify = true)
       .groupBy("da")
       .agg(min_by(struct(col("db"), col("jacc")), col("db")).as("m"))
       .select(col("da").as("id"), col("m.db").as("keeper"), col("m.jacc").as("jacc"))
   }
+
+  /** Portable LSH band index for a document set — one (id, key) row
+    * per band, the unit the persisted-index workflows store and probe
+    * ([[deltaMinHashKeepersWithIndex]], `q_stream_delta_minhash`).
+    */
+  def bandIndex(docs: DataFrame, bands: Int = 16, rows: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L): DataFrame =
+    portableBandKeys(docs, bands, rows, idCol, textCol, seed)
 
   /** Cross-engine-reproducible SimHash pairs — the fully-oracled twin
     * of [[simHashPairs]], like [[minHashPairsPortable]] is for MinHash:

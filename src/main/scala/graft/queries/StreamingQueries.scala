@@ -686,10 +686,12 @@ object StreamingQueries {
     * batches, which is exactly what the oracle replays (batch id =
     * doc_id mod 3; match requires db's batch < da's batch). Batch files
     * carry forced ascending mtimes so the file source replays arrival
-    * order deterministically. At production scale the store would also
-    * persist the band INDEX (as [[docDeltaMinhash]]'s staged base
-    * does); the dataflow — append-only store, directional probe,
-    * per-increment cost tracking the increment — is the contract here.
+    * order deterministically. The band INDEX is itself persisted — an
+    * append-only (id, key) store probed via
+    * [[graft.operators.Dedup.deltaMinHashKeepersWithIndex]] and
+    * appended after, so a batch never recomputes signatures over the
+    * accumulated corpus and per-increment cost tracks the increment;
+    * the doc store serves only the verify phase of actual candidates.
     */
   def streamDeltaMinhash(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -712,9 +714,12 @@ object StreamingQueries {
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
     val docStore = freshDir(dir, "dmh_docs")
+    val keyStore = freshDir(dir, "dmh_keys")
     val resDir = freshDir(dir, "dmh_res")
-    // pre-seed both stores so the first batch reads valid empty tables
+    // pre-seed the stores so the first batch reads valid empty tables
     all.filter(lit(false)).write.mode("overwrite").parquet(docStore)
+    graft.operators.Dedup.bandIndex(all.filter(lit(false)))
+      .write.mode("overwrite").parquet(keyStore)
     s.range(0).select(col("id"), col("id").as("keeper"),
       lit(0.0).as("jacc")).write.mode("overwrite").parquet(resDir)
     val batches = s.readStream
@@ -724,10 +729,18 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val base = s.read.parquet(docStore)
-        graft.operators.Dedup.deltaMinHashKeepers(base, batch)
-          .write.mode("append").parquet(resDir)
-        batch.write.mode("append").parquet(docStore)
+        // the PERSISTED band index is read, never recomputed — a
+        // batch's probe cost tracks the batch, not the store
+        // appends are coalesced: each batch lands ONE file per store
+        // (the compaction discipline any streaming-ingest store needs —
+        // 32-way tiny appends would strangle the re-reads with file
+        // overhead long before data volume matters)
+        graft.operators.Dedup.deltaMinHashKeepersWithIndex(
+            s.read.parquet(keyStore), s.read.parquet(docStore), batch)
+          .coalesce(1).write.mode("append").parquet(resDir)
+        graft.operators.Dedup.bandIndex(batch).coalesce(1)
+          .write.mode("append").parquet(keyStore)
+        batch.coalesce(1).write.mode("append").parquet(docStore)
         ()
       }
       .trigger(Trigger.AvailableNow())
