@@ -596,6 +596,79 @@ object Curation {
     * Output: (id, n_tokens, covered_tokens, coverage_frac) for docs
     * with ≥ k tokens.
     */
+  /** Line-level boilerplate removal (CCNet / Wenzek 2020 §3.1 and
+    * RefinedWeb / Penedo 2023 line-wise dedup, public literature): a
+    * line whose exact text appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (headers, footers, nav bars, licence
+    * blocks — the repeated furniture document-level dedup can't see)
+    * and is struck from every document; the survivors are re-joined in
+    * original order.
+    *
+    * Scale shape: the line explode is linear in the corpus and the
+    * exploded table is a [[Funnel.stage]] boundary — THREE consumers
+    * (the df aggregate, the strip anti-join, the per-doc roll-up) read
+    * it, and without the boundary each would replay the full corpus
+    * scan+explode. The frequent-line key set is sparse by construction
+    * (only lines crossing the df threshold) so the anti-join
+    * broadcasts; the rebuild is one doc-keyed aggregate that restores
+    * order in the array domain (`array_sort` on (pos, line) structs —
+    * no per-doc window).
+    *
+    * Output: (id, n_lines, n_kept, kept_text) — one row per input
+    * document, `kept_text` empty when every line was boilerplate.
+    */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = Funnel.stage(docs.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))))
+    val boiler = lines.select(col("id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("kept_text"))
+    lines.groupBy("id").agg((max("pos") + 1).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Per-document k-gram novelty: the fraction of a document's distinct
+    * k-grams whose FIRST corpus occurrence (minimum doc id) is this
+    * document — the marginal-new-content curve curation teams plot to
+    * decide where a crawl stops paying for itself (each doc's novel
+    * mass is what it alone adds to the corpus under id order).
+    * Complements [[dupNgramFraction]]: dup_frac says "how much of me
+    * exists elsewhere", novelty says "how much of me arrived FIRST".
+    *
+    * Scale shape: identical to [[dupNgramFraction]] — distinct-shingle
+    * explode in the scan stage, ONE shingle-keyed `min` aggregate for
+    * the owner table, owner joins back shingle-keyed (both sides share
+    * the same hash partitioning, so the exchange is reused), then the
+    * doc-keyed roll-up.
+    *
+    * Output: (id, n_shingles, n_novel, novelty_frac) for docs with
+    * ≥ k tokens.
+    */
+  def ngramNovelty(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
+    val owners = sh.groupBy("sh").agg(min("id").as("owner"))
+    sh.join(owners, Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   def dupCoverage(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),

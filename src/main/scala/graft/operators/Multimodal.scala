@@ -129,4 +129,90 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(it => it.flatMap { case (id, bytes) => PnmCodec.decode(id, bytes) })
   }
+
+  /** Decoded audio metadata + sample statistics for one media row.
+    * `meanSample` averages ALL channels' samples interleaved (a stereo
+    * file's mean mixes both channels — the container-level number, not
+    * a per-channel DSP).
+    */
+  final case class WavAudio(id: Long, sampleRate: Int, channels: Int,
+      bits: Int, nFrames: Long, nSamples: Long, minSample: Int,
+      maxSample: Int, meanSample: Double)
+
+  /** Real audio codec: RIFF/WAVE with 16-bit little-endian integer PCM.
+    * A proper chunk walk — `RIFF` magic + `WAVE` form type, then
+    * (id, size, payload, even-byte pad) chunks in any order with
+    * unknown chunks (LIST, fact, cue …) skipped — so files with
+    * metadata chunks between `fmt ` and `data` decode correctly.
+    * Returns None for anything that is not a complete valid PCM16 file:
+    * bad magic, missing/short `fmt ` or `data`, non-PCM audio format,
+    * bits ≠ 16, zero/negative rates or channel counts, a data chunk
+    * not frame-aligned, or a truncated payload.
+    */
+  object WavCodec extends Serializable {
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(id: Long, bytes: Array[Byte]): Option[WavAudio] = {
+      if (bytes == null || bytes.length < 12) return None
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var pos = 12
+      var fmtOk = false
+      var channels = 0; var sampleRate = 0; var blockAlign = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      while (pos + 8 <= bytes.length) {
+        val cid = tag(bytes, pos)
+        val sz = u32(bytes, pos + 4)
+        val body = pos + 8
+        if (body + sz > bytes.length) return None // truncated chunk
+        cid match {
+          case "fmt " =>
+            if (sz < 16) return None
+            val audioFormat = u16(bytes, body)
+            channels = u16(bytes, body + 2)
+            sampleRate = u32(bytes, body + 4).toInt
+            blockAlign = u16(bytes, body + 12)
+            bits = u16(bytes, body + 14)
+            if (audioFormat != 1 || bits != 16 || channels <= 0 ||
+              sampleRate <= 0 || blockAlign != channels * 2) return None
+            fmtOk = true
+          case "data" =>
+            dataOff = body; dataLen = sz
+          case _ => // LIST / fact / cue … — skip
+        }
+        pos = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+      if (!fmtOk || dataOff < 0) return None
+      if (dataLen % blockAlign != 0) return None
+      val nSamples = dataLen / 2
+      if (nSamples == 0) return None
+      var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+      var i = dataOff
+      val end = dataOff + dataLen.toInt
+      while (i < end) {
+        val v = (u16(bytes, i) << 16) >> 16 // sign-extend LE i16
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        i += 2
+      }
+      Some(WavAudio(id, sampleRate, channels, bits, dataLen / blockAlign,
+        nSamples, mn, mx, sum.toDouble / nSamples))
+    }
+  }
+
+  /** Distributed audio decode — same per-partition batch-loop shape as
+    * [[decodePnm]]; swap [[WavCodec]] for an ffmpeg binding and the
+    * plumbing (binary column in, typed stats row out, zero shuffle)
+    * is unchanged.
+    */
+  def decodeWav(ds: Dataset[(Long, Array[Byte])]): Dataset[WavAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.flatMap { case (id, bytes) => WavCodec.decode(id, bytes) })
+  }
 }

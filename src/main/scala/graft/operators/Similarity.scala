@@ -332,6 +332,39 @@ object Similarity {
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
   }
 
+  /** Benchmark decontamination in EMBEDDING space — the semantic
+    * companion to the k-gram [[Decontamination]] screen: a corpus
+    * vector whose maximum cosine against ANY held-out eval vector
+    * reaches `minCos` is contaminated (a paraphrase of an eval item
+    * that exact-n-gram matching misses). Every corpus row is returned
+    * with its nearest eval neighbor and the verdict, so callers can
+    * either drop flagged rows or audit the near-misses.
+    *
+    * Scale shape: eval suites are small (10³–10⁵ rows) while the
+    * corpus is the 100-TB side — so the eval side BROADCASTS and the
+    * corpus streams through one scan-stage nested-loop score + ONE
+    * corpus-keyed partial-aggregate max (map-side combine collapses to
+    * one row per vec_id per partition before the shuffle). The corpus
+    * never self-joins and crosses the wire once, aggregated. Ties on
+    * rounded cosine break to the smallest eval id for cross-engine
+    * determinism.
+    */
+  def decontaminate(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      evalSet: DataFrame, // (eval_id, ee: array<float>)
+      minCos: Double
+  ): DataFrame =
+    corpus
+      .crossJoin(broadcast(evalSet))
+      .select(col("vec_id"),
+        struct(round(cosine_sim(col("embedding"), col("ee")), 6).as("c"),
+          (-col("eval_id")).as("nid")).as("s"))
+      .groupBy("vec_id")
+      .agg(max(col("s")).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("nearest_eval"),
+        col("m.c").as("max_cos"),
+        (col("m.c") >= minCos).as("contaminated"))
+
   /** Embedding near-dup CLUSTER assignment — the linear-output keeper
     * contract for the embedding family, like [[Dedup.minHashClusters]]
     * is for text (SemDeDup-flavored: keep one representative per

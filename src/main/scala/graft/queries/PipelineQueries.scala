@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Curation, Decontamination, Dedup, Funnel, Packing, Sampling, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings
@@ -1893,7 +1893,169 @@ object PipelineQueries {
        |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_kept
        |FROM k JOIN al USING (stratum) GROUP BY stratum ORDER BY stratum""".stripMargin
 
+  /** Line-level boilerplate strip (see
+    * [[graft.operators.Curation.stripBoilerplate]]). The fixture has no
+    * line structure, so the QUERY manufactures it deterministically —
+    * every 3 consecutive tokens become one line — and the tiny fixture
+    * vocabulary makes cross-document line collisions (the boilerplate)
+    * genuinely frequent. The oracle replays the lining, the
+    * distinct-doc line frequencies, the strip, and the ordered rebuild.
+    */
+  def docBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val lined = Tables.documents(s, dir).select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0L), floor((size(toks) + lit(2)) / lit(3)).cast("long") - 1),
+        g => array_join(slice(toks, (g * 3 + 1).cast("int"), lit(3)), " ")), "\n")
+        .as("text"))
+    Curation.stripBoilerplate(lined, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val docBoilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |l AS (SELECT doc_id, unnest(range(0, (len(t)+2)//3)) AS pos, t FROM d),
+       |ln AS (SELECT doc_id, pos, array_to_string(t[pos*3+1:pos*3+3], ' ') AS line FROM l),
+       |b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+       |                        FROM ln GROUP BY 1) WHERE df >= 2),
+       |k AS (SELECT doc_id, pos, line FROM ln WHERE line NOT IN (SELECT line FROM b)),
+       |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |        string_agg(line, chr(10) ORDER BY pos) AS kept FROM k GROUP BY 1),
+       |n AS (SELECT doc_id, ((len(t)+2)//3)::BIGINT AS n_lines FROM d)
+       |SELECT n.doc_id, n_lines, coalesce(n_kept, 0)::BIGINT AS n_kept,
+       |  md5(coalesce(kept, '')) AS kept_md5
+       |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Per-doc 8-gram novelty under corpus id order (see
+    * [[graft.operators.Curation.ngramNovelty]]).
+    */
+  def docNovelty(s: SparkSession, dir: String): DataFrame =
+    Curation.ngramNovelty(Tables.documents(s, dir), k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val docNoveltySql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+       |        i -> array_to_string(t[i:i+7], ' ')))) AS sh FROM d WHERE len(t) >= 8),
+       |o AS (SELECT sh, min(doc_id) AS owner FROM g GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  round(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       |    AS novelty_frac
+       |FROM g JOIN o USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Embedding-space benchmark decontamination (see
+    * [[graft.operators.Similarity.decontaminate]]): the held-out tenth
+    * of the embedding table (vec_id % 10 = 0) stands in as the eval
+    * suite; every remaining vector reports its nearest eval neighbor
+    * and the contamination verdict at cosine ≥ 0.35 (the fixture's
+    * near-orthogonal embeddings top out around 0.51, so both verdicts
+    * occur). The oracle replays the full broadcast-side scoring in
+    * DuckDB array arithmetic.
+    */
+  def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    Similarity.decontaminate(emb.filter(col("vec_id") % 10 =!= 0), eval, minCos = 0.35)
+      .select(col("vec_id"), col("nearest_eval"),
+        round(col("max_cos"), 4).as("max_cos"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val embDecontaminateSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, emb AS ee FROM e WHERE vec_id % 10 = 0),
+      |c AS (SELECT x.vec_id, eval_id,
+      |        round(list_cosine_similarity(x.emb, ee), 6) AS c
+      |      FROM e x CROSS JOIN ev WHERE x.vec_id % 10 <> 0),
+      |m AS (SELECT vec_id, max(c) AS mc FROM c GROUP BY 1),
+      |n AS (SELECT c.vec_id, min(eval_id) AS nearest_eval
+      |      FROM c JOIN m ON c.vec_id = m.vec_id AND c.c = m.mc GROUP BY 1)
+      |SELECT m.vec_id, nearest_eval, round(mc, 4) AS max_cos,
+      |  (CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+      |FROM m JOIN n USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  /** Real audio decode: build a deterministic RIFF/WAVE PCM16 file per
+    * document — 1-2 channels, varying sample rate, doc_id-derived
+    * samples, and (for every third doc) a LIST metadata chunk between
+    * `fmt ` and `data` to exercise the chunk walk — then decode it with
+    * the REAL byte-level codec ([[graft.operators.Multimodal.WavCodec]])
+    * and report sample statistics. The WAV bytes are assembled from
+    * codegen'd SQL expressions (hex → unhex), and the oracle recomputes
+    * the expected stats from the generation parameters, so any header
+    * mis-parse, endianness slip, sign-extension bug, or chunk-walk
+    * offset error surfaces as a hash mismatch (decoder-inverts-encoder,
+    * the [[mmDecode]] pattern). Decode is per-partition in the scan
+    * stage — zero shuffle.
+    */
+  def mmWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hexByte(v: Column): Column = lpad(lower(hex(v)), 2, "0")
+    def le16(v: Column): Column = concat(
+      hexByte(v.bitwiseAND(lit(255L))),
+      hexByte(shiftright(v, 8).bitwiseAND(lit(255L))))
+    def le32(v: Column): Column = concat(
+      hexByte(v.bitwiseAND(lit(255L))),
+      hexByte(shiftright(v, 8).bitwiseAND(lit(255L))),
+      hexByte(shiftright(v, 16).bitwiseAND(lit(255L))),
+      hexByte(shiftright(v, 24).bitwiseAND(lit(255L))))
+    val ch = col("doc_id") % 2 + 1
+    val sr = lit(8000L) + (col("doc_id") % 3) * 4000L
+    val frames = col("doc_id") % 50 + 10
+    val nSamples = frames * ch
+    val dataSize = nSamples * 2
+    val blockAlign = ch * 2
+    // "LIST" + size 4 LE + "INFO": an unknown chunk the walk must skip
+    val junk = when(col("doc_id") % 3 === 0,
+      lit("4c49535404000000494e464f")).otherwise(lit(""))
+    val junkLen = when(col("doc_id") % 3 === 0, lit(12L)).otherwise(lit(0L))
+    val riffSize = lit(4L) + lit(24L) + junkLen + lit(8L) + dataSize
+    val samplesHex = array_join(transform(sequence(lit(0L), nSamples - 1),
+      i => le16(pmod(col("doc_id") * 131 + i * 17, lit(65536L)))), "")
+    val hx = concat(lit("52494646"), le32(riffSize), lit("57415645"),
+      lit("666d7420"), le32(lit(16L)), le16(lit(1L)), le16(ch), le32(sr),
+      le32(sr * blockAlign), le16(blockAlign), le16(lit(16L)),
+      junk, lit("64617461"), le32(dataSize), samplesHex)
+    val wav = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"), unhex(hx).as("_2"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.decodeWav(wav).toDF()
+      .select(col("id").as("doc_id"),
+        col("sampleRate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("nFrames").as("n_frames"), col("nSamples").as("n_samples"),
+        col("minSample").cast("long").as("min_sample"),
+        col("maxSample").cast("long").as("max_sample"),
+        round(col("meanSample"), 6).as("mean_sample"))
+      .orderBy("doc_id")
+  }
+
+  val mmWavSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+      |             (8000 + (doc_id % 3) * 4000)::BIGINT AS sr,
+      |             (doc_id % 50 + 10)::BIGINT AS fr FROM documents),
+      |e AS (SELECT doc_id, ch, sr, fr, unnest(range(0, fr * ch)) AS i FROM p),
+      |v AS (SELECT doc_id, ch, sr, fr,
+      |        CASE WHEN (doc_id * 131 + i * 17) % 65536 >= 32768
+      |             THEN (doc_id * 131 + i * 17) % 65536 - 65536
+      |             ELSE (doc_id * 131 + i * 17) % 65536 END AS s FROM e)
+      |SELECT doc_id, any_value(sr) AS sample_rate, any_value(ch) AS channels,
+      |  16::BIGINT AS bits, any_value(fr) AS n_frames, count(*)::BIGINT AS n_samples,
+      |  min(s)::BIGINT AS min_sample, max(s)::BIGINT AS max_sample,
+      |  round(avg(s), 6) AS mean_sample
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
+    Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
+    Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
+    Q("q_mm_wav", mmWav, Some(mmWavSql)),
     Q("q_doc_mixture", docMixture, Some(docMixtureSql)),
     Q("q_doc_length_quantiles", docLengthQuantiles, Some(docLengthQuantilesSql)),
     Q("q_doc_quality_model", docQualityModel, Some(docQualityModelSql)),

@@ -336,4 +336,38 @@ class CurationSpec extends SparkSpec {
       .orderBy("stratum").as[(String, Long, Boolean, Double)].collect()
     assert(full.forall(_._3) && full.map(_._4).toSeq === Seq(100.0, 1000.0, 5000.0, 5000.0))
   }
+
+  test("stripBoilerplate removes cross-doc repeated lines, keeps order, handles emptied docs") {
+    val docs = Seq(
+      (1L, "copyright acme\nunique one\nfooter nav"),
+      (2L, "copyright acme\nunique two\nfooter nav"),
+      (3L, "copyright acme\nfooter nav"), // all lines boilerplate → emptied
+      (4L, "only original content here")
+    ).toDF("doc_id", "text")
+    val r = Curation.stripBoilerplate(docs, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 3L, 1L, "unique one"),
+      (2L, 3L, 1L, "unique two"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, "only original content here")))
+  }
+
+  test("stripBoilerplate: within-doc repetition alone does not trip the distinct-doc threshold") {
+    val docs = Seq((1L, "echo\necho\necho"), (2L, "other stuff")).toDF("doc_id", "text")
+    val r = Curation.stripBoilerplate(docs, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    assert(r.head === ((1L, 3L, 3L, "echo\necho\necho")))
+  }
+
+  test("ngramNovelty attributes first occurrence to the minimum doc id") {
+    val docs = Seq(
+      (10L, "a b c d e"), // owns both its 4-grams
+      (20L, "a b c d x"), // shares "a b c d" with doc 10 → 1 of 2 novel
+      (30L, "a b")        // < k tokens → absent
+    ).toDF("doc_id", "text")
+    val r = Curation.ngramNovelty(docs, k = 4)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq === Seq((10L, 2L, 2L, 1.0), (20L, 2L, 1L, 0.5)))
+  }
 }

@@ -132,4 +132,20 @@ class SimilaritySpec extends SparkSpec {
     // arrivals never appear as neighbors: the index is base-only
     assert(r.forall(_.getLong(1) < 9000L), "delta vectors leaked into the index")
   }
+
+  test("decontaminate flags corpus vectors near an eval vector, ties break to min eval id") {
+    val ex = Array(1.0f, 0.0f, 0.0f)
+    val ey = Array(0.0f, 1.0f, 0.0f)
+    val evalSet = Seq((100L, ex), (200L, ey)).toDF("eval_id", "ee")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // ≈ eval 100 → contaminated
+      (2L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to both → clean
+      (3L, Array(1.0f, 1.0f, 0.0f))    // equidistant → tie → eval 100
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.decontaminate(corpus, evalSet, minCos = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "nearest_eval", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq === Seq((1L, 100L, true), (2L, 100L, false), (3L, 100L, false)))
+  }
 }
