@@ -365,6 +365,52 @@ object Similarity {
         col("m.c").as("max_cos"),
         (col("m.c") >= minCos).as("contaminated"))
 
+  /** [[decontaminate]]'s sub-linear scale path: instead of scoring every
+    * corpus vector against every eval vector, both sides key by sign-LSH
+    * band buckets and only BUCKET COLLISIONS are scored — per corpus row
+    * the work is O(collisions), not O(|eval|), which is what survives
+    * when the eval side grows past broadcast-NL comfort or the corpus
+    * pays 10⁵-eval scans per row. A pair colliding in several bands
+    * yields duplicate scored rows; the per-corpus-id `max` aggregate is
+    * duplicate-idempotent, so no dedup exchange exists anywhere.
+    * Corpus rows colliding with nothing surface as clean with a NULL
+    * neighbor (left join against the corpus id set — contamination
+    * screens must report every row, not just candidates).
+    *
+    * Verdicts are exact on candidates; recall is the LSH curve
+    * (1 − (1 − p^r)^B), tuned for the HIGH-cosine region a
+    * contamination threshold lives in. The demo threshold sits low to
+    * exercise both verdicts on the near-orthogonal fixture; the oracle
+    * replays candidate generation itself (planes as SQL literals), so
+    * correctness is independent of recall.
+    */
+  def decontaminateAnn(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      evalSet: DataFrame, // (eval_id, ee: array<float>)
+      minCos: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(lshBandBuckets(col("embedding"), bands, rowsPerBand, dim, seed))
+        .as(Seq("band", "bkt")))
+    val e = evalSet.select(col("eval_id"), col("ee"),
+      posexplode(lshBandBuckets(col("ee"), bands, rowsPerBand, dim, seed))
+        .as(Seq("band", "bkt")))
+    val best = c.join(e, Seq("band", "bkt"))
+      .select(col("vec_id"),
+        struct(round(cosine_sim(col("embedding"), col("ee")), 6).as("c"),
+          (-col("eval_id")).as("nid")).as("s"))
+      .groupBy("vec_id")
+      .agg(max(col("s")).as("m"))
+    corpus.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), (-col("m.nid")).as("nearest_eval"),
+        col("m.c").as("max_cos"),
+        coalesce(col("m.c") >= minCos, lit(false)).as("contaminated"))
+  }
+
   /** Embedding near-dup CLUSTER assignment — the linear-output keeper
     * contract for the embedding family, like [[Dedup.minHashClusters]]
     * is for text (SemDeDup-flavored: keep one representative per

@@ -101,6 +101,26 @@ object TextAnalysis {
           .otherwise("ok"))
   }
 
+  /** Markup→text extraction — the crawl-to-corpus first step (the WET /
+    * Trafilatura stage of a web pipeline, reduced to its regex core):
+    * drop `<script>`/`<style>` ELEMENTS with their content (code and
+    * CSS must not leak into training text), strip every remaining tag,
+    * decode the five predefined character entities (`&amp;` LAST so
+    * `&amp;lt;` cannot double-decode), collapse whitespace. Pure
+    * scan-stage regex/replace chain — per-row work, zero shuffle, and
+    * every pattern avoids backreferences so RE2-family engines (the
+    * DuckDB oracle) replay it exactly.
+    */
+  def extractHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** k-token shingles of the normalized text (consecutive token windows
     * joined by single spaces); empty array when the doc has fewer than k
     * tokens. Pure higher-order functions — evaluated inside the scan

@@ -1980,6 +1980,144 @@ object PipelineQueries {
       |  (CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS contaminated
       |FROM m JOIN n USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  /** [[embDecontaminate]]'s sub-linear scale path (see
+    * [[graft.operators.Similarity.decontaminateAnn]]): both sides band
+    * by sign-LSH (16×4 here — the wider buckets give the
+    * near-orthogonal fixture a meaningful collision volume) and only
+    * bucket collisions are scored. The oracle replays candidate
+    * generation itself with the planes as SQL literals (the
+    * [[embAnn]]/[[embNearDup]] pattern), so the check is exact
+    * regardless of where the recall curve sits; corpus vectors
+    * colliding with nothing surface as clean with NULL neighbor —
+    * a contamination screen reports every row.
+    */
+  def embDecontaminateAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    Similarity.decontaminateAnn(emb.filter(col("vec_id") % 10 =!= 0), eval,
+        minCos = 0.35, bands = 16, rowsPerBand = 4)
+      .select(col("vec_id"), col("nearest_eval"),
+        round(col("max_cos"), 4).as("max_cos"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val embDecontaminateAnnSql: String = {
+    val values = (0 until 16).flatMap { b =>
+      graft.functions.SignLshBuckets.planes(numPlanes = 4, dim = 64, seed = 42L + 7919L * b)
+        .zipWithIndex.map { case (p, j) => s"($b, $j, ${sqlDoubleArray(p)}::DOUBLE[])" }
+    }.mkString(",\n")
+    s"""WITH planes(band, j, p) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |co AS (SELECT vec_id, e FROM emb WHERE vec_id % 10 <> 0),
+       |ev AS (SELECT vec_id AS eval_id, e AS ee FROM emb WHERE vec_id % 10 = 0),
+       |cb AS (SELECT vec_id, band,
+       |         sum(CASE WHEN list_dot_product(e, p) > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
+       |       FROM co, planes GROUP BY vec_id, band),
+       |eb AS (SELECT eval_id, band,
+       |         sum(CASE WHEN list_dot_product(ee, p) > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
+       |       FROM ev, planes GROUP BY eval_id, band),
+       |sc AS (SELECT cb.vec_id, eb.eval_id,
+       |         round(list_cosine_similarity(co.e, ev.ee), 6) AS c
+       |       FROM cb JOIN eb USING (band, bucket)
+       |       JOIN co ON co.vec_id = cb.vec_id
+       |       JOIN ev ON ev.eval_id = eb.eval_id),
+       |m AS (SELECT vec_id, max(c) AS mc FROM sc GROUP BY 1),
+       |n AS (SELECT sc.vec_id, min(eval_id) AS nearest_eval
+       |      FROM sc JOIN m ON sc.vec_id = m.vec_id AND sc.c = m.mc GROUP BY 1)
+       |SELECT co.vec_id, nearest_eval, round(mc, 4) AS max_cos,
+       |  (CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+       |FROM co LEFT JOIN (SELECT m.vec_id, mc, nearest_eval FROM m JOIN n USING (vec_id)) x
+       |  USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Markup→text extraction (see
+    * [[graft.operators.TextAnalysis.extractHtml]]). The fixture is
+    * plain text, so the query wraps each document in a deterministic
+    * HTML page — head with title/style/script, nav, entity-bearing
+    * furniture — and the operator must recover the payload: script and
+    * style CONTENT gone, tag text (title, nav, headings) kept,
+    * entities decoded. The oracle builds the identical page and
+    * replays the identical regex chain in DuckDB (all patterns
+    * RE2-safe by construction).
+    */
+  def docHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p { color: #"),
+      lpad(lower(hex(pmod(col("doc_id"), lit(4096L)))), 3, "0"),
+      lit("; }</style><script>var n = "), col("doc_id"),
+      lit(";</script></head><body><nav>home &amp; about</nav><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p><div class=\"x\">tail &lt;raw&gt;</div></body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.extractHtml(html).as("extracted"))
+      .select(col("doc_id"), length(col("extracted")).cast("long").as("n_chars"),
+        md5(col("extracted")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val docHtmlExtractSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  '<html><head><title>Doc ' || doc_id || '</title><style>p { color: #' ||
+      |  lpad(lower(hex(doc_id % 4096)), 3, '0') || '; }</style><script>var n = ' ||
+      |  doc_id || ';</script></head><body><nav>home &amp; about</nav><h1>Doc ' ||
+      |  doc_id || '</h1><p>' || text ||
+      |  '</p><div class="x">tail &lt;raw&gt;</div></body></html>' AS html
+      |  FROM documents),
+      |x1 AS (SELECT doc_id,
+      |  regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+      |x2 AS (SELECT doc_id,
+      |  regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+      |x3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM x2),
+      |x4 AS (SELECT doc_id,
+      |  replace(replace(replace(replace(replace(t,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      |  FROM x3),
+      |x5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM x4)
+      |SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
+      |FROM x5 ORDER BY doc_id""".stripMargin
+
+  /** First BPE merge iteration (Sennrich 2016, public literature — the
+    * tokenizer-TRAINING primitive, vs [[docVocab]]'s token ranking and
+    * [[docPmiBigrams]]'s token-level association): count adjacent
+    * CHARACTER pairs inside words, weighted by corpus word frequency,
+    * and rank the merge candidates. Scale shape: the word-frequency
+    * aggregate collapses the corpus to its vocabulary FIRST (one
+    * token-keyed shuffle over data that already exists in
+    * [[docVocab]]'s pipeline), so the per-character explode runs over
+    * unique words — vocabulary-sized, not corpus-sized; the global
+    * top-50 compiles to TakeOrderedAndProject (per-partition heaps).
+    */
+  def docBpe(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.orderBy(col("cnt").desc, col("pair")).limit(50)
+      .select(row_number().over(w).as("rank"), col("pair"), col("cnt"))
+      .orderBy("rank")
+  }
+
+  val docBpeSql: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+       |f AS (SELECT w, count(*)::BIGINT AS freq FROM t GROUP BY 1),
+       |p AS (SELECT substr(w, i, 2) AS pair, freq
+       |      FROM f, unnest(range(1, length(w))) AS u(i) WHERE length(w) >= 2),
+       |c AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1
+       |      ORDER BY cnt DESC, pair LIMIT 50)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+       |FROM c ORDER BY rank""".stripMargin
+
   /** Real audio decode: build a deterministic RIFF/WAVE PCM16 file per
     * document — 1-2 channels, varying sample rate, doc_id-derived
     * samples, and (for every third doc) a LIST metadata chunk between
@@ -2054,7 +2192,10 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
+    Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
+    Q("q_doc_bpe", docBpe, Some(docBpeSql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
+    Q("q_emb_decontaminate_ann", embDecontaminateAnn, Some(embDecontaminateAnnSql)),
     Q("q_mm_wav", mmWav, Some(mmWavSql)),
     Q("q_doc_mixture", docMixture, Some(docMixtureSql)),
     Q("q_doc_length_quantiles", docLengthQuantiles, Some(docLengthQuantilesSql)),

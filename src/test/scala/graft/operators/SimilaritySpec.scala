@@ -148,4 +148,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(r.toSeq === Seq((1L, 100L, true), (2L, 100L, false), (3L, 100L, false)))
   }
+
+  test("decontaminateAnn: colliders score exactly, non-colliders surface as clean NULL rows") {
+    val dim = 64
+    val e = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val near = e.map(v => v * 0.99f) // same direction → same bucket in every band
+    val anti = e.map(v => -v) // every sign bit flips → no shared bucket in ANY band
+    val evalSet = Seq((100L, e)).toDF("eval_id", "ee")
+    val corpus = Seq((1L, near), (2L, anti)).toDF("vec_id", "embedding")
+    val r = Similarity.decontaminateAnn(corpus, evalSet, minCos = 0.9, dim = dim)
+      .orderBy("vec_id").collect()
+    assert(r(0).getLong(1) === 100L && r(0).getDouble(2) > 0.99 && r(0).getBoolean(3))
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2) && !r(1).getBoolean(3))
+  }
 }

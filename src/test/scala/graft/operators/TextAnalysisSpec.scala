@@ -99,4 +99,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect()
     assert(got.toSeq === Seq("short", "no_stopwords", "ok"))
   }
+
+  test("extractHtml: element content dropped, tags stripped, entities decoded once") {
+    val df = Seq(
+      "<p>Hello <b>world</b></p>",
+      // raw '<' inside script must not survive or break tag stripping
+      "<script>var a = 1 < 2;</script>keep<style>p{}</style>",
+      "A &amp;amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39;",
+      "<SCRIPT src=x>nope</SCRIPT>ok"
+    ).toDF("h")
+    val out = df.select(TextAnalysis.extractHtml(col("h"))).as[String].collect()
+    assert(out(0) === "Hello world")
+    assert(out(1) === "keep")
+    // &amp;amp; is the ESCAPED literal "&amp;" — decoding must not run twice
+    assert(out(2) === "A &amp; B <x> \"q\" 's'")
+    assert(out(3) === "ok")
+  }
 }
