@@ -445,6 +445,62 @@ object Curation {
     Seq("logit" -> logit, "score" -> score, "keep" -> (score >= 0.5))
   }
 
+  /** TRAIN the quality classifier [[qualityModelColumns]] only applies
+    * (the fastText-style weak-supervision step of a CCNet-class
+    * pipeline: label a slice heuristically, fit a linear model over
+    * hashed token features, score the rest of the corpus): full-batch
+    * logistic-regression gradient descent, `iters` unrolled rounds of
+    *   z_d = Σ_b x_db·w_b,  p_d = σ(z_d),
+    *   g_b = Σ_d x_db·(p_d − y_d)/N,  w ← w − lr·g
+    * with x the per-doc hashed-bucket term frequency (same md5-prefix
+    * bucketing as [[Sampling.dsirWeights]]).
+    *
+    * Scale shape — the SQL-native twin of MLlib's treeAggregate loop:
+    * the feature table is built once and staged ([[Funnel.stage]] —
+    * every round reads it twice); per round the B-row model BROADCASTS
+    * to a feature-table scan (z: one doc-keyed aggregate), the
+    * gradient is one bucket-keyed aggregate with map-side partials,
+    * and the new model is staged so round t+1's lineage doesn't replay
+    * round t. Nothing driver-side; N rides along as a broadcast
+    * 1-row aggregate. Intermediate z/p/g round to 9 decimals so the
+    * whole trajectory replays bit-identically in the DuckDB oracle
+    * (the [[Similarity.kmeansCentroids]] determinism discipline).
+    *
+    * Output: (bucket, weight) over the full bucket domain, weights
+    * rounded to 6.
+    */
+  def trainQualityModel(docs: DataFrame, label: Column, buckets: Int,
+      iters: Int, lr: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must fit 4 hex digits, got $buckets")
+    val s = docs.sparkSession
+    val tf = Funnel.stage(docs
+      .select(col(idCol).cast("long").as("id"), label.cast("double").as("y"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("y"), size(col("toks")).cast("double").as("n"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("y"), col("n"),
+        pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+      .agg((count(lit(1)) / col("n")).as("x")))
+    val nD = broadcast(tf.select(countDistinct("id").as("nd")))
+    var w: DataFrame = s.range(buckets).select(col("id").as("b"), lit(0.0).as("w"))
+    for (_ <- 1 to iters) {
+      val p = tf.join(broadcast(w), Seq("b"), "left")
+        .groupBy("id", "y")
+        .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))), 9).as("z"))
+        .select(col("id"), col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9).as("p"))
+      val grad = tf.join(p.select("id", "p"), "id")
+        .crossJoin(nD)
+        .groupBy("b")
+        .agg(round(sum(col("x") * (col("p") - col("y"))) / first("nd"), 9).as("g"))
+      w = Funnel.stage(w.join(grad, Seq("b"), "left")
+        .select(col("b"), round(col("w") - coalesce(col("g"), lit(0.0)) * lr, 9).as("w")))
+    }
+    w.select(col("b").as("bucket"), round(col("w"), 6).as("weight"))
+  }
+
   /** Deterministic pretend-trained weight table for
     * [[qualityModelColumns]] demos/oracles: bucket b ↦
     * (md5(b) mod 2001) − 1000 milli-units, embedded as literals on

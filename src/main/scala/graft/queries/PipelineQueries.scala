@@ -2082,6 +2082,41 @@ object PipelineQueries {
       |SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
       |FROM x5 ORDER BY doc_id""".stripMargin
 
+  /** Quality-classifier TRAINING (see
+    * [[graft.operators.Curation.trainQualityModel]]): weak labels mark
+    * `src0` documents as the quality-positive class, 2 unrolled
+    * logistic-GD rounds over 64 hashed-unigram buckets, lr 1. The
+    * oracle replays the full trajectory CTE-by-CTE (round 1's p is
+    * exactly 0.5 since w₀ = 0, so it folds to a constant there).
+    */
+  def docQualityTrain(s: SparkSession, dir: String): DataFrame =
+    Curation.trainQualityModel(Tables.documents(s, dir),
+        label = col("source") === "src0", buckets = 64, iters = 2)
+      .orderBy("bucket")
+
+  val docQualityTrainSql: String =
+    s"""WITH d AS (SELECT doc_id AS id,
+       |             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+       |             string_split($normSql, ' ') AS t FROM documents),
+       |u AS (SELECT id, y, len(t) AS n, unnest(t) AS tok FROM d),
+       |tf AS (SELECT id, y, ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS b,
+       |         count(*) * 1.0 / any_value(n) AS x
+       |       FROM u GROUP BY id, y, b),
+       |nd AS (SELECT count(DISTINCT id)::BIGINT AS nd FROM tf),
+       |dom AS (SELECT unnest(range(0, 64)) AS b),
+       |g1 AS (SELECT b, round(sum(x * (0.5 - y)) / any_value(nd), 9) AS g
+       |       FROM tf, nd GROUP BY b),
+       |w1 AS (SELECT dom.b, round(0.0 - coalesce(g, 0.0), 9) AS w
+       |       FROM dom LEFT JOIN g1 USING (b)),
+       |z2 AS (SELECT id, y, round(sum(x * coalesce(w, 0.0)), 9) AS z
+       |       FROM tf LEFT JOIN w1 USING (b) GROUP BY id, y),
+       |p2 AS (SELECT id, round(1.0 / (1.0 + exp(-z)), 9) AS p FROM z2),
+       |g2 AS (SELECT b, round(sum(x * (p - y)) / any_value(nd), 9) AS g
+       |       FROM tf JOIN p2 USING (id), nd GROUP BY b),
+       |w2 AS (SELECT w1.b, round(w - coalesce(g, 0.0), 9) AS w
+       |       FROM w1 LEFT JOIN g2 USING (b))
+       |SELECT b AS bucket, round(w, 6) AS weight FROM w2 ORDER BY bucket""".stripMargin
+
   /** First BPE merge iteration (Sennrich 2016, public literature — the
     * tokenizer-TRAINING primitive, vs [[docVocab]]'s token ranking and
     * [[docPmiBigrams]]'s token-level association): count adjacent
@@ -2194,6 +2229,7 @@ object PipelineQueries {
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
+    Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
     Q("q_emb_decontaminate_ann", embDecontaminateAnn, Some(embDecontaminateAnnSql)),
     Q("q_mm_wav", mmWav, Some(mmWavSql)),

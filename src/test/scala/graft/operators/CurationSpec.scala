@@ -360,6 +360,30 @@ class CurationSpec extends SparkSpec {
     assert(r.head === ((1L, 3L, 3L, "echo\necho\necho")))
   }
 
+  test("trainQualityModel learns signed weights separating the labeled classes") {
+    // class-symmetric construction: the shared token's gradient cancels
+    val docs = Seq(
+      (1L, "good good fine", "pos"), (2L, "good nice fine", "pos"),
+      (3L, "bad bad fine", "neg"), (4L, "bad worse fine", "neg")
+    ).toDF("doc_id", "text", "source")
+    val w = Curation.trainQualityModel(docs, label = col("source") === "pos",
+        buckets = 64, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    // class-exclusive tokens pull their buckets apart; the shared token
+    // ("fine", equal mass both classes) stays at zero gradient
+    assert(w(bucket("good")) > 0.0)
+    assert(w(bucket("bad")) < 0.0)
+    assert(math.abs(w(bucket("fine"))) < 1e-6)
+    // untouched buckets remain exactly zero
+    val used = Seq("good", "nice", "fine", "bad", "awful", "worse").map(bucket).toSet
+    assert(w.filterNot(kv => used.contains(kv._1)).values.forall(_ == 0.0))
+  }
+
   test("ngramNovelty attributes first occurrence to the minimum doc id") {
     val docs = Seq(
       (10L, "a b c d e"), // owns both its 4-grams
