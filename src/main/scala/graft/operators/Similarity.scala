@@ -65,6 +65,15 @@ object Similarity {
         round(col("col._2"), 4).as("cos"), (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** Public two-phase top-k per key over an already-scored
+    * (qid, nid, c) table — the [[rankTopK]] contract for callers
+    * outside the embedding family (e.g. BM25 retrieval): k-bounded
+    * partial aggregates map-side, only k rows per (partition, key)
+    * cross the wire, never a per-key global window. Ordering:
+    * round(c, 6) desc, nid asc; output c rounds to 4.
+    */
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame = rankTopK(scored, k)
+
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); ordering ties broken by neighbor id after
     * rounding to 6 decimals so results are engine-deterministic.

@@ -2082,6 +2082,70 @@ object PipelineQueries {
       |SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
       |FROM x5 ORDER BY doc_id""".stripMargin
 
+  /** BM25 retrieval over the corpus (Robertson-Spärck Jones, the
+    * Lucene-practical form with idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * k1 = 1.2, b = 0.75): three literal keyword queries score against
+    * the token postings and each returns its top-10 documents — the
+    * eval-retrieval / hard-negative-mining step of a data pipeline,
+    * and the lexical complement of [[embTopK]].
+    *
+    * Scale shape: the postings table (doc, tok, tf) builds once and is
+    * staged (df table, doc lengths, and scoring all read it); the tiny
+    * query set BROADCASTS onto the postings scan so only matching
+    * postings survive into the join chain; per-query ranking is the
+    * bounded [[graft.operators.Similarity.topKPerKey]] two-phase
+    * aggregate — k rows per partition cross the wire, never a
+    * per-query global window over the corpus. Every intermediate
+    * (idf, term) rounds to 9 so DuckDB replays the arithmetic exactly.
+    */
+  def docBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val post = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf")))
+    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum("dl") / count(lit(1))).as("avgdl")))
+    val dfT = post.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val queries = Seq((1L, "table"), (1L, "row"), (2L, "fast"), (2L, "scan"),
+      (2L, "agg"), (3L, "stream"), (3L, "window")).toDF("qid", "tok")
+    val scored = post
+      .join(broadcast(queries), "tok")
+      .join(dl, "doc_id")
+      .join(dfT, "tok")
+      .crossJoin(stats)
+      .select(col("qid"), col("doc_id").as("nid"),
+        round(round(log(round((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)), 9) + 1), 9)
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+          .as("term"))
+      .groupBy("qid", "nid").agg(round(sum("term"), 6).as("c"))
+    Similarity.topKPerKey(scored.select("qid", "nid", "c"), 10)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("cos").as("score"), col("rn").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val docBm25Sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |st AS (SELECT count(*)::DOUBLE AS nd, sum(dl) / count(*) AS avgdl FROM dl),
+       |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       |q(qid, tok) AS (VALUES (1, 'table'), (1, 'row'), (2, 'fast'), (2, 'scan'),
+       |                       (2, 'agg'), (3, 'stream'), (3, 'window')),
+       |sc AS (SELECT qid::BIGINT AS qid, p.doc_id,
+       |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 9)), 6) AS s
+       |       FROM post p JOIN q USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |         JOIN dft USING (tok) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, s,
+       |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rn FROM sc)
+       |SELECT qid AS query_id, doc_id, round(s, 4) AS score, rn AS rank
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Quality-classifier TRAINING (see
     * [[graft.operators.Curation.trainQualityModel]]): weak labels mark
     * `src0` documents as the quality-positive class, 2 unrolled
@@ -2230,6 +2294,7 @@ object PipelineQueries {
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
+    Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
     Q("q_emb_decontaminate_ann", embDecontaminateAnn, Some(embDecontaminateAnnSql)),
     Q("q_mm_wav", mmWav, Some(mmWavSql)),
