@@ -2158,8 +2158,12 @@ object PipelineQueries {
         label = col("source") === "src0", buckets = 64, iters = 2)
       .orderBy("bucket")
 
-  val docQualityTrainSql: String =
-    s"""WITH d AS (SELECT doc_id AS id,
+  /** Shared CTE chain for the quality-training contracts: hashed-bucket
+    * term frequencies, then the 2-round unrolled logistic-GD
+    * trajectory ending in `w2(b, w)` — the trained model.
+    */
+  private def qualityTrainCtes: String =
+    s"""d AS (SELECT doc_id AS id,
        |             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
        |             string_split($normSql, ' ') AS t FROM documents),
        |u AS (SELECT id, y, len(t) AS n, unnest(t) AS tok FROM d),
@@ -2178,8 +2182,57 @@ object PipelineQueries {
        |g2 AS (SELECT b, round(sum(x * (p - y)) / any_value(nd), 9) AS g
        |       FROM tf JOIN p2 USING (id), nd GROUP BY b),
        |w2 AS (SELECT w1.b, round(w - coalesce(g, 0.0), 9) AS w
-       |       FROM w1 LEFT JOIN g2 USING (b))
+       |       FROM w1 LEFT JOIN g2 USING (b))""".stripMargin
+
+  val docQualityTrainSql: String =
+    s"""WITH $qualityTrainCtes
        |SELECT b AS bucket, round(w, 6) AS weight FROM w2 ORDER BY bucket""".stripMargin
+
+  /** Apply the [[docQualityTrain]] model back over the corpus — the
+    * full train→score→keep loop in one declared pipeline (CCNet's
+    * "train the LM filter on the target slice, score everything"):
+    * the trained 64-row model is a [[graft.operators.Funnel.stage]]
+    * boundary and BROADCASTS onto a fresh corpus feature scan; the
+    * apply side is one doc-keyed aggregate. The oracle extends the
+    * training CTE chain with the scoring pass.
+    */
+  def docQualityApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Funnel.stage(Curation.trainQualityModel(docs,
+      label = col("source") === "src0", buckets = 64, iters = 2))
+    val tf = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("n"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("n"),
+        pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(64L)).as("bucket"))
+      .agg((count(lit(1)) / col("n")).as("x"))
+    // staged: the scored table feeds the threshold aggregate AND the
+    // verdict join; weak labels are rare (5 % here) so the raw-sigmoid
+    // 0.5 cut is miscalibrated — keep the top prior-sized HEAD of the
+    // score distribution instead (the CCNet selection rule)
+    val scored = Funnel.stage(tf.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("x") * col("weight")), 9).as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score")))
+    val th = scored.agg(round(expr("percentile(score, 0.95D)"), 6).as("th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= col("th")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val docQualityApplySql: String =
+    s"""WITH $qualityTrainCtes,
+       |wf AS (SELECT b, round(w, 6) AS w FROM w2),
+       |sc AS (SELECT id, round(sum(x * w), 9) AS z
+       |       FROM tf JOIN wf USING (b) GROUP BY id),
+       |sc2 AS (SELECT id, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM sc),
+       |th AS (SELECT round(quantile_cont(score, 0.95), 6) AS th FROM sc2)
+       |SELECT id AS doc_id, score,
+       |  (CASE WHEN score >= th THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM sc2, th ORDER BY doc_id""".stripMargin
 
   /** First BPE merge iteration (Sennrich 2016, public literature — the
     * tokenizer-TRAINING primitive, vs [[docVocab]]'s token ranking and
@@ -2295,6 +2348,7 @@ object PipelineQueries {
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
+    Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
     Q("q_emb_decontaminate_ann", embDecontaminateAnn, Some(embDecontaminateAnnSql)),
     Q("q_mm_wav", mmWav, Some(mmWavSql)),
