@@ -672,15 +672,27 @@ object Curation {
     *
     * Output: (id, n_lines, n_kept, kept_text) — one row per input
     * document, `kept_text` empty when every line was boilerplate.
+    *
+    * `prior` (line, df) carries distinct-doc counts accumulated from
+    * EARLIER data — the incremental form: a micro-batch strips against
+    * prior knowledge plus its own counts, so the decision for a line
+    * is identical to what a batch run over everything-so-far would
+    * make (see `q_stream_boilerplate`).
     */
   def stripBoilerplate(docs: DataFrame, minDocs: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      prior: Option[DataFrame] = None): DataFrame = {
     val lines = Funnel.stage(docs.select(col(idCol).cast("long").as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))))
-    val boiler = lines.select(col("id"), col("line")).distinct()
+    val own = lines.select(col("id"), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("line")
+    val total = prior match {
+      case Some(p) => own
+        .join(p.select(col("line"), col("df").as("pdf")), Seq("line"), "left")
+        .select(col("line"), (col("df") + coalesce(col("pdf"), lit(0L))).as("df"))
+      case None => own
+    }
+    val boiler = total.filter(col("df") >= minDocs).select("line")
     val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
       .groupBy("id")
       .agg(count(lit(1)).as("n_kept"),

@@ -443,9 +443,13 @@ object Dedup {
       verifyThreshold: Double = 0.9,
       idCol: String = "doc_id",
       textCol: String = "text",
-      seed: Long = 42L
+      seed: Long = 42L,
+      // a caller that will ALSO append the delta's index to the store
+      // passes it prebuilt (materialized) so the batch is minhashed
+      // once, not once for the probe and again for the append
+      deltaIndex: Option[DataFrame] = None
   ): DataFrame = {
-    val dBand = bandIndex(delta, bands, rows, idCol, textCol, seed)
+    val dBand = deltaIndex.getOrElse(bandIndex(delta, bands, rows, idCol, textCol, seed))
     // staged: the candidate set feeds the id-restriction AND the verify
     // join — without the boundary the probe join would run twice
     val cand = Funnel.stage(dBand.as("x").join(baseIndex.as("y"), "key")

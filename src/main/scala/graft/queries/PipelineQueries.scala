@@ -1901,18 +1901,25 @@ object PipelineQueries {
     * genuinely frequent. The oracle replays the lining, the
     * distinct-doc line frequencies, the strip, and the ordered rebuild.
     */
-  def docBoilerplate(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic line structure for the boilerplate contracts: every
+    * 3 consecutive tokens become one newline-joined "line" (the fixture
+    * has no native lines; the tiny vocabulary makes cross-document
+    * 3-token collisions — the boilerplate — genuinely frequent).
+    */
+  private[queries] def linedDocs(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val lined = Tables.documents(s, dir).select(col("doc_id"),
+    docs.select(col("doc_id"),
       array_join(transform(
         sequence(lit(0L), floor((size(toks) + lit(2)) / lit(3)).cast("long") - 1),
         g => array_join(slice(toks, (g * 3 + 1).cast("int"), lit(3)), " ")), "\n")
         .as("text"))
-    Curation.stripBoilerplate(lined, minDocs = 2)
+  }
+
+  def docBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.stripBoilerplate(linedDocs(Tables.documents(s, dir)), minDocs = 2)
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("kept_text")).as("kept_md5"))
       .orderBy("doc_id")
-  }
 
   val docBoilerplateSql: String =
     s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),

@@ -730,16 +730,19 @@ object StreamingQueries {
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // the PERSISTED band index is read, never recomputed — a
-        // batch's probe cost tracks the batch, not the store
-        // appends are coalesced: each batch lands ONE file per store
+        // batch's probe cost tracks the batch, not the store; the
+        // batch's OWN index is materialized once and serves both the
+        // probe and the store append (one minhash pass per batch).
+        // Appends are coalesced: each batch lands ONE file per store
         // (the compaction discipline any streaming-ingest store needs —
         // 32-way tiny appends would strangle the re-reads with file
         // overhead long before data volume matters)
+        val idx = graft.operators.Dedup.bandIndex(batch).localCheckpoint()
         graft.operators.Dedup.deltaMinHashKeepersWithIndex(
-            s.read.parquet(keyStore), s.read.parquet(docStore), batch)
+            s.read.parquet(keyStore), s.read.parquet(docStore), batch,
+            deltaIndex = Some(idx))
           .coalesce(1).write.mode("append").parquet(resDir)
-        graft.operators.Dedup.bandIndex(batch).coalesce(1)
-          .write.mode("append").parquet(keyStore)
+        idx.coalesce(1).write.mode("append").parquet(keyStore)
         batch.coalesce(1).write.mode("append").parquet(docStore)
         ()
       }
@@ -748,6 +751,100 @@ object StreamingQueries {
     q.awaitTermination()
     s.read.parquet(resDir).orderBy("id")
   }
+
+  /** Streaming INCREMENTAL boilerplate strip — the continuous form of
+    * [[PipelineQueries.docBoilerplate]]: documents arrive as 3
+    * micro-batches; each batch strips its lines against the PERSISTED
+    * line-frequency store PLUS its own counts
+    * ([[graft.operators.Curation.stripBoilerplate]]'s `prior` hook), so
+    * the per-line decision equals what a batch run over
+    * everything-so-far would make, then merges its counts into the
+    * store. The store is versioned per batch (read v(b−1), write v(b) —
+    * a full-outer merge-on-write; at production scale that merge is the
+    * LSM compaction a merge-capable table format does for you, and the
+    * store is line-keyed so it merges without ever touching the
+    * corpus). Batch files carry forced ascending mtimes; the oracle
+    * replays batch id = doc_id mod 3 with a cumulative-df window, so a
+    * line's strip verdict flips across batches exactly when the
+    * accumulated distinct-doc count crosses the threshold.
+    */
+  def streamBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = freshDir(dir, "sbp_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"sbp_tmp$b")
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "sbp_store")
+    val resDir = freshDir(dir, "sbp_res")
+    // pre-seed an empty store version and result table
+    s.range(0).select(col("id").cast("string").as("line"), col("id").as("df"))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    s.range(0).select(col("id").as("doc_id"), col("id").as("n_lines"),
+        col("id").as("n_kept"), col("id").cast("string").as("kept_md5"))
+      .write.mode("overwrite").parquet(resDir)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorPath =
+          if (batchId == 0) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        val prior = s.read.parquet(priorPath)
+        val lined = PipelineQueries.linedDocs(batch)
+        graft.operators.Curation
+          .stripBoilerplate(lined, minDocs = 2, prior = Some(prior))
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("kept_text")).as("kept_md5"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        // merge this batch's distinct-doc line counts into the store
+        val own = lined
+          .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .distinct()
+          .groupBy("line").agg(count(lit(1)).as("df"))
+        prior.select(col("line"), col("df").as("pdf"))
+          .join(own.select(col("line"), col("df").as("odf")), Seq("line"), "full_outer")
+          .select(col("line"),
+            (coalesce(col("pdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("doc_id")
+  }
+
+  val streamBoilerplateSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 3 AS batch,
+      |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |l AS (SELECT doc_id, batch, unnest(range(0, (len(t)+2)//3)) AS pos, t FROM d),
+      |ln AS (SELECT doc_id, batch, pos,
+      |         array_to_string(t[pos*3+1:pos*3+3], ' ') AS line FROM l),
+      |df AS (SELECT line, batch, count(DISTINCT doc_id) AS c FROM ln GROUP BY 1, 2),
+      |cum AS (SELECT line, batch,
+      |          sum(c) OVER (PARTITION BY line ORDER BY batch) AS cdf FROM df),
+      |k AS (SELECT ln.doc_id, ln.pos, ln.line
+      |      FROM ln JOIN cum ON ln.line = cum.line AND ln.batch = cum.batch
+      |      WHERE cdf < 2),
+      |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+      |        string_agg(line, chr(10) ORDER BY pos) AS kept FROM k GROUP BY 1),
+      |n AS (SELECT doc_id, ((len(t)+2)//3)::BIGINT AS n_lines FROM d)
+      |SELECT n.doc_id, n_lines, coalesce(n_kept, 0)::BIGINT AS n_kept,
+      |  md5(coalesce(kept, '')) AS kept_md5
+      |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val streamDeltaMinhashSql: String = {
     import graft.operators.Dedup
@@ -1393,6 +1490,7 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(
     Q("q_stream_curate", streamCurate, Some(streamCurateSql)),
     Q("q_stream_delta_minhash", streamDeltaMinhash, Some(streamDeltaMinhashSql)),
+    Q("q_stream_boilerplate", streamBoilerplate, Some(streamBoilerplateSql)),
     Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
