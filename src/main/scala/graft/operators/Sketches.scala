@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size probabilistic summaries — the cardinality / frequency /
+  * membership layer a 100 TB curation pipeline runs where exact
+  * answers would shuffle the corpus: HyperLogLog distinct counting
+  * (Flajolet 2007), count-min frequency sketching (Cormode 2005), and
+  * Bloom-filter membership (Bloom 1970). The reference exposes the
+  * same trio through its aggregate-function battery
+  * (flink-table-runtime-blink approximate aggs and the
+  * BloomFilter-based runtime filters in
+  * flink-table-planner-blink/../BatchPhysicalRuntimeFilter); here each
+  * is an ordinary DataFrame aggregation whose STATE is the whole
+  * point: registers / cells / bits are constant-size regardless of
+  * input, built by map-side partial aggregation (max / count are
+  * associative), so at 100 TB each sketch costs one scan plus a
+  * shuffle of at most a few thousand aggregated rows.
+  *
+  * Everything is integer arithmetic over md5-derived hashes — no
+  * engine-specific hashing, no float accumulation — so DuckDB replays
+  * the sketches bit-for-bit and the driver hash-checks estimates, not
+  * just shapes (contrast `approx_count_distinct`, whose HLL++ buffer
+  * is Spark-private and unverifiable). Production users on Spark can
+  * swap the portable hash for xxhash64 without touching the algebra,
+  * exactly like the MinHash production/portable twins in [[Dedup]].
+  */
+object Sketches {
+
+  /** Portable 60-bit non-negative hash: first 15 hex chars of md5 —
+    * the cross-engine idiom shared with [[Dedup.portablePerms]].
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers over an item column: bucket = low lg(m)
+    * hash bits, register = max over the bucket of the leading-zero
+    * rank of the remaining `wBits` bits. Max is idempotent AND
+    * associative, so duplicates need no pre-distinct and the whole
+    * sketch is one map-side-combined aggregate to `m` rows — the
+    * reason HLL is THE distinct-count at 100 TB while
+    * `count(distinct)` shuffles every unique value.
+    *
+    * Returns exactly `m` rows (bucket, reg), absent buckets filled
+    * with reg = 0. Rank arithmetic is integer-exact via the binary
+    * string length (both engines' `bin()` drops leading zeros):
+    * rho(w) = wBits - len(bin(w)) + 1 for w > 0, wBits + 1 for w = 0.
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int, wBits: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val spark = items.sparkSession
+    val h = h60(col(itemCol))
+    val w = (h / m).as("w")
+    val rho = when(col("w") === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+    val present = items
+      .select((h % m).as("bucket"), w)
+      .select(col("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+    spark.range(m).select(col("id").as("bucket"))
+      .join(present, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("reg"), lit(0L)).cast("long").as("reg"))
+  }
+
+  /** Raw HLL estimate from a register table: alpha·m² / Σ 2^(−reg),
+    * the harmonic-mean formula. The float-order trap — summing 64
+    * doubles associates differently across engines — is dodged by
+    * keeping the sum INTEGER: Σ 2^(−reg) = Σ 2^(maxRho − reg) / 2^maxRho
+    * with maxRho = wBits + 1, numerator a single BIGINT. Only the final
+    * alpha·m²·2^maxRho / S division is floating point (one IEEE op
+    * chain, literal-identical on both engines), rounded to 3.
+    *
+    * Valid in the large-range regime (no empty-register linear-counting
+    * correction — the corpora here populate every register; callers in
+    * the small regime should read `reg = 0` rows as the signal to
+    * switch, per the paper).
+    */
+  def hllEstimate(registers: DataFrame, m: Int, wBits: Int, alpha: Double): DataFrame = {
+    val maxRho = wBits + 1
+    registers
+      .select(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - reg as int))").as("term"))
+      .agg(sum("term").as("s"))
+      .select(round(lit(alpha) * lit(m * m) * lit(math.pow(2.0, maxRho)) / col("s"), 3)
+        .as("est_distinct"))
+  }
+
+  // ---------------------------------------------------------- count-min
+
+  /** Count-min sketch cells over an item column: `depth` independent
+    * hash rows ("|"-salted md5) × `width` buckets, cell = count of
+    * items hashing there. One explode (depth× the items) feeding one
+    * hash aggregate to ≤ depth·width rows; at 100 TB the sketch is a
+    * few KB of state built with map-side partials while an exact
+    * frequency table would be billions of rows.
+    */
+  def cmsCells(items: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame =
+    items
+      .select(col(itemCol).as("item"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(col("r"),
+        (h60(concat(col("r").cast("string"), lit("|"), col("item"))) % width).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  /** Point-query the sketch for each probe item: estimate = min over
+    * the depth rows of the addressed cell — an upper bound on the true
+    * count (collisions only ADD), within εN with probability 1−δ for
+    * width = e/ε, depth = ln(1/δ). Probes are expected tiny (heavy-
+    * hitter candidates); the cells table is broadcast.
+    */
+  def cmsLookup(cells: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val addressed = probes
+      .withColumn("r", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("b",
+        h60(concat(col("r").cast("string"), lit("|"), col(itemCol))) % width)
+    addressed.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min("c").cast("long").as("est_cnt"))
+  }
+
+  // -------------------------------------------------------------- Bloom
+
+  /** Bloom-filter bit positions set by an item column: k "|"-salted
+    * md5 hashes into [0, mBits). Returned as the ≤ mBits distinct set
+    * positions — the relational encoding of the bit array (a physical
+    * deployment packs them into mBits/8 bytes and broadcasts; the
+    * driver-verifiable form keeps them as rows). Build is one scan +
+    * one distinct over at most mBits values: the classic "have we seen
+    * this URL/fingerprint" state that lets a 100 TB ingest probe
+    * membership WITHOUT joining against the corpus-sized key set.
+    */
+  def bloomBits(items: DataFrame, itemCol: String, k: Int, mBits: Int): DataFrame =
+    items
+      .select(explode(array((0 until k).map(i =>
+        h60(concat(lit(i.toString), lit("|"), col(itemCol))) % mBits): _*)).as("pos"))
+      .distinct()
+
+  /** Probe the filter: hit ⇔ all k addressed positions are set. No
+    * false negatives (every inserted item's positions are set by
+    * construction); false-positive rate ≈ (1 − e^(−kn/m))^k. The bits
+    * table is broadcast — fixed-size, corpus-independent.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, itemCol: String,
+      k: Int, mBits: Int): DataFrame = {
+    val addressed = probes
+      .withColumn("pos", explode(array((0 until k).map(i =>
+        h60(concat(lit(i.toString), lit("|"), col(itemCol))) % mBits): _*)))
+    addressed
+      .join(broadcast(bits.withColumn("set", lit(1))), Seq("pos"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg((count(col("set")) === k).cast("long").as("bloom_hit"))
+  }
+}

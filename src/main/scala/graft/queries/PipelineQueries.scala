@@ -575,6 +575,60 @@ object PipelineQueries {
        |  JOIN uc c2 ON c2.tok = string_split(bigram, ' ')[2], tu
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Kneser–Ney interpolated bigram LM (the smoothing KenLM — CCNet's
+    * perplexity filter — actually uses, upgrading [[docBigramLogprob]]'s
+    * additive interpolation): p(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) +
+    * (D/c(w1·))·N1+(w1·)·p_cont(w2), with p_cont(w2) = N1+(·w2)/|bigram
+    * types| — the continuation probability that down-weights words
+    * frequent only inside fixed collocations. All model statistics
+    * (bigram counts, per-context totals and fan-outs, per-word fan-ins,
+    * the type total) derive from ONE bigram-count aggregate — context
+    * and continuation tables are second-level aggs of `bc`, tiny and
+    * token-keyed; the scoring joins are the same distributed shape as
+    * the other LMs. D = 0.75 (Chen & Goodman 1999's fixed discount).
+    * Probabilities rounded to 9 before ln, the mean to 6.
+    */
+  def docKnLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bi = docs.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+    val bc = Funnel.stage(bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .select(col("bigram"), col("cb"),
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2")))
+    val ctx = bc.groupBy("w1").agg(sum("cb").as("c1"), count(lit(1)).as("nfwd"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("nback"))
+    val types = bc.agg(count(lit(1)).as("tt"))
+    bi.join(bc, "bigram")
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        (-log(round((greatest(col("cb") - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("nfwd") * col("nback") / col("tt")) / col("c1"), 9))).as("nll"))
+      .groupBy("doc_id")
+      .agg(round(avg("nll"), 6).as("mean_nll"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val docKnLogprobSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |         i -> t[i] || ' ' || t[i+1])) AS bigram FROM d WHERE len(t) >= 2),
+       |bc AS (SELECT bigram, count(*)::BIGINT AS cb,
+       |         string_split(bigram, ' ')[1] AS w1,
+       |         string_split(bigram, ' ')[2] AS w2 FROM bi GROUP BY 1),
+       |ctx AS (SELECT w1, sum(cb)::BIGINT AS c1, count(*)::BIGINT AS nfwd FROM bc GROUP BY 1),
+       |cont AS (SELECT w2, count(*)::BIGINT AS nback FROM bc GROUP BY 1),
+       |ty AS (SELECT count(*)::BIGINT AS tt FROM bc)
+       |SELECT doc_id,
+       |  round(avg(-ln(round((greatest(cb - 0.75::DOUBLE, 0.0::DOUBLE) +
+       |    0.75::DOUBLE * nfwd * nback / tt) / c1, 9))), 6) AS mean_nll,
+       |  count(*)::BIGINT AS n_bigrams
+       |FROM bi JOIN bc USING (bigram) JOIN ctx USING (w1) JOIN cont USING (w2), ty
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style LM quality proxy: per-document mean unigram negative
     * log-probability under a model estimated from the corpus itself
     * (high = rare-token-heavy / gibberish, low = common boilerplate;
@@ -2382,6 +2436,7 @@ object PipelineQueries {
     Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
     Q("q_doc_blocklist", docBlocklist, Some(docBlocklistSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
+    Q("q_doc_kn_logprob", docKnLogprob, Some(docKnLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("q_doc_tokens", docTokens, Some(docTokensSql)),
     Q("q_doc_quality", docQuality, Some(docQualitySql)),

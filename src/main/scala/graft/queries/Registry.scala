@@ -7,6 +7,6 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all ++
-      PipelineQueries.all ++ StreamingQueries.all ++ ApiQueries.all ++
+      PipelineQueries.all ++ SketchQueries.all ++ StreamingQueries.all ++ ApiQueries.all ++
       SourceQueries.all ++ MiscQueries.all ++ TpchQueries.all
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Funnel, Sketches, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-summary queries over the documents table
+  * ([[graft.operators.Sketches]]): HyperLogLog distinct counting,
+  * count-min heavy-hitter estimation, Bloom-filter membership for
+  * incremental dedup. Each query carries the EXACT answer alongside
+  * the estimate as an audit column — at test scale both are cheap, and
+  * the driver's DuckDB oracle replays sketch and audit bit-for-bit
+  * (all-integer register/cell/bit arithmetic; the only floats are one
+  * literal-identical IEEE op chain per estimate, rounded). At 100 TB
+  * the audit column is what you DROP: the sketches are the scalable
+  * path, constant-size state built from map-side partials.
+  */
+object SketchQueries {
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** HLL over distinct 3-gram shingles: 64 registers on the low 6 hash
+    * bits, rank of the remaining 54. Registers are staged (64 rows)
+    * so the estimate and the register dump share one corpus aggregate;
+    * the exact-distinct audit is the second, independent scan.
+    */
+  def docHll(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val regs = Funnel.stage(Sketches.hllRegisters(sh, "sh", m = 64, wBits = 54))
+    val est = Sketches.hllEstimate(regs, m = 64, wBits = 54, alpha = 0.709)
+    val exact = sh.agg(count_distinct(col("sh")).as("n_exact"))
+    regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("bucket"), col("reg"), col("est_distinct"),
+        col("n_exact").cast("long").as("n_exact"))
+      .orderBy("bucket")
+  }
+
+  val docHllSql: String =
+    s"""WITH d AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+       |h AS (SELECT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+       |r AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+       |rho AS (SELECT bucket, CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho FROM r),
+       |reg AS (SELECT b.bucket::BIGINT AS bucket, coalesce(max(rho.rho), 0)::BIGINT AS reg
+       |        FROM range(0, 64) b(bucket) LEFT JOIN rho ON rho.bucket = b.bucket GROUP BY 1),
+       |s AS (SELECT sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s FROM reg),
+       |est AS (SELECT round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_distinct FROM s),
+       |ex AS (SELECT count(DISTINCT sh)::BIGINT AS n_exact FROM g)
+       |SELECT bucket, reg, est_distinct, n_exact FROM reg, est, ex ORDER BY bucket""".stripMargin
+
+  /** Count-min heavy hitters: 4×256 sketch over all tokens, probed
+    * with the exact top-20 (the audit side). The estimate is min over
+    * the 4 addressed cells — an upper bound on the true count; the
+    * oracle hash-checks the bound is the SAME bound.
+    */
+  def docCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cells = Sketches.cmsCells(toks, "tok", depth = 4, width = 256)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    Sketches.cmsLookup(cells, top, "tok", depth = 4, width = 256)
+      .select(col("tok"), col("exact_cnt").cast("long").as("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val docCmsSql: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |c AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 15))::BIGINT % 256 AS b,
+       |        count(*)::BIGINT AS c FROM t, range(0, 4) rr(r) GROUP BY 1, 2),
+       |e AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM t GROUP BY 1),
+       |top AS (SELECT * FROM e ORDER BY exact_cnt DESC, tok LIMIT 20),
+       |p AS (SELECT tok, exact_cnt, r,
+       |        ('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 15))::BIGINT % 256 AS b
+       |      FROM top, range(0, 4) rr(r))
+       |SELECT p.tok, p.exact_cnt, min(c.c)::BIGINT AS est_cnt
+       |FROM p JOIN c ON p.r = c.r AND p.b = c.b
+       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, tok""".stripMargin
+
+  /** Bloom-filter incremental dedup: the base corpus's fingerprints
+    * set a 4096-bit / 3-hash filter; the daily delta (every 10th doc
+    * plus planted re-crawls, the [[PipelineQueries.docDeltaDedup]]
+    * fixture) probes it. `bloom_hit` = all 3 positions set;
+    * `exact_dup` = the audit join against the real fingerprint set.
+    * No false negatives by construction — the property a production
+    * ingest relies on (a miss is DEFINITELY new, skip the expensive
+    * verify); hits fall through to exact verification, so false
+    * positives cost work, never data.
+    */
+  def docBloomDelta(s: SparkSession, dir: String): DataFrame = {
+    // the fingerprint projection fans out six ways (bits build, the
+    // two-part delta union's probe and audit sides, the audit's base
+    // set) — a stage boundary computes it once (Funnel scaladoc)
+    val docs = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+      .unionByName(docs.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("fp")))
+    val bits = Sketches.bloomBits(base, "fp", k = 3, mBits = 4096)
+    val hits = Sketches.bloomProbe(bits, delta, "fp", k = 3, mBits = 4096)
+    val exact = delta.join(base.select("fp").distinct().withColumn("dup", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0)).cast("long").as("exact_dup"))
+    hits.select(col("doc_id"), col("bloom_hit"))
+      .join(exact, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val docBloomDeltaSql: String =
+    s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |b AS (SELECT * FROM f WHERE doc_id % 10 <> 7),
+       |d AS (SELECT * FROM f WHERE doc_id % 10 = 7
+       |      UNION ALL SELECT doc_id + 1000000 AS doc_id, fp FROM f WHERE doc_id % 100 = 1),
+       |bits AS (SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || '|' || fp), 1, 15))::BIGINT % 4096 AS pos
+       |         FROM b, range(0, 3) t(i)),
+       |p AS (SELECT doc_id, ('0x' || substr(md5(i::VARCHAR || '|' || fp), 1, 15))::BIGINT % 4096 AS pos
+       |      FROM d, range(0, 3) t(i)),
+       |h AS (SELECT p.doc_id, (count(bits.pos) = 3)::BIGINT AS bloom_hit
+       |      FROM p LEFT JOIN bits ON p.pos = bits.pos GROUP BY 1),
+       |e AS (SELECT d.doc_id, (count(bb.fp) > 0)::BIGINT AS exact_dup
+       |      FROM d LEFT JOIN (SELECT DISTINCT fp FROM b) bb ON d.fp = bb.fp GROUP BY 1)
+       |SELECT doc_id, bloom_hit, exact_dup FROM h JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_doc_hll", docHll, Some(docHllSql)),
+    Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
+    Q("q_doc_bloom_delta", docBloomDelta, Some(docBloomDeltaSql))
+  )
+}

@@ -312,6 +312,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "overlap shingle sets not staged — corpus parquet re-entered the pair plan")
   }
 
+  test("sketch queries: constant-size sketch state, bounded corpus reads") {
+    // hll: staged registers serve dump + estimate; the one parquet scan
+    // is the exact-distinct AUDIT column (dropped in production).
+    // cms: two corpus aggregates (cells, exact top-20) — both map-side
+    // partial; the sketch crosses the wire as <= 1024 rows.
+    // bloom: the six-way-referenced fingerprint projection is staged;
+    // the final plan reads only materialized blocks.
+    // kn: the bigram-count model is staged and fans out to its three
+    // second-level stat tables; one corpus scan scores.
+    assert(scanCounts("q_doc_hll")._1 == 1)
+    assert(scanCounts("q_doc_cms_heavy")._1 == 2)
+    assert(scanCounts("q_doc_bloom_delta")._1 == 0,
+      "bloom fingerprint projection not staged — corpus parquet re-entered the plan")
+    assert(scanCounts("q_doc_kn_logprob")._1 == 1)
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed

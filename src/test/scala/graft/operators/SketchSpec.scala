@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property checks for the probabilistic summaries ([[Sketches]]): the
+  * DuckDB oracles prove cross-engine agreement; these prove the
+  * guarantees the structures are FOR — HLL estimates land inside the
+  * published error band, count-min never undercounts, Bloom never
+  * false-negatives.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllRegisters: exactly m rows, ranks within [0, wBits+1], duplicate-insensitive") {
+    val items = (0 until 5000).map(i => s"item-${i % 1000}").toDF("v")
+    val regs = Sketches.hllRegisters(items, "v", m = 64, wBits = 54)
+    val rows = regs.collect()
+    assert(rows.length == 64)
+    assert(rows.forall { r => val x = r.getLong(1); x >= 0 && x <= 55 })
+    // max is idempotent: the 5x-duplicated stream builds the same sketch
+    val dedup = Sketches.hllRegisters(items.distinct(), "v", m = 64, wBits = 54)
+    assert(regs.orderBy("bucket").collect().toSeq == dedup.orderBy("bucket").collect().toSeq)
+  }
+
+  test("hllEstimate: inside the 1.04/sqrt(m) band (x3) across decades of cardinality") {
+    for (n <- Seq(1000, 10000, 50000)) {
+      val items = (0 until n).map(i => s"card-$i").toDF("v")
+      val regs = Sketches.hllRegisters(items, "v", m = 64, wBits = 54)
+      val est = Sketches.hllEstimate(regs, m = 64, wBits = 54, alpha = 0.709)
+        .head().getDouble(0)
+      val relErr = math.abs(est - n) / n
+      assert(relErr < 3 * 1.04 / math.sqrt(64), s"n=$n est=$est relErr=$relErr")
+    }
+  }
+
+  test("count-min: estimate >= exact for every probe (collisions only add)") {
+    val items = (0 until 20000).map(i => s"tok-${i % 300}").toDF("v")
+    val cells = Sketches.cmsCells(items, "v", depth = 4, width = 64)
+    val exact = items.groupBy("v").agg(count(lit(1)).as("exact"))
+    val looked = Sketches.cmsLookup(cells, exact, "v", depth = 4, width = 64)
+      .select(col("v"), col("exact").cast("long"), col("est_cnt"))
+      .as[(String, Long, Long)].collect()
+    assert(looked.length == 300)
+    assert(looked.forall { case (_, ex, est) => est >= ex },
+      looked.filter { case (_, ex, est) => est < ex }.take(3).mkString(","))
+    // with width >> heavy-hitter count the heaviest item is estimated tightly:
+    // its cell holds at most its own count plus colliding light items
+    val heavy = looked.maxBy(_._2)
+    assert(heavy._3 <= heavy._2 * 2, s"heavy hitter wildly overcounted: $heavy")
+  }
+
+  test("bloom: no false negatives; misses are definite") {
+    val base = (0 until 2000).map(i => s"key-$i").toDF("v")
+    val probes = (1500 until 3000).map(i => s"key-$i").toDF("v")
+    val bits = Sketches.bloomBits(base, "v", k = 3, mBits = 4096)
+    val hit = Sketches.bloomProbe(bits, probes, "v", k = 3, mBits = 4096)
+      .as[(String, Long)].collect().toMap
+    // every inserted key must hit
+    assert((1500 until 2000).forall(i => hit(s"key-$i") == 1L))
+    // non-inserted keys may false-positive but must mostly miss at this
+    // load (n=2000, m=4096, k=3 -> fp rate ~ (1 - e^(-3*2000/4096))^3 ~ 0.45);
+    // the structural claim is just that misses EXIST and are correct
+    val misses = (2000 until 3000).count(i => hit(s"key-$i") == 0L)
+    assert(misses > 0)
+  }
+}
