@@ -52,12 +52,15 @@ object Sketches {
   def hllRegisters(items: DataFrame, itemCol: String, m: Int, wBits: Int): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val spark = items.sparkSession
-    val h = h60(col(itemCol))
-    val w = (h / m).as("w")
+    // `div`, not `/`: Divide on longs returns DOUBLE, whose 53-bit
+    // mantissa rounds w for hashes above 2^53 — a rank off by one
+    // whenever the rounding crosses a power of two, silently diverging
+    // from exact integer arithmetic (and any other engine's)
     val rho = when(col("w") === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(col("w"))))
     val present = items
-      .select((h % m).as("bucket"), w)
+      .select(h60(col(itemCol)).as("h"))
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
       .select(col("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").as("reg"))
     spark.range(m).select(col("id").as("bucket"))
@@ -85,6 +88,45 @@ object Sketches {
       .agg(sum("term").as("s"))
       .select(round(lit(alpha) * lit(m * m) * lit(math.pow(2.0, maxRho)) / col("s"), 3)
         .as("est_distinct"))
+  }
+
+  /** Per-key HLL registers — the sketch AS a grouped aggregation, the
+    * form a 100 TB pipeline actually runs ("distinct n-grams per
+    * source/language/day"): one map-side-combined aggregate to
+    * |keys|·m rows, where the exact equivalent shuffles every (key,
+    * value) pair. Absent (key, bucket) cells fill with reg = 0 via the
+    * key-domain × range(m) cross (both tiny).
+    */
+  def hllRegistersBy(items: DataFrame, keyCol: String, itemCol: String,
+      m: Int, wBits: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val spark = items.sparkSession
+    val rho = when(col("w") === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+    val present = items
+      .select(col(keyCol).as("key"), h60(col(itemCol)).as("h"))
+      .select(col("key"), (col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+      .select(col("key"), col("bucket"), rho.as("rho"))
+      .groupBy("key", "bucket").agg(max("rho").as("reg"))
+    items.select(col(keyCol).as("key")).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+      .join(present, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("reg"), lit(0L)).cast("long").as("reg"))
+  }
+
+  /** Per-key raw estimates from a grouped register table — same
+    * integer-sum arithmetic as [[hllEstimate]], one row per key.
+    */
+  def hllEstimateBy(registers: DataFrame, m: Int, wBits: Int, alpha: Double): DataFrame = {
+    val maxRho = wBits + 1
+    registers
+      .select(col("key"),
+        expr(s"shiftleft(cast(1 as bigint), cast($maxRho - reg as int))").as("term"))
+      .groupBy("key").agg(sum("term").as("s"))
+      .select(col("key"),
+        round(lit(alpha) * lit(m * m) * lit(math.pow(2.0, maxRho)) / col("s"), 3)
+          .as("est_distinct"))
   }
 
   // ---------------------------------------------------------- count-min

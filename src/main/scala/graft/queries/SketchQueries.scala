@@ -51,6 +51,46 @@ object SketchQueries {
        |ex AS (SELECT count(DISTINCT sh)::BIGINT AS n_exact FROM g)
        |SELECT bucket, reg, est_distinct, n_exact FROM reg, est, ex ORDER BY bucket""".stripMargin
 
+  /** Per-source HLL — the sketch as a GROUPED aggregation, the form a
+    * real pipeline runs ("distinct n-grams per source"): |sources|·64
+    * register rows replace a shuffle of every (source, shingle) pair.
+    * Output is one row per source with the estimate and the exact
+    * audit; registers feed the estimate directly (single reference —
+    * no stage boundary needed, per the Funnel rule).
+    */
+  def docHllBySource(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val regs = Sketches.hllRegistersBy(sh, "source", "sh", m = 64, wBits = 54)
+    val est = Sketches.hllEstimateBy(regs, m = 64, wBits = 54, alpha = 0.709)
+    val exact = sh.groupBy("source").agg(count_distinct(col("sh")).as("n_exact"))
+    est.select(col("key").as("source"), col("est_distinct"))
+      .join(exact, "source")
+      .select(col("source"), col("est_distinct"), col("n_exact").cast("long").as("n_exact"))
+      .orderBy("source")
+  }
+
+  val docHllBySourceSql: String =
+    s"""WITH d AS (SELECT source, string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+       |h AS (SELECT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+       |r AS (SELECT source, h % 64 AS bucket, h // 64 AS w FROM h),
+       |rho AS (SELECT source, bucket,
+       |          CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho FROM r),
+       |reg AS (SELECT k.source, b.bucket, coalesce(max(rho.rho), 0)::BIGINT AS reg
+       |        FROM (SELECT DISTINCT source FROM g) k
+       |        CROSS JOIN range(0, 64) b(bucket)
+       |        LEFT JOIN rho ON rho.source = k.source AND rho.bucket = b.bucket
+       |        GROUP BY 1, 2),
+       |s AS (SELECT source, sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s
+       |      FROM reg GROUP BY 1),
+       |est AS (SELECT source, round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_distinct
+       |        FROM s),
+       |ex AS (SELECT source, count(DISTINCT sh)::BIGINT AS n_exact FROM g GROUP BY 1)
+       |SELECT source, est_distinct, n_exact FROM est JOIN ex USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Count-min heavy hitters: 4×256 sketch over all tokens, probed
     * with the exact top-20 (the audit side). The estimate is min over
     * the 4 addressed cells — an upper bound on the true count; the
@@ -127,6 +167,7 @@ object SketchQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
+    Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
     Q("q_doc_bloom_delta", docBloomDelta, Some(docBloomDeltaSql))
   )
