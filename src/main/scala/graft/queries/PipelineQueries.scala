@@ -2331,6 +2331,43 @@ object PipelineQueries {
        |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
        |FROM c ORDER BY rank""".stripMargin
 
+  /** Full BPE training loop ([[graft.operators.Bpe.trainMerges]]): 3
+    * greedy merge rounds over the corpus word-frequency table, each
+    * round's winning pair applied before the next recount — the merges
+    * genuinely interact (a learned symbol can appear inside round 2's
+    * winning pair). The oracle unrolls the identical 3 rounds as a CTE
+    * chain; ties break on the pair string, so the whole training run
+    * hash-matches across engines.
+    */
+  def docBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.documents(s, dir), rounds = 3)
+
+  val docBpeTrainSql: String = {
+    def round(i: Int): String = {
+      val (ws, p, t) = (s"ws$i", s"p$i", s"t$i")
+      s"""$p AS (SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair, cnt
+         |      FROM (SELECT string_split_regex(trim(ws), ' +') AS s, cnt FROM $ws)),
+         |$t AS (SELECT pair, sum(cnt)::BIGINT AS c FROM $p GROUP BY 1 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+    }
+    def merge(i: Int): String =
+      s"""ws${i + 1} AS (SELECT regexp_replace(ws,
+         |    ' ' || string_split(t$i.pair, ' ')[1] || '  ' || string_split(t$i.pair, ' ')[2] || ' ',
+         |    ' ' || replace(t$i.pair, ' ', '') || ' ', 'g') AS ws, cnt FROM ws$i, t$i)""".stripMargin
+    s"""WITH tk AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |wv AS (SELECT word, count(*)::BIGINT AS cnt FROM tk
+       |       WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1),
+       |ws0 AS (SELECT ' ' || array_to_string(list_append(regexp_extract_all(word, '.'), '</w>'), '  ') || ' ' AS ws,
+       |          cnt FROM wv),
+       |${round(0)},
+       |${merge(0)},
+       |${round(1)},
+       |${merge(1)},
+       |${round(2)}
+       |SELECT 0::BIGINT AS step, pair, c AS cnt FROM t0
+       |UNION ALL SELECT 1::BIGINT, pair, c FROM t1
+       |UNION ALL SELECT 2::BIGINT, pair, c FROM t2 ORDER BY step""".stripMargin
+  }
+
   /** Real audio decode: build a deterministic RIFF/WAVE PCM16 file per
     * document — 1-2 channels, varying sample rate, doc_id-derived
     * samples, and (for every third doc) a LIST metadata chunk between
@@ -2407,6 +2444,7 @@ object PipelineQueries {
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
+    Q("q_doc_bpe_train", docBpeTrain, Some(docBpeTrainSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
