@@ -826,6 +826,92 @@ object StreamingQueries {
     s.read.parquet(resDir).orderBy("doc_id")
   }
 
+  /** Streaming HLL maintenance — the MERGEABILITY property that makes
+    * sketches the streaming cardinality answer: documents arrive as 3
+    * micro-batches; each batch builds its own 64-register HLL
+    * ([[graft.operators.Sketches.hllRegisters]]) and max-merges it
+    * into the persisted register store (read v(b−1), write v(b) — max
+    * is associative and idempotent, so the merged store EQUALS the
+    * sketch built over everything-so-far, regardless of batching,
+    * order, or replayed duplicates). Each batch appends the
+    * post-merge estimate; the oracle replays batch = doc_id mod 3 and
+    * computes each prefix's registers from scratch — hash-matching
+    * estimates IS the incremental ≡ batch proof. Store state is 64
+    * rows forever, the whole point at 100 TB: continuous distinct
+    * counting with constant state and no corpus re-read.
+    */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.{Sketches, TextAnalysis}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = freshDir(dir, "shll_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"shll_tmp$b")
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "shll_store")
+    val resDir = freshDir(dir, "shll_res")
+    s.range(64).select(col("id").as("bucket"), lit(0L).as("reg"))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    s.range(0).select(col("id").as("batch"), col("id").cast("double").as("est_distinct"))
+      .write.mode("overwrite").parquet(resDir)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorPath =
+          if (batchId == 0) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        val prior = s.read.parquet(priorPath)
+        val sh = batch.select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        val own = Sketches.hllRegisters(sh, "sh", m = 64, wBits = 54)
+        val merged = prior.select(col("bucket"), col("reg").as("p"))
+          .join(own.select(col("bucket"), col("reg").as("o")), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            greatest(coalesce(col("p"), lit(0L)), coalesce(col("o"), lit(0L))).as("reg"))
+          .localCheckpoint() // serves both the store write and the estimate
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        Sketches.hllEstimate(merged, m = 64, wBits = 54, alpha = 0.709)
+          .select(lit(batchId).as("batch"), col("est_distinct"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("batch")
+  }
+
+  val streamHllSql: String =
+    """WITH d AS (SELECT doc_id % 3 AS batch,
+      |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |g AS (SELECT batch, unnest(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+      |h AS (SELECT batch, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+      |r AS (SELECT batch, h % 64 AS bucket, h // 64 AS w FROM h),
+      |rho AS (SELECT batch, bucket,
+      |          CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho FROM r),
+      |cum AS (SELECT bb.b AS batch, bk.bucket, coalesce(max(rho.rho), 0)::BIGINT AS reg
+      |        FROM range(0, 3) bb(b) CROSS JOIN range(0, 64) bk(bucket)
+      |        LEFT JOIN rho ON rho.bucket = bk.bucket AND rho.batch <= bb.b
+      |        GROUP BY 1, 2),
+      |s AS (SELECT batch, sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s
+      |      FROM cum GROUP BY 1)
+      |SELECT batch::BIGINT AS batch,
+      |  round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_distinct
+      |FROM s ORDER BY batch""".stripMargin
+
   val streamBoilerplateSql: String =
     """WITH d AS (SELECT doc_id, doc_id % 3 AS batch,
       |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
@@ -1491,6 +1577,7 @@ object StreamingQueries {
     Q("q_stream_curate", streamCurate, Some(streamCurateSql)),
     Q("q_stream_delta_minhash", streamDeltaMinhash, Some(streamDeltaMinhashSql)),
     Q("q_stream_boilerplate", streamBoilerplate, Some(streamBoilerplateSql)),
+    Q("q_stream_hll", streamHll, Some(streamHllSql)),
     Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
