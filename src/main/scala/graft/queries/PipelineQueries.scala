@@ -2207,6 +2207,72 @@ object PipelineQueries {
        |SELECT qid AS query_id, doc_id, round(s, 4) AS score, rn AS rank
        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack 2009, the
+    * standard lexical+dense combiner): [[docBm25]]'s keyword rankings
+    * fuse with dense top-10 neighbors of the query document's
+    * embedding (vec_id ≡ doc_id in the fixtures) by
+    * score = Σ 1/(60 + rank) over the lists a document appears in —
+    * rank-based, so the two engines' incomparable score scales never
+    * meet. The fusion itself touches only the two top-10 lists (≤ 20
+    * candidate rows per query): the per-query window is over candidate
+    * lists, never the corpus. At 100 TB the dense side swaps
+    * brute-force for the IVF/LSH path ([[embIvf]], [[embAnn]]) — the
+    * fusion is agnostic to how either list was produced.
+    */
+  def docHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = docBm25(s, dir)
+      .select(col("query_id").as("qid"), col("doc_id"), col("rank").as("rl"))
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dense = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select(col("qid"), col("nid").as("doc_id"), col("rn").as("rd"))
+    val fused = lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 9).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    fused.select(col("qid").as("query_id"), col("doc_id"), col("rrf"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val docHybridRrfSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |st AS (SELECT count(*)::DOUBLE AS nd, sum(dl) / count(*) AS avgdl FROM dl),
+       |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       |q(qid, tok) AS (VALUES (1, 'table'), (1, 'row'), (2, 'fast'), (2, 'scan'),
+       |                       (2, 'agg'), (3, 'stream'), (3, 'window')),
+       |sc AS (SELECT qid::BIGINT AS qid, p.doc_id,
+       |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 9)), 6) AS s
+       |       FROM post p JOIN q USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |         JOIN dft USING (tok) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |lr AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rl
+       |       FROM sc),
+       |lex AS (SELECT qid, doc_id, rl FROM lr WHERE rl <= 10),
+       |eq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+       |       WHERE vec_id IN (1, 2, 3)),
+       |es AS (SELECT qid, vec_id AS doc_id, list_cosine_similarity(qe, embedding::DOUBLE[]) AS c
+       |       FROM eq, embeddings WHERE vec_id <> qid),
+       |er AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, doc_id) AS rd
+       |       FROM es),
+       |den AS (SELECT qid, doc_id, rd FROM er WHERE rd <= 10),
+       |fu AS (SELECT coalesce(lex.qid, den.qid) AS qid,
+       |         coalesce(lex.doc_id, den.doc_id) AS doc_id,
+       |         round(coalesce(1.0::DOUBLE / (60 + rl), 0) + coalesce(1.0::DOUBLE / (60 + rd), 0), 9) AS rrf
+       |       FROM lex FULL OUTER JOIN den ON lex.qid = den.qid AND lex.doc_id = den.doc_id),
+       |fr AS (SELECT qid, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM fu)
+       |SELECT qid AS query_id, doc_id, rrf, rank FROM fr WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Quality-classifier TRAINING (see
     * [[graft.operators.Curation.trainQualityModel]]): weak labels mark
     * `src0` documents as the quality-positive class, 2 unrolled
@@ -2447,6 +2513,7 @@ object PipelineQueries {
     Q("q_doc_bpe_train", docBpeTrain, Some(docBpeTrainSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
+    Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
     Q("q_emb_decontaminate_ann", embDecontaminateAnn, Some(embDecontaminateAnnSql)),

@@ -91,6 +91,66 @@ object SketchQueries {
        |SELECT source, est_distinct, n_exact FROM est JOIN ex USING (source)
        |ORDER BY source""".stripMargin
 
+  /** HLL set algebra across two sources: union = per-bucket register
+    * MAX (exact sketch of A∪B — merge is lossless, the property that
+    * lets per-partition/per-day sketches roll up), intersection by
+    * inclusion–exclusion on the three estimates (approximate — error
+    * compounds, which is why the exact audit rides along). One row:
+    * estimates vs exact distinct-shingle counts for src0/src1.
+    */
+  def docHllSetops(s: SparkSession, dir: String): DataFrame = {
+    val sh = Funnel.stage(Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("sh")))
+    def regs(src: String) = Funnel.stage(
+      Sketches.hllRegisters(sh.filter(col("source") === src).select("sh"),
+        "sh", m = 64, wBits = 54))
+    val ra = regs("src0")
+    val rb = regs("src1")
+    val ru = ra.select(col("bucket"), col("reg").as("a"))
+      .join(rb.select(col("bucket"), col("reg").as("b")), "bucket")
+      .select(col("bucket"), greatest(col("a"), col("b")).as("reg"))
+    def est(r: DataFrame, as: String) =
+      Sketches.hllEstimate(r, m = 64, wBits = 54, alpha = 0.709)
+        .select(col("est_distinct").as(as))
+    val exacts = sh.groupBy("sh").agg(count_distinct(col("source")).as("ns"))
+      .agg(count(lit(1)).cast("long").as("n_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).cast("long").as("n_inter"))
+    est(ra, "est_a").crossJoin(est(rb, "est_b")).crossJoin(est(ru, "est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 3).as("est_inter"))
+      .crossJoin(broadcast(exacts))
+      .orderBy("est_a")
+  }
+
+  val docHllSetopsSql: String =
+    s"""WITH d AS (SELECT source, string_split($normSql, ' ') AS t FROM documents
+       |           WHERE source IN ('src0', 'src1')),
+       |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+       |h AS (SELECT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+       |rho AS (SELECT source, h % 64 AS bucket,
+       |          CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho FROM h),
+       |ra AS (SELECT b.bucket, coalesce(max(rho.rho), 0)::BIGINT AS reg
+       |       FROM range(0, 64) b(bucket)
+       |       LEFT JOIN rho ON rho.bucket = b.bucket AND rho.source = 'src0' GROUP BY 1),
+       |rb AS (SELECT b.bucket, coalesce(max(rho.rho), 0)::BIGINT AS reg
+       |       FROM range(0, 64) b(bucket)
+       |       LEFT JOIN rho ON rho.bucket = b.bucket AND rho.source = 'src1' GROUP BY 1),
+       |ru AS (SELECT ra.bucket, greatest(ra.reg, rb.reg) AS reg FROM ra JOIN rb USING (bucket)),
+       |sa AS (SELECT sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s FROM ra),
+       |sb AS (SELECT sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s FROM rb),
+       |su AS (SELECT sum((1::BIGINT << (55 - reg)::INTEGER))::BIGINT AS s FROM ru),
+       |ea AS (SELECT round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_a FROM sa),
+       |eb AS (SELECT round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_b FROM sb),
+       |eu AS (SELECT round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_union FROM su),
+       |ex AS (SELECT count(*)::BIGINT AS n_union,
+       |         sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)::BIGINT AS n_inter
+       |       FROM (SELECT sh, count(DISTINCT source) AS ns FROM g GROUP BY 1))
+       |SELECT est_a, est_b, est_union, round(est_a + est_b - est_union, 3) AS est_inter,
+       |  n_union, n_inter
+       |FROM ea, eb, eu, ex ORDER BY est_a""".stripMargin
+
   /** Count-min heavy hitters: 4×256 sketch over all tokens, probed
     * with the exact top-20 (the audit side). The estimate is min over
     * the 4 addressed cells — an upper bound on the true count; the
@@ -168,6 +228,7 @@ object SketchQueries {
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
+    Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
     Q("q_doc_bloom_delta", docBloomDelta, Some(docBloomDeltaSql))
   )
