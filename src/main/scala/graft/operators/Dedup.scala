@@ -374,6 +374,26 @@ object Dedup {
     verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
   }
 
+  /** Portable per-doc MinHash signature as one array<long> column —
+    * the same md5-hash + literal-perm arithmetic as
+    * [[minHashPairsPortable]]'s band keys, exposed for consumers that
+    * need the signature VALUES (the Jaccard-estimation contract
+    * `q_doc_minhash_est`: E[agreeing slots / numPerms] = J(A,B), the
+    * identity LSH banding is built on).
+    */
+  def portableSignatures(docs: DataFrame, numPerms: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L): DataFrame = {
+    val perms = portablePerms(numPerms, seed)
+    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(PortableP)))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), x => pmod(x * a + b, lit(PortableP)))).as(s"s$i")
+    }
+    docs.select(col(idCol).as("id"), hs.as("hs"))
+      .select(col("id") +: sigCols: _*)
+      .select(col("id"), array((0 until numPerms).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
   /** Portable (md5-based) per-doc LSH band keys, one (id, key) row per
     * band — the construction shared by [[minHashPairsPortable]] and
     * [[deltaMinHashKeepers]].

@@ -938,6 +938,68 @@ object PipelineQueries {
        |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
   }
 
+  /** MinHash as a Jaccard ESTIMATOR — the identity the whole LSH family
+    * rests on, demonstrated and oracled: for each candidate pair at
+    * J ≥ 0.5, the fraction of agreeing signature slots (64 portable
+    * perms) sits beside the exact Jaccard. est = agree/64 is an exact
+    * binary fraction, so no rounding is needed on either engine; the
+    * estimator's √(J(1−J)/64) ≈ 0.06 standard error is visible in the
+    * output. Completes the sketch-estimation quartet: HLL cardinality,
+    * count-min frequency, Bloom membership, MinHash similarity.
+    */
+  def docMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashPairsPortable(docs, verifyThreshold = 0.5,
+      leftFilter = col("id") < 100)
+    val sigs = Dedup.portableSignatures(docs, numPerms = 64)
+    pairs
+      .join(sigs.select(col("id").as("da"), col("sig").as("sa")), "da")
+      .join(sigs.select(col("id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"), col("jacc"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / lit(64)).as("est_jacc"))
+      .orderBy("da", "db")
+  }
+
+  val docMinhashEstSql: String = {
+    val perms = Dedup.portablePerms(64)
+    val p = Dedup.PortableP
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $p)) AS s$i"
+    }.mkString(",\n  ")
+    val keyCols = (0 until 16).map { bnd =>
+      val parts = (0 until 4).map(r => s"s${bnd * 4 + r}::VARCHAR").mkString(" || '-' || ")
+      s"md5('$bnd' || '-' || $parts) AS k$bnd"
+    }.mkString(",\n  ")
+    val keyList = (0 until 16).map(b => s"k$b").mkString(", ")
+    val agree = (0 until 64).map(i =>
+      s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |h AS (SELECT doc_id, list_transform(ts, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % $p) AS hs FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h),
+       |keys AS (SELECT doc_id,
+       |  $keyCols
+       |FROM sig),
+       |banded AS (SELECT doc_id, unnest([$keyList]) AS key FROM keys),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM banded a JOIN banded b USING (key)
+       |         WHERE a.doc_id < b.doc_id AND a.doc_id < 100),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN w wa ON wa.doc_id = c.da
+       |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |       FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |       WHERE i / (ca.sz + cb.sz - i) >= 0.5)
+       |SELECT da, db, jacc, ($agree)::DOUBLE / 64 AS est_jacc
+       |FROM jp JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** Incremental MinHash-LSH near-dup: the 10 %-slice "daily batch"
     * plus re-crawled copies probe the remaining corpus's staged band
     * index directionally (see
@@ -2568,6 +2630,7 @@ object PipelineQueries {
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
     Q("q_doc_minhash_portable", docMinHashPortable, Some(docMinHashPortableSql)),
+    Q("q_doc_minhash_est", docMinhashEst, Some(docMinhashEstSql)),
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),
     Q("q_doc_simhash_portable", docSimHashPortable, Some(docSimHashPortableSql)),
