@@ -912,6 +912,90 @@ object StreamingQueries {
       |  round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_distinct
       |FROM s ORDER BY batch""".stripMargin
 
+  /** Streaming count-min maintenance — the additive counterpart of
+    * [[streamHll]]'s max-merge: count-min cells merge by per-cell SUM
+    * (counts are associative), so the merged sketch EQUALS the sketch
+    * over everything-so-far and per-batch frequency estimates for a
+    * fixed probe set track the growing prefix. Store state is ≤ 1024
+    * cells forever. The oracle recomputes each prefix's cells from
+    * scratch — hash-matching estimates proves sum-merge ≡ batch, the
+    * second merge semantics of the sketch family.
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.{Sketches, TextAnalysis}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = freshDir(dir, "scms_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"scms_tmp$b")
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "scms_store")
+    val resDir = freshDir(dir, "scms_res")
+    s.range(0).select(col("id").cast("int").as("r"), col("id").as("b"), col("id").as("c"))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    s.range(0).select(col("id").as("batch"), col("id").cast("string").as("tok"),
+        col("id").as("est_cnt"))
+      .write.mode("overwrite").parquet(resDir)
+    val probes = Seq("data", "stream", "table", "the")
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorPath =
+          if (batchId == 0) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        val prior = s.read.parquet(priorPath)
+        val toks = batch.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val own = Sketches.cmsCells(toks, "tok", depth = 4, width = 256)
+        val merged = prior.select(col("r"), col("b"), col("c").as("p"))
+          .join(own.select(col("r"), col("b"), col("c").as("o")), Seq("r", "b"), "full_outer")
+          .select(col("r"), col("b"),
+            (coalesce(col("p"), lit(0L)) + coalesce(col("o"), lit(0L))).as("c"))
+          .localCheckpoint() // serves both the store write and the probes
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        val probeDf = s.createDataFrame(
+          s.sparkContext.parallelize(probes.map(org.apache.spark.sql.Row(_))),
+          StructType(Seq(StructField("tok", StringType))))
+        Sketches.cmsLookup(merged, probeDf, "tok", depth = 4, width = 256)
+          .select(lit(batchId).as("batch"), col("tok"), col("est_cnt"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("batch", "tok")
+  }
+
+  val streamCmsSql: String =
+    """WITH t AS (SELECT doc_id % 3 AS batch,
+      |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT batch, r,
+      |        ('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 15))::BIGINT % 256 AS b,
+      |        count(*)::BIGINT AS c
+      |      FROM t, range(0, 4) rr(r) GROUP BY 1, 2, 3),
+      |cum AS (SELECT bb.b AS batch, c.r, c.b AS bk, sum(c.c)::BIGINT AS c
+      |        FROM range(0, 3) bb(b) JOIN c ON c.batch <= bb.b GROUP BY 1, 2, 3),
+      |p(tok) AS (VALUES ('data'), ('stream'), ('table'), ('the')),
+      |pa AS (SELECT tok, r,
+      |         ('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 15))::BIGINT % 256 AS bk
+      |       FROM p, range(0, 4) rr(r))
+      |SELECT cum.batch::BIGINT AS batch, pa.tok, min(cum.c)::BIGINT AS est_cnt
+      |FROM pa JOIN cum ON pa.r = cum.r AND pa.bk = cum.bk
+      |GROUP BY 1, 2 ORDER BY batch, tok""".stripMargin
+
   val streamBoilerplateSql: String =
     """WITH d AS (SELECT doc_id, doc_id % 3 AS batch,
       |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
@@ -1578,6 +1662,7 @@ object StreamingQueries {
     Q("q_stream_delta_minhash", streamDeltaMinhash, Some(streamDeltaMinhashSql)),
     Q("q_stream_boilerplate", streamBoilerplate, Some(streamBoilerplateSql)),
     Q("q_stream_hll", streamHll, Some(streamHllSql)),
+    Q("q_stream_cms", streamCms, Some(streamCmsSql)),
     Q("q_stream_late_update", streamLateUpdate, Some(streamLateUpdateSql)),
     Q("q_stream_cep_any", streamCepAny, Some(streamCepAnySql)),
     Q("q_stream_evict_window", streamEvictWindow, Some(streamEvictWindowSql)),
