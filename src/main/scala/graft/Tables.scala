@@ -38,9 +38,19 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) file read as long nanos — floor-divide to µs.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS) file (isAdjustedToUTC=false reads as NTZ) —
+      // reinterpret as a UTC instant (session TZ is pinned to UTC, so
+      // the cast is value-preserving) to keep downstream arithmetic on
+      // one type.
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Oracle-side CTE mirroring the events ns→µs truncation. Prepend to any

@@ -1,0 +1,372 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics and corpus-evaluation operators: gap-based
+  * sessionization, cohort retention, last-touch attribution (the classic
+  * user-behavior OLAP family over the `events` table — the batch
+  * counterpart of the reference's sessionizing/CEP streaming jobs), plus
+  * corpus EVALUATION metrics a training-data pipeline reports alongside
+  * its filters: quality-score AUC, Zipf rank-frequency fit, ROUGE-1
+  * pair overlap, sentence-level duplication, and ANN recall@k.
+  *
+  * Scale notes are per query; the common discipline: one hash shuffle
+  * per logical regroup, windows partitioned by a high-cardinality key
+  * (user_id / doc pair), and every global ordered structure either
+  * top-k-truncated (TakeOrdered, no global sort) or reduced to a
+  * provably bounded aggregate domain before a single-partition window
+  * touches it (the [[graft.operators.Curation]] budget-snapshot
+  * discipline).
+  */
+object AnalyticsQueries {
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---------------------------------------------------------------- events
+
+  /** Gap-based sessionization (30-min inactivity gap): the batch analog
+    * of the reference's session windows (SURVEY §2.6) computed with the
+    * lag/cumulative-sum idiom. ONE shuffle: the user_id window's
+    * exchange also satisfies the (user_id, sess) aggregation —
+    * clustering by user_id alone co-locates every (user_id, sess) group,
+    * so Catalyst reuses the partitioning (plan-locked in
+    * AnalyticsSpec). Timestamps are floored to epoch seconds on BOTH
+    * sides before gap arithmetic.
+    */
+  def evtSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tss = col("ts").cast("long")
+    val prev = lag(col("ts"), 1).over(w).cast("long")
+    val tagged = ev
+      .withColumn("new_sess",
+        when(prev.isNull || (tss - prev > 1800), 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(w))
+    tagged
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(tss).as("start_s"),
+        count(lit(1)).as("n_events"),
+        (max(tss) - min(tss)).as("duration_s"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "sess")
+  }
+
+  val evtSessionizeSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT user_id, event_id, ts, value,
+        |    (epoch_us(ts) // 1000000) AS tss,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR (epoch_us(ts) // 1000000)
+        |              - (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM t)
+        |SELECT user_id, sess::BIGINT AS sess, min(tss)::BIGINT AS start_s,
+        |  count(*)::BIGINT AS n_events, (max(tss) - min(tss))::BIGINT AS duration_s,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+
+  /** Weekly cohort retention: users cohorted by their first active day;
+    * n_users = distinct users from that cohort active in week `w` after
+    * it. Shape: per-user min (map-side-combinable agg, shuffle on
+    * user_id), join back on user_id (same key — the aggregated side
+    * reuses the shuffle), then a small (cohort, week) count-distinct.
+    * At 100 TB the only wide structure is keyed by user_id.
+    */
+  def evtRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = d.groupBy("user_id").agg(min("d").as("d0"))
+    d.join(first, Seq("user_id"))
+      .groupBy(col("d0").cast("string").as("cohort_start"),
+        expr("datediff(d, d0) div 7").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_start", "week_offset")
+  }
+
+  val evtRetentionSql: String =
+    Tables.eventsCte +
+      """
+        |, d AS (SELECT user_id, ts::DATE AS d FROM ev),
+        |f AS (SELECT user_id, min(d) AS d0 FROM d GROUP BY 1)
+        |SELECT d0::VARCHAR AS cohort_start,
+        |  (datediff('day', d0, d.d) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT d.user_id)::BIGINT AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent preceding non-purchase event type ('direct' if none).
+    * The carry-forward is `last(..., ignoreNulls)` over a user-keyed
+    * running frame — same single-shuffle discipline as sessionize; no
+    * self-join, no per-purchase probe.
+    */
+  def evtAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col("event_type") =!= "purchase", col("event_type")),
+      ignoreNulls = true).over(w)
+    ev.withColumn("channel", coalesce(touch, lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val evtAttributionSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev)
+        |SELECT coalesce(touch, 'direct') AS channel, count(*)::BIGINT AS n_purchases,
+        |  round(sum(value), 2) AS revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- documents
+
+  /** Quality-score AUC (Mann-Whitney rank-sum with average ranks for
+    * ties) of the English-stopword-ratio score against the corpus lang
+    * label — the evaluation metric a quality-classifier gate reports.
+    * The score is QUANTIZED to 3 decimals, which bounds the rank
+    * domain to ≤ 1001 distinct values: the corpus collapses in one
+    * map-side-combinable groupBy(score), and the only ordered window
+    * runs over that bounded aggregate (the budget-snapshot discipline —
+    * never a global per-row rank).
+    */
+  def docAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = docs.select(
+      (col("lang") === "en").cast("long").as("pos"),
+      round(TextAnalysis.stopwordCount(col("text"), "en") /
+        TextAnalysis.tokenCount(col("text")), 3).as("sc"))
+    val g = t.groupBy("sc").agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cum", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank", col("cum") + (col("n") + 1) / lit(2.0))
+    r.agg(
+        sum(col("np") * col("avg_rank")).as("rpos"),
+        sum("np").as("p"),
+        sum("n").as("ntot"))
+      .select(
+        round((col("rpos") - col("p") * (col("p") + 1) / 2) /
+          (col("p") * (col("ntot") - col("p"))), 6).as("auc"),
+        col("p").as("n_pos"),
+        (col("ntot") - col("p")).as("n_neg"))
+  }
+
+  val docAucSql: String =
+    s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    round(len(list_filter(string_split($normSql, ' '),
+       |        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+       |      / len(string_split($normSql, ' ')), 3) AS sc
+       |  FROM documents),
+       |g AS (SELECT sc, count(*)::BIGINT AS n, sum(pos)::BIGINT AS np FROM t GROUP BY 1),
+       |r AS (SELECT *, coalesce(sum(n) OVER (ORDER BY sc
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum FROM g),
+       |a AS (SELECT sum(np * (cum + (n + 1) / 2.0)) AS rpos,
+       |        sum(np)::BIGINT AS p, sum(n)::BIGINT AS ntot FROM r)
+       |SELECT round((rpos - p * (p + 1) / 2) / (p * (ntot - p)), 6) AS auc,
+       |  p AS n_pos, (ntot - p) AS n_neg FROM a""".stripMargin
+
+  /** Zipf rank-frequency fit: ln(freq) regressed on ln(rank) over the
+    * top-1000 terms. The global ordering is top-k-TRUNCATED — `orderBy
+    * ... limit 1000` compiles to TakeOrdered (per-partition heaps + a
+    * 1000-row driver merge, no global sort, no single-partition
+    * window over the vocabulary); the regression aggregate then runs
+    * over 1000 rows. Ties broken by term so the top-1000 cut is
+    * deterministic on both engines.
+    */
+  def docZipf(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val top = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope(log(col("cnt")), log(col("rank"))), 6).as("slope"),
+      round(regr_intercept(log(col("cnt")), log(col("rank"))), 6).as("intercept"))
+  }
+
+  val docZipfSql: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt FROM t WHERE len(term) > 0 GROUP BY 1),
+       |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM top)
+       |SELECT count(*)::BIGINT AS n_terms,
+       |  round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+       |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept
+       |FROM r""".stripMargin
+
+  /** ROUGE-1 (unigram multiset overlap, clipped counts) for the
+    * verified near-dup candidate pairs — the pair-level diagnostic a
+    * dedup pass reports. Candidate-RESTRICTED like every pairwise
+    * contract here: pairs come from [[Dedup.jaccardPairs]]'s
+    * df-capped inverted index (probe id < 100), and only those pairs'
+    * token counts are joined — the corpus itself never self-joins.
+    */
+  def docRouge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.9, leftFilter = col("id") < 100)
+      .select(col("da"), col("db"))
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val len = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("len"))
+    val ov = pairs
+      .join(tok.as("a"), col("da") === col("a.doc_id"))
+      .join(tok.as("b"), col("db") === col("b.doc_id") && col("a.word") === col("b.word"))
+      .groupBy("da", "db")
+      .agg(sum(least(col("a.c"), col("b.c"))).as("overlap"))
+    ov.join(len.as("la"), col("da") === col("la.doc_id"))
+      .join(len.as("lb"), col("db") === col("lb.doc_id"))
+      .select(col("da"), col("db"), col("overlap"),
+        round(col("overlap") / col("lb.len"), 4).as("rouge_p"),
+        round(col("overlap") / col("la.len"), 4).as("rouge_r"),
+        round(lit(2) * col("overlap") / (col("la.len") + col("lb.len")), 4).as("rouge_f"))
+      .orderBy("da", "db")
+  }
+
+  val docRougeSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id, unnest(list_distinct(toks)) AS word FROM t),
+       |sz AS (SELECT doc_id, len(list_distinct(toks)) AS sz FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 100 GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT da, db FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |  WHERE i / (ca.sz + cb.sz - i) >= 0.9),
+       |cnt AS (SELECT doc_id, word, count(*)::BIGINT AS c
+       |        FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY 1, 2),
+       |ln AS (SELECT doc_id, len(toks)::BIGINT AS len FROM t),
+       |ov AS (SELECT da, db, sum(least(a.c, b.c))::BIGINT AS overlap
+       |       FROM pairs JOIN cnt a ON da = a.doc_id
+       |       JOIN cnt b ON db = b.doc_id AND a.word = b.word
+       |       GROUP BY 1, 2)
+       |SELECT da, db, overlap,
+       |  round(overlap * 1.0 / lb.len, 4) AS rouge_p,
+       |  round(overlap * 1.0 / la.len, 4) AS rouge_r,
+       |  round(2.0 * overlap / (la.len + lb.len), 4) AS rouge_f
+       |FROM ov JOIN ln la ON da = la.doc_id JOIN ln lb ON db = lb.doc_id
+       |ORDER BY da, db""".stripMargin
+
+  /** Sentence-level duplication per source: the fraction of sentence
+    * instances whose normalized form occurs in more than one document —
+    * the granularity between exact-doc dedup and line-frequency
+    * boilerplate. Two shuffles: sentence-fingerprint frequency, then the
+    * instances rejoin on the same key (sorted exchange reused) before
+    * the tiny per-source rollup.
+    */
+  def docSentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val sent = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "[.!?]+")).as("s0"))
+      .select(col("doc_id"), col("source"),
+        trim(regexp_replace(lower(col("s0")), "\\s+", " ")).as("sent"))
+      .filter(length(col("sent")) > 0)
+    val freq = sent.groupBy("sent").agg(count_distinct(col("doc_id")).as("nd"))
+    sent.join(freq, Seq("sent"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_sent"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(sum(when(col("nd") > 1, 1L).otherwise(0L)) / count(lit(1)), 4).as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  val docSentenceDedupSql: String =
+    """WITH s0 AS (SELECT doc_id, source, unnest(string_split_regex(text, '[.!?]+')) AS s0 FROM documents),
+      |s AS (SELECT doc_id, source, trim(regexp_replace(lower(s0), '\s+', ' ', 'g')) AS sent FROM s0),
+      |f AS (SELECT * FROM s WHERE len(sent) > 0),
+      |c AS (SELECT sent, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
+      |SELECT source, count(*)::BIGINT AS n_sent,
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+      |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+      |FROM f JOIN c USING (sent) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ embeddings
+
+  /** ANN recall@5: the sign-LSH bucketed ANN's top-5 scored against
+    * brute-force exact top-5 per query — the evaluation harness that
+    * justifies shipping the approximate path at scale. Both sides are
+    * deterministic (seeded literal hyperplanes, rounded-cosine
+    * tie-broken ranking), so the recall numbers are exactly
+    * reproducible cross-engine.
+    */
+  def embRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ann = Similarity.annTopK(queries, emb, k = 5).select(col("qid"), col("nid"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5).select(col("qid"), col("nid"))
+    val hits = exact.join(ann, Seq("qid", "nid")).groupBy("qid")
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 5.0, 2).as("recall"))
+      .orderBy("qid")
+  }
+
+  val embRecallSql: String = {
+    val planes = graft.functions.SignLshBuckets.planes(numPlanes = 8, dim = 64, seed = 42L)
+    val values = planes.zipWithIndex
+      .map { case (p, j) =>
+        s"($j, ${p.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ", ", "]")}::DOUBLE[])"
+      }
+      .mkString(",\n")
+    s"""WITH planes(j, p) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bkt AS (SELECT vec_id, sum(CASE WHEN list_dot_product(e, p) > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
+       |        FROM emb, planes GROUP BY vec_id),
+       |be AS (SELECT vec_id, e, bucket FROM emb JOIN bkt USING (vec_id)),
+       |ann AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC, b.vec_id) AS rn
+       |    FROM be q JOIN be b USING (bucket)
+       |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) x WHERE rn <= 5),
+       |ex AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC, b.vec_id) AS rn
+       |    FROM emb q, emb b
+       |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) y WHERE rn <= 5),
+       |h AS (SELECT ex.qid, count(*)::BIGINT AS n_hit
+       |      FROM ex JOIN ann ON ex.qid = ann.qid AND ex.nid = ann.nid GROUP BY 1)
+       |SELECT q.vec_id AS qid, coalesce(n_hit, 0)::BIGINT AS n_hit,
+       |  round(coalesce(n_hit, 0) / 5.0, 2) AS recall
+       |FROM emb q LEFT JOIN h ON q.vec_id = h.qid
+       |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
+    Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
+    Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
+    Q("q_doc_auc", docAuc, Some(docAucSql)),
+    Q("q_doc_zipf", docZipf, Some(docZipfSql)),
+    Q("q_doc_rouge", docRouge, Some(docRougeSql)),
+    Q("q_doc_sentence_dedup", docSentenceDedup, Some(docSentenceDedupSql)),
+    Q("q_emb_recall", embRecall, Some(embRecallSql))
+  )
+}

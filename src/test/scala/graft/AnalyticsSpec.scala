@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Plan-shape locks for the analytics/evaluation family
+  * ([[graft.queries.AnalyticsQueries]]): each query's scaladoc makes a
+  * concrete scale claim (single-shuffle sessionization, bounded-domain
+  * rank window, top-k truncation instead of a global sort,
+  * candidate-restricted pair joins) — assert the physical plan so a
+  * refactor can't silently regress the claim.
+  */
+class AnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("q_evt_sessionize: ONE hash shuffle — the user_id window exchange feeds the session agg") {
+    val p = planString("q_evt_sessionize")
+    // groupBy(user_id, sess) is satisfied by the window's user_id
+    // clustering; a second hash exchange means Catalyst stopped reusing it
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange, got ${hashExchanges(p)}:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"sessionize grew a join:\n$p")
+  }
+
+  test("q_evt_attribution: window carry-forward, never a per-purchase self-join") {
+    val p = planString("q_evt_attribution")
+    assert(p.contains("windowspecdefinition"), s"carry-forward window missing:\n$p")
+    assert(!p.contains("Join"), s"attribution self-join crept in:\n$p")
+    // user_id window + tiny channel rollup — nothing wider
+    assert(hashExchanges(p) <= 2, s"extra exchanges:\n$p")
+  }
+
+  test("q_evt_retention: per-user min is map-side combinable; join keyed on user_id only") {
+    val p = planString("q_evt_retention")
+    assert(p.contains("partial_min") || p.contains("partial_first") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"first-day agg lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"retention join degraded:\n$p")
+  }
+
+  test("q_doc_auc: the rank window runs over the quantized-score aggregate, not corpus rows") {
+    val p = planString("q_doc_auc")
+    // corpus collapses by score FIRST (map-side combinable); the
+    // single-partition ordered window may only see that bounded domain
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"rank window is not fed by the score aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition(doc"), s"per-row corpus window:\n$p")
+  }
+
+  test("q_doc_zipf: top-1000 cut is TakeOrdered — no global sort of the vocabulary") {
+    val p = planString("q_doc_zipf")
+    assert(p.contains("TakeOrderedAndProject"), s"vocabulary top-k lost TakeOrdered:\n$p")
+  }
+
+  test("q_doc_rouge: pairs come from the df-capped index — no cartesian, probe filter pushed") {
+    val p = planString("q_doc_rouge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join degraded to cartesian:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]") ||
+      "LessThan\\(doc_id,100\\)".r.findFirstIn(p).isDefined,
+      s"probe restriction not pushed to the scan:\n$p")
+  }
+
+  test("q_emb_recall: ANN side joins by bucket equality, exact side stays probe-bounded") {
+    val p = planString("q_emb_recall")
+    assert(!p.contains("CartesianProduct"), s"bucketed ANN degraded to cartesian:\n$p")
+  }
+}
