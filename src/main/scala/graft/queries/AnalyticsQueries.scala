@@ -135,6 +135,128 @@ object AnalyticsQueries {
         |  round(sum(value), 2) AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Step-funnel conversion (view → click → purchase, strictly ordered
+    * timestamps): the product-analytics counterpart of the CEP funnel
+    * (`q_cep_funnel` matches per-event sequences; this reports the
+    * aggregate conversion table). Shape: three per-user conditional-min
+    * aggregations chained by joins, ALL keyed on user_id — the first
+    * aggregation's exchange satisfies every later join and regroup, so
+    * the corpus crosses the wire once no matter how many steps the
+    * funnel has. The final 3-row rollup is a driver-sized aggregate.
+    */
+  def evtFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.join(t1, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.join(t2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n")).select(lit(1).as("step"), lit("view").as("name"), col("n"))
+      .unionAll(t2.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("name"), col("n")))
+      .unionAll(t3.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("name"), col("n")))
+    val w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("conv",
+        round(col("n") / coalesce(last("n").over(w), col("n")), 4))
+      .orderBy("step")
+  }
+
+  val evtFunnelSql: String =
+    Tables.eventsCte +
+      """
+        |, t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+        |c AS (SELECT 1 AS step, 'view' AS name, count(*)::BIGINT AS n FROM t1
+        |      UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM t2
+        |      UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM t3)
+        |SELECT step, name, n,
+        |  round(n * 1.0 / coalesce(last_value(n) OVER (ORDER BY step
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), n), 4) AS conv
+        |FROM c ORDER BY step""".stripMargin
+
+  /** Daily + trailing-7-day active users (DAU/WAU): each distinct
+    * (user, day) activity contributes to the 7 target days it covers
+    * via a map-side `sequence` explode — ONE count-distinct shuffle on
+    * the day key, never a day×activity range join (the range join
+    * re-scans the activity table once per day; the explode is a flat
+    * ×7 map). Reported only for days observed in the log.
+    */
+  def evtActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val evtActiveUsersSql: String =
+    Tables.eventsCte +
+      """
+        |, ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM ev),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id)::BIGINT AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day FROM ud),
+        |wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau FROM ex GROUP BY 1)
+        |SELECT day::VARCHAR AS day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** SCD2-style run intervals: consecutive same-type events per user
+    * collapse into [start, end] validity runs with the next run's start
+    * as `valid_to` (null = current) — the change-data islands pattern
+    * that builds a temporal dimension from an event log (the batch
+    * counterpart of the temporal-join's versioned side,
+    * [[graft.streaming.TemporalJoin]]). Same single-shuffle discipline
+    * as sessionize: every window and the run aggregation key on
+    * user_id.
+    */
+  def evtRuns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chg = when(
+      lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L)
+    val runs = ev.withColumn("run", sum(chg).over(w))
+      .groupBy("user_id", "run")
+      .agg(
+        min("event_type").as("event_type"),
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy("user_id").orderBy("run")
+    runs.withColumn("valid_to_s", lead(col("start_s"), 1).over(wr))
+      .orderBy("user_id", "run")
+  }
+
+  val evtRunsSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run FROM t),
+        |g AS (SELECT user_id, run::BIGINT AS run, min(event_type) AS event_type,
+        |        min(epoch_us(ts) // 1000000)::BIGINT AS start_s,
+        |        max(epoch_us(ts) // 1000000)::BIGINT AS end_s,
+        |        count(*)::BIGINT AS n_events
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, run, event_type, start_s, end_s, n_events,
+        |  lead(start_s) OVER (PARTITION BY user_id ORDER BY run)::BIGINT AS valid_to_s
+        |FROM g ORDER BY user_id, run""".stripMargin
+
   // ------------------------------------------------------------- documents
 
   /** Quality-score AUC (Mann-Whitney rank-sum with average ranks for
@@ -363,6 +485,9 @@ object AnalyticsQueries {
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
+    Q("q_evt_funnel", evtFunnel, Some(evtFunnelSql)),
+    Q("q_evt_active_users", evtActiveUsers, Some(evtActiveUsersSql)),
+    Q("q_evt_runs", evtRuns, Some(evtRunsSql)),
     Q("q_doc_auc", docAuc, Some(docAucSql)),
     Q("q_doc_zipf", docZipf, Some(docZipfSql)),
     Q("q_doc_rouge", docRouge, Some(docRougeSql)),

@@ -35,6 +35,28 @@ class AnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hashExchanges(p) <= 2, s"extra exchanges:\n$p")
   }
 
+  test("q_evt_runs: run windows and the run aggregation share the single user_id exchange") {
+    val p = planString("q_evt_runs")
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange, got ${hashExchanges(p)}:\n$p")
+    assert(!p.contains("Join"), s"runs grew a join:\n$p")
+  }
+
+  test("q_evt_funnel: every wide structure keys on user_id; no cartesian step probe") {
+    val p = planString("q_evt_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel step probe degraded:\n$p")
+    val badKeys = "Exchange hashpartitioning\\(([a-z0-9_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).filterNot(_ == "user_id").toList
+    assert(badKeys.isEmpty, s"non-user_id hash exchange(s) $badKeys:\n$p")
+  }
+
+  test("q_evt_active_users: WAU comes from a map-side explode, never a day-range join") {
+    val p = planString("q_evt_active_users")
+    assert(p.contains("Generate explode"), s"sequence explode missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range-join shape crept in:\n$p")
+  }
+
   test("q_evt_retention: per-user min is map-side combinable; join keyed on user_id only") {
     val p = planString("q_evt_retention")
     assert(p.contains("partial_min") || p.contains("partial_first") ||
