@@ -65,7 +65,13 @@ object Multimodal {
     * the interleaved-RGB mean.
     */
   object PnmCodec extends Serializable {
-    def decode(id: Long, bytes: Array[Byte]): Option[PnmImage] = {
+
+    /** Parsed header: (format, width, height, maxval, channels,
+      * raster offset). One parser shared by the stats decode and the
+      * raster decode so the two can never drift on header semantics.
+      */
+    private[operators] def parseHeader(
+        bytes: Array[Byte]): Option[(String, Int, Int, Int, Int, Int)] = {
       if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
       val fmt = bytes(1) match {
         case '5' => "P5"
@@ -105,18 +111,110 @@ object Multimodal {
       val sep = bytes(pos)
       if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
       pos += 1
-      var mn = 255; var mx = 0; var sum = 0L
-      var i = pos
-      val end = pos + n.toInt
-      while (i < end) {
-        val v = bytes(i) & 0xFF
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        sum += v
-        i += 1
-      }
-      Some(PnmImage(id, fmt, w, h, mv, channels, n, mn, mx, sum.toDouble / n))
+      Some((fmt, w, h, mv, channels, pos))
     }
+
+    def decode(id: Long, bytes: Array[Byte]): Option[PnmImage] =
+      parseHeader(bytes).map { case (fmt, w, h, mv, channels, pos) =>
+        val n = w.toLong * h * channels
+        var mn = 255; var mx = 0; var sum = 0L
+        var i = pos
+        val end = pos + n.toInt
+        while (i < end) {
+          val v = bytes(i) & 0xFF
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          i += 1
+        }
+        PnmImage(id, fmt, w, h, mv, channels, n, mn, mx, sum.toDouble / n)
+      }
+
+    /** Raster-retaining decode for transform operators (resize, crop):
+      * same shared header parse, plus a copy of the sample bytes.
+      */
+    def decodeRaster(id: Long, bytes: Array[Byte]): Option[PnmRaster] =
+      parseHeader(bytes).map { case (fmt, w, h, mv, channels, pos) =>
+        val n = w * h * channels
+        PnmRaster(id, fmt, w, h, mv, channels,
+          java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+      }
+
+    /** Re-encode a raster as canonical binary PNM: `P5|P6\n<w> <h>\n<mv>\n`
+      * + samples. `decode(encode(r))` reproduces r's header and stats —
+      * the invariant MultimodalSpec pins.
+      */
+    def encode(r: PnmRaster): Array[Byte] = {
+      val header = s"${r.format}\n${r.width} ${r.height}\n${r.maxVal}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + r.pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(r.pixels, 0, out, header.length, r.pixels.length)
+      out
+    }
+
+    /** Nearest-neighbor resize to (w2, h2): target sample (ty, tx)
+      * reads source (⌊ty·h/h2⌋, ⌊tx·w/w2⌋), per channel — the standard
+      * box-free NN mapping (identity when w2 = w, h2 = h). Linear in
+      * the OUTPUT size, so a thumbnail pass over 100 TB of media costs
+      * the decode plus O(thumb) per row.
+      */
+    def resizeNearest(r: PnmRaster, w2: Int, h2: Int): PnmRaster = {
+      require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+      val out = new Array[Byte](w2 * h2 * r.channels)
+      var ty = 0
+      while (ty < h2) {
+        val sy = (ty.toLong * r.height / h2).toInt
+        var tx = 0
+        while (tx < w2) {
+          val sx = (tx.toLong * r.width / w2).toInt
+          val src = (sy * r.width + sx) * r.channels
+          val dst = (ty * w2 + tx) * r.channels
+          var c = 0
+          while (c < r.channels) { out(dst + c) = r.pixels(src + c); c += 1 }
+          tx += 1
+        }
+        ty += 1
+      }
+      PnmRaster(r.id, r.format, w2, h2, r.maxVal, r.channels, out)
+    }
+  }
+
+  /** Full decoded raster (header + samples) for transform operators. */
+  final case class PnmRaster(id: Long, format: String, width: Int, height: Int,
+      maxVal: Int, channels: Int, pixels: Array[Byte])
+
+  /** Resized-thumbnail stats row: the decode → resize → re-encode →
+    * re-decode pipeline's output, plus a position-weighted checksum of
+    * the resized samples (Σ (v+1)·(i+1)) that pins every sample to its
+    * position — a mean/min/max alone would not catch a transposed or
+    * shifted thumbnail.
+    */
+  final case class MmThumb(id: Long, width: Int, height: Int, minGray: Int,
+      maxGray: Int, meanGray: Double, checksum: Long)
+
+  /** Distributed thumbnailing: decode raster → nearest-neighbor resize
+    * → re-encode → re-decode (stats) in ONE mapPartitions pass — zero
+    * shuffle, and every thumbnail exercises the encode/decode round
+    * trip in the production path (not just in the spec).
+    */
+  def resizePnm(ds: Dataset[(Long, Array[Byte])], w2: Int, h2: Int): Dataset[MmThumb] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        raster <- PnmCodec.decodeRaster(id, bytes)
+        resized = PnmCodec.resizeNearest(raster, w2, h2)
+        stats <- PnmCodec.decode(id, PnmCodec.encode(resized))
+      } yield {
+        var cks = 0L
+        var i = 0
+        while (i < resized.pixels.length) {
+          cks += ((resized.pixels(i) & 0xFF) + 1L) * (i + 1); i += 1
+        }
+        MmThumb(id, stats.width, stats.height, stats.minGray, stats.maxGray,
+          stats.meanGray, cks)
+      }
+    })
   }
 
   /** Distributed decode: one codec pass per partition over (id, payload)
