@@ -1,0 +1,88 @@
+package graft
+
+/** Registry-WIDE physical-plan audit: every batch query in
+  * `SparkEntry.queries` is planned (not executed) and screened against
+  * the scale blacklist — the failure classes that turn a working
+  * sf0.01 query into a 100-TB outage:
+  *
+  *  - `CartesianProduct`: an unconditioned big×big cross product.
+  *  - `BatchEvalPython` / `ArrowEvalPython`: no Python in the hot path
+  *    of a Scala library (belt and braces — nothing should ever plan
+  *    one).
+  *  - `BroadcastNestedLoopJoin`: only legal where one side is a
+  *    broadcast SCALAR (a 1-row aggregate or literal dimension —
+  *    `crossJoin(broadcast(totals))`); every such query is whitelisted
+  *    by name with the scalar side noted, so a NEW un-keyed join
+  *    anywhere else fails this suite instead of shipping.
+  *
+  * Per-query plan locks live in PlanSpec/AnalyticsSpec; this suite is
+  * the safety net for queries nobody wrote a lock for — including the
+  * ones future rounds add.
+  *
+  * Streaming queries are excluded (invoking them replays a multi-batch
+  * job, and their stateful plans legitimately differ); sink/JDBC
+  * queries are excluded because building them performs the write.
+  */
+class RegistryPlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val excluded: String => Boolean = n =>
+    n.startsWith("q_stream_") || n.startsWith("q_sink_") || n.startsWith("q_jdbc_")
+
+  /** The queries where a BroadcastNestedLoopJoin is the RIGHT plan
+    * because the broadcast side is a scalar or a bounded (query-
+    * parameter-sized) table — audited per entry. The test asserts this
+    * set EQUALS the actual BNL set, so a new un-keyed join fails the
+    * suite and a query that stops BNL-joining must be pruned here.
+    */
+  private val scalarBnlJoins: Set[String] = Set(
+    "q_doc_bm25", // 1-row avgdl/N corpus statistics broadcast
+    "q_doc_hll", // 1-row register rollup vs scalar constants
+    "q_doc_hll_by_source", // per-source register rows (|sources|-bounded)
+    "q_doc_hybrid_rrf", // 1-row corpus stats for the BM25 leg
+    "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
+    "q_doc_vocab", // 1-row corpus token total for shares
+    "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
+    "q_emb_delta_assign", // k-row centroid table broadcast
+    "q_emb_ivf", // k-row centroid table broadcast (cell assignment)
+    "q_emb_recall", // 10-query probe side broadcast (brute-force leg)
+    "q_emb_topk", // 10-query probe side broadcast (brute-force contract)
+    "q_join_theta", // deliberate non-equi theta join, small side broadcast
+    "q_doc_bigram_logprob", // 1-row bigram-total scalar broadcast
+    "q_doc_dsir", // 1-row source-mass totals broadcast
+    "q_doc_hll_setops", // constant register-index table (literal)
+    "q_doc_kn_logprob", // 1-row discount/continuation totals
+    "q_doc_mix_temperature", // 1-row mass-total scalar for the exponent
+    "q_doc_pmi_bigrams", // 1-row corpus token/bigram totals
+    "q_doc_quality_apply", // trained 1-row weight vector broadcast
+    "q_doc_sample_balanced", // bounded per-class rate table broadcast
+    "q_doc_unigram_logprob", // 1-row corpus token total
+    "q_emb_ivf_kmeans", // k-row centroid table broadcast
+    "q_emb_kmeans" // k-row centroid table broadcast per Lloyd round
+  )
+
+  test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
+    val names = SparkEntry.queries.keys.toSeq.filterNot(excluded).sorted
+    var bnlActual = Set.empty[String]
+    val violations = names.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      if (plan.contains("BroadcastNestedLoopJoin")) bnlActual += name
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "PythonEval" -> (plan.contains("BatchEvalPython") || plan.contains("ArrowEvalPython")),
+        "BroadcastNestedLoopJoin" ->
+          (plan.contains("BroadcastNestedLoopJoin") && !scalarBnlJoins(name)),
+        "planning-failure" -> plan.startsWith("PLANNING FAILED")
+      ).collect { case (what, true) => what }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(violations.isEmpty,
+      s"scale-blacklist violations:\n  ${violations.mkString("\n  ")}")
+    // the whitelist must not rot: a query that stops BNL-joining gets pruned
+    val stale = scalarBnlJoins -- bnlActual
+    assert(stale.isEmpty, s"whitelisted but no longer BNL-joining (prune): $stale")
+  }
+}
