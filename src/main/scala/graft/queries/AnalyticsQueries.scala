@@ -340,18 +340,35 @@ object AnalyticsQueries {
     * verified near-dup candidate pairs — the pair-level diagnostic a
     * dedup pass reports. Candidate-RESTRICTED like every pairwise
     * contract here: pairs come from [[Dedup.jaccardPairs]]'s
-    * df-capped inverted index (probe id < 100), and only those pairs'
-    * token counts are joined — the corpus itself never self-joins.
+    * df-capped inverted index (probe id < 100), the member ids
+    * broadcast into a semi-join AHEAD of the tokenize+count work (the
+    * per-(doc, word) aggregate is pair-volume-sized, never
+    * corpus-sized), and the corpus itself never self-joins. Pairs and
+    * member docs are [[graft.operators.Funnel.stage]] boundaries —
+    * each is referenced twice downstream.
     */
   def docRouge(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.jaccardPairs(docs, threshold = 0.9, leftFilter = col("id") < 100)
-      .select(col("da"), col("db"))
-    val tok = docs.select(col("doc_id"),
+    // Stage the pairs: BOTH the member-id set and the overlap join
+    // reference them — without the boundary the whole jaccard inverted
+    // index would compute twice (the funnel recompute class).
+    val pairs = graft.operators.Funnel.stage(
+      Dedup.jaccardPairs(docs, threshold = 0.9, leftFilter = col("id") < 100)
+        .select(col("da"), col("db")))
+    // Token counts only for PAIR MEMBERS: the member ids broadcast into
+    // a semi-join ahead of the explode, so the per-(doc, word) aggregate
+    // is pair-volume-sized, never corpus-sized. Staged because tok and
+    // len both read it.
+    val ids = pairs.select(col("da").as("doc_id"))
+      .unionAll(pairs.select(col("db").as("doc_id"))).distinct()
+    val member = graft.operators.Funnel.stage(
+      docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")))
+    val tok = member.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-    val len = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("len"))
-    val ov = pairs
+    val len = member.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("len"))
+    val ov = broadcast(pairs)
       .join(tok.as("a"), col("da") === col("a.doc_id"))
       .join(tok.as("b"), col("db") === col("b.doc_id") && col("a.word") === col("b.word"))
       .groupBy("da", "db")

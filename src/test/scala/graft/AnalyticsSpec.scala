@@ -82,13 +82,15 @@ class AnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), s"vocabulary top-k lost TakeOrdered:\n$p")
   }
 
-  test("q_doc_rouge: pairs come from the df-capped index — no cartesian, probe filter pushed") {
+  test("q_doc_rouge: staged pair-restricted joins — no corpus scan or cartesian in the final plan") {
     val p = planString("q_doc_rouge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise join degraded to cartesian:\n$p")
-    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]") ||
-      "LessThan\\(doc_id,100\\)".r.findFirstIn(p).isDefined,
-      s"probe restriction not pushed to the scan:\n$p")
+    // pairs and member docs are stage() boundaries: the final plan reads
+    // staged blocks only — a parquet scan here means the pair-restriction
+    // regressed to corpus-sized token aggregation
+    assert(!p.contains("Scan parquet"), s"corpus scan leaked past the stage boundary:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tiny pair side not broadcast:\n$p")
   }
 
   test("q_emb_recall: ANN side joins by bucket equality, exact side stays probe-bounded") {
