@@ -256,7 +256,11 @@ object Multimodal {
     private def tag(b: Array[Byte], p: Int): String =
       new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    def decode(id: Long, bytes: Array[Byte]): Option[WavAudio] = {
+    /** Validated chunk walk shared by the stats decode and the frame
+      * featurizer: (channels, sampleRate, blockAlign, dataOff, dataLen).
+      */
+    private[operators] def parseChunks(
+        bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
       if (bytes == null || bytes.length < 12) return None
       if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
       var pos = 12
@@ -287,21 +291,81 @@ object Multimodal {
       }
       if (!fmtOk || dataOff < 0) return None
       if (dataLen % blockAlign != 0) return None
-      val nSamples = dataLen / 2
-      if (nSamples == 0) return None
-      var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
-      var i = dataOff
-      val end = dataOff + dataLen.toInt
-      while (i < end) {
-        val v = (u16(bytes, i) << 16) >> 16 // sign-extend LE i16
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        sum += v
-        i += 2
-      }
-      Some(WavAudio(id, sampleRate, channels, bits, dataLen / blockAlign,
-        nSamples, mn, mx, sum.toDouble / nSamples))
+      if (dataLen == 0) return None
+      Some((channels, sampleRate, blockAlign, dataOff, dataLen))
     }
+
+    def decode(id: Long, bytes: Array[Byte]): Option[WavAudio] =
+      parseChunks(bytes).map { case (channels, sampleRate, blockAlign, dataOff, dataLen) =>
+        val nSamples = dataLen / 2
+        var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+        var i = dataOff
+        val end = dataOff + dataLen.toInt
+        while (i < end) {
+          val v = (u16(bytes, i) << 16) >> 16 // sign-extend LE i16
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          i += 2
+        }
+        WavAudio(id, sampleRate, channels, 16, dataLen / blockAlign,
+          nSamples, mn, mx, sum.toDouble / nSamples)
+      }
+
+    /** Per-window frame features straight off the byte buffer (no
+      * sample array materialized): windows of `framesPerWindow` audio
+      * frames (one frame = one sample per channel, the DSP convention);
+      * per window the frame count, peak |sample|, Σ sample², and RMS.
+      * The trailing partial window is emitted with its true frame
+      * count. IEEE sqrt is correctly rounded on every engine, so the
+      * rounded RMS replays bit-identically in SQL.
+      */
+    def frameFeatures(id: Long, bytes: Array[Byte],
+        framesPerWindow: Int): Iterator[WavFrame] = {
+      require(framesPerWindow > 0, s"bad window $framesPerWindow")
+      parseChunks(bytes) match {
+        case None => Iterator.empty
+        case Some((channels, _, blockAlign, dataOff, dataLen)) =>
+          val nFrames = (dataLen / blockAlign).toInt
+          val out = Iterator.range(0, (nFrames + framesPerWindow - 1) / framesPerWindow)
+          out.map { win =>
+            val f0 = win * framesPerWindow
+            val f1 = math.min(f0 + framesPerWindow, nFrames)
+            var peak = 0; var energy = 0L
+            var i = dataOff + f0 * blockAlign
+            val end = dataOff + f1 * blockAlign
+            while (i < end) {
+              val v = (u16(bytes, i) << 16) >> 16
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              energy += v.toLong * v
+              i += 2
+            }
+            val n = (f1 - f0).toLong * channels
+            WavFrame(id, win, f1 - f0, peak, energy,
+              math.sqrt(energy.toDouble / n))
+          }
+      }
+    }
+  }
+
+  /** One analysis window of PCM audio: frame count, peak amplitude,
+    * energy (Σ sample²) and RMS over all channels interleaved.
+    */
+  final case class WavFrame(id: Long, win: Int, nFrames: Int, peak: Int,
+      energy: Long, rms: Double)
+
+  /** Distributed audio frame featurization: the windowed-energy /
+    * peak / RMS pass a speech-quality or silence-trim filter runs
+    * before training — per-partition over the payload bytes, zero
+    * shuffle, output linear in audio length / window size.
+    */
+  def wavFrameFeatures(ds: Dataset[(Long, Array[Byte])],
+      framesPerWindow: Int): Dataset[WavFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      WavCodec.frameFeatures(id, bytes, framesPerWindow)
+    })
   }
 
   /** Distributed audio decode — same per-partition batch-loop shape as

@@ -2549,7 +2549,12 @@ object PipelineQueries {
     * the [[mmDecode]] pattern). Decode is per-partition in the scan
     * stage — zero shuffle.
     */
-  def mmWav(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic PCM16 WAV payloads shared by [[mmWav]] and
+    * [[mmWavFrames]]: 1-2 channels, 8/12/16 kHz, 10-59 frames, samples
+    * (doc_id·131 + i·17) mod 2¹⁶ LE, and a LIST/INFO junk chunk on
+    * every third file that the chunk walk must skip.
+    */
+  private def wavGen(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     def hexByte(v: Column): Column = lpad(lower(hex(v)), 2, "0")
     def le16(v: Column): Column = concat(
@@ -2577,10 +2582,13 @@ object PipelineQueries {
       lit("666d7420"), le32(lit(16L)), le16(lit(1L)), le16(ch), le32(sr),
       le32(sr * blockAlign), le16(blockAlign), le16(lit(16L)),
       junk, lit("64617461"), le32(dataSize), samplesHex)
-    val wav = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id").as("_1"), unhex(hx).as("_2"))
       .as[(Long, Array[Byte])]
-    graft.operators.Multimodal.decodeWav(wav).toDF()
+  }
+
+  def mmWav(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Multimodal.decodeWav(wavGen(s, dir)).toDF()
       .select(col("id").as("doc_id"),
         col("sampleRate").cast("long").as("sample_rate"),
         col("channels").cast("long").as("channels"),
@@ -2606,6 +2614,37 @@ object PipelineQueries {
       |  min(s)::BIGINT AS min_sample, max(s)::BIGINT AS max_sample,
       |  round(avg(s), 6) AS mean_sample
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Windowed audio frame features over the same generated corpus: the
+    * energy/peak/RMS pass a silence-trim or speech-quality filter runs
+    * before training ([[graft.operators.Multimodal.wavFrameFeatures]],
+    * 16-frame windows, zero shuffle). The oracle recomputes every
+    * window straight from the generation parameters — a wrong window
+    * boundary, channel interleave, or sign extension breaks
+    * peak/energy exactly.
+    */
+  def mmWavFrames(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Multimodal.wavFrameFeatures(wavGen(s, dir), framesPerWindow = 16).toDF()
+      .select(col("id").as("doc_id"), col("win").cast("long").as("win"),
+        col("nFrames").cast("long").as("n_frames"),
+        col("peak").cast("long").as("peak"), col("energy"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id", "win")
+  }
+
+  val mmWavFramesSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+      |             (doc_id % 50 + 10)::BIGINT AS fr FROM documents),
+      |e AS (SELECT doc_id, ch, unnest(range(0, fr * ch)) AS i FROM p),
+      |v AS (SELECT doc_id, ch, (i // ch) // 16 AS win,
+      |        CASE WHEN (doc_id * 131 + i * 17) % 65536 >= 32768
+      |             THEN (doc_id * 131 + i * 17) % 65536 - 65536
+      |             ELSE (doc_id * 131 + i * 17) % 65536 END AS s FROM e)
+      |SELECT doc_id, win::BIGINT AS win,
+      |  (count(*) // any_value(ch))::BIGINT AS n_frames,
+      |  max(abs(s))::BIGINT AS peak, sum(s * s)::BIGINT AS energy,
+      |  round(sqrt(sum(s * s) * 1.0 / count(*)), 6) AS rms
+      |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
@@ -2635,6 +2674,7 @@ object PipelineQueries {
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_resize", mmResize, Some(mmResizeSql)),
+    Q("q_mm_wav_frames", mmWavFrames, Some(mmWavFramesSql)),
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
     Q("q_doc_fold_fingerprint", docFoldFingerprint, Some(docFoldFingerprintSql)),
