@@ -151,6 +151,44 @@ object StreamingQueries {
         |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
         |ORDER BY user_id, sstart""".stripMargin
 
+  /** Custom-state gap sessionization ([[StreamingOps.sessionizeByGap]],
+    * the KeyedProcessFunction sessionizing pattern): sessions are
+    * emitted exactly once, CLOSED by the first event beyond the 30-min
+    * gap; each key's trailing session stays open in state, unemitted —
+    * so the oracle is every session except each user's last.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("value"))
+      .as[(Long, Long, Double)]
+    val out = StreamingOps.sessionizeByGap[(Long, Long, Double), Long](
+      ev, _._1, _._2, _._3, gapS = 1800L)
+    runToTable("stream_sessionize", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("start_s"), col("duration_s"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "start_s")
+  }
+
+  val streamSessionizeSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT user_id, (epoch_us(ts) // 1000000) AS tss, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch_us(ts) // 1000000)
+        |              - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tss, value
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+        |g AS (SELECT user_id, sid, min(tss)::BIGINT AS start_s,
+        |        (max(tss) - min(tss))::BIGINT AS duration_s,
+        |        count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value,
+        |        max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_s, duration_s, n_events, total_value
+        |FROM g WHERE sid < max_sid ORDER BY user_id, start_s""".stripMargin
+
   /** Stream-stream interval join (ref: TimeBoundedStreamJoin.java:52):
     * signup ⋈ purchase within 1h, inner append — all pairs emitted.
     */
@@ -1690,6 +1728,7 @@ object StreamingQueries {
     Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
+    Q("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),

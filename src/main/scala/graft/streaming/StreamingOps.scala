@@ -77,6 +77,57 @@ object StreamingOps {
         ExpressionEncoder[LastState](), ExpressionEncoder[(K, Long, Long)]())
   }
 
+  /** Gap-based sessionization with CUSTOM state (ref: the
+    * KeyedProcessFunction sessionizing pattern and
+    * EventTimeSessionWindows' merging-window state,
+    * WindowOperator.java's per-key session merge — here as explicit
+    * O(1)-per-key state: exactly ONE open session). A row arriving
+    * beyond the gap CLOSES the open session and emits it — append
+    * semantics, each session emitted exactly once, richer output than
+    * the built-in `session_window` aggregate (start, duration, count
+    * AND a folded measure). The trailing open session per key stays in
+    * state unemitted: a later batch may still extend it (the streaming
+    * contract; the batch counterpart that reports it is
+    * `q_evt_sessionize`).
+    *
+    * Within a batch rows are sorted by (ts, value) before the fold, so
+    * output — including the floating-point fold order of the measure —
+    * is deterministic under any partitioning.
+    */
+  final case class SessState(startS: Long, lastS: Long, n: Long, sum: Double)
+  final case class SessionRow[K](key: K, start_s: Long, duration_s: Long,
+      n_events: Long, total_value: Double)
+
+  def sessionizeByGap[T, K: Encoder: TypeTag](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsSFn: T => Long,
+      valueFn: T => Double,
+      gapS: Long
+  )(implicit te: Encoder[T]): Dataset[SessionRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[SessState]): Iterator[SessionRow[K]] = {
+      val evs = rows.map(r => (tsSFn(r), valueFn(r))).toSeq.sorted
+      var out = Vector.empty[SessionRow[K]]
+      var cur = state.getOption
+      evs.foreach { case (t, v) =>
+        cur match {
+          case Some(o) if t - o.lastS > gapS =>
+            out :+= SessionRow(key, o.startS, o.lastS - o.startS, o.n, o.sum)
+            cur = Some(SessState(t, t, 1L, v))
+          case Some(o) =>
+            cur = Some(SessState(o.startS, math.max(o.lastS, t), o.n + 1, o.sum + v))
+          case None =>
+            cur = Some(SessState(t, t, 1L, v))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
+        ExpressionEncoder[SessState](), ExpressionEncoder[SessionRow[K]]())
+  }
+
   /** Streaming row-time OVER aggregate, ROWS UNBOUNDED PRECEDING (ref:
     * RowTimeRowsUnboundedPrecedingFunction.java — SURVEY §2.7 "no
     * streaming window functions in Spark"): per key, each event is

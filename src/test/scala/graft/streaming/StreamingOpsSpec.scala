@@ -187,4 +187,27 @@ class StreamingOpsSpec extends SparkSpec {
       .collect()
     assert(matches.toSeq === Seq((1L, 2L)))
   }
+
+  test("sessionizeByGap: open session extends and closes ACROSS micro-batches") {
+    val input = MemoryStream[Event]
+    val out = StreamingOps.sessionizeByGap[Event, Long](
+      input.toDS(), _.user_id, _.tsUs / 1000000L, _.value, gapS = 30L)
+    val q = out.writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    try {
+      // batch 1: two events 10 s apart — one open session, nothing emitted
+      input.addData(ev(1, 1000, 7, "x", 1.0), ev(2, 11000, 7, "x", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_t").count() === 0)
+      // batch 2: 20 s later still inside the gap — extends the SAME session;
+      // then a 31+-s jump closes it (3 events, value 1+2+4, duration 31 s)
+      input.addData(ev(3, 31000, 7, "x", 4.0), ev(4, 63000, 7, "x", 8.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_t").as[StreamingOps.SessionRow[Long]].collect().toSeq
+      assert(closed === Seq(StreamingOps.SessionRow(7L, 1L, 30L, 3L, 7.0)))
+      // the new trailing session (event 4) stays open in state, unemitted
+      input.addData(ev(5, 64000, 7, "x", 16.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_t").count() === 1)
+    } finally q.stop()
+  }
 }
