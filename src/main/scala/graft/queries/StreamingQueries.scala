@@ -726,6 +726,72 @@ object StreamingQueries {
       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_total
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
+  /** Broadcast-state rules application
+    * ([[graft.streaming.BroadcastState.withBatchRules]], ref:
+    * `DataStream.broadcast(stateDesc)` / BroadcastProcessFunction):
+    * events arrive as 3 micro-batches (batch b = event_id mod 3, file
+    * order forced by ascending mtimes); each batch is joined with the
+    * RULES SNAPSHOT AS OF ITS OWN BATCH — a per-event-type value
+    * multiplier that changes with every version — via a per-batch
+    * broadcast refresh. Rule updates apply from the next batch on,
+    * never retroactively (the reference's broadcast-state
+    * consistency), which is exactly what the oracle replays:
+    * multiplier = len(event_type) + (event_id mod 3).
+    */
+  def streamRules(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val srcDir = freshDir(dir, "rules_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"rules_tmp$b")
+      ev.filter(col("event_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    // versioned rules snapshots: the "slowly-changing dimension" the
+    // pattern refreshes — multiplier drifts by +1 per version
+    val rulesDir = freshDir(dir, "rules_dim")
+    val types = ev.select(col("event_type")).distinct()
+    for (v <- 0 until 3)
+      types.select(col("event_type"),
+          (length(col("event_type")) + lit(v)).cast("double").as("mult"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$rulesDir/v$v")
+    val store = freshDir(dir, "rules_out")
+    ev.filter(lit(false)).withColumn("adj", lit(0.0))
+      .write.mode("overwrite").parquet(store)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.BroadcastState.withBatchRules(
+      batches, v => s.read.parquet(s"$rulesDir/v$v"), store) { (batch, rules) =>
+      batch.join(rules, Seq("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          (col("value") * col("mult")).as("adj"))
+    }
+    q.awaitTermination()
+    s.read.parquet(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("adj"), 2).as("adj_total"))
+      .orderBy("event_type")
+  }
+
+  val streamRulesSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT event_type, value * (len(event_type) + (event_id % 3)) AS adj FROM ev)
+        |SELECT event_type, count(*)::BIGINT AS cnt, round(sum(adj), 2) AS adj_total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming INCREMENTAL MinHash near-dup — the continuous-ingestion
     * analog of [[PipelineQueries.docDeltaMinhash]] and the sketch-level
     * upgrade of [[streamCurate]]'s exact dedup: the corpus (plus
@@ -1729,6 +1795,7 @@ object StreamingQueries {
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
+    Q("q_stream_rules", streamRules, Some(streamRulesSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),
