@@ -91,6 +91,40 @@ object SourceQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order clustered write + 2-D box read-back
+    * ([[graft.operators.ZOrder.writeZOrdered]]): events clustered on
+    * (day-of-month bucket, user_id bucket) along the Morton curve, so
+    * every output file holds a narrow min–max range in BOTH dimensions
+    * and the box predicate (5-day window × low-user range) prunes most
+    * files from footer stats alone — ZOrderSpec measures the pruning
+    * against an unclustered write of the same rows. The read-back
+    * aggregate equals the plain filtered aggregate (clustering must be
+    * semantically invisible), which is what the oracle replays.
+    */
+  def zorderSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val out = sinkDir(dir, "events_zorder")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        dayofmonth(col("ts")).as("day"))
+    ZOrder.writeZOrdered(ev, out,
+      ZOrder.bucketize(col("day"), 1, 32, 64),
+      ZOrder.bucketize(col("user_id"), 0, 4096, 64),
+      numFiles = 16)
+    s.read.parquet(out)
+      .filter(col("day") >= 10 && col("day") < 15 && col("user_id") < 8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .orderBy("user_id")
+  }
+
+  val zorderSinkSql: String =
+    graft.Tables.eventsCte +
+      """
+        |SELECT user_id, count(*)::BIGINT AS cnt, round(sum(value), 2) AS sv
+        |FROM ev WHERE day(ts) >= 10 AND day(ts) < 15 AND user_id < 8
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Bucketed tables + co-located join (the "bucketing for co-located
     * joins" scale technique; ref analog: Flink's batch-shuffle reuse /
     * pre-partitioned inputs): write orders and customer bucketed 8 ways
@@ -243,6 +277,7 @@ object SourceQueries {
     Q("q_sink_dpp", dppJoin, Some(dppJoinSql)),
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
-    Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql))
+    Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql)),
+    Q("q_sink_zorder", zorderSink, Some(zorderSinkSql))
   )
 }
