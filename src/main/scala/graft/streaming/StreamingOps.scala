@@ -98,21 +98,39 @@ object StreamingOps {
   final case class SessionRow[K](key: K, start_s: Long, duration_s: Long,
       n_events: Long, total_value: Double)
 
+  /** `timeoutFlush = true` additionally arms an EVENT-TIME TIMER at
+    * session-end + gap (the reference's
+    * `ctx.timerService().registerEventTimeTimer` pattern): when the
+    * watermark passes it with no further events for the key, the open
+    * session is EMITTED and the state cleared — so quiet keys flush
+    * instead of holding their last session forever. Requires a
+    * watermark on the input; the timer is re-armed after every batch
+    * that extends the session (clamped above the current watermark, as
+    * Spark requires).
+    */
   def sessionizeByGap[T, K: Encoder: TypeTag](
       ds: Dataset[T],
       keyFn: T => K,
       tsSFn: T => Long,
       valueFn: T => Double,
-      gapS: Long
+      gapS: Long,
+      timeoutFlush: Boolean = false
   )(implicit te: Encoder[T]): Dataset[SessionRow[K]] = {
+    def emit(key: K, o: SessState): SessionRow[K] =
+      SessionRow(key, o.startS, o.lastS - o.startS, o.n, o.sum)
     def fn(key: K, rows: Iterator[T], state: GroupState[SessState]): Iterator[SessionRow[K]] = {
+      if (timeoutFlush && state.hasTimedOut) {
+        val o = state.get
+        state.remove()
+        return Iterator.single(emit(key, o))
+      }
       val evs = rows.map(r => (tsSFn(r), valueFn(r))).toSeq.sorted
       var out = Vector.empty[SessionRow[K]]
       var cur = state.getOption
       evs.foreach { case (t, v) =>
         cur match {
           case Some(o) if t - o.lastS > gapS =>
-            out :+= SessionRow(key, o.startS, o.lastS - o.startS, o.n, o.sum)
+            out :+= emit(key, o)
             cur = Some(SessState(t, t, 1L, v))
           case Some(o) =>
             cur = Some(SessState(o.startS, math.max(o.lastS, t), o.n + 1, o.sum + v))
@@ -120,11 +138,18 @@ object StreamingOps {
             cur = Some(SessState(t, t, 1L, v))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { o =>
+        state.update(o)
+        if (timeoutFlush)
+          state.setTimeoutTimestamp(
+            math.max((o.lastS + gapS + 1) * 1000L, state.getCurrentWatermarkMs + 1))
+      }
       out.iterator
     }
+    val timeout =
+      if (timeoutFlush) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)(
         ExpressionEncoder[SessState](), ExpressionEncoder[SessionRow[K]]())
   }
 

@@ -210,4 +210,28 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.table("sess_t").count() === 1)
     } finally q.stop()
   }
+
+  test("sessionizeByGap timeoutFlush: watermark fires the event-time timer for quiet keys") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "0 seconds")
+    val out = StreamingOps.sessionizeByGap[Event, Long](
+      withWm, _.user_id, _.tsUs / 1000000L, _.value, gapS = 30L, timeoutFlush = true)
+    val q = out.writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    try {
+      // key 7: session [1 s, 11 s]; timer armed at 42 s
+      input.addData(ev(1, 1000, 7, "x", 1.0), ev(2, 11000, 7, "x", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_to").count() === 0)
+      // another KEY advances event time to 100 s; the batch still runs
+      // under the previous watermark (11 s) — no fire yet
+      input.addData(ev(3, 100000, 8, "x", 4.0))
+      q.processAllAvailable()
+      // next batch sees watermark 100 s > 42 s: key 7's timer fires with
+      // NO new key-7 events — the session flushes via the timer alone
+      input.addData(ev(4, 200000, 9, "x", 8.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_to").as[StreamingOps.SessionRow[Long]].collect().toSeq
+      assert(flushed.contains(StreamingOps.SessionRow(7L, 1L, 10L, 2L, 3.0)))
+    } finally q.stop()
+  }
 }
