@@ -159,9 +159,12 @@ object AnalyticsQueries {
       .unionAll(t2.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("name"), col("n")))
       .unionAll(t3.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("name"), col("n")))
     val w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    // base = previous step's cohort (own n for step 1); an empty corpus
+    // gives 0/0 — define conv as NULL there, never an ANSI divide error
+    val base = coalesce(last("n").over(w), col("n"))
     counts
       .withColumn("conv",
-        round(col("n") / coalesce(last("n").over(w), col("n")), 4))
+        when(base > 0, round(col("n") / base, 4)))
       .orderBy("step")
   }
 
@@ -177,9 +180,10 @@ object AnalyticsQueries {
         |      UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM t2
         |      UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM t3)
         |SELECT step, name, n,
-        |  round(n * 1.0 / coalesce(last_value(n) OVER (ORDER BY step
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), n), 4) AS conv
-        |FROM c ORDER BY step""".stripMargin
+        |  CASE WHEN coalesce(last_value(n) OVER w, n) > 0
+        |       THEN round(n * 1.0 / coalesce(last_value(n) OVER w, n), 4) END AS conv
+        |FROM c WINDOW w AS (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY step""".stripMargin
 
   /** Daily + trailing-7-day active users (DAU/WAU): each distinct
     * (user, day) activity contributes to the 7 target days it covers

@@ -1,0 +1,68 @@
+package graft
+
+/** Degenerate-input robustness: every query family must survive an
+  * EMPTY corpus — the shape a real 100-TB run produces constantly (a
+  * filter that matches nothing, an empty date partition, a first
+  * increment against an empty base). The failure class this hunts is
+  * driver-side assumptions: `.head()` on an empty aggregate, a
+  * seed/centroid sample that comes back empty, a prefix-sum or
+  * percentile over zero rows, a contraction loop fed zero edges.
+  *
+  * One representative query per risky construct (full-registry
+  * coverage would re-run the whole suite; the construct list is the
+  * point). PASS = the query plans and collects without throwing — row
+  * counts may legitimately be zero.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val src = "/root/testdata/sf0.001"
+    val dst = "/tmp/graft-empty-sf"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    dst
+  }
+
+  private val cases = Seq(
+    "q_agg_pricing", // plain aggregate
+    "q_join_inner", // broadcast join, empty both sides
+    "q_tpch_q1", // agg + having-style post-filter
+    "q_over_rank", // window over empty
+    "q_evt_sessionize", // lag/cumsum window chain
+    "q_evt_funnel", // chained conditional mins + final ratio window
+    "q_evt_active_users", // sequence() explode over empty
+    "q_evt_runs", // islands + lead()
+    "q_doc_auc", // rank-sum ratio: 0/0 guard
+    "q_doc_zipf", // TakeOrdered + regression over empty
+    "q_doc_exact_dedup", // hash-groupBy dedup
+    "q_doc_minhash", // LSH band join on empty
+    "q_doc_minhash_keeper", // contraction loop fed zero edges
+    "q_doc_budget", // 256-way prefix sum over empty
+    "q_doc_ppl_buckets", // percentile thresholds over empty
+    "q_doc_tfidf", // idf needs the doc-count scalar
+    "q_doc_pack", // greedy packing over empty shards
+    "q_doc_pipeline_full", // staged multi-stage funnel
+    "q_emb_topk", // brute-force top-k, empty probe+corpus
+    "q_emb_kmeans", // centroid seed sample comes back empty
+    "q_emb_neardup_keeper", // verify + contraction on empty
+    "q_mm_decode", // codec over zero rows
+    "q_mm_wav_frames" // frame features over zero rows
+  )
+
+  test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
+    val failures = cases.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(spark, emptyDir).collect()
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty, s"empty-input crashes:\n  ${failures.mkString("\n  ")}")
+  }
+}
