@@ -50,7 +50,17 @@ class EmptyInputSpec extends SparkSpec {
     "q_emb_kmeans", // centroid seed sample comes back empty
     "q_emb_neardup_keeper", // verify + contraction on empty
     "q_mm_decode", // codec over zero rows
-    "q_mm_wav_frames" // frame features over zero rows
+    "q_mm_wav_frames", // frame features over zero rows
+    "q_doc_delta_dedup", // increment classified against an EMPTY base
+    "q_doc_decontaminate", // broadcast of an empty eval side
+    "q_doc_domain_cap", // two-phase keep-list over empty
+    "q_doc_sample_balanced", // rate table from empty class counts
+    "q_doc_quality_train", // logistic GD rounds on zero examples
+    "q_doc_bpe_train", // merge loop with no pairs to merge
+    "q_doc_bm25", // avgdl scalar from an empty corpus
+    "q_emb_ivf_kmeans", // Lloyd rounds with empty assignment
+    "q_doc_hll", // register rollup over zero hashes
+    "q_doc_waterfill" // budget allocation with no strata
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
