@@ -85,4 +85,42 @@ class RegistryPlanAuditSpec extends SparkSpec {
     val stale = scalarBnlJoins -- bnlActual
     assert(stale.isEmpty, s"whitelisted but no longer BNL-joining (prune): $stale")
   }
+
+  /** Queries where an UNPARTITIONED ordered window is the right plan
+    * because its input is already a bounded domain (an aggregate of
+    * query-parameter size), audited per entry. Everywhere else a
+    * partition-less window funnels the whole dataset through ONE task —
+    * the q_doc_budget failure class its bucketed prefix sum exists to
+    * avoid.
+    */
+  private val boundedGlobalWindows: Set[String] = Set(
+    "q_doc_auc", // ≤1001-row quantized-score aggregate
+    "q_doc_zipf", // 1000-row TakeOrdered top-k
+    "q_evt_funnel", // 3-row step table
+    "q_doc_budget", // 256-row bucket-offset table (corpus side is bucket-partitioned)
+    "q_doc_waterfill", // per-stratum levels (bounded strata domain)
+    "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
+    "q_doc_bpe" // 50-row TakeOrdered top-k feeds the rank window
+  )
+
+  test("no batch query runs an unpartitioned window over unbounded input") {
+    val names = SparkEntry.queries.keys.toSeq.filterNot(excluded).sorted
+    // windowspecdefinition(part#1, ts#2 ASC ...) = partitioned;
+    // windowspecdefinition(ts#2 ASC ...) = partition-less (first arg is
+    // already a sort order)
+    val unpart = "windowspecdefinition\\(([^,()]*(?: ASC| DESC))".r
+    var globalActual = Set.empty[String]
+    val violations = names.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => "" }
+      val hasGlobal = unpart.findFirstIn(plan).isDefined
+      if (hasGlobal) globalActual += name
+      if (hasGlobal && !boundedGlobalWindows(name)) Some(name) else None
+    }
+    assert(violations.isEmpty,
+      s"unpartitioned window over potentially unbounded input:\n  ${violations.mkString("\n  ")}")
+    val stale = boundedGlobalWindows -- globalActual
+    assert(stale.isEmpty, s"whitelisted but no longer globally-windowed (prune): $stale")
+  }
 }
