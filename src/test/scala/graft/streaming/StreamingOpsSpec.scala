@@ -211,6 +211,57 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeByGap: closed sessions are batching-independent (seeded random replays)") {
+    val rnd = new scala.util.Random(7)
+    // 4 users, ~30 events each; inter-event gaps straddle the 30 s
+    // session boundary; integral values keep measure sums exact
+    val timeline = (1L to 4L).flatMap { u =>
+      var t = 0L
+      (0 until 30).map { i =>
+        t += 1 + rnd.nextInt(60)
+        (u, t, (1 + rnd.nextInt(9)).toDouble, u * 1000 + i)
+      }
+    }.sortBy(e => (e._2, e._1))
+    // batch reference: per-user gap fold, trailing session excluded
+    def sessionsOf(evs: Seq[(Long, Long, Double)]): Seq[StreamingOps.SessionRow[Long]] =
+      evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sorted
+        val folded = sorted.foldLeft(List.empty[StreamingOps.SessState]) {
+          case (Nil, (t, v)) => StreamingOps.SessState(t, t, 1L, v) :: Nil
+          case (cur :: closed, (t, v)) if t - cur.lastS > 30 =>
+            StreamingOps.SessState(t, t, 1L, v) :: cur :: closed
+          case (cur :: closed, (t, v)) =>
+            cur.copy(lastS = math.max(cur.lastS, t), n = cur.n + 1, sum = cur.sum + v) :: closed
+        }
+        folded.tail.map(o => StreamingOps.SessionRow(u, o.startS, o.lastS - o.startS, o.n, o.sum))
+      }
+    val expected = sessionsOf(timeline.map(e => (e._1, e._2, e._3)))
+      .sortBy(r => (r.key, r.start_s))
+    for (trial <- 0 until 3) {
+      // random PREFIX cuts: per-key in-order delivery, the operator's contract
+      val cuts = (Seq(timeline.size) ++ Seq.fill(3)(rnd.nextInt(timeline.size))).distinct.sorted
+      val input = MemoryStream[Event]
+      val out = StreamingOps.sessionizeByGap[Event, Long](
+        input.toDS(), _.user_id, _.tsUs / 1000000L, _.value, gapS = 30L)
+      val q = out.writeStream.format("memory").queryName(s"sess_prop$trial")
+        .outputMode("append").start()
+      try {
+        var prev = 0
+        cuts.foreach { c =>
+          val slice = timeline.slice(prev, c)
+          if (slice.nonEmpty) {
+            input.addData(slice.map(e => ev(e._4, e._2 * 1000, e._1, "x", e._3)): _*)
+            q.processAllAvailable()
+          }
+          prev = c
+        }
+        val got = spark.table(s"sess_prop$trial")
+          .as[StreamingOps.SessionRow[Long]].collect().toSeq.sortBy(r => (r.key, r.start_s))
+        assert(got === expected, s"trial $trial, cuts $cuts")
+      } finally q.stop()
+    }
+  }
+
   test("sessionizeByGap timeoutFlush: watermark fires the event-time timer for quiet keys") {
     val input = MemoryStream[Event]
     val withWm = input.toDS().withWatermark("ts", "0 seconds")
