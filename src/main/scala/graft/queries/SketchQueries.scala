@@ -225,8 +225,65 @@ object SketchQueries {
        |      FROM d LEFT JOIN (SELECT DISTINCT fp FROM b) bb ON d.fp = bb.fp GROUP BY 1)
        |SELECT doc_id, bloom_hit, exact_dup FROM h JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window distinct via HLL register union: trailing-7-day
+    * active users per day, computed by MERGING the per-day sketches
+    * (per-bucket max — union is the register max, the property that
+    * makes HLL windowable) instead of re-scanning 7 days of raw
+    * activity per target day. At 100 TB the daily registers are 64
+    * rows/day persisted once; any window (7/28/90-day) is a max-merge
+    * over a few hundred tiny rows — the exact path
+    * ([[AnalyticsQueries.evtActiveUsers]]) re-shuffles every (user,
+    * day) pair per window definition. Exact WAU rides along as the
+    * audit column.
+    */
+  def evtWauHll(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+    val regs = Sketches.hllRegistersBy(ud, "day", "uid", m = 64, wBits = 54)
+    val union = regs
+      .select(col("key").as("src"), col("bucket"), col("reg"),
+        explode(expr("sequence(0, 6)")).as("off"))
+      .select(date_add(col("src"), col("off")).as("key"), col("bucket"), col("reg"))
+      .groupBy("key", "bucket").agg(max("reg").as("reg"))
+    val est = Sketches.hllEstimateBy(union, m = 64, wBits = 54, alpha = 0.709)
+    val exact = ud.distinct()
+      .select(col("uid"), explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .groupBy("day").agg(count_distinct(col("uid")).as("n_exact"))
+    val days = ud.select(col("day")).distinct()
+    days.join(est.withColumnRenamed("key", "day"), Seq("day"))
+      .join(exact, Seq("day"))
+      .select(col("day").cast("string").as("day"),
+        col("est_distinct").as("est_wau"), col("n_exact"))
+      .orderBy("day")
+  }
+
+  val evtWauHllSql: String =
+    Tables.eventsCte +
+      """
+        |, ud AS (SELECT DISTINCT ts::DATE AS day, user_id::VARCHAR AS uid FROM ev),
+        |h AS (SELECT day, ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h FROM ud),
+        |r AS (SELECT day, h % 64 AS bucket,
+        |        CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho FROM h),
+        |p AS (SELECT day, bucket, max(rho)::BIGINT AS reg FROM r GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |grid AS (SELECT d.day, b.bucket, coalesce(p.reg, 0)::BIGINT AS reg
+        |         FROM days d CROSS JOIN range(0, 64) b(bucket)
+        |         LEFT JOIN p ON p.day = d.day AND p.bucket = b.bucket),
+        |sl AS (SELECT (g.day + o.off * INTERVAL 1 DAY)::DATE AS tday, bucket, reg
+        |       FROM grid g, range(0, 7) o(off)),
+        |u AS (SELECT tday, bucket, max(reg)::BIGINT AS reg FROM sl GROUP BY 1, 2),
+        |s AS (SELECT tday, sum(1::BIGINT << (55 - reg)::INTEGER)::BIGINT AS s FROM u GROUP BY 1),
+        |est AS (SELECT tday, round(0.709::DOUBLE * 4096 * power(2.0, 55) / s, 3) AS est_wau FROM s),
+        |exw AS (SELECT (d.day + o.off * INTERVAL 1 DAY)::DATE AS tday, uid
+        |        FROM ud d, range(0, 7) o(off)),
+        |ex AS (SELECT tday, count(DISTINCT uid)::BIGINT AS n_exact FROM exw GROUP BY 1)
+        |SELECT d.day::VARCHAR AS day, est_wau, n_exact
+        |FROM days d JOIN est ON est.tday = d.day JOIN ex ON ex.tday = d.day
+        |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
+    Q("q_evt_wau_hll", evtWauHll, Some(evtWauHllSql)),
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
