@@ -246,7 +246,42 @@ object MiscQueries {
       |  ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Async lookup enrichment ([[graft.operators.AsyncEnrich
+    * .mapAsyncOrdered]], ref: AsyncDataStream.orderedWait /
+    * AsyncFunction): every order probes a simulated external fee
+    * service — a Future per record, up to 8 in flight per partition,
+    * input order preserved — and the enriched stream aggregates per
+    * priority. The service function is DETERMINISTIC (fee from the
+    * order key and priority), so the async machinery is exercised in
+    * the production path while the result stays oracle-replayable;
+    * values are independent of completion timing by construction.
+    */
+  def lookupAsync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.Future
+    import scala.concurrent.duration._
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .as[(Long, String, Double)]
+    val enriched = graft.operators.AsyncEnrich.mapAsyncOrdered(
+      orders, parallelism = 8, timeout = 30.seconds) { case (key, prio, total) =>
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future { (key, prio, total, prio.length * 0.5 + (key % 7)) }
+    }
+    enriched.toDF("o_orderkey", "prio", "total", "fee")
+      .groupBy("prio")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("total") + col("fee")), 2).as("billed"))
+      .orderBy("prio")
+  }
+
+  val lookupAsyncSql: String =
+    """SELECT o_orderpriority AS prio, count(*)::BIGINT AS cnt,
+      |  round(sum(o_totalprice + len(o_orderpriority) * 0.5 + (o_orderkey % 7)), 2) AS billed
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_lookup_async", lookupAsync, Some(lookupAsyncSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q_over_bounded", overBounded, Some(overBoundedSql)),
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
