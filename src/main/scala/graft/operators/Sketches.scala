@@ -146,6 +146,22 @@ object Sketches {
         (h60(concat(col("r").cast("string"), lit("|"), col("item"))) % width).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
 
+  /** Per-key count-min cells — the sketch AS a grouped aggregation
+    * (cells keyed by day / source / language). Cells over DISJOINT key
+    * populations SUM-merge (counts are additive), the dual of the HLL
+    * register max-merge: persist per-day cells once and any trailing
+    * window's sketch is a sum over a few thousand tiny rows
+    * (`q_evt_cms_window`), never a re-scan of the raw window.
+    */
+  def cmsCellsBy(items: DataFrame, keyCol: String, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    items
+      .select(col(keyCol).as("key"), col(itemCol).as("item"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(col("key"), col("r"),
+        (h60(concat(col("r").cast("string"), lit("|"), col("item"))) % width).as("b"))
+      .groupBy("key", "r", "b").agg(count(lit(1)).as("c"))
+
   /** Point-query the sketch for each probe item: estimate = min over
     * the depth rows of the addressed cell — an upper bound on the true
     * count (collisions only ADD), within εN with probability 1−δ for

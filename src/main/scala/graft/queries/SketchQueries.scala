@@ -281,9 +281,72 @@ object SketchQueries {
         |FROM days d JOIN est ON est.tday = d.day JOIN ex ON ex.tday = d.day
         |ORDER BY day""".stripMargin
 
+  /** Sliding-window frequency via count-min cell SUM-merge — the
+    * additive dual of [[evtWauHll]]'s register max-merge: per-day 3×128
+    * cells persist once; the trailing-3-day sketch for any target day
+    * is a sum over tiny cell rows, and per-user activity estimates
+    * come from min-over-rows probes against the merged cells. Exact
+    * window counts ride along as the audit column (the estimate is an
+    * upper bound; at this width they coincide for most probes).
+    */
+  def evtCmsWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+    val daily = Sketches.cmsCellsBy(ev, "day", "uid", depth = 3, width = 128)
+    val merged = daily
+      .select(col("key").as("src"), col("r"), col("b"), col("c"),
+        explode(expr("sequence(0, 2)")).as("off"))
+      .select(date_add(col("src"), col("off")).as("day"), col("r"), col("b"), col("c"))
+      .groupBy("day", "r", "b").agg(sum("c").as("c"))
+    val days = ev.select(col("day")).distinct()
+    val probes = days.crossJoin(
+      ev.filter(col("uid").cast("long") < 10).select(col("uid")).distinct())
+    val addressed = probes
+      .withColumn("r", explode(array((0 until 3).map(lit): _*)))
+      .withColumn("b", conv(substring(md5(
+        concat(col("r").cast("string"), lit("|"), col("uid"))), 1, 15), 16, 10)
+        .cast("long") % 128)
+    val est = addressed.join(merged, Seq("day", "r", "b"))
+      .groupBy("day", "uid").agg(min("c").cast("long").as("est_cnt"))
+    val exact = ev
+      .select(col("uid"), explode(expr("sequence(day, date_add(day, 2))")).as("day"))
+      .filter(col("uid").cast("long") < 10)
+      .groupBy("day", "uid").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("day", "uid"), "left")
+      .join(days, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("uid").cast("long").as("uid"),
+        col("est_cnt"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy("day", "uid")
+  }
+
+  val evtCmsWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, e AS (SELECT ts::DATE AS day, user_id::VARCHAR AS uid FROM ev),
+        |cells AS (SELECT day, r.r, ('0x' || substr(md5(r.r::VARCHAR || '|' || uid), 1, 15))::BIGINT % 128 AS b,
+        |            count(*)::BIGINT AS c
+        |          FROM e, range(0, 3) r(r) GROUP BY 1, 2, 3),
+        |m AS (SELECT (day + o.off * INTERVAL 1 DAY)::DATE AS day, r, b, sum(c)::BIGINT AS c
+        |      FROM cells, range(0, 3) o(off) GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT day FROM e),
+        |us AS (SELECT DISTINCT uid FROM e WHERE uid::BIGINT < 10),
+        |pr AS (SELECT d.day, us.uid, r.r,
+        |         ('0x' || substr(md5(r.r::VARCHAR || '|' || us.uid), 1, 15))::BIGINT % 128 AS b
+        |       FROM days d, us, range(0, 3) r(r)),
+        |est AS (SELECT day, uid, min(c)::BIGINT AS est_cnt
+        |        FROM pr JOIN m USING (day, r, b) GROUP BY 1, 2),
+        |exw AS (SELECT (day + o.off * INTERVAL 1 DAY)::DATE AS day, uid
+        |        FROM e, range(0, 3) o(off) WHERE uid::BIGINT < 10),
+        |ex AS (SELECT day, uid, count(*)::BIGINT AS n_exact FROM exw GROUP BY 1, 2)
+        |SELECT est.day::VARCHAR AS day, est.uid::BIGINT AS uid, est_cnt,
+        |  coalesce(n_exact, 0)::BIGINT AS n_exact
+        |FROM est JOIN days USING (day) LEFT JOIN ex ON ex.day = est.day AND ex.uid = est.uid
+        |ORDER BY day, uid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
     Q("q_evt_wau_hll", evtWauHll, Some(evtWauHllSql)),
+    Q("q_evt_cms_window", evtCmsWindow, Some(evtCmsWindowSql)),
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
