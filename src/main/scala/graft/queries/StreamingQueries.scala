@@ -792,6 +792,63 @@ object StreamingQueries {
         |SELECT event_type, count(*)::BIGINT AS cnt, round(sum(adj), 2) AS adj_total
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TIME TRAVEL over the changelog store
+    * ([[graft.streaming.ChangelogSink.ParquetUpsertSink]] `asOfBatch`):
+    * a running per-user aggregate lands its update stream batch-by-
+    * batch; reading the store AS OF each batch id reproduces the
+    * aggregate state exactly as it stood after that batch committed —
+    * the batch partitioning IS the version history, and each as-of
+    * read prunes to the partitions ≤ its id. The oracle replays every
+    * version from the batch assignment (batch b = event_id mod 3, file
+    * order forced by mtimes): as-of b equals the batch aggregate over
+    * events with id mod 3 ≤ b.
+    */
+  def streamTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+    val srcDir = freshDir(dir, "tt_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"tt_tmp$b")
+      ev.filter(col("event_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val store = freshDir(dir, "tt_store")
+    val src = s.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val agg = src.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val q = graft.streaming.ChangelogSink.ParquetUpsertSink.writer(agg, store)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (0 until 3).map { b =>
+      graft.streaming.ChangelogSink.ParquetUpsertSink
+        .snapshot(s, store, Seq("user_id"), asOfBatch = Some(b.toLong))
+        .withColumn("as_of", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("as_of"), col("user_id"), col("n"), round(col("sv"), 2).as("sv"))
+      .orderBy("as_of", "user_id")
+  }
+
+  val streamTimeTravelSql: String =
+    Tables.eventsCte +
+      """
+        |, v AS (SELECT b.b AS as_of, user_id, count(*)::BIGINT AS n,
+        |          round(sum(value), 2) AS sv
+        |        FROM ev, range(0, 3) b(b) WHERE event_id % 3 <= b.b
+        |        GROUP BY 1, 2)
+        |SELECT as_of::BIGINT AS as_of, user_id, n, sv
+        |FROM v ORDER BY as_of, user_id""".stripMargin
+
   /** Streaming INCREMENTAL MinHash near-dup — the continuous-ingestion
     * analog of [[PipelineQueries.docDeltaMinhash]] and the sketch-level
     * upgrade of [[streamCurate]]'s exact dedup: the corpus (plus
@@ -1796,6 +1853,7 @@ object StreamingQueries {
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Q("q_stream_rules", streamRules, Some(streamRulesSql)),
+    Q("q_stream_time_travel", streamTimeTravel, Some(streamTimeTravelSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),

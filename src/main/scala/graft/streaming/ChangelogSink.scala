@@ -88,13 +88,21 @@ object ChangelogSink {
     /** Current upserted state: latest batch wins per key; `tieBreak`
       * orders rows that share key AND batch (unneeded when the upstream
       * operator emits ≤1 row per key per batch, the update-mode norm).
+      *
+      * `asOfBatch` = TIME TRAVEL: restrict to batches ≤ the given id
+      * and the same last-writer-wins collapse reproduces the store
+      * exactly as it stood after that batch committed — the batch
+      * partitioning IS the version history (the lakehouse snapshot
+      * read), and the as-of filter is partition pruning, so old
+      * versions cost only the partitions they touch.
       */
     def snapshot(spark: SparkSession, path: String, keyCols: Seq[String],
-        tieBreak: Seq[String] = Nil): DataFrame = {
+        tieBreak: Seq[String] = Nil, asOfBatch: Option[Long] = None): DataFrame = {
       val all = spark.read.parquet(path) // partition discovery adds batchCol
+      val visible = asOfBatch.fold(all)(b => all.filter(col(batchCol) <= b))
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col(batchCol).desc +: tieBreak.map(col(_).desc): _*)
-      all.withColumn("__rn", row_number().over(w))
+      visible.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", batchCol)
     }
