@@ -58,6 +58,28 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(snap2 === Map(7L -> 3L, 8L -> 2L))
   }
 
+  test("snapshot asOfBatch: time travel reproduces each version and PRUNES later partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    def batch(rows: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("key", "v")
+    ChangelogSink.ParquetUpsertSink.writeBatch(batch(7L -> 1L, 8L -> 1L), 0L, dir)
+    ChangelogSink.ParquetUpsertSink.writeBatch(batch(7L -> 2L), 1L, dir)
+    ChangelogSink.ParquetUpsertSink.writeBatch(batch(8L -> 3L, 9L -> 3L), 2L, dir)
+    def asOf(b: Long): Map[Long, Long] =
+      ChangelogSink.ParquetUpsertSink.snapshot(spark, dir, Seq("key"), asOfBatch = Some(b))
+        .select($"key", $"v").as[(Long, Long)].collect().toMap
+    assert(asOf(0L) === Map(7L -> 1L, 8L -> 1L))
+    assert(asOf(1L) === Map(7L -> 2L, 8L -> 1L))
+    assert(asOf(2L) === Map(7L -> 2L, 8L -> 3L, 9L -> 3L))
+    // the as-of filter must reach the scan as a PARTITION filter — old
+    // versions cost only the partitions they touch, not a full-store read
+    val plan = ChangelogSink.ParquetUpsertSink
+      .snapshot(spark, dir, Seq("key"), asOfBatch = Some(0L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ingest_batch"),
+      s"as-of read not partition-pruned:\n$plan")
+  }
+
   test("JdbcUpsertSink merges update-mode output into Derby, replay-safe") {
     System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
     val url = s"jdbc:derby:/tmp/graft-derby/upsert_spec_${System.nanoTime()};create=true"
