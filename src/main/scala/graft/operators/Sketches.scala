@@ -196,6 +196,22 @@ object Sketches {
         h60(concat(lit(i.toString), lit("|"), col(itemCol))) % mBits): _*)).as("pos"))
       .distinct()
 
+  /** Per-key Bloom bit positions — the filter AS a grouped aggregation
+    * (bits keyed by day / source). Keyed bit sets OR-merge (set union =
+    * distinct position union), completing the windowable-sketch
+    * algebra: HLL registers max-merge, count-min cells sum-merge,
+    * Bloom bits OR-merge — so per-day filters persist once and any
+    * trailing window's filter is a distinct-union of tiny position
+    * rows (`q_evt_bloom_window`).
+    */
+  def bloomBitsBy(items: DataFrame, keyCol: String, itemCol: String,
+      k: Int, mBits: Int): DataFrame =
+    items
+      .select(col(keyCol).as("key"),
+        explode(array((0 until k).map(i =>
+          h60(concat(lit(i.toString), lit("|"), col(itemCol))) % mBits): _*)).as("pos"))
+      .distinct()
+
   /** Probe the filter: hit ⇔ all k addressed positions are set. No
     * false negatives (every inserted item's positions are set by
     * construction); false-positive rate ≈ (1 − e^(−kn/m))^k. The bits

@@ -343,10 +343,79 @@ object SketchQueries {
         |FROM est JOIN days USING (day) LEFT JOIN ex ON ex.day = est.day AND ex.uid = est.uid
         |ORDER BY day, uid""".stripMargin
 
+  /** Recency-scoped membership via Bloom bit OR-merge — the third leg
+    * of the windowable-sketch algebra ([[evtWauHll]] max, [[evtCmsWindow]]
+    * sum, here set-union): per-day filters over (user, event_type)
+    * behavior pairs persist once; "seen in the prior 3 days" for any
+    * probe day is a distinct-union of tiny position rows, the
+    * recency-scoped dedup/decontamination primitive (probe TODAY's
+    * arrivals against last week's filter without touching last week's
+    * raw data). Bloom guarantees no false negatives — the spec-level
+    * invariant `bloom_hits ≥ exact_hits` is visible per row in the
+    * audit columns.
+    */
+  def evtBloomWindow(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("item"))
+      .distinct()
+    val daily = Sketches.bloomBitsBy(pairs, "day", "item", k = 4, mBits = 1024)
+    // bits visible ON day d = union of filters from days d-3 .. d-1
+    val visible = daily
+      .select(col("key").as("src"), col("pos"), explode(expr("sequence(1, 3)")).as("off"))
+      .select(date_add(col("src"), col("off")).as("day"), col("pos"))
+      .distinct()
+    val addressed = pairs
+      .withColumn("i", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("pos", conv(substring(md5(
+        concat(col("i").cast("string"), lit("|"), col("item"))), 1, 15), 16, 10)
+        .cast("long") % 1024)
+    val bloom = addressed
+      .join(visible.withColumn("set", lit(1)), Seq("day", "pos"), "left")
+      .groupBy("day", "item")
+      .agg((count(col("set")) === 4).cast("long").as("bloom_hit"))
+    val seen = pairs
+      .select(col("item"), explode(expr("sequence(date_add(day, 1), date_add(day, 3))")).as("day"))
+      .distinct()
+      .withColumn("ex", lit(1L))
+    bloom.join(seen, Seq("day", "item"), "left")
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("bloom_hit").as("bloom_hits"),
+        sum(coalesce(col("ex"), lit(0L))).as("exact_hits"))
+      .orderBy("day")
+  }
+
+  val evtBloomWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, p AS (SELECT DISTINCT ts::DATE AS day,
+        |          user_id::VARCHAR || '|' || event_type AS item FROM ev),
+        |bits AS (SELECT DISTINCT day,
+        |           ('0x' || substr(md5(i.i::VARCHAR || '|' || item), 1, 15))::BIGINT % 1024 AS pos
+        |         FROM p, range(0, 4) i(i)),
+        |vis AS (SELECT DISTINCT (day + o.off * INTERVAL 1 DAY)::DATE AS day, pos
+        |        FROM bits, range(1, 4) o(off)),
+        |addr AS (SELECT day, item, i.i,
+        |           ('0x' || substr(md5(i.i::VARCHAR || '|' || item), 1, 15))::BIGINT % 1024 AS pos
+        |         FROM p, range(0, 4) i(i)),
+        |bl AS (SELECT a.day, a.item,
+        |         CASE WHEN count(v.pos) = 4 THEN 1 ELSE 0 END AS bloom_hit
+        |       FROM addr a LEFT JOIN vis v ON v.day = a.day AND v.pos = a.pos
+        |       GROUP BY 1, 2),
+        |seen AS (SELECT DISTINCT (day + o.off * INTERVAL 1 DAY)::DATE AS day, item
+        |         FROM p, range(1, 4) o(off))
+        |SELECT bl.day::VARCHAR AS day, count(*)::BIGINT AS n_pairs,
+        |  sum(bloom_hit)::BIGINT AS bloom_hits,
+        |  sum(CASE WHEN seen.item IS NULL THEN 0 ELSE 1 END)::BIGINT AS exact_hits
+        |FROM bl LEFT JOIN seen ON seen.day = bl.day AND seen.item = bl.item
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
     Q("q_evt_wau_hll", evtWauHll, Some(evtWauHllSql)),
     Q("q_evt_cms_window", evtCmsWindow, Some(evtCmsWindowSql)),
+    Q("q_evt_bloom_window", evtBloomWindow, Some(evtBloomWindowSql)),
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
