@@ -125,4 +125,25 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_feats"),
         round(sum("lam_nano") / 1e9, 6).as("logw"))
   }
+
+  /** Weighted sample WITHOUT replacement via priority sampling
+    * (Efraimidis–Spirakis A-ES, public literature): each row draws a
+    * deterministic uniform u ∈ (0, 1) from its md5 (u = (h₆₀ + ½)/2⁶⁰)
+    * and takes priority u^(1/w); the k LARGEST priorities are exactly
+    * a w-weighted sample without replacement. The k-cut is TakeOrdered
+    * (per-partition heaps + a k-row driver merge — no global sort, no
+    * window), so a weighted eval-set cut of a 100 TB corpus is one
+    * scan. Priorities round to 9 (pow is transcendental; same
+    * cross-libm discipline as the tf-idf ln) with the id as the
+    * deterministic tie-break.
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + 0.5) / 1.152921504606846976e18
+    val pri = round(pow(u, lit(1.0) / greatest(weight.cast("double"), lit(1.0))), 9)
+    df.withColumn("pri", pri)
+      .orderBy(col("pri").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1537,6 +1537,31 @@ object PipelineQueries {
       |      lpad(lower(hex(least(floor(rate * 4294967296.0)::BIGINT, 4294967295))), 8, '0')
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Token-weighted eval-set cut via A-ES priority sampling
+    * ([[graft.operators.Sampling.weightedPrioritySample]]): the 200
+    * documents with the largest u^(1/tokens) priorities — a weighted
+    * sample WITHOUT replacement, deterministic (md5 uniforms), cut by
+    * TakeOrdered in one corpus scan. The oracle replays uniforms,
+    * priorities, and the k-cut exactly.
+    */
+  def docWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedPrioritySample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w")),
+        "doc_id", col("w"), k = 200)
+      .select(col("doc_id"), col("w"), col("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+
+  val docWeightedSampleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    len(string_split($normSql, ' '))::BIGINT AS w FROM documents),
+       |p AS (SELECT doc_id, w,
+       |    round(pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+       |        / 1152921504606846976.0, 1.0 / greatest(w, 1)), 9) AS pri
+       |  FROM d)
+       |SELECT doc_id, w, pri FROM p
+       |ORDER BY pri DESC, doc_id LIMIT 200""".stripMargin
+
   /** Multimodal binary-column pipeline (M6): documents text packed as
     * opaque media payloads; container features + frame sampling. The
     * oracle mirrors binary chunking through lowercase-hex strings
@@ -2694,6 +2719,7 @@ object PipelineQueries {
     Q("q_doc_decontaminate", docDecontaminate, Some(docDecontaminateSql)),
     Q("q_doc_pack", docPack, Some(docPackSql)),
     Q("q_doc_sample_balanced", docSampleBalanced, Some(docSampleBalancedSql)),
+    Q("q_doc_weighted_sample", docWeightedSample, Some(docWeightedSampleSql)),
     Q("q_doc_repetition", docRepetition, Some(docRepetitionSql)),
     Q("q_doc_pii", docPii, Some(docPiiSql)),
     Q("q_doc_domain_cap", docDomainCap, Some(docDomainCapSql)),
