@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Fixed-size probabilistic summaries — the cardinality / frequency /
@@ -198,9 +200,10 @@ object Sketches {
 
   /** Per-key Bloom bit positions — the filter AS a grouped aggregation
     * (bits keyed by day / source). Keyed bit sets OR-merge (set union =
-    * distinct position union), completing the windowable-sketch
+    * distinct position union), third leg of the windowable-sketch
     * algebra: HLL registers max-merge, count-min cells sum-merge,
-    * Bloom bits OR-merge — so per-day filters persist once and any
+    * Bloom bits OR-merge, KMV values bottom-k-merge ([[kmvValuesBy]])
+    * — so per-day filters persist once and any
     * trailing window's filter is a distinct-union of tiny position
     * rows (`q_evt_bloom_window`).
     */
@@ -227,4 +230,96 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg((count(col("set")) === k).cast("long").as("bloom_hit"))
   }
+
+  // -------------------------------------------------------- KMV / Theta
+
+  /** Hash-domain size for [[h60]]: hashes are uniform in [0, 2^60). */
+  val KmvDomain: Long = 1L << 60
+  private val KmvDomainD: Double = KmvDomain.toDouble // 2^60 exactly
+
+  /** Bounded bottom-k aggregation state for the KMV sketch: the buffer
+    * is the ≤k smallest DISTINCT hashes seen so far, sorted ascending.
+    * Once the buffer saturates, the common path is an O(1) rejection
+    * (`h >= last`): expected inserts over n rows are k·H_n ≈ k·ln n,
+    * so per-row cost amortizes to a comparison. merge is a
+    * distinct-union-truncate — associative, commutative, idempotent on
+    * re-delivered values — which is what makes the sketch build ONE
+    * map-side-combined aggregate: partitions each keep ≤k values and
+    * the shuffle carries ≤k longs per partition, never the
+    * corpus-sized distinct value set (contrast `count(distinct)`).
+    */
+  private final class KminAgg(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.length >= k && h >= b.last) b
+      else if (b.contains(h)) b
+      else ((b :+ h).sorted).take(k)
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+      (x ++ y).distinct.sorted.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** K-minimum-values distinct sketch (Beyer 2007; the core of the
+    * Theta sketch, Dasgupta 2016): the k smallest distinct 60-bit
+    * hashes of the item column, as rows (rank, h), rank 1-based
+    * ascending. Fourth member of the summary family and the only one
+    * whose SET ALGEBRA is faithful: bottom-k union-merge is LOSSLESS
+    * (bottom-k of A∪B = bottom-k of bottomk(A)∪bottomk(b)), and
+    * retained values are a uniform hash-sample of the distinct
+    * domain, so INTERSECTION is estimated by direct sample overlap
+    * ([[graft.queries.SketchQueries]] `q_doc_kmv_setops`) instead of
+    * HLL's error-compounding inclusion–exclusion. Build is one
+    * map-side-combined aggregate (see [[KminAgg]]); everything is
+    * md5-derived integer state, so DuckDB replays the sketch
+    * bit-for-bit.
+    */
+  def kmvValues(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val kmin = udaf(new KminAgg(k), Encoders.scalaLong)
+    items.select(h60(col(itemCol)).as("h"))
+      .agg(kmin(col("h")).as("hs"))
+      .select(posexplode(col("hs")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col").as("h"))
+  }
+
+  /** Per-key KMV values — the sketch AS a grouped aggregation
+    * ("distinct actives per day"): |keys|·k value rows replace a
+    * shuffle of every distinct (key, value) pair, and per-day sketches
+    * persist once with ANY trailing window answered by bottom-k
+    * union-merge over tiny rows (`q_evt_kmv_window`) — the fourth
+    * windowable-sketch merge after HLL max, count-min sum, Bloom OR.
+    */
+  def kmvValuesBy(items: DataFrame, keyCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val kmin = udaf(new KminAgg(k), Encoders.scalaLong)
+    items.select(col(keyCol).as("key"), h60(col(itemCol)).as("h"))
+      .groupBy("key").agg(kmin(col("h")).as("hs"))
+      .select(col("key"), posexplode(col("hs")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"), col("col").as("h"))
+  }
+
+  /** Theta-form estimate from a KMV value table: θ = the kth smallest
+    * hash when the sketch is full (else the domain bound 2^60), the
+    * retained sample = values strictly below θ, est = |retained| ·
+    * 2^60 / θ — which reduces to the classic (k−1)·2^60/h_(k) for a
+    * full sketch and to the EXACT count when distinct < k. All-integer
+    * state; the one float op chain (|S|·2^60 exact double product,
+    * one IEEE division) is literal-identical in DuckDB, rounded to 3.
+    */
+  def kmvEstimate(values: DataFrame, k: Int): DataFrame =
+    values.agg(count(lit(1)).as("n"), max("h").as("mx"))
+      .select(
+        when(col("n") === k, col("mx")).otherwise(lit(KmvDomain)).as("theta"),
+        when(col("n") === k, col("n") - 1).otherwise(col("n")).as("n_ret"))
+      .select(thetaEstimate(col("n_ret"), col("theta")).as("est_distinct"))
+
+  /** The Theta estimator |S|·2^60/θ as one literal-identical IEEE op
+    * chain (|S| ≤ a few hundred, so the double product is exact; the
+    * long→double θ cast and the division round identically under IEEE
+    * in any engine), rounded to 3.
+    */
+  def thetaEstimate(n: Column, theta: Column): Column =
+    round(n.cast("double") * lit(KmvDomainD) / theta.cast("double"), 3)
 }

@@ -411,8 +411,192 @@ object SketchQueries {
         |FROM bl LEFT JOIN seen ON seen.day = bl.day AND seen.item = bl.item
         |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** KMV bottom-k distinct sketch over 3-gram shingles — same domain
+    * as `q_doc_hll`, directly comparable: the 256 smallest distinct
+    * 60-bit hashes plus the (k−1)·2^60/h_(k) estimate and the exact
+    * audit. Sketch build is ONE map-side-combined bounded aggregate
+    * (each partition ships ≤256 longs — no distinct-value shuffle);
+    * the exact audit is the second, independent scan you drop at
+    * 100 TB.
+    */
+  def docKmv(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val vals = Funnel.stage(Sketches.kmvValues(sh, "sh", k = 256))
+    val est = Sketches.kmvEstimate(vals, k = 256)
+    val exact = sh.agg(count_distinct(col("sh")).as("n_exact"))
+    vals.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("rank"), col("h"), col("est_distinct"),
+        col("n_exact").cast("long").as("n_exact"))
+      .orderBy("rank")
+  }
+
+  val docKmvSql: String =
+    s"""WITH d AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+       |hh AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+       |v AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hh ORDER BY h LIMIT 256),
+       |st AS (SELECT count(*)::BIGINT AS n, max(h) AS mx FROM v),
+       |est AS (SELECT round((CASE WHEN n = 256 THEN n - 1 ELSE n END)::DOUBLE * power(2.0, 60)
+       |          / (CASE WHEN n = 256 THEN mx ELSE 1152921504606846976 END)::DOUBLE, 3)
+       |          AS est_distinct FROM st),
+       |ex AS (SELECT count(DISTINCT sh)::BIGINT AS n_exact FROM g)
+       |SELECT rank::BIGINT AS rank, h, est_distinct, n_exact FROM v, est, ex
+       |ORDER BY rank""".stripMargin
+
+  /** Theta-sketch set algebra across two sources — the faithful
+    * counterpart of `q_doc_hll_setops`: bottom-k union-merge is
+    * LOSSLESS, and because retained values are a uniform hash-sample
+    * of each distinct domain, the INTERSECTION is estimated by direct
+    * sample overlap below the shared θ = min(θ_a, θ_b) — no
+    * inclusion–exclusion, no error compounding (the HLL twin records
+    * est_inter 528 vs exact 71 at sf0.01; this one lands inside the
+    * sampling band). All set work happens on ≤k-row staged value
+    * tables.
+    */
+  def docKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sh = Funnel.stage(Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("sh")))
+    def vals(src: String) = Funnel.stage(
+      Sketches.kmvValues(sh.filter(col("source") === src).select("sh"), "sh", k))
+    val va = vals("src0")
+    val vb = vals("src1")
+    def theta(v: DataFrame, as: String) =
+      v.agg(count(lit(1)).as("n"), max("h").as("mx"))
+        .select(when(col("n") === k, col("mx")).otherwise(lit(Sketches.KmvDomain)).as(as))
+    val th = theta(va, "ta").crossJoin(theta(vb, "tb"))
+      .select(col("ta"), col("tb"), least(col("ta"), col("tb")).as("tu"))
+    def est1(v: DataFrame, as: String) =
+      Sketches.kmvEstimate(v, k).select(col("est_distinct").as(as))
+    val nu = va.select("h").union(vb.select("h")).distinct()
+      .crossJoin(broadcast(th)).filter(col("h") < col("tu"))
+      .agg(count(lit(1)).as("nu"))
+    val ni = va.select("h").intersect(vb.select("h"))
+      .crossJoin(broadcast(th)).filter(col("h") < col("tu"))
+      .agg(count(lit(1)).as("ni"))
+    val eu = nu.crossJoin(broadcast(th))
+      .select(Sketches.thetaEstimate(col("nu"), col("tu")).as("est_union"))
+    val ei = ni.crossJoin(broadcast(th))
+      .select(Sketches.thetaEstimate(col("ni"), col("tu")).as("est_inter"))
+    val exacts = sh.groupBy("sh").agg(count_distinct(col("source")).as("ns"))
+      .agg(count(lit(1)).cast("long").as("n_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).cast("long").as("n_inter"))
+    est1(va, "est_a").crossJoin(est1(vb, "est_b"))
+      .crossJoin(eu).crossJoin(ei).crossJoin(broadcast(exacts))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("n_union"), col("n_inter"))
+      .orderBy("est_a")
+  }
+
+  val docKmvSetopsSql: String =
+    s"""WITH d AS (SELECT source, string_split($normSql, ' ') AS t FROM documents
+       |           WHERE source IN ('src0', 'src1')),
+       |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d WHERE len(t) >= 3),
+       |hh AS (SELECT DISTINCT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM g),
+       |va AS (SELECT h FROM hh WHERE source = 'src0' ORDER BY h LIMIT 256),
+       |vb AS (SELECT h FROM hh WHERE source = 'src1' ORDER BY h LIMIT 256),
+       |th AS (SELECT
+       |  (SELECT CASE WHEN count(*) = 256 THEN max(h) ELSE 1152921504606846976 END FROM va) AS ta,
+       |  (SELECT CASE WHEN count(*) = 256 THEN max(h) ELSE 1152921504606846976 END FROM vb) AS tb),
+       |tu AS (SELECT least(ta, tb) AS tu FROM th),
+       |ea AS (SELECT round((CASE WHEN n = 256 THEN n - 1 ELSE n END)::DOUBLE * power(2.0, 60)
+       |         / (CASE WHEN n = 256 THEN mx ELSE 1152921504606846976 END)::DOUBLE, 3) AS est_a
+       |       FROM (SELECT count(*)::BIGINT AS n, max(h) AS mx FROM va)),
+       |eb AS (SELECT round((CASE WHEN n = 256 THEN n - 1 ELSE n END)::DOUBLE * power(2.0, 60)
+       |         / (CASE WHEN n = 256 THEN mx ELSE 1152921504606846976 END)::DOUBLE, 3) AS est_b
+       |       FROM (SELECT count(*)::BIGINT AS n, max(h) AS mx FROM vb)),
+       |nu AS (SELECT count(*)::BIGINT AS nu FROM
+       |         (SELECT DISTINCT h FROM (SELECT h FROM va UNION ALL SELECT h FROM vb)), tu
+       |       WHERE h < tu.tu),
+       |ni AS (SELECT count(*)::BIGINT AS ni FROM
+       |         (SELECT h FROM va INTERSECT SELECT h FROM vb), tu
+       |       WHERE h < tu.tu),
+       |eu AS (SELECT round(nu::DOUBLE * power(2.0, 60) / tu::DOUBLE, 3) AS est_union FROM nu, tu),
+       |ei AS (SELECT round(ni::DOUBLE * power(2.0, 60) / tu::DOUBLE, 3) AS est_inter FROM ni, tu),
+       |ex AS (SELECT count(*)::BIGINT AS n_union,
+       |         sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)::BIGINT AS n_inter
+       |       FROM (SELECT sh, count(DISTINCT source) AS ns FROM g GROUP BY 1))
+       |SELECT est_a, est_b, est_union, est_inter, n_union, n_inter
+       |FROM ea, eb, eu, ei, ex ORDER BY est_a""".stripMargin
+
+  /** Trailing-3-day distinct actives via per-day KMV sketches — the
+    * FOURTH leg of the windowable-sketch algebra (HLL registers
+    * max-merge, count-min cells sum-merge, Bloom bits OR-merge, KMV
+    * values bottom-k-merge): per-day sketches persist once (≤64 longs
+    * a day), any trailing window is a θ-intersection-free union-merge
+    * over tiny rows — est = |distinct retained below θ_u|·2^60/θ_u
+    * with θ_u = min contributing θ. Exact audit re-shuffles every
+    * (day, item) pair — the cost the sketch path avoids at 100 TB.
+    */
+  def evtKmvWindow(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val p = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("item"))
+    val perDay = Funnel.stage(Sketches.kmvValuesBy(p, "day", "item", k))
+    val th = perDay.groupBy("key").agg(count(lit(1)).as("n"), max("h").as("mx"))
+      .select(col("key"),
+        when(col("n") === k, col("mx")).otherwise(lit(Sketches.KmvDomain)).as("theta_d"))
+    val days = Funnel.stage(perDay.select(col("key").as("day")).distinct())
+    val contrib = perDay.join(th, "key")
+      .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
+      .select(date_add(col("key"), col("off")).as("day"), col("h"), col("theta_d"))
+      .join(days, "day")
+    val thetaU = Funnel.stage(contrib.groupBy("day").agg(min("theta_d").as("theta")))
+    val est = contrib.join(thetaU, "day")
+      .filter(col("h") < col("theta"))
+      .select(col("day"), col("h")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_ret"))
+      .join(thetaU, "day")
+      .select(col("day"), Sketches.thetaEstimate(col("n_ret"), col("theta")).as("est_3d"))
+    val exact = p.distinct()
+      .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
+      .select(date_add(col("day"), col("off")).as("day"), col("item"))
+      .join(days, "day")
+      .groupBy("day").agg(count_distinct(col("item")).as("n_exact_3d"))
+    est.join(exact, "day")
+      .select(col("day").cast("string").as("day"), col("est_3d"),
+        col("n_exact_3d").cast("long").as("n_exact_3d"))
+      .orderBy("day")
+  }
+
+  val evtKmvWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, p AS (SELECT DISTINCT ts::DATE AS day,
+        |          user_id::VARCHAR || '|' || event_type AS item FROM ev),
+        |hh AS (SELECT DISTINCT day, ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM p),
+        |v AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |      FROM hh QUALIFY rn <= 64),
+        |th AS (SELECT day, CASE WHEN count(*) = 64 THEN max(h)
+        |                        ELSE 1152921504606846976 END AS theta_d
+        |       FROM v GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM p),
+        |c2 AS (SELECT tgt.day, c.h, c.theta_d FROM
+        |         (SELECT (v.day + o.off * INTERVAL 1 DAY)::DATE AS day, v.h, th.theta_d
+        |          FROM v JOIN th USING (day), range(0, 3) o(off)) c
+        |       JOIN days tgt ON tgt.day = c.day),
+        |tu AS (SELECT day, min(theta_d) AS theta FROM c2 GROUP BY 1),
+        |sm AS (SELECT c2.day, count(DISTINCT c2.h)::BIGINT AS n_ret
+        |       FROM c2 JOIN tu USING (day) WHERE c2.h < tu.theta GROUP BY 1),
+        |est AS (SELECT day, round(n_ret::DOUBLE * power(2.0, 60) / theta::DOUBLE, 3) AS est_3d
+        |        FROM sm JOIN tu USING (day)),
+        |ex AS (SELECT e.day, count(DISTINCT e.item)::BIGINT AS n_exact_3d FROM
+        |         (SELECT (p.day + o.off * INTERVAL 1 DAY)::DATE AS day, p.item
+        |          FROM p, range(0, 3) o(off)) e
+        |       JOIN days tgt ON tgt.day = e.day GROUP BY 1)
+        |SELECT est.day::VARCHAR AS day, est_3d, n_exact_3d
+        |FROM est JOIN ex USING (day) ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
+    Q("q_doc_kmv", docKmv, Some(docKmvSql)),
+    Q("q_doc_kmv_setops", docKmvSetops, Some(docKmvSetopsSql)),
+    Q("q_evt_kmv_window", evtKmvWindow, Some(evtKmvWindowSql)),
     Q("q_evt_wau_hll", evtWauHll, Some(evtWauHllSql)),
     Q("q_evt_cms_window", evtCmsWindow, Some(evtCmsWindowSql)),
     Q("q_evt_bloom_window", evtBloomWindow, Some(evtBloomWindowSql)),

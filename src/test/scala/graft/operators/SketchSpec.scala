@@ -64,4 +64,62 @@ class SketchSpec extends SparkSpec {
     val misses = (2000 until 3000).count(i => hit(s"key-$i") == 0L)
     assert(misses > 0)
   }
+
+  test("kmv: exact below k, duplicate-insensitive, values sorted distinct") {
+    val items = (0 until 600).map(i => s"kmv-${i % 120}").toDF("v")
+    val vals = Sketches.kmvValues(items, "v", k = 256).orderBy("rank").collect()
+    // 120 distinct < k: the sketch IS the distinct hash set and est is exact
+    assert(vals.length == 120)
+    val hs = vals.map(_.getLong(1))
+    assert(hs.toSeq == hs.sorted.toSeq && hs.distinct.length == hs.length)
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvValues(items, "v", k = 256), k = 256).head().getDouble(0)
+    assert(est == 120.0)
+    // duplicate-insensitive: the 5x-duplicated stream builds the same sketch
+    val dedup = Sketches.kmvValues(items.distinct(), "v", k = 256)
+      .orderBy("rank").collect()
+    assert(vals.toSeq == dedup.toSeq)
+  }
+
+  test("kmv estimate: inside ~1/sqrt(k-2) band (x3) across decades of cardinality") {
+    for (n <- Seq(2000, 20000, 80000)) {
+      val items = (0 until n).map(i => s"kcard-$i").toDF("v")
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvValues(items, "v", k = 256), k = 256).head().getDouble(0)
+      val relErr = math.abs(est - n) / n
+      assert(relErr < 3.0 / math.sqrt(254), s"n=$n est=$est relErr=$relErr")
+    }
+  }
+
+  test("kmv union-merge is lossless: bottom-k of A∪B equals merge of the sketches") {
+    val a = (0 until 5000).map(i => s"ka-$i").toDF("v")
+    val b = (2500 until 7500).map(i => s"ka-$i").toDF("v") // overlaps a
+    val direct = Sketches.kmvValues(a.union(b), "v", k = 128)
+      .select("h").as[Long].collect().sorted.toSeq
+    // merge the two value tables the windowed-union way: union the raw
+    // h values, distinct, keep the bottom k
+    val mergedRaw = Sketches.kmvValues(a, "v", k = 128).select("h")
+      .union(Sketches.kmvValues(b, "v", k = 128).select("h"))
+      .distinct().orderBy("h").limit(128)
+      .as[Long].collect().sorted.toSeq
+    assert(mergedRaw == direct)
+  }
+
+  test("theta intersection: direct sample overlap lands near exact on planted overlap") {
+    // A = 0..5999, B = 4000..9999 -> |A∩B| = 2000, |A∪B| = 10000
+    val a = (0 until 6000).map(i => s"tv-$i").toDF("v")
+    val b = (4000 until 10000).map(i => s"tv-$i").toDF("v")
+    val k = 256
+    import org.apache.spark.sql.DataFrame
+    def vals(df: DataFrame) = Sketches.kmvValues(df, "v", k).select("h").as[Long].collect().sorted
+    val va = vals(a); val vb = vals(b)
+    def theta(v: Array[Long]) = if (v.length == k) v.last else Sketches.KmvDomain
+    val tu = math.min(theta(va), theta(vb))
+    val inter = va.toSet.intersect(vb.toSet).count(_ < tu)
+    val estInter = inter.toDouble * Sketches.KmvDomain.toDouble / tu.toDouble
+    assert(math.abs(estInter - 2000) / 2000 < 0.5, s"estInter=$estInter")
+    val union = (va.toSet ++ vb.toSet).count(_ < tu)
+    val estUnion = union.toDouble * Sketches.KmvDomain.toDouble / tu.toDouble
+    assert(math.abs(estUnion - 10000) / 10000 < 0.3, s"estUnion=$estUnion")
+  }
 }
