@@ -322,4 +322,54 @@ object Sketches {
     */
   def thetaEstimate(n: Column, theta: Column): Column =
     round(n.cast("double") * lit(KmvDomainD) / theta.cast("double"), 3)
+
+  // ------------------------------------------------- HDR histogram
+
+  private def pow2(n: Column): Column =
+    call_function("shiftleft", lit(1L), n.cast("int"))
+
+  /** HDR-histogram-style bin id for a positive long (HdrHistogram /
+    * DDSketch family: log2 exponent + 8 linear sub-buckets): values
+    * below 16 get EXACT singleton bins (id = v); above, with
+    * e = bit-length(v), the octave [2^(e−1), 2^e) splits into 8 equal
+    * sub-buckets of width 2^(e−4) — id = 16 + (e−5)·8 + sub. Bounded
+    * relative error by construction (bucket width / lower bound ≤
+    * 2^(e−4)/2^(e−1) = 12.5 %) over an UNBOUNDED domain with ≤ 8
+    * bins per octave — the property fixed-width histograms lack. All
+    * integer bit arithmetic (bin-length, shifts), so any engine
+    * replays ids exactly.
+    */
+  def hdrBin(v: Column): Column = {
+    val e = length(bin(v))
+    when(v < 16, v).otherwise(
+      lit(16) + (e - lit(5)) * lit(8) +
+        call_function("shiftright", v - pow2(e - lit(1)), (e - lit(4)).cast("int")))
+  }
+
+  /** Inclusive upper bound of an [[hdrBin]] bucket — the deterministic
+    * integer a quantile report quotes for the bucket (max true value
+    * in it, so reported quantiles never undershoot).
+    */
+  def hdrUb(binId: Column): Column = {
+    val e = lit(5) + call_function("shiftright", binId - lit(16), lit(3))
+    val m = pmod(binId - lit(16), lit(8))
+    when(binId < 16, binId)
+      .otherwise(pow2(e - lit(1)) + (m + lit(1)) * pow2(e - lit(4)) - lit(1))
+  }
+
+  /** Per-key HDR histogram cells (key, bin, cnt) over a positive-long
+    * value column — the QUANTILE leg of the windowable-sketch algebra:
+    * cell counts over disjoint key populations SUM-merge exactly like
+    * count-min cells, so per-day histograms persist once (≲ 8 bins per
+    * octave) and any trailing window's p50/p90/p99 reads off a
+    * cumulative sum over tiny merged rows — where the exact quantile
+    * re-sorts the raw window (`q_evt_quantile_window`). The percentile
+    * answer is [[hdrUb]] of the first bin whose cumulative count
+    * reaches ⌈q·N⌉: within 12.5 % of the true order statistic by the
+    * bucket-width bound, deterministic, engine-exact.
+    */
+  def hdrCellsBy(items: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    items
+      .select(col(keyCol).as("key"), hdrBin(col(valueCol)).as("bin"))
+      .groupBy("key", "bin").agg(count(lit(1)).as("cnt"))
 }

@@ -592,8 +592,110 @@ object SketchQueries {
         |SELECT est.day::VARCHAR AS day, est_3d, n_exact_3d
         |FROM est JOIN ex USING (day) ORDER BY 1""".stripMargin
 
+  /** Trailing-3-day P50/P90/P99 via per-day HDR histogram cells — the
+    * QUANTILE leg of the windowable-sketch algebra: per-day cells
+    * (≤ 8 bins per octave) persist once and SUM-merge over the window
+    * exactly like count-min; the percentile reads off a cumulative
+    * sum over the tiny merged rows as [[graft.operators.Sketches.hdrUb]]
+    * of the first bin reaching ⌈q·N⌉ (within 12.5 % of the true order
+    * statistic by the bucket-width bound). The exact audit re-sorts
+    * the raw 3-day window per target day — the cost the sketch path
+    * avoids at 100 TB. Metric domain: floor(value)+1 (positive long).
+    */
+  def evtQuantileWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), (floor(col("value")).cast("long") + 1).as("v"))
+    val perDay = Funnel.stage(Sketches.hdrCellsBy(p, "day", "v"))
+    val days = Funnel.stage(perDay.select(col("key").as("day")).distinct())
+    val merged = perDay
+      .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
+      .select(date_add(col("key"), col("off")).as("day"), col("bin"), col("cnt"))
+      .join(days, "day")
+      .groupBy("day", "bin").agg(sum("cnt").as("cnt"))
+    val cum = merged
+      .withColumn("acc", sum("cnt").over(Window.partitionBy("day").orderBy("bin")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("day")))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+      .withColumn("k99", expr("(99 * n + 99) div 100"))
+    val est = cum.groupBy("day").agg(
+      max("n").cast("long").as("n"),
+      min(when(col("acc") >= col("k50"), col("bin"))).as("b50"),
+      min(when(col("acc") >= col("k90"), col("bin"))).as("b90"),
+      min(when(col("acc") >= col("k99"), col("bin"))).as("b99"))
+      .select(col("day"), col("n"),
+        Sketches.hdrUb(col("b50")).cast("long").as("p50_est"),
+        Sketches.hdrUb(col("b90")).cast("long").as("p90_est"),
+        Sketches.hdrUb(col("b99")).cast("long").as("p99_est"))
+    val raw = p
+      .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
+      .select(date_add(col("day"), col("off")).as("day"), col("v"))
+      .join(days, "day")
+      .withColumn("rn", row_number().over(Window.partitionBy("day").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+      .withColumn("k99", expr("(99 * n + 99) div 100"))
+    val exact = raw.groupBy("day").agg(
+      max(when(col("rn") === col("k50"), col("v"))).cast("long").as("p50_exact"),
+      max(when(col("rn") === col("k90"), col("v"))).cast("long").as("p90_exact"),
+      max(when(col("rn") === col("k99"), col("v"))).cast("long").as("p99_exact"))
+    est.join(exact, "day")
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"))
+      .orderBy("day")
+  }
+
+  val evtQuantileWindowSql: String =
+    Tables.eventsCte +
+      """
+        |, p AS (SELECT ts::DATE AS day, (floor(value)::BIGINT + 1) AS v FROM ev),
+        |b AS (SELECT day, CASE WHEN v < 16 THEN v
+        |        ELSE 16 + (length(bin(v)) - 5) * 8 +
+        |             ((v - (1::BIGINT << (length(bin(v)) - 1))) >> (length(bin(v)) - 4))
+        |        END AS bin FROM p),
+        |cells AS (SELECT day, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM p),
+        |m AS (SELECT tgt.day AS day, c.bin, sum(c.cnt)::BIGINT AS cnt
+        |      FROM (SELECT (cells.day + o.off * INTERVAL 1 DAY)::DATE AS day, bin, cnt
+        |            FROM cells, range(0, 3) o(off)) c
+        |      JOIN days tgt ON tgt.day = c.day GROUP BY 1, 2),
+        |cum AS (SELECT day, bin,
+        |          sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS acc,
+        |          sum(cnt) OVER (PARTITION BY day) AS n FROM m),
+        |est AS (SELECT day, max(n)::BIGINT AS n,
+        |          min(CASE WHEN acc >= (n + 1) // 2 THEN bin END) AS b50,
+        |          min(CASE WHEN acc >= (9 * n + 9) // 10 THEN bin END) AS b90,
+        |          min(CASE WHEN acc >= (99 * n + 99) // 100 THEN bin END) AS b99
+        |        FROM cum GROUP BY 1),
+        |ub AS (SELECT day, n,
+        |  (CASE WHEN b50 < 16 THEN b50 ELSE (1::BIGINT << (4 + (b50 - 16) // 8))
+        |     + ((b50 - 16) % 8 + 1) * (1::BIGINT << (1 + (b50 - 16) // 8)) - 1 END)::BIGINT AS p50_est,
+        |  (CASE WHEN b90 < 16 THEN b90 ELSE (1::BIGINT << (4 + (b90 - 16) // 8))
+        |     + ((b90 - 16) % 8 + 1) * (1::BIGINT << (1 + (b90 - 16) // 8)) - 1 END)::BIGINT AS p90_est,
+        |  (CASE WHEN b99 < 16 THEN b99 ELSE (1::BIGINT << (4 + (b99 - 16) // 8))
+        |     + ((b99 - 16) % 8 + 1) * (1::BIGINT << (1 + (b99 - 16) // 8)) - 1 END)::BIGINT AS p99_est
+        |  FROM est),
+        |raw AS (SELECT tgt.day AS day, r.v
+        |        FROM (SELECT (p.day + o.off * INTERVAL 1 DAY)::DATE AS day, v
+        |              FROM p, range(0, 3) o(off)) r
+        |        JOIN days tgt ON tgt.day = r.day),
+        |rk AS (SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY day) AS n FROM raw),
+        |ex AS (SELECT day,
+        |         max(CASE WHEN rn = (n + 1) // 2 THEN v END)::BIGINT AS p50_exact,
+        |         max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)::BIGINT AS p90_exact,
+        |         max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)::BIGINT AS p99_exact
+        |       FROM rk GROUP BY 1)
+        |SELECT ub.day::VARCHAR AS day, n, p50_est, p90_est, p99_est,
+        |  p50_exact, p90_exact, p99_exact
+        |FROM ub JOIN ex USING (day) ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_doc_hll", docHll, Some(docHllSql)),
+    Q("q_evt_quantile_window", evtQuantileWindow, Some(evtQuantileWindowSql)),
     Q("q_doc_kmv", docKmv, Some(docKmvSql)),
     Q("q_doc_kmv_setops", docKmvSetops, Some(docKmvSetopsSql)),
     Q("q_evt_kmv_window", evtKmvWindow, Some(evtKmvWindowSql)),

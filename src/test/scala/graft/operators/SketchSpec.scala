@@ -105,6 +105,34 @@ class SketchSpec extends SparkSpec {
     assert(mergedRaw == direct)
   }
 
+  test("hdr histogram: ub covers v within 12.5%, exact below 16, bins monotone") {
+    val vs = (1L to 5000L) ++ Seq(123456L, 999999L, (1L << 40) + 12345L)
+    val rows = vs.toDF("v")
+      .select(col("v"), Sketches.hdrBin(col("v")).as("bin"))
+      .select(col("v"), col("bin"), Sketches.hdrUb(col("bin")).as("ub"))
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (v, _, ub) =>
+      assert(ub >= v, s"ub $ub < v $v")
+      assert((ub - v).toDouble / v <= 0.125, s"v=$v ub=$ub exceeds the bucket-width bound")
+      if (v < 16) assert(ub == v, s"small values must be exact: v=$v ub=$ub")
+    }
+    // bin id and ub are monotone in v — quantile scan order is value order
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // sum-merge = histogram of the union, by construction: cells of a
+    // split stream sum to the cells of the whole
+    val all = vs.toDF("v").withColumn("key", lit("a"))
+    val whole = Sketches.hdrCellsBy(all, "key", "v")
+      .select("bin", "cnt").as[(Long, Long)].collect().toMap
+    val parts = vs.zipWithIndex.map { case (v, i) => (v, s"p${i % 3}") }
+      .toDF("v", "key")
+    val mergedParts = Sketches.hdrCellsBy(parts, "key", "v")
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select("bin", "cnt").as[(Long, Long)].collect().toMap
+    assert(whole == mergedParts)
+  }
+
   test("theta intersection: direct sample overlap lands near exact on planted overlap") {
     // A = 0..5999, B = 4000..9999 -> |A∩B| = 2000, |A∪B| = 10000
     val a = (0 until 6000).map(i => s"tv-$i").toDF("v")
