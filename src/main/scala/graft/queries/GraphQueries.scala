@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-library queries ([[graft.operators.Graph]]) over the user
+  * co-engagement graph derived from `events`: users are linked when
+  * they acted in the same (event_type, hour) block at least 4 times,
+  * with blocks over 64 members dropped before pair generation (the
+  * cap/support levers that keep the constructor bounded at scale).
+  * Mirrors the reference's Gelly library algorithms
+  * (flink-gelly `TriangleEnumerator.java`, `LabelPropagation.java`)
+  * on top of plain joins + aggregations.
+  */
+object GraphQueries {
+
+  private val BlockCap = 64
+  private val MinSupport = 4
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("user_id"))
+    Graph.coOccurrenceEdges(m, Seq("event_type", "h"), "user_id", BlockCap, MinSupport)
+  }
+
+  private val edgesCte: String =
+    """, m AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id FROM ev),
+      |s AS (SELECT event_type, h, count(*) AS n FROM m GROUP BY 1, 2),
+      |k AS (SELECT m.* FROM m JOIN s USING (event_type, h) WHERE s.n <= 64),
+      |pair AS (SELECT ka.user_id AS a, kb.user_id AS b, count(*) AS sup
+      |         FROM k ka JOIN k kb ON kb.event_type = ka.event_type AND kb.h = ka.h
+      |         WHERE ka.user_id < kb.user_id GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM pair WHERE sup >= 4)""".stripMargin
+
+  /** Per-node triangle count + clustering coefficient, degree-ordered
+    * enumeration; the DuckDB oracle counts the same triangles with the
+    * naive canonical u<v<w three-way self-join (each triangle once on
+    * both sides, by different routes — route-independence IS the
+    * check).
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(coEdges(s, dir)).orderBy("node")
+
+  val graphTrianglesSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, deg AS (SELECT v, count(*)::BIGINT AS degree
+        |          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT v, count(*)::BIGINT AS tri_cnt
+        |       FROM (SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+        |             UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.v AS node, degree, coalesce(tri_cnt, 0)::BIGINT AS tri_cnt,
+        |  CASE WHEN degree < 2 THEN 0.0
+        |       ELSE round((coalesce(tri_cnt, 0) * 2)::DOUBLE
+        |                  / (degree * (degree - 1))::DOUBLE, 6) END AS coeff
+        |FROM deg LEFT JOIN pn ON pn.v = deg.v ORDER BY node""".stripMargin
+
+  /** Two rounds of synchronous label propagation over the same graph;
+    * the oracle unrolls both rounds as CTEs with the identical
+    * most-frequent-then-smallest tie-break.
+    */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(coEdges(s, dir), rounds = 2).orderBy("node")
+
+  val graphLabelPropSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, nbrs AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT v AS node, v AS label
+        |       FROM (SELECT DISTINCT a AS v FROM e UNION SELECT DISTINCT b FROM e)),
+        |c1 AS (SELECT nbrs.u, l0.label, count(*) AS cnt
+        |       FROM nbrs JOIN l0 ON l0.node = nbrs.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS node, label FROM
+        |         (SELECT u, label,
+        |            row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+        |          FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT nbrs.u, l1.label, count(*) AS cnt
+        |       FROM nbrs JOIN l1 ON l1.node = nbrs.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS node, label FROM
+        |         (SELECT u, label,
+        |            row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+        |          FROM c2) WHERE rn = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql))
+  )
+}

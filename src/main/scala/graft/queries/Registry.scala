@@ -8,5 +8,6 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ WindowQueries.all ++
       PipelineQueries.all ++ SketchQueries.all ++ StreamingQueries.all ++ ApiQueries.all ++
-      SourceQueries.all ++ MiscQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all
+      SourceQueries.all ++ MiscQueries.all ++ AnalyticsQueries.all ++
+      GraphQueries.all ++ TpchQueries.all
 }

@@ -54,6 +54,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_bigram_logprob", // 1-row bigram-total scalar broadcast
     "q_doc_dsir", // 1-row source-mass totals broadcast
     "q_doc_hll_setops", // constant register-index table (literal)
+    "q_doc_kmv", // 1-row theta estimate + exact audit vs ≤k value rows
+    "q_doc_kmv_setops", // 1-row theta bounds over ≤k-row staged value tables
     "q_doc_kn_logprob", // 1-row discount/continuation totals
     "q_doc_mix_temperature", // 1-row mass-total scalar for the exponent
     "q_doc_pmi_bigrams", // 1-row corpus token/bigram totals

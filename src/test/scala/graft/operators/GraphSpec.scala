@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-verifiable fixtures for [[Graph]]: known triangle counts on
+  * constructed shapes, degree-ordered enumeration vs the naive count
+  * on a seeded random graph, clique-structure recovery by label
+  * propagation, and the cap/support contract of the edge constructor.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) =
+    es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+
+  test("triangleStats: K4 plus a pendant — known counts and coefficients") {
+    // K4 on 1-4 (4 triangles, every node in 3) plus pendant 5-1
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val rows = Graph.triangleStats(e).orderBy("node")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    val byNode = rows.map(r => r._1 -> r).toMap
+    assert(byNode(1L) == ((1L, 4L, 3L, 0.5))) // deg 4: 3 tri / C(4,2)=6 pairs
+    for (n <- 2L to 4L) assert(byNode(n) == ((n, 3L, 3L, 1.0)))
+    assert(byNode(5L) == ((5L, 1L, 0L, 0.0)))
+    // total triangles = sum(tri)/3 = 4
+    assert(rows.map(_._3).sum == 12L)
+  }
+
+  test("triangleStats: degree-ordered count equals the naive canonical count") {
+    // seeded pseudo-random graph over 40 nodes
+    val rnd = new scala.util.Random(42)
+    val es = (0 until 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val perNode = Graph.triangleStats(e).agg(sum("tri_cnt")).head().getLong(0)
+    // naive: canonical 3-join on the driver
+    val set = e.as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (a, b) <- set; (b2, c) <- set if b2 == b && set.contains((a, c))
+    } yield (a, b, c)).size
+    assert(perNode == 3L * naive, s"perNodeSum=$perNode naive=$naive")
+  }
+
+  test("labelPropagation: two cliques with one bridge converge to per-clique labels") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val e = edges((cliqueA ++ cliqueB :+ (4L, 11L)): _*)
+    val labels = Graph.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // every node of clique A settles on a label from clique A, same for B
+    assert((1L to 4L).forall(n => labels(n) <= 4L), labels.toString)
+    assert((11L to 14L).forall(n => labels(n) >= 11L || labels(n) <= 4L))
+    // within each clique the label is uniform for the non-bridge core
+    assert((1L to 3L).map(labels).distinct.size == 1)
+    assert((12L to 14L).map(labels).distinct.size == 1)
+  }
+
+  test("coOccurrenceEdges: cap drops hot blocks, support filters incidental pairs") {
+    // block X: members 1..5 appearing together twice (support 2 via two blocks)
+    val rows =
+      (for (b <- Seq("x1", "x2"); u <- 1L to 5L) yield (b, u)) ++
+        // hot block with 20 members — must be dropped entirely at cap 10
+        (for (u <- 100L to 119L) yield ("hot", u)) ++
+        // pair (6,7) co-occurs once only — below support 2
+        Seq(("y1", 6L), ("y1", 7L))
+    val m = rows.toDF("blk", "id")
+    val e = Graph.coOccurrenceEdges(m, Seq("blk"), "id", blockCap = 10, minSupport = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(e == (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
+  }
+}
