@@ -72,4 +72,80 @@ object Components {
         .select(col("id"), coalesce(col("lx"), col("lbl")).as("lbl"))
     }
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the general-graph engine for shapes
+    * [[minLabel]] is wrong for. Plain neighborhood-min contraction is
+    * the right tool for dedup graphs (near-cliques collapse in one or
+    * two rounds) but on PATH-shaped graphs the min label travels only a
+    * couple of hops per round, so a chain of length L needs Θ(L) rounds
+    * and [[minLabel]]'s fail-fast fires. The star steps instead
+    * re-point whole neighborhoods at their minimum each round:
+    *
+    *  - large-star: for every node u, each strictly-larger neighbor is
+    *    connected to min(Γ(u) ∪ u);
+    *  - small-star: for every node u, each not-larger neighbor and u
+    *    itself are connected to min(Γ⁻(u) ∪ u);
+    *
+    * which provably converges in O(log² n) rounds (O(log n) observed)
+    * to a star forest rooted at each component's minimum — on ANY
+    * shape, skewed or path-like. Each step is one node-keyed
+    * aggregation plus one equi-join; nothing quadratic, no driver
+    * state beyond the per-round fixed-point signature (count +
+    * order-independent hash), and the per-round edge list is
+    * checkpointed so the loop's lineage stays flat.
+    *
+    * Same contract as [[minLabel]]: `edges` are undirected pairs
+    * (da, db), `nodes` the full (id) universe; returns (id, lbl) with
+    * lbl the component minimum.
+    */
+  def minLabelStar(edges: DataFrame, nodes: DataFrame, maxIter: Int = 40): DataFrame = {
+    // canonicalize u > v once: self-loops dropped, parallel edges merged
+    var e = edges
+      .filter(col("da") =!= col("db"))
+      .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // order-independent, overflow-free fixed-point signature: XOR of the
+    // per-edge hashes (the edge list is distinct, so no self-cancel)
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = signature(e)
+    var stable = prev._1 == 0L
+    var i = 0
+    while (i < maxIter && !stable) {
+      val bi = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+      val lm = bi.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // large-star output is canonical by construction: v > u >= m
+      val ls = bi.join(lm, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      val sm = ls.groupBy("u").agg(min("v").as("mv"))
+      val ss = ls.join(sm, "u").filter(col("v") =!= col("mv"))
+        .select(col("v").as("u"), col("mv").as("v"))
+        .unionByName(sm.select(col("u"), col("mv").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val cur = signature(ss)
+      stable = cur == prev || cur._1 == 0L
+      prev = cur
+      e = ss
+      i += 1
+    }
+    require(stable,
+      s"minLabelStar: no fixed point after $maxIter rounds — raise maxIter " +
+        "(expected O(log n) rounds; this indicates a pathological input)")
+    // fixed point is a star forest (child, root): roots and isolated
+    // nodes label themselves
+    nodes.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+  }
 }

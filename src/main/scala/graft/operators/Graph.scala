@@ -90,6 +90,22 @@ object Graph {
           / (col("degree") * (col("degree") - 1)).cast("double"), 6)))
   }
 
+  /** Connected components over an undirected edge table (ref:
+    * flink-gelly `ConnectedComponents.java:48` — the library algorithm
+    * its iterate-delta engine exists for; [[Iterations.deltaIterate]]
+    * covers the engine itself). Delegates to
+    * [[Components.minLabelStar]] — alternating large-star/small-star
+    * contraction, O(log n) rounds on any graph shape including the
+    * long-path chains where plain neighborhood-min contraction
+    * degenerates to Θ(diameter) rounds. Output: (node, component) with
+    * component = the minimum node id in the component.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 40): DataFrame =
+    Components.minLabelStar(
+      edges.select(col("a").as("da"), col("b").as("db")),
+      nodes, maxIter)
+      .select(col("id").as("node"), col("lbl").as("component"))
+
   /** Synchronous label propagation (ref: flink-gelly
     * `LabelPropagation.java:47` — "takes the most frequent label among
     * neighbors", scatter-gather): labels init to the node id; each

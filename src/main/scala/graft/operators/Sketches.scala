@@ -33,7 +33,7 @@ object Sketches {
   /** Portable 60-bit non-negative hash: first 15 hex chars of md5 —
     * the cross-engine idiom shared with [[Dedup.portablePerms]].
     */
-  private def h60(c: Column): Column =
+  private[operators] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   // ---------------------------------------------------------------- HLL

@@ -382,9 +382,36 @@ object ApiQueries {
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Bloom-reduced fact-to-filtered-dim join
+    * ([[graft.operators.RuntimeFilter.bloomReducedJoin]]): the dim
+    * predicate keeps ~2 % of parts, the scan-stage Bloom probe drops
+    * non-matching lineitem rows before the shuffle, and false
+    * positives die in the join — so the oracle is the PLAIN join, the
+    * reduction must be semantically invisible (the exactness contract).
+    */
+  def joinBloomReduce(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    graft.operators.RuntimeFilter.bloomReducedJoin(
+      Tables.lineitem(s, dir), "l_partkey", dim, "p_partkey")
+      .groupBy("p_partkey", "p_name")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("p_partkey")
+  }
+
+  val joinBloomReduceSql: String =
+    """SELECT p_partkey, p_name, count(*)::BIGINT AS cnt,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#4' AND p_size <= 10
+      |GROUP BY p_partkey, p_name ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_skew_salted_agg", skewSaltedAgg, Some(skewSaltedAggSql)),
     Q("q_skew_salted_join", skewSaltedJoin, Some(skewSaltedJoinSql)),
+    Q("q_join_bloom_reduce", joinBloomReduce, Some(joinBloomReduceSql)),
     Q("q_sql_revenue", sqlRevenue, Some(sqlRevenueSql)),
     Q("q_cogroup", cogroup, Some(cogroupSql)),
     Q("q_flat_agg", flatAggregate, Some(flatAggregateSql)),

@@ -87,8 +87,38 @@ object GraphQueries {
         |          FROM c2) WHERE rn = 1)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin
 
+  /** Connected components over a deliberately PATH-shaped graph — each
+    * user's events chained in (ts, event_id) order, so every component
+    * is a ~70-node path (the adversarial shape for neighborhood-min
+    * contraction, where the min label crawls O(diameter) rounds). The
+    * star-contraction engine converges in O(log n) rounds regardless;
+    * the oracle derives each component independently from the chain
+    * CONSTRUCTION (a user's chain is connected by construction, and
+    * event ids are globally unique, so component = min event_id per
+    * user) — the algorithm itself sees only the anonymous edge list.
+    */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev
+      .select(col("event_id").as("a"), lag("event_id", 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    val nodes = ev.select(col("event_id").as("id"))
+    Graph.connectedComponents(edges, nodes)
+      .groupBy("component").agg(count(lit(1)).cast("long").as("size"))
+      .orderBy("component")
+  }
+
+  val graphComponentsSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT min(event_id) AS component, count(*)::BIGINT AS size
+        |FROM ev GROUP BY user_id ORDER BY component""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
-    Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql))
+    Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
+    Q("q_graph_components", graphComponents, Some(graphComponentsSql))
   )
 }

@@ -58,6 +58,38 @@ class GraphSpec extends SparkSpec {
     assert((12L to 14L).map(labels).distinct.size == 1)
   }
 
+  test("minLabelStar: 500-node path labels to its minimum in O(log n) rounds") {
+    // the adversarial shape for neighborhood-min contraction: plain
+    // minLabel needs ~Θ(L) rounds here and fails fast at its default cap
+    val path = (0L until 500L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val e = path.toDF("da", "db")
+    val nodes = (0L until 500L).toDF("id")
+    val labels = Components.minLabelStar(e, nodes).as[(Long, Long)].collect()
+    assert(labels.length == 500 && labels.forall(_._2 == 0L))
+  }
+
+  test("minLabelStar: mixed forest — path + clique + isolated node") {
+    val path = (10L to 20L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = for (i <- 30L to 33L; j <- (i + 1) to 33L) yield (i, j)
+    val e = (path ++ clique).toDF("da", "db")
+    val nodes = ((10L to 20L) ++ (30L to 33L) :+ 99L).toDF("id")
+    val labels = Components.minLabelStar(e, nodes).as[(Long, Long)].collect().toMap
+    assert((10L to 20L).forall(labels(_) == 10L))
+    assert((30L to 33L).forall(labels(_) == 30L))
+    assert(labels(99L) == 99L)
+  }
+
+  test("minLabelStar agrees with minLabel on a dense random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val e = es.toDF("da", "db")
+    val nodes = (0L until 30L).toDF("id")
+    val star = Components.minLabelStar(e, nodes).as[(Long, Long)].collect().toMap
+    val plain = Components.minLabel(e, nodes).as[(Long, Long)].collect().toMap
+    assert(star == plain)
+  }
+
   test("coOccurrenceEdges: cap drops hot blocks, support filters incidental pairs") {
     // block X: members 1..5 appearing together twice (support 2 via two blocks)
     val rows =
