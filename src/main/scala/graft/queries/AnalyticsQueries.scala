@@ -502,7 +502,48 @@ object AnalyticsQueries {
        |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
   }
 
+  /** Market-basket association rules over (user, day) baskets of event
+    * types ([[graft.operators.Itemsets.pairRules]]): Apriori item
+    * pruning + basket cap before the pair join, directional
+    * confidence and lift after. The oracle replays the identical
+    * pruning pipeline in SQL, including the lift denominator's
+    * pre-pruning basket universe.
+    */
+  def evtItemsets(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"), col("event_type"))
+    graft.operators.Itemsets.pairRules(
+      baskets, Seq("user_id", "d"), "event_type", minSupport = 30L, basketCap = 4)
+      .orderBy("antecedent", "consequent")
+  }
+
+  val evtItemsetsSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type AS item FROM ev),
+        |fi AS (SELECT item, count(*)::BIGINT AS item_sup FROM b GROUP BY 1 HAVING count(*) >= 30),
+        |kb AS (SELECT b.user_id, b.d, b.item FROM b JOIN fi USING (item)),
+        |sz AS (SELECT user_id, d FROM kb GROUP BY user_id, d HAVING count(*) <= 4),
+        |s AS (SELECT kb.* FROM kb JOIN sz USING (user_id, d)),
+        |p AS (SELECT sa.item AS a, sb.item AS b2, count(*)::BIGINT AS pair_sup
+        |      FROM s sa JOIN s sb ON sb.user_id = sa.user_id AND sb.d = sa.d
+        |        AND sa.item < sb.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 30),
+        |j AS (SELECT p.a, p.b2, p.pair_sup, fa.item_sup AS sup_a, fb.item_sup AS sup_b
+        |      FROM p JOIN fi fa ON fa.item = p.a JOIN fi fb ON fb.item = p.b2),
+        |n AS (SELECT count(*)::DOUBLE AS nb
+        |      FROM (SELECT DISTINCT user_id, date_trunc('day', ts) FROM ev)),
+        |r AS (SELECT a AS antecedent, b2 AS consequent, pair_sup,
+        |        sup_a AS sup_ante, sup_b AS sup_cons FROM j
+        |      UNION ALL
+        |      SELECT b2, a, pair_sup, sup_b, sup_a FROM j)
+        |SELECT antecedent, consequent, pair_sup,
+        |  round(pair_sup::DOUBLE / sup_ante, 6) AS confidence,
+        |  round(pair_sup::DOUBLE * nb / (sup_ante * sup_cons), 6) AS lift
+        |FROM r, n ORDER BY antecedent, consequent""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),

@@ -233,6 +233,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
   }
 
+  test("q_join_bloom_reduce: the Bloom probe filters the fact scan before any exchange") {
+    // the operator's whole point: non-matching fact rows die in the scan
+    // stage, so the probe filter must sit directly over the parquet scan
+    // with no shuffle between — and be pure codegen'd built-ins (no UDF)
+    val plan = SparkEntry.queries("q_join_bloom_reduce")(spark, dir)
+      .queryExecution.executedPlan
+    val probeFilters = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("shiftright") => f
+    }
+    assert(probeFilters.nonEmpty, s"Bloom probe filter missing:\n$plan")
+    assert(probeFilters.exists { f =>
+      f.collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.isDefined &&
+        f.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty
+    }, s"probe filter not fused onto the scan stage:\n$plan")
+    val ps = plan.toString
+    assert(!ps.contains("ScalaUDF") && !ps.contains("BatchEvalPython"),
+      s"probe must be codegen'd built-ins:\n$ps")
+  }
+
   // ---------------------------------------------------------------- //
   // Scan-count locks: "a second reference silently doubles the       //
   // lineage" is the composition bug class (the round-6 funnel plan   //
