@@ -360,6 +360,32 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
       |ORDER BY p_brand, rn""".stripMargin
 
+  /** Distribution window functions NTILE / PERCENT_RANK / CUME_DIST
+    * (ref: FlinkSqlOperatorTable NTILE/PERCENT_RANK/CUME_DIST,
+    * BatchExecRank.scala — the remaining third of the reference's rank
+    * function battery beyond [[overRank]]). Partitioned by nation so
+    * the window never funnels more than one nation's customers through
+    * a task; doubles rounded to 6 on both sides.
+    */
+  def overDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  val overDistSql: String =
+    """SELECT c_nationkey, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   /** LEAD/LAG/FIRST_VALUE over event streams (ref: FlinkSqlOperatorTable
     * LEAD/LAG; StreamExecOverAggregate.scala:55).
     */
@@ -548,6 +574,7 @@ object RelationalQueries {
     Q("q_over_running", overRunning, Some(overRunningSql)),
     Q("q_over_rank", overRank, Some(overRankSql)),
     Q("q_over_leadlag", overLeadLag, Some(overLeadLagSql)),
+    Q("q_over_dist", overDist, Some(overDistSql)),
     Q("q_over_range", overRange, Some(overRangeSql)),
     Q("q_topn_group", topNPerGroup, Some(topNPerGroupSql)),
     Q("q_sort_limit", sortLimit, Some(sortLimitSql)),

@@ -60,7 +60,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_bm25", // avgdl scalar from an empty corpus
     "q_emb_ivf_kmeans", // Lloyd rounds with empty assignment
     "q_doc_hll", // register rollup over zero hashes
-    "q_doc_waterfill" // budget allocation with no strata
+    "q_doc_waterfill", // budget allocation with no strata
+    "q_graph_components", // star-contraction loop fed zero edges
+    "q_join_bloom_reduce", // bloom filter built from an empty dim side
+    "q_evt_itemsets", // apriori pruning with zero frequent items
+    "q_over_dist" // ntile/percent_rank/cume_dist over empty
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
