@@ -124,9 +124,13 @@ object Components {
         .select(col("x.u").as("u"), col("x.v").as("v"))
       val lm = bi.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      // large-star output is canonical by construction: v > u >= m
+      // large-star output is canonical by construction: v > u >= m.
+      // NOT deduplicated here: emissions are one per oriented edge
+      // (O(E) rows), the small-star aggregation consumes them with
+      // map-side combine, and the round's single distinct happens once
+      // on the small-star output — one exchange per round, not two
       val ls = bi.join(lm, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
       val sm = ls.groupBy("u").agg(min("v").as("mv"))
       val ss = ls.join(sm, "u").filter(col("v") =!= col("mv"))
         .select(col("v").as("u"), col("mv").as("v"))

@@ -41,10 +41,14 @@ object Itemsets {
       b.groupBy("item").agg(count(lit(1)).cast("long").as("item_sup"))
         .filter(col("item_sup") >= minSupport))
     val kept = b.join(freqItems.select("item"), "item")
-    val sized = Funnel.stage(kept.join(
-      kept.groupBy(bc: _*).agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= basketCap).select(bc: _*),
-      basketCols))
+    // basket cap via a basket-keyed window (high-cardinality partition,
+    // never a funnel): one exchange on the basket key, which the pair
+    // self-join below reuses — a groupBy+join-back here would reference
+    // `kept` twice and double its lineage
+    val sized = Funnel.stage(kept
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(bc: _*)))
+      .filter(col("bn") <= basketCap).drop("bn"))
     sized.select(bc :+ col("item").as("a"): _*)
       .join(sized.select(bc :+ col("item").as("b"): _*), basketCols)
       .filter(col("a") < col("b"))
