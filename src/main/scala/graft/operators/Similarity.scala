@@ -96,6 +96,34 @@ object Similarity {
   private[operators] def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] =
     graft.functions.SignLshBuckets.planes(numPlanes, dim, seed).toSeq.map(_.toSeq)
 
+  /** Johnson–Lindenstrauss random projection to `planes.length` output
+    * dimensions: out[i] = v · plane_i, the dense seeded-Gaussian JL map
+    * (Johnson & Lindenstrauss 1984; same plane generator as sign-LSH —
+    * sign-LSH IS this projection quantized to sign bits). A 4×-or-more
+    * dimensionality cut shrinks every downstream distance computation
+    * and shuffle payload while approximately preserving cosine
+    * geometry; the projection itself is a scan-stage zip_with/aggregate
+    * chain in double precision — codegen'd HOFs, no UDF, and exactly
+    * replayable as SQL literal-plane dot products.
+    */
+  def randomProjection(embedding: Column, projPlanes: Seq[Seq[Float]]): Column = {
+    val v = embedding.cast("array<double>")
+    array(projPlanes.map { p =>
+      aggregate(zip_with(v, lit(p.map(_.toDouble).toArray), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    }: _*)
+  }
+
+  /** Double-precision cosine from codegen'd HOFs — for spaces whose
+    * vectors are computed columns (e.g. [[randomProjection]] outputs)
+    * where the SQL oracle must replay the identical double arithmetic.
+    */
+  def cosineDouble(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, t) => s + t)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
   /** All `bands` sign-LSH bucket ids in one pass (array<long>, one per
     * band; band b's planes are seeded seed + 7919·b). Native expression —
     * one primitive loop per embedding inside the scan stage.

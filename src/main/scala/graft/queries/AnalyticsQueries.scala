@@ -542,6 +542,78 @@ object AnalyticsQueries {
         |  round(pair_sup::DOUBLE * nb / (sup_ante * sup_cons), 6) AS lift
         |FROM r, n ORDER BY antecedent, consequent""".stripMargin
 
+  /** Johnson–Lindenstrauss random-projection recall@5: corpus and
+    * queries projected 64→32 dims ([[Similarity.randomProjection]],
+    * seeded literal planes), exact top-5 recomputed in the PROJECTED
+    * space and scored against the full-space exact top-5 — the
+    * evaluation that justifies the 2× distance/shuffle-payload cut at
+    * scale. Projection and projected cosine run in double precision so
+    * the oracle replays them as literal-plane dot products. Honest-eval
+    * note: this fixture's neighbor lists are a dense cosine continuum
+    * (rank-5/rank-6 gaps ≈ 0.002), so absolute recall is low BY THE
+    * FIXTURE — same as `q_emb_recall`'s sign-LSH reading (0.0 here);
+    * the deliverable is the exactly-reproducible measurement, and the
+    * clustered-fixture spec shows the projection preserving real
+    * structure.
+    */
+  def embRpRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pl = graft.functions.SignLshBuckets.planes(numPlanes = 32, dim = 64, seed = 137L)
+      .toSeq.map(_.toSeq)
+    val proj = graft.operators.Funnel.stage(emb.select(col("vec_id"),
+      Similarity.randomProjection(col("embedding"), pl).as("pe")))
+    val pq = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("pe").as("qe"))
+    val scored = proj.join(broadcast(pq), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Similarity.cosineDouble(col("qe"), col("pe")).as("c"))
+    val projTop = Similarity.topKPerKey(scored, 5).select("qid", "nid")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5).select(col("qid"), col("nid"))
+    val hits = exact.join(projTop, Seq("qid", "nid")).groupBy("qid")
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 5.0, 2).as("recall"))
+      .orderBy("qid")
+  }
+
+  val embRpRecallSql: String = {
+    val pl = graft.functions.SignLshBuckets.planes(numPlanes = 32, dim = 64, seed = 137L)
+    val values = pl.zipWithIndex
+      .map { case (p, j) =>
+        s"($j, ${p.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ", ", "]")}::DOUBLE[])"
+      }
+      .mkString(",\n")
+    s"""WITH planes(j, p) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pr AS (SELECT vec_id, list(list_dot_product(e, p) ORDER BY j) AS pe
+       |       FROM emb, planes GROUP BY vec_id),
+       |pt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.pe, b.pe)
+       |          / sqrt(list_dot_product(q.pe, q.pe) * list_dot_product(b.pe, b.pe)), 6)
+       |          DESC, b.vec_id) AS rn
+       |    FROM pr q, pr b
+       |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) x WHERE rn <= 5),
+       |ex AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC, b.vec_id) AS rn
+       |    FROM emb q, emb b
+       |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) y WHERE rn <= 5),
+       |h AS (SELECT ex.qid, count(*)::BIGINT AS n_hit
+       |      FROM ex JOIN pt ON ex.qid = pt.qid AND ex.nid = pt.nid GROUP BY 1)
+       |SELECT q.vec_id AS qid, coalesce(n_hit, 0)::BIGINT AS n_hit,
+       |  round(coalesce(n_hit, 0) / 5.0, 2) AS recall
+       |FROM emb q LEFT JOIN h ON q.vec_id = h.qid
+       |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
@@ -554,6 +626,7 @@ object AnalyticsQueries {
     Q("q_doc_zipf", docZipf, Some(docZipfSql)),
     Q("q_doc_rouge", docRouge, Some(docRougeSql)),
     Q("q_doc_sentence_dedup", docSentenceDedup, Some(docSentenceDedupSql)),
-    Q("q_emb_recall", embRecall, Some(embRecallSql))
+    Q("q_emb_recall", embRecall, Some(embRecallSql)),
+    Q("q_emb_rp_recall", embRpRecall, Some(embRpRecallSql))
   )
 }

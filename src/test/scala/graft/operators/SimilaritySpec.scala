@@ -161,4 +161,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getLong(1) === 100L && r(0).getDouble(2) > 0.99 && r(0).getBoolean(3))
     assert(r(1).isNullAt(1) && r(1).isNullAt(2) && !r(1).getBoolean(3))
   }
+
+  test("randomProjection approximately preserves strong cosine structure") {
+    // 64-d clustered fixture: 10 bases × 3 jittered copies. Projection
+    // to 32 dims must keep within-cluster cosine far above cross-cluster
+    // cosine on average (JL distance preservation — the contract that
+    // makes the 2× payload cut usable for candidate generation).
+    val d = 64
+    val r2 = new scala.util.Random(11)
+    def u(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat; v.map(_ / n)
+    }
+    val bases = (0 until 10).map(i => (i.toLong, u(Array.fill(d)(r2.nextGaussian().toFloat))))
+    val rows = bases.flatMap { case (i, v) =>
+      (0 until 3).map(j =>
+        (i * 10 + j, i, u(v.map(x => x + 0.05f * r2.nextGaussian().toFloat))))
+    }
+    val df = rows.toDF("id", "cluster", "emb")
+    val pl = graft.functions.SignLshBuckets.planes(numPlanes = 32, dim = d, seed = 137L)
+      .toSeq.map(_.toSeq)
+    val proj = df.select(col("id"), col("cluster"),
+      Similarity.randomProjection(col("emb"), pl).as("pe"))
+    val pairs = proj.as("x").join(proj.as("y"), col("x.id") < col("y.id"))
+      .select((col("x.cluster") === col("y.cluster")).as("same"),
+        Similarity.cosineDouble(col("x.pe"), col("y.pe")).as("c"))
+      .groupBy("same").agg(avg("c").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(pairs(true) > 0.7, s"within-cluster projected cosine collapsed: ${pairs(true)}")
+    assert(math.abs(pairs(false)) < 0.3, s"cross-cluster projected cosine inflated: ${pairs(false)}")
+  }
+
+  test("cosineDouble matches driver-side double arithmetic") {
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(-1.0, 0.5, 2.0)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosineDouble(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val want = dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(math.abs(got - want) < 1e-12)
+  }
 }
