@@ -63,6 +63,28 @@ object CEP {
         .iterator.flatMap(m => emit(key, m))
     }
 
+  /** Batch timed-out partial matches (ref: flink-cep
+    * `PatternTimeoutFunction` / `TimedOutPartialMatchHandler.java:40` —
+    * the timeout side output): one row per started-but-incomplete run,
+    * carrying the longest stage prefix it bound. Bounded input ⇒ the
+    * end-of-input watermark expires every stalled run (the default
+    * end-of-time horizon in [[NFA.findWithTimeouts]]); the full-match
+    * stream is the existing [[batch]] over the same pattern.
+    */
+  def batchTimedOut[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emit: (K, PatternMatch[T]) => O,
+      tieFn: T => Long = (_: T) => 0L
+  ): Dataset[O] =
+    ds.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups { (key, it) =>
+      val events = it.toIndexedSeq.sortBy(e => (tsFn(e), tieFn(e)))
+      NFA.findWithTimeouts(events, tsFn, pattern, tsPerMs = 1000L)._2
+        .iterator.map(m => emit(key, m))
+    }
+
   /** Batch ENUMERATING pattern matching (ref: Pattern.followedByAny /
     * Quantifier.ALLOW_COMBINATIONS — the reference's kept "ignore"
     * edges): every viable assignment emits as its own match, NoSkip

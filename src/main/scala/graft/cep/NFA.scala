@@ -93,6 +93,73 @@ object NFA {
     out.toSeq
   }
 
+  /** Full matches AND timed-out partial runs in one walk (ref: flink-cep
+    * `TimedOutPartialMatchHandler.java:40` / `PatternTimeoutFunction` —
+    * the timeout side output: a run that BEGAN but could not complete
+    * before its within window closed surfaces with everything it bound).
+    *
+    * Contract:
+    *  - requires `pattern.within()` (the reference: timeouts only exist
+    *    under a window);
+    *  - only starts the main matcher actually attempts produce
+    *    partials — runs discarded by the after-match SKIP strategy were
+    *    discarded by the skip, not the timeout (reference parity);
+    *  - the partial is the longest proper stage-prefix match (same
+    *    greedy matcher, so its bindings are exactly what the run held
+    *    when it stalled); prefixes ending on a negated guard don't
+    *    bind and aren't emitted;
+    *  - a run times out once `horizonTs` passes start + within: pass
+    *    the watermark when streaming; the default end-of-time horizon
+    *    is the bounded-input case (every stalled run times out — what
+    *    the reference's end-of-input watermark does).
+    *
+    * This engine holds one greedy-first run per start index, so at most
+    * one partial emits per start — the enumerating matcher's
+    * alternative branches do not produce distinct timeouts (same
+    * scoping as [[findMatches]]).
+    */
+  def findWithTimeouts[T](
+      events: IndexedSeq[T],
+      ts: T => Long,
+      pattern: Pattern[T],
+      tsPerMs: Long = 1L,
+      horizonTs: Long = Long.MaxValue
+  ): (Seq[PatternMatch[T]], Seq[PatternMatch[T]]) = {
+    require(pattern.stages.nonEmpty, "empty pattern")
+    require(!pattern.stages.head.negated, "pattern cannot begin with a negated stage")
+    val withinScaled = pattern.withinMs.map(_ * tsPerMs).getOrElse(
+      throw new IllegalArgumentException("timed-out partial matches require pattern.within()"))
+    val matches = mutable.ArrayBuffer.empty[PatternMatch[T]]
+    val partials = mutable.ArrayBuffer.empty[PatternMatch[T]]
+    var i = 0
+    while (i < events.length) {
+      matchFrom(events, ts, pattern, i, tsPerMs) match {
+        case Some(m) =>
+          matches += m
+          pattern.afterMatch match {
+            case AfterMatch.SkipPastLast => i = m.endIdx + 1
+            case AfterMatch.NoSkip       => i += 1
+            case AfterMatch.SkipToFirst(v) =>
+              i = math.max(m.indices.getOrElse(v, Nil).headOption.getOrElse(m.endIdx + 1), i + 1)
+            case AfterMatch.SkipToLast(v) =>
+              i = math.max(m.indices.getOrElse(v, Nil).lastOption.getOrElse(m.endIdx + 1), i + 1)
+          }
+        case None =>
+          // saturating add: an end-of-time horizon must expire everything
+          val deadline = ts(events(i)) + withinScaled
+          if (deadline >= ts(events(i)) && deadline <= horizonTs) {
+            val best = (pattern.stages.length - 1 to 1 by -1).iterator
+              .filter(k => !pattern.stages(k - 1).negated)
+              .map(k => matchFrom(events, ts, pattern.copy(stages = pattern.stages.take(k)), i, tsPerMs))
+              .collectFirst { case Some(pm) => pm }
+            best.foreach(partials += _)
+          }
+          i += 1
+      }
+    }
+    (matches.toSeq, partials.toSeq)
+  }
+
   private def matchFrom[T](
       events: IndexedSeq[T],
       ts: T => Long,

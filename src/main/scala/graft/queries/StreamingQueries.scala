@@ -1397,6 +1397,55 @@ object StreamingQueries {
         |  AND (first_error_ts IS NULL OR first_error_ts > first_purchase_ts)
         |ORDER BY signup_id""".stripMargin
 
+  /** Timed-out partial matches (ref: flink-cep PatternTimeoutFunction /
+    * TimedOutPartialMatchHandler.java:40 — the timeout side output):
+    * view → click → purchase within 24 h; every funnel run that stalls
+    * reports the furthest stage it bound (`n_bound`/`last_stage`),
+    * the abandoned-cart surface. The oracle derives both tiers
+    * independently: a run is a full match iff a click-then-purchase
+    * chain exists inside the window (the backtracking matcher tries
+    * every click), else it bound 'click' iff any in-window click
+    * exists, else it stalled at 'view'.
+    */
+  def cepTimeout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("view").where(_.event_type == "view")
+      .followedBy("click").where(_.event_type == "click")
+      .followedBy("purchase").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(24, "hours"))
+    CEP.batchTimedOut[Event, Long, (Long, Long, Long, String)](
+      ev, _.user_id, _.tsUs, pattern,
+      (k, m) => (k, m.bindings("view").head.event_id,
+        m.bindings.size.toLong, m.rows.last._1),
+      tieFn = _.event_id)
+      .toDF("user_id", "view_id", "n_bound", "last_stage")
+      .orderBy("view_id")
+  }
+
+  val cepTimeoutSql: String =
+    Tables.eventsCte +
+      """
+        |, base AS (SELECT * FROM ev WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT * FROM base WHERE event_type = 'view'),
+        |fullm AS (SELECT v.event_id FROM v WHERE EXISTS (
+        |    SELECT 1 FROM base c, base p
+        |    WHERE c.user_id = v.user_id AND p.user_id = v.user_id
+        |      AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |      AND c.ts > v.ts AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR)),
+        |part AS (SELECT v.user_id, v.event_id AS view_id,
+        |    CASE WHEN EXISTS (SELECT 1 FROM base c WHERE c.user_id = v.user_id
+        |           AND c.event_type = 'click' AND c.ts > v.ts
+        |           AND c.ts <= v.ts + INTERVAL 24 HOUR)
+        |         THEN 2 ELSE 1 END AS n_bound
+        |  FROM v WHERE v.event_id NOT IN (SELECT event_id FROM fullm))
+        |SELECT user_id, view_id, n_bound::BIGINT AS n_bound,
+        |  CASE WHEN n_bound = 2 THEN 'click' ELSE 'view' END AS last_stage
+        |FROM part ORDER BY view_id""".stripMargin
+
   /** CEP quantifier tail (ref: Pattern.java timesOrMore:420, until:220,
     * greedy): at least two clicks — views may intervene, the `until`
     * stop condition ends the loop at the first purchase — followed by
@@ -1846,6 +1895,7 @@ object StreamingQueries {
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
     Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
+    Q("q_cep_timeout", cepTimeout, Some(cepTimeoutSql)),
     Q("q_cep_until", cepUntil, Some(cepUntilSql)),
     Q("q_match_all_rows", matchAllRows, Some(matchAllRowsSql)),
     Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),

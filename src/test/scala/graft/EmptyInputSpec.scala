@@ -65,7 +65,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_join_bloom_reduce", // bloom filter built from an empty dim side
     "q_evt_itemsets", // apriori pruning with zero frequent items
     "q_over_dist", // ntile/percent_rank/cume_dist over empty
-    "q_emb_rp_recall" // random projection + dual top-k over empty
+    "q_emb_rp_recall", // random projection + dual top-k over empty
+    "q_cep_timeout" // timeout walk over empty per-key groups
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -63,7 +63,9 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_sample_balanced", // bounded per-class rate table broadcast
     "q_doc_unigram_logprob", // 1-row corpus token total
     "q_emb_ivf_kmeans", // k-row centroid table broadcast
-    "q_emb_kmeans" // k-row centroid table broadcast per Lloyd round
+    "q_emb_kmeans", // k-row centroid table broadcast per Lloyd round
+    "q_emb_rp_recall", // 10-query probe side broadcast (both brute-force legs)
+    "q_evt_itemsets" // 1-row basket-count scalar for the lift denominator
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {

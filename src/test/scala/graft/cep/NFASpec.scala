@@ -257,4 +257,46 @@ class NFASpec extends AnyFunSuite {
     val late = IndexedSeq((0L, "S"), (30L * 1000000, "V"), (61L * 1000000, "P"))
     assert(NFA.findMatches(late, ts, p, tsPerMs = 1000L).isEmpty)
   }
+
+  test("findWithTimeouts: stalled runs report their longest bound prefix") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("b").where(is("B"))
+      .followedBy("c").where(is("C"))
+      .within(1.second) // ts unit = ms here (tsPerMs=1): window = 1000
+    // A@0 B@10 C@20  → full match
+    // A@40 B@50 (no C) → partial bound through 'b'
+    // A@80 (no B)      → partial bound at 'a' only
+    val events = IndexedSeq((0L, "A"), (10L, "B"), (20L, "C"),
+      (40L, "A"), (50L, "B"), (80L, "A"))
+    val (full, part) = NFA.findWithTimeouts(events, ts, p)
+    assert(full.length === 1 && full.head.startIdx === 0)
+    assert(part.length === 2)
+    assert(part(0).bindings.keySet === Set("a", "b") &&
+      labels(part(0), "a") === Seq("A") && part(0).startIdx === 3)
+    assert(part(1).bindings.keySet === Set("a") && part(1).startIdx === 5)
+  }
+
+  test("findWithTimeouts: horizon gates expiry (streaming watermark semantics)") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("b").where(is("B")).within(1.second)
+    val events = IndexedSeq((0L, "A"), (2000L, "A"))
+    // watermark 500: neither run expired (0+1000 > 500, 2000+1000 > 500)
+    assert(NFA.findWithTimeouts(events, ts, p, horizonTs = 500L)._2.isEmpty)
+    // watermark 1500: only the first run has timed out
+    val part = NFA.findWithTimeouts(events, ts, p, horizonTs = 1500L)._2
+    assert(part.length === 1 && part.head.startIdx === 0)
+    // end of input: both
+    assert(NFA.findWithTimeouts(events, ts, p)._2.length === 2)
+  }
+
+  test("findWithTimeouts: runs discarded by SkipPastLast do not time out") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("b").where(is("B"))
+      .within(1.second).afterMatchSkipPastLast
+    // A@0 A@10 B@20: the first run consumes through B; the A@10 start is
+    // skipped by the strategy, so no partial emits for it
+    val events = IndexedSeq((0L, "A"), (10L, "A"), (20L, "B"))
+    val (full, part) = NFA.findWithTimeouts(events, ts, p)
+    assert(full.length === 1 && part.isEmpty)
+  }
 }
