@@ -147,6 +147,57 @@ object CEP {
       (evs: IndexedSeq[T], p: Pattern[T]) => NFA.findAllMatches(evs, tsFn, p, tsPerMs = 1000L, maxPerStart), tieFn)
   }
 
+  /** Streaming matching WITH the timeout side output (ref: flink-cep
+    * `PatternStream.select(timeoutTag, …)` /
+    * `CepOperator#processTimedOutSequences`): full matches emit via
+    * `emitMatch` when decidable; runs that expire without completing
+    * emit exactly once via `emitTimeout`, in the micro-batch where the
+    * watermark first passes start + within — the SAME inequality that
+    * retires the start from the state buffer, so a timed-out run can
+    * never re-emit. Both outputs share one buffer replay per batch
+    * ([[NFA.findWithTimeouts]] walks matches and stalled runs together).
+    */
+  def streamingWithTimeouts[T, K: Encoder, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emitMatch: (K, PatternMatch[T]) => O,
+      emitTimeout: (K, PatternMatch[T]) => O,
+      tieFn: T => Long = (_: T) => 0L
+  )(implicit stateEnc: Encoder[CepState[T]]): Dataset[O] = {
+    val withinUs = 1000L * pattern.withinMs.getOrElse(
+      throw new IllegalArgumentException("streaming CEP requires pattern.within()"))
+
+    def fn(key: K, rows: Iterator[T], state: GroupState[CepState[T]]): Iterator[O] = {
+      val old = if (state.exists) state.get.buffer else Seq.empty[T]
+      val all = (old ++ rows).sortBy(e => (tsFn(e), tieFn(e))).toIndexedSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // one walk: full matches + runs whose window the watermark closed
+      val (rawMatches, partials) =
+        NFA.findWithTimeouts(all, tsFn, pattern, tsPerMs = 1000L, horizonTs = wmUs)
+      val matches = rawMatches.filter(m => tsFn(all(m.startIdx)) + withinUs <= wmUs)
+      val consumed: Set[Int] = pattern.afterMatch match {
+        case AfterMatch.SkipPastLast =>
+          matches.flatMap(m => m.startIdx to m.endIdx).toSet
+        case _ => Set.empty
+      }
+      val keep = all.zipWithIndex.collect {
+        case (e, i) if !consumed.contains(i) && tsFn(e) + withinUs > wmUs => e
+      }
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(CepState(keep))
+        state.setTimeoutTimestamp(keep.map(tsFn).min / 1000L + pattern.withinMs.get + 1)
+      }
+      matches.iterator.map(m => emitMatch(key, m)) ++
+        partials.iterator.map(m => emitTimeout(key, m))
+    }
+
+    ds.groupByKey(keyFn)(implicitly[Encoder[K]])
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   private def streamingWith[T, K: Encoder, O: Encoder](
       ds: Dataset[T],
       keyFn: T => K,

@@ -267,7 +267,10 @@ object StreamingQueries {
   val streamCepSql: String =
     Tables.eventsCte +
       """
-        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |-- watermark universe = the filtered signup/purchase stream (the
+        |-- watermark node sits after the filter in the streaming plan)
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev
+        |         WHERE event_type IN ('signup', 'purchase'))
         |SELECT user_id, signup_id, purchase_id FROM (
         |  SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
         |    row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts, b.event_id) AS rn
@@ -276,6 +279,57 @@ object StreamingQueries {
         |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
         |WHERE rn = 1 ORDER BY signup_id""".stripMargin
+
+  /** Streaming CEP with the TIMEOUT side output (ref: flink-cep
+    * PatternStream.select(timeoutTag), CepOperator#
+    * processTimedOutSequences): same signup→purchase-within-1h pattern
+    * as [[streamCep]], but stalled runs also emit — exactly once, with
+    * NULL purchase_id, in the batch where the watermark passes their
+    * window. Match rows and timeout rows share one state-buffer replay.
+    */
+  def streamCepTimeout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val pattern = Pattern.begin[Event]("signup").where(_.event_type == "signup")
+      .followedBy("purchase").where(_.event_type == "purchase")
+      .within(scala.concurrent.duration.Duration(1, "hour"))
+    val out = CEP.streamingWithTimeouts[Event, Long, (Long, Long, Option[Long])](
+      ev, _.user_id, _.tsUs, pattern,
+      (key, m) => (key, m.bindings("signup").head.event_id,
+        Some(m.bindings("purchase").head.event_id)),
+      (key, m) => (key, m.bindings("signup").head.event_id, None),
+      tieFn = _.event_id)
+      .toDF("user_id", "signup_id", "purchase_id")
+    runToTable("stream_cep_timeout", out, "append").orderBy("signup_id")
+  }
+
+  val streamCepTimeoutSql: String =
+    Tables.eventsCte +
+      """
+        |-- the watermark tracks the FILTERED stream: the pattern input is
+        |-- signup/purchase only, so max(ts) is over those rows, not all events
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev
+        |         WHERE event_type IN ('signup', 'purchase')),
+        |m AS (SELECT user_id, signup_id, purchase_id FROM (
+        |  SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
+        |    row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts, b.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'signup') a
+        |  JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |  WHERE a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
+        |  WHERE rn = 1),
+        |t AS (SELECT a.user_id, a.event_id AS signup_id, NULL::BIGINT AS purchase_id
+        |  FROM ev a WHERE a.event_type = 'signup'
+        |    AND a.ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |    AND NOT EXISTS (SELECT 1 FROM ev b WHERE b.user_id = a.user_id
+        |      AND b.event_type = 'purchase' AND b.ts > a.ts
+        |      AND b.ts <= a.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM t)
+        |ORDER BY signup_id""".stripMargin
 
   /** Stream-stream LEFT OUTER interval join (ref: StreamExecJoin
     * .scala:49 outer variants, OuterJoinRecordStateViews.java): matched
@@ -1920,6 +1974,7 @@ object StreamingQueries {
     Q("q_stream_agg_of_agg", streamAggOfAgg, Some(streamAggOfAggSql)),
     Q("q_stream_over", streamOver, Some(streamOverSql)),
     Q("q_stream_temporal_join", streamTemporalJoin, Some(streamTemporalJoinSql)),
-    Q("q_stream_cep", streamCep, Some(streamCepSql))
+    Q("q_stream_cep", streamCep, Some(streamCepSql)),
+    Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql))
   )
 }
