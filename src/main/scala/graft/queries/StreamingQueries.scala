@@ -980,6 +980,120 @@ object StreamingQueries {
     s.read.parquet(resDir).orderBy("id")
   }
 
+  /** Streaming INCREMENTAL k-means — continuous centroid maintenance
+    * (the streaming form of [[graft.operators.Similarity
+    * .kmeansCentroids]]; mini-batch k-means, Sculley 2010, with
+    * cumulative counts): embeddings arrive as 3 micro-batches; each
+    * batch is assigned against the centroids AFTER the previous batch,
+    * then folds its per-cluster (sum, count) into the persisted
+    * accumulator store — so centroids are the running mean of
+    * everything assigned so far and the model never re-reads old
+    * vectors (the store is k·dim rows, corpus-independent). Seeds
+    * (vec_id < k) enter the accumulator with unit weight so no cluster
+    * can vanish before its first assignment. The store is versioned
+    * per batch (read v(b−1), write v(b)) like [[streamBoilerplate]]'s
+    * line store; determinism discipline matches the batch trainer:
+    * centroids materialize with round(mean, 6), assignment by
+    * (rounded cosine, smaller cid).
+    */
+  def streamKmeans(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.functions.GraftFunctions.cosine_double
+    val k = 8
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val srcDir = freshDir(dir, "skm_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"skm_tmp$b")
+      emb.filter(col("vec_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "skm_store")
+    val resDir = freshDir(dir, "skm_res")
+    // accumulator seed: vec_id < k enters with unit weight (a prior at
+    // the seed point — keeps every cluster alive until first assignment)
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "s")))
+      .withColumn("n", lit(1L))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    s.range(0).select(col("id").as("vec_id"), col("id").as("bat"),
+      col("id").cast("int").as("cid")).write.mode("overwrite").parquet(resDir)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        val acc = s.read.parquet(prior)
+        val cent = acc
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("i"),
+            round(col("s") / col("n"), 6).as("c")))).as("pc"))
+          .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("ce"))
+        val assigned = batch
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .join(broadcast(cent))
+          .select(col("vec_id"), col("e"), col("cid"),
+            round(cosine_double(col("e"), col("ce")), 6).as("cd"))
+          .groupBy("vec_id")
+          .agg(expr("max_by(cid, struct(cd, -cid))").as("cid"), first(col("e")).as("e"))
+          .localCheckpoint()
+        val deltas = assigned
+          .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
+          .groupBy("cid", "i").agg(sum("v").as("ds"), count(lit(1)).as("dn"))
+        acc.join(deltas, Seq("cid", "i"), "left")
+          .select(col("cid"), col("i"),
+            (col("s") + coalesce(col("ds"), lit(0.0))).as("s"),
+            (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        assigned.select(col("vec_id"), lit(batchId).as("bat"), col("cid"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir)
+      .select(col("vec_id"), col("bat").cast("long").as("bat"), col("cid").cast("int").as("cid"))
+      .orderBy("vec_id")
+  }
+
+  val streamKmeansSql: String = {
+    val cos = (e: String, c: String) =>
+      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+    val step = (b: Int) =>
+      s"""c$b AS (SELECT cid, list(round(s / n, 6) ORDER BY i) AS ce FROM acc$b GROUP BY 1),
+         |b$b AS (SELECT * FROM emb WHERE vec_id % 3 = $b),
+         |a$b AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM b$b m, c$b c) WHERE rn = 1),
+         |d$b AS (SELECT cid, i, sum(e[i + 1]) AS ds, count(*)::BIGINT AS dn
+         |        FROM a$b JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+         |acc${b + 1} AS (SELECT a.cid, a.i, a.s + coalesce(d.ds, 0) AS s,
+         |                 a.n + coalesce(d.dn, 0) AS n
+         |               FROM acc$b a LEFT JOIN d$b d ON d.cid = a.cid AND d.i = a.i)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |acc0 AS (SELECT vec_id::INTEGER AS cid, i, e[i + 1] AS s, 1::BIGINT AS n
+       |         FROM emb, range(0, 64) t(i) WHERE vec_id < 8),
+       |${(0 to 2).map(step).mkString(",\n")}
+       |SELECT vec_id, bat, cid FROM (
+       |  SELECT vid AS vec_id, 0::BIGINT AS bat, cid FROM a0
+       |  UNION ALL SELECT vid, 1, cid FROM a1
+       |  UNION ALL SELECT vid, 2, cid FROM a2)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Streaming INCREMENTAL boilerplate strip — the continuous form of
     * [[PipelineQueries.docBoilerplate]]: documents arrive as 3
     * micro-batches; each batch strips its lines against the PERSISTED
@@ -1975,6 +2089,7 @@ object StreamingQueries {
     Q("q_stream_over", streamOver, Some(streamOverSql)),
     Q("q_stream_temporal_join", streamTemporalJoin, Some(streamTemporalJoinSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql)),
-    Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql))
+    Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql)),
+    Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql))
   )
 }
