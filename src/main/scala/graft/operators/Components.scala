@@ -101,6 +101,23 @@ object Components {
     * lbl the component minimum.
     */
   def minLabelStar(edges: DataFrame, nodes: DataFrame, maxIter: Int = 40): DataFrame = {
+    val f = starForest(edges, maxIter)
+    // fixed point is a star forest (child, root): roots and isolated
+    // nodes label themselves
+    nodes.select(col("id"))
+      .join(f.select(col("da").as("id"), col("db").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+  }
+
+  /** The star-contraction fixed point itself: (da, db) = (child, root)
+    * pairs with db the component minimum among edge-covered nodes.
+    * Exposed separately because the forest is the natural INCREMENTAL
+    * state: CC(forest ∪ new-edges) = CC(all edges so far) — the forest
+    * preserves connectivity in |nodes| rows — so a streaming maintainer
+    * stores the forest, unions each arriving edge batch, and
+    * re-contracts (cheap: the forest is depth-1 already).
+    */
+  def starForest(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     // canonicalize u > v once: self-loops dropped, parallel edges merged
     var e = edges
       .filter(col("da") =!= col("db"))
@@ -144,12 +161,8 @@ object Components {
       i += 1
     }
     require(stable,
-      s"minLabelStar: no fixed point after $maxIter rounds — raise maxIter " +
+      s"starForest: no fixed point after $maxIter rounds — raise maxIter " +
         "(expected O(log n) rounds; this indicates a pathological input)")
-    // fixed point is a star forest (child, root): roots and isolated
-    // nodes label themselves
-    nodes.select(col("id"))
-      .join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+    e.select(col("u").as("da"), col("v").as("db"))
   }
 }

@@ -1094,6 +1094,74 @@ object StreamingQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Streaming INCREMENTAL connected components — continuous graph
+    * maintenance over arriving edge batches (the streaming form of
+    * [[GraphQueries.graphComponents]]; ref: flink-gelly
+    * ConnectedComponents over the delta-iteration runtime, here as
+    * incremental state): the persisted state is the star-contraction
+    * FOREST ([[graft.operators.Components.starForest]] — |nodes| rows,
+    * depth 1, connectivity-equivalent to everything seen), each batch
+    * unions its edges and re-contracts (cheap: the prior state is
+    * already depth 1, so rounds track the NEW edges' structure). Edges
+    * are split across batches by `a % 3` — an arbitrary interleave, and
+    * that is the point: the final labeling must equal the one-shot
+    * batch CC regardless of arrival order, which is exactly what the
+    * shared oracle asserts.
+    */
+  def streamComponents(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev
+      .select(col("event_id").as("a"), lag("event_id", 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    val srcDir = freshDir(dir, "scc_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"scc_tmp$b")
+      edges.filter(col("a") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "scc_store")
+    s.range(0).select(col("id").as("da"), col("id").as("db"))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        graft.operators.Components.starForest(
+            s.read.parquet(prior).unionByName(
+              batch.select(col("a").as("da"), col("b").as("db"))))
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val forest = s.read.parquet(s"$storeBase/v2")
+    ev.select(col("event_id").as("id"))
+      .join(forest.select(col("da").as("id"), col("db").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+      .groupBy("lbl").agg(count(lit(1)).cast("long").as("size"))
+      .select(col("lbl").as("component"), col("size"))
+      .orderBy("component")
+  }
+
+  /** Same oracle as the one-shot batch CC — incremental maintenance
+    * must be arrival-order-invisible.
+    */
+  val streamComponentsSql: String = GraphQueries.graphComponentsSql
+
   /** Streaming INCREMENTAL boilerplate strip — the continuous form of
     * [[PipelineQueries.docBoilerplate]]: documents arrive as 3
     * micro-batches; each batch strips its lines against the PERSISTED
@@ -2090,6 +2158,7 @@ object StreamingQueries {
     Q("q_stream_temporal_join", streamTemporalJoin, Some(streamTemporalJoinSql)),
     Q("q_stream_cep", streamCep, Some(streamCepSql)),
     Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql)),
-    Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql))
+    Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql)),
+    Q("q_stream_components", streamComponents, Some(streamComponentsSql))
   )
 }
