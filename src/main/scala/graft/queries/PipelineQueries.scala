@@ -2314,6 +2314,59 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact phrase search via a POSITIONAL inverted index (the Lucene
+    * PhraseQuery dataflow, and the retrieval complement of [[docBm25]]'s
+    * bag-of-words scoring): postings carry (doc_id, pos, tok); an
+    * m-term phrase resolves as m−1 equi-joins on (doc_id, pos
+    * adjacency) — the text is never rescanned. Scale shape: the
+    * positional postings stage once; each phrase term is a LITERAL, so
+    * every join leg is a selective token lookup off the token-keyed
+    * postings, and the adjacency joins key on (doc_id, aligned start
+    * position) — all equi-joins, output bounded by the rarest term's
+    * postings.
+    */
+  def docPhrase(s: SparkSession, dir: String): DataFrame = {
+    val post = graft.operators.Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
+    val phrases: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq("fast", "table")),
+      (2L, Seq("data", "column", "agg")),
+      (3L, Seq("stream", "window")))
+    phrases.map { case (pid, terms) =>
+      terms.zipWithIndex.map { case (t, i) =>
+        post.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("p0"))
+      }.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  val docPhraseSql: String = {
+    val h = (n: Int, terms: Seq[String]) => {
+      val legs = terms.zipWithIndex.tail
+        .map { case (_, i) => s"JOIN p t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i" }
+        .mkString(" ")
+      val conds = terms.zipWithIndex
+        .map { case (t, i) => s"t$i.tok = '$t'" }.mkString(" AND ")
+      s"""h$n AS (SELECT t0.doc_id, count(*)::BIGINT AS n_hits
+         |  FROM p t0 $legs WHERE $conds GROUP BY 1)""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |px AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM d),
+       |p AS (SELECT doc_id, pos, t[pos + 1] AS tok FROM px),
+       |${h(1, Seq("fast", "table"))},
+       |${h(2, Seq("data", "column", "agg"))},
+       |${h(3, Seq("stream", "window"))}
+       |SELECT phrase_id, doc_id, n_hits FROM (
+       |  SELECT 1::BIGINT AS phrase_id, doc_id, n_hits FROM h1
+       |  UNION ALL SELECT 2, doc_id, n_hits FROM h2
+       |  UNION ALL SELECT 3, doc_id, n_hits FROM h3)
+       |ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   val docBm25Sql: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
        |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
@@ -2679,6 +2732,7 @@ object PipelineQueries {
     Q("q_doc_bpe_train", docBpeTrain, Some(docBpeTrainSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
+    Q("q_doc_phrase", docPhrase, Some(docPhraseSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
