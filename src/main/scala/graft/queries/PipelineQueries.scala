@@ -2314,6 +2314,55 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Data-quality expectation report over the ingest table
+    * ([[graft.operators.Expectations]]): five row rules riding ONE
+    * corpus scan (they compile to sums inside a single aggregate) plus
+    * a key rule (one hash shuffle on the candidate key). The report is
+    * one tiny row per rule whatever the corpus size — the
+    * contract-gate shape a 100 TB ingest needs.
+    */
+  def docExpect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Expectations.report(d,
+      rowRules = Seq(
+        ("doc_id_not_null", col("doc_id").isNotNull),
+        ("lang_iso2", col("lang").rlike("^[a-z]{2}$")),
+        ("n_chars_matches_text", col("n_chars") === length(col("text"))),
+        ("source_shape", col("source").rlike("^src[0-9]+$")),
+        ("text_min_150_chars", col("n_chars") >= 150), // deliberately failing floor: the report's non-zero path
+        ("text_nonempty", length(col("text")) > 0)),
+      keyRules = Seq(("doc_id_unique", Seq("doc_id"))))
+  }
+
+  val docExpectSql: String = {
+    val rowRules = Seq(
+      ("doc_id_not_null", "doc_id IS NOT NULL"),
+      ("lang_iso2", "regexp_matches(lang, '^[a-z]{2}$')"),
+      ("n_chars_matches_text", "n_chars = len(text)"),
+      ("source_shape", "regexp_matches(source, '^src[0-9]+$')"),
+      ("text_min_150_chars", "n_chars >= 150"),
+      ("text_nonempty", "len(text) > 0"))
+    val sums = rowRules.zipWithIndex.map { case ((_, p), i) =>
+      s"sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END)::BIGINT AS v$i"
+    }.mkString(",\n|  ")
+    val rows = rowRules.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT '$n' AS rule, n AS n_rows, v$i AS n_violations FROM r"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH r AS (SELECT count(*)::BIGINT AS n,
+       |  $sums
+       |  FROM documents),
+       |k AS (SELECT count(*)::BIGINT AS c FROM documents GROUP BY doc_id),
+       |u AS (SELECT 'doc_id_unique' AS rule, coalesce(sum(c), 0)::BIGINT AS n_rows,
+       |        coalesce(sum(c - 1), 0)::BIGINT AS n_violations FROM k),
+       |allr AS ($rows
+       |  UNION ALL SELECT rule, n_rows, n_violations FROM u)
+       |SELECT rule, n_rows, n_violations,
+       |  round(CASE WHEN n_rows = 0 THEN 0.0
+       |        ELSE n_violations::DOUBLE / n_rows END, 6) AS violation_frac,
+       |  n_violations = 0 AS pass
+       |FROM allr ORDER BY rule""".stripMargin
+  }
+
   /** Exact phrase search via a POSITIONAL inverted index (the Lucene
     * PhraseQuery dataflow, and the retrieval complement of [[docBm25]]'s
     * bag-of-words scoring): postings carry (doc_id, pos, tok); an
@@ -2733,6 +2782,7 @@ object PipelineQueries {
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
     Q("q_doc_phrase", docPhrase, Some(docPhraseSql)),
+    Q("q_doc_expect", docExpect, Some(docExpectSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),

@@ -66,7 +66,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_itemsets", // apriori pruning with zero frequent items
     "q_over_dist", // ntile/percent_rank/cume_dist over empty
     "q_emb_rp_recall", // random projection + dual top-k over empty
-    "q_cep_timeout" // timeout walk over empty per-key groups
+    "q_cep_timeout", // timeout walk over empty per-key groups
+    "q_doc_phrase", // positional postings + adjacency joins over empty
+    "q_doc_expect" // expectation report over an empty corpus
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
