@@ -614,8 +614,111 @@ object AnalyticsQueries {
        |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
   }
 
+  /** Growth accounting (the DAU decomposition dashboards call
+    * new / retained / resurrected / churned): per active (user, day),
+    * one user-keyed window yields the previous and next active day;
+    * the state is pure arithmetic on the gap, churn events land on
+    * the day AFTER an activity gap opens. ONE user-keyed exchange
+    * feeds both windows; the per-day rollups aggregate bounded
+    * day-domain rows.
+    */
+  def evtGrowth(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val t = d
+      .withColumn("prev", lag("d", 1).over(w))
+      .withColumn("nxt", lead("d", 1).over(w))
+    val states = t.groupBy("d").agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("prev").isNotNull && datediff(col("d"), col("prev")) === 1, 1L)
+        .otherwise(0L)).as("retained"),
+      sum(when(col("prev").isNotNull && datediff(col("d"), col("prev")) > 1, 1L)
+        .otherwise(0L)).as("resurrected"))
+    val churn = t
+      .filter(col("nxt").isNull || datediff(col("nxt"), col("d")) > 1)
+      .select(date_add(col("d"), 1).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("churned"))
+    states.join(churn, Seq("d"), "full")
+      .select(col("d").cast("string").as("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
+  val evtGrowthSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT DISTINCT user_id, ts::DATE AS d FROM ev),
+        |t AS (SELECT user_id, d,
+        |        lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+        |        lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt FROM u),
+        |a AS (SELECT d,
+        |        sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |        sum(CASE WHEN prev IS NOT NULL AND datediff('day', prev, d) = 1
+        |                 THEN 1 ELSE 0 END)::BIGINT AS retained,
+        |        sum(CASE WHEN prev IS NOT NULL AND datediff('day', prev, d) > 1
+        |                 THEN 1 ELSE 0 END)::BIGINT AS resurrected
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT d + 1 AS d, count(*)::BIGINT AS churned FROM t
+        |      WHERE nxt IS NULL OR datediff('day', d, nxt) > 1 GROUP BY 1)
+        |SELECT coalesce(a.d, c.d)::VARCHAR AS day,
+        |  coalesce(new_users, 0)::BIGINT AS new_users,
+        |  coalesce(retained, 0)::BIGINT AS retained,
+        |  coalesce(resurrected, 0)::BIGINT AS resurrected,
+        |  coalesce(churned, 0)::BIGINT AS churned
+        |FROM a FULL JOIN c ON c.d = a.d ORDER BY day""".stripMargin
+
+  /** Trailing-window anomaly flags: each (event_type, hour) count is
+    * z-scored against the mean/stddev of its own previous 24 hours
+    * (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING — the streaming-metrics
+    * alert rule as a batch query). The window partitions by event_type
+    * over a bounded hour domain; warm-up rows (< 24 prior hours) and
+    * zero-variance windows yield NULL z and never flag. z rounds to 3
+    * before the threshold test on BOTH sides so the flag decision is
+    * engine-stable.
+    */
+  def evtAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    h.select(col("event_type"), col("h").cast("string").as("hr"), col("cnt"),
+        round((col("cnt") - avg("cnt").over(w))
+          / when(stddev_samp(col("cnt")).over(w) > 0, stddev_samp(col("cnt")).over(w)), 3)
+          .as("z"),
+        (count(lit(1)).over(w) === 24).as("warm"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        when(col("warm"), col("z")).as("z"),
+        (col("warm") && abs(coalesce(when(col("warm"), col("z")), lit(0.0))) >= 2.0)
+          .as("anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  val evtAnomalySql: String =
+    Tables.eventsCte +
+      """
+        |, hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS cnt
+        |         FROM ev GROUP BY 1, 2),
+        |z AS (SELECT event_type, h, cnt,
+        |        round((cnt - avg(cnt) OVER w)
+        |          / CASE WHEN stddev_samp(cnt) OVER w > 0
+        |                 THEN stddev_samp(cnt) OVER w END, 3) AS z,
+        |        count(*) OVER w = 24 AS warm
+        |      FROM hc
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, h::VARCHAR AS hr, cnt,
+        |  CASE WHEN warm THEN z END AS z,
+        |  (warm AND abs(coalesce(CASE WHEN warm THEN z END, 0)) >= 2.0) AS anomaly
+        |FROM z ORDER BY event_type, hr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
+    Q("q_evt_growth", evtGrowth, Some(evtGrowthSql)),
+    Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),

@@ -68,7 +68,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_emb_rp_recall", // random projection + dual top-k over empty
     "q_cep_timeout", // timeout walk over empty per-key groups
     "q_doc_phrase", // positional postings + adjacency joins over empty
-    "q_doc_expect" // expectation report over an empty corpus
+    "q_doc_expect", // expectation report over an empty corpus
+    "q_evt_growth", // lag/lead growth states + full join over empty
+    "q_evt_anomaly" // trailing-stddev window over empty
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
