@@ -2321,20 +2321,27 @@ object PipelineQueries {
     * one tiny row per rule whatever the corpus size — the
     * contract-gate shape a 100 TB ingest needs.
     */
-  def docExpect(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    graft.operators.Expectations.report(d,
-      rowRules = Seq(
-        ("doc_id_not_null", col("doc_id").isNotNull),
-        ("lang_iso2", col("lang").rlike("^[a-z]{2}$")),
-        ("n_chars_matches_text", col("n_chars") === length(col("text"))),
-        ("source_shape", col("source").rlike("^src[0-9]+$")),
-        ("text_min_150_chars", col("n_chars") >= 150), // deliberately failing floor: the report's non-zero path
-        ("text_nonempty", length(col("text")) > 0)),
-      keyRules = Seq(("doc_id_unique", Seq("doc_id"))))
-  }
+  /** The document ingest contract, shared by the batch gate
+    * ([[docExpect]]) and the streaming monitor
+    * (StreamingQueries.streamExpect).
+    */
+  private[queries] val expectRowRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    ("doc_id_not_null", col("doc_id").isNotNull),
+    ("lang_iso2", col("lang").rlike("^[a-z]{2}$")),
+    ("n_chars_matches_text", col("n_chars") === length(col("text"))),
+    ("source_shape", col("source").rlike("^src[0-9]+$")),
+    ("text_min_150_chars", col("n_chars") >= 150), // deliberately failing floor: the report's non-zero path
+    ("text_nonempty", length(col("text")) > 0))
 
-  val docExpectSql: String = {
+  def docExpect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.report(Tables.documents(s, dir),
+      rowRules = expectRowRules,
+      keyRules = Seq(("doc_id_unique", Seq("doc_id"))))
+
+  /** The oracle over any corpus-shaped FROM source (the streaming
+    * monitor's oracle reuses it with the injected-duplicate union).
+    */
+  private[queries] def expectOracleSql(corpus: String): String = {
     val rowRules = Seq(
       ("doc_id_not_null", "doc_id IS NOT NULL"),
       ("lang_iso2", "regexp_matches(lang, '^[a-z]{2}$')"),
@@ -2348,10 +2355,11 @@ object PipelineQueries {
     val rows = rowRules.zipWithIndex.map { case ((n, _), i) =>
       s"SELECT '$n' AS rule, n AS n_rows, v$i AS n_violations FROM r"
     }.mkString("\n|  UNION ALL ")
-    s"""WITH r AS (SELECT count(*)::BIGINT AS n,
+    s"""WITH corpus AS ($corpus),
+       |r AS (SELECT count(*)::BIGINT AS n,
        |  $sums
-       |  FROM documents),
-       |k AS (SELECT count(*)::BIGINT AS c FROM documents GROUP BY doc_id),
+       |  FROM corpus),
+       |k AS (SELECT count(*)::BIGINT AS c FROM corpus GROUP BY doc_id),
        |u AS (SELECT 'doc_id_unique' AS rule, coalesce(sum(c), 0)::BIGINT AS n_rows,
        |        coalesce(sum(c - 1), 0)::BIGINT AS n_violations FROM k),
        |allr AS ($rows
@@ -2362,6 +2370,8 @@ object PipelineQueries {
        |  n_violations = 0 AS pass
        |FROM allr ORDER BY rule""".stripMargin
   }
+
+  val docExpectSql: String = expectOracleSql("SELECT * FROM documents")
 
   /** Exact phrase search via a POSITIONAL inverted index (the Lucene
     * PhraseQuery dataflow, and the retrieval complement of [[docBm25]]'s

@@ -1162,6 +1162,88 @@ object StreamingQueries {
     */
   val streamComponentsSql: String = GraphQueries.graphComponentsSql
 
+  /** Streaming data-quality monitor — the cumulative form of
+    * [[PipelineQueries.docExpect]]'s expectation gate: documents arrive
+    * as 3 micro-batches; row-rule violation counts SUM-MERGE into a
+    * tiny per-rule report store (the simplest member of the windowable
+    * sketch algebra), while EXACT uniqueness keeps the seen-key set as
+    * its state (the honest cost of exactness — swap in the Bloom store
+    * when probabilistic membership suffices) and counts each batch's
+    * in-batch excess plus its distinct collisions with already-seen
+    * keys. Re-crawl duplicates (doc_id % 25 == 3, appended to the LAST
+    * batch) exercise the cross-batch collision path; the oracle is the
+    * ONE-SHOT batch gate over the same corpus-with-duplicates, so
+    * incremental must equal one-shot.
+    */
+  def streamExpect(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val docs = Tables.documents(s, dir)
+    val dups = docs.filter(col("doc_id") % 25 === 3)
+    val srcDir = freshDir(dir, "sexp_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val part0 = docs.filter(col("doc_id") % 3 === b)
+      val withDups = if (b == 2) part0.unionByName(dups) else part0
+      val tmp = freshDir(dir, s"sexp_tmp$b")
+      withDups.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "sexp_store")
+    s.range(0).select(col("id").cast("string").as("rule"),
+        col("id").as("n_rows"), col("id").as("n_violations"))
+      .write.mode("overwrite").parquet(s"$storeBase/r_init")
+    s.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$storeBase/k_init")
+    val batches = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (pr, pk) =
+          if (batchId == 0L) (s"$storeBase/r_init", s"$storeBase/k_init")
+          else (s"$storeBase/r${batchId - 1}", s"$storeBase/k${batchId - 1}")
+        val priorR = s.read.parquet(pr)
+        val priorK = s.read.parquet(pk)
+        val rowPart = graft.operators.Expectations
+          .audit(batch, PipelineQueries.expectRowRules)
+          .select("rule", "n_rows", "n_violations")
+        val perId = batch.groupBy("doc_id").agg(count(lit(1)).as("c")).localCheckpoint()
+        val inb = perId.agg(
+          coalesce(sum(col("c")), lit(0L)).cast("long").as("rows_b"),
+          coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("exc"))
+        val coll = perId.join(priorK, "doc_id")
+          .agg(count(lit(1)).cast("long").as("coll"))
+        val uniq = inb.crossJoin(coll)
+          .select(lit("doc_id_unique").as("rule"), col("rows_b").as("n_rows"),
+            (col("exc") + col("coll")).as("n_violations"))
+        priorR.unionByName(rowPart.unionByName(uniq))
+          .groupBy("rule")
+          .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/r$batchId")
+        priorK.unionByName(perId.select("doc_id")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/k$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$storeBase/r2")
+      .select(col("rule"), col("n_rows").cast("long").as("n_rows"),
+        col("n_violations").cast("long").as("n_violations"),
+        round(when(col("n_rows") === 0L, lit(0.0))
+          .otherwise(col("n_violations").cast("double") / col("n_rows")), 6)
+          .as("violation_frac"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
+  val streamExpectSql: String = PipelineQueries.expectOracleSql(
+    "SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id % 25 = 3")
+
   /** Streaming INCREMENTAL boilerplate strip — the continuous form of
     * [[PipelineQueries.docBoilerplate]]: documents arrive as 3
     * micro-batches; each batch strips its lines against the PERSISTED
@@ -2159,6 +2241,7 @@ object StreamingQueries {
     Q("q_stream_cep", streamCep, Some(streamCepSql)),
     Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql)),
     Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql)),
-    Q("q_stream_components", streamComponents, Some(streamComponentsSql))
+    Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
+    Q("q_stream_expect", streamExpect, Some(streamExpectSql))
   )
 }
