@@ -178,6 +178,49 @@ object Multimodal {
       }
       PnmRaster(r.id, r.format, w2, h2, r.maxVal, r.channels, out)
     }
+
+    /** Center crop to (w2, h2): origin ((w−w2)/2, (h−h2)/2), integer
+      * floor — the deterministic eval-time crop (training-time random
+      * crops would thread a seeded origin through instead).
+      */
+    def cropCenter(r: PnmRaster, w2: Int, h2: Int): PnmRaster = {
+      require(w2 > 0 && h2 > 0 && w2 <= r.width && h2 <= r.height,
+        s"bad crop ${w2}x$h2 of ${r.width}x${r.height}")
+      val x0 = (r.width - w2) / 2
+      val y0 = (r.height - h2) / 2
+      val out = new Array[Byte](w2 * h2 * r.channels)
+      var ty = 0
+      while (ty < h2) {
+        var tx = 0
+        while (tx < w2) {
+          val src = ((y0 + ty) * r.width + (x0 + tx)) * r.channels
+          val dst = (ty * w2 + tx) * r.channels
+          var c = 0
+          while (c < r.channels) { out(dst + c) = r.pixels(src + c); c += 1 }
+          tx += 1
+        }
+        ty += 1
+      }
+      PnmRaster(r.id, r.format, w2, h2, r.maxVal, r.channels, out)
+    }
+
+    /** Horizontal mirror: out(y, x) = in(y, w−1−x), per channel. */
+    def flipHorizontal(r: PnmRaster): PnmRaster = {
+      val out = new Array[Byte](r.pixels.length)
+      var y = 0
+      while (y < r.height) {
+        var x = 0
+        while (x < r.width) {
+          val src = (y * r.width + (r.width - 1 - x)) * r.channels
+          val dst = (y * r.width + x) * r.channels
+          var c = 0
+          while (c < r.channels) { out(dst + c) = r.pixels(src + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      PnmRaster(r.id, r.format, r.width, r.height, r.maxVal, r.channels, out)
+    }
   }
 
   /** Full decoded raster (header + samples) for transform operators. */
@@ -210,6 +253,31 @@ object Multimodal {
         var i = 0
         while (i < resized.pixels.length) {
           cks += ((resized.pixels(i) & 0xFF) + 1L) * (i + 1); i += 1
+        }
+        MmThumb(id, stats.width, stats.height, stats.minGray, stats.maxGray,
+          stats.meanGray, cks)
+      }
+    })
+  }
+
+  /** Distributed eval-time augmentation: decode raster → center crop →
+    * horizontal flip → re-encode → re-decode in ONE mapPartitions pass
+    * (same zero-shuffle shape as [[resizePnm]]; a training-time
+    * pipeline would swap the deterministic crop origin for a seeded
+    * one and fan out one row per augmentation).
+    */
+  def augmentPnm(ds: Dataset[(Long, Array[Byte])], w2: Int, h2: Int): Dataset[MmThumb] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        raster <- PnmCodec.decodeRaster(id, bytes)
+        aug = PnmCodec.flipHorizontal(PnmCodec.cropCenter(raster, w2, h2))
+        stats <- PnmCodec.decode(id, PnmCodec.encode(aug))
+      } yield {
+        var cks = 0L
+        var i = 0
+        while (i < aug.pixels.length) {
+          cks += ((aug.pixels(i) & 0xFF) + 1L) * (i + 1); i += 1
         }
         MmThumb(id, stats.width, stats.height, stats.minGray, stats.maxGray,
           stats.meanGray, cks)

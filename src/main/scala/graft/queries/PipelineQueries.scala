@@ -1674,6 +1674,48 @@ object PipelineQueries {
       |  sum((v + 1) * (i2 + 1))::BIGINT AS checksum
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Media augmentation: the same generated P5 images through decode →
+    * center-crop 3×2 → horizontal flip → re-encode → re-decode
+    * ([[graft.operators.Multimodal.augmentPnm]]), one scan-stage
+    * mapPartitions pass. The oracle recomputes every augmented sample
+    * from the generation parameters and the crop/flip index algebra
+    * (src = (y0+ty)·w + x0 + (w2−1−tx)), so a wrong crop origin, an
+    * unflipped raster, or a transposed write all break the
+    * position-weighted checksum.
+    */
+  def mmAugment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = col("doc_id") % 5 + 4
+    val h = col("doc_id") % 4 + 3
+    val header = concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(transform(sequence(lit(0L), w * h - 1),
+      i => lpad(hex(pmod(col("doc_id") * 31 + i, lit(256L))), 2, "0")), "")
+    val img = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"),
+        concat(header.cast("binary"), unhex(pixHex)).as("_2"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.augmentPnm(img, w2 = 3, h2 = 2).toDF()
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("minGray").cast("long").as("min_gray"), col("maxGray").cast("long").as("max_gray"),
+        round(col("meanGray"), 6).as("mean_gray"), col("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val mmAugmentSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 5 + 4)::BIGINT AS w, (doc_id % 4 + 3)::BIGINT AS h
+      |           FROM documents),
+      |e AS (SELECT doc_id, i2,
+      |        ((h - 2) // 2 + (i2 // 3)) AS sy,
+      |        ((w - 3) // 2 + (2 - (i2 % 3))) AS sx, w
+      |      FROM p, unnest(range(0, 6)) AS t(i2)),
+      |v AS (SELECT doc_id, i2, (doc_id * 31 + sy * w + sx) % 256 AS v FROM e)
+      |SELECT doc_id, 3::BIGINT AS width, 2::BIGINT AS height,
+      |  min(v)::BIGINT AS min_gray, max(v)::BIGINT AS max_gray,
+      |  round(avg(v), 6) AS mean_gray,
+      |  sum((v + 1) * (i2 + 1))::BIGINT AS checksum
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * literature): score every document with the corpus-estimated
     * unigram LM ([[docUnigramLogprob]]'s model), then split each
@@ -2813,6 +2855,7 @@ object PipelineQueries {
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_resize", mmResize, Some(mmResizeSql)),
+    Q("q_mm_augment", mmAugment, Some(mmAugmentSql)),
     Q("q_mm_wav_frames", mmWavFrames, Some(mmWavFramesSql)),
     Q("q_doc_budget", docBudget, Some(docBudgetSql)),
     Q("q_doc_budget_mix", docBudgetMix, Some(docBudgetMixSql)),
