@@ -732,4 +732,46 @@ object Dedup {
       .select(col("da"), col("db"), col("n_shared"),
         round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"))
   }
+
+  /** Edit-distance pairs by DELETION-neighborhood indexing (SymSpell,
+    * Garbe — public algorithm; the typo-level member of the dedup
+    * family: misspelled vocabulary, typosquatted domains, OCR drift).
+    * Two terms within Levenshtein distance d share a variant obtainable
+    * by ≤ d deletions from each, so the candidate generator is an
+    * EQUI-join on the deletion variant — O(len^d) index keys per term
+    * instead of the O(V²) all-pairs scan, the same
+    * candidates-then-verify discipline as every other generator here.
+    * Verification is the codegen'd `levenshtein` built-in on the ≤
+    * |candidates| surviving pairs.
+    *
+    * `maxDf` caps hot variants (short deletion remnants of 1-2-char
+    * terms collide promiscuously — the inverted-index df-cap lever
+    * again); a dropped variant can only lose pairs of ultra-short
+    * terms, which a caller screens brute-force if it cares.
+    *
+    * Input: (term) — deduplicated internally. Output: (a, b, dist),
+    * a < b, dist ≤ maxDist.
+    */
+  def editDistancePairs(terms: DataFrame, maxDist: Int, maxDf: Int = 1000): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
+    def dels(t: Column): Column = transform(sequence(lit(0), length(t) - 1),
+      i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))
+    val t = terms.select(col("term")).filter(length(col("term")) > 0).distinct()
+    val variants0 = concat(array(col("term")), dels(col("term")))
+    val variants =
+      if (maxDist == 1) variants0
+      else concat(variants0, flatten(transform(dels(col("term")), v =>
+        transform(sequence(lit(0), length(v) - 1),
+          i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v)))))))
+    val idx = t.select(col("term"), explode(array_distinct(variants)).as("v"))
+    val capped = idx.join(
+      idx.groupBy("v").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("v"),
+      "v")
+    capped.select(col("v"), col("term").as("a"))
+      .join(capped.select(col("v"), col("term").as("b")), "v")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .filter(levenshtein(col("a"), col("b")) <= maxDist)
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b")).cast("long").as("dist"))
+  }
 }

@@ -1674,6 +1674,31 @@ object PipelineQueries {
       |  sum((v + 1) * (i2 + 1))::BIGINT AS checksum
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Typo-level near-duplicate terms over the corpus vocabulary ∪
+    * source names ([[graft.operators.Dedup.editDistancePairs]] —
+    * SymSpell deletion-neighborhood candidates, levenshtein verify):
+    * the misspelling/typosquat detector. The ORACLE is the brute-force
+    * O(V²) levenshtein join — candidate-generation completeness is the
+    * thing under test (every ≤ 2-distance pair must survive the
+    * deletion-index route).
+    */
+  def docTypoPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val terms = d.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .unionByName(d.select(col("source").as("term")))
+    Dedup.editDistancePairs(terms, maxDist = 2)
+      .orderBy("a", "b")
+  }
+
+  val docTypoPairsSql: String =
+    s"""WITH toks AS (SELECT DISTINCT unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |srcs AS (SELECT DISTINCT source AS term FROM documents),
+       |v AS (SELECT DISTINCT term FROM (SELECT term FROM toks UNION ALL SELECT term FROM srcs)
+       |      WHERE len(term) > 0)
+       |SELECT a.term AS a, b.term AS b, levenshtein(a.term, b.term)::BIGINT AS dist
+       |FROM v a JOIN v b ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
+       |ORDER BY a, b""".stripMargin
+
   /** Media augmentation: the same generated P5 images through decode →
     * center-crop 3×2 → horizontal flip → re-encode → re-decode
     * ([[graft.operators.Multimodal.augmentPnm]]), one scan-stage
@@ -2835,6 +2860,7 @@ object PipelineQueries {
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
     Q("q_doc_phrase", docPhrase, Some(docPhraseSql)),
     Q("q_doc_expect", docExpect, Some(docExpectSql)),
+    Q("q_doc_typo_pairs", docTypoPairs, Some(docTypoPairsSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),

@@ -212,4 +212,36 @@ class DedupSpec extends SparkSpec {
       .select("da", "db", "containment").as[(Long, Long, Double)].collect()
     assert(e.toSeq == Seq((0L, 1L, 1.0)), s"exact twin: ${e.mkString(",")}")
   }
+
+  test("editDistancePairs: deletion-index candidates equal the brute-force pair set") {
+    // insert / delete / substitute / transposed-as-2-subs + planted noise
+    val vocab = Seq("kitten", "kittens", "mitten", "kitte", "sitting",
+      "spark", "shark", "sprk", "banana", "bananas", "query", "queries")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (maxDist <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(vocab.toDF("term"), maxDist)
+        .as[(String, String, Long)].collect().toSet
+      val want = (for {
+        a <- vocab; b <- vocab if a < b
+        d = lev(a, b) if d <= maxDist
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"maxDist=$maxDist: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("editDistancePairs: maxDf cap drops promiscuous short-variant buckets only") {
+    // 1-char terms all collide through the "" variant; cap 2 kills that
+    // bucket while the long-term pair survives through its own variants
+    val vocab = Seq("a", "b", "c", "d", "longword", "longwords")
+    val got = Dedup.editDistancePairs(vocab.toDF("term"), maxDist = 1, maxDf = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got.contains(("longword", "longwords", 1L)))
+    assert(!got.exists(p => p._1.length == 1 && p._2.length == 1))
+  }
 }
