@@ -715,8 +715,52 @@ object AnalyticsQueries {
         |  (warm AND abs(coalesce(CASE WHEN warm THEN z END, 0)) >= 2.0) AS anomaly
         |FROM z ORDER BY event_type, hr""".stripMargin
 
+  /** Contrastive negative sampling — per anchor, k deterministic
+    * pseudo-random negatives EXCLUDING the anchor's exact top-10
+    * neighbors and itself (the hard-positive leak guard every
+    * contrastive training pipeline needs). The sampling priority is a
+    * portable md5-derived uniform, so the draw replays cross-engine,
+    * and selection is the bounded two-phase [[Similarity.topKPerKey]]
+    * aggregate — never a per-anchor global window over the corpus.
+    */
+  def embNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exclude = Similarity.bruteForceTopK(queries, emb, k = 10).select(col("qid"), col("nid"))
+    val cand = emb.select("vec_id").crossJoin(broadcast(queries.select("qid")))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(exclude.withColumnRenamed("nid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+      .select(col("qid"), col("vec_id").as("nid"))
+      .withColumn("c", round(
+        conv(substring(md5(concat(col("qid").cast("string"), lit("|"),
+          col("nid").cast("string"))), 1, 8), 16, 10).cast("double")
+          / lit(4294967296.0), 6))
+    Similarity.topKPerKey(cand.select("qid", "nid", "c"), 5)
+      .select(col("qid"), col("nid"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val embNegativesSql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |ex AS (SELECT qid, nid FROM (
+      |    SELECT q.vec_id AS qid, b.vec_id AS nid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC, b.vec_id) AS rn
+      |    FROM emb q, emb b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) x WHERE rn <= 10),
+      |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    round(('0x' || substr(md5(q.vec_id::VARCHAR || '|' || c.vec_id::VARCHAR), 1, 8))::BIGINT
+      |      / 4294967296.0, 6) AS u
+      |  FROM emb q, emb c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |    AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.qid = q.vec_id AND ex.nid = c.vec_id)),
+      |r AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY round(u, 6) DESC, nid) AS rn
+      |      FROM cand)
+      |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
+    Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
     Q("q_evt_growth", evtGrowth, Some(evtGrowthSql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),

@@ -1015,7 +1015,7 @@ object StreamingQueries {
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
     val storeBase = freshDir(dir, "skm_store")
-    val resDir = freshDir(dir, "skm_res")
+    val resBase = freshDir(dir, "skm_res")
     // accumulator seed: vec_id < k enters with unit weight (a prior at
     // the seed point — keeps every cluster alive until first assignment)
     emb.filter(col("vec_id") < k)
@@ -1023,8 +1023,6 @@ object StreamingQueries {
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "s")))
       .withColumn("n", lit(1L))
       .write.mode("overwrite").parquet(s"$storeBase/v_init")
-    s.range(0).select(col("id").as("vec_id"), col("id").as("bat"),
-      col("id").cast("int").as("cid")).write.mode("overwrite").parquet(resDir)
     val batches = s.readStream
       .schema(StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
@@ -1055,14 +1053,17 @@ object StreamingQueries {
             (col("s") + coalesce(col("ds"), lit(0.0))).as("s"),
             (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
           .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        // results versioned-OVERWRITE per batchId like the store, so a
+        // foreachBatch retry rewrites the same batch's rows instead of
+        // appending duplicates — the whole job is retry-idempotent
         assigned.select(col("vec_id"), lit(batchId).as("bat"), col("cid"))
-          .coalesce(1).write.mode("append").parquet(resDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$resBase/b$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(resDir)
+    s.read.parquet(s"$resBase/b0", s"$resBase/b1", s"$resBase/b2")
       .select(col("vec_id"), col("bat").cast("long").as("bat"), col("cid").cast("int").as("cid"))
       .orderBy("vec_id")
   }
