@@ -680,6 +680,33 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-free split: near-duplicate GROUPS are assigned to splits
+    * atomically — the split key is the group fingerprint
+    * ([[graft.operators.TextAnalysis.fingerprint]]) rather than the
+    * doc id, so normalization-level duplicates can never straddle
+    * train and test (the eval-leakage guard from the dedup
+    * literature; at production the minhash KEEPER label plugs into
+    * the same slot for fuzzy-group atomicity). Pure scan-stage
+    * per-row arithmetic — the group hash IS the draw, no group
+    * materialization or shuffle.
+    */
+  def docSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("grp", TextAnalysis.fingerprint(col("text")))
+    Curation.hashSplit(d, "grp",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("grp"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val docSplitLeakfreeSql: String =
+    s"""SELECT doc_id, grp,
+       |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, grp,
+       |        ('0x' || substr(md5(grp), 1, 8))::BIGINT / 4294967296.0 AS u
+       |      FROM (SELECT doc_id, md5($normSql) AS grp FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Deequ-style data-quality audit (validation gate before training):
     * completeness, key uniqueness, domain membership, and metadata
     * consistency (`n_chars` vs the actual text length) in ONE
@@ -2493,6 +2520,49 @@ object PipelineQueries {
        |ORDER BY phrase_id, doc_id""".stripMargin
   }
 
+  /** Ordered proximity search (the Lucene SpanNearQuery surface,
+    * in-order, bounded slop): term A followed by term B within `slop`
+    * positions. Same staged positional postings as [[docPhrase]]; the
+    * pair resolves as ONE equi-join on doc_id between two selective
+    * literal-term lookups with the gap window as a residual predicate
+    * — the doc_id equi-key keeps it a hash join, never a cross
+    * product (phrase = slop 1 special case, adjacency-keyed instead).
+    */
+  def docProximity(s: SparkSession, dir: String): DataFrame = {
+    val post = graft.operators.Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
+    val pairs: Seq[(Long, String, String, Int)] = Seq(
+      (1L, "fast", "table", 3),
+      (2L, "stream", "window", 4))
+    pairs.map { case (pid, ta, tb, slop) =>
+      post.filter(col("tok") === ta).select(col("doc_id"), col("pos").as("pa"))
+        .join(post.filter(col("tok") === tb).select(col("doc_id"), col("pos").as("pb")),
+          "doc_id")
+        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= slop)
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(lit(pid).as("pair_id"), col("doc_id"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .orderBy("pair_id", "doc_id")
+  }
+
+  val docProximitySql: String = {
+    val leg = (n: Int, ta: String, tb: String, slop: Int) =>
+      s"""h$n AS (SELECT a.doc_id, count(*)::BIGINT AS n_hits
+         |  FROM p a JOIN p b ON b.doc_id = a.doc_id
+         |    AND b.pos > a.pos AND b.pos - a.pos <= $slop
+         |  WHERE a.tok = '$ta' AND b.tok = '$tb' GROUP BY 1)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |px AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM d),
+       |p AS (SELECT doc_id, pos, t[pos + 1] AS tok FROM px),
+       |${leg(1, "fast", "table", 3)},
+       |${leg(2, "stream", "window", 4)}
+       |SELECT pair_id, doc_id, n_hits FROM (
+       |  SELECT 1::BIGINT AS pair_id, doc_id, n_hits FROM h1
+       |  UNION ALL SELECT 2, doc_id, n_hits FROM h2)
+       |ORDER BY pair_id, doc_id""".stripMargin
+  }
+
   val docBm25Sql: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
        |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
@@ -2859,8 +2929,10 @@ object PipelineQueries {
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
     Q("q_doc_phrase", docPhrase, Some(docPhraseSql)),
+    Q("q_doc_proximity", docProximity, Some(docProximitySql)),
     Q("q_doc_expect", docExpect, Some(docExpectSql)),
     Q("q_doc_typo_pairs", docTypoPairs, Some(docTypoPairsSql)),
+    Q("q_doc_split_leakfree", docSplitLeakfree, Some(docSplitLeakfreeSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),
     Q("q_emb_decontaminate", embDecontaminate, Some(embDecontaminateSql)),
