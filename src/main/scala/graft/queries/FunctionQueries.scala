@@ -243,7 +243,49 @@ object FunctionQueries {
         |  FROM ev)
         |ORDER BY event_id""".stripMargin
 
+  /** JSON access + map-type function battery (ref: FlinkSqlOperatorTable
+    * JSON_VALUE / the table API MAP type and its accessors;
+    * SqlJsonUtils): `get_json_object` and a schema'd `from_json` both
+    * extract the same field (parser cross-check), then a constructed
+    * map runs through transform_values → map_filter → keys/values/
+    * element_at. The DuckDB oracle computes every output from k by
+    * DIRECT arithmetic — the map pipeline must reduce to it (route
+    * independence): values {k+1, 2k+1, 3k+1}, evens ⇔ k odd ⇒
+    * n_even ∈ {0, 2}, even_keys ∈ {'', 'a,c'}, sum = 6k+3.
+    */
+  def fnJson(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("props"))
+      .withColumn("k", k)
+      .withColumn("k2",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k"))
+    val m = map(lit("a"), col("k"), lit("b"), col("k") * 2, lit("c"), col("k") * 3)
+    val tv = transform_values(m, (_, v) => v + 1)
+    val mf = map_filter(tv, (_, v) => v % 2 === 0)
+    ev.select(col("event_id"), col("k"), col("k2"),
+        size(mf).cast("long").as("n_even"),
+        array_join(sort_array(map_keys(mf)), ",").as("even_keys"),
+        aggregate(map_values(tv), lit(0), (a, x) => a + x).cast("long").as("sum_vals"),
+        element_at(map_concat(tv, map(lit("d"), lit(100))), "d").cast("long").as("d_val"))
+      .orderBy("event_id")
+  }
+
+  val fnJsonSql: String =
+    Tables.eventsCte +
+      """
+        |, j AS (SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS k FROM ev)
+        |SELECT event_id, k, k AS k2,
+        |  (CASE WHEN k % 2 = 1 THEN 2 ELSE 0 END)::BIGINT AS n_even,
+        |  CASE WHEN k % 2 = 1 THEN 'a,c' ELSE '' END AS even_keys,
+        |  (6 * k + 3)::BIGINT AS sum_vals,
+        |  100::BIGINT AS d_val
+        |FROM j ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_json", fnJson, Some(fnJsonSql)),
     Q("q_fn_string", fnString, Some(fnStringSql)),
     Q("q_fn_math", fnMath, Some(fnMathSql)),
     Q("q_fn_temporal_date", fnTemporalDate, Some(fnTemporalDateSql)),
