@@ -763,10 +763,14 @@ object Dedup {
       else concat(variants0, flatten(transform(dels(col("term")), v =>
         transform(sequence(lit(0), length(v) - 1),
           i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v)))))))
-    val idx = t.select(col("term"), explode(array_distinct(variants)).as("v"))
-    val capped = idx.join(
+    // the variant index is referenced by the df-cap aggregate AND the
+    // cap join, and the capped index again by both join sides — stage
+    // both so the term scan runs once, not 8× (lineage-duplication
+    // class; the PlanSpec lock pins it)
+    val idx = Funnel.stage(t.select(col("term"), explode(array_distinct(variants)).as("v")))
+    val capped = Funnel.stage(idx.join(
       idx.groupBy("v").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("v"),
-      "v")
+      "v"))
     capped.select(col("v"), col("term").as("a"))
       .join(capped.select(col("v"), col("term").as("b")), "v")
       .filter(col("a") < col("b"))

@@ -348,6 +348,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scanCounts("q_doc_kn_logprob")._1 == 1)
   }
 
+  test("window-6 additions: staged postings/indexes hold, no cartesian creep") {
+    // phrase/proximity read ONLY the staged positional postings (no
+    // parquet re-entry per term leg); itemsets' staged frames bound the
+    // basket scans; typo pairs' candidate join is the variant equi-join
+    val locks = Map(
+      "q_doc_phrase" -> 0, "q_doc_proximity" -> 0,
+      "q_evt_itemsets" -> 1, "q_doc_typo_pairs" -> 0)
+    for ((name, bound) <- locks) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val (parquet, _) = scanCounts(name)
+      assert(parquet <= bound, s"$name parquet scans $parquet > $bound — a stage boundary dropped")
+      assert(!plan.toString.contains("CartesianProduct"), s"$name grew a cartesian:\n$plan")
+    }
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed
