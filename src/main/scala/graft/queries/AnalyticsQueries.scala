@@ -614,6 +614,37 @@ object AnalyticsQueries {
        |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
   }
 
+  /** Behavior-flow transition matrix: P(next event type | current) per
+    * user journey — one lead() over the user-keyed window (the same
+    * single exchange as sessionize), then a bounded |types|² count
+    * aggregate; probabilities round to 6 on both engines. Terminal
+    * events (a user's last) drop out via the lead null.
+    */
+  def evtTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    t.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val evtTransitionsSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT event_type,
+        |          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |        FROM ev),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** Growth accounting (the DAU decomposition dashboards call
     * new / retained / resurrected / churned): per active (user, day),
     * one user-keyed window yields the previous and next active day;
@@ -762,6 +793,7 @@ object AnalyticsQueries {
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
     Q("q_evt_growth", evtGrowth, Some(evtGrowthSql)),
+    Q("q_evt_transitions", evtTransitions, Some(evtTransitionsSql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
