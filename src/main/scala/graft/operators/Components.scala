@@ -165,4 +165,35 @@ object Components {
         "(expected O(log n) rounds; this indicates a pathological input)")
     e.select(col("u").as("da"), col("v").as("db"))
   }
+
+  /** Fold a batch of NEW edges into an existing star forest without
+    * re-contracting history — the incremental-maintenance step whose
+    * cost tracks the DELTA, not the accumulated graph. New edge
+    * endpoints first RELABEL through the forest (old child → its root,
+    * unknown node → itself; one left join per side), so the contraction
+    * runs entirely in root space over |new edges| rows; the resulting
+    * root mapping then rewrites the old forest's root column with one
+    * more join. Old children never re-enter a contraction, so a 100×
+    * history costs the same per batch as an empty one.
+    *
+    * Input/output: (da = child, db = root) canonical star-forest rows,
+    * plus (da, db) new undirected edge pairs.
+    */
+  def incrementalForest(forest: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 40): DataFrame = {
+    val f = forest.select(col("da").as("child"), col("db").as("root"))
+    val relabeled = newEdges
+      .join(f.select(col("child").as("da"), col("root").as("ra")), Seq("da"), "left")
+      .join(f.select(col("child").as("db"), col("root").as("rb")), Seq("db"), "left")
+      .select(coalesce(col("ra"), col("da")).as("da"),
+        coalesce(col("rb"), col("db")).as("db"))
+    // contraction over root-space edges only: nodes are old roots and
+    // genuinely new ids — old children cannot appear (they were
+    // relabeled away), so the union below is disjoint by construction
+    val rf = starForest(relabeled, maxIter)
+    val remapped = f
+      .join(rf.select(col("da").as("root"), col("db").as("newRoot")), Seq("root"), "left")
+      .select(col("child").as("da"), coalesce(col("newRoot"), col("root")).as("db"))
+    remapped.unionByName(rf)
+  }
 }

@@ -1140,9 +1140,12 @@ object StreamingQueries {
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
-        graft.operators.Components.starForest(
-            s.read.parquet(prior).unionByName(
-              batch.select(col("a").as("da"), col("b").as("db"))))
+        // delta-cost maintenance: the batch relabels into root space and
+        // only THAT contracts — history is one rewrite join, never a
+        // re-contraction (Components.incrementalForest)
+        graft.operators.Components.incrementalForest(
+            s.read.parquet(prior),
+            batch.select(col("a").as("da"), col("b").as("db")))
           .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         ()
       }

@@ -90,6 +90,29 @@ class GraphSpec extends SparkSpec {
     assert(star == plain)
   }
 
+  test("incrementalForest equals one-shot contraction across random edge splits") {
+    val rnd = new scala.util.Random(23)
+    // sparse random graph (forest-ish + some cycles) over 60 nodes
+    val es = ((0 until 50).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) ++
+      (0L until 30L).sliding(2).map(p => (p(0), p(1)))) // plus a path segment
+      .filter { case (a, b) => a != b }.toSeq
+    val nodes = (0L until 60L).toDF("id")
+    val oneShot = Components.minLabelStar(es.toDF("da", "db"), nodes)
+      .as[(Long, Long)].collect().toMap
+    // fold in 3 arbitrary batches
+    val batches = es.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    var forest = spark.emptyDataFrame
+      .sparkSession.range(0).select(col("id").as("da"), col("id").as("db"))
+    for (b <- batches)
+      forest = Components.incrementalForest(forest, b.toDF("da", "db")).localCheckpoint()
+    val inc = nodes
+      .join(forest.select(col("da").as("id"), col("db").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == oneShot)
+  }
+
   test("coOccurrenceEdges: cap drops hot blocks, support filters incidental pairs") {
     // block X: members 1..5 appearing together twice (support 2 via two blocks)
     val rows =
