@@ -84,4 +84,33 @@ class NFAPropertySpec extends AnyFunSuite {
       assert(nfa === ref)
     }
   }
+
+  test("findWithTimeouts partitions NoSkip starts: match XOR partial XOR unexpired") {
+    // under end-of-time horizon every A-start is EITHER a full match
+    // start OR exactly one partial's start; under a finite horizon the
+    // partial set shrinks to the expired starts and is monotone in the
+    // horizon. Partial bindings must be the {a}-prefix exactly.
+    val p = Pattern.begin[E]("a").where(_._2 == "A")
+      .followedBy("b").where(_._2 == "B").within(50.millis) // ts unit ms, window 50
+    forAll(eventsGen) { events =>
+      val (full, part) = NFA.findWithTimeouts(events, ts, p)
+      val fullStarts = full.map(_.startIdx).toSet
+      val partStarts = part.map(_.startIdx)
+      val aStarts = events.indices.filter(events(_)._2 == "A").toSet
+      assert(partStarts.distinct == partStarts, "duplicate partials per start")
+      assert(fullStarts.intersect(partStarts.toSet).isEmpty)
+      assert(fullStarts ++ partStarts == aStarts,
+        s"every A start must match or time out at end of input")
+      assert(part.forall(_.bindings.keySet == Set("a")))
+      // horizon monotonicity + expiry gating
+      val horizons = Seq(0L, 40L, 80L, 200L, Long.MaxValue)
+      val sets = horizons.map(h =>
+        NFA.findWithTimeouts(events, ts, p, horizonTs = h)._2.map(_.startIdx).toSet)
+      sets.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)); case _ => }
+      // a partial appears at horizon h iff its deadline passed
+      horizons.zip(sets).foreach { case (h, set) =>
+        set.foreach(i => assert(ts(events(i)) + 50 <= h))
+      }
+    }
+  }
 }
