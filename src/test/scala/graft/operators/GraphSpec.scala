@@ -90,6 +90,32 @@ class GraphSpec extends SparkSpec {
     assert(star == plain)
   }
 
+  test("minLabelStar agrees with driver union-find across seeded shapes") {
+    // independent reference: classic union-find with path compression
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root via repeated find = component min (union always keeps min)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- Seq(1, 5, 9, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50
+      val density = seed % 3 + 1
+      val es = ((0 until n * density / 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (0L until 20L).sliding(2).map(p => (p(0), p(1)))) // path segment
+        .filter { case (a, b) => a != b }.toSeq
+      val got = Components.minLabelStar(es.toDF("da", "db"), (0L until n.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, es), s"seed $seed diverged from union-find")
+    }
+  }
+
   test("incrementalForest equals one-shot contraction across random edge splits") {
     val rnd = new scala.util.Random(23)
     // sparse random graph (forest-ish + some cycles) over 60 nodes

@@ -40,6 +40,31 @@ class ItemsetsSpec extends SparkSpec {
     assert(fp.toSeq == Seq(("x", "y", 3L, 5L, 4L)))
   }
 
+  test("frequentPairs agrees with driver brute force across seeded random baskets") {
+    for (seed <- Seq(3, 7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val items = ('a' to 'h').map(_.toString)
+      val rows = for {
+        b <- 0 until 40
+        it <- items if rnd.nextDouble() < 0.3
+      } yield (b, it)
+      val minSup = 4L
+      val got = Itemsets.frequentPairs(rows.toDF("bid", "item"), Seq("bid"), "item",
+          minSup, basketCap = 100)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      // brute force on the driver: same pruning order (items first)
+      val byBasket = rows.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+      val itemSup = items.map(i => i -> byBasket.values.count(_.contains(i)).toLong).toMap
+      val freq = items.filter(itemSup(_) >= minSup)
+      val want = (for {
+        a <- freq; b <- freq if a < b
+        sup = byBasket.values.count(s => s.contains(a) && s.contains(b)).toLong
+        if sup >= minSup
+      } yield (a, b, sup, itemSup(a), itemSup(b))).toSet
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("pairRules: directional confidence and lift over the raw basket universe") {
     val rules = Itemsets.pairRules(baskets, Seq("bid"), "item",
         minSupport = 3L, basketCap = 10)
