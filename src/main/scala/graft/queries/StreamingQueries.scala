@@ -1166,6 +1166,74 @@ object StreamingQueries {
     */
   val streamComponentsSql: String = GraphQueries.graphComponentsSql
 
+  /** Streaming metrics-and-alerts: events arrive as 3 micro-batches
+    * whose HOURS OVERLAP (split by event_id, not time), each batch
+    * sum-merges its (event_type, hour) counts into the persisted
+    * metric store — the count leg of the windowable sketch algebra —
+    * and the trailing-24h z-score alert rule
+    * ([[AnalyticsQueries.evtAnomaly]]) evaluates over the merged
+    * store. The oracle IS the batch alert query: cumulative
+    * count-merge must be arrival-split-invisible.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+    val srcDir = freshDir(dir, "sano_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val tmp = freshDir(dir, s"sano_tmp$b")
+      ev.filter(col("event_id") % 3 === b)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val storeBase = freshDir(dir, "sano_store")
+    s.range(0).select(col("id").cast("string").as("event_type"),
+        col("id").cast("timestamp").as("h"), col("id").as("cnt"))
+      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("h", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        s.read.parquet(prior)
+          .unionByName(batch.groupBy("event_type", "h").agg(count(lit(1)).as("cnt")))
+          .groupBy("event_type", "h").agg(sum("cnt").as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hc = s.read.parquet(s"$storeBase/v2")
+      .select(col("event_type"), col("h"), col("cnt").cast("long").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    hc.select(col("event_type"), col("h").cast("string").as("hr"), col("cnt"),
+        round((col("cnt") - avg("cnt").over(w))
+          / when(stddev_samp(col("cnt")).over(w) > 0, stddev_samp(col("cnt")).over(w)), 3)
+          .as("z"),
+        (count(lit(1)).over(w) === 24).as("warm"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        when(col("warm"), col("z")).as("z"),
+        (col("warm") && abs(coalesce(when(col("warm"), col("z")), lit(0.0))) >= 2.0)
+          .as("anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** The batch alert query's oracle verbatim — the merged metric store
+    * must reproduce the one-shot hourly counts exactly.
+    */
+  val streamAnomalySql: String = AnalyticsQueries.evtAnomalySql
+
   /** Streaming data-quality monitor — the cumulative form of
     * [[PipelineQueries.docExpect]]'s expectation gate: documents arrive
     * as 3 micro-batches; row-rule violation counts SUM-MERGE into a
@@ -2246,6 +2314,7 @@ object StreamingQueries {
     Q("q_stream_cep_timeout", streamCepTimeout, Some(streamCepTimeoutSql)),
     Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql)),
     Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
-    Q("q_stream_expect", streamExpect, Some(streamExpectSql))
+    Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
+    Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql))
   )
 }
