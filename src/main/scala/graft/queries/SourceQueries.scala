@@ -191,6 +191,44 @@ object SourceQueries {
       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Partition-scoped BACKFILL via dynamic partition overwrite — the
+    * idempotent reprocessing pattern every production metric store
+    * needs (and the reference's bounded-reprocessing story:
+    * re-run the job over one time slice, sink overwrites only that
+    * slice): monthly order metrics land partitioned by month; a
+    * CORRECTED rule (exclude status-'F' orders) reprocesses one month
+    * and `partitionOverwriteMode=dynamic` replaces ONLY that month's
+    * partition — a static overwrite would truncate the whole store.
+    * Re-running the backfill is idempotent (same partition rewritten
+    * to the same bytes). The oracle replicates the month-conditional
+    * rule over the raw table.
+    */
+  def backfillSink(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "monthly_metrics_backfill")
+    val base = Tables.orders(s, dir)
+      .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+    def metrics(df: DataFrame) = df.groupBy("m", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    metrics(base).write.mode("overwrite").partitionBy("m").parquet(out)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      metrics(base.filter(col("m") === "1996-06" && col("o_orderstatus") =!= "F"))
+        .write.mode("overwrite").partitionBy("m").parquet(out)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(out)
+      .select(col("m"), col("o_orderpriority"), col("cnt"), col("total"))
+      .orderBy("m", "o_orderpriority")
+  }
+
+  val backfillSinkSql: String =
+    """WITH b AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority,
+      |             o_orderstatus, o_totalprice FROM orders),
+      |k AS (SELECT * FROM b WHERE m <> '1996-06' OR o_orderstatus <> 'F')
+      |SELECT m, o_orderpriority, count(*)::BIGINT AS cnt,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM k GROUP BY 1, 2 ORDER BY m, o_orderpriority""".stripMargin
+
   /** ORC sink + source round-trip (ref: OrcColumnarRowSplitReader /
     * flink-orc — Spark's vectorized ORC reader is built in).
     */
@@ -278,6 +316,7 @@ object SourceQueries {
     Q("q_sink_csv", csvRoundtrip, Some(csvRoundtripSql)),
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql)),
+    Q("q_sink_backfill", backfillSink, Some(backfillSinkSql)),
     Q("q_sink_zorder", zorderSink, Some(zorderSinkSql))
   )
 }
