@@ -290,6 +290,38 @@ object RelationalQueries {
       |  round(max(l_quantity), 2) AS mx
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bivariate statistical aggregates (ref: FlinkSqlOperatorTable
+    * COVAR_POP/COVAR_SAMP — Pearson correlation and the OLS slope/
+    * intercept derived from the same moments): quantity vs
+    * extendedprice per return flag. All map-side-combinable moment
+    * aggregates; doubles round to 6 (these are ratio statistics —
+    * last-ulp sums diverge cross-engine unrounded).
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice"))
+          / var_pop(col("l_quantity")), 6).as("slope"),
+        round(avg(col("l_extendedprice"))
+          - covar_pop(col("l_quantity"), col("l_extendedprice"))
+            / var_pop(col("l_quantity")) * avg(col("l_quantity")), 4).as("intercept"))
+      .orderBy("l_returnflag")
+
+  val aggCorrSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+      |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+      |  round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+      |  round(avg(l_extendedprice)
+      |    - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity),
+      |    4) AS intercept
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** COLLECT multiset aggregate (ref: FlinkSqlOperatorTable COLLECT) —
     * sorted for deterministic compare.
     */
@@ -569,6 +601,7 @@ object RelationalQueries {
     Q("q_agg_rollup", aggRollup, Some(aggRollupSql)),
     Q("q_agg_cube", aggCube, Some(aggCubeSql)),
     Q("q_agg_stats", aggStats, Some(aggStatsSql)),
+    Q("q_agg_corr", aggCorr, Some(aggCorrSql)),
     Q("q_agg_collect", aggCollect, Some(aggCollectSql)),
     Q("q_agg_minmax_by", aggMinMaxBy, Some(aggMinMaxBySql)),
     Q("q_over_running", overRunning, Some(overRunningSql)),
