@@ -614,6 +614,42 @@ object AnalyticsQueries {
        |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
   }
 
+  /** Chi-square independence cells for event_type × day-of-week: the
+    * contingency table with expected counts (row·col/N) and each
+    * cell's χ² contribution — the seasonality-vs-type independence
+    * screen. All margins are windows over the 35-row aggregated
+    * table (bounded domain), never raw events; expected/contribution
+    * round before compare.
+    */
+  def evtChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val wr = Window.partitionBy("event_type")
+    val wc = Window.partitionBy("dow")
+    val wn = Window.partitionBy()
+    cells
+      .withColumn("exp",
+        sum("obs").over(wr).cast("double") * sum("obs").over(wc) / sum("obs").over(wn))
+      .select(col("event_type"), col("dow"), col("obs").cast("long").as("obs"),
+        round(col("exp"), 4).as("expected"),
+        round(pow(col("obs") - col("exp"), 2) / col("exp"), 6).as("contrib"))
+      .orderBy("event_type", "dow")
+  }
+
+  val evtChi2Sql: String =
+    Tables.eventsCte +
+      """
+        |, c AS (SELECT event_type, dayofweek(ts) + 1 AS dow, count(*)::BIGINT AS obs
+        |        FROM ev GROUP BY 1, 2),
+        |e AS (SELECT event_type, dow, obs,
+        |        sum(obs) OVER (PARTITION BY event_type)::DOUBLE
+        |          * sum(obs) OVER (PARTITION BY dow) / sum(obs) OVER () AS exp
+        |      FROM c)
+        |SELECT event_type, dow::BIGINT AS dow, obs, round(exp, 4) AS expected,
+        |  round((obs - exp) ** 2 / exp, 6) AS contrib
+        |FROM e ORDER BY event_type, dow""".stripMargin
+
   /** Behavior-flow transition matrix: P(next event type | current) per
     * user journey — one lead() over the user-keyed window (the same
     * single exchange as sessionize), then a bounded |types|² count
@@ -794,6 +830,7 @@ object AnalyticsQueries {
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
     Q("q_evt_growth", evtGrowth, Some(evtGrowthSql)),
     Q("q_evt_transitions", evtTransitions, Some(evtTransitionsSql)),
+    Q("q_evt_chi2", evtChi2, Some(evtChi2Sql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -108,6 +108,9 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_waterfill", // per-stratum levels (bounded strata domain)
     "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
     "q_doc_bpe" // 50-row TakeOrdered top-k feeds the rank window
+    // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
+    // the 35-row contingency aggregate — outside this check's scope,
+    // which hunts ordered global windows; noted here for the reader)
   )
 
   test("no batch query runs an unpartitioned window over unbounded input") {
