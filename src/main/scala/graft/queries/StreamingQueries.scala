@@ -1014,15 +1014,14 @@ object StreamingQueries {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
-    val storeBase = freshDir(dir, "skm_store")
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "skm_store"))
     val resBase = freshDir(dir, "skm_res")
     // accumulator seed: vec_id < k enters with unit weight (a prior at
     // the seed point — keeps every cluster alive until first assignment)
-    emb.filter(col("vec_id") < k)
+    store.init(emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "s")))
-      .withColumn("n", lit(1L))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+      .withColumn("n", lit(1L)))
     val batches = s.readStream
       .schema(StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
@@ -1030,8 +1029,7 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
-        val acc = s.read.parquet(prior)
+        val acc = store.prior(batchId)
         val cent = acc
           .groupBy("cid")
           .agg(sort_array(collect_list(struct(col("i"),
@@ -1048,11 +1046,10 @@ object StreamingQueries {
         val deltas = assigned
           .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
           .groupBy("cid", "i").agg(sum("v").as("ds"), count(lit(1)).as("dn"))
-        acc.join(deltas, Seq("cid", "i"), "left")
+        store.write(batchId, acc.join(deltas, Seq("cid", "i"), "left")
           .select(col("cid"), col("i"),
             (col("s") + coalesce(col("ds"), lit(0.0))).as("s"),
-            (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+            (col("n") + coalesce(col("dn"), lit(0L))).as("n")))
         // results versioned-OVERWRITE per batchId like the store, so a
         // foreachBatch retry rewrites the same batch's rows instead of
         // appending duplicates — the whole job is retry-idempotent
@@ -1130,29 +1127,26 @@ object StreamingQueries {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
-    val storeBase = freshDir(dir, "scc_store")
-    s.range(0).select(col("id").as("da"), col("id").as("db"))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "scc_store"))
+    store.init(s.range(0).select(col("id").as("da"), col("id").as("db")))
     val batches = s.readStream
       .schema(StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
         // delta-cost maintenance: the batch relabels into root space and
         // only THAT contracts — history is one rewrite join, never a
         // re-contraction (Components.incrementalForest)
-        graft.operators.Components.incrementalForest(
-            s.read.parquet(prior),
-            batch.select(col("a").as("da"), col("b").as("db")))
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        store.write(batchId, graft.operators.Components.incrementalForest(
+          store.prior(batchId),
+          batch.select(col("a").as("da"), col("b").as("db"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val forest = s.read.parquet(s"$storeBase/v2")
+    val forest = store.version(2L)
     ev.select(col("event_id").as("id"))
       .join(forest.select(col("da").as("id"), col("db").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
@@ -1192,10 +1186,9 @@ object StreamingQueries {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
-    val storeBase = freshDir(dir, "sano_store")
-    s.range(0).select(col("id").cast("string").as("event_type"),
-        col("id").cast("timestamp").as("h"), col("id").as("cnt"))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sano_store"))
+    store.init(s.range(0).select(col("id").cast("string").as("event_type"),
+      col("id").cast("timestamp").as("h"), col("id").as("cnt")))
     val batches = s.readStream
       .schema(StructType(Seq(StructField("event_type", StringType),
         StructField("h", TimestampType))))
@@ -1203,17 +1196,15 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = if (batchId == 0L) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
-        s.read.parquet(prior)
+        store.write(batchId, store.prior(batchId)
           .unionByName(batch.groupBy("event_type", "h").agg(count(lit(1)).as("cnt")))
-          .groupBy("event_type", "h").agg(sum("cnt").as("cnt"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+          .groupBy("event_type", "h").agg(sum("cnt").as("cnt")))
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val hc = s.read.parquet(s"$storeBase/v2")
+    val hc = store.version(2L)
       .select(col("event_type"), col("h"), col("cnt").cast("long").as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
@@ -1265,21 +1256,17 @@ object StreamingQueries {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
     }
-    val storeBase = freshDir(dir, "sexp_store")
-    s.range(0).select(col("id").cast("string").as("rule"),
-        col("id").as("n_rows"), col("id").as("n_violations"))
-      .write.mode("overwrite").parquet(s"$storeBase/r_init")
-    s.range(0).select(col("id").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$storeBase/k_init")
+    val reportStore = graft.streaming.VersionedStore(s, freshDir(dir, "sexp_store_r"))
+    val keyStore = graft.streaming.VersionedStore(s, freshDir(dir, "sexp_store_k"))
+    reportStore.init(s.range(0).select(col("id").cast("string").as("rule"),
+      col("id").as("n_rows"), col("id").as("n_violations")))
+    keyStore.init(s.range(0).select(col("id").as("doc_id")))
     val batches = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (pr, pk) =
-          if (batchId == 0L) (s"$storeBase/r_init", s"$storeBase/k_init")
-          else (s"$storeBase/r${batchId - 1}", s"$storeBase/k${batchId - 1}")
-        val priorR = s.read.parquet(pr)
-        val priorK = s.read.parquet(pk)
+        val priorR = reportStore.prior(batchId)
+        val priorK = keyStore.prior(batchId)
         val rowPart = graft.operators.Expectations
           .audit(batch, PipelineQueries.expectRowRules)
           .select("rule", "n_rows", "n_violations")
@@ -1292,18 +1279,16 @@ object StreamingQueries {
         val uniq = inb.crossJoin(coll)
           .select(lit("doc_id_unique").as("rule"), col("rows_b").as("n_rows"),
             (col("exc") + col("coll")).as("n_violations"))
-        priorR.unionByName(rowPart.unionByName(uniq))
+        reportStore.write(batchId, priorR.unionByName(rowPart.unionByName(uniq))
           .groupBy("rule")
-          .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/r$batchId")
-        priorK.unionByName(perId.select("doc_id")).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/k$batchId")
+          .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations")))
+        keyStore.write(batchId, priorK.unionByName(perId.select("doc_id")).distinct())
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$storeBase/r2")
+    reportStore.version(2L)
       .select(col("rule"), col("n_rows").cast("long").as("n_rows"),
         col("n_violations").cast("long").as("n_violations"),
         round(when(col("n_rows") === 0L, lit(0.0))
