@@ -191,6 +191,36 @@ object SourceQueries {
       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Parquet schema EVOLUTION (mergeSchema): a v1 writer lands three
+    * columns, a later v2 writer adds `o_orderpriority`; reading the mixed
+    * directory with `mergeSchema` unions the schemas and v1 rows carry
+    * NULL for the new column — the additive-evolution contract every
+    * long-lived ingest directory depends on (ref: the reference's
+    * format-deserialization schema projection;
+    * ParquetColumnarRowSplitReader's requested-schema handling). The
+    * oracle replicates the writer split and the NULL semantics.
+    */
+  def evolutionSource(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "orders_evolution")
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(out)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("priority"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("priority")
+  }
+
+  val evolutionSourceSql: String =
+    """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+      |                '<pre-evolution>') AS priority,
+      |  count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** Partition-scoped BACKFILL via dynamic partition overwrite — the
     * idempotent reprocessing pattern every production metric store
     * needs (and the reference's bounded-reprocessing story:
@@ -317,6 +347,7 @@ object SourceQueries {
     Q("q_sink_json", jsonRoundtrip, Some(jsonRoundtripSql)),
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql)),
     Q("q_sink_backfill", backfillSink, Some(backfillSinkSql)),
+    Q("q_source_evolution", evolutionSource, Some(evolutionSourceSql)),
     Q("q_sink_zorder", zorderSink, Some(zorderSinkSql))
   )
 }
