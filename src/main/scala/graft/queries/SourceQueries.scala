@@ -221,6 +221,46 @@ object SourceQueries {
       |  count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** Corrupt-record quarantine (PERMISSIVE JSON source with a
+    * columnNameOfCorruptRecord): a tenth of the feed is written as
+    * malformed lines; the permissive read parses the rest, lands the
+    * raw text of bad lines in the corrupt column with NULL data
+    * fields, and the query quarantines them as their own group — the
+    * poison-pill ingest contract (a FAILFAST reader dies on line one;
+    * DROPMALFORMED silently loses data; quarantining keeps both the
+    * data and the evidence).
+    */
+  def corruptSource(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "json_corrupt")
+    Tables.customer(s, dir)
+      .select(when(col("c_custkey") % 10 === 3,
+          concat(lit("{broken "), col("c_custkey").cast("string")))
+        .otherwise(to_json(struct(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal")))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    s.read
+      .schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .groupBy(coalesce(col("c_mktsegment"), lit("<corrupt>")).as("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        round(coalesce(sum("c_acctbal"), lit(0.0)), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
+  val corruptSourceSql: String =
+    """SELECT seg, count(*)::BIGINT AS cnt,
+      |  round(coalesce(sum(bal), 0), 2) AS total_bal
+      |FROM (SELECT CASE WHEN c_custkey % 10 = 3 THEN '<corrupt>' ELSE c_mktsegment END AS seg,
+      |        CASE WHEN c_custkey % 10 <> 3 THEN c_acctbal END AS bal
+      |      FROM customer)
+      |GROUP BY 1 ORDER BY seg""".stripMargin
+
   /** Partition-scoped BACKFILL via dynamic partition overwrite — the
     * idempotent reprocessing pattern every production metric store
     * needs (and the reference's bounded-reprocessing story:
@@ -348,6 +388,7 @@ object SourceQueries {
     Q("q_sink_partitioned", partitionedSink, Some(partitionedSinkSql)),
     Q("q_sink_backfill", backfillSink, Some(backfillSinkSql)),
     Q("q_source_evolution", evolutionSource, Some(evolutionSourceSql)),
+    Q("q_source_corrupt", corruptSource, Some(corruptSourceSql)),
     Q("q_sink_zorder", zorderSink, Some(zorderSinkSql))
   )
 }
