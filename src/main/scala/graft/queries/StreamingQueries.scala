@@ -1225,6 +1225,81 @@ object StreamingQueries {
     */
   val streamAnomalySql: String = AnalyticsQueries.evtAnomalySql
 
+  /** Streaming behavior-flow transitions — the continuity-state form of
+    * [[AnalyticsQueries.evtTransitions]]: events arrive as 3
+    * TIME-ORDERED micro-batches (day ranges, so per-user order across
+    * batches holds — the file-source analog of watermark order); the
+    * state is each user's LAST event (the streaming lag/lead carry,
+    * a per-key last-value store — a different shape from the
+    * count-merge stores), so the boundary transition between a user's
+    * last event of batch b−1 and first of batch b is counted exactly
+    * once. Counts sum-merge; the oracle is the batch transition
+    * matrix verbatim.
+    */
+  def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val srcDir = freshDir(dir, "str_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val lo = b * 10 + 1
+      val hi = lo + 9
+      val tmp = freshDir(dir, s"str_tmp$b")
+      ev.filter(dayofmonth(col("ts")).between(lo, hi))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val countStore = graft.streaming.VersionedStore(s, freshDir(dir, "str_store_c"))
+    val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "str_store_l"))
+    countStore.init(s.range(0).select(col("id").cast("string").as("from_type"),
+      col("id").cast("string").as("to_type"), col("id").as("n")))
+    lastStore.init(ev.limit(0))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorC = countStore.prior(batchId)
+        val priorL = lastStore.prior(batchId)
+        // prior last-events join the sequence so each boundary pair
+        // counts exactly once; they have no predecessor in this batch
+        val all = batch.unionByName(priorL).localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = all
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        countStore.write(batchId, priorC.unionByName(trans)
+          .groupBy("from_type", "to_type").agg(sum("n").as("n")))
+        lastStore.write(batchId, all
+          .groupBy("user_id")
+          .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.event_type").as("event_type")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    countStore.version(2L)
+      .withColumn("n", col("n").cast("long"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** The batch transition matrix verbatim — boundary transitions must
+    * be counted exactly once across the batch split.
+    */
+  val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
+
   /** Streaming data-quality monitor — the cumulative form of
     * [[PipelineQueries.docExpect]]'s expectation gate: documents arrive
     * as 3 micro-batches; row-rule violation counts SUM-MERGE into a
@@ -2300,6 +2375,7 @@ object StreamingQueries {
     Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql)),
     Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
-    Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql))
+    Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
+    Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql))
   )
 }
