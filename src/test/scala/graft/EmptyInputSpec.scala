@@ -70,7 +70,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_phrase", // positional postings + adjacency joins over empty
     "q_doc_expect", // expectation report over an empty corpus
     "q_evt_growth", // lag/lead growth states + full join over empty
-    "q_evt_anomaly" // trailing-stddev window over empty
+    "q_evt_anomaly", // trailing-stddev window over empty
+    "q_evt_transitions", // lead + margin window over empty
+    "q_evt_chi2", // contingency margins over empty
+    "q_agg_corr", // moment aggregates over empty (corr of nothing)
+    "q_fn_json" // json/map pipeline over empty
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
