@@ -1300,6 +1300,98 @@ object StreamingQueries {
     */
   val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
 
+  /** Streaming growth accounting — the continuity-state form of
+    * [[AnalyticsQueries.evtGrowth]]: day-range batches arrive in
+    * order; the state is each user's last active day, so every
+    * arrival classifies as new / retained / resurrected against it,
+    * and a CHURN event lands on prev+1 the moment a gap becomes
+    * visible (either an arrival after a gap, or the END-OF-STREAM
+    * flush — the batch analog of the event-time timer that closes
+    * quiet keys' sessions). Per-day state counts sum-merge; the
+    * oracle is the batch decomposition verbatim, so the split into
+    * batches and the deferred churn emission must be invisible.
+    */
+  def streamGrowth(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val srcDir = freshDir(dir, "sgr_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val lo = b * 10 + 1
+      val tmp = freshDir(dir, s"sgr_tmp$b")
+      days.filter(dayofmonth(col("d")).between(lo, lo + 9))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val countStore = graft.streaming.VersionedStore(s, freshDir(dir, "sgr_store_c"))
+    val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "sgr_store_l"))
+    countStore.init(s.range(0).select(lit(null).cast("date").as("day"),
+      col("id").cast("string").as("state"), col("id").as("n")))
+    lastStore.init(days.limit(0))
+    val batches = s.readStream.schema(days.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorC = countStore.prior(batchId)
+        val priorL = lastStore.prior(batchId)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("d")
+        // prior last-day joins the per-user sequence (flagged so it does
+        // not re-classify itself) — each arrival sees its true prev
+        val all = batch.withColumn("carry", lit(false))
+          .unionByName(priorL.withColumn("carry", lit(true)))
+          .localCheckpoint()
+        val seq0 = all.withColumn("prev", lag("d", 1).over(w))
+        val states = seq0.filter(!col("carry"))
+          .select(col("d").as("day"),
+            when(col("prev").isNull, "new_users")
+              .when(datediff(col("d"), col("prev")) === 1, "retained")
+              .otherwise("resurrected").as("state"))
+        // churn surfaces at prev+1 the moment an arrival exposes a gap
+        val churnSeen = seq0.filter(!col("carry") && col("prev").isNotNull
+            && datediff(col("d"), col("prev")) > 1)
+          .select(date_add(col("prev"), 1).as("day"), lit("churned").as("state"))
+        val newLast = all.groupBy("user_id").agg(max("d").as("d")).localCheckpoint()
+        // end-of-stream flush: every user churns the day after their
+        // final activity (the batch query's `nxt IS NULL` leg)
+        val churnFlush =
+          if (batchId == 2L)
+            newLast.select(date_add(col("d"), 1).as("day"), lit("churned").as("state"))
+          else s.range(0).select(lit(null).cast("date").as("day"),
+            col("id").cast("string").as("state"))
+        val delta = states.unionByName(churnSeen).unionByName(churnFlush)
+          .groupBy("day", "state").agg(count(lit(1)).as("n"))
+        countStore.write(batchId, priorC.unionByName(delta)
+          .groupBy("day", "state").agg(sum("n").as("n")))
+        lastStore.write(batchId, newLast)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    countStore.version(2L)
+      .groupBy("day")
+      .pivot("state", Seq("new_users", "retained", "resurrected", "churned"))
+      .agg(coalesce(sum("n"), lit(0L)))
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
+  /** The batch growth decomposition verbatim — batch splits and
+    * deferred churn emission must be invisible.
+    */
+  val streamGrowthSql: String = AnalyticsQueries.evtGrowthSql
+
   /** Streaming data-quality monitor — the cumulative form of
     * [[PipelineQueries.docExpect]]'s expectation gate: documents arrive
     * as 3 micro-batches; row-rule violation counts SUM-MERGE into a
@@ -2376,6 +2468,7 @@ object StreamingQueries {
     Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
-    Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql))
+    Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
+    Q("q_stream_growth", streamGrowth, Some(streamGrowthSql))
   )
 }
