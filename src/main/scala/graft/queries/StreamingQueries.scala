@@ -1300,6 +1300,71 @@ object StreamingQueries {
     */
   val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
 
+  /** Streaming cohort retention — two state shapes compose: each
+    * user's FIRST active day (min-merge; with time-ordered batches the
+    * first sighting IS the cohort) and the set of (user, week_offset)
+    * pairs already counted (the exact-distinct store, so a user active
+    * twice in one week across batches counts once). The final
+    * (cohort, week) matrix aggregates the pair store against the
+    * cohort table; oracle = the batch retention query verbatim.
+    */
+  def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val srcDir = freshDir(dir, "sret_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val lo = b * 10 + 1
+      val tmp = freshDir(dir, s"sret_tmp$b")
+      days.filter(dayofmonth(col("d")).between(lo, lo + 9))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val firstStore = graft.streaming.VersionedStore(s, freshDir(dir, "sret_store_f"))
+    val pairStore = graft.streaming.VersionedStore(s, freshDir(dir, "sret_store_p"))
+    firstStore.init(s.range(0).select(col("id").as("user_id"),
+      lit(null).cast("date").as("d0")))
+    pairStore.init(s.range(0).select(col("id").as("user_id"), col("id").as("week_offset")))
+    val batches = s.readStream.schema(days.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorF = firstStore.prior(batchId)
+        val priorP = pairStore.prior(batchId)
+        // cohort = stored first day, else the batch's own min (a user's
+        // first-ever sighting, since batches arrive in time order)
+        val firsts = priorF
+          .unionByName(batch.groupBy("user_id").agg(min("d").as("d0")))
+          .groupBy("user_id").agg(min("d0").as("d0"))
+          .localCheckpoint()
+        val pairs = batch.join(firsts, "user_id")
+          .select(col("user_id"),
+            expr("datediff(d, d0) div 7").as("week_offset"))
+        pairStore.write(batchId,
+          priorP.unionByName(pairs).distinct())
+        firstStore.write(batchId, firsts)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    pairStore.version(2L)
+      .join(firstStore.version(2L), "user_id")
+      .groupBy(col("d0").cast("string").as("cohort_start"),
+        col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_start", "week_offset")
+  }
+
+  /** The batch cohort-retention query verbatim. */
+  val streamRetentionSql: String = AnalyticsQueries.evtRetentionSql
+
   /** Streaming growth accounting — the continuity-state form of
     * [[AnalyticsQueries.evtGrowth]]: day-range batches arrive in
     * order; the state is each user's last active day, so every
@@ -2469,6 +2534,7 @@ object StreamingQueries {
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
-    Q("q_stream_growth", streamGrowth, Some(streamGrowthSql))
+    Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
+    Q("q_stream_retention", streamRetention, Some(streamRetentionSql))
   )
 }
