@@ -1300,6 +1300,82 @@ object StreamingQueries {
     */
   val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
 
+  /** Streaming last-touch attribution — the carry-forward state form
+    * of [[AnalyticsQueries.evtAttribution]]: the state is each user's
+    * most recent NON-purchase event (their open marketing touch);
+    * each batch's purchases credit the carry-forward (or 'direct'),
+    * per-channel revenue sum-merges, and the touch store advances to
+    * the batch's latest non-purchase event. Prior touches join the
+    * sequence with their original timestamps, so in-batch touches
+    * override them exactly as the batch window would. Oracle = the
+    * batch attribution verbatim.
+    */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val srcDir = freshDir(dir, "satt_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val lo = b * 10 + 1
+      val tmp = freshDir(dir, s"satt_tmp$b")
+      ev.filter(dayofmonth(col("ts")).between(lo, lo + 9))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val revStore = graft.streaming.VersionedStore(s, freshDir(dir, "satt_store_r"))
+    val touchStore = graft.streaming.VersionedStore(s, freshDir(dir, "satt_store_t"))
+    revStore.init(s.range(0).select(col("id").cast("string").as("channel"),
+      col("id").as("n_purchases"), col("id").cast("double").as("revenue")))
+    touchStore.init(ev.limit(0))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorR = revStore.prior(batchId)
+        val priorT = touchStore.prior(batchId)
+        val all = batch.withColumn("carry", lit(false))
+          .unionByName(priorT.withColumn("carry", lit(true)))
+          .localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val credited = all
+          .withColumn("channel", coalesce(
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w),
+            lit("direct")))
+          .filter(!col("carry") && col("event_type") === "purchase")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"), sum("value").as("revenue"))
+        revStore.write(batchId, priorR.unionByName(credited)
+          .groupBy("channel")
+          .agg(sum("n_purchases").as("n_purchases"), sum("revenue").as("revenue")))
+        touchStore.write(batchId, all
+          .filter(col("event_type") =!= "purchase")
+          .groupBy("user_id")
+          .agg(expr("max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))").as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    revStore.version(2L)
+      .select(col("channel"), col("n_purchases").cast("long").as("n_purchases"),
+        round(col("revenue"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** The batch last-touch attribution verbatim. */
+  val streamAttributionSql: String = AnalyticsQueries.evtAttributionSql
+
   /** Streaming cohort retention — two state shapes compose: each
     * user's FIRST active day (min-merge; with time-ordered batches the
     * first sighting IS the cohort) and the set of (user, week_offset)
@@ -2535,6 +2611,7 @@ object StreamingQueries {
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
-    Q("q_stream_retention", streamRetention, Some(streamRetentionSql))
+    Q("q_stream_retention", streamRetention, Some(streamRetentionSql)),
+    Q("q_stream_attribution", streamAttribution, Some(streamAttributionSql))
   )
 }
