@@ -1300,6 +1300,87 @@ object StreamingQueries {
     */
   val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
 
+  /** Streaming step funnel — the conditional-min chain as MONOTONE
+    * per-user state: (t1, t2, t3) = first view / first click after t1 /
+    * first purchase after t2, each min-merged per batch (under
+    * time-ordered arrival an earlier-set milestone can never move, and
+    * a later batch can only fill the next missing step). The final
+    * conversion table derives from the state alone; oracle = the batch
+    * funnel verbatim.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val srcDir = freshDir(dir, "sfun_src")
+    Files.createDirectories(Paths.get(srcDir))
+    for (b <- 0 until 3) {
+      val lo = b * 10 + 1
+      val tmp = freshDir(dir, s"sfun_tmp$b")
+      ev.filter(dayofmonth(col("ts")).between(lo, lo + 9))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sfun_store"))
+    store.init(s.range(0).select(col("id").as("user_id"),
+      lit(null).cast("timestamp").as("t1"), lit(null).cast("timestamp").as("t2"),
+      lit(null).cast("timestamp").as("t3")))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    def mergeMin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce(least(a, b), a, b)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId)
+        val bt = batch.localCheckpoint()
+        val pv = bt.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("bv"))
+        val m1 = prior.join(pv, Seq("user_id"), "full")
+          .select(col("user_id"), mergeMin(col("t1"), col("bv")).as("t1"),
+            col("t2"), col("t3")).localCheckpoint()
+        val pc = bt.filter(col("event_type") === "click")
+          .join(m1.filter(col("t1").isNotNull).select("user_id", "t1"), "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("bc"))
+        val m2 = m1.join(pc, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), mergeMin(col("t2"), col("bc")).as("t2"),
+            col("t3")).localCheckpoint()
+        val pp = bt.filter(col("event_type") === "purchase")
+          .join(m2.filter(col("t2").isNotNull).select("user_id", "t2"), "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("bp"))
+        store.write(batchId, m2.join(pp, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"),
+            mergeMin(col("t3"), col("bp")).as("t3")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val st = store.version(2L)
+    val counts = st.agg(count(col("t1")).as("n"))
+      .select(lit(1).as("step"), lit("view").as("name"), col("n"))
+      .unionAll(st.agg(count(col("t2")).as("n"))
+        .select(lit(2).as("step"), lit("click").as("name"), col("n")))
+      .unionAll(st.agg(count(col("t3")).as("n"))
+        .select(lit(3).as("step"), lit("purchase").as("name"), col("n")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = coalesce(last("n").over(w), col("n"))
+    counts
+      .withColumn("conv", when(base > 0, round(col("n") / base, 4)))
+      .orderBy("step")
+  }
+
+  /** The batch funnel verbatim. */
+  val streamFunnelSql: String = AnalyticsQueries.evtFunnelSql
+
   /** Streaming last-touch attribution — the carry-forward state form
     * of [[AnalyticsQueries.evtAttribution]]: the state is each user's
     * most recent NON-purchase event (their open marketing touch);
@@ -2612,6 +2693,7 @@ object StreamingQueries {
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
     Q("q_stream_retention", streamRetention, Some(streamRetentionSql)),
-    Q("q_stream_attribution", streamAttribution, Some(streamAttributionSql))
+    Q("q_stream_attribution", streamAttribution, Some(streamAttributionSql)),
+    Q("q_stream_funnel", streamFunnel, Some(streamFunnelSql))
   )
 }
