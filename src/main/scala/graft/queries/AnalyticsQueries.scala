@@ -135,6 +135,61 @@ object AnalyticsQueries {
         |  round(sum(value), 2) AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Multi-touch LINEAR attribution (the companion model to
+    * [[evtAttribution]]'s last-touch): every non-purchase touch in the
+    * 24 h before a purchase shares the credit equally (1/k each);
+    * purchases with no in-window touch credit 'direct'. Shape: one
+    * user-keyed equi-join with the time window as residual predicate
+    * (never a cross product), the per-purchase k via a window keyed on
+    * the high-cardinality purchase id, then a bounded per-channel
+    * rollup. Credits round to 4 after summing.
+    */
+  def evtAttributionMulti(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("channel"))
+    val pairs = p.join(t,
+      col("p_user") === col("t_user")
+        && col("t_ts") < col("p_ts")
+        && col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val k = Window.partitionBy("p_id")
+    val credited = pairs
+      .withColumn("credit", lit(1.0) / count(lit(1)).over(k))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit"))
+    val direct = p.join(pairs.select("p_id"), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), count(lit(1)).cast("double").as("credit"))
+      .select(lit("direct").as("channel"), col("n_touches"), col("credit"))
+    credited.unionByName(direct)
+      .filter(col("n_touches") > 0)
+      .select(col("channel"), col("n_touches"), round(col("credit"), 4).as("credit"))
+      .orderBy("channel")
+  }
+
+  val evtAttributionMultiSql: String =
+    Tables.eventsCte +
+      """
+        |, p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM ev
+        |        WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS t_ts, event_type AS channel FROM ev
+        |      WHERE event_type <> 'purchase'),
+        |pr AS (SELECT p.p_id, t.channel FROM p JOIN t ON t.user_id = p.user_id
+        |       AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR),
+        |c AS (SELECT p_id, channel, 1.0 / count(*) OVER (PARTITION BY p_id) AS credit
+        |      FROM pr),
+        |agg AS (SELECT channel, count(*)::BIGINT AS n_touches, sum(credit) AS credit
+        |        FROM c GROUP BY 1),
+        |d AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touches,
+        |        count(*)::DOUBLE AS credit
+        |      FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.p_id = p.p_id))
+        |SELECT channel, n_touches, round(credit, 4) AS credit
+        |FROM (SELECT * FROM agg UNION ALL SELECT * FROM d WHERE n_touches > 0)
+        |ORDER BY channel""".stripMargin
+
   /** Step-funnel conversion (view → click → purchase, strictly ordered
     * timestamps): the product-analytics counterpart of the CEP funnel
     * (`q_cep_funnel` matches per-event sequences; this reports the
@@ -835,6 +890,7 @@ object AnalyticsQueries {
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
+    Q("q_evt_attribution_multi", evtAttributionMulti, Some(evtAttributionMultiSql)),
     Q("q_evt_funnel", evtFunnel, Some(evtFunnelSql)),
     Q("q_evt_active_users", evtActiveUsers, Some(evtActiveUsersSql)),
     Q("q_evt_runs", evtRuns, Some(evtRunsSql)),
