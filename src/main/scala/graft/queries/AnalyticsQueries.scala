@@ -135,6 +135,45 @@ object AnalyticsQueries {
         |  round(sum(value), 2) AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Conversion-latency distribution: per user, seconds from first
+    * signup to first subsequent purchase; exact interpolated
+    * percentiles per signup weekday (both engines interpolate
+    * identically — the [[SketchQueries]] HDR histogram is the 100 TB
+    * swap when per-group sorts stop being acceptable). Per-user
+    * firsts are map-side-combinable mins on the user key.
+    */
+  def evtLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val pu = ev.join(su, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"), first("t0").as("t0"))
+    pu.select(dayofweek(col("t0")).cast("long").as("dow"),
+        (col("t1").cast("long") - col("t0").cast("long")).as("delta_s"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(delta_s, 0.5)"), 2).as("p50"),
+        round(expr("percentile(delta_s, 0.9)"), 2).as("p90"))
+      .orderBy("dow")
+  }
+
+  val evtLatencySql: String =
+    Tables.eventsCte +
+      """
+        |, su AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(ts) AS t1, any_value(t0) AS t0
+        |       FROM ev e JOIN su USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t0 GROUP BY 1),
+        |d AS (SELECT dayofweek(t0) + 1 AS dow,
+        |        (epoch_us(t1) // 1000000) - (epoch_us(t0) // 1000000) AS delta_s
+        |      FROM pu)
+        |SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n,
+        |  round(quantile_cont(delta_s, 0.5), 2) AS p50,
+        |  round(quantile_cont(delta_s, 0.9), 2) AS p90
+        |FROM d GROUP BY 1 ORDER BY dow""".stripMargin
+
   /** Multi-touch LINEAR attribution (the companion model to
     * [[evtAttribution]]'s last-touch): every non-purchase touch in the
     * 24 h before a purchase shares the credit equally (1/k each);
@@ -891,6 +930,7 @@ object AnalyticsQueries {
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
     Q("q_evt_attribution_multi", evtAttributionMulti, Some(evtAttributionMultiSql)),
+    Q("q_evt_latency", evtLatency, Some(evtLatencySql)),
     Q("q_evt_funnel", evtFunnel, Some(evtFunnelSql)),
     Q("q_evt_active_users", evtActiveUsers, Some(evtActiveUsersSql)),
     Q("q_evt_runs", evtRuns, Some(evtRunsSql)),
