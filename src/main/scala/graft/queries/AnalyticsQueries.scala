@@ -135,6 +135,64 @@ object AnalyticsQueries {
         |  round(sum(value), 2) AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RFM segmentation (recency / frequency / monetary): per-user
+    * aggregates score 1–3 against GLOBAL tertile thresholds, and the
+    * segment distribution rolls up. Scale shape: thresholds come from
+    * one bounded percentile aggregate (1 row) broadcast back over the
+    * user table — never a global ntile window, which would funnel
+    * every user through one task (the audit's forbidden shape).
+    * Threshold comparisons round to 6 on both engines.
+    */
+  def evtRfm(s: SparkSession, dir: String): DataFrame = {
+    val maxTs = Tables.events(s, dir).agg(max(col("ts").cast("long")).as("now"))
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("long")).as("last_s"),
+        count(lit(1)).cast("double").as("f"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("m"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"), (col("now") - col("last_s")).cast("double").as("r"),
+        col("f"), col("m"))
+    val th = broadcast(u.agg(
+      round(expr("percentile(r, 0.33)"), 6).as("r1"), round(expr("percentile(r, 0.67)"), 6).as("r2"),
+      round(expr("percentile(f, 0.33)"), 6).as("f1"), round(expr("percentile(f, 0.67)"), 6).as("f2"),
+      round(expr("percentile(m, 0.33)"), 6).as("m1"), round(expr("percentile(m, 0.67)"), 6).as("m2")))
+    def score(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column, asc: Boolean) = {
+      val s3 = when(v <= lo, if (asc) 1 else 3).when(v <= hi, 2).otherwise(if (asc) 3 else 1)
+      s3
+    }
+    u.crossJoin(th)
+      .select(
+        // recency: SMALLER is better → descending score
+        score(col("r"), col("r1"), col("r2"), asc = false).as("r_score"),
+        score(col("f"), col("f1"), col("f2"), asc = true).as("f_score"),
+        score(col("m"), col("m1"), col("m2"), asc = true).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val evtRfmSql: String =
+    Tables.eventsCte +
+      """
+        |, nowt AS (SELECT max(epoch_us(ts) // 1000000) AS now FROM ev),
+        |u AS (SELECT user_id,
+        |        (SELECT now FROM nowt) - max(epoch_us(ts) // 1000000) AS r,
+        |        count(*)::DOUBLE AS f,
+        |        sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS m
+        |      FROM ev GROUP BY 1),
+        |th AS (SELECT round(quantile_cont(r, 0.33), 6) AS r1, round(quantile_cont(r, 0.67), 6) AS r2,
+        |         round(quantile_cont(f, 0.33), 6) AS f1, round(quantile_cont(f, 0.67), 6) AS f2,
+        |         round(quantile_cont(m, 0.33), 6) AS m1, round(quantile_cont(m, 0.67), 6) AS m2
+        |       FROM u)
+        |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users FROM (
+        |  SELECT CASE WHEN r <= r1 THEN 3 WHEN r <= r2 THEN 2 ELSE 1 END AS r_score,
+        |         CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2 ELSE 3 END AS f_score,
+        |         CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2 ELSE 3 END AS m_score
+        |  FROM u, th)
+        |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+
   /** Conversion-latency distribution: per user, seconds from first
     * signup to first subsequent purchase; exact interpolated
     * percentiles per signup weekday (both engines interpolate
@@ -931,6 +989,7 @@ object AnalyticsQueries {
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
     Q("q_evt_attribution_multi", evtAttributionMulti, Some(evtAttributionMultiSql)),
     Q("q_evt_latency", evtLatency, Some(evtLatencySql)),
+    Q("q_evt_rfm", evtRfm, Some(evtRfmSql)),
     Q("q_evt_funnel", evtFunnel, Some(evtFunnelSql)),
     Q("q_evt_active_users", evtActiveUsers, Some(evtActiveUsersSql)),
     Q("q_evt_runs", evtRuns, Some(evtRunsSql)),

@@ -66,7 +66,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_kmeans", // k-row centroid table broadcast per Lloyd round
     "q_emb_rp_recall", // 10-query probe side broadcast (both brute-force legs)
     "q_evt_itemsets", // 1-row basket-count scalar for the lift denominator
-    "q_emb_negatives" // 10-anchor probe side broadcast (exclusion + candidate legs)
+    "q_emb_negatives", // 10-anchor probe side broadcast (exclusion + candidate legs)
+    "q_evt_rfm" // 1-row now-scalar + 1-row tertile-threshold table broadcast
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
