@@ -144,12 +144,20 @@ object AnalyticsQueries {
     * Threshold comparisons round to 6 on both engines.
     */
   def evtRfm(s: SparkSession, dir: String): DataFrame = {
-    val maxTs = Tables.events(s, dir).agg(max(col("ts").cast("long")).as("now"))
-    val u = Tables.events(s, dir)
+    // One events scan, staged: the user frame fans out three ways below
+    // (global-now aggregate, tertile thresholds, scored probe side), and
+    // an unstaged frame would splice the events scan into each consumer
+    // — the exact re-scan class PlanSpec locks elsewhere. `now` is the
+    // global max ts, recovered as a second-level aggregate of the staged
+    // per-user maxima (every event belongs to a user), so the final plan
+    // touches parquet zero times.
+    val u0 = graft.operators.Funnel.stage(Tables.events(s, dir)
       .groupBy("user_id")
       .agg(max(col("ts").cast("long")).as("last_s"),
         count(lit(1)).cast("double").as("f"),
-        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("m"))
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("m")))
+    val maxTs = u0.agg(max(col("last_s")).as("now"))
+    val u = u0
       .crossJoin(broadcast(maxTs))
       .select(col("user_id"), (col("now") - col("last_s")).cast("double").as("r"),
         col("f"), col("m"))

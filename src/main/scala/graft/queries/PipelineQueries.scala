@@ -359,6 +359,15 @@ object PipelineQueries {
     * fold-dedup itself is the one-scan `min_by` keeper (the
     * groupBy + self-join keeper shape scans twice). PlanSpec locks the
     * final plan's parquet-scan count so the composition can't regress.
+    *
+    * Timing note (closes the round-7 open question): the r7 final sweep
+    * recorded 14.9 s isolated median-of-3 vs 2.6 s at fix time on
+    * bit-identical code. Round-8 re-time (`SPARK_GRAFT_BENCH_ONLY`,
+    * sf0.1, isolated median-of-3, fresh JVM): **2.365 s** — the sweep
+    * reading was late-sweep drift (heap/GC pollution after ~250 prior
+    * queries), not a plan regression; the 0-parquet-scan lock held
+    * throughout. Mitigation for future sweeps: Bench stamps fixture
+    * vs query time separately and isolate() already drops views/GCs.
     */
   def docPipelineFull(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

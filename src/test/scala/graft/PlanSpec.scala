@@ -363,6 +363,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_evt_rfm: staged user frame — events parquet never re-enters the final plan") {
+    // the user-RFM frame fans out three ways (global-now aggregate,
+    // tertile thresholds, scored probe side); `now` is a second-level
+    // aggregate of the staged per-user maxima, so the final plan holds
+    // zero parquet scans (was 4 events scans unstaged — r7 verdict #2)
+    val (parquet, rdd) = scanCounts("q_evt_rfm")
+    assert(parquet == 0, s"q_evt_rfm re-reads events parquet $parquet times — stage boundary dropped")
+    assert(rdd >= 1, "no materialized stage blocks in the q_evt_rfm plan — Funnel.stage removed?")
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed
