@@ -73,6 +73,73 @@ object StreamingQueries {
     p.toString
   }
 
+  /** Stage each `parts(i)` as one single-file micro-batch source under a
+    * fresh directory — explicit names AND strictly increasing mtimes so
+    * the file source replays b0 < b1 < … regardless of its (mtime, path)
+    * tie rules. This is the replay fixture every multi-batch maintainer
+    * query drives `readStream.option("maxFilesPerTrigger", 1)` from; the
+    * whole staging runs inside [[graft.BenchMeters.fixture]] so the
+    * bench stamps fixture time separately from measured maintenance.
+    */
+  private def stageBatchFiles(dir: String, name: String, parts: Seq[DataFrame]): String =
+    graft.BenchMeters.fixture {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val srcDir = freshDir(dir, s"${name}_src")
+      Files.createDirectories(Paths.get(srcDir))
+      parts.zipWithIndex.foreach { case (df, b) =>
+        val tmp = freshDir(dir, s"${name}_tmp$b")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dst = Paths.get(srcDir, s"b$b.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+      }
+      srcDir
+    }
+
+  /** The last batch id a [[stageBatchFiles]] directory will replay —
+    * derived from the ACTUAL staged file count, never hard-coded: with
+    * `maxFilesPerTrigger=1` under AvailableNow the file source assigns
+    * batch ids 0..nFiles-1, and a literal `2L` silently skips the
+    * end-of-stream flush (and reads a missing store version) the moment
+    * a split changes shape (r7 advice).
+    */
+  private def lastBatchId(srcDir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    Files.list(Paths.get(srcDir))
+      .filter(p => p.toString.endsWith(".parquet")).count() - 1
+  }
+
+  /** Split `df` into `n` COMPLETE, time-ordered batches by date
+    * boundaries derived from the actual min/max of `dcol` — a total
+    * order over the data's real time range, replacing the old
+    * hard-coded `dayofmonth between (10b+1, 10b+10)` windows that
+    * silently dropped a day-31 row and assumed single-month data
+    * (r7 advice). Every row lands in exactly one batch; all of batch
+    * i's dates strictly precede batch i+1's, which is the
+    * time-ordered-arrival contract the per-user continuity state
+    * downstream depends on. The last batch is open-ended so ceil
+    * rounding can never orphan the tail. On the driver's Jan-1..30
+    * fixture the boundaries reduce to the original 1-10/11-20/21-30
+    * split, so the shared batch oracles are unchanged.
+    */
+  private def daySplits(df: DataFrame, dcol: org.apache.spark.sql.Column, n: Int): Seq[DataFrame] =
+    graft.BenchMeters.fixture {
+      val d = dcol.cast("date")
+      val row = df.agg(min(d).as("d0"), max(d).as("d1")).head()
+      val (d0, d1) = (row.getDate(0), row.getDate(1))
+      val span = java.time.temporal.ChronoUnit.DAYS
+        .between(d0.toLocalDate, d1.toLocalDate) + 1
+      val width = math.max(1L, (span + n - 1) / n)
+      (0 until n).map { b =>
+        val lo = b * width
+        if (b == n - 1) df.filter(datediff(d, lit(d0)) >= lo)
+        else df.filter(datediff(d, lit(d0)).between(lo, lo + width - 1))
+      }
+    }
+
   private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     // Stateful operators pay a per-partition state-store commit each
@@ -622,6 +689,41 @@ object StreamingQueries {
         |QUALIFY ts <= (SELECT w FROM wm)
         |ORDER BY user_id, event_id""".stripMargin
 
+  /** Streaming OVER with a bounded time-RANGE frame — the trailing-6-hour
+    * running sum/count per user at each event (ref:
+    * RowTimeRangeBoundedPrecedingFunction.java — the one §2.7 streaming
+    * variant previously missing). Emitted ⇔ watermark passed the row;
+    * peers (same timestamp) share one frame, which is what the SQL RANGE
+    * oracle computes too.
+    */
+  def streamOverRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.overRangeBounded[Event, Long](
+      ev, _.user_id, _.event_id, _.tsUs, _.value,
+      precedingUs = 6L * 3600L * 1000000L)
+    runToTable("stream_over_range", out.toDF(), "append")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        round(col("running_sum"), 4).as("rsum6h"), col("running_cnt").as("rcnt6h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val streamOverRangeSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 4) AS rsum6h,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW) AS rcnt6h
+        |FROM ev
+        |QUALIFY ts <= (SELECT w FROM wm)
+        |ORDER BY user_id, event_id""".stripMargin
+
   /** PROC-time temporal join (ref: TemporalProcessTimeJoinOperator.java,
     * TemporalJoinITCase proc-time cases): purchases join the customer
     * dimension snapshot taken when their micro-batch executes. Under
@@ -797,29 +899,23 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val srcDir = freshDir(dir, "rules_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"rules_tmp$b")
-      ev.filter(col("event_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "rules",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
     // versioned rules snapshots: the "slowly-changing dimension" the
     // pattern refreshes — multiplier drifts by +1 per version
     val rulesDir = freshDir(dir, "rules_dim")
     val types = ev.select(col("event_type")).distinct()
-    for (v <- 0 until 3)
-      types.select(col("event_type"),
-          (length(col("event_type")) + lit(v)).cast("double").as("mult"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$rulesDir/v$v")
+    graft.BenchMeters.fixture {
+      for (v <- 0 until 3)
+        types.select(col("event_type"),
+            (length(col("event_type")) + lit(v)).cast("double").as("mult"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$rulesDir/v$v")
+    }
     val store = freshDir(dir, "rules_out")
-    ev.filter(lit(false)).withColumn("adj", lit(0.0))
-      .write.mode("overwrite").parquet(store)
+    graft.BenchMeters.fixture {
+      ev.filter(lit(false)).withColumn("adj", lit(0.0))
+        .write.mode("overwrite").parquet(store)
+    }
     val batches = s.readStream
       .schema(StructType(Seq(StructField("event_id", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
@@ -861,18 +957,8 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
-    val srcDir = freshDir(dir, "tt_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"tt_tmp$b")
-      ev.filter(col("event_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "tt",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
     val store = freshDir(dir, "tt_store")
     val src = s.readStream
       .schema(StructType(Seq(StructField("event_id", LongType),
@@ -929,27 +1015,19 @@ object StreamingQueries {
       .filter(col("doc_id") % 100 === 1 && col("doc_id") % 3 === 1)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val all = docs.unionByName(recrawl)
-    val srcDir = freshDir(dir, "dmh_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"dmh_tmp$b")
-      all.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "dmh",
+      (0 until 3).map(b => all.filter(col("doc_id") % 3 === b)))
     val docStore = freshDir(dir, "dmh_docs")
     val keyStore = freshDir(dir, "dmh_keys")
     val resDir = freshDir(dir, "dmh_res")
     // pre-seed the stores so the first batch reads valid empty tables
-    all.filter(lit(false)).write.mode("overwrite").parquet(docStore)
-    graft.operators.Dedup.bandIndex(all.filter(lit(false)))
-      .write.mode("overwrite").parquet(keyStore)
-    s.range(0).select(col("id"), col("id").as("keeper"),
-      lit(0.0).as("jacc")).write.mode("overwrite").parquet(resDir)
+    graft.BenchMeters.fixture {
+      all.filter(lit(false)).write.mode("overwrite").parquet(docStore)
+      graft.operators.Dedup.bandIndex(all.filter(lit(false)))
+        .write.mode("overwrite").parquet(keyStore)
+      s.range(0).select(col("id"), col("id").as("keeper"),
+        lit(0.0).as("jacc")).write.mode("overwrite").parquet(resDir)
+    }
     val batches = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
@@ -1002,18 +1080,8 @@ object StreamingQueries {
     import graft.functions.GraftFunctions.cosine_double
     val k = 8
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val srcDir = freshDir(dir, "skm_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"skm_tmp$b")
-      emb.filter(col("vec_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "skm",
+      (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "skm_store"))
     val resBase = freshDir(dir, "skm_res")
     // accumulator seed: vec_id < k enters with unit weight (a prior at
@@ -1115,18 +1183,8 @@ object StreamingQueries {
     val edges = ev
       .select(col("event_id").as("a"), lag("event_id", 1).over(w).as("b"))
       .filter(col("b").isNotNull)
-    val srcDir = freshDir(dir, "scc_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"scc_tmp$b")
-      edges.filter(col("a") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "scc",
+      (0 until 3).map(b => edges.filter(col("a") % 3 === b)))
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "scc_store"))
     store.init(s.range(0).select(col("id").as("da"), col("id").as("db")))
     val batches = s.readStream
@@ -1146,7 +1204,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val forest = store.version(2L)
+    val forest = store.version(lastBatchId(srcDir))
     ev.select(col("event_id").as("id"))
       .join(forest.select(col("da").as("id"), col("db").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
@@ -1173,19 +1231,9 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val ev = Tables.events(s, dir)
-    val srcDir = freshDir(dir, "sano_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"sano_tmp$b")
-      ev.filter(col("event_id") % 3 === b)
-        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "sano",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))))
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "sano_store"))
     store.init(s.range(0).select(col("id").cast("string").as("event_type"),
       col("id").cast("timestamp").as("h"), col("id").as("cnt")))
@@ -1204,7 +1252,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val hc = store.version(2L)
+    val hc = store.version(lastBatchId(srcDir))
       .select(col("event_type"), col("h"), col("cnt").cast("long").as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
@@ -1241,20 +1289,7 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val srcDir = freshDir(dir, "str_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val lo = b * 10 + 1
-      val hi = lo + 9
-      val tmp = freshDir(dir, s"str_tmp$b")
-      ev.filter(dayofmonth(col("ts")).between(lo, hi))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "str", daySplits(ev, col("ts"), 3))
     val countStore = graft.streaming.VersionedStore(s, freshDir(dir, "str_store_c"))
     val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "str_store_l"))
     countStore.init(s.range(0).select(col("id").cast("string").as("from_type"),
@@ -1288,7 +1323,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    countStore.version(2L)
+    countStore.version(lastBatchId(srcDir))
       .withColumn("n", col("n").cast("long"))
       .withColumn("p", round(col("n").cast("double")
         / sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
@@ -1314,19 +1349,7 @@ object StreamingQueries {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
       .filter(col("event_type").isin("view", "click", "purchase"))
-    val srcDir = freshDir(dir, "sfun_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val lo = b * 10 + 1
-      val tmp = freshDir(dir, s"sfun_tmp$b")
-      ev.filter(dayofmonth(col("ts")).between(lo, lo + 9))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "sfun", daySplits(ev, col("ts"), 3))
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "sfun_store"))
     store.init(s.range(0).select(col("id").as("user_id"),
       lit(null).cast("timestamp").as("t1"), lit(null).cast("timestamp").as("t2"),
@@ -1363,7 +1386,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val st = store.version(2L)
+    val st = store.version(lastBatchId(srcDir))
     val counts = st.agg(count(col("t1")).as("n"))
       .select(lit(1).as("step"), lit("view").as("name"), col("n"))
       .unionAll(st.agg(count(col("t2")).as("n"))
@@ -1396,19 +1419,7 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
-    val srcDir = freshDir(dir, "satt_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val lo = b * 10 + 1
-      val tmp = freshDir(dir, s"satt_tmp$b")
-      ev.filter(dayofmonth(col("ts")).between(lo, lo + 9))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "satt", daySplits(ev, col("ts"), 3))
     val revStore = graft.streaming.VersionedStore(s, freshDir(dir, "satt_store_r"))
     val touchStore = graft.streaming.VersionedStore(s, freshDir(dir, "satt_store_t"))
     revStore.init(s.range(0).select(col("id").cast("string").as("channel"),
@@ -1448,7 +1459,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    revStore.version(2L)
+    revStore.version(lastBatchId(srcDir))
       .select(col("channel"), col("n_purchases").cast("long").as("n_purchases"),
         round(col("revenue"), 2).as("revenue"))
       .orderBy("channel")
@@ -1470,19 +1481,7 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val days = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val srcDir = freshDir(dir, "sret_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val lo = b * 10 + 1
-      val tmp = freshDir(dir, s"sret_tmp$b")
-      days.filter(dayofmonth(col("d")).between(lo, lo + 9))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "sret", daySplits(days, col("d"), 3))
     val firstStore = graft.streaming.VersionedStore(s, freshDir(dir, "sret_store_f"))
     val pairStore = graft.streaming.VersionedStore(s, freshDir(dir, "sret_store_p"))
     firstStore.init(s.range(0).select(col("id").as("user_id"),
@@ -1511,8 +1510,8 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    pairStore.version(2L)
-      .join(firstStore.version(2L), "user_id")
+    pairStore.version(lastBatchId(srcDir))
+      .join(firstStore.version(lastBatchId(srcDir)), "user_id")
       .groupBy(col("d0").cast("string").as("cohort_start"),
         col("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
@@ -1538,19 +1537,8 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val days = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val srcDir = freshDir(dir, "sgr_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val lo = b * 10 + 1
-      val tmp = freshDir(dir, s"sgr_tmp$b")
-      days.filter(dayofmonth(col("d")).between(lo, lo + 9))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "sgr", daySplits(days, col("d"), 3))
+    val lastBatch = lastBatchId(srcDir)
     val countStore = graft.streaming.VersionedStore(s, freshDir(dir, "sgr_store_c"))
     val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "sgr_store_l"))
     countStore.init(s.range(0).select(lit(null).cast("date").as("day"),
@@ -1583,7 +1571,7 @@ object StreamingQueries {
         // end-of-stream flush: every user churns the day after their
         // final activity (the batch query's `nxt IS NULL` leg)
         val churnFlush =
-          if (batchId == 2L)
+          if (batchId == lastBatch)
             newLast.select(date_add(col("d"), 1).as("day"), lit("churned").as("state"))
           else s.range(0).select(lit(null).cast("date").as("day"),
             col("id").cast("string").as("state"))
@@ -1597,7 +1585,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    countStore.version(2L)
+    countStore.version(lastBatchId(srcDir))
       .groupBy("day")
       .pivot("state", Seq("new_users", "retained", "resurrected", "churned"))
       .agg(coalesce(sum("n"), lit(0L)))
@@ -1632,19 +1620,10 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     val docs = Tables.documents(s, dir)
     val dups = docs.filter(col("doc_id") % 25 === 3)
-    val srcDir = freshDir(dir, "sexp_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
+    val srcDir = stageBatchFiles(dir, "sexp", (0 until 3).map { b =>
       val part0 = docs.filter(col("doc_id") % 3 === b)
-      val withDups = if (b == 2) part0.unionByName(dups) else part0
-      val tmp = freshDir(dir, s"sexp_tmp$b")
-      withDups.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+      if (b == 2) part0.unionByName(dups) else part0
+    })
     val reportStore = graft.streaming.VersionedStore(s, freshDir(dir, "sexp_store_r"))
     val keyStore = graft.streaming.VersionedStore(s, freshDir(dir, "sexp_store_k"))
     reportStore.init(s.range(0).select(col("id").cast("string").as("rule"),
@@ -1677,7 +1656,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    reportStore.version(2L)
+    reportStore.version(lastBatchId(srcDir))
       .select(col("rule"), col("n_rows").cast("long").as("n_rows"),
         col("n_violations").cast("long").as("n_violations"),
         round(when(col("n_rows") === 0L, lit(0.0))
@@ -1710,26 +1689,18 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val srcDir = freshDir(dir, "sbp_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"sbp_tmp$b")
-      docs.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "sbp",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
     val storeBase = freshDir(dir, "sbp_store")
     val resDir = freshDir(dir, "sbp_res")
     // pre-seed an empty store version and result table
-    s.range(0).select(col("id").cast("string").as("line"), col("id").as("df"))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
-    s.range(0).select(col("id").as("doc_id"), col("id").as("n_lines"),
-        col("id").as("n_kept"), col("id").cast("string").as("kept_md5"))
-      .write.mode("overwrite").parquet(resDir)
+    graft.BenchMeters.fixture {
+      s.range(0).select(col("id").cast("string").as("line"), col("id").as("df"))
+        .write.mode("overwrite").parquet(s"$storeBase/v_init")
+      s.range(0).select(col("id").as("doc_id"), col("id").as("n_lines"),
+          col("id").as("n_kept"), col("id").cast("string").as("kept_md5"))
+        .write.mode("overwrite").parquet(resDir)
+    }
     val batches = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
@@ -1783,24 +1754,16 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     import graft.operators.{Sketches, TextAnalysis}
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val srcDir = freshDir(dir, "shll_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"shll_tmp$b")
-      docs.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "shll",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
     val storeBase = freshDir(dir, "shll_store")
     val resDir = freshDir(dir, "shll_res")
-    s.range(64).select(col("id").as("bucket"), lit(0L).as("reg"))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
-    s.range(0).select(col("id").as("batch"), col("id").cast("double").as("est_distinct"))
-      .write.mode("overwrite").parquet(resDir)
+    graft.BenchMeters.fixture {
+      s.range(64).select(col("id").as("bucket"), lit(0L).as("reg"))
+        .write.mode("overwrite").parquet(s"$storeBase/v_init")
+      s.range(0).select(col("id").as("batch"), col("id").cast("double").as("est_distinct"))
+        .write.mode("overwrite").parquet(resDir)
+    }
     val batches = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
@@ -1864,25 +1827,17 @@ object StreamingQueries {
     import java.nio.file.attribute.FileTime
     import graft.operators.{Sketches, TextAnalysis}
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val srcDir = freshDir(dir, "scms_src")
-    Files.createDirectories(Paths.get(srcDir))
-    for (b <- 0 until 3) {
-      val tmp = freshDir(dir, s"scms_tmp$b")
-      docs.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Paths.get(srcDir, s"b$b.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
-    }
+    val srcDir = stageBatchFiles(dir, "scms",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
     val storeBase = freshDir(dir, "scms_store")
     val resDir = freshDir(dir, "scms_res")
-    s.range(0).select(col("id").cast("int").as("r"), col("id").as("b"), col("id").as("c"))
-      .write.mode("overwrite").parquet(s"$storeBase/v_init")
-    s.range(0).select(col("id").as("batch"), col("id").cast("string").as("tok"),
-        col("id").as("est_cnt"))
-      .write.mode("overwrite").parquet(resDir)
+    graft.BenchMeters.fixture {
+      s.range(0).select(col("id").cast("int").as("r"), col("id").as("b"), col("id").as("c"))
+        .write.mode("overwrite").parquet(s"$storeBase/v_init")
+      s.range(0).select(col("id").as("batch"), col("id").cast("string").as("tok"),
+          col("id").as("est_cnt"))
+        .write.mode("overwrite").parquet(resDir)
+    }
     val probes = Seq("data", "stream", "table", "the")
     val batches = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -2677,6 +2632,7 @@ object StreamingQueries {
     Q("q_stream_full_join", streamFullJoin, Some(streamFullJoinSql)),
     Q("q_stream_right_join", streamRightJoin, Some(streamRightJoinSql)),
     Q("q_stream_over_bounded", streamOverBounded, Some(streamOverBoundedSql)),
+    Q("q_stream_over_range", streamOverRange, Some(streamOverRangeSql)),
     Q("q_stream_temporal_proc", streamTemporalProcJoin, Some(streamTemporalProcJoinSql)),
     Q("q_stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Q("q_stream_topn", streamTopN, Some(streamTopNSql)),

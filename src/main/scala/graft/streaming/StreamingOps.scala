@@ -245,6 +245,64 @@ object StreamingOps {
         ExpressionEncoder[BoundedOverState](), ExpressionEncoder[OverRow[K]]())
   }
 
+  /** Streaming row-time OVER aggregate with a BOUNDED time-RANGE frame —
+    * `RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW` (ref:
+    * RowTimeRangeBoundedPrecedingFunction.java — the reference keeps a
+    * per-key map of rows keyed by timestamp, retracts everything older
+    * than `ts - precedingUs` on each emit, and fires per TIMESTAMP so
+    * peers share one frame). Semantics mirrored here:
+    *
+    *  - each event is emitted exactly once, when the watermark passes
+    *    its timestamp, carrying the sum/count of every row of its key
+    *    with `ts ∈ [t - precedingUs, t]`;
+    *  - PEER rows (identical timestamp) all receive the SAME aggregate,
+    *    including each other — a RANGE frame is bounded by value, not
+    *    row position (SQL RANGE semantics; Flink groups rows per timer
+    *    timestamp for the same reason);
+    *  - late rows (at or below the last emitted timestamp) are dropped,
+    *    mirroring the reference's late-data drop.
+    *
+    * State is O(rows inside the trailing interval + out-of-order
+    * window): the retained in-range tail plus the not-yet-emittable
+    * buffer — bounded by data rate × frame length regardless of stream
+    * length, the same state shape as the reference's per-timestamp map.
+    */
+  def overRangeBounded[T, K: Encoder: TypeTag](
+      ds: Dataset[T],
+      keyFn: T => K,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Double,
+      precedingUs: Long
+  )(implicit te: Encoder[T]): Dataset[OverRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[BoundedOverState]): Iterator[OverRow[K]] = {
+      val st = if (state.exists) state.get else BoundedOverState(Long.MinValue, Nil, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val incoming = rows.map(r => (tsUsFn(r), idFn(r), valueFn(r)))
+        .filter(_._1 > st.lastEmittedUs) // late rows dropped
+      val all = (st.buffer ++ incoming).sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(_._1 <= wmUs)
+      var frame = st.tail // emitted rows still inside the trailing range, oldest first
+      // fire per TIMESTAMP: peers enter the frame together and share one
+      // aggregate (the reference's per-timer-timestamp processing)
+      val out = ready.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, peers) =>
+        frame = (frame ++ peers).dropWhile(_._1 < t - precedingUs)
+        val (fsum, fcnt) = (frame.map(_._3).sum, frame.length.toLong)
+        peers.map { case (_, id, _) => OverRow(key, id, t, fsum, fcnt) }
+      }
+      val nextLast = if (ready.nonEmpty) ready.last._1 else st.lastEmittedUs
+      if (hold.isEmpty && frame.isEmpty) state.remove()
+      else {
+        state.update(BoundedOverState(nextLast, frame, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[BoundedOverState](), ExpressionEncoder[OverRow[K]]())
+  }
+
   /** Count windows — GlobalWindows + CountTrigger(size) + purge (ref:
     * GlobalWindows.java, CountTrigger.java:36, PurgingTrigger.java;
     * KeyedStream.countWindow): per key, every `size`-th element fires the

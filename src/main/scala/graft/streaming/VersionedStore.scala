@@ -32,7 +32,11 @@ final case class VersionedStore(spark: SparkSession, base: String) {
     * table with the store's schema).
     */
   def init(df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path("init"))
+    // seeding the store is replay-fixture setup, not maintenance work —
+    // booked as fixture time so Bench can stamp the split
+    graft.BenchMeters.fixture {
+      df.write.mode("overwrite").parquet(path("init"))
+    }
 
   /** The version the previous batch left (the seed before batch 0). */
   def prior(batchId: Long): DataFrame =

@@ -100,6 +100,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("overRangeBounded: trailing time-range frame, peers share one frame, out-of-order safe") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = StreamingOps.overRangeBounded[Event, Long](
+      withWm, _.user_id, _.event_id, _.tsUs, _.value,
+      precedingUs = 10L * 1000000L) // 10-second RANGE frame
+    val q = out.writeStream.format("memory").queryName("orng_t").outputMode("append").start()
+    try {
+      // out of order WITHIN the batch (id 3 before id 1), plus PEERS:
+      // ids 3 and 4 share t=20s and must receive the SAME aggregate,
+      // each counting the other (RANGE is value-bounded, not row-bounded)
+      input.addData(
+        ev(3, 20000, 7, "x", 3.0), ev(1, 5000, 7, "x", 1.0),
+        ev(4, 20000, 7, "x", 5.0), ev(2, 12000, 7, "x", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(9, 60000, 8, "x", 0.0)) // advances the watermark past 20s
+      q.processAllAvailable()
+      input.addData(ev(10, 120000, 8, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("orng_t").as[StreamingOps.OverRow[Long]].collect()
+        .filter(_.key == 7L).sortBy(_.id)
+        .map(r => (r.id, r.running_sum, r.running_cnt)).toSeq
+      // frames: id1@5s → {1}; id2@12s → {5s,12s} (5 ≥ 12-10);
+      // ids 3,4 @20s → {12s,20s,20s} (5s < 10 pruned), shared aggregate
+      assert(got === Seq(
+        (1L, 1.0, 1L), (2L, 3.0, 2L), (3L, 10.0, 3L), (4L, 10.0, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming CEP with out-of-order arrival matches batch semantics") {
     val input = MemoryStream[Event]
     val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
