@@ -16,8 +16,16 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     Tables(spark, dir, t).createOrReplaceTempView(t)
   }
 
-  /** ref: TableEnvironment.sqlQuery */
-  def sqlQuery(sql: String): DataFrame = spark.sql(sql)
+  /** ref: TableEnvironment.sqlQuery. One pre-parse step: Catalyst has no
+    * MATCH_RECOGNIZE parse rule, so statements containing the clause are
+    * routed through [[graft.cep.MatchRecognizeSql]] (which lowers the
+    * block onto the oracled NFA machinery and hands the surrounding
+    * statement back to Spark SQL); everything else goes to Catalyst
+    * verbatim.
+    */
+  def sqlQuery(sql: String): DataFrame =
+    if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
+    else spark.sql(sql)
 
   /** ref: TableEnvironment.from(tableName) */
   def from(table: String): DataFrame = spark.table(table)

@@ -280,8 +280,51 @@ object MiscQueries {
       |  round(sum(o_totalprice + len(o_orderpriority) * 0.5 + (o_orderkey % 7)), 2) AS billed
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The SQL-STATEMENT MATCH_RECOGNIZE route (ref: StreamExecMatch
+    * .scala:68 — the reference's users write the clause, not a builder):
+    * the same S P+ pattern as [[matchRecognize]] but entered through
+    * `TableEnv.sqlQuery` as the raw SQL:2016 statement, over the FULL
+    * event stream (no pre-filter, so strict contiguity means purchases
+    * IMMEDIATELY following the signup among all the user's events).
+    * Exercises the pre-parser (clause extraction, MEASURES forms,
+    * DEFINE lowering to codegen'd boolean columns) and the outer-query
+    * splice; the oracle computes each signup's immediate purchase run
+    * over the unfiltered ordered stream.
+    */
+  def matchRecognizeStmt(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, signup_id, n_purchases
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(S.event_id) AS signup_id, COUNT(P.*) AS n_purchases
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S P+)
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)
+        |ORDER BY signup_id""".stripMargin)
+
+  val matchRecognizeStmtSql: String =
+    graft.Tables.eventsCte +
+      """
+        |, o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM ev),
+        |runs AS (
+        |  SELECT s.user_id, s.event_id AS signup_id,
+        |    coalesce((SELECT min(x.rn) FROM o x
+        |              WHERE x.user_id = s.user_id AND x.rn > s.rn AND x.event_type <> 'purchase'),
+        |             (SELECT max(x.rn) + 1 FROM o x WHERE x.user_id = s.user_id)) - s.rn - 1 AS n_purchases
+        |  FROM o s WHERE s.event_type = 'signup')
+        |SELECT user_id, signup_id, n_purchases::BIGINT AS n_purchases
+        |FROM runs WHERE n_purchases >= 1
+        |ORDER BY signup_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_lookup_async", lookupAsync, Some(lookupAsyncSql)),
+    Q("q_match_sql", matchRecognizeStmt, Some(matchRecognizeStmtSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q_over_bounded", overBounded, Some(overBoundedSql)),
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),
