@@ -29,6 +29,25 @@ final class TableEnv(val spark: SparkSession, dir: String) {
 
   /** ref: TableEnvironment.from(tableName) */
   def from(table: String): DataFrame = spark.table(table)
+
+  /** Watermark-DDL analog (ref: `WATERMARK FOR rowtime AS rowtime -
+    * INTERVAL '…'` — SqlWatermark / WatermarkSpec.java:36): the
+    * reference declares the watermark once, per TABLE, and every query
+    * over that table inherits the bound; Spark attaches watermarks
+    * per-DataFrame, so without this each streaming query hand-places
+    * `withWatermark`. `createStreamingView` registers a watermarked
+    * streaming view under `name` — downstream `sqlQuery`/`from` reads
+    * pick up the bound from the catalog exactly like a reference query
+    * over a watermarked table.
+    */
+  def createStreamingView(name: String, df: DataFrame,
+      rowtimeCol: String, delay: String): DataFrame = {
+    require(df.isStreaming,
+      s"createStreamingView($name): input is a batch DataFrame — watermarks bound event time on streams")
+    val wm = df.withWatermark(rowtimeCol, delay)
+    wm.createOrReplaceTempView(name)
+    wm
+  }
 }
 
 object TableEnv {

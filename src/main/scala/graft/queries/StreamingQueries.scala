@@ -167,11 +167,16 @@ object StreamingQueries {
     * WatermarkAssigner). Emitted ⇔ window end <= final watermark.
     */
   def streamTumble(s: SparkSession, dir: String): DataFrame = {
-    val out = eventStream(s, dir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
-      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sv"))
+    // declared-watermark flow: the view carries the bound (TableEnv
+    // watermark-DDL analog), the query itself is plain SQL over it —
+    // the reference's per-table WatermarkSpec posture
+    val env = graft.TableEnv(s, dir)
+    env.createStreamingView("events_wm", eventStream(s, dir), "ts", "10 minutes")
+    val out = env.sqlQuery(
+      """SELECT window.start AS wstart, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM events_wm
+        |GROUP BY window(ts, '1 hour'), event_type""".stripMargin)
     runToTable("stream_tumble", out, "append").orderBy("wstart", "event_type")
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Event
+
+/** The TableEnvironment facade surface: the watermark-DDL analog
+  * (createStreamingView) and the sqlQuery MATCH_RECOGNIZE routing
+  * predicate. End-to-end oracle coverage: q_stream_tumble (declared
+  * watermark) and q_match_sql (SQL route).
+  */
+class TableEnvSpec extends SparkSpec {
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("createStreamingView: registered view carries the declared watermark") {
+    import spark.implicits._
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val input = MemoryStream[Event]
+    env.createStreamingView("tenv_wm_view", input.toDF(), "ts", "7 minutes")
+    val fromView = spark.table("tenv_wm_view")
+    assert(fromView.isStreaming)
+    // the bound must live in the VIEW's plan — a downstream query that
+    // never calls withWatermark inherits it (the per-table WatermarkSpec
+    // posture); EventTimeWatermark carries the declared 7-minute delay
+    val analyzed = fromView.groupBy(window(col("ts"), "1 hour")).count()
+      .queryExecution.analyzed
+    val wm = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    }
+    assert(wm.nonEmpty, s"no EventTimeWatermark in the view-consumer plan:\n$analyzed")
+    assert(wm.head.delay.toString.contains("7 minutes"))
+  }
+
+  test("createStreamingView rejects batch inputs loudly") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      env.createStreamingView("tenv_batch", spark.range(3).toDF(), "id", "1 minute")
+    }
+    assert(e.getMessage.contains("batch DataFrame"))
+  }
+
+  test("sqlQuery routes MATCH_RECOGNIZE statements and plain SQL correctly") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    // plain SQL goes straight to Catalyst
+    assert(env.sqlQuery("SELECT count(*) AS n FROM nation").head().getLong(0) === 25L)
+    // the MR route produces rows through the NFA (smoke: flagship shape)
+    val mr = env.sqlQuery(
+      """SELECT user_id, n FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(P.*) AS n
+        |  PATTERN (S P+)
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+    assert(mr.columns.toSeq === Seq("user_id", "n"))
+    assert(mr.count() >= 0L) // parses, lowers, and executes
+  }
+}
