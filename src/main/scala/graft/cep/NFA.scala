@@ -108,6 +108,12 @@ object NFA {
     *    greedy matcher, so its bindings are exactly what the run held
     *    when it stalled); prefixes ending on a negated guard don't
     *    bind and aren't emitted;
+    *  - runs KILLED by a negated guard (notFollowedBy fired mid-run)
+    *    are discarded without a timeout — the reference's stop
+    *    condition terminates the computation state rather than letting
+    *    it expire (flink-cep NFA.java stop-state handling), so a
+    *    pattern combining negation with within() only times out starts
+    *    the guard never fired on;
     *  - a run times out once `horizonTs` passes start + within: pass
     *    the watermark when streaming; the default end-of-time horizon
     *    is the bounded-input case (every stalled run times out — what
@@ -148,11 +154,27 @@ object NFA {
           // saturating add: an end-of-time horizon must expire everything
           val deadline = ts(events(i)) + withinScaled
           if (deadline >= ts(events(i)) && deadline <= horizonTs) {
-            val best = (pattern.stages.length - 1 to 1 by -1).iterator
-              .filter(k => !pattern.stages(k - 1).negated)
-              .map(k => matchFrom(events, ts, pattern.copy(stages = pattern.stages.take(k)), i, tsPerMs))
-              .collectFirst { case Some(pm) => pm }
-            best.foreach(partials += _)
+            // runs STOPPED by a negated guard are discarded, not timed
+            // out — flink-cep's stop condition kills the computation
+            // state without a timeout side output. Detection: the run
+            // reached some negated stage (the positive prefix before it
+            // matches) and the guard fired (the prefix INCLUDING it, as
+            // a trailing guard over the gap/window remainder, fails).
+            // The matcher is greedy-deterministic, so prefix attempts
+            // replay the exact path the full run held when the guard
+            // fired.
+            val killedByGuard = pattern.stages.indices.exists { gi =>
+              pattern.stages(gi).negated &&
+                matchFrom(events, ts, pattern.copy(stages = pattern.stages.take(gi)), i, tsPerMs).isDefined &&
+                matchFrom(events, ts, pattern.copy(stages = pattern.stages.take(gi + 1)), i, tsPerMs).isEmpty
+            }
+            if (!killedByGuard) {
+              val best = (pattern.stages.length - 1 to 1 by -1).iterator
+                .filter(k => !pattern.stages(k - 1).negated)
+                .map(k => matchFrom(events, ts, pattern.copy(stages = pattern.stages.take(k)), i, tsPerMs))
+                .collectFirst { case Some(pm) => pm }
+              best.foreach(partials += _)
+            }
           }
           i += 1
       }

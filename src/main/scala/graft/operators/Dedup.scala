@@ -768,6 +768,17 @@ object Dedup {
     // both so the term scan runs once, not 8× (lineage-duplication
     // class; the PlanSpec lock pins it)
     val idx = Funnel.stage(t.select(col("term"), explode(array_distinct(variants)).as("v")))
+    // NO SILENT CAPS (the discipline every other bounded operator here
+    // follows): pairs that share ONLY a hotter-than-maxDf variant are
+    // not emitted, so surface how many variants the cap dropped. The
+    // count is one tiny aggregate over the already-checkpointed index —
+    // the eager stage boundary above paid the scan.
+    val nCapped = idx.groupBy("v").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).count()
+    if (nCapped > 0)
+      org.apache.logging.log4j.LogManager.getLogger("graft.Dedup").warn(
+        s"editDistancePairs: $nCapped deletion variants exceeded maxDf=$maxDf and were dropped; " +
+          "pairs sharing only capped variants are not emitted (raise maxDf to match a brute-force oracle)")
     val capped = Funnel.stage(idx.join(
       idx.groupBy("v").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("v"),
       "v"))

@@ -1722,7 +1722,14 @@ object PipelineQueries {
     val d = Tables.documents(s, dir)
     val terms = d.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .unionByName(d.select(col("source").as("term")))
-    Dedup.editDistancePairs(terms, maxDist = 2)
+    // maxDf sized to the corpus ON PURPOSE: the oracle below is the
+    // UNCAPPED brute-force join, so the cap must exceed every variant's
+    // df or the match becomes data-dependent (r7 advice). The sf
+    // vocabulary is ~51 short terms with hottest variant df = 20;
+    // 10000 clears any realistic df for this fixture while keeping the
+    // 100-TB guard in place — editDistancePairs logs loudly if a
+    // variant ever crosses it.
+    Dedup.editDistancePairs(terms, maxDist = 2, maxDf = 10000)
       .orderBy("a", "b")
   }
 

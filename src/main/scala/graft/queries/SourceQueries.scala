@@ -280,12 +280,12 @@ object SourceQueries {
     def metrics(df: DataFrame) = df.groupBy("m", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
     metrics(base).write.mode("overwrite").partitionBy("m").parquet(out)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      metrics(base.filter(col("m") === "1996-06" && col("o_orderstatus") =!= "F"))
-        .write.mode("overwrite").partitionBy("m").parquet(out)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic-overwrite scoped to THIS write via the writer option —
+    // mutating the session conf around the write races with any
+    // concurrent query on the same session (r7 advice)
+    metrics(base.filter(col("m") === "1996-06" && col("o_orderstatus") =!= "F"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("m").parquet(out)
     s.read.parquet(out)
       .select(col("m"), col("o_orderpriority"), col("cnt"), col("total"))
       .orderBy("m", "o_orderpriority")

@@ -276,6 +276,24 @@ class NFASpec extends AnyFunSuite {
     assert(part(1).bindings.keySet === Set("a") && part(1).startIdx === 5)
   }
 
+  test("findWithTimeouts: runs killed by a negated guard are discarded, not timed out") {
+    // A notFollowedBy G followedBy C, within 1s — flink-cep's stop
+    // condition kills the run when G fires; no timeout partial emits
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .notFollowedBy("g").where(is("G"))
+      .followedBy("c").where(is("C"))
+      .within(1.second)
+    // A@0 G@10 (no C in window): guard fired → killed, NOT a timeout
+    // A@2000 (no G, no C in window): stalled → timeout partial at 'a'
+    // A@4000 C@4010: full match (guard never fired)
+    val events = IndexedSeq((0L, "A"), (10L, "G"),
+      (2000L, "A"), (4000L, "A"), (4010L, "C"))
+    val (full, part) = NFA.findWithTimeouts(events, ts, p)
+    assert(full.length === 1 && full.head.startIdx === 3)
+    assert(part.length === 1, s"guard-killed run leaked a timeout: $part")
+    assert(part.head.startIdx === 2 && part.head.bindings.keySet === Set("a"))
+  }
+
   test("findWithTimeouts: horizon gates expiry (streaming watermark semantics)") {
     val p = Pattern.begin[E]("a").where(is("A"))
       .followedBy("b").where(is("B")).within(1.second)
