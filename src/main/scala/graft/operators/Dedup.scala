@@ -789,4 +789,89 @@ object Dedup {
       .filter(levenshtein(col("a"), col("b")) <= maxDist)
       .select(col("a"), col("b"), levenshtein(col("a"), col("b")).cast("long").as("dist"))
   }
+
+  /** EXACT-substring duplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * method; MinHash is doc-level and approximate, this marks the exact
+    * repeated REGIONS). The paper builds a corpus suffix array; a suffix
+    * array does not distribute, but its output — every maximal region
+    * whose length-≥-`minLen` substrings appear elsewhere in the corpus —
+    * has an equivalent shuffle-native formulation:
+    *
+    *  1. slide a length-`minLen` character window over each doc:
+    *     (doc_id, pos, md5(window)) — one explode, corpus-linear;
+    *  2. a window position is DUPLICATED iff its hash occurs ≥ 2 times
+    *     corpus-wide (a substring of length ≥ minLen is repeated iff
+    *     each of its length-minLen windows is repeated) — one
+    *     hash-partitioned groupBy + semi-join back;
+    *  3. merge each doc's duplicated window positions into maximal char
+    *     intervals [pos, pos+minLen) via the running-max interval merge
+    *     — one user-keyed window pass, never a driver loop.
+    *
+    * Cost: two shuffles (window hash, doc_id), both on bounded keys;
+    * the md5 can be swapped for xxhash64 off the oracle path. Hot
+    * windows (a phrase repeated millions of times) add skew to the
+    * count shuffle only — the count is a partial-aggregated sum, so
+    * map-side combine absorbs it.
+    *
+    * Output: (doc_id, span_start, span_end) — 0-based char offsets,
+    * end-exclusive, disjoint maximal duplicated regions per doc.
+    */
+  def substrDupSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val wins = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, length($textCol) - $minLen), " +
+            s"i -> struct(i AS pos, md5(substring($textCol, i + 1, $minLen)) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    // the window table fans out twice (count + probe) — stage it so the
+    // corpus explode runs once (lineage-duplication class)
+    val winsS = Funnel.stage(wins)
+    val hot = winsS.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dup = winsS.join(hot, "h").select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("pme", max(col("pos") + minLen)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ni", (col("pme").isNull || col("pos") > col("pme")).cast("int"))
+      .withColumn("isl", sum("ni").over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"), (max(col("pos")) + minLen).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_end").cast("long"))
+  }
+
+  /** Strip every duplicated region found by [[substrDupSpans]] from its
+    * document (the paper's remove-all policy): spans collect per doc
+    * (sorted, disjoint by construction) and the kept text is rebuilt by
+    * one higher-order `aggregate` over the span array — scan-stage
+    * arithmetic, no second corpus shuffle beyond the span join.
+    * Output: (doc_id, text, kept) — `kept` is the stripped text.
+    */
+  def substrStrip(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 40): DataFrame = {
+    val spans = substrDupSpans(docs, idCol, textCol, minLen)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          // fold over spans: acc = (kept-so-far, cursor); each span
+          // appends the gap before it and jumps the cursor past it;
+          // finish appends the tail after the last span
+          """aggregate(
+            |  spans,
+            |  struct(CAST('' AS STRING) AS acc, CAST(0 AS BIGINT) AS cur),
+            |  (st, sp) -> struct(
+            |    concat(st.acc, substring(text, CAST(st.cur + 1 AS INT), CAST(sp.span_start - st.cur AS INT))),
+            |    sp.span_end),
+            |  st -> concat(st.acc, substring(text, CAST(st.cur + 1 AS INT), length(text) - CAST(st.cur AS INT)))
+            |)""".stripMargin)))
+      .select(col("doc_id"), col("text"), col("kept"))
+  }
 }

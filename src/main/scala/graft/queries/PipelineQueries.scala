@@ -1742,6 +1742,80 @@ object PipelineQueries {
        |FROM v a JOIN v b ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
        |ORDER BY a, b""".stripMargin
 
+  /** Exact-substring duplication spans (Lee et al. 2022 ExactSubstr —
+    * [[graft.operators.Dedup.substrDupSpans]]): every maximal character
+    * region whose 40-char windows repeat anywhere in the corpus, as
+    * (doc_id, span_start, span_end) rows. The oracle replays the whole
+    * pipeline — window md5s, corpus-wide df ≥ 2, running-max interval
+    * merge — so a wrong window offset, a missed within-doc repeat, or a
+    * broken island merge all break the hash.
+    */
+  def docSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrDupSpans(Tables.documents(s, dir), minLen = 40)
+      .orderBy("doc_id", "span_start")
+
+  val docSubstrSpansSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS pos, md5(substr(text, (i+1)::INT, 40)) AS h
+      |  FROM documents, LATERAL unnest(range(0, len(text) - 40 + 1)) AS t(i)
+      |  WHERE len(text) >= 40),
+      |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, pos FROM w JOIN hot USING (h)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM dup),
+      |i AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ni FROM m),
+      |s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i)
+      |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 40)::BIGINT AS span_end
+      |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
+  /** Exact-substring STRIP (the paper's remove-all policy —
+    * [[graft.operators.Dedup.substrStrip]]): every duplicated region cut
+    * from its document, fingerprinted per doc. The oracle rebuilds the
+    * kept text from the span gaps with string_agg, so the higher-order
+    * fold (cursor arithmetic, tail segment, empty-span edge) is checked
+    * byte-for-byte via md5.
+    */
+  def docSubstrStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrStrip(Tables.documents(s, dir), minLen = 40)
+      .select(col("doc_id"), md5(col("kept")).as("kept_md5"),
+        length(col("kept")).cast("long").as("kept_len"),
+        (length(col("text")) - length(col("kept"))).cast("long").as("cut_chars"))
+      .orderBy("doc_id")
+
+  val docSubstrStripSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS pos, md5(substr(text, (i+1)::INT, 40)) AS h
+      |  FROM documents, LATERAL unnest(range(0, len(text) - 40 + 1)) AS t(i)
+      |  WHERE len(text) >= 40),
+      |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, pos FROM w JOIN hot USING (h)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM dup),
+      |i AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ni FROM m),
+      |s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+      |sp AS (SELECT doc_id, min(pos) AS ss, max(pos) + 40 AS se
+      |       FROM s GROUP BY doc_id, isl),
+      |seg AS (
+      |  SELECT doc_id, coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) AS gs,
+      |         ss AS ge
+      |  FROM sp
+      |  UNION ALL
+      |  SELECT sp.doc_id, max(se) AS gs, max(len(text)) AS ge
+      |  FROM sp JOIN documents USING (doc_id) GROUP BY sp.doc_id),
+      |kept AS (
+      |  SELECT seg.doc_id,
+      |    string_agg(substr(text, (gs+1)::INT, (ge-gs)::INT), '' ORDER BY gs) AS kept
+      |  FROM seg JOIN documents USING (doc_id) GROUP BY seg.doc_id)
+      |SELECT d.doc_id, md5(coalesce(k.kept, d.text)) AS kept_md5,
+      |  len(coalesce(k.kept, d.text))::BIGINT AS kept_len,
+      |  (len(d.text) - len(coalesce(k.kept, d.text)))::BIGINT AS cut_chars
+      |FROM documents d LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Media augmentation: the same generated P5 images through decode →
     * center-crop 3×2 → horizontal flip → re-encode → re-decode
     * ([[graft.operators.Multimodal.augmentPnm]]), one scan-stage
@@ -2948,6 +3022,8 @@ object PipelineQueries {
     Q("q_doc_proximity", docProximity, Some(docProximitySql)),
     Q("q_doc_expect", docExpect, Some(docExpectSql)),
     Q("q_doc_typo_pairs", docTypoPairs, Some(docTypoPairsSql)),
+    Q("q_doc_substr_spans", docSubstrSpans, Some(docSubstrSpansSql)),
+    Q("q_doc_substr_strip", docSubstrStrip, Some(docSubstrStripSql)),
     Q("q_doc_split_leakfree", docSplitLeakfree, Some(docSplitLeakfreeSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),
     Q("q_doc_quality_apply", docQualityApply, Some(docQualityApplySql)),

@@ -354,7 +354,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // basket scans; typo pairs' candidate join is the variant equi-join
     val locks = Map(
       "q_doc_phrase" -> 0, "q_doc_proximity" -> 0,
-      "q_evt_itemsets" -> 1, "q_doc_typo_pairs" -> 0)
+      "q_evt_itemsets" -> 1, "q_doc_typo_pairs" -> 0,
+      // latency re-reads events ON PURPOSE: both scans carry pushed
+      // event_type filters, so two pruned scans beat materializing the
+      // unfiltered frame; the lock pins "two pushdown scans, no more"
+      "q_evt_latency" -> 2)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)

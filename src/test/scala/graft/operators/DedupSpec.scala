@@ -235,6 +235,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substrDupSpans matches the brute-force duplicated-window islands") {
+    import spark.implicits._
+    val L = 8
+    // shared phrase "the quick brown fox" (> L) across docs 1/2; doc 3
+    // repeats a phrase WITHIN itself; doc 4 unique; doc 5 shorter than L
+    val docs = Seq(
+      (1L, "AAAA the quick brown fox jumped BBBB xyzzy"),
+      (2L, "CC the quick brown fox jumped DDDDDD"),
+      (3L, "hello worlds! pad hello worlds! qq"),
+      (4L, "completely unique text with no repeats at all"),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.substrDupSpans(docs, minLen = L)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: every L-window with corpus df >= 2, merged to islands
+    val rows = docs.as[(Long, String)].collect()
+    val all = rows.filter(_._2.length >= L)
+      .flatMap { case (id, t) => (0 to t.length - L).map(i => (id, i, t.substring(i, i + L))) }
+    val df2 = all.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val want = rows.map(_._1).flatMap { id =>
+      val ps = all.filter(e => e._1 == id && df2(e._3)).map(_._2).sorted
+      val spans = ps.foldLeft(Vector.empty[(Long, Long)]) { (acc, p) =>
+        acc.lastOption match {
+          case Some((s, e)) if p <= e => acc.init :+ (s, math.max(e, p + L).toLong)
+          case _                      => acc :+ (p.toLong, (p + L).toLong)
+        }
+      }
+      spans.map { case (s, e) => (id, s, e) }
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._1 == 3L), "within-doc repeat must be detected")
+    assert(!got.exists(s => s._1 == 4L || s._1 == 5L))
+  }
+
+  test("substrStrip removes exactly the duplicated regions") {
+    import spark.implicits._
+    val L = 8
+    val docs = Seq(
+      (1L, "AAAA the quick brown fox jumped BBBB"),
+      (2L, "CC the quick brown fox jumped DDDDDD"),
+      (3L, "no repeats whatsoever in here")).toDF("doc_id", "text")
+    val spans = Dedup.substrDupSpans(docs, minLen = L)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val got = Dedup.substrStrip(docs, minLen = L)
+      .as[(Long, String, String)].collect()
+    for ((id, text, kept) <- got) {
+      val want = spans.getOrElse(id, Array.empty).sortBy(_._2)
+        .foldLeft(("", 0L)) { case ((acc, cur), (_, s, e)) =>
+          (acc + text.substring(cur.toInt, s.toInt), e)
+        } match { case (acc, cur) => acc + text.substring(cur.toInt) }
+      assert(kept == want, s"doc $id")
+    }
+    assert(got.find(_._1 == 3L).get._3 == "no repeats whatsoever in here")
+  }
+
   test("editDistancePairs: maxDf cap drops promiscuous short-variant buckets only") {
     // 1-char terms all collide through the "" variant; cap 2 kills that
     // bucket while the long-term pair survives through its own variants
