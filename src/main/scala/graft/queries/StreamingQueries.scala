@@ -1620,6 +1620,138 @@ object StreamingQueries {
     * ONE-SHOT batch gate over the same corpus-with-duplicates, so
     * incremental must equal one-shot.
     */
+  /** Changelog-SOURCE ingestion (ref: StreamTableEnvironment
+    * .fromChangelogStream + RowKind.java — SURVEY §7 hard part #1): a
+    * kind-tagged CDC log (`+I -U +U -D`, offset = event_id, which the
+    * fixture assigns in timestamp order — asserted by the shared
+    * daySplits batches being offset-monotone) arrives as 3 time-split
+    * micro-batches; each batch FOLDS into the keyed materialized table
+    * ([[graft.streaming.Changelog.foldCdc]]: last op per key wins,
+    * delete on `-D`/`-U`, upsert otherwise). The oracle is the one-shot
+    * fold of the whole log — per-batch folding + cross-batch merge must
+    * be associative, which is the property that makes CDC ingestion
+    * split-invariant.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val log = ev.select(
+      when(col("event_id") % 13 === 0, graft.streaming.Changelog.Delete)
+        .when(col("event_id") % 13 === 1, graft.streaming.Changelog.UpdateBefore)
+        .when(col("event_id") % 13 < 7, graft.streaming.Changelog.UpdateAfter)
+        .otherwise(graft.streaming.Changelog.Insert).as("kind"),
+      col("event_id").as("seq"), col("user_id"),
+      round(col("value"), 2).as("value"), col("ts"))
+    val srcDir = stageBatchFiles(dir, "scdc",
+      daySplits(log, col("ts"), 3).map(_.drop("ts")))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "scdc_store"))
+    store.init(s.range(0).select(col("id").as("user_id"),
+      col("id").cast("double").as("value")))
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("kind", StringType),
+        StructField("seq", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, graft.streaming.Changelog.foldCdc(
+          store.prior(batchId), batch, "user_id", "seq", "kind"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.version(lastBatchId(srcDir)).orderBy("user_id")
+  }
+
+  /** The one-shot fold of the same log: last op per key (by offset),
+    * present iff it asserts presence.
+    */
+  val streamCdcSql: String =
+    Tables.eventsCte +
+      """
+        |, log AS (SELECT event_id AS seq, user_id, round(value, 2) AS value,
+        |    CASE WHEN event_id % 13 = 0 THEN '-D'
+        |         WHEN event_id % 13 = 1 THEN '-U'
+        |         WHEN event_id % 13 < 7 THEN '+U' ELSE '+I' END AS kind
+        |  FROM ev),
+        |last AS (SELECT user_id, max_by(kind, seq) AS kind, max_by(value, seq) AS value
+        |         FROM log GROUP BY 1)
+        |SELECT user_id, value FROM last WHERE kind IN ('+I', '+U')
+        |ORDER BY user_id""".stripMargin
+
+  /** RETRACT-stream emission (ref: toRetractStream / GroupAggFunction's
+    * `+I -U +U` output — the survey's "retract emission differs" row
+    * made first-class): a per-user streaming count maintains its
+    * snapshot per batch, and [[graft.streaming.Changelog.retractDiff]]
+    * emits the kind-tagged delta rows between consecutive snapshots —
+    * `+I` the first time a key appears, the `-U old / +U new` PAIR when
+    * its count changes. The full ordered change LOG is the query
+    * output, and the oracle recomputes it from the cumulative per-batch
+    * prefix counts — so a missing retraction, a wrong old-value, or an
+    * extra emission all break the hash.
+    */
+  def streamRetract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val srcDir = stageBatchFiles(dir, "srtr",
+      daySplits(ev, col("ts"), 3).map(_.drop("ts")))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "srtr_store"))
+    store.init(s.range(0).select(col("id").as("user_id"), col("id").as("cnt")))
+    val resDir = freshDir(dir, "srtr_res")
+    graft.BenchMeters.fixture {
+      s.range(0).select(lit(0L).as("batch"), lit("").as("kind"),
+        col("id").as("user_id"), col("id").as("cnt"))
+        .write.mode("overwrite").parquet(resDir)
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId).localCheckpoint()
+        val cur = prior
+          .unionByName(batch.groupBy("user_id").agg(count(lit(1)).as("cnt")))
+          .groupBy("user_id").agg(sum("cnt").as("cnt"))
+          .localCheckpoint()
+        graft.streaming.Changelog.retractDiff(prior, cur, "user_id")
+          .select(lit(batchId).as("batch"), col("kind"), col("user_id"), col("cnt"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        store.write(batchId, cur)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("batch", "user_id", "kind")
+  }
+
+  /** The change log recomputed from cumulative prefix counts over the
+    * same derived day-batch boundaries.
+    */
+  val streamRetractSql: String =
+    Tables.eventsCte +
+      """
+        |, bounds AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |    ((datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 + 2) // 3) AS w
+        |  FROM ev),
+        |d AS (SELECT user_id,
+        |    least(datediff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE))
+        |          // greatest((SELECT w FROM bounds), 1), 2) AS b
+        |  FROM ev),
+        |hits AS (SELECT user_id, b, count(*) AS n FROM d GROUP BY 1, 2),
+        |cum AS (SELECT user_id, b, sum(n) OVER (PARTITION BY user_id ORDER BY b) AS cnt
+        |        FROM hits),
+        |ch AS (SELECT user_id, b, cnt,
+        |         lag(cnt) OVER (PARTITION BY user_id ORDER BY b) AS prev FROM cum)
+        |SELECT b::BIGINT AS batch, '+I' AS kind, user_id, cnt::BIGINT AS cnt
+        |  FROM ch WHERE prev IS NULL
+        |UNION ALL
+        |SELECT b::BIGINT, '-U', user_id, prev::BIGINT FROM ch WHERE prev IS NOT NULL
+        |UNION ALL
+        |SELECT b::BIGINT, '+U', user_id, cnt::BIGINT FROM ch WHERE prev IS NOT NULL
+        |ORDER BY batch, user_id, kind""".stripMargin
+
   def streamExpect(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -2655,6 +2787,8 @@ object StreamingQueries {
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
     Q("q_stream_retention", streamRetention, Some(streamRetentionSql)),
     Q("q_stream_attribution", streamAttribution, Some(streamAttributionSql)),
-    Q("q_stream_funnel", streamFunnel, Some(streamFunnelSql))
+    Q("q_stream_funnel", streamFunnel, Some(streamFunnelSql)),
+    Q("q_stream_cdc", streamCdc, Some(streamCdcSql)),
+    Q("q_stream_retract", streamRetract, Some(streamRetractSql))
   )
 }
