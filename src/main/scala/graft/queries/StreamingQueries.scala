@@ -1752,6 +1752,111 @@ object StreamingQueries {
         |SELECT b::BIGINT, '+U', user_id, cnt::BIGINT FROM ch WHERE prev IS NOT NULL
         |ORDER BY batch, user_id, kind""".stripMargin
 
+  /** RETRACTABLE streaming top-N (ref: RetractableTopNFunction.java:440
+    * — the survey's "hard" §2.8 variant: the ranked SCORE is itself an
+    * update stream, so a user's old score must be retracted from the
+    * ranking, not just superseded): the score is each user's LAST event
+    * value per event_type — genuinely non-monotone, it moves down as
+    * often as up. Per batch: the last-value table merges (max_by over
+    * the log offset), [[graft.streaming.Changelog.retractDiff]] derives
+    * the changed keys, and ONLY changed event_types re-rank — the
+    * reference's touch-changed-keys-only discipline; state is the full
+    * (type, user) score table, exactly the reference's sorted-map state
+    * size. Emission: the refreshed top-3 per changed type per batch;
+    * the oracle rebuilds every batch's prefix last-value table, change
+    * set, and ranking.
+    */
+  def streamTopnRetract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("value"),
+        col("event_id").as("seq"), col("ts"))
+    val srcDir = stageBatchFiles(dir, "strn",
+      daySplits(ev, col("ts"), 3).map(_.drop("ts")))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "strn_store"))
+    store.init(s.range(0).select(col("id").cast("string").as("event_type"),
+      col("id").as("user_id"), col("id").cast("double").as("score"),
+      col("id").as("seq")))
+    val resDir = freshDir(dir, "strn_res")
+    graft.BenchMeters.fixture {
+      s.range(0).select(lit(0L).as("batch"), col("id").cast("string").as("event_type"),
+        col("id").as("rank"), col("id").as("user_id"), col("id").cast("double").as("score"))
+        .write.mode("overwrite").parquet(resDir)
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("seq", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId).localCheckpoint()
+        // last value per (type, user): max_by over the offset, merged
+        // against the prior table the same way (associative)
+        val cur = prior
+          .unionByName(batch.select(col("event_type"), col("user_id"),
+            col("value").as("score"), col("seq")))
+          .groupBy("event_type", "user_id")
+          .agg(max_by(struct(col("score"), col("seq")), col("seq")).as("m"))
+          .select(col("event_type"), col("user_id"),
+            col("m.score").as("score"), col("m.seq").as("seq"))
+          .localCheckpoint()
+        // retraction-aware: only types whose (user, score) set changed
+        // re-rank — the ranking state of untouched keys is never read
+        val changedTypes = graft.streaming.Changelog
+          .retractDiff(prior.drop("seq"), cur.drop("seq"), Seq("event_type", "user_id"))
+          .select("event_type").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("score").desc, col("user_id"))
+        cur.join(changedTypes, "event_type")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(lit(batchId).as("batch"), col("event_type"),
+            col("rank").cast("long"), col("user_id"), col("score"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        store.write(batchId, cur)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir)
+      .select(col("batch"), col("event_type"), col("rank"), col("user_id"),
+        round(col("score"), 2).as("score"))
+      .orderBy("batch", "event_type", "rank")
+  }
+
+  /** Every batch's prefix last-value table, change set, and top-3
+    * reconstructed over the same derived day-batch boundaries.
+    */
+  val streamTopnRetractSql: String =
+    Tables.eventsCte +
+      """
+        |, bounds AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |    ((datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 + 2) // 3) AS w
+        |  FROM ev),
+        |e2 AS (SELECT event_type, user_id, value, event_id AS seq,
+        |    least(datediff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE))
+        |          // greatest((SELECT w FROM bounds), 1), 2) AS b
+        |  FROM ev),
+        |pre AS (SELECT bb.b, event_type, user_id,
+        |    max_by(value, seq) AS score
+        |  FROM e2 JOIN (VALUES (0), (1), (2)) AS bb(b) ON e2.b <= bb.b
+        |  GROUP BY 1, 2, 3),
+        |ch AS (SELECT b, event_type, user_id, score,
+        |    lag(score) OVER (PARTITION BY event_type, user_id ORDER BY b) AS prev
+        |  FROM pre),
+        |changed AS (SELECT DISTINCT b, event_type FROM ch
+        |            WHERE prev IS NULL OR score <> prev),
+        |ranked AS (SELECT pre.b, pre.event_type, user_id, score,
+        |    row_number() OVER (PARTITION BY pre.b, pre.event_type
+        |                       ORDER BY score DESC, user_id) AS rnk
+        |  FROM pre JOIN changed ON pre.b = changed.b AND pre.event_type = changed.event_type)
+        |SELECT b::BIGINT AS batch, event_type, rnk::BIGINT AS rank, user_id,
+        |  round(score, 2) AS score
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY batch, event_type, rank""".stripMargin
+
   def streamExpect(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -2789,6 +2894,7 @@ object StreamingQueries {
     Q("q_stream_attribution", streamAttribution, Some(streamAttributionSql)),
     Q("q_stream_funnel", streamFunnel, Some(streamFunnelSql)),
     Q("q_stream_cdc", streamCdc, Some(streamCdcSql)),
-    Q("q_stream_retract", streamRetract, Some(streamRetractSql))
+    Q("q_stream_retract", streamRetract, Some(streamRetractSql)),
+    Q("q_stream_topn_retract", streamTopnRetract, Some(streamTopnRetractSql))
   )
 }

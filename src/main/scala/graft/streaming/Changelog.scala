@@ -65,18 +65,22 @@ object Changelog {
     * emits. Output: (kind, keyCol, payload…) with `-U` carrying the OLD
     * payload and `+U` the new, both emitted for a changed key.
     */
-  def retractDiff(prior: DataFrame, current: DataFrame, keyCol: String): DataFrame = {
-    val payload = prior.columns.filterNot(_ == keyCol).toSeq
-    val p = prior.select(col(keyCol), struct(payload.map(col): _*).as("__old"))
-    val c = current.select(col(keyCol), struct(payload.map(col): _*).as("__new"))
-    val joined = p.join(c, Seq(keyCol), "full_outer")
+  def retractDiff(prior: DataFrame, current: DataFrame, keyCol: String): DataFrame =
+    retractDiff(prior, current, Seq(keyCol))
+
+  /** Composite-key variant — the key is any column subset. */
+  def retractDiff(prior: DataFrame, current: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val payload = prior.columns.filterNot(keyCols.contains).toSeq
+    val p = prior.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__old"): _*)
+    val c = current.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__new"): _*)
+    val joined = p.join(c, keyCols, "full_outer")
     def emit(kind: String, src: String) =
       joined.filter(kind match {
         case Insert       => col("__old").isNull && col("__new").isNotNull
         case Delete       => col("__old").isNotNull && col("__new").isNull
         case _            => col("__old").isNotNull && col("__new").isNotNull &&
           col("__old") =!= col("__new")
-      }).select(lit(kind).as("kind") +: col(keyCol) +:
+      }).select(lit(kind).as("kind") +: keyCols.map(col) ++:
         payload.map(f => col(s"$src.$f").as(f)): _*)
     emit(Insert, "__new")
       .unionByName(emit(Delete, "__old"))

@@ -367,6 +367,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_doc_substr_spans / q_doc_substr_strip: staged window table holds") {
+    // the md5-window explode is the expensive pass and fans out twice
+    // (df count + probe) — spans must read ONLY the staged blocks;
+    // strip adds exactly one parquet scan (the docs join-back)
+    val (sp, spRdd) = scanCounts("q_doc_substr_spans")
+    assert(sp == 0, s"substr spans re-explodes the corpus ($sp parquet scans)")
+    assert(spRdd >= 1, "no staged window blocks in the spans plan")
+    val (st, _) = scanCounts("q_doc_substr_strip")
+    assert(st == 1, s"substr strip should scan docs exactly once (join-back), got $st")
+  }
+
   test("q_evt_rfm: staged user frame — events parquet never re-enters the final plan") {
     // the user-RFM frame fans out three ways (global-now aggregate,
     // tertile thresholds, scored probe side); `now` is a second-level
