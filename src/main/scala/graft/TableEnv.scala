@@ -30,6 +30,14 @@ final class TableEnv(val spark: SparkSession, dir: String) {
   /** ref: TableEnvironment.from(tableName) */
   def from(table: String): DataFrame = spark.table(table)
 
+  /** ref: TableEnvironment.explainSql — the reference prints the AST +
+    * optimized logical + physical plan; Catalyst's formatted explain is
+    * the same three-layer story.
+    */
+  def explainSql(sql: String): String =
+    sqlQuery(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Watermark-DDL analog (ref: `WATERMARK FOR rowtime AS rowtime -
     * INTERVAL '…'` — SqlWatermark / WatermarkSpec.java:36): the
     * reference declares the watermark once, per TABLE, and every query

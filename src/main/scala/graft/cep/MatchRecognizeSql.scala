@@ -81,11 +81,14 @@ object MatchRecognizeSql {
     val spec = parseBlock(table, block)
     val out = execute(spark, spark.table(spec.table), spec)
     // splice: FROM <table> MATCH_RECOGNIZE (...) → FROM <view>, then hand
-    // the surrounding statement back to Catalyst
+    // the surrounding statement back to Catalyst. The FROM located by
+    // the anchored regex, not a substring search — an identifier merely
+    // CONTAINING "from" must not be the splice point.
     val view = s"__mr_${math.abs(sql.hashCode).toString}"
     out.createOrReplaceTempView(view)
-    val outer = before.substring(0, before.toUpperCase.lastIndexOf("FROM")) +
-      s"FROM $view " + sql.substring(i + 1)
+    val fromAt = ("(?is)\\bFROM\\s+" + java.util.regex.Pattern.quote(table) + "\\s*$").r
+      .findFirstMatchIn(before).get.start
+    val outer = before.substring(0, fromAt) + s"FROM $view " + sql.substring(i + 1)
     spark.sql(outer)
   }
 

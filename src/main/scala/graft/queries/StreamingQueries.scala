@@ -1680,6 +1680,81 @@ object StreamingQueries {
         |SELECT user_id, value FROM last WHERE kind IN ('+I', '+U')
         |ORDER BY user_id""".stripMargin
 
+  /** Retract-AWARE aggregation over a changelog source (ref: the
+    * reference's AggregateFunction.retract() hook — needed exactly when
+    * the input is a changelog, SURVEY §2.10/§7: a `-D` must SUBTRACT
+    * from the running sum). Spark has no retract hook; the equivalent
+    * posture is aggregating the MATERIALIZED CDC table per batch — the
+    * fold absorbs inserts/updates/deletes, so the aggregate is always
+    * retract-correct by construction. Emission: (batch, n_users, total)
+    * after each CDC batch; the oracle folds every prefix of the same
+    * log and aggregates it.
+    */
+  def streamCdcAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val log = ev.select(
+      when(col("event_id") % 13 === 0, graft.streaming.Changelog.Delete)
+        .when(col("event_id") % 13 === 1, graft.streaming.Changelog.UpdateBefore)
+        .when(col("event_id") % 13 < 7, graft.streaming.Changelog.UpdateAfter)
+        .otherwise(graft.streaming.Changelog.Insert).as("kind"),
+      col("event_id").as("seq"), col("user_id"),
+      round(col("value"), 2).as("value"), col("ts"))
+    val srcDir = stageBatchFiles(dir, "scag",
+      daySplits(log, col("ts"), 3).map(_.drop("ts")))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "scag_store"))
+    store.init(s.range(0).select(col("id").as("user_id"),
+      col("id").cast("double").as("value")))
+    val resDir = freshDir(dir, "scag_res")
+    graft.BenchMeters.fixture {
+      s.range(0).select(lit(0L).as("batch"), col("id").as("n_users"),
+        col("id").cast("double").as("total"))
+        .write.mode("overwrite").parquet(resDir)
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("kind", StringType),
+        StructField("seq", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = graft.streaming.Changelog.foldCdc(
+          store.prior(batchId), batch, "user_id", "seq", "kind")
+          .localCheckpoint()
+        cur.agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total"))
+          .select(lit(batchId).as("batch"), col("n_users"), col("total"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        store.write(batchId, cur)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir).orderBy("batch")
+  }
+
+  /** Aggregate of every prefix fold of the same CDC log. */
+  val streamCdcAggSql: String =
+    Tables.eventsCte +
+      """
+        |, bounds AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |    ((datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 + 2) // 3) AS w
+        |  FROM ev),
+        |log AS (SELECT event_id AS seq, user_id, round(value, 2) AS value,
+        |    CASE WHEN event_id % 13 = 0 THEN '-D'
+        |         WHEN event_id % 13 = 1 THEN '-U'
+        |         WHEN event_id % 13 < 7 THEN '+U' ELSE '+I' END AS kind,
+        |    least(datediff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE))
+        |          // greatest((SELECT w FROM bounds), 1), 2) AS b
+        |  FROM ev),
+        |pre AS (SELECT bb.b, user_id, max_by(kind, seq) AS kind,
+        |    max_by(value, seq) AS value
+        |  FROM log JOIN (VALUES (0), (1), (2)) AS bb(b) ON log.b <= bb.b
+        |  GROUP BY 1, 2)
+        |SELECT b::BIGINT AS batch, count(*) FILTER (kind IN ('+I', '+U'))::BIGINT AS n_users,
+        |  round(sum(value) FILTER (kind IN ('+I', '+U')), 2) AS total
+        |FROM pre GROUP BY 1 ORDER BY batch""".stripMargin
+
   /** RETRACT-stream emission (ref: toRetractStream / GroupAggFunction's
     * `+I -U +U` output — the survey's "retract emission differs" row
     * made first-class): a per-user streaming count maintains its
@@ -2895,6 +2970,7 @@ object StreamingQueries {
     Q("q_stream_funnel", streamFunnel, Some(streamFunnelSql)),
     Q("q_stream_cdc", streamCdc, Some(streamCdcSql)),
     Q("q_stream_retract", streamRetract, Some(streamRetractSql)),
-    Q("q_stream_topn_retract", streamTopnRetract, Some(streamTopnRetractSql))
+    Q("q_stream_topn_retract", streamTopnRetract, Some(streamTopnRetractSql)),
+    Q("q_stream_cdc_agg", streamCdcAgg, Some(streamCdcAggSql))
   )
 }

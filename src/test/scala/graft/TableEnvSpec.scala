@@ -39,6 +39,14 @@ class TableEnvSpec extends SparkSpec {
     assert(e.getMessage.contains("batch DataFrame"))
   }
 
+  test("explainSql surfaces the three-layer formatted plan") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val plan = env.explainSql(
+      "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("sqlQuery routes MATCH_RECOGNIZE statements and plain SQL correctly") {
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     // plain SQL goes straight to Catalyst
