@@ -196,3 +196,52 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Karp–Rabin rolling hashes of every length-`windowLen` CHARACTER
+  * window of a string, in one O(n) pass (Karp & Rabin 1987) — the
+  * production kernel for exact-substring duplicate marking
+  * ([[graft.operators.Dedup.substrDupSpansFast]]). The md5 formulation
+  * recomputes a digest over L characters at every position — O(n·L)
+  * char work per document; the rolling form updates in O(1) per
+  * position (h' = h·B + c_in − c_out·B^L, wrap-around mod 2^64), a ~L×
+  * scan-stage saving that matters when L is the paper's 50 tokens.
+  * Windows are CHARACTER-indexed to stay position-compatible with the
+  * md5/`substring` variant the oracle replays. Equality-only use: the
+  * downstream df ≥ 2 marking never orders hashes, and a 64-bit space
+  * keeps corpus-level collision odds immaterial.
+  */
+case class RollingWindowHashes(child: Expression, windowLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  private val B = 1000003L // prime base; arithmetic wraps mod 2^64
+
+  @transient private lazy val bPowL: Long = {
+    var p = 1L; var i = 0
+    while (i < windowLen) { p *= B; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < windowLen) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - windowLen + 1)
+    var h = 0L
+    var i = 0
+    while (i < windowLen) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    i = windowLen
+    while (i < n) {
+      h = h * B + s.charAt(i) - bPowL * s.charAt(i - windowLen)
+      out(i - windowLen + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
+    copy(child = newChild)
+}

@@ -827,8 +827,34 @@ object Dedup {
           s"transform(sequence(0, length($textCol) - $minLen), " +
             s"i -> struct(i AS pos, md5(substring($textCol, i + 1, $minLen)) AS h))")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-    // the window table fans out twice (count + probe) — stage it so the
-    // corpus explode runs once (lineage-duplication class)
+    spansFromWindows(wins, minLen)
+  }
+
+  /** [[substrDupSpans]] with the O(n)-per-document Karp–Rabin kernel
+    * ([[graft.functions.RollingWindowHashes]]) instead of an O(n·L) md5
+    * per position — the production fast path. The OUTPUT is
+    * hash-function-independent (spans depend only on which windows
+    * collide, and both hashes are injective-in-practice at corpus
+    * scale), so the md5 variant's oracle checks this one verbatim.
+    */
+  def substrDupSpansFast(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val hashes = ColumnBridge.column(graft.functions.RollingWindowHashes(
+      ColumnBridge.expression(col(textCol)), minLen))
+    val wins = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+    spansFromWindows(wins, minLen)
+  }
+
+  /** Shared tail of the exact-substring family: stage the window table
+    * (it fans out to the df count AND the probe), mark positions whose
+    * hash occurs ≥ 2 times corpus-wide, and merge each doc's positions
+    * into maximal [pos, pos+minLen) char intervals via the running-max
+    * island pass.
+    */
+  private def spansFromWindows(wins: DataFrame, minLen: Int): DataFrame = {
     val winsS = Funnel.stage(wins)
     val hot = winsS.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")

@@ -1770,6 +1770,15 @@ object PipelineQueries {
       |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 40)::BIGINT AS span_end
       |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
 
+  /** The PRODUCTION exact-substring path: same spans via the O(n)
+    * Karp–Rabin rolling-hash kernel instead of O(n·L) md5 digests —
+    * span output is hash-independent, so the md5 oracle checks this
+    * variant verbatim (no portable twin needed).
+    */
+  def docSubstrFast(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrDupSpansFast(Tables.documents(s, dir), minLen = 40)
+      .orderBy("doc_id", "span_start")
+
   /** Exact-substring STRIP (the paper's remove-all policy —
     * [[graft.operators.Dedup.substrStrip]]): every duplicated region cut
     * from its document, fingerprinted per doc. The oracle rebuilds the
@@ -3023,6 +3032,7 @@ object PipelineQueries {
     Q("q_doc_expect", docExpect, Some(docExpectSql)),
     Q("q_doc_typo_pairs", docTypoPairs, Some(docTypoPairsSql)),
     Q("q_doc_substr_spans", docSubstrSpans, Some(docSubstrSpansSql)),
+    Q("q_doc_substr_fast", docSubstrFast, Some(docSubstrSpansSql)),
     Q("q_doc_substr_strip", docSubstrStrip, Some(docSubstrStripSql)),
     Q("q_doc_split_leakfree", docSplitLeakfree, Some(docSplitLeakfreeSql)),
     Q("q_doc_hybrid_rrf", docHybridRrf, Some(docHybridRrfSql)),

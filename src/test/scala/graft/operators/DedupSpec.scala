@@ -268,6 +268,46 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(s => s._1 == 4L || s._1 == 5L))
   }
 
+  test("substrDupSpansFast (rolling hash) produces the md5 path's spans exactly") {
+    import spark.implicits._
+    // randomized corpus with planted repeats: shared sentences across
+    // docs, a within-doc repeat, plus unique noise
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "the shared boilerplate sentence that repeats verbatim"
+    val docs = (1L to 12L).map { id =>
+      val parts = Seq(noise(30), if (id % 3 == 0) shared else noise(20),
+        noise(25), if (id % 4 == 0) shared else noise(15),
+        if (id == 7L) "inner repeat inner repeat inner repeat" else noise(10))
+      (id, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (l <- Seq(8, 12, 40)) {
+      val md5Spans = Dedup.substrDupSpans(docs, minLen = l)
+        .as[(Long, Long, Long)].collect().toSet
+      val fastSpans = Dedup.substrDupSpansFast(docs, minLen = l)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fastSpans == md5Spans, s"minLen=$l: rolling-hash spans diverged")
+      assert(md5Spans.nonEmpty, s"minLen=$l: fixture planted no duplicates")
+    }
+  }
+
+  test("RollingWindowHashes: hash equality tracks substring equality") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val texts = Seq("abcabcabc", "xyabcde", "abc", "ab", "").toDF("t")
+    val l = 3
+    val got = texts.select(col("t"), ColumnBridge.column(
+        graft.functions.RollingWindowHashes(ColumnBridge.expression(col("t")), l)).as("h"))
+      .as[(String, Seq[Long])].collect()
+    for ((t, hs) <- got) {
+      assert(hs.length == math.max(0, t.length - l + 1), s"'$t': wrong window count")
+      val wins = (0 until hs.length).map(i => t.substring(i, i + l))
+      for (i <- hs.indices; j <- hs.indices)
+        assert((hs(i) == hs(j)) == (wins(i) == wins(j)),
+          s"'$t': hash/substring equality mismatch at ($i,$j)")
+    }
+  }
+
   test("substrStrip removes exactly the duplicated regions") {
     import spark.implicits._
     val L = 8
