@@ -880,7 +880,9 @@ object Dedup {
     */
   def substrStrip(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 40): DataFrame = {
-    val spans = substrDupSpans(docs, idCol, textCol, minLen)
+    // spans via the rolling-hash fast path — output is hash-independent
+    // (the md5 oracle still checks the stripped text byte-for-byte)
+    val spans = substrDupSpansFast(docs, idCol, textCol, minLen)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"))
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))

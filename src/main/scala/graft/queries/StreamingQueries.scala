@@ -223,6 +223,49 @@ object StreamingQueries {
         |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
         |ORDER BY user_id, sstart""".stripMargin
 
+  /** DYNAMIC-gap session windows (ref: EventTimeSessionWindows
+    * .withDynamicGap / SessionWindowTimeGapExtractor — the gap is a
+    * per-ELEMENT function, here 45 min after a purchase vs 20 min
+    * otherwise): Spark's session_window accepts a gap COLUMN, so the
+    * declarative form carries over; sessions merge while an event lands
+    * inside the running max(ts + gap(event)) end. The oracle rebuilds
+    * the islands with the same running-max break rule and gates on
+    * session end ≤ final watermark.
+    */
+  def streamSessionDynamic(s: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", "45 minutes")
+      .otherwise("20 minutes")
+    val out = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("sstart"), col("cnt"))
+    runToTable("stream_session_dyn", out, "append").orderBy("user_id", "sstart")
+  }
+
+  val streamSessionDynamicSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |g AS (SELECT user_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN 2700 ELSE 1200 END AS gap_s
+        |  FROM ev),
+        |m AS (SELECT user_id, ts, gap_s,
+        |    max(ts + gap_s * INTERVAL '1 second')
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM g),
+        |b AS (SELECT user_id, ts, gap_s,
+        |    CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |sess AS (SELECT user_id, ts, gap_s,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts) AS sstart, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(ts + gap_s * INTERVAL '1 second') <= (SELECT w FROM wm)
+        |ORDER BY user_id, sstart""".stripMargin
+
   /** Custom-state gap sessionization ([[StreamingOps.sessionizeByGap]],
     * the KeyedProcessFunction sessionizing pattern): sessions are
     * emitted exactly once, CLOSED by the first event beyond the 30-min
@@ -2937,6 +2980,7 @@ object StreamingQueries {
     Q("q_cep_funnel", cepFunnel, Some(cepFunnelSql)),
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
+    Q("q_stream_session_dyn", streamSessionDynamic, Some(streamSessionDynamicSql)),
     Q("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Q("q_stream_rules", streamRules, Some(streamRulesSql)),
     Q("q_stream_time_travel", streamTimeTravel, Some(streamTimeTravelSql)),
