@@ -74,7 +74,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_transitions", // lead + margin window over empty
     "q_evt_chi2", // contingency margins over empty
     "q_agg_corr", // moment aggregates over empty (corr of nothing)
-    "q_fn_json" // json/map pipeline over empty
+    "q_fn_json", // json/map pipeline over empty
+    "q_doc_substr_spans", // window explode + island merge over empty
+    "q_doc_substr_fast", // rolling-hash kernel over empty
+    "q_doc_substr_strip", // span fold over null span arrays
+    "q_match_sql" // SQL MATCH_RECOGNIZE route over empty partitions
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
