@@ -1663,6 +1663,75 @@ object StreamingQueries {
     * ONE-SHOT batch gate over the same corpus-with-duplicates, so
     * incremental must equal one-shot.
     */
+  /** Streaming incremental EXACT-substring dedup — the maintainer
+    * counterpart of `q_doc_substr_spans` (same posture as the
+    * incremental MinHash band index): documents arrive as 3
+    * micro-batches; each batch computes its own rolling-hash window
+    * table ONCE (the increment, never the corpus) and appends it to the
+    * persisted window index; the per-window df store sum-merges the
+    * batch's hash counts. Span extraction is one final read: probe the
+    * window index against the final hot set (df ≥ 2) and island-merge —
+    * arrival-order-invariant by construction, so the oracle is the
+    * batch md5 pipeline VERBATIM (the rolling hash marks identical
+    * windows identically).
+    */
+  def streamSubstr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val minLen = 40
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "ssub",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val winStore = freshDir(dir, "ssub_wins")
+    val dfStore = graft.streaming.VersionedStore(s, freshDir(dir, "ssub_store"))
+    dfStore.init(s.range(0).select(col("id").as("h"), col("id").as("c")))
+    graft.BenchMeters.fixture {
+      s.range(0).select(col("id").as("doc_id"), col("id").cast("int").as("pos"),
+        col("id").as("h")).write.mode("overwrite").parquet(winStore)
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashes = ColumnBridge.column(graft.functions.RollingWindowHashes(
+          ColumnBridge.expression(col("text")), minLen))
+        // increment-only work: the batch's windows, computed once
+        val wins = batch.filter(length(col("text")) >= minLen)
+          .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+          .localCheckpoint()
+        wins.coalesce(1).write.mode("append").parquet(winStore)
+        dfStore.write(batchId, dfStore.prior(batchId)
+          .unionByName(wins.groupBy("h").agg(count(lit(1)).as("c")))
+          .groupBy("h").agg(sum("c").as("c")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final read: probe the persisted index against the final hot set
+    val hot = dfStore.version(lastBatchId(srcDir))
+      .filter(col("c") >= 2).select("h")
+    val dup = s.read.parquet(winStore).join(hot, "h").select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("pme", max(col("pos") + minLen)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ni", (col("pme").isNull || col("pos") > col("pme")).cast("int"))
+      .withColumn("isl", sum("ni").over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"), (max(col("pos")) + minLen).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_end").cast("long"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The batch exact-substring oracle verbatim — incremental index
+    * maintenance must be arrival-order-invisible.
+    */
+  val streamSubstrSql: String = PipelineQueries.docSubstrSpansSql
+
   /** Changelog-SOURCE ingestion (ref: StreamTableEnvironment
     * .fromChangelogStream + RowKind.java — SURVEY §7 hard part #1): a
     * kind-tagged CDC log (`+I -U +U -D`, offset = event_id, which the
@@ -3015,6 +3084,7 @@ object StreamingQueries {
     Q("q_stream_cdc", streamCdc, Some(streamCdcSql)),
     Q("q_stream_retract", streamRetract, Some(streamRetractSql)),
     Q("q_stream_topn_retract", streamTopnRetract, Some(streamTopnRetractSql)),
-    Q("q_stream_cdc_agg", streamCdcAgg, Some(streamCdcAggSql))
+    Q("q_stream_cdc_agg", streamCdcAgg, Some(streamCdcAggSql)),
+    Q("q_stream_substr", streamSubstr, Some(streamSubstrSql))
   )
 }
