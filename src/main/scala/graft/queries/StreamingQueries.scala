@@ -223,6 +223,60 @@ object StreamingQueries {
         |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
         |ORDER BY user_id, sstart""".stripMargin
 
+  /** Connected-streams match-or-timeout (ref: CoProcessFunction +
+    * event-time timer — the canonical "order matched by payment within
+    * T, else alert"): per (user, day), the first view anchors the
+    * decision; the first purchase inside the 2-hour window matches,
+    * otherwise a timeout row fires when the watermark passes the
+    * deadline ([[StreamingOps.matchWithTimeout]]). Oracle: the same
+    * decision computed from the batch min-view/min-purchase per key,
+    * gated on deadline ≤ final watermark.
+    */
+  def streamCoMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.matchWithTimeout[Event, String](
+      ev,
+      // UTC epoch-day arithmetic, not java.sql.Date.toString (which
+      // renders in the JVM default zone — tz-dependent keys would
+      // silently split days)
+      keyFn = e => s"${e.user_id}|${java.time.LocalDate.ofEpochDay(Math.floorDiv(e.tsUs, 86400000000L))}",
+      isLeftFn = _.event_type == "view",
+      tsUsFn = _.tsUs,
+      withinUs = 2L * 3600L * 1000000L)
+    runToTable("stream_comatch", out.toDF(), "append")
+      .select(split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
+        split(col("key"), "\\|").getItem(1).as("day"),
+        col("status"), col("left_ts"), col("right_ts"))
+      .orderBy("user_id", "day")
+  }
+
+  val streamCoMatchSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |f AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, epoch_us(ts) AS tu
+        |      FROM ev WHERE event_type IN ('view', 'purchase')),
+        |k AS (SELECT user_id, day,
+        |        min(CASE WHEN event_type = 'view' THEN tu END) AS l
+        |      FROM f GROUP BY 1, 2),
+        |d AS (SELECT k.user_id, k.day, k.l,
+        |        (SELECT min(tu) FROM f r
+        |         WHERE r.user_id = k.user_id AND r.day = k.day
+        |           AND r.event_type = 'purchase'
+        |           AND r.tu >= k.l AND r.tu <= k.l + 7200000000) AS r
+        |      FROM k WHERE k.l IS NOT NULL)
+        |SELECT user_id, day::VARCHAR AS day,
+        |  CASE WHEN r IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status,
+        |  l AS left_ts, r AS right_ts
+        |FROM d
+        |WHERE l + 7200000000 <= epoch_us((SELECT w FROM wm))
+        |ORDER BY user_id, day""".stripMargin
+
   /** DYNAMIC-gap session windows (ref: EventTimeSessionWindows
     * .withDynamicGap / SessionWindowTimeGapExtractor — the gap is a
     * per-ELEMENT function, here 45 min after a purchase vs 20 min
@@ -3050,6 +3104,7 @@ object StreamingQueries {
     Q("q_stream_tumble", streamTumble, Some(streamTumbleSql)),
     Q("q_stream_session", streamSession, Some(streamSessionSql)),
     Q("q_stream_session_dyn", streamSessionDynamic, Some(streamSessionDynamicSql)),
+    Q("q_stream_comatch", streamCoMatch, Some(streamCoMatchSql)),
     Q("q_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Q("q_stream_rules", streamRules, Some(streamRulesSql)),
     Q("q_stream_time_travel", streamTimeTravel, Some(streamTimeTravelSql)),

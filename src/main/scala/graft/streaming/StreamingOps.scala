@@ -303,6 +303,70 @@ object StreamingOps {
         ExpressionEncoder[BoundedOverState](), ExpressionEncoder[OverRow[K]]())
   }
 
+  /** Two CONNECTED keyed streams with a match-or-timeout decision — the
+    * CoProcessFunction + event-time-timer pattern (ref:
+    * CoProcessFunction.java / KeyedCoProcessOperator; the canonical
+    * "order matched by payment within T, else alert" shape): per key,
+    * the decision anchors on the EARLIEST left event; the result is the
+    * earliest right event inside `[leftTs, leftTs + withinUs]` if one
+    * exists (`matched`) or a `timeout` row otherwise. The decision
+    * fires exactly once, when the watermark passes `leftTs + withinUs`
+    * — at that point every in-window right has arrived by the watermark
+    * contract — and the key's state clears. Late rows (below a fired
+    * decision) are dropped. Keys with only right events decide nothing
+    * (a payment with no order is the mirror query). State per key is
+    * the undecided buffer — bounded by rate × (within + watermark
+    * delay).
+    */
+  final case class CoMatchState(lefts: Seq[Long], rights: Seq[Long], decided: Boolean)
+  final case class CoMatchRow[K](key: K, status: String, left_ts: Long,
+      right_ts: Option[Long])
+
+  def matchWithTimeout[T, K: Encoder: TypeTag](
+      ds: Dataset[T],
+      keyFn: T => K,
+      isLeftFn: T => Boolean,
+      tsUsFn: T => Long,
+      withinUs: Long
+  )(implicit te: Encoder[T]): Dataset[CoMatchRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[CoMatchState]): Iterator[CoMatchRow[K]] = {
+      val st = if (state.exists) state.get else CoMatchState(Nil, Nil, decided = false)
+      // tombstone: a decided key never decides again — stragglers above
+      // the watermark must not re-open it (state cost: one flag per
+      // decided key, the dedup-state trade)
+      if (st.decided) { state.update(st); return Iterator.empty }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (inL, inR) = rows.map(r => (isLeftFn(r), tsUsFn(r))).toSeq.partition(_._1)
+      val lefts = st.lefts ++ inL.map(_._2)
+      val rights = st.rights ++ inR.map(_._2)
+      if (lefts.isEmpty) {
+        // nothing to anchor on yet — hold the rights (bounded by the
+        // within window: rights older than any future-visible left's
+        // window can never match, prune them against the watermark)
+        val kept = rights.filter(_ >= wmUs - withinUs)
+        if (kept.isEmpty) state.remove()
+        else state.update(CoMatchState(Nil, kept, decided = false))
+        Iterator.empty
+      } else {
+        val l = lefts.min
+        if (wmUs >= l + withinUs) {
+          val r = rights.filter(t => t >= l && t <= l + withinUs)
+          state.update(CoMatchState(Nil, Nil, decided = true))
+          Iterator.single(
+            if (r.nonEmpty) CoMatchRow(key, "matched", l, Some(r.min))
+            else CoMatchRow(key, "timeout", l, None))
+        } else {
+          state.update(CoMatchState(Seq(l), rights.filter(_ >= l), decided = false))
+          state.setTimeoutTimestamp((l + withinUs) / 1000L + 1)
+          Iterator.empty
+        }
+      }
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[CoMatchState](), ExpressionEncoder[CoMatchRow[K]]())
+  }
+
   /** Count windows — GlobalWindows + CountTrigger(size) + purge (ref:
     * GlobalWindows.java, CountTrigger.java:36, PurgingTrigger.java;
     * KeyedStream.countWindow): per key, every `size`-th element fires the

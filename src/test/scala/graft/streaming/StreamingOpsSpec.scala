@@ -129,6 +129,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("matchWithTimeout: matched within window, timeout via timer, out-of-order safe") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = StreamingOps.matchWithTimeout[Event, Long](
+      withWm, _.user_id, _.event_type == "L", _.tsUs, withinUs = 10L * 1000000L)
+    val q = out.writeStream.format("memory").queryName("cm_t").outputMode("append").start()
+    try {
+      // key 7: right BEFORE its left in arrival order (out of order) —
+      // still matches (R@12s inside [10s, 20s]).
+      // key 8: left with an out-of-window right → timeout at 5s+10s.
+      // key 9: right only → no decision ever.
+      input.addData(
+        ev(2, 12000, 7, "R", 0), ev(1, 10000, 7, "L", 0),
+        ev(3, 5000, 8, "L", 0), ev(4, 40000, 8, "R", 0),
+        ev(5, 7000, 9, "R", 0))
+      q.processAllAvailable()
+      input.addData(ev(9, 60000, 99, "L", 0)) // watermark → 55s: both decide
+      q.processAllAvailable()
+      input.addData(ev(10, 120000, 99, "R", 0)) // fire timers
+      q.processAllAvailable()
+      val got = spark.table("cm_t").as[StreamingOps.CoMatchRow[Long]].collect()
+        .filter(r => Set(7L, 8L, 9L)(r.key)).sortBy(_.key)
+        .map(r => (r.key, r.status, r.left_ts, r.right_ts)).toSeq
+      assert(got === Seq(
+        (7L, "matched", 10000000L, Some(12000000L)),
+        (8L, "timeout", 5000000L, None)))
+      // straggler above a decided key must NOT re-open it
+      input.addData(ev(11, 125000, 7, "L", 0))
+      q.processAllAvailable()
+      input.addData(ev(12, 300000, 99, "L", 0))
+      q.processAllAvailable()
+      assert(spark.table("cm_t").as[StreamingOps.CoMatchRow[Long]].collect()
+        .count(_.key == 7L) === 1, "decided key re-opened by a straggler")
+    } finally q.stop()
+  }
+
   test("streaming CEP with out-of-order arrival matches batch semantics") {
     val input = MemoryStream[Event]
     val pattern = Pattern.begin[Event]("s").where(_.event_type == "signup")
