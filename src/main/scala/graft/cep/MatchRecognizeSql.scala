@@ -19,8 +19,14 @@ import org.apache.spark.sql.types._
   *    row-pattern order is the within-partition sort);
   *  - `MEASURES m AS name, …` with m ∈ `FIRST(V.c)`, `LAST(V.c)`,
   *    `V.c` (≡ FINAL LAST, the SQL:2016 default), `COUNT(V.*)`,
-  *    `COUNT(*)`, `SUM(V.c)`, `MIN(V.c)`, `MAX(V.c)`;
-  *  - `ONE ROW PER MATCH` (ALL ROWS PER MATCH lives on the builder API);
+  *    `COUNT(*)`, `SUM(V.c)`, `MIN(V.c)`, `MAX(V.c)`, and — under ALL
+  *    ROWS PER MATCH — `CLASSIFIER()` and `RUNNING COUNT(*)`;
+  *  - `ONE ROW PER MATCH` (default) or `ALL ROWS PER MATCH` (one output
+  *    row per MATCHED event: every input column + the measures, with
+  *    CLASSIFIER/RUNNING evaluated per row and aggregates FINAL);
+  *  - `WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY` — the match window
+  *    anchored at the match start, clocked by the first ORDER BY column
+  *    cast to timestamp;
   *  - `AFTER MATCH SKIP PAST LAST ROW` / `AFTER MATCH SKIP TO NEXT ROW`;
   *  - `PATTERN (…)` — the full [[MatchRecognize.compileMulti]] grammar:
   *    quantifiers `+ * ? {n} {n,m} {n,}` (greedy + reluctant),
@@ -54,7 +60,9 @@ object MatchRecognizeSql {
       measures: Seq[Measure],
       skip: AfterMatch,
       pattern: String,
-      define: Map[String, String])
+      define: Map[String, String],
+      allRows: Boolean = false,
+      withinMs: Option[Long] = None)
 
   /** Rewrite-and-run: lower the MATCH_RECOGNIZE block onto the NFA,
     * register the result as a temp view, and delegate the surrounding
@@ -126,11 +134,23 @@ object MatchRecognizeSql {
   private val MeasureRx = "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX)\\s*\\(\\s*)?" +
     "(?:([A-Za-z_]\\w*)\\s*\\.\\s*)?(\\*|[A-Za-z_]\\w*)\\s*\\)?\\s+AS\\s+([A-Za-z_]\\w*)$"
 
+  private val WithinRx =
+    "(?is)^INTERVAL\\s+'(\\d+)'\\s+(SECOND|MINUTE|HOUR|DAY)S?$".r
+
   private[cep] def parseBlock(table: String, block: String): Spec = {
     def c(kw: String) = clause(block, kw, clauseKws.filterNot(_ == kw))
-    require(c("ALL\\s+ROWS\\s+PER\\s+MATCH").isEmpty,
-      "ALL ROWS PER MATCH: use MatchRecognize.allRows (builder API)")
-    require(c("WITHIN").isEmpty, "WITHIN: use the builder API's within()")
+    val allRows = c("ALL\\s+ROWS\\s+PER\\s+MATCH").isDefined
+    val withinMs = c("WITHIN").map {
+      case WithinRx(n, unit) =>
+        n.toLong * (unit.toUpperCase match {
+          case "SECOND" => 1000L
+          case "MINUTE" => 60000L
+          case "HOUR"   => 3600000L
+          case "DAY"    => 86400000L
+        })
+      case other => throw new IllegalArgumentException(
+        s"unsupported WITHIN: '$other' (expected INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY)")
+    }
     val partitionBy = c("PARTITION\\s+BY").map(splitTop(_).map(_.trim))
       .getOrElse(throw new IllegalArgumentException("PARTITION BY is required"))
     val orderBy = c("ORDER\\s+BY").map(splitTop(_).map(_.trim))
@@ -138,7 +158,15 @@ object MatchRecognizeSql {
     val measuresRaw = c("MEASURES")
       .getOrElse(throw new IllegalArgumentException("MEASURES is required"))
     val rx = MeasureRx.r
+    val classifierRx = "(?is)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+    val rcountRx = "(?is)^RUNNING\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+([A-Za-z_]\\w*)$".r
     val measures = splitTop(measuresRaw).map {
+      case classifierRx(name) =>
+        require(allRows, s"CLASSIFIER() ($name) is only meaningful under ALL ROWS PER MATCH")
+        Measure(name, "CLASSIFIER", "", "")
+      case rcountRx(name) =>
+        require(allRows, s"RUNNING COUNT(*) ($name) is only meaningful under ALL ROWS PER MATCH")
+        Measure(name, "RCOUNT", "", "")
       case rx(fn, v, colName, name) =>
         val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
         require(colName != "*" || f == "COUNT", s"bare * only under COUNT: $name")
@@ -162,7 +190,8 @@ object MatchRecognizeSql {
       case defRx(v, e) => v -> e.trim
       case other => throw new IllegalArgumentException(s"bad DEFINE item: '$other'")
     }.toMap
-    Spec(table, partitionBy, orderBy, measures, skip, pattern, define)
+    Spec(table, partitionBy, orderBy, measures, skip, pattern, define,
+      allRows, withinMs)
   }
 
   // ---------------------------------------------------------------- //
@@ -178,8 +207,15 @@ object MatchRecognizeSql {
     // DEFINE predicates evaluated ONCE by Catalyst codegen as boolean
     // columns — the NFA reads a precomputed flag per transition, never
     // re-evaluating SQL. Undefined variables match any row (SQL default).
-    val aug = vars.foldLeft(df) { (d, v) =>
+    val aug0 = vars.foldLeft(df) { (d, v) =>
       d.withColumn(s"__def_$v", expr(spec.define.getOrElse(v, "true")).cast("boolean"))
+    }
+    // WITHIN needs real event time: the first ORDER BY column (cast to
+    // timestamp) becomes the NFA's microsecond clock
+    val aug = spec.withinMs match {
+      case Some(_) => aug0.withColumn("__ord_us",
+        expr(s"unix_micros(cast(${spec.orderBy.head} AS TIMESTAMP))"))
+      case None => aug0
     }
     val partExprs: Seq[Column] = spec.partitionBy.map(col)
     val sortExprs: Seq[Column] = (spec.partitionBy ++ spec.orderBy).map(col)
@@ -189,28 +225,37 @@ object MatchRecognizeSql {
     val defIdx = vars.map(v => v -> schema.fieldIndex(s"__def_$v")).toMap
     val colIdx = (name: String) => schema.fieldIndex(name)
     val inField = (name: String) => schema(schema.fieldIndex(name))
-    // output schema: partition cols keep their input types; measures
-    // keep the source column's type except COUNT (long) and SUM
-    // (long over integral inputs, double over fractional — DuckDB's
-    // sum(int) is cast BIGINT by every oracle)
-    val outFields = spec.partitionBy.map(p => inField(p).copy(name = p)) ++
-      spec.measures.map { ms =>
-        val dt = ms.fn match {
-          case "COUNT" => LongType
-          case "SUM" => inField(ms.column).dataType match {
-            case ByteType | ShortType | IntegerType | LongType => LongType
-            case _                                             => DoubleType
-          }
-          case _ => inField(ms.column).dataType
+    // output schema: ONE ROW → partition cols + measures; ALL ROWS →
+    // every original input column + measures. Measures keep the source
+    // column's type except COUNT/RUNNING COUNT (long), CLASSIFIER
+    // (string), and SUM (long over integral inputs, double over
+    // fractional — DuckDB's sum(int) is cast BIGINT by every oracle)
+    val measureFields = spec.measures.map { ms =>
+      val dt = ms.fn match {
+        case "COUNT" | "RCOUNT" => LongType
+        case "CLASSIFIER"       => StringType
+        case "SUM" => inField(ms.column).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => LongType
+          case _                                             => DoubleType
         }
-        StructField(ms.name, dt, nullable = true)
+        case _ => inField(ms.column).dataType
       }
+      StructField(ms.name, dt, nullable = true)
+    }
+    val origCols = df.columns.toSeq
+    val outFields =
+      if (spec.allRows) origCols.map(c => inField(c).copy(name = c)) ++ measureFields
+      else spec.partitionBy.map(p => inField(p).copy(name = p)) ++ measureFields
     val outSchema = StructType(outFields)
     val patterns = MatchRecognize.compileMulti[Row](
       spec.pattern,
       vars.map(v => v -> ((r: Row) => !r.isNullAt(defIdx(v)) && r.getBoolean(defIdx(v)))).toMap,
-      spec.skip)
+      spec.skip).map(_.copy(withinMs = spec.withinMs))
     val measures = spec.measures
+    val allRows = spec.allRows
+    val ordUsIdx = if (spec.withinMs.isDefined) schema.fieldIndex("__ord_us") else -1
+    val tsFn: Row => Long =
+      if (ordUsIdx >= 0) (r: Row) => r.getLong(ordUsIdx) else (_: Row) => 0L
     val out = sorted.mapPartitions { it =>
       // key-change detection over the secondary-sorted partition: buffer
       // one key group at a time (the NFA needs the full ordered group,
@@ -226,9 +271,10 @@ object MatchRecognizeSql {
         }
       }.flatMap { group =>
         val key = partIdx.map(group.head.get)
-        NFA.findMatchesMulti[Row](group.toIndexedSeq, (_: Row) => 0L, patterns, tsPerMs = 1000L)
-          .map { pm =>
-            val vals = measures.map { ms =>
+        NFA.findMatchesMulti[Row](group.toIndexedSeq, tsFn, patterns, tsPerMs = 1000L)
+          .flatMap { pm =>
+            // match-level (FINAL) measure values, computed once
+            val matchVals = measures.map { ms =>
               def bound = pm.bindings.getOrElse(ms.variable, Nil)
               def colOf(r: Row): Any = r.get(colIdx(ms.column))
               ms.fn match {
@@ -259,9 +305,18 @@ object MatchRecognizeSql {
                     }
                     if (ms.fn == "MIN") xs.min(ord) else xs.max(ord)
                   }
+                case "CLASSIFIER" | "RCOUNT" => null // per-row, overlaid below
               }
             }
-            Row.fromSeq(key ++ vals)
+            if (!allRows) Seq(Row.fromSeq(key ++ matchVals))
+            else pm.rows.zipWithIndex.map { case ((cls, row), i) =>
+              val overlaid = measures.zip(matchVals).map {
+                case (ms, _) if ms.fn == "CLASSIFIER" => cls
+                case (ms, _) if ms.fn == "RCOUNT"     => (i + 1).toLong
+                case (_, v)                           => v
+              }
+              Row.fromSeq(origCols.map(c => row.get(colIdx(c))) ++ overlaid)
+            }
           }
       }
     }(Encoders.row(outSchema))

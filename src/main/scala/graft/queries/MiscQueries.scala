@@ -322,9 +322,70 @@ object MiscQueries {
         |FROM runs WHERE n_purchases >= 1
         |ORDER BY signup_id""".stripMargin
 
+  /** ALL ROWS PER MATCH through the SQL route — the statement form of
+    * [[StreamingQueries.matchAllRows]]'s builder query (same pattern,
+    * same oracle): every matched event emits with CLASSIFIER(),
+    * RUNNING COUNT(*), and the FINAL COUNT(*). The FROM operand is a
+    * user-registered temp view (the create-view-then-query flow).
+    */
+  def matchStmtAllRows(s: SparkSession, dir: String): DataFrame = {
+    val env = graft.TableEnv(s, dir)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .createOrReplaceTempView("mr_ev_cvp")
+    env.sqlQuery(
+      """SELECT user_id, event_id, classifier, running_cnt, final_cnt
+        |FROM mr_ev_cvp MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES CLASSIFIER() AS classifier, RUNNING COUNT(*) AS running_cnt,
+        |    COUNT(*) AS final_cnt
+        |  ALL ROWS PER MATCH
+        |  PATTERN (a+ b)
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'purchase'
+        |)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** WITHIN through the SQL route (ref: flink's MATCH_RECOGNIZE WITHIN
+    * INTERVAL clause): signup immediately followed by a purchase no
+    * more than 24 h later — the window anchors at the match start, so
+    * the oracle is a lead() pair with the time bound.
+    */
+  def matchStmtWithin(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, s_id, p_id
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.event_id AS s_id, P.event_id AS p_id
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)
+        |ORDER BY s_id""".stripMargin)
+
+  val matchStmtWithinSql: String =
+    graft.Tables.eventsCte +
+      """
+        |, o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lead(event_id) OVER w AS nid,
+        |    lead(event_type) OVER w AS nt,
+        |    lead(ts) OVER w AS nts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS s_id, nid AS p_id
+        |FROM o
+        |WHERE event_type = 'signup' AND nt = 'purchase'
+        |  AND nts <= ts + INTERVAL 24 HOUR
+        |ORDER BY s_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_lookup_async", lookupAsync, Some(lookupAsyncSql)),
     Q("q_match_sql", matchRecognizeStmt, Some(matchRecognizeStmtSql)),
+    Q("q_match_sql_all", matchStmtAllRows, Some(StreamingQueries.matchAllRowsSql)),
+    Q("q_match_sql_within", matchStmtWithin, Some(matchStmtWithinSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q_over_bounded", overBounded, Some(overBoundedSql)),
     Q("q_match_recognize", matchRecognize, Some(matchRecognizeSql)),

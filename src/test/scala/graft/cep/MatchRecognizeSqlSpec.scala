@@ -64,18 +64,56 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(got === Seq(Row(1L, 2L, 2L), Row(2L, 1L, 2L), Row(2L, 3L, 2L)))
   }
 
+  test("SQL route: ALL ROWS PER MATCH emits per-event rows with CLASSIFIER and RUNNING count") {
+    mkView()
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, ord, cls, rcnt, n FROM mr_ev MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES CLASSIFIER() AS cls, RUNNING COUNT(*) AS rcnt, COUNT(*) AS n
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V+ P)
+        |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
+        |) ORDER BY uid, ord""".stripMargin)
+    val got = out.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // user 1: V@1 V@2 P@3 (greedy V+) → 3 rows of one match
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 1L, "V", 1L, 3L), (1L, 2L, "V", 2L, 3L), (1L, 3L, "P", 3L, 3L)))
+    // user 2: two disjoint V P matches
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3, t._4, t._5)) ===
+      Seq((1L, "V", 1L, 2L), (2L, "P", 2L, 2L), (3L, "V", 1L, 2L), (4L, "P", 2L, 2L)))
+  }
+
+  test("SQL route: WITHIN bounds the match window from the match start") {
+    import spark.implicits._
+    // ord doubles as epoch seconds via CAST in the route
+    Seq((1L, 100L, "view"), (1L, 130L, "purchase"), // 30 s apart → inside
+        (2L, 100L, "view"), (2L, 200L, "purchase")) // 100 s apart → outside
+      .toDF("uid", "ord", "etype").createOrReplaceTempView("mr_w")
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid FROM mr_w MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES FIRST(V.ord) AS v_ord
+        |  PATTERN (V P)
+        |  WITHIN INTERVAL '1' MINUTE
+        |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
+        |) ORDER BY uid""".stripMargin)
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("SQL route: documented out-of-subset constructs fail loudly") {
     mkView()
-    val allRows = intercept[IllegalArgumentException] {
+    val badWithin = intercept[IllegalArgumentException] {
       MatchRecognizeSql.run(spark,
         """SELECT * FROM mr_ev MATCH_RECOGNIZE (
           |  PARTITION BY uid ORDER BY ord
           |  MEASURES COUNT(*) AS n
-          |  ALL ROWS PER MATCH
-          |  PATTERN (V P) DEFINE V AS etype = 'view', P AS etype = 'purchase'
+          |  PATTERN (V P)
+          |  WITHIN INTERVAL '1' FORTNIGHT
+          |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
           |)""".stripMargin)
     }
-    assert(allRows.getMessage.contains("ALL ROWS PER MATCH"))
+    assert(badWithin.getMessage.contains("unsupported WITHIN"))
     val badMeasure = intercept[IllegalArgumentException] {
       MatchRecognizeSql.run(spark,
         """SELECT * FROM mr_ev MATCH_RECOGNIZE (
