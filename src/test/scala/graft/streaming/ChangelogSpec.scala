@@ -45,6 +45,26 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("round trip: folding the retract stream back onto prior reproduces current") {
+    // the retract stream IS a changelog — fromChangelogStream ∘
+    // toChangelogStream must be the identity on the snapshot (the
+    // reference's pipeline composition contract). Randomized tables;
+    // -U sequences before its +U partner so last-op-wins lands on +U.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      val keys = 1L to 12L
+      def table() = keys.flatMap { k =>
+        if (rnd.nextBoolean()) Some((k, math.round(rnd.nextDouble() * 100) / 10.0)) else None
+      }
+      val prior = table().toDF("k", "v")
+      val cur = table().toDF("k", "v")
+      val deltas = Changelog.retractDiff(prior, cur, "k")
+        .withColumn("seq", when(col("kind") === Changelog.UpdateBefore, 0L).otherwise(1L))
+      val rebuilt = Changelog.foldCdc(prior, deltas, "k", "seq", "kind")
+      assert(state(rebuilt) === state(cur), s"trial $trial: round trip diverged")
+    }
+  }
+
   test("retractDiff emits +I / -U,+U pair / -D with old and new payloads") {
     val prior = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val cur = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "v")
