@@ -1786,6 +1786,32 @@ object StreamingQueries {
     */
   val streamSubstrSql: String = PipelineQueries.docSubstrSpansSql
 
+  /** The CDC replays fold per batch then merge, which equals the
+    * one-shot fold only if the log offset is MONOTONE across the staged
+    * batches (batch i's offsets all precede batch i+1's). The fixture
+    * satisfies it (event ids are assigned in timestamp order and the
+    * splits are time-ranged) — but that is a FIXTURE invariant, so
+    * assert it at staging instead of documenting it away: a regenerated
+    * fixture that breaks it must fail loudly here, not hash-mismatch
+    * downstream.
+    */
+  private def requireOffsetMonotone(s: SparkSession, srcDir: String, seqCol: String): Unit =
+    graft.BenchMeters.fixture {
+      val bounds = (0L to lastBatchId(srcDir)).map { b =>
+        val r = s.read.parquet(s"$srcDir/b$b.parquet")
+          .agg(min(col(seqCol)), max(col(seqCol))).head()
+        (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+          if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+      }
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          require(hi < lo || lo == Long.MinValue,
+            s"staged CDC batches are not offset-monotone: max $hi >= next min $lo " +
+              "(per-batch fold + merge no longer equals the one-shot fold)")
+        case _ => ()
+      }
+    }
+
   /** Changelog-SOURCE ingestion (ref: StreamTableEnvironment
     * .fromChangelogStream + RowKind.java — SURVEY §7 hard part #1): a
     * kind-tagged CDC log (`+I -U +U -D`, offset = event_id, which the
@@ -1809,6 +1835,7 @@ object StreamingQueries {
       round(col("value"), 2).as("value"), col("ts"))
     val srcDir = stageBatchFiles(dir, "scdc",
       daySplits(log, col("ts"), 3).map(_.drop("ts")))
+    requireOffsetMonotone(s, srcDir, "seq")
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "scdc_store"))
     store.init(s.range(0).select(col("id").as("user_id"),
       col("id").cast("double").as("value")))
@@ -1867,6 +1894,7 @@ object StreamingQueries {
       round(col("value"), 2).as("value"), col("ts"))
     val srcDir = stageBatchFiles(dir, "scag",
       daySplits(log, col("ts"), 3).map(_.drop("ts")))
+    requireOffsetMonotone(s, srcDir, "seq")
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "scag_store"))
     store.init(s.range(0).select(col("id").as("user_id"),
       col("id").cast("double").as("value")))
@@ -2013,6 +2041,7 @@ object StreamingQueries {
         col("event_id").as("seq"), col("ts"))
     val srcDir = stageBatchFiles(dir, "strn",
       daySplits(ev, col("ts"), 3).map(_.drop("ts")))
+    requireOffsetMonotone(s, srcDir, "seq")
     val store = graft.streaming.VersionedStore(s, freshDir(dir, "strn_store"))
     store.init(s.range(0).select(col("id").cast("string").as("event_type"),
       col("id").as("user_id"), col("id").cast("double").as("score"),
