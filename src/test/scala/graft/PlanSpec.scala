@@ -374,6 +374,8 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val (sp, spRdd) = scanCounts("q_doc_substr_spans")
     assert(sp == 0, s"substr spans re-explodes the corpus ($sp parquet scans)")
     assert(spRdd >= 1, "no staged window blocks in the spans plan")
+    assert(scanCounts("q_doc_substr_fast")._1 == 0,
+      "rolling-hash spans re-explode the corpus — stage boundary dropped")
     val (st, _) = scanCounts("q_doc_substr_strip")
     assert(st == 1, s"substr strip should scan docs exactly once (join-back), got $st")
   }
