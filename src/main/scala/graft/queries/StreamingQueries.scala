@@ -129,14 +129,17 @@ object StreamingQueries {
     graft.BenchMeters.fixture {
       val d = dcol.cast("date")
       val row = df.agg(min(d).as("d0"), max(d).as("d1")).head()
-      val (d0, d1) = (row.getDate(0), row.getDate(1))
-      val span = java.time.temporal.ChronoUnit.DAYS
-        .between(d0.toLocalDate, d1.toLocalDate) + 1
-      val width = math.max(1L, (span + n - 1) / n)
-      (0 until n).map { b =>
-        val lo = b * width
-        if (b == n - 1) df.filter(datediff(d, lit(d0)) >= lo)
-        else df.filter(datediff(d, lit(d0)).between(lo, lo + width - 1))
+      if (row.isNullAt(0)) Seq.fill(n)(df) // empty frame: n empty batches
+      else {
+        val (d0, d1) = (row.getDate(0), row.getDate(1))
+        val span = java.time.temporal.ChronoUnit.DAYS
+          .between(d0.toLocalDate, d1.toLocalDate) + 1
+        val width = math.max(1L, (span + n - 1) / n)
+        (0 until n).map { b =>
+          val lo = b * width
+          if (b == n - 1) df.filter(datediff(d, lit(d0)) >= lo)
+          else df.filter(datediff(d, lit(d0)).between(lo, lo + width - 1))
+        }
       }
     }
 

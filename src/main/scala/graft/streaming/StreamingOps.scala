@@ -317,6 +317,13 @@ object StreamingOps {
     * (a payment with no order is the mirror query). State per key is
     * the undecided buffer — bounded by rate × (within + watermark
     * delay).
+    *
+    * PRECONDITION: the stream's watermark delay must be ≤ `withinUs`.
+    * Left-less keys prune buffered rights below `wm - withinUs`; any
+    * future left has ts ≥ wm − delay, so with delay ≤ within the pruned
+    * rights could only have matched lefts that would decide instantly
+    * as already-expired. A larger delay could prune a right a
+    * still-unseen left needs — size the watermark accordingly.
     */
   final case class CoMatchState(lefts: Seq[Long], rights: Seq[Long], decided: Boolean)
   final case class CoMatchRow[K](key: K, status: String, left_ts: Long,
