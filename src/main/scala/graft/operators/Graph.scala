@@ -133,4 +133,32 @@ object Graph {
     }
     labels
   }
+
+  /** Fixed-round Bellman–Ford single-source shortest paths (ref:
+    * flink-gelly `SingleSourceShortestPaths.java` — the Gelly
+    * quickstart's scatter-gather iteration: scatter `dist + w` along
+    * edges, gather `min`). `edges` carries (a, b, w) undirected;
+    * `source` is a ONE-ROW (node, d=0) frame (a broadcastable
+    * aggregate, never a collected scalar). Each of the `rounds`
+    * synchronous relaxations is one node-keyed join + one min
+    * aggregate, staged so the loop's lineage stays linear. Fixed
+    * rounds rather than convergence detection, so an oracle can unroll
+    * the identical recurrence; nodes not reached within `rounds` hops
+    * are absent (their distance is the recurrence's, not ∞-filled).
+    */
+  def sssp(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
+    val und = Funnel.stage(edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v"), col("w")),
+        struct(col("b").as("u"), col("a").as("v"), col("w")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w")))
+    var dist = source.select(col("node"), col("d"))
+    for (_ <- 1 to rounds) {
+      dist = Funnel.stage(dist
+        .unionByName(dist.select(col("node").as("u"), col("d"))
+          .join(und, "u")
+          .select(col("v").as("node"), (col("d") + col("w")).as("d")))
+        .groupBy("node").agg(min("d").as("d")))
+    }
+    dist
+  }
 }

@@ -116,9 +116,51 @@ object GraphQueries {
         |SELECT min(event_id) AS component, count(*)::BIGINT AS size
         |FROM ev GROUP BY user_id ORDER BY component""".stripMargin
 
+  /** Single-source shortest paths over the co-engagement graph —
+    * deterministic integer weights `1 + (a+b) % 7`, source = the
+    * global minimum node (a one-row aggregate, broadcast into the
+    * round-0 frontier, never a collected scalar), 6 fixed Bellman–Ford
+    * rounds ([[Graph.sssp]] — the Gelly quickstart algorithm). The
+    * oracle unrolls the identical 6-round min-plus recurrence as CTEs,
+    * like the PageRank oracle.
+    */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(s, dir)
+      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7)
+    val source = e
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .agg(min("v").as("node"))
+      .select(col("node"), lit(0L).as("d"))
+    Graph.sssp(e, source, rounds = 6)
+      .select(col("node"), col("d").cast("long").as("dist"))
+      .orderBy("node")
+  }
+
+  private val SsspRounds = 6
+
+  val graphSsspSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, n AS (SELECT a AS u, b AS v, 1 + (a + b) % 7 AS w FROM e
+        |        UNION ALL SELECT b, a, 1 + (a + b) % 7 FROM e),
+        |d0 AS (SELECT min(v) AS node, 0 AS d
+        |       FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))""".stripMargin +
+      (1 to SsspRounds).map { k =>
+        s""",
+           |d$k AS (SELECT node, min(d) AS d FROM (
+           |  SELECT node, d FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT n.v AS node, d${k - 1}.d + n.w AS d
+           |  FROM d${k - 1} JOIN n ON n.u = d${k - 1}.node
+           |) GROUP BY node)""".stripMargin
+      }.mkString +
+      s"""
+         |SELECT node, d::BIGINT AS dist FROM d$SsspRounds ORDER BY node""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
-    Q("q_graph_components", graphComponents, Some(graphComponentsSql))
+    Q("q_graph_components", graphComponents, Some(graphComponentsSql)),
+    Q("q_graph_sssp", graphSssp, Some(graphSsspSql))
   )
 }

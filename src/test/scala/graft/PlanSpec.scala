@@ -395,7 +395,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // + 3 staged-block reads; the iterate loops end on checkpointed
     // frames. Growth past these means a loop stopped truncating lineage.
     val bounds = Map("q_emb_neardup_keeper" -> 4,
-      "q_iterate_bfs" -> 3, "q_iterate_delta" -> 3, "q_iterate_pagerank" -> 3)
+      "q_iterate_bfs" -> 3, "q_iterate_delta" -> 3, "q_iterate_pagerank" -> 3,
+      // sssp ends on the last staged frontier + the staged edge list
+      "q_graph_sssp" -> 3)
     for ((name, bound) <- bounds) {
       val (parquet, rdd) = scanCounts(name)
       assert(parquet + rdd <= bound,

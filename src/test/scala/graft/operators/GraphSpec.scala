@@ -139,6 +139,24 @@ class GraphSpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("sssp: multi-hop relaxation beats the direct edge; unreached nodes absent") {
+    // 1—2 (w1), 2—3 (w1), 1—3 (w10): dist(3) must be 2 via the relay,
+    // not 10 direct; 4—5 is a disconnected island (absent from source 1)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L), (4L, 5L, 1L))
+      .toDF("a", "b", "w")
+    val src = spark.range(1).select(lit(1L).as("node"), lit(0L).as("d"))
+    val got = Graph.sssp(e, src, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // undirected: distances from the island's side too
+    val src4 = spark.range(1).select(lit(5L).as("node"), lit(0L).as("d"))
+    assert(Graph.sssp(e, src4, rounds = 5).as[(Long, Long)].collect().toMap ===
+      Map(5L -> 0L, 4L -> 1L))
+    // fixed rounds: with 1 round the relay is not yet found
+    assert(Graph.sssp(e, src, rounds = 1).as[(Long, Long)].collect().toMap
+      .apply(3L) === 10L)
+  }
+
   test("coOccurrenceEdges: cap drops hot blocks, support filters incidental pairs") {
     // block X: members 1..5 appearing together twice (support 2 via two blocks)
     val rows =
