@@ -78,7 +78,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_substr_spans", // window explode + island merge over empty
     "q_doc_substr_fast", // rolling-hash kernel over empty
     "q_doc_substr_strip", // span fold over null span arrays
-    "q_match_sql" // SQL MATCH_RECOGNIZE route over empty partitions
+    "q_match_sql", // SQL MATCH_RECOGNIZE route over empty partitions
+    "q_graph_sssp" // relaxation loop fed zero edges (null-source aggregate)
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
