@@ -389,6 +389,45 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** WINDOW join (ref: DataStream `join(...).where(...).equalTo(...)
+    * .window(TumblingEventTimeWindows)` — JoinedStreams.java: pairs
+    * co-located in the SAME tumbling window, a distinct API from the
+    * interval join's relative bound): views join purchases of the same
+    * user inside the same 1-hour tumble. Spark mapping: both sides
+    * project their `window(ts)` bucket and equi-join on (user, bucket);
+    * the redundant relative-time bound (implied by bucket equality)
+    * gives Structured Streaming the watermark-based state eviction it
+    * requires for stream-stream joins.
+    */
+  def streamWindowJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+    val a = ev.filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"), window(col("ts"), "1 hour").getField("start").as("a_w"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), window(col("ts"), "1 hour").getField("start").as("b_w"))
+    val out = a.join(b,
+      col("a_user") === col("b_user")
+        && col("a_w") === col("b_w")
+        && col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select("a_id", "b_id")
+    runToTable("stream_wj", out, "append").orderBy("a_id", "b_id")
+  }
+
+  val streamWindowJoinSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'view') a
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
+        |ORDER BY a_id, b_id""".stripMargin
+
   /** Streaming top-N per user via flatMapGroupsWithState (ref:
     * UpdatableTopNFunction.java), update mode. Single-batch AvailableNow
     * ⇒ exactly one (final) ranking emission per user.
@@ -3141,6 +3180,7 @@ object StreamingQueries {
     Q("q_stream_rules", streamRules, Some(streamRulesSql)),
     Q("q_stream_time_travel", streamTimeTravel, Some(streamTimeTravelSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
+    Q("q_stream_window_join", streamWindowJoin, Some(streamWindowJoinSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),
     Q("q_stream_anti_join", streamAntiJoin, Some(streamAntiJoinSql)),
