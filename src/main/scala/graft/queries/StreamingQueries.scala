@@ -428,6 +428,43 @@ object StreamingQueries {
         | AND time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
         |ORDER BY a_id, b_id""".stripMargin
 
+  /** WINDOW coGroup (ref: CoGroupedStreams.java `coGroup(...).where(…)
+    * .equalTo(…).window(…)` — unlike the window JOIN, one-sided groups
+    * fire too): views and purchases of the same user in the same 1-hour
+    * tumble, aggregated per group. Spark mapping: the tagged union
+    * flows through ONE windowed aggregate — the cogroup iterables
+    * collapse to their aggregates map-side, no join state at all (the
+    * shape Flink users reach cogroup for when one side may be absent).
+    */
+  def streamWindowCoGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", "10 minutes")
+    val out = ev
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
+          .as("revenue"))
+      .select(col("user_id"), col("w.start").as("wstart"),
+        col("n_views"), col("n_purchases"), col("revenue"))
+    runToTable("stream_wcg", out, "append").orderBy("user_id", "wstart")
+  }
+
+  val streamWindowCoGroupSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |f AS (SELECT * FROM ev WHERE event_type IN ('view', 'purchase'))
+        |SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_views,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS revenue
+        |FROM f GROUP BY 1, 2
+        |HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        |ORDER BY user_id, wstart""".stripMargin
+
   /** Streaming top-N per user via flatMapGroupsWithState (ref:
     * UpdatableTopNFunction.java), update mode. Single-batch AvailableNow
     * ⇒ exactly one (final) ranking emission per user.
@@ -3181,6 +3218,7 @@ object StreamingQueries {
     Q("q_stream_time_travel", streamTimeTravel, Some(streamTimeTravelSql)),
     Q("q_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     Q("q_stream_window_join", streamWindowJoin, Some(streamWindowJoinSql)),
+    Q("q_stream_window_cogroup", streamWindowCoGroup, Some(streamWindowCoGroupSql)),
     Q("q_stream_left_join", streamLeftJoin, Some(streamLeftJoinSql)),
     Q("q_stream_semi_join", streamSemiJoin, Some(streamSemiJoinSql)),
     Q("q_stream_anti_join", streamAntiJoin, Some(streamAntiJoinSql)),
