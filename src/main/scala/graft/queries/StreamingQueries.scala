@@ -3190,6 +3190,144 @@ object StreamingQueries {
         |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
         |FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  /** Queryable state — ref `KeyedStream.asQueryableState:1015-1082` +
+    * `flink-queryable-state` (KvStateServer / QueryableStateClient): a
+    * running job's keyed state answers external point queries WHILE the
+    * stream runs. Here the per-user (event count, value total) aggregate
+    * is maintained in a [[graft.streaming.VersionedStore]] registered
+    * under a public name; after each batch commits+publishes, an external
+    * [[graft.streaming.QueryableState.Client]] point-queries the LIVE
+    * state for a fixed 5-user probe set (one key-pushdown read, the
+    * client-side batching of 5 `getKvState` calls). The emitted probe
+    * answers are therefore each batch's mid-stream client view; the
+    * oracle recomputes every prefix's per-user aggregate from scratch —
+    * hash-matching probe answers prove the published state is exactly
+    * the prefix state at every point a client could have looked.
+    * State is user-linear; a probe reads one committed single-file
+    * version with the key predicate at the scan, never the corpus.
+    */
+  def streamQueryable(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{QueryableState, VersionedStore}
+    val ev = Tables.events(s, dir).select("user_id", "value", "ts")
+    val srcDir = stageBatchFiles(dir, "sqst", daySplits(ev, col("ts"), 3))
+    val store = VersionedStore(s, freshDir(dir, "sqst_store"))
+    val resDir = freshDir(dir, "sqst_res")
+    val probes: Seq[Any] = graft.BenchMeters.fixture {
+      // the client's key list (5 lowest user ids) — probe-set setup
+      ev.select("user_id").distinct().orderBy("user_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    store.init(s.range(0).select(col("id").as("user_id"),
+      col("id").as("cnt"), col("id").cast("double").as("total")))
+    val qname = s"uagg_${System.nanoTime()}" // fresh per run; client resolves by name
+    QueryableState.register(qname, store)
+    val client = new QueryableState.Client
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId)
+        val own = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+        val merged = prior
+          .select(col("user_id"), col("cnt").as("pc"), col("total").as("pt"))
+          .join(own.select(col("user_id"), col("cnt").as("oc"), col("total").as("ot")),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("cnt"),
+            (coalesce(col("pt"), lit(0.0)) + coalesce(col("ot"), lit(0.0))).as("total"))
+        store.write(batchId, merged)
+        QueryableState.publish(qname, batchId)
+        // external client's mid-stream view of the live state
+        client.getKvStates(qname, "user_id", probes)
+          .select(lit(batchId).as("batch"), col("user_id"),
+            col("cnt"), round(col("total"), 2).as("total"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    QueryableState.deregister(qname)
+    s.read.parquet(resDir).orderBy("batch", "user_id")
+  }
+
+  val streamQueryableSql: String =
+    Tables.eventsCte +
+      """
+        |, bnd AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM ev)
+        |, wd AS (SELECT d0,
+        |    greatest(1, (date_diff('day', d0, d1) + 1 + 2) // 3) AS width FROM bnd)
+        |, e2 AS (SELECT ev.user_id, ev.value,
+        |    least(2, date_diff('day', wd.d0, CAST(ev.ts AS DATE)) // wd.width) AS b
+        |  FROM ev, wd)
+        |, probe AS (SELECT DISTINCT user_id FROM ev ORDER BY user_id LIMIT 5)
+        |SELECT bb.b::BIGINT AS batch, e2.user_id,
+        |  count(*)::BIGINT AS cnt, round(sum(e2.value), 2) AS total
+        |FROM range(0, 3) bb(b)
+        |JOIN e2 ON e2.b <= bb.b
+        |WHERE e2.user_id IN (SELECT user_id FROM probe)
+        |GROUP BY 1, 2 ORDER BY batch, user_id""".stripMargin
+
+  /** State-Processor-API analog — ref `flink-state-processing-api`
+    * (`Savepoint.create` + `BootstrapTransformation` write a savepoint
+    * OFFLINE from a batch dataset; a streaming job then restores from
+    * it). The per-user (count, total) state over the historical first
+    * third of events is built by an ordinary batch aggregation and
+    * installed as the store's pre-first-batch version
+    * ([[graft.streaming.VersionedStore.bootstrap]]); the stream then
+    * resumes over ONLY the remaining two thirds, merging increments.
+    * The final state is read back offline (the Savepoint reader side).
+    * Oracle = the whole-corpus batch aggregate verbatim: bootstrap +
+    * resume must be indistinguishable from having streamed everything —
+    * the savepoint contract. At scale this is how a 100-TB backfill
+    * meets a live stream: one batch job seeds the state, the stream
+    * only ever pays for increments.
+    */
+  def streamBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.VersionedStore
+    val ev = Tables.events(s, dir).select("user_id", "value", "ts")
+    val splits = daySplits(ev, col("ts"), 3)
+    val store = VersionedStore(s, freshDir(dir, "sboot_store"))
+    // offline bootstrap write — measured operator work, not fixture
+    store.bootstrap(splits.head.groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total")))
+    val srcDir = stageBatchFiles(dir, "sboot", splits.tail)
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId)
+        val own = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+        store.write(batchId, prior
+          .select(col("user_id"), col("cnt").as("pc"), col("total").as("pt"))
+          .join(own.select(col("user_id"), col("cnt").as("oc"), col("total").as("ot")),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("cnt"),
+            (coalesce(col("pt"), lit(0.0)) + coalesce(col("ot"), lit(0.0))).as("total")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Savepoint reader: offline read of the final state
+    store.version(lastBatchId(srcDir))
+      .select(col("user_id"), col("cnt"), round(col("total"), 2).as("total"))
+      .orderBy("user_id")
+  }
+
+  val streamBootstrapSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT user_id, count(*)::BIGINT AS cnt, round(sum(value), 2) AS total
+        |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_curate", streamCurate, Some(streamCurateSql)),
     Q("q_stream_delta_minhash", streamDeltaMinhash, Some(streamDeltaMinhashSql)),
@@ -3250,6 +3388,8 @@ object StreamingQueries {
     Q("q_stream_retract", streamRetract, Some(streamRetractSql)),
     Q("q_stream_topn_retract", streamTopnRetract, Some(streamTopnRetractSql)),
     Q("q_stream_cdc_agg", streamCdcAgg, Some(streamCdcAggSql)),
-    Q("q_stream_substr", streamSubstr, Some(streamSubstrSql))
+    Q("q_stream_substr", streamSubstr, Some(streamSubstrSql)),
+    Q("q_stream_queryable", streamQueryable, Some(streamQueryableSql)),
+    Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql))
   )
 }

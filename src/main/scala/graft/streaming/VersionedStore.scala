@@ -38,6 +38,17 @@ final case class VersionedStore(spark: SparkSession, base: String) {
       df.write.mode("overwrite").parquet(path("init"))
     }
 
+  /** State-Processor-API writer analog (ref `flink-state-processing-api`
+    * `Savepoint.create` / `BootstrapTransformation`): build the keyed
+    * state OFFLINE with an ordinary batch job and install it as the
+    * pre-first-batch version, so a streaming maintainer RESUMES from it
+    * exactly as if it had processed that history itself. Unlike
+    * [[init]] this is measured operator work, not replay-fixture setup —
+    * the bootstrap aggregation is the point of the API.
+    */
+  def bootstrap(df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path("init"))
+
   /** The version the previous batch left (the seed before batch 0). */
   def prior(batchId: Long): DataFrame =
     spark.read.parquet(path(if (batchId == 0L) "init" else (batchId - 1).toString))
