@@ -161,4 +161,162 @@ object Graph {
     }
     dist
   }
+
+  /** Center→neighbor adjacency, both directions, from canonical
+    * undirected edges — the shared input of the neighbor-similarity
+    * measures below.
+    */
+  private def neighbors(edges: DataFrame): DataFrame =
+    Funnel.stage(edges.select(explode(array(
+        struct(col("a").as("c"), col("b").as("n")),
+        struct(col("b").as("c"), col("a").as("n")))).as("e"))
+      .select(col("e.c").as("c"), col("e.n").as("n")))
+
+  /** Fixed-round HITS (hubs & authorities) over DIRECTED edges
+    * `(src, dst)` — ref: flink-gelly `HITS.java:90` (the link-analysis
+    * library algorithm, authorities-then-hubs per superstep). Scores are
+    * kept as UNNORMALIZED integer path counts (init 1;
+    * auth_k(v) = Σ_{u→v} hub_{k−1}(u); hub_k(u) = Σ_{u→v} auth_k(v)):
+    * per-round normalization only rescales each vector by a scalar, so
+    * dividing ONCE at the end by the column sum yields the identical
+    * normalized scores while every intermediate stays integer-exact —
+    * the same DuckDB-replays-bit-for-bit discipline as the sketch layer.
+    * Each round is two node-keyed exchanges; state is node-linear.
+    * Counts grow like (2|E|)^rounds, so the few fixed rounds an oracle
+    * unrolls stay far inside BIGINT.
+    *
+    * Output: (node, hub_c, auth_c, hub_n, auth_n) — raw counts plus
+    * sum-normalized doubles rounded to 6 (exact integer inputs make the
+    * division deterministic across engines).
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = Funnel.stage(edges.select(col("src"), col("dst")).distinct())
+    val nodes = Funnel.stage(
+      e.select(explode(array(col("src"), col("dst"))).as("node")).distinct())
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(1L).as("auth"))
+    for (_ <- 1 to rounds) {
+      auth = Funnel.stage(nodes
+        .join(e.join(hub.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("hub").as("x")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("x"), lit(0L)).as("auth")))
+      hub = Funnel.stage(nodes
+        .join(e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("auth").as("x")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("x"), lit(0L)).as("hub")))
+    }
+    val scores = hub.join(auth, "node")
+    val totals = scores.agg(sum("hub").as("th"), sum("auth").as("ta"))
+    scores.crossJoin(broadcast(totals))
+      .select(col("node"),
+        col("hub").cast("long").as("hub_c"), col("auth").cast("long").as("auth_c"),
+        round(col("hub") / col("th"), 6).as("hub_n"),
+        round(col("auth") / col("ta"), 6).as("auth_n"))
+  }
+
+  /** Jaccard index over all vertex pairs sharing ≥1 neighbor — ref:
+    * flink-gelly `JaccardIndex.java:77` (the similarity library
+    * algorithm: "generate pairs grouped by the source vertex"). Wedges
+    * are enumerated per CENTER vertex (one equi-join of the adjacency
+    * on the center key), Σ_v C(deg_v, 2) pairs — which is the exact
+    * measure's OUTPUT lower bound (every wedge contributes to exactly
+    * one pair's intersection count), so nothing can be shaved without
+    * approximating; hot centers are bounded upstream by the graph
+    * constructor's block cap, the same lever the reference's
+    * GroupSpec-splitting addresses. Intersection and union are exact
+    * integers; the final division of exact inputs is deterministic
+    * across engines.
+    *
+    * Output: (u, w, cn, uni, jaccard) with u < w canonical.
+    */
+  def jaccardIndex(edges: DataFrame): DataFrame = {
+    val nbrs = neighbors(edges)
+    val deg = Funnel.stage(nbrs.groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
+    val inter = nbrs.select(col("c"), col("n").as("u"))
+      .join(nbrs.select(col("c"), col("n").as("w")), "c")
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    inter
+      .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
+      .select(col("u"), col("w"), col("cn").cast("long").as("cn"),
+        (col("du") + col("dw") - col("cn")).cast("long").as("uni"),
+        round(col("cn") / (col("du") + col("dw") - col("cn")), 6).as("jaccard"))
+  }
+
+  /** Adamic–Adar similarity — ref: flink-gelly `AdamicAdar.java:80`
+    * ("sum of 1/log(degree) over shared neighbors"). Same center-keyed
+    * wedge enumeration as [[jaccardIndex]]; each center's weight
+    * 1/ln(deg) is quantized to an INTEGER at 1e9 scale before the
+    * per-pair sum, so the aggregate is exact on both engines (a raw
+    * double sum's order-dependence would make the 6-dp rounding a
+    * coin-flip at quantization boundaries — the integer-portable
+    * discipline the sketch layer established). Output: (u, w, cn,
+    * aa_e9) with aa_e9 = Σ round(1e9 / ln(deg_center)) over common
+    * neighbors; divide by 1e9 for the paper's score.
+    */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val nbrs = neighbors(edges)
+    val wt = Funnel.stage(nbrs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("c"),
+        round(lit(1e9) / log(col("deg"))).cast("long").as("wt")))
+    nbrs.select(col("c"), col("n").as("u"))
+      .join(nbrs.select(col("c"), col("n").as("w")), "c")
+      .filter(col("u") < col("w"))
+      .join(wt, "c")
+      .groupBy("u", "w")
+      .agg(count(lit(1)).cast("long").as("cn"), sum("wt").cast("long").as("aa_e9"))
+  }
+
+  /** Vertex metrics summary — ref: flink-gelly `VertexMetrics.java:46`
+    * (vertex count, edge count, average degree, triplet count, maximum
+    * degree as one analytic result). Everything reduces off one staged
+    * degree table: two map-side-combined aggregates crossed as one-row
+    * broadcasts — no row-level output, so scale cost is the degree
+    * aggregation alone. Triplets = Σ C(deg, 2) (the wedge count the
+    * similarity measures above enumerate).
+    */
+  def vertexMetrics(edges: DataFrame): DataFrame = {
+    val deg = Funnel.stage(neighbors(edges)
+      .groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
+    val em = edges.agg(count(lit(1)).cast("long").as("edges"))
+    val vm = deg.agg(count(lit(1)).cast("long").as("vertices"),
+      coalesce(max("deg"), lit(0L)).cast("long").as("max_degree"),
+      coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("p2x2"))
+    vm.crossJoin(broadcast(em))
+      .select(col("vertices"), col("edges"),
+        when(col("vertices") === 0, lit(0.0))
+          .otherwise(round(col("edges") * 2.0 / col("vertices"), 6)).as("avg_degree"),
+        col("max_degree"), (col("p2x2") / 2).cast("long").as("triplets"))
+  }
+
+  /** Undirected triadic census — ref: flink-gelly (undirected)
+    * `TriadicCensus.java:54`, which derives the four triad-type counts
+    * from exactly these closed-form identities over vertex count, edge
+    * count, triplet count, and triangle count rather than enumerating
+    * O(n³) triples:
+    *
+    *   t3 = triangles,   t2 = triplets − 3·t3,
+    *   t1 = e·(n−2) − 2·triplets + 3·t3,   t0 = C(n,3) − t1 − t2 − t3.
+    *
+    * Triangles come from the degree-ordered [[triangleStats]]
+    * enumeration; everything else is the one-row metrics aggregate —
+    * the whole census costs one triangle count at scale.
+    */
+  def triadicCensus(edges: DataFrame): DataFrame = {
+    val tri = triangleStats(edges)
+      .agg(coalesce((sum("tri_cnt") / 3).cast("long"), lit(0L)).as("t3"))
+    vertexMetrics(edges).crossJoin(broadcast(tri))
+      .select(col("vertices"), col("edges"), col("triplets"), col("t3"))
+      .select(col("t3"),
+        (col("triplets") - col("t3") * 3).cast("long").as("t2"),
+        (col("edges") * (col("vertices") - 2) - col("triplets") * 2 + col("t3") * 3)
+          .cast("long").as("t1"),
+        col("vertices"), col("edges"), col("triplets"))
+      .select(col("vertices"), col("edges"), col("triplets"),
+        ((col("vertices") * (col("vertices") - 1) * (col("vertices") - 2)) / 6
+          - col("t1") - col("t2") - col("t3")).cast("long").as("t0"),
+        col("t1"), col("t2"), col("t3"))
+  }
 }

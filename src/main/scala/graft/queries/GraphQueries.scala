@@ -157,10 +157,134 @@ object GraphQueries {
       s"""
          |SELECT node, d::BIGINT AS dist FROM d$SsspRounds ORDER BY node""".stripMargin
 
+  /** Three fixed HITS rounds over the co-engagement edges directed
+    * low→high id (the canonical orientation — every node can hold both
+    * roles, which is exactly what distinguishes hub from authority
+    * scores on an asymmetric degree distribution). Scores stay integer
+    * path counts until one final sum-normalization ([[Graph.hits]]);
+    * the oracle unrolls the identical authorities-then-hubs recurrence.
+    */
+  def graphHits(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(coEdges(s, dir).select(col("a").as("src"), col("b").as("dst")),
+      rounds = HitsRounds).orderBy("node")
+
+  private val HitsRounds = 3
+
+  val graphHitsSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, nodes AS (SELECT DISTINCT v AS node
+        |            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |h0 AS (SELECT node, 1::BIGINT AS hub FROM nodes)""".stripMargin +
+      (1 to HitsRounds).map { k =>
+        s""",
+           |a$k AS (SELECT n.node, coalesce(s.x, 0)::BIGINT AS auth
+           |        FROM nodes n LEFT JOIN (
+           |          SELECT e.b AS node, sum(h.hub)::BIGINT AS x
+           |          FROM e JOIN h${k - 1} h ON h.node = e.a GROUP BY 1) s USING (node)),
+           |h$k AS (SELECT n.node, coalesce(s.x, 0)::BIGINT AS hub
+           |        FROM nodes n LEFT JOIN (
+           |          SELECT e.a AS node, sum(a.auth)::BIGINT AS x
+           |          FROM e JOIN a$k a ON a.node = e.b GROUP BY 1) s USING (node))""".stripMargin
+      }.mkString +
+      s"""
+         |, tot AS (SELECT (SELECT sum(hub) FROM h$HitsRounds)::BIGINT AS th,
+         |                 (SELECT sum(auth) FROM a$HitsRounds)::BIGINT AS ta)
+         |SELECT h.node, h.hub AS hub_c, a.auth AS auth_c,
+         |  round(h.hub / t.th, 6) AS hub_n, round(a.auth / t.ta, 6) AS auth_n
+         |FROM h$HitsRounds h JOIN a$HitsRounds a USING (node) CROSS JOIN tot t
+         |ORDER BY node""".stripMargin
+
+  private val pairsCte: String =
+    """
+      |, nbrs AS (SELECT a AS c, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT c AS v, count(*)::BIGINT AS deg FROM nbrs GROUP BY 1),
+      |wedge AS (SELECT x.c, x.n AS u, y.n AS w
+      |          FROM nbrs x JOIN nbrs y ON y.c = x.c AND x.n < y.n)""".stripMargin
+
+  /** Jaccard index for every user pair sharing a co-engagement
+    * neighbor; exact integer intersection/union, center-keyed wedge
+    * enumeration ([[Graph.jaccardIndex]]).
+    */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame =
+    Graph.jaccardIndex(coEdges(s, dir)).orderBy("u", "w")
+
+  val graphJaccardSql: String =
+    Tables.eventsCte + edgesCte + pairsCte +
+      """
+        |, inter AS (SELECT u, w, count(*)::BIGINT AS cn FROM wedge GROUP BY 1, 2)
+        |SELECT i.u, i.w, i.cn, (du.deg + dw.deg - i.cn)::BIGINT AS uni,
+        |  round(i.cn / (du.deg + dw.deg - i.cn), 6) AS jaccard
+        |FROM inter i JOIN deg du ON du.v = i.u JOIN deg dw ON dw.v = i.w
+        |ORDER BY u, w""".stripMargin
+
+  /** Adamic–Adar link prediction over the same wedges, center weights
+    * 1/ln(deg) quantized to integers at 1e9 so the per-pair sums are
+    * engine-exact ([[Graph.adamicAdar]]).
+    */
+  def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdar(coEdges(s, dir)).orderBy("u", "w")
+
+  val graphAdamicAdarSql: String =
+    Tables.eventsCte + edgesCte + pairsCte +
+      """
+        |, wt AS (SELECT v AS c, CAST(round(1e9 / ln(deg)) AS BIGINT) AS wt
+        |         FROM deg WHERE deg >= 2)
+        |SELECT wg.u, wg.w, count(*)::BIGINT AS cn, sum(wt.wt)::BIGINT AS aa_e9
+        |FROM wedge wg JOIN wt ON wt.c = wg.c
+        |GROUP BY 1, 2 ORDER BY u, w""".stripMargin
+
+  /** One-row vertex metrics (counts, average/max degree, triplets) —
+    * the analytic summary of [[Graph.vertexMetrics]].
+    */
+  def graphMetrics(s: SparkSession, dir: String): DataFrame =
+    Graph.vertexMetrics(coEdges(s, dir))
+
+  val graphMetricsSql: String =
+    Tables.eventsCte + edgesCte + pairsCte +
+      """
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS vertices,
+        |       (SELECT count(*) FROM e)::BIGINT AS edges,
+        |       round(2.0 * (SELECT count(*) FROM e) / (SELECT count(*) FROM deg), 6)
+        |         AS avg_degree,
+        |       (SELECT max(deg) FROM deg)::BIGINT AS max_degree,
+        |       ((SELECT sum(deg * (deg - 1)) FROM deg) // 2)::BIGINT AS triplets""".stripMargin
+
+  /** Undirected triadic census via the closed-form identities over
+    * (n, e, triplets, triangles) — [[Graph.triadicCensus]]; the oracle
+    * recomputes triangles with the naive three-way join and applies
+    * the same identities.
+    */
+  def graphTriads(s: SparkSession, dir: String): DataFrame =
+    Graph.triadicCensus(coEdges(s, dir))
+
+  val graphTriadsSql: String =
+    Tables.eventsCte + edgesCte + pairsCte +
+      """
+        |, t3c AS (SELECT count(*)::BIGINT AS t3
+        |          FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |base AS (SELECT (SELECT count(*) FROM deg)::BIGINT AS vertices,
+        |                (SELECT count(*) FROM e)::BIGINT AS edges,
+        |                ((SELECT sum(deg * (deg - 1)) FROM deg) // 2)::BIGINT AS triplets,
+        |                (SELECT t3 FROM t3c) AS t3)
+        |SELECT vertices, edges, triplets,
+        |  ((vertices * (vertices - 1) * (vertices - 2)) // 6
+        |    - (edges * (vertices - 2) - triplets * 2 + t3 * 3)
+        |    - (triplets - t3 * 3) - t3)::BIGINT AS t0,
+        |  (edges * (vertices - 2) - triplets * 2 + t3 * 3)::BIGINT AS t1,
+        |  (triplets - t3 * 3)::BIGINT AS t2, t3::BIGINT AS t3
+        |FROM base""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
     Q("q_graph_components", graphComponents, Some(graphComponentsSql)),
-    Q("q_graph_sssp", graphSssp, Some(graphSsspSql))
+    Q("q_graph_sssp", graphSssp, Some(graphSsspSql)),
+    Q("q_graph_hits", graphHits, Some(graphHitsSql)),
+    Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("q_graph_adamic_adar", graphAdamicAdar, Some(graphAdamicAdarSql)),
+    Q("q_graph_metrics", graphMetrics, Some(graphMetricsSql)),
+    Q("q_graph_triads", graphTriads, Some(graphTriadsSql))
   )
 }

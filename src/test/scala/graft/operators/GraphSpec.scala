@@ -44,6 +44,55 @@ class GraphSpec extends SparkSpec {
     assert(perNode == 3L * naive, s"perNodeSum=$perNode naive=$naive")
   }
 
+  test("hits: hand-computed hub/authority counts on the classic 4-node shape") {
+    // 1→2, 1→3, 2→3, 4→3: node 3 is the authority, node 1 the best hub
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val r1 = Graph.hits(e, rounds = 1).orderBy("node")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // auth1 = in-sums of hub0=1: (0,1,3,0); hub1 = out-sums of auth1: (4,3,0,3)
+    assert(r1.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 4L, 0L), (2L, 3L, 1L), (3L, 0L, 3L), (4L, 3L, 0L)))
+    assert(r1.map(r => r._1 -> ((r._4, r._5))).toMap ===
+      Map(1L -> ((0.4, 0.0)), 2L -> ((0.3, 0.25)), 3L -> ((0.0, 0.75)), 4L -> ((0.3, 0.0))))
+    // a second round keeps 3 the sole authority and 1 the top hub
+    val r2 = Graph.hits(e, rounds = 2).orderBy("node")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r2.maxBy(_._5)._1 === 3L)
+    assert(r2.maxBy(_._4)._1 === 1L)
+  }
+
+  test("jaccardIndex: K4 plus pendant — all 9 sharing pairs with exact ratios") {
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val rows = Graph.jaccardIndex(e).orderBy("u", "w")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 9) // (1,5) shares no neighbor and must be absent
+    val m = rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(m((2L, 3L)) === ((2L, 4L, 0.5)))
+    assert(m((1L, 2L)) === ((2L, 5L, 0.4)))
+    assert(m((2L, 5L)) === ((1L, 3L, 0.333333)))
+    assert(!m.contains((1L, 5L)))
+  }
+
+  test("adamicAdar: integer-quantized weights sum exactly per shared neighbor") {
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val m = Graph.adamicAdar(e).as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val w4 = math.round(1e9 / math.log(4)) // center 1, degree 4
+    val w3 = math.round(1e9 / math.log(3)) // centers 2/3/4, degree 3
+    assert(m((2L, 3L)) === ((2L, w4 + w3))) // common neighbors {1, 4}
+    assert(m((4L, 5L)) === ((1L, w4)))      // only common neighbor is 1
+    assert(m.size === 9)
+  }
+
+  test("vertexMetrics + triadicCensus: closed forms match brute force on K4 plus pendant") {
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val vm = Graph.vertexMetrics(e).as[(Long, Long, Double, Long, Long)].head()
+    assert(vm === ((5L, 7L, 2.8, 4L, 15L)))
+    val tc = Graph.triadicCensus(e)
+      .select("t0", "t1", "t2", "t3").as[(Long, Long, Long, Long)].head()
+    assert(tc === ((0L, 3L, 3L, 4L))) // brute-force census of C(5,3)=10 triples
+  }
+
   test("labelPropagation: two cliques with one bridge converge to per-clique labels") {
     val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
