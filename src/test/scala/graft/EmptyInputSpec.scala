@@ -79,7 +79,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_substr_fast", // rolling-hash kernel over empty
     "q_doc_substr_strip", // span fold over null span arrays
     "q_match_sql", // SQL MATCH_RECOGNIZE route over empty partitions
-    "q_graph_sssp" // relaxation loop fed zero edges (null-source aggregate)
+    "q_graph_sssp", // relaxation loop fed zero edges (null-source aggregate)
+    "q_graph_hits", // power-iteration loop + sum-normalization over zero nodes
+    "q_graph_triads" // closed-form triad arithmetic over null/zero aggregates
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
