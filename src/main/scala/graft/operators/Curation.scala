@@ -761,4 +761,95 @@ object Curation {
       .withColumn("coverage_frac",
         round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
   }
+
+  /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning", §2.2 — the heuristics that built C4 from
+    * Common Crawl). Line level: retain only lines that end in a
+    * terminal punctuation mark, have ≥ `minLineWords` words, and
+    * mention neither "javascript" nor a curly brace. Page level: drop
+    * any page containing "lorem ipsum" or a curly brace outright, and
+    * pages with fewer than `minLines` retained lines.
+    *
+    * Everything is per-row expression work over the line array — zero
+    * shuffle, stays inside whole-stage codegen, so at 100 TB this is
+    * scan-rate cleaning exactly like the reference pipelines it
+    * mirrors. Output: (id, n_lines, n_kept, keep, clean_md5) where
+    * clean_md5 fingerprints the retained lines joined by newline
+    * (empty string when nothing survives).
+    */
+  def c4Clean(docs: DataFrame, minLineWords: Int = 3, minLines: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, ln =>
+      ln.rlike("[.!?\"]$") &&
+        size(filter(split(ln, " "), w => w =!= "")) >= minLineWords &&
+        !ln.contains("javascript") && !ln.contains("{"))
+    docs.select(col(idCol).cast("long").as("id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        (!col(textCol).contains("lorem ipsum") && !col(textCol).contains("{") &&
+          size(kept) >= minLines).as("keep"),
+        md5(array_join(kept, "\n")).as("clean_md5"))
+  }
+
+  /** Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1 — the document-level filters behind MassiveWeb). Per
+    * document: word-count bounds, mean-word-length bounds, symbol-to-
+    * word ratio ('#' or '...'), bullet-line and ellipsis-line
+    * fractions, the fraction of words containing an alphabetic
+    * character, and the ≥ `minStopwords` distinct-stopword requirement.
+    * Emits every measured statistic, each rule's verdict, and the
+    * conjunction `keep` — the paper's battery as one expression-level
+    * projection (zero shuffle; symbol counts use replace-length
+    * arithmetic so both engines count identically).
+    */
+  def gopherFlags(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stop = Array("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    val text = col(textCol)
+    val words = filter(split(regexp_replace(text, "\n", " "), " "), w => w =!= "")
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val occurrences = (hay: Column, needle: String) =>
+      (length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+    docs
+      .select(col(idCol).cast("long").as("id"), text.as("t"),
+        nWords.as("n_words"),
+        (aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords)
+          .as("mean_len_raw"),
+        ((occurrences(text, "#") + occurrences(text, "...")).cast("double") / nWords)
+          .as("symbol_ratio_raw"),
+        (size(filter(lines, ln => ln.startsWith("- ") || ln.startsWith("* "))).cast("double")
+          / size(lines)).as("bullet_frac_raw"),
+        (size(filter(lines, ln => ln.endsWith("..."))).cast("double") / size(lines))
+          .as("ellipsis_frac_raw"),
+        (size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nWords)
+          .as("alpha_frac_raw"),
+        size(array_intersect(array_distinct(words), lit(stop))).cast("long").as("n_stop"))
+      .select(col("id"), col("n_words"),
+        round(col("mean_len_raw"), 6).as("mean_len"),
+        round(col("symbol_ratio_raw"), 6).as("symbol_ratio"),
+        round(col("bullet_frac_raw"), 6).as("bullet_frac"),
+        round(col("ellipsis_frac_raw"), 6).as("ellipsis_frac"),
+        round(col("alpha_frac_raw"), 6).as("alpha_frac"),
+        col("n_stop"),
+        col("n_words").between(minWords, maxWords).as("pass_words"),
+        col("mean_len_raw").between(minMeanLen, maxMeanLen).as("pass_mean_len"),
+        (col("symbol_ratio_raw") <= maxSymbolRatio).as("pass_symbol"),
+        (col("bullet_frac_raw") <= maxBulletFrac).as("pass_bullet"),
+        (col("ellipsis_frac_raw") <= maxEllipsisFrac).as("pass_ellipsis"),
+        (col("alpha_frac_raw") >= minAlphaFrac).as("pass_alpha"),
+        (col("n_stop") >= minStopwords).as("pass_stop"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stop"))
+      .drop("t")
+  }
 }

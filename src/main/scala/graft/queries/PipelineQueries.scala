@@ -2309,6 +2309,149 @@ object PipelineQueries {
        |  md5(coalesce(kept, '')) AS kept_md5
        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Noisy lined corpus for the C4/Gopher rule batteries: the 3-token
+    * lines of [[linedDocs]] plus DETERMINISTIC web-crud injection both
+    * engines replay — bullet prefixes, "javascript" and "#" and "{"
+    * tokens, terminal "." / "..." suffixes, and a "lorem ipsum." first
+    * line on every 23rd doc. The fixture corpus is clean lowercase
+    * prose, so without the injection every rule would be a constant;
+    * with it each rule genuinely discriminates and the oracle replays
+    * the same arithmetic.
+    */
+  private[queries] def noisyLinedDocs(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val did = col("doc_id")
+    docs.select(did,
+      array_join(transform(
+        sequence(lit(0L), floor((size(toks) + lit(2)) / lit(3)).cast("long") - 1),
+        g => {
+          val base = array_join(slice(toks, (g * 3 + 1).cast("int"), lit(3)), " ")
+          val b1 = when((did * 3 + g) % 9 === 0, concat(lit("- "), base)).otherwise(base)
+          val b2 = when((did + g) % 19 === 0, concat(b1, lit(" javascript"))).otherwise(b1)
+          val b3 = when((did * 5 + g) % 37 === 0, concat(b2, lit(" {"))).otherwise(b2)
+          val b4 = when((did + g) % 11 === 0, concat(b3, lit(" #"))).otherwise(b3)
+          when((did + g) % 5 === 0, concat(b4, lit(".")))
+            .when((did + g) % 5 === 1, concat(b4, lit("...")))
+            .otherwise(b4)
+        }), "\n").as("text"))
+      .select(did,
+        when(did % 23 === 0, concat(lit("lorem ipsum.\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** The noisy lined corpus as DuckDB CTEs ending in `doc(doc_id, text)`
+    * — the oracle-side mirror of [[noisyLinedDocs]].
+    */
+  private val noisyDocSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |l AS (SELECT doc_id, unnest(range(0, (len(t)+2)//3)) AS pos, t FROM d),
+       |ln0 AS (SELECT doc_id, pos, array_to_string(t[pos*3+1:pos*3+3], ' ') AS line FROM l),
+       |ln1 AS (SELECT doc_id, pos, CASE WHEN (doc_id*3+pos)%9=0 THEN '- ' || line
+       |                                 ELSE line END AS line FROM ln0),
+       |ln2 AS (SELECT doc_id, pos, CASE WHEN (doc_id+pos)%19=0 THEN line || ' javascript'
+       |                                 ELSE line END AS line FROM ln1),
+       |ln3 AS (SELECT doc_id, pos, CASE WHEN (doc_id*5+pos)%37=0 THEN line || ' {'
+       |                                 ELSE line END AS line FROM ln2),
+       |ln4 AS (SELECT doc_id, pos, CASE WHEN (doc_id+pos)%11=0 THEN line || ' #'
+       |                                 ELSE line END AS line FROM ln3),
+       |ln5 AS (SELECT doc_id, pos, CASE WHEN (doc_id+pos)%5=0 THEN line || '.'
+       |                                 WHEN (doc_id+pos)%5=1 THEN line || '...'
+       |                                 ELSE line END AS line FROM ln4),
+       |doc AS (SELECT doc_id,
+       |          CASE WHEN doc_id%23=0 THEN 'lorem ipsum.' || chr(10) ELSE '' END ||
+       |          string_agg(line, chr(10) ORDER BY pos) AS text
+       |        FROM ln5 GROUP BY doc_id)""".stripMargin
+
+  /** C4 page cleaning (Raffel et al. 2020 §2.2) over the noisy lined
+    * corpus — see [[graft.operators.Curation.c4Clean]]. The oracle
+    * replays the line retention rules with list_filter and the
+    * page-level drops verbatim.
+    */
+  def docC4(s: SparkSession, dir: String): DataFrame =
+    Curation.c4Clean(noisyLinedDocs(Tables.documents(s, dir)))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val docC4Sql: String =
+    noisyDocSql +
+      """
+        |, ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM doc),
+        |k AS (SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+        |        list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        |          AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+        |          AND NOT contains(x, 'javascript')
+        |          AND NOT contains(x, '{')) AS kept
+        |      FROM ls)
+        |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  (NOT contains(text, 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND len(kept) >= 3) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin
+
+  /** Gopher rule battery (Rae et al. 2021 Appendix A1) over the same
+    * noisy corpus — see [[graft.operators.Curation.gopherFlags]]. Every
+    * statistic is integer-ratio arithmetic (counts and replace-length
+    * symbol occurrences), so both engines compute identical doubles
+    * before the threshold comparisons.
+    */
+  def docGopher(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherFlags(noisyLinedDocs(Tables.documents(s, dir)))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val docGopherSql: String =
+    noisyDocSql +
+      """
+        |, w AS (SELECT doc_id, text,
+        |          list_filter(string_split(replace(text, chr(10), ' '), ' '),
+        |                      x -> x <> '') AS words,
+        |          string_split(text, chr(10)) AS lines
+        |        FROM doc),
+        |m AS (SELECT doc_id,
+        |        len(words)::BIGINT AS n_words,
+        |        list_sum(list_transform(words, x -> len(x))) * 1.0 / len(words)
+        |          AS mean_len_raw,
+        |        ((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', ''))) // 3) * 1.0 / len(words)
+        |          AS symbol_ratio_raw,
+        |        len(list_filter(lines, x -> x[1:2] = '- ' OR x[1:2] = '* ')) * 1.0
+        |          / len(lines) AS bullet_frac_raw,
+        |        len(list_filter(lines, x -> x[-3:] = '...')) * 1.0 / len(lines)
+        |          AS ellipsis_frac_raw,
+        |        len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) * 1.0
+        |          / len(words) AS alpha_frac_raw,
+        |        (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END
+        |         + CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END)::BIGINT
+        |          AS n_stop
+        |      FROM w)
+        |SELECT doc_id, n_words,
+        |  round(mean_len_raw, 6) AS mean_len,
+        |  round(symbol_ratio_raw, 6) AS symbol_ratio,
+        |  round(bullet_frac_raw, 6) AS bullet_frac,
+        |  round(ellipsis_frac_raw, 6) AS ellipsis_frac,
+        |  round(alpha_frac_raw, 6) AS alpha_frac,
+        |  n_stop,
+        |  (n_words BETWEEN 50 AND 100000) AS pass_words,
+        |  (mean_len_raw BETWEEN 3.0 AND 10.0) AS pass_mean_len,
+        |  (symbol_ratio_raw <= 0.1) AS pass_symbol,
+        |  (bullet_frac_raw <= 0.9) AS pass_bullet,
+        |  (ellipsis_frac_raw <= 0.3) AS pass_ellipsis,
+        |  (alpha_frac_raw >= 0.8) AS pass_alpha,
+        |  (n_stop >= 2) AS pass_stop,
+        |  ((n_words BETWEEN 50 AND 100000) AND (mean_len_raw BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio_raw <= 0.1 AND bullet_frac_raw <= 0.9
+        |    AND ellipsis_frac_raw <= 0.3 AND alpha_frac_raw >= 0.8 AND n_stop >= 2)
+        |    AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
+
   /** Per-doc 8-gram novelty under corpus id order (see
     * [[graft.operators.Curation.ngramNovelty]]).
     */
@@ -3021,6 +3164,8 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
+    Q("q_doc_c4", docC4, Some(docC4Sql)),
+    Q("q_doc_gopher", docGopher, Some(docGopherSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),

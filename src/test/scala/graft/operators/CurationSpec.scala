@@ -6,6 +6,42 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("c4Clean: line retention rules and page-level drops, hand-checked") {
+    val docs = Seq(
+      // 3 good lines -> kept page
+      (1L, "this is a fine sentence.\nanother good line here!\nthird one also fine?"),
+      // terminal-punctuation and word-count rules drop lines -> too few kept
+      (2L, "no terminal punctuation\ntoo short.\nthis one is long enough."),
+      // javascript / brace lines dropped; page itself has a brace -> dropped
+      (3L, "enable javascript to view.\nfunction f() { return.\ngood line over here."),
+      // lorem ipsum kills the page even with good lines
+      (4L, "lorem ipsum dolor sit amet.\nperfectly good line here.\nanother good line too.\nthird good line stays.")
+    ).toDF("doc_id", "text")
+    val r = Curation.c4Clean(docs).orderBy("id")
+      .select("id", "n_lines", "n_kept", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r === Array((1L, 3L, 3L, true), (2L, 3L, 1L, false),
+      (3L, 3L, 1L, false), (4L, 4L, 4L, false)))
+  }
+
+  test("gopherFlags: each statistic hand-computed on a tiny doc") {
+    val docs = Seq((1L, "the cat and the hat...\n- a list item\nplain line #")).toDF("doc_id", "text")
+    val r = Curation.gopherFlags(docs, minWords = 5, minStopwords = 2).head()
+    assert(r.getAs[Long]("n_words") === 12L)
+    // words: the cat and the hat... - a list item plain line #
+    // lengths 3+3+3+3+6 + 1 + 1+4+4 + 5+4+1 = 38
+    assert(r.getAs[Double]("mean_len") === math.rint(38.0 / 12 * 1e6) / 1e6)
+    assert(r.getAs[Double]("symbol_ratio") === math.rint(2.0 / 12 * 1e6) / 1e6)
+    assert(r.getAs[Double]("bullet_frac") === 0.333333)
+    assert(r.getAs[Double]("ellipsis_frac") === 0.333333)
+    // "-" and "#" carry no alphabetic char: 10/12
+    assert(r.getAs[Double]("alpha_frac") === 0.833333)
+    assert(r.getAs[Long]("n_stop") === 3L) // the, and, a
+    assert(r.getAs[Boolean]("pass_words") && r.getAs[Boolean]("pass_stop"))
+    assert(!r.getAs[Boolean]("pass_ellipsis")) // 1/3 > 0.3
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
   test("repetitionMetrics: hand-computed fractions") {
     val df = Seq((1L, "a a b"), (2L, "x y z"), (3L, "p p p p")).toDF("id", "text")
     val m = Curation.repetitionMetrics(col("text"))
