@@ -572,4 +572,106 @@ object Similarity {
         row_number().over(w).as("rn"))
       .filter(col("rn") <= topK)
   }
+
+  /** IVF-PQ with residual encoding and per-cell ADC — the full
+    * billion-scale index of Jégou, Douze & Schmid 2011 ("Product
+    * Quantization for Nearest Neighbor Search", the IVFADC system),
+    * composing [[ivfTopK]]'s coarse routing with [[pqTopK]]'s code
+    * compression: every corpus vector is assigned to its nearest coarse
+    * centroid, the RESIDUAL x − c(cell) is product-quantized (residuals
+    * concentrate near the origin, which is why the classic system
+    * quantizes them instead of raw vectors), and a query probes
+    * `nprobe` cells, building one ADC lookup table per (query, cell)
+    * from its own residual against that cell.
+    *
+    * Scale shape: centroids and the (m·ksub-row) codebook broadcast;
+    * the corpus crosses the wire once for assignment and once as
+    * m-byte-per-vector codes; the per-query work is nprobe·m·ksub
+    * exact distances plus a code-stream sum over only the probed
+    * cells' vectors. Per-subspace distances are fixed to integer
+    * micro-units before the sum (engine-exact); sub-codebook seeds
+    * start at vec id `nlist` so no seed is a coarse centroid's own
+    * zero residual.
+    *
+    * Output: (qid, nid, adist, rn) — top `topK` per query by ascending
+    * approximate distance over the probed cells.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qe: array<float|double>)
+      corpus: DataFrame, // (vec_id, embedding)
+      dims: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      topK: Int
+  ): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    import graft.functions.GraftFunctions.{cosine_double, dot_double}
+    def l2sq(a: Column, b: Column): Column =
+      dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)
+    val e = Funnel.stage(corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("e")))
+    val cent = e.filter(col("vid") < nlist)
+      .select(col("vid").cast("int").as("cid"), col("e").as("ce"))
+    // coarse assignment + residual, corpus crosses the wire once
+    val assigned = Funnel.stage(e.join(broadcast(cent))
+      .select(col("vid"), col("e"), col("cid"), col("ce"),
+        round(cosine_double(col("e"), col("ce")), 6).as("cd"))
+      .groupBy("vid")
+      .agg(max_by(struct(col("cid"), col("ce")), struct(col("cd"), -col("cid"))).as("cc"),
+        first(col("e")).as("e"))
+      .select(col("vid"), col("cc.cid").as("cid"),
+        zip_with(col("e"), col("cc.ce"), (a, b) => a - b).as("r")))
+    val sub = Funnel.stage(assigned
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("r"))
+      .select(col("vid"), col("s"),
+        slice(col("r"), col("s") * subDim + 1, lit(subDim)).as("v")))
+    var cb = sub.filter(col("vid") >= nlist && col("vid") < nlist + ksub)
+      .select(col("s"), (col("vid") - nlist).cast("int").as("code"), col("v").as("cv"))
+    def assignCodes(df: DataFrame): DataFrame =
+      df.join(broadcast(cb), "s")
+        .select(col("vid"), col("s"), col("v"), col("code"),
+          round(l2sq(col("v"), col("cv")), 6).as("d"))
+        .groupBy("vid", "s")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("v")).as("v"))
+    for (_ <- 1 to iters) {
+      cb = assignCodes(sub)
+        .select(col("s"), col("code"), posexplode(col("v")))
+        .groupBy("s", "code", "pos").agg(round(avg("col"), 6).as("c"))
+        .groupBy("s", "code")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("s"), col("code"), transform(col("pc"), _.getField("c")).as("cv"))
+    }
+    val codes = assignCodes(sub).select(col("vid"), col("s"), col("code"))
+      .join(assigned.select("vid", "cid"), "vid")
+    // query probes + per-(query, cell) residual ADC tables
+    val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qd").desc, col("cid"))
+    val probes = q.join(broadcast(cent))
+      .select(col("qid"), col("qe"), col("cid"), col("ce"),
+        round(cosine_double(col("qe"), col("ce")), 6).as("qd"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qr"))
+    val qsub = probes
+      .select(col("qid"), col("cid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("qr"))
+      .select(col("qid"), col("cid"), col("s"),
+        slice(col("qr"), col("s") * subDim + 1, lit(subDim)).as("v"))
+    val dt = qsub.join(broadcast(cb), "s")
+      .select(col("qid"), col("cid"), col("s"), col("code"),
+        round(l2sq(col("v"), col("cv")) * 1e6).cast("long").as("dn"))
+    val w = Window.partitionBy("qid").orderBy(col("adn").asc, col("nid"))
+    codes.join(broadcast(dt), Seq("cid", "s", "code"))
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid").as("nid"))
+      .agg(sum("dn").as("adn"))
+      .select(col("qid"), col("nid"), round(col("adn") / 1e6, 4).as("adist"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= topK)
+  }
 }

@@ -1391,6 +1391,71 @@ object PipelineQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** IVF-PQ with residual encoding (see
+    * [[graft.operators.Similarity.ivfPqTopK]]): 8 coarse cells, nprobe
+    * 2, residuals product-quantized into 4 subspaces × 4 codes (1
+    * training round), queries answered by per-cell ADC. The oracle
+    * replays coarse assignment, residuals, the codebook round, and the
+    * integer-micro-unit ADC sum.
+    */
+  def embIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.ivfPqTopK(queries, emb, dims = 64, nlist = 8, nprobe = 2,
+        m = 4, ksub = 4, iters = 1, topK = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val embIvfPqSql: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+    val l2 = (a: String, b: String) =>
+      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |asg AS (SELECT vid, cid, list_transform(range(1, 65), i -> e[i] - ce[i]) AS r
+       |        FROM (SELECT m.vec_id AS vid, m.e, c.cid, c.ce,
+       |                row_number() OVER (PARTITION BY m.vec_id
+       |                  ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |              FROM emb m, cent c) WHERE rn = 1),
+       |sub AS (SELECT vid, s, r[s * 16 + 1 : s * 16 + 16] AS v FROM asg, range(0, 4) t(s)),
+       |cb0 AS (SELECT s, (vid - 8)::INTEGER AS code, v AS cv
+       |        FROM sub WHERE vid >= 8 AND vid < 12),
+       |a1 AS (SELECT vid, s, code FROM (
+       |  SELECT m.vid, m.s, c.code,
+       |    row_number() OVER (PARTITION BY m.vid, m.s
+       |      ORDER BY round(${l2("m.v", "c.cv")}, 6) ASC, c.code) AS rn
+       |  FROM sub m JOIN cb0 c USING (s)) WHERE rn = 1),
+       |comp1 AS (SELECT a1.s, code, i, round(avg(v[i + 1]), 6) AS c
+       |          FROM a1 JOIN sub ON sub.vid = a1.vid AND sub.s = a1.s, range(0, 16) t(i)
+       |          GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT s, code, list(c ORDER BY i) AS cv FROM comp1 GROUP BY 1, 2),
+       |codes AS (SELECT vid, s, code, cid FROM (
+       |  SELECT m.vid, m.s, c.code,
+       |    row_number() OVER (PARTITION BY m.vid, m.s
+       |      ORDER BY round(${l2("m.v", "c.cv")}, 6) ASC, c.code) AS rn
+       |  FROM sub m JOIN cb1 c USING (s)) JOIN asg USING (vid) WHERE rn = 1),
+       |probes AS (SELECT qid, cid, list_transform(range(1, 65), i -> qe[i] - ce[i]) AS qr
+       |           FROM (SELECT m.vec_id AS qid, m.e AS qe, c.cid, c.ce,
+       |                   row_number() OVER (PARTITION BY m.vec_id
+       |                     ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |                 FROM emb m, cent c WHERE m.vec_id < 10) WHERE rn <= 2),
+       |qsub AS (SELECT qid, cid, s, qr[s * 16 + 1 : s * 16 + 16] AS v
+       |         FROM probes, range(0, 4) t(s)),
+       |dt AS (SELECT q.qid, q.cid, c.s, c.code,
+       |         round((${l2("q.v", "c.cv")}) * 1e6)::BIGINT AS dn
+       |       FROM qsub q JOIN cb1 c USING (s)),
+       |ad AS (SELECT dt.qid, codes.vid AS nid, sum(dn)::BIGINT AS adn
+       |       FROM codes JOIN dt ON dt.cid = codes.cid AND dt.s = codes.s
+       |         AND dt.code = codes.code
+       |       WHERE codes.vid <> dt.qid GROUP BY 1, 2)
+       |SELECT qid, nid, adist, rn FROM (
+       |  SELECT qid, nid, round(adn / 1e6, 4) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
     * materialized as SQL literals and DuckDB replays candidate
@@ -3248,6 +3313,7 @@ object PipelineQueries {
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_pq", embPq, Some(embPqSql)),
+    Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),

@@ -299,6 +299,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scanCounts("q_emb_kmeans")._1 == 0)
   }
 
+  test("q_emb_ivfpq: staged corpus/residual/subvector frames — query side scans once") {
+    // e, assigned, and sub are each referenced by several downstream
+    // frames (centroids + residuals; codes + cell map; training rounds
+    // + encode); with the stage boundaries the only parquet read left
+    // in the final plan is the query side's probe scan.
+    assert(scanCounts("q_emb_ivfpq")._1 <= 1)
+  }
+
   test("q_doc_dsir / q_doc_ppl_buckets: staged intermediates keep corpus scans bounded") {
     // dsir: the two histogram stages each scan once off-plan; the final
     // plan re-explodes the source side exactly once (was 5 scans before

@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("ivfPqTopK: planted near-duplicates dominate the top ranks; self excluded") {
+    // dim=16, m=4, subDim=4; 4 coarse cells from the first 4 bases,
+    // sub-codebook seeds from vec ids 4..7
+    val res = Similarity.ivfPqTopK(queries, corpus, dims = dim, nlist = 4,
+        nprobe = 2, m = 4, ksub = 4, iters = 2, topK = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty)
+    // ranks are 1..k per query, distances ascending, no self-match
+    val byQ = res.groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(identity).toSeq)
+      sorted.foreach(r => assert(r._1 != r._2))
+    }
+    // ADC on residuals is approximate, but a jittered copy of the query
+    // (cos ≈ 0.999) should appear in the top-3 for most queries
+    val hit = byQ.count { case (q, rows) =>
+      rows.exists(r => r._2 / 10 - 100 == q && r._2 >= 1000)
+    }
+    assert(hit >= 12, s"only $hit/20 queries surfaced a planted near-dup in top-3")
+  }
+
   test("nearDupPairs finds every planted near-duplicate, no sub-threshold pair") {
     // plant 10 near-dup pairs (cos > 0.98: tiny seeded perturbation) in a
     // sea of 200 random vectors — banded LSH must recover ALL of them
