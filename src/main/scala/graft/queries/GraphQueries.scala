@@ -276,11 +276,31 @@ object GraphQueries {
         |  (triplets - t3 * 3)::BIGINT AS t2, t3::BIGINT AS t3
         |FROM base""".stripMargin
 
+  /** The same SSSP computed on the GENERIC scatter-gather engine
+    * ([[graft.operators.VertexCentric.ssspOnEngine]] — the Gelly
+    * runtime surface, with SSSP as the reference's own quickstart
+    * scatter-gather program). Shares `graphSsspSql` verbatim: the
+    * engine must reproduce the hand-written library algorithm's rows
+    * bit-for-bit.
+    */
+  def graphSsspSg(s: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(s, dir)
+      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7)
+    val source = e
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .agg(min("v").as("node"))
+      .select(col("node"), lit(0L).as("d"))
+    graft.operators.VertexCentric.ssspOnEngine(e, source, rounds = 6)
+      .select(col("node"), col("d").cast("long").as("dist"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
     Q("q_graph_components", graphComponents, Some(graphComponentsSql)),
     Q("q_graph_sssp", graphSssp, Some(graphSsspSql)),
+    Q("q_graph_sssp_sg", graphSsspSg, Some(graphSsspSql)),
     Q("q_graph_hits", graphHits, Some(graphHitsSql)),
     Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("q_graph_adamic_adar", graphAdamicAdar, Some(graphAdamicAdarSql)),

@@ -206,6 +206,34 @@ class GraphSpec extends SparkSpec {
       .apply(3L) === 10L)
   }
 
+  test("scatterGather: one-round neighbor sum, hand-checked; no-message vertices keep value") {
+    // directed: 1→2, 1→3, 2→3; vertex 1 receives nothing
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("node", "value")
+    val r = VertexCentric.scatterGather(e, v,
+        msgExpr = col("value"),
+        aggMsg = sum,
+        updateExpr = (old, g) => coalesce(g, old),
+        rounds = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(r === Map(1L -> 10.0, 2L -> 10.0, 3L -> 30.0)) // 3 gathers 10+20
+  }
+
+  test("ssspOnEngine reproduces Graph.sssp exactly on a seeded random weighted graph") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*).withColumn("w", lit(1L) + (col("a") * 7 + col("b")) % 5)
+    val source = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .agg(min("v").as("node")).select(col("node"), lit(0L).as("d"))
+    val lib = Graph.sssp(e, source, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val eng = VertexCentric.ssspOnEngine(e, source, rounds = 4)
+      .select(col("node"), col("d").cast("long").as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(eng === lib)
+  }
+
   test("coOccurrenceEdges: cap drops hot blocks, support filters incidental pairs") {
     // block X: members 1..5 appearing together twice (support 2 via two blocks)
     val rows =
