@@ -493,6 +493,66 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Scalar (SQ8) quantization ANN — the standard memory-tier companion
+    * to product quantization (faiss's ScalarQuantizer QT_8bit posture,
+    * public literature): each dimension is affinely coded into one byte
+    * against the corpus's per-dimension [min, max] envelope,
+    * `code = round(255·(x−min)/Δ)`, and queries score against the
+    * DEQUANTIZED reconstruction (asymmetric: the query side stays
+    * exact, only the corpus pays the 4×-8× compression). The exact
+    * cosine of each returned pair rides along as the audit column, so
+    * recall/ranking degradation is measured in the result itself.
+    *
+    * Scale shape: the envelope is one posexplode + (dim)-keyed
+    * aggregate collapsed to a single broadcast row of two arrays;
+    * encode and dequantize are zip_with projections in the corpus scan
+    * (zero shuffle); scoring reuses the brute-force top-k exchange at
+    * 1-byte-per-dim scanned width. Constant-dimension envelopes make
+    * the whole path engine-replayable (the only floats are the same
+    * left-to-right dot folds every other embedding oracle relies on).
+    *
+    * Output: (qid, nid, cos_sq8, cos_exact, rn) — top `topK` per query
+    * by ROUNDED quantized cosine, nid tie-break.
+    */
+  def sq8TopK(
+      queries: DataFrame, // (qid, qe)
+      corpus: DataFrame, // (vec_id, embedding)
+      topK: Int
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val e = Funnel.stage(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")))
+    val env = e.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx")))).as("ims"))
+      .select(transform(col("ims"), _.getField("mn")).as("vmin"),
+        transform(col("ims"), x => x.getField("mx") - x.getField("mn")).as("vdelta"))
+    val coded = e.crossJoin(broadcast(env))
+      .select(col("vec_id"),
+        transform(col("e"), (x, i) =>
+          when(element_at(col("vdelta"), i + 1) === 0.0, lit(0L))
+            .otherwise(round((x - element_at(col("vmin"), i + 1)) * 255.0
+              / element_at(col("vdelta"), i + 1)).cast("long"))).as("codes"),
+        col("vmin"), col("vdelta"), col("e"))
+      .select(col("vec_id"),
+        transform(col("codes"), (c, i) =>
+          element_at(col("vmin"), i + 1)
+            + c * element_at(col("vdelta"), i + 1) / 255.0).as("deq"),
+        col("e"))
+    val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cq").desc, col("nid"))
+    coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine_double(col("qe"), col("deq")), 6).as("cq"),
+        round(cosine_double(col("qe"), col("e")), 4).as("cos_exact"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("nid"), round(col("cq"), 4).as("cos_sq8"),
+        col("cos_exact"), col("rn"))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search", public literature): split each
     * vector into `m` subspaces, train a tiny k-means codebook per

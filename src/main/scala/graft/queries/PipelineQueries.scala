@@ -1391,6 +1391,44 @@ object PipelineQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** SQ8 scalar-quantization ANN (see
+    * [[graft.operators.Similarity.sq8TopK]]): per-dimension byte codes
+    * against the corpus envelope, asymmetric scoring on the
+    * dequantized reconstruction, exact cosine as the audit column. The
+    * oracle replays envelope, codes, dequantization and both cosines.
+    */
+  def embSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.sq8TopK(queries, emb, topK = 5).orderBy("qid", "rn")
+  }
+
+  val embSq8Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |env0 AS (SELECT i, min(e[i + 1]) AS mn, max(e[i + 1]) AS mx
+       |         FROM emb, range(0, 64) t(i) GROUP BY 1),
+       |env AS (SELECT list(mn ORDER BY i) AS vmin, list(mx - mn ORDER BY i) AS vdelta
+       |        FROM env0),
+       |deq AS (SELECT vec_id, e,
+       |          list_transform(range(1, 65), i ->
+       |            vmin[i] + (CASE WHEN vdelta[i] = 0 THEN 0
+       |                       ELSE round((e[i] - vmin[i]) * 255.0 / vdelta[i]) END)
+       |                      * vdelta[i] / 255.0) AS d
+       |        FROM emb, env),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+       |sc AS (SELECT q.qid, deq.vec_id AS nid,
+       |         round(${cos("q.qe", "deq.d")}, 6) AS cq,
+       |         round(${cos("q.qe", "deq.e")}, 4) AS cos_exact
+       |       FROM deq, q WHERE deq.vec_id <> q.qid)
+       |SELECT qid, nid, round(cq, 4) AS cos_sq8, cos_exact, rn FROM (
+       |  SELECT qid, nid, cq, cos_exact,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cq DESC, nid) AS rn FROM sc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** IVF-PQ with residual encoding (see
     * [[graft.operators.Similarity.ivfPqTopK]]): 8 coarse cells, nprobe
     * 2, residuals product-quantized into 4 subspaces × 4 codes (1
@@ -3314,6 +3352,7 @@ object PipelineQueries {
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_pq", embPq, Some(embPqSql)),
     Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
+    Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),

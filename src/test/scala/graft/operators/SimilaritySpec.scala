@@ -52,6 +52,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("sq8TopK: byte codes track exact cosine; planted near-dup stays rank 1") {
+    val res = Similarity.sq8TopK(queries, corpus, topK = 3)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(res.length === 20 * 3)
+    // 8-bit per-dim reconstruction error is tiny on unit vectors
+    res.foreach { case (_, _, sq8, exact, _) =>
+      assert(math.abs(sq8 - exact) < 0.02, s"sq8=$sq8 exact=$exact")
+    }
+    // every query's rank-1 is one of its 3 jittered copies
+    res.filter(_._5 == 1).foreach { case (q, nid, _, _, _) =>
+      assert(nid / 10 - 100 == q && nid >= 1000, s"q=$q rank1=$nid")
+    }
+  }
+
   test("ivfPqTopK: planted near-duplicates dominate the top ranks; self excluded") {
     // dim=16, m=4, subDim=4; 4 coarse cells from the first 4 bases,
     // sub-codebook seeds from vec ids 4..7
