@@ -291,6 +291,34 @@ object Graph {
         col("max_degree"), (col("p2x2") / 2).cast("long").as("triplets"))
   }
 
+  /** Structural graph summarization — ref: flink-gelly
+    * `Summarization.java:70` ("vertices with the same value are
+    * grouped into one summary vertex; edges between groups collapse
+    * with a count"). `values` assigns each node a group; the summary
+    * is one row per unordered group pair carrying the collapsed edge
+    * count and both groups' member counts. Two node-keyed joins + two
+    * aggregations — the whole graph reduces to |groups|² rows at most,
+    * which is the point of the operator at scale (the summary is what
+    * you ship to the analyst; the billion-edge graph stays put).
+    *
+    * Output: (ga, gb, n_edges, na_members, nb_members), ga ≤ gb.
+    */
+  def summarize(edges: DataFrame, values: DataFrame): DataFrame = {
+    val members = Funnel.stage(values.groupBy(col("grp"))
+      .agg(count(lit(1)).as("members")))
+    edges
+      .join(values.select(col("node").as("a"), col("grp").as("va")), "a")
+      .join(values.select(col("node").as("b"), col("grp").as("vb")), "b")
+      .select(least(col("va"), col("vb")).as("ga"),
+        greatest(col("va"), col("vb")).as("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).cast("long").as("n_edges"))
+      .join(members.select(col("grp").as("ga"), col("members").as("na_members")), "ga")
+      .join(members.select(col("grp").as("gb"), col("members").as("nb_members")), "gb")
+      .select(col("ga"), col("gb"), col("n_edges"),
+        col("na_members").cast("long").as("na_members"),
+        col("nb_members").cast("long").as("nb_members"))
+  }
+
   /** Undirected triadic census — ref: flink-gelly (undirected)
     * `TriadicCensus.java:54`, which derives the four triad-type counts
     * from exactly these closed-form identities over vertex count, edge

@@ -295,6 +295,40 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** Graph summarization by each user's dominant event type (most
+    * frequent, ties to the alphabetically smallest — the deterministic
+    * vertex-value assignment): the co-engagement graph collapses to a
+    * handful of (type, type) summary rows with edge and member counts
+    * ([[Graph.summarize]]).
+    */
+  def graphSummarize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("event_type"))
+    val values = Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("node"), col("event_type").as("grp"))
+    Graph.summarize(coEdges(s, dir), values).orderBy("ga", "gb")
+  }
+
+  val graphSummarizeSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, vv AS (SELECT user_id AS node, event_type AS grp FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM ev GROUP BY 1, 2) WHERE rn = 1),
+        |mem AS (SELECT grp, count(*)::BIGINT AS members FROM vv GROUP BY 1),
+        |se AS (SELECT least(va.grp, vb.grp) AS ga, greatest(va.grp, vb.grp) AS gb,
+        |         count(*)::BIGINT AS n_edges
+        |       FROM e JOIN vv va ON va.node = e.a JOIN vv vb ON vb.node = e.b
+        |       GROUP BY 1, 2)
+        |SELECT ga, gb, n_edges, ma.members AS na_members, mb.members AS nb_members
+        |FROM se JOIN mem ma ON ma.grp = se.ga JOIN mem mb ON mb.grp = se.gb
+        |ORDER BY ga, gb""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
@@ -305,6 +339,7 @@ object GraphQueries {
     Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("q_graph_adamic_adar", graphAdamicAdar, Some(graphAdamicAdarSql)),
     Q("q_graph_metrics", graphMetrics, Some(graphMetricsSql)),
-    Q("q_graph_triads", graphTriads, Some(graphTriadsSql))
+    Q("q_graph_triads", graphTriads, Some(graphTriadsSql)),
+    Q("q_graph_summarize", graphSummarize, Some(graphSummarizeSql))
   )
 }

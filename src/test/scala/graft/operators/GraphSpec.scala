@@ -206,6 +206,16 @@ class GraphSpec extends SparkSpec {
       .apply(3L) === 10L)
   }
 
+  test("summarize: groups collapse to pair counts with member sizes, hand-checked") {
+    // triangle {1,2,3} in group x, pair {4,5} in group y, bridge 3-4
+    val e = edges((1, 2), (1, 3), (2, 3), (4, 5), (3, 4))
+    val v = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y")).toDF("node", "grp")
+    val r = Graph.summarize(e, v).orderBy("ga", "gb")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(r === Array(("x", "x", 3L, 3L, 3L), ("x", "y", 1L, 3L, 2L),
+      ("y", "y", 1L, 2L, 2L)))
+  }
+
   test("scatterGather: one-round neighbor sum, hand-checked; no-message vertices keep value") {
     // directed: 1→2, 1→3, 2→3; vertex 1 receives nothing
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
