@@ -493,6 +493,77 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998, public literature — the classic redundancy-aware
+    * re-rank every RAG/dedup-aware retrieval stack ships): from each
+    * query's `candK` highest-cosine candidates, greedily select
+    * `selectK` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    *
+    * Scale shape: candidate generation is the ordinary top-k exchange;
+    * everything after operates on candK rows per query — the candidate
+    * pair-sim table is (candK² per query, both directions) and each of
+    * the `selectK` greedy rounds is an anti-join + a bounded max + one
+    * row_number pick over those candidate rows only. The corpus is
+    * never touched again after candidate generation, so the greedy
+    * loop's cost is independent of corpus size. Relevance and
+    * pair-similarity are rounded to 6 before the linear combination,
+    * keeping the argmax engine-replayable.
+    *
+    * Output: (qid, nid, mmr, rel, step) — selection order 1..selectK,
+    * `mmr` the selection-time score rounded to 4 (step 1's score is
+    * pure λ·rel: nothing is selected yet).
+    */
+  def mmrTopK(
+      queries: DataFrame, // (qid, qe)
+      corpus: DataFrame, // (vec_id, embedding)
+      candK: Int,
+      selectK: Int,
+      lambda: Double
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val wCand = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+    val cand = Funnel.stage(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("ed"),
+        round(cosine_double(col("qe"), col("ed")), 6).as("rel"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= candK)
+      .drop("rn"))
+    val pairSim = Funnel.stage(cand.select(col("qid"), col("nid").as("c1"), col("ed").as("e1"))
+      .join(cand.select(col("qid"), col("nid").as("c2"), col("ed").as("e2")), "qid")
+      .filter(col("c1") =!= col("c2"))
+      .select(col("qid"), col("c1"), col("c2"),
+        round(cosine_double(col("e1"), col("e2")), 6).as("sim")))
+    val wPick = Window.partitionBy("qid").orderBy(round(col("score"), 6).desc, col("nid"))
+    var selected = cand
+      .select(col("qid"), col("nid"), col("rel"),
+        (col("rel") * lambda).as("score"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("rel"), col("score"), lit(1).as("step"))
+    for (t <- 2 to selectK) {
+      val remaining = cand.select("qid", "nid", "rel")
+        .join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      val redundancy = pairSim
+        .join(selected.select(col("qid"), col("nid").as("c2")), Seq("qid", "c2"))
+        .groupBy(col("qid"), col("c1").as("nid"))
+        .agg(max("sim").as("ms"))
+      val pick = remaining
+        .join(redundancy, Seq("qid", "nid"), "left")
+        .select(col("qid"), col("nid"), col("rel"),
+          (col("rel") * lambda - coalesce(col("ms"), lit(0.0)) * (1 - lambda)).as("score"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("rel"), col("score"), lit(t).as("step"))
+      selected = Funnel.stage(selected.unionByName(pick))
+    }
+    selected.select(col("qid"), col("nid"), round(col("score"), 4).as("mmr"),
+      round(col("rel"), 4).as("rel"), col("step").cast("long").as("step"))
+  }
+
   /** Scalar (SQ8) quantization ANN — the standard memory-tier companion
     * to product quantization (faiss's ScalarQuantizer QT_8bit posture,
     * public literature): each dimension is affinely coded into one byte

@@ -1429,6 +1429,57 @@ object PipelineQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** MMR diversified retrieval (see
+    * [[graft.operators.Similarity.mmrTopK]]): top-8 cosine candidates
+    * per query, 3 greedy λ=0.7 selections. The oracle unrolls the
+    * greedy rounds as CTEs over the same rounded candidate/pair-sim
+    * tables.
+    */
+  def embMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.mmrTopK(queries, emb, candK = 8, selectK = 3, lambda = 0.7)
+      .orderBy("qid", "step")
+  }
+
+  val embMmrSql: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+    val step = (t: Int) =>
+      s"""r$t AS (SELECT c.qid, c.nid, c.rel,
+         |    c.rel * 0.7 - 0.3 * coalesce(m.ms, 0) AS score
+         |  FROM cand c
+         |  LEFT JOIN (SELECT ps.qid, ps.c1 AS nid, max(ps.sim) AS ms
+         |             FROM ps JOIN sel${t - 1} s ON s.qid = ps.qid AND s.nid = ps.c2
+         |             GROUP BY 1, 2) m USING (qid, nid)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                    WHERE s.qid = c.qid AND s.nid = c.nid)),
+         |s$t AS (SELECT qid, nid, rel, score, $t AS step FROM (
+         |    SELECT qid, nid, rel, score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY round(score, 6) DESC, nid) AS rn FROM r$t) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+       |cand AS (SELECT qid, nid, e, rel FROM (
+       |    SELECT q.qid, m.vec_id AS nid, m.e, ${cos("q.qe", "m.e")} AS rel,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qe", "m.e")} DESC, m.vec_id) AS rn
+       |    FROM emb m, q WHERE m.vec_id <> q.qid) WHERE rn <= 8),
+       |ps AS (SELECT a.qid, a.nid AS c1, b.nid AS c2, ${cos("a.e", "b.e")} AS sim
+       |       FROM cand a JOIN cand b USING (qid) WHERE a.nid <> b.nid),
+       |s1 AS (SELECT qid, nid, rel, rel * 0.7 AS score, 1 AS step FROM (
+       |    SELECT qid, nid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |${Seq(2, 3).map(step).mkString(",\n")}
+       |SELECT qid, nid, round(score, 4) AS mmr, round(rel, 4) AS rel,
+       |  step::BIGINT AS step
+       |FROM sel3 ORDER BY qid, step""".stripMargin
+  }
+
   /** IVF-PQ with residual encoding (see
     * [[graft.operators.Similarity.ivfPqTopK]]): 8 coarse cells, nprobe
     * 2, residuals product-quantized into 4 subspaces × 4 codes (1
@@ -3353,6 +3404,7 @@ object PipelineQueries {
     Q("q_emb_pq", embPq, Some(embPqSql)),
     Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
+    Q("q_emb_mmr", embMmr, Some(embMmrSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),

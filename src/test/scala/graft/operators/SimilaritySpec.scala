@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("mmrTopK: first pick is the top candidate; later picks avoid its near-copies") {
+    val res = Similarity.mmrTopK(queries, corpus, candK = 8, selectK = 3, lambda = 0.3)
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.forall(_._2.length == 3))
+    byQ.foreach { case (q, rows) =>
+      val picks = rows.sortBy(_._5).map(_._2)
+      assert(picks.distinct.length == 3, s"q=$q duplicate selection")
+      // step 1 = pure relevance: one of q's jittered copies
+      assert(picks.head / 10 - 100 == q && picks.head >= 1000)
+      // at λ=0.3 the ~0.99 mutual similarity of the other two copies
+      // outweighs their relevance edge: not all three picks are copies
+      assert(!picks.forall(n => n >= 1000 && n / 10 - 100 == q),
+        s"q=$q picked only near-copies ${picks.toSeq} — no diversification")
+    }
+  }
+
   test("sq8TopK: byte codes track exact cosine; planted near-dup stays rank 1") {
     val res = Similarity.sq8TopK(queries, corpus, topK = 3)
       .as[(Long, Long, Double, Double, Int)].collect()
