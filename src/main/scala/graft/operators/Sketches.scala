@@ -231,6 +231,70 @@ object Sketches {
       .agg((count(col("set")) === k).cast("long").as("bloom_hit"))
   }
 
+  // -------------------------------------------------- Misra–Gries
+
+  /** Misra–Gries k-counter summary (Misra & Gries 1982; the
+    * deterministic ancestor of Space-Saving). Buffer = up to k (item,
+    * count) counters: a hit increments, a miss with spare capacity
+    * inserts at 1, a miss at capacity decrements EVERY counter
+    * (dropping zeros) — the classic "cancel k+1 distinct items against
+    * each other" step. merge follows Agarwal et al. 2012 (mergeable
+    * summaries): sum counts pairwise, then subtract the (k+1)-th
+    * largest count from the survivors and drop non-positives, which
+    * preserves the guarantee under ANY merge tree: every item with
+    * true frequency > n/(k+1) is still present. Counts and the
+    * identity of sub-threshold stragglers ARE merge-order dependent —
+    * which is exactly why [[mgHeavyHitters]] treats the summary as a
+    * candidate set and verifies exactly.
+    */
+  private final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      if (b.contains(item)) b.updated(item, b(item) + 1L)
+      else if (b.size < k) b.updated(item, 1L)
+      else b.collect { case (i, c) if c > 1L => i -> (c - 1L) }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val m = x ++ y.map { case (i, c) => i -> (x.getOrElse(i, 0L) + c) }
+      if (m.size <= k) m
+      else {
+        val sub = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        m.collect { case (i, c) if c - sub > 0L => i -> (c - sub) }
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** Deterministic heavy hitters by summarize-then-verify: one
+    * map-side-combined Misra–Gries aggregate reduces the stream to ≤k
+    * candidate counters (each partition ships ≤k entries — contrast
+    * the full groupBy an exact top-N pays), then ONE candidate-
+    * restricted exact count (broadcast semi-join at the scan) keeps
+    * items with true frequency > n/(k+1). The guarantee makes the
+    * candidate set a superset of that threshold set under any
+    * partitioning, so the VERIFIED output is exactly the theoretical
+    * heavy-hitter set — deterministic and oracle-able even though the
+    * summary's internal counters are merge-order dependent. The
+    * integer threshold test `cnt·(k+1) > n` avoids division entirely.
+    *
+    * Output: (item, cnt) — exact counts of every item with
+    * freq > n/(k+1).
+    */
+  def mgHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val src = items.select(col(itemCol).cast("string").as("item"))
+    val cand = src.agg(mg(col("item")).as("m"))
+      .select(explode(map_keys(col("m"))).as("item"))
+    val n = src.agg(count(lit(1)).as("n"))
+    src.join(broadcast(cand), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("item"), col("cnt").cast("long").as("cnt"))
+  }
+
   // -------------------------------------------------------- KMV / Theta
 
   /** Hash-domain size for [[h60]]: hashes are uniform in [0, 2^60). */

@@ -180,6 +180,35 @@ object SketchQueries {
        |FROM p JOIN c ON p.r = c.r AND p.b = c.b
        |GROUP BY 1, 2 ORDER BY exact_cnt DESC, tok""".stripMargin
 
+  /** Misra–Gries heavy hitters (see
+    * [[graft.operators.Sketches.mgHeavyHitters]]) over the
+    * token-prefix stream (first letter — the fixture's one genuinely
+    * skewed token statistic: 20 %/6.6 %/3.3 % tiers): one k=24 counter
+    * summary reduces the stream to a candidate set, a candidate-
+    * restricted exact pass keeps prefixes with frequency > n/25 (7 of
+    * 19 pass — real discrimination). The oracle is simply the exact
+    * threshold query: the MG guarantee (candidates ⊇ the threshold set
+    * under any partitioning/merge order) is precisely what makes the
+    * verified output deterministic; a dropped candidate would fail the
+    * row count.
+    */
+  def docMgHeavy(s: SparkSession, dir: String): DataFrame = {
+    val toks = Funnel.stage(Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(substring(col("tok"), 1, 1).as("pfx")))
+    Sketches.mgHeavyHitters(toks, "pfx", k = 24)
+      .withColumnRenamed("item", "pfx")
+      .orderBy(col("cnt").desc, col("pfx"))
+  }
+
+  val docMgHeavySql: String =
+    s"""WITH t AS (SELECT substr(unnest(string_split($normSql, ' ')), 1, 1) AS pfx
+       |           FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS n FROM t)
+       |SELECT pfx, count(*)::BIGINT AS cnt
+       |FROM t, n GROUP BY pfx, n.n HAVING count(*) * 25 > n.n
+       |ORDER BY cnt DESC, pfx""".stripMargin
+
   /** Bloom-filter incremental dedup: the base corpus's fingerprints
     * set a 4096-bit / 3-hash filter; the daily delta (every 10th doc
     * plus planted re-crawls, the [[PipelineQueries.docDeltaDedup]]
@@ -705,6 +734,7 @@ object SketchQueries {
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
     Q("q_doc_cms_heavy", docCms, Some(docCmsSql)),
+    Q("q_doc_mg_heavy", docMgHeavy, Some(docMgHeavySql)),
     Q("q_doc_bloom_delta", docBloomDelta, Some(docBloomDeltaSql))
   )
 }

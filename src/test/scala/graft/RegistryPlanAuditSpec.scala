@@ -67,7 +67,13 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_rp_recall", // 10-query probe side broadcast (both brute-force legs)
     "q_evt_itemsets", // 1-row basket-count scalar for the lift denominator
     "q_emb_negatives", // 10-anchor probe side broadcast (exclusion + candidate legs)
-    "q_evt_rfm" // 1-row now-scalar + 1-row tertile-threshold table broadcast
+    "q_evt_rfm", // 1-row now-scalar + 1-row tertile-threshold table broadcast
+    "q_doc_mg_heavy", // 1-row stream-total scalar for the n/(k+1) threshold
+    "q_emb_ivfpq", // nlist-row coarse-centroid table broadcast (cell assignment)
+    "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
+    "q_graph_hits", // 1-row hub/auth normalization totals broadcast
+    "q_graph_metrics", // 1-row edge-count aggregate crossed with the vertex summary
+    "q_graph_triads" // 1-row triangle total crossed with the 1-row metrics
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {

@@ -65,6 +65,22 @@ class SketchSpec extends SparkSpec {
     assert(misses > 0)
   }
 
+  test("misra-gries: verified output equals the exact threshold set under any partitioning") {
+    val rnd = new scala.util.Random(3)
+    // zipf-ish: item i appears ~ 4000/i times, 40 items
+    val stream = (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"item$i"))
+    val shuffled = rnd.shuffle(stream)
+    val n = stream.length.toLong
+    for (k <- Seq(4, 10); parts <- Seq(1, 7, 32)) {
+      val df = shuffled.toDF("item").repartition(parts)
+      val got = Sketches.mgHeavyHitters(df, "item", k)
+        .as[(String, Long)].collect().toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter { case (_, c) => c * (k + 1) > n }.toMap
+      assert(got === exact, s"k=$k parts=$parts")
+    }
+  }
+
   test("kmv: exact below k, duplicate-insensitive, values sorted distinct") {
     val items = (0 until 600).map(i => s"kmv-${i % 120}").toDF("v")
     val vals = Sketches.kmvValues(items, "v", k = 256).orderBy("rank").collect()
