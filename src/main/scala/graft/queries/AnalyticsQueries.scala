@@ -841,6 +841,41 @@ object AnalyticsQueries {
         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Behavior-path mining — the n-gram extension of
+    * [[evtTransitions]]'s first-order matrix (the "top user journeys"
+    * product-analytics panel): each user's time-ordered event stream
+    * yields its sliding trigrams via two stacked leads over ONE
+    * user-keyed exchange; paths count globally and the top 25 rank by
+    * (count desc, path asc). Per-user work is linear in events; the
+    * path aggregate's key domain is |types|³ ≤ 125 — a bounded
+    * dimension table at any corpus size, so the final rank is a
+    * TakeOrdered over a tiny aggregate, never a corpus sort.
+    */
+  def evtPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+      .select(col("path"), col("n").cast("long").as("n"))
+  }
+
+  val evtPathsSql: String =
+    Tables.eventsCte +
+      """
+        |, t AS (SELECT event_type,
+        |          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |        FROM ev)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*)::BIGINT AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+
   /** Growth accounting (the DAU decomposition dashboards call
     * new / retained / resurrected / churned): per active (user, day),
     * one user-keyed window yields the previous and next active day;
@@ -990,6 +1025,7 @@ object AnalyticsQueries {
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
     Q("q_evt_growth", evtGrowth, Some(evtGrowthSql)),
     Q("q_evt_transitions", evtTransitions, Some(evtTransitionsSql)),
+    Q("q_evt_paths", evtPaths, Some(evtPathsSql)),
     Q("q_evt_chi2", evtChi2, Some(evtChi2Sql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),

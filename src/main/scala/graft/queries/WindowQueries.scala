@@ -37,6 +37,33 @@ object WindowQueries {
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sv
         |FROM ev GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin
 
+  /** Tumbling window with an OFFSET (ref: `TumblingEventTimeWindows.of(
+    * size, offset)` / SQL TUMBLE's offset argument — the "daily window
+    * in a non-UTC timezone / billing hour starting at :15" feature):
+    * 1-hour windows shifted by 15 minutes, so boundaries fall at
+    * :15 instead of :00. Spark expresses the same thing with
+    * `window(..., startTime)`; the oracle shifts, buckets, and shifts
+    * back — the reference's own definition of the offset semantics.
+    */
+  def windowTumbleOffset(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("event_type"), col("cnt"), col("sv"))
+      .orderBy("wstart", "event_type")
+
+  val windowTumbleOffsetSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT time_bucket(INTERVAL '1 hour', ts - INTERVAL '15 minutes')
+        |    + INTERVAL '15 minutes' AS wstart,
+        |  time_bucket(INTERVAL '1 hour', ts - INTERVAL '15 minutes')
+        |    + INTERVAL '75 minutes' AS wend,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM ev GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin
+
   /** HOP (sliding) window aggregate, size 1h slide 30m (ref: Slide class,
     * SQL HOP). Each event lands in size/slide = 2 windows; the oracle
     * materializes that expansion with a UNION ALL of shifted buckets.
@@ -199,6 +226,7 @@ object WindowQueries {
     Q("q_window_session_dynamic", windowSessionDynamic, Some(windowSessionDynamicSql)),
     Q("q_window_cumulate", windowCumulate, Some(windowCumulateSql)),
     Q("q_window_tumble", windowTumble, Some(windowTumbleSql)),
+    Q("q_window_tumble_offset", windowTumbleOffset, Some(windowTumbleOffsetSql)),
     Q("q_window_hop", windowHop, Some(windowHopSql)),
     Q("q_window_session", windowSession, Some(windowSessionSql)),
     Q("q_join_interval", joinInterval, Some(joinIntervalSql)),
