@@ -282,11 +282,20 @@ object Sketches {
     * Output: (item, cnt) — exact counts of every item with
     * freq > n/(k+1).
     */
-  def mgHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+  /** The raw ≤k-row Misra–Gries summary (item, c) — the mergeable
+    * state a streaming maintainer persists (`q_stream_mg`); counters
+    * are merge-order dependent, the candidate-set guarantee is not.
+    */
+  def mgSummary(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    items.select(col(itemCol).cast("string").as("item"))
+      .agg(mg(col("item")).as("m"))
+      .select(explode(col("m")).as(Seq("item", "c")))
+  }
+
+  def mgHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val src = items.select(col(itemCol).cast("string").as("item"))
-    val cand = src.agg(mg(col("item")).as("m"))
-      .select(explode(map_keys(col("m"))).as("item"))
+    val cand = mgSummary(src, "item", k).select("item")
     val n = src.agg(count(lit(1)).as("n"))
     src.join(broadcast(cand), "item")
       .groupBy("item").agg(count(lit(1)).as("cnt"))

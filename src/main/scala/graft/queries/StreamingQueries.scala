@@ -3190,6 +3190,77 @@ object StreamingQueries {
         |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
         |FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  /** Streaming Misra–Gries maintenance — the mergeable-summaries
+    * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
+    * builds its OWN ≤k-counter summary
+    * ([[graft.operators.Sketches.mgHeavyHitters]]'s aggregator), which
+    * merges into the versioned counter store by the same rule the
+    * aggregator's own merge uses — sum pairwise, subtract the
+    * (k+1)-th largest, drop non-positives (a windowed rank over ≤2k
+    * rows; when the union fits in k the subtrahend aggregate is null
+    * and coalesces to 0, which IS the no-op case of the rule). State
+    * is ≤k rows forever. Because the guarantee survives ANY merge
+    * tree, the final store's candidates are a superset of the
+    * frequency > n/(k+1) set, so the end-of-stream exact verify over
+    * the staged corpus emits EXACTLY the batch answer — the oracle is
+    * [[graft.queries.SketchQueries.docMgHeavySql]] verbatim.
+    */
+  def streamMg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sketches, TextAnalysis}
+    val K = 24
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "smg",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val storeBase = freshDir(dir, "smg_store")
+    graft.BenchMeters.fixture {
+      s.range(0).select(col("id").cast("string").as("item"), col("id").as("c"))
+        .write.mode("overwrite").parquet(s"$storeBase/v_init")
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorPath =
+          if (batchId == 0) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
+        val prior = s.read.parquet(priorPath)
+        val pfx = batch.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(substring(col("tok"), 1, 1).as("pfx"))
+        val own = Sketches.mgSummary(pfx, "pfx", K)
+        val summed = prior.select(col("item"), col("c").as("pc"))
+          .join(own.select(col("item"), col("c").as("oc")), Seq("item"), "full_outer")
+          .select(col("item"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("c"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("item")) // ≤2k rows: bounded
+        val ranked = summed.withColumn("rn", row_number().over(wRank)).localCheckpoint()
+        val sub = ranked.agg(max(when(col("rn") === K + 1, col("c"))).as("sub"))
+        ranked.crossJoin(broadcast(sub))
+          .select(col("item"), (col("c") - coalesce(col("sub"), lit(0L))).as("c"))
+          .filter(col("c") > 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // end-of-stream: candidate-restricted exact verify over the corpus
+    val cand = s.read.parquet(s"$storeBase/v${lastBatchId(srcDir)}")
+      .select(col("item").as("pfx"))
+    val corpus = s.read.parquet(srcDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(substring(col("tok"), 1, 1).as("pfx"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    corpus.join(broadcast(cand), "pfx")
+      .groupBy("pfx").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * (K + 1) > col("n"))
+      .select(col("pfx"), col("cnt").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pfx"))
+  }
+
   /** Queryable state — ref `KeyedStream.asQueryableState:1015-1082` +
     * `flink-queryable-state` (KvStateServer / QueryableStateClient): a
     * running job's keyed state answers external point queries WHILE the
@@ -3390,6 +3461,7 @@ object StreamingQueries {
     Q("q_stream_cdc_agg", streamCdcAgg, Some(streamCdcAggSql)),
     Q("q_stream_substr", streamSubstr, Some(streamSubstrSql)),
     Q("q_stream_queryable", streamQueryable, Some(streamQueryableSql)),
-    Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql))
+    Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql)),
+    Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql))
   )
 }
