@@ -3261,6 +3261,82 @@ object StreamingQueries {
       .orderBy(col("cnt").desc, col("pfx"))
   }
 
+  /** Streaming iteration — ref `DataStream.iterate:434-473`
+    * (IterativeStream + the feedback edge; the reference quickstart's
+    * own demo is exactly this decrement-to-zero program). Micro-batch
+    * re-expression: the feedback edge is a versioned in-flight store;
+    * each trigger passes (new arrivals ∪ fed-back rows) through the
+    * iteration body ONCE (the feedback delay = one micro-batch, like
+    * the reference's buffer timeout), splits done rows to the output
+    * and routes the rest back. When the source drains, the remaining
+    * feedback loops to empty (the drain-on-termination the reference's
+    * closed loop performs) — each drain round is one more pass, so
+    * `finished_pass` stays arrival_batch + start − 1 seamlessly across
+    * the stream/drain boundary, which the oracle pins arithmetically.
+    * In-flight state is bounded by rows-still-iterating, independent
+    * of stream length.
+    */
+  def streamIterate(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir).select("user_id").distinct()
+      .select(col("user_id"), (col("user_id") % 5 + 1).as("value"))
+    val srcDir = stageBatchFiles(dir, "sit",
+      (0 until 3).map(b => users.filter(col("user_id") % 3 === b)))
+    val fbBase = freshDir(dir, "sit_fb")
+    val resDir = freshDir(dir, "sit_res")
+    graft.BenchMeters.fixture {
+      s.range(0).select(col("id").as("user_id"), col("id").as("value"),
+        col("id").as("steps")).write.mode("overwrite").parquet(s"$fbBase/v_init")
+      s.range(0).select(col("id").as("user_id"), col("id").as("steps"),
+        col("id").as("finished_pass")).write.mode("overwrite").parquet(resDir)
+    }
+    def pass(inflow: DataFrame, passId: Long): DataFrame = {
+      val stepped = inflow
+        .select(col("user_id"), (col("value") - 1).as("value"),
+          (col("steps") + 1).as("steps"))
+        .localCheckpoint() // serves both the done split and the feedback
+      stepped.filter(col("value") <= 0)
+        .select(col("user_id"), col("steps"), lit(passId).as("finished_pass"))
+        .coalesce(1).write.mode("append").parquet(resDir)
+      stepped.filter(col("value") > 0)
+    }
+    val batches = s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("value", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorPath =
+          if (batchId == 0) s"$fbBase/v_init" else s"$fbBase/v${batchId - 1}"
+        val inflow = batch
+          .select(col("user_id"), col("value"), lit(0L).as("steps"))
+          .unionByName(s.read.parquet(priorPath))
+        pass(inflow, batchId)
+          .coalesce(1).write.mode("overwrite").parquet(s"$fbBase/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // source drained: loop the feedback edge until it empties
+    var fb = s.read.parquet(s"$fbBase/v${lastBatchId(srcDir)}")
+    var passId = lastBatchId(srcDir) + 1
+    while (!fb.isEmpty) {
+      fb = pass(fb, passId).localCheckpoint()
+      passId += 1
+    }
+    s.read.parquet(resDir)
+      .select(col("user_id"), col("steps").cast("long").as("steps"),
+        col("finished_pass").cast("long").as("finished_pass"))
+      .orderBy("user_id")
+  }
+
+  val streamIterateSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT DISTINCT user_id, (user_id % 5 + 1)::BIGINT AS steps,
+        |  (user_id % 3 + user_id % 5)::BIGINT AS finished_pass
+        |FROM ev ORDER BY user_id""".stripMargin
+
   /** Queryable state — ref `KeyedStream.asQueryableState:1015-1082` +
     * `flink-queryable-state` (KvStateServer / QueryableStateClient): a
     * running job's keyed state answers external point queries WHILE the
@@ -3462,6 +3538,7 @@ object StreamingQueries {
     Q("q_stream_substr", streamSubstr, Some(streamSubstrSql)),
     Q("q_stream_queryable", streamQueryable, Some(streamQueryableSql)),
     Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql)),
-    Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql))
+    Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql)),
+    Q("q_stream_iterate", streamIterate, Some(streamIterateSql))
   )
 }
