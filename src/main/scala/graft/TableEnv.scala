@@ -16,15 +16,17 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     Tables(spark, dir, t).createOrReplaceTempView(t)
   }
 
-  /** ref: TableEnvironment.sqlQuery. One pre-parse step: Catalyst has no
-    * MATCH_RECOGNIZE parse rule, so statements containing the clause are
-    * routed through [[graft.cep.MatchRecognizeSql]] (which lowers the
-    * block onto the oracled NFA machinery and hands the surrounding
-    * statement back to Spark SQL); everything else goes to Catalyst
-    * verbatim.
+  /** ref: TableEnvironment.sqlQuery. Two pre-parse steps for the SQL
+    * shapes Catalyst has no parse rule for: MATCH_RECOGNIZE statements
+    * route through [[graft.cep.MatchRecognizeSql]] (lowered onto the
+    * oracled NFA machinery), and windowing-TVF calls
+    * (`TABLE(TUMBLE|HOP|CUMULATE(...))`) rewrite through
+    * [[WindowTvfSql]] into Spark's own `window()` before parsing;
+    * everything else goes to Catalyst verbatim.
     */
   def sqlQuery(sql: String): DataFrame =
     if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
+    else if (WindowTvfSql.applies(sql)) spark.sql(WindowTvfSql.rewrite(sql))
     else spark.sql(sql)
 
   /** ref: TableEnvironment.from(tableName) */

@@ -191,6 +191,34 @@ object WindowQueries {
         |FROM base JOIN generate_series(1, 4) t(k) ON t.k > base.k0
         |GROUP BY wstart, wend ORDER BY wstart, wend""".stripMargin
 
+  /** The windowing-TVF SQL STATEMENTS through `TableEnv.sqlQuery` —
+    * the reference's flagship §2.6 SQL shape (`SqlTumbleTableFunction`
+    * etc.), routed through [[graft.WindowTvfSql]]'s rewriter. Each
+    * reuses its DataFrame-API twin's oracle VERBATIM: the SQL route
+    * must produce the same rows as `window()` / `CumulateWindows`.
+    */
+  def windowSqlTumble(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT window_start AS wstart, window_end AS wend, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin)
+
+  def windowSqlHop(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT window_start AS wstart, count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+        |               INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+        |GROUP BY 1 ORDER BY wstart""".stripMargin)
+
+  def windowSqlCumulate(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT window_start AS wstart, window_end AS wend,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+        |                    INTERVAL '15' MINUTE, INTERVAL '60' MINUTE))
+        |GROUP BY 1, 2 ORDER BY wstart, wend""".stripMargin)
+
   /** Session windows with a DYNAMIC gap (ref: SessionWindowTimeGapExtractor
     * / EventTimeSessionWindows.withDynamicGap): each event extends its
     * session by its own gap — purchases keep sessions alive 60 minutes,
@@ -227,6 +255,9 @@ object WindowQueries {
     Q("q_window_cumulate", windowCumulate, Some(windowCumulateSql)),
     Q("q_window_tumble", windowTumble, Some(windowTumbleSql)),
     Q("q_window_tumble_offset", windowTumbleOffset, Some(windowTumbleOffsetSql)),
+    Q("q_window_sql_tumble", windowSqlTumble, Some(windowTumbleSql)),
+    Q("q_window_sql_hop", windowSqlHop, Some(windowHopSql)),
+    Q("q_window_sql_cumulate", windowSqlCumulate, Some(windowCumulateSql)),
     Q("q_window_hop", windowHop, Some(windowHopSql)),
     Q("q_window_session", windowSession, Some(windowSessionSql)),
     Q("q_join_interval", joinInterval, Some(joinIntervalSql)),

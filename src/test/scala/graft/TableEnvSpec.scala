@@ -62,4 +62,34 @@ class TableEnvSpec extends SparkSpec {
     assert(mr.columns.toSeq === Seq("user_id", "n"))
     assert(mr.count() >= 0L) // parses, lowers, and executes
   }
+
+  test("WindowTvfSql: rewrite shapes, reference arg order, cumulate validation") {
+    assert(!WindowTvfSql.applies("SELECT window(ts, '1 hour') FROM t"))
+    val t = WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))")
+    assert(t.contains("window(ts, '1 hour')") && t.contains("window_start")
+      && t.contains("window_time"))
+    // HOP: reference order is (slide, size); Spark window() wants (size, slide)
+    val h = WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '30' MINUTE, INTERVAL '1' HOUR))")
+    assert(h.contains("window(ts, '1 hour', '30 minute')"))
+    val c = WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '60' MINUTE))")
+    assert(c.contains("sequence(1, 4)") && c.contains("timestampadd(MINUTE, 15 * __k"))
+    intercept[IllegalArgumentException](WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '60' MINUTE))"))
+  }
+
+  test("window-TVF SQL route equals the DataFrame API result") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val viaSql = env.sqlQuery(
+      """SELECT window_start AS wstart, event_type, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY 1, 2""".stripMargin)
+    val viaApi = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
 }
