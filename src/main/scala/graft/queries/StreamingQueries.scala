@@ -1516,6 +1516,61 @@ object StreamingQueries {
     */
   val streamTransitionsSql: String = AnalyticsQueries.evtTransitionsSql
 
+  /** Streaming trigram path mining — the 2-deep continuity extension
+    * of [[streamTransitions]]'s last-event state: the store carries
+    * each user's last TWO events, so every boundary-spanning trigram
+    * is completed exactly once (a carried row's trigram was not
+    * countable before — its r+2 successor had not arrived — and rows
+    * whose trigram WAS counted are never carried). Counts sum-merge;
+    * state is ≤2 rows per user. Oracle = the batch top-25 journey
+    * query verbatim.
+    */
+  def streamPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val srcDir = stageBatchFiles(dir, "spath", daySplits(ev, col("ts"), 3))
+    val countStore = graft.streaming.VersionedStore(s, freshDir(dir, "spath_store_c"))
+    val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "spath_store_l"))
+    countStore.init(s.range(0).select(col("id").cast("string").as("path"), col("id").as("n")))
+    lastStore.init(ev.limit(0))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorC = countStore.prior(batchId)
+        val priorL = lastStore.prior(batchId)
+        val all = batch.unionByName(priorL).localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val tri = all
+          .withColumn("t2", lead("event_type", 1).over(w))
+          .withColumn("t3", lead("event_type", 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .agg(count(lit(1)).as("n"))
+        countStore.write(batchId, priorC.unionByName(tri)
+          .groupBy("path").agg(sum("n").as("n")))
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        lastStore.write(batchId, all
+          .withColumn("rn", row_number().over(wDesc))
+          .filter(col("rn") <= 2).drop("rn"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    countStore.version(lastBatchId(srcDir))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+      .select(col("path"), col("n").cast("long").as("n"))
+  }
+
+  /** The batch top-25 trigram journeys verbatim — boundary-spanning
+    * paths must count exactly once across the split.
+    */
+  val streamPathsSql: String = AnalyticsQueries.evtPathsSql
+
   /** Streaming step funnel — the conditional-min chain as MONOTONE
     * per-user state: (t1, t2, t3) = first view / first click after t1 /
     * first purchase after t2, each min-merged per batch (under
@@ -3539,6 +3594,7 @@ object StreamingQueries {
     Q("q_stream_queryable", streamQueryable, Some(streamQueryableSql)),
     Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql)),
     Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql)),
-    Q("q_stream_iterate", streamIterate, Some(streamIterateSql))
+    Q("q_stream_iterate", streamIterate, Some(streamIterateSql)),
+    Q("q_stream_paths", streamPaths, Some(streamPathsSql))
   )
 }
