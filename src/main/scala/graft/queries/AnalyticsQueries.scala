@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -959,6 +959,98 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Percentile winsorization — the feature-cleaning staple (clip a
+    * value column at its per-group [p05, p95] before aggregation so a
+    * handful of outliers can't own the sum): per-type exact
+    * percentiles (both engines use the same (n−1)·p linear
+    * interpolation), bounds rounded to 6 and broadcast back, rows
+    * clipped with least/greatest, and the report shows how much mass
+    * the clip moved. One scan + one tiny aggregate join.
+    */
+  def evtWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val bounds = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("clipped"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        round(sum("value"), 2).as("sum_raw"),
+        round(sum("clipped"), 2).as("sum_clipped"))
+      .orderBy("event_type")
+  }
+
+  val evtWinsorizeSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT event_type,
+        |          round(quantile_cont(value, 0.05), 6) AS lo,
+        |          round(quantile_cont(value, 0.95), 6) AS hi
+        |        FROM ev GROUP BY 1)
+        |SELECT ev.event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        |  round(sum(value), 2) AS sum_raw,
+        |  round(sum(greatest(lo, least(hi, value))), 2) AS sum_clipped
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Robust z-score outliers (median/MAD, the Iglewicz–Hoaglin
+    * modified z — the anomaly rule that survives the very outliers a
+    * mean/stddev z is dragged by, complementing [[evtAnomaly]]):
+    * per-type hourly counts, exact integer median and MAD (exact
+    * medians of integers are deterministic on both engines), modified
+    * z = 0.6745·(cnt − med)/mad rounded to 3, |z| ≥ 3.5 flags. Two
+    * tiny per-type aggregates broadcast back over the hourly rollup.
+    */
+  def evtRobustZ(s: SparkSession, dir: String): DataFrame = {
+    val h = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt")))
+    val med = h.groupBy("event_type").agg(expr("percentile(cnt, 0.5)").as("med"))
+    val mad = h.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"),
+        expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+    h.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("h").cast("string").as("hr"),
+        col("cnt").cast("long").as("cnt"),
+        // floor(x·1000 + 0.5) instead of round(x, 3): med/mad are exact
+        // dyadic rationals so x is the IDENTICAL double on both engines,
+        // and this quantization is a pure IEEE op chain — engine round()
+        // implementations disagree exactly at x.xxx5 boundaries, which
+        // the small rational mad hits constantly
+        when(col("mad") > 0,
+          floor(lit(0.6745) * (col("cnt") - col("med")) / col("mad") * 1000 + 0.5)
+            .cast("long")).as("zm"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        (col("zm") / 1000.0).as("z"),
+        coalesce(abs(col("zm")) >= 3500, lit(false)).as("outlier"))
+      .orderBy("event_type", "hr")
+  }
+
+  val evtRobustZSql: String =
+    Tables.eventsCte +
+      """
+        |, hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS cnt
+        |         FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM hc GROUP BY 1),
+        |md AS (SELECT hc.event_type, any_value(med) AS med,
+        |         quantile_cont(abs(cnt - med), 0.5) AS mad
+        |       FROM hc JOIN m USING (event_type) GROUP BY 1)
+        |, zz AS (SELECT hc.event_type, hc.h::VARCHAR AS hr, cnt,
+        |           CASE WHEN mad > 0
+        |                THEN CAST(floor(0.6745 * (cnt - med) / mad * 1000 + 0.5) AS BIGINT)
+        |           END AS zm
+        |         FROM hc JOIN md USING (event_type))
+        |SELECT event_type, hr, cnt, zm / 1000.0 AS z,
+        |  coalesce(abs(zm) >= 3500, false) AS outlier
+        |FROM zz ORDER BY event_type, hr""".stripMargin
+
   val evtAnomalySql: String =
     Tables.eventsCte +
       """
@@ -1028,6 +1120,8 @@ object AnalyticsQueries {
     Q("q_evt_paths", evtPaths, Some(evtPathsSql)),
     Q("q_evt_chi2", evtChi2, Some(evtChi2Sql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
+    Q("q_evt_winsorize", evtWinsorize, Some(evtWinsorizeSql)),
+    Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
     Q("q_evt_attribution", evtAttribution, Some(evtAttributionSql)),
