@@ -762,6 +762,27 @@ object Curation {
         round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Feature hashing — the hashing trick (Weinberger et al. 2009,
+    * "Feature Hashing for Large Scale Multitask Learning"): categorical
+    * feature strings hash into a FIXED `dim`-dimensional signed count
+    * vector (index = portable 60-bit hash mod dim, sign = an
+    * independent hash bit — the signed variant that makes collisions
+    * cancel in expectation), so the feature space needs no vocabulary,
+    * no fit step, and no growing state: the classic way to featurize
+    * unbounded categorical domains at 100 TB. One explode + one
+    * (key, dim)-keyed map-side-combined aggregate; output is the
+    * sparse vector as rows.
+    *
+    * Input: (key, feature-string) rows. Output: (key, dim, val).
+    */
+  def featureHash(rows: DataFrame, keyCol: String, featCol: String,
+      dim: Int): DataFrame =
+    rows.select(col(keyCol).as("key"),
+        (Sketches.h60(col(featCol)) % dim).as("dim"),
+        ((Sketches.h60(concat(lit("s|"), col(featCol))) % 2) * 2 - 1).as("sgn"))
+      .groupBy("key", "dim")
+      .agg(sum("sgn").cast("long").as("val"))
+
   /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
     * of Transfer Learning", §2.2 — the heuristics that built C4 from
     * Common Crawl). Line level: retain only lines that end in a

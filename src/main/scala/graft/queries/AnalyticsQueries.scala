@@ -959,6 +959,40 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Hashed user feature vectors (see
+    * [[graft.operators.Curation.featureHash]]): each event contributes
+    * three categorical features (type, hour-of-day, day-of-week) that
+    * hash into a 32-dim signed count vector per user — the
+    * vocabulary-free featurization a 100-TB training pipeline feeds
+    * its downstream models. Oracle replays the md5 index/sign
+    * arithmetic exactly (the portable-hash idiom the sketch family
+    * established).
+    */
+  def evtFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.events(s, dir)
+      .select(col("user_id"), explode(array(
+        concat(lit("t:"), col("event_type")),
+        concat(lit("h:"), hour(col("ts"))),
+        concat(lit("d:"), dayofweek(col("ts"))))).as("f"))
+    graft.operators.Curation.featureHash(feats, "user_id", "f", dim = 32)
+      .select(col("key").as("user_id"), col("dim"), col("val"))
+      .orderBy("user_id", "dim")
+  }
+
+  val evtFeatureHashSql: String =
+    Tables.eventsCte +
+      """
+        |, f AS (SELECT user_id, unnest(['t:' || event_type,
+        |    'h:' || hour(ts)::VARCHAR,
+        |    'd:' || (dayofweek(ts) + 1)::VARCHAR]) AS f -- Spark dayofweek is 1-based
+        |  FROM ev),
+        |h AS (SELECT user_id,
+        |        ('0x' || substr(md5(f), 1, 15))::BIGINT % 32 AS dim,
+        |        (('0x' || substr(md5('s|' || f), 1, 15))::BIGINT % 2) * 2 - 1 AS sgn
+        |      FROM f)
+        |SELECT user_id, dim, sum(sgn)::BIGINT AS val
+        |FROM h GROUP BY 1, 2 ORDER BY user_id, dim""".stripMargin
+
   /** Percentile winsorization — the feature-cleaning staple (clip a
     * value column at its per-group [p05, p95] before aggregation so a
     * handful of outliers can't own the sum): per-type exact
@@ -1121,6 +1155,7 @@ object AnalyticsQueries {
     Q("q_evt_chi2", evtChi2, Some(evtChi2Sql)),
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_winsorize", evtWinsorize, Some(evtWinsorizeSql)),
+    Q("q_evt_feature_hash", evtFeatureHash, Some(evtFeatureHashSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
