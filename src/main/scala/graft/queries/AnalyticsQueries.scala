@@ -959,6 +959,49 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Hourly resampling with forward fill — the time-series
+    * regularization every feature pipeline needs before windowed
+    * models (gap-fill to a fixed grid, carry the last observation
+    * forward): per-user hourly grid from a one-row bounds aggregate
+    * exploded with `sequence`, left-joined to the observed hourly
+    * rollup, then ONE user-keyed `last(ignoreNulls)` running window
+    * fills the gaps. Grid size is (span × keys), independent of event
+    * volume; the probe set keeps the demo output bounded.
+    */
+  def evtResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+    val obs = ev.groupBy("user_id", "h").agg(round(sum("value"), 4).as("v"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").cast("string").as("hr"),
+        last("v", ignoreNulls = true).over(w).as("val"),
+        col("v").isNull.as("filled"))
+      .orderBy("user_id", "hr")
+  }
+
+  val evtResampleSql: String =
+    Tables.eventsCte +
+      """
+        |, e2 AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+        |         FROM ev WHERE user_id < 20),
+        |obs AS (SELECT user_id, h, round(sum(value), 4) AS v FROM e2 GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h),
+        |           INTERVAL '1 hour')) AS h
+        |         FROM e2 GROUP BY user_id)
+        |SELECT grid.user_id, grid.h::VARCHAR AS hr,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY grid.user_id ORDER BY grid.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+        |  v IS NULL AS filled
+        |FROM grid LEFT JOIN obs USING (user_id, h)
+        |ORDER BY user_id, hr""".stripMargin
+
   /** Hashed user feature vectors (see
     * [[graft.operators.Curation.featureHash]]): each event contributes
     * three categorical features (type, hour-of-day, day-of-week) that
@@ -1156,6 +1199,7 @@ object AnalyticsQueries {
     Q("q_evt_anomaly", evtAnomaly, Some(evtAnomalySql)),
     Q("q_evt_winsorize", evtWinsorize, Some(evtWinsorizeSql)),
     Q("q_evt_feature_hash", evtFeatureHash, Some(evtFeatureHashSql)),
+    Q("q_evt_resample", evtResample, Some(evtResampleSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
