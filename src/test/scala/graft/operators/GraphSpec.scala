@@ -229,6 +229,31 @@ class GraphSpec extends SparkSpec {
     assert(r === Map(1L -> 10.0, 2L -> 10.0, 3L -> 30.0)) // 3 gathers 10+20
   }
 
+  test("scatterGather fold-style gather: label propagation on the engine equals the library") {
+    // collect_list gather + an array-expression apply — the reference's
+    // GatherFunction-over-the-message-iterable shape
+    val rnd = new scala.util.Random(13)
+    val es = (0 until 150).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val init = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("value"))
+    val eng = VertexCentric.scatterGather(und, init,
+        msgExpr = col("value"),
+        aggMsg = collect_list,
+        updateExpr = (old, g) => when(g.isNull, old).otherwise(
+          -array_max(transform(array_distinct(g), x =>
+            struct(size(filter(g, y => y === x)).as("c"), (-x).as("nl"))))
+            .getField("nl")),
+        rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val lib = Graph.labelPropagation(e, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(eng === lib)
+  }
+
   test("ssspOnEngine reproduces Graph.sssp exactly on a seeded random weighted graph") {
     val rnd = new scala.util.Random(11)
     val es = (0 until 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
