@@ -1404,30 +1404,37 @@ object PipelineQueries {
     Similarity.sq8TopK(queries, emb, topK = 5).orderBy("qid", "rn")
   }
 
-  val embSq8Sql: String = {
-    val cos = (a: String, b: String) =>
-      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+  private def cosDivSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+
+  /** The SQ8 pipeline's CTE body (after `emb`): envelope + dequantized
+    * corpus `deq(vec_id, e, d)` — shared by [[embSq8Sql]] and the
+    * compression-recall oracle so the two can never drift.
+    */
+  private val sq8Ctes: String =
+    """env0 AS (SELECT i, min(e[i + 1]) AS mn, max(e[i + 1]) AS mx
+      |         FROM emb, range(0, 64) t(i) GROUP BY 1),
+      |env AS (SELECT list(mn ORDER BY i) AS vmin, list(mx - mn ORDER BY i) AS vdelta
+      |        FROM env0),
+      |deq AS (SELECT vec_id, e,
+      |          list_transform(range(1, 65), i ->
+      |            vmin[i] + (CASE WHEN vdelta[i] = 0 THEN 0
+      |                       ELSE round((e[i] - vmin[i]) * 255.0 / vdelta[i]) END)
+      |                      * vdelta[i] / 255.0) AS d
+      |        FROM emb, env)""".stripMargin
+
+  val embSq8Sql: String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |env0 AS (SELECT i, min(e[i + 1]) AS mn, max(e[i + 1]) AS mx
-       |         FROM emb, range(0, 64) t(i) GROUP BY 1),
-       |env AS (SELECT list(mn ORDER BY i) AS vmin, list(mx - mn ORDER BY i) AS vdelta
-       |        FROM env0),
-       |deq AS (SELECT vec_id, e,
-       |          list_transform(range(1, 65), i ->
-       |            vmin[i] + (CASE WHEN vdelta[i] = 0 THEN 0
-       |                       ELSE round((e[i] - vmin[i]) * 255.0 / vdelta[i]) END)
-       |                      * vdelta[i] / 255.0) AS d
-       |        FROM emb, env),
+       |$sq8Ctes,
        |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
        |sc AS (SELECT q.qid, deq.vec_id AS nid,
-       |         round(${cos("q.qe", "deq.d")}, 6) AS cq,
-       |         round(${cos("q.qe", "deq.e")}, 4) AS cos_exact
+       |         round(${cosDivSql("q.qe", "deq.d")}, 6) AS cq,
+       |         round(${cosDivSql("q.qe", "deq.e")}, 4) AS cos_exact
        |       FROM deq, q WHERE deq.vec_id <> q.qid)
        |SELECT qid, nid, round(cq, 4) AS cos_sq8, cos_exact, rn FROM (
        |  SELECT qid, nid, cq, cos_exact,
        |    row_number() OVER (PARTITION BY qid ORDER BY cq DESC, nid) AS rn FROM sc)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-  }
 
   /** MMR diversified retrieval (see
     * [[graft.operators.Similarity.mmrTopK]]): top-8 cosine candidates
@@ -1496,13 +1503,16 @@ object PipelineQueries {
       .orderBy("qid", "rn")
   }
 
-  val embIvfPqSql: String = {
+  /** The IVF-PQ pipeline's CTE body (after `emb`), ending in
+    * `ad(qid, nid, adn)` — shared by [[embIvfPqSql]] and the
+    * compression-recall oracle so the two can never drift.
+    */
+  private val ivfPqCtes: String = {
     val cos = (a: String, b: String) =>
       s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
     val l2 = (a: String, b: String) =>
       s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |cent AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
+    s"""cent AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
        |asg AS (SELECT vid, cid, list_transform(range(1, 65), i -> e[i] - ce[i]) AS r
        |        FROM (SELECT m.vec_id AS vid, m.e, c.cid, c.ce,
        |                row_number() OVER (PARTITION BY m.vec_id
@@ -1538,12 +1548,70 @@ object PipelineQueries {
        |ad AS (SELECT dt.qid, codes.vid AS nid, sum(dn)::BIGINT AS adn
        |       FROM codes JOIN dt ON dt.cid = codes.cid AND dt.s = codes.s
        |         AND dt.code = codes.code
-       |       WHERE codes.vid <> dt.qid GROUP BY 1, 2)
+       |       WHERE codes.vid <> dt.qid GROUP BY 1, 2)""".stripMargin
+  }
+
+
+  val embIvfPqSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$ivfPqCtes
        |SELECT qid, nid, adist, rn FROM (
        |  SELECT qid, nid, round(adn / 1e6, 4) AS adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Compression-tier recall report — the accuracy audit the two
+    * compressed indexes owe their users: recall\@5 of IVF-PQ (residual
+    * ADC) and SQ8 (dequantized scoring) against the exact brute-force
+    * top-5, per query. Reuses each tier's exact pipeline (same params
+    * as `q_emb_ivfpq` / `q_emb_sq8`); the oracle composes the SHARED
+    * CTE bodies of those oracles ([[ivfPqCtes]], [[sq8Ctes]]) so
+    * report and per-tier queries can never drift.
+    */
+  def embCompressionRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Funnel.stage(
+      Similarity.bruteForceTopK(queries, emb, k = 5).select("qid", "nid"))
+    val qids = queries.select("qid")
+    def tier(name: String, approx: DataFrame): DataFrame =
+      qids.join(approx.select("qid", "nid").join(exact, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+        .select(lit(name).as("tier"), col("qid"),
+          coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall"))
+    tier("ivfpq", Similarity.ivfPqTopK(queries, emb, dims = 64, nlist = 8,
+        nprobe = 2, m = 4, ksub = 4, iters = 1, topK = 5))
+      .unionByName(tier("sq8", Similarity.sq8TopK(queries, emb, topK = 5)))
+      .orderBy("tier", "qid")
   }
+
+  val embCompressionRecallSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$sq8Ctes,
+       |$ivfPqCtes,
+       |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+       |bf AS (SELECT qid, nid FROM (
+       |  SELECT q.qid, m.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(list_cosine_similarity(q.qe, m.e), 6) DESC, m.vec_id) AS rn
+       |  FROM emb m, q WHERE m.vec_id <> q.qid) WHERE rn <= 5),
+       |s8 AS (SELECT qid, nid FROM (
+       |  SELECT q.qid, deq.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(${cosDivSql("q.qe", "deq.d")}, 6) DESC, deq.vec_id) AS rn
+       |  FROM deq, q WHERE deq.vec_id <> q.qid) WHERE rn <= 5),
+       |ip AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adn ASC, nid) AS rn FROM ad) WHERE rn <= 5),
+       |t1 AS (SELECT 'ivfpq' AS tier, q.qid, count(h.nid)::BIGINT AS hits
+       |       FROM q LEFT JOIN (SELECT ip.* FROM ip JOIN bf USING (qid, nid)) h
+       |       USING (qid) GROUP BY 1, 2),
+       |t2 AS (SELECT 'sq8' AS tier, q.qid, count(h.nid)::BIGINT AS hits
+       |       FROM q LEFT JOIN (SELECT s8.* FROM s8 JOIN bf USING (qid, nid)) h
+       |       USING (qid) GROUP BY 1, 2)
+       |SELECT tier, qid, hits, round(hits / 5.0, 2) AS recall
+       |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+       |ORDER BY tier, qid""".stripMargin
 
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
@@ -3405,6 +3473,7 @@ object PipelineQueries {
     Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
     Q("q_emb_mmr", embMmr, Some(embMmrSql)),
+    Q("q_emb_compression_recall", embCompressionRecall, Some(embCompressionRecallSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
