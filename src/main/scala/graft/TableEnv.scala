@@ -26,8 +26,17 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     */
   def sqlQuery(sql: String): DataFrame =
     if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
-    else if (WindowTvfSql.applies(sql)) spark.sql(WindowTvfSql.rewrite(sql))
-    else spark.sql(sql)
+    else if (WindowTvfSql.applies(sql)) {
+      // streaming sources need the aggregate lowering (GROUP BY
+      // window(...)) to keep the event-time tag; batch takes the
+      // generic derived-table rewrite
+      val streaming = WindowTvfSql.tvfTable(sql).exists(t =>
+        scala.util.Try(spark.table(t).isStreaming).getOrElse(false))
+      if (streaming)
+        WindowTvfSql.rewriteStreamingAgg(sql).map(spark.sql)
+          .getOrElse(spark.sql(WindowTvfSql.rewrite(sql)))
+      else spark.sql(WindowTvfSql.rewrite(sql))
+    } else spark.sql(sql)
 
   /** ref: TableEnvironment.from(tableName) */
   def from(table: String): DataFrame = spark.table(table)

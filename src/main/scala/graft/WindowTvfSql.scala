@@ -44,6 +44,54 @@ object WindowTvfSql {
       s"__b.__w.end - INTERVAL 1 MILLISECOND AS window_time " +
       s"FROM (SELECT *, window($col, $winArgs) AS __w FROM $table) __b)"
 
+  /** The table a TVF call reads — lets [[TableEnv.sqlQuery]] pick the
+    * streaming lowering when that table is a registered stream.
+    */
+  def tvfTable(sql: String): Option[String] =
+    Tumble.findFirstMatchIn(sql).map(_.group(1))
+      .orElse(Hop.findFirstMatchIn(sql).map(_.group(1)))
+      .orElse(Cumulate.findFirstMatchIn(sql).map(_.group(1)))
+
+  /** STREAMING lowering for aggregate-shaped TVF statements — the same
+    * move the reference's planner makes (StreamExecWindowAggregate
+    * subsumes the TVF): the derived-table rewrite loses Spark's
+    * event-time tag when the user groups by the projected
+    * `window_start`, so for a streaming source the statement
+    * `SELECT … FROM TABLE(TUMBLE|HOP(…)) GROUP BY window_start[,
+    * window_end][, keys]` lowers directly onto
+    * `GROUP BY window(col, …)` with `window_start`/`window_end`
+    * rewritten to `window.start`/`window.end` — watermark semantics
+    * intact. Returns None when the statement is not that shape (the
+    * caller falls back to the generic rewrite, which any BATCH query
+    * can use).
+    */
+  def rewriteStreamingAgg(sql: String): Option[String] = {
+    val matched =
+      Tumble.findFirstMatchIn(sql)
+        .map(m => (m, m.group(2), s"'${dur(m.group(3), m.group(4))}'"))
+        .orElse(Hop.findFirstMatchIn(sql)
+          .map(m => (m, m.group(2),
+            s"'${dur(m.group(5), m.group(6))}', '${dur(m.group(3), m.group(4))}'")))
+    matched.flatMap { case (m, col, args) =>
+      val table = m.group(1)
+      val dropped = sql.substring(0, m.start) + table + sql.substring(m.end)
+      val named = dropped
+        .replaceAll(raw"(?i)\bwindow_start\b", "window.start")
+        .replaceAll(raw"(?i)\bwindow_end\b", "window.end")
+      val gb = raw"(?is)(GROUP\s+BY\s+)(.*?)(\s+(?:HAVING|ORDER|LIMIT)\b.*|\s*$$)".r
+      gb.findFirstMatchIn(named).flatMap { g =>
+        val items = g.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+        if (!items.exists(_.equalsIgnoreCase("window.start"))) None
+        else Some(named.substring(0, g.start) + g.group(1) +
+          items.flatMap {
+            case i if i.equalsIgnoreCase("window.start") => Some(s"window($col, $args)")
+            case i if i.equalsIgnoreCase("window.end") => None
+            case i => Some(i)
+          }.mkString(", ") + g.group(3))
+      }
+    }
+  }
+
   /** Rewrite every window-TVF call in `sql` to plain Spark SQL. */
   def rewrite(sql: String): String = {
     val t1 = Tumble.replaceAllIn(sql, m =>

@@ -194,6 +194,27 @@ object StreamingQueries {
         |HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
         |ORDER BY wstart, event_type""".stripMargin
 
+  /** The windowing-TVF SQL statement on a STREAM — the reference's
+    * full declarative posture in one flow: watermark declared once on
+    * the view (`createStreamingView`, the WATERMARK-DDL analog), the
+    * query text the reference's own
+    * `FROM TABLE(TUMBLE(TABLE …, DESCRIPTOR(…), …))` shape
+    * ([[graft.WindowTvfSql]] route), append emission gated by the
+    * declared bound. Oracle = [[streamTumbleSql]] verbatim: the TVF
+    * route must equal the `GROUP BY window(...)` route on the same
+    * stream.
+    */
+  def streamSqlTumble(s: SparkSession, dir: String): DataFrame = {
+    val env = graft.TableEnv(s, dir)
+    env.createStreamingView("events_wm_tvf", eventStream(s, dir), "ts", "10 minutes")
+    val out = env.sqlQuery(
+      """SELECT window_start AS wstart, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM TABLE(TUMBLE(TABLE events_wm_tvf, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, event_type""".stripMargin)
+    runToTable("stream_sql_tumble", out, "append").orderBy("wstart", "event_type")
+  }
+
   /** Streaming session windows per user (ref: EventTimeSessionWindows),
     * append mode: emitted ⇔ session end (last ts + gap) <= final
     * watermark.
@@ -3595,6 +3616,7 @@ object StreamingQueries {
     Q("q_stream_bootstrap", streamBootstrap, Some(streamBootstrapSql)),
     Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql)),
     Q("q_stream_iterate", streamIterate, Some(streamIterateSql)),
-    Q("q_stream_paths", streamPaths, Some(streamPathsSql))
+    Q("q_stream_paths", streamPaths, Some(streamPathsSql)),
+    Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql))
   )
 }

@@ -78,6 +78,16 @@ class TableEnvSpec extends SparkSpec {
     assert(c.contains("sequence(1, 4)") && c.contains("timestampadd(MINUTE, 15 * __k"))
     intercept[IllegalArgumentException](WindowTvfSql.rewrite(
       "SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '60' MINUTE))"))
+    // streaming lowering: aggregate shape folds onto GROUP BY window(...)
+    val sa = WindowTvfSql.rewriteStreamingAgg(
+      """SELECT window_start AS w, event_type, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, event_type ORDER BY w""".stripMargin).get
+    assert(sa.contains("GROUP BY window(ts, '1 hour'), event_type"))
+    assert(sa.contains("window.start AS w") && !sa.contains("TUMBLE"))
+    // non-aggregate shape: no lowering — caller falls back
+    assert(WindowTvfSql.rewriteStreamingAgg(
+      "SELECT * FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))").isEmpty)
   }
 
   test("window-TVF SQL route equals the DataFrame API result") {
