@@ -493,6 +493,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985's farthest-point
+    * 2-approximation — the geometric data-selection method active
+    * learning and coreset papers build on, e.g. Sener & Savarese 2018):
+    * seed with the minimum id, then repeatedly pick the point FARTHEST
+    * from the selected set under cosine distance. Each round is one
+    * corpus scan updating the running min-distance column against the
+    * single new center (broadcast) plus one TakeOrdered(1) argmax —
+    * k−1 scans total, the honest cost of the exact greedy at any
+    * scale; distances round to 6 so the argmax is engine-replayable.
+    *
+    * Output: (step, vec_id, d) — selection order, with d the distance
+    * to the previously-selected set at selection time (null for the
+    * seed).
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val e = Funnel.stage(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")))
+    val seed = e.agg(min("vec_id").as("vec_id"))
+    var centers = Funnel.stage(e.join(seed, "vec_id")
+      .select(col("vec_id"), col("e"), lit(1).as("step"),
+        lit(null).cast("double").as("d")))
+    var md: DataFrame = null // (vec_id, e, d = min distance to selected)
+    for (t <- 2 to k) {
+      val newC = centers.filter(col("step") === t - 1).select(col("e").as("ce"))
+      val base =
+        if (md == null) e.select(col("vec_id"), col("e"), lit(2.0).as("d"))
+        else md
+      md = Funnel.stage(base
+        .crossJoin(broadcast(newC))
+        .select(col("vec_id"), col("e"),
+          least(col("d"), lit(1.0) - round(cosine_double(col("e"), col("ce")), 6)).as("d"))
+        .join(centers.select("vec_id"), Seq("vec_id"), "left_anti"))
+      centers = Funnel.stage(centers.unionByName(
+        md.orderBy(col("d").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("e"), lit(t).as("step"), col("d"))))
+    }
+    centers.select(col("step").cast("long").as("step"), col("vec_id"),
+      round(col("d"), 6).as("d")).orderBy("step")
+  }
+
   /** Maximal-marginal-relevance diversified retrieval (Carbonell &
     * Goldstein 1998, public literature — the classic redundancy-aware
     * re-rank every RAG/dedup-aware retrieval stack ships): from each

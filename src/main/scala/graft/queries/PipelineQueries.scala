@@ -1560,6 +1560,38 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Greedy k-center coreset (see
+    * [[graft.operators.Similarity.kCenterCoreset]]): 5 farthest-point
+    * selections over the embedding corpus; the oracle unrolls the
+    * greedy rounds with the identical rounded cosine distances.
+    */
+  def embCoreset(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(Tables.embeddings(s, dir), k = 5)
+
+  val embCoresetSql: String = {
+    val d = (a: String, b: String) =>
+      s"1 - round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+    val rounds = (2 to 5).map { t =>
+      val prevM = if (t == 2) "m1" else s"m${t - 1}"
+      s""",
+         |p$t AS (SELECT vec_id, e, d FROM $prevM ORDER BY d DESC, vec_id LIMIT 1),
+         |m$t AS (SELECT m.vec_id, m.e, least(m.d, ${d("m.e", "p.e")}) AS d
+         |        FROM $prevM m, p$t p WHERE m.vec_id <> p.vec_id)""".stripMargin
+    }.mkString
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c1 AS (SELECT vec_id, e FROM emb
+       |       WHERE vec_id = (SELECT min(vec_id) FROM emb)),
+       |m1 AS (SELECT emb.vec_id, emb.e, ${d("emb.e", "c1.e")} AS d
+       |       FROM emb, c1 WHERE emb.vec_id <> c1.vec_id)$rounds
+       |SELECT step::BIGINT AS step, vec_id, round(d, 6) AS d FROM (
+       |  SELECT 1 AS step, vec_id, NULL::DOUBLE AS d FROM c1
+       |  UNION ALL SELECT 2, vec_id, d FROM p2
+       |  UNION ALL SELECT 3, vec_id, d FROM p3
+       |  UNION ALL SELECT 4, vec_id, d FROM p4
+       |  UNION ALL SELECT 5, vec_id, d FROM p5)
+       |ORDER BY step""".stripMargin
+  }
+
   /** Compression-tier recall report — the accuracy audit the two
     * compressed indexes owe their users: recall\@5 of IVF-PQ (residual
     * ADC) and SQ8 (dequantized scoring) against the exact brute-force
@@ -3474,6 +3506,7 @@ object PipelineQueries {
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
     Q("q_emb_mmr", embMmr, Some(embMmrSql)),
     Q("q_emb_compression_recall", embCompressionRecall, Some(embCompressionRecallSql)),
+    Q("q_emb_coreset", embCoreset, Some(embCoresetSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),

@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("kCenterCoreset: farthest-point picks are maximal and never near-duplicates") {
+    val res = Similarity.kCenterCoreset(corpus, k = 5)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(res.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(res.map(_._2).distinct.length === 5)
+    // the greedy never selects a jittered copy of an already-selected
+    // base (its distance to the set is ~0 while orthogonal bases sit
+    // at distance ~1)
+    val picked = res.map(_._2)
+    val bases = picked.map(id => if (id >= 1000) id / 10 - 100 else id)
+    assert(bases.distinct.length === 5, s"picked near-duplicates: ${picked.toSeq}")
+    // selection distances are non-increasing (greedy max shrinks)
+    val ds = res.sortBy(_._1).flatMap(_._3)
+    assert(ds.toSeq === ds.sortBy(-_).toSeq)
+  }
+
   test("mmrTopK: first pick is the top candidate; later picks avoid its near-copies") {
     val res = Similarity.mmrTopK(queries, corpus, candK = 8, selectK = 3, lambda = 0.3)
       .as[(Long, Long, Double, Double, Long)].collect()
