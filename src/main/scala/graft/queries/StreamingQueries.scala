@@ -3266,6 +3266,51 @@ object StreamingQueries {
         |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
         |FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  /** Streaming feature-store maintenance: the hashed user feature
+    * vectors of `q_evt_feature_hash` are PURE SUMS of per-event signed
+    * contributions, so the incremental form is the cleanest possible
+    * maintainer — per batch, hash the batch's features and sum-merge
+    * into the versioned (user, dim) store; state is the feature store
+    * itself (users × active dims), every increment costs only the
+    * increment, and any batching/order/split produces the identical
+    * store. Oracle = the batch featurization verbatim — the feature
+    * store a training pipeline reads at serving time must equal the
+    * one-shot batch computation.
+    */
+  def streamFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val srcDir = stageBatchFiles(dir, "sfh", daySplits(ev, col("ts"), 3))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sfh_store"))
+    store.init(s.range(0).select(col("id").as("user_id"), col("id").as("dim"),
+      col("id").as("val")))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val feats = batch.select(col("user_id"), explode(array(
+          concat(lit("t:"), col("event_type")),
+          concat(lit("h:"), hour(col("ts"))),
+          concat(lit("d:"), dayofweek(col("ts"))))).as("f"))
+        val own = graft.operators.Curation.featureHash(feats, "user_id", "f", dim = 32)
+          .select(col("key").as("user_id"), col("dim"), col("val"))
+        store.write(batchId, store.prior(batchId)
+          .unionByName(own)
+          .groupBy("user_id", "dim").agg(sum("val").as("val")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.version(lastBatchId(srcDir))
+      .select(col("user_id"), col("dim"), col("val").cast("long").as("val"))
+      .orderBy("user_id", "dim")
+  }
+
+  /** The batch featurization verbatim — signed sums must be invariant
+    * to batching and arrival order.
+    */
+  val streamFeatureHashSql: String = AnalyticsQueries.evtFeatureHashSql
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -3617,6 +3662,7 @@ object StreamingQueries {
     Q("q_stream_mg", streamMg, Some(SketchQueries.docMgHeavySql)),
     Q("q_stream_iterate", streamIterate, Some(streamIterateSql)),
     Q("q_stream_paths", streamPaths, Some(streamPathsSql)),
-    Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql))
+    Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql)),
+    Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql))
   )
 }
