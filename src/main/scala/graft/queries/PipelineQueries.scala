@@ -1560,6 +1560,46 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Corpus snapshot diff — the dataset-versioning audit (what changed
+    * between two corpus versions, the question every reproducible
+    * training run asks before pinning a snapshot): two deterministic
+    * views of the corpus play v1/v2 (v1 missing every 11th-remainder-3
+    * doc, v2 missing every 13th-remainder-5 and rewriting every
+    * 7th-remainder-2), one full-outer join on the id comparing content
+    * fingerprints classifies added / removed / changed / unchanged.
+    * One shuffle on the id; fingerprints computed in the scans.
+    */
+  def docSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")))
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val docSnapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 11 <> 3),
+      |v2 AS (SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END) AS fp2
+      |       FROM documents WHERE doc_id % 13 <> 5)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v2.doc_id IS NULL THEN 'removed'
+      |       WHEN fp1 <> fp2 THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Greedy k-center coreset (see
     * [[graft.operators.Similarity.kCenterCoreset]]): 5 farthest-point
     * selections over the embedding corpus; the oracle unrolls the
@@ -3507,6 +3547,7 @@ object PipelineQueries {
     Q("q_emb_mmr", embMmr, Some(embMmrSql)),
     Q("q_emb_compression_recall", embCompressionRecall, Some(embCompressionRecallSql)),
     Q("q_emb_coreset", embCoreset, Some(embCoresetSql)),
+    Q("q_doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
