@@ -146,4 +146,51 @@ object Sampling {
       .orderBy(col("pri").desc, col(idCol))
       .limit(k)
   }
+
+  /** Neyman allocation (Neyman 1934 — the optimal-variance stratified
+    * design classical survey sampling and eval-set construction use):
+    * a total budget of `total` sample slots splits across strata
+    * ∝ N_h·σ_h, so high-variance strata get proportionally more
+    * measurement. Everything before the final quotas is INTEGER-exact:
+    * per-stratum variance comes from the raw sums
+    * (n·Σx² − (Σx)², BIGINT), weights quantize to 1e6-scale integers
+    * after one deterministic sqrt chain, the weight total is an
+    * integer sum, and the largest-remainder rounding ranks identical
+    * doubles — so the allocation is engine-replayable and sums to
+    * `total` exactly. One pass over the data + arithmetic on the
+    * |strata|-row aggregate.
+    *
+    * Output: (stratum, n, w_e6, alloc) with Σ alloc = total.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      total: Int): DataFrame = {
+    val stats = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("sx"),
+        sum((col(valueCol) * col(valueCol)).cast("long")).as("sxx"))
+      .select(col("stratum"), col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vn"))
+      // w = N·σ = sqrt(vn / (n·(n−1))) · n, quantized at 1e6; strata of
+      // size < 2 carry zero variance information and weight 0
+      .select(col("stratum"), col("n"),
+        when(col("n") >= 2,
+          round(sqrt(col("vn").cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) * col("n") * 1e6))
+          .otherwise(lit(0.0)).cast("long").as("w_e6"))
+    val tot = stats.agg(sum("w_e6").as("tw"))
+    val quotas = stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("w_e6"),
+        (col("w_e6").cast("double") * total / col("tw")).as("quota"))
+      .select(col("stratum"), col("n"), col("w_e6"), col("quota"),
+        floor(col("quota")).cast("long").as("base"),
+        (col("quota") - floor(col("quota"))).as("frac"))
+    val rem = quotas.agg((lit(total) - sum("base")).as("rem"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frac").desc, col("stratum")) // |strata| rows: bounded
+    quotas.crossJoin(broadcast(rem))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("stratum"), col("n").cast("long").as("n"), col("w_e6"),
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
 }

@@ -1560,6 +1560,39 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY adn ASC, nid) AS rn FROM ad)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Neyman allocation (see
+    * [[graft.operators.Sampling.neymanAllocation]]): a 100-slot eval
+    * budget split across sources ∝ N_h·σ_h of document length —
+    * integer-exact variance sums, 1e6-quantized weights, and
+    * largest-remainder rounding, so the allocation is
+    * engine-replayable and sums to the budget exactly.
+    */
+  def docNeyman(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanAllocation(Tables.documents(s, dir), "source", "n_chars",
+        total = 100)
+      .orderBy("stratum")
+
+  val docNeymanSql: String =
+    """WITH s AS (SELECT source AS stratum, count(*)::BIGINT AS n,
+      |            sum(n_chars)::BIGINT AS sx,
+      |            sum(n_chars * n_chars)::BIGINT AS sxx
+      |          FROM documents GROUP BY 1),
+      |w AS (SELECT stratum, n,
+      |        CASE WHEN n >= 2
+      |             THEN CAST(round(sqrt((n * sxx - sx * sx)::DOUBLE
+      |                    / (n * (n - 1))::DOUBLE) * n * 1e6) AS BIGINT)
+      |             ELSE 0 END AS w_e6
+      |      FROM s),
+      |t AS (SELECT sum(w_e6)::BIGINT AS tw FROM w),
+      |q AS (SELECT stratum, n, w_e6, w_e6::DOUBLE * 100 / tw AS quota FROM w, t),
+      |q2 AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+      |         quota - floor(quota) AS frac FROM q),
+      |r AS (SELECT (100 - sum(base))::BIGINT AS rem FROM q2),
+      |rk AS (SELECT q2.*, row_number() OVER (ORDER BY frac DESC, stratum) AS rk FROM q2)
+      |SELECT stratum, n, w_e6,
+      |  (base + CASE WHEN rk <= (SELECT rem FROM r) THEN 1 ELSE 0 END)::BIGINT AS alloc
+      |FROM rk ORDER BY stratum""".stripMargin
+
   /** Corpus snapshot diff — the dataset-versioning audit (what changed
     * between two corpus versions, the question every reproducible
     * training run asks before pinning a snapshot): two deterministic
@@ -3548,6 +3581,7 @@ object PipelineQueries {
     Q("q_emb_compression_recall", embCompressionRecall, Some(embCompressionRecallSql)),
     Q("q_emb_coreset", embCoreset, Some(embCoresetSql)),
     Q("q_doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
+    Q("q_doc_neyman", docNeyman, Some(docNeymanSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),

@@ -73,7 +73,9 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast
     "q_graph_metrics", // 1-row edge-count aggregate crossed with the vertex summary
-    "q_graph_triads" // 1-row triangle total crossed with the 1-row metrics
+    "q_graph_triads", // 1-row triangle total crossed with the 1-row metrics
+    "q_doc_neyman", // 1-row weight-total + 1-row remainder crossed with |strata| rows
+    "q_emb_compression_recall" // 10-query probe sides broadcast (brute-force + tier legs)
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
@@ -114,7 +116,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_budget", // 256-row bucket-offset table (corpus side is bucket-partitioned)
     "q_doc_waterfill", // per-stratum levels (bounded strata domain)
     "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
-    "q_doc_bpe" // 50-row TakeOrdered top-k feeds the rank window
+    "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
+    "q_doc_neyman" // largest-remainder rank over the |strata|-row quota table
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
     // the 35-row contingency aggregate — outside this check's scope,
     // which hunts ordered global windows; noted here for the reader)
