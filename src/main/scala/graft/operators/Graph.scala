@@ -333,10 +333,17 @@ object Graph {
     * the whole census costs one triangle count at scale.
     */
   def triadicCensus(edges: DataFrame): DataFrame = {
-    val tri = triangleStats(edges)
-      .agg(coalesce((sum("tri_cnt") / 3).cast("long"), lit(0L)).as("t3"))
-    vertexMetrics(edges).crossJoin(broadcast(tri))
-      .select(col("vertices"), col("edges"), col("triplets"), col("t3"))
+    // everything derives from ONE triangleStats pass: its per-node rows
+    // already carry (degree, tri_cnt), so n = count, e = Σdeg/2,
+    // triplets = Σ C(deg, 2), t3 = Σtri/3 — a second vertexMetrics
+    // pass would re-evaluate the whole edge-constructor lineage (the
+    // double-reference class the scan-count locks exist for)
+    triangleStats(edges)
+      .agg(count(lit(1)).as("vertices"),
+        coalesce((sum("degree") / 2).cast("long"), lit(0L)).as("edges"),
+        coalesce((sum(col("degree") * (col("degree") - 1)) / 2).cast("long"), lit(0L))
+          .as("triplets"),
+        coalesce((sum("tri_cnt") / 3).cast("long"), lit(0L)).as("t3"))
       .select(col("t3"),
         (col("triplets") - col("t3") * 3).cast("long").as("t2"),
         (col("edges") * (col("vertices") - 2) - col("triplets") * 2 + col("t3") * 3)
