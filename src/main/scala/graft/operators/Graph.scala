@@ -61,10 +61,13 @@ object Graph {
     * 2·tri/(deg·(deg−1)) rounded to 6, 0.0 below degree 2.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val deg = Funnel.stage(edges
+    // one materialization of the (possibly expensive) edge constructor:
+    // both the degree aggregate and the orientation join read it
+    val e = Funnel.stage(edges.select(col("a"), col("b")))
+    val deg = Funnel.stage(e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg")))
-    val dj = edges
+    val dj = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val oriented = Funnel.stage(dj.select(
@@ -278,13 +281,14 @@ object Graph {
     * similarity measures above enumerate).
     */
   def vertexMetrics(edges: DataFrame): DataFrame = {
+    // everything reduces from the degree table alone (Σdeg = 2·|E| on
+    // an undirected graph), so the edge constructor evaluates ONCE
     val deg = Funnel.stage(neighbors(edges)
       .groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
-    val em = edges.agg(count(lit(1)).cast("long").as("edges"))
-    val vm = deg.agg(count(lit(1)).cast("long").as("vertices"),
-      coalesce(max("deg"), lit(0L)).cast("long").as("max_degree"),
-      coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("p2x2"))
-    vm.crossJoin(broadcast(em))
+    deg.agg(count(lit(1)).cast("long").as("vertices"),
+        coalesce((sum("deg") / 2).cast("long"), lit(0L)).as("edges"),
+        coalesce(max("deg"), lit(0L)).cast("long").as("max_degree"),
+        coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("p2x2"))
       .select(col("vertices"), col("edges"),
         when(col("vertices") === 0, lit(0.0))
           .otherwise(round(col("edges") * 2.0 / col("vertices"), 6)).as("avg_degree"),
@@ -304,11 +308,14 @@ object Graph {
     * Output: (ga, gb, n_edges, na_members, nb_members), ga ≤ gb.
     */
   def summarize(edges: DataFrame, values: DataFrame): DataFrame = {
-    val members = Funnel.stage(values.groupBy(col("grp"))
+    // the value assignment is referenced three times (member counts +
+    // both endpoint joins) — materialize it once
+    val v = Funnel.stage(values.select(col("node"), col("grp")))
+    val members = Funnel.stage(v.groupBy(col("grp"))
       .agg(count(lit(1)).as("members")))
     edges
-      .join(values.select(col("node").as("a"), col("grp").as("va")), "a")
-      .join(values.select(col("node").as("b"), col("grp").as("vb")), "b")
+      .join(v.select(col("node").as("a"), col("grp").as("va")), "a")
+      .join(v.select(col("node").as("b"), col("grp").as("vb")), "b")
       .select(least(col("va"), col("vb")).as("ga"),
         greatest(col("va"), col("vb")).as("gb"))
       .groupBy("ga", "gb").agg(count(lit(1)).cast("long").as("n_edges"))
