@@ -125,8 +125,10 @@ object GraphQueries {
     * like the PageRank oracle.
     */
   def graphSssp(s: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(s, dir)
-      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7)
+    // the weighted edge frame feeds BOTH the source aggregate and the
+    // relaxation loop — one materialization of the constructor
+    val e = graft.operators.Funnel.stage(coEdges(s, dir)
+      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7))
     val source = e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .agg(min("v").as("node"))
@@ -284,8 +286,8 @@ object GraphQueries {
     * bit-for-bit.
     */
   def graphSsspSg(s: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(s, dir)
-      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7)
+    val e = graft.operators.Funnel.stage(coEdges(s, dir)
+      .withColumn("w", lit(1L) + (col("a") + col("b")) % 7))
     val source = e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .agg(min("v").as("node"))
