@@ -32,11 +32,14 @@ object Graph {
   def coOccurrenceEdges(members: DataFrame, blockCols: Seq[String], idCol: String,
       blockCap: Int, minSupport: Int): DataFrame = {
     val bc = blockCols.map(col)
-    val m = members.select(bc :+ col(idCol).as("id"): _*).distinct()
-    val kept = m.join(
+    // the membership table is read by its own cap aggregate and the
+    // capped table by BOTH sides of the pair join — stage each once, or
+    // every graph query pays four source evaluations per constructor
+    val m = Funnel.stage(members.select(bc :+ col(idCol).as("id"): _*).distinct())
+    val kept = Funnel.stage(m.join(
       m.groupBy(bc: _*).agg(count(lit(1)).as("n")).filter(col("n") <= blockCap)
         .drop("n"),
-      blockCols)
+      blockCols))
     kept.select(bc :+ col("id").as("a"): _*)
       .join(kept.select(bc :+ col("id").as("b"): _*), blockCols)
       .filter(col("a") < col("b"))
