@@ -299,6 +299,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scanCounts("q_emb_kmeans")._1 == 0)
   }
 
+  test("graph family: co-occurrence constructor and edge frames evaluate once") {
+    // the constructor stages its membership and capped tables and every
+    // downstream multi-reference is staged or derived from one pass, so
+    // the final plans read ONLY materialized blocks — a parquet scan
+    // here means a boundary was dropped (the 4-scans-per-constructor
+    // regression this locks out)
+    for (q <- Seq("q_graph_triangles", "q_graph_metrics", "q_graph_triads",
+        "q_graph_sssp", "q_graph_jaccard", "q_graph_adamic_adar")) {
+      val (parquet, rdd) = scanCounts(q)
+      assert(parquet == 0, s"$q re-reads parquet $parquet times past the stage boundaries")
+      assert(rdd >= 1, s"$q has no materialized stage blocks — Funnel.stage removed?")
+    }
+  }
+
   test("q_emb_ivfpq: staged corpus/residual/subvector frames — query side scans once") {
     // e, assigned, and sub are each referenced by several downstream
     // frames (centroids + residuals; codes + cell map; training rounds
