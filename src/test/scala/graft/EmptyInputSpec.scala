@@ -81,7 +81,25 @@ class EmptyInputSpec extends SparkSpec {
     "q_match_sql", // SQL MATCH_RECOGNIZE route over empty partitions
     "q_graph_sssp", // relaxation loop fed zero edges (null-source aggregate)
     "q_graph_hits", // power-iteration loop + sum-normalization over zero nodes
-    "q_graph_triads" // closed-form triad arithmetic over null/zero aggregates
+    "q_graph_triads", // closed-form triad arithmetic over null/zero aggregates
+    "q_graph_sssp_sg", // generic scatter-gather loop fed zero edges
+    "q_emb_coreset", // greedy loop seeded from a null-row aggregate
+    "q_emb_ivfpq", // codebook training + ADC over empty cells
+    "q_emb_sq8", // min/max envelope aggregate comes back empty
+    "q_emb_mmr", // candidate/pair-sim frames empty, greedy rounds no-op
+    "q_emb_compression_recall", // three retrieval pipelines over empty corpus
+    "q_doc_mg_heavy", // MG summary over zero items + n-scalar threshold
+    "q_doc_c4", // line-rule projection over zero docs
+    "q_doc_gopher", // ratio battery over zero docs (0-word divisions absent)
+    "q_doc_neyman", // zero-weight allocation, null remainder arithmetic
+    "q_doc_snapshot_diff", // full-outer diff of two empty versions
+    "q_evt_winsorize", // percentile bounds over empty
+    "q_evt_robust_z", // median/MAD over empty hourly rollup
+    "q_evt_feature_hash", // hashed vectors over zero events
+    "q_evt_resample", // bounds-aggregate grid explode over empty
+    "q_evt_paths", // stacked leads + TakeOrdered over empty
+    "q_graph_summarize", // value assignment + member counts over empty
+    "q_window_sql_tumble" // TVF rewrite path over an empty table
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
