@@ -29,6 +29,60 @@ object SourceQueries {
       |  min(i) AS mn, max(i) AS mx
       |FROM range(1, 1001) t(i)""".stripMargin
 
+  /** Custom DataSource V2 connector, BATCH read (see
+    * [[graft.sources.SeqSource]] — the `SourceFunction` extension-API
+    * parity): 10k deterministic rows over 8 independent range splits;
+    * the oracle regenerates the same content arithmetically, so the
+    * provider → scan → partitions → readers machinery is what the
+    * hash checks.
+    */
+  def customSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format(classOf[graft.sources.SeqSource].getName)
+      .option("rows", 10000).option("partitions", 8).load()
+      .orderBy("id")
+
+  val customSourceSql: String =
+    """SELECT i AS id, md5(i::VARCHAR) AS payload
+      |FROM range(0, 10000) t(i) ORDER BY id""".stripMargin
+
+  /** The same connector as a MICRO-BATCH stream: offsets advance 4000
+    * ids per trigger (the rate-limited replay shape), AvailableNow
+    * drains the 10k range in three deterministic batches whose
+    * boundaries the oracle recomputes as id div 4000.
+    */
+  def customSourceStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val resDir = sinkDir(dir, "custom_src_stream")
+    // append-mode result sink: clear any prior run's files first
+    val p = java.nio.file.Paths.get(resDir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    val q = s.readStream.format(classOf[graft.sources.SeqSource].getName)
+      .option("rows", 10000).option("partitions", 8)
+      .option("rowsPerBatch", 4000).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"))
+          .select(lit(batchId).as("batch"), col("cnt"), col("sum_id"))
+          .coalesce(1).write.mode("append").parquet(resDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(resDir)
+      .select(col("batch"), col("cnt").cast("long").as("cnt"),
+        col("sum_id").cast("long").as("sum_id"))
+      .orderBy("batch")
+  }
+
+  val customSourceStreamSql: String =
+    """SELECT (i // 4000)::BIGINT AS batch, count(*)::BIGINT AS cnt,
+      |  sum(i)::BIGINT AS sum_id
+      |FROM range(0, 10000) t(i) GROUP BY 1 ORDER BY batch""".stripMargin
+
   /** CSV sink + source round-trip of an aggregate. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = sinkDir(dir, "csv_agg")
@@ -380,6 +434,8 @@ object SourceQueries {
     Q("q_sink_avro", avroRoundtrip, Some(avroRoundtripSql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),
+    Q("q_source_custom", customSource, Some(customSourceSql)),
+    Q("q_stream_custom_source", customSourceStream, Some(customSourceStreamSql)),
     Q("q_sink_orc", orcRoundtrip, Some(orcRoundtripSql)),
     Q("q_sink_bucketed", bucketedJoin, Some(bucketedJoinSql)),
     Q("q_sink_dpp", dppJoin, Some(dppJoinSql)),
