@@ -959,6 +959,113 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** CUSUM changepoint detection (Page 1954) over daily counts — the
+    * classic drift detector, re-expressed shuffle-native through the
+    * identity CUSUM⁺_t = S_t − min_{k≤t} S_k (S = prefix sum of
+    * deviations x − μ): the clamped recurrence becomes two ordinary
+    * running windows over ONE type-keyed exchange, no per-row
+    * iteration. μ is the per-type mean of integer counts (exact
+    * division), deviations and sums stay integer-scaled (counts×n to
+    * clear the mean's denominator), so every statistic is
+    * engine-exact; the alarm threshold is 2μ·n in the same scaled
+    * units.
+    */
+  def evtCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    val withMean = daily
+      .join(broadcast(daily.groupBy("event_type")
+        .agg(sum("cnt").as("tot"), count(lit(1)).as("nd"))), "event_type")
+      // scaled deviation: cnt·nd − tot (integer; = (cnt − μ)·nd)
+      .select(col("event_type"), col("d"), col("cnt"),
+        (col("cnt") * col("nd") - col("tot")).as("dev"),
+        col("tot"), col("nd"))
+    val wCum = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withMean
+      .withColumn("s", sum("dev").over(wCum))
+      .withColumn("cusum_n", col("s") - min("s").over(wCum))
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        col("cnt").cast("long").as("cnt"),
+        col("cusum_n").cast("long").as("cusum_scaled"),
+        (col("cusum_n") > col("tot") * 2).as("drift"))
+      .orderBy("event_type", "day")
+  }
+
+  val evtCusumSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(cnt)::BIGINT AS tot, count(*)::BIGINT AS nd
+        |      FROM daily GROUP BY 1),
+        |dv AS (SELECT daily.event_type, d, cnt, cnt * nd - tot AS dev, tot
+        |       FROM daily JOIN m USING (event_type)),
+        |ps AS (SELECT event_type, d, cnt, tot,
+        |         sum(dev) OVER w AS s
+        |       FROM dv
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT event_type, d, cnt, tot,
+        |         s - min(s) OVER w AS cusum_n
+        |       FROM ps
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d::VARCHAR AS day, cnt,
+        |  cusum_n::BIGINT AS cusum_scaled, cusum_n > tot * 2 AS drift
+        |FROM cs ORDER BY event_type, day""".stripMargin
+
+  /** Exponentially-weighted moving average with a HALVING decay
+    * (α = 1/2) over daily counts — the smoothing recurrence
+    * ewma_t = (x_t + ewma_{t−1})/2 closed-form-unrolled as
+    * ewma_t = Σ x_k·2^k / 2^(t+1) over a day-indexed prefix sum:
+    * one running window over integer-scaled terms (x·2^k is exact
+    * BIGINT for a month of days), one dyadic division at the end —
+    * every value an exact dyadic rational both engines represent
+    * bit-for-bit. The α = 1/2 choice is what makes an EWMA
+    * integer-portable at all: any other decay turns the recurrence
+    * into transcendental powers whose libm rounding differs across
+    * engines.
+    */
+  def evtEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val wIdx = Window.partitionBy("event_type").orderBy("d")
+    val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("k", row_number().over(wIdx) - 1)
+      // the 2^k scaling overflows BIGINT past ~62 days — fail fast
+      // rather than wrap (the no-silent-caps discipline); a longer
+      // horizon needs the windowed-renormalization variant
+      .filter(coalesce(assert_true(col("k") < 62,
+        lit("evtEwma: day span exceeds the 62-day scaled-accumulator bound")), lit(true)))
+      .withColumn("term", col("cnt") * expr("shiftleft(1L, cast(k AS int))"))
+      .withColumn("acc", sum("term").over(wCum))
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        col("cnt").cast("long").as("cnt"),
+        (col("acc").cast("double")
+          / expr("cast(shiftleft(1L, cast(k + 1 AS int)) AS double)")).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val evtEwmaSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |ix AS (SELECT event_type, d, cnt,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS k
+        |       FROM daily),
+        |cs AS (SELECT event_type, d, cnt, k,
+        |         sum(cnt * (1::BIGINT << k)) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+        |       FROM ix)
+        |SELECT event_type, d::VARCHAR AS day, cnt,
+        |  acc::DOUBLE / (1::BIGINT << (k + 1))::DOUBLE AS ewma
+        |FROM cs ORDER BY event_type, day""".stripMargin
+
   /** Hourly resampling with forward fill — the time-series
     * regularization every feature pipeline needs before windowed
     * models (gap-fill to a fixed grid, carry the last observation
@@ -1200,6 +1307,8 @@ object AnalyticsQueries {
     Q("q_evt_winsorize", evtWinsorize, Some(evtWinsorizeSql)),
     Q("q_evt_feature_hash", evtFeatureHash, Some(evtFeatureHashSql)),
     Q("q_evt_resample", evtResample, Some(evtResampleSql)),
+    Q("q_evt_cusum", evtCusum, Some(evtCusumSql)),
+    Q("q_evt_ewma", evtEwma, Some(evtEwmaSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
