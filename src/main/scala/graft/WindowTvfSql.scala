@@ -32,10 +32,15 @@ object WindowTvfSql {
     raw"(?is)TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*INTERVAL\s*'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s+(\w+)\s*\)\s*\)".r
   private val Cumulate =
     raw"(?is)TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*INTERVAL\s*'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s+(\w+)\s*\)\s*\)".r
+  // ref SqlSessionTableFunction: SESSION(TABLE t [PARTITION BY k, ...],
+  // DESCRIPTOR(ts), gap) — the one TVF whose window bounds are
+  // data-dependent (start = min ts of the island, end = last ts + gap)
+  private val Session =
+    raw"(?is)TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+\(?\s*([\w]+(?:\s*,\s*[\w]+)*)\s*\)?)?\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*INTERVAL\s*'(\d+)'\s+(\w+)\s*\)\s*\)".r
 
   def applies(sql: String): Boolean =
     Tumble.findFirstIn(sql).isDefined || Hop.findFirstIn(sql).isDefined ||
-      Cumulate.findFirstIn(sql).isDefined
+      Cumulate.findFirstIn(sql).isDefined || Session.findFirstIn(sql).isDefined
 
   private def dur(n: String, unit: String): String = s"$n ${unit.toLowerCase}"
 
@@ -51,6 +56,7 @@ object WindowTvfSql {
     Tumble.findFirstMatchIn(sql).map(_.group(1))
       .orElse(Hop.findFirstMatchIn(sql).map(_.group(1)))
       .orElse(Cumulate.findFirstMatchIn(sql).map(_.group(1)))
+      .orElse(Session.findFirstMatchIn(sql).map(_.group(1)))
 
   /** STREAMING lowering for aggregate-shaped TVF statements — the same
     * move the reference's planner makes (StreamExecWindowAggregate
@@ -92,6 +98,30 @@ object WindowTvfSql {
     }
   }
 
+  /** SESSION lowering: the reference merges islands per partition key
+    * (gap ≥ between neighbors splits); here the derived table computes
+    * the identical assignment with three analytic passes over ONE
+    * key-ordered exchange — break flags (lag), island ids (running
+    * sum), then per-island min/max for the bounds. window_end = last
+    * element + gap, window_time = end − 1 ms, per the reference.
+    */
+  private def sessioned(table: String, keys: Option[String], col: String,
+      n: String, unit: String): String = {
+    val ks = keys.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val byKeys = if (ks.isEmpty) "" else s"PARTITION BY ${ks.mkString(", ")} "
+    val island = (ks :+ "__sid").mkString(", ")
+    val gap = s"INTERVAL ${n} ${unit.toUpperCase}"
+    s"(SELECT __c.*, min($col) OVER __sw AS window_start, " +
+      s"max($col) OVER __sw + $gap AS window_end, " +
+      s"max($col) OVER __sw + $gap - INTERVAL 1 MILLISECOND AS window_time " +
+      s"FROM (SELECT __m.*, sum(__brk) OVER (${byKeys}ORDER BY $col " +
+      s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid " +
+      s"FROM (SELECT *, CASE WHEN lag($col) OVER (${byKeys}ORDER BY $col) IS NULL " +
+      s"OR $col - lag($col) OVER (${byKeys}ORDER BY $col) >= $gap " +
+      s"THEN 1 ELSE 0 END AS __brk FROM $table) __m) __c " +
+      s"WINDOW __sw AS (PARTITION BY $island))"
+  }
+
   /** Rewrite every window-TVF call in `sql` to plain Spark SQL. */
   def rewrite(sql: String): String = {
     val t1 = Tumble.replaceAllIn(sql, m =>
@@ -102,7 +132,10 @@ object WindowTvfSql {
       java.util.regex.Matcher.quoteReplacement(
         windowed(m.group(1), m.group(2),
           s"'${dur(m.group(5), m.group(6))}', '${dur(m.group(3), m.group(4))}'")))
-    Cumulate.replaceAllIn(t2, m => {
+    val t3 = Session.replaceAllIn(t2, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        sessioned(m.group(1), Option(m.group(2)), m.group(3), m.group(4), m.group(5))))
+    Cumulate.replaceAllIn(t3, m => {
       val (table, col) = (m.group(1), m.group(2))
       val (stepN, stepU) = (m.group(3).toLong, m.group(4).toUpperCase)
       val (maxN, maxU) = (m.group(5).toLong, m.group(6).toUpperCase)

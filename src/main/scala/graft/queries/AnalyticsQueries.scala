@@ -1183,6 +1183,204 @@ object AnalyticsQueries {
         |FROM ev JOIN b USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** PIVOT — long-to-wide rotation (the Table-API `pivot` every BI
+    * hand-off needs; Spark's `RelationalGroupedDataset.pivot`): daily
+    * event counts rotated to one column per event type. The value list
+    * is EXPLICIT, which is the scale discipline: without it Spark runs
+    * a prior distinct-collect job over the full corpus to discover the
+    * columns; with it the pivot is a single map-side-combined hash
+    * aggregate — one shuffle of (day → 5 longs), never wider than the
+    * declared schema. Absent cells are 0-filled (a day with no errors
+    * is zero errors, not null).
+    */
+  def evtPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val evtPivotSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT CAST(ts AS DATE)::VARCHAR AS day,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** MELT / UNPIVOT — the inverse rotation (`Dataset.unpivot`, the SQL
+    * UNPIVOT clause): the pivoted wide frame back to tidy long form,
+    * densified — every (day, type) cell materializes, zeros included,
+    * which is exactly what the wide→long round trip adds over a plain
+    * groupBy (a model-input grid needs the explicit zeros). Unpivot is
+    * a zero-shuffle generator expression over the wide aggregate: the
+    * only exchange in the plan is the pivot's own.
+    */
+  def evtMelt(s: SparkSession, dir: String): DataFrame =
+    evtPivot(s, dir)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "cnt")
+      .orderBy("day", "event_type")
+
+  val evtMeltSql: String =
+    Tables.eventsCte +
+      """
+        |, days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev),
+        |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |daily AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*)::BIGINT AS cnt
+        |          FROM ev GROUP BY 1, 2)
+        |SELECT days.d::VARCHAR AS day, types.event_type AS event_type,
+        |  coalesce(daily.cnt, 0)::BIGINT AS cnt
+        |FROM days CROSS JOIN types
+        |LEFT JOIN daily ON daily.d = days.d AND daily.event_type = types.event_type
+        |ORDER BY day, types.event_type""".stripMargin
+
+  /** Autocorrelation function at lags 1–7 of the per-type daily count
+    * series — the periodicity probe run before any seasonal model.
+    * Integer-portable by the same scaling as [[evtCusum]]: deviations
+    * dev = cnt·nd − tot clear the mean's denominator, so
+    * acf_k = Σ dev_i·dev_{i−k} / Σ dev_i² is one exact-BIGINT
+    * numerator and denominator per (type, lag) and a single double
+    * division both engines round identically. ONE type-keyed window
+    * pass materializes all 7 lag columns; `stack` unpivots them in the
+    * same stage (no per-lag scan); the denominator is a 5-row
+    * broadcast. Scaled products stay in BIGINT while cnt·nd ≲ 3·10⁹ —
+    * far past any daily-count series this shape aggregates to.
+    */
+  def evtAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("cnt").as("tot"), count(lit(1)).as("nd"))
+    val dv = daily.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("d"),
+        (col("cnt") * col("nd") - col("tot")).as("dev"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val withLags = (1 to 7).foldLeft(dv) { (df, k) =>
+      df.withColumn(s"l$k", lag("dev", k).over(w))
+    }
+    val num = withLags
+      .select(col("event_type"), expr(
+        "stack(7, " + (1 to 7).map(k => s"$k, dev * l$k").mkString(", ") +
+          ") AS (lag, term)"))
+      .groupBy("event_type", "lag").agg(sum("term").as("num"))
+    val den = dv.groupBy("event_type").agg(sum(col("dev") * col("dev")).as("den"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  val evtAcfSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(cnt)::BIGINT AS tot, count(*)::BIGINT AS nd
+        |      FROM daily GROUP BY 1),
+        |dv AS (SELECT daily.event_type, cnt * nd - tot AS dev,
+        |         row_number() OVER (PARTITION BY daily.event_type ORDER BY d) AS i
+        |       FROM daily JOIN m USING (event_type)),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (SELECT a.event_type, lags.lag, sum(a.dev * b.dev)::BIGINT AS num
+        |        FROM dv a CROSS JOIN lags
+        |        JOIN dv b ON b.event_type = a.event_type AND b.i = a.i - lags.lag
+        |        GROUP BY 1, 2),
+        |den AS (SELECT event_type, sum(dev * dev)::BIGINT AS den FROM dv GROUP BY 1)
+        |SELECT num.event_type, lag::BIGINT AS lag,
+        |  num::DOUBLE / den::DOUBLE AS acf
+        |FROM num JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin
+
+  /** Day-of-week seasonal indices — the multiplicative seasonal profile
+    * (weekday mean over overall mean) per event type, the
+    * decomposition step feeding [[evtResample]]-style feature grids.
+    * Exact-ratio form: index = (sum_wd · n_all) / (n_wd · sum_all) —
+    * four small integers cross-multiplied so the only float op is the
+    * final division. Two tiny aggregates over the staged daily rollup;
+    * the weekday key is ISO (1 = Monday) on both engines.
+    */
+  def evtSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    val wd = daily.groupBy(col("event_type"), (weekday(col("d")) + 1).as("dow"))
+      .agg(sum("cnt").as("s_wd"), count(lit(1)).as("n_wd"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("cnt").as("s_all"), count(lit(1)).as("n_all"))
+    wd.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n_wd").cast("long").as("ndays"),
+        ((col("s_wd") * col("n_all")).cast("double")
+          / (col("n_wd") * col("s_all")).cast("double")).as("sidx"))
+      .orderBy("event_type", "dow")
+  }
+
+  val evtSeasonalSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |wd AS (SELECT event_type, date_part('isodow', d)::BIGINT AS dow,
+        |         sum(cnt)::BIGINT AS s_wd, count(*)::BIGINT AS n_wd
+        |       FROM daily GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(cnt)::BIGINT AS s_all, count(*)::BIGINT AS n_all
+        |      FROM daily GROUP BY 1)
+        |SELECT wd.event_type, dow, n_wd AS ndays,
+        |  (s_wd * n_all)::DOUBLE / (n_wd * s_all)::DOUBLE AS sidx
+        |FROM wd JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin
+
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat, evaluated the honest way: predict each day's
+    * count from the same weekday last week (lag 7) vs the plain naive
+    * lag 1, score both by MAE over the SAME support (days where both
+    * predictions exist), declare the winner. All errors are integer
+    * sums; the MAEs are single divisions of exact longs. One window
+    * pass produces both lag columns; the scoreboard is a 5-row
+    * aggregate.
+    */
+  def evtForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    daily
+      .withColumn("p7", lag("cnt", 7).over(w))
+      .withColumn("p1", lag("cnt", 1).over(w))
+      .filter(col("p7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("cnt") - col("p7"))).as("sae7"),
+        sum(abs(col("cnt") - col("p1"))).as("sae1"))
+      .select(col("event_type"), col("n"),
+        (col("sae7").cast("double") / col("n").cast("double")).as("mae_snaive"),
+        (col("sae1").cast("double") / col("n").cast("double")).as("mae_naive"),
+        (col("sae7") < col("sae1")).as("seasonal_wins"))
+      .orderBy("event_type")
+  }
+
+  val evtForecastSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, cnt,
+        |             lag(cnt, 7) OVER w AS p7, lag(cnt, 1) OVER w AS p1
+        |           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(abs(cnt - p7))::DOUBLE / count(*)::DOUBLE AS mae_snaive,
+        |  sum(abs(cnt - p1))::DOUBLE / count(*)::DOUBLE AS mae_naive,
+        |  sum(abs(cnt - p7)) < sum(abs(cnt - p1)) AS seasonal_wins
+        |FROM lagged WHERE p7 IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Robust z-score outliers (median/MAD, the Iglewicz–Hoaglin
     * modified z — the anomaly rule that survives the very outliers a
     * mean/stddev z is dragged by, complementing [[evtAnomaly]]):
@@ -1309,6 +1507,11 @@ object AnalyticsQueries {
     Q("q_evt_resample", evtResample, Some(evtResampleSql)),
     Q("q_evt_cusum", evtCusum, Some(evtCusumSql)),
     Q("q_evt_ewma", evtEwma, Some(evtEwmaSql)),
+    Q("q_evt_pivot", evtPivot, Some(evtPivotSql)),
+    Q("q_evt_melt", evtMelt, Some(evtMeltSql)),
+    Q("q_evt_acf", evtAcf, Some(evtAcfSql)),
+    Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
+    Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

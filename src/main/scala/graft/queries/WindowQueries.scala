@@ -219,6 +219,40 @@ object WindowQueries {
         |                    INTERVAL '15' MINUTE, INTERVAL '60' MINUTE))
         |GROUP BY 1, 2 ORDER BY wstart, wend""".stripMargin)
 
+  /** SESSION windowing TVF statement (ref: SqlSessionTableFunction —
+    * `SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), gap)`), routed
+    * through [[graft.WindowTvfSql]]'s island lowering: bounds are
+    * data-dependent (start = first element, end = last element + gap),
+    * so unlike TUMBLE/HOP the rewrite is three analytic passes over one
+    * key-ordered exchange rather than a per-row closed form. Groups by
+    * BOTH bounds to exercise the window_end formula.
+    */
+  def windowSqlSession(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, window_start AS sstart, window_end AS send,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY 1, 2, 3 ORDER BY user_id, sstart""".stripMargin)
+
+  val windowSqlSessionSql: String =
+    Tables.eventsCte +
+      """
+        |, marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS sstart,
+        |  max(ts) + INTERVAL '30 minutes' AS send,
+        |  count(*) AS cnt, round(sum(value), 4) AS sv
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin
+
   /** Session windows with a DYNAMIC gap (ref: SessionWindowTimeGapExtractor
     * / EventTimeSessionWindows.withDynamicGap): each event extends its
     * session by its own gap — purchases keep sessions alive 60 minutes,
@@ -258,6 +292,7 @@ object WindowQueries {
     Q("q_window_sql_tumble", windowSqlTumble, Some(windowTumbleSql)),
     Q("q_window_sql_hop", windowSqlHop, Some(windowHopSql)),
     Q("q_window_sql_cumulate", windowSqlCumulate, Some(windowCumulateSql)),
+    Q("q_window_sql_session", windowSqlSession, Some(windowSqlSessionSql)),
     Q("q_window_hop", windowHop, Some(windowHopSql)),
     Q("q_window_session", windowSession, Some(windowSessionSql)),
     Q("q_join_interval", joinInterval, Some(joinIntervalSql)),

@@ -99,7 +99,14 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_resample", // bounds-aggregate grid explode over empty
     "q_evt_paths", // stacked leads + TakeOrdered over empty
     "q_graph_summarize", // value assignment + member counts over empty
-    "q_window_sql_tumble" // TVF rewrite path over an empty table
+    "q_window_sql_tumble", // TVF rewrite path over an empty table
+    "q_window_sql_session", // SESSION TVF island lowering over empty
+    "q_evt_cusum", // prefix-sum + running-min over empty dailies
+    "q_evt_ewma", // dyadic-scaled prefix sum + overflow guard over empty
+    "q_evt_pivot", // explicit-value pivot over zero rows
+    "q_evt_melt", // unpivot of the empty wide frame
+    "q_evt_acf", // 7 lag columns + stack over empty
+    "q_evt_forecast" // lag-7/lag-1 backtest over empty
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -90,6 +90,29 @@ class TableEnvSpec extends SparkSpec {
       "SELECT * FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))").isEmpty)
   }
 
+  test("SESSION TVF: island lowering equals Spark's session_window, keys optional") {
+    // rewrite shape: lag breaks, running-sum island ids, per-island bounds
+    val s = WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(SESSION(TABLE ev PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTE))")
+    assert(s.contains("PARTITION BY user_id ORDER BY ts") && s.contains("__sid")
+      && s.contains("INTERVAL 30 MINUTE") && s.contains("window_time") && !s.contains("SESSION("))
+    // keyless form: global ordering, island-only bounds partition
+    val g = WindowTvfSql.rewrite(
+      "SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))")
+    assert(g.contains("(ORDER BY ts") && g.contains("PARTITION BY __sid"))
+    // semantics: TVF aggregate == Spark's own session_window aggregate
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val viaSql = env.sqlQuery(
+      """SELECT user_id, window_start AS sstart, window_end AS send, count(*) AS cnt
+        |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY 1, 2, 3""".stripMargin)
+    val viaApi = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("sstart"), col("w.end").as("send"), col("cnt"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
   test("window-TVF SQL route equals the DataFrame API result") {
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     val viaSql = env.sqlQuery(
