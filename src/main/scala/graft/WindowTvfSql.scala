@@ -72,26 +72,45 @@ object WindowTvfSql {
     * can use).
     */
   def rewriteStreamingAgg(sql: String): Option[String] = {
+    // (match, descriptor col, grouping fn name, fn args) — SESSION lowers
+    // onto session_window (Spark's merging-window aggregate, the same
+    // operator the reference's StreamExecWindowAggregate picks for
+    // session TVFs); its grouped attribute is named `session_window`
     val matched =
       Tumble.findFirstMatchIn(sql)
-        .map(m => (m, m.group(2), s"'${dur(m.group(3), m.group(4))}'"))
+        .map(m => (m, m.group(2), "window", s"'${dur(m.group(3), m.group(4))}'"))
         .orElse(Hop.findFirstMatchIn(sql)
-          .map(m => (m, m.group(2),
+          .map(m => (m, m.group(2), "window",
             s"'${dur(m.group(5), m.group(6))}', '${dur(m.group(3), m.group(4))}'")))
-    matched.flatMap { case (m, col, args) =>
+        .orElse(Session.findFirstMatchIn(sql)
+          .map(m => (m, m.group(3), "session_window",
+            s"'${dur(m.group(4), m.group(5))}'")))
+    matched.flatMap { case (m, col, fn, args) =>
       val table = m.group(1)
+      // session partition keys scope the merge — faithful only when the
+      // aggregate also groups by every one of them
+      val sessionKeys: Seq[String] =
+        if (fn != "session_window") Nil
+        else Option(m.group(2)).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       val dropped = sql.substring(0, m.start) + table + sql.substring(m.end)
       val named = dropped
-        .replaceAll(raw"(?i)\bwindow_start\b", "window.start")
-        .replaceAll(raw"(?i)\bwindow_end\b", "window.end")
+        .replaceAll(raw"(?i)\bwindow_start\b", s"$fn.start")
+        .replaceAll(raw"(?i)\bwindow_end\b", s"$fn.end")
       val gb = raw"(?is)(GROUP\s+BY\s+)(.*?)(\s+(?:HAVING|ORDER|LIMIT)\b.*|\s*$$)".r
       gb.findFirstMatchIn(named).flatMap { g =>
         val items = g.group(2).split(",").map(_.trim).filter(_.nonEmpty)
-        if (!items.exists(_.equalsIgnoreCase("window.start"))) None
+        if (!items.exists(_.equalsIgnoreCase(s"$fn.start"))) None
+        else if (sessionKeys.exists(k => !items.exists(_.equalsIgnoreCase(k)))) {
+          require(false, s"SESSION TVF streaming aggregate must GROUP BY every " +
+            s"PARTITION BY key (${sessionKeys.mkString(", ")}) — per-key session " +
+            "merge scope cannot be widened by the aggregate")
+          None
+        }
         else Some(named.substring(0, g.start) + g.group(1) +
           items.flatMap {
-            case i if i.equalsIgnoreCase("window.start") => Some(s"window($col, $args)")
-            case i if i.equalsIgnoreCase("window.end") => None
+            case i if i.equalsIgnoreCase(s"$fn.start") => Some(s"$fn($col, $args)")
+            case i if i.equalsIgnoreCase(s"$fn.end") => None
             case i => Some(i)
           }.mkString(", ") + g.group(3))
       }

@@ -215,6 +215,47 @@ object StreamingQueries {
     runToTable("stream_sql_tumble", out, "append").orderBy("wstart", "event_type")
   }
 
+  /** SESSION TVF statement on a STREAM (ref SqlSessionTableFunction on
+    * a watermarked table): the [[graft.WindowTvfSql]] streaming
+    * lowering folds the statement onto `GROUP BY
+    * session_window(ts, gap), user_id` — Spark's merging session
+    * aggregate, watermark semantics intact, which is exactly the
+    * operator the reference's planner picks
+    * (StreamExecWindowAggregate over a session spec). Oracle = the
+    * batch island construction gated on session end ≤ final watermark,
+    * with both bounds exercised (end = last element + gap).
+    */
+  def streamSqlSession(s: SparkSession, dir: String): DataFrame = {
+    val env = graft.TableEnv(s, dir)
+    env.createStreamingView("events_wm_stvf", eventStream(s, dir), "ts", "10 minutes")
+    val out = env.sqlQuery(
+      """SELECT user_id, window_start AS sstart, window_end AS send, count(*) AS cnt
+        |FROM TABLE(SESSION(TABLE events_wm_stvf PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end, user_id""".stripMargin)
+    runToTable("stream_sql_session", out, "append").orderBy("user_id", "sstart")
+  }
+
+  val streamSqlSessionSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS sstart,
+        |  max(ts) + INTERVAL '30 minutes' AS send, count(*) AS cnt
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+        |ORDER BY user_id, sstart""".stripMargin
+
   /** Streaming session windows per user (ref: EventTimeSessionWindows),
     * append mode: emitted ⇔ session end (last ts + gap) <= final
     * watermark.
@@ -3663,6 +3704,7 @@ object StreamingQueries {
     Q("q_stream_iterate", streamIterate, Some(streamIterateSql)),
     Q("q_stream_paths", streamPaths, Some(streamPathsSql)),
     Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql)),
+    Q("q_stream_sql_session", streamSqlSession, Some(streamSqlSessionSql)),
     Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql))
   )
 }

@@ -100,6 +100,18 @@ class TableEnvSpec extends SparkSpec {
     val g = WindowTvfSql.rewrite(
       "SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))")
     assert(g.contains("(ORDER BY ts") && g.contains("PARTITION BY __sid"))
+    // streaming lowering: folds onto GROUP BY session_window(...), and
+    // refuses a GROUP BY that widens the per-key merge scope
+    val sl = WindowTvfSql.rewriteStreamingAgg(
+      """SELECT user_id, window_start AS a, window_end AS b, count(*) AS cnt
+        |FROM TABLE(SESSION(TABLE ev PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end, user_id""".stripMargin).get
+    assert(sl.contains("GROUP BY session_window(ts, '30 minute'), user_id")
+      && sl.contains("session_window.start AS a") && sl.contains("session_window.end AS b"))
+    intercept[IllegalArgumentException](WindowTvfSql.rewriteStreamingAgg(
+      """SELECT window_start AS a, count(*) AS cnt
+        |FROM TABLE(SESSION(TABLE ev PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start""".stripMargin))
     // semantics: TVF aggregate == Spark's own session_window aggregate
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     val viaSql = env.sqlQuery(
