@@ -16,16 +16,39 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     Tables(spark, dir, t).createOrReplaceTempView(t)
   }
 
-  /** ref: TableEnvironment.sqlQuery. Two pre-parse steps for the SQL
+  /** ref: TableEnvironment.sqlQuery. Three pre-parse steps for the SQL
     * shapes Catalyst has no parse rule for: MATCH_RECOGNIZE statements
     * route through [[graft.cep.MatchRecognizeSql]] (lowered onto the
-    * oracled NFA machinery), and windowing-TVF calls
-    * (`TABLE(TUMBLE|HOP|CUMULATE(...))`) rewrite through
-    * [[WindowTvfSql]] into Spark's own `window()` before parsing;
-    * everything else goes to Catalyst verbatim.
+    * oracled NFA machinery), `FOR SYSTEM_TIME AS OF` temporal joins
+    * route through [[TemporalSql]] (lowered onto the oracled
+    * [[graft.operators.AsOfJoin]] union-sort plan), and windowing-TVF
+    * calls (`TABLE(TUMBLE|HOP|CUMULATE|SESSION(...))`) rewrite through
+    * [[WindowTvfSql]] into Spark's own `window()`/`session_window()`
+    * before parsing; everything else goes to Catalyst verbatim.
     */
+  private val versionedViews =
+    scala.collection.mutable.Map.empty[String, (String, Option[String])]
+
+  /** Versioned-table DDL analog (ref: SqlSnapshot / the PRIMARY KEY +
+    * WATERMARK declaration that makes a table joinable with
+    * `FOR SYSTEM_TIME AS OF`): registers `df` under `name` and records
+    * its version-time column (+ optional tie-break for concurrent
+    * versions) so temporal-join statements can pick the axis up
+    * implicitly, exactly like the reference.
+    */
+  def createVersionedView(name: String, df: DataFrame,
+      versionTimeCol: String, tieBreak: Option[String] = None): DataFrame = {
+    require(df.columns.contains(versionTimeCol),
+      s"createVersionedView($name): no column $versionTimeCol")
+    df.createOrReplaceTempView(name)
+    versionedViews.update(name.toLowerCase, (versionTimeCol, tieBreak))
+    df
+  }
+
   def sqlQuery(sql: String): DataFrame =
     if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
+    else if (TemporalSql.applies(sql))
+      TemporalSql.run(spark, sql, n => versionedViews.get(n.toLowerCase))
     else if (WindowTvfSql.applies(sql)) {
       // streaming sources need the aggregate lowering (GROUP BY
       // window(...)) to keep the event-time tag; batch takes the

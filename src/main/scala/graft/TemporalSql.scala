@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `FOR SYSTEM_TIME AS OF` statement surface (ref:
+  * StreamExecTemporalJoin.scala:51 / SqlSnapshot — the reference's
+  * temporal-join SQL shape over a versioned table). Spark's parser has
+  * no SYSTEM_TIME clause, so [[TableEnv.sqlQuery]] routes statements
+  * containing one through this pre-parser, the same move the
+  * MATCH_RECOGNIZE and windowing-TVF routes make: parse the restricted
+  * statement shape, lower the temporal join onto the oracled
+  * [[AsOfJoin.backward]] union-sort plan (ONE exchange + sort, no
+  * build-side explosion), register the joined frame, and hand the rest
+  * of the statement back to Catalyst.
+  *
+  * The reference declares a table's version axis in DDL (PRIMARY KEY +
+  * WATERMARK); here [[TableEnv.createVersionedView]] plays that role,
+  * recording the version-time column (and optional tie-break) the join
+  * then picks up implicitly — the statement itself never names the
+  * right-side time column, exactly like the reference.
+  *
+  * Supported shape (one temporal join; aliases required; equi-keys in
+  * the ON clause; WHERE/GROUP BY/ORDER BY/LIMIT tails pass through):
+  *
+  * {{{
+  * SELECT <exprs> FROM <probe> [AS] p
+  *   [LEFT] JOIN <versioned> FOR SYSTEM_TIME AS OF p.<ts> [AS] v
+  *   ON v.<k> = p.<k> [AND ...]
+  * [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
+  * }}}
+  *
+  * JOIN is INNER per the reference (a probe row with no version at its
+  * time drops); LEFT JOIN keeps it with NULL payload.
+  */
+object TemporalSql {
+
+  private val Stmt =
+    raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s+(LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)(\s+(?:WHERE|GROUP|ORDER|LIMIT)\b.*|\s*)$$".r
+
+  private val KeyPair = raw"(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*".r
+
+  def applies(sql: String): Boolean =
+    raw"(?is)FOR\s+SYSTEM_TIME\s+AS\s+OF".r.findFirstIn(sql).isDefined
+
+  /** @param versionTime version-time column + optional tie-break per
+    *                    versioned view name, from the TableEnv registry
+    */
+  def run(spark: SparkSession, sql: String,
+      versionTime: String => Option[(String, Option[String])]): DataFrame = sql match {
+    case Stmt(selectList, probeTbl, probeAlias, leftKw, verTbl, asOfAlias,
+        probeTs, verAlias, onClause, tail) =>
+      require(asOfAlias.equalsIgnoreCase(probeAlias),
+        s"FOR SYSTEM_TIME AS OF $asOfAlias.$probeTs: the AS OF time must come " +
+          s"from the probe side ($probeAlias)")
+      val (verTs, tieBreak) = versionTime(verTbl).getOrElse(
+        throw new IllegalArgumentException(
+          s"$verTbl is not a declared versioned table — register it with " +
+            "createVersionedView(name, df, versionTimeCol[, tieBreak]) first " +
+            "(the reference's PRIMARY KEY + WATERMARK DDL)"))
+      // equi-key pairs, either orientation (v.k = p.k or p.k = v.k)
+      val keys = onClause.split(raw"(?i)\s+AND\s+").toSeq.map {
+        case KeyPair(a1, c1, a2, c2) if a1.equalsIgnoreCase(verAlias) && a2.equalsIgnoreCase(probeAlias) => (c1, c2)
+        case KeyPair(a1, c1, a2, c2) if a1.equalsIgnoreCase(probeAlias) && a2.equalsIgnoreCase(verAlias) => (c2, c1)
+        case other => throw new IllegalArgumentException(
+          s"temporal join ON clause must be equi-keys between $probeAlias and $verAlias; got: $other")
+      }
+      val probe = spark.table(probeTbl)
+      val matched = "__temporal_matched"
+      // align version key names to the probe's, mark real versions so
+      // INNER can drop probe rows with no version at their time
+      val version0 = keys.foldLeft(spark.table(verTbl)) {
+        case (df, (vk, pk)) => if (vk == pk) df else df.withColumnRenamed(vk, pk)
+      }.withColumn(matched, lit(true))
+      val payload = version0.columns.toSeq.diff(keys.map(_._2) :+ verTs)
+      val joined = AsOfJoin.backward(
+        probe, version0,
+        keys = keys.map(_._2), leftTs = probeTs, rightTs = verTs,
+        payload = payload, tieBreak = tieBreak)
+      val inner = leftKw == null || leftKw.trim.isEmpty
+      val result = (if (inner) joined.filter(col(matched)) else joined).drop(matched)
+      val view = s"__temporal_${probeTbl}_$verTbl"
+      result.createOrReplaceTempView(view)
+      // the temporal join is resolved; the rest of the statement is
+      // ordinary Catalyst SQL over the joined view
+      val strip = (s: String) => s
+        .replaceAll(raw"(?i)\b${probeAlias}\.", "")
+        .replaceAll(raw"(?i)\b${verAlias}\.", "")
+      spark.sql(s"SELECT ${strip(selectList)} FROM $view${strip(tail)}")
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported FOR SYSTEM_TIME AS OF statement shape — expected " +
+          "SELECT ... FROM probe p [LEFT] JOIN versioned FOR SYSTEM_TIME AS OF p.ts v ON v.k = p.k")
+  }
+}

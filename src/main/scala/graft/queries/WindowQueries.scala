@@ -170,6 +170,43 @@ object WindowQueries {
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY a.event_id""".stripMargin
 
+  /** The `FOR SYSTEM_TIME AS OF` STATEMENT (ref SqlSnapshot /
+    * StreamExecTemporalJoin — the reference's temporal-join SQL shape),
+    * routed through [[graft.TemporalSql]]: the versioned side's time
+    * axis is declared ONCE on the view (`createVersionedView`, the
+    * PRIMARY KEY + WATERMARK DDL analog), the statement never names it,
+    * and the lowering is the same oracled [[AsOfJoin.backward]]
+    * union-sort plan as [[joinAsof]]. INNER semantics: purchases with
+    * no prior click drop (vs [[joinAsof]]'s keep-with-null), so the
+    * oracle is the inner ASOF join.
+    */
+  def joinAsofSqlRoute(s: SparkSession, dir: String): DataFrame = {
+    val env = graft.TableEnv(s, dir)
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("asof_purchases")
+    env.createVersionedView("asof_clicks",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+      versionTimeCol = "click_ts", tieBreak = Some("click_id"))
+    env.sqlQuery(
+      """SELECT p.event_id, p.user_id, v.click_id
+        |FROM asof_purchases p
+        |JOIN asof_clicks FOR SYSTEM_TIME AS OF p.ts AS v
+        |ON v.user_id = p.user_id
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val joinAsofSqlRouteSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT a.event_id, a.user_id, b.click_id
+        |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') a
+        |ASOF JOIN (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin
+
   /** CUMULATE windows, batch form (ref: windowing TVF CUMULATE(step 15m,
     * size 1h)): each event feeds every expanding window that contains it
     * — explode bounded by maxK, one shuffle to the aggregate.
@@ -296,6 +333,7 @@ object WindowQueries {
     Q("q_window_hop", windowHop, Some(windowHopSql)),
     Q("q_window_session", windowSession, Some(windowSessionSql)),
     Q("q_join_interval", joinInterval, Some(joinIntervalSql)),
-    Q("q_join_asof", joinAsof, Some(joinAsofSql))
+    Q("q_join_asof", joinAsof, Some(joinAsofSql)),
+    Q("q_join_asof_sql", joinAsofSqlRoute, Some(joinAsofSqlRouteSql))
   )
 }

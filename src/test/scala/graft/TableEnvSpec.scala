@@ -63,6 +63,40 @@ class TableEnvSpec extends SparkSpec {
     assert(mr.count() >= 0L) // parses, lowers, and executes
   }
 
+  test("FOR SYSTEM_TIME AS OF: LEFT keeps unmatched probes, tails pass through, misuse fails loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tj_purchases")
+    env.createVersionedView("tj_clicks",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+      versionTimeCol = "click_ts", tieBreak = Some("click_id"))
+    val inner = env.sqlQuery(
+      """SELECT p.event_id, v.click_id FROM tj_purchases p
+        |JOIN tj_clicks FOR SYSTEM_TIME AS OF p.ts AS v ON v.user_id = p.user_id""".stripMargin)
+    val left = env.sqlQuery(
+      """SELECT p.event_id, v.click_id FROM tj_purchases p
+        |LEFT JOIN tj_clicks FOR SYSTEM_TIME AS OF p.ts AS v ON v.user_id = p.user_id""".stripMargin)
+    val nProbe = spark.table("tj_purchases").count()
+    assert(left.count() === nProbe) // LEFT keeps every probe row
+    assert(inner.count() === left.filter(col("click_id").isNotNull).count())
+    assert(inner.count() < nProbe) // fixture has purchases before any click
+    // WHERE/ORDER tail passes through to Catalyst over the joined view
+    val tail = env.sqlQuery(
+      """SELECT p.event_id, v.click_id FROM tj_purchases p
+        |JOIN tj_clicks FOR SYSTEM_TIME AS OF p.ts AS v ON v.user_id = p.user_id
+        |WHERE p.user_id % 2 = 0 ORDER BY event_id LIMIT 5""".stripMargin)
+    assert(tail.count() <= 5)
+    // misuse: undeclared versioned view; AS OF from the version side
+    intercept[IllegalArgumentException](env.sqlQuery(
+      "SELECT p.event_id FROM tj_purchases p JOIN tj_purchases FOR SYSTEM_TIME AS OF p.ts AS v ON v.user_id = p.user_id"))
+    intercept[IllegalArgumentException](env.sqlQuery(
+      "SELECT p.event_id FROM tj_purchases p JOIN tj_clicks FOR SYSTEM_TIME AS OF v.click_ts AS v ON v.user_id = p.user_id"))
+  }
+
   test("WindowTvfSql: rewrite shapes, reference arg order, cumulate validation") {
     assert(!WindowTvfSql.applies("SELECT window(ts, '1 hour') FROM t"))
     val t = WindowTvfSql.rewrite(
