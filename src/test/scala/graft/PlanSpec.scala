@@ -412,6 +412,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rdd >= 1, "no materialized stage blocks in the q_evt_rfm plan — Funnel.stage removed?")
   }
 
+  test("time-series analytics: staged dailies never re-read events; single-pass members scan once") {
+    // cusum/acf/seasonal fan their daily rollup out 2-3 ways (totals
+    // broadcast + deviation/weekday frames) — Funnel.stage makes the
+    // fan-out free; a parquet scan here means the boundary dropped
+    for (q <- Seq("q_evt_cusum", "q_evt_acf", "q_evt_seasonal")) {
+      val (parquet, rdd) = scanCounts(q)
+      assert(parquet == 0, s"$q re-reads events parquet $parquet times — stage boundary dropped")
+      assert(rdd >= 1, s"no materialized stage block in the $q plan")
+    }
+    // single-reference members: exactly the one corpus scan
+    for (q <- Seq("q_evt_ewma", "q_evt_pivot", "q_evt_melt", "q_evt_forecast"))
+      assert(scanCounts(q)._1 == 1, s"$q should scan events exactly once")
+  }
+
   test("q_emb_neardup_keeper / q_iterate_*: loop plans stay truncated (bounded scans)") {
     // healthy values measured r7: keeper = 1 parquet (corpus join-back)
     // + 3 staged-block reads; the iterate loops end on checkpointed
