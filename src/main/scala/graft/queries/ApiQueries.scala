@@ -33,6 +33,29 @@ object ApiQueries {
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** SQL join-strategy hints (ref: the query-hint family — BROADCAST,
+    * SHUFFLE_HASH, SHUFFLE_MERGE hint comments;
+    * JoinStrategy.java / JoinHintsResolver.java): the hint text rides
+    * the statement through the TableEnv facade into Catalyst's
+    * ResolveJoinStrategyHints, overriding the planner's own choice —
+    * here SHUFFLE_MERGE forces a sort-merge join where stats would
+    * pick broadcast. The hint changes the PHYSICAL strategy only
+    * (TableEnvSpec asserts all three strategies flip on hint text);
+    * results are hint-invariant, which is exactly what the oracle
+    * checks.
+    */
+  def joinHinted(s: SparkSession, dir: String): DataFrame =
+    TableEnv(s, dir).sqlQuery(
+      """SELECT /*+ SHUFFLE_MERGE(c) */ c_nationkey,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM customer c JOIN orders o ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  val joinHintedSql: String =
+    """SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      |FROM customer c JOIN orders o ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Typed coGroup (ref: DataSet.coGroup:1118 → KeyValueGroupedDataset
     * .cogroup): both sides grouped on the key, user code sees the two
     * iterators per key.
@@ -413,6 +436,7 @@ object ApiQueries {
     Q("q_skew_salted_join", skewSaltedJoin, Some(skewSaltedJoinSql)),
     Q("q_join_bloom_reduce", joinBloomReduce, Some(joinBloomReduceSql)),
     Q("q_sql_revenue", sqlRevenue, Some(sqlRevenueSql)),
+    Q("q_join_hinted", joinHinted, Some(joinHintedSql)),
     Q("q_cogroup", cogroup, Some(cogroupSql)),
     Q("q_flat_agg", flatAggregate, Some(flatAggregateSql)),
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),

@@ -63,6 +63,18 @@ class TableEnvSpec extends SparkSpec {
     assert(mr.count() >= 0L) // parses, lowers, and executes
   }
 
+  test("join-strategy hints flip the physical join through the SQL route") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    def planFor(hint: String): String = env.sqlQuery(
+      s"""SELECT $hint c_nationkey, count(*) AS n
+         |FROM customer c JOIN orders o ON o_custkey = c_custkey
+         |GROUP BY c_nationkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(planFor("/*+ SHUFFLE_MERGE(c) */").contains("SortMergeJoin"))
+    assert(planFor("/*+ SHUFFLE_HASH(c) */").contains("ShuffledHashJoin"))
+    assert(planFor("/*+ BROADCAST(c) */").contains("BroadcastHashJoin"))
+  }
+
   test("FOR SYSTEM_TIME AS OF: LEFT keeps unmatched probes, tails pass through, misuse fails loudly") {
     val dir = "/root/testdata/sf0.001"
     val env = TableEnv(spark, dir)
