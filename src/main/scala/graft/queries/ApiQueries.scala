@@ -56,6 +56,97 @@ object ApiQueries {
       |FROM customer c JOIN orders o ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** ref DataSetUtils.zipWithIndex:89 — contiguous ids over a
+    * distributed dataset: the reference's two-pass design (count per
+    * partition, broadcast offsets, number from offset) via
+    * [[Indexing.zipWithIndex]] on a range-partitioned order. The total
+    * order here is event_id; the oracle is the row_number the index
+    * must equal.
+    */
+  def apiZipIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexing.zipWithIndex(
+        Tables.events(s, dir).select(col("event_id"), col("user_id")),
+        Seq(col("event_id")), "idx")
+      .select(col("idx"), col("event_id"), col("user_id"))
+      .orderBy("idx")
+
+  val apiZipIndexSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT row_number() OVER (ORDER BY event_id) - 1 AS idx, event_id, user_id
+        |FROM ev ORDER BY idx""".stripMargin
+
+  /** ref DataSetUtils.summarize:311 — the per-column profile
+    * (NumericColumnSummary / StringColumnSummary) as ONE
+    * map-side-combined aggregate pass via [[Profiling.summarize]].
+    */
+  def apiSummarize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.summarize(
+        Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
+      .orderBy("col_name")
+
+  val apiSummarizeSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, 'numeric' AS kind, count($c)::BIGINT AS n,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+         |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v,
+         |  round(sum($c), 4) AS sum_v, round(avg($c), 6) AS mean,
+         |  round(stddev_samp($c), 4) AS std,
+         |  NULL::BIGINT AS min_len, NULL::BIGINT AS max_len, NULL::BIGINT AS empties
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, 'string' AS kind, count($c)::BIGINT AS n,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+         |  NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v, NULL::DOUBLE AS sum_v,
+         |  NULL::DOUBLE AS mean, NULL::DOUBLE AS std,
+         |  min(length($c))::BIGINT AS min_len, max(length($c))::BIGINT AS max_len,
+         |  sum(CASE WHEN $c = '' THEN 1 ELSE 0 END)::BIGINT AS empties
+         |FROM lineitem""".stripMargin
+    Seq(num("l_quantity"), num("l_extendedprice"),
+        str("l_returnflag"), str("l_linestatus"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+
+  /** ref DataSetUtils.checksumHashCode:347 — count + order-insensitive
+    * content checksum, with a PORTABLE md5-derived 32-bit row hash in
+    * place of Java hashCode and an exact DECIMAL(38,0) sum in place of
+    * the overflow-prone long accumulator.
+    */
+  def apiChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.checksumHashCode(
+      Tables.events(s, dir),
+      concat_ws("|", col("event_id"), col("user_id"), col("event_type")))
+
+  val apiChecksumSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT count(*)::BIGINT AS cnt,
+        |  sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 8))::BIGINT) AS checksum
+        |FROM ev""".stripMargin
+
+  /** ref DataSetUtils.sampleWithSize:232 — a fixed-size sample, made
+    * DETERMINISTIC the distributed-reproducible way: rank rows by a
+    * content hash and keep the k smallest (a uniform sample under the
+    * random-oracle view of md5, identical on every engine and every
+    * re-run — the property the reference's seeded samplers are after).
+    * The k-cut is TakeOrdered: no global sort materializes.
+    */
+  def apiSampleSize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      .limit(500)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+
+  val apiSampleSizeSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type FROM ev
+        |  ORDER BY md5(event_id::VARCHAR), event_id LIMIT 500)
+        |ORDER BY event_id""".stripMargin
+
   /** Typed coGroup (ref: DataSet.coGroup:1118 → KeyValueGroupedDataset
     * .cogroup): both sides grouped on the key, user code sees the two
     * iterators per key.
@@ -437,6 +528,10 @@ object ApiQueries {
     Q("q_join_bloom_reduce", joinBloomReduce, Some(joinBloomReduceSql)),
     Q("q_sql_revenue", sqlRevenue, Some(sqlRevenueSql)),
     Q("q_join_hinted", joinHinted, Some(joinHintedSql)),
+    Q("q_api_zip_index", apiZipIndex, Some(apiZipIndexSql)),
+    Q("q_api_summarize", apiSummarize, Some(apiSummarizeSql)),
+    Q("q_api_checksum", apiChecksum, Some(apiChecksumSql)),
+    Q("q_api_sample_size", apiSampleSize, Some(apiSampleSizeSql)),
     Q("q_cogroup", cogroup, Some(cogroupSql)),
     Q("q_flat_agg", flatAggregate, Some(flatAggregateSql)),
     Q("q_udaf_weighted", udafWeighted, Some(udafWeightedSql)),
