@@ -3152,6 +3152,96 @@ object PipelineQueries {
        |SELECT qid AS query_id, doc_id, round(s, 4) AS score, rn AS rank
        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Retrieval evaluation — precision@10 / recall@10 / MRR / nDCG@10
+    * (Järvelin-Kekäläinen 2002) scored over [[docBm25]]'s rankings
+    * against a DETERMINISTIC graded qrel both engines derive
+    * identically from the corpus itself: rel(q, d) = number of
+    * distinct q-terms present in d. This is the eval harness every
+    * retrieval stack ships next to its index — without it BM25 tuning
+    * is blind.
+    *
+    * Scale shape: the qrel table is postings ⋈ broadcast(query terms)
+    * — only matching postings survive the scan; the ideal ranking is a
+    * per-query top-10 over the qrel (bounded domain), never the
+    * corpus; the metric aggregates touch ≤ 10 + |qrel| rows per query.
+    * Gains 2^rel − 1 are exact small powers; log2 discounts round to 9
+    * before summing so DuckDB replays the arithmetic.
+    */
+  def docIrMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = docBm25(s, dir)
+      .select(col("query_id").as("qid"), col("doc_id"), col("rank").as("rn"))
+    val queries = Seq((1L, "table"), (1L, "row"), (2L, "fast"), (2L, "scan"),
+      (2L, "agg"), (3L, "stream"), (3L, "window")).toDF("qid", "tok")
+    val rel = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .join(broadcast(queries), "tok")
+      .groupBy("qid", "doc_id").agg(countDistinct("tok").as("rel")))
+    val hits = ranked.join(rel, Seq("qid", "doc_id"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)))
+    val perQ = hits
+      .select(col("qid"), col("rn"), col("g"),
+        round((pow(lit(2.0), col("g")) - 1) / log2(col("rn") + 1), 9).as("dg"))
+      .groupBy("qid").agg(
+        round(sum("dg"), 6).as("dcg"),
+        sum(when(col("g") >= 1, 1L).otherwise(0L)).as("hits"),
+        min(when(col("g") >= 1, col("rn"))).as("frank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irn", row_number().over(w)).filter(col("irn") <= 10)
+      .select(col("qid"),
+        round((pow(lit(2.0), col("rel")) - 1) / log2(col("irn") + 1), 9).as("dg"))
+      .groupBy("qid").agg(round(sum("dg"), 6).as("idcg"))
+    val nrel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    perQ.join(idcg, "qid").join(nrel, "qid")
+      .select(col("qid").as("query_id"), col("n_rel"), col("hits"),
+        (col("hits") / lit(10.0)).as("p10"),
+        (col("hits").cast("double") / col("n_rel").cast("double")).as("recall"),
+        coalesce(round(lit(1.0) / col("frank"), 9), lit(0.0)).as("mrr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val docIrMetricsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |st AS (SELECT count(*)::DOUBLE AS nd, sum(dl) / count(*) AS avgdl FROM dl),
+       |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       |q(qid, tok) AS (VALUES (1, 'table'), (1, 'row'), (2, 'fast'), (2, 'scan'),
+       |                       (2, 'agg'), (3, 'stream'), (3, 'window')),
+       |sc AS (SELECT qid::BIGINT AS qid, p.doc_id,
+       |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 9)), 6) AS s
+       |       FROM post p JOIN q USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |         JOIN dft USING (tok) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, s,
+       |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rn FROM sc),
+       |rk AS (SELECT qid, doc_id, rn FROM r WHERE rn <= 10),
+       |relv AS (SELECT q.qid::BIGINT AS qid, post.doc_id, count(DISTINCT post.tok)::BIGINT AS rel
+       |         FROM post JOIN q USING (tok) GROUP BY 1, 2),
+       |hits AS (SELECT rk.qid, rk.rn, coalesce(relv.rel, 0) AS g
+       |         FROM rk LEFT JOIN relv ON relv.qid = rk.qid AND relv.doc_id = rk.doc_id),
+       |dcg AS (SELECT qid, round(sum(round((power(2, g) - 1) / log2(rn + 1), 9)), 6) AS dcg,
+       |          sum(CASE WHEN g >= 1 THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |          min(CASE WHEN g >= 1 THEN rn END) AS frank
+       |        FROM hits GROUP BY 1),
+       |ideal AS (SELECT qid, rel,
+       |            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irn
+       |          FROM relv),
+       |idcg AS (SELECT qid, round(sum(round((power(2, rel) - 1) / log2(irn + 1), 9)), 6) AS idcg
+       |         FROM ideal WHERE irn <= 10 GROUP BY 1),
+       |nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM relv GROUP BY 1)
+       |SELECT dcg.qid AS query_id, n_rel, hits,
+       |  hits::DOUBLE / 10 AS p10,
+       |  hits::DOUBLE / n_rel::DOUBLE AS recall,
+       |  coalesce(round(1.0 / frank, 9), 0.0) AS mrr,
+       |  round(dcg / idcg, 6) AS ndcg
+       |FROM dcg JOIN idcg USING (qid) JOIN nrel USING (qid)
+       |ORDER BY query_id""".stripMargin
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack 2009, the
     * standard lexical+dense combiner): [[docBm25]]'s keyword rankings
     * fuse with dense top-10 neighbors of the query document's
@@ -3499,6 +3589,7 @@ object PipelineQueries {
     Q("q_doc_bpe_train", docBpeTrain, Some(docBpeTrainSql)),
     Q("q_doc_quality_train", docQualityTrain, Some(docQualityTrainSql)),
     Q("q_doc_bm25", docBm25, Some(docBm25Sql)),
+    Q("q_doc_ir_metrics", docIrMetrics, Some(docIrMetricsSql)),
     Q("q_doc_phrase", docPhrase, Some(docPhraseSql)),
     Q("q_doc_proximity", docProximity, Some(docProximitySql)),
     Q("q_doc_expect", docExpect, Some(docExpectSql)),
