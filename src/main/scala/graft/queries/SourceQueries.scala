@@ -179,6 +179,43 @@ object SourceQueries {
         |FROM ev WHERE day(ts) >= 10 AND day(ts) < 15 AND user_id < 8
         |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Small-file compaction (the OPTIMIZE/rewrite maintenance pass; ref
+    * analog: StreamingFileSink.java accumulates one part file per
+    * subtask per checkpoint — the small-files debt every file-based
+    * sink builds up and a maintenance rewrite must pay down): a
+    * deliberately fragmented table (64 shard files)
+    * rewrites into 4 range-clustered files — `repartitionByRange` +
+    * `sortWithinPartitions` so each output file owns a contiguous
+    * user_id range (footer min/max stay narrow, downstream scans
+    * prune), `maxRecordsPerFile` as the size governor. Compaction must
+    * be semantically invisible: the read-back aggregate equals the
+    * plain aggregate over the original rows, which is exactly what the
+    * oracle replays. CompactionSpec pins the mechanical claims (file
+    * count collapses, ranges disjoint).
+    */
+  def compactSink(s: SparkSession, dir: String): DataFrame = {
+    val frag = sinkDir(dir, "events_fragmented")
+    val out = sinkDir(dir, "events_compacted")
+    Tables.events(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartitionByRange(4, col("user_id"), col("event_id"))
+      .sortWithinPartitions("user_id", "event_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000)
+      .parquet(out)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .orderBy("event_type")
+  }
+
+  val compactSinkSql: String =
+    graft.Tables.eventsCte +
+      """
+        |SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value), 2) AS sv
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Bucketed tables + co-located join (the "bucketing for co-located
     * joins" scale technique; ref analog: Flink's batch-shuffle reuse /
     * pre-partitioned inputs): write orders and customer bucketed 8 ways
@@ -445,6 +482,7 @@ object SourceQueries {
     Q("q_sink_backfill", backfillSink, Some(backfillSinkSql)),
     Q("q_source_evolution", evolutionSource, Some(evolutionSourceSql)),
     Q("q_source_corrupt", corruptSource, Some(corruptSourceSql)),
-    Q("q_sink_zorder", zorderSink, Some(zorderSinkSql))
+    Q("q_sink_zorder", zorderSink, Some(zorderSinkSql)),
+    Q("q_sink_compact", compactSink, Some(compactSinkSql))
   )
 }
