@@ -66,6 +66,71 @@ object Profiling {
       .select("s.*")
   }
 
+  /** MERGEABLE form of the profile — raw moments instead of finished
+    * statistics (sum² in place of stddev): two moment frames over
+    * disjoint row sets union+merge to the moments of the union, which
+    * is what lets a streaming maintainer keep a constant-size profile
+    * state per column (the mergeable-summaries discipline). Finish
+    * with [[report]].
+    */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol: Seq[Column] = cols.map { c =>
+      df.schema(c).dataType match {
+        case _: NumericType => struct(
+          lit(c).as("col_name"), lit("numeric").as("kind"),
+          count(col(c)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"),
+          sum(col(c).cast("double")).as("sum_v"),
+          sum(col(c).cast("double") * col(c).cast("double")).as("sum2"),
+          lit(null).cast("long").as("min_len"),
+          lit(null).cast("long").as("max_len"),
+          lit(null).cast("long").as("empties"))
+        case StringType => struct(
+          lit(c).as("col_name"), lit("string").as("kind"),
+          count(col(c)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+          lit(null).cast("double").as("min_v"),
+          lit(null).cast("double").as("max_v"),
+          lit(null).cast("double").as("sum_v"),
+          lit(null).cast("double").as("sum2"),
+          min(length(col(c))).cast("long").as("min_len"),
+          max(length(col(c))).cast("long").as("max_len"),
+          sum(when(col(c) === "", 1L).otherwise(0L)).as("empties"))
+        case other => throw new IllegalArgumentException(
+          s"moments($c): unsupported type $other — project to numeric/string first")
+      }
+    }
+    df.aggNamed(perCol)
+      .select(explode(array(cols.indices.map(i => col(s"__s$i")): _*)).as("s"))
+      .select("s.*")
+  }
+
+  /** Merge moment frames over disjoint row sets (sums add, bounds
+    * min/max) — the combine step of the reference's summary
+    * aggregators.
+    */
+  def mergeMoments(frames: DataFrame*): DataFrame =
+    frames.reduce(_ unionByName _)
+      .groupBy("col_name", "kind")
+      .agg(sum("n").as("n"), sum("nulls").as("nulls"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"),
+        sum("sum_v").as("sum_v"), sum("sum2").as("sum2"),
+        min("min_len").as("min_len"), max("max_len").as("max_len"),
+        sum("empties").as("empties"))
+
+  /** Finish moments into the [[summarize]] report schema. */
+  def report(m: DataFrame): DataFrame =
+    m.select(col("col_name"), col("kind"), col("n"), col("nulls"),
+      col("min_v"), col("max_v"),
+      round(col("sum_v"), 4).as("sum_v"),
+      round(col("sum_v") / col("n"), 6).as("mean"),
+      when(col("n") > 1, round(sqrt(
+        (col("sum2") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1)), 4))
+        .otherwise(lit(null).cast("double")).as("std"),
+      col("min_len"), col("max_len"), col("empties"))
+
   // agg() names positional outputs; alias them predictably
   implicit private class AggNames(df: DataFrame) {
     def aggNamed(cs: Seq[Column]): DataFrame =

@@ -2323,6 +2323,37 @@ object StreamingQueries {
         |FROM ranked WHERE rnk <= 3
         |ORDER BY batch, event_type, rank""".stripMargin
 
+  /** Streaming dataset-profile monitor (ref DataSetUtils.summarize made
+    * incremental — the mergeable-summaries rule applied to the
+    * per-column profile): state = ONE raw-moments row per column
+    * (count/nulls/min/max/sum/sum² and the length stats), constant
+    * size forever; each batch contributes its own one-pass moments and
+    * the merge is sums-add/bounds-minmax. The finished report (mean,
+    * stddev from moments) must equal the batch profile over everything
+    * ingested — the oracle is [[ApiQueries.apiSummarizeSql]] verbatim.
+    */
+  def streamSummarize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    val srcDir = stageBatchFiles(dir, "ssum",
+      (0 until 3).map(b => li.filter(col("l_orderkey") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "ssum_store"))
+    store.init(graft.operators.Profiling.moments(li.limit(0), cols))
+    val q = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, graft.operators.Profiling.mergeMoments(
+          store.prior(batchId), graft.operators.Profiling.moments(batch, cols)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Profiling.report(store.version(lastBatchId(srcDir)))
+      .orderBy("col_name")
+  }
+
   def streamExpect(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -3687,6 +3718,7 @@ object StreamingQueries {
     Q("q_stream_kmeans", streamKmeans, Some(streamKmeansSql)),
     Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
+    Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),

@@ -51,6 +51,16 @@ class IndexingSpec extends SparkSpec {
       Profiling.summarize(Tables(spark, dir, "lineitem"), Seq("l_shipdate")))
   }
 
+  test("moments merge law: split-profile merge equals the whole-table profile") {
+    val li = Tables(spark, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_returnflag")
+    val whole = Profiling.report(Profiling.moments(li, cols))
+    val merged = Profiling.report(Profiling.mergeMoments(
+      Profiling.moments(li.filter(col("l_orderkey") % 2 === 0), cols),
+      Profiling.moments(li.filter(col("l_orderkey") % 2 === 1), cols)))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("checksum: order- and partitioning-insensitive") {
     val repr = concat_ws("|", col("event_id"), col("user_id"))
     val a = Profiling.checksumHashCode(ev, repr).head()
