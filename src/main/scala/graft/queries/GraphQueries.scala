@@ -236,6 +236,48 @@ object GraphQueries {
         |FROM wedge wg JOIN wt ON wt.c = wg.c
         |GROUP BY 1, 2 ORDER BY u, w""".stripMargin
 
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701) —
+    * the Pearson correlation of degrees across edges, the one-number
+    * answer to "do hubs link to hubs?". Undirected closed form: each
+    * edge contributes both orientations, so Σx = Σy and Σx² = Σy² and
+    * r = (2m·2Σd_a d_b − (Σ(d_a+d_b))²) / (2m·Σ(d_a²+d_b²) −
+    * (Σ(d_a+d_b))²) — NO square root, a ratio of two integers. The
+    * four sums come from ONE pass over the degree-joined edge list
+    * (degrees broadcast); cross products are taken in DECIMAL(38,0) so
+    * the arithmetic is exact at any edge count (BIGINT would overflow
+    * near m ~ 10¹² edges).
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val sums = e
+      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).cast("decimal(38,0)").as("sxy"),
+        sum(col("da") * col("db")).cast("decimal(38,0)").as("sprod"),
+        sum(col("da") * col("da") + col("db") * col("db")).cast("decimal(38,0)").as("ssq"))
+    sums.select(col("m").cast("long").as("m"),
+      round(((lit(2) * col("m") * lit(2) * col("sprod") - col("sxy") * col("sxy"))
+        .cast("double")
+        / (lit(2) * col("m") * col("ssq") - col("sxy") * col("sxy")).cast("double")), 6)
+        .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, deg AS (SELECT v, count(*)::BIGINT AS deg
+        |          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |j AS (SELECT da.deg AS da, db.deg AS db
+        |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |sm AS (SELECT count(*)::BIGINT AS m, sum(da + db) AS sxy,
+        |        sum(da * db) AS sprod, sum(da * da + db * db) AS ssq FROM j)
+        |SELECT m, round((2 * m * 2 * sprod - sxy * sxy)::DOUBLE
+        |  / (2 * m * ssq - sxy * sxy)::DOUBLE, 6) AS assortativity
+        |FROM sm""".stripMargin
+
   /** One-row vertex metrics (counts, average/max degree, triplets) —
     * the analytic summary of [[Graph.vertexMetrics]].
     */
@@ -341,6 +383,7 @@ object GraphQueries {
     Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("q_graph_adamic_adar", graphAdamicAdar, Some(graphAdamicAdarSql)),
     Q("q_graph_metrics", graphMetrics, Some(graphMetricsSql)),
+    Q("q_graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
     Q("q_graph_triads", graphTriads, Some(graphTriadsSql)),
     Q("q_graph_summarize", graphSummarize, Some(graphSummarizeSql))
   )

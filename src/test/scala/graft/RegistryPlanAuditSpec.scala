@@ -38,6 +38,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     */
   private val scalarBnlJoins: Set[String] = Set(
     "q_doc_bm25", // 1-row avgdl/N corpus statistics broadcast
+    "q_doc_ir_metrics", // inherits docBm25's 1-row stats broadcast (the eval leg)
     "q_doc_hll", // 1-row register rollup vs scalar constants
     "q_doc_hll_by_source", // per-source register rows (|sources|-bounded)
     "q_evt_wau_hll", // per-day register grid: |days| × 64 buckets, both bounded
@@ -72,8 +73,6 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_ivfpq", // nlist-row coarse-centroid table broadcast (cell assignment)
     "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast
-    "q_graph_metrics", // 1-row edge-count aggregate crossed with the vertex summary
-    "q_graph_triads", // 1-row triangle total crossed with the 1-row metrics
     "q_doc_neyman", // 1-row weight-total + 1-row remainder crossed with |strata| rows
     "q_emb_compression_recall" // 10-query probe sides broadcast (brute-force + tier legs)
   )
