@@ -106,7 +106,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_pivot", // explicit-value pivot over zero rows
     "q_evt_melt", // unpivot of the empty wide frame
     "q_evt_acf", // 7 lag columns + stack over empty
-    "q_evt_forecast" // lag-7/lag-1 backtest over empty
+    "q_evt_forecast", // lag-7/lag-1 backtest over empty
+    "q_doc_ir_metrics", // BM25 stats scalars (nd, avgdl) from an empty corpus
+    "q_api_zip_index", // RDD zipWithIndex over an empty range partitioning
+    "q_api_summarize", // one-pass profile over zero rows (n=0, null bounds)
+    "q_graph_assortativity" // degree sums null -> null ratio, no crash
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
