@@ -1381,6 +1381,104 @@ object AnalyticsQueries {
         |FROM lagged WHERE p7 IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Distributed ordinary least squares by NORMAL EQUATIONS — the
+    * closed-form counterpart of the gradient-descent quality
+    * classifier ([[graft.operators.Curation]]): value ~ hour-of-day +
+    * ISO weekday, fit in ONE pass. The whole regression reduces to 10
+    * sufficient statistics (one map-side-combined aggregate); the 3×3
+    * solve is Cramer's rule — determinant RATIOS, no factorization.
+    * Engine-exactness: the target quantizes to integer milli-units
+    * first, so every sufficient statistic is an exact integer, the
+    * determinants are exact DECIMAL(38,0) arithmetic (BIGINT overflows
+    * near n ~ 10⁵ on third-order products; decimal carries ~10²² digits
+    * here), and the only floats are the final divisions — identical on
+    * both engines. R² comes from the same statistics
+    * (SSE = Syy − β'X'y), no second pass. At 100 TB this is the
+    * one-scan-plus-driver-solve shape every sufficient-statistics
+    * model shares.
+    */
+  def evtOls(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val stats = Tables.events(s, dir)
+      .select(hour(col("ts")).cast("long").as("x1"),
+        (weekday(col("ts")) + 1).cast("long").as("x2"),
+        round(col("value") * 1000).cast("long").as("y"))
+      .agg(
+        count(lit(1)).cast(d).as("n"),
+        sum("x1").cast(d).as("s1"), sum("x2").cast(d).as("s2"),
+        sum(col("x1") * col("x1")).cast(d).as("s11"),
+        sum(col("x1") * col("x2")).cast(d).as("s12"),
+        sum(col("x2") * col("x2")).cast(d).as("s22"),
+        sum("y").cast(d).as("sy"),
+        sum(col("x1") * col("y")).cast(d).as("s1y"),
+        sum(col("x2") * col("y")).cast(d).as("s2y"),
+        sum(col("y") * col("y")).cast(d).as("syy"))
+    // Cramer: A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y]
+    stats.select(col("n"), col("s1"), col("s2"), col("s11"), col("s12"),
+        col("s22"), col("sy"), col("s1y"), col("s2y"), col("syy"))
+      .withColumn("det", col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+        - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("det0", col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+        - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+      .withColumn("det1", col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+      .withColumn("det2", col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+        - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+        + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      // β in milli-units; /1000 back to value units at output
+      .withColumn("b0", col("det0").cast("double") / col("det").cast("double"))
+      .withColumn("b1", col("det1").cast("double") / col("det").cast("double"))
+      .withColumn("b2", col("det2").cast("double") / col("det").cast("double"))
+      .withColumn("sse", col("syy").cast("double")
+        - col("b0") * col("sy").cast("double")
+        - col("b1") * col("s1y").cast("double")
+        - col("b2") * col("s2y").cast("double"))
+      .withColumn("sst", col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double"))
+      .select(col("n").cast("long").as("n"),
+        round(col("b0") / 1000, 6).as("intercept"),
+        round(col("b1") / 1000, 6).as("beta_hour"),
+        round(col("b2") / 1000, 6).as("beta_dow"),
+        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+  }
+
+  val evtOlsSql: String =
+    Tables.eventsCte +
+      """
+        |, f AS (SELECT hour(ts)::BIGINT AS x1, date_part('isodow', ts)::BIGINT AS x2,
+        |          round(value * 1000)::BIGINT AS y FROM ev),
+        |st AS (SELECT count(*)::HUGEINT AS n,
+        |         sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+        |         sum(x1 * x1)::HUGEINT AS s11, sum(x1 * x2)::HUGEINT AS s12,
+        |         sum(x2 * x2)::HUGEINT AS s22,
+        |         sum(y)::HUGEINT AS sy, sum(x1 * y)::HUGEINT AS s1y,
+        |         sum(x2 * y)::HUGEINT AS s2y, sum(y * y)::HUGEINT AS syy
+        |       FROM f),
+        |dets AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM st),
+        |beta AS (SELECT *, det0::DOUBLE / det::DOUBLE AS b0,
+        |           det1::DOUBLE / det::DOUBLE AS b1,
+        |           det2::DOUBLE / det::DOUBLE AS b2 FROM dets),
+        |fit AS (SELECT *,
+        |    syy::DOUBLE - b0 * sy::DOUBLE - b1 * s1y::DOUBLE - b2 * s2y::DOUBLE AS sse,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS sst
+        |  FROM beta)
+        |SELECT n::BIGINT AS n, round(b0 / 1000, 6) AS intercept,
+        |  round(b1 / 1000, 6) AS beta_hour, round(b2 / 1000, 6) AS beta_dow,
+        |  round(1.0 - sse / sst, 6) AS r2
+        |FROM fit""".stripMargin
+
   /** Robust z-score outliers (median/MAD, the Iglewicz–Hoaglin
     * modified z — the anomaly rule that survives the very outliers a
     * mean/stddev z is dragged by, complementing [[evtAnomaly]]):
@@ -1512,6 +1610,7 @@ object AnalyticsQueries {
     Q("q_evt_acf", evtAcf, Some(evtAcfSql)),
     Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
+    Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
