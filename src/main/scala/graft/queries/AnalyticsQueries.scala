@@ -1397,10 +1397,14 @@ object AnalyticsQueries {
     * one-scan-plus-driver-solve shape every sufficient-statistics
     * model shares.
     */
-  def evtOls(s: SparkSession, dir: String): DataFrame = {
+  /** The 10 sufficient statistics, one map-side-combined pass.
+    * PURELY ADDITIVE — two stat rows over disjoint row sets sum to the
+    * stats of the union, which is what makes the streaming maintainer
+    * ([[StreamingQueries.streamOls]]) free.
+    */
+  private[queries] def olsStats(ev: DataFrame): DataFrame = {
     val d = "decimal(38,0)"
-    val stats = Tables.events(s, dir)
-      .select(hour(col("ts")).cast("long").as("x1"),
+    ev.select(hour(col("ts")).cast("long").as("x1"),
         (weekday(col("ts")) + 1).cast("long").as("x2"),
         round(col("value") * 1000).cast("long").as("y"))
       .agg(
@@ -1413,7 +1417,12 @@ object AnalyticsQueries {
         sum(col("x1") * col("y")).cast(d).as("s1y"),
         sum(col("x2") * col("y")).cast(d).as("s2y"),
         sum(col("y") * col("y")).cast(d).as("syy"))
-    // Cramer: A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y]
+  }
+
+  /** Cramer solve + fit report from a 1-row sufficient-statistics
+    * frame: A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y].
+    */
+  private[queries] def olsSolve(stats: DataFrame): DataFrame =
     stats.select(col("n"), col("s1"), col("s2"), col("s11"), col("s12"),
         col("s22"), col("sy"), col("s1y"), col("s2y"), col("syy"))
       .withColumn("det", col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
@@ -1443,7 +1452,9 @@ object AnalyticsQueries {
         round(col("b1") / 1000, 6).as("beta_hour"),
         round(col("b2") / 1000, 6).as("beta_dow"),
         round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
-  }
+
+  def evtOls(s: SparkSession, dir: String): DataFrame =
+    olsSolve(olsStats(Tables.events(s, dir)))
 
   val evtOlsSql: String =
     Tables.eventsCte +

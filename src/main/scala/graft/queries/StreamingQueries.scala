@@ -2323,6 +2323,38 @@ object StreamingQueries {
         |FROM ranked WHERE rnk <= 3
         |ORDER BY batch, event_type, rank""".stripMargin
 
+  /** Streaming OLS — the sufficient-statistics regression
+    * ([[AnalyticsQueries.evtOls]]) maintained incrementally: the 10
+    * statistics are PURELY ADDITIVE, so state is literally ONE row
+    * summed per batch, and the end-of-stream Cramer solve must equal
+    * the batch fit over everything ingested (oracle = the batch OLS
+    * SQL verbatim). The sufficient-statistics model family's whole
+    * point at scale: training state that merges like a counter.
+    */
+  def streamOls(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sols",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sols_store"))
+    store.init(AQ.olsStats(ev.limit(0)))
+    val statCols = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.olsStats(batch))
+            .agg(statCols.map(c => sum(c).as(c)).head,
+              statCols.tail.map(c => sum(c).as(c)): _*))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.olsSolve(store.version(lastBatchId(srcDir)))
+  }
+
   /** Streaming dataset-profile monitor (ref DataSetUtils.summarize made
     * incremental — the mergeable-summaries rule applied to the
     * per-column profile): state = ONE raw-moments row per column
@@ -3719,6 +3751,7 @@ object StreamingQueries {
     Q("q_stream_components", streamComponents, Some(streamComponentsSql)),
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
     Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
+    Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
