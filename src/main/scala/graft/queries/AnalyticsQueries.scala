@@ -1381,6 +1381,68 @@ object AnalyticsQueries {
         |FROM lagged WHERE p7 IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test — are purchase and click
+    * values drawn from the same distribution? The distribution-drift
+    * gate run between dataset versions before a model retrain. The
+    * statistic computes over DECI-BUCKETED values (the [[docAuc]]
+    * quantization device: a ≤4901-row bin domain bounds the one
+    * ordered global window — the corpus never funnels through one
+    * task), with the supremum deviation INTEGER-exact:
+    * D·n₁·n₂ = max¦cum₁·n₂ − cum₂·n₁¦ in DECIMAL(38,0) (exact at any
+    * n). The only floats are the final division and the
+    * c(α)·√((n₁+n₂)/n₁n₂) critical value — identical IEEE chains on
+    * both engines, so even the reject boolean is engine-stable.
+    */
+  def evtKs(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val bins = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(round(col("value") * 10).cast("long").as("b"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    val tot = bins.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bins
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cum1").cast(d) * col("n2") - col("cum2").cast(d) * col("n1")).as("dev"),
+        col("n1"), col("n2"))
+      .groupBy("n1", "n2").agg(max("dev").as("ds"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        (col("ds").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"),
+        (lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")))).as("crit_05"),
+        (col("ds").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))
+          > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))).as("reject"))
+  }
+
+  val evtKsSql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b
+        |         FROM ev WHERE event_type IN ('purchase', 'click')),
+        |bins AS (SELECT b,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |         FROM fl GROUP BY b),
+        |t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM bins),
+        |c AS (SELECT b,
+        |        sum(c1) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum1,
+        |        sum(c2) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum2
+        |      FROM bins),
+        |dd AS (SELECT n1, n2, max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1)) AS ds
+        |       FROM c CROSS JOIN t GROUP BY n1, n2)
+        |SELECT n1, n2,
+        |  ds::DOUBLE / (n1::DOUBLE * n2::DOUBLE) AS d_stat,
+        |  1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) AS crit_05,
+        |  ds::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+        |    > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) AS reject
+        |FROM dd""".stripMargin
+
   /** Distributed ordinary least squares by NORMAL EQUATIONS — the
     * closed-form counterpart of the gradient-descent quality
     * classifier ([[graft.operators.Curation]]): value ~ hour-of-day +
@@ -1622,6 +1684,7 @@ object AnalyticsQueries {
     Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
+    Q("q_evt_ks", evtKs, Some(evtKsSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

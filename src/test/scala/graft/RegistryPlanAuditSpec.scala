@@ -39,6 +39,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
   private val scalarBnlJoins: Set[String] = Set(
     "q_doc_bm25", // 1-row avgdl/N corpus statistics broadcast
     "q_doc_ir_metrics", // inherits docBm25's 1-row stats broadcast (the eval leg)
+    "q_evt_ks", // 1-row (n1, n2) totals crossed into the bin CDF
     "q_doc_hll", // 1-row register rollup vs scalar constants
     "q_doc_hll_by_source", // per-source register rows (|sources|-bounded)
     "q_evt_wau_hll", // per-day register grid: |days| × 64 buckets, both bounded
@@ -116,7 +117,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_waterfill", // per-stratum levels (bounded strata domain)
     "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
     "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
-    "q_doc_neyman" // largest-remainder rank over the |strata|-row quota table
+    "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
+    "q_evt_ks" // CDF window over the ≤4901-row deci-bucket bin domain
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
     // the 35-row contingency aggregate — outside this check's scope,
     // which hunts ordered global windows; noted here for the reader)
