@@ -112,6 +112,44 @@ object Graph {
       nodes, maxIter)
       .select(col("id").as("node"), col("lbl").as("component"))
 
+  /** k-core of an undirected edge table by synchronous peeling
+    * (Seidman 1983 coreness; the distributed form is the obvious
+    * parallel peel: drop every node whose degree is below k, restrict
+    * the edge set to surviving endpoints, repeat). Runs at most
+    * `rounds` peels with an early exit on fixpoint — the edge COUNT is
+    * the fixpoint signature, since an unchanged count means no node
+    * was dropped, the degree multiset is unchanged, and the next peel
+    * is identical. Peeling is monotone (rounds past the fixpoint are
+    * no-ops), so the early-exited result is IDENTICAL to running all
+    * `rounds` unconditionally — which is exactly what the unrolled SQL
+    * oracle replays, making the equality contract unconditional rather
+    * than convergence-dependent. Per round: one node-keyed degree
+    * aggregate + two left-semi joins against the ≤|V|-row alive set;
+    * the surviving edge frame stages each round so driver-side lineage
+    * stays linear and the per-round shuffle is edge-keyed, never
+    * quadratic. Returns the surviving canonical edges (a, b).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = Funnel.stage(edges.select(col("a"), col("b")))
+    var last = -1L
+    var cnt = e.count()
+    var r = 0
+    while (r < rounds && cnt != last) {
+      last = cnt
+      val alive = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+      e = Funnel.stage(e
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      cnt = e.count()
+      r += 1
+    }
+    e
+  }
+
   /** Synchronous label propagation (ref: flink-gelly
     * `LabelPropagation.java:47` — "takes the most frequent label among
     * neighbors", scatter-gather): labels init to the node id; each

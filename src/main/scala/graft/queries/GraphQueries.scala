@@ -373,6 +373,80 @@ object GraphQueries {
         |FROM se JOIN mem ma ON ma.grp = se.ga JOIN mem mb ON mb.grp = se.gb
         |ORDER BY ga, gb""".stripMargin
 
+  /** Rounds each k-stage of the k-core peel unrolls — both engines run
+    * EXACTLY this many peels (with a no-op early exit on the Spark
+    * side), so equality is unconditional; the fixture peels converge in
+    * ≤7 rounds per stage (measured at sf0.01, the adversarial draw
+    * whose 5-core is empty).
+    */
+  private val KcoreRounds = 10
+
+  /** Nested k-core decomposition for k = 2..5 over the co-engagement
+    * graph ([[Graph.kCorePeel]]): since the (k+1)-core is a subgraph of
+    * the k-core, each stage peels the PREVIOUS stage's survivor edges,
+    * never restarting from the full graph — at 100 TB the expensive
+    * stage is only the first one, and the loop's per-round work is one
+    * degree aggregate + two semi-joins on an ever-shrinking frame.
+    * Output per k: surviving node/edge counts plus the node-id sum as
+    * an integer-exact membership checksum (counts alone could match by
+    * coincidence; the sum pins WHICH nodes survived). The sf0.01 draw
+    * empties at k=5, exercising the empty-core path end to end.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    var e = coEdges(s, dir)
+    val stats = Seq(2, 3, 4, 5).map { k =>
+      e = Graph.kCorePeel(e, k, KcoreRounds)
+      val nodes = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+      nodes.agg(
+          count(lit(1)).cast("long").as("n_nodes"),
+          coalesce(sum(col("v")), lit(0L)).cast("long").as("node_sum"))
+        .crossJoin(e.agg(count(lit(1)).cast("long").as("n_edges")))
+        .select(lit(k).as("k"), col("n_nodes"), col("n_edges"), col("node_sum"))
+    }
+    stats.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** The oracle unrolls the identical nested peel: per k-stage,
+    * [[KcoreRounds]] rounds of (degree-filter, edge-restrict) CTEs,
+    * each stage chained off the previous stage's final edge frame.
+    */
+  val graphKcoreSql: String = {
+    val sb = new StringBuilder(Tables.eventsCte + edgesCte)
+    sb.append(",\ne_2_0 AS (SELECT a, b FROM e)")
+    var prev = "e_2_0"
+    for (k <- Seq(2, 3, 4, 5)) {
+      if (k > 2) {
+        sb.append(s",\ne_${k}_0 AS (SELECT a, b FROM $prev)")
+        prev = s"e_${k}_0"
+      }
+      for (r <- 1 to KcoreRounds) {
+        // MATERIALIZED is load-bearing: each round references the previous
+        // frame several times, and DuckDB's default CTE inlining would
+        // otherwise expand the 40-round chain exponentially (observed as
+        // "Too many open files" on the base parquet scan)
+        sb.append(
+          s""",
+             |n_${k}_$r AS MATERIALIZED (
+             |  SELECT v FROM (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+             |  GROUP BY v HAVING count(*) >= $k),
+             |e_${k}_$r AS MATERIALIZED (
+             |  SELECT p.a, p.b FROM $prev p
+             |  JOIN n_${k}_$r na ON na.v = p.a JOIN n_${k}_$r nb ON nb.v = p.b)""".stripMargin)
+        prev = s"e_${k}_$r"
+      }
+      sb.append(
+        s""",
+           |v_$k AS (SELECT DISTINCT v FROM (SELECT a AS v FROM e_${k}_$KcoreRounds
+           |  UNION ALL SELECT b FROM e_${k}_$KcoreRounds)),
+           |stat_$k AS (SELECT $k AS k, (SELECT count(*) FROM v_$k)::BIGINT AS n_nodes,
+           |  (SELECT count(*) FROM e_${k}_$KcoreRounds)::BIGINT AS n_edges,
+           |  coalesce((SELECT sum(v) FROM v_$k), 0)::BIGINT AS node_sum)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM stat_2 UNION ALL SELECT * FROM stat_3 ")
+    sb.append("UNION ALL SELECT * FROM stat_4 UNION ALL SELECT * FROM stat_5 ORDER BY k")
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
@@ -385,6 +459,7 @@ object GraphQueries {
     Q("q_graph_metrics", graphMetrics, Some(graphMetricsSql)),
     Q("q_graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
     Q("q_graph_triads", graphTriads, Some(graphTriadsSql)),
-    Q("q_graph_summarize", graphSummarize, Some(graphSummarizeSql))
+    Q("q_graph_summarize", graphSummarize, Some(graphSummarizeSql)),
+    Q("q_graph_kcore", graphKcore, Some(graphKcoreSql))
   )
 }

@@ -306,7 +306,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // here means a boundary was dropped (the 4-scans-per-constructor
     // regression this locks out)
     for (q <- Seq("q_graph_triangles", "q_graph_metrics", "q_graph_triads",
-        "q_graph_sssp", "q_graph_jaccard", "q_graph_adamic_adar")) {
+        "q_graph_sssp", "q_graph_jaccard", "q_graph_adamic_adar", "q_graph_kcore")) {
       val (parquet, rdd) = scanCounts(q)
       assert(parquet == 0, s"$q re-reads parquet $parquet times past the stage boundaries")
       assert(rdd >= 1, s"$q has no materialized stage blocks — Funnel.stage removed?")

@@ -75,7 +75,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast
     "q_doc_neyman", // 1-row weight-total + 1-row remainder crossed with |strata| rows
-    "q_emb_compression_recall" // 10-query probe sides broadcast (brute-force + tier legs)
+    "q_emb_compression_recall", // 10-query probe sides broadcast (brute-force + tier legs)
+    "q_graph_kcore" // 1-row node-stat × 1-row edge-count per k stage
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {

@@ -282,4 +282,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(e == (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
   }
+
+  test("kCorePeel: K4 with a tail — 2-core strips the tail, 3-core keeps only the clique") {
+    // K4 on 1-4, path tail 4-5-6, and a triangle 7-8-9 hanging off 1-7
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6), (1, 7), (7, 8), (7, 9), (8, 9))
+    val two = Graph.kCorePeel(e, 2, 10).as[(Long, Long)].collect().toSet
+    // 2-core: the path tail 4-5-6 peels off (6 has degree 1, then 5);
+    // the 1-7 bridge survives because both endpoints sit in cycles
+    assert(two == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 7L), (7L, 8L), (7L, 9L), (8L, 9L)))
+    // 3-core: triangle 7-8-9 (degree 2 within itself) and the bridge go;
+    // only K4 remains
+    val three = Graph.kCorePeel(two.toSeq.toDF("a", "b"), 3, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(three == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // 4-core of K4 is empty (degree 3 < 4) — and the peel of an
+    // already-empty frame stays empty
+    val four = Graph.kCorePeel(three.toSeq.toDF("a", "b"), 4, 10)
+    assert(four.count() == 0L)
+    assert(Graph.kCorePeel(four, 5, 10).count() == 0L)
+  }
+
+  test("kCorePeel: cascades resolve within the round budget — long path peels inward") {
+    // path 1-2-...-12 plus triangle 20-21-22: the 2-core peel eats the
+    // path one endpoint-pair per round (a 6-round cascade), the
+    // triangle survives untouched
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val e = edges(path ++ Seq((20L, 21L), (20L, 22L), (21L, 22L)): _*)
+    val core = Graph.kCorePeel(e, 2, 10).as[(Long, Long)].collect().toSet
+    assert(core == Set((20L, 21L), (20L, 22L), (21L, 22L)))
+  }
 }
