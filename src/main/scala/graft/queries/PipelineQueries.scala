@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Decontamination, Dedup, Funnel, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Decontamination, Dedup, Funnel, Packing, Pca, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -3579,6 +3579,80 @@ object PipelineQueries {
       |  round(sqrt(sum(s * s) * 1.0 / count(*)), 6) AS rms
       |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin
 
+  /** Power-iteration rounds for [[embLda]] — fixed on BOTH engines, so
+    * the oracle equality is about arithmetic, not convergence (the
+    * fixture's between-class gap λ₂/λ₁ ≈ 0.80 gives 0.8²⁰ ≈ 0.01
+    * residual, converged in practice).
+    */
+  private val LdaIters = 20
+  private val EmbDim = 64
+
+  /** Between-class discriminant direction over the embedding corpus
+    * ([[graft.operators.Pca]]) — the supervised spectral axis a
+    * curation pipeline scores drift/quality along: per-class vector
+    * sums (ONE map-side-combined aggregate, ≤ |classes| × d values —
+    * corpus-independent, same bounded-collect posture as the k-means
+    * centroid tables), driver-local scatter assembly + 20 power
+    * rounds, then a single projection scan with the direction and the
+    * global-mean offset broadcast as literals. The oracle replays the
+    * identical class sums, scatter formula, 20 unrolled matrix–vector
+    * CTE rounds, final normalization with the coordinate-sum sign fix,
+    * and projection.
+    */
+  def embLda(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot_double
+    val emb = Tables.embeddings(s, dir)
+    val cls = Pca.classSums(emb, "label", "embedding", EmbDim)
+      .collect()
+      .map(r => (r.getAs[Long]("nc"), r.getAs[scala.collection.Seq[Double]]("s").toArray))
+      .toSeq
+    if (cls.isEmpty)
+      return emb.select(col("vec_id"), lit(null).cast("double").as("pc1"))
+    val b = Pca.betweenClassScatter(cls, EmbDim)
+    val v = Pca.topEigenvector(b, LdaIters)
+    val n = cls.map(_._1).sum.toDouble
+    val m = Array.tabulate(EmbDim)(i => cls.map(_._2(i)).sum / n)
+    val c0 = m.indices.map(i => m(i) * v(i)).sum
+    val vLit = array(v.map(lit): _*)
+    emb.select(col("vec_id"),
+        round(dot_double(col("embedding").cast("array<double>"), vLit) - c0, 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  val embLdaSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+         |  FROM embeddings, range(1, ${EmbDim + 1}) t(i)),
+         |cs AS MATERIALIZED (
+         |  SELECT label, i, sum(x) AS s, count(*) AS nc FROM x GROUP BY 1, 2),
+         |nt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM embeddings),
+         |gm AS MATERIALIZED (
+         |  SELECT i, sum(s) / any_value(nt.n) AS m FROM cs, nt GROUP BY i),
+         |dev AS MATERIALIZED (
+         |  SELECT cs.label, cs.i, cs.nc, cs.s / cs.nc - gm.m AS dv
+         |  FROM cs JOIN gm USING (i)),
+         |b AS MATERIALIZED (
+         |  SELECT a.i AS i, bb.i AS j, sum(a.nc * a.dv * bb.dv) / any_value(nt.n) AS cv
+         |  FROM dev a JOIN dev bb USING (label), nt GROUP BY a.i, bb.i),
+         |v_0 AS (SELECT i, 1.0 AS val FROM range(1, ${EmbDim + 1}) t(i))""".stripMargin)
+    for (r <- 1 to LdaIters)
+      sb.append(
+        s""",
+           |v_$r AS MATERIALIZED (
+           |  SELECT b.i, sum(b.cv * v.val) AS val FROM b JOIN v_${r - 1} v ON v.i = b.j
+           |  GROUP BY b.i)""".stripMargin)
+    sb.append(
+      s""",
+         |nz AS (SELECT sqrt(sum(val * val)) AS z,
+         |         CASE WHEN sum(val) < 0 THEN -1.0 ELSE 1.0 END AS sg FROM v_$LdaIters),
+         |v AS MATERIALIZED (SELECT i, val / nz.z * nz.sg AS val FROM v_$LdaIters, nz),
+         |c0 AS (SELECT sum(gm.m * v.val) AS c FROM gm JOIN v USING (i)),
+         |p AS (SELECT vec_id, sum(x.x * v.val) AS dot FROM x JOIN v USING (i) GROUP BY vec_id)
+         |SELECT vec_id, round(dot - c0.c, 6) AS pc1 FROM p, c0 ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
     Q("q_doc_c4", docC4, Some(docC4Sql)),
@@ -3676,6 +3750,7 @@ object PipelineQueries {
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
-    Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql))
+    Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
+    Q("q_emb_lda", embLda, Some(embLdaSql))
   )
 }

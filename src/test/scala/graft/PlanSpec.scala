@@ -380,7 +380,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // latency re-reads events ON PURPOSE: both scans carry pushed
       // event_type filters, so two pruned scans beat materializing the
       // unfiltered frame; the lock pins "two pushdown scans, no more"
-      "q_evt_latency" -> 2)
+      "q_evt_latency" -> 2,
+      // lda: class sums collect during construction; the FINAL plan is
+      // one projection scan with the direction as a literal
+      "q_emb_lda" -> 1)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)
