@@ -3585,7 +3585,7 @@ object PipelineQueries {
     * residual, converged in practice).
     */
   private val LdaIters = 20
-  private val EmbDim = 64
+  private[queries] val EmbDim = 64
 
   /** Between-class discriminant direction over the embedding corpus
     * ([[graft.operators.Pca]]) — the supervised spectral axis a
@@ -3600,12 +3600,23 @@ object PipelineQueries {
     * and projection.
     */
   def embLda(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.dot_double
     val emb = Tables.embeddings(s, dir)
-    val cls = Pca.classSums(emb, "label", "embedding", EmbDim)
-      .collect()
+    ldaScores(emb, collectClassSums(Pca.classSums(emb, "label", "embedding", EmbDim)))
+  }
+
+  /** Collect the bounded class-sum table (≤ |classes| × d values). */
+  private[queries] def collectClassSums(cls: DataFrame): Seq[(Long, Array[Double])] =
+    cls.collect()
       .map(r => (r.getAs[Long]("nc"), r.getAs[scala.collection.Seq[Double]]("s").toArray))
       .toSeq
+
+  /** Driver-side scatter + power iteration + one projection scan — the
+    * shared tail of the batch query and the streaming maintainer
+    * (whose class sums are PURELY ADDITIVE, so its end-of-stream state
+    * feeds this identically).
+    */
+  private[queries] def ldaScores(emb: DataFrame, cls: Seq[(Long, Array[Double])]): DataFrame = {
+    import graft.functions.GraftFunctions.dot_double
     if (cls.isEmpty)
       return emb.select(col("vec_id"), lit(null).cast("double").as("pc1"))
     val b = Pca.betweenClassScatter(cls, EmbDim)

@@ -2355,6 +2355,43 @@ object StreamingQueries {
     AQ.olsSolve(store.version(lastBatchId(srcDir)))
   }
 
+  /** Streaming discriminant-direction maintainer: the between-class
+    * scatter's sufficient statistics (per-class count + vector sum,
+    * [[graft.operators.Pca.classSums]]) are PURELY ADDITIVE, so state
+    * is one ≤ |classes|-row frame merged by elementwise array sums —
+    * constant size forever, the [[streamOls]] posture applied to the
+    * spectral family. End of stream: the final state feeds the SAME
+    * driver-side scatter/power-iteration/projection tail as the batch
+    * query, so the oracle is the batch LDA SQL verbatim (double sums
+    * regroup across batches — the 1e-15 reassociation noise sits far
+    * inside the round-6 contract).
+    */
+  def streamLda(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    import graft.queries.{PipelineQueries => PQ}
+    val emb = Tables.embeddings(s, dir)
+    val d = PQ.EmbDim
+    val srcDir = stageBatchFiles(dir, "slda",
+      (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "slda_store"))
+    store.init(Pca.classSums(emb.limit(0), "label", "embedding", d))
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId)
+            .unionByName(Pca.classSums(batch, "label", "embedding", d))
+            .groupBy("cls").agg(sum("nc").as("nc"),
+              array((0 until d).map(i => sum(col("s").getItem(i))): _*).as("s")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PQ.ldaScores(emb, PQ.collectClassSums(store.version(lastBatchId(srcDir))))
+  }
+
   /** Streaming dataset-profile monitor (ref DataSetUtils.summarize made
     * incremental — the mergeable-summaries rule applied to the
     * per-column profile): state = ONE raw-moments row per column
@@ -3752,6 +3789,7 @@ object StreamingQueries {
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
     Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
+    Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
