@@ -1665,6 +1665,86 @@ object AnalyticsQueries {
       |      FROM cand)
       |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Kaplan–Meier survival curve over SESSION durations (Kaplan &
+    * Meier 1958 — the right-censored duration estimator; a naive mean
+    * session length is biased DOWN by sessions still open when the
+    * corpus ends, which is exactly what censoring corrects). Subject =
+    * one session (the [[evtSessionize]] 30-min-gap rule verbatim);
+    * duration = whole minutes first→last event; a session is CENSORED
+    * when its last event is within the 30-min gap of the corpus end —
+    * its closing gap is not yet observable, every other session's end
+    * is a death. The scale shape: the user-keyed session window + one
+    * aggregate collapse the corpus to a ≤|distinct duration-minutes|
+    * frame (the docAuc bounded-bin device), and every ordered window
+    * runs on THAT frame, never on raw events. At-risk counts are a
+    * suffix sum; the product Π(1 − dᵢ/nᵢ) is exp∘cumsum∘ln with an
+    * explicit everyone-dies zero guard — load-bearing twice: DuckDB
+    * ERRORS on ln(0) while Spark returns null (the CASE keeps both
+    * engines on one arithmetic path), and the longest-duration bucket
+    * genuinely dies out (d = n_risk), so the guard is exercised by the
+    * oracle, not just by specs. Corpus end comes from the staged
+    * session maxima, so the final plan reads events exactly once.
+    */
+  def evtSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tss = col("ts").cast("long")
+    val prev = lag(col("ts"), 1).over(w).cast("long")
+    val sessions = Funnel.stage(ev
+      .withColumn("new_sess", when(prev.isNull || (tss - prev > 1800), 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(w))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(tss).as("s0"), max(tss).as("s1")))
+    val endT = sessions.agg(max(col("s1")).as("te"))
+    val lives = sessions.crossJoin(broadcast(endT))
+      .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"),
+        when(col("s1") > col("te") - lit(1800L), 1L).otherwise(0L).as("cen"))
+    val g = lives.groupBy("dur").agg(
+      sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("d"),
+      sum(col("cen")).as("c"))
+    val wSuffix = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n_risk", sum(col("d") + col("c")).over(wSuffix))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("z", when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+      .select(col("dur"), col("n_risk"), col("d").as("d_events"), col("c").as("c_censored"),
+        when(sum(col("z")).over(wPrefix) > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("term")).over(wPrefix)), 6)).as("survival"))
+      .orderBy("dur")
+  }
+
+  val evtSurvivalSql: String =
+    Tables.eventsCte +
+      """
+        |, t0 AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS tss,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR (epoch_us(ts) // 1000000)
+        |              - (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sx AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS sess FROM t0),
+        |u AS (SELECT user_id, sess, min(tss) AS s0, max(tss) AS s1 FROM sx GROUP BY 1, 2),
+        |te AS (SELECT max(s1) AS te FROM u),
+        |lv AS (SELECT (s1 - s0) // 60 AS dur,
+        |         CASE WHEN s1 > te - 1800 THEN 1 ELSE 0 END AS cen FROM u, te),
+        |g AS (SELECT dur, sum(CASE WHEN cen = 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |        sum(cen)::BIGINT AS c FROM lv GROUP BY 1),
+        |r AS (SELECT *, sum(d + c) OVER (ORDER BY dur
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk FROM g),
+        |t AS (SELECT *, CASE WHEN d < n_risk
+        |          THEN ln(1 - d::DOUBLE / n_risk::DOUBLE) ELSE 0.0 END AS term,
+        |        CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z FROM r)
+        |SELECT dur, n_risk, d AS d_events, c AS c_censored,
+        |  CASE WHEN sum(z) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+        |       ELSE round(exp(sum(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+        |  END AS survival
+        |FROM t ORDER BY dur""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
@@ -1685,6 +1765,7 @@ object AnalyticsQueries {
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
+    Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

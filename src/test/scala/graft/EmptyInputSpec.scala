@@ -112,7 +112,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_api_summarize", // one-pass profile over zero rows (n=0, null bounds)
     "q_graph_assortativity", // degree sums null -> null ratio, no crash
     "q_graph_kcore", // nested peel loops fed zero edges, coalesced checksums
-    "q_emb_lda" // zero classes -> null-projection early return
+    "q_emb_lda", // zero classes -> null-projection early return
+    "q_evt_survival" // KM curve over zero sessions, null corpus-end scalar
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -383,7 +383,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_evt_latency" -> 2,
       // lda: class sums collect during construction; the FINAL plan is
       // one projection scan with the direction as a literal
-      "q_emb_lda" -> 1)
+      "q_emb_lda" -> 1,
+      // survival: staged session frame feeds the corpus-end scalar AND
+      // the duration grouping — events parquet never re-enters
+      "q_evt_survival" -> 0)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)

@@ -76,7 +76,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast
     "q_doc_neyman", // 1-row weight-total + 1-row remainder crossed with |strata| rows
     "q_emb_compression_recall", // 10-query probe sides broadcast (brute-force + tier legs)
-    "q_graph_kcore" // 1-row node-stat × 1-row edge-count per k stage
+    "q_graph_kcore", // 1-row node-stat × 1-row edge-count per k stage
+    "q_evt_survival" // 1-row corpus-end scalar crossed into the session frame
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
@@ -119,7 +120,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
     "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
-    "q_evt_ks" // CDF window over the ≤4901-row deci-bucket bin domain
+    "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
+    "q_evt_survival" // KM windows over the ≤|duration-minutes| bucket aggregate
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
     // the 35-row contingency aggregate — outside this check's scope,
     // which hunts ordered global windows; noted here for the reader)
