@@ -72,6 +72,57 @@ object Dedup {
       .select(col("da"), col("db"), col("jacc"))
   }
 
+  /** Prefix-filtering set-similarity join (Chaudhuri–Ganti–Kaushik
+    * 2006; Xiao et al. 2008 ppjoin's base filter) — the candidate
+    * generator that makes all-pairs Jaccard tractable WITHOUT the
+    * [[jaccardPairs]] df-cap's semantic change: order every token set
+    * by ascending global document frequency (rarest first, ties by
+    * token) and join only on each set's PREFIX of length
+    * ⌈|t| − τ·|t|⌉ + 1 — any pair with Jaccard ≥ τ must share a prefix
+    * token (|A∩B| ≥ τ·max(|A|,|B|) pigeonholes the overlap into both
+    * prefixes), so candidates ⊇ true pairs and the full-set verify
+    * makes the result EXACTLY equal to the brute-force join. The scale
+    * property is the inversion of the hot-key problem: prefixes hold
+    * the RAREST tokens, so posting lists in the candidate join are the
+    * shortest ones in the corpus — stop-words never form a join key at
+    * all (they sort last), where [[jaccardPairs]] must cap them away
+    * and thereby ALTERS the measured Jaccard. Verify is per-candidate
+    * `array_intersect` over the staged token sets — linear per pair,
+    * no third shuffle. Completeness holds for ANY total token order
+    * used consistently, so the oracle stays the plain brute-force
+    * join: the prefix logic needs no cross-engine mirror.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      leftFilter: Column = lit(true),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Funnel.stage(
+      docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts")))
+    val words = toks.select(col("id"), explode(col("ts")).as("word"))
+    val dfreq = words.groupBy("word").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("word"))
+    val pref = words.join(dfreq, "word")
+      .withColumn("rn", row_number().over(byRarity))
+      .join(toks.select(col("id"), size(col("ts")).as("sz")), "id")
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("word"))
+    val cand = pref.filter(leftFilter).withColumnRenamed("id", "da")
+      .join(pref.withColumnRenamed("id", "db"), "word")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(toks.select(col("id").as("da"), col("ts").as("ta")), "da")
+      .join(toks.select(col("id").as("db"), col("ts").as("tb")), "db")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jacc", col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), col("jacc"))
+  }
+
   /** Incremental (delta) dedup — the daily-crawl-increment contract:
     * classify a batch of ARRIVING documents against an existing corpus
     * as `exact` (normalized-fingerprint match), `near` (word-set

@@ -879,6 +879,30 @@ object PipelineQueries {
         leftFilter = col("id") < 100)
       .orderBy("da", "db")
 
+  /** Prefix-filtered all-pairs Jaccard ([[Dedup.prefixJaccardPairs]])
+    * at τ = 0.8: the candidate set comes from rarest-token prefixes
+    * instead of the df-capped full index, and the full-set verify makes
+    * the answer provably equal to brute force — which is exactly what
+    * the oracle runs (the prefix logic needs no cross-engine mirror;
+    * completeness is a theorem, equality is the check).
+    */
+  def docPpjoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(s, dir), threshold = 0.8,
+        leftFilter = col("id") < 100)
+      .orderBy("da", "db")
+
+  val docPpjoinSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 100 GROUP BY 1, 2)
+       |SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+       |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |WHERE i / (ca.sz + cb.sz - i) >= 0.8 ORDER BY da, db""".stripMargin
+
   val docJaccardSql: String =
     s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
        |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
@@ -3762,6 +3786,7 @@ object PipelineQueries {
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
-    Q("q_emb_lda", embLda, Some(embLdaSql))
+    Q("q_emb_lda", embLda, Some(embLdaSql)),
+    Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql))
   )
 }

@@ -338,4 +338,37 @@ class DedupSpec extends SparkSpec {
     assert(got.contains(("longword", "longwords", 1L)))
     assert(!got.exists(p => p._1.length == 1 && p._2.length == 1))
   }
+
+  test("prefixJaccardPairs equals brute-force jaccardPairs on a seeded random corpus") {
+    // 60 docs drawn from a 40-word vocabulary with planted near-dups:
+    // enough collision structure that candidates, prunes, and verifies
+    // all fire
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 30).flatMap { i =>
+      val toks = rnd.shuffle(vocab).take(8 + rnd.nextInt(6))
+      val near = (toks.dropRight(1) :+ s"w${rnd.nextInt(40)}").distinct
+      Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, near.mkString(" ")))
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.8)) {
+      val truth = Dedup.jaccardPairs(corpus, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.prefixJaccardPairs(corpus, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === truth, s"tau=$tau: prefix-filtered != brute force")
+    }
+  }
+
+  test("prefixJaccardPairs: prefixes are the rarest tokens and actually prune") {
+    // a stop-word shared by ALL docs must never become a candidate key:
+    // docs pairwise share ONLY 'the'; at tau=0.5 prefixes exclude it
+    // (it sorts last by df) and no candidate pair survives
+    val corpus = (0 until 20)
+      .map(i => (i.toLong, s"the unique$i only$i token$i here$i body$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(corpus, threshold = 0.5).count() == 0L)
+    // brute force agrees (jaccard 1/11 < 0.5) — but the point is the
+    // prefix join never built the 190-pair hot-token bucket
+  }
 }
