@@ -2319,6 +2319,66 @@ object PipelineQueries {
        |  round(sum(cnt) OVER (ORDER BY cnt DESC, tok) * 1.0 / total, 6) AS cum_frac
        |FROM top, tot ORDER BY rank""".stripMargin
 
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * from the corpus distribution (Lin 1991) — the TOKEN-space drift
+    * gate pairing with [[AnalyticsQueries.evtKs]]'s numeric one: a
+    * source whose token mix diverges is a contamination/mis-crawl
+    * signal a mixture pipeline wants flagged before weighting. The
+    * closed form is the scale device: for words ABSENT from a source,
+    * p = 0 kills the p-sum term and the q-term collapses analytically
+    * to ln 2 · (1 − Σ_{w∈source} q_w), so EVERY sum runs only over the
+    * source's own (source, word) support — no source × vocabulary
+    * cross ever materializes, and the whole query is second-level
+    * aggregates of ONE staged (source, word) count table. Output in
+    * bits (JS/ln 2 ∈ [0, 1]).
+    */
+  def docJsDrift(s: SparkSession, dir: String): DataFrame =
+    jsDrift(Tables.documents(s, dir))
+
+  /** The divergence pipeline over any (source, text) frame — split out
+    * so specs can pin the closed form on constructed distributions
+    * (identical source ⇒ exactly 0; two disjoint equal halves ⇒
+    * 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln 2 nats, ≈ 0.311278 bits).
+    */
+  private[graft] def jsDrift(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sw = Funnel.stage(toks.groupBy("source", "tok").agg(count(lit(1)).as("cs")))
+    val cw = sw.groupBy("tok").agg(sum("cs").as("c"))
+    val ns = sw.groupBy("source").agg(sum("cs").as("ns"))
+    val nt = cw.agg(sum("c").as("nt"))
+    val j = sw.join(cw, "tok").join(ns, "source")
+      .crossJoin(broadcast(nt))
+      .select(col("source"),
+        (col("cs").cast("double") / col("ns").cast("double")).as("p"),
+        (col("c").cast("double") / col("nt").cast("double")).as("q"))
+    j.groupBy("source").agg(
+        sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))).as("sp"),
+        sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))).as("sq"),
+        sum(col("q")).as("qs"))
+      .join(ns, "source")
+      .select(col("source"), col("ns").as("n_tokens"),
+        round((lit(0.5) * (col("sp") + col("sq"))
+          + lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("qs"))) / log(lit(2.0)), 6)
+          .as("js_bits"))
+      .orderBy("source")
+  }
+
+  val docJsDriftSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |sw AS (SELECT source, tok, count(*)::BIGINT AS cs FROM t GROUP BY 1, 2),
+       |cw AS (SELECT tok, sum(cs)::BIGINT AS c FROM sw GROUP BY 1),
+       |ns AS (SELECT source, sum(cs)::BIGINT AS ns FROM sw GROUP BY 1),
+       |nt AS (SELECT sum(c)::BIGINT AS nt FROM cw),
+       |j AS (SELECT sw.source, cs::DOUBLE / ns::DOUBLE AS p, c::DOUBLE / nt::DOUBLE AS q
+       |      FROM sw JOIN cw USING (tok) JOIN ns USING (source), nt),
+       |a AS (SELECT source, sum(p * ln(2 * p / (p + q))) AS sp,
+       |        sum(q * ln(2 * q / (p + q))) AS sq, sum(q) AS qs
+       |      FROM j GROUP BY 1)
+       |SELECT a.source, ns.ns AS n_tokens,
+       |  round((0.5 * (sp + sq) + 0.5 * ln(2) * (1 - qs)) / ln(2), 6) AS js_bits
+       |FROM a JOIN ns USING (source) ORDER BY source""".stripMargin
+
   /** Temperature-sampled language mixture (α = 0.7, 300-doc target; see
     * [[graft.operators.Sampling.temperatureSample]]) — per-language
     * keep-rate and surviving doc/token totals.
@@ -3787,6 +3847,7 @@ object PipelineQueries {
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),
-    Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql))
+    Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql)),
+    Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql))
   )
 }

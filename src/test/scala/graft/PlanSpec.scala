@@ -386,7 +386,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_emb_lda" -> 1,
       // survival: staged session frame feeds the corpus-end scalar AND
       // the duration grouping — events parquet never re-enters
-      "q_evt_survival" -> 0)
+      "q_evt_survival" -> 0,
+      // js drift: everything is a second-level aggregate of the staged
+      // (source, word) count table
+      "q_doc_js_drift" -> 0)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)

@@ -66,4 +66,26 @@ class QueryFixtureSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(r == Seq((4L, 3L, 1.0), (5L, 3L, 1.0)), s"got $r")
   }
+
+  test("jsDrift closed form: identical sources diverge 0, disjoint halves hit the analytic value") {
+    // two sources with IDENTICAL token distributions -> each equals the
+    // corpus -> exactly 0 bits
+    val same = Seq(
+      (0L, "a a b c", "en", "s1", 4L), (1L, "a a b c", "en", "s2", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = PipelineQueries.jsDrift(same)
+      .select("source", "js_bits").as[(String, Double)].collect().toMap
+    assert(r1("s1") == 0.0 && r1("s2") == 0.0)
+    // disjoint vocabularies, equal token mass: JS(p, corpus) per source
+    // = 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln2 nats = 0.311278 bits
+    val disjoint = Seq(
+      (0L, "a b c d", "en", "s1", 4L), (1L, "e f g h", "en", "s2", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expect = (0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0)
+      + 0.25 * math.log(2.0)) / math.log(2.0)
+    val r2 = PipelineQueries.jsDrift(disjoint)
+      .select("source", "js_bits").as[(String, Double)].collect().toMap
+    assert(math.abs(r2("s1") - expect) < 1e-6 && math.abs(r2("s2") - expect) < 1e-6,
+      s"got $r2, want ~$expect")
+  }
 }
