@@ -260,6 +260,43 @@ object Multimodal {
     })
   }
 
+  final case class MmHash(id: Long, fp: Long)
+
+  /** Perceptual difference-hash (dHash, Krawetz 2013's public
+    * description of the gradient hash): decode → nearest-resize to an
+    * 8×8 grayscale grid → one bit per horizontal adjacent-pixel
+    * comparison (7 per row × 8 rows = 56 bits, deliberately inside a
+    * non-negative BIGINT so the banded SQL replay needs no unsigned
+    * tricks). Multi-channel rasters hash channel 0 — the hash is a
+    * structural signature, not a colorimetric one. Zero shuffle: one
+    * mapPartitions pass in the scan stage, the [[resizePnm]] posture.
+    * Near-duplicate pairing is downstream pigeonhole banding (4 × 14
+    * bits ⇒ complete for Hamming ≤ 3), the
+    * [[graft.queries.PipelineQueries.docSimHashPortable]] chunk-join
+    * device on an image fingerprint.
+    */
+  def dHashPnm(ds: Dataset[(Long, Array[Byte])]): Dataset[MmHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      PnmCodec.decodeRaster(id, bytes).map { raster =>
+        val g = PnmCodec.resizeNearest(raster, 8, 8)
+        var fp = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            val a = g.pixels((y * 8 + x) * g.channels) & 0xFF
+            val b = g.pixels((y * 8 + x + 1) * g.channels) & 0xFF
+            if (a < b) fp |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        MmHash(id, fp)
+      }
+    })
+  }
+
   /** Distributed eval-time augmentation: decode raster → center crop →
     * horizontal flip → re-encode → re-decode in ONE mapPartitions pass
     * (same zero-shuffle shape as [[resizePnm]]; a training-time

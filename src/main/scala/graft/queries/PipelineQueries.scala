@@ -1151,6 +1151,64 @@ object PipelineQueries {
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
   }
 
+  /** Perceptual-hash image near-dup pairs over the synthetic P5 corpus
+    * ([[graft.operators.Multimodal.dHashPnm]] — the image-side
+    * counterpart of [[docSimHashPortable]]): one scan-stage
+    * mapPartitions computes the 56-bit gradient hash, then the
+    * identical 4-chunk pigeonhole band join (14-bit chunks; complete
+    * for Hamming ≤ 3) pairs structurally-near images. Everything is
+    * integer arithmetic, so the oracle replays decode-resize-hash-band
+    * bit-for-bit from the same doc_id-seeded pixel generator.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = col("doc_id") % 5 + 4
+    val h = col("doc_id") % 4 + 3
+    val header = concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(transform(sequence(lit(0L), w * h - 1),
+      i => lpad(hex(pmod(col("doc_id") * 31 + i, lit(256L))), 2, "0")), "")
+    val img = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"),
+        concat(header.cast("binary"), unhex(pixHex)).as("_2"))
+      .as[(Long, Array[Byte])]
+    val fp = Funnel.stage(graft.operators.Multimodal.dHashPnm(img).toDF())
+    val chunkBits = 14
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
+      }: _*)).as(Seq("ci", "cv")))
+    // probe-restricted like every pairs contract here (docJaccard,
+    // jaccardPairs.leftFilter): the synthetic corpus is deliberately
+    // self-similar, so unrestricted all-pairs output grows quadratically
+    chunked.as("x").filter(col("x.id") < 100)
+      .join(chunked.as("y"), Seq("ci", "cv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("da", "db")
+  }
+
+  val mmPhashSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 5 + 4)::BIGINT AS w, (doc_id % 4 + 3)::BIGINT AS h
+      |           FROM documents),
+      |g AS (SELECT doc_id, y, x,
+      |        (doc_id * 31 + ((y * h // 8) * w + (x * w // 8))) % 256 AS v
+      |      FROM p, unnest(range(0, 8)) t1(y), unnest(range(0, 8)) t2(x)),
+      |b AS (SELECT a.doc_id,
+      |        CASE WHEN a.v < c.v THEN (1::BIGINT << (a.y * 7 + a.x)::INTEGER) ELSE 0 END AS bit
+      |      FROM g a JOIN g c ON c.doc_id = a.doc_id AND c.y = a.y AND c.x = a.x + 1
+      |      WHERE a.x < 7),
+      |f AS (SELECT doc_id, sum(bit)::BIGINT AS fp FROM b GROUP BY 1),
+      |ch AS (SELECT doc_id, fp, unnest(range(0, 4)) AS ci FROM f),
+      |chv AS (SELECT doc_id, fp, ci, (fp >> (14 * ci::INTEGER)) & 16383 AS cv FROM ch),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, a.fp AS fa, b.doc_id AS db, b.fp AS fb
+      |         FROM chv a JOIN chv b USING (ci, cv)
+      |         WHERE a.doc_id < 100 AND a.doc_id < b.doc_id)
+      |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
+
   def embTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
@@ -3848,6 +3906,7 @@ object PipelineQueries {
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),
     Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql)),
-    Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql))
+    Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql)),
+    Q("q_mm_phash", mmPhash, Some(mmPhashSql))
   )
 }
