@@ -3500,8 +3500,11 @@ object PipelineQueries {
     * apply side is one doc-keyed aggregate. The oracle extends the
     * training CTE chain with the scoring pass.
     */
-  def docQualityApply(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Train the bucket-hashed logistic model and score every document —
+    * the shared head of [[docQualityApply]] and [[docCalibration]].
+    * Returns the STAGED (doc_id, score) table.
+    */
+  private def qualityScored(docs: DataFrame): DataFrame = {
     val w = Funnel.stage(Curation.trainQualityModel(docs,
       label = col("source") === "src0", buckets = 64, iters = 2))
     val tf = docs
@@ -3511,15 +3514,20 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("n"),
         pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(64L)).as("bucket"))
       .agg((count(lit(1)) / col("n")).as("x"))
-    // staged: the scored table feeds the threshold aggregate AND the
-    // verdict join; weak labels are rare (5 % here) so the raw-sigmoid
-    // 0.5 cut is miscalibrated — keep the top prior-sized HEAD of the
-    // score distribution instead (the CCNet selection rule)
-    val scored = Funnel.stage(tf.join(broadcast(w), Seq("bucket"))
+    Funnel.stage(tf.join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id")
       .agg(round(sum(col("x") * col("weight")), 9).as("z"))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score")))
+  }
+
+  def docQualityApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // staged: the scored table feeds the threshold aggregate AND the
+    // verdict join; weak labels are rare (5 % here) so the raw-sigmoid
+    // 0.5 cut is miscalibrated — keep the top prior-sized HEAD of the
+    // score distribution instead (the CCNet selection rule)
+    val scored = qualityScored(docs)
     val th = scored.agg(round(expr("percentile(score, 0.95D)"), 6).as("th"))
     scored.crossJoin(broadcast(th))
       .select(col("doc_id"), col("score"),
@@ -3537,6 +3545,47 @@ object PipelineQueries {
        |SELECT id AS doc_id, score,
        |  (CASE WHEN score >= th THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM sc2, th ORDER BY doc_id""".stripMargin
+
+  /** Reliability diagram over the SAME (score, label) pair that
+    * [[AnalyticsQueries.docAuc]] ranks — AUC measures ordering, this
+    * measures whether score LEVELS track the observed positive rate:
+    * stopword-ratio scores (round-3, the docAuc quantization) cut into
+    * tenth-wide value buckets against the en-label rate, with the
+    * per-bucket |avg score − pos rate| gap (the summand of expected
+    * calibration error — a raw heuristic score is NOT a probability,
+    * and the diagram shows exactly how far off it runs, which is what
+    * a pipeline consults before using it as a keep-probability). The
+    * bucket cut runs on already-rounded scores so the floor is
+    * engine-stable; one doc-keyed pass, ≤10-row output. (The trained
+    * logistic model's scores at its oracled 2-GD-round setting sit in
+    * ONE decile — a reliability diagram needs score SPREAD, which is
+    * why this calibrates the heuristic ranker, not that model.)
+    */
+  def docCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = docs.select(
+      (col("lang") === "en").cast("long").as("pos"),
+      round(TextAnalysis.stopwordCount(col("text"), "en") /
+        TextAnalysis.tokenCount(col("text")), 3).as("score"))
+    t.groupBy(least(floor(col("score") * 10), lit(9.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        round(avg("score"), 6).as("avg_score"),
+        round(avg("pos"), 6).as("pos_rate"),
+        round(abs(avg("score") - avg("pos")), 6).as("gap"))
+      .orderBy("bucket")
+  }
+
+  val docCalibrationSql: String =
+    s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    round(len(list_filter(string_split($normSql, ' '),
+       |        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+       |      / len(string_split($normSql, ' ')), 3) AS score
+       |  FROM documents)
+       |SELECT least(floor(score * 10), 9)::BIGINT AS bucket,
+       |  count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+       |  round(avg(score), 6) AS avg_score, round(avg(pos), 6) AS pos_rate,
+       |  round(abs(avg(score) - avg(pos)), 6) AS gap
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** First BPE merge iteration (Sennrich 2016, public literature — the
     * tokenizer-TRAINING primitive, vs [[docVocab]]'s token ranking and
@@ -3907,6 +3956,7 @@ object PipelineQueries {
     Q("q_emb_lda", embLda, Some(embLdaSql)),
     Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql)),
     Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql)),
-    Q("q_mm_phash", mmPhash, Some(mmPhashSql))
+    Q("q_mm_phash", mmPhash, Some(mmPhashSql)),
+    Q("q_doc_calibration", docCalibration, Some(docCalibrationSql))
   )
 }
