@@ -1702,6 +1702,15 @@ object AnalyticsQueries {
     val g = lives.groupBy("dur").agg(
       sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("d"),
       sum(col("cen")).as("c"))
+    kmTail(g)
+  }
+
+  /** The Kaplan–Meier estimator tail over an aggregated
+    * (dur, d deaths, c censored) frame — shared by the batch query and
+    * the streaming maintainer (whose death counts are purely additive
+    * per batch, so its end-of-stream state feeds this identically).
+    */
+  private[graft] def kmTail(g: DataFrame): DataFrame = {
     val wSuffix = Window.orderBy("dur")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wPrefix = Window.orderBy("dur")

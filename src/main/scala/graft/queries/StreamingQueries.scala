@@ -2392,6 +2392,84 @@ object StreamingQueries {
     PQ.ldaScores(emb, PQ.collectClassSums(store.version(lastBatchId(srcDir))))
   }
 
+  /** Streaming Kaplan–Meier maintainer: incremental sessionization by
+    * the [[streamGrowth]] union-carry device — each user's OPEN session
+    * rides the store as ONE pseudo-event at its last-event time
+    * carrying the session start, so re-running the ordinary gap window
+    * over (carried row ∪ batch) merges boundary-spanning sessions,
+    * closes gap-exposed ones (deaths, counted into an ADDITIVE ≤
+    * |duration-minutes|-row bucket store), and keeps exactly each
+    * user's last session open — all three cases fall out of one window,
+    * no case-split joins. End of stream: every still-open session
+    * closes — censored iff its closing gap is unobservable at the
+    * corpus end, which provably marks the SAME sessions the batch
+    * query censors (a gap-closed session always has a follower more
+    * than the gap later, so it can never sit inside the censor
+    * horizon). Death counts are integers, so the oracle — the batch
+    * survival SQL verbatim — matches hash-exact, not just
+    * rounded-equal. State: one open-session row per user + the bounded
+    * duration buckets.
+    */
+  def streamSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val srcDir = stageBatchFiles(dir, "ssv", daySplits(ev, col("ts"), 3))
+    val lastBatch = lastBatchId(srcDir)
+    val durStore = graft.streaming.VersionedStore(s, freshDir(dir, "ssv_store_d"))
+    val openStore = graft.streaming.VersionedStore(s, freshDir(dir, "ssv_store_o"))
+    durStore.init(s.range(0).select(col("id").as("dur"), col("id").as("d")))
+    openStore.init(s.range(0).select(col("id").as("user_id"),
+      col("id").as("s0"), col("id").as("s1")))
+    val batches = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = batches.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tss", "eff0")
+        val all = batch.select(col("user_id"), col("ts").cast("long").as("tss"))
+          .withColumn("eff0", col("tss"))
+          .unionByName(openStore.prior(batchId)
+            .select(col("user_id"), col("s1").as("tss"), col("s0").as("eff0")))
+          .localCheckpoint()
+        val sess = all
+          .withColumn("prev", lag("tss", 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("tss") - col("prev") > 1800L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(w))
+          .groupBy("user_id", "sid")
+          .agg(min("eff0").as("s0"), max("tss").as("s1"))
+          .withColumn("max_sid",
+            max("sid").over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+          .localCheckpoint()
+        val deaths = sess.filter(col("sid") < col("max_sid"))
+          .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"))
+          .groupBy("dur").agg(count(lit(1)).as("d"))
+        durStore.write(batchId, durStore.prior(batchId).unionByName(deaths)
+          .groupBy("dur").agg(sum("d").as("d")))
+        openStore.write(batchId,
+          sess.filter(col("sid") === col("max_sid")).select("user_id", "s0", "s1"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // end-of-stream closure: the corpus end is the max open s1 (the
+    // globally-last event always sits in an open session)
+    val open = openStore.version(lastBatch)
+    val te = open.agg(max(col("s1")).as("te"))
+    val finals = open.crossJoin(broadcast(te))
+      .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"),
+        when(col("s1") > col("te") - lit(1800L), 1L).otherwise(0L).as("cen"))
+      .groupBy("dur").agg(
+        sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("df"),
+        sum(col("cen")).as("c"))
+    val g = durStore.version(lastBatch)
+      .join(finals, Seq("dur"), "full_outer")
+      .select(col("dur"),
+        (coalesce(col("d"), lit(0L)) + coalesce(col("df"), lit(0L))).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    AnalyticsQueries.kmTail(g)
+  }
+
   /** Streaming dataset-profile monitor (ref DataSetUtils.summarize made
     * incremental — the mergeable-summaries rule applied to the
     * per-column profile): state = ONE raw-moments row per column
@@ -3790,6 +3868,7 @@ object StreamingQueries {
     Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
+    Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
