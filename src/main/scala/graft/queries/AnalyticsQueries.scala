@@ -102,6 +102,56 @@ object AnalyticsQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cohort LTV triangle — the revenue sibling of [[evtRetention]]'s
+    * activity triangle: users cohorted by the day of their first
+    * event (the retention grain), purchase revenue per (cohort,
+    * age-week), and
+    * cumulative lifetime value per user as the running sum within each
+    * cohort. Everything is a second-level aggregate of ONE staged
+    * (user, day, revenue) pre-aggregate — the events scan happens
+    * once, the join back is user-keyed, and the running window is
+    * partitioned by cohort over ≤ |weeks| rows. Weekly revenue rounds
+    * to cents BEFORE the cumulative sum so both engines accumulate the
+    * same quantized sequence in the same window order.
+    */
+  def evtLtv(s: SparkSession, dir: String): DataFrame = {
+    val pu = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev")))
+    // cohort = the user's first DAY — the same grain as evtRetention
+    // (the driver fixture has every user active from week one, so a
+    // weekly cohort would collapse the triangle to a single column)
+    val u = pu.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val sizes = u.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val g = pu.join(u, Seq("user_id"))
+      .groupBy(col("cohort"), expr("datediff(d, cohort) div 7").as("age_weeks"))
+      .agg(round(sum("rev"), 2).as("revenue"))
+    val w = Window.partitionBy("cohort").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(sizes, Seq("cohort"))
+      .select(col("cohort").cast("string").as("cohort"), col("age_weeks"),
+        col("n_users"), col("revenue"),
+        round(sum(col("revenue")).over(w) / col("n_users"), 6).as("ltv_per_user"))
+      .orderBy("cohort", "age_weeks")
+  }
+
+  val evtLtvSql: String =
+    Tables.eventsCte +
+      """
+        |, pu AS (SELECT user_id, ts::DATE AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+        |  FROM ev GROUP BY 1, 2),
+        |u AS (SELECT user_id, min(d) AS cohort FROM pu GROUP BY 1),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS n_users FROM u GROUP BY 1),
+        |g AS (SELECT cohort,
+        |        (datediff('day', cohort, d) // 7)::BIGINT AS age_weeks,
+        |        round(sum(rev), 2) AS revenue
+        |      FROM pu JOIN u USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort::VARCHAR AS cohort, age_weeks, n_users, revenue,
+        |  round(sum(revenue) OVER (PARTITION BY g.cohort ORDER BY age_weeks
+        |    ROWS UNBOUNDED PRECEDING) / n_users, 6) AS ltv_per_user
+        |FROM g JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin
+
   /** Last-touch attribution: each purchase is credited to the user's
     * most recent preceding non-purchase event type ('direct' if none).
     * The carry-forward is `last(..., ignoreNulls)` over a user-keyed
@@ -840,6 +890,80 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Stationary distribution of the [[evtTransitions]] Markov chain —
+    * the long-run event-type mix the first-order matrix implies
+    * (where a product funnel settles if behavior holds), by 30 fixed
+    * power-method rounds of π ← πP from the uniform start with one
+    * final normalization. The distributed work is the transition-count
+    * aggregate; the chain itself is a ≤ |types|²-row table, collected
+    * under the bounded-statistics posture (the OLS/LDA device) and
+    * iterated driver-side in deterministic sorted order. The oracle
+    * unrolls the identical 30 matrix–vector rounds as CTEs, so — as
+    * with the discriminant direction — equality is arithmetic, not
+    * convergence. Rounds are FIXED on both engines; the final
+    * normalization absorbs any mass lost to types with no observed
+    * outgoing transition (none in the fixtures, but the contract
+    * should not depend on that).
+    */
+  def evtMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[String]("t"), r.getAs[Long]("n")))
+      .sortBy(r => (r._1, r._2))
+    if (c.isEmpty)
+      return Seq.empty[(String, Double)].toDF("event_type", "stationary_p")
+    val tot = c.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum.toDouble }
+    val p = c.map { case (f, t, n) => (f, t, n / tot(f)) }
+    val types = (c.map(_._1) ++ c.map(_._2)).distinct.sorted
+    var pi = types.map(_ -> 1.0 / types.size).toMap
+    for (_ <- 1 to 30) {
+      val next = scala.collection.mutable.LinkedHashMap(types.map(_ -> 0.0): _*)
+      p.foreach { case (f, t, pr) => next(t) += pi(f) * pr }
+      pi = next.toMap
+    }
+    val z = types.map(pi).sum
+    types.toSeq.map(ty => (ty, BigDecimal(pi(ty) / z)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("event_type", "stationary_p")
+      .orderBy("event_type")
+  }
+
+  val evtMarkovSql: String = {
+    val sb = new StringBuilder(Tables.eventsCte +
+      """
+        |, t AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM ev),
+        |c AS (SELECT event_type AS f, next_type AS tt, count(*)::BIGINT AS n
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT f, sum(n) AS tot FROM c GROUP BY 1),
+        |p AS MATERIALIZED (SELECT c.f, c.tt, c.n::DOUBLE / rt.tot AS p
+        |                   FROM c JOIN rt USING (f)),
+        |types AS MATERIALIZED (
+        |  SELECT DISTINCT ty FROM (SELECT f AS ty FROM c UNION SELECT tt FROM c)),
+        |pi_0 AS (SELECT ty, 1.0 / (SELECT count(*) FROM types) AS v FROM types)""".stripMargin)
+    for (r <- 1 to 30)
+      sb.append(
+        s""",
+           |pi_$r AS MATERIALIZED (
+           |  SELECT t2.ty, coalesce(sum(pi.v * p.p), 0.0) AS v
+           |  FROM types t2 LEFT JOIN (p JOIN pi_${r - 1} pi ON pi.ty = p.f) ON p.tt = t2.ty
+           |  GROUP BY t2.ty)""".stripMargin)
+    sb.append(
+      """
+        |, z AS (SELECT sum(v) AS z FROM pi_30)
+        |SELECT ty AS event_type, round(v / z.z, 6) AS stationary_p
+        |FROM pi_30, z ORDER BY event_type""".stripMargin)
+    sb.toString
+  }
 
   /** Behavior-path mining — the n-gram extension of
     * [[evtTransitions]]'s first-order matrix (the "top user journeys"
@@ -1775,6 +1899,8 @@ object AnalyticsQueries {
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
     Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
+    Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
+    Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
