@@ -1517,13 +1517,24 @@ object AnalyticsQueries {
     * c(α)·√((n₁+n₂)/n₁n₂) critical value — identical IEEE chains on
     * both engines, so even the reject boolean is engine-stable.
     */
-  def evtKs(s: SparkSession, dir: String): DataFrame = {
-    val d = "decimal(38,0)"
-    val bins = Tables.events(s, dir)
-      .filter(col("event_type").isin("purchase", "click"))
+  def evtKs(s: SparkSession, dir: String): DataFrame =
+    ksFromBins(ksBins(Tables.events(s, dir)))
+
+  /** The deci-bucket two-sample count table — (bin, purchase count,
+    * click count). PURELY ADDITIVE, which is what makes the streaming
+    * maintainer a sum-merge of ≤4901 rows.
+    */
+  private[graft] def ksBins(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin("purchase", "click"))
       .groupBy(round(col("value") * 10).cast("long").as("b"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+
+  /** The KS tail over an aggregated bin table — shared by the batch
+    * gate and the streaming maintainer.
+    */
+  private[graft] def ksFromBins(bins: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
     val tot = bins.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     bins

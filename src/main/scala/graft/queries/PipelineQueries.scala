@@ -2398,10 +2398,21 @@ object PipelineQueries {
     * (identical source ⇒ exactly 0; two disjoint equal halves ⇒
     * 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln 2 nats, ≈ 0.311278 bits).
     */
-  private[graft] def jsDrift(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val sw = Funnel.stage(toks.groupBy("source", "tok").agg(count(lit(1)).as("cs")))
+  private[graft] def jsDrift(docs: DataFrame): DataFrame =
+    jsFromCounts(Funnel.stage(jsCounts(docs)))
+
+  /** The (source, token, count) table — PURELY ADDITIVE, so the
+    * streaming maintainer sum-merges it per batch (vocab-keyed state,
+    * the boilerplate line-store posture).
+    */
+  private[graft] def jsCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+
+  /** The divergence tail over an aggregated count table — shared by
+    * the batch gate and the streaming maintainer.
+    */
+  private[graft] def jsFromCounts(sw: DataFrame): DataFrame = {
     val cw = sw.groupBy("tok").agg(sum("cs").as("c"))
     val ns = sw.groupBy("source").agg(sum("cs").as("ns"))
     val nt = cw.agg(sum("c").as("nt"))

@@ -2392,6 +2392,61 @@ object StreamingQueries {
     PQ.ldaScores(emb, PQ.collectClassSums(store.version(lastBatchId(srcDir))))
   }
 
+  /** Streaming KS drift gate: the deci-bucket two-sample counts are
+    * purely additive, so state = one ≤4901-row bin table sum-merged
+    * per batch; the end-of-stream KS tail is the batch tail verbatim,
+    * and integer counts make the batch oracle hash-exact.
+    */
+  def streamKs(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sks",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sks_store"))
+    store.init(AQ.ksBins(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.ksBins(batch))
+            .groupBy("b").agg(sum("c1").as("c1"), sum("c2").as("c2")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.ksFromBins(store.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming Jensen–Shannon drift gate: the (source, token) counts
+    * are purely additive — vocab-keyed state (the boilerplate
+    * line-store posture: state tracks the vocabulary, not the corpus),
+    * sum-merged per batch; end of stream runs the batch divergence
+    * tail over the final counts, oracled by the batch SQL verbatim.
+    */
+  def streamJs(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    val docs = Tables.documents(s, dir)
+    val srcDir = stageBatchFiles(dir, "sjs",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sjs_store"))
+    store.init(PQ.jsCounts(docs.limit(0)))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(PQ.jsCounts(batch))
+            .groupBy("source", "tok").agg(sum("cs").as("cs")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PQ.jsFromCounts(store.version(lastBatchId(srcDir)))
+  }
+
   /** Streaming Kaplan–Meier maintainer: incremental sessionization by
     * the [[streamGrowth]] union-carry device — each user's OPEN session
     * rides the store as ONE pseudo-event at its last-event time
@@ -3869,6 +3924,8 @@ object StreamingQueries {
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
+    Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
+    Q("q_stream_js", streamJs, Some(PipelineQueries.docJsDriftSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),
     Q("q_stream_growth", streamGrowth, Some(streamGrowthSql)),
