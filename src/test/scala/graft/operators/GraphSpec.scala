@@ -304,6 +304,32 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCorePeel(four, 5, 10).count() == 0L)
   }
 
+  test("kCorePeel equals the naive driver-side peel on seeded random graphs") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 3) {
+      val es = (0 until 120)
+        .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      for (k <- Seq(2, 3, 4)) {
+        // naive fixpoint peel on the driver
+        var cur = es.toSet
+        var changed = true
+        while (changed) {
+          val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+            .groupBy(identity).map { case (v, vs) => v -> vs.size }
+          val next = cur.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          changed = next != cur
+          cur = next
+        }
+        val got = Graph.kCorePeel(es.toDF("a", "b"), k, 10)
+          .as[(Long, Long)].collect().toSet
+        assert(got === cur, s"trial $trial k=$k")
+      }
+    }
+  }
+
   test("kCorePeel: cascades resolve within the round budget — long path peels inward") {
     // path 1-2-...-12 plus triangle 20-21-22: the 2-core peel eats the
     // path one endpoint-pair per round (a 6-round cascade), the
