@@ -1094,6 +1094,84 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Robust trend battery per event type — Theil–Sen slope (median of
+    * the pairwise slopes; Sen 1968) + the Mann–Kendall S test with tie
+    * correction and continuity-corrected z (Kendall 1975): the
+    * outlier-resistant siblings of [[evtOls]]'s least-squares fit (one
+    * wild day drags OLS, moves a median of 435 slopes barely at all).
+    * Scale shape: the corpus collapses to the ≤|types|×|days| daily
+    * frame FIRST; the pairwise self-join runs on that bounded frame
+    * (≤435 pairs per type), never on events. S is an integer sum of
+    * signs — engine-exact; the medians interpolate over identical
+    * pair-slope doubles (exact integer divisions), so they match
+    * bit-for-bit before the round-6.
+    */
+  def evtTrendRobust(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y")))
+    val m = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), count(lit(1)).as("nd"))
+    val base = Funnel.stage(daily.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), datediff(col("d"), col("d0")).cast("long").as("x"),
+        col("y")))
+    val pairs = base.as("a").join(base.as("b"), Seq("event_type"))
+      .filter(col("a.x") < col("b.x"))
+      .select(col("event_type"),
+        signum((col("b.y") - col("a.y")).cast("double")).cast("long").as("sg"),
+        ((col("b.y") - col("a.y")).cast("double")
+          / (col("b.x") - col("a.x")).cast("double")).as("sl"))
+    val ss = pairs.groupBy("event_type")
+      .agg(sum("sg").as("s_stat"), expr("percentile(sl, 0.5D)").as("slope"))
+    val tie = base.groupBy("event_type", "y").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tieterm"))
+    val ic = base.join(broadcast(ss.select("event_type", "slope")), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(expr("percentile(y - slope * x, 0.5D)").as("intercept"))
+    val varS = (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5) - col("tieterm"))
+      .cast("double") / 18.0
+    val z = when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    m.join(ss, Seq("event_type")).join(tie, Seq("event_type")).join(ic, Seq("event_type"))
+      .select(col("event_type"), col("nd").as("n_days"), col("s_stat"),
+        round(z, 6).as("z"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        (abs(z) > 1.96).as("trend_reject"))
+      .orderBy("event_type")
+  }
+
+  val evtTrendRobustSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS y
+        |            FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, min(d) AS d0, count(*)::BIGINT AS nd FROM daily GROUP BY 1),
+        |base AS (SELECT daily.event_type, datediff('day', d0, d)::BIGINT AS x, y
+        |         FROM daily JOIN m USING (event_type)),
+        |pr AS (SELECT a.event_type, sign(b.y - a.y)::BIGINT AS sg,
+        |         (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS sl
+        |       FROM base a JOIN base b ON b.event_type = a.event_type AND a.x < b.x),
+        |ss AS (SELECT event_type, sum(sg)::BIGINT AS s_stat,
+        |         quantile_cont(sl, 0.5) AS slope FROM pr GROUP BY 1),
+        |tie AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tieterm
+        |        FROM (SELECT event_type, y, count(*)::BIGINT AS t FROM base GROUP BY 1, 2)
+        |        GROUP BY 1),
+        |ic AS (SELECT base.event_type, quantile_cont(y - slope * x, 0.5) AS intercept
+        |       FROM base JOIN ss USING (event_type) GROUP BY 1),
+        |f AS (SELECT m.event_type, nd, s_stat, slope, intercept,
+        |        (nd * (nd - 1) * (2 * nd + 5) - tieterm)::DOUBLE / 18.0 AS var_s
+        |      FROM m JOIN ss USING (event_type) JOIN tie USING (event_type)
+        |        JOIN ic USING (event_type)),
+        |fz AS (SELECT *, CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+        |                      WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+        |                      ELSE 0.0 END AS z FROM f)
+        |SELECT event_type, nd AS n_days, s_stat, round(z, 6) AS z,
+        |  round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+        |  (abs(z) > 1.96) AS trend_reject
+        |FROM fz ORDER BY event_type""".stripMargin
+
   def evtCusum(s: SparkSession, dir: String): DataFrame = {
     val daily = Funnel.stage(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -1912,6 +1990,7 @@ object AnalyticsQueries {
     Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
     Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
+    Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),
