@@ -482,4 +482,34 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(it => it.flatMap { case (id, bytes) => WavCodec.decode(id, bytes) })
   }
+
+  /** Audio delta-sign fingerprint — the [[dHashPnm]] idea on a
+    * waveform (the core move of Chromaprint-family audio hashes: hash
+    * the SIGN of successive-feature deltas, which survives gain
+    * changes exactly as the image gradient hash survives brightness
+    * shifts): one bit per consecutive-sample comparison over the
+    * first 57 s16 samples (56 bits, capped at the clip length), in
+    * the same single scan-stage mapPartitions pass. Together with
+    * MinHash/SimHash (text) and dHash (image) this completes the
+    * near-dup trifecta across the three modalities, all pairing
+    * through the same 4-chunk pigeonhole band join.
+    */
+  def audioHashWav(ds: Dataset[(Long, Array[Byte])]): Dataset[MmHash] = {
+    import ds.sparkSession.implicits._
+    def s16(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      WavCodec.parseChunks(bytes).map { case (_, _, _, off, len) =>
+        val n = (len / 2).toInt
+        val bits = math.min(56, n - 1)
+        var fp = 0L
+        var i = 0
+        while (i < bits) {
+          if (s16(bytes, off + 2 * i) < s16(bytes, off + 2 * (i + 1))) fp |= 1L << i
+          i += 1
+        }
+        MmHash(id, fp)
+      }
+    })
+  }
 }

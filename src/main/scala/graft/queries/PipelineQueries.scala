@@ -1209,6 +1209,54 @@ object PipelineQueries {
       |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
 
+  /** Audio near-dup pairs over the synthetic WAV corpus
+    * ([[graft.operators.Multimodal.audioHashWav]] — the delta-sign
+    * fingerprint): same probe-restricted 4-chunk pigeonhole band join
+    * as [[mmPhash]]; with it the near-dup family covers all three
+    * modalities through one pairing device. Integer arithmetic end to
+    * end — the oracle replays sample-generate → delta-sign → band
+    * join bit-for-bit.
+    */
+  def mmAudioHash(s: SparkSession, dir: String): DataFrame = {
+    val fp = Funnel.stage(
+      graft.operators.Multimodal.audioHashWav(wavGen(s, dir)).toDF())
+    val chunkBits = 14
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
+      }: _*)).as(Seq("ci", "cv")))
+    chunked.as("x").filter(col("x.id") < 100)
+      .join(chunked.as("y"), Seq("ci", "cv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("da", "db")
+  }
+
+  val mmAudioHashSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+      |             (doc_id % 50 + 10)::BIGINT AS fr FROM documents),
+      |e AS (SELECT doc_id, i, fr * ch AS n FROM p,
+      |        unnest(range(0, 57)) AS t(i) WHERE i < fr * ch),
+      |v AS (SELECT doc_id, i, n,
+      |        CASE WHEN (doc_id * 131 + i * 17) % 65536 >= 32768
+      |             THEN (doc_id * 131 + i * 17) % 65536 - 65536
+      |             ELSE (doc_id * 131 + i * 17) % 65536 END AS s FROM e),
+      |b AS (SELECT a.doc_id,
+      |        CASE WHEN a.s < c.s THEN (1::BIGINT << a.i::INTEGER) ELSE 0 END AS bit
+      |      FROM v a JOIN v c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+      |      WHERE a.i < least(56, a.n - 1)),
+      |f AS (SELECT doc_id, sum(bit)::BIGINT AS fp FROM b GROUP BY 1),
+      |ch2 AS (SELECT doc_id, fp, unnest(range(0, 4)) AS ci FROM f),
+      |chv AS (SELECT doc_id, fp, ci, (fp >> (14 * ci::INTEGER)) & 16383 AS cv FROM ch2),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, a.fp AS fa, b2.doc_id AS db, b2.fp AS fb
+      |         FROM chv a JOIN chv b2 USING (ci, cv)
+      |         WHERE a.doc_id < 100 AND a.doc_id < b2.doc_id)
+      |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
+
   def embTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
@@ -3968,6 +4016,7 @@ object PipelineQueries {
     Q("q_doc_ppjoin", docPpjoin, Some(docPpjoinSql)),
     Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql)),
     Q("q_mm_phash", mmPhash, Some(mmPhashSql)),
-    Q("q_doc_calibration", docCalibration, Some(docCalibrationSql))
+    Q("q_doc_calibration", docCalibration, Some(docCalibrationSql)),
+    Q("q_mm_audiohash", mmAudioHash, Some(mmAudioHashSql))
   )
 }
