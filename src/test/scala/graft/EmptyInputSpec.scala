@@ -113,7 +113,15 @@ class EmptyInputSpec extends SparkSpec {
     "q_graph_assortativity", // degree sums null -> null ratio, no crash
     "q_graph_kcore", // nested peel loops fed zero edges, coalesced checksums
     "q_emb_lda", // zero classes -> null-projection early return
-    "q_evt_survival" // KM curve over zero sessions, null corpus-end scalar
+    "q_evt_survival", // KM curve over zero sessions, null corpus-end scalar
+    "q_doc_ppjoin", // prefix join over an empty vocabulary
+    "q_doc_js_drift", // divergence over zero (source, word) support
+    "q_mm_phash", // image hash + band join over zero rasters
+    "q_mm_audiohash", // audio hash + band join over zero clips
+    "q_doc_calibration", // reliability buckets over zero scores
+    "q_evt_ltv", // cohort triangle over zero users
+    "q_evt_markov", // empty chain -> empty-result early return
+    "q_evt_trend_robust" // pairwise slopes over zero dailies
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -389,7 +389,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_evt_survival" -> 0,
       // js drift: everything is a second-level aggregate of the staged
       // (source, word) count table
-      "q_doc_js_drift" -> 0)
+      "q_doc_js_drift" -> 0,
+      // fingerprint pairs: the staged hash table feeds both band sides
+      "q_mm_phash" -> 0, "q_mm_audiohash" -> 0,
+      // prefix join: candidates and verify both read the staged token sets
+      "q_doc_ppjoin" -> 0,
+      // ltv: one staged (user, day, revenue) pre-aggregate feeds everything
+      "q_evt_ltv" -> 0,
+      // robust trend: staged daily + indexed frames feed pairs/ties/medians
+      "q_evt_trend_robust" -> 0)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)
