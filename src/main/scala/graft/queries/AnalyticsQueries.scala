@@ -1094,6 +1094,137 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Markov-chain attribution by removal effect (Anderl et al. 2014 —
+    * the data-driven alternative to [[evtAttribution]]'s last-touch
+    * and [[evtAttributionMulti]]'s positional rules): user journeys
+    * (events up to the first purchase; non-converting journeys absorb
+    * into NULL) build a START/channel/CONV/NULL chain, conversion
+    * probability comes from absorption value iteration, and each
+    * channel's credit is its REMOVAL EFFECT — how much conversion
+    * drops when transitions into it are redirected to NULL —
+    * normalized into shares. The distributed work is ONE journey
+    * aggregate (two user-keyed windows → transition counts); the chain
+    * is ≤(|channels|+3)²-row, collected under the bounded-statistics
+    * posture and iterated 60 fixed rounds for ALL removal variants at
+    * once, driver-side in sorted order. The oracle unrolls the same
+    * 60 rounds over a (variant × state) grid — ≤30 rows per CTE — so,
+    * as with the stationary mix, equality is arithmetic, not
+    * convergence. The max(0, ·) clamp on removal effects is shared by
+    * both engines: removing a channel can only reduce conversion
+    * mathematically, but 1e-17 float noise must not become a negative
+    * credit on one engine only.
+    */
+  def evtMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pre = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prior",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior") === 0)
+      .withColumn("state",
+        when(col("event_type") === "purchase", "CONV").otherwise(col("event_type")))
+    val trans = pre
+      .select(coalesce(lag("state", 1).over(w), lit("START")).as("f"),
+        col("state").as("t"))
+    val term = pre
+      .withColumn("nxt", lead("state", 1).over(w))
+      .filter(col("nxt").isNull && col("state") =!= "CONV")
+      .select(col("state").as("f"), lit("NULL").as("t"))
+    val counts = trans.unionByName(term)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[String]("t"), r.getAs[Long]("n")))
+      .sortBy(r => (r._1, r._2))
+    if (counts.isEmpty)
+      return Seq.empty[(String, Double, Double)]
+        .toDF("channel", "removal_effect", "share")
+    val tot = counts.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum.toDouble }
+    val chans = counts.map(_._1).filter(_ != "START").distinct.sorted
+    // kept transition rows per variant: to == CONV or a transient
+    // channel other than the removed one (NULL and the removed channel
+    // absorb zero value)
+    val pc = counts
+      .filter { case (_, t, _) => t == "CONV" || chans.contains(t) }
+      .map { case (f, t, n) => (f, t, n / tot(f)) }
+    val states = "START" +: chans
+    val variants = "none" +: chans
+    var v = (for (r <- variants; st <- states) yield (r, st) -> 0.0).toMap
+    for (_ <- 1 to 60) {
+      v = (for (r <- variants; st <- states) yield {
+        val acc = pc.iterator.filter { case (f, t, _) =>
+          f == st && (r == "none" || t != r)
+        }.map { case (_, t, p) =>
+          if (t == "CONV") p else p * v((r, t))
+        }.sum
+        (r, st) -> acc
+      }).toMap
+    }
+    val base = v(("none", "START"))
+    val out = chans.map { c =>
+      val re = if (base > 0) math.max(0.0, 1.0 - v((c, "START")) / base) else 0.0
+      (c, re)
+    }
+    val reSum = out.map(_._2).sum
+    out.toSeq.map { case (c, re) =>
+      (c, BigDecimal(re).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (reSum == 0.0) 0.0
+        else BigDecimal(re / reSum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("channel", "removal_effect", "share").orderBy("channel")
+  }
+
+  val evtMarkovAttributionSql: String = {
+    val sb = new StringBuilder(Tables.eventsCte +
+      """
+        |, pp AS (SELECT user_id, ts, event_id, event_type,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM ev),
+        |k AS (SELECT user_id, ts, event_id,
+        |        CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state
+        |      FROM pp WHERE prior = 0),
+        |tr0 AS (SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |          'START') AS f, state AS t FROM k),
+        |term AS (SELECT state AS f, 'NULL' AS t FROM (
+        |    SELECT state, lead(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |    FROM k) WHERE nxt IS NULL AND state <> 'CONV'),
+        |c AS (SELECT f, t, count(*)::BIGINT AS n
+        |      FROM (SELECT * FROM tr0 UNION ALL SELECT * FROM term) GROUP BY 1, 2),
+        |tot AS (SELECT f, sum(n) AS tn FROM c GROUP BY 1),
+        |chans AS MATERIALIZED (SELECT DISTINCT f AS ch FROM c WHERE f <> 'START'),
+        |pc AS MATERIALIZED (
+        |  SELECT c.f, c.t, c.n::DOUBLE / tot.tn AS p FROM c JOIN tot USING (f)
+        |  WHERE c.t = 'CONV' OR c.t IN (SELECT ch FROM chans)),
+        |variants AS MATERIALIZED (SELECT 'none' AS r UNION ALL SELECT ch FROM chans),
+        |states AS MATERIALIZED (SELECT 'START' AS s UNION ALL SELECT ch FROM chans),
+        |grid AS MATERIALIZED (SELECT r, s FROM variants, states),
+        |v_0 AS (SELECT r, s, 0.0 AS v FROM grid)""".stripMargin)
+    for (i <- 1 to 60)
+      sb.append(
+        s""",
+           |v_$i AS MATERIALIZED (
+           |  SELECT g.r, g.s, coalesce(sum(
+           |      CASE WHEN pc.t = 'CONV' THEN pc.p ELSE pc.p * vp.v END), 0.0) AS v
+           |  FROM grid g
+           |  LEFT JOIN pc ON pc.f = g.s AND (g.r = 'none' OR pc.t <> g.r)
+           |  LEFT JOIN v_${i - 1} vp ON vp.r = g.r AND vp.s = pc.t
+           |  GROUP BY g.r, g.s)""".stripMargin)
+    sb.append(
+      """
+        |, base AS (SELECT v AS bv FROM v_60 WHERE r = 'none' AND s = 'START'),
+        |re AS (SELECT r AS channel,
+        |         CASE WHEN base.bv > 0 THEN greatest(0.0, 1.0 - v / base.bv)
+        |              ELSE 0.0 END AS re
+        |       FROM v_60, base WHERE s = 'START' AND r <> 'none'),
+        |rs AS (SELECT sum(re) AS tot_re FROM re)
+        |SELECT channel, round(re, 6) AS removal_effect,
+        |  CASE WHEN rs.tot_re = 0.0 THEN 0.0 ELSE round(re / rs.tot_re, 6) END AS share
+        |FROM re, rs ORDER BY channel""".stripMargin)
+    sb.toString
+  }
+
   /** Robust trend battery per event type — Theil–Sen slope (median of
     * the pairwise slopes; Sen 1968) + the Mann–Kendall S test with tie
     * correction and continuity-corrected z (Kendall 1975): the
@@ -1991,6 +2122,7 @@ object AnalyticsQueries {
     Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
     Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),
+    Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

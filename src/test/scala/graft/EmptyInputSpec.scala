@@ -121,7 +121,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_calibration", // reliability buckets over zero scores
     "q_evt_ltv", // cohort triangle over zero users
     "q_evt_markov", // empty chain -> empty-result early return
-    "q_evt_trend_robust" // pairwise slopes over zero dailies
+    "q_evt_trend_robust", // pairwise slopes over zero dailies
+    "q_evt_markov_attribution" // empty chain -> empty-result early return
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
