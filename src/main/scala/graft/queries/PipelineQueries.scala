@@ -256,6 +256,77 @@ object PipelineQueries {
     scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the word-adjacency graph, the graph-centrality
+    * keyword ranker complementing the frequency family (tf-idf picks
+    * distinctive terms, PMI picks collocations, TextRank picks terms
+    * CENTRAL to the corpus's co-occurrence structure). Edges are the
+    * [[docPmiBigrams]] bigram counts symmetrized; 20 damped rounds of
+    * r(v) = 0.15 + 0.85·Σ w(u,v)/W(u)·r(u) with per-round round-9
+    * quantization (the iteratePagerank engine-stability device: both
+    * engines re-enter every round on identical doubles, so drift can
+    * never compound); top-30 cut on the ROUNDED rank with a term
+    * tie-break, so the cut boundary is engine-stable too. Distributed
+    * shape: the rank frame is vocabulary-keyed, each round one
+    * edge-keyed join + word-keyed aggregate off staged edge/weight
+    * frames — never a collected matrix (a real vocabulary does not
+    * fit a driver).
+    */
+  def docTextrank(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val edges = Funnel.stage(bi
+      .select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+      .unionByName(bi.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+      .groupBy("src", "dst").agg(sum("c").as("w")))
+    val edgesD = Funnel.stage(
+      edges.join(edges.groupBy("src").agg(sum("w").as("wout")), Seq("src")))
+    val nodes = Funnel.stage(edges.select(col("src").as("node")).distinct())
+    val init = nodes.select(col("node"), lit(1.0).as("rank"))
+    val result = graft.operators.Iterations.loop(init, maxIter = 20, checkpointEvery = 1) { pr =>
+      val inbound = pr.join(edgesD, pr("node") === edgesD("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("wout")).as("m"))
+      nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 9).as("rank"))
+    }
+    result.select(col("node").as("term"), round(col("rank"), 6).as("rank"))
+      .orderBy(round(col("rank"), 6).desc, col("term")).limit(30)
+  }
+
+  val docTextrankSql: String = {
+    val iter = (i: Int) =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node, round(0.15 + 0.85 * coalesce(s2.m, 0), 9) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank * e.w / e.wout) AS m
+         |    FROM r${i - 1} r JOIN edgesd e ON r.node = e.src GROUP BY 1) s2
+         |  ON n.node = s2.node)""".stripMargin
+    s"""WITH toks AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |bis AS (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks WHERE len(t) >= 2),
+       |bc AS (SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+       |         count(*)::BIGINT AS c FROM bis GROUP BY 1, 2),
+       |bcf AS (SELECT * FROM bc WHERE w1 <> w2),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, sum(c)::BIGINT AS w FROM (
+       |    SELECT w1 AS src, w2 AS dst, c FROM bcf
+       |    UNION ALL SELECT w2, w1, c FROM bcf) GROUP BY 1, 2),
+       |edgesd AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, d.wout FROM edges e
+       |  JOIN (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY 1) d USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+       |${(1 to 20).map(iter).mkString(",\n")}
+       |SELECT node AS term, round(rank, 6) AS rank FROM r20
+       |ORDER BY round(rank, 6) DESC, term LIMIT 30""".stripMargin
+  }
+
   val docPmiBigramsSql: String =
     s"""WITH toks AS (SELECT string_split($normSql, ' ') AS t FROM documents),
        |uni AS (SELECT unnest(t) AS tok FROM toks),
@@ -4017,6 +4088,7 @@ object PipelineQueries {
     Q("q_doc_js_drift", docJsDrift, Some(docJsDriftSql)),
     Q("q_mm_phash", mmPhash, Some(mmPhashSql)),
     Q("q_doc_calibration", docCalibration, Some(docCalibrationSql)),
-    Q("q_mm_audiohash", mmAudioHash, Some(mmAudioHashSql))
+    Q("q_mm_audiohash", mmAudioHash, Some(mmAudioHashSql)),
+    Q("q_doc_textrank", docTextrank, Some(docTextrankSql))
   )
 }

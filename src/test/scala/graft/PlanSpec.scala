@@ -397,7 +397,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // ltv: one staged (user, day, revenue) pre-aggregate feeds everything
       "q_evt_ltv" -> 0,
       // robust trend: staged daily + indexed frames feed pairs/ties/medians
-      "q_evt_trend_robust" -> 0)
+      "q_evt_trend_robust" -> 0,
+      // textrank: every round reads the staged edge/weight/node frames
+      "q_doc_textrank" -> 0)
     for ((name, bound) <- locks) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val (parquet, _) = scanCounts(name)
