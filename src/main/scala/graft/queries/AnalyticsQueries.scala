@@ -1094,6 +1094,69 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Poisson-bootstrap confidence interval for mean purchase value
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams" — the one-pass distributed bootstrap: instead of B
+    * resampling shuffles, every row draws a Poisson(1) multiplicity
+    * per replicate, so B=32 weighted means come out of ONE grouped
+    * aggregate over a map-side-combined explode). All randomness is
+    * md5-derived from (event_id, replicate) — the embNegatives seeded
+    * device — and the Poisson inverse-CDF is a fixed literal threshold
+    * chain, so both engines draw bit-identical weights; the CI is the
+    * 2.5/97.5 percentile interpolation over the 32 replicate means.
+    */
+  def evtBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val x = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val u = conv(substring(md5(concat(col("event_id").cast("string"), lit("|"),
+      col("b").cast("string"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    // cumulative Poisson(1) pmf; identical decimal literals in the SQL
+    val cum = Seq(0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999897508033253)
+    val w = cum.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+      case ((c, k), rest) => when(col("u") < c, k).otherwise(rest)
+    }
+    val means = x
+      .select(col("event_id"), col("value"), explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg((sum(col("w") * col("value")) / sum(col("w"))).as("m"))
+    val stats = x.agg(count(lit(1)).as("n_purchases"), avg("value").as("mean"))
+    means.agg(expr("percentile(m, 0.025D)").as("lo"), expr("percentile(m, 0.975D)").as("hi"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_purchases"), round(col("mean"), 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
+  val evtBootstrapCiSql: String =
+    Tables.eventsCte +
+      """
+        |, x AS (SELECT event_id, value FROM ev WHERE event_type = 'purchase'),
+        |rep AS (SELECT event_id, value, b,
+        |    ('0x' || substr(md5(event_id::VARCHAR || '|' || b::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM x, range(0, 32) t(b)),
+        |wt AS (SELECT b, value,
+        |    CASE WHEN u < 0.3678794411714423 THEN 0
+        |         WHEN u < 0.7357588823428846 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM rep),
+        |mm AS (SELECT b, sum(w * value) / sum(w) AS m FROM wt GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_purchases, avg(value) AS mean FROM x)
+        |SELECT n_purchases, round(mean, 6) AS mean,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM mm, st GROUP BY n_purchases, mean""".stripMargin
+
   /** Markov-chain attribution by removal effect (Anderl et al. 2014 —
     * the data-driven alternative to [[evtAttribution]]'s last-touch
     * and [[evtAttributionMulti]]'s positional rules): user journeys
@@ -2123,6 +2186,7 @@ object AnalyticsQueries {
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
     Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),
     Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
+    Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -123,7 +123,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_markov", // empty chain -> empty-result early return
     "q_evt_trend_robust", // pairwise slopes over zero dailies
     "q_evt_markov_attribution", // empty chain -> empty-result early return
-    "q_doc_textrank" // damped rank loop over an empty word graph
+    "q_doc_textrank", // damped rank loop over an empty word graph
+    "q_evt_bootstrap_ci" // percentiles over zero replicates, null bounds
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
