@@ -123,6 +123,52 @@ object Dedup {
       .select(col("da"), col("db"), col("jacc"))
   }
 
+  /** Containment (asymmetric Jaccard, |A∩B|/|A|) pairs — the
+    * SUBSET-duplication detector symmetric Jaccard structurally
+    * misses: a short document wholly quoted inside a long one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| (arbitrarily small), so a
+    * boilerplate/quotation sweep must threshold containment, not
+    * similarity (Broder 1997 distinguishes "resemblance" from
+    * "containment" for exactly this reason). Same bounded candidate
+    * machinery as [[jaccardPairs]] (token inverted index, df-capped,
+    * probe-restricted); emits BOTH directions' containment plus the
+    * symmetric Jaccard for contrast, keeping pairs where max
+    * containment clears the threshold.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      leftFilter: Column = lit(true),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Option[Long] = None
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val words0 = toks.select(col("id"), explode(col("ts")).as("word"))
+    val (words, sizes) = maxDf match {
+      case Some(cap) =>
+        val hot = words0.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("word")
+        val kept = words0.join(broadcast(hot), Seq("word"), "left_anti")
+        (kept, kept.groupBy("id").agg(count(lit(1)).as("sz")))
+      case None =>
+        (words0, toks.select(col("id"), size(col("ts")).as("sz")))
+    }
+    val inter = words.filter(leftFilter).withColumnRenamed("id", "da")
+      .join(words.withColumnRenamed("id", "db"), "word")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("sz", "sa"), "da")
+      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("sz", "sb"), "db")
+      .select(col("da"), col("db"),
+        (col("i") / col("sa")).as("cont_a_in_b"),
+        (col("i") / col("sb")).as("cont_b_in_a"),
+        (col("i") / (col("sa") + col("sb") - col("i"))).as("jacc"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Incremental (delta) dedup — the daily-crawl-increment contract:
     * classify a batch of ARRIVING documents against an existing corpus
     * as `exact` (normalized-fingerprint match), `near` (word-set

@@ -1094,6 +1094,38 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type distribution in bits, the classic bot/outlier screen
+    * (a scripted account hammers one event type → entropy ≈ 0; an
+    * organic user mixes → entropy near log₂|types|). One (user, type)
+    * count aggregate, entropy as a second-level aggregate of it —
+    * p·log₂p summed over ≤|types| rows per user; emitted per user
+    * (round 6) rather than bucketed, because a histogram's bucket
+    * floor on an irrational entropy value is exactly the cross-engine
+    * boundary hazard the round-6 contract avoids.
+    */
+  def evtEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val u = c.groupBy("user_id").agg(sum("n").as("tot"), count(lit(1)).as("n_types"))
+    c.join(u, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(first(col("tot")).as("n_events"), first(col("n_types")).as("n_types"),
+        round(-sum((col("n") / col("tot"))
+          * log(2.0, col("n") / col("tot"))), 6).as("entropy_bits"))
+      .orderBy("user_id")
+  }
+
+  val evtEntropySql: String =
+    Tables.eventsCte +
+      """
+        |, c AS (SELECT user_id, event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_types
+        |      FROM c GROUP BY 1)
+        |SELECT c.user_id, any_value(tot) AS n_events, any_value(n_types) AS n_types,
+        |  round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)), 6) AS entropy_bits
+        |FROM c JOIN u USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Poisson-bootstrap confidence interval for mean purchase value
     * (Chamandy et al. 2012, "Estimating uncertainty for massive data
     * streams" — the one-pass distributed bootstrap: instead of B
@@ -2187,6 +2219,7 @@ object AnalyticsQueries {
     Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),
     Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
+    Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -974,6 +974,29 @@ object PipelineQueries {
        |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
        |WHERE i / (ca.sz + cb.sz - i) >= 0.8 ORDER BY da, db""".stripMargin
 
+  /** Containment pairs at 0.9 ([[Dedup.containmentPairs]] — catches a
+    * short doc wholly quoted in a long one, where symmetric Jaccard
+    * reads arbitrarily low); same probe restriction as [[docJaccard]],
+    * both directions emitted with the Jaccard for contrast.
+    */
+  def docContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9,
+        leftFilter = col("id") < 100)
+      .orderBy("da", "db")
+
+  val docContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
+       |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 100 GROUP BY 1, 2)
+       |SELECT da, db, i / ca.sz AS cont_a_in_b, i / cb.sz AS cont_b_in_a,
+       |  i / (ca.sz + cb.sz - i) AS jacc
+       |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+       |WHERE greatest(i / ca.sz, i / cb.sz) >= 0.9 ORDER BY da, db""".stripMargin
+
   val docJaccardSql: String =
     s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents),
        |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
@@ -4089,6 +4112,7 @@ object PipelineQueries {
     Q("q_mm_phash", mmPhash, Some(mmPhashSql)),
     Q("q_doc_calibration", docCalibration, Some(docCalibrationSql)),
     Q("q_mm_audiohash", mmAudioHash, Some(mmAudioHashSql)),
-    Q("q_doc_textrank", docTextrank, Some(docTextrankSql))
+    Q("q_doc_textrank", docTextrank, Some(docTextrankSql)),
+    Q("q_doc_containment", docContainment, Some(docContainmentSql))
   )
 }
