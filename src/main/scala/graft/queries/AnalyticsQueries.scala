@@ -1094,6 +1094,94 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Difference-in-differences — the panel-causal baseline (Card &
+    * Krueger 1994 popularized the design): treated = users with an
+    * ABOVE-median pre-period error count (a median split — "any error"
+    * would treat this fixture's entire population and leave the
+    * control cells undefined), outcome =
+    * mean purchase value per user-period, periods split at the
+    * midpoint date; the estimate is the 2×2 interaction
+    * (T,post − T,pre) − (C,post − C,pre) with its standard error from
+    * the four cell variances (Welch-style, no pooling). Everything
+    * reduces to per-(user, period) aggregates and then FOUR cell
+    * rows — the corpus never crosses a shuffle wider than user-keyed,
+    * and the midpoint/exposure are derived from the data (no
+    * hard-coded dates; the daySplits lesson). On an untreated synthetic
+    * corpus the estimate should sit inside ±2·SE — which the fixture
+    * confirms, making the null behavior itself part of the check.
+    */
+  def evtDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // one staged (user, day-index flavored) frame feeds exposure,
+    // midpoint, and outcomes
+    val base = Funnel.stage(ev.select(col("user_id"), to_date(col("ts")).as("d"),
+      col("event_type"), col("value")))
+    val mid = base.agg(((min(unix_date(col("d"))) + max(unix_date(col("d"))))
+      / lit(2)).cast("long").as("mid"))
+    val b2 = base.crossJoin(broadcast(mid))
+      .withColumn("post", (unix_date(col("d")).cast("long") > col("mid")).cast("int"))
+    // exposure: ABOVE-median pre-period error count (a median split —
+    // "any error" would treat the whole population on this fixture,
+    // leaving the control cells empty and the estimate undefined)
+    val erc = b2.filter(col("event_type") === "error" && col("post") === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("ec"))
+    val med = erc.agg(expr("percentile(ec, 0.5D)").as("med"))
+    val outcomes = b2.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "post").agg(avg("value").as("y"))
+      .join(erc, Seq("user_id"), "left")
+      .crossJoin(broadcast(med))
+      .withColumn("treat", (coalesce(col("ec"), lit(0L)) > col("med")).cast("int"))
+    val cells = outcomes.groupBy("treat", "post")
+      .agg(count(lit(1)).as("n"), avg("y").as("m"), var_samp("y").as("v"))
+    val w = cells.select(col("treat"), col("post"), col("n"), col("m"),
+      (col("v") / col("n")).as("se2"))
+    val p = w.groupBy()
+      .pivot(concat(col("treat"), lit("_"), col("post")), Seq("0_0", "0_1", "1_0", "1_1"))
+      .agg(first("m").as("m"), first("se2").as("s"), first("n").as("n"))
+    p.select(
+      (col("1_1_m") - col("1_0_m") - (col("0_1_m") - col("0_0_m"))).as("did"),
+      sqrt(col("1_1_s") + col("1_0_s") + col("0_1_s") + col("0_0_s")).as("se"),
+      (col("0_0_n") + col("0_1_n") + col("1_0_n") + col("1_1_n")).as("n_cells_obs"))
+      .select(round(col("did"), 6).as("did"), round(col("se"), 6).as("se"),
+        (abs(col("did")) > lit(1.96) * col("se")).as("significant"),
+        col("n_cells_obs"))
+  }
+
+  val evtDidSql: String =
+    Tables.eventsCte +
+      """
+        |, base AS (SELECT user_id, ts::DATE AS d, event_type, value FROM ev),
+        |mid AS (SELECT (min(epoch(d::TIMESTAMP))//86400 + max(epoch(d::TIMESTAMP))//86400) // 2 AS mid FROM base),
+        |b2 AS (SELECT *, CASE WHEN epoch(d::TIMESTAMP)//86400 > mid THEN 1 ELSE 0 END AS post
+        |       FROM base, mid),
+        |erc AS (SELECT user_id, count(*)::BIGINT AS ec FROM b2
+        |        WHERE event_type = 'error' AND post = 0 GROUP BY 1),
+        |med AS (SELECT quantile_cont(ec, 0.5) AS med FROM erc),
+        |oc AS (SELECT b2.user_id, post, avg(value) AS y,
+        |         (CASE WHEN coalesce(any_value(ec), 0) > any_value(med.med)
+        |               THEN 1 ELSE 0 END) AS treat
+        |       FROM b2 LEFT JOIN erc USING (user_id), med
+        |       WHERE event_type = 'purchase' GROUP BY b2.user_id, post),
+        |cells AS (SELECT treat, post, count(*)::BIGINT AS n, avg(y) AS m,
+        |            var_samp(y) / count(*) AS se2
+        |          FROM oc GROUP BY 1, 2),
+        |p AS (SELECT
+        |    max(CASE WHEN treat=0 AND post=0 THEN m END) AS m00,
+        |    max(CASE WHEN treat=0 AND post=1 THEN m END) AS m01,
+        |    max(CASE WHEN treat=1 AND post=0 THEN m END) AS m10,
+        |    max(CASE WHEN treat=1 AND post=1 THEN m END) AS m11,
+        |    max(CASE WHEN treat=0 AND post=0 THEN se2 END) AS s00,
+        |    max(CASE WHEN treat=0 AND post=1 THEN se2 END) AS s01,
+        |    max(CASE WHEN treat=1 AND post=0 THEN se2 END) AS s10,
+        |    max(CASE WHEN treat=1 AND post=1 THEN se2 END) AS s11,
+        |    sum(n)::BIGINT AS n_cells_obs
+        |  FROM cells)
+        |SELECT round(m11 - m10 - (m01 - m00), 6) AS did,
+        |  round(sqrt(s11 + s10 + s01 + s00), 6) AS se,
+        |  (abs(m11 - m10 - (m01 - m00)) > 1.96 * sqrt(s11 + s10 + s01 + s00)) AS significant,
+        |  n_cells_obs
+        |FROM p""".stripMargin
+
   /** Per-user behavioral entropy — Shannon entropy of each user's
     * event-type distribution in bits, the classic bot/outlier screen
     * (a scripted account hammers one event type → entropy ≈ 0; an
@@ -2220,6 +2308,7 @@ object AnalyticsQueries {
     Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
+    Q("q_evt_did", evtDid, Some(evtDidSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -124,7 +124,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_trend_robust", // pairwise slopes over zero dailies
     "q_evt_markov_attribution", // empty chain -> empty-result early return
     "q_doc_textrank", // damped rank loop over an empty word graph
-    "q_evt_bootstrap_ci" // percentiles over zero replicates, null bounds
+    "q_evt_bootstrap_ci", // percentiles over zero replicates, null bounds
+    "q_evt_did" // 2x2 cells all empty, null estimate, no crash
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -79,7 +79,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_graph_kcore", // 1-row node-stat × 1-row edge-count per k stage
     "q_evt_survival", // 1-row corpus-end scalar crossed into the session frame
     "q_doc_js_drift", // 1-row corpus token total crossed into the (source, word) frame
-    "q_evt_bootstrap_ci" // 1-row CI × 1-row corpus stats
+    "q_evt_bootstrap_ci", // 1-row CI × 1-row corpus stats
+    "q_evt_did" // 1-row midpoint + 1-row median-exposure scalars broadcast
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
