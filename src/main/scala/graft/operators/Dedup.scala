@@ -46,6 +46,26 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Option[Long] = None
+  ): DataFrame =
+    tokenOverlapPairs(docs, leftFilter, idCol, textCol, maxDf)
+      .withColumn("jacc", col("i") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), col("jacc"))
+
+  /** The candidate machinery [[jaccardPairs]] and [[containmentPairs]]
+    * share: distinct-token inverted index, optional df-cap (hot tokens
+    * dropped from index AND set sizes so measures stay self-consistent
+    * over the reduced vocabulary), probe restriction, within-bucket
+    * self-join, co-occurrence count, and the two set-size joins. One
+    * row per candidate pair: (da, db, i, sa, sb) with da < db — the
+    * measure-specific select/filter is each caller's thin tail.
+    */
+  private def tokenOverlapPairs(
+      docs: DataFrame,
+      leftFilter: Column,
+      idCol: String,
+      textCol: String,
+      maxDf: Option[Long]
   ): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
     val words0 = toks.select(col("id"), explode(col("ts")).as("word"))
@@ -67,9 +87,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("sz", "sa"), "da")
       .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("sz", "sb"), "db")
-      .withColumn("jacc", col("i") / (col("sa") + col("sb") - col("i")))
-      .filter(col("jacc") >= threshold)
-      .select(col("da"), col("db"), col("jacc"))
   }
 
   /** Prefix-filtering set-similarity join (Chaudhuri–Ganti–Kaushik
@@ -142,32 +159,13 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Option[Long] = None
-  ): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
-    val words0 = toks.select(col("id"), explode(col("ts")).as("word"))
-    val (words, sizes) = maxDf match {
-      case Some(cap) =>
-        val hot = words0.groupBy("word").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("word")
-        val kept = words0.join(broadcast(hot), Seq("word"), "left_anti")
-        (kept, kept.groupBy("id").agg(count(lit(1)).as("sz")))
-      case None =>
-        (words0, toks.select(col("id"), size(col("ts")).as("sz")))
-    }
-    val inter = words.filter(leftFilter).withColumnRenamed("id", "da")
-      .join(words.withColumnRenamed("id", "db"), "word")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("sz", "sa"), "da")
-      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("sz", "sb"), "db")
+  ): DataFrame =
+    tokenOverlapPairs(docs, leftFilter, idCol, textCol, maxDf)
       .select(col("da"), col("db"),
         (col("i") / col("sa")).as("cont_a_in_b"),
         (col("i") / col("sb")).as("cont_b_in_a"),
         (col("i") / (col("sa") + col("sb") - col("i"))).as("jacc"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
-  }
 
   /** Incremental (delta) dedup — the daily-crawl-increment contract:
     * classify a batch of ARRIVING documents against an existing corpus
@@ -623,11 +621,34 @@ object Dedup {
       .select(col("id") +: voteCols: _*)
       .select(col("id"),
         (0 until bits).map(j => col(s"b$j")).reduce(_ bitwiseOR _).as("fp"))
+    hammingBandPairs(fp, chunkBits, chunks, maxHamming)
+  }
+
+  /** Pigeonhole band join over precomputed (id, fp) bit fingerprints —
+    * the pairing device the portable SimHash, the perceptual image
+    * hash, and the audio delta-sign hash all share: split each
+    * fingerprint into `chunks` low-to-high chunks of `chunkBits` bits,
+    * bucket-join on (chunk index, chunk value) — complete for
+    * Hamming ≤ chunks−1 by pigeonhole — then verify with the exact
+    * popcount. `probe` (a predicate over `id`) restricts the probe
+    * side, the same quadratic-output lever as [[jaccardPairs]]'s
+    * leftFilter. Output: (da, db, hamming), da < db.
+    */
+  def hammingBandPairs(
+      fp: DataFrame,
+      chunkBits: Int,
+      chunks: Int,
+      maxHamming: Int,
+      probe: Column = lit(true)
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < chunks,
+      s"$chunks-chunk pigeonhole banding is exact only for maxHamming <= ${chunks - 1}, got $maxHamming")
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
       }: _*)).as(Seq("ci", "cv")))
-    chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
+    chunked.as("x").filter(probe)
+      .join(chunked.as("y"), Seq("ci", "cv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))

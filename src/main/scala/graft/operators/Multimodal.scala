@@ -71,14 +71,23 @@ object Multimodal {
       * raster decode so the two can never drift on header semantics.
       */
     private[operators] def parseHeader(
-        bytes: Array[Byte]): Option[(String, Int, Int, Int, Int, Int)] = {
-      if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
-      val fmt = bytes(1) match {
+        bytes: Array[Byte]): Option[(String, Int, Int, Int, Int, Int)] =
+      parseHeader(bytes, 0)
+
+    /** Offset variant for multi-frame containers ([[sceneCuts]]): parse
+      * the frame starting at `from`; the returned raster offset is
+      * absolute (into `bytes`), so the next frame starts at
+      * rasterOffset + w·h·channels.
+      */
+    private[operators] def parseHeader(
+        bytes: Array[Byte], from: Int): Option[(String, Int, Int, Int, Int, Int)] = {
+      if (bytes == null || bytes.length < from + 2 || bytes(from) != 'P') return None
+      val fmt = bytes(from + 1) match {
         case '5' => "P5"
         case '6' => "P6"
         case _ => return None
       }
-      var pos = 2
+      var pos = from + 2
       def skipWsAndComments(): Unit = {
         var go = true
         while (go && pos < bytes.length) {
@@ -278,22 +287,74 @@ object Multimodal {
   def dHashPnm(ds: Dataset[(Long, Array[Byte])]): Dataset[MmHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { case (id, bytes) =>
-      PnmCodec.decodeRaster(id, bytes).map { raster =>
-        val g = PnmCodec.resizeNearest(raster, 8, 8)
-        var fp = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 7) {
-            val a = g.pixels((y * 8 + x) * g.channels) & 0xFF
-            val b = g.pixels((y * 8 + x + 1) * g.channels) & 0xFF
-            if (a < b) fp |= 1L << (y * 7 + x)
-            x += 1
-          }
-          y += 1
-        }
-        MmHash(id, fp)
+      PnmCodec.decodeRaster(id, bytes).map(raster => MmHash(id, dHash56(raster)))
+    })
+  }
+
+  /** The 56-bit gradient-hash kernel [[dHashPnm]] and [[sceneCuts]]
+    * share: NN-resize to the 8×8 grid, one bit per horizontal
+    * adjacent-pixel comparison.
+    */
+  private def dHash56(raster: PnmRaster): Long = {
+    val g = PnmCodec.resizeNearest(raster, 8, 8)
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        val a = g.pixels((y * 8 + x) * g.channels) & 0xFF
+        val b = g.pixels((y * 8 + x + 1) * g.channels) & 0xFF
+        if (a < b) fp |= 1L << (y * 7 + x)
+        x += 1
       }
+      y += 1
+    }
+    fp
+  }
+
+  final case class MmScenes(id: Long, nFrames: Int, nScenes: Int, keyframes: String)
+
+  /** Scene-cut detection + keyframe sampling over a multi-frame
+    * "video" container — the frame-sample step of a media training
+    * pipeline (PySceneDetect's content-detector shape, re-expressed
+    * over the repo's real codec): the payload is a CONCATENATION of
+    * complete binary PNM frames, walked sequentially with the shared
+    * header parser (absolute offsets — no per-frame copy). Per frame,
+    * the [[dHash56]] gradient fingerprint; a frame OPENS A SCENE when
+    * its Hamming distance to the previous frame's hash exceeds
+    * `maxHamming` (frame 0 always opens scene 0) — the perceptual
+    * analog of a pixel-delta threshold, robust to the small jitter a
+    * codec introduces. Keyframes = each scene's first frame index,
+    * comma-joined. One pass per row in the scan stage — decode, hash,
+    * compare — zero shuffle; state per row is ONE previous hash, so a
+    * 100-TB media sweep costs exactly the decode. A payload whose
+    * walk hits an undecodable frame is dropped whole (the
+    * [[decodePnm]] quarantine convention: pair with a left_anti join
+    * to collect them).
+    */
+  def sceneCuts(ds: Dataset[(Long, Array[Byte])], maxHamming: Int): Dataset[MmScenes] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      var off = 0
+      var n = 0
+      var prev = -1L
+      val keys = new scala.collection.mutable.ArrayBuffer[Int]
+      var bad = bytes == null || bytes.isEmpty
+      while (!bad && off < bytes.length) {
+        PnmCodec.parseHeader(bytes, off) match {
+          case Some((fmt, w, h, mv, channels, rasterOff)) =>
+            val nPix = w * h * channels
+            val raster = PnmRaster(id, fmt, w, h, mv, channels,
+              java.util.Arrays.copyOfRange(bytes, rasterOff, rasterOff + nPix))
+            val fp = dHash56(raster)
+            if (prev < 0 || java.lang.Long.bitCount(prev ^ fp) > maxHamming) keys += n
+            prev = fp
+            n += 1
+            off = rasterOff + nPix
+          case None => bad = true
+        }
+      }
+      if (bad) None else Some(MmScenes(id, n, keys.length, keys.mkString(",")))
     })
   }
 

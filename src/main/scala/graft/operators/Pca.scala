@@ -82,6 +82,10 @@ object Pca {
         acc
       })
     val nrm = math.sqrt(v.map(x => x * x).sum)
+    // A zero scatter matrix (single-class corpus) zeroes the iterate;
+    // return the zero vector rather than 0/0 = NaN — callers treat an
+    // all-zero direction as "no discriminant exists" (NULL scores).
+    if (nrm == 0) return v
     val sg = if (v.sum < 0) -1.0 else 1.0
     v.map(x => x / nrm * sg)
   }

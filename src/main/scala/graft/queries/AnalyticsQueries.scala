@@ -929,9 +929,14 @@ object AnalyticsQueries {
       p.foreach { case (f, t, pr) => next(t) += pi(f) * pr }
       pi = next.toMap
     }
+    // An absorbing (acyclic) observed chain loses all mass within the
+    // 30 rounds — z = 0, and pi/z would be NaN (BigDecimal(NaN) throws
+    // on the driver). Both engines emit NULL stationary mass instead.
     val z = types.map(pi).sum
-    types.toSeq.map(ty => (ty, BigDecimal(pi(ty) / z)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    types.toSeq.map(ty => (ty,
+        if (z > 0) Some(BigDecimal(pi(ty) / z)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None))
       .toDF("event_type", "stationary_p")
       .orderBy("event_type")
   }
@@ -960,7 +965,8 @@ object AnalyticsQueries {
     sb.append(
       """
         |, z AS (SELECT sum(v) AS z FROM pi_30)
-        |SELECT ty AS event_type, round(v / z.z, 6) AS stationary_p
+        |SELECT ty AS event_type,
+        |  CASE WHEN z.z > 0 THEN round(v / z.z, 6) END AS stationary_p
         |FROM pi_30, z ORDER BY event_type""".stripMargin)
     sb.toString
   }
@@ -1130,7 +1136,11 @@ object AnalyticsQueries {
       .groupBy("user_id", "post").agg(avg("value").as("y"))
       .join(erc, Seq("user_id"), "left")
       .crossJoin(broadcast(med))
-      .withColumn("treat", (coalesce(col("ec"), lit(0L)) > col("med")).cast("int"))
+      // coalesce to 0: with NO pre-period errors med is NULL and the
+      // comparison is NULL — the oracle's CASE falls to ELSE 0
+      // (everyone control), so the Spark side must too
+      .withColumn("treat",
+        coalesce((coalesce(col("ec"), lit(0L)) > col("med")).cast("int"), lit(0)))
     val cells = outcomes.groupBy("treat", "post")
       .agg(count(lit(1)).as("n"), avg("y").as("m"), var_samp("y").as("v"))
     val w = cells.select(col("treat"), col("post"), col("n"), col("m"),
@@ -1273,9 +1283,9 @@ object AnalyticsQueries {
         |mm AS (SELECT b, sum(w * value) / sum(w) AS m FROM wt GROUP BY 1),
         |st AS (SELECT count(*)::BIGINT AS n_purchases, avg(value) AS mean FROM x)
         |SELECT n_purchases, round(mean, 6) AS mean,
-        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
-        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
-        |FROM mm, st GROUP BY n_purchases, mean""".stripMargin
+        |  round((SELECT quantile_cont(m, 0.025) FROM mm), 6) AS ci_lo,
+        |  round((SELECT quantile_cont(m, 0.975) FROM mm), 6) AS ci_hi
+        |FROM st""".stripMargin
 
   /** Markov-chain attribution by removal effect (Anderl et al. 2014 —
     * the data-driven alternative to [[evtAttribution]]'s last-touch

@@ -1266,21 +1266,11 @@ object PipelineQueries {
         concat(header.cast("binary"), unhex(pixHex)).as("_2"))
       .as[(Long, Array[Byte])]
     val fp = Funnel.stage(graft.operators.Multimodal.dHashPnm(img).toDF())
-    val chunkBits = 14
-    val chunked = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
-      }: _*)).as(Seq("ci", "cv")))
     // probe-restricted like every pairs contract here (docJaccard,
     // jaccardPairs.leftFilter): the synthetic corpus is deliberately
     // self-similar, so unrestricted all-pairs output grows quadratically
-    chunked.as("x").filter(col("x.id") < 100)
-      .join(chunked.as("y"), Seq("ci", "cv"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+    Dedup.hammingBandPairs(fp, chunkBits = 14, chunks = 4, maxHamming = 3,
+        probe = col("id") < 100)
       .orderBy("da", "db")
   }
 
@@ -1311,21 +1301,72 @@ object PipelineQueries {
     * end — the oracle replays sample-generate → delta-sign → band
     * join bit-for-bit.
     */
+  /** Scene-cut detection + keyframe sampling over a synthetic
+    * multi-frame "video" corpus ([[graft.operators.Multimodal.sceneCuts]]
+    * — the frame-sample multimodal step): each document carries a
+    * container of doc_id%6+4 concatenated P5 frames (3-frame scenes:
+    * within a scene, frames differ by at most a one-pixel ±1 jitter —
+    * SUB-threshold by construction, since the steep ×53 pixel gradient
+    * keeps adjacent samples ≥ 52 apart so no comparison bit can flip;
+    * across scenes the pixel base shifts wholesale), walked
+    * sequentially in ONE
+    * scan-stage mapPartitions — per-frame dHash, cut when the Hamming
+    * step exceeds 3, keyframe = each scene's first frame. Integer
+    * arithmetic end to end, so the oracle replays
+    * generate → NN-resize → hash → lag-Hamming → cut bit-for-bit.
+    */
+  def mmScenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = col("doc_id") % 5 + 4
+    val h = col("doc_id") % 4 + 3
+    val nf = col("doc_id") % 6 + 4
+    val header = concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val frames = transform(sequence(lit(0L), nf - 1), f => {
+      val pixHex = array_join(transform(sequence(lit(0L), w * h - 1), i =>
+        lpad(hex(pmod(
+          pmod(col("doc_id") * 31 + (f / 3).cast("long") * 977 + i * 53, lit(256L)) +
+            when(i === pmod(f, lit(64L)), 1L).otherwise(0L),
+          lit(256L))), 2, "0")), "")
+      concat(header.cast("binary"), unhex(pixHex))
+    })
+    val video = aggregate(frames, lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    val vid = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"), video.as("_2"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.sceneCuts(vid, maxHamming = 3).toDF()
+      .select(col("id").as("doc_id"), col("nFrames").cast("long").as("n_frames"),
+        col("nScenes").cast("long").as("n_scenes"), col("keyframes"))
+      .orderBy("doc_id")
+  }
+
+  val mmScenesSql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 5 + 4)::BIGINT AS w, (doc_id % 4 + 3)::BIGINT AS h,
+      |             (doc_id % 6 + 4)::BIGINT AS nf FROM documents),
+      |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p),
+      |g AS (SELECT doc_id, f, y, x,
+      |        ((doc_id * 31 + (f // 3) * 977 + ((y * h // 8) * w + (x * w // 8)) * 53) % 256
+      |         + CASE WHEN ((y * h // 8) * w + (x * w // 8)) = f % 64 THEN 1 ELSE 0 END)
+      |        % 256 AS v
+      |      FROM fr, unnest(range(0, 8)) t1(y), unnest(range(0, 8)) t2(x)),
+      |b AS (SELECT a.doc_id, a.f,
+      |        CASE WHEN a.v < c.v THEN (1::BIGINT << (a.y * 7 + a.x)::INTEGER) ELSE 0 END AS bit
+      |      FROM g a JOIN g c ON c.doc_id = a.doc_id AND c.f = a.f
+      |                       AND c.y = a.y AND c.x = a.x + 1
+      |      WHERE a.x < 7),
+      |fp AS (SELECT doc_id, f, sum(bit)::BIGINT AS fp FROM b GROUP BY 1, 2),
+      |cut AS (SELECT doc_id, f,
+      |          CASE WHEN lag(fp) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+      |                 OR bit_count(xor(fp, lag(fp) OVER (PARTITION BY doc_id ORDER BY f))) > 3
+      |          THEN 1 ELSE 0 END AS cut FROM fp)
+      |SELECT doc_id, count(*)::BIGINT AS n_frames, sum(cut)::BIGINT AS n_scenes,
+      |  string_agg(CASE WHEN cut = 1 THEN f::VARCHAR END, ',' ORDER BY f) AS keyframes
+      |FROM cut GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def mmAudioHash(s: SparkSession, dir: String): DataFrame = {
     val fp = Funnel.stage(
       graft.operators.Multimodal.audioHashWav(wavGen(s, dir)).toDF())
-    val chunkBits = 14
-    val chunked = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
-      }: _*)).as(Seq("ci", "cv")))
-    chunked.as("x").filter(col("x.id") < 100)
-      .join(chunked.as("y"), Seq("ci", "cv"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+    Dedup.hammingBandPairs(fp, chunkBits = 14, chunks = 4, maxHamming = 3,
+        probe = col("id") < 100)
       .orderBy("da", "db")
   }
 
@@ -3965,6 +4006,12 @@ object PipelineQueries {
       return emb.select(col("vec_id"), lit(null).cast("double").as("pc1"))
     val b = Pca.betweenClassScatter(cls, EmbDim)
     val v = Pca.topEigenvector(b, LdaIters)
+    // One observed class ⇒ zero between-class scatter ⇒ zero direction
+    // (see Pca.topEigenvector); no discriminant exists, score NULL —
+    // the oracle's CASE WHEN nz.z > 0 guard mirrors this.
+    if (v.forall(_ == 0.0))
+      return emb.select(col("vec_id"), lit(null).cast("double").as("pc1"))
+        .orderBy("vec_id")
     val n = cls.map(_._1).sum.toDouble
     val m = Array.tabulate(EmbDim)(i => cls.map(_._2(i)).sum / n)
     val c0 = m.indices.map(i => m(i) * v(i)).sum
@@ -4001,7 +4048,9 @@ object PipelineQueries {
       s""",
          |nz AS (SELECT sqrt(sum(val * val)) AS z,
          |         CASE WHEN sum(val) < 0 THEN -1.0 ELSE 1.0 END AS sg FROM v_$LdaIters),
-         |v AS MATERIALIZED (SELECT i, val / nz.z * nz.sg AS val FROM v_$LdaIters, nz),
+         |v AS MATERIALIZED (
+         |  SELECT i, CASE WHEN nz.z > 0 THEN val / nz.z * nz.sg END AS val
+         |  FROM v_$LdaIters, nz),
          |c0 AS (SELECT sum(gm.m * v.val) AS c FROM gm JOIN v USING (i)),
          |p AS (SELECT vec_id, sum(x.x * v.val) AS dot FROM x JOIN v USING (i) GROUP BY vec_id)
          |SELECT vec_id, round(dot - c0.c, 6) AS pc1 FROM p, c0 ORDER BY vec_id""".stripMargin)
@@ -4112,6 +4161,7 @@ object PipelineQueries {
     Q("q_mm_phash", mmPhash, Some(mmPhashSql)),
     Q("q_doc_calibration", docCalibration, Some(docCalibrationSql)),
     Q("q_mm_audiohash", mmAudioHash, Some(mmAudioHashSql)),
+    Q("q_mm_scenes", mmScenes, Some(mmScenesSql)),
     Q("q_doc_textrank", docTextrank, Some(docTextrankSql)),
     Q("q_doc_containment", docContainment, Some(docContainmentSql))
   )

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Non-empty degenerate corpora — the cousins of [[EmptyInputSpec]]'s
+  * empty tables: inputs that EXIST but collapse a mathematical
+  * assumption a query quietly makes. Each case here pins a bug found
+  * by review, where the Spark side crashed or silently diverged from
+  * its DuckDB oracle on the degenerate shape:
+  *
+  *  - an ACYCLIC observed Markov chain loses all stationary mass
+  *    within the fixed power rounds (z = 0 → BigDecimal(NaN) threw);
+  *  - a corpus with ZERO purchase events made the bootstrap's Spark
+  *    side emit one null row while the oracle's GROUP BY emitted none;
+  *  - a SINGLE-CLASS embedding corpus zeroes the between-class
+  *    scatter (0/0 → all-NaN direction → NaN projections);
+  *  - a corpus with NO pre-period errors made the DiD median NULL and
+  *    the two engines disagree on the NULL-comparison fallback.
+  *
+  * PASS = no crash AND the aligned degenerate output shape (the NULL
+  * contract both engines now share).
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  import graft.queries.{AnalyticsQueries, PipelineQueries}
+
+  /** Events where every user's journey is exactly signup → view: an
+    * absorbing (acyclic) transition chain, zero purchases, zero
+    * errors.
+    */
+  private lazy val acyclicDir: String = {
+    val dst = "/tmp/graft-degen-acyclic"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .withColumn("event_type", when(col("rn") === 1, "signup").otherwise("view"))
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    dst
+  }
+
+  /** Events with purchases intact but every error relabeled — a DiD
+    * corpus whose pre-period error median is NULL.
+    */
+  private lazy val noErrorDir: String = {
+    val dst = "/tmp/graft-degen-noerror"
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("event_type",
+        when(col("event_type") === "error", "view").otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    dst
+  }
+
+  /** Embeddings collapsed to one class. */
+  private lazy val oneClassDir: String = {
+    val dst = "/tmp/graft-degen-oneclass"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label", lit(1).cast("int"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    dst
+  }
+
+  test("evtMarkov: acyclic chain loses all mass -> NULL stationary_p, no NaN crash") {
+    val rows = AnalyticsQueries.evtMarkov(spark, acyclicDir).collect()
+    assert(rows.nonEmpty, "both observed types should still be listed")
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("signup", "view")))
+    assert(rows.forall(_.isNullAt(1)), "all stationary mass must be NULL when z = 0")
+  }
+
+  test("evtBootstrapCi: zero purchases -> one row, n=0, NULL interval (oracle-aligned)") {
+    val rows = AnalyticsQueries.evtBootstrapCi(spark, acyclicDir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 0L)
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3), "CI bounds must be NULL")
+  }
+
+  test("evtDid: no pre-period errors -> NULL median treated as control (ELSE 0), no crash") {
+    val rows = AnalyticsQueries.evtDid(spark, noErrorDir).collect()
+    assert(rows.length == 1)
+    // everyone lands in control, so the treated cells — and the
+    // estimate — are NULL, but the query must not drop the row
+    assert(rows(0).isNullAt(0), "did must be NULL with no treated cells")
+  }
+
+  test("embLda: single class -> zero scatter -> NULL pc1 for every row") {
+    val n = spark.read.parquet(s"$oneClassDir/embeddings.parquet").count()
+    val rows = PipelineQueries.embLda(spark, oneClassDir).collect()
+    assert(rows.length == n.toInt)
+    assert(rows.forall(_.isNullAt(1)), "pc1 must be NULL when no discriminant exists")
+  }
+}
