@@ -1418,6 +1418,218 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** CUPED variance reduction for the A/B readout (Deng et al. 2013 —
+    * controlled-experiment sensitivity from pre-experiment data, the
+    * industry-standard companion to [[evtDid]]'s quasi-experimental
+    * estimate): users hash-split 50/50 into variants (the md5 device
+    * of [[evtBootstrapCi]]), metric Y = post-period purchase value,
+    * covariate X = PRE-period purchase value, adjusted metric
+    * Y − θ(X − E[X]) with pooled θ = cov(X,Y)/var(X). Every statistic
+    * flows through INTEGER-EXACT micro-unit sufficient sums
+    * (floor(value·1e6) — the robust-z quantization; Σx, Σy, Σxy, Σx²,
+    * Σy² in DECIMAL(38,0) vs the oracle's HUGEINT), so θ, the means,
+    * and the closed-form var(Y−θX) = var(Y) − 2θ·cov + θ²·var(X) are
+    * built from IDENTICAL integers on both engines — no parallel
+    * float-merge drift anywhere; the n·(n−1) and 1e12 scale factors
+    * cancel in the reduction ratio and are never materialized. One
+    * events scan → one user-keyed aggregate → a 2-row variant frame;
+    * the pooled row derives from that SAME 2-row frame. Degenerate
+    * guards shared with the oracle: var(X) = 0 → θ NULL → adjusted
+    * columns NULL; var(Y) = 0 → reduction NULL.
+    */
+  def evtCuped(s: SparkSession, dir: String): DataFrame = {
+    val base = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value")))
+    val mid = base.agg(((min(unix_date(col("d"))) + max(unix_date(col("d"))))
+      / lit(2)).cast("long").as("mid"))
+    val micro = floor(col("value") * 1e6).cast("long")
+    val u = base.crossJoin(broadcast(mid))
+      .withColumn("post", (unix_date(col("d")).cast("long") > col("mid")).cast("int"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("post") === 0, micro)
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("post") === 1, micro)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(2L)))
+    val dx = col("x").cast("decimal(38,0)")
+    val dy = col("y").cast("decimal(38,0)")
+    val sv = Funnel.stage(u.groupBy("variant").agg(
+      count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
+      sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"), sum(dy * dy).as("syy")))
+    val pooled = sv.agg(sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
+        sum("sxy").as("psxy"), sum("sxx").as("psxx"))
+      .select(
+        (col("psx").cast("double") / col("pn")).as("mx"),
+        when(col("pn") * col("psxx") - col("psx") * col("psx") > 0,
+          (col("pn") * col("psxy") - col("psx") * col("psy")).cast("double")
+            / (col("pn") * col("psxx") - col("psx") * col("psx")).cast("double"))
+          .as("theta"))
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val cxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    sv.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n").as("n_users"),
+        round(col("sy").cast("double") / col("n") / 1e6, 6).as("mean_y"),
+        round((col("sy").cast("double") / col("n")
+          - col("theta") * (col("sx").cast("double") / col("n") - col("mx"))) / 1e6, 6)
+          .as("mean_y_adj"),
+        when(col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((vy - lit(2d) * col("theta") * cxy
+            + col("theta") * col("theta") * vx) / vy, 6)).as("var_reduction"))
+      .orderBy("variant")
+  }
+
+  val evtCupedSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT user_id, ts::DATE AS d, event_type, value FROM ev),
+        |mid AS (SELECT (min(epoch(d::TIMESTAMP))//86400
+        |                + max(epoch(d::TIMESTAMP))//86400) // 2 AS mid FROM b),
+        |u AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' AND epoch(d::TIMESTAMP)//86400 <= mid
+        |                 THEN floor(value * 1000000)::BIGINT ELSE 0 END) AS x,
+        |        sum(CASE WHEN event_type = 'purchase' AND epoch(d::TIMESTAMP)//86400 > mid
+        |                 THEN floor(value * 1000000)::BIGINT ELSE 0 END) AS y
+        |      FROM b, mid GROUP BY user_id),
+        |uv AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS variant,
+        |         x, y FROM u),
+        |sv AS (SELECT variant, count(*)::BIGINT AS n,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |         sum(y::HUGEINT * y) AS syy
+        |       FROM uv GROUP BY 1),
+        |pl AS (SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+        |         sum(sxy) AS psxy, sum(sxx) AS psxx FROM sv),
+        |th AS (SELECT psx::DOUBLE / pn AS mx,
+        |         CASE WHEN pn * psxx - psx * psx > 0
+        |              THEN (pn * psxy - psx * psy)::DOUBLE
+        |                   / (pn * psxx - psx * psx)::DOUBLE END AS theta
+        |       FROM pl)
+        |SELECT variant, n AS n_users,
+        |  round(sy::DOUBLE / n / 1000000.0, 6) AS mean_y,
+        |  round((sy::DOUBLE / n - theta * (sx::DOUBLE / n - mx)) / 1000000.0, 6)
+        |    AS mean_y_adj,
+        |  CASE WHEN n * syy - sy * sy > 0
+        |       THEN round(((n * syy - sy * sy)::DOUBLE
+        |                   - 2.0 * theta * (n * sxy - sx * sy)::DOUBLE
+        |                   + theta * theta * (n * sxx - sx * sx)::DOUBLE)
+        |                  / (n * syy - sy * sy)::DOUBLE, 6) END AS var_reduction
+        |FROM sv, th ORDER BY variant""".stripMargin
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * cooperative-game credit Zhao–Harinen 2018 popularized for
+    * marketing journeys — the axiomatic member of the attribution
+    * family, next to [[evtAttribution]]'s last-touch,
+    * [[evtAttributionMulti]]'s positional rules, and
+    * [[evtMarkovAttribution]]'s removal effect): journeys are events
+    * up to the first purchase (the shared convention); the coalition
+    * value v(S) counts users who CONVERTED having touched only
+    * channels in S (touched-set ⊆ S, the subset test written as
+    * `umask | m = m` on both engines); each channel's credit is its
+    * exact Shapley value — the factorial-weighted sum of marginal
+    * contributions over all coalitions not containing it. Everything
+    * past ONE user-keyed journey aggregate is bounded: users collapse
+    * to ≤ 2^k (mask, conversions) rows, coalitions enumerate to 2^k,
+    * and the marginal sum is a crossJoin of bounded frames (k ≤ 12
+    * guarded; k = 4 here) — no driver iteration. Weights stay INTEGER
+    * (s!·(k−1−s)! per coalition via `factorial`, the k! normalization
+    * applied once at the end), so both engines sum identical integers
+    * and divide identically. Users converting with an EMPTY touched
+    * set raise every v(S) equally, so they contribute no margin:
+    * credits sum to v(full) − v(∅) — efficiency over ATTRIBUTABLE
+    * conversions — and `share` normalizes by v(full), NULL when no
+    * one converts (CASE-guarded identically in the oracle).
+    */
+  def evtShapley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pre = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prior",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior") === 0)
+    // one journey aggregate; referenced twice (channel census + masks)
+    // behind a stage boundary — collect_list skips the purchase nulls
+    val journeys = Funnel.stage(pre.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+        array_sort(array_distinct(collect_list(
+          when(col("event_type") =!= "purchase", col("event_type"))))).as("touched")))
+    val channels = journeys.select(explode(col("touched")).as("ch")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val k = channels.length
+    require(k <= 12, s"exact Shapley enumerates 2^k coalitions; got k = $k channels")
+    if (k == 0)
+      return Seq.empty[(String, Double, Double)].toDF("channel", "credit", "share")
+    val chDf = broadcast(channels.zipWithIndex.toDF("channel", "c"))
+    val ua = journeys.select(col("user_id"), col("conv"),
+        explode_outer(col("touched")).as("channel"))
+      .join(chDf, Seq("channel"), "left")
+      .groupBy("user_id")
+      .agg(first("conv").as("conv"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), c)")), lit(0L)).as("umask"))
+      .groupBy("umask").agg(sum("conv").as("nc")) // ≤ 2^k rows
+    val masks = s.range(0, 1L << k).toDF("m")
+    val v = masks.join(broadcast(ua), col("umask").bitwiseOR(col("m")) === col("m"), "left")
+      .groupBy("m").agg(coalesce(sum("nc"), lit(0L)).as("v"))
+    val vfull = v.filter(col("m") === (1L << k) - 1).select(col("v").as("vfull"))
+    val kfact = (1 to k).map(_.toLong).product
+    val sh = chDf.crossJoin(v.as("a")).crossJoin(v.as("b"))
+      .filter(expr("((a.m >> c) & 1) = 0 AND b.m = a.m + shiftleft(CAST(1 AS BIGINT), c)"))
+      .groupBy("channel")
+      .agg(sum(factorial(bit_count(col("a.m"))) *
+        factorial(lit(k - 1) - bit_count(col("a.m"))) * (col("b.v") - col("a.v"))).as("cs"))
+    sh.crossJoin(broadcast(vfull))
+      .select(col("channel"),
+        round(col("cs").cast("double") / lit(kfact.toDouble), 6).as("credit"),
+        when(col("vfull") > 0,
+          round(col("cs").cast("double") / lit(kfact.toDouble) / col("vfull"), 6)).as("share"))
+      .orderBy("channel")
+  }
+
+  val evtShapleySql: String =
+    Tables.eventsCte +
+      """
+        |, pre AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |    FROM ev) WHERE prior = 0),
+        |cv AS (SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+        |       FROM pre GROUP BY 1),
+        |tch AS (SELECT DISTINCT user_id, event_type AS ch FROM pre
+        |        WHERE event_type <> 'purchase'),
+        |chs AS (SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS c
+        |        FROM (SELECT DISTINCT ch FROM tch)),
+        |kk AS (SELECT count(*)::INTEGER AS k FROM chs),
+        |um AS (SELECT t.user_id, sum(1::BIGINT << chs.c)::BIGINT AS umask
+        |       FROM tch t JOIN chs USING (ch) GROUP BY 1),
+        |ua AS (SELECT umask, sum(conv)::BIGINT AS nc FROM (
+        |         SELECT coalesce(um.umask, 0) AS umask, cv.conv
+        |         FROM cv LEFT JOIN um USING (user_id)) GROUP BY 1),
+        |m AS (SELECT unnest(range(0, (SELECT 1::BIGINT << k FROM kk))) AS m),
+        |v AS (SELECT m.m, coalesce(sum(ua.nc), 0)::BIGINT AS v
+        |      FROM m LEFT JOIN ua ON (ua.umask | m.m) = m.m GROUP BY m.m),
+        |vf AS (SELECT v.v AS vfull FROM v, kk WHERE v.m = (1::BIGINT << k) - 1),
+        |sh AS (SELECT chs.ch AS channel,
+        |         sum(factorial(bit_count(a.m)) * factorial(kk.k - 1 - bit_count(a.m))
+        |             * (b.v - a.v)) AS cs
+        |       FROM chs, kk, v a, v b
+        |       WHERE ((a.m >> chs.c) & 1) = 0
+        |         AND b.m = a.m + (1::BIGINT << chs.c)
+        |       GROUP BY 1)
+        |SELECT channel, round(cs::DOUBLE / factorial(k), 6) AS credit,
+        |  CASE WHEN vfull > 0
+        |       THEN round(cs::DOUBLE / factorial(k) / vfull, 6) END AS share
+        |FROM sh, kk, vf ORDER BY channel""".stripMargin
+
   /** Robust trend battery per event type — Theil–Sen slope (median of
     * the pairwise slopes; Sen 1968) + the Mann–Kendall S test with tie
     * correction and continuity-corrected z (Kendall 1975): the
@@ -2316,6 +2528,8 @@ object AnalyticsQueries {
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
     Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),
     Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
+    Q("q_evt_shapley", evtShapley, Some(evtShapleySql)),
+    Q("q_evt_cuped", evtCuped, Some(evtCupedSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_did", evtDid, Some(evtDidSql)),

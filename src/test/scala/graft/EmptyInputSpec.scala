@@ -125,7 +125,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_markov_attribution", // empty chain -> empty-result early return
     "q_doc_textrank", // damped rank loop over an empty word graph
     "q_evt_bootstrap_ci", // percentiles over zero replicates, null bounds
-    "q_evt_did" // 2x2 cells all empty, null estimate, no crash
+    "q_evt_did", // 2x2 cells all empty, null estimate, no crash
+    "q_evt_shapley", // zero channels -> k=0 empty-result early return
+    "q_evt_cuped", // null midpoint, zero-user moment sums, null theta
+    "q_mm_scenes" // multi-frame container walk over zero rows
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
