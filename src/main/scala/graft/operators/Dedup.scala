@@ -461,12 +461,31 @@ object Dedup {
       textCol: String = "text",
       seed: Long = 42L
   ): DataFrame = {
+    val cand = minHashCandidates(docs, bands, rows, leftFilter, idCol, textCol, seed)
+    verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
+  }
+
+  /** RAW LSH band candidates — [[minHashPairsPortable]] WITHOUT the
+    * exact-Jaccard verify: the pre-verification pair stream whose
+    * measured recall (vs brute-force truth) and candidate efficiency
+    * (what fraction survives verify) are the two numbers that justify
+    * an LSH parameterization; `q_doc_minhash_recall` reports both.
+    * Same probe-restriction contract as the verified form.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      leftFilter: Column = lit(true),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
     val banded = portableBandKeys(docs, bands, rows, idCol, textCol, seed)
-    val cand = banded.filter(leftFilter).as("x").join(banded.as("y"), "key")
+    banded.filter(leftFilter).as("x").join(banded.as("y"), "key")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct()
-    verifyJaccard(cand, docs, verifyThreshold, idCol, textCol, broadcastVerify = true)
   }
 
   /** Portable per-doc MinHash signature as one array<long> column —

@@ -1437,21 +1437,34 @@ object AnalyticsQueries {
     * guards shared with the oracle: var(X) = 0 → θ NULL → adjusted
     * columns NULL; var(Y) = 0 → reduction NULL.
     */
-  def evtCuped(s: SparkSession, dir: String): DataFrame = {
-    val base = Funnel.stage(Tables.events(s, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"),
-        col("event_type"), col("value")))
-    val mid = base.agg(((min(unix_date(col("d"))) + max(unix_date(col("d"))))
-      / lit(2)).cast("long").as("mid"))
-    val micro = floor(col("value") * 1e6).cast("long")
-    val u = base.crossJoin(broadcast(mid))
-      .withColumn("post", (unix_date(col("d")).cast("long") > col("mid")).cast("int"))
+  def evtCuped(s: SparkSession, dir: String): DataFrame =
+    cupedSolve(cupedDaily(Tables.events(s, dir)))
+
+  /** The PURELY ADDITIVE state under [[evtCuped]]: per-(user, day)
+    * purchase micro-sums, with a zero row for every (user, day) an
+    * event of ANY type touched — the zero rows carry the user census
+    * and the corpus date range, so [[cupedSolve]] needs nothing else.
+    * Additivity across event subsets (sums of sums; zeros merge as
+    * zeros) is what the streaming maintainer's merge relies on.
+    */
+  private[queries] def cupedDaily(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), unix_date(to_date(col("ts"))).cast("long").as("de"),
+        col("event_type"), col("value"))
+      .groupBy("user_id", "de")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1e6).cast("long")).otherwise(0L)).as("pmicro"))
+
+  /** Driver-free CUPED tail over the bounded daily state — shared by
+    * the batch query and the streaming maintainer's final solve.
+    */
+  private[queries] def cupedSolve(daily: DataFrame): DataFrame = {
+    val st = Funnel.stage(daily)
+    val mid = st.agg(((min("de") + max("de")) / lit(2)).cast("long").as("mid"))
+    val u = st.crossJoin(broadcast(mid))
       .groupBy("user_id")
       .agg(
-        sum(when(col("event_type") === "purchase" && col("post") === 0, micro)
-          .otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "purchase" && col("post") === 1, micro)
-          .otherwise(0L)).as("y"))
+        sum(when(col("de") <= col("mid"), col("pmicro")).otherwise(0L)).as("x"),
+        sum(when(col("de") > col("mid"), col("pmicro")).otherwise(0L)).as("y"))
       .withColumn("variant", pmod(
         conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
         lit(2L)))
@@ -1519,6 +1532,46 @@ object AnalyticsQueries {
         |                   + theta * theta * (n * sxx - sx * sx)::DOUBLE)
         |                  / (n * syy - sy * sy)::DOUBLE, 6) END AS var_reduction
         |FROM sv, th ORDER BY variant""".stripMargin
+
+  /** Sample-ratio-mismatch check for the [[evtCuped]] experiment
+    * (Fabijan et al. 2019 — the first diagnostic any experimentation
+    * platform runs; a skewed split invalidates every downstream
+    * readout before it is computed): the same md5 hash assignment
+    * over the distinct-user census, the 1-df chi-square
+    * (n₀−n₁)²/n against the designed 50/50, flagged at the 95 %
+    * critical value 3.841. One distinct-user aggregate → a 1-row
+    * integer-exact statistic; guards: n = 0 → NULL chi2, NULL flag.
+    */
+  def evtSrm(s: SparkSession, dir: String): DataFrame = {
+    val variant = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(variant.as("variant"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0"), col("n1"),
+        when(col("n0") + col("n1") > 0,
+          round(((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+            / (col("n0") + col("n1")), 6)).as("chi2"),
+        when(col("n0") + col("n1") > 0,
+          ((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+            / (col("n0") + col("n1")) > 3.841).as("srm"))
+  }
+
+  val evtSrmSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT DISTINCT user_id FROM ev),
+        |a AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS variant
+        |      FROM u),
+        |c AS (SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n1 FROM a)
+        |SELECT n0, n1,
+        |  CASE WHEN n0 + n1 > 0
+        |       THEN round(((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1), 6) END AS chi2,
+        |  CASE WHEN n0 + n1 > 0
+        |       THEN ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1) > 3.841 END AS srm
+        |FROM c""".stripMargin
 
   /** Exact Shapley-value channel attribution (Shapley 1953; the
     * cooperative-game credit Zhao–Harinen 2018 popularized for
@@ -2530,6 +2583,7 @@ object AnalyticsQueries {
     Q("q_evt_markov_attribution", evtMarkovAttribution, Some(evtMarkovAttributionSql)),
     Q("q_evt_shapley", evtShapley, Some(evtShapleySql)),
     Q("q_evt_cuped", evtCuped, Some(evtCupedSql)),
+    Q("q_evt_srm", evtSrm, Some(evtSrmSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_did", evtDid, Some(evtDidSql)),

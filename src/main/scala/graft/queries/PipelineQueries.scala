@@ -1058,7 +1058,14 @@ object PipelineQueries {
         leftFilter = col("id") < 100)
       .orderBy("da", "db")
 
-  val docMinHashPortableSql: String = {
+  /** Shared oracle CTE body for the portable-LSH family: token sets,
+    * md5 token hashes, 64 permutation minima, 16 banded keys, the
+    * probe-restricted candidate join, and the word/size frames the
+    * exact-Jaccard verify reads. [[docMinHashPortableSql]] appends the
+    * verify tail; [[docMinhashRecallSql]] appends the truth/recall
+    * accounting.
+    */
+  private val portableLshCte: String = {
     val perms = Dedup.portablePerms(64)
     val p = Dedup.PortableP
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -1082,15 +1089,98 @@ object PipelineQueries {
        |         FROM banded a JOIN banded b USING (key)
        |         WHERE a.doc_id < b.doc_id AND a.doc_id < 100),
        |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
-       |sz AS (SELECT doc_id, len(ts) AS sz FROM t),
-       |inter AS (SELECT c.da, c.db, count(*) AS i
-       |          FROM cand c JOIN w wa ON wa.doc_id = c.da
-       |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
-       |          GROUP BY 1, 2)
-       |SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
-       |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
-       |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
+       |sz AS (SELECT doc_id, len(ts) AS sz FROM t)""".stripMargin
   }
+
+  val docMinHashPortableSql: String =
+    portableLshCte +
+      """
+        |, inter AS (SELECT c.da, c.db, count(*) AS i
+        |          FROM cand c JOIN w wa ON wa.doc_id = c.da
+        |          JOIN w wb ON wb.doc_id = c.db AND wb.word = wa.word
+        |          GROUP BY 1, 2)
+        |SELECT da, db, i / (ca.sz + cb.sz - i) AS jacc
+        |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+        |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
+
+  /** Measured LSH recall + candidate efficiency — the two numbers that
+    * justify a banding parameterization (the S-curve 1−(1−J^r)^b is
+    * the THEORY; this query reports the corpus FACT): truth = the
+    * brute-force inverted-index Jaccard ≥ 0.9 pairs (`q_doc_jaccard`'s
+    * machinery, no df-cap), candidates = the raw 16×4 band join before
+    * verify ([[graft.operators.Dedup.minHashCandidates]]), both
+    * probe-restricted identically. recall = caught truth / truth
+    * (expected 1 − (1−0.9⁴)¹⁶ ≈ 1 − 4e-8 at the threshold);
+    * cand_precision = caught truth / candidates — the verify-work
+    * yield the bands buy. Both legs stage once; the final frame is a
+    * crossJoin of three 1-row aggregates (whitelisted scalar BNL).
+    */
+  def docMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = Funnel.stage(Dedup.minHashCandidates(docs, leftFilter = col("id") < 100))
+    val truth = Funnel.stage(Dedup.jaccardPairs(docs, threshold = 0.9,
+      leftFilter = col("id") < 100).select("da", "db"))
+    val hit = truth.join(cand, Seq("da", "db"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6)).as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6)).as("cand_precision"))
+  }
+
+  val docMinhashRecallSql: String =
+    portableLshCte +
+      """
+        |, tri AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |          WHERE a.doc_id < 100 GROUP BY 1, 2),
+        |tr AS (SELECT da, db FROM tri
+        |       JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
+        |       WHERE i / (ca.sz + cb.sz - i) >= 0.9),
+        |hit AS (SELECT tr.da FROM tr JOIN cand USING (da, db)),
+        |ct AS (SELECT (SELECT count(*) FROM tr)::BIGINT AS n_true,
+        |              (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+        |              (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+        |SELECT n_true, n_cand, n_hit,
+        |  CASE WHEN n_true > 0 THEN round(n_hit::DOUBLE / n_true, 6) END AS recall,
+        |  CASE WHEN n_cand > 0 THEN round(n_hit::DOUBLE / n_cand, 6) END AS cand_precision
+        |FROM ct""".stripMargin
+
+  /** One-pass distributed weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006's A-ES exponential-keys method — the
+    * weighted sibling of the hash-ranked `q_doc_sample_size`): each
+    * document draws the deterministic uniform u = (md5-word + 0.5)/2³²
+    * (the bootstrap's hash device; the +0.5 keeps u strictly inside
+    * (0,1) so ln is finite) and ranks by key = ln(u)/w — the monotone
+    * log form of u^(1/w), one libm call instead of pow — with
+    * w = max(1, |text|), so selection probability tracks document
+    * length; the top-256 keys ARE a weighted sample without
+    * replacement (the E-S theorem). One scan → TakeOrdered: no global
+    * sort, no reservoir state — ranking commutes with partitioning,
+    * which is exactly why A-ES is the weighted sampler that
+    * distributes.
+    */
+  def docSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|ws"))), 1, 8),
+      16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    val w = greatest(lit(1), length(col("text"))).cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.as("w"), (log(u) / w).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(256)
+      .select(col("doc_id"), col("w").cast("long").as("w"), round(col("key"), 6).as("key"))
+  }
+
+  val docSampleWeightedSql: String =
+    """WITH s AS (SELECT doc_id, greatest(1, length(text))::DOUBLE AS w,
+      |  ((('0x' || substr(md5(doc_id::VARCHAR || '|ws'), 1, 8))::BIGINT)::DOUBLE + 0.5)
+      |    / 4294967296.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, w::BIGINT AS w, round(ln(u) / w, 6) AS key
+      |FROM s ORDER BY ln(u) / w DESC, doc_id LIMIT 256""".stripMargin
 
   /** MinHash as a Jaccard ESTIMATOR — the identity the whole LSH family
     * rests on, demonstrated and oracled: for each candidate pair at
@@ -3062,6 +3152,57 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Flesch–Kincaid readability battery (Kincaid 1975; Flesch 1948)
+    * over the noised lined corpus — the third classic quality gate
+    * next to [[docC4]] and [[docGopher]], and the one real curation
+    * stacks bucket corpora by (e.g. filtering to a grade-level band):
+    * words = alphabetic runs, sentences = terminal-dot runs (the
+    * injected "." / "..." suffixes give the fixture real sentence
+    * structure; floor 1), syllables ≈ vowel groups — the standard
+    * dictionary-free estimator. One projection over the corpus, zero
+    * shuffle, all three counts from codegen'd regexp_extract_all; the
+    * grade/ease formulas are fixed-literal arithmetic over integer
+    * counts, so the oracle replays them exactly.
+    */
+  def docReadability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+    val nSent = greatest(lit(1), size(regexp_extract_all(col("text"), lit("""\.+"""), lit(0))))
+    val nSyl = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+    noisyLinedDocs(Tables.documents(s, dir))
+      .select(col("doc_id"), nWords.cast("long").as("n_words"),
+        nSent.cast("long").as("n_sentences"), nSyl.cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+            - lit(15.59), 6)).as("fk_grade"),
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+          .as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val docReadabilitySql: String =
+    noisyDocSql +
+      """
+        |, m AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '\.+')))::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM doc)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0
+        |       THEN round(0.39 * (n_words::DOUBLE / n_sentences)
+        |                  + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6)
+        |  END AS fk_grade,
+        |  CASE WHEN n_words > 0
+        |       THEN round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |                  - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+        |  END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin
+
   val docGopherSql: String =
     noisyDocSql +
       """
@@ -4061,6 +4202,7 @@ object PipelineQueries {
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
     Q("q_doc_c4", docC4, Some(docC4Sql)),
     Q("q_doc_gopher", docGopher, Some(docGopherSql)),
+    Q("q_doc_readability", docReadability, Some(docReadabilitySql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
@@ -4135,6 +4277,8 @@ object PipelineQueries {
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
     Q("q_doc_minhash_portable", docMinHashPortable, Some(docMinHashPortableSql)),
+    Q("q_doc_minhash_recall", docMinhashRecall, Some(docMinhashRecallSql)),
+    Q("q_doc_sample_weighted", docSampleWeighted, Some(docSampleWeightedSql)),
     Q("q_doc_minhash_est", docMinhashEst, Some(docMinhashEstSql)),
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
     Q("q_doc_simhash", docSimHash, None),

@@ -2331,6 +2331,39 @@ object StreamingQueries {
     * SQL verbatim). The sufficient-statistics model family's whole
     * point at scale: training state that merges like a counter.
     */
+  /** CUPED maintained on a stream ([[AnalyticsQueries.evtCuped]]'s
+    * experiment readout as a live monitor): state = the PURELY
+    * ADDITIVE per-(user, day) purchase micro-sum table (`cupedDaily`;
+    * its zero rows carry the user census and the corpus date range),
+    * merged by key-summing each batch's daily increment into the
+    * versioned store; the end-of-stream solve runs the shared
+    * closed-form tail over the final state. State is |user × day|
+    * rows — dimension-bounded, independent of event VOLUME; equality
+    * with the batch oracle is by construction (sums of sums), and the
+    * event_id%3 split makes users and days straddle batches.
+    */
+  def streamCuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "scuped",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "scuped_store"))
+    store.init(AQ.cupedDaily(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.cupedDaily(batch))
+            .groupBy("user_id", "de").agg(sum("pmicro").as("pmicro")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.cupedSolve(store.version(lastBatchId(srcDir)))
+  }
+
   def streamOls(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.{AnalyticsQueries => AQ}
     val ev = Tables.events(s, dir)
@@ -3922,6 +3955,7 @@ object StreamingQueries {
     Q("q_stream_expect", streamExpect, Some(streamExpectSql)),
     Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
+    Q("q_stream_cuped", streamCuped, Some(AnalyticsQueries.evtCupedSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),

@@ -128,7 +128,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_did", // 2x2 cells all empty, null estimate, no crash
     "q_evt_shapley", // zero channels -> k=0 empty-result early return
     "q_evt_cuped", // null midpoint, zero-user moment sums, null theta
-    "q_mm_scenes" // multi-frame container walk over zero rows
+    "q_mm_scenes", // multi-frame container walk over zero rows
+    "q_doc_minhash_recall", // 0/0 recall guards over empty truth + candidates
+    "q_doc_sample_weighted", // TakeOrdered over zero weighted keys
+    "q_evt_srm", // null count sums -> null chi2/flag, no crash
+    "q_doc_readability" // regex count battery over zero docs
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
