@@ -1533,6 +1533,102 @@ object AnalyticsQueries {
         |                  / (n * syy - sy * sy)::DOUBLE, 6) END AS var_reduction
         |FROM sv, th ORDER BY variant""".stripMargin
 
+  /** k-anonymity audit over the released behavioral profile (Sweeney
+    * 2002 — the privacy gate a pipeline runs BEFORE handing user-level
+    * aggregates downstream): each user's quasi-identifier triple is
+    * (activity decile-bucket, active-day bucket, favorite event type —
+    * mode with count-desc/type-asc tie-break), and every equivalence
+    * class smaller than k = 5 is flagged for suppression, since its
+    * members are re-identifiable by QI intersection. Shapes: one
+    * user-keyed aggregate + one per-(user, type) aggregate with a
+    * user-keyed row_number — two exchanges — then the class rollup is
+    * a bounded-domain aggregate (the QI grid). Output: one row per
+    * observed class, its size, and the suppression flag.
+    */
+  def evtKanon(s: SparkSession, dir: String): DataFrame = {
+    val base = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
+    val prof = base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("d")).as("n_days"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    val fav = base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("fav"))
+    prof.join(fav, "user_id")
+      .select(least(floor(col("n_events") / 10), lit(9L)).as("activity_bucket"),
+        floor(col("n_days") / 5).as("days_bucket"), col("fav"))
+      .groupBy("activity_bucket", "days_bucket", "fav")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("suppress", col("class_size") < 5)
+      .orderBy("activity_bucket", "days_bucket", "fav")
+  }
+
+  val evtKanonSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT user_id, ts::DATE AS d, event_type FROM ev),
+        |prof AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |           count(DISTINCT d)::BIGINT AS n_days FROM b GROUP BY 1),
+        |fc AS (SELECT user_id, event_type, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |fav AS (SELECT user_id, event_type AS fav FROM (
+        |          SELECT user_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY cnt DESC, event_type ASC) AS rn
+        |          FROM fc) WHERE rn = 1),
+        |qi AS (SELECT least(n_events // 10, 9)::BIGINT AS activity_bucket,
+        |         (n_days // 5)::BIGINT AS days_bucket, fav
+        |       FROM prof JOIN fav USING (user_id))
+        |SELECT activity_bucket, days_bucket, fav, count(*)::BIGINT AS class_size,
+        |  count(*) < 5 AS suppress
+        |FROM qi GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Differentially-private count release over the (event_type, day)
+    * grid (Dwork 2006 — the Laplace mechanism at sensitivity 1,
+    * ε = 1): each released cell adds Laplace noise drawn by the
+    * inverse CDF −sign(u−½)·ln(1−2|u−½|) from the cell-keyed md5
+    * uniform (u = (hash+0.5)/2³², strictly inside (0,1), so the log
+    * argument is strictly positive) — the hash seeding makes the
+    * release REPRODUCIBLE, which is exactly what lets the oracle
+    * replay it and is how a pipeline re-issues a stable release
+    * across reruns. One aggregate, noise per released cell, nothing
+    * user-level leaves the cluster. `n` is kept beside `noisy_n` to
+    * exhibit calibration — a production release drops it.
+    */
+  def evtDpRelease(s: SparkSession, dir: String): DataFrame =
+    dpNoisyRelease(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Laplace release tail over a (event_type, d, n) cell grid —
+    * shared by the batch query and the streaming maintainer's
+    * end-of-stream release (noise attaches at RELEASE time; adding it
+    * per batch would compound ε).
+    */
+  private[queries] def dpNoisyRelease(cells: DataFrame): DataFrame = {
+    val u = (conv(substring(md5(concat(col("event_type"), lit("|"),
+      col("d").cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    cells.withColumn("u", u)
+      .select(col("event_type"), col("d"), col("n"),
+        round(col("n") + lit(-1d) * signum(col("u") - 0.5)
+          * log(lit(1d) - lit(2d) * abs(col("u") - 0.5)), 6).as("noisy_n"))
+      .orderBy("event_type", "d")
+  }
+
+  val evtDpReleaseSql: String =
+    Tables.eventsCte +
+      """
+        |, c AS (SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+        |        FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, n,
+        |        ((('0x' || substr(md5(event_type || '|' || d::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+        |         + 0.5) / 4294967296.0 AS u
+        |      FROM c)
+        |SELECT event_type, d, n,
+        |  round(n + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+        |FROM r ORDER BY event_type, d""".stripMargin
+
   /** Sample-ratio-mismatch check for the [[evtCuped]] experiment
     * (Fabijan et al. 2019 — the first diagnostic any experimentation
     * platform runs; a skewed split invalidates every downstream
@@ -2584,6 +2680,8 @@ object AnalyticsQueries {
     Q("q_evt_shapley", evtShapley, Some(evtShapleySql)),
     Q("q_evt_cuped", evtCuped, Some(evtCupedSql)),
     Q("q_evt_srm", evtSrm, Some(evtSrmSql)),
+    Q("q_evt_kanon", evtKanon, Some(evtKanonSql)),
+    Q("q_evt_dp_release", evtDpRelease, Some(evtDpReleaseSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_did", evtDid, Some(evtDidSql)),

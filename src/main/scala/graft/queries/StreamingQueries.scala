@@ -2331,6 +2331,39 @@ object StreamingQueries {
     * SQL verbatim). The sufficient-statistics model family's whole
     * point at scale: training state that merges like a counter.
     */
+  /** DP count release maintained on a stream
+    * ([[AnalyticsQueries.evtDpRelease]] as a live publisher): state =
+    * the additive (event_type, day) count grid, key-sum merged per
+    * batch; the end-of-stream release applies the cell-keyed Laplace
+    * noise to the FINAL counts — noise attaches at release time, not
+    * at merge time, so the privacy calibration is per release (adding
+    * noise per batch would compound ε). State is the released grid
+    * itself — dimension-bounded; oracled by the batch SQL verbatim.
+    */
+  def streamDpRelease(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sdpr",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def cells(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sdpr_store"))
+    store.init(cells(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(cells(batch))
+            .groupBy("event_type", "d").agg(sum("n").as("n")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AnalyticsQueries.dpNoisyRelease(store.version(lastBatchId(srcDir)))
+  }
+
   /** CUPED maintained on a stream ([[AnalyticsQueries.evtCuped]]'s
     * experiment readout as a live monitor): state = the PURELY
     * ADDITIVE per-(user, day) purchase micro-sum table (`cupedDaily`;
@@ -3956,6 +3989,7 @@ object StreamingQueries {
     Q("q_stream_summarize", streamSummarize, Some(ApiQueries.apiSummarizeSql)),
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
     Q("q_stream_cuped", streamCuped, Some(AnalyticsQueries.evtCupedSql)),
+    Q("q_stream_dp_release", streamDpRelease, Some(AnalyticsQueries.evtDpReleaseSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),

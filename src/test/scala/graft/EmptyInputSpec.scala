@@ -132,7 +132,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_minhash_recall", // 0/0 recall guards over empty truth + candidates
     "q_doc_sample_weighted", // TakeOrdered over zero weighted keys
     "q_evt_srm", // null count sums -> null chi2/flag, no crash
-    "q_doc_readability" // regex count battery over zero docs
+    "q_doc_readability", // regex count battery over zero docs
+    "q_evt_kanon", // QI classes over zero users
+    "q_evt_dp_release" // Laplace release over an empty cell grid
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
