@@ -2073,6 +2073,54 @@ object PipelineQueries {
        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
        |ORDER BY tier, qid""".stripMargin
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022 MRL — modern
+    * embedding models train vector PREFIXES to remain usable; serving
+    * at half dimension halves index memory and scan bandwidth IF
+    * recall holds, and this query measures exactly that): recall@5 of
+    * brute-force cosine over the FIRST 32 of 64 dims against the
+    * full-dimension exact top-5, per probe — the same tier-report
+    * shape as [[embCompressionRecall]], so the three serving tiers
+    * (SQ8 / IVF-PQ / truncation) are audited identically. These
+    * synthetic embeddings are NOT MRL-trained, so the measured recall
+    * is the honest untrained baseline a real model must beat. Both
+    * legs are one broadcast-probe scan; the slice happens before the
+    * dot, so the half leg reads half the floats.
+    */
+  def embMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Funnel.stage(
+      Similarity.bruteForceTopK(queries, emb, k = 5).select("qid", "nid"))
+    val half = Similarity.bruteForceTopK(
+      queries.select(col("qid"), slice(col("qe"), 1, 32).as("qe")),
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+      k = 5)
+    queries.select("qid")
+      .join(half.select("qid", "nid").join(exact, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall"))
+      .orderBy("qid")
+  }
+
+  val embMatryoshkaSql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+      |bf AS (SELECT qid, nid FROM (
+      |  SELECT q.qid, m.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+      |    ORDER BY round(list_cosine_similarity(q.qe, m.e), 6) DESC, m.vec_id) AS rn
+      |  FROM emb m, q WHERE m.vec_id <> q.qid) WHERE rn <= 5),
+      |hf AS (SELECT qid, nid FROM (
+      |  SELECT q.qid, m.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+      |    ORDER BY round(list_cosine_similarity(q.qe[1:32], m.e[1:32]), 6) DESC,
+      |             m.vec_id) AS rn
+      |  FROM emb m, q WHERE m.vec_id <> q.qid) WHERE rn <= 5)
+      |SELECT q.qid, count(h.nid)::BIGINT AS hits,
+      |  round(count(h.nid) / 5.0, 2) AS recall
+      |FROM q LEFT JOIN (SELECT hf.* FROM hf JOIN bf USING (qid, nid)) h USING (qid)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
     * Fully oracled since r5 like [[embAnn]]: all 16 bands × 8 planes are
     * materialized as SQL literals and DuckDB replays candidate
@@ -4292,6 +4340,7 @@ object PipelineQueries {
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
     Q("q_emb_mmr", embMmr, Some(embMmrSql)),
     Q("q_emb_compression_recall", embCompressionRecall, Some(embCompressionRecallSql)),
+    Q("q_emb_matryoshka", embMatryoshka, Some(embMatryoshkaSql)),
     Q("q_emb_coreset", embCoreset, Some(embCoresetSql)),
     Q("q_doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
     Q("q_doc_neyman", docNeyman, Some(docNeymanSql)),

@@ -208,6 +208,43 @@ object RelationalQueries {
       |WHERE p_size BETWEEN s_nationkey AND s_nationkey + 10
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  /** Bucketed range join — the interval join that SCALES when neither
+    * side broadcasts (the standard fixed-width-bucket device; cf.
+    * Databricks' range-join bin optimization): [[joinTheta]] relies on
+    * a broadcast nested-loop, which dies the moment the dimension
+    * outgrows a broadcast, so here each supplier price band
+    * [s_suppkey·1000, +5000) EXPLODES into its covered width-1000
+    * buckets (≤ 6 rows per band — bounded by band/width, not data),
+    * probes bucket on floor(price/1000), and the pair EQUI-JOINS on
+    * the bucket key with the exact interval as a residual filter —
+    * one hash-partitioned shuffle both sides, no nested loop anywhere
+    * (the registry plan audit enforces it). The oracle is the NAIVE
+    * inequality join: equality proves the bucket decomposition is
+    * semantically invisible.
+    */
+  def joinRangeBucket(s: SparkSession, dir: String): DataFrame = {
+    val W = 1000L
+    val bands = Tables.supplier(s, dir).select(col("s_suppkey"),
+      (col("s_suppkey") * W).cast("double").as("lo"),
+      (col("s_suppkey") * W + 5000L).cast("double").as("hi"))
+    val buckets = bands.withColumn("b",
+      explode(sequence(floor(col("lo") / W).cast("long"),
+        floor((col("hi") - 1) / W).cast("long"))))
+    val probes = Tables.orders(s, dir).select(col("o_totalprice"))
+      .withColumn("b", floor(col("o_totalprice") / W).cast("long"))
+    probes.join(buckets, Seq("b"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("s_suppkey")
+  }
+
+  val joinRangeBucketSql: String =
+    """SELECT s_suppkey, count(*)::BIGINT AS cnt
+      |FROM supplier, orders
+      |WHERE o_totalprice >= s_suppkey * 1000
+      |  AND o_totalprice < s_suppkey * 1000 + 5000
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
   /** Distinct aggregates (ref: FlinkAggregateExpandDistinctAggregatesRule).
     */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
@@ -597,6 +634,7 @@ object RelationalQueries {
     Q("q_join_anti", joinAnti, Some(joinAntiSql)),
     Q("q_join_full", joinFull, Some(joinFullSql)),
     Q("q_join_theta", joinTheta, Some(joinThetaSql)),
+    Q("q_join_range_bucket", joinRangeBucket, Some(joinRangeBucketSql)),
     Q("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
     Q("q_agg_rollup", aggRollup, Some(aggRollupSql)),
     Q("q_agg_cube", aggCube, Some(aggCubeSql)),

@@ -134,7 +134,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_srm", // null count sums -> null chi2/flag, no crash
     "q_doc_readability", // regex count battery over zero docs
     "q_evt_kanon", // QI classes over zero users
-    "q_evt_dp_release" // Laplace release over an empty cell grid
+    "q_evt_dp_release", // Laplace release over an empty cell grid
+    "q_emb_matryoshka", // both recall legs over empty probe + corpus
+    "q_join_range_bucket" // bucket explode over zero bands, empty equi-join
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
