@@ -1533,6 +1533,71 @@ object AnalyticsQueries {
         |                  / (n * syy - sy * sy)::DOUBLE, 6) END AS var_reduction
         |FROM sv, th ORDER BY variant""".stripMargin
 
+  /** Next-event prediction backtest for the [[evtTransitions]] Markov
+    * model — the temporal-split evaluation a behavioral model owes its
+    * users before anyone trusts [[evtMarkov]]'s long-run story: train
+    * the first-order matrix on PRE-midpoint transitions (a pair
+    * belongs to its FROM event's day), predict argmax-next
+    * (count-desc, type-asc tie-break) on POST-midpoint transitions,
+    * and report top-1 accuracy per context plus the overall row via
+    * ROLLUP (`__all`). Contexts unseen in training predict nothing and
+    * score zero — the honest cold-start accounting, aligned across
+    * engines by the CASE/when null fall-through. Corpus work: one
+    * user-keyed lead window over the staged pair frame; the model and
+    * its argmax are |types|²-bounded.
+    */
+  def evtNextAcc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("de"))
+      .withColumn("t", lead("event_type", 1).over(w))
+      .filter(col("t").isNotNull)
+      .select(col("event_type").as("f"), col("t"), col("de")))
+    val mid = pairs.agg(((min("de") + max("de")) / lit(2)).cast("long").as("mid"))
+    val split = pairs.crossJoin(broadcast(mid))
+    val wPred = Window.partitionBy("f").orderBy(col("n").desc, col("t").asc)
+    val pred = split.filter(col("de") <= col("mid"))
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("f"), col("t").as("pred"))
+    split.filter(col("de") > col("mid"))
+      .join(broadcast(pred), Seq("f"), "left")
+      .rollup(col("f"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("t"), 1L).otherwise(0L)).as("n_correct"))
+      .select(coalesce(col("f"), lit("__all")).as("context"),
+        col("n_test"), col("n_correct"),
+        when(col("n_test") > 0,
+          round(col("n_correct").cast("double") / col("n_test"), 6)).as("acc"))
+      .orderBy("context")
+  }
+
+  val evtNextAccSql: String =
+    Tables.eventsCte +
+      """
+        |, pr AS (SELECT event_type AS f,
+        |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+        |           epoch(ts::DATE::TIMESTAMP) // 86400 AS de
+        |         FROM ev),
+        |pairs AS (SELECT f, t, de FROM pr WHERE t IS NOT NULL),
+        |mid AS (SELECT (min(de) + max(de)) // 2 AS mid FROM pairs),
+        |tr AS (SELECT f, t, count(*) AS n FROM pairs, mid WHERE de <= mid GROUP BY 1, 2),
+        |pd AS (SELECT f, t AS pred FROM (
+        |         SELECT f, t, row_number() OVER (PARTITION BY f
+        |                                         ORDER BY n DESC, t ASC) AS rn FROM tr)
+        |       WHERE rn = 1),
+        |te AS (SELECT p.f, p.t, pd.pred
+        |       FROM (SELECT pairs.* FROM pairs, mid WHERE pairs.de > mid.mid) p
+        |       LEFT JOIN pd ON pd.f = p.f)
+        |SELECT coalesce(f, '__all') AS context, count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN pred = t THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        |  CASE WHEN count(*) > 0
+        |       THEN round(sum(CASE WHEN pred = t THEN 1 ELSE 0 END)::DOUBLE
+        |                  / count(*), 6) END AS acc
+        |FROM te GROUP BY ROLLUP(f) ORDER BY context""".stripMargin
+
   /** k-anonymity audit over the released behavioral profile (Sweeney
     * 2002 — the privacy gate a pipeline runs BEFORE handing user-level
     * aggregates downstream): each user's quasi-identifier triple is
@@ -2681,6 +2746,7 @@ object AnalyticsQueries {
     Q("q_evt_cuped", evtCuped, Some(evtCupedSql)),
     Q("q_evt_srm", evtSrm, Some(evtSrmSql)),
     Q("q_evt_kanon", evtKanon, Some(evtKanonSql)),
+    Q("q_evt_next_acc", evtNextAcc, Some(evtNextAccSql)),
     Q("q_evt_dp_release", evtDpRelease, Some(evtDpReleaseSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),

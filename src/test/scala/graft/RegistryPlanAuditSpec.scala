@@ -84,7 +84,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_shapley", // 2^k-coalition × ≤2^k-mask bounded frames (subset-test join)
     "q_evt_cuped", // 1-row midpoint + 1-row pooled-theta scalars broadcast
     "q_doc_minhash_recall", // three 1-row count aggregates crossed
-    "q_emb_matryoshka" // 10-query probe side broadcast (both brute-force legs)
+    "q_emb_matryoshka", // 10-query probe side broadcast (both brute-force legs)
+    "q_evt_next_acc" // 1-row midpoint scalar crossed into the pair frame
   )
 
   test("no batch query plans a CartesianProduct, Python eval, or un-keyed nested-loop join") {
