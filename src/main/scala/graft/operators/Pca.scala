@@ -83,9 +83,13 @@ object Pca {
       })
     val nrm = math.sqrt(v.map(x => x * x).sum)
     // A zero scatter matrix (single-class corpus) zeroes the iterate;
-    // return the zero vector rather than 0/0 = NaN — callers treat an
-    // all-zero direction as "no discriminant exists" (NULL scores).
-    if (nrm == 0) return v
+    // return an EXPLICIT zero vector rather than 0/0 = NaN — callers
+    // treat an all-zero direction as "no discriminant exists" (NULL
+    // scores). Explicit, not `v`: a tiny nonzero iterate whose squares
+    // underflow (λ₁ ≲ 1e-150) also lands here, and returning it raw
+    // would slip an unnormalized direction past callers' all-zero
+    // check while the SQL oracle's z > 0 guard NULLs out.
+    if (nrm == 0) return Array.fill(d)(0.0)
     val sg = if (v.sum < 0) -1.0 else 1.0
     v.map(x => x / nrm * sg)
   }
