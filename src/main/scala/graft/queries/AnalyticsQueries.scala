@@ -1613,12 +1613,21 @@ object AnalyticsQueries {
   def evtKanon(s: SparkSession, dir: String): DataFrame = {
     val base = Funnel.stage(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
-    val prof = base.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), countDistinct(col("d")).as("n_days"))
+    kanonSolve(
+      base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
+      base.select("user_id", "d").distinct())
+  }
+
+  /** The QI/class tail over the two ADDITIVE k-anonymity state tables
+    * — (user, type, cnt) sums and (user, day) presence — shared by
+    * the batch query and the streaming maintainer's final audit.
+    */
+  private[queries] def kanonSolve(tc: DataFrame, days: DataFrame): DataFrame = {
+    val prof = tc.groupBy("user_id").agg(sum("cnt").as("n_events"))
+      .join(days.groupBy("user_id").agg(count(lit(1)).as("n_days")), "user_id")
     val w = Window.partitionBy("user_id")
       .orderBy(col("cnt").desc, col("event_type").asc)
-    val fav = base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
+    val fav = tc.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("fav"))
     prof.join(fav, "user_id")
@@ -1758,21 +1767,35 @@ object AnalyticsQueries {
     * conversions — and `share` normalizes by v(full), NULL when no
     * one converts (CASE-guarded identically in the oracle).
     */
-  def evtShapley(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def evtShapley(s: SparkSession, dir: String): DataFrame =
+    shapleySolve(s, shapleyJourneys(Tables.events(s, dir)))
+
+  /** The per-user journey table under [[evtShapley]] — (user_id, conv,
+    * touched channel set before the first purchase). The streaming
+    * maintainer folds this incrementally (time-ordered batches:
+    * array_union while unconverted, frozen after), and
+    * [[shapleySolve]] needs nothing else.
+    */
+  private[queries] def shapleyJourneys(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pre = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prior",
         coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("prior") === 0)
-    // one journey aggregate; referenced twice (channel census + masks)
-    // behind a stage boundary — collect_list skips the purchase nulls
-    val journeys = Funnel.stage(pre.groupBy("user_id")
+      .groupBy("user_id")
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
         array_sort(array_distinct(collect_list(
-          when(col("event_type") =!= "purchase", col("event_type"))))).as("touched")))
+          when(col("event_type") =!= "purchase", col("event_type"))))).as("touched"))
+  }
+
+  /** The bounded Shapley tail over the journey table — shared by the
+    * batch query and the streaming maintainer's end-of-stream solve.
+    */
+  private[queries] def shapleySolve(s: SparkSession, journeysRaw: DataFrame): DataFrame = {
+    import s.implicits._
+    // referenced twice (channel census + masks) behind a stage boundary
+    val journeys = Funnel.stage(journeysRaw)
     val channels = journeys.select(explode(col("touched")).as("ch")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val k = channels.length

@@ -2331,6 +2331,93 @@ object StreamingQueries {
     * SQL verbatim). The sufficient-statistics model family's whole
     * point at scale: training state that merges like a counter.
     */
+  /** Shapley attribution maintained on a stream
+    * ([[AnalyticsQueries.evtShapley]] as a live credit monitor): state
+    * = the per-user journey table (conv flag + touched channel set
+    * BEFORE the first purchase). Day-split batches arrive in time
+    * order, so the journey folds: an unconverted user's set
+    * array_unions the batch's pre-first-purchase touches and freezes
+    * the moment a purchase appears (within a batch, the first
+    * purchase's (ts, event_id) bounds which touches count); a
+    * converted user's row passes through untouched. The end-of-stream
+    * solve runs the shared bounded coalition algebra, so the batch
+    * oracle pins fold ≡ whole-corpus-window exactly. State is one row
+    * per user — the dimension table, not the event volume.
+    */
+  def streamShapley(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val srcDir = stageBatchFiles(dir, "sshap", daySplits(ev, col("ts"), 3))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sshap_store"))
+    store.init(AQ.shapleyJourneys(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = store.prior(batchId)
+        val inc = AQ.shapleyJourneys(batch)
+        store.write(batchId,
+          prior.select(col("user_id"), col("conv").as("pc"), col("touched").as("pt"))
+            .join(inc.select(col("user_id"), col("conv").as("ic"), col("touched").as("it")),
+              Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              greatest(coalesce(col("pc"), lit(0L)), coalesce(col("ic"), lit(0L))).as("conv"),
+              when(coalesce(col("pc"), lit(0L)) === 1L, col("pt"))
+                .otherwise(array_sort(array_union(
+                  coalesce(col("pt"), array().cast("array<string>")),
+                  coalesce(col("it"), array().cast("array<string>")))))
+                .as("touched")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.shapleySolve(s, store.version(lastBatchId(srcDir)))
+  }
+
+  /** k-anonymity audit maintained on a stream
+    * ([[AnalyticsQueries.evtKanon]] as a continuous privacy gate —
+    * the QI classes shift as profiles accrue, so the release gate
+    * must re-audit per increment): two ADDITIVE state tables — per
+    * (user, type) counts (key-sum merge) and per (user, day) presence
+    * (distinct-union merge) — and the end-of-stream audit runs the
+    * shared QI/class tail. Both stores are dimension-bounded
+    * (|users|·|types| and |users|·|days| rows); equality with the
+    * batch oracle is by construction.
+    */
+  def streamKanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "skanon",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def tcOf(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("event_type"))
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    def daysOf(df: DataFrame): DataFrame =
+      df.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val tcStore = graft.streaming.VersionedStore(s, freshDir(dir, "skanon_tc"))
+    val dayStore = graft.streaming.VersionedStore(s, freshDir(dir, "skanon_days"))
+    tcStore.init(tcOf(ev.limit(0)))
+    dayStore.init(daysOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tcStore.write(batchId,
+          tcStore.prior(batchId).unionByName(tcOf(batch))
+            .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt")))
+        dayStore.write(batchId,
+          dayStore.prior(batchId).unionByName(daysOf(batch)).distinct())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.kanonSolve(tcStore.version(lastBatchId(srcDir)),
+      dayStore.version(lastBatchId(srcDir)))
+  }
+
   /** DP count release maintained on a stream
     * ([[AnalyticsQueries.evtDpRelease]] as a live publisher): state =
     * the additive (event_type, day) count grid, key-sum merged per
@@ -3990,6 +4077,8 @@ object StreamingQueries {
     Q("q_stream_ols", streamOls, Some(AnalyticsQueries.evtOlsSql)),
     Q("q_stream_cuped", streamCuped, Some(AnalyticsQueries.evtCupedSql)),
     Q("q_stream_dp_release", streamDpRelease, Some(AnalyticsQueries.evtDpReleaseSql)),
+    Q("q_stream_shapley", streamShapley, Some(AnalyticsQueries.evtShapleySql)),
+    Q("q_stream_kanon", streamKanon, Some(AnalyticsQueries.evtKanonSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
