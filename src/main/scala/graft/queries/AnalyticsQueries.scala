@@ -1308,7 +1308,6 @@ object AnalyticsQueries {
     * credit on one engine only.
     */
   def evtMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pre = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -1325,8 +1324,19 @@ object AnalyticsQueries {
       .withColumn("nxt", lead("state", 1).over(w))
       .filter(col("nxt").isNull && col("state") =!= "CONV")
       .select(col("state").as("f"), lit("NULL").as("t"))
-    val counts = trans.unionByName(term)
-      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+    markovAttrSolve(s, trans.unionByName(term)
+      .groupBy("f", "t").agg(count(lit(1)).as("n")))
+  }
+
+  /** The bounded removal-effect algebra over the (f, t, n) transition
+    * count table — shared by the batch query and the streaming
+    * maintainer's end-of-stream solve (which rebuilds the same table
+    * from its additive transition store plus terminal edges derived
+    * from the per-user journey state).
+    */
+  private[queries] def markovAttrSolve(s: SparkSession, countsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val counts = countsDf
       .collect()
       .map(r => (r.getAs[String]("f"), r.getAs[String]("t"), r.getAs[Long]("n")))
       .sortBy(r => (r._1, r._2))

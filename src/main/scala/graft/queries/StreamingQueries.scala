@@ -2418,6 +2418,81 @@ object StreamingQueries {
       dayStore.version(lastBatchId(srcDir)))
   }
 
+  /** Markov-removal attribution maintained on a stream
+    * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
+    * credit monitor — completing the attribution quartet's streaming
+    * side: last-touch, positional, Shapley, and now Markov): two state
+    * tables — the ADDITIVE (f, t, n) non-terminal transition counts
+    * (START→ch, ch→ch, ch→CONV; sum-merge), and the per-user LAST
+    * JOURNEY EVENT (the [[streamTransitions]] continuity carry
+    * restricted to the pre-first-purchase journey: a carried purchase
+    * row freezes the journey, because every later row of that user
+    * computes prior ≥ 1 against it and drops out). Terminal →NULL
+    * edges are only knowable at solve time (any journey may still be
+    * extended), so they are DERIVED from the user state then — which
+    * is exactly why the reference's removal-effect model is a
+    * batch-refreshed table, here maintained incrementally instead.
+    * The end-of-stream solve runs the shared bounded algebra; the
+    * batch oracle pins fold ≡ whole-corpus equality exactly.
+    */
+  def streamMarkovAttr(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val srcDir = stageBatchFiles(dir, "smattr", daySplits(ev, col("ts"), 3))
+    val transStore = graft.streaming.VersionedStore(s, freshDir(dir, "smattr_trans"))
+    val lastStore = graft.streaming.VersionedStore(s, freshDir(dir, "smattr_last"))
+    transStore.init(s.range(0).select(col("id").cast("string").as("f"),
+      col("id").cast("string").as("t"), col("id").as("n")))
+    lastStore.init(ev.limit(0))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorL = lastStore.prior(batchId)
+        // carried last-journey rows rejoin the sequence as lag sources
+        // (and as the freeze signal when they are the first purchase);
+        // they are never re-counted as transition targets
+        val all = batch.withColumn("carried", lit(false))
+          .unionByName(priorL.withColumn("carried", lit(true)))
+          .localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val kept = all
+          .withColumn("state",
+            when(col("event_type") === "purchase", "CONV").otherwise(col("event_type")))
+          .withColumn("prior",
+            coalesce(sum(when(col("state") === "CONV", 1L).otherwise(0L))
+              .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                -1)), lit(0L)))
+          .filter(col("prior") === 0)
+        val trans = kept
+          .withColumn("f", coalesce(lag("state", 1).over(w), lit("START")))
+          .filter(!col("carried"))
+          .groupBy(col("f"), col("state").as("t")).agg(count(lit(1)).as("n"))
+        transStore.write(batchId, transStore.prior(batchId).unionByName(trans)
+          .groupBy("f", "t").agg(sum("n").as("n")))
+        lastStore.write(batchId, kept
+          .groupBy("user_id")
+          .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.event_type").as("event_type")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = lastBatchId(srcDir)
+    val term = lastStore.version(last)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("NULL").as("t"))
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+    AQ.markovAttrSolve(s, transStore.version(last)
+      .select(col("f"), col("t"), col("n").cast("long").as("n"))
+      .unionByName(term)
+      .groupBy("f", "t").agg(sum("n").as("n")))
+  }
+
   /** DP count release maintained on a stream
     * ([[AnalyticsQueries.evtDpRelease]] as a live publisher): state =
     * the additive (event_type, day) count grid, key-sum merged per
@@ -4079,6 +4154,7 @@ object StreamingQueries {
     Q("q_stream_dp_release", streamDpRelease, Some(AnalyticsQueries.evtDpReleaseSql)),
     Q("q_stream_shapley", streamShapley, Some(AnalyticsQueries.evtShapleySql)),
     Q("q_stream_kanon", streamKanon, Some(AnalyticsQueries.evtKanonSql)),
+    Q("q_stream_markov_attr", streamMarkovAttr, Some(AnalyticsQueries.evtMarkovAttributionSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
