@@ -1753,6 +1753,105 @@ object AnalyticsQueries {
         |       THEN ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1) > 3.841 END AS srm
         |FROM c""".stripMargin
 
+  /** Always-valid sequential test — the mixture SPRT (Johari, Pekelis &
+    * Walsh 2017; Robbins 1970's mixture-martingale ancestor) over the
+    * daily A/B conversion stream: the experiment readout you may peek
+    * at EVERY day without inflating the false-positive rate, where a
+    * fixed-horizon t-test (the [[evtCuped]]/[[evtSrm]] companions)
+    * requires a pre-committed n. Per cumulative day: pooled-variance
+    * normal approximation, mixture variance τ² = 1e-4, and the
+    * always-valid p is the running min of 1/Λ. Everything distributed
+    * is one daily aggregate of integer counts; the per-day statistic
+    * is a single IEEE chain over those integers (emitted as
+    * log Λ — the exp of a large Λ would overflow; p = exp(−max llr)
+    * never does), floor-quantized at 1e-6 exactly like the robust-z
+    * device so the reject boolean is engine-stable. The whole readout
+    * is a ≤31-row frame — the global ordered window is over the
+    * bounded daily aggregate (plan-audit whitelisted).
+    */
+  def evtMsprt(s: SparkSession, dir: String): DataFrame = {
+    val variant = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
+    val daily = Tables.events(s, dir)
+      .select(variant.as("v"), to_date(col("ts")).as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
+      .groupBy("d")
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("na_d"),
+        sum(when(col("v") === 0, col("c")).otherwise(0L)).as("ca_d"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("nb_d"),
+        sum(when(col("v") === 1, col("c")).otherwise(0L)).as("cb_d"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val t2 = lit(1e-4)
+    daily
+      .withColumn("na", sum("na_d").over(w))
+      .withColumn("ca", sum("ca_d").over(w))
+      .withColumn("nb", sum("nb_d").over(w))
+      .withColumn("cb", sum("cb_d").over(w))
+      .withColumn("pooled", (col("ca") + col("cb")).cast("double")
+        / (col("na") + col("nb")).cast("double"))
+      .withColumn("vn", when(col("na") > 0 && col("nb") > 0,
+        col("pooled") * (lit(1.0) - col("pooled"))
+          * (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double"))))
+      .withColumn("delta", col("ca").cast("double") / col("na").cast("double")
+        - col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("llr", when(col("vn") > 0,
+        lit(0.5) * log(col("vn") / (col("vn") + t2))
+          + col("delta") * col("delta") * t2
+            / (lit(2.0) * col("vn") * (col("vn") + t2))))
+      .withColumn("p_day", when(col("llr").isNotNull,
+        least(lit(1.0), exp(-col("llr")))))
+      .withColumn("p_min", min("p_day").over(w))
+      .select(col("d").cast("string").as("day"),
+        col("na").cast("long").as("na"), col("ca").cast("long").as("ca"),
+        col("nb").cast("long").as("nb"), col("cb").cast("long").as("cb"),
+        (floor(col("llr") * 1e6 + 0.5).cast("long") / 1e6).as("llr"),
+        (floor(col("p_min") * 1e6 + 0.5).cast("long") / 1e6).as("p_always"),
+        coalesce(floor(col("p_min") * 1e6 + 0.5).cast("long") < 50000L, lit(false))
+          .as("reject"))
+      .orderBy("day")
+  }
+
+  val evtMsprtSql: String =
+    Tables.eventsCte +
+      """
+        |, x AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v,
+        |          CAST(ts AS DATE) AS d,
+        |          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+        |        FROM ev),
+        |daily AS (SELECT d,
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS na_d,
+        |    sum(CASE WHEN v = 0 THEN c ELSE 0 END)::BIGINT AS ca_d,
+        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS nb_d,
+        |    sum(CASE WHEN v = 1 THEN c ELSE 0 END)::BIGINT AS cb_d
+        |  FROM x GROUP BY 1),
+        |cum AS (SELECT d,
+        |    sum(na_d) OVER w AS na, sum(ca_d) OVER w AS ca,
+        |    sum(nb_d) OVER w AS nb, sum(cb_d) OVER w AS cb
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT d, na, ca, nb, cb,
+        |    (ca + cb)::DOUBLE / (na + nb)::DOUBLE AS pooled,
+        |    CASE WHEN na > 0 AND nb > 0
+        |         THEN ((ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+        |              * (1.0 - (ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+        |              * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE) END AS vn,
+        |    ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE AS delta
+        |  FROM cum),
+        |lr AS (SELECT d, na, ca, nb, cb,
+        |    CASE WHEN vn > 0
+        |         THEN 0.5 * ln(vn / (vn + 1e-4))
+        |              + delta * delta * 1e-4 / (2.0 * vn * (vn + 1e-4)) END AS llr
+        |  FROM st),
+        |pm AS (SELECT d, na, ca, nb, cb, llr,
+        |    min(CASE WHEN llr IS NOT NULL THEN least(1.0, exp(-llr)) END)
+        |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_min
+        |  FROM lr)
+        |SELECT d::VARCHAR AS day, na, ca, nb, cb,
+        |  CAST(floor(llr * 1e6 + 0.5) AS BIGINT) / 1e6 AS llr,
+        |  CAST(floor(p_min * 1e6 + 0.5) AS BIGINT) / 1e6 AS p_always,
+        |  coalesce(CAST(floor(p_min * 1e6 + 0.5) AS BIGINT) < 50000, false) AS reject
+        |FROM pm ORDER BY day""".stripMargin
+
   /** Exact Shapley-value channel attribution (Shapley 1953; the
     * cooperative-game credit Zhao–Harinen 2018 popularized for
     * marketing journeys — the axiomatic member of the attribution
@@ -2322,6 +2421,87 @@ object AnalyticsQueries {
         |FROM wd JOIN t USING (event_type)
         |ORDER BY event_type, dow""".stripMargin
 
+  /** Classical additive seasonal DECOMPOSITION over the daily counts —
+    * the full trend/seasonal/residual split behind [[evtSeasonal]]'s
+    * profile (Cleveland 1990's STL ancestor, the moving-average
+    * decomposition): trend = centered 7-day moving average (warm rows
+    * only — a full window), seasonal = the per-ISO-weekday mean of the
+    * detrended series (uncentered convention, documented), residual =
+    * the rest, flagged by the [[evtRobustZ]] median/MAD robust score.
+    * Engine portability by construction: the detrended value is kept
+    * in INTEGER space as dev7 = 7·cnt − Σ₇cnt, the seasonal mean is
+    * one division of two exact integers, trend is tsum/7.0, and the
+    * residual is a single IEEE chain over those — identical doubles on
+    * both engines, so no rounding is needed anywhere except the
+    * robust-z floor-quantization shared with the oracle. Distributed
+    * shape: one staged daily rollup (the corpus crosses once), then
+    * ≤150-row window/aggregate algebra.
+    */
+  def evtStl(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    val warm = daily
+      .withColumn("tsum", sum("cnt").over(w7))
+      .withColumn("nw", count(lit(1)).over(w7))
+      .filter(col("nw") === 7)
+      .withColumn("dow", weekday(col("d")) + 1)
+      .withColumn("dev7", col("cnt") * 7 - col("tsum"))
+    val sea = warm.groupBy("event_type", "dow")
+      .agg(sum("dev7").as("num"), count(lit(1)).as("ndw"))
+    val j = warm.join(broadcast(sea), Seq("event_type", "dow"))
+      .withColumn("trend", col("tsum") / 7.0)
+      .withColumn("seasonal",
+        col("num").cast("double") / (col("ndw") * 7).cast("double"))
+      .withColumn("resid", col("cnt") - col("trend") - col("seasonal"))
+    val med = j.groupBy("event_type").agg(expr("percentile(resid, 0.5)").as("med"))
+    val mad = j.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"),
+        expr("percentile(abs(resid - med), 0.5)").as("mad"))
+    j.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        col("cnt").cast("long").as("cnt"),
+        col("trend"), col("seasonal"), col("resid"),
+        coalesce(abs(when(col("mad") > 0,
+          floor(lit(0.6745) * (col("resid") - col("med")) / col("mad") * 1000 + 0.5)
+            .cast("long"))) >= 3500, lit(false)).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val evtStlSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, d, cnt,
+        |        sum(cnt) OVER w AS tsum, count(*) OVER w AS nw
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |warm AS (SELECT event_type, d, cnt, tsum,
+        |           date_part('isodow', d)::BIGINT AS dow,
+        |           7 * cnt - tsum AS dev7
+        |         FROM t WHERE nw = 7),
+        |sea AS (SELECT event_type, dow, sum(dev7)::BIGINT AS num,
+        |          count(*)::BIGINT AS ndw
+        |        FROM warm GROUP BY 1, 2),
+        |j AS (SELECT warm.event_type, d, cnt, tsum / 7.0 AS trend,
+        |        num::DOUBLE / (ndw * 7)::DOUBLE AS seasonal,
+        |        cnt - tsum / 7.0 - num::DOUBLE / (ndw * 7)::DOUBLE AS resid
+        |      FROM warm JOIN sea USING (event_type, dow)),
+        |m AS (SELECT event_type, quantile_cont(resid, 0.5) AS med FROM j GROUP BY 1),
+        |md AS (SELECT j.event_type, any_value(med) AS med,
+        |         quantile_cont(abs(resid - med), 0.5) AS mad
+        |       FROM j JOIN m USING (event_type) GROUP BY 1)
+        |SELECT j.event_type, d::VARCHAR AS day, cnt, trend, seasonal, resid,
+        |  coalesce(abs(CASE WHEN mad > 0
+        |        THEN CAST(floor(0.6745 * (resid - med) / mad * 1000 + 0.5) AS BIGINT)
+        |        END) >= 3500, false) AS anomaly
+        |FROM j JOIN md USING (event_type)
+        |ORDER BY event_type, day""".stripMargin
+
   /** Seasonal-naive forecast backtest — the baseline every forecasting
     * pipeline must beat, evaluated the honest way: predict each day's
     * count from the same weekday last week (lag 7) vs the plain naive
@@ -2767,6 +2947,8 @@ object AnalyticsQueries {
     Q("q_evt_melt", evtMelt, Some(evtMeltSql)),
     Q("q_evt_acf", evtAcf, Some(evtAcfSql)),
     Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
+    Q("q_evt_stl", evtStl, Some(evtStlSql)),
+    Q("q_evt_msprt", evtMsprt, Some(evtMsprtSql)),
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_ks", evtKs, Some(evtKsSql)),

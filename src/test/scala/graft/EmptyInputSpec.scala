@@ -137,7 +137,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_dp_release", // Laplace release over an empty cell grid
     "q_emb_matryoshka", // both recall legs over empty probe + corpus
     "q_join_range_bucket", // bucket explode over zero bands, empty equi-join
-    "q_evt_next_acc" // rollup over empty test split -> one NULL-acc total row
+    "q_evt_next_acc", // rollup over empty test split -> one NULL-acc total row
+    "q_evt_stl", // 7-day MA + dow means over zero dailies
+    "q_evt_msprt" // cumulative mSPRT readout over zero dailies
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

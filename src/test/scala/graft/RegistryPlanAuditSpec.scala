@@ -129,7 +129,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
-    "q_evt_survival" // KM windows over the ≤|duration-minutes| bucket aggregate
+    "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
+    "q_evt_msprt" // cumulative readout over the ≤31-row daily aggregate
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
     // the 35-row contingency aggregate — outside this check's scope,
     // which hunts ordered global windows; noted here for the reader)
