@@ -28,6 +28,12 @@ object GraftFunctions {
   /** Dot product over array<float> embeddings (M6). */
   def dot_f(a: Column, b: Column): Column = col(DotProductFloat(expr(a), expr(b)))
 
+  /** Unicode NFC canonical composition (text-cleaning step 0). */
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
+
+  /** Accent strip: NFD + combining-mark removal. */
+  def strip_accents(c: Column): Column = col(StripAccents(expr(c)))
+
   /** Sequential left-to-right dot product over array<double> columns —
     * the exact fold DuckDB's list_dot_product performs, so oracle
     * comparisons are bit-identical (each product rounded to double,
@@ -104,5 +110,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hash_code", es => JavaHashCode(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimFloat(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_f", es => DotProductFloat(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
   }
 }

@@ -171,3 +171,65 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloat =
     copy(left = l, right = r)
 }
+
+/** Static kernels behind [[NfcNormalize]] / [[StripAccents]] — object
+  * methods compile to static forwarders, so generated code calls them
+  * directly (`graft.functions.TextNorm.nfc(...)`).
+  */
+object TextNorm {
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Canonical decomposition, then drop combining marks — the
+    * unaccent convention DuckDB's `strip_accents` (utf8proc) applies,
+    * verified equal over the Latin-1 diacritic range the corpus
+    * injection uses.
+    */
+  def stripAccents(s: UTF8String): UTF8String =
+    UTF8String.fromString(marks.matcher(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD))
+      .replaceAll(""))
+}
+
+/** NFC_NORMALIZE(str): Unicode canonical composition — the first step
+  * of any web-scale text-cleaning pipeline (mojibake-adjacent decomposed
+  * sequences fold to their precomposed forms so downstream exact-match
+  * dedup keys agree). Both engines implement the Unicode standard
+  * (java.text.Normalizer here, utf8proc in DuckDB), so outputs are
+  * bit-identical by spec.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** STRIP_ACCENTS(str): NFD + combining-mark removal (the unaccent
+  * fold), for accent-insensitive dedup keys and retrieval terms.
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}

@@ -3251,6 +3251,55 @@ object PipelineQueries {
         |  END AS flesch
         |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Unicode text-normalization battery — step 0 of a multilingual
+    * cleaning pipeline: NFC canonical composition (decomposed
+    * e+COMBINING-ACUTE sequences fold to é, so exact-dedup keys and
+    * tokenizers see one spelling), accent strip (NFD + combining-mark
+    * removal — the unaccent fold behind accent-insensitive retrieval
+    * keys), and case fold. Runs the custom codegen'd
+    * [[graft.functions.NfcNormalize]] / [[graft.functions.StripAccents]]
+    * native expressions (no UDF boundary — the scan stays in one
+    * WholeStageCodegen span) over a deterministically ACCENT-NOISED
+    * corpus: the parquet text is ASCII, so docs get a decomposed
+    * suffix (doc_id ≡ 0 mod 3), a precomposed one (≡ 1), or none —
+    * every branch of the normalizer discriminates. Both engines
+    * implement the Unicode spec (java.text.Normalizer / utf8proc), so
+    * equality is bit-for-bit: lengths shrink under NFC, flags flip
+    * exactly where the injection says they must.
+    */
+  def docNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{nfc_normalize, strip_accents}
+    val noised = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301 resume\u0301"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" déjà vu piñata über"))
+            .otherwise(lit(""))).as("t"))
+    noised
+      .withColumn("nfc", nfc_normalize(col("t")))
+      .withColumn("stripped", strip_accents(col("nfc")))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("raw_len"),
+        length(col("nfc")).cast("long").as("nfc_len"),
+        (col("nfc") =!= col("t")).as("changed_nfc"),
+        (col("stripped") =!= col("nfc")).as("changed_accents"),
+        lower(col("stripped")).as("folded"))
+      .orderBy("doc_id")
+  }
+
+  val docNormalizeSql: String =
+    """WITH nz AS (SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' resume' || chr(769)
+      |                 WHEN doc_id % 3 = 1 THEN ' déjà vu piñata über'
+      |                 ELSE '' END AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id, t, nfc_normalize(t) AS nfc FROM nz),
+      |a AS (SELECT doc_id, t, nfc, strip_accents(nfc) AS stripped FROM n)
+      |SELECT doc_id, length(t)::BIGINT AS raw_len, length(nfc)::BIGINT AS nfc_len,
+      |  nfc <> t AS changed_nfc, stripped <> nfc AS changed_accents,
+      |  lower(stripped) AS folded
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val docGopherSql: String =
     noisyDocSql +
       """
@@ -4251,6 +4300,7 @@ object PipelineQueries {
     Q("q_doc_c4", docC4, Some(docC4Sql)),
     Q("q_doc_gopher", docGopher, Some(docGopherSql)),
     Q("q_doc_readability", docReadability, Some(docReadabilitySql)),
+    Q("q_doc_normalize", docNormalize, Some(docNormalizeSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),

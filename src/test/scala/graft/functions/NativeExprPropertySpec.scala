@@ -134,4 +134,29 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(got(id) == want, s"case $id: $a vs $b")
     }
   }
+
+  test("NfcNormalize / StripAccents equal the java.text.Normalizer reference") {
+    val pieces = Vector("caf\u00e9", "cafe\u0301", "d\u00e9j\u00e0", "\u00fc", "u\u0308", "plain",
+      "\u00f1", "n\u0303", "", "mixed \u00e9e\u0301")
+    val cases = (0L until 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(4))(pieces(rnd.nextInt(pieces.size))).mkString(" "))
+    }
+    def refNfc(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    def refStrip(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", "")
+    val got = cases.toDF("id", "s")
+      .select(col("id"),
+        ColumnBridge.column(NfcNormalize(ColumnBridge.expression(col("s")))).as("n"),
+        ColumnBridge.column(StripAccents(ColumnBridge.expression(col("s")))).as("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    for ((id, s) <- cases) {
+      assert(got(id)._1 == refNfc(s), s"nfc case $id: ${s.map(_.toInt)}")
+      assert(got(id)._2 == refStrip(s), s"strip case $id: ${s.map(_.toInt)}")
+      // idempotence + composition sanity: NFC twice = once; strip kills marks
+      assert(refNfc(refNfc(s)) == refNfc(s))
+      assert(!refStrip(s).exists(c => Character.getType(c) == Character.NON_SPACING_MARK))
+    }
+  }
 }
