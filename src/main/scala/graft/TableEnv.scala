@@ -59,7 +59,11 @@ final class TableEnv(val spark: SparkSession, dir: String) {
         WindowTvfSql.rewriteStreamingAgg(sql).map(spark.sql)
           .getOrElse(spark.sql(WindowTvfSql.rewrite(sql)))
       else spark.sql(WindowTvfSql.rewrite(sql))
-    } else spark.sql(sql)
+    } else if (RankSql.applies(sql))
+      // StreamExecRank/StreamExecDeduplicate subsumption: batch inputs
+      // fall through to Catalyst inside the route
+      RankSql.run(spark, sql, "/tmp/graft-stream-out/ranksql")
+    else spark.sql(sql)
 
   /** ref: TableEnvironment.from(tableName) */
   def from(table: String): DataFrame = spark.table(table)

@@ -215,6 +215,60 @@ object StreamingQueries {
     runToTable("stream_sql_tumble", out, "append").orderBy("wstart", "event_type")
   }
 
+  /** The streaming DEDUPLICATE SQL statement (ref:
+    * `StreamExecDeduplicate.scala` — the reference planner subsumes the
+    * `ROW_NUMBER() … WHERE rn = 1` pattern into an incremental
+    * keep-last operator; here [[graft.RankSql]] performs the same
+    * subsumption through `TableEnv.sqlQuery`): the statement runs over
+    * a 3-batch day-split stream, per-key state is ONE row (N = 1), and
+    * the outer projection is Catalyst's over the drained state. Oracle
+    * = the builder-API dedup's whole-corpus SQL verbatim.
+    */
+  def streamSqlDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val srcDir = stageBatchFiles(dir, "sqldedup", daySplits(ev, col("ts"), 3))
+    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .createOrReplaceTempView("sev_dedup")
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, event_id, unix_micros(ts) AS ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM sev_dedup) WHERE rn = 1""".stripMargin)
+      .orderBy("user_id")
+  }
+
+  // lazy: streamDedupLastSql is declared later in the file
+  lazy val streamSqlDedupSql: String = streamDedupLastSql
+
+  /** The streaming TOP-N SQL statement (ref: `StreamExecRank.scala` /
+    * `UpdatableTopNFunction.java` — `rn <= N` subsumed into the N-best
+    * per-key state): top-3 events by value per type through the same
+    * [[graft.RankSql]] route, state = 3 rows per event type.
+    */
+  def streamSqlTopn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val srcDir = stageBatchFiles(dir, "sqltopn", daySplits(ev, col("ts"), 3))
+    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .createOrReplaceTempView("sev_topn")
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT event_type, event_id, round(value, 4) AS v, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id ASC) AS rn
+        |      FROM sev_topn) WHERE rn <= 3""".stripMargin)
+      .orderBy("event_type", "rn")
+  }
+
+  val streamSqlTopnSql: String =
+    Tables.eventsCte +
+      """
+        |SELECT event_type, event_id, round(value, 4) AS v, rn::BIGINT AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id ASC) AS rn
+        |      FROM ev) t WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin
+
   /** SESSION TVF statement on a STREAM (ref SqlSessionTableFunction on
     * a watermarked table): the [[graft.WindowTvfSql]] streaming
     * lowering folds the statement onto `GROUP BY
@@ -4177,6 +4231,8 @@ object StreamingQueries {
     Q("q_stream_paths", streamPaths, Some(streamPathsSql)),
     Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql)),
     Q("q_stream_sql_session", streamSqlSession, Some(streamSqlSessionSql)),
+    Q("q_stream_sql_dedup", streamSqlDedup, Some(streamSqlDedupSql)),
+    Q("q_stream_sql_topn", streamSqlTopn, Some(streamSqlTopnSql)),
     Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql))
   )
 }

@@ -183,4 +183,25 @@ class TableEnvSpec extends SparkSpec {
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
+
+  test("rank-pattern SQL route: batch passthrough equals Catalyst; misuse fails loudly") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val stmt =
+      """SELECT event_type, event_id, round(value, 4) AS v, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id ASC) AS rn
+        |      FROM events) WHERE rn <= 3""".stripMargin
+    assert(RankSql.applies(stmt))
+    // batch table: the route must hand the statement to Catalyst verbatim
+    val viaRoute = env.sqlQuery(stmt)
+    val direct = spark.sql(stmt)
+    assert(viaRoute.exceptAll(direct).isEmpty && direct.exceptAll(viaRoute).isEmpty)
+    // on a batch table any predicate Catalyst accepts passes through —
+    // the "= requires 1" guard protects only the streaming lowering
+    assert(env.sqlQuery(stmt.replace("WHERE rn <= 3", "WHERE rn = 3")).count() ===
+      spark.sql(stmt.replace("WHERE rn <= 3", "WHERE rn = 3")).count())
+    assert(!RankSql.applies("SELECT 1 AS one"))
+    // RANK()/DENSE_RANK() are not ROW_NUMBER — the route must not claim them
+    assert(!RankSql.applies(stmt.replace("ROW_NUMBER()", "RANK()")))
+  }
 }
