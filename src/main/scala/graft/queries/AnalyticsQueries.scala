@@ -1100,6 +1100,91 @@ object AnalyticsQueries {
     * engine-exact; the alarm threshold is 2μ·n in the same scaled
     * units.
     */
+  /** Stratified average treatment effect — Cochran 1968
+    * subclassification, the observational-causal companion to
+    * [[evtDid]]'s panel design and the experiment family's randomized
+    * estimators: treated = users with a signup event, outcome =
+    * conversion (any purchase), confounder = engagement
+    * (click+view count), controlled by stratifying on its QUINTILES
+    * and weighting per-stratum treated−control conversion-rate gaps by
+    * stratum size. Quintile bounds are exact percentiles broadcast
+    * back (the [[evtRfm]] tertile device — never a global ntile over
+    * users), so the corpus crosses one user-keyed exchange and the
+    * estimator is ≤6-row algebra. Engine portability: each stratum's
+    * ATE is a two-division IEEE chain floor-quantized at 1e-9, and the
+    * overall effect weight-sums those QUANTIZED values as exact
+    * integers (n_s·ate_q is a BIGINT) — the 5-term double sum whose
+    * accumulation order would otherwise differ across engines never
+    * happens. Strata missing an arm are excluded from the weighted
+    * overall (their rows still report, ate NULL).
+    */
+  def evtAte(s: SparkSession, dir: String): DataFrame = {
+    val users = Funnel.stage(Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("act"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("treated"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv")))
+    val qs = users.agg(
+      expr("percentile(act, 0.2)").as("q1"), expr("percentile(act, 0.4)").as("q2"),
+      expr("percentile(act, 0.6)").as("q3"), expr("percentile(act, 0.8)").as("q4"))
+    val strat = users.crossJoin(broadcast(qs))
+      .withColumn("stratum",
+        (col("act") > col("q1")).cast("long") + (col("act") > col("q2")).cast("long")
+          + (col("act") > col("q3")).cast("long") + (col("act") > col("q4")).cast("long"))
+      .groupBy("stratum")
+      .agg(sum(col("treated")).as("n_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum(col("treated") * col("conv")).as("conv_t"),
+        sum((lit(1L) - col("treated")) * col("conv")).as("conv_c"))
+      .withColumn("ate_q", when(col("n_t") > 0 && col("n_c") > 0,
+        floor((col("conv_t").cast("double") / col("n_t").cast("double")
+          - col("conv_c").cast("double") / col("n_c").cast("double")) * 1e9 + 0.5)
+          .cast("long")))
+    val st = Funnel.stage(strat)
+    val overall = st.filter(col("ate_q").isNotNull)
+      .agg(sum((col("n_t") + col("n_c")) * col("ate_q")).as("wsum"),
+        sum(col("n_t") + col("n_c")).as("nin"))
+      .select(lit(-1L).as("stratum"), lit(null).cast("long").as("n_t"),
+        lit(null).cast("long").as("n_c"), lit(null).cast("long").as("conv_t"),
+        lit(null).cast("long").as("conv_c"),
+        (col("wsum").cast("double") / col("nin").cast("double") / 1e9).as("ate"))
+    st.select(col("stratum"), col("n_t").cast("long").as("n_t"),
+        col("n_c").cast("long").as("n_c"), col("conv_t").cast("long").as("conv_t"),
+        col("conv_c").cast("long").as("conv_c"),
+        (col("ate_q") / 1e9).as("ate"))
+      .unionByName(overall)
+      .orderBy("stratum")
+  }
+
+  val evtAteSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT AS act,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS treated,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM ev GROUP BY 1),
+        |q AS (SELECT quantile_cont(act, 0.2) AS q1, quantile_cont(act, 0.4) AS q2,
+        |             quantile_cont(act, 0.6) AS q3, quantile_cont(act, 0.8) AS q4 FROM u),
+        |st AS (SELECT
+        |    (act > q1)::BIGINT + (act > q2)::BIGINT
+        |      + (act > q3)::BIGINT + (act > q4)::BIGINT AS stratum,
+        |    sum(treated)::BIGINT AS n_t, sum(1 - treated)::BIGINT AS n_c,
+        |    sum(treated * conv)::BIGINT AS conv_t,
+        |    sum((1 - treated) * conv)::BIGINT AS conv_c
+        |  FROM u, q GROUP BY 1),
+        |sq AS (SELECT *, CASE WHEN n_t > 0 AND n_c > 0
+        |         THEN CAST(floor((conv_t::DOUBLE / n_t::DOUBLE
+        |                          - conv_c::DOUBLE / n_c::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |       END AS ate_q FROM st),
+        |ov AS (SELECT -1::BIGINT AS stratum, NULL::BIGINT AS n_t, NULL::BIGINT AS n_c,
+        |         NULL::BIGINT AS conv_t, NULL::BIGINT AS conv_c,
+        |         sum((n_t + n_c) * ate_q)::DOUBLE / sum(n_t + n_c)::DOUBLE / 1e9 AS ate
+        |       FROM sq WHERE ate_q IS NOT NULL)
+        |SELECT stratum, n_t, n_c, conv_t, conv_c, ate_q / 1e9 AS ate FROM sq
+        |UNION ALL SELECT * FROM ov
+        |ORDER BY stratum""".stripMargin
+
   /** Difference-in-differences — the panel-causal baseline (Card &
     * Krueger 1994 popularized the design): treated = users with an
     * ABOVE-median pre-period error count (a median split — "any error"
@@ -2437,10 +2522,17 @@ object AnalyticsQueries {
     * shape: one staged daily rollup (the corpus crosses once), then
     * ≤150-row window/aggregate algebra.
     */
-  def evtStl(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+  def evtStl(s: SparkSession, dir: String): DataFrame =
+    stlFromDaily(Funnel.stage(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** The decomposition tail over the ADDITIVE (event_type, day, cnt)
+    * grid — shared by the batch query and the streaming maintainer's
+    * end-of-stream solve (the grid sum-merges per batch, like the
+    * [[evtAnomaly]] hour grid).
+    */
+  private[queries] def stlFromDaily(daily: DataFrame): DataFrame = {
     val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
     val warm = daily
       .withColumn("tsum", sum("cnt").over(w7))
@@ -2966,6 +3058,7 @@ object AnalyticsQueries {
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_did", evtDid, Some(evtDidSql)),
+    Q("q_evt_ate", evtAte, Some(evtAteSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

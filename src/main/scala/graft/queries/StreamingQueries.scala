@@ -2472,6 +2472,41 @@ object StreamingQueries {
       dayStore.version(lastBatchId(srcDir)))
   }
 
+  /** Seasonal decomposition maintained on a stream
+    * ([[AnalyticsQueries.evtStl]] as a continuously-refreshed
+    * trend/seasonal/residual monitor): state = the ADDITIVE
+    * (event_type, day, cnt) grid, key-sum merged per batch — the
+    * [[streamAnomaly]] hour-grid contract at the daily grain, so
+    * batches may split ARBITRARILY (no time-order assumption; counts
+    * commute). The end-of-stream solve runs the shared decomposition
+    * tail; the batch oracle pins merge ≡ one-shot exactly. State is
+    * ≤ |types|·|days| rows — the report grid itself.
+    */
+  def streamStl(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sstl",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def dailyOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sstl_store"))
+    store.init(dailyOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
+          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.stlFromDaily(store.version(lastBatchId(srcDir))
+      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4209,6 +4244,7 @@ object StreamingQueries {
     Q("q_stream_shapley", streamShapley, Some(AnalyticsQueries.evtShapleySql)),
     Q("q_stream_kanon", streamKanon, Some(AnalyticsQueries.evtKanonSql)),
     Q("q_stream_markov_attr", streamMarkovAttr, Some(AnalyticsQueries.evtMarkovAttributionSql)),
+    Q("q_stream_stl", streamStl, Some(AnalyticsQueries.evtStlSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),

@@ -139,7 +139,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_join_range_bucket", // bucket explode over zero bands, empty equi-join
     "q_evt_next_acc", // rollup over empty test split -> one NULL-acc total row
     "q_evt_stl", // 7-day MA + dow means over zero dailies
-    "q_evt_msprt" // cumulative mSPRT readout over zero dailies
+    "q_evt_msprt", // cumulative mSPRT readout over zero dailies
+    "q_evt_ate" // null quantile bounds, zero strata, null overall
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
