@@ -3551,6 +3551,95 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Pseudo-relevance feedback — Rocchio 1971 query expansion, the
+    * second-round retrieval loop every production search stack runs on
+    * top of [[docBm25]]: round 1 ranks the seed query, the top-10
+    * feedback docs vote expansion terms by summed tf·idf (seed terms
+    * excluded; the idf chain is BM25's own, rounded at 9 like every
+    * term there), the 3 strongest join the query, and round 2 re-ranks
+    * with the expanded term set. Scale shape: postings/doc-lengths/
+    * term-dfs stage ONCE and serve both rounds; each round's scoring
+    * is a broadcast-literal probe of the token-keyed postings; the
+    * feedback set is 10 rows and the expansion vote is postings ⋈ that
+    * broadcast set — nothing rescans the corpus. The chosen expansion
+    * terms ride along as a column so the oracle pins phase 2, not just
+    * the final ranking.
+    */
+  def docPrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val post = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf")))
+    val dl = Funnel.stage(post.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val stats = broadcast(dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum("dl") / count(lit(1))).as("avgdl")))
+    val dfT = Funnel.stage(post.groupBy("tok").agg(count(lit(1)).cast("double").as("df")))
+    val idf = round(log(round((col("nd") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)), 9) + 1), 9)
+    def score(queryDf: DataFrame): DataFrame = post
+      .join(broadcast(queryDf), "tok")
+      .join(dl, "doc_id")
+      .join(dfT, "tok")
+      .crossJoin(stats)
+      .select(col("qid"), col("doc_id").as("nid"),
+        round(idf * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+          .as("term"))
+      .groupBy("qid", "nid").agg(round(sum("term"), 6).as("c"))
+    val seed = Seq((1L, "table"), (1L, "row")).toDF("qid", "tok")
+    val fdocs = broadcast(Similarity.topKPerKey(score(seed), 10)
+      .select(col("nid").as("doc_id")))
+    val exp3 = Funnel.stage(post.join(fdocs, "doc_id")
+      .join(dfT, "tok").crossJoin(stats)
+      .filter(!col("tok").isin("table", "row"))
+      .select(col("tok"), round(col("tf") * idf, 9).as("w0"))
+      .groupBy("tok").agg(round(sum("w0"), 6).as("w"))
+      .orderBy(col("w").desc, col("tok").asc).limit(3))
+    val expanded = seed.unionByName(exp3.select(lit(1L).as("qid"), col("tok")))
+    val expStr = broadcast(exp3.agg(
+      concat_ws(",", sort_array(collect_list(col("tok")))).as("expansion")))
+    Similarity.topKPerKey(score(expanded), 10)
+      .crossJoin(expStr)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("cos").as("score"), col("rn").as("rank"), col("expansion"))
+      .orderBy("query_id", "rank")
+  }
+
+  val docPrfSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+       |st AS (SELECT count(*)::DOUBLE AS nd, sum(dl) / count(*) AS avgdl FROM dl),
+       |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       |q1(qid, tok) AS (VALUES (1, 'table'), (1, 'row')),
+       |sc1 AS (SELECT qid::BIGINT AS qid, p.doc_id,
+       |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 9)), 6) AS s
+       |       FROM post p JOIN q1 USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |         JOIN dft USING (tok) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |f AS (SELECT doc_id FROM (SELECT doc_id,
+       |        row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc1) WHERE rn <= 10),
+       |exp3 AS (SELECT tok, round(sum(round(tf *
+       |           round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9), 9)), 6) AS w
+       |         FROM post JOIN f USING (doc_id) JOIN dft USING (tok) CROSS JOIN st
+       |         WHERE tok NOT IN ('table', 'row')
+       |         GROUP BY 1 ORDER BY w DESC, tok LIMIT 3),
+       |q2 AS (SELECT qid, tok FROM q1 UNION ALL SELECT 1::BIGINT, tok FROM exp3),
+       |es AS (SELECT string_agg(tok, ',' ORDER BY tok) AS expansion FROM exp3),
+       |sc2 AS (SELECT qid::BIGINT AS qid, p.doc_id,
+       |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 9)), 6) AS s
+       |       FROM post p JOIN q2 USING (tok) JOIN dl ON dl.doc_id = p.doc_id
+       |         JOIN dft USING (tok) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, s,
+       |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rn FROM sc2)
+       |SELECT qid AS query_id, doc_id, round(s, 4) AS score, rn AS rank, expansion
+       |FROM r CROSS JOIN es WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Data-quality expectation report over the ingest table
     * ([[graft.operators.Expectations]]): five row rules riding ONE
     * corpus scan (they compile to sums inside a single aggregate) plus
@@ -4301,6 +4390,7 @@ object PipelineQueries {
     Q("q_doc_gopher", docGopher, Some(docGopherSql)),
     Q("q_doc_readability", docReadability, Some(docReadabilitySql)),
     Q("q_doc_normalize", docNormalize, Some(docNormalizeSql)),
+    Q("q_doc_prf", docPrf, Some(docPrfSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
