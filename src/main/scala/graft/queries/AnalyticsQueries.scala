@@ -1118,12 +1118,25 @@ object AnalyticsQueries {
     * happens. Strata missing an arm are excluded from the weighted
     * overall (their rows still report, ate NULL).
     */
-  def evtAte(s: SparkSession, dir: String): DataFrame = {
-    val users = Funnel.stage(Tables.events(s, dir)
-      .groupBy("user_id")
+  def evtAte(s: SparkSession, dir: String): DataFrame =
+    ateFromUsers(Funnel.stage(ateUsers(Tables.events(s, dir))))
+
+  /** The per-user confounder/treatment/outcome profile under
+    * [[evtAte]] — merges additively (sums sum, maxes max), so the
+    * streaming maintainer is a user-keyed store.
+    */
+  private[queries] def ateUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("act"),
         max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("treated"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv")))
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+
+  /** The subclassification tail over the user profile table — shared
+    * by the batch query and the streaming maintainer's solve. Callers
+    * stage `users` (it fans out to the quantile aggregate and the
+    * stratum census).
+    */
+  private[queries] def ateFromUsers(users: DataFrame): DataFrame = {
     val qs = users.agg(
       expr("percentile(act, 0.2)").as("q1"), expr("percentile(act, 0.4)").as("q2"),
       expr("percentile(act, 0.6)").as("q3"), expr("percentile(act, 0.8)").as("q4"))
@@ -1854,17 +1867,29 @@ object AnalyticsQueries {
     * is a ≤31-row frame — the global ordered window is over the
     * bounded daily aggregate (plan-audit whitelisted).
     */
-  def evtMsprt(s: SparkSession, dir: String): DataFrame = {
+  def evtMsprt(s: SparkSession, dir: String): DataFrame =
+    msprtFromDaily(msprtDaily(Tables.events(s, dir)))
+
+  /** The ADDITIVE per-day arm counts under [[evtMsprt]] — (day, events
+    * and conversions per md5-parity arm); key-sum merges, so the
+    * streaming maintainer is a grid store.
+    */
+  private[queries] def msprtDaily(ev: DataFrame): DataFrame = {
     val variant = pmod(
       conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
-    val daily = Tables.events(s, dir)
-      .select(variant.as("v"), to_date(col("ts")).as("d"),
+    ev.select(variant.as("v"), to_date(col("ts")).as("d"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
       .groupBy("d")
       .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("na_d"),
         sum(when(col("v") === 0, col("c")).otherwise(0L)).as("ca_d"),
         sum(when(col("v") === 1, 1L).otherwise(0L)).as("nb_d"),
         sum(when(col("v") === 1, col("c")).otherwise(0L)).as("cb_d"))
+  }
+
+  /** The sequential-test readout over the daily arm grid — shared by
+    * the batch query and the streaming maintainer's solve.
+    */
+  private[queries] def msprtFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     val t2 = lit(1e-4)
     daily

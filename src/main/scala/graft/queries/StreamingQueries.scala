@@ -2507,6 +2507,70 @@ object StreamingQueries {
       .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
   }
 
+  /** The always-valid sequential test maintained on a stream
+    * ([[AnalyticsQueries.evtMsprt]] as the live experiment dashboard —
+    * which is the mSPRT's entire reason to exist: the readout is
+    * DESIGNED to be monitored continuously): state = the additive
+    * (day, arm-count) grid, key-sum merged per batch under arbitrary
+    * splits; the end-of-stream solve runs the shared readout tail.
+    * Oracle = the batch statement verbatim.
+    */
+  def streamMsprt(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "smsprt",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "smsprt_store"))
+    store.init(AQ.msprtDaily(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(AQ.msprtDaily(batch))
+          .groupBy("d").agg(sum("na_d").as("na_d"), sum("ca_d").as("ca_d"),
+            sum("nb_d").as("nb_d"), sum("cb_d").as("cb_d")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.msprtFromDaily(store.version(lastBatchId(srcDir)))
+  }
+
+  /** The stratified-ATE estimator maintained on a stream
+    * ([[AnalyticsQueries.evtAte]] as a continuously-refreshed
+    * observational readout): state = the per-user profile table —
+    * activity SUMS sum-merge and treatment/conversion flags MAX-merge,
+    * both commutative, so batches split arbitrarily. The end-of-stream
+    * solve (quantile bounds + stratum census) runs the shared tail
+    * over the user-dimension store. Oracle = the batch statement
+    * verbatim.
+    */
+  def streamAte(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sate",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sate_store"))
+    store.init(AQ.ateUsers(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(AQ.ateUsers(batch))
+          .groupBy("user_id").agg(sum("act").as("act"),
+            max("treated").as("treated"), max("conv").as("conv")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.ateFromUsers(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("user_id"), col("act").cast("long").as("act"),
+          col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4245,6 +4309,8 @@ object StreamingQueries {
     Q("q_stream_kanon", streamKanon, Some(AnalyticsQueries.evtKanonSql)),
     Q("q_stream_markov_attr", streamMarkovAttr, Some(AnalyticsQueries.evtMarkovAttributionSql)),
     Q("q_stream_stl", streamStl, Some(AnalyticsQueries.evtStlSql)),
+    Q("q_stream_msprt", streamMsprt, Some(AnalyticsQueries.evtMsprtSql)),
+    Q("q_stream_ate", streamAte, Some(AnalyticsQueries.evtAteSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
