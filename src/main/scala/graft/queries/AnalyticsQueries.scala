@@ -1726,11 +1726,12 @@ object AnalyticsQueries {
       base.select("user_id", "d").distinct())
   }
 
-  /** The QI/class tail over the two ADDITIVE k-anonymity state tables
-    * — (user, type, cnt) sums and (user, day) presence — shared by
-    * the batch query and the streaming maintainer's final audit.
+  /** The per-user (QI buckets, favorite type) frame over the two
+    * ADDITIVE state tables — (user, type, cnt) sums and (user, day)
+    * presence — shared by the k-anonymity and l-diversity audits,
+    * batch and streaming alike.
     */
-  private[queries] def kanonSolve(tc: DataFrame, days: DataFrame): DataFrame = {
+  private[queries] def kanonProfiles(tc: DataFrame, days: DataFrame): DataFrame = {
     val prof = tc.groupBy("user_id").agg(sum("cnt").as("n_events"))
       .join(days.groupBy("user_id").agg(count(lit(1)).as("n_days")), "user_id")
     val w = Window.partitionBy("user_id")
@@ -1739,13 +1740,92 @@ object AnalyticsQueries {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("fav"))
     prof.join(fav, "user_id")
-      .select(least(floor(col("n_events") / 10), lit(9L)).as("activity_bucket"),
+      .select(col("user_id"),
+        least(floor(col("n_events") / 10), lit(9L)).as("activity_bucket"),
         floor(col("n_days") / 5).as("days_bucket"), col("fav"))
+  }
+
+  /** The QI/class tail over the two ADDITIVE k-anonymity state tables
+    * — shared by the batch query and the streaming maintainer's final
+    * audit.
+    */
+  private[queries] def kanonSolve(tc: DataFrame, days: DataFrame): DataFrame =
+    kanonProfiles(tc, days)
       .groupBy("activity_bucket", "days_bucket", "fav")
       .agg(count(lit(1)).as("class_size"))
       .withColumn("suppress", col("class_size") < 5)
       .orderBy("activity_bucket", "days_bucket", "fav")
+
+  /** l-diversity audit (Machanavajjhala 2007) — the criterion
+    * k-anonymity cannot see: a class of 50 users is useless protection
+    * if they all share one SENSITIVE value. Here the QI is the
+    * (activity, days) bucket pair and the sensitive attribute is the
+    * favorite event type; per class the audit reports distinct
+    * l-diversity (l = distinct sensitive values, gate l ≥ 2) and
+    * ENTROPY l-diversity (H ≥ ln 2), with H computed from integer
+    * class counts as ln n − (Σ c·ln c)/n — each c·ln c rounded at 9
+    * before the ≤|types|-term sum (the BM25 term-sum device), then the
+    * gate compared on the 1e-6 floor-quantized value so the boolean is
+    * engine-stable. Same two ADDITIVE state tables as [[evtKanon]];
+    * the class algebra is a bounded-grid rollup.
+    */
+  def evtLdiv(s: SparkSession, dir: String): DataFrame = {
+    val base = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
+    ldivSolve(
+      base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
+      base.select("user_id", "d").distinct())
   }
+
+  /** The l-diversity tail over the shared QI state tables. */
+  private[queries] def ldivSolve(tc: DataFrame, days: DataFrame): DataFrame = {
+    val perFav = kanonProfiles(tc, days)
+      .groupBy("activity_bucket", "days_bucket", "fav")
+      .agg(count(lit(1)).as("c"))
+    perFav
+      .groupBy("activity_bucket", "days_bucket")
+      .agg(sum("c").as("class_size"), count(lit(1)).as("l_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)).as("clc"))
+      .withColumn("hq",
+        floor((log(col("class_size").cast("double"))
+          - col("clc") / col("class_size").cast("double")) * 1e6 + 0.5).cast("long"))
+      .select(col("activity_bucket"), col("days_bucket"),
+        col("class_size").cast("long").as("class_size"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        (col("hq") / 1e6).as("entropy"),
+        (col("l_distinct") >= 2).as("l2_diverse"),
+        (col("hq") >= floor(lit(math.log(2.0)) * 1e6 + 0.5).cast("long")).as("entropy_l2"))
+      .orderBy("activity_bucket", "days_bucket")
+  }
+
+  val evtLdivSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT user_id, ts::DATE AS d, event_type FROM ev),
+        |prof AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |           count(DISTINCT d)::BIGINT AS n_days FROM b GROUP BY 1),
+        |fc AS (SELECT user_id, event_type, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |fav AS (SELECT user_id, event_type AS fav FROM (
+        |          SELECT user_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY cnt DESC, event_type ASC) AS rn
+        |          FROM fc) WHERE rn = 1),
+        |qi AS (SELECT least(n_events // 10, 9)::BIGINT AS activity_bucket,
+        |         (n_days // 5)::BIGINT AS days_bucket, fav
+        |       FROM prof JOIN fav USING (user_id)),
+        |pf AS (SELECT activity_bucket, days_bucket, fav, count(*)::BIGINT AS c
+        |       FROM qi GROUP BY 1, 2, 3),
+        |cl AS (SELECT activity_bucket, days_bucket,
+        |         sum(c)::BIGINT AS class_size, count(*)::BIGINT AS l_distinct,
+        |         sum(round(c::DOUBLE * ln(c::DOUBLE), 9)) AS clc
+        |       FROM pf GROUP BY 1, 2),
+        |hz AS (SELECT *, CAST(floor((ln(class_size::DOUBLE)
+        |                 - clc / class_size::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS hq
+        |       FROM cl)
+        |SELECT activity_bucket, days_bucket, class_size, l_distinct,
+        |  hq / 1e6 AS entropy, l_distinct >= 2 AS l2_diverse,
+        |  hq >= CAST(floor(ln(2.0) * 1e6 + 0.5) AS BIGINT) AS entropy_l2
+        |FROM hz ORDER BY 1, 2""".stripMargin
 
   val evtKanonSql: String =
     Tables.eventsCte +
@@ -3078,6 +3158,7 @@ object AnalyticsQueries {
     Q("q_evt_cuped", evtCuped, Some(evtCupedSql)),
     Q("q_evt_srm", evtSrm, Some(evtSrmSql)),
     Q("q_evt_kanon", evtKanon, Some(evtKanonSql)),
+    Q("q_evt_ldiv", evtLdiv, Some(evtLdivSql)),
     Q("q_evt_next_acc", evtNextAcc, Some(evtNextAccSql)),
     Q("q_evt_dp_release", evtDpRelease, Some(evtDpReleaseSql)),
     Q("q_evt_bootstrap_ci", evtBootstrapCi, Some(evtBootstrapCiSql)),

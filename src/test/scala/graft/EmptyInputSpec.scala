@@ -140,7 +140,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_next_acc", // rollup over empty test split -> one NULL-acc total row
     "q_evt_stl", // 7-day MA + dow means over zero dailies
     "q_evt_msprt", // cumulative mSPRT readout over zero dailies
-    "q_evt_ate" // null quantile bounds, zero strata, null overall
+    "q_evt_ate", // null quantile bounds, zero strata, null overall
+    "q_evt_ldiv" // entropy rollup over zero QI classes
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
