@@ -45,6 +45,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_wau_hll", // per-day register grid: |days| × 64 buckets, both bounded
     "q_evt_cms_window", // probe grid: |days| × 10 probe users, both bounded
     "q_doc_hybrid_rrf", // 1-row corpus stats for the BM25 leg
+    "q_doc_prf", // 1-row corpus stats (both rounds) + 1-row expansion string
     "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
     "q_doc_vocab", // 1-row corpus token total for shares
     "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
