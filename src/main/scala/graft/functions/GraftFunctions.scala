@@ -34,6 +34,16 @@ object GraftFunctions {
   /** Accent strip: NFD + combining-mark removal. */
   def strip_accents(c: Column): Column = col(StripAccents(expr(c)))
 
+  /** Jaro–Winkler similarity (record linkage). */
+  def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
+
+  /** True Damerau–Levenshtein distance. */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(expr(a), expr(b)))
+
+  /** Hamming distance over equal-length strings. */
+  def hamming_str(a: Column, b: Column): Column = col(HammingStr(expr(a), expr(b)))
+
   /** Sequential left-to-right dot product over array<double> columns —
     * the exact fold DuckDB's list_dot_product performs, so oracle
     * comparisons are bit-identical (each product rounded to double,
@@ -112,5 +122,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_f", es => DotProductFloat(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_str", es => HammingStr(es.head, es(1)), "built-in")
   }
 }

@@ -2472,6 +2472,63 @@ object PipelineQueries {
        |FROM v a JOIN v b ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
        |ORDER BY a, b""".stripMargin
 
+  /** String-distance battery for fuzzy matching / entity resolution —
+    * the full metric kit next to [[docTypoPairs]]' levenshtein:
+    * Jaro–Winkler (Winkler 1990 — prefix-boosted record-linkage
+    * similarity), TRUE Damerau–Levenshtein (Lowrance–Wagner 1975 —
+    * unrestricted transpositions, the edit model under real typos),
+    * and Hamming (equal lengths only, NULL otherwise — DuckDB's
+    * domain). All three are custom codegen'd native expressions
+    * ([[graft.functions.StrDist]]) whose conventions are pinned to the
+    * published algorithms and DuckDB's core implementations (empty →
+    * 0, boost gated at J > 0.7); JW is 1e-6 floor-quantized on BOTH
+    * sides so a last-ulp division-order difference can never flip the
+    * hash or the keep-filter. Candidate pairs come from a first-char
+    * equi-join over the bounded distinct vocabulary (never a
+    * cartesian; the length residual keeps the pair set tight), kept
+    * when dl ≤ 2 or quantized jw ≥ 0.88.
+    */
+  def docStrDist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{jaro_winkler, damerau_levenshtein, hamming_str}
+    val d = Tables.documents(s, dir)
+    val vocab = Funnel.stage(
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .unionByName(d.select(col("source").as("term")))
+        .filter(length(col("term")) > 0).distinct())
+    val a = vocab.select(col("term").as("a"), substring(col("term"), 1, 1).as("k"),
+      length(col("term")).as("la"))
+    val b = vocab.select(col("term").as("b"), substring(col("term"), 1, 1).as("k"),
+      length(col("term")).as("lb"))
+    a.join(b, Seq("k"))
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= 2)
+      .withColumn("jwq", floor(jaro_winkler(col("a"), col("b")) * 1e6 + 0.5).cast("long"))
+      .withColumn("dl", damerau_levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dl") <= 2 || col("jwq") >= 880000L)
+      .select(col("a"), col("b"), col("dl"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"),
+        (col("jwq") / 1e6).as("jw"),
+        when(col("la") === col("lb"), hamming_str(col("a"), col("b")).cast("long"))
+          .as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val docStrDistSql: String =
+    s"""WITH toks AS (SELECT DISTINCT unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |srcs AS (SELECT DISTINCT source AS term FROM documents),
+       |v AS (SELECT DISTINCT term FROM (SELECT term FROM toks UNION ALL SELECT term FROM srcs)
+       |      WHERE len(term) > 0),
+       |p AS (SELECT a.term AS a, b.term AS b
+       |      FROM v a JOIN v b ON substr(a.term, 1, 1) = substr(b.term, 1, 1)
+       |        AND a.term < b.term AND abs(len(a.term) - len(b.term)) <= 2),
+       |sc AS (SELECT a, b,
+       |         CAST(floor(jaro_winkler_similarity(a, b) * 1e6 + 0.5) AS BIGINT) AS jwq,
+       |         damerau_levenshtein(a, b)::BIGINT AS dl
+       |       FROM p)
+       |SELECT a, b, dl, levenshtein(a, b)::BIGINT AS lev, jwq / 1e6 AS jw,
+       |  CASE WHEN len(a) = len(b) THEN hamming(a, b)::BIGINT END AS hamming
+       |FROM sc WHERE dl <= 2 OR jwq >= 880000
+       |ORDER BY a, b""".stripMargin
+
   /** Exact-substring duplication spans (Lee et al. 2022 ExactSubstr —
     * [[graft.operators.Dedup.substrDupSpans]]): every maximal character
     * region whose 40-char windows repeat anywhere in the corpus, as
@@ -4391,6 +4448,7 @@ object PipelineQueries {
     Q("q_doc_readability", docReadability, Some(docReadabilitySql)),
     Q("q_doc_normalize", docNormalize, Some(docNormalizeSql)),
     Q("q_doc_prf", docPrf, Some(docPrfSql)),
+    Q("q_doc_strdist", docStrDist, Some(docStrDistSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),

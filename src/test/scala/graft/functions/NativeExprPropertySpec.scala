@@ -135,6 +135,45 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("StrDist matches published literature values and metric axioms") {
+    import graft.functions.StrDist
+    def u(s: String) = UTF8String.fromString(s)
+    // published Jaro/Jaro–Winkler values (Winkler 1990's own examples)
+    assert(math.abs(StrDist.jaro("martha", "marhta") - 0.9444444444444445) < 1e-12)
+    assert(math.abs(StrDist.jaroWinkler(u("martha"), u("marhta")) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(StrDist.jaro("dixon", "dicksonx") - 0.7666666666666666) < 1e-12)
+    assert(math.abs(StrDist.jaroWinkler(u("dixon"), u("dicksonx")) - 0.8133333333333332) < 1e-12)
+    assert(math.abs(StrDist.jaroWinkler(u("duane"), u("dwayne")) - 0.84) < 1e-12)
+    // boost gate: below 0.7 the prefix boost must NOT apply
+    assert(StrDist.jaroWinkler(u("aXXXX"), u("aYYYY")) == StrDist.jaro("aXXXX", "aYYYY"))
+    // empty-string convention (DuckDB core): either empty -> 0, even both
+    assert(StrDist.jaro("", "") == 0.0 && StrDist.jaro("a", "") == 0.0)
+    // TRUE Damerau-Levenshtein: ca->abc is 2 (OSA would say 3)
+    assert(StrDist.damerau(u("ca"), u("abc")) == 2)
+    assert(StrDist.damerau(u("abcd"), u("acbd")) == 1)
+    assert(StrDist.damerau(u("ab"), u("ba")) == 1)
+    assert(StrDist.damerau(u("kitten"), u("sitting")) == 3)
+    assert(StrDist.hamming(u("abc"), u("abd")) == 1)
+    // axioms over random strings: identity, symmetry, dl <= lev
+    val alpha = "abcde"
+    def rs() = Seq.fill(rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    for (_ <- 0 until 200) {
+      val (s, t) = (rs(), rs())
+      assert(StrDist.damerau(u(s), u(s)) == 0)
+      assert(StrDist.damerau(u(s), u(t)) == StrDist.damerau(u(t), u(s)))
+      assert(StrDist.damerau(u(s), u(t)) <= lev(s, t), s"dl > lev for $s/$t")
+      assert(math.abs(StrDist.jaroWinkler(u(s), u(t))
+        - StrDist.jaroWinkler(u(t), u(s))) < 1e-12)
+    }
+  }
+
   test("NfcNormalize / StripAccents equal the java.text.Normalizer reference") {
     val pieces = Vector("caf\u00e9", "cafe\u0301", "d\u00e9j\u00e0", "\u00fc", "u\u0308", "plain",
       "\u00f1", "n\u0303", "", "mixed \u00e9e\u0301")
