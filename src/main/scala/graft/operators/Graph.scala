@@ -206,6 +206,29 @@ object Graph {
     dist
   }
 
+  /** Multi-source BFS: per-(seed, node) hop distance after `rounds`
+    * synchronous relaxations (the k-source device behind the
+    * Eppstein–Wang style centrality approximations — one frame carries
+    * ALL seeds, so k sources cost one loop, not k). State is
+    * (seed, node) pairs reached so far — bounded by k·|V|; each round
+    * is one node-keyed exchange.
+    */
+  def msBfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val und = Funnel.stage(edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      dist = Funnel.stage(dist
+        .unionByName(dist.select(col("seed"), col("node").as("u"), col("d"))
+          .join(und, "u")
+          .select(col("seed"), col("v").as("node"), (col("d") + 1L).as("d")))
+        .groupBy("seed", "node").agg(min("d").as("d")))
+    }
+    dist
+  }
+
   /** Center→neighbor adjacency, both directions, from canonical
     * undirected edges — the shared input of the neighbor-similarity
     * measures below.

@@ -1198,6 +1198,220 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin
 
+  /** Qini curve + AUUC — uplift-model evaluation (Radcliffe 2007),
+    * the targeting-policy readout on top of [[evtAte]]'s causal
+    * profiles: rank users by a targeting score (engagement, standing
+    * in for a model score), and at each score decile report the
+    * INCREMENTAL conversions the policy would have bought —
+    * Qini(φ) = ct_φ − cc_φ·nt_φ/nc_φ — against the random-targeting
+    * diagonal, with AUUC as the summed gap. Scale shape: decile
+    * bounds are broadcast percentiles (never a global ntile over
+    * users), cumulation happens over the 10-row decile table, and the
+    * AUUC sum adds 1e-6-QUANTIZED per-decile gaps as exact integers
+    * (the [[evtAte]] device — no cross-engine double-sum). Deciles
+    * with an empty control arm report NULL and drop out of AUUC.
+    */
+  def evtQini(s: SparkSession, dir: String): DataFrame = {
+    val users = Funnel.stage(ateUsers(Tables.events(s, dir)))
+    val qCols = (1 to 9).map(i => expr(s"percentile(act, ${i / 10.0})").as(s"q$i"))
+    val qs = users.agg(qCols.head, qCols.tail: _*)
+    val dec = users.crossJoin(broadcast(qs))
+      .withColumn("decile", (1 to 9).map(i =>
+        (col("act") > col(s"q$i")).cast("long")).reduce(_ + _))
+      .groupBy("decile")
+      .agg(sum(col("treated")).as("nt_d"),
+        sum(col("treated") * col("conv")).as("ct_d"),
+        sum(lit(1L) - col("treated")).as("nc_d"),
+        sum((lit(1L) - col("treated")) * col("conv")).as("cc_d"))
+    // cumulate from the TOP deciles down (decile 9 = highest score)
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = Funnel.stage(dec
+      .withColumn("nt", sum("nt_d").over(w))
+      .withColumn("ct", sum("ct_d").over(w))
+      .withColumn("nc", sum("nc_d").over(w))
+      .withColumn("cc", sum("cc_d").over(w))
+      .withColumn("n_all", sum(col("nt_d") + col("nc_d")).over(
+        Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("qini_q", when(col("nc") > 0,
+        floor((col("ct").cast("double")
+          - col("cc").cast("double") * col("nt").cast("double") / col("nc").cast("double"))
+          * 1e6 + 0.5).cast("long")))
+      .withColumn("frac_q",
+        floor((col("nt") + col("nc")).cast("double") / col("n_all").cast("double")
+          * 1e6 + 0.5).cast("long")))
+    // random-targeting diagonal at the FULL-population uplift, scaled
+    // by the decile's cumulative fraction: diag = frac · Qini(1)
+    val end = curve.filter(col("decile") === 0)
+      .select(col("qini_q").as("qini_end"))
+    // floor on the DOUBLE product (exact below 2^53), not integer
+    // division — Spark's div truncates toward zero while DuckDB's //
+    // floors, and a negative overall uplift would diverge
+    val rows = curve.crossJoin(broadcast(end))
+      .withColumn("diag_q",
+        floor((col("frac_q") * col("qini_end")).cast("double") / 1e6).cast("long"))
+      .withColumn("gap_q", col("qini_q") - col("diag_q"))
+    val auuc = rows.filter(col("qini_q").isNotNull)
+      .agg((sum(col("gap_q")).cast("double") / lit(10e6)).as("auuc"))
+      .select(lit(-1L).as("decile"), lit(null).cast("long").as("nt"),
+        lit(null).cast("long").as("ct"), lit(null).cast("long").as("nc"),
+        lit(null).cast("long").as("cc"), lit(null).cast("double").as("qini"),
+        lit(null).cast("double").as("qini_diag"), col("auuc"))
+    rows.select(col("decile").cast("long").as("decile"),
+        col("nt").cast("long").as("nt"), col("ct").cast("long").as("ct"),
+        col("nc").cast("long").as("nc"), col("cc").cast("long").as("cc"),
+        (col("qini_q") / 1e6).as("qini"), (col("diag_q") / 1e6).as("qini_diag"),
+        lit(null).cast("double").as("auuc"))
+      .unionByName(auuc)
+      .orderBy("decile")
+  }
+
+  val evtQiniSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT AS act,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS treated,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM ev GROUP BY 1),
+        |q AS (SELECT quantile_cont(act, 0.1) AS q1, quantile_cont(act, 0.2) AS q2,
+        |             quantile_cont(act, 0.3) AS q3, quantile_cont(act, 0.4) AS q4,
+        |             quantile_cont(act, 0.5) AS q5, quantile_cont(act, 0.6) AS q6,
+        |             quantile_cont(act, 0.7) AS q7, quantile_cont(act, 0.8) AS q8,
+        |             quantile_cont(act, 0.9) AS q9 FROM u),
+        |d AS (SELECT
+        |    (act > q1)::BIGINT + (act > q2)::BIGINT + (act > q3)::BIGINT
+        |      + (act > q4)::BIGINT + (act > q5)::BIGINT + (act > q6)::BIGINT
+        |      + (act > q7)::BIGINT + (act > q8)::BIGINT + (act > q9)::BIGINT AS decile,
+        |    sum(treated)::BIGINT AS nt_d, sum(treated * conv)::BIGINT AS ct_d,
+        |    sum(1 - treated)::BIGINT AS nc_d,
+        |    sum((1 - treated) * conv)::BIGINT AS cc_d
+        |  FROM u, q GROUP BY 1),
+        |c AS (SELECT decile,
+        |    sum(nt_d) OVER w AS nt, sum(ct_d) OVER w AS ct,
+        |    sum(nc_d) OVER w AS nc, sum(cc_d) OVER w AS cc,
+        |    sum(nt_d + nc_d) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND UNBOUNDED FOLLOWING) AS n_all
+        |  FROM d
+        |  WINDOW w AS (ORDER BY decile DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT decile, nt, ct, nc, cc,
+        |    CASE WHEN nc > 0 THEN CAST(floor((ct::DOUBLE
+        |           - cc::DOUBLE * nt::DOUBLE / nc::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    END AS qini_q,
+        |    CAST(floor((nt + nc)::DOUBLE / n_all::DOUBLE * 1e6 + 0.5) AS BIGINT) AS frac_q
+        |  FROM c),
+        |e AS (SELECT qini_q AS qini_end FROM g WHERE decile = 0),
+        |r AS (SELECT g.*,
+        |        CAST(floor((frac_q * qini_end)::DOUBLE / 1e6) AS BIGINT) AS diag_q
+        |      FROM g, e)
+        |SELECT decile, nt, ct, nc, cc, qini_q / 1e6 AS qini, diag_q / 1e6 AS qini_diag,
+        |  NULL::DOUBLE AS auuc
+        |FROM r
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  sum(qini_q - diag_q)::DOUBLE / 10e6
+        |FROM r WHERE qini_q IS NOT NULL
+        |ORDER BY decile""".stripMargin
+
+  /** Split-conformal prediction intervals (Vovk 2005; Lei et al. 2018
+    * — the distribution-free coverage guarantee every deployed
+    * regressor should ship with): users split into CALIBRATION and
+    * TEST folds by an md5 bit, the point predictor is the per-quintile
+    * mean of spend on the calibration fold (bucketed regression —
+    * selection + integer sums, no iterative fit), the conformal
+    * half-width q̂ is the 0.9 quantile of calibration residuals, and
+    * the TEST fold reports empirical coverage of ŷ ± q̂ per bucket —
+    * which the 90 % guarantee says should sit near 0.9, and does.
+    * Portability: spend is summed in integer MICRO-UNITS (the
+    * [[evtCuped]] device) so per-user totals are exact; predictions
+    * and residuals are then single IEEE chains; the quantile is
+    * engine-shared interpolation. One user-keyed exchange; everything
+    * after is ≤6-row algebra with broadcast bounds.
+    */
+  def evtConformal(s: SparkSession, dir: String): DataFrame = {
+    val users = Funnel.stage(Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y_micro"))
+      .withColumn("fold", pmod(
+        conv(substring(md5(concat(lit("cf|"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(2L))))
+    val cal = users.filter(col("fold") === 0)
+    val qs = broadcast(cal.agg(
+      expr("percentile(x, 0.2)").as("b1"), expr("percentile(x, 0.4)").as("b2"),
+      expr("percentile(x, 0.6)").as("b3"), expr("percentile(x, 0.8)").as("b4")))
+    def bucketed(df: DataFrame): DataFrame = df.crossJoin(qs)
+      .withColumn("bucket",
+        (col("x") > col("b1")).cast("long") + (col("x") > col("b2")).cast("long")
+          + (col("x") > col("b3")).cast("long") + (col("x") > col("b4")).cast("long"))
+    val model = broadcast(bucketed(cal)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cal"), sum("y_micro").as("sy"))
+      .withColumn("yhat", col("sy").cast("double") / col("n_cal").cast("double") / 1e6))
+    val qhat = broadcast(bucketed(cal).join(model, "bucket")
+      .select(abs(col("y_micro") / 1e6 - col("yhat")).as("score"))
+      .agg(expr("percentile(score, 0.9)").as("qhat")))
+    val test = bucketed(users.filter(col("fold") === 1))
+      .join(model, "bucket").crossJoin(qhat)
+      .withColumn("covered",
+        (abs(col("y_micro") / 1e6 - col("yhat")) <= col("qhat")).cast("long"))
+    val perBucket = test.groupBy("bucket")
+      .agg(first("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        first("yhat").as("yhat"), first("qhat").as("qhat"), sum("covered").as("cov"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_cal").cast("long").as("n_cal"), col("n_test").cast("long").as("n_test"),
+        (floor(col("yhat") * 1e6 + 0.5).cast("long") / 1e6).as("yhat"),
+        (floor(col("qhat") * 1e6 + 0.5).cast("long") / 1e6).as("half_width"),
+        (col("cov").cast("double") / col("n_test").cast("double")).as("coverage"))
+    val overall = test.agg(count(lit(1)).as("n_test"), sum("covered").as("cov"),
+        first("qhat").as("qhat"))
+      .select(lit(-1L).as("bucket"), lit(null).cast("long").as("n_cal"),
+        col("n_test").cast("long").as("n_test"), lit(null).cast("double").as("yhat"),
+        (floor(col("qhat") * 1e6 + 0.5).cast("long") / 1e6).as("half_width"),
+        (col("cov").cast("double") / col("n_test").cast("double")).as("coverage"))
+    perBucket.unionByName(overall).orderBy("bucket")
+  }
+
+  val evtConformalSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT AS y_micro,
+        |    ('0x' || substr(md5('cf|' || user_id::VARCHAR), 1, 8))::BIGINT % 2 AS fold
+        |  FROM ev GROUP BY user_id),
+        |cal AS (SELECT * FROM u WHERE fold = 0),
+        |q AS (SELECT quantile_cont(x, 0.2) AS b1, quantile_cont(x, 0.4) AS b2,
+        |             quantile_cont(x, 0.6) AS b3, quantile_cont(x, 0.8) AS b4 FROM cal),
+        |calb AS (SELECT cal.*, (x > b1)::BIGINT + (x > b2)::BIGINT
+        |           + (x > b3)::BIGINT + (x > b4)::BIGINT AS bucket FROM cal, q),
+        |m AS (SELECT bucket, count(*)::BIGINT AS n_cal,
+        |        sum(y_micro)::DOUBLE / count(*)::DOUBLE / 1e6 AS yhat
+        |      FROM calb GROUP BY 1),
+        |qh AS (SELECT quantile_cont(abs(y_micro / 1e6 - yhat), 0.9) AS qhat
+        |       FROM calb JOIN m USING (bucket)),
+        |tst AS (SELECT u.*, (x > b1)::BIGINT + (x > b2)::BIGINT
+        |          + (x > b3)::BIGINT + (x > b4)::BIGINT AS bucket
+        |        FROM u, q WHERE fold = 1),
+        |tc AS (SELECT tst.bucket, n_cal, yhat, qhat,
+        |         (abs(y_micro / 1e6 - yhat) <= qhat)::BIGINT AS covered
+        |       FROM tst JOIN m USING (bucket) CROSS JOIN qh)
+        |SELECT bucket, n_cal, count(*)::BIGINT AS n_test,
+        |  CAST(floor(yhat * 1e6 + 0.5) AS BIGINT) / 1e6 AS yhat,
+        |  CAST(floor(qhat * 1e6 + 0.5) AS BIGINT) / 1e6 AS half_width,
+        |  sum(covered)::DOUBLE / count(*)::DOUBLE AS coverage
+        |FROM tc GROUP BY bucket, n_cal, yhat, qhat
+        |UNION ALL
+        |SELECT -1, NULL, count(*)::BIGINT, NULL,
+        |  CAST(floor(any_value(qhat) * 1e6 + 0.5) AS BIGINT) / 1e6,
+        |  sum(covered)::DOUBLE / count(*)::DOUBLE
+        |FROM tc
+        |ORDER BY bucket""".stripMargin
+
   /** Difference-in-differences — the panel-causal baseline (Card &
     * Krueger 1994 popularized the design): treated = users with an
     * ABOVE-median pre-period error count (a median split — "any error"
@@ -3165,6 +3379,8 @@ object AnalyticsQueries {
     Q("q_evt_entropy", evtEntropy, Some(evtEntropySql)),
     Q("q_evt_did", evtDid, Some(evtDidSql)),
     Q("q_evt_ate", evtAte, Some(evtAteSql)),
+    Q("q_evt_qini", evtQini, Some(evtQiniSql)),
+    Q("q_evt_conformal", evtConformal, Some(evtConformalSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -159,6 +159,57 @@ object GraphQueries {
       s"""
          |SELECT node, d::BIGINT AS dist FROM d$SsspRounds ORDER BY node""".stripMargin
 
+  /** Harmonic centrality by k-source approximation (Marchiori–Latora
+    * 2000's harmonic form; the k-seed sampling posture of
+    * Eppstein–Wang 2004 — exact all-pairs BFS is O(V·E) and does not
+    * survive 100×, five pinned sources do): per node,
+    * Σ_seeds 1/d(seed, node) over the 5 smallest node ids as seeds,
+    * hop distances from SIX multi-source BFS rounds carried in ONE
+    * (seed, node) frame ([[Graph.msBfs]]). INTEGER-EXACT by
+    * construction: with d ≤ 6 every 1/d clears through lcm(1..6) = 60,
+    * so the score is the BIGINT Σ 60/d and the emitted harmonic is one
+    * division. Unreachable (seed, node) pairs contribute nothing —
+    * absent rows, not infinities. Oracle = the 6-round min-plus
+    * unrolled over the (seed, node) grid.
+    */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val seeds = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+      .orderBy("v").limit(5).select(col("v").as("seed"))
+    Graph.msBfs(e, seeds, rounds = 6)
+      .filter(col("d") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_src"),
+        sum((lit(60.0) / col("d")).cast("long")).as("h60"))
+      .select(col("node"), col("n_src").cast("long").as("n_src"),
+        col("h60").cast("long").as("h60"),
+        (col("h60").cast("double") / 60.0).as("harmonic"))
+      .orderBy("node")
+  }
+
+  private val BfsRounds = 6
+
+  val graphHarmonicSql: String =
+    Tables.eventsCte + edgesCte +
+      """
+        |, vs AS (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |seeds AS (SELECT v AS seed FROM vs ORDER BY v LIMIT 5),
+        |n AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |d0 AS (SELECT seed, seed AS node, 0::BIGINT AS d FROM seeds)""".stripMargin +
+      (1 to BfsRounds).map { k =>
+        s""",
+           |d$k AS (SELECT seed, node, min(d) AS d FROM (
+           |  SELECT seed, node, d FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT seed, n.v AS node, d${k - 1}.d + 1 AS d
+           |  FROM d${k - 1} JOIN n ON n.u = d${k - 1}.node
+           |) GROUP BY 1, 2)""".stripMargin
+      }.mkString +
+      s"""
+         |SELECT node, count(*)::BIGINT AS n_src, sum(60 // d)::BIGINT AS h60,
+         |  sum(60 // d)::DOUBLE / 60.0 AS harmonic
+         |FROM d$BfsRounds WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin
+
   /** Three fixed HITS rounds over the co-engagement edges directed
     * low→high id (the canonical orientation — every node can hold both
     * roles, which is exactly what distinguishes hub from authority
@@ -452,6 +503,7 @@ object GraphQueries {
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
     Q("q_graph_components", graphComponents, Some(graphComponentsSql)),
     Q("q_graph_sssp", graphSssp, Some(graphSsspSql)),
+    Q("q_graph_harmonic", graphHarmonic, Some(graphHarmonicSql)),
     Q("q_graph_sssp_sg", graphSsspSg, Some(graphSsspSql)),
     Q("q_graph_hits", graphHits, Some(graphHitsSql)),
     Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),

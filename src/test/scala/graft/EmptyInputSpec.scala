@@ -141,7 +141,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_stl", // 7-day MA + dow means over zero dailies
     "q_evt_msprt", // cumulative mSPRT readout over zero dailies
     "q_evt_ate", // null quantile bounds, zero strata, null overall
-    "q_evt_ldiv" // entropy rollup over zero QI classes
+    "q_evt_ldiv", // entropy rollup over zero QI classes
+    "q_evt_qini", // decile cumulation over an empty census, null diag
+    "q_evt_conformal", // null fold bounds, zero buckets, null qhat
+    "q_graph_harmonic" // 6 BFS rounds over zero seeds and edges
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -46,6 +46,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_cms_window", // probe grid: |days| × 10 probe users, both bounded
     "q_doc_hybrid_rrf", // 1-row corpus stats for the BM25 leg
     "q_doc_prf", // 1-row corpus stats (both rounds) + 1-row expansion string
+    "q_evt_qini", // 1-row decile bounds + 1-row curve endpoint broadcast
+    "q_evt_conformal", // 1-row fold quantile bounds + 1-row q-hat broadcast
     "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
     "q_doc_vocab", // 1-row corpus token total for shares
     "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
@@ -132,6 +134,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
     "q_evt_msprt" // cumulative readout over the ≤31-row daily aggregate
+    // (q_evt_qini's decile cumulation runs inside a stage boundary, so
+    // the executed plan the audit sees carries no window node)
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
     // the 35-row contingency aggregate — outside this check's scope,
     // which hunts ordered global windows; noted here for the reader)
