@@ -52,8 +52,13 @@ object RankSql {
     val partCols = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val orderSpecs = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
       val parts = spec.split("\\s+")
-      val desc = parts.length > 1 && parts(1).equalsIgnoreCase("DESC")
-      (parts(0), desc)
+      // refuse modifiers we would silently mistranslate (NULLS FIRST/LAST
+      // would change which rows the incremental trim keeps vs Catalyst)
+      require(parts.length <= 2 &&
+        (parts.length == 1 || parts(1).equalsIgnoreCase("ASC")
+          || parts(1).equalsIgnoreCase("DESC")),
+        s"rank route supports only `col [ASC|DESC]` order specs, got: $spec")
+      (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
     }
     val rnAlias = m.group(4)
     require(m.group(6).equalsIgnoreCase(rnAlias),
@@ -66,7 +71,13 @@ object RankSql {
     def topN(df: DataFrame): DataFrame =
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
 
-    val store = graft.streaming.VersionedStore(spark, s"$stateDir/ranksql_$table")
+    // a per-RUN unique store directory: a fixed path keyed by view name
+    // would let two concurrent JVMs (different datasets, same view name)
+    // read each other's state versions
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val runDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(stateDir), s"ranksql_${table}_")
+    val store = graft.streaming.VersionedStore(spark, runDir.toString)
     store.init(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], src.schema))
     var last = -1L
     val q = src.writeStream
@@ -78,11 +89,13 @@ object RankSql {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(last >= 0, s"rank route over $table: no micro-batch arrived")
     // the statement itself now runs over the maintained state — outer
-    // projection/ordering semantics are Catalyst's, not re-implemented
+    // projection/ordering semantics are Catalyst's, not re-implemented.
+    // Zero micro-batches = the empty init state: the statement returns
+    // its (empty) result exactly as the batch form would.
+    val state = if (last >= 0) store.version(last) else store.prior(0L)
     val view = s"__ranksql_${table}_state"
-    store.version(last).createOrReplaceTempView(view)
+    state.createOrReplaceTempView(view)
     spark.sql(sql.replaceAll(s"(?i)\\bFROM\\s+$table\\b", s"FROM $view"))
   }
 }

@@ -282,15 +282,18 @@ object StrDist {
     d(m + 1)(n + 1)
   }
 
-  /** Hamming distance, defined for equal-length strings (callers guard;
-    * DuckDB's `hamming` errors on unequal lengths).
+  /** Hamming distance over equal-length strings. Callers must guard
+    * lengths — [[HammingStr]] returns NULL on unequal lengths (DuckDB's
+    * `hamming` ERRORS there; null is the closest expression-safe
+    * behavior, and a silent fabricated distance would hide the domain
+    * violation from the oracle).
     */
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val s = a.toString; val t = b.toString
     var c = 0; var i = 0
     val n = math.min(s.length, t.length)
     while (i < n) { if (s.charAt(i) != t.charAt(i)) c += 1; i += 1 }
-    c + math.abs(s.length - t.length)
+    c
   }
 }
 
@@ -332,19 +335,33 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** HAMMING_STR(a, b): positional mismatch count (callers guard equal
-  * lengths to match DuckDB's domain).
+/** HAMMING_STR(a, b): positional mismatch count; NULL when lengths
+  * differ (the function's mathematical domain — DuckDB's `hamming`
+  * errors there, so a silent value would diverge from any oracle).
   */
 case class HammingStr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "hamming_str"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    StrDist.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input); val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val x = a.asInstanceOf[UTF8String]; val y = b.asInstanceOf[UTF8String]
+      if (x.numChars() != y.numChars()) null else StrDist.hamming(x, y)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrDist.hamming($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |if ($a.numChars() != $b.numChars()) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.StrDist.hamming($a, $b);
+       |}
+     """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingStr =
     copy(left = l, right = r)

@@ -1131,6 +1131,16 @@ object AnalyticsQueries {
         max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("treated"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
 
+  /** Threshold bucketization: Σ (value > boundᵢ) over broadcast exact
+    * percentiles — the shared quantile-stratification device under
+    * [[evtAte]], [[evtQini]], and [[evtConformal]] (never a global
+    * ntile over a corpus-scale table; ties at a bound land identically
+    * on both engines because the comparison is the definition).
+    */
+  private def thresholdBucket(value: org.apache.spark.sql.Column,
+      bounds: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    bounds.map(b => (value > b).cast("long")).reduce(_ + _)
+
   /** The subclassification tail over the user profile table — shared
     * by the batch query and the streaming maintainer's solve. Callers
     * stage `users` (it fans out to the quantile aggregate and the
@@ -1142,8 +1152,7 @@ object AnalyticsQueries {
       expr("percentile(act, 0.6)").as("q3"), expr("percentile(act, 0.8)").as("q4"))
     val strat = users.crossJoin(broadcast(qs))
       .withColumn("stratum",
-        (col("act") > col("q1")).cast("long") + (col("act") > col("q2")).cast("long")
-          + (col("act") > col("q3")).cast("long") + (col("act") > col("q4")).cast("long"))
+        thresholdBucket(col("act"), (1 to 4).map(i => col(s"q$i"))))
       .groupBy("stratum")
       .agg(sum(col("treated")).as("n_t"),
         sum(lit(1L) - col("treated")).as("n_c"),
@@ -1216,8 +1225,8 @@ object AnalyticsQueries {
     val qCols = (1 to 9).map(i => expr(s"percentile(act, ${i / 10.0})").as(s"q$i"))
     val qs = users.agg(qCols.head, qCols.tail: _*)
     val dec = users.crossJoin(broadcast(qs))
-      .withColumn("decile", (1 to 9).map(i =>
-        (col("act") > col(s"q$i")).cast("long")).reduce(_ + _))
+      .withColumn("decile",
+        thresholdBucket(col("act"), (1 to 9).map(i => col(s"q$i"))))
       .groupBy("decile")
       .agg(sum(col("treated")).as("nt_d"),
         sum(col("treated") * col("conv")).as("ct_d"),
@@ -1345,13 +1354,15 @@ object AnalyticsQueries {
       expr("percentile(x, 0.6)").as("b3"), expr("percentile(x, 0.8)").as("b4")))
     def bucketed(df: DataFrame): DataFrame = df.crossJoin(qs)
       .withColumn("bucket",
-        (col("x") > col("b1")).cast("long") + (col("x") > col("b2")).cast("long")
-          + (col("x") > col("b3")).cast("long") + (col("x") > col("b4")).cast("long"))
-    val model = broadcast(bucketed(cal)
+        thresholdBucket(col("x"), (1 to 4).map(i => col(s"b$i"))))
+    // staged: the calibration bucketing fans out to the model fit AND
+    // the residual-quantile pass
+    val calB = Funnel.stage(bucketed(cal))
+    val model = broadcast(calB
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_cal"), sum("y_micro").as("sy"))
       .withColumn("yhat", col("sy").cast("double") / col("n_cal").cast("double") / 1e6))
-    val qhat = broadcast(bucketed(cal).join(model, "bucket")
+    val qhat = broadcast(calB.join(model, "bucket")
       .select(abs(col("y_micro") / 1e6 - col("yhat")).as("score"))
       .agg(expr("percentile(score, 0.9)").as("qhat")))
     val test = bucketed(users.filter(col("fold") === 1))

@@ -3684,7 +3684,8 @@ object PipelineQueries {
        |         WHERE tok NOT IN ('table', 'row')
        |         GROUP BY 1 ORDER BY w DESC, tok LIMIT 3),
        |q2 AS (SELECT qid, tok FROM q1 UNION ALL SELECT 1::BIGINT, tok FROM exp3),
-       |es AS (SELECT string_agg(tok, ',' ORDER BY tok) AS expansion FROM exp3),
+       |es AS (SELECT coalesce(string_agg(tok, ',' ORDER BY tok), '') AS expansion
+       |       FROM exp3),
        |sc2 AS (SELECT qid::BIGINT AS qid, p.doc_id,
        |         round(sum(round(round(ln(round((nd - df + 0.5) / (df + 0.5), 9) + 1), 9)
        |           * (tf * 2.2)
