@@ -1220,8 +1220,14 @@ object AnalyticsQueries {
     * (the [[evtAte]] device — no cross-engine double-sum). Deciles
     * with an empty control arm report NULL and drop out of AUUC.
     */
-  def evtQini(s: SparkSession, dir: String): DataFrame = {
-    val users = Funnel.stage(ateUsers(Tables.events(s, dir)))
+  def evtQini(s: SparkSession, dir: String): DataFrame =
+    qiniFromUsers(Funnel.stage(ateUsers(Tables.events(s, dir))))
+
+  /** The Qini/AUUC tail over the user profile table — shared by the
+    * batch query and the streaming maintainer's solve (same additive
+    * store as [[evtAte]]'s). Callers stage `users`.
+    */
+  private[queries] def qiniFromUsers(users: DataFrame): DataFrame = {
     val qCols = (1 to 9).map(i => expr(s"percentile(act, ${i / 10.0})").as(s"q$i"))
     val qs = users.agg(qCols.head, qCols.tail: _*)
     val dec = users.crossJoin(broadcast(qs))
@@ -1339,15 +1345,28 @@ object AnalyticsQueries {
     * engine-shared interpolation. One user-keyed exchange; everything
     * after is ≤6-row algebra with broadcast bounds.
     */
-  def evtConformal(s: SparkSession, dir: String): DataFrame = {
-    val users = Funnel.stage(Tables.events(s, dir)
-      .groupBy("user_id")
+  def evtConformal(s: SparkSession, dir: String): DataFrame =
+    conformalFromUsers(Funnel.stage(conformalUsers(Tables.events(s, dir))))
+
+  /** The per-user (covariate, micro-unit spend, fold) profile under
+    * [[evtConformal]] — sums are additive, the fold is a pure key
+    * function, so the streaming maintainer is a user-keyed sum-merge
+    * store.
+    */
+  private[queries] def conformalUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase",
           floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y_micro"))
       .withColumn("fold", pmod(
         conv(substring(md5(concat(lit("cf|"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long"), lit(2L))))
+          16, 10).cast("long"), lit(2L)))
+
+  /** The split-conformal tail over the user profile table — shared by
+    * the batch query and the streaming maintainer's solve. Callers
+    * stage `users`.
+    */
+  private[queries] def conformalFromUsers(users: DataFrame): DataFrame = {
     val cal = users.filter(col("fold") === 0)
     val qs = broadcast(cal.agg(
       expr("percentile(x, 0.2)").as("b1"), expr("percentile(x, 0.4)").as("b2"),

@@ -2571,6 +2571,72 @@ object StreamingQueries {
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
   }
 
+  /** Qini/AUUC maintained on a stream ([[AnalyticsQueries.evtQini]] as
+    * a live targeting-policy monitor): SAME additive user-profile
+    * store shape as [[streamAte]] — activity sums sum, flags max —
+    * with the uplift-curve tail run at end of stream. Oracle = the
+    * batch statement verbatim.
+    */
+  def streamQini(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sqini",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sqini_store"))
+    store.init(AQ.ateUsers(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(AQ.ateUsers(batch))
+          .groupBy("user_id").agg(sum("act").as("act"),
+            max("treated").as("treated"), max("conv").as("conv")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.qiniFromUsers(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("user_id"), col("act").cast("long").as("act"),
+          col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
+  }
+
+  /** Split-conformal coverage maintained on a stream
+    * ([[AnalyticsQueries.evtConformal]] as a continuously-refreshed
+    * model-trust monitor): state = the per-user (covariate, micro-unit
+    * spend) sums — purely additive; the fold bit is a pure function of
+    * the key, recomputed at solve time. Oracle = the batch statement
+    * verbatim.
+    */
+  def streamConformal(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sconf",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def prof(df: DataFrame): DataFrame = AQ.conformalUsers(df).drop("fold")
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sconf_store"))
+    store.init(prof(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(prof(batch))
+          .groupBy("user_id").agg(sum("x").as("x"), sum("y_micro").as("y_micro")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.conformalFromUsers(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("user_id"), col("x").cast("long").as("x"),
+          col("y_micro").cast("long").as("y_micro"))
+        .withColumn("fold", pmod(
+          conv(substring(md5(concat(lit("cf|"), col("user_id").cast("string"))), 1, 8),
+            16, 10).cast("long"), lit(2L)))))
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4311,6 +4377,8 @@ object StreamingQueries {
     Q("q_stream_stl", streamStl, Some(AnalyticsQueries.evtStlSql)),
     Q("q_stream_msprt", streamMsprt, Some(AnalyticsQueries.evtMsprtSql)),
     Q("q_stream_ate", streamAte, Some(AnalyticsQueries.evtAteSql)),
+    Q("q_stream_qini", streamQini, Some(AnalyticsQueries.evtQiniSql)),
+    Q("q_stream_conformal", streamConformal, Some(AnalyticsQueries.evtConformalSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
