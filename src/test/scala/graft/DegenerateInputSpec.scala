@@ -90,4 +90,35 @@ class DegenerateInputSpec extends SparkSpec {
     assert(rows.length == n.toInt)
     assert(rows.forall(_.isNullAt(1)), "pc1 must be NULL when no discriminant exists")
   }
+
+  test("evtMsprt: zero purchases -> zero pooled variance -> NULL llr/p, reject false") {
+    val rows = AnalyticsQueries.evtMsprt(spark, acyclicDir).collect()
+    assert(rows.nonEmpty, "each observed day still reports its arm counts")
+    val iLlr = rows.head.fieldIndex("llr"); val iP = rows.head.fieldIndex("p_always")
+    val iRej = rows.head.fieldIndex("reject")
+    assert(rows.forall(r => r.isNullAt(iLlr) && r.isNullAt(iP)),
+      "the statistic must be NULL when vn = 0 (no conversions)")
+    assert(rows.forall(!_.getBoolean(iRej)), "an undefined test must never reject")
+  }
+
+  test("evtQini / evtAte: every user treated -> empty control arm -> NULL effects, no crash") {
+    val qini = AnalyticsQueries.evtQini(spark, acyclicDir).collect()
+    val iQ = qini.head.fieldIndex("qini"); val iA = qini.head.fieldIndex("auuc")
+    assert(qini.filter(_.getLong(0) >= 0).forall(_.isNullAt(iQ)),
+      "per-decile qini must be NULL with nc = 0 (everyone signs up in this fixture)")
+    assert(qini.filter(_.getLong(0) == -1L).forall(_.isNullAt(iA)),
+      "AUUC over zero defined deciles must be NULL, not 0")
+    val ate = AnalyticsQueries.evtAte(spark, acyclicDir).collect()
+    val iE = ate.head.fieldIndex("ate")
+    assert(ate.forall(_.isNullAt(iE)), "stratum and overall ATE must all be NULL")
+  }
+
+  test("evtConformal: zero spend everywhere -> zero-width intervals with full coverage") {
+    val rows = AnalyticsQueries.evtConformal(spark, acyclicDir).collect()
+    val iW = rows.head.fieldIndex("half_width"); val iC = rows.head.fieldIndex("coverage")
+    assert(rows.forall(r => r.getDouble(iW) == 0.0),
+      "all residuals are 0, so the conformal half-width must be 0")
+    assert(rows.forall(r => r.getDouble(iC) == 1.0),
+      "|0 - 0| <= 0 covers every test row")
+  }
 }
