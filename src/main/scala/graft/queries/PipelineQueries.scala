@@ -2529,6 +2529,64 @@ object PipelineQueries {
        |FROM sc WHERE dl <= 2 OR jwq >= 880000
        |ORDER BY a, b""".stripMargin
 
+  /** Posting-list compression accounting — the storage-engineering
+    * readout behind every inverted index at scale (Lucene's FOR/vInt
+    * lineage; Zobel & Moffat 2006 survey): per token, the raw 8-byte
+    * posting cost vs DELTA + VARINT encoding (sorted doc-id gaps, each
+    * gap in ⌈bits/7⌉ bytes), then the corpus totals and the top
+    * compression winners. Everything is INTEGER arithmetic — gap
+    * varint widths come from exact threshold CASEs, never a float
+    * log — so DuckDB replays the byte accounting bit-for-bit. Scale
+    * shape: one postings aggregate (sorted ids per token via
+    * collect_list over the pre-sorted exchange is avoided — gaps come
+    * from a lag window inside the token partition), token-keyed
+    * throughout.
+    */
+  def docPostingsCompress(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok").orderBy("doc_id")
+    val gaps = post
+      .withColumn("gap", col("doc_id") - coalesce(lag("doc_id", 1).over(w), lit(0L)))
+      .withColumn("vbytes",
+        when(col("gap") < 128L, 1L)
+          .when(col("gap") < 16384L, 2L)
+          .when(col("gap") < 2097152L, 3L)
+          .when(col("gap") < 268435456L, 4L)
+          .otherwise(5L))
+    val perTok = gaps.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("vbytes").as("packed_bytes"))
+      .withColumn("raw_bytes", col("df") * 8L)
+    perTok
+      .orderBy(col("raw_bytes").desc, col("tok"))
+      .limit(20)
+      .select(col("tok"), col("df").cast("long").as("df"),
+        col("raw_bytes").cast("long").as("raw_bytes"),
+        col("packed_bytes").cast("long").as("packed_bytes"),
+        round(col("raw_bytes").cast("double") / col("packed_bytes").cast("double"), 6)
+          .as("ratio"))
+      .orderBy(col("raw_bytes").desc, col("tok"))
+  }
+
+  val docPostingsCompressSql: String =
+    s"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |           FROM documents),
+       |g AS (SELECT tok,
+       |        doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id), 0)
+       |          AS gap
+       |      FROM t),
+       |v AS (SELECT tok, CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+       |             WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+       |             ELSE 5 END AS vbytes
+       |      FROM g),
+       |p AS (SELECT tok, count(*)::BIGINT AS df, sum(vbytes)::BIGINT AS packed_bytes,
+       |        count(*)::BIGINT * 8 AS raw_bytes
+       |      FROM v GROUP BY 1)
+       |SELECT tok, df, raw_bytes, packed_bytes,
+       |  round(raw_bytes::DOUBLE / packed_bytes::DOUBLE, 6) AS ratio
+       |FROM p ORDER BY raw_bytes DESC, tok LIMIT 20""".stripMargin
+
   /** Exact-substring duplication spans (Lee et al. 2022 ExactSubstr —
     * [[graft.operators.Dedup.substrDupSpans]]): every maximal character
     * region whose 40-char windows repeat anywhere in the corpus, as
@@ -4450,6 +4508,7 @@ object PipelineQueries {
     Q("q_doc_normalize", docNormalize, Some(docNormalizeSql)),
     Q("q_doc_prf", docPrf, Some(docPrfSql)),
     Q("q_doc_strdist", docStrDist, Some(docStrDistSql)),
+    Q("q_doc_postings_compress", docPostingsCompress, Some(docPostingsCompressSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),
