@@ -372,6 +372,83 @@ object SketchQueries {
         |FROM est JOIN days USING (day) LEFT JOIN ex ON ex.day = est.day AND ex.uid = est.uid
         |ORDER BY day, uid""".stripMargin
 
+  /** Heavy-CHANGE detection via count-min difference (Cormode &
+    * Muthukrishnan 2005's change-detection application — the fourth
+    * leg of the sketch-algebra family: [[evtWauHll]] max-merges,
+    * [[evtCmsWindow]] sum-merges, [[evtBloomWindow]] set-unions, here
+    * the sketches SUBTRACT): per half-month window a CMS over user
+    * activity, then each watchlist user's estimated count DELTA
+    * between the halves, audited against the exact deltas. The change
+    * monitor never touches either window's raw rows at probe time —
+    * the two ≤384-cell grids answer everything, which is the whole
+    * point at 100 TB: yesterday's traffic shifted, and the evidence
+    * fits in a broadcast. All counts integer; estimates are min-cell
+    * upper bounds on both engines bit-for-bit.
+    */
+  def evtCmsChange(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+    val minDay = ev0.agg(min("day").as("d0"))
+    val ev = ev0.crossJoin(broadcast(minDay))
+      .withColumn("w", (datediff(col("day"), col("d0")) >= 15).cast("long"))
+    val cells = Sketches.cmsCellsBy(
+      ev.select(col("w").as("wk"), col("uid")), "wk", "uid", depth = 3, width = 128)
+    val probes = ev.filter(col("uid").cast("long") < 15).select(col("uid")).distinct()
+    val addressed = probes
+      .crossJoin(s.range(2).select(col("id").as("wk")))
+      .withColumn("r", explode(array((0 until 3).map(lit): _*)))
+      .withColumn("b", conv(substring(md5(
+        concat(col("r").cast("string"), lit("|"), col("uid"))), 1, 15), 16, 10)
+        .cast("long") % 128)
+    val est = addressed.join(broadcast(cells), addressed("wk") === cells("key")
+        && addressed("r") === cells("r") && addressed("b") === cells("b"))
+      .groupBy("uid", "wk").agg(min("c").cast("long").as("est"))
+      .groupBy("uid")
+      .agg(sum(when(col("wk") === 0, col("est")).otherwise(0L)).as("est_w0"),
+        sum(when(col("wk") === 1, col("est")).otherwise(0L)).as("est_w1"))
+    val exact = ev.filter(col("uid").cast("long") < 15)
+      .groupBy("uid")
+      .agg(sum(when(col("w") === 0, 1L).otherwise(0L)).as("n_w0"),
+        sum(when(col("w") === 1, 1L).otherwise(0L)).as("n_w1"))
+    est.join(exact, Seq("uid"), "left")
+      .select(col("uid").cast("long").as("uid"),
+        col("est_w0"), col("est_w1"), (col("est_w1") - col("est_w0")).as("delta_est"),
+        coalesce(col("n_w0"), lit(0L)).as("n_w0"),
+        coalesce(col("n_w1"), lit(0L)).as("n_w1"),
+        (coalesce(col("n_w1"), lit(0L)) - coalesce(col("n_w0"), lit(0L)))
+          .as("delta_exact"))
+      .orderBy("uid")
+  }
+
+  val evtCmsChangeSql: String =
+    Tables.eventsCte +
+      """
+        |, e0 AS (SELECT ts::DATE AS day, user_id::VARCHAR AS uid FROM ev),
+        |d0 AS (SELECT min(day) AS d0 FROM e0),
+        |e AS (SELECT uid, (day - (SELECT d0 FROM d0) >= 15)::BIGINT AS w FROM e0),
+        |cells AS (SELECT w AS wk, r.r,
+        |            ('0x' || substr(md5(r.r::VARCHAR || '|' || uid), 1, 15))::BIGINT % 128 AS b,
+        |            count(*)::BIGINT AS c
+        |          FROM e, range(0, 3) r(r) GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT uid FROM e WHERE uid::BIGINT < 15),
+        |pr AS (SELECT uid, wk.wk, r.r,
+        |         ('0x' || substr(md5(r.r::VARCHAR || '|' || uid), 1, 15))::BIGINT % 128 AS b
+        |       FROM probes, range(0, 2) wk(wk), range(0, 3) r(r)),
+        |est0 AS (SELECT uid, wk, min(c)::BIGINT AS est
+        |         FROM pr JOIN cells USING (wk, r, b) GROUP BY 1, 2),
+        |est AS (SELECT uid,
+        |          sum(CASE WHEN wk = 0 THEN est ELSE 0 END)::BIGINT AS est_w0,
+        |          sum(CASE WHEN wk = 1 THEN est ELSE 0 END)::BIGINT AS est_w1
+        |        FROM est0 GROUP BY 1),
+        |ex AS (SELECT uid, sum(CASE WHEN w = 0 THEN 1 ELSE 0 END)::BIGINT AS n_w0,
+        |         sum(CASE WHEN w = 1 THEN 1 ELSE 0 END)::BIGINT AS n_w1
+        |       FROM e WHERE uid::BIGINT < 15 GROUP BY 1)
+        |SELECT est.uid::BIGINT AS uid, est_w0, est_w1, est_w1 - est_w0 AS delta_est,
+        |  coalesce(n_w0, 0)::BIGINT AS n_w0, coalesce(n_w1, 0)::BIGINT AS n_w1,
+        |  coalesce(n_w1, 0) - coalesce(n_w0, 0) AS delta_exact
+        |FROM est LEFT JOIN ex USING (uid)
+        |ORDER BY uid""".stripMargin
+
   /** Recency-scoped membership via Bloom bit OR-merge — the third leg
     * of the windowable-sketch algebra ([[evtWauHll]] max, [[evtCmsWindow]]
     * sum, here set-union): per-day filters over (user, event_type)
@@ -730,6 +807,7 @@ object SketchQueries {
     Q("q_evt_kmv_window", evtKmvWindow, Some(evtKmvWindowSql)),
     Q("q_evt_wau_hll", evtWauHll, Some(evtWauHllSql)),
     Q("q_evt_cms_window", evtCmsWindow, Some(evtCmsWindowSql)),
+    Q("q_evt_cms_change", evtCmsChange, Some(evtCmsChangeSql)),
     Q("q_evt_bloom_window", evtBloomWindow, Some(evtBloomWindowSql)),
     Q("q_doc_hll_by_source", docHllBySource, Some(docHllBySourceSql)),
     Q("q_doc_hll_setops", docHllSetops, Some(docHllSetopsSql)),
