@@ -2571,6 +2571,78 @@ object StreamingQueries {
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
   }
 
+  /** Incremental view maintenance for a two-sided JOIN — the delta
+    * algebra the reference's StreamExecJoin runs inside its state
+    * backends (ref `StreamingJoinOperator.java`: each arriving row
+    * probes the OTHER side's accumulated state), made explicit over
+    * stores: per batch of tagged deltas,
+    * ΔJ = Δl ⋈ O_prev ∪ L_prev ⋈ Δo ∪ Δl ⋈ Δo, and the materialized
+    * join grows append-only (insert-only inputs). Both sides arrive
+    * interleaved in ONE tagged file stream (orders and lineitem rows
+    * split by orderkey mod 3 — the IVM algebra is arrival-order
+    * independent, unlike the continuity maintainers). The final
+    * readout aggregates the maintained join per order priority with
+    * integer micro-unit price sums; the oracle is the whole-corpus
+    * join aggregate, so a missed or doubled delta term breaks the
+    * hash.
+    */
+  def streamIvmJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(lit("o").as("tag"), col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"), lit(0L).as("price_micro"))
+    val l = Tables(s, dir, "lineitem")
+      .select(lit("l").as("tag"), col("l_orderkey").as("k"), lit("").as("pri"),
+        floor(col("l_extendedprice") * 1e6 + 0.5).cast("long").as("price_micro"))
+    val tagged = o.unionByName(l)
+    // OFFSET the lineitem split by one batch: the same key's order and
+    // line rows arrive in DIFFERENT batches, so every delta term
+    // (Δl⋈O_prev, L_prev⋈Δo, Δl⋈Δo) fires and a missing term breaks
+    // the oracle
+    val srcDir = stageBatchFiles(dir, "sivm",
+      (0 until 3).map(b => tagged.filter(
+        (col("tag") === "o" && col("k") % 3 === b)
+          || (col("tag") === "l" && col("k") % 3 === (b + 1) % 3))))
+    val oStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_o"))
+    val lStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_l"))
+    val jStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_j"))
+    oStore.init(tagged.limit(0).select(col("k"), col("pri")))
+    lStore.init(tagged.limit(0).select(col("k"), col("price_micro")))
+    jStore.init(tagged.limit(0).select(col("k"), col("pri"), col("price_micro")))
+    val q = s.readStream.schema(tagged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"))
+        val dL = b.filter(col("tag") === "l").select(col("k"), col("price_micro"))
+        val oPrev = oStore.prior(batchId)
+        val lPrev = lStore.prior(batchId)
+        val dJ = dL.join(oPrev, "k")
+          .unionByName(lPrev.join(dO, "k"))
+          .unionByName(dL.join(dO, "k"))
+          .select(col("k"), col("pri"), col("price_micro"))
+        jStore.write(batchId, jStore.prior(batchId).unionByName(dJ))
+        oStore.write(batchId, oPrev.unionByName(dO))
+        lStore.write(batchId, lPrev.unionByName(dL))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    jStore.version(lastBatchId(srcDir))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum("price_micro").as("sum_micro"))
+      .select(col("pri").as("o_orderpriority"), col("n").cast("long").as("n"),
+        (col("sum_micro").cast("double") / 1e6).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val streamIvmJoinSql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))::DOUBLE / 1e6 AS sum_price
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Qini/AUUC maintained on a stream ([[AnalyticsQueries.evtQini]] as
     * a live targeting-policy monitor): SAME additive user-profile
     * store shape as [[streamAte]] — activity sums sum, flags max —
@@ -4379,6 +4451,7 @@ object StreamingQueries {
     Q("q_stream_ate", streamAte, Some(AnalyticsQueries.evtAteSql)),
     Q("q_stream_qini", streamQini, Some(AnalyticsQueries.evtQiniSql)),
     Q("q_stream_conformal", streamConformal, Some(AnalyticsQueries.evtConformalSql)),
+    Q("q_stream_ivm_join", streamIvmJoin, Some(streamIvmJoinSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
