@@ -2643,6 +2643,95 @@ object StreamingQueries {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** IVM join under RETRACTIONS — [[streamIvmJoin]] extended to a
+    * changelog input (ref: the reference's retract-stream join,
+    * `StreamingJoinOperator` with `RowKind.DELETE` — multiplicity
+    * algebra: state rows carry a NET multiplicity, a delete is a −1
+    * row, and join deltas MULTIPLY multiplicities). The fixture
+    * inserts every lineitem row and then DELETES a deterministic
+    * third of them (l_linenumber ≡ 0 mod 3) in the following batch;
+    * the maintained join's aggregate weights by net multiplicity and
+    * must equal the whole-corpus join over the SURVIVING rows — a
+    * dropped retraction or a sign error breaks the hash. Stores
+    * compact to net multiplicities per batch, so state tracks the live
+    * set, not the changelog length.
+    */
+  def streamIvmJoinRetract(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(lit("o").as("tag"), col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"), lit(0L).as("price_micro"),
+        lit(0L).as("ln"), lit(1L).as("mult"))
+    val lIns = Tables(s, dir, "lineitem")
+      .select(lit("l").as("tag"), col("l_orderkey").as("k"), lit("").as("pri"),
+        floor(col("l_extendedprice") * 1e6 + 0.5).cast("long").as("price_micro"),
+        col("l_linenumber").cast("long").as("ln"), lit(1L).as("mult"))
+    val lDel = lIns.filter(col("ln") % 3 === 0).withColumn("mult", lit(-1L))
+    val tagged = o.unionByName(lIns).unionByName(lDel)
+    // batch b: orders with k%3==b, line INSERTS with k%3==b, and the
+    // DELETES of the previous batch's inserts — retractions always
+    // arrive after their insert, as a changelog guarantees
+    val srcDir = stageBatchFiles(dir, "sivmr",
+      (0 until 4).map(b => tagged.filter(
+        (col("mult") === 1L && col("k") % 3 === math.min(b, 2).toLong && lit(b) < 3)
+          || (col("mult") === -1L && col("k") % 3 === (b - 1).toLong))))
+    val oStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_o"))
+    val lStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_l"))
+    val jStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_j"))
+    oStore.init(tagged.limit(0).select(col("k"), col("pri"), col("mult")))
+    lStore.init(tagged.limit(0).select(col("k"), col("price_micro"), col("ln"), col("mult")))
+    jStore.init(tagged.limit(0)
+      .select(col("k"), col("pri"), col("price_micro"), col("mult")))
+    val q = s.readStream.schema(tagged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"), col("mult"))
+        val dL = b.filter(col("tag") === "l")
+          .select(col("k"), col("price_micro"), col("ln"), col("mult"))
+        val oPrev = oStore.prior(batchId)
+        val lPrev = lStore.prior(batchId)
+        // multiplicities multiply across the join (Δl⋈O ∪ L⋈Δo ∪ Δl⋈Δo)
+        def j(lt: DataFrame, rt: DataFrame): DataFrame =
+          lt.join(rt.withColumnRenamed("mult", "m2"), "k")
+            .select(col("k"), col("pri"), col("price_micro"),
+              (col("mult") * col("m2")).as("mult"))
+        val dJ = j(dL, oPrev).unionByName(j(dL, dO))
+          .unionByName(lPrev.join(dO.withColumnRenamed("mult", "m2"), "k")
+            .select(col("k"), col("pri"), col("price_micro"),
+              (col("mult") * col("m2")).as("mult")))
+        jStore.write(batchId, jStore.prior(batchId).unionByName(dJ)
+          .groupBy("k", "pri", "price_micro").agg(sum("mult").as("mult"))
+          .filter(col("mult") =!= 0L))
+        oStore.write(batchId, oPrev.unionByName(dO)
+          .groupBy("k", "pri").agg(sum("mult").as("mult"))
+          .filter(col("mult") =!= 0L))
+        lStore.write(batchId, lPrev.unionByName(dL)
+          .groupBy("k", "price_micro", "ln").agg(sum("mult").as("mult"))
+          .filter(col("mult") =!= 0L))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    jStore.version(lastBatchId(srcDir))
+      .groupBy("pri")
+      .agg(sum("mult").as("n"), sum(col("price_micro") * col("mult")).as("sum_micro"))
+      .select(col("pri").as("o_orderpriority"), col("n").cast("long").as("n"),
+        (col("sum_micro").cast("double") / 1e6).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The whole-corpus join over the SURVIVING lineitem rows — a lost
+    * retraction on the streaming side cannot match this.
+    */
+  val streamIvmJoinRetractSql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))::DOUBLE / 1e6 AS sum_price
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_linenumber % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Qini/AUUC maintained on a stream ([[AnalyticsQueries.evtQini]] as
     * a live targeting-policy monitor): SAME additive user-profile
     * store shape as [[streamAte]] — activity sums sum, flags max —
@@ -4452,6 +4541,7 @@ object StreamingQueries {
     Q("q_stream_qini", streamQini, Some(AnalyticsQueries.evtQiniSql)),
     Q("q_stream_conformal", streamConformal, Some(AnalyticsQueries.evtConformalSql)),
     Q("q_stream_ivm_join", streamIvmJoin, Some(streamIvmJoinSql)),
+    Q("q_stream_ivm_join_retract", streamIvmJoinRetract, Some(streamIvmJoinRetractSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
