@@ -914,6 +914,46 @@ object PipelineQueries {
        |       coalesce(clean_fp, md5('')) AS clean_fp
        |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Exact distributed Gram block — Σ x xᵀ over the embedding corpus
+    * for the leading 8 dimensions, the linear-algebra primitive under
+    * PCA / whitening / ridge normal equations at scale. The trick that
+    * makes a corpus-wide float reduction hash-comparable across
+    * engines: each float component is scaled to an EXACT integer
+    * (floor(e_d · 2²⁰) — float→double is exact, the scaled floor is
+    * one well-defined value), so every Gram cell is a BIGINT sum of
+    * BIGINT products — no accumulation-order sensitivity exists at
+    * all, unlike a naive double sum. One map-side-combined aggregate
+    * produces all 36 upper-triangle cells in a single corpus pass
+    * (no explode — the pass emits 36 sum columns); magnitudes stay
+    * under 2⁵³ through sf0.1 with 2⁴⁰-scaled products.
+    */
+  def embGram(s: SparkSession, dir: String): DataFrame = {
+    val dims = 8
+    val scale = 1048576.0 // 2^20
+    val q = Tables.embeddings(s, dir).select((0 until dims).map(d =>
+      floor(col("embedding").getItem(d).cast("double") * scale).cast("long").as(s"q$d")): _*)
+    val cells = for { i <- 0 until dims; j <- i until dims }
+      yield sum(col(s"q$i") * col(s"q$j")).as(s"g_${i}_$j")
+    q.agg(cells.head, cells.tail: _*)
+      .select(explode(array((for { i <- 0 until dims; j <- i until dims }
+        yield struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+          col(s"g_${i}_$j").as("g_scaled"))): _*)).as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.g_scaled").as("g_scaled"),
+        (col("x.g_scaled").cast("double") / lit(scale * scale)).as("gram"))
+      .orderBy("i", "j")
+  }
+
+  val embGramSql: String =
+    """WITH emb AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+      |g AS (SELECT a.i, b.j,
+      |        sum(CAST(floor(e[a.i + 1] * 1048576) AS BIGINT)
+      |            * CAST(floor(e[b.j + 1] * 1048576) AS BIGINT))::BIGINT AS g_scaled
+      |      FROM emb, range(0, 8) a(i), range(0, 8) b(j)
+      |      WHERE b.j >= a.i GROUP BY 1, 2)
+      |SELECT i::BIGINT AS i, j::BIGINT AS j, g_scaled,
+      |  g_scaled::DOUBLE / (1048576.0 * 1048576.0) AS gram
+      |FROM g ORDER BY i, j""".stripMargin
+
   /** SemDeDup-style centroid outlier scores over the embeddings table.
     * Oracle replays the exact dataflow: per-(label, position) averages
     * rounded to 6, then the explicit dot / sqrt(‖a‖²·‖b‖²) cosine.
@@ -4579,6 +4619,7 @@ object PipelineQueries {
     Q("q_doc_pmi_bigrams", docPmiBigrams, Some(docPmiBigramsSql)),
     Q("q_doc_cdc_chunks", docCdcChunks, Some(docCdcChunksSql)),
     Q("q_emb_outlier_score", embOutlierScore, Some(embOutlierScoreSql)),
+    Q("q_emb_gram", embGram, Some(embGramSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
     Q("q_doc_minhash", docMinHash, None),
