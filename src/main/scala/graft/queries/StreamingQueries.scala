@@ -2571,6 +2571,53 @@ object StreamingQueries {
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
   }
 
+  /** The Gram block maintained on a stream
+    * ([[PipelineQueries.embGram]] as continuously-updated model-prep
+    * state): state = the 36 exact-integer cell sums themselves —
+    * PURELY additive BIGINTs, the smallest state in the maintainer
+    * family, and exactly how a production pipeline keeps X'X warm for
+    * periodic ridge/PCA refits without rescanning the corpus. Oracle =
+    * the batch statement verbatim (integer exactness makes merge ≡
+    * one-shot unconditional).
+    */
+  def streamGram(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val srcDir = stageBatchFiles(dir, "sgram",
+      (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
+    val dims = 8
+    val scale = 1048576.0
+    def cells(df: DataFrame): DataFrame = {
+      val q = df.select((0 until dims).map(d =>
+        floor(col("embedding").getItem(d).cast("double") * scale).cast("long")
+          .as(s"q$d")): _*)
+      val sums = for { i <- 0 until dims; j <- i until dims }
+        yield sum(col(s"q$i") * col(s"q$j")).as(s"g_${i}_$j")
+      q.agg(sums.head, sums.tail: _*)
+        .select(explode(array((for { i <- 0 until dims; j <- i until dims }
+          yield struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+            coalesce(col(s"g_${i}_$j"), lit(0L)).as("g_scaled"))): _*)).as("x"))
+        .select(col("x.i").as("i"), col("x.j").as("j"), col("x.g_scaled").as("g_scaled"))
+    }
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sgram_store"))
+    store.init(cells(emb.limit(0)))
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(cells(batch))
+          .groupBy("i", "j").agg(sum("g_scaled").as("g_scaled")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.version(lastBatchId(srcDir))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g_scaled").cast("long").as("g_scaled"),
+        (col("g_scaled").cast("double") / lit(scale * scale)).as("gram"))
+      .orderBy("i", "j")
+  }
+
   /** Incremental view maintenance for a two-sided JOIN — the delta
     * algebra the reference's StreamExecJoin runs inside its state
     * backends (ref `StreamingJoinOperator.java`: each arriving row
@@ -4542,6 +4589,7 @@ object StreamingQueries {
     Q("q_stream_conformal", streamConformal, Some(AnalyticsQueries.evtConformalSql)),
     Q("q_stream_ivm_join", streamIvmJoin, Some(streamIvmJoinSql)),
     Q("q_stream_ivm_join_retract", streamIvmJoinRetract, Some(streamIvmJoinRetractSql)),
+    Q("q_stream_gram", streamGram, Some(PipelineQueries.embGramSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),

@@ -144,7 +144,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_ldiv", // entropy rollup over zero QI classes
     "q_evt_qini", // decile cumulation over an empty census, null diag
     "q_evt_conformal", // null fold bounds, zero buckets, null qhat
-    "q_graph_harmonic" // 6 BFS rounds over zero seeds and edges
+    "q_graph_harmonic", // 6 BFS rounds over zero seeds and edges
+    "q_doc_strdist", // first-char pair join over an empty vocabulary
+    "q_doc_postings_compress", // gap windows over zero postings
+    "q_evt_cms_change", // two empty half-month sketches, empty watchlist
+    "q_emb_gram" // null cell sums explode to 36 null rows, no crash
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
