@@ -2632,6 +2632,15 @@ object StreamingQueries {
     * integer micro-unit price sums; the oracle is the whole-corpus
     * join aggregate, so a missed or doubled delta term breaks the
     * hash.
+    *
+    * Scale note: the DELTA algebra is increment-sized, but this test
+    * double rewrites the full materialized view per version
+    * ([[graft.streaming.VersionedStore]]'s one-file contract, which
+    * its own scaladoc reserves for corpus-independent state) — a
+    * production deployment appends ΔJ as new partitions of the view
+    * table and compacts periodically, so per-batch write cost tracks
+    * ¦ΔJ¦, not ¦J¦. The replay here pins the algebra's correctness;
+    * the storage posture is the documented production variant.
     */
   def streamIvmJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
