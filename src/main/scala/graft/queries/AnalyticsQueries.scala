@@ -1207,6 +1207,159 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin
 
+  /** Lorenz curve + Gini coefficient by spend decile — the inequality
+    * readout (Lorenz 1905, Gini 1912) every marketplace/revenue team
+    * keeps: how concentrated is spend across users? Exact order
+    * statistics need a global sort; the DECILE form needs only
+    * broadcast percentile bounds (the shared threshold-bucket device),
+    * then cumulative user/spend shares over the ≤10-row decile table
+    * and the trapezoid Gini from those. Portability: spend is summed
+    * in integer micro-units; shares are single divisions; the
+    * trapezoid sum runs over 1e-6-QUANTIZED cumulative shares as
+    * exact integers (the [[evtAte]] device), so the Gini is the same
+    * BIGINT algebra on both engines.
+    */
+  def evtLorenz(s: SparkSession, dir: String): DataFrame = {
+    val users = Funnel.stage(Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y")))
+    val qCols = (1 to 9).map(i => expr(s"percentile(y, ${i / 10.0})").as(s"q$i"))
+    val qs = users.agg(qCols.head, qCols.tail: _*)
+    val dec = users.crossJoin(broadcast(qs))
+      .withColumn("decile", thresholdBucket(col("y"), (1 to 9).map(i => col(s"q$i"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_d"), sum("y").as("y_d"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val curve = Funnel.stage(dec
+      .withColumn("cn", sum("n_d").over(w)).withColumn("cy", sum("y_d").over(w))
+      .withColumn("tn", sum("n_d").over(wAll)).withColumn("ty", sum("y_d").over(wAll))
+      .withColumn("pq", floor(col("cn").cast("double") / col("tn").cast("double")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("lq", floor(col("cy").cast("double") / col("ty").cast("double")
+        * 1e6 + 0.5).cast("long")))
+    val wl = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    val gini = curve
+      .withColumn("pp", coalesce(lag("pq", 1).over(Window.orderBy("decile")), lit(0L)))
+      .withColumn("lp", coalesce(lag("lq", 1).over(Window.orderBy("decile")), lit(0L)))
+      // 2·area under Lorenz via trapezoids, all in 1e-12-scaled ints:
+      // gini = 1 − Σ (p_i − p_{i−1})·(l_i + l_{i−1})
+      .agg(sum((col("pq") - col("pp")) * (col("lq") + col("lp"))).as("area2"))
+      .select(lit(-1L).as("decile"), lit(null).cast("long").as("n_users"),
+        lit(null).cast("double").as("spend_share"),
+        lit(null).cast("double").as("cum_pop"), lit(null).cast("double").as("cum_spend"),
+        ((lit(1e12) - col("area2")) / 1e12).as("gini"))
+    curve.select(col("decile").cast("long").as("decile"),
+        col("n_d").cast("long").as("n_users"),
+        (col("y_d").cast("double") / col("ty").cast("double")).as("spend_share"),
+        (col("pq") / 1e6).as("cum_pop"), (col("lq") / 1e6).as("cum_spend"),
+        lit(null).cast("double").as("gini"))
+      .unionByName(gini)
+      .orderBy("decile")
+  }
+
+  val evtLorenzSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT AS y
+        |  FROM ev GROUP BY 1),
+        |q AS (SELECT quantile_cont(y, 0.1) AS q1, quantile_cont(y, 0.2) AS q2,
+        |             quantile_cont(y, 0.3) AS q3, quantile_cont(y, 0.4) AS q4,
+        |             quantile_cont(y, 0.5) AS q5, quantile_cont(y, 0.6) AS q6,
+        |             quantile_cont(y, 0.7) AS q7, quantile_cont(y, 0.8) AS q8,
+        |             quantile_cont(y, 0.9) AS q9 FROM u),
+        |d AS (SELECT
+        |    (y > q1)::BIGINT + (y > q2)::BIGINT + (y > q3)::BIGINT + (y > q4)::BIGINT
+        |      + (y > q5)::BIGINT + (y > q6)::BIGINT + (y > q7)::BIGINT
+        |      + (y > q8)::BIGINT + (y > q9)::BIGINT AS decile,
+        |    count(*)::BIGINT AS n_d, sum(y)::BIGINT AS y_d
+        |  FROM u, q GROUP BY 1),
+        |c AS (SELECT decile, n_d, y_d,
+        |        sum(n_d) OVER wc AS cn, sum(y_d) OVER wc AS cy,
+        |        sum(n_d) OVER wa AS tn, sum(y_d) OVER wa AS ty
+        |      FROM d
+        |      WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |cq AS (SELECT decile, n_d, y_d, ty,
+        |         CAST(floor(cn::DOUBLE / tn::DOUBLE * 1e6 + 0.5) AS BIGINT) AS pq,
+        |         CAST(floor(cy::DOUBLE / ty::DOUBLE * 1e6 + 0.5) AS BIGINT) AS lq
+        |       FROM c),
+        |tr AS (SELECT *, coalesce(lag(pq) OVER (ORDER BY decile), 0) AS pp,
+        |         coalesce(lag(lq) OVER (ORDER BY decile), 0) AS lp
+        |       FROM cq)
+        |SELECT decile, n_d AS n_users, y_d::DOUBLE / ty::DOUBLE AS spend_share,
+        |  pq / 1e6 AS cum_pop, lq / 1e6 AS cum_spend, NULL::DOUBLE AS gini
+        |FROM tr
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL,
+        |  (1e12 - sum((pq - pp) * (lq + lp)))::DOUBLE / 1e12
+        |FROM tr
+        |ORDER BY decile""".stripMargin
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    * fraud/data-quality screen: organically-generated magnitudes put
+    * ~30 % of first digits at 1; fabricated or truncated columns
+    * don't): first digits come from the DECIMAL STRING of the exact
+    * micro-unit integer (both engines print integers identically —
+    * no float log10, whose boundary behavior at powers of ten
+    * differs), observed shares test against the Benford expectation
+    * by chi-square with literal-constant expectations. One aggregate;
+    * the report is 9 rows + the verdict. (The synthetic fixture's
+    * uniform-ish values should FAIL Benford — the negative control —
+    * and the flag is part of the hash.)
+    */
+  def evtBenford(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .select(floor(col("value") * 1e6 + 0.5).cast("long").as("m"))
+      .filter(col("m") > 0)
+      .select(substring(col("m").cast("string"), 1, 1).cast("long").as("d"))
+    val counts = Funnel.stage(v.groupBy("d").agg(count(lit(1)).as("n")))
+    val tot = counts.agg(sum("n").as("tot"))
+    val rows = counts.crossJoin(broadcast(tot))
+      .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("d").cast("double")))
+      .withColumn("observed", col("n").cast("double") / col("tot").cast("double"))
+      .withColumn("chi_term",
+        floor((col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected") * 1e9 + 0.5).cast("long"))
+    val verdict = rows.agg(sum("chi_term").as("chi_scaled"), first("tot").as("tot"))
+      .select(lit(-1L).as("d"), col("tot").cast("long").as("n"),
+        lit(null).cast("double").as("observed"), lit(null).cast("double").as("expected"),
+        (col("chi_scaled").cast("double") * col("tot").cast("double") / 1e9).as("chi2"),
+        (col("chi_scaled").cast("double") * col("tot").cast("double") / 1e9 > 15.507)
+          .as("reject_benford"))
+    rows.select(col("d"), col("n").cast("long").as("n"), col("observed"),
+        col("expected"), lit(null).cast("double").as("chi2"),
+        lit(null).cast("boolean").as("reject_benford"))
+      .unionByName(verdict)
+      .orderBy("d")
+  }
+
+  val evtBenfordSql: String =
+    Tables.eventsCte +
+      """
+        |, m AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS m FROM ev),
+        |dg AS (SELECT CAST(substr(m::VARCHAR, 1, 1) AS BIGINT) AS d FROM m WHERE m > 0),
+        |c AS (SELECT d, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+        |r AS (SELECT d, n, n::DOUBLE / tot::DOUBLE AS observed,
+        |        log10(1.0 + 1.0 / d::DOUBLE) AS expected, tot
+        |      FROM c, t),
+        |ct AS (SELECT *, CAST(floor((observed - expected) * (observed - expected)
+        |         / expected * 1e9 + 0.5) AS BIGINT) AS chi_term FROM r)
+        |SELECT d, n, observed, expected, NULL::DOUBLE AS chi2,
+        |  NULL::BOOLEAN AS reject_benford
+        |FROM ct
+        |UNION ALL
+        |SELECT -1, any_value(tot), NULL, NULL,
+        |  sum(chi_term)::DOUBLE * any_value(tot)::DOUBLE / 1e9,
+        |  sum(chi_term)::DOUBLE * any_value(tot)::DOUBLE / 1e9 > 15.507
+        |FROM ct
+        |ORDER BY d""".stripMargin
+
   /** Qini curve + AUUC — uplift-model evaluation (Radcliffe 2007),
     * the targeting-policy readout on top of [[evtAte]]'s causal
     * profiles: rank users by a targeting score (engagement, standing
@@ -3411,6 +3564,8 @@ object AnalyticsQueries {
     Q("q_evt_ate", evtAte, Some(evtAteSql)),
     Q("q_evt_qini", evtQini, Some(evtQiniSql)),
     Q("q_evt_conformal", evtConformal, Some(evtConformalSql)),
+    Q("q_evt_lorenz", evtLorenz, Some(evtLorenzSql)),
+    Q("q_evt_benford", evtBenford, Some(evtBenfordSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

@@ -148,7 +148,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_strdist", // first-char pair join over an empty vocabulary
     "q_doc_postings_compress", // gap windows over zero postings
     "q_evt_cms_change", // two empty half-month sketches, empty watchlist
-    "q_emb_gram" // null cell sums explode to 36 null rows, no crash
+    "q_emb_gram", // null cell sums explode to 36 null rows, no crash
+    "q_evt_lorenz", // null decile bounds, zero spend shares
+    "q_evt_benford" // zero digits, null chi-square verdict
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
