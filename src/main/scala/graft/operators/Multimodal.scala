@@ -269,6 +269,43 @@ object Multimodal {
     })
   }
 
+  final case class MmEdges(id: Long, width: Int, height: Int,
+      nInterior: Long, edgeEnergy: Long, maxGrad: Long)
+
+  /** Sobel edge energy over a gray PNM raster — the 3×3 convolution
+    * feature-extraction step of an image-quality / blur-detection
+    * pipeline, run with the REAL codec per partition inside the scan
+    * stage (zero shuffle, like every multimodal kernel here). Energy
+    * is the INTEGER Σ(¦Gx¦+¦Gy¦) over interior pixels (the L1 gradient
+    * magnitude — no sqrt, so the statistic is exact on any engine) and
+    * maxGrad pins the hottest edge. Grayscale (P5/P2) only — callers
+    * feed single-channel rasters.
+    */
+  def sobelPnm(ds: Dataset[(Long, Array[Byte])]): Dataset[MmEdges] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      PnmCodec.decodeRaster(id, bytes).filter(_.channels == 1).map { r =>
+        def p(x: Int, y: Int): Int = r.pixels(y * r.width + x) & 0xff
+        var energy = 0L; var maxG = 0L; var n = 0L
+        var y = 1
+        while (y < r.height - 1) {
+          var x = 1
+          while (x < r.width - 1) {
+            val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1)
+              - p(x - 1, y - 1) - 2 * p(x - 1, y) - p(x - 1, y + 1)).toLong
+            val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)
+              - p(x - 1, y - 1) - 2 * p(x, y - 1) - p(x + 1, y - 1)).toLong
+            val g = math.abs(gx) + math.abs(gy)
+            energy += g; if (g > maxG) maxG = g; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        MmEdges(id, r.width, r.height, n, energy, maxG)
+      }
+    })
+  }
+
   final case class MmHash(id: Long, fp: Long)
 
   /** Perceptual difference-hash (dHash, Krawetz 2013's public

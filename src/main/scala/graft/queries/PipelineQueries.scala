@@ -2400,6 +2400,58 @@ object PipelineQueries {
       |  md5(substr(hx, 1, 512)) AS frame0
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Sobel edge energy over the deterministic PGM rasters
+    * ([[graft.operators.Multimodal.sobelPnm]] — the 3×3 convolution
+    * feature of an image-quality/blur pipeline, decoded with the REAL
+    * codec per partition, zero shuffle). The oracle recomputes every
+    * interior gradient ANALYTICALLY from the raster generation
+    * formula pixel(x, y) = (doc_id·31 + y·w + x) mod 256, so a raster
+    * offset, a flipped kernel sign, or a boundary off-by-one all
+    * break the integer hash.
+    */
+  def mmSobel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = col("doc_id") % 5 + 4
+    val h = col("doc_id") % 4 + 3
+    val header = concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(transform(sequence(lit(0L), w * h - 1),
+      i => lpad(hex(pmod(col("doc_id") * 31 + i, lit(256L))), 2, "0")), "")
+    val img = Tables.documents(s, dir)
+      .select(col("doc_id").as("_1"),
+        concat(header.cast("binary"), unhex(pixHex)).as("_2"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.sobelPnm(img).toDF()
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("nInterior").as("n_interior"),
+        col("edgeEnergy").as("edge_energy"), col("maxGrad").as("max_grad"))
+      .orderBy("doc_id")
+  }
+
+  val mmSobelSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 5 + 4)::BIGINT AS w,
+      |             (doc_id % 4 + 3)::BIGINT AS h FROM documents),
+      |g AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+      |      FROM d, range(1, 7) xs(x), range(1, 5) ys(y)
+      |      WHERE xs.x <= w - 2 AND ys.y <= h - 2),
+      |s AS (SELECT doc_id, w, h,
+      |        abs(((doc_id*31 + (y-1)*w + (x+1)) % 256)
+      |          + 2*((doc_id*31 + y*w + (x+1)) % 256)
+      |          + ((doc_id*31 + (y+1)*w + (x+1)) % 256)
+      |          - ((doc_id*31 + (y-1)*w + (x-1)) % 256)
+      |          - 2*((doc_id*31 + y*w + (x-1)) % 256)
+      |          - ((doc_id*31 + (y+1)*w + (x-1)) % 256))
+      |        + abs(((doc_id*31 + (y+1)*w + (x-1)) % 256)
+      |          + 2*((doc_id*31 + (y+1)*w + x) % 256)
+      |          + ((doc_id*31 + (y+1)*w + (x+1)) % 256)
+      |          - ((doc_id*31 + (y-1)*w + (x-1)) % 256)
+      |          - 2*((doc_id*31 + (y-1)*w + x) % 256)
+      |          - ((doc_id*31 + (y-1)*w + (x+1)) % 256)) AS gsum
+      |      FROM g)
+      |SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+      |  count(*)::BIGINT AS n_interior, sum(gsum)::BIGINT AS edge_energy,
+      |  max(gsum)::BIGINT AS max_grad
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Real media decode: build a deterministic binary PGM (P5) image per
     * document — header + doc_id-derived gray raster — then decode it
     * with the REAL byte-level codec ([[graft.operators.Multimodal.PnmCodec]])
@@ -4583,6 +4635,7 @@ object PipelineQueries {
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
+    Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),
     Q("q_mm_resize", mmResize, Some(mmResizeSql)),
     Q("q_mm_augment", mmAugment, Some(mmAugmentSql)),
     Q("q_mm_wav_frames", mmWavFrames, Some(mmWavFramesSql)),
