@@ -1240,7 +1240,6 @@ object AnalyticsQueries {
         * 1e6 + 0.5).cast("long"))
       .withColumn("lq", floor(col("cy").cast("double") / col("ty").cast("double")
         * 1e6 + 0.5).cast("long")))
-    val wl = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     val gini = curve
       .withColumn("pp", coalesce(lag("pq", 1).over(Window.orderBy("decile")), lit(0L)))
       .withColumn("lp", coalesce(lag("lq", 1).over(Window.orderBy("decile")), lit(0L)))
@@ -1312,12 +1311,23 @@ object AnalyticsQueries {
     * uniform-ish values should FAIL Benford — the negative control —
     * and the flag is part of the hash.)
     */
-  def evtBenford(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.events(s, dir)
-      .select(floor(col("value") * 1e6 + 0.5).cast("long").as("m"))
+  def evtBenford(s: SparkSession, dir: String): DataFrame =
+    benfordFromDigits(Funnel.stage(benfordDigits(Tables.events(s, dir))))
+
+  /** The ADDITIVE first-digit count table under [[evtBenford]] —
+    * ≤9 rows, key-sum merges, so the streaming maintainer is trivial.
+    */
+  private[queries] def benfordDigits(ev: DataFrame): DataFrame =
+    ev.select(floor(col("value") * 1e6 + 0.5).cast("long").as("m"))
       .filter(col("m") > 0)
       .select(substring(col("m").cast("string"), 1, 1).cast("long").as("d"))
-    val counts = Funnel.stage(v.groupBy("d").agg(count(lit(1)).as("n")))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+
+  /** The chi-square verdict tail over the digit counts — shared by
+    * the batch audit and the streaming maintainer's solve. Callers
+    * stage `counts`.
+    */
+  private[queries] def benfordFromDigits(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum("n").as("tot"))
     val rows = counts.crossJoin(broadcast(tot))
       .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("d").cast("double")))

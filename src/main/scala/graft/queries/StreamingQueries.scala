@@ -2571,6 +2571,36 @@ object StreamingQueries {
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
   }
 
+  /** The Benford audit maintained on a stream
+    * ([[AnalyticsQueries.evtBenford]] as a continuous ingest-quality
+    * gate — a drifting first-digit distribution is a live signal of a
+    * broken upstream producer): state = the ≤9-row additive digit
+    * count table, the chi-square verdict solved at end of stream.
+    * Oracle = the batch audit verbatim.
+    */
+  def streamBenford(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sbenford",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sbenford_store"))
+    store.init(AQ.benfordDigits(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(AQ.benfordDigits(batch))
+          .groupBy("d").agg(sum("n").as("n")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.benfordFromDigits(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("d").cast("long").as("d"), col("n").cast("long").as("n"))))
+  }
+
   /** The Gram block maintained on a stream
     * ([[PipelineQueries.embGram]] as continuously-updated model-prep
     * state): state = the 36 exact-integer cell sums themselves —
@@ -4599,6 +4629,7 @@ object StreamingQueries {
     Q("q_stream_ivm_join", streamIvmJoin, Some(streamIvmJoinSql)),
     Q("q_stream_ivm_join_retract", streamIvmJoinRetract, Some(streamIvmJoinRetractSql)),
     Q("q_stream_gram", streamGram, Some(PipelineQueries.embGramSql)),
+    Q("q_stream_benford", streamBenford, Some(AnalyticsQueries.evtBenfordSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
