@@ -49,6 +49,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_qini", // 1-row decile bounds + 1-row curve endpoint broadcast
     "q_evt_conformal", // 1-row fold quantile bounds + 1-row q-hat broadcast
     "q_evt_cms_change", // 1-row min-day scalar + 2-row window-id probe cross
+    "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
     "q_doc_vocab", // 1-row corpus token total for shares
     "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
@@ -134,7 +135,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
-    "q_evt_msprt" // cumulative readout over the ≤31-row daily aggregate
+    "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
+    "q_evt_lorenz" // trapezoid lag over the STAGED 10-row decile curve
     // (q_evt_qini's decile cumulation runs inside a stage boundary, so
     // the executed plan the audit sees carries no window node)
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
