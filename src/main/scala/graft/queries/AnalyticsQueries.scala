@@ -1219,11 +1219,19 @@ object AnalyticsQueries {
     * exact integers (the [[evtAte]] device), so the Gini is the same
     * BIGINT algebra on both engines.
     */
-  def evtLorenz(s: SparkSession, dir: String): DataFrame = {
-    val users = Funnel.stage(Tables.events(s, dir)
-      .groupBy("user_id")
+  def evtLorenz(s: SparkSession, dir: String): DataFrame =
+    lorenzFromUsers(Funnel.stage(lorenzUsers(Tables.events(s, dir))))
+
+  /** The ADDITIVE per-user micro-unit spend table under [[evtLorenz]]. */
+  private[queries] def lorenzUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
-        floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y")))
+        floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y"))
+
+  /** The Lorenz/Gini tail over the spend table — shared by the batch
+    * query and the streaming maintainer's solve. Callers stage `users`.
+    */
+  private[queries] def lorenzFromUsers(users: DataFrame): DataFrame = {
     val qCols = (1 to 9).map(i => expr(s"percentile(y, ${i / 10.0})").as(s"q$i"))
     val qs = users.agg(qCols.head, qCols.tail: _*)
     val dec = users.crossJoin(broadcast(qs))

@@ -2601,6 +2601,35 @@ object StreamingQueries {
         .select(col("d").cast("long").as("d"), col("n").cast("long").as("n"))))
   }
 
+  /** The Lorenz/Gini readout maintained on a stream
+    * ([[AnalyticsQueries.evtLorenz]] as a live concentration monitor):
+    * state = the per-user additive micro-unit spend table; the decile
+    * curve and trapezoid Gini solve at end of stream. Oracle = the
+    * batch statement verbatim.
+    */
+  def streamLorenz(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "slorenz",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "slorenz_store"))
+    store.init(AQ.lorenzUsers(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(AQ.lorenzUsers(batch))
+          .groupBy("user_id").agg(sum("y").as("y")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.lorenzFromUsers(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("user_id"), col("y").cast("long").as("y"))))
+  }
+
   /** The Gram block maintained on a stream
     * ([[PipelineQueries.embGram]] as continuously-updated model-prep
     * state): state = the 36 exact-integer cell sums themselves —
@@ -4630,6 +4659,7 @@ object StreamingQueries {
     Q("q_stream_ivm_join_retract", streamIvmJoinRetract, Some(streamIvmJoinRetractSql)),
     Q("q_stream_gram", streamGram, Some(PipelineQueries.embGramSql)),
     Q("q_stream_benford", streamBenford, Some(AnalyticsQueries.evtBenfordSql)),
+    Q("q_stream_lorenz", streamLorenz, Some(AnalyticsQueries.evtLorenzSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
