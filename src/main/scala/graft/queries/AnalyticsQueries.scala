@@ -1307,6 +1307,81 @@ object AnalyticsQueries {
         |FROM tr
         |ORDER BY decile""".stripMargin
 
+  /** Landing/exit report with bounce rates — the web-analytics session
+    * readout (entry page, exit page, single-event bounces) over the
+    * gap-based sessions [[evtSessionize]] already defines: sessions
+    * re-derived with the same 30-minute gap, each contributing its
+    * FIRST event type (the landing), LAST event type (the exit), and
+    * length. Per landing type: sessions, bounce rate (n = 1 sessions),
+    * and the modal exit with a deterministic tie-break. One user-keyed
+    * exchange (sessionization) + bounded rollups.
+    */
+  def evtLanding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap", when(
+        unix_micros(col("ts")) - unix_micros(coalesce(lag("ts", 1).over(w), col("ts")))
+          > 30L * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum("gap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSess = Funnel.stage(sess
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        // zero-padded string key: DuckDB's min_by/max_by take scalar
+        // keys only, and lexicographic order on the padding == numeric
+        expr("min_by(event_type, lpad(cast(unix_micros(ts) as string), 20, '0')" +
+          " || lpad(cast(event_id as string), 10, '0'))").as("landing"),
+        expr("max_by(event_type, lpad(cast(unix_micros(ts) as string), 20, '0')" +
+          " || lpad(cast(event_id as string), 10, '0'))").as("exit")))
+    val base = perSess.groupBy("landing")
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
+    val topExit = perSess.groupBy("landing", "exit").agg(count(lit(1)).as("ne"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("landing").orderBy(col("ne").desc, col("exit").asc)))
+      .filter(col("rn") === 1)
+      .select(col("landing"), col("exit").as("top_exit"), col("ne").as("top_exit_n"))
+    base.join(topExit, "landing")
+      .select(col("landing"), col("sessions").cast("long").as("sessions"),
+        col("bounces").cast("long").as("bounces"),
+        round(col("bounces").cast("double") / col("sessions").cast("double"), 6)
+          .as("bounce_rate"),
+        col("top_exit"), col("top_exit_n").cast("long").as("top_exit_n"))
+      .orderBy("landing")
+  }
+
+  val evtLandingSql: String =
+    Tables.eventsCte +
+      """
+        |, g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(coalesce(
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts))
+        |         > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        |  FROM ev),
+        |sx AS (SELECT user_id, event_type, ts, event_id,
+        |         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |       FROM g),
+        |ps AS (SELECT user_id, sess, count(*)::BIGINT AS n_events,
+        |         min_by(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+        |           || lpad(event_id::VARCHAR, 10, '0')) AS landing,
+        |         max_by(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+        |           || lpad(event_id::VARCHAR, 10, '0')) AS exit
+        |       FROM sx GROUP BY 1, 2),
+        |b AS (SELECT landing, count(*)::BIGINT AS sessions,
+        |        sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces
+        |      FROM ps GROUP BY 1),
+        |tx AS (SELECT landing, exit AS top_exit, ne AS top_exit_n FROM (
+        |         SELECT landing, exit, count(*)::BIGINT AS ne,
+        |           row_number() OVER (PARTITION BY landing
+        |                              ORDER BY count(*) DESC, exit ASC) AS rn
+        |         FROM ps GROUP BY landing, exit) WHERE rn = 1)
+        |SELECT landing, sessions, bounces,
+        |  round(bounces::DOUBLE / sessions::DOUBLE, 6) AS bounce_rate,
+        |  top_exit, top_exit_n
+        |FROM b JOIN tx USING (landing)
+        |ORDER BY landing""".stripMargin
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
     * fraud/data-quality screen: organically-generated magnitudes put
     * ~30 % of first digits at 1; fabricated or truncated columns
@@ -3584,6 +3659,7 @@ object AnalyticsQueries {
     Q("q_evt_conformal", evtConformal, Some(evtConformalSql)),
     Q("q_evt_lorenz", evtLorenz, Some(evtLorenzSql)),
     Q("q_evt_benford", evtBenford, Some(evtBenfordSql)),
+    Q("q_evt_landing", evtLanding, Some(evtLandingSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

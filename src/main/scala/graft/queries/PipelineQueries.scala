@@ -256,6 +256,76 @@ object PipelineQueries {
     scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
   }
 
+  /** Log-likelihood-ratio collocations (Dunning 1993 — the G² test
+    * that replaced PMI for rare-event collocation mining: PMI inflates
+    * rare pairs, G² weighs evidence, which is why concordancers rank
+    * by it): per bigram the 2×2 contingency (this-pair / first-word /
+    * second-word / rest margins, all exact integer counts from ONE
+    * bigram aggregate), G² = 2·Σ k·ln(k/E) as a SINGLE per-row IEEE
+    * chain over those integers — no cross-row float reduction exists,
+    * so the score is identical on both engines and the top-20 cut on
+    * the rounded value is stable. Complements [[docPmiBigrams]] (the
+    * two orderings demonstrably disagree on rare pairs).
+    */
+  def docLlrBigrams(s: SparkSession, dir: String): DataFrame = {
+    val bi = Funnel.stage(Tables.documents(s, dir)
+      .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb")))
+    val firsts = bi.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum("cb").as("r1"))
+    val seconds = bi.groupBy(split(col("bg"), " ").getItem(1).as("w2"))
+      .agg(sum("cb").as("s1"))
+    val tot = bi.agg(sum("cb").as("nn"))
+    def t(k: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      when(k > 0, k.cast("double") * log(k.cast("double") / e)).otherwise(lit(0.0))
+    val scored = bi.filter(col("cb") >= 5)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(firsts, "w1").join(seconds, "w2")
+      .crossJoin(broadcast(tot))
+    val n = col("nn").cast("double")
+    val r1 = col("r1").cast("double"); val c1 = col("s1").cast("double")
+    val k11 = col("cb"); val k12 = col("r1") - col("cb")
+    val k21 = col("s1") - col("cb")
+    val k22 = col("nn") - col("r1") - col("s1") + col("cb")
+    scored
+      .select(col("bg").as("bigram"), col("cb").cast("long").as("cb"),
+        col("r1").cast("long").as("n_first"), col("s1").cast("long").as("n_second"),
+        round(lit(2.0) * (t(k11, r1 * c1 / n) + t(k12, r1 * (n - c1) / n)
+          + t(k21, (n - r1) * c1 / n) + t(k22, (n - r1) * (n - c1) / n)), 6).as("g2"))
+      .orderBy(col("g2").desc, col("bigram")).limit(20)
+  }
+
+  val docLlrBigramsSql: String =
+    s"""WITH tk AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |bg0 AS (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg FROM tk WHERE len(t) >= 2),
+       |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM bg0 GROUP BY 1),
+       |f AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cb)::BIGINT AS r1 FROM bi GROUP BY 1),
+       |sx AS (SELECT string_split(bg, ' ')[2] AS w2, sum(cb)::BIGINT AS s1 FROM bi GROUP BY 1),
+       |t AS (SELECT sum(cb)::BIGINT AS nn FROM bi),
+       |sc AS (SELECT bg, cb, r1, s1, nn,
+       |         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |       FROM bi JOIN f ON f.w1 = string_split(bi.bg, ' ')[1]
+       |         JOIN sx ON sx.w2 = string_split(bi.bg, ' ')[2]
+       |         CROSS JOIN t
+       |       WHERE cb >= 5),
+       |g AS (SELECT bg AS bigram, cb, r1 AS n_first, s1 AS n_second,
+       |  round(2.0 * (
+       |    CASE WHEN cb > 0 THEN cb::DOUBLE * ln(cb::DOUBLE
+       |      / (r1::DOUBLE * s1::DOUBLE / nn::DOUBLE)) ELSE 0.0 END
+       |    + CASE WHEN r1 - cb > 0 THEN (r1 - cb)::DOUBLE * ln((r1 - cb)::DOUBLE
+       |      / (r1::DOUBLE * (nn::DOUBLE - s1::DOUBLE) / nn::DOUBLE)) ELSE 0.0 END
+       |    + CASE WHEN s1 - cb > 0 THEN (s1 - cb)::DOUBLE * ln((s1 - cb)::DOUBLE
+       |      / ((nn::DOUBLE - r1::DOUBLE) * s1::DOUBLE / nn::DOUBLE)) ELSE 0.0 END
+       |    + CASE WHEN nn - r1 - s1 + cb > 0 THEN (nn - r1 - s1 + cb)::DOUBLE
+       |      * ln((nn - r1 - s1 + cb)::DOUBLE
+       |      / ((nn::DOUBLE - r1::DOUBLE) * (nn::DOUBLE - s1::DOUBLE) / nn::DOUBLE))
+       |      ELSE 0.0 END), 6) AS g2
+       |  FROM sc)
+       |SELECT bigram, cb, n_first, n_second, g2 FROM g
+       |ORDER BY g2 DESC, bigram LIMIT 20""".stripMargin
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
     * PageRank over the word-adjacency graph, the graph-centrality
     * keyword ranker complementing the frequency family (tf-idf picks
@@ -4601,6 +4671,7 @@ object PipelineQueries {
     Q("q_doc_prf", docPrf, Some(docPrfSql)),
     Q("q_doc_strdist", docStrDist, Some(docStrDistSql)),
     Q("q_doc_postings_compress", docPostingsCompress, Some(docPostingsCompressSql)),
+    Q("q_doc_llr_bigrams", docLlrBigrams, Some(docLlrBigramsSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),

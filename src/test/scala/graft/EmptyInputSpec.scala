@@ -150,7 +150,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_cms_change", // two empty half-month sketches, empty watchlist
     "q_emb_gram", // null cell sums explode to 36 null rows, no crash
     "q_evt_lorenz", // null decile bounds, zero spend shares
-    "q_evt_benford" // zero digits, null chi-square verdict
+    "q_evt_benford", // zero digits, null chi-square verdict
+    "q_doc_llr_bigrams", // G2 contingency over zero bigrams
+    "q_evt_landing" // sessionize + modal exit over zero sessions
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
