@@ -1307,6 +1307,118 @@ object AnalyticsQueries {
         |FROM tr
         |ORDER BY decile""".stripMargin
 
+  /** Churn-prediction backtest — the honest evaluation of the simplest
+    * churn heuristic (recency): split time at the observation horizon
+    * (day 20 of the span, derived from the data), predict "will churn"
+    * for users whose last pre-horizon event is more than 5 days stale,
+    * label churn as zero post-horizon events, and report the confusion
+    * matrix with precision/recall/F1. Everything is integer counts and
+    * single divisions; the horizon/staleness arithmetic is exact day
+    * math. The point is the EVALUATION SHAPE (temporal split, no
+    * leakage: features strictly pre-horizon) — the same backtest
+    * harness a learned churn model would drop into.
+    */
+  def evtChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")))
+    val bounds = ev.agg(min(unix_date(col("d"))).as("d0"))
+    val withH = ev.crossJoin(broadcast(bounds))
+      .withColumn("off", unix_date(col("d")) - col("d0"))
+    val pre = withH.filter(col("off") < 20)
+      .groupBy("user_id").agg(max("off").as("last_off"))
+      .withColumn("pred_churn", (lit(19L) - col("last_off") > 5L).cast("long"))
+    val post = withH.filter(col("off") >= 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n_post"))
+    val joined = pre.join(post, Seq("user_id"), "left")
+      .withColumn("churned", (coalesce(col("n_post"), lit(0L)) === 0L).cast("long"))
+    joined.agg(
+        sum(col("pred_churn") * col("churned")).as("tp"),
+        sum(col("pred_churn") * (lit(1L) - col("churned"))).as("fp"),
+        sum((lit(1L) - col("pred_churn")) * col("churned")).as("fn"),
+        sum((lit(1L) - col("pred_churn")) * (lit(1L) - col("churned"))).as("tn"))
+      .select(col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0, round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp").cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)).as("f1"))
+  }
+
+  val evtChurnSql: String =
+    Tables.eventsCte +
+      """
+        |, e AS (SELECT user_id, ts::DATE AS d FROM ev),
+        |b AS (SELECT min(d) AS d0 FROM e),
+        |o AS (SELECT user_id, (d - (SELECT d0 FROM b)) AS off FROM e),
+        |pre AS (SELECT user_id, max(off)::BIGINT AS last_off,
+        |          (19 - max(off) > 5)::BIGINT AS pred_churn
+        |        FROM o WHERE off < 20 GROUP BY 1),
+        |post AS (SELECT user_id, count(*)::BIGINT AS n_post FROM o WHERE off >= 20 GROUP BY 1),
+        |j AS (SELECT pre.user_id, pred_churn,
+        |        (coalesce(n_post, 0) = 0)::BIGINT AS churned
+        |      FROM pre LEFT JOIN post USING (user_id)),
+        |m AS (SELECT sum(pred_churn * churned)::BIGINT AS tp,
+        |        sum(pred_churn * (1 - churned))::BIGINT AS fp,
+        |        sum((1 - pred_churn) * churned)::BIGINT AS fn,
+        |        sum((1 - pred_churn) * (1 - churned))::BIGINT AS tn
+        |      FROM j)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn)::DOUBLE, 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |       THEN round(2.0 * tp::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 6) END AS f1
+        |FROM m""".stripMargin
+
+  /** Index-of-dispersion diagnostic — is the daily event count
+    * Poisson, or overdispersed (the question that decides whether a
+    * count model needs a negative-binomial family)? Per type:
+    * D = (n−1)·s²/x̄, chi-square distributed with n−1 df under
+    * Poisson. INTEGER-exact throughout the statistic's core: with
+    * deviations scaled by n (dev = n·cnt − total), (n−1)·s²/x̄ =
+    * Σdev² / (n·total) — one integer ratio, exactly the
+    * [[evtCusum]] scaling device. The 30-df 95 % critical value is a
+    * literal; the verdict is part of the hash.
+    */
+  def evtDispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("tot"))
+    daily.join(broadcast(m), "event_type")
+      .withColumn("dev", col("cnt") * col("n") - col("tot"))
+      .groupBy("event_type")
+      .agg(first("n").as("n"), first("tot").as("tot"),
+        sum(col("dev") * col("dev")).as("ss"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("tot").cast("long").as("n_events"),
+        round(col("ss").cast("double")
+          / (col("n").cast("double") * col("tot").cast("double")), 6).as("dispersion"),
+        (col("ss").cast("double") / (col("n").cast("double") * col("tot").cast("double"))
+          > lit(42.557)).as("overdispersed")) // chi2(29, 0.95)
+      .orderBy("event_type")
+  }
+
+  val evtDispersionSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS tot
+        |      FROM daily GROUP BY 1),
+        |dv AS (SELECT daily.event_type, n, tot, cnt * n - tot AS dev
+        |       FROM daily JOIN m USING (event_type)),
+        |ss AS (SELECT event_type, any_value(n) AS n, any_value(tot) AS tot,
+        |         sum(dev * dev)::BIGINT AS ss
+        |       FROM dv GROUP BY 1)
+        |SELECT event_type, n AS n_days, tot AS n_events,
+        |  round(ss::DOUBLE / (n::DOUBLE * tot::DOUBLE), 6) AS dispersion,
+        |  ss::DOUBLE / (n::DOUBLE * tot::DOUBLE) > 42.557 AS overdispersed
+        |FROM ss ORDER BY event_type""".stripMargin
+
   /** Landing/exit report with bounce rates — the web-analytics session
     * readout (entry page, exit page, single-event bounces) over the
     * gap-based sessions [[evtSessionize]] already defines: sessions
@@ -3660,6 +3772,8 @@ object AnalyticsQueries {
     Q("q_evt_lorenz", evtLorenz, Some(evtLorenzSql)),
     Q("q_evt_benford", evtBenford, Some(evtBenfordSql)),
     Q("q_evt_landing", evtLanding, Some(evtLandingSql)),
+    Q("q_evt_churn", evtChurn, Some(evtChurnSql)),
+    Q("q_evt_dispersion", evtDispersion, Some(evtDispersionSql)),
     Q("q_evt_robust_z", evtRobustZ, Some(evtRobustZSql)),
     Q("q_evt_sessionize", evtSessionize, Some(evtSessionizeSql)),
     Q("q_evt_retention", evtRetention, Some(evtRetentionSql)),

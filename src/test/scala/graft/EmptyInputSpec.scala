@@ -152,7 +152,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_lorenz", // null decile bounds, zero spend shares
     "q_evt_benford", // zero digits, null chi-square verdict
     "q_doc_llr_bigrams", // G2 contingency over zero bigrams
-    "q_evt_landing" // sessionize + modal exit over zero sessions
+    "q_evt_landing", // sessionize + modal exit over zero sessions
+    "q_evt_churn", // temporal split over zero users, null metrics
+    "q_evt_dispersion" // dispersion ratio over zero dailies
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
