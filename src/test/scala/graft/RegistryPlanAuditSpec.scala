@@ -51,6 +51,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_cms_change", // 1-row min-day scalar + 2-row window-id probe cross
     "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_doc_llr_bigrams", // 1-row bigram-total scalar broadcast
+    "q_evt_churn", // 1-row span-origin scalar broadcast
     "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
     "q_doc_vocab", // 1-row corpus token total for shares
     "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
