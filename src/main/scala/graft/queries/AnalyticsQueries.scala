@@ -1382,10 +1382,16 @@ object AnalyticsQueries {
     * [[evtCusum]] scaling device. The 30-df 95 % critical value is a
     * literal; the verdict is part of the hash.
     */
-  def evtDispersion(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+  def evtDispersion(s: SparkSession, dir: String): DataFrame =
+    dispersionFromDaily(Funnel.stage(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** The dispersion tail over the additive (type, day, cnt) grid —
+    * shared with the streaming maintainer (same store shape as
+    * [[stlFromDaily]]). Callers stage `daily`.
+    */
+  private[queries] def dispersionFromDaily(daily: DataFrame): DataFrame = {
     val m = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cnt").as("tot"))
     daily.join(broadcast(m), "event_type")

@@ -2913,6 +2913,39 @@ object StreamingQueries {
             16, 10).cast("long"), lit(2L)))))
   }
 
+  /** The dispersion diagnostic maintained on a stream — the SAME
+    * additive (type, day, cnt) grid as [[streamStl]], with
+    * [[AnalyticsQueries.evtDispersion]]'s integer-ratio tail solved at
+    * end of stream (a live overdispersion monitor is how a pipeline
+    * notices its count model's family assumption has broken). Oracle =
+    * the batch statement verbatim.
+    */
+  def streamDispersion(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sdisp",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def dailyOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sdisp_store"))
+    store.init(dailyOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
+          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.dispersionFromDaily(graft.operators.Funnel.stage(
+      store.version(lastBatchId(srcDir))
+        .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt"))))
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4660,6 +4693,7 @@ object StreamingQueries {
     Q("q_stream_gram", streamGram, Some(PipelineQueries.embGramSql)),
     Q("q_stream_benford", streamBenford, Some(AnalyticsQueries.evtBenfordSql)),
     Q("q_stream_lorenz", streamLorenz, Some(AnalyticsQueries.evtLorenzSql)),
+    Q("q_stream_dispersion", streamDispersion, Some(AnalyticsQueries.evtDispersionSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
