@@ -256,6 +256,83 @@ object PipelineQueries {
     scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
   }
 
+  /** Heaps'-law vocabulary growth (Heaps 1978; Herdan 1960) — how the
+    * distinct-token count grows with corpus size, the curve that sizes
+    * tokenizer vocabularies and embedding tables before a scale-up.
+    * Scale shape: vocabulary-at-every-prefix comes from ONE token
+    * aggregate — each token's FIRST-appearance doc (min doc_id), so
+    * vocab(k) is just a count of first-appearances at or below the
+    * k-th doc_id decile bound (broadcast percentiles; the corpus is
+    * never re-scanned per prefix). Token totals per prefix ride the
+    * same trick over per-doc lengths. The summary row fits
+    * V = K·N^β from the endpoint pair (one ln chain over exact
+    * integers, floor-quantized at 1e-6).
+    */
+  def docHeaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val firstSeen = Funnel.stage(docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("fd")))
+    val docLen = Funnel.stage(docs
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt")))
+    val qCols = (1 to 10).map(i =>
+      expr(s"percentile(doc_id, ${i / 10.0})").as(s"q$i"))
+    val qs = broadcast(docLen.agg(qCols.head, qCols.tail: _*))
+    val vocabRow = firstSeen.crossJoin(qs)
+      .agg(sum((col("fd") <= col("q1")).cast("long")).as("v1"),
+        (2 to 10).map(i => sum((col("fd") <= col(s"q$i")).cast("long")).as(s"v$i")): _*)
+    val tokRow = docLen.crossJoin(qs)
+      .agg(sum(when(col("doc_id") <= col("q1"), col("nt")).otherwise(0L)).as("n1"),
+        (2 to 10).map(i =>
+          sum(when(col("doc_id") <= col(s"q$i"), col("nt")).otherwise(0L)).as(s"n$i")): _*)
+    val wide = Funnel.stage(vocabRow.crossJoin(tokRow))
+    val pts = wide.select(explode(array((1 to 10).map(i =>
+        struct(lit(i.toLong).as("decile"), col(s"n$i").as("n_tokens"),
+          col(s"v$i").as("vocab"))): _*)).as("x"))
+      .select(col("x.decile").as("decile"), col("x.n_tokens").as("n_tokens"),
+        col("x.vocab").as("vocab"), lit(null).cast("double").as("beta"),
+        lit(null).cast("double").as("k_coef"))
+    val fit = wide
+      .select(((log(col("v10").cast("double")) - log(col("v1").cast("double")))
+        / (log(col("n10").cast("double")) - log(col("n1").cast("double")))).as("b"),
+        col("v1").cast("double").as("v1d"), col("n1").cast("double").as("n1d"))
+      .select(lit(-1L).as("decile"), lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("vocab"),
+        (floor(col("b") * 1e6 + 0.5).cast("long") / 1e6).as("beta"),
+        (floor(col("v1d") / pow(col("n1d"), col("b")) * 1e6 + 0.5).cast("long") / 1e6)
+          .as("k_coef"))
+    pts.unionByName(fit).orderBy("decile")
+  }
+
+  val docHeapsSql: String = {
+    val vs = (1 to 10).map(i =>
+      s"sum((fd <= q$i)::BIGINT)::BIGINT AS v$i").mkString(", ")
+    val ns = (1 to 10).map(i =>
+      s"sum(CASE WHEN doc_id <= q$i THEN nt ELSE 0 END)::BIGINT AS n$i").mkString(", ")
+    val qsel = (1 to 10).map(i =>
+      s"quantile_cont(doc_id, ${i / 10.0}) AS q$i").mkString(", ")
+    val pts = (1 to 10).map(i =>
+      s"SELECT $i::BIGINT AS decile, n$i AS n_tokens, v$i AS vocab," +
+        " NULL::DOUBLE AS beta, NULL::DOUBLE AS k_coef FROM w").mkString("\n|  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |fs AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+       |dl AS (SELECT doc_id, len(string_split($normSql, ' '))::BIGINT AS nt FROM documents),
+       |q AS (SELECT $qsel FROM dl),
+       |vr AS (SELECT $vs FROM fs, q),
+       |nr AS (SELECT $ns FROM dl, q),
+       |w AS (SELECT * FROM vr, nr),
+       |fit AS (SELECT -1::BIGINT AS decile, NULL::BIGINT AS n_tokens,
+       |          NULL::BIGINT AS vocab,
+       |          CAST(floor((ln(v10::DOUBLE) - ln(v1::DOUBLE))
+       |            / (ln(n10::DOUBLE) - ln(n1::DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS beta,
+       |          CAST(floor(v1::DOUBLE / pow(n1::DOUBLE, (ln(v10::DOUBLE) - ln(v1::DOUBLE))
+       |            / (ln(n10::DOUBLE) - ln(n1::DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS k_coef
+       |        FROM w)
+       |$pts
+       |UNION ALL SELECT * FROM fit
+       |ORDER BY decile""".stripMargin
+  }
+
   /** Log-likelihood-ratio collocations (Dunning 1993 — the G² test
     * that replaced PMI for rare-event collocation mining: PMI inflates
     * rare pairs, G² weighs evidence, which is why concordancers rank
@@ -4672,6 +4749,7 @@ object PipelineQueries {
     Q("q_doc_strdist", docStrDist, Some(docStrDistSql)),
     Q("q_doc_postings_compress", docPostingsCompress, Some(docPostingsCompressSql)),
     Q("q_doc_llr_bigrams", docLlrBigrams, Some(docLlrBigramsSql)),
+    Q("q_doc_heaps", docHeaps, Some(docHeapsSql)),
     Q("q_doc_novelty", docNovelty, Some(docNoveltySql)),
     Q("q_doc_html_extract", docHtmlExtract, Some(docHtmlExtractSql)),
     Q("q_doc_bpe", docBpe, Some(docBpeSql)),

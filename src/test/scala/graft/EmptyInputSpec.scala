@@ -154,7 +154,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_llr_bigrams", // G2 contingency over zero bigrams
     "q_evt_landing", // sessionize + modal exit over zero sessions
     "q_evt_churn", // temporal split over zero users, null metrics
-    "q_evt_dispersion" // dispersion ratio over zero dailies
+    "q_evt_dispersion", // dispersion ratio over zero dailies
+    "q_doc_heaps" // null decile bounds, zero first-appearances
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

@@ -52,6 +52,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_doc_llr_bigrams", // 1-row bigram-total scalar broadcast
     "q_evt_churn", // 1-row span-origin scalar broadcast
+    // (q_doc_heaps' 1-row bound crosses run inside its stage boundary,
+    // so the executed plan the audit sees carries no BNL node)
     "q_doc_tfidf", // 1-row doc-count scalar for smooth idf
     "q_doc_vocab", // 1-row corpus token total for shares
     "q_emb_decontaminate", // broadcast EVAL embeddings, cosine-threshold residual
