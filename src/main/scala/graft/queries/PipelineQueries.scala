@@ -268,13 +268,27 @@ object PipelineQueries {
     * V = K·N^β from the endpoint pair (one ln chain over exact
     * integers, floor-quantized at 1e-6).
     */
-  def docHeaps(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val firstSeen = Funnel.stage(docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(min("doc_id").as("fd")))
-    val docLen = Funnel.stage(docs
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt")))
+  def docHeaps(s: SparkSession, dir: String): DataFrame =
+    heapsSolve(
+      Funnel.stage(heapsFirstSeen(Tables.documents(s, dir))),
+      Funnel.stage(heapsDocLen(Tables.documents(s, dir))))
+
+  /** Token → first-appearance doc (MIN-merges, so the streaming
+    * maintainer is a min-keyed store).
+    */
+  private[queries] def heapsFirstSeen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("fd"))
+
+  /** Per-doc token lengths (append-only rows). */
+  private[queries] def heapsDocLen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt"))
+
+  /** The growth-curve tail over the two state tables — shared by the
+    * batch query and the streaming maintainer's solve. Callers stage
+    * both inputs.
+    */
+  private[queries] def heapsSolve(firstSeen: DataFrame, docLen: DataFrame): DataFrame = {
     val qCols = (1 to 10).map(i =>
       expr(s"percentile(doc_id, ${i / 10.0})").as(s"q$i"))
     val qs = broadcast(docLen.agg(qCols.head, qCols.tail: _*))

@@ -2571,6 +2571,45 @@ object StreamingQueries {
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
   }
 
+  /** Heaps'-law growth maintained on a stream
+    * ([[PipelineQueries.docHeaps]] as a live vocabulary monitor — the
+    * curve that tells a tokenizer team when the vocab budget will
+    * saturate): two stores — token first-appearance docs (MIN-merge:
+    * min is commutative, so arbitrary splits fold exactly) and per-doc
+    * token lengths (append-only distinct rows). The end-of-stream
+    * solve runs the shared growth-curve tail; the batch oracle pins
+    * merge ≡ one-shot.
+    */
+  def streamHeaps(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    val docs = Tables.documents(s, dir)
+    val srcDir = stageBatchFiles(dir, "sheaps",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val fsStore = graft.streaming.VersionedStore(s, freshDir(dir, "sheaps_fs"))
+    val dlStore = graft.streaming.VersionedStore(s, freshDir(dir, "sheaps_dl"))
+    fsStore.init(PQ.heapsFirstSeen(docs.limit(0)))
+    dlStore.init(PQ.heapsDocLen(docs.limit(0)))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fsStore.write(batchId, fsStore.prior(batchId)
+          .unionByName(PQ.heapsFirstSeen(batch))
+          .groupBy("tok").agg(min("fd").as("fd")))
+        dlStore.write(batchId, dlStore.prior(batchId)
+          .unionByName(PQ.heapsDocLen(batch)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PQ.heapsSolve(
+      graft.operators.Funnel.stage(fsStore.version(lastBatchId(srcDir))
+        .select(col("tok"), col("fd").cast("long").as("fd"))),
+      graft.operators.Funnel.stage(dlStore.version(lastBatchId(srcDir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("nt").cast("long").as("nt"))))
+  }
+
   /** The Benford audit maintained on a stream
     * ([[AnalyticsQueries.evtBenford]] as a continuous ingest-quality
     * gate — a drifting first-digit distribution is a live signal of a
@@ -4694,6 +4733,7 @@ object StreamingQueries {
     Q("q_stream_benford", streamBenford, Some(AnalyticsQueries.evtBenfordSql)),
     Q("q_stream_lorenz", streamLorenz, Some(AnalyticsQueries.evtLorenzSql)),
     Q("q_stream_dispersion", streamDispersion, Some(AnalyticsQueries.evtDispersionSql)),
+    Q("q_stream_heaps", streamHeaps, Some(PipelineQueries.docHeapsSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
