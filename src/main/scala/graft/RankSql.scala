@@ -67,7 +67,13 @@ object RankSql {
     require(m.group(7) == "<=" || n == 1, s"rank predicate ${m.group(7)} $n: = requires 1")
 
     val orderExprs = orderSpecs.map { case (c, desc) => if (desc) col(c).desc else col(c).asc }
-    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderExprs: _*)
+    // deterministic tie-break: without it the incremental trim keeps an
+    // ARBITRARY row among ORDER BY ties, so which rows survive would
+    // depend on batch boundaries; appending the remaining columns makes
+    // the kept set a pure function of the row multiset
+    val named = (partCols ++ orderSpecs.map(_._1)).map(_.toLowerCase).toSet
+    val tieBreak = src.columns.filterNot(c => named.contains(c.toLowerCase)).map(col(_).asc).toSeq
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderExprs ++ tieBreak: _*)
     def topN(df: DataFrame): DataFrame =
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
 
@@ -79,7 +85,7 @@ object RankSql {
       .createTempDirectory(java.nio.file.Paths.get(stateDir), s"ranksql_${table}_")
     val store = graft.streaming.VersionedStore(spark, runDir.toString)
     store.init(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], src.schema))
-    var last = -1L
+    @volatile var last = -1L // written from the stream-execution thread
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.write(batchId, topN(store.prior(batchId).unionByName(batch)))

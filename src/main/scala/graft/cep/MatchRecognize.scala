@@ -42,10 +42,26 @@ object MatchRecognize {
     * sequence, k!·… for PERMUTE factors (cross product keeps declared
     * order = SQL lexicographic preference).
     */
+  private[cep] def compileMulti[T](patternStr: String,
+      define: Map[String, T => Boolean]): Seq[Pattern[T]] =
+    compileMulti(patternStr, define, AfterMatch.SkipPastLast,
+      Map.empty[String, (T, MatchContext[T]) => Boolean])
+
+  private[cep] def compileMulti[T](patternStr: String,
+      define: Map[String, T => Boolean], afterMatch: AfterMatch): Seq[Pattern[T]] =
+    compileMulti(patternStr, define, afterMatch,
+      Map.empty[String, (T, MatchContext[T]) => Boolean])
+
   private[cep] def compileMulti[T](
       patternStr: String,
       define: Map[String, T => Boolean],
-      afterMatch: AfterMatch = AfterMatch.SkipPastLast): Seq[Pattern[T]] = {
+      afterMatch: AfterMatch,
+      /** ITERATIVE defines (ref: IterativeCondition.java:65-85; SQL
+        * DEFINE with FIRST/LAST navigation): evaluated with the partial
+        * match's [[MatchContext]], ANDed with the row-local define.
+        * Plain variables only — alternation-group members keep
+        * row-local semantics. */
+      defineCtx: Map[String, (T, MatchContext[T]) => Boolean]): Seq[Pattern[T]] = {
     def predOf(name: String): T => Boolean = define.getOrElse(name,
       throw new IllegalArgumentException(s"no DEFINE for pattern variable $name"))
     // normalize whitespace inside (A | B) / PERMUTE(A, B) so tokens split
@@ -61,7 +77,8 @@ object MatchRecognize {
       case PermuteToken(vars) =>
         val names = vars.split(",").toVector
         names.permutations.toSeq.map(_.map(n =>
-          Stage[T](n, predOf(n), Quantifier.Once, innerContiguity = Contiguity.Strict)))
+          Stage[T](n, predOf(n), Quantifier.Once, innerContiguity = Contiguity.Strict,
+            whereCtx = defineCtx.get(n))))
       case GroupToken(alts, q, _, r) =>
         val names = alts.split("\\|").toSeq
         Seq(Vector(Stage.oneOf(names.map(n => n -> predOf(n)), Contiguity.Strict)
@@ -69,8 +86,15 @@ object MatchRecognize {
             innerContiguity = Contiguity.Strict, greedy = r == null)))
       case Token(n, q, _, r) =>
         Seq(Vector(Stage[T](n, predOf(n), quantOf(Option(q)),
-          innerContiguity = Contiguity.Strict, greedy = r == null)))
+          innerContiguity = Contiguity.Strict, greedy = r == null,
+          whereCtx = defineCtx.get(n))))
       case tok => throw new IllegalArgumentException(s"bad pattern token: $tok")
+    }
+    if (defineCtx.nonEmpty) {
+      val carried = perTok.flatten.flatten.filter(_.whereCtx.isDefined).map(_.name).toSet
+      defineCtx.keys.foreach(v => require(carried.contains(v),
+        s"iterative DEFINE for $v: only plain pattern variables support navigation " +
+          "(alternation-group members keep row-local defines)"))
     }
     val seqs = perTok.foldLeft(Seq(Vector.empty[Stage[T]])) { (accs, alts) =>
       for (a <- accs; b <- alts) yield a ++ b

@@ -193,25 +193,32 @@ object NFA {
     val startTs = ts(events(start))
     val deadline = pattern.withinMs.map(w => startTs + w * tsPerMs).getOrElse(Long.MaxValue)
     def inWindow(idx: Int): Boolean = ts(events(idx)) <= deadline
+    // context for iterative conditions: events bound so far (the acc at
+    // the call site, plus the in-progress loop's earlier takes)
+    def ctxAt(i: Int, bound: List[(String, Seq[Int])]): MatchContext[T] =
+      new MatchContext(events, i, bound)
 
     /** Maximal walk of a loop quantifier starting at `first`: all indices
       * the loop could take, honoring inner contiguity, the window, and
       * the `until` stop condition (checked BEFORE `where`, as in the
-      * reference: an event matching both stops the loop).
+      * reference: an event matching both stops the loop). `acc` feeds
+      * iterative conditions; the loop's earlier takes are visible to
+      * each continuation test (reference parity: accepted events only).
       */
-    def loopWalk(st: Stage[T], first: Int): Vector[Int] = {
+    def loopWalk(st: Stage[T], first: Int, acc: List[(String, Seq[Int])]): Vector[Int] = {
       def stop(c: Int): Boolean = st.until.exists(u => u(events(c)))
       val taken = mutable.ArrayBuffer[Int](first)
+      def ok(c: Int): Boolean = st.test(events(c), ctxAt(c, acc :+ (st.name -> taken.toVector)))
       var continue = taken.length < st.quantifier.max
       while (continue) {
         val next: Option[Int] = st.innerContiguity match {
           case Contiguity.Strict =>
             val c = taken.last + 1
-            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+            if (c < n && inWindow(c) && !stop(c) && ok(c)) Some(c) else None
           case Contiguity.Relaxed =>
             var c = taken.last + 1
-            while (c < n && inWindow(c) && !stop(c) && !st.where(events(c))) c += 1
-            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+            while (c < n && inWindow(c) && !stop(c) && !ok(c)) c += 1
+            if (c < n && inWindow(c) && !stop(c) && ok(c)) Some(c) else None
         }
         next match {
           case Some(c) =>
@@ -244,11 +251,13 @@ object NFA {
             g.contiguity match {
               case Contiguity.Strict =>
                 val c = prevEnd + 1
-                if (c < n && inWindow(c) && g.where(events(c))) None else Some((acc, prevEnd))
+                if (c < n && inWindow(c) && g.test(events(c), ctxAt(c, acc))) None
+                else Some((acc, prevEnd))
               case Contiguity.Relaxed =>
                 if (pattern.withinMs.isEmpty)
                   throw new IllegalArgumentException("trailing notFollowedBy requires within()")
-                val bad = (prevEnd + 1 until n).exists(j => inWindow(j) && g.where(events(j)))
+                val bad = (prevEnd + 1 until n)
+                  .exists(j => inWindow(j) && g.test(events(j), ctxAt(j, acc)))
                 if (bad) None else Some((acc, prevEnd))
             }
         }
@@ -273,13 +282,15 @@ object NFA {
         case None => true
         case Some(g) =>
           g.contiguity match {
-            case Contiguity.Strict  => !(prevEnd + 1 < c && g.where(events(prevEnd + 1)))
-            case Contiguity.Relaxed => !(prevEnd + 1 until c).exists(j => g.where(events(j)))
+            case Contiguity.Strict =>
+              !(prevEnd + 1 < c && g.test(events(prevEnd + 1), ctxAt(prevEnd + 1, acc)))
+            case Contiguity.Relaxed =>
+              !(prevEnd + 1 until c).exists(j => g.test(events(j), ctxAt(j, acc)))
           }
       }
 
       def tryAt(c: Int): Option[(List[(String, Seq[Int])], Int)] = {
-        val walk = if (st.quantifier.max == 1) Vector(c) else loopWalk(st, c)
+        val walk = if (st.quantifier.max == 1) Vector(c) else loopWalk(st, c, acc)
         val minTake = math.max(st.quantifier.min, 1)
         // backtracking over the loop length: greedy = longest-first,
         // reluctant = shortest-first
@@ -292,13 +303,15 @@ object NFA {
           .collectFirst { case Some(r) => r }
       }
 
+      def candOk(c: Int): Boolean = st.test(events(c), ctxAt(c, acc))
+
       val attempt: Option[(List[(String, Seq[Int])], Int)] =
         if (isFirst) {
-          if (st.where(events(start)) && inWindow(start)) tryAt(start) else None
+          if (candOk(start) && inWindow(start)) tryAt(start) else None
         } else st.contiguity match {
           case Contiguity.Strict =>
             val c = prevEnd + 1
-            if (c < n && inWindow(c) && st.where(events(c)) && guardAllows(c)) tryAt(c)
+            if (c < n && inWindow(c) && candOk(c) && guardAllows(c)) tryAt(c)
             else None
           case Contiguity.Relaxed =>
             // scan candidates in order; a relaxed-guard violation at any
@@ -307,9 +320,9 @@ object NFA {
             var res: Option[(List[(String, Seq[Int])], Int)] = None
             var poisoned = false
             while (res.isEmpty && !poisoned && c < n && inWindow(c)) {
-              if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.where(events(c))))
+              if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.test(events(c), ctxAt(c, acc))))
                 poisoned = true
-              else if (st.where(events(c)) && guardAllows(c))
+              else if (candOk(c) && guardAllows(c))
                 res = tryAt(c) match {
                   case some @ Some(_) => some
                   case None           => { c += 1; None }
@@ -398,22 +411,27 @@ object NFA {
     val startTs = ts(events(start))
     val deadline = pattern.withinMs.map(w => startTs + w * tsPerMs).getOrElse(Long.MaxValue)
     def inWindow(idx: Int): Boolean = ts(events(idx)) <= deadline
+    def ctxAt(i: Int, bound: List[(String, Seq[Int])]): MatchContext[T] =
+      new MatchContext(events, i, bound)
 
     // contiguous-run prefixes, greedy order — identical to the
-    // single-match loop walk
-    def loopRuns(st: Stage[T], first: Int): Seq[Vector[Int]] = {
+    // single-match loop walk (iterative conditions see the run's
+    // earlier takes via acc, like the single-match walk)
+    def loopRuns(st: Stage[T], first: Int,
+        acc: List[(String, Seq[Int])]): Seq[Vector[Int]] = {
       def stop(c: Int): Boolean = st.until.exists(u => u(events(c)))
       val taken = mutable.ArrayBuffer[Int](first)
+      def ok(c: Int): Boolean = st.test(events(c), ctxAt(c, acc :+ (st.name -> taken.toVector)))
       var continue = taken.length < st.quantifier.max
       while (continue) {
         val next: Option[Int] = st.innerContiguity match {
           case Contiguity.Strict =>
             val c = taken.last + 1
-            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+            if (c < n && inWindow(c) && !stop(c) && ok(c)) Some(c) else None
           case Contiguity.Relaxed =>
             var c = taken.last + 1
-            while (c < n && inWindow(c) && !stop(c) && !st.where(events(c))) c += 1
-            if (c < n && inWindow(c) && !stop(c) && st.where(events(c))) Some(c) else None
+            while (c < n && inWindow(c) && !stop(c) && !ok(c)) c += 1
+            if (c < n && inWindow(c) && !stop(c) && ok(c)) Some(c) else None
         }
         next match {
           case Some(c) => taken += c; continue = taken.length < st.quantifier.max
@@ -436,7 +454,12 @@ object NFA {
     // applied. Tail capped at `combinationTailCap` choice events
     // (within() is the real-world bound); the truncation is surfaced,
     // not silent.
-    def loopCombos(st: Stage[T], first: Int): Iterator[Vector[Int]] = {
+    def loopCombos(st: Stage[T], first: Int,
+        acc: List[(String, Seq[Int])]): Iterator[Vector[Int]] = {
+      // iterative conditions under combinations see the PRIOR stages'
+      // bindings plus the loop anchor only — the subsequence being
+      // assembled is not yet determined when each tail event is tested
+      def ok(c: Int): Boolean = st.test(events(c), ctxAt(c, acc :+ (st.name -> Vector(first))))
       val (tail, truncated) = {
         val out = Vector.newBuilder[Int]
         var c = first + 1
@@ -445,7 +468,7 @@ object NFA {
         while (!stopped && c < n && inWindow(c)) {
           if (st.until.exists(u => u(events(c)))) stopped = true
           else {
-            if (st.where(events(c))) { if (found < combinationTailCap) out += c; found += 1 }
+            if (ok(c)) { if (found < combinationTailCap) out += c; found += 1 }
             c += 1
           }
         }
@@ -462,12 +485,15 @@ object NFA {
       }
     }
 
-    def guardAllows(guard: Option[Stage[T]], prevEnd: Int, c: Int): Boolean = guard match {
+    def guardAllows(guard: Option[Stage[T]], prevEnd: Int, c: Int,
+        acc: List[(String, Seq[Int])]): Boolean = guard match {
       case None => true
       case Some(g) =>
         g.contiguity match {
-          case Contiguity.Strict  => !(prevEnd + 1 < c && g.where(events(prevEnd + 1)))
-          case Contiguity.Relaxed => !(prevEnd + 1 until c).exists(j => g.where(events(j)))
+          case Contiguity.Strict =>
+            !(prevEnd + 1 < c && g.test(events(prevEnd + 1), ctxAt(prevEnd + 1, acc)))
+          case Contiguity.Relaxed =>
+            !(prevEnd + 1 until c).exists(j => g.test(events(j), ctxAt(j, acc)))
         }
     }
 
@@ -481,12 +507,13 @@ object NFA {
             g.contiguity match {
               case Contiguity.Strict =>
                 val c = prevEnd + 1
-                if (c < n && inWindow(c) && g.where(events(c))) Iterator.empty
+                if (c < n && inWindow(c) && g.test(events(c), ctxAt(c, acc))) Iterator.empty
                 else Iterator.single((acc, prevEnd))
               case Contiguity.Relaxed =>
                 if (pattern.withinMs.isEmpty)
                   throw new IllegalArgumentException("trailing notFollowedBy requires within()")
-                val bad = (prevEnd + 1 until n).exists(j => inWindow(j) && g.where(events(j)))
+                val bad = (prevEnd + 1 until n)
+                  .exists(j => inWindow(j) && g.test(events(j), ctxAt(j, acc)))
                 if (bad) Iterator.empty else Iterator.single((acc, prevEnd))
             }
         }
@@ -499,8 +526,8 @@ object NFA {
           val isFirst = prevEnd < start
           def takes(c: Int): Iterator[Vector[Int]] =
             if (st.quantifier.max == 1) Iterator.single(Vector(c))
-            else if (st.combinations) loopCombos(st, c)
-            else loopRuns(st, c).iterator
+            else if (st.combinations) loopCombos(st, c, acc)
+            else loopRuns(st, c, acc).iterator
           def after(tk: Vector[Int]): Iterator[(List[(String, Seq[Int])], Int)] =
             go(si + 1, tk.last + 1, tk.last, None, acc :+ (st.name -> tk))
           // combinations enumerates every take; otherwise single-match
@@ -509,13 +536,14 @@ object NFA {
             if (st.combinations) takes(c).flatMap(after)
             else takes(c).map(tk => after(tk).toSeq)
               .find(_.nonEmpty).map(_.iterator).getOrElse(Iterator.empty)
+          def candOk(c: Int): Boolean = st.test(events(c), ctxAt(c, acc))
           val candidates: Seq[Int] =
             if (isFirst) {
-              if (st.where(events(start)) && inWindow(start)) Seq(start) else Nil
+              if (candOk(start) && inWindow(start)) Seq(start) else Nil
             } else st.contiguity match {
               case Contiguity.Strict =>
                 val c = prevEnd + 1
-                if (c < n && inWindow(c) && st.where(events(c)) && guardAllows(guard, prevEnd, c))
+                if (c < n && inWindow(c) && candOk(c) && guardAllows(guard, prevEnd, c, acc))
                   Seq(c)
                 else Nil
               case Contiguity.Relaxed =>
@@ -524,10 +552,10 @@ object NFA {
                 var c = from
                 var poisoned = false
                 while (!poisoned && c < n && inWindow(c)) {
-                  if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.where(events(c))))
+                  if (guard.exists(g => g.contiguity == Contiguity.Relaxed && g.test(events(c), ctxAt(c, acc))))
                     poisoned = true
                   else {
-                    if (st.where(events(c)) && guardAllows(guard, prevEnd, c)) buf += c
+                    if (candOk(c) && guardAllows(guard, prevEnd, c, acc)) buf += c
                     c += 1
                   }
                 }

@@ -47,6 +47,40 @@ object AfterMatch {
   final case class SkipToLast(variable: String) extends AfterMatch
 }
 
+/** What an ITERATIVE condition can see at evaluation time (ref: flink-cep
+  * IterativeCondition.Context, IterativeCondition.java:65-85 —
+  * `filter(value, ctx)` with `ctx.getEventsForPattern("middle")`; plus
+  * SQL row-pattern navigation PREV/NEXT over the input sequence). Built
+  * lazily by the NFA for each candidate test; `bound` carries the
+  * partial match's per-stage event indices INCLUDING the in-progress
+  * loop's earlier takes.
+  */
+final class MatchContext[T] private[cep] (
+    events: IndexedSeq[T],
+    /** input-sequence index of the event under test */
+    val idx: Int,
+    bound: List[(String, Seq[Int])]) {
+  /** the event `n` input rows before the one under test (SQL PREV —
+    * INPUT navigation, independent of bindings); None off the front */
+  def prev(n: Int = 1): Option[T] = {
+    val j = idx - n; if (j >= 0 && j < events.length) Some(events(j)) else None
+  }
+  /** the event `n` input rows after the one under test (SQL NEXT) */
+  def next(n: Int = 1): Option[T] = {
+    val j = idx + n; if (j >= 0 && j < events.length) Some(events(j)) else None
+  }
+  /** events bound so far to `variable` in the current partial match
+    * (ref: IterativeCondition.Context.getEventsForPattern — accepted
+    * events only; the event under test is NOT included) */
+  def eventsFor(variable: String): Seq[T] = indicesFor(variable).map(events(_))
+  /** FIRST(variable) over the accepted events so far */
+  def first(variable: String): Option[T] = indicesFor(variable).headOption.map(events(_))
+  /** LAST(variable) over the accepted events so far */
+  def last(variable: String): Option[T] = indicesFor(variable).lastOption.map(events(_))
+  private def indicesFor(variable: String): Seq[Int] =
+    bound.withFilter(_._1 == variable).flatMap(_._2)
+}
+
 /** One pattern stage. `negated` stages are guards: the pattern fails if
   * the guard matches in the gap its contiguity defines.
   */
@@ -80,9 +114,17 @@ final case class Stage[T](
       * [[NFA.findAllMatches]] a loop may take any in-order SUBSEQUENCE
       * of its matching events (gaps over matching events allowed), not
       * only contiguous runs. No effect under the single-match matcher. */
-    combinations: Boolean = false
+    combinations: Boolean = false,
+    /** ITERATIVE condition (ref: IterativeCondition.java:65-85): a
+      * predicate over (event, [[MatchContext]]) — the context exposes
+      * the partial match's bound events and input-order navigation.
+      * ANDed with `where`; evaluated by the NFA per candidate test. */
+    whereCtx: Option[(T, MatchContext[T]) => Boolean] = None
 ) {
   def or(p: T => Boolean): Stage[T] = copy(where = e => where(e) || p(e))
+  /** Combined row-local + iterative test; `ctx` built only when needed. */
+  def test(e: T, ctx: => MatchContext[T]): Boolean =
+    where(e) && whereCtx.forall(_(e, ctx))
 }
 
 object Stage {
@@ -102,6 +144,17 @@ final case class Pattern[T](
 
   def where(p: T => Boolean): Pattern[T] =
     updLast(s => s.copy(where = e => s.where(e) && p(e)))
+  /** ITERATIVE condition on the last stage (ref: Pattern.where with an
+    * IterativeCondition, IterativeCondition.java:65-85): the predicate
+    * additionally sees the events the partial match has bound so far
+    * via [[MatchContext]] — `ctx.eventsFor("middle")`, `ctx.prev()`.
+    * ANDs with any existing conditions on the stage.
+    */
+  def where(p: (T, MatchContext[T]) => Boolean): Pattern[T] =
+    updLast(s => s.copy(whereCtx = s.whereCtx match {
+      case Some(q) => Some((e, c) => q(e, c) && p(e, c))
+      case None    => Some(p)
+    }))
   def or(p: T => Boolean): Pattern[T] = updLast(_.or(p))
 
   def next(name: String): Pattern[T] =

@@ -225,17 +225,21 @@ case class RollingWindowHashes(child: Expression, windowLen: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // Iterate by CODE POINT, not UTF-16 code unit: the md5/`substring`
+    // variant this must match verbatim counts code points (Spark SQL
+    // substring/length semantics), and supplementary-plane characters
+    // (emoji) occupy two code units but one code point.
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < windowLen) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - windowLen + 1)
     var h = 0L
     var i = 0
-    while (i < windowLen) { h = h * B + s.charAt(i); i += 1 }
+    while (i < windowLen) { h = h * B + cps(i); i += 1 }
     out(0) = h
     i = windowLen
     while (i < n) {
-      h = h * B + s.charAt(i) - bPowL * s.charAt(i - windowLen)
+      h = h * B + cps(i) - bPowL * cps(i - windowLen)
       out(i - windowLen + 1) = h
       i += 1
     }

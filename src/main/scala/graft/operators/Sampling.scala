@@ -177,10 +177,14 @@ object Sampling {
           round(sqrt(col("vn").cast("double")
             / (col("n") * (col("n") - 1)).cast("double")) * col("n") * 1e6))
           .otherwise(lit(0.0)).cast("long").as("w_e6"))
-    val tot = stats.agg(sum("w_e6").as("tw"))
+    val tot = stats.agg(sum("w_e6").as("tw"), sum("n").as("tn"))
     val quotas = stats.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n"), col("w_e6"),
-        (col("w_e6").cast("double") * total / col("tw")).as("quota"))
+        // tw = 0 (every stratum size < 2 or zero variance) would divide
+        // by zero → NaN quotas; fall back to proportional-to-n, which is
+        // Neyman under equal variances and always well-defined
+        when(col("tw") > 0, col("w_e6").cast("double") * total / col("tw"))
+          .otherwise(col("n").cast("double") * total / col("tn")).as("quota"))
       .select(col("stratum"), col("n"), col("w_e6"), col("quota"),
         floor(col("quota")).cast("long").as("base"),
         (col("quota") - floor(col("quota"))).as("frac"))

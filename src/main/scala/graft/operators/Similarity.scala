@@ -662,7 +662,7 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("qid"), col("nid"), round(col("cq"), 4).as("cos_sq8"),
-        col("cos_exact"), col("rn"))
+        col("cos_exact"), col("rn").cast("long").as("rn"))
   }
 
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
@@ -741,7 +741,7 @@ object Similarity {
       .groupBy(col("qid"), col("vid").as("nid"))
       .agg(sum("dn").as("adn"))
       .select(col("qid"), col("nid"), round(col("adn") / 1e6, 4).as("adist"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= topK)
   }
 
@@ -843,7 +843,7 @@ object Similarity {
       .groupBy(col("qid"), col("vid").as("nid"))
       .agg(sum("dn").as("adn"))
       .select(col("qid"), col("nid"), round(col("adn") / 1e6, 4).as("adist"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= topK)
   }
 }

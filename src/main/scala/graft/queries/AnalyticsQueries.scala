@@ -1685,7 +1685,8 @@ object AnalyticsQueries {
         |r AS (SELECT g.*,
         |        CAST(floor((frac_q * qini_end)::DOUBLE / 1e6) AS BIGINT) AS diag_q
         |      FROM g, e)
-        |SELECT decile, nt, ct, nc, cc, qini_q / 1e6 AS qini, diag_q / 1e6 AS qini_diag,
+        |SELECT decile, nt::BIGINT AS nt, ct::BIGINT AS ct, nc::BIGINT AS nc, cc::BIGINT AS cc,
+        |  qini_q / 1e6 AS qini, diag_q / 1e6 AS qini_diag,
         |  NULL::DOUBLE AS auuc
         |FROM r
         |UNION ALL
@@ -2644,7 +2645,8 @@ object AnalyticsQueries {
         |    min(CASE WHEN llr IS NOT NULL THEN least(1.0, exp(-llr)) END)
         |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_min
         |  FROM lr)
-        |SELECT d::VARCHAR AS day, na, ca, nb, cb,
+        |SELECT d::VARCHAR AS day,
+        |  na::BIGINT AS na, ca::BIGINT AS ca, nb::BIGINT AS nb, cb::BIGINT AS cb,
         |  CAST(floor(llr * 1e6 + 0.5) AS BIGINT) / 1e6 AS llr,
         |  CAST(floor(p_min * 1e6 + 0.5) AS BIGINT) / 1e6 AS p_always,
         |  coalesce(CAST(floor(p_min * 1e6 + 0.5) AS BIGINT) < 50000, false) AS reject

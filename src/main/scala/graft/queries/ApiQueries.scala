@@ -122,7 +122,7 @@ object ApiQueries {
     Tables.eventsCte +
       """
         |SELECT count(*)::BIGINT AS cnt,
-        |  sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 8))::BIGINT) AS checksum
+        |  sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 8))::BIGINT)::DECIMAL(38,0) AS checksum
         |FROM ev""".stripMargin
 
   /** ref DataSetUtils.sampleWithSize:232 — a fixed-size sample, made

@@ -3052,7 +3052,7 @@ object PipelineQueries {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok"))
     c.orderBy(col("cnt").desc, col("tok")).limit(1000)
       .crossJoin(broadcast(total))
-      .select(row_number().over(w).as("rank"), col("tok"), col("cnt"),
+      .select(row_number().over(w).cast("long").as("rank"), col("tok"), col("cnt"),
         round(sum("cnt").over(w) / col("total"), 6).as("cum_frac"))
       .orderBy("rank")
   }
@@ -4301,7 +4301,7 @@ object PipelineQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
     fused.select(col("qid").as("query_id"), col("doc_id"), col("rrf"),
-        row_number().over(w).as("rank"))
+        row_number().over(w).cast("long").as("rank"))
       .filter(col("rank") <= 10)
       .orderBy("query_id", "rank")
   }
@@ -4499,7 +4499,7 @@ object PipelineQueries {
       .groupBy("pair").agg(sum("freq").as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair"))
     pairs.orderBy(col("cnt").desc, col("pair")).limit(50)
-      .select(row_number().over(w).as("rank"), col("pair"), col("cnt"))
+      .select(row_number().over(w).cast("long").as("rank"), col("pair"), col("cnt"))
       .orderBy("rank")
   }
 

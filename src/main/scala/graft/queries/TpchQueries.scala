@@ -43,7 +43,7 @@ object TpchQueries {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
   val q12: String =
-    """SELECT year(l_shipdate) AS ship_year,
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders, lineitem
@@ -79,7 +79,7 @@ object TpchQueries {
   val q7: String =
     """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      |    year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice * (1 - l_discount) AS volume
       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
       |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -89,7 +89,7 @@ object TpchQueries {
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
   val q14: String =
-    """SELECT year(l_shipdate) AS ship_year,
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
       |  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
       |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
       |FROM lineitem, part
@@ -162,7 +162,7 @@ object TpchQueries {
     """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
       |    / sum(volume), 4) AS mkt_share
       |FROM (
-      |  SELECT year(o_orderdate) AS o_year,
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |    l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS nation
       |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
@@ -178,7 +178,7 @@ object TpchQueries {
   val q9: String =
     """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
       |FROM (
-      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |    l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
       |  FROM part, supplier, lineitem, orders, nation
       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND l_orderkey = o_orderkey

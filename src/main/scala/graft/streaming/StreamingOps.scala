@@ -291,10 +291,17 @@ object StreamingOps {
         peers.map { case (_, id, _) => OverRow(key, id, t, fsum, fcnt) }
       }
       val nextLast = if (ready.nonEmpty) ready.last._1 else st.lastEmittedUs
+      // evict tail rows no future emit can reference: any future fire has
+      // t > wm, so a frame row with ts < wm - precedingUs is out of every
+      // future frame. Without this (and the timeout below) a key whose
+      // events STOP arriving would retain its frame tail forever — state
+      // must stay bounded by the trailing interval, not by keys-ever-seen.
+      frame = frame.dropWhile(_._1 < wmUs - precedingUs)
       if (hold.isEmpty && frame.isEmpty) state.remove()
       else {
         state.update(BoundedOverState(nextLast, frame, hold))
         if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+        else state.setTimeoutTimestamp(frame.last._1 / 1000L + precedingUs / 1000L + 1)
       }
       out.iterator
     }

@@ -291,6 +291,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substrDupSpansFast matches md5 spans on non-BMP text (code points, not code units)") {
+    import spark.implicits._
+    // Supplementary-plane characters occupy two UTF-16 code units but
+    // ONE code point; the rolling-hash path must index like Spark SQL
+    // substring (code points) or spans shift and strip offsets corrupt.
+    val emoji = "😀😁" // 😀😁 — 2 code points, 4 code units
+    val shared = s"dup${emoji}licated segment $emoji here"
+    val docs = Seq(
+      (1L, s"$emoji prefix $shared suffix one"),
+      (2L, s"other ${emoji}pre $shared tail"),
+      (3L, s"no repeats $emoji at all in this"),
+    ).toDF("doc_id", "text")
+    for (l <- Seq(6, 10)) {
+      val md5Spans = Dedup.substrDupSpans(docs, minLen = l)
+        .as[(Long, Long, Long)].collect().toSet
+      val fastSpans = Dedup.substrDupSpansFast(docs, minLen = l)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fastSpans == md5Spans, s"minLen=$l: non-BMP spans diverged")
+      assert(md5Spans.nonEmpty, s"minLen=$l: fixture planted no duplicates")
+    }
+    // strip must excise the duplicate cleanly even with emoji around it
+    val stripped = Dedup.substrStrip(docs, minLen = 10)
+      .select("doc_id", "kept").as[(Long, String)].collect().toMap
+    assert(!stripped(1L).contains("licated segment"))
+    assert(stripped(3L) == s"no repeats $emoji at all in this")
+  }
+
   test("RollingWindowHashes: hash equality tracks substring equality") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

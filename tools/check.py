@@ -24,12 +24,27 @@ def norm(v):
     return v
 
 
+def norm_type(t):
+    """Canonical DuckDB type string for driver-parity comparison.
+
+    The driver's row hash is TYPE-sensitive (integer width, decimal vs
+    int, float vs double), so the local gate must compare the DuckDB
+    column types of both relations, not just Python-converted values.
+    The only normalization: timezone flavor of TIMESTAMP (Spark parquet
+    stamps isAdjustedToUTC, DuckDB CASTs don't — same instant values).
+    """
+    s = str(t)
+    return s.replace(" WITH TIME ZONE", "")
+
+
 def rows_of(rel):
     cols = rel.columns
+    types = [norm_type(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = rel.fetchall()
     out = [tuple(r[i] for i in order) for r in data]
-    return [cols[i] for i in order], sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return ([cols[i] for i in order], [types[i] for i in order],
+            sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)))
 
 
 def eq(a, b):
@@ -38,6 +53,8 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if a == 0.0 and b == 0.0:  # driver hashes bits: 0.0 != -0.0
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
@@ -66,19 +83,26 @@ def main():
         if only and name not in only:
             continue
         try:
-            got_cols, got = rows_of(con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+            got_cols, got_types, got = rows_of(con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
         try:
-            want_cols, want = rows_of(con.sql(sql))
+            want_cols, want_types, want = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         if got_cols != want_cols:
             print(f"FAIL {name}: columns spark={got_cols} oracle={want_cols}")
+            n_fail += 1
+            continue
+        if got_types != want_types:
+            diffs = [f"{c}: spark={g} oracle={w}"
+                     for c, g, w in zip(got_cols, got_types, want_types) if g != w]
+            print(f"FAIL {name}: column TYPES differ (driver hash is width-sensitive): "
+                  + "; ".join(diffs))
             n_fail += 1
             continue
         if len(got) != len(want):
