@@ -377,7 +377,7 @@ object MatchRecognizeSql {
           require(NavHintRx.findFirstIn(conj).isEmpty,
             s"DEFINE $v: FIRST/LAST navigation is supported only as a top-level " +
               s"comparison conjunct `x <op> FIRST|LAST(A.c[, n])`, got: '$conj'")
-          Right(PrevNextRx.replaceAllIn(conj, m => {
+          val navLowered = PrevNextRx.replaceAllIn(conj, m => {
             require(m.group(2) == v,
               s"DEFINE $v: ${m.group(1).toUpperCase}(${m.group(2)}.${m.group(3)}) must navigate " +
                 s"the defined variable (other variables: use FIRST/LAST)")
@@ -385,7 +385,14 @@ object MatchRecognizeSql {
             val off = Option(m.group(4)).getOrElse("1")
             java.util.regex.Matcher.quoteReplacement(
               s"$f(${m.group(3)}, $off) OVER ($over)")
-          }))
+          })
+          // the defined variable's qualified refs mean the CURRENT row
+          // (SQL:2016): V.price → price. Other qualifiers pass through
+          // (struct field access); unknown variable refs fail loudly in
+          // Spark's analyzer.
+          val QualRx = ("\\b" + java.util.regex.Pattern.quote(v) + "\\s*\\.\\s*([A-Za-z_]\\w*)").r
+          Right(QualRx.replaceAllIn(navLowered,
+            m => java.util.regex.Matcher.quoteReplacement(m.group(1))))
       }
     }
     (if (sqls.isEmpty) None else Some(sqls.map(s => s"($s)").mkString(" AND ")), navs)

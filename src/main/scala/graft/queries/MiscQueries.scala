@@ -381,9 +381,134 @@ object MiscQueries {
         |  AND nts <= ts + INTERVAL 24 HOUR
         |ORDER BY s_id""".stripMargin
 
+  /** The canonical V-shape through the SQL route (ref: the
+    * MATCH_RECOGNIZE example in flink-docs and Calcite —
+    * `DEFINE DOWN AS DOWN.price < PREV(DOWN.price)`): PREV navigation
+    * lowers to a lag() window column evaluated ONCE by Catalyst, so the
+    * NFA walks precomputed booleans. Matches are maximal strictly-
+    * descending runs (per user, by value) followed by ≥1 strictly-
+    * ascending row; the oracle is the gaps-and-islands formulation over
+    * the same lag flags.
+    */
+  def matchStmtUpdown(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, d_first, bottom, top, n
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(DOWN.event_id) AS d_first, LAST(DOWN.value) AS bottom,
+        |    LAST(UP.value) AS top, COUNT(*) AS n
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (DOWN+ UP+)
+        |  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+        |         UP AS UP.value > PREV(UP.value)
+        |)
+        |ORDER BY user_id, d_first""".stripMargin)
+
+  val matchStmtUpdownSql: String =
+    graft.Tables.eventsCte +
+      """
+        |, f AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS dn,
+        |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS up
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (SELECT user_id, rn, event_id, value,
+        |        rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM f WHERE dn = 1),
+        |dr AS (SELECT user_id, min(rn) AS ds, max(rn) AS de,
+        |         arg_min(event_id, rn) AS d_first, arg_max(value, rn) AS bottom
+        |       FROM d GROUP BY user_id, grp),
+        |u AS (SELECT user_id, rn, value,
+        |        rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM f WHERE up = 1),
+        |ur AS (SELECT user_id, min(rn) AS us, max(rn) AS ue,
+        |         arg_max(value, rn) AS top
+        |       FROM u GROUP BY user_id, grp)
+        |SELECT dr.user_id, d_first, bottom, top,
+        |  (de - ds + 1 + ue - us + 1)::BIGINT AS n
+        |FROM dr JOIN ur ON ur.user_id = dr.user_id AND ur.us = dr.de + 1
+        |ORDER BY dr.user_id, d_first""".stripMargin
+
+  /** ORDER BY DESC + a subquery FROM operand through the SQL route: in
+    * descending row order, `P V` with strict contiguity is "a purchase
+    * whose ascending-immediate predecessor (among view/purchase rows)
+    * is a view" — the oracle is the ascending lag() pair.
+    */
+  def matchStmtDesc(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, p_id, v_id
+        |FROM (SELECT user_id, event_id, ts, event_type FROM events
+        |      WHERE event_type IN ('view', 'purchase'))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC
+        |  MEASURES P.event_id AS p_id, V.event_id AS v_id
+        |  PATTERN (P V)
+        |  DEFINE P AS event_type = 'purchase', V AS event_type = 'view'
+        |)
+        |ORDER BY p_id""".stripMargin)
+
+  val matchStmtDescSql: String =
+    graft.Tables.eventsCte +
+      """
+        |, fl AS (SELECT user_id, event_id, ts, event_type FROM ev
+        |         WHERE event_type IN ('view', 'purchase')),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        lag(event_id) OVER w AS v_id, lag(event_type) OVER w AS vt
+        |      FROM fl WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS p_id, v_id
+        |FROM o WHERE event_type = 'purchase' AND vt = 'view'
+        |ORDER BY p_id""".stripMargin
+
+  /** FIRST-navigation in DEFINE through the SQL route (ref:
+    * IterativeCondition.java:65-85 — the condition sees previously
+    * bound events): B rows must beat the SIGNUP row's value, a
+    * cross-variable reference no row-local predicate can express. The
+    * quantifier is bounded (`B{1,3}`) so the oracle is three lead()
+    * probes; SKIP TO NEXT ROW makes every signup independent.
+    */
+  def matchStmtNav(s: SparkSession, dir: String): DataFrame =
+    graft.TableEnv(s, dir).sqlQuery(
+      """SELECT user_id, a_id, nb, b_last
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.event_id) AS a_id, COUNT(B.*) AS nb,
+        |    LAST(B.value) AS b_last
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B{1,3})
+        |  DEFINE A AS event_type = 'signup', B AS B.value > FIRST(A.value)
+        |)
+        |ORDER BY a_id""".stripMargin)
+
+  val matchStmtNavSql: String =
+    graft.Tables.eventsCte +
+      """
+        |, o AS (SELECT user_id, event_id, value, event_type,
+        |    lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
+        |    lead(value, 3) OVER w AS v3
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id AS a_id, v1, v2, v3,
+        |    (CASE WHEN v1 > value THEN
+        |       CASE WHEN v2 > value THEN
+        |         CASE WHEN v3 > value THEN 3 ELSE 2 END
+        |       ELSE 1 END
+        |     ELSE 0 END) AS nb
+        |  FROM o WHERE event_type = 'signup')
+        |SELECT user_id, a_id, nb::BIGINT AS nb,
+        |  CASE nb WHEN 3 THEN v3 WHEN 2 THEN v2 WHEN 1 THEN v1 END AS b_last
+        |FROM s WHERE nb >= 1
+        |ORDER BY a_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_lookup_async", lookupAsync, Some(lookupAsyncSql)),
     Q("q_match_sql", matchRecognizeStmt, Some(matchRecognizeStmtSql)),
+    Q("q_match_sql_updown", matchStmtUpdown, Some(matchStmtUpdownSql)),
+    Q("q_match_sql_desc", matchStmtDesc, Some(matchStmtDescSql)),
+    Q("q_match_sql_nav", matchStmtNav, Some(matchStmtNavSql)),
     Q("q_match_sql_all", matchStmtAllRows, Some(StreamingQueries.matchAllRowsSql)),
     Q("q_match_sql_within", matchStmtWithin, Some(matchStmtWithinSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),

@@ -125,6 +125,124 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(badMeasure.getMessage.contains("unsupported MEASURES"))
   }
 
+  test("SQL route: DEFINE with PREV lowers to lag() — the canonical V-shape") {
+    import spark.implicits._
+    Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0), (1L, 4L, 7.0),
+        (1L, 5L, 9.0), (1L, 6L, 5.0),
+        (2L, 1L, 3.0), (2L, 2L, 4.0))
+      .toDF("sym", "seq", "price").createOrReplaceTempView("mr_px")
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT sym, bottom, up_last FROM mr_px MATCH_RECOGNIZE (
+        |  PARTITION BY sym
+        |  ORDER BY seq
+        |  MEASURES LAST(DOWN.price) AS bottom, LAST(UP.price) AS up_last
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+        |         UP AS UP.price > PREV(UP.price)
+        |) ORDER BY sym""".stripMargin)
+    assert(out.collect().toSeq === Seq(Row(1L, 6.0, 9.0)))
+  }
+
+  test("SQL route: FIRST/LAST navigation in DEFINE lowers to an iterative condition") {
+    import spark.implicits._
+    Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0), (1L, 4L, 7.0), (1L, 5L, 9.0))
+      .toDF("sym", "seq", "price").createOrReplaceTempView("mr_px2")
+    // UP must beat both its predecessor AND the first DOWN price: the
+    // start-at-10 attempt fails (7 < first down 8), the start-at-8
+    // attempt succeeds (7 > first down 6)
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT sym, first_down, up_last FROM mr_px2 MATCH_RECOGNIZE (
+        |  PARTITION BY sym ORDER BY seq
+        |  MEASURES FIRST(DOWN.price) AS first_down, LAST(UP.price) AS up_last
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+        |         UP AS UP.price > PREV(UP.price) AND UP.price > FIRST(DOWN.price)
+        |) ORDER BY sym""".stripMargin)
+    assert(out.collect().toSeq === Seq(Row(1L, 6.0, 9.0)))
+  }
+
+  test("SQL route: ORDER BY DESC matches over the reversed sequence") {
+    mkView()
+    // in DESC order, P V = a purchase whose ASC-immediate predecessor is a view
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, p_ord, v_ord FROM mr_ev MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord DESC
+        |  MEASURES P.ord AS p_ord, V.ord AS v_ord
+        |  PATTERN (P V)
+        |  DEFINE P AS etype = 'purchase', V AS etype = 'view'
+        |) ORDER BY uid, p_ord""".stripMargin)
+    assert(out.collect().toSeq ===
+      Seq(Row(1L, 3L, 2L), Row(2L, 2L, 1L), Row(2L, 4L, 3L)))
+  }
+
+  test("SQL route: subquery FROM operand") {
+    mkView()
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, n FROM (SELECT uid, ord, etype FROM mr_ev WHERE uid <> 2)
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES COUNT(V.*) AS n
+        |  PATTERN (V+ P)
+        |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
+        |) ORDER BY uid""".stripMargin)
+    assert(out.collect().toSeq === Seq(Row(1L, 2L)))
+  }
+
+  test("SQL route: RUNNING SUM/MIN/MAX under ALL ROWS PER MATCH") {
+    mkView()
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, ord, rsum, rmin, rmax FROM mr_ev MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES RUNNING SUM(V.amount) AS rsum, RUNNING MIN(amount) AS rmin,
+        |    RUNNING MAX(amount) AS rmax
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V+ P)
+        |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
+        |) ORDER BY uid, ord""".stripMargin)
+    val u1 = out.collect().toSeq.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // V@1(2.0) V@2(3.0) P@3(10.0): V-qualified RUNNING SUM freezes at the P
+    // row; unqualified RUNNING MIN/MAX see every match row
+    assert(u1 === Seq((1L, 2.0, 2.0, 2.0), (2L, 5.0, 2.0, 3.0), (3L, 5.0, 2.0, 10.0)))
+  }
+
+  test("SQL route: AFTER MATCH SKIP TO FIRST/LAST variable") {
+    import spark.implicits._
+    Seq((1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "view"), (1L, 4L, "purchase"))
+      .toDF("uid", "ord", "etype").createOrReplaceTempView("mr_skip")
+    def run(skip: String): Int = MatchRecognizeSql.run(spark,
+      s"""SELECT uid FROM mr_skip MATCH_RECOGNIZE (
+         |  PARTITION BY uid ORDER BY ord
+         |  MEASURES COUNT(A.*) AS na
+         |  AFTER MATCH $skip
+         |  PATTERN (A+ P)
+         |  DEFINE A AS etype = 'view', P AS etype = 'purchase'
+         |)""".stripMargin).count().toInt
+    assert(run("SKIP PAST LAST ROW") === 1) // [1,2,3]+4
+    assert(run("SKIP TO LAST A") === 2)     // restart at 3 → [3]+4
+    assert(run("SKIP TO A") === 2)          // bare variable ≡ LAST
+    assert(run("SKIP TO FIRST A") === 3)    // restart at 2 → [2,3]+4 → [3]+4
+  }
+
+  test("SQL route: clause keywords inside DEFINE expressions do not truncate clauses") {
+    import spark.implicits._
+    // columns literally named pattern / within, referenced in DEFINE —
+    // the sequential depth-0 parser must not mistake them for clauses
+    Seq((1L, 1L, "view", 5L, 1L), (1L, 2L, "purchase", 7L, 1L))
+      .toDF("uid", "ord", "etype", "pattern", "within").createOrReplaceTempView("mr_kw")
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, n FROM mr_kw MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (V P)
+        |  DEFINE V AS etype = 'view' AND pattern > 0 AND within = 1,
+        |         P AS etype = 'purchase'
+        |) ORDER BY uid""".stripMargin)
+    assert(out.collect().toSeq === Seq(Row(1L, 2L)))
+  }
+
   test("applies() is word-bounded and case-insensitive") {
     assert(MatchRecognizeSql.applies("select 1 from t match_recognize (x)"))
     assert(!MatchRecognizeSql.applies("select match_recognized from t"))

@@ -307,6 +307,70 @@ class NFASpec extends AnyFunSuite {
     assert(NFA.findWithTimeouts(events, ts, p)._2.length === 2)
   }
 
+  test("iterative condition sees events bound so far (ref IterativeCondition.filter(value, ctx))") {
+    // accept b only once at least two a's are bound
+    val p = Pattern.begin[E]("a").where(is("A")).oneOrMore
+      .followedBy("b").where(is("B"))
+      .where((_: E, ctx: MatchContext[E]) => ctx.eventsFor("a").length >= 2)
+    assert(NFA.findMatches(seq("A", "B"), ts, p).isEmpty)
+    val ms = NFA.findMatches(seq("A", "A", "B"), ts, p)
+    assert(ms.nonEmpty && labels(ms.head, "a") === Seq("A", "A"))
+  }
+
+  test("iterative condition inside a loop sees the loop's earlier takes (strictly-decreasing run)") {
+    // ts doubles as the price; down+ = strictly decreasing consecutive run
+    val evs: IndexedSeq[E] = IndexedSeq((10, "p"), (8, "p"), (6, "p"), (9, "p"), (4, "p"))
+    val p = Pattern.begin[E]("down").times(2, 10).consecutive
+      .where((e: E, ctx: MatchContext[E]) =>
+        ctx.eventsFor("down").lastOption.forall(prev => e._1 < prev._1))
+      .afterMatchSkipPastLast
+    val ms = NFA.findMatches(evs, ts, p)
+    assert(ms.map(m => m.bindings("down").map(_._1)) === Seq(Seq(10L, 8L, 6L), Seq(9L, 4L)))
+  }
+
+  test("MatchContext.prev/next navigate the INPUT sequence, independent of bindings") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedBy("b").where(is("B"))
+      .where((_: E, ctx: MatchContext[E]) => ctx.prev(1).exists(_._2 == "X"))
+    assert(NFA.findMatches(seq("A", "X", "B"), ts, p).length === 1)
+    assert(NFA.findMatches(seq("A", "Y", "B"), ts, p).isEmpty)
+    // off the front: prev(n) beyond the sequence is None
+    val p0 = Pattern.begin[E]("a").where(is("A"))
+      .where((_: E, ctx: MatchContext[E]) => ctx.prev(1).isEmpty)
+    assert(NFA.findMatches(seq("A", "A"), ts, p0).map(_.startIdx) === Seq(0))
+  }
+
+  test("iterative condition on a guard: negation can reference bound events") {
+    // guard fires only when the gap event exceeds the bound a's value
+    val evs: IndexedSeq[E] = IndexedSeq((5, "A"), (9, "G"), (0, "B"))
+    def guarded(thr: Boolean): Pattern[E] = {
+      val base = Pattern.begin[E]("a").where(is("A"))
+        .notFollowedBy("g").where(is("G"))
+      val g = if (thr)
+        base.where((e: E, ctx: MatchContext[E]) =>
+          ctx.first("a").exists(a => e._1 > a._1))
+      else base
+      g.followedBy("b").where(is("B"))
+    }
+    // with the iterative guard (G@9 > A@5) the match dies; a plain-G guard too
+    assert(NFA.findMatches(evs, ts, guarded(thr = true)).isEmpty)
+    // G below the bound value does not fire the guard
+    val evs2: IndexedSeq[E] = IndexedSeq((5, "A"), (3, "G"), (0, "B"))
+    assert(NFA.findMatches(evs2, ts, guarded(thr = true)).length === 1)
+    assert(NFA.findMatches(evs2, ts, guarded(thr = false)).isEmpty)
+  }
+
+  test("iterative conditions under the enumerating matcher (followedByAny)") {
+    val p = Pattern.begin[E]("a").where(is("A"))
+      .followedByAny("b").where(is("B"))
+      .where((e: E, ctx: MatchContext[E]) => ctx.first("a").exists(a => e._1 > a._1))
+    // A@0, B@10, B@20 — but ts here encodes value: A=5, B=3, B=8
+    val evs: IndexedSeq[E] = IndexedSeq((5, "A"), (3, "B"), (8, "B"))
+    val ms = NFA.findAllMatches(evs, ts, p)
+    // only the B above A's value binds; the B below is filtered per-candidate
+    assert(ms.map(m => m.bindings("b").head._1) === Seq(8L))
+  }
+
   test("findWithTimeouts: runs discarded by SkipPastLast do not time out") {
     val p = Pattern.begin[E]("a").where(is("A"))
       .followedBy("b").where(is("B"))
