@@ -2731,14 +2731,13 @@ object StreamingQueries {
     * join aggregate, so a missed or doubled delta term breaks the
     * hash.
     *
-    * Scale note: the DELTA algebra is increment-sized, but this test
-    * double rewrites the full materialized view per version
-    * ([[graft.streaming.VersionedStore]]'s one-file contract, which
-    * its own scaladoc reserves for corpus-independent state) — a
-    * production deployment appends ΔJ as new partitions of the view
-    * table and compacts periodically, so per-batch write cost tracks
-    * ¦ΔJ¦, not ¦J¦. The replay here pins the algebra's correctness;
-    * the storage posture is the documented production variant.
+    * Storage posture (100 TB): the view and both side states ride
+    * [[graft.streaming.DeltaStore]] — each batch APPENDS its delta as
+    * an immutable directory (write bytes ∝ ¦Δ¦, never ¦J¦), and the
+    * view compacts periodically (every second batch here), the
+    * append-snapshot-compact lifecycle of a production table format.
+    * `DeltaStoreSpec` asserts the per-batch written-row counts track
+    * the increment.
     */
   def streamIvmJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
@@ -2756,9 +2755,9 @@ object StreamingQueries {
       (0 until 3).map(b => tagged.filter(
         (col("tag") === "o" && col("k") % 3 === b)
           || (col("tag") === "l" && col("k") % 3 === (b + 1) % 3))))
-    val oStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_o"))
-    val lStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_l"))
-    val jStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivm_j"))
+    val oStore = graft.streaming.DeltaStore(s, freshDir(dir, "sivm_o"))
+    val lStore = graft.streaming.DeltaStore(s, freshDir(dir, "sivm_l"))
+    val jStore = graft.streaming.DeltaStore(s, freshDir(dir, "sivm_j"))
     oStore.init(tagged.limit(0).select(col("k"), col("pri")))
     lStore.init(tagged.limit(0).select(col("k"), col("price_micro")))
     jStore.init(tagged.limit(0).select(col("k"), col("pri"), col("price_micro")))
@@ -2769,21 +2768,22 @@ object StreamingQueries {
         val b = batch.localCheckpoint()
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"))
         val dL = b.filter(col("tag") === "l").select(col("k"), col("price_micro"))
-        val oPrev = oStore.prior(batchId)
-        val lPrev = lStore.prior(batchId)
+        val oPrev = oStore.snapshot(batchId - 1)
+        val lPrev = lStore.snapshot(batchId - 1)
         val dJ = dL.join(oPrev, "k")
           .unionByName(lPrev.join(dO, "k"))
           .unionByName(dL.join(dO, "k"))
           .select(col("k"), col("pri"), col("price_micro"))
-        jStore.write(batchId, jStore.prior(batchId).unionByName(dJ))
-        oStore.write(batchId, oPrev.unionByName(dO))
-        lStore.write(batchId, lPrev.unionByName(dL))
+        jStore.append(batchId, dJ)
+        oStore.append(batchId, dO)
+        lStore.append(batchId, dL)
+        if (batchId % 2 == 1) jStore.compact(batchId) // periodic fold
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    jStore.version(lastBatchId(srcDir))
+    jStore.snapshot(lastBatchId(srcDir))
       .groupBy("pri")
       .agg(count(lit(1)).as("n"), sum("price_micro").as("sum_micro"))
       .select(col("pri").as("o_orderpriority"), col("n").cast("long").as("n"),
@@ -2806,9 +2806,15 @@ object StreamingQueries {
     * third of them (l_linenumber ≡ 0 mod 3) in the following batch;
     * the maintained join's aggregate weights by net multiplicity and
     * must equal the whole-corpus join over the SURVIVING rows — a
-    * dropped retraction or a sign error breaks the hash. Stores
-    * compact to net multiplicities per batch, so state tracks the live
-    * set, not the changelog length.
+    * dropped retraction or a sign error breaks the hash.
+    *
+    * Storage posture (100 TB): all three states ride
+    * [[graft.streaming.BucketStore]] — net-multiplicity compaction
+    * BOUNDED to the hash buckets the batch's delta touches (semi-join
+    * restriction; untouched buckets are neither read nor rewritten),
+    * so state tracks the live set while per-batch write cost tracks
+    * the touched working set. `DeltaStoreSpec` asserts the
+    * untouched-bucket and written-row bounds.
     */
   def streamIvmJoinRetract(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
@@ -2828,13 +2834,13 @@ object StreamingQueries {
       (0 until 4).map(b => tagged.filter(
         (col("mult") === 1L && col("k") % 3 === math.min(b, 2).toLong && lit(b) < 3)
           || (col("mult") === -1L && col("k") % 3 === (b - 1).toLong))))
-    val oStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_o"))
-    val lStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_l"))
-    val jStore = graft.streaming.VersionedStore(s, freshDir(dir, "sivmr_j"))
-    oStore.init(tagged.limit(0).select(col("k"), col("pri"), col("mult")))
-    lStore.init(tagged.limit(0).select(col("k"), col("price_micro"), col("ln"), col("mult")))
+    val oStore = graft.streaming.BucketStore(s, freshDir(dir, "sivmr_o"), numBuckets = 8)
+    val lStore = graft.streaming.BucketStore(s, freshDir(dir, "sivmr_l"), numBuckets = 8)
+    val jStore = graft.streaming.BucketStore(s, freshDir(dir, "sivmr_j"), numBuckets = 8)
+    oStore.init(tagged.limit(0).select(col("k"), col("pri"), col("mult")), "k")
+    lStore.init(tagged.limit(0).select(col("k"), col("price_micro"), col("ln"), col("mult")), "k")
     jStore.init(tagged.limit(0)
-      .select(col("k"), col("pri"), col("price_micro"), col("mult")))
+      .select(col("k"), col("pri"), col("price_micro"), col("mult")), "k")
     val q = s.readStream.schema(tagged.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
@@ -2843,8 +2849,8 @@ object StreamingQueries {
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"), col("mult"))
         val dL = b.filter(col("tag") === "l")
           .select(col("k"), col("price_micro"), col("ln"), col("mult"))
-        val oPrev = oStore.prior(batchId)
-        val lPrev = lStore.prior(batchId)
+        val oPrev = oStore.snapshot(batchId - 1)
+        val lPrev = lStore.snapshot(batchId - 1)
         // multiplicities multiply across the join (Δl⋈O ∪ L⋈Δo ∪ Δl⋈Δo)
         def j(lt: DataFrame, rt: DataFrame): DataFrame =
           lt.join(rt.withColumnRenamed("mult", "m2"), "k")
@@ -2854,21 +2860,15 @@ object StreamingQueries {
           .unionByName(lPrev.join(dO.withColumnRenamed("mult", "m2"), "k")
             .select(col("k"), col("pri"), col("price_micro"),
               (col("mult") * col("m2")).as("mult")))
-        jStore.write(batchId, jStore.prior(batchId).unionByName(dJ)
-          .groupBy("k", "pri", "price_micro").agg(sum("mult").as("mult"))
-          .filter(col("mult") =!= 0L))
-        oStore.write(batchId, oPrev.unionByName(dO)
-          .groupBy("k", "pri").agg(sum("mult").as("mult"))
-          .filter(col("mult") =!= 0L))
-        lStore.write(batchId, lPrev.unionByName(dL)
-          .groupBy("k", "price_micro", "ln").agg(sum("mult").as("mult"))
-          .filter(col("mult") =!= 0L))
+        jStore.applyDelta(batchId, dJ, "k", Seq("k", "pri", "price_micro"), "mult")
+        oStore.applyDelta(batchId, dO, "k", Seq("k", "pri"), "mult")
+        lStore.applyDelta(batchId, dL, "k", Seq("k", "price_micro", "ln"), "mult")
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    jStore.version(lastBatchId(srcDir))
+    jStore.snapshot(lastBatchId(srcDir))
       .groupBy("pri")
       .agg(sum("mult").as("n"), sum(col("price_micro") * col("mult")).as("sum_micro"))
       .select(col("pri").as("o_orderpriority"), col("n").cast("long").as("n"),
