@@ -22,8 +22,31 @@ package graft
 object BenchMeters {
   private val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
   private val depth = new ThreadLocal[Integer] { override def initialValue: Integer = 0 }
+  private val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
 
-  def reset(): Unit = nanos.set(0L)
+  def reset(): Unit = { nanos.set(0L); stageLog.clear() }
+
+  /** Book `body`'s wall time against a named pipeline stage (the
+    * [[graft.operators.Funnel.stage]] materialization boundaries) —
+    * the per-stage breakdown that names WHICH stage a drift-prone
+    * composite (q_doc_pipeline_full) spends its time in. Always
+    * recorded (a queue append); reported by [[stageReport]].
+    */
+  def stageTimed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally stageLog.add((label, (System.nanoTime() - t0) / 1e9))
+  }
+
+  /** (label, seconds) per stage boundary since the last [[reset]], in
+    * execution order.
+    */
+  def stageReport: Seq[(String, Double)] = {
+    val it = stageLog.iterator()
+    val out = Seq.newBuilder[(String, Double)]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
 
   /** Seconds of fixture staging accumulated since the last [[reset]]. */
   def fixtureSeconds: Double = nanos.get / 1e9

@@ -39,9 +39,13 @@ object Funnel {
   /** Materialize `df` as a pipeline-stage boundary; every downstream
     * reference computes the stage exactly once. Reliable `checkpoint()`
     * when the session has a checkpoint dir (cluster posture), eager
-    * `localCheckpoint()` otherwise.
+    * `localCheckpoint()` otherwise. The materialization's wall time is
+    * booked per-label in [[graft.BenchMeters.stageTimed]] so composite
+    * pipelines can name which stage their time went to.
     */
-  def stage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  def stage(df: DataFrame, label: String = "stage"): DataFrame =
+    graft.BenchMeters.stageTimed(label) {
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    }
 }

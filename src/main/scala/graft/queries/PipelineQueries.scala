@@ -609,7 +609,7 @@ object PipelineQueries {
     val deduped = Funnel.stage(docs
       .groupBy(md5(TextAnalysis.dedupFold(col("text"))).as("ffp"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text")))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text")), "dedup")
     val train = deduped.filter(col("doc_id") % 10 =!= 0)
     val eval = docs.filter(col("doc_id") % 10 === 0)
     val contaminated = Decontamination
@@ -617,10 +617,10 @@ object PipelineQueries {
       .select(col("train_id").as("doc_id")).distinct()
     // Stage 2 — decontaminated training slice (corpusBudget references
     // its input twice: bucket-offsets aggregate + join-back).
-    val clean = Funnel.stage(train.join(contaminated, Seq("doc_id"), "left_anti"))
+    val clean = Funnel.stage(train.join(contaminated, Seq("doc_id"), "left_anti"), "decontaminate")
     // Stage 3 — budget snapshot (referenced by the split AND the final
     // aggregate's n_tokens).
-    val kept = Funnel.stage(Curation.corpusBudget(clean, budget = 20000L))
+    val kept = Funnel.stage(Curation.corpusBudget(clean, budget = 20000L), "budget")
     // CORRELATED-HASH PITFALL: corpusBudget keeps the md5(doc_id)-
     // ascending prefix, so splitting on the SAME md5 draw would send
     // every kept doc to 'train' (u is small by construction). Chained
