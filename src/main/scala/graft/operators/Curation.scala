@@ -873,4 +873,118 @@ object Curation {
           col("pass_stop"))
       .drop("t")
   }
+
+  // ---------------------------------------------------------------- //
+  // Encoding repair (ftfy-style mojibake)                            //
+  // ---------------------------------------------------------------- //
+
+  /** The common UTF-8-decoded-as-Latin-1/cp1252 mojibake digraphs and
+    * their repairs (the fixed table ftfy's detector reduces to for the
+    * dominant failure mode: é stored as UTF-8 `C3 A9`, displayed as
+    * `Ã©`; cp1252 smart punctuation `E2 80 99` as `â€™`). Three-byte
+    * sequences first so `â€¦` repairs before its `Ã`-class suffixes
+    * could.
+    */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€œ" -> "\"", "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã¼" -> "ü", "Ã¶" -> "ö",
+    "Ã¤" -> "ä", "Ã±" -> "ñ", "Ã§" -> "ç")
+
+  /** Repair the fixed mojibake table — a chain of codegen'd `replace`
+    * calls in the scan stage (zero shuffle; DuckDB replays the same
+    * chain literally). Idempotent: repaired text contains none of the
+    * mojibake digraphs.
+    */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) => replace(c, lit(bad), lit(good)) }
+
+  /** Occurrences of mojibake digraphs in `text` — the detection score
+    * that routes a document to the repair pass (length-difference
+    * counting, no regex).
+    */
+  def mojibakeCount(text: Column): Column =
+    mojibakeTable.map { case (bad, _) =>
+      (length(text) - length(replace(text, lit(bad), lit("")))) / bad.length
+    }.reduce(_ + _).cast("long")
+
+  // ---------------------------------------------------------------- //
+  // SoftDeDup duplicate-count loss weights (He et al. 2024)          //
+  // ---------------------------------------------------------------- //
+
+  /** Soft deduplication (He et al. 2024, "SoftDedup" — reweight instead
+    * of remove): every document keeps its place in the corpus but its
+    * training/sampling weight is the inverse of its duplicate count,
+    * w_d = 1 / df(fingerprint(fold(text))), so a 40×-repeated
+    * boilerplate page contributes ~one document's worth of gradient
+    * instead of 40. Commonness comes from the SAME fold fingerprint the
+    * hard dedup family uses ([[TextAnalysis.dedupFold]]); the weight is
+    * integer micro-quantized so both engines agree exactly.
+    *
+    * Shape: one fingerprint-keyed count aggregate (map-side partials) +
+    * one join back on the fingerprint — the exact-dedup cost, no more.
+    * Output: (id, df, w) with w = floor(1e6/df)/1e6.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+      md5(TextAnalysis.dedupFold(col(textCol))).as("ffp"))
+    val dfc = fp.groupBy("ffp").agg(count(lit(1)).as("df"))
+    fp.join(dfc, "ffp")
+      .select(col("id"), col("df"),
+        (floor(lit(1e6) / col("df")).cast("long") / 1e6).as("w"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // DoReMi mixture weights (Xie et al. 2023)                          //
+  // ---------------------------------------------------------------- //
+
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — Group-DRO over domains): given a per-domain proxy
+    * EXCESS LOSS (how much worse the proxy model does on a domain than
+    * its reference), run `iters` multiplicative-weights rounds
+    *   α'_i ← α_i · exp(η · excess_i),  α ← α' / Σα'
+    * and return the PER-ROUND AVERAGE of α (the paper returns the
+    * trajectory average, not the endpoint). Domains with persistent
+    * excess loss are upweighted — the mixture the target run then
+    * trains on.
+    *
+    * `losses` is (domain, loss); excess_i = max(loss_i − min loss, 0).
+    * Everything runs on the |domains|-row table: the iteration is
+    * unrolled DataFrame algebra (staged per round so lineage stays
+    * flat), exp/normalize round to 9 so the whole trajectory replays
+    * bit-identically in an oracle CTE chain. Output: (domain, loss,
+    * weight) with weight rounded to 6.
+    */
+  def doremiWeights(losses: DataFrame, iters: Int, eta: Double,
+      domainCol: String = "domain", lossCol: String = "loss"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = Funnel.stage(losses
+      .select(col(domainCol).as("domain"), col(lossCol).cast("double").as("loss"))
+      .crossJoin(broadcast(losses.agg(min(col(lossCol)).cast("double").as("lmin"))))
+      .select(col("domain"), col("loss"),
+        round(greatest(col("loss") - col("lmin"), lit(0.0)), 9).as("excess")),
+      "doremi_base")
+    val n = base.count()
+    var alpha = base.select(col("domain"), round(lit(1.0) / n, 9).as("a"))
+    var acc = alpha.select(col("domain"), col("a").as("s"))
+    for (t <- 1 to iters) {
+      // the un-normalized update quantizes to integer NANOS so the
+      // normalizing sum is an exact integer — a double sum over the
+      // domain rows would be accumulation-order-sensitive
+      val up = base.join(alpha, "domain")
+        .select(col("domain"),
+          floor(col("a") * exp(lit(eta) * col("excess")) * 1e9 + 0.5)
+            .cast("long").as("un"))
+      alpha = Funnel.stage(up
+        .crossJoin(broadcast(up.agg(sum("un").as("z"))))
+        .select(col("domain"), round(col("un").cast("double") / col("z"), 9).as("a")),
+        s"doremi_r$t")
+      acc = Funnel.stage(acc.join(alpha, "domain")
+        .select(col("domain"), round(col("s") + col("a"), 9).as("s")), s"doremi_acc$t")
+    }
+    base.join(acc, "domain")
+      .select(col("domain"), round(col("loss"), 6).as("loss"),
+        round(col("s") / (iters + 1), 6).as("weight"))
+  }
 }

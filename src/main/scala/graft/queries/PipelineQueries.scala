@@ -4753,7 +4753,149 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Fold-fingerprint SQL fragment over a text expression — the DuckDB
+    * mirror of [[TextAnalysis.dedupFold]] (shared by the soft-dedup
+    * oracle and the funnel oracle).
+    */
+  private def foldSqlOf(v: String): String =
+    s"md5(trim(regexp_replace(regexp_replace(regexp_replace(lower($v), " +
+      "'[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  /** SOFT deduplication (He et al. 2024 "SoftDedup" — reweight, don't
+    * remove): per-doc sampling weight 1/df of the CCNet fold
+    * fingerprint, integer micro-quantized. The exact-dedup cost (one
+    * fp-keyed count + one join), with the removal decision deferred to
+    * the training sampler.
+    */
+  def docSoftDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.softDedupWeights(Tables.documents(s, dir))
+      .select(col("id").as("doc_id"), col("df"), col("w"))
+      .orderBy("doc_id")
+
+  val docSoftDedupSql: String =
+    s"""WITH f AS (SELECT doc_id, ${foldSqlOf("text")} AS ffp FROM documents),
+       |c AS (SELECT ffp, count(*)::BIGINT AS df FROM f GROUP BY 1)
+       |SELECT doc_id, df, CAST(floor(1e6 / df) AS BIGINT) / 1e6 AS w
+       |FROM f JOIN c USING (ffp) ORDER BY doc_id""".stripMargin
+
+  /** Mojibake (encoding-damage) detection + repair — the ftfy failure
+    * mode a web crawl always carries: UTF-8 bytes decoded as
+    * Latin-1/cp1252 (`é` → `Ã©`, `’` → `â€™`). The corpus is clean
+    * ASCII, so a deterministic third of the docs get a mojibake suffix
+    * INJECTED (same literal on both engines); the query detects (digraph
+    * occurrence counts), repairs ([[Curation.fixMojibake]]'s replace
+    * chain — scan-stage, zero shuffle), and proves the repair by
+    * checksumming the repaired text per source. markers_after = 0 is
+    * the idempotence witness.
+    */
+  def docMojibake(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(MojibakeSuffix))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("source"), injected.as("t"))
+      .select(col("source"), Curation.mojibakeCount(col("t")).as("cb"),
+        Curation.fixMojibake(col("t")).as("fixed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_mojibake"),
+        sum("cb").as("markers_before"),
+        sum(Curation.mojibakeCount(col("fixed"))).as("markers_after"),
+        sum(conv(substring(md5(col("fixed")), 1, 8), 16, 10).cast("long"))
+          .as("fixed_checksum"))
+      .orderBy("source")
+  }
+
+  private val MojibakeSuffix = " cafÃ© â€œquoteâ€¦ donâ€™t Ã¼ber"
+
+  val docMojibakeSql: String = {
+    def sqlLit(x: String) = x.replace("'", "''")
+    val fix = Curation.mojibakeTable.foldLeft("t") { case (acc, (bad, good)) =>
+      s"replace($acc, '${sqlLit(bad)}', '${sqlLit(good)}')"
+    }
+    def cnt(v: String) = Curation.mojibakeTable.map { case (bad, _) =>
+      s"CAST((length($v) - length(replace($v, '${sqlLit(bad)}', ''))) / ${bad.length} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+    s"""WITH i AS (SELECT source,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '${sqlLit(MojibakeSuffix)}'
+       |         ELSE text END AS t
+       |  FROM documents),
+       |r AS (SELECT source, ${cnt("t")} AS cb, $fix AS fixed FROM i)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_mojibake,
+       |  sum(cb)::BIGINT AS markers_before,
+       |  sum(${cnt("fixed")})::BIGINT AS markers_after,
+       |  sum(('0x' || substr(md5(fixed), 1, 8))::BIGINT)::BIGINT AS fixed_checksum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** DoReMi domain mixture weights (Xie et al. 2023 — Group-DRO
+    * multiplicative updates over domains): the per-source proxy loss is
+    * the mean unigram −log p (the corpus' own CCNet-style perplexity
+    * proxy), excess = loss − min loss, and 5 rounds of
+    * α ← normalize(α·exp(η·excess)) are trajectory-averaged. High-loss
+    * (hard) sources are upweighted — the mixture the target run trains
+    * on. All iteration on the ¦sources¦-row table; the oracle unrolls
+    * the identical rounds with the same nano-quantized normalization.
+    */
+  def docDoremi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("total"))
+    val perDoc = toks.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"),
+        (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(avg("nlp"), 6).as("mean_nlp"))
+    val losses = perDoc.groupBy("source").agg(round(avg("mean_nlp"), 6).as("loss"))
+    Curation.doremiWeights(losses, iters = DoremiIters, eta = DoremiEta,
+        domainCol = "source", lossCol = "loss")
+      .select(col("domain").as("source"), col("loss"), col("weight"))
+      .orderBy("source")
+  }
+
+  private val DoremiIters = 5
+  private val DoremiEta = 0.5
+
+  val docDoremiSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH t AS (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |m AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total FROM m),
+         |pd AS (SELECT doc_id, source, round(avg(-ln(round(cnt * 1.0 / total, 9))), 6) AS mean_nlp
+         |       FROM t JOIN m USING (tok), tot GROUP BY doc_id, source),
+         |ls AS (SELECT source AS domain, round(avg(mean_nlp), 6) AS loss FROM pd GROUP BY 1),
+         |base AS (SELECT domain, loss,
+         |    round(greatest(loss - (SELECT min(loss) FROM ls), 0.0), 9) AS excess
+         |  FROM ls),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM base),
+         |a_0 AS (SELECT domain, round(1.0 / n, 9) AS a FROM base, nd),
+         |s_0 AS (SELECT domain, a AS s FROM a_0)""".stripMargin)
+    for (t <- 1 to DoremiIters)
+      sb.append(
+        s""",
+           |u_$t AS (SELECT b.domain,
+           |    CAST(floor(a.a * exp($DoremiEta * b.excess) * 1e9 + 0.5) AS BIGINT) AS un
+           |  FROM base b JOIN a_${t - 1} a USING (domain)),
+           |z_$t AS (SELECT sum(un)::BIGINT AS z FROM u_$t),
+           |a_$t AS (SELECT domain, round(un * 1.0 / z, 9) AS a FROM u_$t, z_$t),
+           |s_$t AS (SELECT s.domain, round(s.s + a.a, 9) AS s
+           |  FROM s_${t - 1} s JOIN a_$t a USING (domain))""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT b.domain AS source, round(b.loss, 6) AS loss,
+         |  round(s.s / ${DoremiIters + 1}, 6) AS weight
+         |FROM base b JOIN s_$DoremiIters s USING (domain)
+         |ORDER BY source""".stripMargin)
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_doc_softdedup", docSoftDedup, Some(docSoftDedupSql)),
+    Q("q_doc_mojibake", docMojibake, Some(docMojibakeSql)),
+    Q("q_doc_doremi", docDoremi, Some(docDoremiSql)),
     Q("q_doc_boilerplate", docBoilerplate, Some(docBoilerplateSql)),
     Q("q_doc_c4", docC4, Some(docC4Sql)),
     Q("q_doc_gopher", docGopher, Some(docGopherSql)),

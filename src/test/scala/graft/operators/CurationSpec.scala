@@ -420,6 +420,52 @@ class CurationSpec extends SparkSpec {
     assert(w.filterNot(kv => used.contains(kv._1)).values.forall(_ == 0.0))
   }
 
+  test("fixMojibake repairs the digraph table and is idempotent; count detects") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "cafÃ© au lait"),          // Ã© → é
+      (2L, "donâ€™t â€œquoteâ€¦"),    // cp1252 punctuation
+      (3L, "plain ascii text"),       // untouched
+      (4L, "Ã¼ber naÃ¯ve")            // Ã¯ NOT in the table → survives
+    ).toDF("id", "t")
+    val r = rows.select(col("id"), Curation.fixMojibake(col("t")).as("f"),
+        Curation.mojibakeCount(col("t")).as("c"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 === "café au lait" && r(0)._3 === 1L)
+    assert(r(1)._2 === "don't \"quote…" && r(1)._3 === 3L)
+    assert(r(2)._2 === "plain ascii text" && r(2)._3 === 0L)
+    assert(r(3)._2 === "über naÃ¯ve" && r(3)._3 === 1L) // only Ã¼ repaired
+    // idempotence: repaired text has zero remaining markers from the table
+    val again = rows.select(Curation.mojibakeCount(Curation.fixMojibake(col("t"))).as("c"))
+      .as[Long].collect()
+    assert(again.take(3).forall(_ === 0L))
+  }
+
+  test("softDedupWeights: weight is 1/df of the fold fingerprint") {
+    val docs = Seq(
+      (1L, "Hello World 2024!"), (2L, "hello world 1999?"), // fold-equal
+      (3L, "hello world 1999?"),                            // exact dup too
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val r = Curation.softDedupWeights(docs)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(r.map(_._2).toSeq === Seq(3L, 3L, 3L, 1L))
+    assert(r.map(_._3).toSeq === Seq(0.333333, 0.333333, 0.333333, 1.0))
+  }
+
+  test("doremiWeights upweights high-excess-loss domains; weights sum to ~1") {
+    val losses = Seq(("easy", 2.0), ("mid", 2.5), ("hard", 4.0)).toDF("domain", "loss")
+    val r = Curation.doremiWeights(losses, iters = 5, eta = 0.5)
+      .as[(String, Double, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(r("hard") > r("mid") && r("mid") > r("easy"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, s"weights must average-normalize: $r")
+    // zero excess everywhere → uniform mixture
+    val uni = Curation.doremiWeights(
+        Seq(("a", 1.0), ("b", 1.0)).toDF("domain", "loss"), iters = 3, eta = 0.5)
+      .as[(String, Double, Double)].collect().map(_._3)
+    assert(uni.forall(w => math.abs(w - 0.5) < 1e-6))
+  }
+
   test("ngramNovelty attributes first occurrence to the minimum doc id") {
     val docs = Seq(
       (10L, "a b c d e"), // owns both its 4-grams

@@ -87,7 +87,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("sq8TopK: byte codes track exact cosine; planted near-dup stays rank 1") {
     val res = Similarity.sq8TopK(queries, corpus, topK = 3)
-      .as[(Long, Long, Double, Double, Int)].collect()
+      .as[(Long, Long, Double, Double, Long)].collect()
     assert(res.length === 20 * 3)
     // 8-bit per-dim reconstruction error is tiny on unit vectors
     res.foreach { case (_, _, sq8, exact, _) =>
@@ -104,7 +104,7 @@ class SimilaritySpec extends SparkSpec {
     // sub-codebook seeds from vec ids 4..7
     val res = Similarity.ivfPqTopK(queries, corpus, dims = dim, nlist = 4,
         nprobe = 2, m = 4, ksub = 4, iters = 2, topK = 3)
-      .as[(Long, Long, Double, Int)].collect()
+      .as[(Long, Long, Double, Long)].collect()
     assert(res.nonEmpty)
     // ranks are 1..k per query, distances ascending, no self-match
     val byQ = res.groupBy(_._1)
