@@ -4380,6 +4380,47 @@ object StreamingQueries {
     */
   val streamFeatureHashSql: String = AnalyticsQueries.evtFeatureHashSql
 
+  /** SoftDedup weights maintained on a document stream
+    * ([[PipelineQueries.docSoftDedup]] as a live-ingest maintainer):
+    * BOTH states ride [[graft.streaming.DeltaStore]], so every batch's
+    * write is increment-sized — the (id, ffp) fingerprint table appends
+    * the batch's rows, and the df-count state appends the batch's
+    * PARTIAL (ffp, df) counts (a sum-mergeable grid; the solve
+    * sum-merges at read, the same contract as a map-side combine). The
+    * solve is the batch query over the two snapshots, so the oracle is
+    * the batch statement VERBATIM and arrival order (doc_id % 3 splits)
+    * cannot matter.
+    */
+  def streamSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "ssdd",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val fpStore = graft.streaming.DeltaStore(s, freshDir(dir, "ssdd_fp"))
+    val dfStore = graft.streaming.DeltaStore(s, freshDir(dir, "ssdd_df"))
+    fpStore.init(s.range(0).select(col("id"), lit("").as("ffp")))
+    dfStore.init(s.range(0).select(lit("").as("ffp"), col("id").as("df")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fp = batch.select(col("doc_id").cast("long").as("id"),
+          md5(graft.operators.TextAnalysis.dedupFold(col("text"))).as("ffp"))
+          .localCheckpoint()
+        fpStore.append(batchId, fp)
+        dfStore.append(batchId, fp.groupBy("ffp").agg(count(lit(1)).as("df")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = lastBatchId(srcDir)
+    val dfc = dfStore.snapshot(last).groupBy("ffp").agg(sum("df").as("df"))
+    fpStore.snapshot(last).join(dfc, "ffp")
+      .select(col("id").as("doc_id"), col("df"),
+        (floor(lit(1e6) / col("df")).cast("long") / 1e6).as("w"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -4758,6 +4799,7 @@ object StreamingQueries {
     Q("q_stream_sql_session", streamSqlSession, Some(streamSqlSessionSql)),
     Q("q_stream_sql_dedup", streamSqlDedup, Some(streamSqlDedupSql)),
     Q("q_stream_sql_topn", streamSqlTopn, Some(streamSqlTopnSql)),
-    Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql))
+    Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql)),
+    Q("q_stream_softdedup", streamSoftDedup, Some(PipelineQueries.docSoftDedupSql))
   )
 }
