@@ -965,7 +965,10 @@ object Curation {
       .select(col("domain"), col("loss"),
         round(greatest(col("loss") - col("lmin"), lit(0.0)), 9).as("excess")),
       "doremi_base")
-    val n = base.count()
+    // max(n,1): on an empty losses table the constant 1/n would be
+    // folded to an ANSI divide-by-zero at planning time; with 1 the
+    // result is still empty (every later step joins against base)
+    val n = math.max(base.count(), 1L)
     var alpha = base.select(col("domain"), round(lit(1.0) / n, 9).as("a"))
     var acc = alpha.select(col("domain"), col("a").as("s"))
     for (t <- 1 to iters) {

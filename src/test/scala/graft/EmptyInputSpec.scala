@@ -155,7 +155,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_evt_landing", // sessionize + modal exit over zero sessions
     "q_evt_churn", // temporal split over zero users, null metrics
     "q_evt_dispersion", // dispersion ratio over zero dailies
-    "q_doc_heaps" // null decile bounds, zero first-appearances
+    "q_doc_heaps", // null decile bounds, zero first-appearances
+    "q_doc_doremi", // 1/n over zero domains, min-loss scalar over empty
+    "q_doc_softdedup", // fp-keyed df count + join over zero docs
+    "q_match_sql_updown" // iterative-condition NFA + lag columns over empty
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
