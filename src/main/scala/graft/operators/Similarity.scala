@@ -846,4 +846,53 @@ object Similarity {
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= topK)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * corpus embeddings, then WITHIN each cluster mark a vector as a
+    * semantic duplicate when its cosine to an earlier-ranked cluster
+    * member reaches `tau`. Rank follows the paper's keep rule — members
+    * are ordered farthest-from-centroid first (ascending
+    * cosine-to-centroid, vec_id tie-break), so of each near-duplicate
+    * group the example LEAST typical of its cluster survives (the
+    * paper's choice: keeping outliers preserves diversity).
+    *
+    * Scale shape: this IS the SemDeDup trick — clustering first bounds
+    * the quadratic pair blast radius to Σ|cluster|² instead of |corpus|²
+    * (k grows with the corpus so cluster sizes stay bounded). Centroids
+    * broadcast for assignment (corpus crosses the wire once via the
+    * max_by partial-aggregate argmax); the pair join is keyed on cid.
+    * Cosines round to 6 before ranking and thresholding so both engines
+    * agree exactly.
+    *
+    * Output: (vec_id, cid, ccos, dup) for every corpus vector.
+    */
+  def semDeDup(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      k: Int,
+      iters: Int,
+      tau: Double
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val cent = kmeansCentroids(corpus, k, iters)
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val assigned = Funnel.stage(e.join(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("cid"),
+        round(cosine_double(col("e"), col("ce")), 6).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("cd")), struct(col("cd"), -col("cid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"),
+        col("m.cid").as("cid"), col("m.cd").as("ccos")),
+      "semdedup_assigned")
+    val rhs = assigned.select(col("cid"), col("vec_id").as("bid"),
+      col("e").as("be"), col("ccos").as("bccos"))
+    val dup = assigned.join(rhs, Seq("cid"))
+      .filter(struct(col("bccos"), col("bid")) < struct(col("ccos"), col("vec_id")))
+      .filter(round(cosine_double(col("e"), col("be")), 6) >= tau)
+      .select(col("vec_id")).distinct()
+    assigned.join(dup.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        coalesce(col("dup"), lit(false)).as("dup"))
+  }
 }

@@ -1847,6 +1847,45 @@ object PipelineQueries {
        |SELECT qid, nid, round(c, 4) AS cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** SemDeDup semantic deduplication (Abbas 2023 — see
+    * [[graft.operators.Similarity.semDeDup]]): k=8 k-means clusters
+    * (2 Lloyd rounds), then within-cluster pairwise cosine ≥ 0.35
+    * marks duplicates, keeping the farthest-from-centroid member of
+    * each group. The oracle replays the Lloyd rounds as CTEs, then the
+    * rank-ordered existence check.
+    */
+  def embSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDeDup(Tables.embeddings(s, dir), k = 8, iters = 2, tau = 0.35)
+      .orderBy("vec_id")
+
+  val embSemDedupSql: String = {
+    val cos = (e: String, c: String) =>
+      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
+         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
+         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |${(1 to 2).map(iter).mkString(",\n")},
+       |assigned AS (SELECT vec_id, e, cid, ccos FROM (
+       |  SELECT m.vec_id, m.e, c.cid, ${cos("m.e", "c.ce")} AS ccos,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb m, c2 c) WHERE rn = 1),
+       |dup AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b USING (cid)
+       |        WHERE (b.ccos, b.vec_id) < (a.ccos, a.vec_id)
+       |          AND round(list_dot_product(a.e, b.e)
+       |                / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.35)
+       |SELECT a.vec_id, a.cid, a.ccos, (d.vec_id IS NOT NULL) AS dup
+       |FROM assigned a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Incremental ANN routing (see
     * [[graft.operators.Similarity.deltaAssign]]): vec_id % 10 = 0
     * stands in for the arriving batch; centroids train on the base
@@ -5003,6 +5042,7 @@ object PipelineQueries {
     Q("q_doc_neyman", docNeyman, Some(docNeymanSql)),
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
+    Q("q_emb_semdedup", embSemDedup, Some(embSemDedupSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),

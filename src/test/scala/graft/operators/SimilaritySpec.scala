@@ -261,6 +261,37 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(pairs(false)) < 0.3, s"cross-cluster projected cosine inflated: ${pairs(false)}")
   }
 
+  test("semDeDup keeps exactly one member per planted near-dup group, the farthest from centroid") {
+    val d = 16
+    val r = new scala.util.Random(7)
+    def u(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    // 6 well-separated unit gaussians, 3 tight copies each (within-group
+    // cos ≈ 1, cross-group |cos| ≪ tau); ids g, g+10, g+20 so the k=3
+    // seeds (vec_id < 3) land on three DISTINCT groups
+    val bases = (0 until 6).map(g => (g, Array.fill(d)(r.nextGaussian().toFloat)))
+    val rows = bases.flatMap { case (g, v) =>
+      (0 until 3).map(j => (g.toLong + 10L * j, g,
+        u(v.map(x => x + 0.01f * r.nextGaussian().toFloat))))
+    }
+    val df = rows.toDF("vec_id", "grp", "embedding")
+    val out = Similarity.semDeDup(df.select("vec_id", "embedding"), k = 3, iters = 2, tau = 0.8)
+    val j = out.join(df.select(col("vec_id"), col("grp")), "vec_id")
+    val kept = j.filter(!col("dup")).groupBy("grp").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept.size == 6 && kept.values.forall(_ == 1L),
+      s"expected exactly one survivor per group, got $kept")
+    // the survivor is its group's least-typical member: min (ccos, vec_id)
+    val surv = j.filter(!col("dup")).select("grp", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = j.select("grp", "ccos", "vec_id").collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2))))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min._2 }
+    assert(surv == want, s"survivors $surv != farthest-from-centroid picks $want")
+  }
+
   test("cosineDouble matches driver-side double arithmetic") {
     val a = Array(1.0, 2.0, 3.0)
     val b = Array(-1.0, 0.5, 2.0)
