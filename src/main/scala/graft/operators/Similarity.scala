@@ -873,18 +873,38 @@ object Similarity {
       iters: Int,
       tau: Double
   ): DataFrame = {
-    import graft.functions.GraftFunctions.cosine_double
     val cent = kmeansCentroids(corpus, k, iters)
-    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val assigned = Funnel.stage(e.join(broadcast(cent))
+    val assigned = Funnel.stage(semDeDupAssign(corpus, cent), "semdedup_assigned")
+    semDeDupSolve(assigned, tau)
+  }
+
+  /** [[semDeDup]]'s assignment stage: nearest-centroid (by rounded
+    * cosine, cid tie-break) for every corpus vector against a given
+    * centroid table. Per-row and model-deterministic, so a streaming
+    * maintainer can run it batch-by-batch against a fixed model and
+    * the union equals the batch assignment exactly.
+    */
+  def semDeDupAssign(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .join(broadcast(cent))
       .select(col("vec_id"), col("e"), col("cid"),
         round(cosine_double(col("e"), col("ce")), 6).as("cd"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cid"), col("cd")), struct(col("cd"), -col("cid"))).as("m"),
         first(col("e")).as("e"))
       .select(col("vec_id"), col("e"),
-        col("m.cid").as("cid"), col("m.cd").as("ccos")),
-      "semdedup_assigned")
+        col("m.cid").as("cid"), col("m.cd").as("ccos"))
+  }
+
+  /** [[semDeDup]]'s solve tail over an assignment table
+    * (vec_id, e, cid, ccos): the within-cluster rank-ordered duplicate
+    * marks. A set-level decision (a late-arriving outlier can flip an
+    * existing member's mark), so maintainers re-solve over the snapshot
+    * rather than patching marks incrementally.
+    */
+  def semDeDupSolve(assigned: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
     val rhs = assigned.select(col("cid"), col("vec_id").as("bid"),
       col("e").as("be"), col("ccos").as("bccos"))
     val dup = assigned.join(rhs, Seq("cid"))

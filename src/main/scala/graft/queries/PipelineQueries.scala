@@ -4827,10 +4827,18 @@ object PipelineQueries {
     * checksumming the repaired text per source. markers_after = 0 is
     * the idempotence witness.
     */
-  def docMojibake(s: SparkSession, dir: String): DataFrame = {
+  def docMojibake(s: SparkSession, dir: String): DataFrame =
+    mojibakeProfile(Tables.documents(s, dir)).orderBy("source")
+
+  /** [[docMojibake]]'s per-source partials over any document slice.
+    * Every column is an ADDITIVE sum (count, marker sums, checksum
+    * sum), so partials from disjoint slices sum-merge to the corpus
+    * answer exactly — the contract the streaming maintainer rides.
+    */
+  private[queries] def mojibakeProfile(docs: DataFrame): DataFrame = {
     val injected = when(col("doc_id") % 3 === 0,
       concat(col("text"), lit(MojibakeSuffix))).otherwise(col("text"))
-    Tables.documents(s, dir)
+    docs
       .select(col("source"), injected.as("t"))
       .select(col("source"), Curation.mojibakeCount(col("t")).as("cb"),
         Curation.fixMojibake(col("t")).as("fixed"))
@@ -4841,7 +4849,6 @@ object PipelineQueries {
         sum(Curation.mojibakeCount(col("fixed"))).as("markers_after"),
         sum(conv(substring(md5(col("fixed")), 1, 8), 16, 10).cast("long"))
           .as("fixed_checksum"))
-      .orderBy("source")
   }
 
   private val MojibakeSuffix = " cafÃ© â€œquoteâ€¦ donâ€™t Ã¼ber"
@@ -4876,9 +4883,24 @@ object PipelineQueries {
     * on. All iteration on the ¦sources¦-row table; the oracle unrolls
     * the identical rounds with the same nano-quantized normalization.
     */
-  def docDoremi(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+  def docDoremi(s: SparkSession, dir: String): DataFrame =
+    doremiFromToks(doremiToks(Tables.documents(s, dir)))
+
+  /** [[docDoremi]]'s profile builder: the token-instance table
+    * (doc_id, source, tok) — one row per token OCCURRENCE, so the
+    * solve's per-doc mean is an instance average on both engines. A
+    * disjoint union of slices' profiles IS the corpus profile, the
+    * append contract the streaming maintainer rides.
+    */
+  private[queries] def doremiToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+
+  /** [[docDoremi]]'s solve tail over the token-instance profile: the
+    * global unigram model, per-doc/per-source proxy losses, and the
+    * 5-round Group-DRO mixture iteration on the ¦sources¦-row table.
+    */
+  private[queries] def doremiFromToks(toks: DataFrame): DataFrame = {
     val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = model.agg(sum("cnt").as("total"))
     val perDoc = toks.join(model, "tok")

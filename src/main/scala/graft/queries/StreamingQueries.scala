@@ -4421,6 +4421,117 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup maintained on an embedding stream
+    * ([[PipelineQueries.embSemDedup]] as a live-ingest maintainer): the
+    * clustering MODEL is the batch-trained k-means (the paper clusters
+    * once; refreshes are offline model swaps — the model is staged as a
+    * fixture here), and the maintainer keeps the ASSIGNMENT table live:
+    * each micro-batch assigns its vectors against the fixed broadcast
+    * centroids and APPENDS (vec_id, e, cid, ccos) to a
+    * [[graft.streaming.DeltaStore]], so per-batch write ∝ batch size,
+    * never corpus size. Duplicate marks are a SET-level decision (a
+    * late-arriving outlier outranks earlier members and can flip their
+    * marks), so the solve re-runs [[Similarity.semDeDupSolve]] over the
+    * snapshot rather than patching marks incrementally — the batch
+    * statement is the oracle VERBATIM and arrival order (vec_id % 3
+    * splits) cannot matter.
+    */
+  def streamSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val srcDir = stageBatchFiles(dir, "ssem",
+      (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
+    val cent = graft.BenchMeters.fixture {
+      Similarity.kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint()
+    }
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "ssem_a"))
+    store.init(s.range(0).select(col("id").as("vec_id"),
+      array().cast("array<double>").as("e"),
+      col("id").cast("int").as("cid"), lit(0.0).as("ccos")))
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, Similarity.semDeDupAssign(batch, cent))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Similarity.semDeDupSolve(store.snapshot(lastBatchId(srcDir)), tau = 0.35)
+      .orderBy("vec_id")
+  }
+
+  /** Mojibake detect/repair maintained on a document stream
+    * ([[PipelineQueries.docMojibake]] as a live-ingest maintainer):
+    * every output column is an ADDITIVE per-source sum (doc count,
+    * marker counts before/after repair, repaired-text checksum sum), so
+    * each micro-batch appends its OWN ≤¦sources¦-row partial profile to
+    * a [[graft.streaming.DeltaStore]] and the solve sum-merges at read
+    * — the map-side-combine contract, per-batch write ≤ ¦sources¦ rows.
+    * Oracle is the batch statement VERBATIM; doc_id % 3 splits prove
+    * arrival order cannot matter.
+    */
+  def streamMojibake(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val srcDir = stageBatchFiles(dir, "smoji",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "smoji_st"))
+    store.init(s.range(0).select(lit("").as("source"), col("id").as("n_docs"),
+      col("id").as("n_mojibake"), col("id").as("markers_before"),
+      col("id").as("markers_after"), col("id").as("fixed_checksum")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, PipelineQueries.mojibakeProfile(batch))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.snapshot(lastBatchId(srcDir))
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_mojibake").as("n_mojibake"),
+        sum("markers_before").as("markers_before"),
+        sum("markers_after").as("markers_after"),
+        sum("fixed_checksum").as("fixed_checksum"))
+      .orderBy("source")
+  }
+
+  /** DoReMi mixture weights maintained on a document stream
+    * ([[PipelineQueries.docDoremi]] as a live-ingest maintainer): the
+    * state is the token-INSTANCE profile (doc_id, source, tok) on a
+    * [[graft.streaming.DeltaStore]] — each micro-batch tokenizes its
+    * own documents and appends, so per-batch write ∝ batch tokens. The
+    * proxy loss −log p(tok) depends on the FINAL global unigram model
+    * (counts over everything ever ingested), so per-source loss
+    * partials are NOT additive across batches — the solve re-runs the
+    * batch tail ([[PipelineQueries.doremiFromToks]]: model, per-doc
+    * instance means, the 5-round Group-DRO iteration on the
+    * ¦sources¦-row table) over the snapshot, making the batch statement
+    * the oracle VERBATIM and arrival order (doc_id % 3) immaterial.
+    */
+  def streamDoremi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val srcDir = stageBatchFiles(dir, "sdrm",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "sdrm_tok"))
+    store.init(s.range(0).select(col("id").as("doc_id"),
+      lit("").as("source"), lit("").as("tok")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, PipelineQueries.doremiToks(batch))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PipelineQueries.doremiFromToks(store.snapshot(lastBatchId(srcDir)))
+  }
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -4800,6 +4911,9 @@ object StreamingQueries {
     Q("q_stream_sql_dedup", streamSqlDedup, Some(streamSqlDedupSql)),
     Q("q_stream_sql_topn", streamSqlTopn, Some(streamSqlTopnSql)),
     Q("q_stream_feature_hash", streamFeatureHash, Some(streamFeatureHashSql)),
-    Q("q_stream_softdedup", streamSoftDedup, Some(PipelineQueries.docSoftDedupSql))
+    Q("q_stream_softdedup", streamSoftDedup, Some(PipelineQueries.docSoftDedupSql)),
+    Q("q_stream_semdedup", streamSemDedup, Some(PipelineQueries.embSemDedupSql)),
+    Q("q_stream_mojibake", streamMojibake, Some(PipelineQueries.docMojibakeSql)),
+    Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql))
   )
 }
