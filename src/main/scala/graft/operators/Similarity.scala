@@ -897,6 +897,82 @@ object Similarity {
         col("m.cid").as("cid"), col("m.cd").as("ccos"))
   }
 
+  /** k-means‖ oversampling initialization (Bahmani et al. 2012,
+    * "Scalable k-means++"): instead of k-means++'s k strictly
+    * sequential D²-weighted draws (k full corpus passes with a global
+    * sequential dependency — the part that does NOT scale), run
+    * `rounds` passes that sample EACH point INDEPENDENTLY with
+    * probability min(1, l·d²(x,C)/Φ), Φ = Σ d²(x,C), then weight the
+    * ~l·rounds candidates by how many points they are nearest to (the
+    * weighted set a final bounded k-means++ or Lloyd pass reclusters).
+    *
+    * Determinism device: d² is 1e-6-quantized per row (d2q =
+    * floor(d²·1e6+0.5), one IEEE chain from [[graft.functions.GraftFunctions.dot_double]]
+    * mirroring list_dot_product term-for-term), Φ is an EXACT BIGINT
+    * sum of d2q, and the Bernoulli draw is the integer cross-multiply
+    * `u·Φ < l·d2q·16⁷` with u = first 7 md5 hex digits of
+    * "vec_id:round" — no float division anywhere, so both engines make
+    * bit-identical draws. Products ride DECIMAL(38,0) (HUGEINT on the
+    * oracle side) so Φ can grow with the corpus without overflow.
+    *
+    * Scale shape: per round ONE scan computes Φ (1-row broadcast) and
+    * the draws; the d² update joins the corpus against the ≤l new
+    * candidates as a collected 1-row array (bounded-statistics posture:
+    * the candidate set IS the model, ≤(1+l·rounds) vectors); points
+    * already chosen have d²=0 so they can never be re-drawn. No
+    * sequential per-point dependency — the rounds are the only barrier,
+    * exactly the paper's point.
+    *
+    * Output: (cid, rnd, w) — candidate id, the round it entered, and
+    * its nearest-point weight (0 if shadowed by an identical earlier
+    * candidate).
+    */
+  def kmeansParSeed(
+      corpus: DataFrame, // (vec_id, embedding: array<float>)
+      l: Int,
+      rounds: Int
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.dot_double
+    def d2q(a: Column, b: Column): Column =
+      floor((dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)) * 1e6
+        + 0.5).cast("long")
+    val e = Funnel.stage(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val c0 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), lit(0).as("rnd"))
+    var cands = c0.localCheckpoint()
+    var cur = e.crossJoin(broadcast(c0.select(col("ce"))))
+      .select(col("vec_id"), col("e"), d2q(col("e"), col("ce")).as("d2q"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val phi = cur.agg(sum("d2q").cast("decimal(38,0)").as("phi"))
+      val u = conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$r"))), 1, 7),
+        16, 10).cast("long").cast("decimal(38,0)")
+      val newc = cur.crossJoin(broadcast(phi))
+        .filter(u * col("phi") <
+          col("d2q").cast("decimal(38,0)") * lit(l * 268435456L).cast("decimal(38,0)"))
+        .select(col("vec_id").as("cid"), col("e").as("ce"), lit(r).as("rnd"))
+      cands = cands.unionByName(newc).localCheckpoint()
+      val arr = newc.agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
+      cur = cur.crossJoin(broadcast(arr))
+        .select(col("vec_id"), col("e"),
+          least(col("d2q"),
+            coalesce(array_min(transform(col("cs"), c => d2q(col("e"), c.getField("ce")))),
+              col("d2q"))).as("d2q"))
+        .localCheckpoint()
+    }
+    val ca = cands.agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
+    val near = cur.crossJoin(broadcast(ca))
+      .select(col("vec_id"), explode(col("cs")).as("c"), col("e"))
+      .select(col("vec_id"), col("c.cid").as("cid"), d2q(col("e"), col("c.ce")).as("dd"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+    cands.join(near, Seq("cid"), "left")
+      .select(col("cid"), col("rnd").cast("long").as("rnd"),
+        coalesce(col("w"), lit(0L)).as("w"))
+  }
+
   /** [[semDeDup]]'s solve tail over an assignment table
     * (vec_id, e, cid, ccos): the within-cluster rank-ordered duplicate
     * marks. A set-level decision (a late-arriving outlier can flip an

@@ -1886,6 +1886,45 @@ object PipelineQueries {
        |FROM assigned a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id""".stripMargin
   }
 
+  /** k-means‖ oversampling seeding (Bahmani 2012 — see
+    * [[graft.operators.Similarity.kmeansParSeed]]): l=4, 3 rounds, seed
+    * vec 0; emits the candidate set with entry round and
+    * nearest-point weights. The oracle unrolls the rounds as CTEs with
+    * the identical integer cross-multiplied Bernoulli draws.
+    */
+  def embKmeansPar(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansParSeed(Tables.embeddings(s, dir), l = 4, rounds = 3)
+      .orderBy("cid")
+
+  val embKmeansParSql: String = {
+    val d2 = (a: String, b: String) =>
+      s"CAST(floor((list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b))*1e6 + 0.5) AS BIGINT)"
+    val round = (r: Int) =>
+      s"""p$r AS (SELECT sum(d2q)::HUGEINT AS phi FROM d${r - 1}),
+         |n$r AS (SELECT vec_id AS cid, e AS ce, $r AS rnd FROM d${r - 1}, p$r
+         |        WHERE ('0x' || substr(md5(vec_id || ':$r'), 1, 7))::BIGINT * phi
+         |              < 4 * d2q::HUGEINT * 268435456),
+         |u$r AS (SELECT d.vec_id, min(${d2("d.e", "n.ce")}) AS m
+         |        FROM d${r - 1} d CROSS JOIN n$r n GROUP BY d.vec_id),
+         |d$r AS (SELECT d.vec_id, d.e, least(d.d2q, coalesce(u.m, d.d2q)) AS d2q
+         |        FROM d${r - 1} d LEFT JOIN u$r u USING (vec_id))""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s0 AS (SELECT e AS ce FROM emb WHERE vec_id = 0),
+       |d0 AS (SELECT m.vec_id, m.e, ${d2("m.e", "s.ce")} AS d2q FROM emb m, s0 s),
+       |c0 AS (SELECT vec_id AS cid, e AS ce, 0 AS rnd FROM emb WHERE vec_id = 0),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |cands AS (SELECT * FROM c0 UNION ALL SELECT * FROM n1
+       |          UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${d2("d.e", "c.ce")}, c.cid) AS rn
+       |    FROM d3 d CROSS JOIN cands c) WHERE rn = 1),
+       |w AS (SELECT cid, count(*)::BIGINT AS w FROM asg GROUP BY 1)
+       |SELECT c.cid, c.rnd::BIGINT AS rnd, coalesce(w.w, 0)::BIGINT AS w
+       |FROM cands c LEFT JOIN w USING (cid) ORDER BY cid""".stripMargin
+  }
+
   /** Incremental ANN routing (see
     * [[graft.operators.Similarity.deltaAssign]]): vec_id % 10 = 0
     * stands in for the arriving batch; centroids train on the base
@@ -5065,6 +5104,7 @@ object PipelineQueries {
     Q("q_emb_delta_assign", embDeltaAssign, Some(embDeltaAssignSql)),
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_semdedup", embSemDedup, Some(embSemDedupSql)),
+    Q("q_emb_kmeans_par", embKmeansPar, Some(embKmeansParSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),

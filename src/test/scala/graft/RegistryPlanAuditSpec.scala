@@ -75,6 +75,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_unigram_logprob", // 1-row corpus token total
     "q_emb_ivf_kmeans", // k-row centroid table broadcast
     "q_emb_kmeans", // k-row centroid table broadcast per Lloyd round
+    "q_emb_kmeans_par", // 1-row collected candidate-array broadcast (bounded model)
     "q_emb_rp_recall", // 10-query probe side broadcast (both brute-force legs)
     "q_evt_itemsets", // 1-row basket-count scalar for the lift denominator
     "q_emb_negatives", // 10-anchor probe side broadcast (exclusion + candidate legs)

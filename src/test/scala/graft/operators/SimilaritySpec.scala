@@ -292,6 +292,21 @@ class SimilaritySpec extends SparkSpec {
     assert(surv == want, s"survivors $surv != farthest-from-centroid picks $want")
   }
 
+  test("kmeansParSeed weights partition the corpus and chosen points are never re-drawn") {
+    val r = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i => (i, Seq.fill(8)(r.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansParSeed(df, l = 3, rounds = 3).collect()
+    val cids = out.map(_.getLong(0))
+    assert(cids.distinct.length == cids.length, s"a chosen point was re-drawn: ${cids.mkString(",")}")
+    // every corpus point is nearest to exactly one candidate
+    assert(out.map(_.getLong(2)).sum == 40L,
+      s"weights must partition the corpus: ${out.map(_.getLong(2)).mkString(",")}")
+    assert(out.exists(x => x.getLong(0) == 0L && x.getLong(1) == 0L),
+      "seed vector 0 must be present with rnd = 0")
+    assert(out.length > 1, "oversampling should draw beyond the seed on gaussian data")
+  }
+
   test("cosineDouble matches driver-side double arithmetic") {
     val a = Array(1.0, 2.0, 3.0)
     val b = Array(-1.0, 0.5, 2.0)
