@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Funnel, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2900,6 +2900,124 @@ object AnalyticsQueries {
         |  cusum_n::BIGINT AS cusum_scaled, cusum_n > tot * 2 AS drift
         |FROM cs ORDER BY event_type, day""".stripMargin
 
+  /** Binary-segmentation changepoint detection (Scott & Knott 1974;
+    * the recursive splitting that CUSUM's single-change statistic does
+    * not give): per event type, find the split of the daily-count
+    * series that maximizes the between-segment SSE reduction, then
+    * re-split each half once — up to 3 changepoints / 4 segments.
+    *
+    * Exactness device: for a candidate split of a segment the SSE
+    * reduction is monotone in (sl²·nr + sr²·nl)/(nl·nr) with sl/sr the
+    * EXACT integer prefix sums and nl/nr the piece lengths — one
+    * integer polynomial and ONE IEEE division per candidate, rounded to
+    * 6 before the argmax (day-index tie-break), so both engines pick
+    * identical splits. Needs tot²·n_days < 2⁶³ (tot < 5.5e8 for a
+    * month grid) — cast the polynomial to DECIMAL beyond that.
+    *
+    * Scale: everything after the daily rollup lives on the bounded
+    * per-type grid (≤ n_days rows per type); every join is
+    * event_type-keyed and broadcast. Output: the segment table
+    * (start/end/days/count/mean) per type.
+    */
+  def evtBinseg(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val grid = Funnel.stage(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("d"), col("cnt"),
+        row_number().over(wOrd).cast("long").as("i"),
+        sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("ps")))
+    val tot = grid.groupBy("event_type").agg(max("i").as("n"), max("ps").as("tot"))
+    def crit(sl: Column, nl: Column, sr: Column, nr: Column): Column =
+      round((sl * sl * nr + sr * sr * nl).cast("double") / (nl * nr).cast("double"), 6)
+    val g0 = grid.join(broadcast(tot), "event_type")
+    val t1 = g0.filter(col("i") < col("n"))
+      .groupBy("event_type")
+      .agg(max_by(col("i"), struct(
+        crit(col("ps"), col("i"), col("tot") - col("ps"), col("n") - col("i")),
+        -col("i"))).as("t1"))
+    val st1 = g0.join(broadcast(t1), "event_type")
+      .filter(col("i") === col("t1"))
+      .select(col("event_type"), col("t1"), col("ps").as("st1"))
+    val g1 = g0.join(broadcast(st1), "event_type")
+    val t2a = g1.filter(col("i") < col("t1"))
+      .groupBy("event_type")
+      .agg(max_by(col("i"), struct(
+        crit(col("ps"), col("i"), col("st1") - col("ps"), col("t1") - col("i")),
+        -col("i"))).as("t2a"))
+    val t2b = g1.filter(col("i") > col("t1") && col("i") < col("n"))
+      .groupBy("event_type")
+      .agg(max_by(col("i"), struct(
+        crit(col("ps") - col("st1"), col("i") - col("t1"),
+          col("tot") - col("ps"), col("n") - col("i")),
+        -col("i"))).as("t2b"))
+    val far = lit(Long.MaxValue)
+    grid.join(broadcast(t1), Seq("event_type"), "left")
+      .join(broadcast(t2a), Seq("event_type"), "left")
+      .join(broadcast(t2b), Seq("event_type"), "left")
+      .select(col("event_type"), col("d"), col("cnt"),
+        (when(col("i") > coalesce(col("t2a"), far), 1L).otherwise(0L)
+          + when(col("i") > coalesce(col("t1"), far), 1L).otherwise(0L)
+          + when(col("i") > coalesce(col("t2b"), far), 1L).otherwise(0L)).as("seg"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(min("d").cast("string").as("seg_start"),
+        max("d").cast("string").as("seg_end"),
+        count(lit(1)).as("n_days"), sum("cnt").as("seg_cnt"))
+      .select(col("event_type"), col("seg"), col("seg_start"), col("seg_end"),
+        col("n_days"), col("seg_cnt").cast("long").as("seg_cnt"),
+        round(col("seg_cnt").cast("double") / col("n_days"), 6).as("seg_mean"))
+      .orderBy("event_type", "seg")
+  }
+
+  val evtBinsegSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+        |            FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT event_type, d, cnt,
+        |           (row_number() OVER w)::BIGINT AS i,
+        |           (sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ps
+        |         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |tot AS (SELECT event_type, max(i) AS n, max(ps) AS tot FROM grid GROUP BY 1),
+        |c1 AS (SELECT g.event_type, i,
+        |         round((ps*ps*(n-i) + (tot-ps)*(tot-ps)*i)::DOUBLE / (i*(n-i)), 6) AS crit
+        |       FROM grid g JOIN tot USING (event_type) WHERE i < n),
+        |t1 AS (SELECT event_type, i AS t1 FROM (
+        |         SELECT event_type, i,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY crit DESC, i) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |st1 AS (SELECT g.event_type, t.t1, g.ps AS st1
+        |        FROM grid g JOIN t1 t USING (event_type) WHERE g.i = t.t1),
+        |c2a AS (SELECT g.event_type, i,
+        |          round((ps*ps*(t1-i) + (st1-ps)*(st1-ps)*i)::DOUBLE / (i*(t1-i)), 6) AS crit
+        |        FROM grid g JOIN st1 USING (event_type) WHERE i < t1),
+        |t2a AS (SELECT event_type, i AS t2a FROM (
+        |          SELECT event_type, i,
+        |            row_number() OVER (PARTITION BY event_type ORDER BY crit DESC, i) AS rn
+        |          FROM c2a) WHERE rn = 1),
+        |c2b AS (SELECT g.event_type, i,
+        |          round(((ps-st1)*(ps-st1)*(n-i) + (tot-ps)*(tot-ps)*(i-t1))::DOUBLE
+        |                / ((i-t1)*(n-i)), 6) AS crit
+        |        FROM grid g JOIN st1 USING (event_type) JOIN tot USING (event_type)
+        |        WHERE i > t1 AND i < n),
+        |t2b AS (SELECT event_type, i AS t2b FROM (
+        |          SELECT event_type, i,
+        |            row_number() OVER (PARTITION BY event_type ORDER BY crit DESC, i) AS rn
+        |          FROM c2b) WHERE rn = 1),
+        |segd AS (SELECT g.event_type, g.d, g.cnt,
+        |           ((CASE WHEN g.i > coalesce(a.t2a, 9223372036854775807) THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g.i > coalesce(t.t1, 9223372036854775807) THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g.i > coalesce(b.t2b, 9223372036854775807) THEN 1 ELSE 0 END))::BIGINT AS seg
+        |         FROM grid g
+        |         LEFT JOIN t1 t USING (event_type)
+        |         LEFT JOIN t2a a USING (event_type)
+        |         LEFT JOIN t2b b USING (event_type))
+        |SELECT event_type, seg, min(d)::VARCHAR AS seg_start, max(d)::VARCHAR AS seg_end,
+        |  count(*)::BIGINT AS n_days, sum(cnt)::BIGINT AS seg_cnt,
+        |  round(sum(cnt)::DOUBLE / count(*), 6) AS seg_mean
+        |FROM segd GROUP BY 1, 2 ORDER BY event_type, seg""".stripMargin
+
   /** Exponentially-weighted moving average with a HALVING decay
     * (α = 1/2) over daily counts — the smoothing recurrence
     * ewma_t = (x_t + ewma_{t−1})/2 closed-form-unrolled as
@@ -3749,6 +3867,7 @@ object AnalyticsQueries {
     Q("q_evt_feature_hash", evtFeatureHash, Some(evtFeatureHashSql)),
     Q("q_evt_resample", evtResample, Some(evtResampleSql)),
     Q("q_evt_cusum", evtCusum, Some(evtCusumSql)),
+    Q("q_evt_binseg", evtBinseg, Some(evtBinsegSql)),
     Q("q_evt_ewma", evtEwma, Some(evtEwmaSql)),
     Q("q_evt_pivot", evtPivot, Some(evtPivotSql)),
     Q("q_evt_melt", evtMelt, Some(evtMeltSql)),
