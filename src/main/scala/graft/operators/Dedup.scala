@@ -1039,4 +1039,42 @@ object Dedup {
             |)""".stripMargin)))
       .select(col("doc_id"), col("text"), col("kept"))
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995,
+    * the merge/purge method) — the third blocking family next to
+    * hash-bucket (LSH band / simhash chunk) and deletion-variant
+    * (SymSpell): sort records by a key, compare each record only with
+    * the `w−1` records after it in sort order, verify candidates with
+    * an edit-distance gate. Catches near-duplicates whose hashes differ
+    * everywhere but whose sort keys collide — the complementary recall
+    * profile to banding.
+    *
+    * Scale shape: the sliding window is a PARTITIONED window — `blockFn`
+    * (a sort-key prefix) both partitions the data and preserves the
+    * neighborhood (records whose keys share the prefix sort adjacently
+    * within one partition; pairs straddling a prefix boundary differ in
+    * their leading characters and are out of edit range anyway, the
+    * standard multi-pass-SNM argument). lead() materializes the window
+    * pairs without a self-join; the verify is per-pair scan-stage work.
+    *
+    * Output: candidate pairs (a_id, b_id, dist ≤ maxDist) where b
+    * follows a in (key, id) order.
+    */
+  def snmCandidates(
+      records: DataFrame, // (id, key) — key the pre-normalized sort key
+      w: Int,
+      maxDist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("blk").orderBy("key", "id")
+    val leads = (1 until w).map(j => lead(struct(col("id"), col("key")), j).over(win))
+    records
+      .select(col("id"), col("key"), substring(col("key"), 1, 8).as("blk"))
+      .select(col("id"), col("key"), array(leads: _*).as("ls"))
+      .select(col("id").as("a_id"), col("key").as("a_key"), explode(col("ls")).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("a_id"), col("b.id").as("b_id"),
+        levenshtein(col("a_key"), col("b.key")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -1886,6 +1886,34 @@ object PipelineQueries {
        |FROM assigned a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Sorted-neighborhood dedup candidates (Hernández & Stolfo 1995 —
+    * see [[graft.operators.Dedup.snmCandidates]]): sort key = the first
+    * 64 chars of the normalized text, window w=3, levenshtein gate ≤ 12
+    * on the keys. The 8-char key prefix is both the window partition
+    * and the block.
+    */
+  def docSnm(s: SparkSession, dir: String): DataFrame =
+    Dedup.snmCandidates(
+      Tables.documents(s, dir).select(col("doc_id").as("id"),
+        substring(TextAnalysis.normalizeText(col("text")), 1, 64).as("key")),
+      w = 3, maxDist = 12)
+      .orderBy("a_id", "b_id")
+
+  val docSnmSql: String =
+    s"""WITH p AS (SELECT doc_id AS id, substr($normSql, 1, 64) AS k FROM documents),
+       |b AS (SELECT id, k, substr(k, 1, 8) AS blk FROM p),
+       |l AS (SELECT id, k,
+       |        lead(id, 1) OVER w AS id1, lead(k, 1) OVER w AS k1,
+       |        lead(id, 2) OVER w AS id2, lead(k, 2) OVER w AS k2
+       |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+       |pairs AS (
+       |  SELECT id AS a_id, id1 AS b_id, levenshtein(k, k1)::BIGINT AS dist
+       |  FROM l WHERE id1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT id, id2, levenshtein(k, k2)::BIGINT FROM l WHERE id2 IS NOT NULL)
+       |SELECT a_id, b_id, dist FROM pairs WHERE dist <= 12
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** k-means‖ oversampling seeding (Bahmani 2012 — see
     * [[graft.operators.Similarity.kmeansParSeed]]): l=4, 3 rounds, seed
     * vec 0; emits the candidate set with entry round and
@@ -5105,6 +5133,7 @@ object PipelineQueries {
     Q("q_emb_ivf_kmeans", embIvfKmeans, Some(embIvfKmeansSql)),
     Q("q_emb_semdedup", embSemDedup, Some(embSemDedupSql)),
     Q("q_emb_kmeans_par", embKmeansPar, Some(embKmeansParSql)),
+    Q("q_doc_snm", docSnm, Some(docSnmSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),

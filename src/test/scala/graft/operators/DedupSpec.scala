@@ -398,4 +398,18 @@ class DedupSpec extends SparkSpec {
     // brute force agrees (jaccard 1/11 < 0.5) — but the point is the
     // prefix join never built the 190-pair hot-token bucket
   }
+
+  test("snmCandidates pairs only within the sliding window, gated by edit distance") {
+    // four keys share the 8-char block prefix "blockpfx" and sort a..d;
+    // w=3 compares each with the next 2 — (a,d) is 3 apart and must NOT
+    // pair even though dist(a,d) is small; zzz-far is another block
+    val recs = Seq(
+      (1L, "blockpfx-a"), (2L, "blockpfx-b"), (3L, "blockpfx-c"), (4L, "blockpfx-d"),
+      (5L, "zzzzzzzzzz-far")
+    ).toDF("id", "key")
+    val got = Dedup.snmCandidates(recs, w = 3, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)),
+      s"got $got")
+  }
 }
