@@ -2919,11 +2919,18 @@ object AnalyticsQueries {
     * event_type-keyed and broadcast. Output: the segment table
     * (start/end/days/count/mean) per type.
     */
-  def evtBinseg(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy("event_type").orderBy("d")
-    val grid = Funnel.stage(Tables.events(s, dir)
+  def evtBinseg(s: SparkSession, dir: String): DataFrame =
+    binsegFromDaily(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[evtBinseg]]'s solve over a (event_type, d, cnt) daily grid — the
+    * grid is an additive count table, so a streaming maintainer
+    * sum-merges per-batch partials and reuses this tail verbatim.
+    */
+  private[queries] def binsegFromDaily(daily: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val grid = Funnel.stage(daily
       .select(col("event_type"), col("d"), col("cnt"),
         row_number().over(wOrd).cast("long").as("i"),
         sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("ps")))

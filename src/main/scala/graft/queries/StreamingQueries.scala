@@ -2985,6 +2985,74 @@ object StreamingQueries {
         .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt"))))
   }
 
+  /** Binary-segmentation changepoints maintained on an event stream
+    * ([[AnalyticsQueries.evtBinseg]] as a live monitor): the state is
+    * the ADDITIVE (event_type, d, cnt) daily grid — per-batch partial
+    * daily counts sum-merge, the same contract as [[streamDispersion]]
+    * — and the solve re-runs the bounded split recursion
+    * ([[AnalyticsQueries.binsegFromDaily]]) over the merged grid. A new
+    * batch can move EVERY split (the criterion is global over the
+    * series), so split positions are solve-time outputs, not state.
+    * Oracle is the batch statement VERBATIM; event_id % 3 splits prove
+    * arrival-order independence of the additive grid.
+    */
+  def streamBinseg(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sbseg",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def dailyOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sbseg_store"))
+    store.init(dailyOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
+          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.binsegFromDaily(store.version(lastBatchId(srcDir))
+      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
+  }
+
+  /** Sorted-neighborhood dedup candidates maintained on a document
+    * stream ([[PipelineQueries.docSnm]] as a live-ingest maintainer):
+    * the state is the (id, key) sort-key table on a
+    * [[graft.streaming.DeltaStore]] — each batch appends its own keys
+    * (write ∝ batch size). An arrival can land BETWEEN two previously
+    * adjacent records and change the whole neighborhood's pairing, so
+    * the window pairs are solve-time outputs: the solve re-runs
+    * [[graft.operators.Dedup.snmCandidates]] over the snapshot, making
+    * the batch statement the oracle VERBATIM.
+    */
+  def streamSnm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "ssnm",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "ssnm_keys"))
+    store.init(s.range(0).select(col("id"), lit("").as("key")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, batch.select(col("doc_id").as("id"),
+          substring(TextAnalysis.normalizeText(col("text")), 1, 64).as("key")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Dedup.snmCandidates(store.snapshot(lastBatchId(srcDir)), w = 3, maxDist = 12)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4914,6 +4982,8 @@ object StreamingQueries {
     Q("q_stream_softdedup", streamSoftDedup, Some(PipelineQueries.docSoftDedupSql)),
     Q("q_stream_semdedup", streamSemDedup, Some(PipelineQueries.embSemDedupSql)),
     Q("q_stream_mojibake", streamMojibake, Some(PipelineQueries.docMojibakeSql)),
-    Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql))
+    Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql)),
+    Q("q_stream_binseg", streamBinseg, Some(AnalyticsQueries.evtBinsegSql)),
+    Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql))
   )
 }
