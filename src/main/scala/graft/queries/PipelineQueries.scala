@@ -3123,6 +3123,63 @@ object PipelineQueries {
        |       WHEN mean_nlp <= t2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM s JOIN th USING (lang) ORDER BY doc_id""".stripMargin
 
+  /** Min-k% prob membership audit (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean −log p over its 20% HIGHEST-surprise tokens under the corpus
+    * unigram model — the membership-inference statistic. Member or
+    * memorized text shows anomalously LOW min-k% surprise (even its
+    * rarest tokens are predictable), so documents at or below the 5th
+    * percentile flag as membership suspects and at or above the 95th
+    * as outliers. Same model/percentile devices as
+    * [[docPplBuckets]]; the per-doc rank is a doc-partitioned window
+    * (duplicate-token boundary instances carry identical nlp, so the
+    * mean is tie-invariant).
+    */
+  def docMink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("total"))
+    val w = Window.partitionBy("doc_id").orderBy(col("nlp").desc, col("tok"))
+    val scored = toks.join(model, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"),
+        (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
+    val perDoc = Funnel.stage(scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") <= greatest(lit(1L), floor(col("n") * 0.2).cast("long")))
+      .groupBy("doc_id").agg(round(avg("nlp"), 6).as("mink")))
+    val th = perDoc.agg(
+      round(expr("percentile(mink, 0.05D)"), 6).as("lo"),
+      round(expr("percentile(mink, 0.95D)"), 6).as("hi"))
+    perDoc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("mink"),
+        when(col("mink") <= col("lo"), "member_suspect")
+          .when(col("mink") >= col("hi"), "outlier")
+          .otherwise("clean").as("flag"))
+      .orderBy("doc_id")
+  }
+
+  val docMinkSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |m AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total FROM m),
+       |sc AS (SELECT doc_id, tok, -ln(round(cnt * 1.0 / total, 9)) AS nlp
+       |       FROM t JOIN m USING (tok), tot),
+       |rk AS (SELECT doc_id, nlp,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY nlp DESC, tok) AS rk,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |       FROM sc),
+       |pd AS (SELECT doc_id, round(avg(nlp), 6) AS mink FROM rk
+       |       WHERE rk <= greatest(1, floor(n * 0.2)) GROUP BY 1),
+       |th AS (SELECT round(quantile_cont(mink, 0.05), 6) AS lo,
+       |              round(quantile_cont(mink, 0.95), 6) AS hi FROM pd)
+       |SELECT doc_id, mink,
+       |  CASE WHEN mink <= lo THEN 'member_suspect'
+       |       WHEN mink >= hi THEN 'outlier' ELSE 'clean' END AS flag
+       |FROM pd, th ORDER BY doc_id""".stripMargin
+
   /** Cross-document duplicated 8-gram fraction per doc (see
     * [[graft.operators.Curation.dupNgramFraction]]) — the boilerplate
     * signal document-level dedup misses.
@@ -5061,6 +5118,7 @@ object PipelineQueries {
     Q("q_doc_src_overlap", docSrcOverlap, Some(docSrcOverlapSql)),
     Q("q_doc_winnow", docWinnow, Some(docWinnowSql)),
     Q("q_doc_ppl_buckets", docPplBuckets, Some(docPplBucketsSql)),
+    Q("q_doc_mink", docMink, Some(docMinkSql)),
     Q("q_doc_dup_ngrams", docDupNgrams, Some(docDupNgramsSql)),
     Q("q_doc_dup_coverage", docDupCoverage, Some(docDupCoverageSql)),
     Q("q_doc_mix_temperature", docMixTemperature, Some(docMixTemperatureSql)),
