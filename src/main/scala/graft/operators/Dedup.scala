@@ -1077,4 +1077,67 @@ object Dedup {
         levenshtein(col("a_key"), col("b.key")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) with Winkler's EM parameter fit (Winkler 1988): given the
+    * agreement-PATTERN table of a candidate-pair set — columns g1 g2 g3
+    * ∈ {0,1} (the comparator outcomes) and n (pairs showing that
+    * pattern) — estimate the match prevalence p and per-comparator
+    * m/u probabilities under conditional independence, then score each
+    * pattern with the match posterior and the log-likelihood ratio
+    * ln(P(γ|M)/P(γ|U)) that classifies match / review / nonmatch.
+    *
+    * Determinism device (the [[graft.queries.PipelineQueries.docDoremi]]
+    * integer-normalization posture): the per-pattern posterior w is
+    * quantized to a BIGINT w9 = ⌊w·1e9 + ½⌋ BEFORE any cross-row sum,
+    * so every EM moment (Σn·w9, Σn·w9·γ, Σn·(1e9−w9)·γ) is an exact
+    * integer and each new parameter is ONE IEEE division rounded to 9
+    * — no float accumulation order anywhere. Parameters clamp to
+    * [1e-9, 1−1e-9] so a comparator that separates perfectly cannot
+    * drive a zero likelihood into ln(0).
+    *
+    * Scale shape: EM runs entirely on the ≤2³-row pattern table; the
+    * corpus-sized work is the upstream pattern COUNT (one aggregate
+    * over the candidate pairs). Output: one row per pattern with n,
+    * the fitted posterior, lnlr, and the decision.
+    */
+  def fellegiSunter(patterns: DataFrame, iters: Int): DataFrame = {
+    val gs = Seq("g1", "g2", "g3")
+    val s = patterns.sparkSession
+    def clamp(c: Column): Column = greatest(lit(1e-9), least(lit(1.0 - 1e-9), c))
+    var params = s.range(1).select(
+      (lit(0.1).as("p") +: gs.flatMap(g =>
+        Seq(lit(0.9).as(s"m_$g"), lit(0.1).as(s"u_$g")))): _*)
+    def pm = gs.map(g => when(col(g) === 1, col(s"m_$g"))
+      .otherwise(lit(1.0) - col(s"m_$g"))).reduce(_ * _)
+    def pu = gs.map(g => when(col(g) === 1, col(s"u_$g"))
+      .otherwise(lit(1.0) - col(s"u_$g"))).reduce(_ * _)
+    def w9 = floor(col("p") * col("pm")
+      / (col("p") * col("pm") + (lit(1.0) - col("p")) * col("pu")) * 1e9 + 0.5)
+      .cast("long")
+    for (_ <- 1 to iters) {
+      val e = patterns.crossJoin(broadcast(params))
+        .withColumn("pm", pm).withColumn("pu", pu)
+        .withColumn("w9", w9)
+      val aggs =
+        clamp(round(sum(col("n") * col("w9")).cast("double")
+          / (sum(col("n")) * lit(1e9)), 9)).as("p") +:
+        gs.flatMap(g => Seq(
+          clamp(round(sum(col("n") * col("w9") * col(g)).cast("double")
+            / sum(col("n") * col("w9")).cast("double"), 9)).as(s"m_$g"),
+          clamp(round(sum(col("n") * (lit(1000000000L) - col("w9")) * col(g)).cast("double")
+            / sum(col("n") * (lit(1000000000L) - col("w9"))).cast("double"), 9)).as(s"u_$g")))
+      params = e.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    }
+    patterns.crossJoin(broadcast(params))
+      .withColumn("pm", pm).withColumn("pu", pu)
+      .select(gs.map(col) ++ Seq(col("n"),
+        round(col("p") * col("pm")
+          / (col("p") * col("pm") + (lit(1.0) - col("p")) * col("pu")), 6).as("w_match"),
+        round(log(col("pm") / col("pu")), 6).as("lnlr")): _*)
+      .withColumn("decision",
+        when(col("lnlr") >= 2.3, "match")
+          .when(col("lnlr") <= -2.3, "nonmatch")
+          .otherwise("review"))
+  }
 }

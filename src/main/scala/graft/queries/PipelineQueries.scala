@@ -1914,6 +1914,74 @@ object PipelineQueries {
        |SELECT a_id, b_id, dist FROM pairs WHERE dist <= 12
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Fellegi–Sunter probabilistic linkage over the SNM candidate pairs
+    * (see [[graft.operators.Dedup.fellegiSunter]]): comparators
+    * g1 = keys exactly equal, g2 = levenshtein ≤ 12, g3 = same source;
+    * 5 EM rounds fit p/m/u on the ≤8-row pattern table, then each
+    * pattern gets its match posterior, ln-likelihood-ratio, and
+    * decision. The oracle unrolls the identical integer-moment EM.
+    */
+  def docLinkage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.snmCandidates(
+      docs.select(col("doc_id").as("id"),
+        substring(TextAnalysis.normalizeText(col("text")), 1, 64).as("key")),
+      w = 3, maxDist = 64)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pat = Funnel.stage(cands
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select((col("dist") === 0).cast("long").as("g1"),
+        (col("dist") <= 12).cast("long").as("g2"),
+        (col("sa") === col("sb")).cast("long").as("g3"))
+      .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n")))
+    Dedup.fellegiSunter(pat, iters = 5).orderBy("g1", "g2", "g3")
+  }
+
+  val docLinkageSql: String = {
+    val pm = "(CASE WHEN g1=1 THEN m1 ELSE 1.0-m1 END) * (CASE WHEN g2=1 THEN m2 ELSE 1.0-m2 END) * (CASE WHEN g3=1 THEN m3 ELSE 1.0-m3 END)"
+    val pu = "(CASE WHEN g1=1 THEN u1 ELSE 1.0-u1 END) * (CASE WHEN g2=1 THEN u2 ELSE 1.0-u2 END) * (CASE WHEN g3=1 THEN u3 ELSE 1.0-u3 END)"
+    def cl(x: String) = s"greatest(1e-9, least(1.0-1e-9, $x))"
+    val rounds = (1 to 5).map { r =>
+      val mu = (1 to 3).map(j =>
+        s"""    ${cl(s"round(sum(n*w9*g$j) * 1.0 / sum(n*w9), 9)")} AS m$j,
+           |    ${cl(s"round(sum(n*(1000000000-w9)*g$j) * 1.0 / sum(n*(1000000000-w9)), 9)")} AS u$j""".stripMargin)
+        .mkString(",\n")
+      s"""e_$r AS (SELECT g1, g2, g3, n,
+         |    CAST(floor(p * pm / (p * pm + (1.0-p) * pu) * 1e9 + 0.5) AS BIGINT) AS w9
+         |  FROM (SELECT g1, g2, g3, n, p, $pm AS pm, $pu AS pu FROM pat, par_${r - 1})),
+         |par_$r AS (SELECT
+         |    ${cl("round(sum(n*w9) * 1.0 / (sum(n) * 1e9), 9)")} AS p,
+         |$mu
+         |  FROM e_$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p0 AS (SELECT doc_id AS id, substr($normSql, 1, 64) AS k, source FROM documents),
+       |b AS (SELECT id, k, source, substr(k, 1, 8) AS blk FROM p0),
+       |l AS (SELECT id, k, source,
+       |        lead(id, 1) OVER w AS id1, lead(k, 1) OVER w AS k1, lead(source, 1) OVER w AS s1,
+       |        lead(id, 2) OVER w AS id2, lead(k, 2) OVER w AS k2, lead(source, 2) OVER w AS s2
+       |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+       |pr AS (
+       |  SELECT levenshtein(k, k1) AS dist, source AS sa, s1 AS sb FROM l WHERE id1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT levenshtein(k, k2), source, s2 FROM l WHERE id2 IS NOT NULL),
+       |pat AS (SELECT (CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS g1,
+       |               (CASE WHEN dist <= 12 THEN 1 ELSE 0 END)::BIGINT AS g2,
+       |               (CASE WHEN sa = sb THEN 1 ELSE 0 END)::BIGINT AS g3,
+       |               count(*)::BIGINT AS n
+       |        FROM pr GROUP BY 1, 2, 3),
+       |par_0 AS (SELECT 0.1 AS p, 0.9 AS m1, 0.1 AS u1, 0.9 AS m2, 0.1 AS u2, 0.9 AS m3, 0.1 AS u3),
+       |$rounds
+       |SELECT g1, g2, g3, n,
+       |  round(p * pm / (p * pm + (1.0-p) * pu), 6) AS w_match,
+       |  round(ln(pm / pu), 6) AS lnlr,
+       |  CASE WHEN round(ln(pm / pu), 6) >= 2.3 THEN 'match'
+       |       WHEN round(ln(pm / pu), 6) <= -2.3 THEN 'nonmatch'
+       |       ELSE 'review' END AS decision
+       |FROM (SELECT g1, g2, g3, n, p, $pm AS pm, $pu AS pu FROM pat, par_5)
+       |ORDER BY g1, g2, g3""".stripMargin
+  }
+
   /** k-means‖ oversampling seeding (Bahmani 2012 — see
     * [[graft.operators.Similarity.kmeansParSeed]]): l=4, 3 rounds, seed
     * vec 0; emits the candidate set with entry round and
@@ -5192,6 +5260,7 @@ object PipelineQueries {
     Q("q_emb_semdedup", embSemDedup, Some(embSemDedupSql)),
     Q("q_emb_kmeans_par", embKmeansPar, Some(embKmeansParSql)),
     Q("q_doc_snm", docSnm, Some(docSnmSql)),
+    Q("q_doc_linkage", docLinkage, Some(docLinkageSql)),
     Q("q_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("q_emb_neardup_keeper", embNearDupKeeper, Some(embNearDupKeeperSql)),
     Q("q_emb_lda", embLda, Some(embLdaSql)),

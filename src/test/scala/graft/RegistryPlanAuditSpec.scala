@@ -82,6 +82,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_rfm", // 1-row now-scalar + 1-row tertile-threshold table broadcast
     "q_doc_mg_heavy", // 1-row stream-total scalar for the n/(k+1) threshold
     "q_doc_mink", // 1-row percentile-threshold scalar broadcast
+    "q_doc_linkage", // 1-row EM-parameter broadcast onto the <=8-row pattern table
     "q_emb_ivfpq", // nlist-row coarse-centroid table broadcast (cell assignment)
     "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast

@@ -399,6 +399,18 @@ class DedupSpec extends SparkSpec {
     // prefix join never built the 190-pair hot-token bucket
   }
 
+  test("fellegiSunter EM separates agree-everywhere from disagree-everywhere patterns") {
+    val pat = Seq((1L, 1L, 1L, 100L), (0L, 0L, 0L, 900L), (1L, 1L, 0L, 10L), (0L, 1L, 0L, 20L))
+      .toDF("g1", "g2", "g3", "n")
+    val out = Dedup.fellegiSunter(pat, iters = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getDouble(4), r.getString(6)))).toMap
+    assert(out((1L, 1L, 1L))._1 > 0.95 && out((1L, 1L, 1L))._2 == "match",
+      s"all-agree should be a confident match: ${out((1L, 1L, 1L))}")
+    assert(out((0L, 0L, 0L))._1 < 0.05 && out((0L, 0L, 0L))._2 == "nonmatch",
+      s"all-disagree should be a confident nonmatch: ${out((0L, 0L, 0L))}")
+  }
+
   test("snmCandidates pairs only within the sliding window, gated by edit distance") {
     // four keys share the 8-char block prefix "blockpfx" and sort a..d;
     // w=3 compares each with the next 2 — (a,d) is 3 apart and must NOT
