@@ -3053,6 +3053,47 @@ object StreamingQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Fellegi–Sunter linkage maintained on a document stream
+    * ([[PipelineQueries.docLinkage]] as a live-ingest maintainer): the
+    * state extends [[streamSnm]]'s sort-key store with the source
+    * column — (id, key, source) appends, write ∝ batch. Neither the
+    * candidate pairs (an arrival re-pairs its neighborhood) nor the EM
+    * parameters (every pattern count shifts them) are additive, so the
+    * solve re-derives pairs → patterns → 5-round EM over the snapshot;
+    * the batch statement is the oracle VERBATIM.
+    */
+  def streamLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Funnel, TextAnalysis}
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val srcDir = stageBatchFiles(dir, "slnk",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "slnk_keys"))
+    store.init(s.range(0).select(col("id"), lit("").as("key"), lit("").as("source")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, batch.select(col("doc_id").as("id"),
+          substring(TextAnalysis.normalizeText(col("text")), 1, 64).as("key"),
+          col("source")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snap = store.snapshot(lastBatchId(srcDir))
+    val cands = Dedup.snmCandidates(snap.select("id", "key"), w = 3, maxDist = 64)
+    val src = snap.select(col("id"), col("source"))
+    val pat = Funnel.stage(cands
+      .join(src.select(col("id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("id").as("b_id"), col("source").as("sb")), "b_id")
+      .select((col("dist") === 0).cast("long").as("g1"),
+        (col("dist") <= 12).cast("long").as("g2"),
+        (col("sa") === col("sb")).cast("long").as("g3"))
+      .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n")))
+    Dedup.fellegiSunter(pat, iters = 5).orderBy("g1", "g2", "g3")
+  }
+
   /** Markov-removal attribution maintained on a stream
     * ([[AnalyticsQueries.evtMarkovAttribution]] as a live data-driven
     * credit monitor — completing the attribution quartet's streaming
@@ -4984,6 +5025,7 @@ object StreamingQueries {
     Q("q_stream_mojibake", streamMojibake, Some(PipelineQueries.docMojibakeSql)),
     Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql)),
     Q("q_stream_binseg", streamBinseg, Some(AnalyticsQueries.evtBinsegSql)),
-    Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql))
+    Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql)),
+    Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql))
   )
 }
