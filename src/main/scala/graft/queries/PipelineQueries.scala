@@ -3203,10 +3203,17 @@ object PipelineQueries {
     * (duplicate-token boundary instances carry identical nlp, so the
     * mean is tie-invariant).
     */
-  def docMink(s: SparkSession, dir: String): DataFrame = {
+  def docMink(s: SparkSession, dir: String): DataFrame =
+    minkFromToks(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok")))
+
+  /** [[docMink]]'s solve tail over a (doc_id, tok) token-instance
+    * table — reused verbatim by the streaming maintainer (the profile
+    * appends; −log p rides the final global model so scores are not
+    * additive).
+    */
+  private[queries] def minkFromToks(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = model.agg(sum("cnt").as("total"))
     val w = Window.partitionBy("doc_id").orderBy(col("nlp").desc, col("tok"))

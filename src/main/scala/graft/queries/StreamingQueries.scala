@@ -4641,6 +4641,36 @@ object StreamingQueries {
     PipelineQueries.doremiFromToks(store.snapshot(lastBatchId(srcDir)))
   }
 
+  /** Min-k% membership audit maintained on a document stream
+    * ([[PipelineQueries.docMink]] as a live monitor): the state is the
+    * token-instance profile (doc_id, tok) on a
+    * [[graft.streaming.DeltaStore]] — the same posture as
+    * [[streamDoremi]], and for the same reason: −log p rides the FINAL
+    * global unigram model, so neither per-doc scores nor the percentile
+    * flags are additive. Write ∝ batch tokens; the solve re-runs the
+    * batch tail over the snapshot, so the batch statement is the oracle
+    * VERBATIM.
+    */
+  def streamMink(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "smink",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.DeltaStore(s, freshDir(dir, "smink_tok"))
+    store.init(s.range(0).select(col("id").as("doc_id"), lit("").as("tok")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(batchId, batch.select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PipelineQueries.minkFromToks(store.snapshot(lastBatchId(srcDir)))
+  }
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -5026,6 +5056,7 @@ object StreamingQueries {
     Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql)),
     Q("q_stream_binseg", streamBinseg, Some(AnalyticsQueries.evtBinsegSql)),
     Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql)),
-    Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql))
+    Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql)),
+    Q("q_stream_mink", streamMink, Some(PipelineQueries.docMinkSql))
   )
 }
