@@ -938,7 +938,10 @@ object Similarity {
         + 0.5).cast("long")
     val e = Funnel.stage(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
-    val c0 = e.filter(col("vec_id") === 0)
+    // seed = the minimum id (the paper's "uniform random point"; a fixed
+    // rule keeps both engines and re-runs deterministic, and survives
+    // corpora whose ids don't start at 0)
+    val c0 = e.join(broadcast(e.agg(min("vec_id").as("vec_id"))), "vec_id")
       .select(col("vec_id").as("cid"), col("e").as("ce"), lit(0).as("rnd"))
     var cands = c0.localCheckpoint()
     var cur = e.crossJoin(broadcast(c0.select(col("ce"))))

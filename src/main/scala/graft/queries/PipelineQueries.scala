@@ -2005,9 +2005,10 @@ object PipelineQueries {
          |d$r AS (SELECT d.vec_id, d.e, least(d.d2q, coalesce(u.m, d.d2q)) AS d2q
          |        FROM d${r - 1} d LEFT JOIN u$r u USING (vec_id))""".stripMargin
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |s0 AS (SELECT e AS ce FROM emb WHERE vec_id = 0),
+       |s0 AS (SELECT e AS ce FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb)),
        |d0 AS (SELECT m.vec_id, m.e, ${d2("m.e", "s.ce")} AS d2q FROM emb m, s0 s),
-       |c0 AS (SELECT vec_id AS cid, e AS ce, 0 AS rnd FROM emb WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id AS cid, e AS ce, 0 AS rnd FROM emb
+       |       WHERE vec_id = (SELECT min(vec_id) FROM emb)),
        |${(1 to 3).map(round).mkString(",\n")},
        |cands AS (SELECT * FROM c0 UNION ALL SELECT * FROM n1
        |          UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3),
