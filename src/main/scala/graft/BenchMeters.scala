@@ -29,13 +29,20 @@ object BenchMeters {
   /** Book `body`'s wall time against a named pipeline stage (the
     * [[graft.operators.Funnel.stage]] materialization boundaries) —
     * the per-stage breakdown that names WHICH stage a drift-prone
-    * composite (q_doc_pipeline_full) spends its time in. Always
-    * recorded (a queue append); reported by [[stageReport]].
+    * composite (q_doc_pipeline_full) spends its time in. The log is
+    * capped: only [[Bench]] drains it (via [[reset]] per query), so a
+    * long-lived library session calling staged operators forever must
+    * not accumulate entries without bound.
     */
+  private val StageLogCap = 4096
+
   def stageTimed[T](label: String)(body: => T): T = {
     val t0 = System.nanoTime()
     try body
-    finally stageLog.add((label, (System.nanoTime() - t0) / 1e9))
+    finally {
+      stageLog.add((label, (System.nanoTime() - t0) / 1e9))
+      while (stageLog.size > StageLogCap) stageLog.poll()
+    }
   }
 
   /** (label, seconds) per stage boundary since the last [[reset]], in

@@ -91,10 +91,22 @@ object MatchRecognize {
       case tok => throw new IllegalArgumentException(s"bad pattern token: $tok")
     }
     if (defineCtx.nonEmpty) {
+      // a variable matched INSIDE an alternation group evaluates without
+      // the context — if it also appears as a plain token the old
+      // carried-set check passed while group-branch rows silently
+      // skipped the iterative condition; reject group membership itself
+      val groupMembers = norm.split("\\s+").toSeq.collect {
+        case GroupToken(alts, _, _, _) => alts.split("\\|").toSeq
+      }.flatten.toSet
       val carried = perTok.flatten.flatten.filter(_.whereCtx.isDefined).map(_.name).toSet
-      defineCtx.keys.foreach(v => require(carried.contains(v),
-        s"iterative DEFINE for $v: only plain pattern variables support navigation " +
-          "(alternation-group members keep row-local defines)"))
+      defineCtx.keys.foreach { v =>
+        require(!groupMembers.contains(v),
+          s"iterative DEFINE for $v: $v also matches inside an alternation group, " +
+            "where navigation is unsupported — rewrite the group or keep the define row-local")
+        require(carried.contains(v),
+          s"iterative DEFINE for $v: only plain pattern variables support navigation " +
+            "(alternation-group members keep row-local defines)")
+      }
     }
     val seqs = perTok.foldLeft(Seq(Vector.empty[Stage[T]])) { (accs, alts) =>
       for (a <- accs; b <- alts) yield a ++ b

@@ -208,6 +208,21 @@ object MatchRecognizeSql {
     val fs = found.result()
     require(!fs.exists(_._1 == "SUBSET"),
       "SUBSET is not supported (union variables: compute the union in MEASURES instead)")
+    // out-of-canonical-order guard: a clause header visible at depth 0
+    // but NOT consumed by the sequential scan means the statement
+    // deviates from the canonical clause order — fail loudly instead of
+    // silently ignoring it (a WITHIN placed before PATTERN would
+    // otherwise leave the match unbounded in time). The free-form
+    // DEFINE body (always last) is exempt, so keyword-named
+    // identifiers inside DEFINE remain legal.
+    val defineBodyStart = fs.find(_._1 == "DEFINE").map(_._3).getOrElse(block.length)
+    val consumed = fs.map(_._2).toSet
+    for ((name, rxs) <- clauseDefs; mm <- rxs.r.findAllMatchIn(block)
+         if mask(mm.start) && mm.start < defineBodyStart && !consumed(mm.start))
+      throw new IllegalArgumentException(
+        s"MATCH_RECOGNIZE clause $name (offset ${mm.start}) is out of the canonical " +
+          "SQL:2016 clause order (PARTITION BY, ORDER BY, MEASURES, rows-per-match, " +
+          "AFTER MATCH, PATTERN, WITHIN, DEFINE)")
     fs.zipWithIndex.map { case ((name, _, bodyStart), k) =>
       val end = if (k + 1 < fs.length) fs(k + 1)._2 else block.length
       name -> block.substring(bodyStart, end).trim
@@ -398,6 +413,12 @@ object MatchRecognizeSql {
     (if (sqls.isEmpty) None else Some(sqls.map(s => s"($s)").mkString(" AND ")), navs)
   }
 
+  private def isInfinite(n: Number): Boolean = n match {
+    case d: java.lang.Double => d.isInfinite
+    case f: java.lang.Float => f.isInfinite
+    case _ => false
+  }
+
   /** Exact comparison across the column types the route supports; None
     * when either side is null/NaN (SQL: the comparison is not true).
     */
@@ -407,6 +428,10 @@ object MatchRecognizeSql {
     case (_, y: Double) if y.isNaN => None
     case (x: Float, _) if x.isNaN => None
     case (_, y: Float) if y.isNaN => None
+    case (x: Number, y: Number) if isInfinite(x) || isInfinite(y) =>
+      // BigDecimal cannot represent ±Infinity; an infinite side dominates
+      // any finite value, so the double compare is exact here
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
     case (x: String, y: String) => Some(x.compareTo(y))
@@ -526,6 +551,12 @@ object MatchRecognizeSql {
       case TimestampType => Ordering.by((a: Any) => a.asInstanceOf[java.sql.Timestamp].getTime)
       case other => throw new IllegalArgumentException(s"MIN/MAX unsupported over $other")
     }
+    // hoisted per measure: the RMIN/RMAX overlay runs per OUTPUT ROW —
+    // deriving the Ordering from the schema there would allocate on the
+    // hot path
+    val measureOrd: Array[Ordering[Any]] = measures.map(ms =>
+      if (Set("MIN", "MAX", "RMIN", "RMAX")(ms.fn)) ordFor(inField(ms.column).dataType)
+      else null).toArray
     val out = sorted.mapPartitions { it =>
       // key-change detection over the secondary-sorted partition: buffer
       // one key group at a time (the NFA needs the full ordered group,
@@ -544,7 +575,7 @@ object MatchRecognizeSql {
         NFA.findMatchesMulti[Row](group.toIndexedSeq, tsFn, patterns, tsPerMs = 1000L)
           .flatMap { pm =>
             // match-level (FINAL) measure values, computed once
-            val matchVals = measures.map { ms =>
+            val matchVals = measures.zipWithIndex.map { case (ms, mvi) =>
               def bound = pm.bindings.getOrElse(ms.variable, Nil)
               def colOf(r: Row): Any = r.get(colIdx(ms.column))
               ms.fn match {
@@ -564,7 +595,7 @@ object MatchRecognizeSql {
                   val xs = bound.map(colOf).filter(_ != null)
                   if (xs.isEmpty) null
                   else {
-                    val ord = ordFor(inField(ms.column).dataType)
+                    val ord = measureOrd(mvi)
                     if (ms.fn == "MIN") xs.min(ord) else xs.max(ord)
                   }
                 // per-row, overlaid below
@@ -604,7 +635,7 @@ object MatchRecognizeSql {
                     val applies = ms.variable.isEmpty || ms.variable == cls
                     val v = if (applies) row.get(colIdx(ms.column)) else null
                     if (v != null) {
-                      val ord = ordFor(inField(ms.column).dataType)
+                      val ord = measureOrd(mi)
                       rMinMax(mi) =
                         if (rMinMax(mi) == null) v
                         else if (ms.fn == "RMIN") ord.min(rMinMax(mi), v)

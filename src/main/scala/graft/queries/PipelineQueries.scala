@@ -2314,8 +2314,11 @@ object PipelineQueries {
       |                    / (n * (n - 1))::DOUBLE) * n * 1e6) AS BIGINT)
       |             ELSE 0 END AS w_e6
       |      FROM s),
-      |t AS (SELECT sum(w_e6)::BIGINT AS tw FROM w),
-      |q AS (SELECT stratum, n, w_e6, w_e6::DOUBLE * 100 / tw AS quota FROM w, t),
+      |t AS (SELECT sum(w_e6)::BIGINT AS tw, sum(n)::BIGINT AS tn FROM w),
+      |q AS (SELECT stratum, n, w_e6,
+      |        CASE WHEN tw > 0 THEN w_e6::DOUBLE * 100 / tw
+      |             ELSE n::DOUBLE * 100 / tn END AS quota
+      |      FROM w, t),
       |q2 AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
       |         quota - floor(quota) AS frac FROM q),
       |r AS (SELECT (100 - sum(base))::BIGINT AS rem FROM q2),

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 final case class DeltaStore(spark: SparkSession, base: String) {
 
+  // state probing walks the local filesystem while data IO goes through
+  // Spark — a remote URI would write fine but probe nothing and serve
+  // empty state; fail loudly instead (production swaps in a
+  // catalog/manifest for the listing)
+  require(!base.contains("://"),
+    s"DeltaStore probes the LOCAL filesystem; got remote base $base")
+
   private def dPath(v: String): String = s"$base/d_$v"
   private def cPath(b: Long): String = s"$base/c_$b"
   private def exists(p: String): Boolean = new java.io.File(p).exists()
@@ -90,6 +97,9 @@ final case class DeltaStore(spark: SparkSession, base: String) {
   */
 final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int) {
 
+  require(!base.contains("://"),
+    s"BucketStore probes the LOCAL filesystem; got remote base $base")
+
   private def vPath(v: String): String = s"$base/v_$v"
   private def schemaPath: String = s"$base/schema"
 
@@ -149,6 +159,18 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
       .agg(sum(multCol).as(multCol))
       .filter(col(multCol) =!= 0L)
       .write.partitionBy("__b").mode("overwrite").parquet(vPath(batchId.toString))
+    // a touched bucket whose ENTIRE net state folded to zero writes no
+    // partition directory above — without an explicit marker the
+    // shadowing rule would keep serving the bucket's stale older
+    // version, resurrecting fully-retracted rows. Materialize an empty
+    // directory for every such bucket so "latest version that wrote the
+    // bucket" is the truth.
+    val emptied = touched -- bucketsOf(batchId.toString)
+    if (emptied.nonEmpty) {
+      val empty = spark.read.parquet(schemaPath).limit(0)
+      emptied.foreach(b => empty.write.mode("overwrite")
+        .parquet(s"${vPath(batchId.toString)}/__b=$b"))
+    }
   }
 
   /** Buckets version `batchId` rewrote (the spec's untouched-buckets probe). */

@@ -139,4 +139,16 @@ class MatchRecognizeSpec extends SparkSpec {
       MatchRecognize.compile[Event]("A B", Map("A" -> (_ => true)))
     }
   }
+
+  test("iterative DEFINE on a variable that ALSO matches in an alternation group is rejected") {
+    // '(A|B) A': the plain-token A would carry the context but the
+    // group-branch A would silently skip it — must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      MatchRecognize.compileMulti[Event]("(A|B) A",
+        Map("A" -> (_ => true), "B" -> (_ => true)),
+        AfterMatch.SkipPastLast,
+        Map("A" -> ((_: Event, _: MatchContext[Event]) => true)))
+    }
+    assert(ex.getMessage.contains("alternation group"), ex.getMessage)
+  }
 }

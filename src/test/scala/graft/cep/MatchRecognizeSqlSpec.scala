@@ -125,6 +125,39 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(badMeasure.getMessage.contains("unsupported MEASURES"))
   }
 
+  test("SQL route: a clause out of canonical order fails loudly, never silently drops") {
+    mkView()
+    // WITHIN placed BEFORE PATTERN: the sequential parser must reject it
+    // rather than leave the match unbounded in time
+    val bad = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.run(spark,
+        """SELECT * FROM mr_ev MATCH_RECOGNIZE (
+          |  PARTITION BY uid ORDER BY ord
+          |  MEASURES COUNT(*) AS n
+          |  WITHIN INTERVAL '1' MINUTE
+          |  PATTERN (V P)
+          |  DEFINE V AS etype = 'view', P AS etype = 'purchase'
+          |)""".stripMargin)
+    }
+    assert(bad.getMessage.contains("out of the canonical"), bad.getMessage)
+  }
+
+  test("SQL route: doubled-quote escapes inside string literals stay masked") {
+    import spark.implicits._
+    Seq((1L, 1L, "O'Brien AND Sons"), (1L, 2L, "purchase"))
+      .toDF("uid", "ord", "etype").createOrReplaceTempView("mr_q")
+    // the literal contains an escaped quote AND a bare AND — the clause
+    // splitter must not cut inside it
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, n FROM mr_q MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (V P)
+        |  DEFINE V AS etype = 'O''Brien AND Sons', P AS etype = 'purchase'
+        |) ORDER BY uid""".stripMargin)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
   test("SQL route: DEFINE with PREV lowers to lag() — the canonical V-shape") {
     import spark.implicits._
     Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0), (1L, 4L, 7.0),

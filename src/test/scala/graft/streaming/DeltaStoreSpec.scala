@@ -65,6 +65,24 @@ class DeltaStoreSpec extends SparkSpec {
     assert(store.snapshot(2L).as[(Long, Long)].collect().toMap === s2)
   }
 
+  test("BucketStore: retracting a bucket's ENTIRE net state leaves it empty, not resurrected") {
+    import spark.implicits._
+    // single bucket so the only key's full retraction empties the whole
+    // bucket — the case where partitionBy writes no directory and a
+    // stale older version would otherwise stay the bucket's latest
+    val store = BucketStore(spark, tmp("bempty"), 1)
+    store.init(Seq.empty[(Long, Long)].toDF("k", "mult"), "k")
+    store.applyDelta(0L, Seq((1L, 1L)).toDF("k", "mult"), "k", Seq("k"), "mult")
+    assert(store.snapshot(0L).count() === 1L)
+    store.applyDelta(1L, Seq((1L, -1L)).toDF("k", "mult"), "k", Seq("k"), "mult")
+    assert(store.snapshot(1L).count() === 0L,
+      "a fully-retracted bucket must read empty, not its stale prior version")
+    // and a later insert starts from the emptied state
+    store.applyDelta(2L, Seq((2L, 1L)).toDF("k", "mult"), "k", Seq("k"), "mult")
+    val s2 = store.snapshot(2L).as[(Long, Long)].collect().toMap
+    assert(s2 === Map(2L -> 1L), s"expected only the new row, got $s2")
+  }
+
   test("BucketStore: snapshot shadows per bucket (older versions of a touched bucket are invisible)") {
     import spark.implicits._
     val store = BucketStore(spark, tmp("bshadow"), 4)
