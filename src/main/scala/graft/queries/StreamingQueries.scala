@@ -4671,6 +4671,56 @@ object StreamingQueries {
     PipelineQueries.minkFromToks(store.snapshot(lastBatchId(srcDir)))
   }
 
+  /** Streaming KMV (bottom-k theta) maintenance — the LOSSLESS merge
+    * in the sketch family: the k smallest of (prior sketch ∪ the
+    * batch's own bottom-k) IS the whole-corpus bottom-k, exactly — so
+    * unlike HLL (max-merge, estimate drift-free but lossy) the
+    * maintained sketch is BIT-IDENTICAL to the batch-built one and the
+    * batch statement oracles the stream VERBATIM. Store state is ≤k
+    * rows forever; the exact-distinct audit column rides a DeltaStore
+    * of per-batch distinct shingles (the column a 100 TB run drops —
+    * [[graft.queries.SketchQueries.docKmv]]'s documented posture).
+    */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Funnel, Sketches, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val srcDir = stageBatchFiles(dir, "skmv",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "skmv_store"))
+    store.init(s.range(0).select(col("id").as("h")))
+    val audit = graft.streaming.DeltaStore(s, freshDir(dir, "skmv_audit"))
+    audit.init(s.range(0).select(col("id").cast("string").as("sh")))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sh = batch.select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+          .localCheckpoint()
+        val own = Sketches.kmvValues(sh, "sh", k).select("h")
+        // bottom-k of the union of bottom-ks = the global bottom-k
+        // (min-merge); the window runs over ≤2k rows
+        store.write(batchId, store.prior(batchId).unionByName(own).distinct()
+          .withColumn("rk", row_number().over(Window.orderBy("h")))
+          .filter(col("rk") <= k).select("h"))
+        audit.append(batchId, sh.distinct())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = lastBatchId(srcDir)
+    val vals = Funnel.stage(store.version(last)
+      .withColumn("rank", row_number().over(Window.orderBy("h")).cast("long")))
+    val est = Sketches.kmvEstimate(vals.select("h"), k)
+    val exact = audit.snapshot(last).agg(count_distinct(col("sh")).as("n_exact"))
+    vals.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("rank"), col("h"), col("est_distinct"),
+        col("n_exact").cast("long").as("n_exact"))
+      .orderBy("rank")
+  }
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -5057,6 +5107,7 @@ object StreamingQueries {
     Q("q_stream_binseg", streamBinseg, Some(AnalyticsQueries.evtBinsegSql)),
     Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql)),
     Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql)),
-    Q("q_stream_mink", streamMink, Some(PipelineQueries.docMinkSql))
+    Q("q_stream_mink", streamMink, Some(PipelineQueries.docMinkSql)),
+    Q("q_stream_kmv", streamKmv, Some(SketchQueries.docKmvSql))
   )
 }
