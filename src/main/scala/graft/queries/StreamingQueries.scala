@@ -4721,6 +4721,55 @@ object StreamingQueries {
       .orderBy("rank")
   }
 
+  /** Streaming Bloom-filter maintenance — the OR-merge leg of the
+    * windowable-sketch algebra (HLL max, count-min sum, KMV min, Bloom
+    * OR): the BASE corpus arrives in 3 micro-batches, each batch's bit
+    * positions distinct-union into the persisted position store (set
+    * union is associative and idempotent, so the maintained filter
+    * EQUALS the batch-built one regardless of batching or replays;
+    * state ≤ mBits rows forever). The end-of-stream solve probes the
+    * same delta [[graft.queries.SketchQueries.docBloomDelta]] probes,
+    * with the exact-dup audit read from a base-fingerprint DeltaStore
+    * — the batch statement oracles the stream VERBATIM.
+    */
+  def streamBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Funnel, Sketches, TextAnalysis}
+    val docs = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val srcDir = stageBatchFiles(dir, "sblm",
+      (0 until 3).map(b => base.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sblm_bits"))
+    store.init(s.range(0).select(col("id").as("pos")))
+    val fpStore = graft.streaming.DeltaStore(s, freshDir(dir, "sblm_fp"))
+    fpStore.init(s.range(0).select(col("id").cast("string").as("fp")))
+    val q = s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId)
+          .unionByName(Sketches.bloomBits(batch, "fp", k = 3, mBits = 4096))
+          .distinct())
+        fpStore.append(batchId, batch.select("fp"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = lastBatchId(srcDir)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+      .unionByName(docs.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("fp")))
+    val hits = Sketches.bloomProbe(store.version(last), delta, "fp", k = 3, mBits = 4096)
+    val exact = delta.join(
+        fpStore.snapshot(last).select("fp").distinct().withColumn("dup", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0)).cast("long").as("exact_dup"))
+    hits.select(col("doc_id"), col("bloom_hit"))
+      .join(exact, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Streaming Misra–Gries maintenance — the mergeable-summaries
     * posture (Agarwal et al. 2012) as a maintainer: each micro-batch
     * builds its OWN ≤k-counter summary
@@ -5108,6 +5157,7 @@ object StreamingQueries {
     Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql)),
     Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql)),
     Q("q_stream_mink", streamMink, Some(PipelineQueries.docMinkSql)),
-    Q("q_stream_kmv", streamKmv, Some(SketchQueries.docKmvSql))
+    Q("q_stream_kmv", streamKmv, Some(SketchQueries.docKmvSql)),
+    Q("q_stream_bloom", streamBloom, Some(SketchQueries.docBloomDeltaSql))
   )
 }
