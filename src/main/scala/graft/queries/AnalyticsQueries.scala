@@ -2928,7 +2928,22 @@ object AnalyticsQueries {
     * grid is an additive count table, so a streaming maintainer
     * sum-merges per-batch partials and reuses this tail verbatim.
     */
-  private[queries] def binsegFromDaily(daily: DataFrame): DataFrame = {
+  private[queries] def binsegFromDaily(daily: DataFrame): DataFrame =
+    binsegAssign(daily)
+      .groupBy(col("event_type"), col("seg"))
+      .agg(min("d").cast("string").as("seg_start"),
+        max("d").cast("string").as("seg_end"),
+        count(lit(1)).as("n_days"), sum("cnt").as("seg_cnt"))
+      .select(col("event_type"), col("seg"), col("seg_start"), col("seg_end"),
+        col("n_days"), col("seg_cnt").cast("long").as("seg_cnt"),
+        round(col("seg_cnt").cast("double") / col("n_days"), 6).as("seg_mean"))
+      .orderBy("event_type", "seg")
+
+  /** The split recursion alone: the daily grid with each day's segment
+    * id (and its day index `i`) — the shared head of [[evtBinseg]]'s
+    * segment report and [[evtBinsegTrend]]'s per-segment fits.
+    */
+  private[queries] def binsegAssign(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("d")
     val grid = Funnel.stage(daily
       .select(col("event_type"), col("d"), col("cnt"),
@@ -2962,17 +2977,37 @@ object AnalyticsQueries {
     grid.join(broadcast(t1), Seq("event_type"), "left")
       .join(broadcast(t2a), Seq("event_type"), "left")
       .join(broadcast(t2b), Seq("event_type"), "left")
-      .select(col("event_type"), col("d"), col("cnt"),
+      .select(col("event_type"), col("d"), col("i"), col("cnt"),
         (when(col("i") > coalesce(col("t2a"), far), 1L).otherwise(0L)
           + when(col("i") > coalesce(col("t1"), far), 1L).otherwise(0L)
           + when(col("i") > coalesce(col("t2b"), far), 1L).otherwise(0L)).as("seg"))
-      .groupBy(col("event_type"), col("seg"))
-      .agg(min("d").cast("string").as("seg_start"),
-        max("d").cast("string").as("seg_end"),
-        count(lit(1)).as("n_days"), sum("cnt").as("seg_cnt"))
-      .select(col("event_type"), col("seg"), col("seg_start"), col("seg_end"),
-        col("n_days"), col("seg_cnt").cast("long").as("seg_cnt"),
-        round(col("seg_cnt").cast("double") / col("n_days"), 6).as("seg_mean"))
+  }
+
+  /** Piecewise-linear trend: the [[evtBinseg]] changepoints, then an
+    * EXACT-integer OLS line per segment over (day index, count) — the
+    * changepoint-plus-trend readout a forecasting pipeline anchors on
+    * (the prophet-style piecewise trend, grounded on the detected
+    * splits rather than a fixed knot grid). slope and intercept are
+    * closed-form integer ratios (nΣxy − ΣxΣy and ΣyΣx² − ΣxΣxy over
+    * nΣx² − (Σx)²) — exact BIGINT moments, ONE IEEE division each,
+    * round-6; a 1-day segment has denominator 0 and reports NULLs.
+    */
+  def evtBinsegTrend(s: SparkSession, dir: String): DataFrame = {
+    val segs = binsegAssign(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+    segs.groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum("i").as("sx"), sum("cnt").as("sy"),
+        sum(col("i") * col("cnt")).as("sxy"), sum(col("i") * col("i")).as("sxx"))
+      .select(col("event_type"), col("seg"), col("n").as("n_days"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("slope"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("intercept"))
       .orderBy("event_type", "seg")
   }
 
@@ -3012,7 +3047,7 @@ object AnalyticsQueries {
         |          SELECT event_type, i,
         |            row_number() OVER (PARTITION BY event_type ORDER BY crit DESC, i) AS rn
         |          FROM c2b) WHERE rn = 1),
-        |segd AS (SELECT g.event_type, g.d, g.cnt,
+        |segd AS (SELECT g.event_type, g.d, g.i, g.cnt,
         |           ((CASE WHEN g.i > coalesce(a.t2a, 9223372036854775807) THEN 1 ELSE 0 END)
         |            + (CASE WHEN g.i > coalesce(t.t1, 9223372036854775807) THEN 1 ELSE 0 END)
         |            + (CASE WHEN g.i > coalesce(b.t2b, 9223372036854775807) THEN 1 ELSE 0 END))::BIGINT AS seg
@@ -3023,6 +3058,22 @@ object AnalyticsQueries {
         |SELECT event_type, seg, min(d)::VARCHAR AS seg_start, max(d)::VARCHAR AS seg_end,
         |  count(*)::BIGINT AS n_days, sum(cnt)::BIGINT AS seg_cnt,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS seg_mean
+        |FROM segd GROUP BY 1, 2 ORDER BY event_type, seg""".stripMargin
+
+  /** [[evtBinsegTrend]]'s oracle: the binseg CTE chain (everything up
+    * to the final SELECT, reused by string surgery so the split logic
+    * cannot drift between the two statements) with the per-segment
+    * exact-moment OLS tail.
+    */
+  val evtBinsegTrendSql: String =
+    evtBinsegSql.substring(0, evtBinsegSql.lastIndexOf("SELECT event_type, seg,")) +
+      """SELECT event_type, seg, count(*)::BIGINT AS n_days,
+        |  CASE WHEN count(*) * sum(i*i) - sum(i) * sum(i) <> 0
+        |       THEN round((count(*) * sum(i*cnt) - sum(i) * sum(cnt))::DOUBLE
+        |              / (count(*) * sum(i*i) - sum(i) * sum(i)), 6) END AS slope,
+        |  CASE WHEN count(*) * sum(i*i) - sum(i) * sum(i) <> 0
+        |       THEN round((sum(cnt) * sum(i*i) - sum(i) * sum(i*cnt))::DOUBLE
+        |              / (count(*) * sum(i*i) - sum(i) * sum(i)), 6) END AS intercept
         |FROM segd GROUP BY 1, 2 ORDER BY event_type, seg""".stripMargin
 
   /** Exponentially-weighted moving average with a HALVING decay
@@ -3875,6 +3926,7 @@ object AnalyticsQueries {
     Q("q_evt_resample", evtResample, Some(evtResampleSql)),
     Q("q_evt_cusum", evtCusum, Some(evtCusumSql)),
     Q("q_evt_binseg", evtBinseg, Some(evtBinsegSql)),
+    Q("q_evt_binseg_trend", evtBinsegTrend, Some(evtBinsegTrendSql)),
     Q("q_evt_ewma", evtEwma, Some(evtEwmaSql)),
     Q("q_evt_pivot", evtPivot, Some(evtPivotSql)),
     Q("q_evt_melt", evtMelt, Some(evtMeltSql)),

@@ -94,6 +94,7 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_snm", // windowed leads over an empty block partition
     "q_doc_mink", // percentile thresholds from an empty score table
     "q_doc_linkage", // EM moments over an empty pattern table (null params)
+    "q_evt_binseg_trend", // per-segment OLS over an empty assigned grid
     "q_doc_mg_heavy", // MG summary over zero items + n-scalar threshold
     "q_doc_c4", // line-rule projection over zero docs
     "q_doc_gopher", // ratio battery over zero docs (0-word divisions absent)
