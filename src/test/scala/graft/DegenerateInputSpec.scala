@@ -113,6 +113,20 @@ class DegenerateInputSpec extends SparkSpec {
     assert(ate.forall(_.isNullAt(iE)), "stratum and overall ATE must all be NULL")
   }
 
+  test("evtBinseg / evtBinsegTrend: single-day grid -> one segment, NULL trend, no crash") {
+    val dst = "/tmp/graft-degen-oneday"
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val firstDay = ev.select(to_date(col("ts")).as("d")).agg(min("d")).head.getDate(0)
+    ev.filter(to_date(col("ts")) === lit(firstDay))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val segs = AnalyticsQueries.evtBinseg(spark, dst).collect()
+    assert(segs.nonEmpty && segs.forall(_.getLong(1) == 0L),
+      "a 1-day grid has no split candidates: every type is one segment 0")
+    val tr = AnalyticsQueries.evtBinsegTrend(spark, dst).collect()
+    assert(tr.forall(r => r.isNullAt(r.fieldIndex("slope"))),
+      "a 1-point segment has zero OLS denominator: slope must be NULL")
+  }
+
   test("evtConformal: zero spend everywhere -> zero-width intervals with full coverage") {
     val rows = AnalyticsQueries.evtConformal(spark, acyclicDir).collect()
     val iW = rows.head.fieldIndex("half_width"); val iC = rows.head.fieldIndex("coverage")

@@ -411,6 +411,28 @@ class DedupSpec extends SparkSpec {
       s"all-disagree should be a confident nonmatch: ${out((0L, 0L, 0L))}")
   }
 
+  test("fellegiSunter degenerate: a single pattern still yields a defined, clamped fit") {
+    val pat = Seq((1L, 1L, 1L, 50L)).toDF("g1", "g2", "g3", "n")
+    val out = Dedup.fellegiSunter(pat, iters = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // nothing to separate: the fit must stay finite (clamps prevent
+    // ln(0)/div-zero), the posterior defined, and a decision emitted
+    assert(!r.isNullAt(4) && !r.getDouble(4).isNaN, s"posterior must be defined: $r")
+    assert(!r.isNullAt(5) && !r.getDouble(5).isInfinite, s"lnlr must be finite: $r")
+    assert(Set("match", "review", "nonmatch")(r.getString(6)))
+  }
+
+  test("snmCandidates degenerate: all-identical keys pair only within the window") {
+    val recs = (1L to 40L).map(i => (i, "blockpfx-same")).toDF("id", "key")
+    val got = Dedup.snmCandidates(recs, w = 3, maxDist = 0).collect()
+    // each of the first n-1 rows pairs with its next 1-2 neighbors:
+    // (n-1) + (n-2) pairs, every dist 0 — the hot-key blast radius stays
+    // linear in the window, never quadratic in the tie group
+    assert(got.length == 39 + 38, s"expected ${39 + 38} window pairs, got ${got.length}")
+    assert(got.forall(_.getLong(2) == 0L))
+  }
+
   test("snmCandidates pairs only within the sliding window, gated by edit distance") {
     // four keys share the 8-char block prefix "blockpfx" and sort a..d;
     // w=3 compares each with the next 2 — (a,d) is 3 apart and must NOT
