@@ -355,6 +355,22 @@ object MatchRecognizeSql {
     case other => other // = <> != are symmetric
   }
 
+  /** `true` at positions inside (or delimiting) a single-quoted string
+    * literal — the navigation-rewrite regexes must not fire there.
+    */
+  private def inStringMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { m(i) = true; if (c == '\'') inStr = false }
+      else if (c == '\'') { m(i) = true; inStr = true }
+      i += 1
+    }
+    m
+  }
+
   /** Split a DEFINE predicate on top-level ANDs (depth 0, outside
     * strings).
     */
@@ -389,25 +405,35 @@ object MatchRecognizeSql {
           Left(NavCond(refOf(qual, refCol), flipOp(op), fn.toUpperCase, nv, ncol,
             Option(noff).map(_.toInt).getOrElse(0)))
         case _ =>
-          require(NavHintRx.findFirstIn(conj).isEmpty,
+          // literal-aware rewrites: navigation-shaped text INSIDE a
+          // single-quoted literal is data, not syntax — the masks keep
+          // PrevNextRx/QualRx from corrupting it (r9 advice)
+          val strMask = inStringMask(conj)
+          require(NavHintRx.findAllMatchIn(conj).forall(m => strMask(m.start)),
             s"DEFINE $v: FIRST/LAST navigation is supported only as a top-level " +
               s"comparison conjunct `x <op> FIRST|LAST(A.c[, n])`, got: '$conj'")
           val navLowered = PrevNextRx.replaceAllIn(conj, m => {
-            require(m.group(2) == v,
-              s"DEFINE $v: ${m.group(1).toUpperCase}(${m.group(2)}.${m.group(3)}) must navigate " +
-                s"the defined variable (other variables: use FIRST/LAST)")
-            val f = if (m.group(1).equalsIgnoreCase("PREV")) "lag" else "lead"
-            val off = Option(m.group(4)).getOrElse("1")
-            java.util.regex.Matcher.quoteReplacement(
-              s"$f(${m.group(3)}, $off) OVER ($over)")
+            if (strMask(m.start))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else {
+              require(m.group(2) == v,
+                s"DEFINE $v: ${m.group(1).toUpperCase}(${m.group(2)}.${m.group(3)}) must navigate " +
+                  s"the defined variable (other variables: use FIRST/LAST)")
+              val f = if (m.group(1).equalsIgnoreCase("PREV")) "lag" else "lead"
+              val off = Option(m.group(4)).getOrElse("1")
+              java.util.regex.Matcher.quoteReplacement(
+                s"$f(${m.group(3)}, $off) OVER ($over)")
+            }
           })
           // the defined variable's qualified refs mean the CURRENT row
           // (SQL:2016): V.price → price. Other qualifiers pass through
           // (struct field access); unknown variable refs fail loudly in
           // Spark's analyzer.
+          val lowMask = inStringMask(navLowered)
           val QualRx = ("\\b" + java.util.regex.Pattern.quote(v) + "\\s*\\.\\s*([A-Za-z_]\\w*)").r
-          Right(QualRx.replaceAllIn(navLowered,
-            m => java.util.regex.Matcher.quoteReplacement(m.group(1))))
+          Right(QualRx.replaceAllIn(navLowered, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              if (lowMask(m.start)) m.matched else m.group(1))))
       }
     }
     (if (sqls.isEmpty) None else Some(sqls.map(s => s"($s)").mkString(" AND ")), navs)
@@ -464,6 +490,14 @@ object MatchRecognizeSql {
       spec.define.map { case (v, raw) =>
         v -> lowerDefine(v, raw, spec.partitionBy, spec.orderBy)
       }
+    // a navigated variable outside the pattern would make eventsFor
+    // return empty — an always-false condition that silently yields
+    // zero matches; error loudly instead (r9 advice, mirrors the
+    // define-keys check above)
+    lowered.foreach { case (v, (_, navs)) =>
+      navs.foreach(nc => require(vars.contains(nc.variable),
+        s"DEFINE $v: FIRST/LAST navigates unknown pattern variable ${nc.variable}"))
+    }
     // DEFINE row-local parts evaluated ONCE by Catalyst codegen as
     // boolean columns (PREV/NEXT as lag/lead in the same pass) — the NFA
     // reads a precomputed flag per transition. Undefined variables match

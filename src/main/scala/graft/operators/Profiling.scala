@@ -141,12 +141,15 @@ object Profiling {
 
   /** ref Utils.ChecksumHashCode — (count, checksum) where checksum is
     * the sum of per-row portable hashes: 32 bits each, summed exactly
-    * in DECIMAL(38,0). `rowRepr` must canonicalize the row (e.g.
-    * concat_ws over a stable column order).
+    * in DECIMAL(38,0), then reduced mod 2^62 ONCE at emission so the
+    * emitted column is a plain BIGINT (order-insensitive: the mod of
+    * an exact sum is independent of partitioning). `rowRepr` must
+    * canonicalize the row (e.g. concat_ws over a stable column order).
     */
   def checksumHashCode(df: DataFrame, rowRepr: Column): DataFrame =
     df.select(
         conv(substring(md5(rowRepr), 1, 8), 16, 10).cast("long").as("h"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+        (sum(col("h").cast("decimal(38,0)")) % lit(4611686018427387904L))
+          .cast("long").as("checksum"))
 }

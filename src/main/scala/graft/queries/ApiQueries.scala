@@ -111,7 +111,11 @@ object ApiQueries {
   /** ref DataSetUtils.checksumHashCode:347 — count + order-insensitive
     * content checksum, with a PORTABLE md5-derived 32-bit row hash in
     * place of Java hashCode and an exact DECIMAL(38,0) sum in place of
-    * the overflow-prone long accumulator.
+    * the overflow-prone long accumulator. The checksum is emitted as
+    * (sum % 2^62) cast to BIGINT — the internal accumulation stays
+    * exact, the one mod at emission keeps the output in the integer
+    * width class instead of DECIMAL (whose cross-engine
+    * canonicalization proved unobservable).
     */
   def apiChecksum(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.checksumHashCode(
@@ -122,7 +126,7 @@ object ApiQueries {
     Tables.eventsCte +
       """
         |SELECT count(*)::BIGINT AS cnt,
-        |  sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 8))::BIGINT)::DECIMAL(38,0) AS checksum
+        |  (sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type), 1, 8))::BIGINT) % 4611686018427387904)::BIGINT AS checksum
         |FROM ev""".stripMargin
 
   /** ref DataSetUtils.sampleWithSize:232 — a fixed-size sample, made

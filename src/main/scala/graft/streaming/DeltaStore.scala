@@ -124,14 +124,34 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
       .filter(_.startsWith("__b=")).map(_.stripPrefix("__b=").toInt).toSet
   }
 
-  private def versionsThrough(batchId: Long): Seq[String] =
-    "init" +: (0L to batchId).map(_.toString)
-      .filter(v => new java.io.File(vPath(v)).exists())
+  /** A version directory is immutable once [[applyDelta]] returns (a
+    * retry overwrites it, and applyDelta invalidates the entry first),
+    * so its bucket set is cached: the per-batch filesystem cost stays
+    * O(new versions), not O(batches × buckets) over the stream's
+    * lifetime (r9 advice).
+    */
+  private val bucketCache = scala.collection.mutable.Map.empty[String, Set[Int]]
+  private def bucketsCached(v: String): Set[Int] =
+    bucketCache.getOrElseUpdate(v, bucketsOf(v))
+
+  /** Versions ≤ batchId, oldest first — ONE base-directory listing, not
+    * a File.exists probe per batch id (r9 advice).
+    */
+  private def versionsThrough(batchId: Long): Seq[String] = {
+    val present = Option(new java.io.File(base).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_")).toSet
+    val nums = present.filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .map(_.toLong).filter(_ <= batchId).toSeq.sorted
+    (if (present.contains("init")) Seq("init") else Seq.empty) ++
+      nums.map(_.toString)
+  }
 
   /** Per bucket, the newest version directory that wrote it. */
   private def latestDirs(batchId: Long, only: Option[Set[Int]]): Seq[String] = {
     val latest = scala.collection.mutable.Map.empty[Int, String]
-    versionsThrough(batchId).foreach(v => bucketsOf(v).foreach(b => latest(b) = v))
+    versionsThrough(batchId).foreach(v => bucketsCached(v).foreach(b => latest(b) = v))
     latest.toSeq.sortBy(_._1)
       .filter { case (b, _) => only.forall(_.contains(b)) }
       .map { case (b, v) => s"${vPath(v)}/__b=$b" }

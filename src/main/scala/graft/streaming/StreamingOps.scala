@@ -301,7 +301,12 @@ object StreamingOps {
       else {
         state.update(BoundedOverState(nextLast, frame, hold))
         if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
-        else state.setTimeoutTimestamp(frame.last._1 / 1000L + precedingUs / 1000L + 1)
+        else
+          // single division (not ts/1000 + preceding/1000): two floor
+          // divisions can land the timeout EXACTLY on the watermark ms
+          // when frame.last sits at the eviction boundary, which
+          // setTimeoutTimestamp rejects (must be strictly later)
+          state.setTimeoutTimestamp((frame.last._1 + precedingUs) / 1000L + 1)
       }
       out.iterator
     }

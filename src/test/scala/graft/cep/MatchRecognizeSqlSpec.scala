@@ -276,6 +276,41 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(out.collect().toSeq === Seq(Row(1L, 2L)))
   }
 
+  test("SQL route: navigation-shaped text inside a DEFINE string literal is data, not syntax") {
+    import spark.implicits._
+    // etype values literally contain PREV(V.x) / V.note shapes — the
+    // PrevNextRx / qualified-ref rewrites must not fire inside literals
+    Seq((1L, 1L, "PREV(V.x)"), (1L, 2L, "V.note"), (1L, 3L, "FIRST(A.y)"))
+      .toDF("uid", "ord", "etype").createOrReplaceTempView("mr_lit")
+    val out = MatchRecognizeSql.run(spark,
+      """SELECT uid, n FROM mr_lit MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY ord
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (V W F)
+        |  DEFINE V AS etype = 'PREV(V.x)',
+        |         W AS etype = 'V.note',
+        |         F AS etype = 'FIRST(A.y)'
+        |) ORDER BY uid""".stripMargin)
+    assert(out.collect().toSeq === Seq(Row(1L, 3L)))
+  }
+
+  test("SQL route: FIRST/LAST navigating an unknown pattern variable fails loudly") {
+    mkView()
+    // ZZ is not in the pattern — eventsFor would return empty and the
+    // condition would be silently always-false; must error instead
+    val bad = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.run(spark,
+        """SELECT * FROM mr_ev MATCH_RECOGNIZE (
+          |  PARTITION BY uid ORDER BY ord
+          |  MEASURES COUNT(*) AS n
+          |  PATTERN (V P)
+          |  DEFINE V AS etype = 'view',
+          |         P AS etype = 'purchase' AND amount > FIRST(ZZ.amount)
+          |)""".stripMargin)
+    }
+    assert(bad.getMessage.contains("unknown pattern variable"), bad.getMessage)
+  }
+
   test("applies() is word-bounded and case-insensitive") {
     assert(MatchRecognizeSql.applies("select 1 from t match_recognize (x)"))
     assert(!MatchRecognizeSql.applies("select match_recognized from t"))
