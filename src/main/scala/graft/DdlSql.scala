@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** SQL DDL + statement-execution surface (ref:
+  * flink-sql-parser/.../ddl/SqlCreateTable.java, SqlWatermark.java,
+  * SqlCreateView.java, and TableEnvironmentImpl.java:605 executeSql /
+  * StatementSetImpl): the reference user's first act is
+  * `executeSql("CREATE TABLE t (…, WATERMARK FOR ts AS ts - INTERVAL
+  * '10' SECOND) WITH ('connector'='filesystem', 'path'=…,
+  * 'format'=…)")` followed by `INSERT INTO sink SELECT …`. Spark's
+  * parser has its own CREATE TABLE but no WATERMARK clause and no
+  * connector-options WITH list, so [[TableEnv.executeSql]] routes DDL
+  * statements through this pre-parser — the same restricted-shape,
+  * fail-loud move as [[graft.cep.MatchRecognizeSql]] / [[TemporalSql]]
+  * — and lowers them onto Spark's own readers/writers:
+  *
+  *  - `CREATE TABLE` registers the declared schema + path + format;
+  *    a WATERMARK clause makes the registered view a STREAMING read
+  *    (`readStream` + `withWatermark` — the per-table WatermarkSpec
+  *    posture, inherited by every downstream statement), otherwise a
+  *    batch read with the declared schema (empty-path safe).
+  *  - `CREATE [OR REPLACE] VIEW v AS SELECT …` evaluates through the
+  *    full [[TableEnv.sqlQuery]] route (MATCH_RECOGNIZE / temporal /
+  *    TVF shapes included) and registers the result.
+  *  - `INSERT INTO|OVERWRITE t SELECT …` aligns the select POSITIONALLY
+  *    to the declared columns with implicit casts (the reference's
+  *    insert semantics) and writes with the table's declared
+  *    format+path — `writeStream` (AvailableNow, append) when the
+  *    select is streaming, `DataFrameWriter` otherwise.
+  *
+  * Supported WITH options: `connector` (must be `filesystem`), `path`,
+  * `format` (`parquet` | `csv` | `json`), and
+  * `source.max-files-per-trigger` (micro-batch replay granularity for
+  * streaming reads). Anything else fails loudly — never silently
+  * ignored.
+  */
+object DdlSql {
+
+  /** A DDL-declared table: the catalog entry every later statement
+    * resolves against (ref CatalogTable / ResolvedSchema).
+    */
+  final case class TableDef(
+      name: String,
+      cols: Seq[(String, String)], // (column, Spark DDL type)
+      watermark: Option[(String, String)], // (rowtime col, "10 minutes")
+      path: String,
+      format: String,
+      maxFilesPerTrigger: Option[Int]) {
+    def schema: StructType =
+      StructType(cols.map { case (n, t) => StructField(n, DataType.fromDDL(t)) })
+  }
+
+  final case class Insert(table: String, select: String, overwrite: Boolean)
+
+  private val CreateTableRx =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*$$".r
+  private val CreateViewRx =
+    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
+  private val InsertRx =
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(SELECT\b.+)$$".r
+  private val WatermarkRx =
+    raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*-\s*INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$$".r
+
+  def isCreateTable(sql: String): Boolean = CreateTableRx.pattern.matcher(sql).matches()
+  def isCreateView(sql: String): Boolean = CreateViewRx.pattern.matcher(sql).matches()
+  def isInsert(sql: String): Boolean = InsertRx.pattern.matcher(sql).matches()
+  def applies(sql: String): Boolean = isCreateTable(sql) || isCreateView(sql) || isInsert(sql)
+
+  /** Split on top-level commas — depth-0 w.r.t. parens, outside
+    * single-quoted literals — so `DECIMAL(38,0)` / `'a,b'` survive.
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => cur += c; inStr = true
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Flink type name → Spark DDL type. Precision on TIMESTAMP is
+    * documentation (Spark timestamps are fixed micros); VARCHAR/CHAR
+    * lengths erase to string, the reference's own runtime behavior.
+    */
+  private def mapType(t: String): String = {
+    val up = t.trim.toUpperCase
+    up match {
+      case "STRING" => "string"
+      case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") => "string"
+      case "BIGINT" => "bigint"
+      case "INT" | "INTEGER" => "int"
+      case "SMALLINT" => "smallint"
+      case "TINYINT" => "tinyint"
+      case "DOUBLE" => "double"
+      case "FLOAT" | "REAL" => "float"
+      case "BOOLEAN" => "boolean"
+      case "DATE" => "date"
+      case s if s.startsWith("TIMESTAMP_LTZ") || s.startsWith("TIMESTAMP") => "timestamp"
+      case s if s.startsWith("DECIMAL") || s.startsWith("NUMERIC") =>
+        "decimal" + s.dropWhile(_ != '(')
+      case s if s.startsWith("BINARY") || s.startsWith("VARBINARY") || s == "BYTES" => "binary"
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE: unsupported column type $other (supported: STRING/VARCHAR/CHAR, " +
+          "BIGINT/INT/SMALLINT/TINYINT, DOUBLE/FLOAT, BOOLEAN, DATE, TIMESTAMP[_LTZ](p), " +
+          "DECIMAL(p,s), BINARY/BYTES)")
+    }
+  }
+
+  private def parseOptions(raw: String): Map[String, String] =
+    splitTop(raw).map { kv =>
+      val m = raw"(?s)^\s*'([^']*)'\s*=\s*'([^']*)'\s*$$".r
+        .findFirstMatchIn(kv).getOrElse(throw new IllegalArgumentException(
+          s"CREATE TABLE WITH: expected 'key'='value', got: $kv"))
+      m.group(1).toLowerCase -> m.group(2)
+    }.toMap
+
+  def parseCreateTable(sql: String): TableDef = sql match {
+    case CreateTableRx(name, colsRaw, optsRaw) =>
+      var watermark: Option[(String, String)] = None
+      val cols = splitTop(colsRaw).flatMap { item =>
+        WatermarkRx.findFirstMatchIn(item) match {
+          case Some(m) =>
+            require(m.group(1).equalsIgnoreCase(m.group(2)),
+              s"WATERMARK FOR ${m.group(1)}: the bound expression must subtract from " +
+                s"the same column (got ${m.group(2)})")
+            require(watermark.isEmpty, "CREATE TABLE: at most one WATERMARK clause")
+            watermark = Some((m.group(1), s"${m.group(3)} ${m.group(4).toLowerCase}s"))
+            None
+          case None =>
+            require(!item.toUpperCase.startsWith("WATERMARK"),
+              s"unsupported WATERMARK clause (expected WATERMARK FOR ts AS ts - " +
+                s"INTERVAL 'n' SECOND|MINUTE|HOUR|DAY): $item")
+            require(!item.toUpperCase.startsWith("PRIMARY KEY"),
+              "CREATE TABLE: PRIMARY KEY constraints are not in the supported subset — " +
+                "declare version axes with createVersionedView")
+            val m = raw"(?s)^([A-Za-z_]\w*)\s+(.+)$$".r.findFirstMatchIn(item.trim)
+              .getOrElse(throw new IllegalArgumentException(
+                s"CREATE TABLE: cannot parse column declaration: $item"))
+            Some(m.group(1) -> mapType(m.group(2)))
+        }
+      }
+      require(cols.nonEmpty, s"CREATE TABLE $name: no columns declared")
+      watermark.foreach { case (c, _) =>
+        require(cols.exists(_._1.equalsIgnoreCase(c)),
+          s"WATERMARK FOR $c: no such column")
+      }
+      val opts = parseOptions(optsRaw)
+      val known = Set("connector", "path", "format", "source.max-files-per-trigger")
+      val unknown = opts.keySet.diff(known)
+      require(unknown.isEmpty,
+        s"CREATE TABLE $name: unsupported WITH options ${unknown.mkString(", ")} " +
+          s"(supported: ${known.mkString(", ")})")
+      require(opts.get("connector").forall(_ == "filesystem"),
+        s"CREATE TABLE $name: only 'connector'='filesystem' is supported " +
+          s"(got ${opts.get("connector")})")
+      val path = opts.getOrElse("path", throw new IllegalArgumentException(
+        s"CREATE TABLE $name: WITH must declare 'path'"))
+      val format = opts.getOrElse("format", "parquet").toLowerCase
+      require(Set("parquet", "csv", "json").contains(format),
+        s"CREATE TABLE $name: unsupported format $format (parquet|csv|json)")
+      TableDef(name, cols, watermark, path, format,
+        opts.get("source.max-files-per-trigger").map(_.toInt))
+    case _ => throw new IllegalArgumentException(
+      "unsupported CREATE TABLE shape — expected CREATE TABLE name (col TYPE, …" +
+        "[, WATERMARK FOR ts AS ts - INTERVAL 'n' UNIT]) WITH ('path'='…'[, 'format'='…'])")
+  }
+
+  def parseCreateView(sql: String): (String, String) = sql match {
+    case CreateViewRx(name, select) => (name, select.trim)
+    case _ => throw new IllegalArgumentException(
+      "unsupported CREATE VIEW shape — expected CREATE [OR REPLACE] VIEW name AS SELECT …")
+  }
+
+  def parseInsert(sql: String): Insert = sql match {
+    case InsertRx(kind, table, select) =>
+      Insert(table, select.trim, kind.equalsIgnoreCase("OVERWRITE"))
+    case _ => throw new IllegalArgumentException(
+      "unsupported INSERT shape — expected INSERT INTO|OVERWRITE table SELECT …")
+  }
+}

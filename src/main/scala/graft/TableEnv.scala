@@ -45,6 +45,131 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     df
   }
 
+  private val ddlTables =
+    scala.collection.mutable.Map.empty[String, DdlSql.TableDef]
+
+  /** ref: TableEnvironmentImpl.executeSql:605 — the statement route:
+    * DDL (CREATE TABLE / CREATE VIEW) and DML (INSERT) execute and
+    * return a one-row status frame (the reference's TableResult "OK");
+    * everything else delegates to [[sqlQuery]].
+    */
+  def executeSql(sql: String): DataFrame =
+    if (DdlSql.isCreateTable(sql)) {
+      val td = DdlSql.parseCreateTable(sql)
+      ddlTables.update(td.name.toLowerCase, td)
+      registerDdlView(td)
+      okResult("CREATE TABLE", td.name)
+    } else if (DdlSql.isCreateView(sql)) {
+      val (name, select) = DdlSql.parseCreateView(sql)
+      sqlQuery(select).createOrReplaceTempView(name)
+      okResult("CREATE VIEW", name)
+    } else if (DdlSql.isInsert(sql)) {
+      val ins = DdlSql.parseInsert(sql)
+      runInsert(ins)
+      okResult(if (ins.overwrite) "INSERT OVERWRITE" else "INSERT INTO", ins.table)
+    } else sqlQuery(sql)
+
+  private def okResult(op: String, name: String): DataFrame = {
+    import spark.implicits._
+    Seq((op, name, "OK")).toDF("operation", "object", "result")
+  }
+
+  /** Register the view a DDL table resolves to. A WATERMARK clause
+    * makes it a STREAMING read with the declared bound (the reference's
+    * per-table WatermarkSpec — every downstream statement inherits it);
+    * otherwise a batch read with the declared schema, safe on a
+    * not-yet-written sink path (empty frame, declared schema).
+    */
+  private def registerDdlView(td: DdlSql.TableDef): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(td.path)
+      .toAbsolutePath.getParent)
+    val df = if (td.watermark.isDefined) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(td.path))
+      var r = spark.readStream.schema(td.schema).format(td.format)
+      td.maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+      if (td.format == "csv") r = r.option("header", "true")
+      val (wmCol, delay) = td.watermark.get
+      r.load(td.path).withWatermark(wmCol, delay)
+    } else {
+      val exists = {
+        val p = new java.io.File(td.path)
+        p.exists && (p.isFile || Option(p.listFiles()).exists(_.nonEmpty))
+      }
+      if (!exists) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
+      else {
+        var r = spark.read.schema(td.schema).format(td.format)
+        if (td.format == "csv") r = r.option("header", "true")
+        r.load(td.path)
+      }
+    }
+    df.createOrReplaceTempView(td.name)
+  }
+
+  /** INSERT INTO|OVERWRITE: the select runs through the full
+    * [[sqlQuery]] route, aligns POSITIONALLY to the declared columns
+    * with implicit casts (the reference's insert semantics), and writes
+    * with the target's declared format+path — `writeStream`
+    * (AvailableNow, append output) when the select is streaming. The
+    * target's view is re-registered afterwards so later statements see
+    * the new files (a cached file index would not).
+    */
+  private def runInsert(ins: DdlSql.Insert): Unit = {
+    val td = ddlTables.getOrElse(ins.table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"INSERT INTO ${ins.table}: not a DDL-declared table — CREATE TABLE it first"))
+    val df0 = sqlQuery(ins.select)
+    require(df0.columns.length == td.cols.length,
+      s"INSERT INTO ${ins.table}: select has ${df0.columns.length} columns, " +
+        s"table declares ${td.cols.length}")
+    import org.apache.spark.sql.functions.col
+    // backtick-quote: auto-generated select-item names can contain dots
+    val aligned = df0.select(df0.columns.toSeq.zip(td.cols).map {
+      case (c, (name, typ)) => col(s"`$c`").cast(typ).as(name)
+    }: _*)
+    if (aligned.isStreaming) {
+      require(!ins.overwrite, s"INSERT OVERWRITE ${ins.table}: streaming inserts append")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ddl-ckpt").toString
+      val q = aligned.writeStream.format(td.format)
+        .outputMode("append")
+        .option("path", td.path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } else {
+      var w = aligned.write.mode(if (ins.overwrite) "overwrite" else "append")
+        .format(td.format)
+      if (td.format == "csv") w = w.option("header", "true")
+      w.save(td.path)
+    }
+    // a sink declared with a watermark stays a streaming view; re-read
+    // batch sinks so subsequent statements see the inserted files
+    registerDdlView(td)
+  }
+
+  /** ref: TableEnvironment.createStatementSet / StatementSetImpl —
+    * N INSERT statements sharing this environment's registered views,
+    * executed by one `execute()` call. The reference fuses multi-sink
+    * plans into one job with shared scans; Spark re-plans per sink, so
+    * at 100 TB a shared upstream should be staged (persist/checkpoint
+    * or an explicit intermediate table) — documented, not hidden.
+    */
+  final class StatementSet private[TableEnv] () {
+    private val stmts = scala.collection.mutable.Buffer.empty[String]
+    def addInsertSql(sql: String): this.type = {
+      require(DdlSql.isInsert(sql),
+        s"StatementSet.addInsertSql: not an INSERT statement: $sql")
+      stmts += sql
+      this
+    }
+    def execute(): DataFrame = {
+      require(stmts.nonEmpty, "StatementSet.execute: no statements added")
+      stmts.map(executeSql).reduce(_ union _)
+    }
+  }
+
+  def createStatementSet(): StatementSet = new StatementSet()
+
   def sqlQuery(sql: String): DataFrame =
     if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
     else if (TemporalSql.applies(sql))

@@ -467,7 +467,49 @@ object SourceQueries {
       |FROM orders WHERE o_totalprice > 150000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** The reference user's first act, end-to-end through SQL TEXT (ref:
+    * SqlCreateTable.java / SqlCreateView.java /
+    * TableEnvironmentImpl.java:605 executeSql): CREATE TABLE over the
+    * warehouse path, CREATE TABLE for a parquet sink, CREATE VIEW with
+    * a derived column, INSERT INTO the sink from the view, then SELECT
+    * the sink back — every statement a string through
+    * [[graft.TableEnv.executeSql]], nothing programmatic. Quantities go
+    * through integer micro-units so the written/re-read aggregate is
+    * exact on both engines.
+    */
+  def sqlDdlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "ddl_rt")
+    val env = graft.TableEnv(s, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddl_lineitem (
+         |  l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+         |  l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+         |  l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+         |  l_linestatus STRING, l_shipdate TIMESTAMP(3)
+         |) WITH ('connector'='filesystem', 'path'='$dir/lineitem.parquet',
+         |  'format'='parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ddl_pricing (flag STRING, status STRING, cnt BIGINT, qty BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      """CREATE VIEW ddl_base AS SELECT l_returnflag, l_linestatus,
+        |  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+        |FROM ddl_lineitem""".stripMargin)
+    env.executeSql(
+      """INSERT OVERWRITE ddl_pricing
+        |SELECT l_returnflag, l_linestatus, count(*), sum(qc)
+        |FROM ddl_base GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    env.executeSql("SELECT flag, status, cnt, qty FROM ddl_pricing ORDER BY flag, status")
+  }
+
+  val sqlDdlRoundtripSql: String =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |  count(*)::BIGINT AS cnt,
+      |  (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)))::BIGINT AS qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_ddl_roundtrip", sqlDdlRoundtrip, Some(sqlDdlRoundtripSql)),
     Q("q_sink_avro", avroRoundtrip, Some(avroRoundtripSql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),

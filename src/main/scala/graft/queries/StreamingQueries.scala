@@ -215,6 +215,59 @@ object StreamingQueries {
     runToTable("stream_sql_tumble", out, "append").orderBy("wstart", "event_type")
   }
 
+  /** The full DDL-declared streaming pipeline through SQL TEXT (ref:
+    * SqlCreateTable.java + SqlWatermark.java +
+    * TableEnvironmentImpl.java:605): CREATE TABLE over the 3-batch
+    * day-split replay directory with a WATERMARK clause — the bound is
+    * declared ONCE, in DDL, and the windowed INSERT inherits it (the
+    * reference's WatermarkSpec posture, now via statement text instead
+    * of `createStreamingView`) — then CREATE TABLE a parquet sink and
+    * INSERT INTO it from a windowed aggregate; the sink is read back by
+    * a final SELECT statement. Values aggregate in integer cents so the
+    * write/read roundtrip is exact. Oracle = the batch hourly aggregate
+    * gated at the declared watermark.
+    */
+  def streamSqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val srcDir = stageBatchFiles(dir, "sqlddl", daySplits(ev, col("ts"), 3))
+    val outDir = freshDir(dir, "sqlddl_sink")
+    val env = graft.TableEnv(s, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddl_ev (
+         |  event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+         |  event_type STRING, value DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+         |) WITH ('connector'='filesystem', 'path'='$srcDir',
+         |  'format'='parquet', 'source.max-files-per-trigger'='1')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ddl_hourly (wstart TIMESTAMP(3), event_type STRING, cnt BIGINT, sv BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$outDir', 'format'='parquet')""".stripMargin)
+    // same state-partition scoping as runToTable: 32 shuffle partitions
+    // is pure state-store-commit overhead at local replay scale
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try env.executeSql(
+      """INSERT INTO ddl_hourly
+        |SELECT window.start, event_type, count(*),
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |FROM ddl_ev GROUP BY window(ts, '1 hour'), event_type""".stripMargin)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    env.executeSql("SELECT wstart, event_type, cnt, sv FROM ddl_hourly ORDER BY wstart, event_type")
+  }
+
+  val streamSqlDdlSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*)::BIGINT AS cnt,
+        |  (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)))::BIGINT AS sv
+        |FROM ev
+        |GROUP BY 1, 2
+        |HAVING wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        |ORDER BY wstart, event_type""".stripMargin
+
   /** The streaming DEDUPLICATE SQL statement (ref:
     * `StreamExecDeduplicate.scala` — the reference planner subsumes the
     * `ROW_NUMBER() … WHERE rn = 1` pattern into an incremental
@@ -5145,6 +5198,7 @@ object StreamingQueries {
     Q("q_stream_iterate", streamIterate, Some(streamIterateSql)),
     Q("q_stream_paths", streamPaths, Some(streamPathsSql)),
     Q("q_stream_sql_tumble", streamSqlTumble, Some(streamTumbleSql)),
+    Q("q_stream_sql_ddl", streamSqlDdl, Some(streamSqlDdlSql)),
     Q("q_stream_sql_session", streamSqlSession, Some(streamSqlSessionSql)),
     Q("q_stream_sql_dedup", streamSqlDedup, Some(streamSqlDedupSql)),
     Q("q_stream_sql_topn", streamSqlTopn, Some(streamSqlTopnSql)),

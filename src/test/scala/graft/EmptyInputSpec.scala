@@ -165,7 +165,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_heaps", // null decile bounds, zero first-appearances
     "q_doc_doremi", // 1/n over zero domains, min-loss scalar over empty
     "q_doc_softdedup", // fp-keyed df count + join over zero docs
-    "q_match_sql_updown" // iterative-condition NFA + lag columns over empty
+    "q_match_sql_updown", // iterative-condition NFA + lag columns over empty
+    "q_sql_ddl_roundtrip" // DDL route: empty source scan, zero-row INSERT, empty sink read-back
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {

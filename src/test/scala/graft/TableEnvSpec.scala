@@ -184,6 +184,99 @@ class TableEnvSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("executeSql DDL: CREATE TABLE registers schema+path, WATERMARK makes a streaming view") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    // batch source table over an existing warehouse path
+    val st = env.executeSql(
+      s"""CREATE TABLE ddlspec_nation (n_nationkey BIGINT, n_name STRING,
+         |  n_regionkey BIGINT, n_comment STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    assert(st.collect().head.getString(2) === "OK")
+    assert(env.executeSql("SELECT count(*) AS n FROM ddlspec_nation").head().getLong(0) === 25L)
+    // WATERMARK clause → the registered view is STREAMING and carries the bound
+    val wmDir = java.nio.file.Files.createTempDirectory("ddlspec-wm").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_stream (id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '7' MINUTE)
+         |WITH ('connector'='filesystem', 'path'='$wmDir', 'format'='parquet')""".stripMargin)
+    val view = spark.table("ddlspec_stream")
+    assert(view.isStreaming)
+    val wm = view.groupBy(window(col("ts"), "1 hour")).count()
+      .queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+      }
+    assert(wm.nonEmpty && wm.head.delay.toString.contains("7 minutes"))
+  }
+
+  test("executeSql DML: INSERT aligns positionally with casts; OVERWRITE replaces; VIEW routes") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-sink").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_sink (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    // a not-yet-written sink reads as the declared empty schema
+    assert(env.executeSql("SELECT * FROM ddlspec_sink").count() === 0L)
+    assert(spark.table("ddlspec_sink").schema.map(_.name) === Seq("k", "n"))
+    env.executeSql(
+      s"""CREATE VIEW ddlspec_v AS SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 0""")
+    // positional alignment: n_nationkey (BIGINT) lands in n, n_name in k
+    env.executeSql("INSERT INTO ddlspec_sink SELECT n_name, n_nationkey FROM ddlspec_v")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_sink").head().getLong(0) === 5L)
+    // INTO appends, OVERWRITE replaces
+    env.executeSql("INSERT INTO ddlspec_sink SELECT n_name, n_nationkey FROM ddlspec_v")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_sink").head().getLong(0) === 10L)
+    env.executeSql("INSERT OVERWRITE ddlspec_sink SELECT n_name, n_nationkey FROM ddlspec_v")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_sink").head().getLong(0) === 5L)
+    // StatementSet: N inserts through one execute()
+    val out2 = java.nio.file.Files.createTempDirectory("ddlspec-sink2").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_sink2 (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out2', 'format'='parquet')""".stripMargin)
+    env.createStatementSet()
+      .addInsertSql("INSERT INTO ddlspec_sink2 SELECT n_name, n_nationkey FROM ddlspec_v")
+      .addInsertSql("INSERT INTO ddlspec_sink2 SELECT r_name, r_regionkey FROM region")
+      .execute()
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_sink2").head().getLong(0) === 10L)
+  }
+
+  test("executeSql DDL: out-of-subset shapes fail loudly, never silently ignore") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    // unknown WITH option
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad1 (a BIGINT) WITH ('path'='/tmp/x', 'bucket'='s3://nope')"))
+    assert(e1.getMessage.contains("unsupported WITH options"))
+    // non-filesystem connector
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad2 (a BIGINT) WITH ('connector'='kafka', 'path'='/tmp/x')"))
+    assert(e2.getMessage.contains("filesystem"))
+    // missing path
+    val e3 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad3 (a BIGINT) WITH ('connector'='filesystem')"))
+    assert(e3.getMessage.contains("'path'"))
+    // malformed watermark bound
+    val e4 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad4 (a BIGINT, ts TIMESTAMP(3), WATERMARK FOR ts AS ts - INTERVAL '1' FORTNIGHT) WITH ('path'='/tmp/x')"))
+    assert(e4.getMessage.contains("WATERMARK"))
+    // watermark over a different column than it subtracts from
+    val e5 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad5 (a BIGINT, ts TIMESTAMP(3), t2 TIMESTAMP(3), WATERMARK FOR ts AS t2 - INTERVAL '1' MINUTE) WITH ('path'='/tmp/x')"))
+    assert(e5.getMessage.contains("same column"))
+    // unsupported column type
+    val e6 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE bad6 (a MULTISET<STRING>) WITH ('path'='/tmp/x')"))
+    assert(e6.getMessage.contains("unsupported column type"))
+    // INSERT into an undeclared table
+    val e7 = intercept[IllegalArgumentException](env.executeSql(
+      "INSERT INTO never_declared SELECT 1"))
+    assert(e7.getMessage.contains("not a DDL-declared table"))
+    // StatementSet rejects non-INSERT statements
+    val e8 = intercept[IllegalArgumentException](
+      env.createStatementSet().addInsertSql("SELECT 1 AS one"))
+    assert(e8.getMessage.contains("not an INSERT"))
+  }
+
   test("rank-pattern SQL route: batch passthrough equals Catalyst; misuse fails loudly") {
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     val stmt =
