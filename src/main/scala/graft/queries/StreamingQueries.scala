@@ -4220,6 +4220,61 @@ object StreamingQueries {
         |FROM r GROUP BY 1, 2 HAVING count(*) = 5
         |ORDER BY user_id, wid""".stripMargin
 
+  /** GlobalWindows + DeltaTrigger on a keyed stream (ref:
+    * windowing/triggers/DeltaTrigger.java:53-64 — the delta-function
+    * trigger family, the last §2.6 members without an analog): per
+    * event_type, the window fires whenever the value moves more than
+    * 150.00 (15000 cents) from the value at the last fire; the emitted
+    * row is the fire event plus the running aggregate of the global
+    * window (no purge, the reference's contract). Values walk in exact
+    * integer cents so the fire decisions are engine-portable; the
+    * DuckDB oracle unrolls the same threshold walk with a recursive
+    * CTE. The evictor variant is spec-covered
+    * ([[graft.streaming.StreamingOps.deltaTriggerWindow]]).
+    */
+  def streamDeltaTrigger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.deltaTriggerWindow[Event, String](
+      ev, _.event_type, _.event_id, _.tsUs,
+      e => math.floor(e.value * 100 + 0.5).toLong, threshold = 15000L)
+    runToTable("stream_delta_trigger", out.toDF(), "append")
+      .select(col("key").as("event_type"), col("wid"), col("fire_id"),
+        col("fire_v"), col("cnt"), col("sv"))
+      .orderBy("event_type", "wid")
+  }
+
+  val streamDeltaTriggerSql: String =
+    Tables.eventsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |, base AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+        |  FROM ev WHERE ts <= (SELECT w FROM wm))
+        |, walk AS (
+        |  SELECT event_type, rn, v AS last_fired, FALSE AS fired FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn,
+        |    CASE WHEN abs(b.v - w.last_fired) > 15000 THEN b.v ELSE w.last_fired END,
+        |    abs(b.v - w.last_fired) > 15000
+        |  FROM walk w JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn + 1)
+        |SELECT b.event_type,
+        |  (row_number() OVER (PARTITION BY b.event_type ORDER BY b.rn) - 1)::BIGINT AS wid,
+        |  b.event_id AS fire_id, b.v::BIGINT AS fire_v,
+        |  b.rn::BIGINT AS cnt, b.psum::BIGINT AS sv
+        |FROM walk w JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn
+        |WHERE w.fired
+        |ORDER BY b.event_type, wid""".stripMargin
+
   /** Streaming sliding/hopping window (ref: SlidingEventTimeWindows /
     * SQL HOP): 1-hour windows every 30 minutes, append mode — each
     * event feeds 2 windows; emitted ⇔ window end ≤ final watermark.
@@ -5122,6 +5177,7 @@ object StreamingQueries {
     Q("q_stream_cumulate", streamCumulate, Some(streamCumulateSql)),
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
     Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),
+    Q("q_stream_delta_trigger", streamDeltaTrigger, Some(streamDeltaTriggerSql)),
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
     Q("q_cep_timeout", cepTimeout, Some(cepTimeoutSql)),
     Q("q_cep_until", cepUntil, Some(cepUntilSql)),

@@ -488,6 +488,74 @@ object StreamingOps {
         ExpressionEncoder[EvictWinState](), ExpressionEncoder[EvictWinRow[K]]())
   }
 
+  /** GlobalWindows + DeltaTrigger + optional DeltaEvictor (ref:
+    * windowing/triggers/DeltaTrigger.java:53-64,
+    * windowing/evictors/DeltaEvictor.java:72-80 — the classic
+    * TopSpeedWindowing composition): per key the window is GLOBAL — it
+    * grows without purge — and FIRES whenever |v − lastFired| >
+    * `threshold`, where lastFired is initialized by the first element
+    * and updated at each fire (the reference's last-element ValueState).
+    * On fire, the evictor (when set) PERMANENTLY removes buffered
+    * elements with |v − vFire| ≥ `evictDelta` (delta against the
+    * just-arrived element — the reference's Iterables.getLast), then
+    * the emitted row aggregates the surviving buffer, current element
+    * included.
+    *
+    * Elements enter the walk in (event-time, id) order gated on the
+    * watermark (same device as [[countWindow]]), so out-of-order
+    * arrival across micro-batches cannot reorder fire decisions.
+    * Values are exact integers (micro-unit quantization upstream), so
+    * the fire walk and the emitted sums are engine-portable. State =
+    * lastFired + the global-window buffer — bounded only by the
+    * evictor, which is exactly the reference's contract (an un-evicted
+    * GlobalWindow buffers forever there too; a 100-TB run sets
+    * `evictDelta`).
+    */
+  final case class DeltaWinState(init: Boolean, lastFired: Long, fires: Long,
+      buffer: Seq[(Long, Long, Long)], hold: Seq[(Long, Long, Long)])
+  final case class DeltaWinRow[K](key: K, wid: Long, fire_id: Long,
+      fire_v: Long, cnt: Long, sv: Long)
+
+  def deltaTriggerWindow[T, K: Encoder: TypeTag](
+      ds: Dataset[T],
+      keyFn: T => K,
+      idFn: T => Long,
+      tsUsFn: T => Long,
+      valueFn: T => Long,
+      threshold: Long,
+      evictDelta: Option[Long] = None
+  )(implicit te: Encoder[T]): Dataset[DeltaWinRow[K]] = {
+    def fn(key: K, rows: Iterator[T], state: GroupState[DeltaWinState]): Iterator[DeltaWinRow[K]] = {
+      val st = if (state.exists) state.get else DeltaWinState(false, 0L, 0L, Nil, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val all = (st.hold ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
+        .sortBy(e => (e._1, e._2))
+      val (ready, hold) = all.partition(_._1 <= wmUs)
+      var init = st.init; var lastFired = st.lastFired; var fires = st.fires
+      var buffer = st.buffer
+      val out = scala.collection.mutable.Buffer.empty[DeltaWinRow[K]]
+      ready.foreach { e =>
+        buffer = buffer :+ e
+        if (!init) { init = true; lastFired = e._3 }
+        else if (math.abs(e._3 - lastFired) > threshold) {
+          lastFired = e._3
+          evictDelta.foreach(d => buffer = buffer.filter(b => math.abs(b._3 - e._3) < d))
+          out += DeltaWinRow(key, fires, e._2, e._3, buffer.length.toLong, buffer.map(_._3).sum)
+          fires += 1
+        }
+      }
+      if (!init && hold.isEmpty) state.remove()
+      else {
+        state.update(DeltaWinState(init, lastFired, fires, buffer, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[DeltaWinState](), ExpressionEncoder[DeltaWinRow[K]]())
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value

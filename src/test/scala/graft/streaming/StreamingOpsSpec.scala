@@ -129,6 +129,60 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaTriggerWindow: threshold fires, no purge, out-of-order safe") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = StreamingOps.deltaTriggerWindow[Event, Long](
+      withWm, _.user_id, _.event_id, _.tsUs, _.value.toLong, threshold = 10L)
+    val q = out.writeStream.format("memory").queryName("dtw_t").outputMode("append").start()
+    try {
+      // out of order WITHIN the batch (id3 first) and ACROSS batches
+      // (id4 @40s arrives after id5 @50s): the watermark gate must
+      // replay the walk in (ts, id) order regardless
+      input.addData(ev(3, 30000, 7, "x", 115.0), ev(1, 10000, 7, "x", 100.0),
+        ev(2, 20000, 7, "x", 105.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 50000, 7, "x", 106.0), ev(4, 40000, 7, "x", 104.0))
+      q.processAllAvailable()
+      input.addData(ev(9, 120000, 8, "x", 0.0)) // advances the watermark
+      q.processAllAvailable()
+      input.addData(ev(10, 240000, 8, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dtw_t").as[StreamingOps.DeltaWinRow[Long]].collect()
+        .filter(_.key == 7L).sortBy(_.wid)
+        .map(r => (r.wid, r.fire_id, r.fire_v, r.cnt, r.sv)).toSeq
+      // walk: 100 init; 105 Δ5 no; 115 Δ15 FIRE (buffer 100+105+115);
+      // 104 Δ11 FIRE (no purge: 4 rows, 424); 106 Δ2 no
+      assert(got === Seq((0L, 3L, 115L, 3L, 320L), (1L, 4L, 104L, 4L, 424L)))
+    } finally q.stop()
+  }
+
+  test("deltaTriggerWindow: DeltaEvictor permanently prunes far elements at each fire") {
+    val input = MemoryStream[Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = StreamingOps.deltaTriggerWindow[Event, Long](
+      withWm, _.user_id, _.event_id, _.tsUs, _.value.toLong,
+      threshold = 10L, evictDelta = Some(12L))
+    val q = out.writeStream.format("memory").queryName("dtw_e").outputMode("append").start()
+    try {
+      input.addData(ev(1, 10000, 7, "x", 100.0), ev(2, 20000, 7, "x", 105.0),
+        ev(3, 30000, 7, "x", 115.0), ev(4, 40000, 7, "x", 104.0),
+        ev(5, 50000, 7, "x", 106.0))
+      q.processAllAvailable()
+      input.addData(ev(9, 120000, 8, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(10, 240000, 8, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dtw_e").as[StreamingOps.DeltaWinRow[Long]].collect()
+        .filter(_.key == 7L).sortBy(_.wid)
+        .map(r => (r.wid, r.fire_id, r.cnt, r.sv)).toSeq
+      // fire@115: |100-115|=15 ≥ 12 evicts 100 PERMANENTLY → {105,115};
+      // fire@104: survivors all within 12 of 104 → {105,115,104}; the
+      // evicted 100 must NOT resurface in the second window
+      assert(got === Seq((0L, 3L, 2L, 220L), (1L, 4L, 3L, 324L)))
+    } finally q.stop()
+  }
+
   test("matchWithTimeout: matched within window, timeout via timer, out-of-order safe") {
     val input = MemoryStream[Event]
     val withWm = input.toDS().withWatermark("ts", "5 seconds")
