@@ -21,24 +21,40 @@ import scala.collection.mutable
   */
 object NFA {
 
-  /** allowCombinations choice-point bound: a loop stage enumerates
+  /** allowCombinations choice-point bound, the DEFAULT for
+    * [[Pattern.combinationTailCap]]: a loop stage enumerates
     * subsequences of at most this many matching tail events per anchor.
     */
   val combinationTailCap: Int = 20
 
+  /** Count of truncated combination enumerations (one per anchor whose
+    * matching tail exceeded the pattern's cap) — the OBSERVABLE loss
+    * metric a large run polls instead of grepping stderr. Per JVM: on a
+    * cluster each executor counts its own partitions; the operator
+    * layer diffs before/after per task and folds through a
+    * LongAccumulator when a global number is needed.
+    */
+  private val tailTruncationsAdder = new java.util.concurrent.atomic.LongAdder
+  def tailTruncationCount: Long = tailTruncationsAdder.sum()
+  def resetTailTruncationCount(): Unit = tailTruncationsAdder.reset()
+
   @volatile private var tailTruncationWarned = false
 
-  /** Surface (once per JVM, not once per anchor — dense data would spam)
-    * that a combinations loop saw more matching events than
-    * [[combinationTailCap]] and valid longer subsequences were dropped.
+  /** Count every truncation into [[tailTruncationCount]]; warn on
+    * stderr once per JVM (not once per anchor — dense data would spam)
+    * that a combinations loop saw more matching events than the cap and
+    * valid longer subsequences were dropped.
     */
-  private def warnTailTruncated(): Unit =
+  private def noteTailTruncated(cap: Int): Unit = {
+    tailTruncationsAdder.increment()
     if (!tailTruncationWarned) {
       tailTruncationWarned = true
       System.err.println(
-        s"[graft.cep] allowCombinations tail exceeded $combinationTailCap matching events; " +
-          "longer subsequences are not enumerated (tighten within() or the quantifier)")
+        s"[graft.cep] allowCombinations tail exceeded $cap matching events; " +
+          "longer subsequences are not enumerated (tighten within() or the quantifier; " +
+          "loss is counted in NFA.tailTruncationCount)")
     }
+  }
 
   /** @param tsPerMs scale of `ts` relative to milliseconds (1000 when ts
     *                is in microseconds, as with parquet event times) —
@@ -460,6 +476,7 @@ object NFA {
       // bindings plus the loop anchor only — the subsequence being
       // assembled is not yet determined when each tail event is tested
       def ok(c: Int): Boolean = st.test(events(c), ctxAt(c, acc :+ (st.name -> Vector(first))))
+      val cap = pattern.comboTailCap
       val (tail, truncated) = {
         val out = Vector.newBuilder[Int]
         var c = first + 1
@@ -468,13 +485,13 @@ object NFA {
         while (!stopped && c < n && inWindow(c)) {
           if (st.until.exists(u => u(events(c)))) stopped = true
           else {
-            if (ok(c)) { if (found < combinationTailCap) out += c; found += 1 }
+            if (ok(c)) { if (found < cap) out += c; found += 1 }
             c += 1
           }
         }
-        (out.result(), found > combinationTailCap)
+        (out.result(), found > cap)
       }
-      if (truncated) warnTailTruncated()
+      if (truncated) noteTailTruncated(cap)
       // k = events taken from the tail (the anchor is always taken)
       val hiK = math.min(tail.length, st.quantifier.max - 1)
       val loK = math.max(math.max(st.quantifier.min, 1) - 1, 0)

@@ -137,8 +137,20 @@ object Stage {
 final case class Pattern[T](
     stages: Vector[Stage[T]],
     withinMs: Option[Long] = None,
-    afterMatch: AfterMatch = AfterMatch.NoSkip
+    afterMatch: AfterMatch = AfterMatch.NoSkip,
+    comboTailCap: Int = NFA.combinationTailCap
 ) {
+  /** allowCombinations choice-point bound for THIS pattern (default
+    * [[NFA.combinationTailCap]]): a loop stage enumerates subsequences
+    * of at most `n` matching tail events per anchor; anchors whose tail
+    * exceeds it are truncated and counted in
+    * [[NFA.tailTruncationCount]] — observable loss, not a silent cap.
+    */
+  def combinationTailCap(n: Int): Pattern[T] = {
+    require(n > 0, s"combinationTailCap must be positive, got $n")
+    copy(comboTailCap = n)
+  }
+
   private def updLast(f: Stage[T] => Stage[T]): Pattern[T] =
     copy(stages = stages.init :+ f(stages.last))
 

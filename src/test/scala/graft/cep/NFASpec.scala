@@ -230,6 +230,31 @@ class NFASpec extends AnyFunSuite {
     assert(ms.length === 7)
   }
 
+  test("combinationTailCap is a Pattern parameter and truncations are counted, not just warned") {
+    // 5 matching tail As after the anchor; cap at 2 → subsequences draw
+    // from a 2-event tail only, and the loss is observable in the counter
+    val events = seq("A", "A", "A", "A", "A", "A", "B")
+    val capped = Pattern.begin[E]("a").where(is("A")).oneOrMore.allowCombinations
+      .followedBy("b").where(is("B"))
+      .combinationTailCap(2)
+    NFA.resetTailTruncationCount()
+    val ms = NFA.findAllMatches(events, ts, capped)
+    // anchors 0..2 have tails of 5..3 matching As (> 2) → 3 truncations;
+    // anchors 3 (tail 2), 4 (tail 1) and 5 (tail 0) fit
+    assert(NFA.tailTruncationCount === 3L)
+    // anchor 0 enumerates subsets of its FIRST-2 tail {1,2} only
+    val anchor0 = ms.filter(_.startIdx == 0).map(_.indices("a")).toSet
+    assert(anchor0 === Set(Seq(0), Seq(0, 1), Seq(0, 2), Seq(0, 1, 2)))
+    // the default cap leaves small tails untruncated and counts nothing
+    NFA.resetTailTruncationCount()
+    val full = Pattern.begin[E]("a").where(is("A")).oneOrMore.allowCombinations
+      .followedBy("b").where(is("B"))
+    val msFull = NFA.findAllMatches(events, ts, full)
+    assert(NFA.tailTruncationCount === 0L)
+    assert(msFull.filter(_.startIdx == 0).length === 32) // 2^5 subsets of the tail
+    intercept[IllegalArgumentException](full.combinationTailCap(0))
+  }
+
   test("enumerating matcher equals single matcher on flag-free patterns (randomized)") {
     val rnd = new scala.util.Random(11)
     val alphabet = Vector("A", "B", "C")
