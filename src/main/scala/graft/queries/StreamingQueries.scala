@@ -4275,6 +4275,60 @@ object StreamingQueries {
         |WHERE w.fired
         |ORDER BY b.event_type, wid""".stripMargin
 
+  /** ContinuousEventTimeTrigger on a keyed tumbling window (ref:
+    * windowing/triggers/ContinuousEventTimeTrigger.java:54-92 — the
+    * continuous fire-time timer chain): per event_type, the 1-hour
+    * window fires a PARTIAL aggregate at every 20-minute event-time
+    * boundary while it fills, then the FINAL aggregate when the
+    * watermark passes the window end — see
+    * [[graft.streaming.StreamingOps.continuousEventTimeWindow]] for the
+    * deterministic re-derivation of the reference's element-anchored
+    * timer chain. Values in integer cents; the oracle unrolls the
+    * bounded boundary grid (2 partials per hour window) directly.
+    */
+  def streamContinuousFire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = StreamingOps.continuousEventTimeWindow[Event, String](
+      ev, _.event_type, _.tsUs, e => math.floor(e.value * 100 + 0.5).toLong,
+      windowUs = 3600L * 1000000L, intervalUs = 1200L * 1000000L)
+    runToTable("stream_continuous_fire", out.toDF(), "append")
+      .select(col("key").as("event_type"),
+        timestamp_micros(col("wstart_us")).as("wstart"),
+        timestamp_micros(col("fire_us")).as("fire"),
+        col("cnt"), col("sv"), col("is_final"))
+      .orderBy("event_type", "wstart", "fire")
+  }
+
+  val streamContinuousFireSql: String =
+    Tables.eventsCte +
+      """
+        |, wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        |, base AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wstart, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM ev)
+        |, partials AS (
+        |  SELECT b.event_type, b.wstart, b.wstart + k.k * INTERVAL '20 minutes' AS fire,
+        |    count(*) FILTER (WHERE b.ts <= b.wstart + k.k * INTERVAL '20 minutes')::BIGINT AS cnt,
+        |    coalesce(sum(v) FILTER (WHERE b.ts <= b.wstart + k.k * INTERVAL '20 minutes'), 0)::BIGINT AS sv,
+        |    FALSE AS is_final
+        |  FROM base b CROSS JOIN (SELECT unnest([1, 2]) AS k) k
+        |  GROUP BY b.event_type, b.wstart, k.k
+        |  HAVING b.wstart + k.k * INTERVAL '20 minutes' <= (SELECT w FROM wm)
+        |    AND count(*) FILTER (WHERE b.ts < b.wstart + k.k * INTERVAL '20 minutes') > 0)
+        |, finals AS (
+        |  SELECT event_type, wstart, wstart + INTERVAL '1 hour' AS fire,
+        |    count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sv, TRUE AS is_final
+        |  FROM base GROUP BY 1, 2
+        |  HAVING fire <= (SELECT w FROM wm))
+        |SELECT event_type, wstart, fire, cnt, sv, is_final
+        |FROM (SELECT * FROM partials UNION ALL SELECT * FROM finals)
+        |ORDER BY event_type, wstart, fire""".stripMargin
+
   /** Streaming sliding/hopping window (ref: SlidingEventTimeWindows /
     * SQL HOP): 1-hour windows every 30 minutes, append mode — each
     * event feeds 2 windows; emitted ⇔ window end ≤ final watermark.
@@ -5178,6 +5232,7 @@ object StreamingQueries {
     Q("q_stream_sort_limit", streamSortLimit, Some(streamSortLimitSql)),
     Q("q_stream_count_window", streamCountWindow, Some(streamCountWindowSql)),
     Q("q_stream_delta_trigger", streamDeltaTrigger, Some(streamDeltaTriggerSql)),
+    Q("q_stream_continuous_fire", streamContinuousFire, Some(streamContinuousFireSql)),
     Q("q_cep_negative", cepNegative, Some(cepNegativeSql)),
     Q("q_cep_timeout", cepTimeout, Some(cepTimeoutSql)),
     Q("q_cep_until", cepUntil, Some(cepUntilSql)),

@@ -556,6 +556,92 @@ object StreamingOps {
         ExpressionEncoder[DeltaWinState](), ExpressionEncoder[DeltaWinRow[K]]())
   }
 
+  /** ContinuousEventTimeTrigger analog (ref:
+    * windowing/triggers/ContinuousEventTimeTrigger.java:54-92): a
+    * tumbling event-time window that ADDITIONALLY fires a partial
+    * result at every `interval`-aligned event-time boundary while the
+    * window is filling, then the final result when the watermark passes
+    * the window end — the reference's continuous fire-time timer chain
+    * (fireTimestamp += interval per fire), re-derived deterministically:
+    * the reference anchors the timer chain at the first ARRIVING
+    * element, which is arrival-order-dependent; here a partial fires at
+    * every epoch-aligned boundary g (wstart < g < wend) that has at
+    * least one event strictly before it, and aggregates events with
+    * ts ≤ g — a pure function of event-time data, equal to the
+    * reference's chain whenever elements arrive in event-time order
+    * (`interval` must divide the window size for the grids to nest).
+    * Fires emit once the watermark reaches g (elements ≤ g are all
+    * released by then, so a partial can never miss a row it claims).
+    *
+    * State per key = open-window buffers + the last fired boundary per
+    * window + the out-of-order hold; windows drop at their final fire,
+    * so state is bounded by (open windows × events in flight), not
+    * stream length.
+    */
+  final case class CetState(buffer: Seq[(Long, Long)],
+      fired: Seq[(Long, Long)], hold: Seq[(Long, Long)])
+  final case class CetRow[K](key: K, wstart_us: Long, fire_us: Long,
+      cnt: Long, sv: Long, is_final: Boolean)
+
+  def continuousEventTimeWindow[T, K: Encoder: TypeTag](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsUsFn: T => Long,
+      valueFn: T => Long,
+      windowUs: Long,
+      intervalUs: Long
+  )(implicit te: Encoder[T]): Dataset[CetRow[K]] = {
+    require(windowUs % intervalUs == 0,
+      s"continuous fire interval must divide the window size ($intervalUs vs $windowUs)")
+    def fn(key: K, rows: Iterator[T], state: GroupState[CetState]): Iterator[CetRow[K]] = {
+      val st = if (state.exists) state.get else CetState(Nil, Nil, Nil)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val in = (st.hold ++ rows.map(r => (tsUsFn(r), valueFn(r))))
+      val (ready, hold) = in.partition(_._1 <= wmUs)
+      val firedMap = scala.collection.mutable.Map(st.fired: _*)
+      val out = scala.collection.mutable.Buffer.empty[CetRow[K]]
+      val remaining = Seq.newBuilder[(Long, Long)]
+      (st.buffer ++ ready).groupBy(_._1 / windowUs).toSeq.sortBy(_._1).foreach {
+        case (w, elems) =>
+          val wstart = w * windowUs; val wend = wstart + windowUs
+          // pending partial boundaries fire in timestamp order — on a
+          // watermark jump past the window end the reference's timer
+          // sweep still fires every registered partial BEFORE the
+          // final, so the partial history is batching-independent
+          var g = firedMap.getOrElse(wstart, wstart) + intervalUs
+          while (g <= wmUs && g < wend) {
+            if (elems.exists(_._1 < g)) {
+              val le = elems.filter(_._1 <= g)
+              out += CetRow(key, wstart, g, le.length.toLong,
+                le.map(_._2).sum, is_final = false)
+            }
+            firedMap.update(wstart, g)
+            g += intervalUs
+          }
+          if (wmUs >= wend) {
+            out += CetRow(key, wstart, wend, elems.length.toLong,
+              elems.map(_._2).sum, is_final = true)
+            firedMap.remove(wstart) // window closed — state drops it
+          } else remaining ++= elems
+      }
+      val rem = remaining.result()
+      if (rem.isEmpty && hold.isEmpty) state.remove()
+      else {
+        state.update(CetState(rem, firedMap.toSeq, hold))
+        val nextFires = rem.map(_._1 / windowUs).distinct.map { w =>
+          val wstart = w * windowUs
+          math.min(firedMap.getOrElse(wstart, wstart) + intervalUs, wstart + windowUs)
+        }
+        val wake = (nextFires ++ (if (hold.isEmpty) Nil else Seq(hold.map(_._1).min))).min
+        state.setTimeoutTimestamp(wake / 1000L + 1)
+      }
+      out.iterator
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)(
+        ExpressionEncoder[CetState](), ExpressionEncoder[CetRow[K]]())
+  }
+
   /** KeyedProcessFunction-style hook (ref: KeyedStream.process:372,
     * KeyedProcessFunction.java): user code sees (key, new events sorted
     * by time, previous state) and returns (outputs, new state) — value

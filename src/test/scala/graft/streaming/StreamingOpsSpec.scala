@@ -183,6 +183,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuousEventTimeWindow: interval partials then final, batching-independent") {
+    def run(batches: Seq[Seq[Event]], name: String): Seq[(Long, Long, Long, Long, Boolean)] = {
+      val input = MemoryStream[Event]
+      val withWm = input.toDS().withWatermark("ts", "5 seconds")
+      // 60 s window, 20 s continuous fire
+      val out = StreamingOps.continuousEventTimeWindow[Event, Long](
+        withWm, _.user_id, _.tsUs, _.value.toLong,
+        windowUs = 60L * 1000000L, intervalUs = 20L * 1000000L)
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[StreamingOps.CetRow[Long]].collect()
+          .filter(_.key == 7L).sortBy(r => (r.wstart_us, r.fire_us))
+          .map(r => (r.wstart_us / 1000000L, r.fire_us / 1000000L, r.cnt, r.sv, r.is_final)).toSeq
+      } finally q.stop()
+    }
+    // window [0,60): events at 5s(v1), 15s(v2), 30s(v4), 50s(v8)
+    // partials: fire@20 over {5,15} = (2,3); fire@40 over {5,15,30} = (3,7)
+    // final: fire@60 over all = (4,15)
+    val expected = Seq(
+      (0L, 20L, 2L, 3L, false), (0L, 40L, 3L, 7L, false), (0L, 60L, 4L, 15L, true))
+    // gradual watermark: fires happen across separate batches
+    val gradual = run(Seq(
+      Seq(ev(1, 5000, 7, "x", 1.0), ev(2, 15000, 7, "x", 2.0)),
+      Seq(ev(3, 30000, 7, "x", 4.0)),
+      Seq(ev(90, 46000, 8, "x", 0.0)), // wm → 41s: fires 20 and 40
+      Seq(ev(4, 50000, 7, "x", 8.0)),
+      Seq(ev(91, 120000, 8, "x", 0.0)), // wm → 115s: final
+      Seq(ev(92, 240000, 8, "x", 0.0))), "cet_g")
+    assert(gradual === expected)
+    // single watermark jump + out-of-order within batch: the timer sweep
+    // must replay the SAME partial history before the final
+    val jump = run(Seq(
+      Seq(ev(4, 50000, 7, "x", 8.0), ev(1, 5000, 7, "x", 1.0),
+        ev(3, 30000, 7, "x", 4.0), ev(2, 15000, 7, "x", 2.0)),
+      Seq(ev(91, 120000, 8, "x", 0.0)),
+      Seq(ev(92, 240000, 8, "x", 0.0))), "cet_j")
+    assert(jump === expected)
+  }
+
   test("matchWithTimeout: matched within window, timeout via timer, out-of-order safe") {
     val input = MemoryStream[Event]
     val withWm = input.toDS().withWatermark("ts", "5 seconds")
