@@ -3494,6 +3494,118 @@ object AnalyticsQueries {
     * pass produces both lag columns; the scoreboard is a 5-row
     * aggregate.
     */
+  /** One emitted Holt–Winters state row per day (milli-count units). */
+  final case class HwRow(event_type: String, day: String, cnt: Long,
+      fitted_m: Long, level_m: Long, trend_m: Long, seasonal_m: Long)
+
+  /** Additive Holt–Winters (triple exponential smoothing, Winters 1960)
+    * over the per-type daily grid — the FORECASTING leg of the
+    * time-series family (STL decomposes, EWMA smooths, this one carries
+    * level+trend+weekly-season state and scores a one-step-ahead fit
+    * per day). α=0.5, β=0.3, γ=0.2, season m=7 on the per-type day
+    * SEQUENCE (row index, so a gapped grid stays engine-identical).
+    * Init: level = half-up mean of season 1, trend = half-up
+    * (mean(season 2) − mean(season 1))/7, seasonals = season-1
+    * deviations; the recursion re-walks from day 8. All state is exact
+    * integer milli-counts with one shared half-up rounding
+    * floor((2·num+den)/(2·den)) per update — the walk is bit-identical
+    * on both engines, so the DuckDB oracle replays it with a recursive
+    * CTE carrying the 7-slot seasonal ring as columns.
+    *
+    * 100-TB posture: the grid is bounded (|types| × |days|); the
+    * sequential walk runs inside flatMapGroups per type — the corpus
+    * aggregates once, nothing driver-side, no unbounded state.
+    */
+  private[queries] def hwFromDaily(daily: DataFrame): DataFrame = {
+    val sp = daily.sparkSession
+    import sp.implicits._
+    def rh(num: Long, den: Long): Long =
+      math.floor((2.0 * num + den) / (2.0 * den)).toLong
+    daily
+      .select(col("event_type").cast("string"),
+        col("d").cast("date").cast("string"), col("cnt").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (etype: String, it: Iterator[(String, String, Long)]) =>
+        val seqd = it.toIndexedSeq.sortBy(_._2)
+        if (seqd.length < 14) Iterator.empty
+        else {
+          val y = seqd.map(_._3 * 1000L).toArray
+          val s1 = y.slice(0, 7).sum
+          val s2 = y.slice(7, 14).sum
+          var level = rh(s1, 7)
+          var trend = rh(s2 - s1, 49)
+          val season = Array.tabulate(7)(i => y(i) - level)
+          val out = Seq.newBuilder[HwRow]
+          var d = 7
+          while (d < y.length) {
+            val sOld = season(d % 7)
+            val fitted = level + trend + sOld
+            val l0 = level
+            level = rh(5 * (y(d) - sOld) + 5 * (level + trend), 10)
+            trend = rh(3 * (level - l0) + 7 * trend, 10)
+            val sNew = rh(2 * (y(d) - level) + 8 * sOld, 10)
+            season(d % 7) = sNew
+            out += HwRow(etype, seqd(d)._2, seqd(d)._3, fitted, level, trend, sNew)
+            d += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+      .orderBy("event_type", "day")
+  }
+
+  def evtHoltWinters(s: SparkSession, dir: String): DataFrame =
+    hwFromDaily(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+
+  val evtHoltWintersSql: String = {
+    val lnew = "CAST(floor((2*(5*(b.y - w.s1) + 5*(w.level + w.trend)) + 10) / 20.0) AS BIGINT)"
+    val tnew = s"CAST(floor((2*(3*($lnew - w.level) + 7*w.trend) + 10) / 20.0) AS BIGINT)"
+    val snew = s"CAST(floor((2*(2*(b.y - $lnew) + 8*w.s1) + 10) / 20.0) AS BIGINT)"
+    Tables.eventsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s"""
+         |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+         |            FROM ev GROUP BY 1, 2),
+         |g AS (SELECT event_type, d, cnt, cnt * 1000 AS y,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+         |      FROM daily),
+         |sums AS (
+         |  SELECT event_type,
+         |    sum(y) FILTER (WHERE rn <= 7) AS w1,
+         |    sum(y) FILTER (WHERE rn BETWEEN 8 AND 14) AS w2,
+         |    max(y) FILTER (WHERE rn = 1) AS y1, max(y) FILTER (WHERE rn = 2) AS y2,
+         |    max(y) FILTER (WHERE rn = 3) AS y3, max(y) FILTER (WHERE rn = 4) AS y4,
+         |    max(y) FILTER (WHERE rn = 5) AS y5, max(y) FILTER (WHERE rn = 6) AS y6,
+         |    max(y) FILTER (WHERE rn = 7) AS y7
+         |  FROM g GROUP BY 1 HAVING count(*) >= 14),
+         |init AS (
+         |  SELECT event_type,
+         |    CAST(floor((2*w1 + 7) / 14.0) AS BIGINT) AS level0,
+         |    CAST(floor((2*(w2 - w1) + 49) / 98.0) AS BIGINT) AS trend0,
+         |    y1, y2, y3, y4, y5, y6, y7
+         |  FROM sums),
+         |walk AS (
+         |  SELECT event_type, 7 AS rn, NULL::DATE AS d, NULL::BIGINT AS cnt,
+         |    NULL::BIGINT AS fitted, level0 AS level, trend0 AS trend,
+         |    y1 - level0 AS s1, y2 - level0 AS s2, y3 - level0 AS s3,
+         |    y4 - level0 AS s4, y5 - level0 AS s5, y6 - level0 AS s6,
+         |    y7 - level0 AS s7
+         |  FROM init
+         |  UNION ALL
+         |  SELECT w.event_type, b.rn, b.d, b.cnt,
+         |    w.level + w.trend + w.s1 AS fitted,
+         |    $lnew AS level, $tnew AS trend,
+         |    w.s2, w.s3, w.s4, w.s5, w.s6, w.s7, $snew AS s7
+         |  FROM walk w JOIN g b ON b.event_type = w.event_type AND b.rn = w.rn + 1)
+         |SELECT event_type, d::VARCHAR AS day, cnt,
+         |  fitted AS fitted_m, level AS level_m, trend AS trend_m, s7 AS seasonal_m
+         |FROM walk WHERE rn >= 8
+         |ORDER BY event_type, day""".stripMargin
+  }
+
   def evtForecast(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -3933,6 +4045,7 @@ object AnalyticsQueries {
     Q("q_evt_acf", evtAcf, Some(evtAcfSql)),
     Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
     Q("q_evt_stl", evtStl, Some(evtStlSql)),
+    Q("q_evt_holtwinters", evtHoltWinters, Some(evtHoltWintersSql)),
     Q("q_evt_msprt", evtMsprt, Some(evtMsprtSql)),
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
