@@ -507,6 +507,76 @@ object Similarity {
     * to the previously-selected set at selection time (null for the
     * seed).
     */
+  /** Leave-one-out kNN label probe — the standard embedding-SPACE
+    * quality evaluation (the "kNN probe" of representation learning,
+    * cf. Papernot & McDaniel 2018's deep-kNN reading): every vector is
+    * classified by the MAJORITY label of its k nearest cosine
+    * neighbors (self excluded, ties to the smallest label), and the
+    * per-label accuracy says how well the space separates the classes
+    * — the metric a pipeline reports before trusting an embedding
+    * column for dedup/retrieval. Counts are exact integers end to end;
+    * accuracy emits as basis points (floor), one exact division.
+    *
+    * Scale: the probe itself is counts over the kNN table; neighbor
+    * generation here is the exact [[bruteForceTopK]] (the corpus is
+    * the broadcast side at test scale) — at 100 TB swap in
+    * [[ivfTopKWithCentroids]] candidates, the probe tail is unchanged.
+    * `corpus` must arrive STAGED (it is referenced three times).
+    */
+  def knnLabelProbe(corpus: DataFrame, k: Int): DataFrame = {
+    val knn = bruteForceTopK(
+      corpus.select(col("vec_id").as("qid"), col("embedding").as("qe")), corpus, k)
+    val votes = knn
+      .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nlabel").as("pred"))
+    corpus.select(col("vec_id").as("qid"), col("label"))
+      .join(pred, "qid")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .withColumn("acc_bp", floor(col("correct") * 10000 / col("n")).cast("long"))
+      .select(col("label").cast("long"), col("n"), col("correct"), col("acc_bp"))
+  }
+
+  /** Label-partition modularity of the symmetrized kNN graph (Newman
+    * 2006) + within-label edge counts — the companion GRAPH-level
+    * embedding-quality readout: Q = Σ_l (e_l/m − (d_l/2m)²) over
+    * undirected kNN edges, computed from exact integer moments
+    * (4·m·e_l − d_l² numerators), one rounded division per label at
+    * emission. High Q ⇔ the kNN graph respects the labels.
+    * `corpus` must arrive STAGED.
+    */
+  def knnLabelModularity(corpus: DataFrame, k: Int): DataFrame = {
+    val knn = bruteForceTopK(
+      corpus.select(col("vec_id").as("qid"), col("embedding").as("qe")), corpus, k)
+    // undirected unique edges: symmetrize then keep a < b once
+    val edges = Funnel.stage(knn
+      .select(least(col("qid"), col("nid")).as("a"), greatest(col("qid"), col("nid")).as("b"))
+      .distinct(), "knn_edges")
+    val lbl = corpus.select(col("vec_id"), col("label"))
+    val el = edges
+      .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+    val m = el.count() // bounded scalar: |E| of the kNN graph
+    val within = el.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_within"))
+    val degs = el.select(col("a").as("v"), col("la").as("label"))
+      .unionAll(el.select(col("b").as("v"), col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("d_l"), countDistinct("v").as("n_nodes"))
+    degs.join(within, Seq("label"), "left")
+      .na.fill(0L, Seq("e_within"))
+      .withColumn("q6", round(
+        (lit(4L) * lit(m) * col("e_within") - col("d_l") * col("d_l")) /
+          (lit(4.0) * m * m), 6))
+      .select(col("label").cast("long"), col("n_nodes"), col("d_l"),
+        col("e_within"), col("q6"))
+  }
+
   def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
     import graft.functions.GraftFunctions.cosine_double
     val e = Funnel.stage(corpus.select(col("vec_id"),

@@ -1683,6 +1683,66 @@ object PipelineQueries {
       |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
 
+  /** Embedding-space quality via the leave-one-out kNN label probe
+    * (see [[graft.operators.Similarity.knnLabelProbe]]): per-label
+    * accuracy of the majority-of-5-neighbors classifier over the
+    * labeled embeddings table — exact integer counts, basis-point
+    * accuracies.
+    */
+  def embKnnProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelProbe(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+      .orderBy("label")
+
+  val embKnnProbeSql: String =
+    """WITH s AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |knn AS (SELECT qid, nid, nlabel,
+      |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+      |        FROM s QUALIFY rn <= 5),
+      |votes AS (SELECT qid, nlabel, count(*) AS votes FROM knn GROUP BY 1, 2),
+      |pred AS (SELECT qid, nlabel AS pred,
+      |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rk
+      |         FROM votes QUALIFY rk = 1)
+      |SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n,
+      |  sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)::BIGINT AS correct,
+      |  CAST(floor(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS acc_bp
+      |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+      |GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** Label-partition modularity of the symmetrized 5-NN graph (see
+    * [[graft.operators.Similarity.knnLabelModularity]]): integer graph
+    * moments per label + the per-label modularity contribution.
+    */
+  def embModularity(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelModularity(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+      .orderBy("label")
+
+  val embModularitySql: String =
+    """WITH s AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |knn AS (SELECT qid, nid,
+      |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+      |        FROM s QUALIFY rn <= 5),
+      |edges AS (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM knn),
+      |el AS (SELECT e.a, e.b, la.label AS la, lb.label AS lb
+      |       FROM edges e JOIN embeddings la ON la.vec_id = e.a
+      |                    JOIN embeddings lb ON lb.vec_id = e.b),
+      |m AS (SELECT count(*)::BIGINT AS m FROM el),
+      |within AS (SELECT la AS label, count(*)::BIGINT AS e_within FROM el WHERE la = lb GROUP BY 1),
+      |degs AS (
+      |  SELECT label, count(*)::BIGINT AS d_l, count(DISTINCT v)::BIGINT AS n_nodes
+      |  FROM (SELECT a AS v, la AS label FROM el UNION ALL SELECT b, lb FROM el)
+      |  GROUP BY 1)
+      |SELECT d.label::BIGINT AS label, d.n_nodes, d.d_l,
+      |  coalesce(w.e_within, 0)::BIGINT AS e_within,
+      |  round((4 * m.m * coalesce(w.e_within, 0) - d.d_l * d.d_l) / (4.0 * m.m * m.m), 6) AS q6
+      |FROM degs d LEFT JOIN within w USING (label), m
+      |ORDER BY label""".stripMargin
+
   def embTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
@@ -5254,6 +5314,8 @@ object PipelineQueries {
     Q("q_doc_simhash", docSimHash, None),
     Q("q_doc_simhash_portable", docSimHashPortable, Some(docSimHashPortableSql)),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
+    Q("q_emb_knn_probe", embKnnProbe, Some(embKnnProbeSql)),
+    Q("q_emb_modularity", embModularity, Some(embModularitySql)),
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),

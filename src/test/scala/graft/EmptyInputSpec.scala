@@ -166,7 +166,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_doc_doremi", // 1/n over zero domains, min-loss scalar over empty
     "q_doc_softdedup", // fp-keyed df count + join over zero docs
     "q_match_sql_updown", // iterative-condition NFA + lag columns over empty
-    "q_sql_ddl_roundtrip" // DDL route: empty source scan, zero-row INSERT, empty sink read-back
+    "q_sql_ddl_roundtrip", // DDL route: empty source scan, zero-row INSERT, empty sink read-back
+    "q_evt_holtwinters", // <14-day grid -> empty walk, no init moments
+    "q_emb_knn_probe", // kNN over empty corpus -> empty votes/pred
+    "q_emb_modularity" // m=0 kNN graph -> empty moments, no 0/0 division evaluated
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
