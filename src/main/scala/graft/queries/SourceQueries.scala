@@ -508,8 +508,54 @@ object SourceQueries {
       |  (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)))::BIGINT AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
 
+  /** StatementSet multi-sink execution (ref: StatementSetImpl /
+    * TableEnvironmentImpl.createStatementSet — the reference batches N
+    * INSERTs into one execute() over shared registered views): two
+    * sinks fill from the same DDL-declared source in one
+    * `StatementSet.execute()`, then both are read back tagged. The
+    * oracle computes both sink contents directly.
+    */
+  def sqlStatementSet(s: SparkSession, dir: String): DataFrame = {
+    val outA = sinkDir(dir, "ss_by_region")
+    val outB = sinkDir(dir, "ss_by_prefix")
+    val env = graft.TableEnv(s, dir)
+    env.executeSql(
+      s"""CREATE TABLE ss_nation (n_nationkey BIGINT, n_name STRING,
+         |  n_regionkey BIGINT, n_comment STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ss_sink_a (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$outA', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ss_sink_b (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$outB', 'format'='parquet')""".stripMargin)
+    // OVERWRITE so reruns are deterministic (the sink paths persist)
+    env.createStatementSet()
+      .addInsertSql(
+        """INSERT OVERWRITE ss_sink_a
+          |SELECT CAST(n_regionkey AS STRING), count(*) FROM ss_nation GROUP BY n_regionkey""".stripMargin)
+      .addInsertSql(
+        """INSERT OVERWRITE ss_sink_b
+          |SELECT substr(n_name, 1, 1), count(*) FROM ss_nation GROUP BY substr(n_name, 1, 1)""".stripMargin)
+      .execute()
+    env.executeSql(
+      """SELECT 'region' AS which, k, n FROM ss_sink_a
+        |UNION ALL SELECT 'prefix' AS which, k, n FROM ss_sink_b
+        |ORDER BY which, k""".stripMargin)
+  }
+
+  val sqlStatementSetSql: String =
+    """SELECT * FROM (
+      |  SELECT 'region' AS which, CAST(n_regionkey AS VARCHAR) AS k, count(*)::BIGINT AS n
+      |  FROM nation GROUP BY n_regionkey
+      |  UNION ALL
+      |  SELECT 'prefix' AS which, substr(n_name, 1, 1) AS k, count(*)::BIGINT AS n
+      |  FROM nation GROUP BY substr(n_name, 1, 1))
+      |ORDER BY which, k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_sql_ddl_roundtrip", sqlDdlRoundtrip, Some(sqlDdlRoundtripSql)),
+    Q("q_sql_statement_set", sqlStatementSet, Some(sqlStatementSetSql)),
     Q("q_sink_avro", avroRoundtrip, Some(avroRoundtripSql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
     Q("q_source_range", sourceRange, Some(sourceRangeSql)),

@@ -2560,6 +2560,70 @@ object StreamingQueries {
       .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
   }
 
+  /** Incremental kNN label classification on an embedding stream — the
+    * production shape of [[graft.operators.Similarity.knnLabelProbe]]:
+    * each micro-batch's NEW vectors classify against the corpus
+    * accumulated from PRIOR batches (majority of 5 cosine neighbors,
+    * ties to the smallest label), then append to it — delta-probe cost
+    * ∝ |batch| × |corpus| with the batch side broadcast, the
+    * [[streamDeltaMinhash]] posture for embeddings. State = the
+    * appended corpus + the appended prediction log; batch 0 has no
+    * prior and predicts nothing. Oracle: replay the prior-batches
+    * neighbor restriction directly (batches are vec_id % 3 splits).
+    */
+  def streamKnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val srcDir = stageBatchFiles(dir, "sknn",
+      (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
+    val corpus = graft.streaming.VersionedStore(s, freshDir(dir, "sknn_corpus"))
+    corpus.init(emb.limit(0))
+    val preds = graft.streaming.VersionedStore(s, freshDir(dir, "sknn_preds"))
+    preds.init(emb.limit(0)
+      .select(col("vec_id"), col("label").cast("long"), col("label").cast("long").as("pred")))
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = corpus.prior(batchId)
+        val knn = graft.operators.Similarity.bruteForceTopK(
+          batch.select(col("vec_id").as("qid"), col("embedding").as("qe")), prior, k = 5)
+        val votes = knn
+          .join(prior.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+          .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+        val p = votes
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("votes").desc, col("nlabel"))))
+          .filter(col("rk") === 1)
+          .select(col("qid").as("vec_id"), col("nlabel").cast("long").as("pred"))
+          .join(batch.select(col("vec_id"), col("label").cast("long")), "vec_id")
+          .select(col("vec_id"), col("label"), col("pred"))
+        preds.write(batchId, preds.prior(batchId).unionByName(p))
+        corpus.write(batchId, corpus.prior(batchId).unionByName(batch))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    preds.version(lastBatchId(srcDir)).orderBy("vec_id")
+  }
+
+  val streamKnnProbeSql: String =
+    """WITH tgt AS (SELECT vec_id, label, embedding::DOUBLE[] AS qe, vec_id % 3 AS b
+      |             FROM embeddings WHERE vec_id % 3 >= 1),
+      |prior AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, vec_id % 3 AS b FROM embeddings),
+      |s AS (SELECT t.vec_id AS qid, t.label, p.vec_id AS nid, p.label AS nlabel,
+      |        list_cosine_similarity(t.qe, p.e) AS c
+      |      FROM tgt t JOIN prior p ON p.b < t.b),
+      |knn AS (SELECT qid, label, nid, nlabel,
+      |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+      |        FROM s QUALIFY rn <= 5),
+      |votes AS (SELECT qid, label, nlabel, count(*) AS votes FROM knn GROUP BY 1, 2, 3)
+      |SELECT qid AS vec_id, label::BIGINT AS label, nlabel::BIGINT AS pred
+      |FROM votes
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Holt–Winters maintained on a stream: state = the additive
     * (event_type, day, cnt) grid, key-sum merged per batch under
     * arbitrary splits (the [[streamStl]] posture — the smoothing
@@ -5311,6 +5375,7 @@ object StreamingQueries {
     Q("q_stream_markov_attr", streamMarkovAttr, Some(AnalyticsQueries.evtMarkovAttributionSql)),
     Q("q_stream_stl", streamStl, Some(AnalyticsQueries.evtStlSql)),
     Q("q_stream_holtwinters", streamHoltWinters, Some(AnalyticsQueries.evtHoltWintersSql)),
+    Q("q_stream_knn_probe", streamKnnProbe, Some(streamKnnProbeSql)),
     Q("q_stream_msprt", streamMsprt, Some(AnalyticsQueries.evtMsprtSql)),
     Q("q_stream_ate", streamAte, Some(AnalyticsQueries.evtAteSql)),
     Q("q_stream_qini", streamQini, Some(AnalyticsQueries.evtQiniSql)),
