@@ -505,14 +505,16 @@ object StreamingOps {
     * watermark (same device as [[countWindow]]), so out-of-order
     * arrival across micro-batches cannot reorder fire decisions.
     * Values are exact integers (micro-unit quantization upstream), so
-    * the fire walk and the emitted sums are engine-portable. State =
-    * lastFired + the global-window buffer — bounded only by the
-    * evictor, which is exactly the reference's contract (an un-evicted
-    * GlobalWindow buffers forever there too; a 100-TB run sets
-    * `evictDelta`).
+    * the fire walk and the emitted sums are engine-portable. State:
+    * with no evictor the un-purged global window folds to
+    * (lastFired, count, sum) — O(1) per key, the true 100-TB posture;
+    * with an evictor the element buffer materializes (it must
+    * re-inspect individual values), bounded by the eviction itself —
+    * the reference's own contract (an un-evicted GlobalWindow buffers
+    * forever there; here it never does).
     */
   final case class DeltaWinState(init: Boolean, lastFired: Long, fires: Long,
-      buffer: Seq[(Long, Long, Long)], hold: Seq[(Long, Long, Long)])
+      cnt: Long, sum: Long, buffer: Seq[(Long, Long, Long)], hold: Seq[(Long, Long, Long)])
   final case class DeltaWinRow[K](key: K, wid: Long, fire_id: Long,
       fire_v: Long, cnt: Long, sv: Long)
 
@@ -526,27 +528,38 @@ object StreamingOps {
       evictDelta: Option[Long] = None
   )(implicit te: Encoder[T]): Dataset[DeltaWinRow[K]] = {
     def fn(key: K, rows: Iterator[T], state: GroupState[DeltaWinState]): Iterator[DeltaWinRow[K]] = {
-      val st = if (state.exists) state.get else DeltaWinState(false, 0L, 0L, Nil, Nil)
+      val st = if (state.exists) state.get
+        else DeltaWinState(false, 0L, 0L, 0L, 0L, Nil, Nil)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val all = (st.hold ++ rows.map(r => (tsUsFn(r), idFn(r), valueFn(r))))
         .sortBy(e => (e._1, e._2))
       val (ready, hold) = all.partition(_._1 <= wmUs)
       var init = st.init; var lastFired = st.lastFired; var fires = st.fires
-      var buffer = st.buffer
+      // no evictor → the un-purged global window only ever emits
+      // count/sum, so the state FOLDS to two counters (O(1), the true
+      // 100-TB posture); the element buffer materializes only when an
+      // evictor must re-inspect individual values
+      var cnt = st.cnt; var sum = st.sum
+      val buffer = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      buffer ++= st.buffer
       val out = scala.collection.mutable.Buffer.empty[DeltaWinRow[K]]
       ready.foreach { e =>
-        buffer = buffer :+ e
+        if (evictDelta.isDefined) buffer += e
+        cnt += 1; sum += e._3
         if (!init) { init = true; lastFired = e._3 }
         else if (math.abs(e._3 - lastFired) > threshold) {
           lastFired = e._3
-          evictDelta.foreach(d => buffer = buffer.filter(b => math.abs(b._3 - e._3) < d))
-          out += DeltaWinRow(key, fires, e._2, e._3, buffer.length.toLong, buffer.map(_._3).sum)
+          evictDelta.foreach { d =>
+            buffer.filterInPlace(b => math.abs(b._3 - e._3) < d)
+            cnt = buffer.length.toLong; sum = buffer.map(_._3).sum
+          }
+          out += DeltaWinRow(key, fires, e._2, e._3, cnt, sum)
           fires += 1
         }
       }
       if (!init && hold.isEmpty) state.remove()
       else {
-        state.update(DeltaWinState(init, lastFired, fires, buffer, hold))
+        state.update(DeltaWinState(init, lastFired, fires, cnt, sum, buffer.toSeq, hold))
         if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head._1 / 1000L + 1)
       }
       out.iterator
