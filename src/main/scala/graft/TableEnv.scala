@@ -170,8 +170,31 @@ final class TableEnv(val spark: SparkSession, dir: String) {
 
   def createStatementSet(): StatementSet = new StatementSet()
 
+  private val temporalFns =
+    scala.collection.mutable.Map.empty[String, TemporalSql.TemporalFn]
+
+  /** ref: Table.createTemporalTableFunction(timeAttribute, primaryKey)
+    * + createTemporarySystemFunction — the reference's OTHER
+    * temporal-join declaration, consumed by the
+    * `LATERAL TABLE (fn(o.ts))` statement shape (routed through
+    * [[TemporalSql.runFn]], lowered onto the same as-of plan as
+    * FOR SYSTEM_TIME AS OF).
+    */
+  def createTemporalTableFunction(name: String, df: DataFrame,
+      timeAttr: String, primaryKeys: Seq[String],
+      tieBreak: Option[String] = None): Unit = {
+    require(df.columns.contains(timeAttr),
+      s"createTemporalTableFunction($name): no column $timeAttr")
+    primaryKeys.foreach(pk => require(df.columns.contains(pk),
+      s"createTemporalTableFunction($name): no primary-key column $pk"))
+    temporalFns.update(name.toLowerCase,
+      TemporalSql.TemporalFn(df, timeAttr, primaryKeys, tieBreak))
+  }
+
   def sqlQuery(sql: String): DataFrame =
     if (graft.cep.MatchRecognizeSql.applies(sql)) graft.cep.MatchRecognizeSql.run(spark, sql)
+    else if (TemporalSql.appliesFn(sql))
+      TemporalSql.runFn(spark, sql, n => temporalFns.get(n.toLowerCase))
     else if (TemporalSql.applies(sql))
       TemporalSql.run(spark, sql, n => versionedViews.get(n.toLowerCase))
     else if (WindowTvfSql.applies(sql)) {

@@ -36,6 +36,86 @@ import org.apache.spark.sql.functions._
   */
 object TemporalSql {
 
+  /** A registered temporal table function (ref:
+    * TemporalTableFunction.java / Table.createTemporalTableFunction —
+    * the reference's OTHER temporal-join syntax, predating
+    * FOR SYSTEM_TIME AS OF): the versioned frame plus its declared
+    * version-time axis and primary keys.
+    */
+  final case class TemporalFn(df: org.apache.spark.sql.DataFrame,
+      timeAttr: String, primaryKeys: Seq[String], tieBreak: Option[String])
+
+  private val FnStmt =
+    raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*(\w+)\.(\w+)\s*\)\s*\)(?:\s+AS)?\s+(\w+)\s+WHERE\s+(.+?)(\s+(?:GROUP|ORDER|LIMIT)\b.*|\s*)$$".r
+
+  def appliesFn(sql: String): Boolean =
+    raw"(?is)LATERAL\s+TABLE\s*\(".r.findFirstIn(sql).isDefined
+
+  /** `SELECT … FROM probe p, LATERAL TABLE (fn(p.ts)) r WHERE r.pk =
+    * p.k [AND …]` — the temporal table FUNCTION join (ref:
+    * `LATERAL TABLE (Rates(o.rowtime))` in the reference docs and
+    * TemporalTableFunctionJoin planning): the function carries the
+    * version axis and primary keys, the WHERE supplies the key
+    * equalities (ALL primary keys must be covered — fail loudly
+    * otherwise), residual conjuncts and GROUP/ORDER/LIMIT tails pass
+    * through to Catalyst over the joined view. INNER semantics, like
+    * the reference's lateral temporal join. Lowering = the same
+    * oracled [[AsOfJoin.backward]] union-sort plan as the
+    * FOR SYSTEM_TIME route — the two syntaxes must agree.
+    */
+  def runFn(spark: SparkSession, sql: String,
+      fns: String => Option[TemporalFn]): DataFrame = sql match {
+    case FnStmt(selectList, probeTbl, probeAlias, fnName, tsAlias, probeTs,
+        verAlias, whereClause, tail) =>
+      require(tsAlias.equalsIgnoreCase(probeAlias),
+        s"LATERAL TABLE ($fnName($tsAlias.$probeTs)): the time argument must come " +
+          s"from the probe side ($probeAlias)")
+      val fn = fns(fnName).getOrElse(throw new IllegalArgumentException(
+        s"$fnName is not a registered temporal table function — register it with " +
+          "createTemporalTableFunction(name, df, timeAttr, primaryKeys[, tieBreak]) " +
+          "(the reference's Table.createTemporalTableFunction)"))
+      // split WHERE on top-level ANDs: pk equalities join, the rest pass through
+      val conjuncts = whereClause.split(raw"(?i)\s+AND\s+").toSeq
+      val (keyConjs, residual) = conjuncts.partition {
+        case KeyPair(a1, c1, a2, c2) =>
+          (a1.equalsIgnoreCase(verAlias) && a2.equalsIgnoreCase(probeAlias) &&
+            fn.primaryKeys.exists(_.equalsIgnoreCase(c1))) ||
+          (a1.equalsIgnoreCase(probeAlias) && a2.equalsIgnoreCase(verAlias) &&
+            fn.primaryKeys.exists(_.equalsIgnoreCase(c2)))
+        case _ => false
+      }
+      val keys = keyConjs.map {
+        case KeyPair(a1, c1, _, c2) if a1.equalsIgnoreCase(verAlias) => (c1, c2)
+        case KeyPair(_, c1, _, c2) => (c2, c1)
+      }
+      val missing = fn.primaryKeys.filterNot(pk => keys.exists(_._1.equalsIgnoreCase(pk)))
+      require(missing.isEmpty,
+        s"LATERAL TABLE ($fnName): WHERE must equate every declared primary key " +
+          s"with a probe column; missing: ${missing.mkString(", ")}")
+      val probe = spark.table(probeTbl)
+      val matched = "__temporal_matched"
+      val version0 = keys.foldLeft(fn.df) {
+        case (df, (vk, pk)) => if (vk == pk) df else df.withColumnRenamed(vk, pk)
+      }.withColumn(matched, lit(true))
+      val payload = version0.columns.toSeq.diff(keys.map(_._2) :+ fn.timeAttr)
+      val joined = AsOfJoin.backward(
+        probe, version0,
+        keys = keys.map(_._2), leftTs = probeTs, rightTs = fn.timeAttr,
+        payload = payload, tieBreak = fn.tieBreak)
+      val result = joined.filter(col(matched)).drop(matched)
+      val view = s"__temporalfn_${probeTbl}_$fnName"
+      result.createOrReplaceTempView(view)
+      val strip = (s: String) => s
+        .replaceAll(raw"(?i)\b${probeAlias}\.", "")
+        .replaceAll(raw"(?i)\b${verAlias}\.", "")
+      val where = if (residual.isEmpty) "" else s" WHERE ${strip(residual.mkString(" AND "))}"
+      spark.sql(s"SELECT ${strip(selectList)} FROM $view$where${strip(tail)}")
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported LATERAL TABLE statement shape — expected SELECT ... FROM probe p, " +
+          "LATERAL TABLE (fn(p.ts)) r WHERE r.pk = p.k [AND ...]")
+  }
+
   private val Stmt =
     raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s+(LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)(\s+(?:WHERE|GROUP|ORDER|LIMIT)\b.*|\s*)$$".r
 

@@ -207,6 +207,33 @@ object WindowQueries {
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY a.event_id""".stripMargin
 
+  /** The temporal table FUNCTION syntax (ref: TemporalTableFunction /
+    * `LATERAL TABLE (Rates(o.rowtime))` — the reference's OTHER
+    * temporal-join SQL form, predating FOR SYSTEM_TIME AS OF): the
+    * function is declared with its version axis and primary key
+    * (`createTemporalTableFunction`), the statement supplies the key
+    * equalities in WHERE, and [[graft.TemporalSql.runFn]] lowers onto
+    * the same as-of plan as the SYSTEM_TIME route — the two syntaxes
+    * MUST agree, so the oracle is [[joinAsofSqlRouteSql]] verbatim.
+    * A residual WHERE conjunct exercises the pass-through path.
+    */
+  def joinTemporalFn(s: SparkSession, dir: String): DataFrame = {
+    val env = graft.TableEnv(s, dir)
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tfn_purchases")
+    env.createTemporalTableFunction("clicks_fn",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+      timeAttr = "click_ts", primaryKeys = Seq("user_id"), tieBreak = Some("click_id"))
+    env.sqlQuery(
+      """SELECT p.event_id, p.user_id, r.click_id
+        |FROM tfn_purchases p, LATERAL TABLE (clicks_fn(p.ts)) r
+        |WHERE r.user_id = p.user_id AND p.event_id >= 0
+        |ORDER BY p.event_id""".stripMargin)
+  }
+
   /** CUMULATE windows, batch form (ref: windowing TVF CUMULATE(step 15m,
     * size 1h)): each event feeds every expanding window that contains it
     * — explode bounded by maxK, one shuffle to the aggregate.
@@ -334,6 +361,7 @@ object WindowQueries {
     Q("q_window_session", windowSession, Some(windowSessionSql)),
     Q("q_join_interval", joinInterval, Some(joinIntervalSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
-    Q("q_join_asof_sql", joinAsofSqlRoute, Some(joinAsofSqlRouteSql))
+    Q("q_join_asof_sql", joinAsofSqlRoute, Some(joinAsofSqlRouteSql)),
+    Q("q_join_temporal_fn", joinTemporalFn, Some(joinAsofSqlRouteSql))
   )
 }

@@ -109,6 +109,48 @@ class TableEnvSpec extends SparkSpec {
       "SELECT p.event_id FROM tj_purchases p JOIN tj_clicks FOR SYSTEM_TIME AS OF v.click_ts AS v ON v.user_id = p.user_id"))
   }
 
+  test("LATERAL TABLE temporal function: inner semantics, residual WHERE, misuse fails loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tfn_p")
+    env.createTemporalTableFunction("tfn_clicks",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid")),
+      timeAttr = "cts", primaryKeys = Seq("user_id"), tieBreak = Some("cid"))
+    val viaFn = env.sqlQuery(
+      """SELECT p.event_id, r.cid FROM tfn_p p, LATERAL TABLE (tfn_clicks(p.ts)) r
+        |WHERE r.user_id = p.user_id""".stripMargin)
+    // must EQUAL the FOR SYSTEM_TIME route on the same frames
+    env.createVersionedView("tfn_clicks_v",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid")),
+      versionTimeCol = "cts", tieBreak = Some("cid"))
+    val viaAsOf = env.sqlQuery(
+      """SELECT p.event_id, v.cid FROM tfn_p p
+        |JOIN tfn_clicks_v FOR SYSTEM_TIME AS OF p.ts AS v ON v.user_id = p.user_id""".stripMargin)
+    assert(viaFn.exceptAll(viaAsOf).isEmpty && viaAsOf.exceptAll(viaFn).isEmpty)
+    // residual WHERE conjunct filters through
+    val filtered = env.sqlQuery(
+      """SELECT p.event_id, r.cid FROM tfn_p p, LATERAL TABLE (tfn_clicks(p.ts)) r
+        |WHERE r.user_id = p.user_id AND p.user_id % 2 = 0""".stripMargin)
+    assert(filtered.count() === viaFn.count() -
+      env.sqlQuery("""SELECT p.event_id, r.cid FROM tfn_p p, LATERAL TABLE (tfn_clicks(p.ts)) r
+        |WHERE r.user_id = p.user_id AND p.user_id % 2 = 1""".stripMargin).count())
+    // misuse: unregistered function; missing pk equality; time from version side
+    val e1 = intercept[IllegalArgumentException](env.sqlQuery(
+      "SELECT p.event_id FROM tfn_p p, LATERAL TABLE (nope(p.ts)) r WHERE r.user_id = p.user_id"))
+    assert(e1.getMessage.contains("not a registered temporal table function"))
+    val e2 = intercept[IllegalArgumentException](env.sqlQuery(
+      "SELECT p.event_id FROM tfn_p p, LATERAL TABLE (tfn_clicks(p.ts)) r WHERE p.user_id % 2 = 0"))
+    assert(e2.getMessage.contains("every declared primary key"))
+    val e3 = intercept[IllegalArgumentException](env.sqlQuery(
+      "SELECT p.event_id FROM tfn_p p, LATERAL TABLE (tfn_clicks(r.cts)) r WHERE r.user_id = p.user_id"))
+    assert(e3.getMessage.contains("probe side"))
+  }
+
   test("WindowTvfSql: rewrite shapes, reference arg order, cumulate validation") {
     assert(!WindowTvfSql.applies("SELECT window(ts, '1 hour') FROM t"))
     val t = WindowTvfSql.rewrite(
