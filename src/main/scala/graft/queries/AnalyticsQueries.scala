@@ -3606,6 +3606,164 @@ object AnalyticsQueries {
          |ORDER BY event_type, day""".stripMargin
   }
 
+  /** One burst-automaton row per (type, day). */
+  final case class BurstRow(event_type: String, day: String, y: Long,
+      state: Long, burst_id: Long)
+
+  /** Kleinberg burst detection (Kleinberg 2002, "Bursty and
+    * Hierarchical Structure in Streams" — the enumerating two-state
+    * automaton, batched/binomial variant): per event type, each day d
+    * contributes y_d type events out of n_d total events; state 0 emits
+    * at the type's base rate p0 = Σy/Σn, state 1 at p1 = 2·p0;
+    * entering the burst state costs ln T. The Viterbi walk minimizes
+    * Σ −ln P(y_d | p_state) + transitions, and the emitted per-day
+    * state marks the burst intervals (islands numbered per type).
+    *
+    * Portability: p0 is one exact IEEE division of BIGINT sums and
+    * p1 = 2·p0 is exact (power-of-two multiply); per-day costs quantize
+    * to integer micro-nats with ONE shared expression order, so the DP
+    * runs on exact integers and both engines walk identically. The
+    * oracle replays the forward DP with a recursive CTE carrying the
+    * per-day argmin choices, then backtracks with a second (descending)
+    * recursion.
+    *
+    * 100-TB posture: the automaton runs on the bounded (types × days)
+    * grid inside flatMapGroups per type — the corpus aggregates once;
+    * nothing scales with rows.
+    */
+  private[graft] def burstsFromDaily(daily: DataFrame): DataFrame = {
+    // complete the grid: a type missing on a day is y = 0 (bounded
+    // |types| × |days| cross of two aggregate frames)
+    val sp = daily.sparkSession
+    import sp.implicits._
+    val totals = daily.groupBy("d").agg(sum("cnt").as("n"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(daily, Seq("event_type", "d"), "left")
+      .na.fill(0L, Seq("cnt"))
+    grid
+      .select(col("event_type").cast("string"),
+        col("d").cast("date").cast("string"),
+        col("cnt").cast("long"), col("n").cast("long"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (etype: String, it: Iterator[(String, String, Long, Long)]) =>
+        val g = it.toIndexedSeq.sortBy(_._2)
+        val tDays = g.length
+        val sy = g.map(_._3).sum
+        val sn = g.map(_._4).sum
+        if (tDays < 2 || sy == 0L || sy == sn) Iterator.empty
+        else {
+          val p0 = sy.toDouble / sn.toDouble // exact IEEE division
+          val p1 = math.min(2.0 * p0, 0.999999999) // exact ×2
+          def cost(y: Long, n: Long, p: Double): Long =
+            math.floor(-(y * math.log(p) + (n - y) * math.log(1.0 - p)) * 1e6 + 0.5).toLong
+          val t01 = math.floor(math.log(tDays.toDouble) * 1e6 + 0.5).toLong
+          // forward DP with stored argmin choices
+          val choose0 = new Array[Int](tDays); val choose1 = new Array[Int](tDays)
+          var dp0 = cost(g(0)._3, g(0)._4, p0)
+          var dp1 = cost(g(0)._3, g(0)._4, p1) + t01
+          var d = 1
+          while (d < tDays) {
+            val c0 = cost(g(d)._3, g(d)._4, p0)
+            val c1 = cost(g(d)._3, g(d)._4, p1)
+            choose0(d) = if (dp1 < dp0) 1 else 0 // tie → 0
+            choose1(d) = if (dp0 + t01 < dp1) 0 else 1 // tie → stay
+            val n0 = math.min(dp0, dp1) + c0 // 1→0 is free
+            val n1 = math.min(dp0 + t01, dp1) + c1
+            dp0 = n0; dp1 = n1
+            d += 1
+          }
+          // backtrack, then number burst islands in day order
+          val states = new Array[Int](tDays)
+          states(tDays - 1) = if (dp1 < dp0) 1 else 0 // tie → 0
+          d = tDays - 1
+          while (d > 0) {
+            states(d - 1) = if (states(d) == 1) choose1(d) else choose0(d)
+            d -= 1
+          }
+          var bursts = 0L
+          val out = Seq.newBuilder[BurstRow]
+          d = 0
+          while (d < tDays) {
+            if (states(d) == 1 && (d == 0 || states(d - 1) == 0)) bursts += 1
+            out += BurstRow(etype, g(d)._2, g(d)._3, states(d).toLong,
+              if (states(d) == 1) bursts else 0L)
+            d += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+      .orderBy("event_type", "day")
+  }
+
+  def evtBursts(s: SparkSession, dir: String): DataFrame =
+    burstsFromDaily(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+
+  val evtBurstsSql: String = {
+    val c0 = "CAST(floor(-(b.y * ln(t.p0) + (b.n - b.y) * ln(1.0 - t.p0)) * 1e6 + 0.5) AS BIGINT)"
+    val c1 = "CAST(floor(-(b.y * ln(t.p1) + (b.n - b.y) * ln(1.0 - t.p1)) * 1e6 + 0.5) AS BIGINT)"
+    Tables.eventsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s"""
+         |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt
+         |            FROM ev GROUP BY 1, 2),
+         |totals AS (SELECT d, sum(cnt)::BIGINT AS n FROM daily GROUP BY 1),
+         |grid AS (
+         |  SELECT ty.event_type, tot.d, tot.n, coalesce(da.cnt, 0)::BIGINT AS y
+         |  FROM (SELECT DISTINCT event_type FROM daily) ty
+         |  CROSS JOIN totals tot
+         |  LEFT JOIN daily da ON da.event_type = ty.event_type AND da.d = tot.d),
+         |g AS (SELECT event_type, d, y, n,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+         |      FROM grid),
+         |ty AS (
+         |  SELECT event_type, count(*)::BIGINT AS tdays,
+         |    sum(y)::BIGINT AS sy, sum(n)::BIGINT AS sn,
+         |    (sum(y)::BIGINT)::DOUBLE / (sum(n)::BIGINT)::DOUBLE AS p0,
+         |    least(2.0 * ((sum(y)::BIGINT)::DOUBLE / (sum(n)::BIGINT)::DOUBLE), 0.999999999) AS p1,
+         |    CAST(floor(ln((count(*)::BIGINT)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS t01
+         |  FROM g GROUP BY 1
+         |  HAVING count(*) >= 2 AND sum(y) > 0 AND sum(y) < sum(n)),
+         |fwd AS (
+         |  SELECT b.event_type, b.rn, $c0 + 0 AS dp0, $c1 + t.t01 AS dp1,
+         |    0 AS choose0, 0 AS choose1
+         |  FROM g b JOIN ty t USING (event_type) WHERE b.rn = 1
+         |  UNION ALL
+         |  SELECT w.event_type, b.rn,
+         |    least(w.dp0, w.dp1) + $c0 AS dp0,
+         |    least(w.dp0 + t.t01, w.dp1) + $c1 AS dp1,
+         |    CASE WHEN w.dp1 < w.dp0 THEN 1 ELSE 0 END AS choose0,
+         |    CASE WHEN w.dp0 + t.t01 < w.dp1 THEN 0 ELSE 1 END AS choose1
+         |  FROM fwd w
+         |  JOIN g b ON b.event_type = w.event_type AND b.rn = w.rn + 1
+         |  JOIN ty t ON t.event_type = w.event_type),
+         |back AS (
+         |  SELECT f.event_type, f.rn,
+         |    CASE WHEN f.dp1 < f.dp0 THEN 1 ELSE 0 END AS state
+         |  FROM fwd f JOIN ty t USING (event_type) WHERE f.rn = t.tdays
+         |  UNION ALL
+         |  SELECT bk.event_type, bk.rn - 1,
+         |    CASE WHEN bk.state = 1 THEN f.choose1 ELSE f.choose0 END
+         |  FROM back bk JOIN fwd f ON f.event_type = bk.event_type AND f.rn = bk.rn
+         |  WHERE bk.rn > 1),
+         |st AS (
+         |  SELECT g.event_type, g.d, g.y, bk.state, g.rn,
+         |    CASE WHEN bk.state = 1
+         |           AND coalesce(lag(bk.state) OVER (PARTITION BY g.event_type ORDER BY g.rn), 0) = 0
+         |         THEN 1 ELSE 0 END AS opens
+         |  FROM g JOIN back bk ON bk.event_type = g.event_type AND bk.rn = g.rn)
+         |SELECT event_type, d::VARCHAR AS day, y,
+         |  state::BIGINT AS state,
+         |  (CASE WHEN state = 1 THEN sum(opens) OVER (
+         |     PARTITION BY event_type ORDER BY rn
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE 0 END)::BIGINT AS burst_id
+         |FROM st
+         |ORDER BY event_type, day""".stripMargin
+  }
+
   def evtForecast(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -4046,6 +4204,7 @@ object AnalyticsQueries {
     Q("q_evt_seasonal", evtSeasonal, Some(evtSeasonalSql)),
     Q("q_evt_stl", evtStl, Some(evtStlSql)),
     Q("q_evt_holtwinters", evtHoltWinters, Some(evtHoltWintersSql)),
+    Q("q_evt_bursts", evtBursts, Some(evtBurstsSql)),
     Q("q_evt_msprt", evtMsprt, Some(evtMsprtSql)),
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),

@@ -19,6 +19,42 @@ class AnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private def hashExchanges(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).size
 
+  test("burstsFromDaily: a sustained elevated run enters state 1 and islands number correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // type "b": 30 days at rate ~0.2 of the daily total, except days
+    // 11-20 elevated to ~0.5 — a 10-day burst the ln(30) entry cost
+    // amortizes easily; type "a" absorbs the complement so daily totals
+    // stay constant (p0 stays meaningful)
+    val rows = (1 to 30).flatMap { d =>
+      val day = f"2024-01-$d%02d"
+      val yb = if (d >= 11 && d <= 20) 500L else 200L
+      Seq(("b", day, yb), ("a", day, 1000L - yb))
+    }
+    val daily = rows.toDF("event_type", "d", "cnt")
+      .select(col("event_type"), col("d").cast("date"), col("cnt"))
+    val got = graft.queries.AnalyticsQueries.burstsFromDaily(daily)
+      .as[graft.queries.AnalyticsQueries.BurstRow].collect()
+      .filter(_.event_type == "b").sortBy(_.day)
+    val burstDays = got.filter(_.state == 1L).map(_.day).toSeq
+    assert(burstDays === (11 to 20).map(d => f"2024-01-$d%02d"),
+      s"expected the elevated run flagged, got: ${got.map(r => (r.day, r.state)).mkString(",")}")
+    assert(got.filter(_.state == 1L).map(_.burst_id).distinct.toSeq === Seq(1L))
+    assert(got.filter(_.state == 0L).forall(_.burst_id == 0L))
+    // two separated elevated runs get distinct island ids
+    val rows2 = (1 to 30).flatMap { d =>
+      val day = f"2024-01-$d%02d"
+      val yb = if ((d >= 5 && d <= 10) || (d >= 20 && d <= 26)) 500L else 200L
+      Seq(("b", day, yb), ("a", day, 1000L - yb))
+    }
+    val got2 = graft.queries.AnalyticsQueries.burstsFromDaily(
+      rows2.toDF("event_type", "d", "cnt")
+        .select(col("event_type"), col("d").cast("date"), col("cnt")))
+      .as[graft.queries.AnalyticsQueries.BurstRow].collect()
+      .filter(r => r.event_type == "b" && r.state == 1L)
+    assert(got2.map(_.burst_id).distinct.sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("q_evt_sessionize: ONE hash shuffle — the user_id window exchange feeds the session agg") {
     val p = planString("q_evt_sessionize")
     // groupBy(user_id, sess) is satisfied by the window's user_id

@@ -169,7 +169,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_ddl_roundtrip", // DDL route: empty source scan, zero-row INSERT, empty sink read-back
     "q_evt_holtwinters", // <14-day grid -> empty walk, no init moments
     "q_emb_knn_probe", // kNN over empty corpus -> empty votes/pred
-    "q_emb_modularity" // m=0 kNN graph -> empty moments, no 0/0 division evaluated
+    "q_emb_modularity", // m=0 kNN graph -> empty moments, no 0/0 division evaluated
+    "q_evt_bursts" // empty grid -> zero-moment types filtered, no ln(0)
   )
 
   test("representative queries survive a fully empty corpus (no driver-side empty-input crash)") {
