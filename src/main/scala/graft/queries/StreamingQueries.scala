@@ -2657,6 +2657,38 @@ object StreamingQueries {
       .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
   }
 
+  /** Kleinberg burst detection maintained on a stream: the additive
+    * (event_type, day, cnt) grid key-sum merges per batch (the
+    * [[streamHoltWinters]] posture); the Viterbi walk is
+    * whole-sequence-coupled, so the end-of-stream solve runs
+    * [[AnalyticsQueries.burstsFromDaily]] — trend monitoring is the
+    * automaton's production use. Oracle = the batch statement verbatim.
+    */
+  def streamBursts(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sburst",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def dailyOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sburst_store"))
+    store.init(dailyOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
+          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.burstsFromDaily(store.version(lastBatchId(srcDir))
+      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
+  }
+
   /** The always-valid sequential test maintained on a stream
     * ([[AnalyticsQueries.evtMsprt]] as the live experiment dashboard —
     * which is the mSPRT's entire reason to exist: the readout is
@@ -5376,6 +5408,7 @@ object StreamingQueries {
     Q("q_stream_stl", streamStl, Some(AnalyticsQueries.evtStlSql)),
     Q("q_stream_holtwinters", streamHoltWinters, Some(AnalyticsQueries.evtHoltWintersSql)),
     Q("q_stream_knn_probe", streamKnnProbe, Some(streamKnnProbeSql)),
+    Q("q_stream_bursts", streamBursts, Some(AnalyticsQueries.evtBurstsSql)),
     Q("q_stream_msprt", streamMsprt, Some(AnalyticsQueries.evtMsprtSql)),
     Q("q_stream_ate", streamAte, Some(AnalyticsQueries.evtAteSql)),
     Q("q_stream_qini", streamQini, Some(AnalyticsQueries.evtQiniSql)),
