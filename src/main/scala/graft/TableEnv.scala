@@ -54,7 +54,12 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     * everything else delegates to [[sqlQuery]].
     */
   def executeSql(sql: String): DataFrame =
-    if (DdlSql.isCreateTable(sql)) {
+    if (raw"(?is)^\s*EXPLAIN\s+".r.findFirstIn(sql).isDefined) {
+      // ref: TableEnvironment.explainSql / the EXPLAIN statement —
+      // returns the three-layer plan as a one-row result
+      import spark.implicits._
+      Seq(explainSql(sql.replaceFirst(raw"(?is)^\s*EXPLAIN\s+", ""))).toDF("plan")
+    } else if (DdlSql.isCreateTable(sql)) {
       val td = DdlSql.parseCreateTable(sql)
       ddlTables.update(td.name.toLowerCase, td)
       registerDdlView(td)

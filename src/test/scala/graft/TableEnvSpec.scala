@@ -283,6 +283,30 @@ class TableEnvSpec extends SparkSpec {
     assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_sink2").head().getLong(0) === 10L)
   }
 
+  test("executeSql DDL: csv and json formats round-trip; EXPLAIN statement returns the plan") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val outCsv = java.nio.file.Files.createTempDirectory("ddlspec-csv").toString
+    val outJson = java.nio.file.Files.createTempDirectory("ddlspec-json").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_csv (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$outCsv', 'format'='csv')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_json (k STRING, n BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$outJson', 'format'='json')""".stripMargin)
+    env.executeSql(
+      "INSERT INTO ddlspec_csv SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 1")
+    env.executeSql(
+      "INSERT INTO ddlspec_json SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 1")
+    val viaCsv = env.executeSql("SELECT k, n FROM ddlspec_csv ORDER BY k")
+    val viaJson = env.executeSql("SELECT k, n FROM ddlspec_json ORDER BY k")
+    assert(viaCsv.collect().toSeq === viaJson.collect().toSeq)
+    assert(viaCsv.count() === 5L)
+    assert(viaCsv.schema.map(_.dataType.typeName) === Seq("string", "long"))
+    val plan = env.executeSql("EXPLAIN SELECT count(*) FROM nation").head().getString(0)
+    assert(plan.contains("Physical Plan"))
+  }
+
   test("executeSql DDL: out-of-subset shapes fail loudly, never silently ignore") {
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     // unknown WITH option
