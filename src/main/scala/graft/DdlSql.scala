@@ -67,26 +67,10 @@ object DdlSql {
   def isInsert(sql: String): Boolean = InsertRx.pattern.matcher(sql).matches()
   def applies(sql: String): Boolean = isCreateTable(sql) || isCreateView(sql) || isInsert(sql)
 
-  /** Split on top-level commas — depth-0 w.r.t. parens, outside
-    * single-quoted literals — so `DECIMAL(38,0)` / `'a,b'` survive.
+  /** Top-level comma split ([[SqlLex.splitTopCommas]] — the shared
+    * quote/paren-aware lexer), so `DECIMAL(38,0)` / `'a,b'` survive.
     */
-  private def splitTop(s: String): Seq[String] = {
-    val out = scala.collection.mutable.Buffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0; var inStr = false
-    s.foreach { c =>
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => cur += c; inStr = true
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
-      }
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
-  }
+  private def splitTop(s: String): Seq[String] = SqlLex.splitTopCommas(s)
 
   /** Flink type name → Spark DDL type. Precision on TIMESTAMP is
     * documentation (Spark timestamps are fixed micros); VARCHAR/CHAR

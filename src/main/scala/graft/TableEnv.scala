@@ -134,12 +134,15 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     if (aligned.isStreaming) {
       require(!ins.overwrite, s"INSERT OVERWRITE ${ins.table}: streaming inserts append")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ddl-ckpt").toString
-      val q = aligned.writeStream.format(td.format)
+      var ws = aligned.writeStream.format(td.format)
         .outputMode("append")
         .option("path", td.path)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // the read path consumes csv with header=true — a headerless
+      // streamed file would lose its first data row there (r10 review)
+      if (td.format == "csv") ws = ws.option("header", "true")
+      val q = ws.start()
       q.awaitTermination()
     } else {
       var w = aligned.write.mode(if (ins.overwrite) "overwrite" else "append")

@@ -74,8 +74,10 @@ object TemporalSql {
         s"$fnName is not a registered temporal table function — register it with " +
           "createTemporalTableFunction(name, df, timeAttr, primaryKeys[, tieBreak]) " +
           "(the reference's Table.createTemporalTableFunction)"))
-      // split WHERE on top-level ANDs: pk equalities join, the rest pass through
-      val conjuncts = whereClause.split(raw"(?i)\s+AND\s+").toSeq
+      // split WHERE on top-level ANDs (literal- and paren-aware — an AND
+      // inside a string or a parenthesized disjunct is not a conjunct
+      // boundary): pk equalities join, the rest pass through
+      val conjuncts = SqlLex.splitTopAnd(whereClause)
       val (keyConjs, residual) = conjuncts.partition {
         case KeyPair(a1, c1, a2, c2) =>
           (a1.equalsIgnoreCase(verAlias) && a2.equalsIgnoreCase(probeAlias) &&
@@ -87,7 +89,7 @@ object TemporalSql {
       val keys = keyConjs.map {
         case KeyPair(a1, c1, _, c2) if a1.equalsIgnoreCase(verAlias) => (c1, c2)
         case KeyPair(_, c1, _, c2) => (c2, c1)
-      }
+      }.distinct // a repeated equality must not double-rename the key
       val missing = fn.primaryKeys.filterNot(pk => keys.exists(_._1.equalsIgnoreCase(pk)))
       require(missing.isEmpty,
         s"LATERAL TABLE ($fnName): WHERE must equate every declared primary key " +
@@ -105,9 +107,8 @@ object TemporalSql {
       val result = joined.filter(col(matched)).drop(matched)
       val view = s"__temporalfn_${probeTbl}_$fnName"
       result.createOrReplaceTempView(view)
-      val strip = (s: String) => s
-        .replaceAll(raw"(?i)\b${probeAlias}\.", "")
-        .replaceAll(raw"(?i)\b${verAlias}\.", "")
+      val strip = (s: String) =>
+        SqlLex.stripQualifiers(s, Seq(probeAlias, verAlias))
       val where = if (residual.isEmpty) "" else s" WHERE ${strip(residual.mkString(" AND "))}"
       spark.sql(s"SELECT ${strip(selectList)} FROM $view$where${strip(tail)}")
     case _ =>
@@ -139,8 +140,10 @@ object TemporalSql {
           s"$verTbl is not a declared versioned table — register it with " +
             "createVersionedView(name, df, versionTimeCol[, tieBreak]) first " +
             "(the reference's PRIMARY KEY + WATERMARK DDL)"))
-      // equi-key pairs, either orientation (v.k = p.k or p.k = v.k)
-      val keys = onClause.split(raw"(?i)\s+AND\s+").toSeq.map {
+      // equi-key pairs, either orientation (v.k = p.k or p.k = v.k);
+      // literal-aware split so an AND inside a string cannot shear a
+      // conjunct (same lexer as the WHERE route)
+      val keys = SqlLex.splitTopAnd(onClause).map {
         case KeyPair(a1, c1, a2, c2) if a1.equalsIgnoreCase(verAlias) && a2.equalsIgnoreCase(probeAlias) => (c1, c2)
         case KeyPair(a1, c1, a2, c2) if a1.equalsIgnoreCase(probeAlias) && a2.equalsIgnoreCase(verAlias) => (c2, c1)
         case other => throw new IllegalArgumentException(
@@ -164,9 +167,8 @@ object TemporalSql {
       result.createOrReplaceTempView(view)
       // the temporal join is resolved; the rest of the statement is
       // ordinary Catalyst SQL over the joined view
-      val strip = (s: String) => s
-        .replaceAll(raw"(?i)\b${probeAlias}\.", "")
-        .replaceAll(raw"(?i)\b${verAlias}\.", "")
+      val strip = (s: String) =>
+        SqlLex.stripQualifiers(s, Seq(probeAlias, verAlias))
       spark.sql(s"SELECT ${strip(selectList)} FROM $view${strip(tail)}")
     case _ =>
       throw new IllegalArgumentException(

@@ -559,9 +559,13 @@ object Similarity {
       .select(least(col("qid"), col("nid")).as("a"), greatest(col("qid"), col("nid")).as("b"))
       .distinct(), "knn_edges")
     val lbl = corpus.select(col("vec_id"), col("label"))
-    val el = edges
+    // staged: referenced by the count, the within rollup, and both
+    // degree legs — without the stage the label joins re-execute per
+    // reference (r10 review)
+    val el = Funnel.stage(edges
       .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
-      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b"),
+      "knn_labeled_edges")
     val m = el.count() // bounded scalar: |E| of the kNN graph
     val within = el.filter(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_within"))

@@ -3519,8 +3519,12 @@ object AnalyticsQueries {
   private[queries] def hwFromDaily(daily: DataFrame): DataFrame = {
     val sp = daily.sparkSession
     import sp.implicits._
+    // the numerator stays EXACT in Long (the oracle's BIGINT 2*num+den)
+    // and converts to double once, mirroring DuckDB's single
+    // int→double rounding point (r10 review: 2.0*num would round
+    // BEFORE the +den for counts past 2^52)
     def rh(num: Long, den: Long): Long =
-      math.floor((2.0 * num + den) / (2.0 * den)).toLong
+      math.floor((2L * num + den).toDouble / (2.0 * den)).toLong
     daily
       .select(col("event_type").cast("string"),
         col("d").cast("date").cast("string"), col("cnt").cast("long"))
@@ -3654,6 +3658,13 @@ object AnalyticsQueries {
         val sn = g.map(_._4).sum
         if (tDays < 2 || sy == 0L || sy == sn) Iterator.empty
         else {
+          // micro-nat DP bound: worst-case total cost ≈ sn·ln(1e9)·1e6;
+          // past this the Scala Long would SATURATE while the oracle's
+          // BIGINT cast ERRORS — fail loudly on both instead of
+          // diverging silently (r10 review)
+          require(sn <= 100000000000L,
+            s"burstsFromDaily($etype): ${sn} period events exceed the exact micro-nat " +
+              "DP range (1e11) — aggregate to a coarser grid or rescale counts")
           val p0 = sy.toDouble / sn.toDouble // exact IEEE division
           val p1 = math.min(2.0 * p0, 0.999999999) // exact ×2
           def cost(y: Long, n: Long, p: Double): Long =

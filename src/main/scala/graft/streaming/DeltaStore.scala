@@ -111,6 +111,7 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
     */
   def init(df: DataFrame, keyCol: String): Unit =
     graft.BenchMeters.fixture {
+      bucketCache.remove("init") // re-init overwrites the version dir
       df.limit(0).write.mode("overwrite").parquet(schemaPath)
       withBucket(df, keyCol).write.partitionBy("__b")
         .mode("overwrite").parquet(vPath("init"))
@@ -171,6 +172,10 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
     */
   def applyDelta(batchId: Long, delta: DataFrame, keyCol: String,
       groupCols: Seq[String], multCol: String): Unit = {
+    // a retry OVERWRITES this version directory: drop its cached bucket
+    // set first so the cache's immutability premise holds (r10 review —
+    // the cache must never serve a pre-retry bucket set)
+    bucketCache.remove(batchId.toString)
     val d = withBucket(delta, keyCol).localCheckpoint()
     val touched = d.select("__b").distinct().collect().map(_.getInt(0)).toSet
     val priorTouched = readOrEmpty(latestDirs(batchId - 1, Some(touched)))

@@ -151,6 +151,40 @@ class TableEnvSpec extends SparkSpec {
     assert(e3.getMessage.contains("probe side"))
   }
 
+  test("SqlLex.splitTopAnd: literal- and paren-aware conjunct boundaries") {
+    assert(SqlLex.splitTopAnd("a = 'x AND y' AND b = 1") ===
+      Seq("a = 'x AND y'", "b = 1"))
+    assert(SqlLex.splitTopAnd("(a AND b) AND c") === Seq("(a AND b)", "c"))
+    // boundary char straight after AND still participates in paren depth
+    assert(SqlLex.splitTopAnd("a = 1 AND(b = 2 AND c = 3)") ===
+      Seq("a = 1", "(b = 2 AND c = 3)"))
+    // word-bounded: column names containing "and" are not boundaries
+    assert(SqlLex.splitTopAnd("brand = 1 AND android = 2") ===
+      Seq("brand = 1", "android = 2"))
+    // the temporal-fn route must not shear a literal containing AND +
+    // a key-shaped fragment (the r10 review's corruption case)
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit("x AND r.user_id = p.user_id AND y").as("note"))
+      .createOrReplaceTempView("lex_p")
+    env.createTemporalTableFunction("lex_clicks",
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid")),
+      timeAttr = "cts", primaryKeys = Seq("user_id"), tieBreak = Some("cid"))
+    val out = env.sqlQuery(
+      """SELECT p.event_id, r.cid FROM lex_p p, LATERAL TABLE (lex_clicks(p.ts)) r
+        |WHERE r.user_id = p.user_id AND p.note = 'x AND r.user_id = p.user_id AND y'""".stripMargin)
+    // the literal predicate is TRUE for every row — the result must
+    // equal the unfiltered join, not a corrupted residual
+    val base = env.sqlQuery(
+      """SELECT p.event_id, r.cid FROM lex_p p, LATERAL TABLE (lex_clicks(p.ts)) r
+        |WHERE r.user_id = p.user_id""".stripMargin)
+    assert(out.count() === base.count())
+  }
+
   test("WindowTvfSql: rewrite shapes, reference arg order, cumulate validation") {
     assert(!WindowTvfSql.applies("SELECT window(ts, '1 hour') FROM t"))
     val t = WindowTvfSql.rewrite(
