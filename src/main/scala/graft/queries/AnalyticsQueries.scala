@@ -3516,7 +3516,7 @@ object AnalyticsQueries {
     * sequential walk runs inside flatMapGroups per type — the corpus
     * aggregates once, nothing driver-side, no unbounded state.
     */
-  private[queries] def hwFromDaily(daily: DataFrame): DataFrame = {
+  private[graft] def hwFromDaily(daily: DataFrame): DataFrame = {
     val sp = daily.sparkSession
     import sp.implicits._
     // the numerator stays EXACT in Long (the oracle's BIGINT 2*num+den)

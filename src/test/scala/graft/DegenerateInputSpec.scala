@@ -127,6 +127,49 @@ class DegenerateInputSpec extends SparkSpec {
       "a 1-point segment has zero OLS denominator: slope must be NULL")
   }
 
+  test("hwFromDaily: exactly 14 days walks the minimum window; 13 days emits nothing") {
+    import spark.implicits._
+    def daily(n: Int) = (1 to n).map(d => ("a", f"2024-01-$d%02d", 100L + d))
+      .toDF("event_type", "d", "cnt")
+      .select(col("event_type"), col("d").cast("date"), col("cnt"))
+    // 14 days: init uses both seasons, recursion re-walks days 8..14
+    assert(AnalyticsQueries.hwFromDaily(daily(14)).count() === 7L)
+    // 13 days: below the two-season init requirement -> empty, no crash
+    assert(AnalyticsQueries.hwFromDaily(daily(13)).count() === 0L)
+  }
+
+  test("burstsFromDaily: all-quiet and all-active types are filtered, not walked") {
+    import spark.implicits._
+    // type z never fires (sy = 0) and type w IS the whole stream
+    // (sy = sn after z contributes nothing) — both degenerate rates
+    // make ln(p) meaningless and must drop silently
+    val rows = (1 to 10).flatMap(d => Seq(
+      ("w", f"2024-01-$d%02d", 100L), ("z", f"2024-01-$d%02d", 0L)))
+    val out = AnalyticsQueries.burstsFromDaily(rows
+      .toDF("event_type", "d", "cnt")
+      .select(col("event_type"), col("d").cast("date"), col("cnt")))
+    assert(out.count() === 0L)
+  }
+
+  test("deltaTriggerWindow: a single element initializes but never fires") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Event]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds")
+    val out = graft.streaming.StreamingOps.deltaTriggerWindow[graft.streaming.Event, Long](
+      withWm, _.user_id, _.event_id, _.tsUs, _.value.toLong, threshold = 1L)
+    val q = out.writeStream.format("memory").queryName("degen_dtw").outputMode("append").start()
+    try {
+      input.addData(graft.streaming.Event(1L, new java.sql.Timestamp(10000L), 7L, "x", 5.0))
+      q.processAllAvailable()
+      input.addData(graft.streaming.Event(9L, new java.sql.Timestamp(120000L), 8L, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(graft.streaming.Event(10L, new java.sql.Timestamp(240000L), 8L, "x", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("degen_dtw").filter(col("key") === 7L).count() === 0L)
+    } finally q.stop()
+  }
+
   test("evtConformal: zero spend everywhere -> zero-width intervals with full coverage") {
     val rows = AnalyticsQueries.evtConformal(spark, acyclicDir).collect()
     val iW = rows.head.fieldIndex("half_width"); val iC = rows.head.fieldIndex("coverage")
