@@ -44,6 +44,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_hll_by_source", // per-source register rows (|sources|-bounded)
     "q_evt_wau_hll", // per-day register grid: |days| × 64 buckets, both bounded
     "q_evt_cms_window", // probe grid: |days| × 10 probe users, both bounded
+    "q_evt_bursts", // automaton grid: |types| × |days| daily-total cross, both bounded aggregates
     "q_doc_hybrid_rrf", // 1-row corpus stats for the BM25 leg
     "q_doc_prf", // 1-row corpus stats (both rounds) + 1-row expansion string
     "q_evt_qini", // 1-row decile bounds + 1-row curve endpoint broadcast
