@@ -54,11 +54,15 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     * everything else delegates to [[sqlQuery]].
     */
   def executeSql(sql: String): DataFrame =
-    if (raw"(?is)^\s*EXPLAIN\s+".r.findFirstIn(sql).isDefined) {
-      // ref: TableEnvironment.explainSql / the EXPLAIN statement —
-      // returns the three-layer plan as a one-row result
+    if (raw"(?is)^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?(?!EXTENDED\b|FORMATTED\b|CODEGEN\b|COST\b|ANALYZE\b)".r
+        .findFirstIn(sql).isDefined) {
+      // ref: TableEnvironment.explainSql / the EXPLAIN [PLAN FOR]
+      // statement — returns the three-layer plan as a one-row result.
+      // Spark's own EXPLAIN EXTENDED/FORMATTED/CODEGEN/COST modes fall
+      // through to sqlQuery untouched (they parsed before this route
+      // existed and must keep doing so — r10 review)
       import spark.implicits._
-      Seq(explainSql(sql.replaceFirst(raw"(?is)^\s*EXPLAIN\s+", ""))).toDF("plan")
+      Seq(explainSql(sql.replaceFirst(raw"(?is)^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?", ""))).toDF("plan")
     } else if (DdlSql.isCreateTable(sql)) {
       val td = DdlSql.parseCreateTable(sql)
       ddlTables.update(td.name.toLowerCase, td)

@@ -67,6 +67,15 @@ object TemporalSql {
       fns: String => Option[TemporalFn]): DataFrame = sql match {
     case FnStmt(selectList, probeTbl, probeAlias, fnName, tsAlias, probeTs,
         verAlias, whereClause, tail) =>
+      // the statement regex is literal-unaware: a clause keyword INSIDE
+      // a string can shear the match mid-literal — reject loudly (an
+      // odd dangling quote in any captured fragment) instead of letting
+      // the rewrites corrupt the literal (r10 review)
+      Seq(selectList, whereClause, tail).foreach(f =>
+        require(SqlLex.literalsClosed(f),
+          s"LATERAL TABLE statement: a string literal spans a clause boundary " +
+            s"(unclosed quote in fragment '${f.take(60)}…') — rephrase without " +
+            "clause keywords inside literals"))
       require(tsAlias.equalsIgnoreCase(probeAlias),
         s"LATERAL TABLE ($fnName($tsAlias.$probeTs)): the time argument must come " +
           s"from the probe side ($probeAlias)")
@@ -132,6 +141,11 @@ object TemporalSql {
       versionTime: String => Option[(String, Option[String])]): DataFrame = sql match {
     case Stmt(selectList, probeTbl, probeAlias, leftKw, verTbl, asOfAlias,
         probeTs, verAlias, onClause, tail) =>
+      Seq(selectList, onClause, tail).foreach(f =>
+        require(SqlLex.literalsClosed(f),
+          s"FOR SYSTEM_TIME statement: a string literal spans a clause boundary " +
+            s"(unclosed quote in fragment '${f.take(60)}…') — rephrase without " +
+            "clause keywords inside literals"))
       require(asOfAlias.equalsIgnoreCase(probeAlias),
         s"FOR SYSTEM_TIME AS OF $asOfAlias.$probeTs: the AS OF time must come " +
           s"from the probe side ($probeAlias)")

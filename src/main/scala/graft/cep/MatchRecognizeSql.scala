@@ -355,21 +355,12 @@ object MatchRecognizeSql {
     case other => other // = <> != are symmetric
   }
 
-  /** `true` at positions inside (or delimiting) a single-quoted string
-    * literal — the navigation-rewrite regexes must not fire there.
+  /** Literal positions (shared lexer, [[graft.SqlLex.inStringMask]] —
+    * single/double quotes + backslash escapes, Spark's default literal
+    * grammar): the navigation-rewrite regexes must not fire there.
     */
-  private def inStringMask(s: String): Array[Boolean] = {
-    val m = new Array[Boolean](s.length)
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { m(i) = true; if (c == '\'') inStr = false }
-      else if (c == '\'') { m(i) = true; inStr = true }
-      i += 1
-    }
-    m
-  }
+  private def inStringMask(s: String): Array[Boolean] =
+    graft.SqlLex.inStringMask(s)
 
   /** Split a DEFINE predicate on top-level ANDs (depth 0, outside
     * strings).

@@ -2535,15 +2535,21 @@ object StreamingQueries {
     * tail; the batch oracle pins merge ≡ one-shot exactly. State is
     * ≤ |types|·|days| rows — the report grid itself.
     */
-  def streamStl(s: SparkSession, dir: String): DataFrame = {
-    import graft.queries.{AnalyticsQueries => AQ}
+  /** Shared additive daily-grid maintainer: stage the 3-batch %3
+    * split, key-sum merge the (event_type, day) counts per batch on a
+    * VersionedStore, return the end-of-stream grid. The whole-sequence
+    * solvers (STL, Holt–Winters, bursts) all feed from this ONE loop —
+    * a merge-posture fix lands in every family member (r10 review:
+    * was three verbatim copies).
+    */
+  private def maintainDailyGrid(s: SparkSession, dir: String, name: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val srcDir = stageBatchFiles(dir, "sstl",
+    val srcDir = stageBatchFiles(dir, name,
       (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
     def dailyOf(df: DataFrame): DataFrame =
       df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("cnt"))
-    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sstl_store"))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, s"${name}_store"))
     store.init(dailyOf(ev.limit(0)))
     val q = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -2556,9 +2562,12 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.stlFromDaily(store.version(lastBatchId(srcDir))
-      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
+    store.version(lastBatchId(srcDir))
+      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt"))
   }
+
+  def streamStl(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.stlFromDaily(maintainDailyGrid(s, dir, "sstl"))
 
   /** Incremental kNN label classification on an embedding stream — the
     * production shape of [[graft.operators.Similarity.knnLabelProbe]]:
@@ -2632,30 +2641,8 @@ object StreamingQueries {
     * [[AnalyticsQueries.hwFromDaily]], the shared walk). Oracle = the
     * batch statement verbatim.
     */
-  def streamHoltWinters(s: SparkSession, dir: String): DataFrame = {
-    import graft.queries.{AnalyticsQueries => AQ}
-    val ev = Tables.events(s, dir)
-    val srcDir = stageBatchFiles(dir, "shw",
-      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
-    def dailyOf(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("cnt"))
-    val store = graft.streaming.VersionedStore(s, freshDir(dir, "shw_store"))
-    store.init(dailyOf(ev.limit(0)))
-    val q = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
-          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    AQ.hwFromDaily(store.version(lastBatchId(srcDir))
-      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
-  }
+  def streamHoltWinters(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.hwFromDaily(maintainDailyGrid(s, dir, "shw"))
 
   /** Kleinberg burst detection maintained on a stream: the additive
     * (event_type, day, cnt) grid key-sum merges per batch (the
@@ -2664,30 +2651,8 @@ object StreamingQueries {
     * [[AnalyticsQueries.burstsFromDaily]] — trend monitoring is the
     * automaton's production use. Oracle = the batch statement verbatim.
     */
-  def streamBursts(s: SparkSession, dir: String): DataFrame = {
-    import graft.queries.{AnalyticsQueries => AQ}
-    val ev = Tables.events(s, dir)
-    val srcDir = stageBatchFiles(dir, "sburst",
-      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
-    def dailyOf(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("cnt"))
-    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sburst_store"))
-    store.init(dailyOf(ev.limit(0)))
-    val q = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.write(batchId, store.prior(batchId).unionByName(dailyOf(batch))
-          .groupBy("event_type", "d").agg(sum("cnt").as("cnt")))
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    AQ.burstsFromDaily(store.version(lastBatchId(srcDir))
-      .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
-  }
+  def streamBursts(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.burstsFromDaily(maintainDailyGrid(s, dir, "sburst"))
 
   /** The always-valid sequential test maintained on a stream
     * ([[AnalyticsQueries.evtMsprt]] as the live experiment dashboard —
