@@ -15,6 +15,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private def planString(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("a DDL-declared table keeps pushdown and column pruning at the scan") {
+    // the DDL route registers Spark's own reader — a query over it must
+    // plan exactly like a native read: predicate pushed, schema pruned
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE plan_lineitem (
+         |  l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+         |  l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+         |  l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+         |  l_linestatus STRING, l_shipdate TIMESTAMP(3)
+         |) WITH ('connector'='filesystem', 'path'='$dir/lineitem.parquet',
+         |  'format'='parquet')""".stripMargin)
+    val p = env.sqlQuery(
+      """SELECT l_returnflag, count(*) AS n FROM plan_lineitem
+        |WHERE l_quantity > 30 GROUP BY l_returnflag""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"DDL-route scan lost predicate pushdown:\n$p")
+    assert("ReadSchema:[^\\n]*l_quantity".r.findFirstIn(p).isDefined &&
+      !"ReadSchema:[^\\n]*l_extendedprice".r.findFirstIn(p).isDefined,
+      s"DDL-route scan lost column pruning:\n$p")
+  }
+
   test("q_agg_pricing pushes the shipdate filter and prunes columns at the scan") {
     val p = planString("q_agg_pricing")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
