@@ -3523,6 +3523,38 @@ object PipelineQueries {
        |  round(sum(lam_nano)::BIGINT / 1e9, 6) AS logw
        |FROM src JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Effective sample size of the DSIR importance weights (Kong 1992's
+    * ESS = (Σw)²/Σw² — THE diagnostic practitioners report before
+    * trusting a reweighted corpus: ESS/n near 1 means the target
+    * barely reweights, near 0 means a handful of documents dominate
+    * and the resample will be degenerate). Weights exponentiate the
+    * oracled per-doc log-weights, quantize to integer micro-units
+    * BEFORE the cross-row sums (exact integer/decimal moments, one
+    * rounded division at emission — the registry's standard device).
+    */
+  def docDsirEss(s: SparkSession, dir: String): DataFrame = {
+    val wq = docDsir(s, dir)
+      .select(floor(exp(col("logw")) * 1e6 + 0.5).cast("decimal(38,0)").as("wq"))
+    wq.agg(
+        count(lit(1)).as("n"),
+        sum(col("wq")).as("sw"),
+        sum(col("wq") * col("wq")).as("sw2"))
+      .select(col("n").cast("long").as("n"),
+        round((col("sw") * col("sw")).cast("double") / col("sw2").cast("double"), 4).as("ess"),
+        round((col("sw") * col("sw")).cast("double") /
+          (col("sw2").cast("double") * col("n").cast("double")), 6).as("ess_frac"))
+  }
+
+  val docDsirEssSql: String =
+    s"""WITH w AS (
+       |  SELECT CAST(floor(exp(logw) * 1e6 + 0.5) AS DECIMAL(38,0)) AS wq
+       |  FROM (${docDsirSql.replace("ORDER BY doc_id", "")})
+       |)
+       |SELECT count(*)::BIGINT AS n,
+       |  round((sum(wq) * sum(wq))::DOUBLE / (sum(wq * wq))::DOUBLE, 4) AS ess,
+       |  round((sum(wq) * sum(wq))::DOUBLE / ((sum(wq * wq))::DOUBLE * count(*)::DOUBLE), 6) AS ess_frac
+       |FROM w""".stripMargin
+
   /** Winnowing (MOSS) duplicate-detection pairs at k=4, w=4 (see
     * [[graft.operators.Dedup.winnowPairs]]): guaranteed detection of
     * any shared ≥ 7-token run, ~4× fewer postings than the full
@@ -5263,6 +5295,7 @@ object PipelineQueries {
     Q("q_doc_mix_temperature", docMixTemperature, Some(docMixTemperatureSql)),
     Q("q_doc_vocab", docVocab, Some(docVocabSql)),
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
+    Q("q_doc_dsir_ess", docDsirEss, Some(docDsirEssSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),
