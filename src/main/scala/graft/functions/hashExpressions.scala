@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * and seconds at corpus scale. CodegenFallback is fine here: the cost
   * is per-document (coarse), not per-primitive-column.
   */
-private object SketchHashing {
+private[graft] object SketchHashing {
   /** Mersenne prime 2^31−1: keeps a·x+b inside 63 bits (overflow-free). */
   val P = 2147483647L
 

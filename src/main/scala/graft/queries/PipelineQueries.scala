@@ -1210,10 +1210,52 @@ object PipelineQueries {
        |FROM inter JOIN sz ca ON da = ca.doc_id JOIN sz cb ON db = cb.doc_id
        |WHERE i / (ca.sz + cb.sz - i) >= 0.9 ORDER BY da, db""".stripMargin
 
-  /** MinHash LSH near-dup pairs (no oracle: xxhash64-based). */
+  /** MinHash LSH near-dup pairs — the PRODUCTION xxhash64 config
+    * (8 bands × 8 rows, verify ≥ 0.85, hot-bucket cap 4096), oracled
+    * bit-for-bit: [[XxHash64Sql]] computes xxhash64 in DuckDB SQL, so
+    * the oracle replays token hashing → permutation minima (the same
+    * (a,b) constants, emitted as literals) → band slices → the
+    * hot-bucket cap → FIRST-MATCH-band emission (a pair whose earliest
+    * agreeing band sits in a dropped hot bucket is lost even if a later
+    * band survives — see Dedup.bandCandidates) → exact-Jaccard verify
+    * over the full-width token-hash sets.
+    */
   def docMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashPairs(Tables.documents(s, dir))
       .orderBy("da", "db")
+
+  val docMinHashSql: String = {
+    val P = 2147483647L
+    val (ca, cb) = graft.functions.SketchHashing.coeffs(64, 42L)
+    val sigCols = (0 until 64).map(i =>
+      s"min((${ca(i)}::BIGINT * xp + ${cb(i)}) % $P) AS s$i").mkString(",\n    ")
+    def sliceKey(j: Int) = (0 until 8).map(k => s"s${j * 8 + k}").mkString(" || ':' || ")
+    val bandRows = (0 until 8).map(j =>
+      s"SELECT doc_id, $j AS band, ${sliceKey(j)} AS skey FROM sigs").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok FROM docs),
+       |xxt AS (SELECT DISTINCT tok FROM dt),
+       |${XxHash64Sql.cte},
+       |dh AS (SELECT doc_id, dt.tok, xh, CASE WHEN xh % $P < 0 THEN xh % $P + $P ELSE xh % $P END AS xp
+       |       FROM dt JOIN xxhash ON dt.tok = xxhash.tok),
+       |sigs AS (SELECT doc_id, $sigCols FROM dh GROUP BY doc_id),
+       |sets AS (SELECT doc_id, count(DISTINCT xh) AS sz FROM dh GROUP BY doc_id),
+       |banded AS ($bandRows),
+       |hot AS (SELECT band, skey FROM banded GROUP BY band, skey HAVING count(*) > 4096),
+       |fmb AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, min(x.band) AS band, arg_min(x.skey, x.band) AS skey
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.skey = y.skey AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT da, db FROM fmb ANTI JOIN hot USING (band, skey)),
+       |inter AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM cand c JOIN dh a ON a.doc_id = c.da JOIN dh b ON b.doc_id = c.db AND b.xh = a.xh
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT da, db, i / (sa.sz + sb.sz - i) AS jacc
+       |  FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id)
+       |SELECT da, db, jacc FROM ver WHERE jacc >= 0.85 ORDER BY da, db""".stripMargin
+  }
 
   /** MinHash near-dup cluster keepers: (doc_id, keeper) with keeper the
     * min doc_id of the connected component over true-Jaccard ≥ 0.9
@@ -1502,13 +1544,37 @@ object PipelineQueries {
        |WHERE rn = 1 ORDER BY id""".stripMargin
   }
 
-  /** SimHash near-dup pairs (no oracle: xxhash64-based). maxHamming = 3
-    * keeps the 4×16-bit pigeonhole banding exact (valid for hamming ≤ 3;
-    * see Dedup.simHashPairs) — larger radii would need more chunks.
+  /** SimHash near-dup pairs — the PRODUCTION xxhash64 fingerprint,
+    * oracled bit-for-bit via [[XxHash64Sql]]: the oracle recomputes the
+    * per-token xxhash64, the 64 per-bit majority votes, the 4×16-bit
+    * pigeonhole chunk join, and the hamming ≤ 3 filter. maxHamming = 3
+    * keeps the banding exact (see Dedup.simHashPairs).
     */
   def docSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3)
       .orderBy("da", "db")
+
+  val docSimHashSql: String = {
+    val votes = (0 until 64).map { j =>
+      s"CASE WHEN sum(((xu >> $j) & 1)::BIGINT * 2 - 1) > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::UBIGINT ELSE 0::UBIGINT END AS b$j"
+    }.mkString(",\n  ")
+    val fp = (0 until 64).map(j => s"b$j").mkString(" | ")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok FROM docs),
+       |xxt AS (SELECT DISTINCT tok FROM dt),
+       |${XxHash64Sql.cte},
+       |dh AS (SELECT doc_id, xu FROM dt JOIN xxhash ON dt.tok = xxhash.tok),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |FROM dh GROUP BY doc_id),
+       |f AS (SELECT doc_id, $fp AS fp FROM v),
+       |ch AS (SELECT doc_id, fp, unnest(range(0, 4)) AS ci FROM f),
+       |chv AS (SELECT doc_id, fp, ci, (fp >> (16 * ci::INTEGER)) & 65535 AS cv FROM ch),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, a.fp AS fa, b.doc_id AS db, b.fp AS fb
+       |         FROM chv a JOIN chv b USING (ci, cv) WHERE a.doc_id < b.doc_id)
+       |SELECT da, db, bit_count(xor(fa, fb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
+  }
 
   /** Portable SimHash pairs — fully-oracled twin of `q_doc_simhash`
     * (see [[graft.operators.Dedup.simHashPairsPortable]]).
@@ -3555,6 +3621,130 @@ object PipelineQueries {
        |  round((sum(wq) * sum(wq))::DOUBLE / ((sum(wq * wq))::DOUBLE * count(*)::DOUBLE), 6) AS ess_frac
        |FROM w""".stripMargin
 
+  /** Good–Turing frequency-of-frequencies table (Good 1953; Gale &
+    * Sampson 1995's simple GT) — the vocabulary-coverage diagnostic an
+    * LM data pipeline reports before freezing a tokenizer: N₁/N is the
+    * probability the NEXT token is unseen (read it off the r=1 row's
+    * obs_share), and r* = (r+1)·N_{r+1}/N_r is the discounted count the
+    * smoothers (Katz, KN's cousin) assign to r-count types. Computed over
+    * BIGRAM types (where a real low-count tail lives, and where GT
+    * discounting is applied in an LM pipeline); state is the additive
+    * (bigram, count) vocab table — the [[docVocab]] /
+    * [[docJs jsCounts]] posture: bounded by VOCABULARY, not corpus —
+    * and the frequency-of-frequencies fold is a ≤15-row readout. Counts
+    * exact; the r-star and share columns are single divisions at emission. Count-gap rows
+    * (no types at r+1) emit r* = 0 — simple GT leaves them to the
+    * log-linear smoother by construction, recorded rather than faked.
+    */
+  def docGoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringFromCounts(gtBigramCounts(Tables.documents(s, dir)))
+
+  /** The additive (bigram, count) state table behind [[docGoodTuring]]. */
+  private[queries] def gtBigramCounts(docs: DataFrame): DataFrame =
+    docs.select(TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  private[queries] def goodTuringFromCounts(c: DataFrame): DataFrame = {
+    val nr = c.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = c.agg(sum("cnt").cast("long").as("n_tokens"))
+    val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    nr.join(nxt, Seq("r"), "left")
+      .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+      .filter(col("r") <= 15)
+      .crossJoin(broadcast(tot))
+      .select(col("r").cast("long").as("r"), col("n_r"),
+        ((col("r") + 1).cast("double") * col("n_r1") / col("n_r")).as("r_star"),
+        (col("r").cast("double") * col("n_r") / col("n_tokens")).as("obs_share"),
+        ((col("r") + 1).cast("double") * col("n_r1") / col("n_tokens")).as("gt_share"))
+      .orderBy("r")
+  }
+
+  val docGoodTuringSql: String =
+    s"""WITH d AS (SELECT string_split($normSql, ' ') AS t FROM documents),
+       |t AS (SELECT unnest(list_transform(range(1, len(t)),
+       |        i -> t[i] || ' ' || t[i + 1])) AS tok FROM d WHERE len(t) >= 2),
+       |c AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+       |nr AS (SELECT cnt AS r, count(*)::BIGINT AS n_r FROM c GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_tokens FROM c),
+       |j AS (SELECT a.r, a.n_r, coalesce(b.n_r, 0)::BIGINT AS n_r1
+       |      FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 WHERE a.r <= 15)
+       |SELECT r, n_r,
+       |  (r + 1)::DOUBLE * n_r1 / n_r AS r_star,
+       |  r::DOUBLE * n_r / n_tokens AS obs_share,
+       |  (r + 1)::DOUBLE * n_r1 / n_tokens AS gt_share
+       |FROM j, tot ORDER BY r""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic
+    * unsupervised keyword/keyphrase scorer: candidate phrases are the
+    * maximal stopword-free token runs, each word scores degree/freq
+    * over the doc's phrase co-occurrence graph, each phrase scores the
+    * sum of its member words. Top-3 phrases per document. Everything is
+    * per-document scan-stage work (tokenize → phrase segmentation by a
+    * running stopword count → two grouped folds) — no cross-document
+    * state at all, the embarrassingly-parallel shape. Word scores
+    * quantize to integer 1e-4 units BEFORE the phrase sum (a raw
+    * double Σ over member words would be addend-order-sensitive); ties
+    * break on the phrase text.
+    */
+  def docRake(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin(stops: _*).cast("long"))
+      .withColumn("pid", sum("stop").over(wDoc))
+      .filter(col("stop") === 0)
+    val phr = toks.groupBy("doc_id", "pid")
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val words = toks.join(phr, Seq("doc_id", "pid"))
+      .groupBy("doc_id", "tok")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("frq"))
+      .withColumn("score_u", floor(col("deg") * 10000L / col("frq")))
+    val scored = toks.join(words, Seq("doc_id", "tok"))
+      .groupBy("doc_id", "pid").agg(sum("score_u").as("psc"))
+      .join(phr, Seq("doc_id", "pid"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy(col("psc").desc, col("phrase").asc)
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        (col("psc").cast("double") / 10000L).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val docRakeSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |tk0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+       |tk AS (SELECT doc_id, (i - 1)::BIGINT AS pos, t[i::INTEGER] AS tok FROM tk0),
+       |fl AS (SELECT doc_id, pos, tok,
+       |         CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END AS stop
+       |       FROM tk),
+       |seg AS (SELECT doc_id, pos, tok, stop,
+       |          sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       |        FROM fl),
+       |kept AS (SELECT doc_id, pos, tok, pid FROM seg WHERE stop = 0),
+       |phr AS (SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |          count(*)::BIGINT AS plen
+       |        FROM kept GROUP BY 1, 2),
+       |words AS (SELECT k.doc_id, k.tok,
+       |            floor(sum(p.plen) * 10000 / count(*))::BIGINT AS score_u
+       |          FROM kept k JOIN phr p USING (doc_id, pid) GROUP BY 1, 2),
+       |psc AS (SELECT k.doc_id, k.pid, sum(w.score_u)::BIGINT AS psc
+       |        FROM kept k JOIN words w ON w.doc_id = k.doc_id AND w.tok = k.tok
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT p.doc_id, ph.phrase, p.psc,
+       |             row_number() OVER (PARTITION BY p.doc_id
+       |               ORDER BY p.psc DESC, ph.phrase ASC) AS rank
+       |           FROM psc p JOIN phr ph USING (doc_id, pid))
+       |SELECT doc_id, rank, phrase, psc::DOUBLE / 10000 AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Winnowing (MOSS) duplicate-detection pairs at k=4, w=4 (see
     * [[graft.operators.Dedup.winnowPairs]]): guaranteed detection of
     * any shared ≥ 7-token run, ~4× fewer postings than the full
@@ -5296,6 +5486,8 @@ object PipelineQueries {
     Q("q_doc_vocab", docVocab, Some(docVocabSql)),
     Q("q_doc_dsir", docDsir, Some(docDsirSql)),
     Q("q_doc_dsir_ess", docDsirEss, Some(docDsirEssSql)),
+    Q("q_doc_goodturing", docGoodTuring, Some(docGoodTuringSql)),
+    Q("q_doc_rake", docRake, Some(docRakeSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),
@@ -5338,13 +5530,13 @@ object PipelineQueries {
     Q("q_emb_gram", embGram, Some(embGramSql)),
     Q("q_doc_exact_dedup", docExactDedup, Some(docExactDedupSql)),
     Q("q_doc_jaccard", docJaccard, Some(docJaccardSql)),
-    Q("q_doc_minhash", docMinHash, None),
+    Q("q_doc_minhash", docMinHash, Some(docMinHashSql)),
     Q("q_doc_minhash_portable", docMinHashPortable, Some(docMinHashPortableSql)),
     Q("q_doc_minhash_recall", docMinhashRecall, Some(docMinhashRecallSql)),
     Q("q_doc_sample_weighted", docSampleWeighted, Some(docSampleWeightedSql)),
     Q("q_doc_minhash_est", docMinhashEst, Some(docMinhashEstSql)),
     Q("q_doc_minhash_keeper", docMinHashKeeper, Some(docMinHashKeeperSql)),
-    Q("q_doc_simhash", docSimHash, None),
+    Q("q_doc_simhash", docSimHash, Some(docSimHashSql)),
     Q("q_doc_simhash_portable", docSimHashPortable, Some(docSimHashPortableSql)),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_knn_probe", embKnnProbe, Some(embKnnProbeSql)),
