@@ -4194,6 +4194,433 @@ object AnalyticsQueries {
         |  END AS survival
         |FROM t ORDER BY dur""".stripMargin
 
+  // ------------------------------------------- rank stats / drift / privacy
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test, purchase vs
+    * click `value` — the NONPARAMETRIC member of the A/B family
+    * (KS/chi²/msprt/bootstrap already here): no normality assumption on
+    * the metric, which is the test of record for heavy-tailed revenue
+    * metrics. Computed from the SAME deci-bucket bin table as
+    * [[evtKs]] (midranks over bins — binning IS the tie structure), so
+    * the state is purely additive: ≤4901 (bin, c1, c2) rows at any
+    * scale, and the streaming maintainer sum-merges then reuses this
+    * tail verbatim. Exactness: 2·R₁ = Σ c1·(2·cumBefore + ct + 1) and
+    * the tie term Σ(ct³−ct) accumulate in DECIMAL(38,0) (exact at any
+    * row count); the only floats are the final U/z emission — identical
+    * IEEE chains on both engines.
+    */
+  def evtMannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyFromBins(ksBins(Tables.events(s, dir)))
+
+  private[queries] def mannWhitneyFromBins(bins: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val wi = bins
+      .select(col("b"), col("c1"), col("c2"), (col("c1") + col("c2")).as("ct"))
+      .withColumn("cumb", coalesce(sum("ct").over(wb), lit(0L)))
+    wi.agg(
+        sum("c1").cast("long").as("n1"),
+        sum("c2").cast("long").as("n2"),
+        sum(col("c1").cast(d) * (col("cumb").cast(d) * 2 + col("ct") + 1)).as("r2x"),
+        sum(col("ct").cast(d) * col("ct") * col("ct") - col("ct").cast(d)).as("tie3"))
+      .select(col("n1"), col("n2"),
+        ((col("r2x") - col("n1").cast(d) * (col("n1") + 1).cast(d)).cast("double") / 2).as("u1"),
+        col("tie3").cast("double").as("tie3d"),
+        (col("n1") + col("n2")).cast("double").as("nd"),
+        col("n1").cast("double").as("n1d"), col("n2").cast("double").as("n2d"))
+      .select(col("n1"), col("n2"), col("u1"),
+        ((col("u1") - col("n1d") * col("n2d") / 2)
+          / sqrt(col("n1d") * col("n2d") / 12
+            * ((col("nd") + 1) - col("tie3d") / (col("nd") * (col("nd") - 1))))).as("z"))
+      .withColumn("reject", abs(col("z")) > 1.96)
+      .orderBy("n1")
+  }
+
+  val evtMannWhitneySql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b
+        |         FROM ev WHERE event_type IN ('purchase', 'click')),
+        |bins AS (SELECT b,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |         FROM fl GROUP BY b),
+        |wi AS (SELECT b, c1, c2, c1 + c2 AS ct,
+        |         coalesce(sum(c1 + c2) OVER (ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |       FROM bins),
+        |agg AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+        |          sum(c1::HUGEINT * (cumb::HUGEINT * 2 + ct + 1)) AS r2x,
+        |          sum(ct::HUGEINT * ct * ct - ct::HUGEINT) AS tie3
+        |        FROM wi),
+        |uz AS (SELECT n1, n2,
+        |         (r2x - n1::HUGEINT * (n1 + 1))::DOUBLE / 2 AS u1,
+        |         tie3::DOUBLE AS tie3d, (n1 + n2)::DOUBLE AS nd,
+        |         n1::DOUBLE AS n1d, n2::DOUBLE AS n2d
+        |       FROM agg)
+        |SELECT n1, n2, u1,
+        |  (u1 - n1d * n2d / 2)
+        |    / sqrt(n1d * n2d / 12 * ((nd + 1) - tie3d / (nd * (nd - 1)))) AS z,
+        |  abs((u1 - n1d * n2d / 2)
+        |    / sqrt(n1d * n2d / 12 * ((nd + 1) - tie3d / (nd * (nd - 1))))) > 1.96 AS reject
+        |FROM uz ORDER BY n1""".stripMargin
+
+  /** The per-type daily (count, value-cents) grid — the shared additive
+    * state for the rank-correlation pair and Page–Hinkley below. Cents
+    * (round(value·100) summed as BIGINT) keep the per-day value total
+    * EXACT — a raw double sum would be addend-order-sensitive across
+    * engines.
+    */
+  private[queries] def dailyCents(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+
+  private val dailyCentsSql: String =
+    """
+      |, daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS cnt,
+      |              sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      |            FROM ev GROUP BY 1, 2)""".stripMargin
+
+  /** Spearman rank correlation between daily event count and daily
+    * value total, per event type — "does volume co-move with spend"
+    * asked robustly (monotone association, outlier-immune; the
+    * time-series complement of [[evtAgg corr]]'s Pearson). Midranks via
+    * 2·r = 2·rank + ties − 1 (integer), all moments exact in
+    * DECIMAL(38,0) on the BOUNDED daily grid; ρ is two integer→double
+    * casts and one division. All-tied series emit NULL (denominator 0)
+    * rather than a fake 0.
+    */
+  def evtSpearman(s: SparkSession, dir: String): DataFrame =
+    spearmanFromDaily(dailyCents(Tables.events(s, dir)))
+
+  private[queries] def spearmanFromDaily(daily: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    def r2(c: String) =
+      (rank().over(Window.partitionBy("event_type").orderBy(c)).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy("event_type", c)) - 1)
+    val ranked = daily.select(col("event_type"),
+      r2("cnt").as("rx"), r2("cents").as("ry"))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(d) * col("ry")).as("sxy"),
+        sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
+        sum(col("rx").cast(d) * col("rx")).as("sxx"),
+        sum(col("ry").cast(d) * col("ry")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0))).as("rho"))
+      .orderBy("event_type")
+  }
+
+  val evtSpearmanSql: String =
+    Tables.eventsCte + dailyCentsSql +
+      """
+        |, ranked AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY event_type, cnt) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY event_type, cents) - 1 AS ry
+        |  FROM daily),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(rx::HUGEINT * ry) AS sxy, sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+        |        sum(rx::HUGEINT * rx) AS sxx, sum(ry::HUGEINT * ry) AS syy
+        |      FROM ranked GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  (n * sxy - sx * sy)::DOUBLE
+        |    / nullif(sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE), 0.0) AS rho
+        |FROM m ORDER BY event_type""".stripMargin
+
+  /** Kendall τ-b over the same daily (count, cents) series — the
+    * concordance-based rank correlation (preferred over Spearman when
+    * the grid is short or tie-heavy; its pairwise definition is also
+    * the one that generalizes to top-k list agreement). The O(days²)
+    * self-join is on the BOUNDED per-type daily grid (days grow with
+    * calendar time, not data volume — the [[evtBinseg]] argument), so
+    * the pair blast radius is fixed at any SF. Counts exact in BIGINT;
+    * τ-b = (C−D)/√((C+D+Tx)(C+D+Ty)) with NULL on degenerate factors.
+    */
+  def evtKendall(s: SparkSession, dir: String): DataFrame =
+    kendallFromDaily(dailyCents(Tables.events(s, dir)))
+
+  private[queries] def kendallFromDaily(daily0: DataFrame): DataFrame = {
+    val daily = Funnel.stage(daily0)
+    val a = daily.select(col("event_type"), col("d").as("da"),
+      col("cnt").as("xa"), col("cents").as("ya"))
+    val b = daily.select(col("event_type"), col("d").as("db"),
+      col("cnt").as("xb"), col("cents").as("yb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    pairs.groupBy("event_type")
+      .agg(
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb"))
+          || (col("xa") > col("xb") && col("ya") > col("yb")), 1L).otherwise(0L)).as("nc"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb"))
+          || (col("xa") > col("xb") && col("ya") < col("yb")), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L).otherwise(0L)).as("ty"))
+      .join(nDays, "event_type")
+      .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+        col("nc"), col("nd"),
+        ((col("nc") - col("nd")).cast("double")
+          / nullif(sqrt((col("nc") + col("nd") + col("tx")).cast("double"))
+            * sqrt((col("nc") + col("nd") + col("ty")).cast("double")), lit(0.0))).as("tau"))
+      .orderBy("event_type")
+  }
+
+  val evtKendallSql: String =
+    Tables.eventsCte + dailyCentsSql +
+      """
+        |, pr AS (SELECT a.event_type,
+        |           a.cnt AS xa, a.cents AS ya, b.cnt AS xb, b.cents AS yb
+        |         FROM daily a JOIN daily b
+        |           ON a.event_type = b.event_type AND a.d < b.d),
+        |m AS (SELECT event_type,
+        |        sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |        sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)::BIGINT AS nd,
+        |        sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)::BIGINT AS tx,
+        |        sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)::BIGINT AS ty
+        |      FROM pr GROUP BY 1),
+        |nn AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, nc, nd,
+        |  (nc - nd)::DOUBLE
+        |    / nullif(sqrt((nc + nd + tx)::DOUBLE) * sqrt((nc + nd + ty)::DOUBLE), 0.0) AS tau
+        |FROM m JOIN nn USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** t-closeness audit (Li 2007) — the third leg of the privacy-audit
+    * family ([[evtKanon]] k-anonymity, [[evtLdiv]] l-diversity): per
+    * QI group, the distance between the group's sensitive-attribute
+    * distribution and the GLOBAL distribution. Categorical sensitive
+    * attribute (the user's favorite event type, as in l-diversity), so
+    * the equal-ground-distance EMD reduces to total variation:
+    * t = ½·Σ¦p−q¦, computed exactly as Σ¦c·N − C·n¦ in DECIMAL(38,0)
+    * over the SAME two additive state tables as k-anonymity, with one
+    * double division at emission. Missing classes matter (a group
+    * missing a globally-common class is skewed): the group×class frame
+    * is the cross of the two bounded dimension sets, zero-filled.
+    */
+  def evtTclose(s: SparkSession, dir: String): DataFrame = {
+    val base = Funnel.stage(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
+    tcloseSolve(
+      base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
+      base.select("user_id", "d").distinct())
+  }
+
+  private[queries] def tcloseSolve(tc: DataFrame, days: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val prof = kanonProfiles(tc, days) // (user_id, activity_bucket, days_bucket, fav)
+    val grpCls = prof.groupBy("activity_bucket", "days_bucket", "fav")
+      .agg(count(lit(1)).as("c"))
+    val grp = grpCls.groupBy("activity_bucket", "days_bucket")
+      .agg(sum("c").cast("long").as("n"))
+    val cls = grpCls.groupBy("fav").agg(sum("c").cast("long").as("cg"))
+    val tot = cls.agg(sum("cg").cast("long").as("nt"))
+    val frame = grp.crossJoin(broadcast(cls)).crossJoin(broadcast(tot))
+      .join(grpCls, Seq("activity_bucket", "days_bucket", "fav"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    frame.groupBy("activity_bucket", "days_bucket", "n", "nt")
+      .agg(sum(abs(col("c0").cast(d) * col("nt") - col("cg").cast(d) * col("n"))).as("dev"))
+      .select(col("activity_bucket").cast("long").as("activity_bucket"),
+        col("days_bucket").cast("long").as("days_bucket"),
+        col("n").as("n_users"),
+        (col("dev").cast("double")
+          / (col("n").cast("double") * col("nt").cast("double") * 2)).as("t_dist"))
+      .withColumn("violates", col("t_dist") > 0.25)
+      .orderBy("activity_bucket", "days_bucket")
+  }
+
+  val evtTcloseSql: String =
+    Tables.eventsCte +
+      """
+        |, b AS (SELECT user_id, ts::DATE AS d, event_type FROM ev),
+        |prof AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |           count(DISTINCT d)::BIGINT AS n_days FROM b GROUP BY 1),
+        |fc AS (SELECT user_id, event_type, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |fav AS (SELECT user_id, event_type AS fav FROM (
+        |          SELECT user_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY cnt DESC, event_type ASC) AS rn
+        |          FROM fc) WHERE rn = 1),
+        |qi AS (SELECT least(n_events // 10, 9)::BIGINT AS activity_bucket,
+        |         (n_days // 5)::BIGINT AS days_bucket, fav
+        |       FROM prof JOIN fav USING (user_id)),
+        |gc AS (SELECT activity_bucket, days_bucket, fav, count(*)::BIGINT AS c
+        |       FROM qi GROUP BY 1, 2, 3),
+        |g AS (SELECT activity_bucket, days_bucket, sum(c)::BIGINT AS n FROM gc GROUP BY 1, 2),
+        |cl AS (SELECT fav, sum(c)::BIGINT AS cg FROM gc GROUP BY 1),
+        |tt AS (SELECT sum(cg)::BIGINT AS nt FROM cl),
+        |fr AS (SELECT g.activity_bucket, g.days_bucket, g.n, cl.fav, cl.cg, tt.nt,
+        |         coalesce(gc.c, 0)::BIGINT AS c0
+        |       FROM g CROSS JOIN cl CROSS JOIN tt
+        |       LEFT JOIN gc ON gc.activity_bucket = g.activity_bucket
+        |         AND gc.days_bucket = g.days_bucket AND gc.fav = cl.fav)
+        |SELECT activity_bucket, days_bucket, n AS n_users,
+        |  sum(abs(c0::HUGEINT * nt - cg::HUGEINT * n))::DOUBLE
+        |    / (n::DOUBLE * nt::DOUBLE * 2) AS t_dist,
+        |  sum(abs(c0::HUGEINT * nt - cg::HUGEINT * n))::DOUBLE
+        |    / (n::DOUBLE * nt::DOUBLE * 2) > 0.25 AS violates
+        |FROM fr GROUP BY 1, 2, 3, nt
+        |ORDER BY activity_bucket, days_bucket""".stripMargin
+
+  /** Page–Hinkley drift detection (Page 1954; the standard online
+    * mean-shift alarm in the stream-mining literature — MOA/River ship
+    * it) over the per-type daily mean value: PH_t = c_t − min_{i≤t} c_i
+    * with c_t = Σ_{i≤t}(m_i − m̄_i − δ), alarm when PH_t > λ. Unlike
+    * [[evtCusum]]'s fixed reference mean, the Page–Hinkley reference is
+    * the RUNNING mean — no training window needed, which is why it is
+    * the default drift detector for unattended pipelines. Pure window
+    * functions on the bounded daily grid (running Σm, running Σm̄,
+    * running min — no recursion); daily means are exact rationals
+    * (cents/cnt), and every running double sum accumulates in the same
+    * row order on both engines.
+    */
+  def evtPageHinkley(s: SparkSession, dir: String): DataFrame =
+    pageHinkleyFromDaily(dailyCents(Tables.events(s, dir)))
+
+  private[queries] def pageHinkleyFromDaily(daily: DataFrame): DataFrame = {
+    val (delta, lambda) = (0.0, 10.0)
+    val wIdx = Window.partitionBy("event_type").orderBy("d")
+    val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("m", col("cents").cast("double") / col("cnt").cast("double"))
+      .withColumn("i", row_number().over(wIdx).cast("long"))
+      .withColumn("avg_i", sum("m").over(wCum) / col("i"))
+      .withColumn("c", sum("m").over(wCum) - sum("avg_i").over(wCum) - col("i") * delta)
+      .withColumn("ph", col("c") - min("c").over(wCum))
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        col("m"), col("ph"), (col("ph") > lambda).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  val evtPageHinkleySql: String =
+    Tables.eventsCte + dailyCentsSql +
+      """
+        |, g1 AS (SELECT event_type, d, cents::DOUBLE / cnt::DOUBLE AS m,
+        |           (row_number() OVER w)::BIGINT AS i,
+        |           sum(cents::DOUBLE / cnt::DOUBLE) OVER (PARTITION BY event_type ORDER BY d
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |g2 AS (SELECT event_type, d, m, i, cm, cm / i AS avg_i FROM g1),
+        |g3 AS (SELECT event_type, d, m, i, cm,
+        |         sum(avg_i) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa
+        |       FROM g2),
+        |g4 AS (SELECT event_type, d, m, cm - sa - i * 0.0 AS c FROM g3),
+        |g5 AS (SELECT event_type, d, m, c,
+        |         c - min(c) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |       FROM g4)
+        |SELECT event_type, d::VARCHAR AS day, m, ph, ph > 10.0 AS alarm
+        |FROM g5 ORDER BY event_type, day""".stripMargin
+
+  /** Granger causality at lag 1 between the daily click and purchase
+    * count series (Granger 1969): does yesterday's X volume improve the
+    * prediction of today's Y beyond Y's own yesterday? F-test of the
+    * unrestricted AR-X regression y_t ~ 1 + y_{t−1} + x_{t−1} against
+    * the restricted y_t ~ 1 + y_{t−1}, BOTH directions emitted — the
+    * standard lead-lag screen before anyone claims "clicks drive
+    * purchases". All raw and cross moments accumulate EXACTLY in
+    * DECIMAL(38,0) over the bounded daily grid; the n-scaled central
+    * moments (n·Σuv − Σu·Σv, homogeneous in the F ratio) convert to
+    * double once, and the Cramer-rule solve + RSS algebra is the same
+    * IEEE chain on both engines. Degenerate series (constant regressor
+    * ⇒ singular normal equations) emit NULL via the 0-denominator
+    * guard. reject uses F₀.₀₅(1, 27) ≈ 4.21 — α = 0.05 at the fixture's
+    * ~30-day grid; re-tune for longer horizons.
+    */
+  def evtGranger(s: SparkSession, dir: String): DataFrame =
+    grangerFromDaily(grangerDaily(Tables.events(s, dir)))
+
+  /** The additive per-day (click count, purchase count) grid. */
+  private[queries] def grangerDaily(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yp"))
+
+  private[queries] def grangerFromDaily(daily: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val wd = Window.orderBy("d")
+    val lagged = Funnel.stage(daily
+      .select(col("d"), col("xc"), col("yp"),
+        lag("xc", 1).over(wd).as("xl"), lag("yp", 1).over(wd).as("yl"))
+      .filter(col("xl").isNotNull))
+    def direction(name: String, y: Column, u: Column, v: Column): DataFrame =
+      lagged
+        .agg(count(lit(1)).as("n"),
+          sum(u.cast(d)).as("su"), sum(v.cast(d)).as("sv"), sum(y.cast(d)).as("sy"),
+          sum(u.cast(d) * u.cast(d)).as("suu"), sum(v.cast(d) * v.cast(d)).as("svv"),
+          sum(u.cast(d) * v.cast(d)).as("suv"),
+          sum(u.cast(d) * y.cast(d)).as("suy"), sum(v.cast(d) * y.cast(d)).as("svy"),
+          sum(y.cast(d) * y.cast(d)).as("syy"))
+        .select(lit(name).as("direction"), col("n").cast("long").as("n"),
+          (col("n") * col("suu") - col("su") * col("su")).cast("double").as("cuu"),
+          (col("n") * col("svv") - col("sv") * col("sv")).cast("double").as("cvv"),
+          (col("n") * col("suv") - col("su") * col("sv")).cast("double").as("cuv"),
+          (col("n") * col("suy") - col("su") * col("sy")).cast("double").as("cuy"),
+          (col("n") * col("svy") - col("sv") * col("sy")).cast("double").as("cvy"),
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("cyy"))
+        .select(col("direction"), col("n"),
+          (col("cuu") * col("cvv") - col("cuv") * col("cuv")).as("det"),
+          col("cuu"), col("cuy"), col("cvy"), col("cuv"), col("cvv"), col("cyy"))
+        .select(col("direction"), col("n"),
+          ((col("cuy") * col("cvv") - col("cvy") * col("cuv")) / nullif(col("det"), lit(0.0))).as("b1"),
+          ((col("cvy") * col("cuu") - col("cuy") * col("cuv")) / nullif(col("det"), lit(0.0))).as("b2"),
+          col("cuu"), col("cuy"), col("cvy"), col("cyy"))
+        .select(col("direction"), col("n"),
+          (col("cyy") - col("b1") * col("cuy") - col("b2") * col("cvy")).as("rss_u"),
+          (col("cyy") - col("cuy") * col("cuy") / nullif(col("cuu"), lit(0.0))).as("rss_r"))
+        .select(col("direction"), col("n"),
+          ((col("rss_r") - col("rss_u")) * (col("n") - 3)
+            / nullif(col("rss_u"), lit(0.0))).as("f_stat"))
+        .withColumn("reject", col("f_stat") > 4.21)
+    direction("click->purchase", col("yp"), col("yl"), col("xl"))
+      .unionByName(direction("purchase->click", col("xc"), col("xl"), col("yl")))
+      .orderBy("direction")
+  }
+
+  val evtGrangerSql: String =
+    Tables.eventsCte +
+      """
+        |, daily AS (SELECT ts::DATE AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS xc,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS yp
+        |  FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |lagged AS (SELECT * FROM (
+        |    SELECT d, xc, yp, lag(xc) OVER (ORDER BY d) AS xl,
+        |      lag(yp) OVER (ORDER BY d) AS yl FROM daily)
+        |  WHERE xl IS NOT NULL),
+        |dirs AS (
+        |  SELECT 'click->purchase' AS direction, yp AS y, yl AS u, xl AS v FROM lagged
+        |  UNION ALL
+        |  SELECT 'purchase->click' AS direction, xc AS y, xl AS u, yl AS v FROM lagged),
+        |m AS (SELECT direction, count(*)::BIGINT AS n,
+        |        sum(u::HUGEINT) AS su, sum(v::HUGEINT) AS sv, sum(y::HUGEINT) AS sy,
+        |        sum(u::HUGEINT * u) AS suu, sum(v::HUGEINT * v) AS svv,
+        |        sum(u::HUGEINT * v) AS suv,
+        |        sum(u::HUGEINT * y) AS suy, sum(v::HUGEINT * y) AS svy,
+        |        sum(y::HUGEINT * y) AS syy
+        |      FROM dirs GROUP BY 1),
+        |cmom AS (SELECT direction, n,
+        |           (n * suu - su * su)::DOUBLE AS cuu, (n * svv - sv * sv)::DOUBLE AS cvv,
+        |           (n * suv - su * sv)::DOUBLE AS cuv, (n * suy - su * sy)::DOUBLE AS cuy,
+        |           (n * svy - sv * sy)::DOUBLE AS cvy, (n * syy - sy * sy)::DOUBLE AS cyy
+        |         FROM m),
+        |coefs AS (SELECT direction, n, cuu, cuy, cvy, cyy,
+        |            (cuy * cvv - cvy * cuv) / nullif(cuu * cvv - cuv * cuv, 0.0) AS b1,
+        |            (cvy * cuu - cuy * cuv) / nullif(cuu * cvv - cuv * cuv, 0.0) AS b2
+        |          FROM cmom),
+        |rss AS (SELECT direction, n,
+        |          cyy - b1 * cuy - b2 * cvy AS rss_u,
+        |          cyy - cuy * cuy / nullif(cuu, 0.0) AS rss_r
+        |        FROM coefs)
+        |SELECT direction, n,
+        |  (rss_r - rss_u) * (n - 3) / nullif(rss_u, 0.0) AS f_stat,
+        |  (rss_r - rss_u) * (n - 3) / nullif(rss_u, 0.0) > 4.21 AS reject
+        |FROM rss ORDER BY direction""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
@@ -4220,6 +4647,12 @@ object AnalyticsQueries {
     Q("q_evt_forecast", evtForecast, Some(evtForecastSql)),
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
+    Q("q_evt_mannwhitney", evtMannWhitney, Some(evtMannWhitneySql)),
+    Q("q_evt_spearman", evtSpearman, Some(evtSpearmanSql)),
+    Q("q_evt_kendall", evtKendall, Some(evtKendallSql)),
+    Q("q_evt_tclose", evtTclose, Some(evtTcloseSql)),
+    Q("q_evt_pagehinkley", evtPageHinkley, Some(evtPageHinkleySql)),
+    Q("q_evt_granger", evtGranger, Some(evtGrangerSql)),
     Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
     Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),

@@ -3470,6 +3470,166 @@ object StreamingQueries {
     AQ.ksFromBins(store.version(lastBatchId(srcDir)))
   }
 
+  /** Streaming Mann–Whitney maintainer: the SAME ≤4901-row deci-bucket
+    * bin table as [[streamKs]] (one state serves both tests), sum-merged
+    * per batch; end of stream runs the rank-sum tail over the final
+    * bins — U and z are functions of the bin table alone, so the
+    * maintained readout is bit-identical to the batch query and the
+    * batch oracle applies verbatim.
+    */
+  def streamMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "smw",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "smw_store"))
+    store.init(AQ.ksBins(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.ksBins(batch))
+            .groupBy("b").agg(sum("c1").as("c1"), sum("c2").as("c2")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.mannWhitneyFromBins(store.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming maintainer for the per-type daily (count, cents) grid —
+    * the shared additive state behind the Spearman rank correlation and
+    * the Page–Hinkley drift walk (and Kendall, whose twin this also
+    * covers: identical state, different bounded tail). Per batch:
+    * sum-merge (event_type, d) partials; end of stream: the batch tail
+    * over the final grid, oracled by the batch SQL verbatim.
+    */
+  private def dailyCentsMaintained(s: SparkSession, dir: String, tag: String)(
+      tail: DataFrame => DataFrame): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, tag,
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, s"${tag}_store"))
+    store.init(AQ.dailyCents(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.dailyCents(batch))
+            .groupBy("event_type", "d")
+            .agg(sum("cnt").as("cnt"), sum("cents").as("cents")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tail(store.version(lastBatchId(srcDir)))
+  }
+
+  def streamSpearman(s: SparkSession, dir: String): DataFrame =
+    dailyCentsMaintained(s, dir, "ssprm")(
+      graft.queries.AnalyticsQueries.spearmanFromDaily)
+
+  def streamPageHinkley(s: SparkSession, dir: String): DataFrame =
+    dailyCentsMaintained(s, dir, "sph")(
+      graft.queries.AnalyticsQueries.pageHinkleyFromDaily)
+
+  /** Streaming t-closeness audit: the two additive k-anonymity state
+    * tables ([[streamKanon]] — per-user type counts + day presence)
+    * maintained identically, with the t-closeness tail over the final
+    * state. One state posture serves the whole privacy-audit family.
+    */
+  def streamTclose(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "stcl",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    def tcOf(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("event_type"))
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    def daysOf(df: DataFrame): DataFrame =
+      df.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val tcStore = graft.streaming.VersionedStore(s, freshDir(dir, "stcl_tc"))
+    val dayStore = graft.streaming.VersionedStore(s, freshDir(dir, "stcl_days"))
+    tcStore.init(tcOf(ev.limit(0)))
+    dayStore.init(daysOf(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tcStore.write(batchId,
+          tcStore.prior(batchId).unionByName(tcOf(batch))
+            .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt")))
+        dayStore.write(batchId,
+          dayStore.prior(batchId).unionByName(daysOf(batch)).distinct())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.tcloseSolve(tcStore.version(lastBatchId(srcDir)),
+      dayStore.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming Granger maintainer: the per-day (click, purchase) count
+    * grid is additive — sum-merge per batch, then the lag-1 F-test tail
+    * over the final grid. The maintained readout equals the batch query
+    * exactly (the grid determines the test), so the batch oracle
+    * applies verbatim.
+    */
+  def streamGranger(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "sgrang",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sgrang_store"))
+    store.init(AQ.grangerDaily(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.grangerDaily(batch))
+            .groupBy("d").agg(sum("xc").as("xc"), sum("yp").as("yp")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.grangerFromDaily(store.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming Good–Turing maintainer: the (bigram, count) vocab table
+    * is additive (the [[streamJs]] vocabulary-keyed posture — state
+    * bounded by vocabulary, not corpus); the ≤15-row
+    * frequency-of-frequencies readout runs over the final counts.
+    */
+  def streamGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    val docs = Tables.documents(s, dir)
+    val srcDir = stageBatchFiles(dir, "sgt",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sgt_store"))
+    store.init(PQ.gtBigramCounts(docs.limit(0)))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(PQ.gtBigramCounts(batch))
+            .groupBy("tok").agg(sum("cnt").as("cnt")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PQ.goodTuringFromCounts(store.version(lastBatchId(srcDir)))
+  }
+
   /** Streaming Jensen–Shannon drift gate: the (source, token) counts
     * are purely additive — vocab-keyed state (the boilerplate
     * line-store posture: state tracks the vocabulary, not the corpus),
@@ -5388,6 +5548,12 @@ object StreamingQueries {
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
+    Q("q_stream_mannwhitney", streamMannWhitney, Some(AnalyticsQueries.evtMannWhitneySql)),
+    Q("q_stream_spearman", streamSpearman, Some(AnalyticsQueries.evtSpearmanSql)),
+    Q("q_stream_pagehinkley", streamPageHinkley, Some(AnalyticsQueries.evtPageHinkleySql)),
+    Q("q_stream_tclose", streamTclose, Some(AnalyticsQueries.evtTcloseSql)),
+    Q("q_stream_granger", streamGranger, Some(AnalyticsQueries.evtGrangerSql)),
+    Q("q_stream_goodturing", streamGoodTuring, Some(PipelineQueries.docGoodTuringSql)),
     Q("q_stream_js", streamJs, Some(PipelineQueries.docJsDriftSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),

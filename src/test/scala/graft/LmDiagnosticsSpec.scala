@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Closed-form checks for the LM-diagnostic additions: Good–Turing
+  * frequency-of-frequencies (hand-counted bigram tail), RAKE keyword
+  * extraction (hand-scored degree/freq on a two-phrase document), and
+  * Granger lead-lag (a constructed series where yesterday's clicks ARE
+  * today's purchases must reject; constant series must emit NULL, not
+  * a fake statistic).
+  */
+class LmDiagnosticsSpec extends SparkSpec {
+
+  import graft.queries.{AnalyticsQueries, PipelineQueries}
+
+  private def writeDocs(dst: String, texts: Seq[String]): String = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "test", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    dst
+  }
+
+  test("good-turing: hand-counted bigram tail") {
+    // "a b a b c b": bigrams (a b)x2, (b a), (b c), (c b) -> N=5 tokens?
+    // counts: {a b: 2, b a: 1, b c: 1, c b: 1} -> N = 5, N1 = 3, N2 = 1
+    val dir = writeDocs("/tmp/graft-lm-gt", Seq("a b a b c b"))
+    val rows = PipelineQueries.docGoodTuring(spark, dir).collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_r") === 3L)
+    assert(rows(2L).getAs[Long]("n_r") === 1L)
+    // r* at r=1: 2 * N2 / N1 = 2/3; unseen mass = N1/N = 3/5
+    assert(math.abs(rows(1L).getAs[Double]("r_star") - 2.0 / 3.0) < 1e-12)
+    assert(rows(1L).getAs[Double]("obs_share") === 0.6)
+    // r=2 has no r=3 successor: r* = 0 recorded, not faked
+    assert(rows(2L).getAs[Double]("r_star") === 0.0)
+  }
+
+  test("rake: degree/freq scoring on a two-phrase document") {
+    // stopword 'of' splits: [deep learning] [deep models]
+    // deep: deg 4 frq 2 -> 2.0; learning/models: deg 2 frq 1 -> 2.0
+    // both phrases score 4.0 -> tie broken by phrase text
+    val dir = writeDocs("/tmp/graft-lm-rake", Seq("deep learning of deep models"))
+    val out = PipelineQueries.docRake(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("phrase") === "deep learning")
+    assert(out(0).getAs[Long]("rank") === 1L)
+    assert(out(0).getAs[Double]("score") === 4.0)
+    assert(out(1).getAs[String]("phrase") === "deep models")
+    assert(out(1).getAs[Double]("score") === 4.0)
+  }
+
+  private def writeEvents(dst: String, rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((uid, day, typ), i) =>
+      (i.toLong, Timestamp.valueOf(s"$day 12:00:00"), uid, typ, 0.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    dst
+  }
+
+  test("granger: clicks that perfectly lead purchases reject in that direction") {
+    // x (clicks) on day i: x_i events; purchases on day i+1: x_i events
+    // (one wobble so RSS_u > 0 and F is finite)
+    val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5)
+    val rows = (for {
+      (x, i) <- xs.zipWithIndex
+      day = f"2024-01-${i + 1}%02d"
+      nextDay = f"2024-01-${i + 2}%02d"
+      r <- Seq.fill(x)((1L, day, "click")) ++
+        Seq.fill(x + (if (i == 4) 1 else 0))((1L, nextDay, "purchase"))
+    } yield r)
+    val dir = writeEvents("/tmp/graft-lm-granger", rows)
+    val out = AnalyticsQueries.evtGranger(spark, dir).collect()
+      .map(r => r.getAs[String]("direction") -> r).toMap
+    val fwd = out("click->purchase")
+    assert(fwd.getAs[Boolean]("reject"),
+      s"leading direction must reject, f=${fwd.getAs[Double]("f_stat")}")
+    val back = out("purchase->click")
+    assert(fwd.getAs[Double]("f_stat") > back.getAs[Double]("f_stat"))
+  }
+
+  test("granger: constant series emit NULL, not a fake F") {
+    val rows = for {
+      i <- 0 until 6
+      r <- Seq((1L, f"2024-01-${i + 1}%02d", "click"), (1L, f"2024-01-${i + 1}%02d", "purchase"))
+    } yield r
+    val dir = writeEvents("/tmp/graft-lm-granger-const", rows)
+    val out = AnalyticsQueries.evtGranger(spark, dir).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.isNullAt(r.fieldIndex("f_stat"))))
+  }
+}

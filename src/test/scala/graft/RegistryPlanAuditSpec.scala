@@ -51,6 +51,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_conformal", // 1-row fold quantile bounds + 1-row q-hat broadcast
     "q_evt_cms_change", // 1-row min-day scalar + 2-row window-id probe cross
     "q_evt_benford", // 1-row digit-total scalar broadcast
+    "q_evt_tclose", // bounded QI-group x class frame: |classes|-row + 1-row totals broadcast
     "q_doc_llr_bigrams", // 1-row bigram-total scalar broadcast
     "q_evt_churn", // 1-row span-origin scalar broadcast
     // (q_doc_heaps' 1-row bound crosses run inside its stage boundary,
@@ -68,6 +69,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_join_theta", // deliberate non-equi theta join, small side broadcast
     "q_doc_bigram_logprob", // 1-row bigram-total scalar broadcast
     "q_doc_dsir", // 1-row source-mass totals broadcast
+    "q_doc_dsir_ess", // inherits docDsir's 1-row totals broadcast (the ESS readout)
+    "q_doc_goodturing", // 1-row corpus bigram total crossed into the <=15-row FoF table
     "q_doc_hll_setops", // constant register-index table (literal)
     "q_doc_kmv", // 1-row theta estimate + exact audit vs ≤k value rows
     "q_doc_kmv_setops", // 1-row theta bounds over ≤k-row staged value tables
@@ -145,6 +148,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
+    "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
     "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
     "q_evt_lorenz" // trapezoid lag over the STAGED 10-row decile curve
