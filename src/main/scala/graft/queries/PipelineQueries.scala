@@ -3745,6 +3745,136 @@ object PipelineQueries {
        |SELECT doc_id, rank, phrase, psc::DOUBLE / 10000 AS score
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Self-BLEU per source (Zhu 2018, the Texygen diversity metric; low
+    * = diverse, high = the source repeats itself) — corpus-level BLEU
+    * of each document against ALL OTHER documents of its source as the
+    * reference set. The multi-reference clip (max count of an n-gram
+    * in any OTHER doc) is computed WITHOUT a doc×doc join: per
+    * (source, n, gram) keep the top count and its holder plus the
+    * runner-up — the clip for the holder is the runner-up, for
+    * everyone else the top (ties collapse correctly because the
+    * runner-up then equals the top). Brevity penalty uses the original
+    * closest-reference-length rule, exact via sorted-neighbor lag/lead
+    * per source (the closest OTHER length is always a sorted-multiset
+    * neighbor). Matches/totals/lengths are integers end-to-end; the
+    * only floats are the final pₙ divisions, ln/exp chain and BP —
+    * identical IEEE on both engines. A source with any pₙ = 0 emits
+    * self_bleu = 0 (the sacrebleu convention).
+    *
+    * Scale: everything keys on (source, n, gram) — vocabulary-sized
+    * aggregates, two grouped passes for top-2, no self-join anywhere.
+    */
+  def docSelfBleu(s: SparkSession, dir: String): DataFrame = {
+    val base = Funnel.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"), size(col("t")).cast("long").as("len")))
+    // n-gram counts per (source, doc, n, gram), n = 1..4
+    val grams = base.select(col("doc_id"), col("source"), col("len"),
+        explode(expr(
+          """flatten(transform(sequence(1, 4), n ->
+            |  transform(filter(sequence(0, size(t) - 1), i -> i + n <= size(t)), i ->
+            |    named_struct('n', n, 'g', array_join(slice(t, i + 1, n), ' ')))))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("source"), col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy("source", "doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val gstage = Funnel.stage(grams)
+    val top1 = gstage.groupBy("source", "n", "g")
+      .agg(max(struct(col("c"), col("doc_id"))).as("t1"))
+      .select(col("source"), col("n"), col("g"),
+        col("t1.c").as("m1"), col("t1.doc_id").as("d1"))
+    val top2 = gstage.join(top1, Seq("source", "n", "g"))
+      .filter(col("doc_id") =!= col("d1"))
+      .groupBy("source", "n", "g").agg(max("c").as("m2"))
+    val clipped = gstage.join(top1, Seq("source", "n", "g"))
+      .join(top2, Seq("source", "n", "g"), "left")
+      .withColumn("mx", when(col("doc_id") === col("d1"),
+        coalesce(col("m2"), lit(0L))).otherwise(col("m1")))
+      .groupBy("source", "n")
+      .agg(sum(least(col("c"), col("mx"))).cast("long").as("match_n"),
+        sum("c").cast("long").as("total_n"))
+    // closest-other-length per doc, computed on the BOUNDED per-source
+    // length HISTOGRAM (never a per-doc window): a doc sharing its
+    // length with another (k >= 2) has closest = its own length; a
+    // unique length's closest is a sorted histogram neighbor
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("len")
+    val hist = base.groupBy("source", "len").agg(count(lit(1)).as("k"))
+    val closest = hist
+      .withColumn("pl", lag("len", 1).over(wl))
+      .withColumn("nl", lead("len", 1).over(wl))
+      .withColumn("r", when(col("k") >= 2, col("len") * col("k"))
+        .otherwise(when(col("pl").isNull, col("nl"))
+          .when(col("nl").isNull, col("pl"))
+          .when(abs(col("pl") - col("len")) < abs(col("nl") - col("len")), col("pl"))
+          .when(abs(col("nl") - col("len")) < abs(col("pl") - col("len")), col("nl"))
+          .otherwise(least(col("pl"), col("nl")))))
+      .groupBy("source")
+      .agg(sum("k").cast("long").as("n_docs"),
+        sum(col("len") * col("k")).cast("long").as("c_len"),
+        sum("r").cast("long").as("r_len"))
+    val ps = clipped.groupBy("source")
+      .pivot("n", Seq(1, 2, 3, 4))
+      .agg(first(col("match_n").cast("double") / col("total_n")))
+      .select(col("source"), col("1").as("p1"), col("2").as("p2"),
+        col("3").as("p3"), col("4").as("p4"))
+    closest.join(ps, "source")
+      .withColumn("bp", when(col("c_len") > col("r_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double"))))
+      .withColumn("self_bleu",
+        when(col("p1") > 0 && col("p2") > 0 && col("p3") > 0 && col("p4") > 0,
+          col("bp") * exp((log(col("p1")) + log(col("p2")) + log(col("p3")) + log(col("p4"))) / 4))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"), col("bp"),
+        col("p1"), col("p2"), col("p3"), col("p4"), col("self_bleu"))
+      .orderBy("source")
+  }
+
+  val docSelfBleuSql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split($normSql, ' ') AS t FROM documents),
+       |base AS (SELECT doc_id, source, t, len(t)::BIGINT AS len FROM d),
+       |ng AS (SELECT doc_id, source, unnest(flatten(list_transform([1, 2, 3, 4], n ->
+       |         list_transform(range(1, len(t) - n + 2),
+       |           i -> {'n': n, 'g': array_to_string(t[i:i+n-1], ' ')})))) AS e
+       |       FROM base),
+       |cnt AS (SELECT source, doc_id, e.n AS n, e.g AS g, count(*)::BIGINT AS c
+       |        FROM ng GROUP BY 1, 2, 3, 4),
+       |t1 AS (SELECT source, n, g, max(struct_pack(c := c, doc_id := doc_id)) AS t1
+       |       FROM cnt GROUP BY 1, 2, 3),
+       |top1 AS (SELECT source, n, g, t1.c AS m1, t1.doc_id AS d1 FROM t1),
+       |top2 AS (SELECT source, n, g, max(c) AS m2
+       |         FROM cnt JOIN top1 USING (source, n, g)
+       |         WHERE doc_id <> d1 GROUP BY 1, 2, 3),
+       |clipped AS (
+       |  SELECT source, n,
+       |    sum(least(c, CASE WHEN doc_id = d1 THEN coalesce(m2, 0) ELSE m1 END))::BIGINT AS match_n,
+       |    sum(c)::BIGINT AS total_n
+       |  FROM cnt JOIN top1 USING (source, n, g) LEFT JOIN top2 USING (source, n, g)
+       |  GROUP BY 1, 2),
+       |hist AS (SELECT source, len, count(*)::BIGINT AS k FROM base GROUP BY 1, 2),
+       |nb AS (SELECT source, len, k,
+       |         lag(len) OVER w AS pl, lead(len) OVER w AS nl
+       |       FROM hist WINDOW w AS (PARTITION BY source ORDER BY len)),
+       |cl AS (SELECT source, sum(k)::BIGINT AS n_docs, sum(len * k)::BIGINT AS c_len,
+       |         sum(CASE WHEN k >= 2 THEN len * k
+       |               WHEN pl IS NULL THEN nl WHEN nl IS NULL THEN pl
+       |               WHEN abs(pl - len) < abs(nl - len) THEN pl
+       |               WHEN abs(nl - len) < abs(pl - len) THEN nl
+       |               ELSE least(pl, nl) END)::BIGINT AS r_len
+       |       FROM nb GROUP BY 1),
+       |ps AS (SELECT source,
+       |         max(CASE WHEN n = 1 THEN match_n::DOUBLE / total_n END) AS p1,
+       |         max(CASE WHEN n = 2 THEN match_n::DOUBLE / total_n END) AS p2,
+       |         max(CASE WHEN n = 3 THEN match_n::DOUBLE / total_n END) AS p3,
+       |         max(CASE WHEN n = 4 THEN match_n::DOUBLE / total_n END) AS p4
+       |       FROM clipped GROUP BY 1),
+       |bpj AS (SELECT source, n_docs, c_len, r_len, p1, p2, p3, p4,
+       |          CASE WHEN c_len > r_len THEN 1.0
+       |               ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END AS bp
+       |        FROM cl JOIN ps USING (source))
+       |SELECT source, n_docs, bp, p1, p2, p3, p4,
+       |  CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+       |       THEN bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4)
+       |       ELSE 0.0 END AS self_bleu
+       |FROM bpj ORDER BY source""".stripMargin
+
   /** Winnowing (MOSS) duplicate-detection pairs at k=4, w=4 (see
     * [[graft.operators.Dedup.winnowPairs]]): guaranteed detection of
     * any shared ≥ 7-token run, ~4× fewer postings than the full
@@ -5488,6 +5618,7 @@ object PipelineQueries {
     Q("q_doc_dsir_ess", docDsirEss, Some(docDsirEssSql)),
     Q("q_doc_goodturing", docGoodTuring, Some(docGoodTuringSql)),
     Q("q_doc_rake", docRake, Some(docRakeSql)),
+    Q("q_doc_selfbleu", docSelfBleu, Some(docSelfBleuSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),

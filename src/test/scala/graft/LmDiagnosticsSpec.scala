@@ -82,6 +82,23 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(fwd.getAs[Double]("f_stat") > back.getAs[Double]("f_stat"))
   }
 
+  test("self-bleu: identical docs score 1, disjoint docs score 0") {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "twin", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "twin", 30L),
+      (3L, "one two three four five six", "en", "disj", 27L),
+      (4L, "seven eight nine ten eleven twelve", "en", "disj", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-lm-sbleu/documents.parquet")
+    val out = PipelineQueries.docSelfBleu(spark, "/tmp/graft-lm-sbleu").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("twin").getAs[Double]("self_bleu") === 1.0)
+    assert(out("twin").getAs[Double]("p4") === 1.0)
+    assert(out("disj").getAs[Double]("self_bleu") === 0.0)
+    assert(out("disj").getAs[Double]("p1") === 0.0)
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6
