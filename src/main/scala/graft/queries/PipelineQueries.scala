@@ -3875,6 +3875,193 @@ object PipelineQueries {
        |       ELSE 0.0 END AS self_bleu
        |FROM bpj ORDER BY source""".stripMargin
 
+  // ---------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    * model; the OTHER real subword tokenizer next to [[docBpeTrain]]'s
+    * BPE), hard-EM (Viterbi-EM) simplification, 2 rounds:
+    * seed = all ≤4-char substrings of the corpus words weighted by word
+    * frequency, vocabulary = top-256 by count PLUS every single
+    * character (coverage); each round Viterbi-segments every DISTINCT
+    * word under the current piece costs (integer micro-nats, one shared
+    * rounding) and re-estimates counts from the segmentations. Emits
+    * the final piece table (top-64 by count with the full-mass prob).
+    *
+    * Determinism: costs are floor(ln(cnt/total)·−10⁶ + 0.5) BIGINTs;
+    * the DP ties to the LONGEST piece; unknown pieces cost 10¹⁵
+    * micro-nats but the DP still emits a segmentation (never an empty
+    * fallback). The DuckDB oracle replays BOTH EM rounds with a
+    * forward recursive CTE carrying the best-cost and argmin-choice
+    * lists plus a descending backtrack recursion (the
+    * [[AnalyticsQueries.evtBursts]] device, per word instead of per
+    * type).
+    *
+    * Scale: everything is vocabulary-keyed — words are DISTINCT with a
+    * frequency column (segmenting a word once covers all its corpus
+    * occurrences), the piece model is a ≤(256+|alphabet|)-row collected
+    * bounded model broadcast into the scan-stage [[graft.functions.UnigramViterbi]]
+    * expression (the kmeans-centroid collect posture), and the E-step
+    * is one explode + sum per round.
+    */
+  def docUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val c2 = uniFinalCounts(Tables.documents(s, dir))
+    val tot = c2.agg(sum("cnt").cast("long").as("total"))
+    val top = c2.orderBy(col("cnt").desc, col("piece")).limit(64)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("piece"))
+    top.crossJoin(broadcast(tot))
+      .select(row_number().over(w).cast("long").as("rank"), col("piece"),
+        col("cnt").cast("long").as("cnt"),
+        (col("cnt").cast("double") / col("total")).as("prob"))
+      .orderBy("rank")
+  }
+
+  /** The final segmentations under the trained model: the 20 most
+    * frequent corpus words with their round-2 Viterbi split — the
+    * human-readable readout of [[docUnigramLm]] (and the decoding path
+    * a 100-TB tokenization run applies corpus-wide).
+    */
+  def docUnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val words = Funnel.stage(uniWords(Tables.documents(s, dir)))
+    val v1 = uniCosts(uniCounts(uniSegment(words, uniCosts(uniVocab0(uniSeed(words))))))
+    val top = words.orderBy(col("f").desc, col("w")).limit(20)
+    uniSegment(top, v1)
+      .select(col("w").as("word"), col("f").cast("long").as("f"),
+        size(col("seg")).cast("long").as("n_pieces"),
+        array_join(col("seg"), " ").as("seg"))
+      .orderBy(col("f").desc, col("word"))
+  }
+
+  private val UniBig = 1000000000000000L
+
+  private def uniWords(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+
+  private def uniSeed(words: DataFrame): DataFrame =
+    words.select(col("f"), explode(expr(
+      """flatten(transform(sequence(1, 4), l ->
+        |  transform(filter(sequence(1, char_length(w)), i -> i + l - 1 <= char_length(w)),
+        |    i -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+
+  private def uniVocab0(c0: DataFrame): DataFrame = {
+    val top = c0.orderBy(col("cnt").desc, col("piece")).limit(256)
+    top.unionByName(c0.filter(expr("char_length(piece) = 1"))).distinct()
+  }
+
+  private def uniCosts(vc: DataFrame): DataFrame = {
+    val tot = vc.agg(sum("cnt").cast("long").as("total"))
+    vc.crossJoin(broadcast(tot)).select(col("piece"),
+      floor(log(col("cnt").cast("double") / col("total").cast("double")) * -1e6 + 0.5)
+        .cast("long").as("cost"))
+  }
+
+  /** Adds the Viterbi `seg` column under a (collected, bounded) cost
+    * table — the one driver-side collect in the pipeline, ≤(256+|alphabet|)
+    * rows by construction.
+    */
+  private def uniSegment(words: DataFrame, costDf: DataFrame): DataFrame = {
+    val model = costDf.select("piece", "cost").collect()
+    val ps = model.map(_.getString(0))
+    val cs = model.map(_.getLong(1))
+    words.withColumn("seg", org.apache.spark.sql.graftbridge.ColumnBridge.column(graft.functions.UnigramViterbi(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w")), ps, cs)))
+  }
+
+  private def uniCounts(seg: DataFrame): DataFrame =
+    seg.select(col("f"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+
+  private def uniFinalCounts(docs: DataFrame): DataFrame = {
+    val words = Funnel.stage(uniWords(docs))
+    val v0 = uniCosts(uniVocab0(uniSeed(words)))
+    val v1 = uniCosts(uniCounts(uniSegment(words, v0)))
+    uniCounts(uniSegment(words, v1))
+  }
+
+  /** One Viterbi-EM round as DuckDB CTEs: forward DP carrying best-cost
+    * and argmin-choice lists (candidates = the ≤4 piece lengths ending
+    * at each position, ties to the longest piece), descending backtrack
+    * recursion, per-use piece rows, counts. `idx` suffixes the CTE
+    * names; `vocab` is the (piece, cost) CTE to segment under.
+    */
+  private def uniViterbiSql(idx: Int, vocab: String): String = {
+    val inv = "4000000000000000000" // invalid-candidate sentinel: never wins
+    def cand(l: Int) =
+      if (l == 1) s"best[(v.pos + 1)::INTEGER] + coalesce(p1.cost, $UniBig)"
+      else s"CASE WHEN v.pos - ${l - 1} >= 0 THEN best[(v.pos + 2 - $l)::INTEGER] + coalesce(p$l.cost, $UniBig) ELSE $inv END"
+    val joins = (2 to 4).map(l =>
+      s"LEFT JOIN $vocab p$l ON v.pos - ${l - 1} >= 0 AND p$l.piece = substr(v.w, (v.pos + 2 - $l)::INTEGER, $l)")
+      .mkString("\n    ")
+    s"""vit$idx AS (
+       |  SELECT w, f, 0::BIGINT AS pos, [0::BIGINT] AS best, [0::BIGINT] AS ch
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, f, pos + 1, best || [least(c1v, c2v, c3v, c4v)],
+       |    ch || [CASE WHEN c4v = least(c1v, c2v, c3v, c4v) THEN pos - 3
+       |                WHEN c3v = least(c1v, c2v, c3v, c4v) THEN pos - 2
+       |                WHEN c2v = least(c1v, c2v, c3v, c4v) THEN pos - 1
+       |                ELSE pos END]
+       |  FROM (
+       |    SELECT v.w, v.f, v.pos, v.best, v.ch,
+       |      ${cand(1)} AS c1v, ${cand(2)} AS c2v, ${cand(3)} AS c3v, ${cand(4)} AS c4v
+       |    FROM vit$idx v
+       |    LEFT JOIN $vocab p1 ON p1.piece = substr(v.w, (v.pos + 1)::INTEGER, 1)
+       |    $joins
+       |    WHERE v.pos < length(v.w))),
+       |bt$idx AS (
+       |  SELECT w, f, length(w)::BIGINT AS pos, ch
+       |  FROM vit$idx WHERE pos = length(w) AND length(w) > 0
+       |  UNION ALL
+       |  SELECT w, f, ch[(pos + 1)::INTEGER], ch FROM bt$idx WHERE pos > 0),
+       |seg$idx AS (
+       |  SELECT w, f, pos, substr(w, (ch[(pos + 1)::INTEGER] + 1)::INTEGER,
+       |    (pos - ch[(pos + 1)::INTEGER])::INTEGER) AS piece
+       |  FROM bt$idx WHERE pos > 0),
+       |c$idx AS (SELECT piece, sum(f)::BIGINT AS cnt FROM seg$idx GROUP BY 1)""".stripMargin
+  }
+
+  private def uniCostsSql(counts: String, name: String): String =
+    s"""$name AS (SELECT piece,
+       |  floor(ln(cnt::DOUBLE / total::DOUBLE) * -1e6 + 0.5)::BIGINT AS cost
+       |  FROM $counts, (SELECT sum(cnt)::BIGINT AS total FROM $counts) t)""".stripMargin
+
+  private val uniHeadSql: String =
+    s"""words AS (
+       |  SELECT w, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |sub0 AS (SELECT f, unnest(flatten(list_transform([1, 2, 3, 4], l ->
+       |    list_transform(range(1, length(w) - l + 2),
+       |      i -> substr(w, i::INTEGER, l::INTEGER))))) AS piece
+       |  FROM words),
+       |cs0 AS (SELECT piece, sum(f)::BIGINT AS cnt FROM sub0 GROUP BY 1),
+       |top0 AS (SELECT piece, cnt FROM cs0 ORDER BY cnt DESC, piece LIMIT 256),
+       |vc0 AS (SELECT DISTINCT piece, cnt FROM (
+       |  SELECT piece, cnt FROM top0
+       |  UNION ALL SELECT piece, cnt FROM cs0 WHERE length(piece) = 1)),
+       |${uniCostsSql("vc0", "v0")},
+       |${uniViterbiSql(1, "v0")},
+       |${uniCostsSql("c1", "v1")},
+       |${uniViterbiSql(2, "v1")}""".stripMargin
+
+  val docUnigramLmSql: String =
+    s"""WITH RECURSIVE $uniHeadSql
+       |SELECT row_number() OVER (ORDER BY cnt DESC, piece) AS rank, piece, cnt,
+       |  cnt::DOUBLE / total AS prob
+       |FROM (SELECT piece, cnt FROM c2 ORDER BY cnt DESC, piece LIMIT 64) x,
+       |     (SELECT sum(cnt)::BIGINT AS total FROM c2) t
+       |ORDER BY rank""".stripMargin
+
+  val docUnigramSegmentSql: String =
+    s"""WITH RECURSIVE $uniHeadSql,
+       |topw AS (SELECT w, f FROM words ORDER BY f DESC, w LIMIT 20)
+       |SELECT w AS word, f, count(*)::BIGINT AS n_pieces,
+       |  string_agg(piece, ' ' ORDER BY pos) AS seg
+       |FROM seg2 JOIN topw USING (w, f)
+       |GROUP BY w, f ORDER BY f DESC, word""".stripMargin
+
   /** Winnowing (MOSS) duplicate-detection pairs at k=4, w=4 (see
     * [[graft.operators.Dedup.winnowPairs]]): guaranteed detection of
     * any shared ≥ 7-token run, ~4× fewer postings than the full
@@ -5619,6 +5806,8 @@ object PipelineQueries {
     Q("q_doc_goodturing", docGoodTuring, Some(docGoodTuringSql)),
     Q("q_doc_rake", docRake, Some(docRakeSql)),
     Q("q_doc_selfbleu", docSelfBleu, Some(docSelfBleuSql)),
+    Q("q_doc_unigram_lm", docUnigramLm, Some(docUnigramLmSql)),
+    Q("q_doc_unigram_segment", docUnigramSegment, Some(docUnigramSegmentSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),

@@ -99,6 +99,24 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(out("disj").getAs[Double]("p1") === 0.0)
   }
 
+  test("unigram-lm: pieces reconstruct words and frequent subwords win") {
+    // "abcd" x 4 + "ab" x 2 + "cd" x 2: 'abcd' and its halves dominate
+    val dir = writeDocs("/tmp/graft-lm-uni",
+      Seq("abcd abcd abcd abcd ab ab cd cd"))
+    val vocab = PipelineQueries.docUnigramLm(spark, dir).collect()
+    assert(vocab.nonEmpty)
+    // top piece by count must be a real frequent subword
+    assert(Set("abcd", "ab", "cd").contains(vocab.head.getAs[String]("piece")))
+    val segs = PipelineQueries.docUnigramSegment(spark, dir).collect()
+    // coverage invariant: the segmentation concatenates back to the word
+    segs.foreach { r =>
+      assert(r.getAs[String]("seg").replace(" ", "") === r.getAs[String]("word"))
+    }
+    // 'abcd' (freq 4) must segment as the single piece, not char soup
+    val abcd = segs.find(_.getAs[String]("word") == "abcd").get
+    assert(abcd.getAs[Long]("n_pieces") === 1L)
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6

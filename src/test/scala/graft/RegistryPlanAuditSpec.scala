@@ -71,6 +71,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_dsir", // 1-row source-mass totals broadcast
     "q_doc_dsir_ess", // inherits docDsir's 1-row totals broadcast (the ESS readout)
     "q_doc_goodturing", // 1-row corpus bigram total crossed into the <=15-row FoF table
+    "q_doc_unigram_lm", // 1-row piece-mass total crossed into the 64-row TakeOrdered top-k
     "q_doc_hll_setops", // constant register-index table (literal)
     "q_doc_kmv", // 1-row theta estimate + exact audit vs ≤k value rows
     "q_doc_kmv_setops", // 1-row theta bounds over ≤k-row staged value tables
@@ -149,6 +150,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
+    "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
     "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
     "q_evt_lorenz" // trapezoid lag over the STAGED 10-row decile curve
