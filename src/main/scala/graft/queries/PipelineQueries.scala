@@ -3931,6 +3931,61 @@ object PipelineQueries {
       .orderBy(col("f").desc, col("word"))
   }
 
+  /** WordPiece-style GREEDY longest-match segmentation of the same
+    * top-20 words under the SAME trained vocabulary as
+    * [[docUnigramSegment]], with a per-word flag telling whether greedy
+    * agrees with Viterbi — the classic zero-lookahead-vs-optimal
+    * tokenizer trade (Kudo 2018 measures exactly this delta), turned
+    * into a corpus diagnostic: a high disagreement rate means the
+    * greedy production tokenizer is leaving likelihood on the table.
+    * Same bounded collected model, same scan-stage shape; the oracle's
+    * greedy pass is a single forward recursive CTE (no costs, no
+    * backtrack).
+    */
+  def docWordPiece(s: SparkSession, dir: String): DataFrame = {
+    val words = Funnel.stage(uniWords(Tables.documents(s, dir)))
+    val v1 = Funnel.stage(
+      uniCosts(uniCounts(uniSegment(words, uniCosts(uniVocab0(uniSeed(words)))))))
+    val top = words.orderBy(col("f").desc, col("w")).limit(20)
+    val pieces = v1.select("piece").collect().map(_.getString(0))
+    val both = uniSegment(top, v1)
+      .withColumn("gseg", org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.WordPieceGreedy(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w")), pieces)))
+    both.select(col("w").as("word"), col("f").cast("long").as("f"),
+        size(col("gseg")).cast("long").as("n_pieces"),
+        array_join(col("gseg"), " ").as("seg"),
+        (array_join(col("gseg"), " ") === array_join(col("seg"), " ")).as("matches_viterbi"))
+      .orderBy(col("f").desc, col("word"))
+  }
+
+  lazy val docWordPieceSql: String =
+    s"""WITH RECURSIVE $uniHeadSql,
+       |topw AS (SELECT w, f FROM words ORDER BY f DESC, w LIMIT 20),
+       |wp AS (
+       |  SELECT w, f, 0::BIGINT AS pos, []::VARCHAR[] AS segs FROM topw
+       |  UNION ALL
+       |  SELECT w, f, pos + ln2, segs || [substr(w, (pos + 1)::INTEGER, ln2::INTEGER)]
+       |  FROM (
+       |    SELECT v.w, v.f, v.pos, v.segs,
+       |      CASE WHEN p4.piece IS NOT NULL THEN 4
+       |           WHEN p3.piece IS NOT NULL THEN 3
+       |           WHEN p2.piece IS NOT NULL THEN 2
+       |           ELSE 1 END AS ln2
+       |    FROM wp v
+       |    LEFT JOIN v1 p4 ON v.pos + 4 <= length(v.w) AND p4.piece = substr(v.w, (v.pos + 1)::INTEGER, 4)
+       |    LEFT JOIN v1 p3 ON v.pos + 3 <= length(v.w) AND p3.piece = substr(v.w, (v.pos + 1)::INTEGER, 3)
+       |    LEFT JOIN v1 p2 ON v.pos + 2 <= length(v.w) AND p2.piece = substr(v.w, (v.pos + 1)::INTEGER, 2)
+       |    WHERE v.pos < length(v.w))),
+       |gfin AS (SELECT w, f, segs FROM wp WHERE pos = length(w)),
+       |vseg AS (SELECT w, f, string_agg(piece, ' ' ORDER BY pos) AS vs
+       |         FROM seg2 JOIN topw USING (w, f) GROUP BY w, f)
+       |SELECT g.w AS word, g.f, len(g.segs)::BIGINT AS n_pieces,
+       |  array_to_string(g.segs, ' ') AS seg,
+       |  array_to_string(g.segs, ' ') = vs AS matches_viterbi
+       |FROM gfin g JOIN vseg USING (w, f)
+       |ORDER BY f DESC, word""".stripMargin
+
   private val UniBig = 1000000000000000L
 
   private def uniWords(docs: DataFrame): DataFrame =
@@ -4027,7 +4082,7 @@ object PipelineQueries {
        |  floor(ln(cnt::DOUBLE / total::DOUBLE) * -1e6 + 0.5)::BIGINT AS cost
        |  FROM $counts, (SELECT sum(cnt)::BIGINT AS total FROM $counts) t)""".stripMargin
 
-  private val uniHeadSql: String =
+  private lazy val uniHeadSql: String =
     s"""words AS (
        |  SELECT w, count(*)::BIGINT AS f
        |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
@@ -4046,7 +4101,7 @@ object PipelineQueries {
        |${uniCostsSql("c1", "v1")},
        |${uniViterbiSql(2, "v1")}""".stripMargin
 
-  val docUnigramLmSql: String =
+  lazy val docUnigramLmSql: String =
     s"""WITH RECURSIVE $uniHeadSql
        |SELECT row_number() OVER (ORDER BY cnt DESC, piece) AS rank, piece, cnt,
        |  cnt::DOUBLE / total AS prob
@@ -4054,7 +4109,7 @@ object PipelineQueries {
        |     (SELECT sum(cnt)::BIGINT AS total FROM c2) t
        |ORDER BY rank""".stripMargin
 
-  val docUnigramSegmentSql: String =
+  lazy val docUnigramSegmentSql: String =
     s"""WITH RECURSIVE $uniHeadSql,
        |topw AS (SELECT w, f FROM words ORDER BY f DESC, w LIMIT 20)
        |SELECT w AS word, f, count(*)::BIGINT AS n_pieces,
@@ -5808,6 +5863,7 @@ object PipelineQueries {
     Q("q_doc_selfbleu", docSelfBleu, Some(docSelfBleuSql)),
     Q("q_doc_unigram_lm", docUnigramLm, Some(docUnigramLmSql)),
     Q("q_doc_unigram_segment", docUnigramSegment, Some(docUnigramSegmentSql)),
+    Q("q_doc_wordpiece", docWordPiece, Some(docWordPieceSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),

@@ -117,6 +117,20 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(abcd.getAs[Long]("n_pieces") === 1L)
   }
 
+  test("wordpiece: greedy reconstructs words and flags viterbi agreement") {
+    val dir = writeDocs("/tmp/graft-lm-wp",
+      Seq("abcd abcd abcd abcd ab ab cd cd"))
+    val out = PipelineQueries.docWordPiece(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("seg").replace(" ", "") === r.getAs[String]("word"))
+    }
+    // 'abcd' in vocab: greedy takes it in one piece and agrees with viterbi
+    val abcd = out.find(_.getAs[String]("word") == "abcd").get
+    assert(abcd.getAs[Long]("n_pieces") === 1L)
+    assert(abcd.getAs[Boolean]("matches_viterbi"))
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6
