@@ -239,6 +239,77 @@ object Graph {
         struct(col("b").as("c"), col("a").as("n")))).as("e"))
       .select(col("e.c").as("c"), col("e.n").as("n")))
 
+  /** Sampled Brandes betweenness centrality (Brandes 2001 accumulation,
+    * Brandes–Pich 2007 pivot sampling), TRUNCATED at `rounds` hops (the
+    * same horizon argument as the harmonic k-source BFS: exact all-pairs
+    * Brandes is O(V·E) and does not survive 100×; a fixed pivot set and
+    * radius do). Three level-synchronous passes, all DataFrame joins:
+    *
+    *  1. hop distances d(seed, v) — [[msBfs]];
+    *  2. shortest-path counts σ(seed, v) = Σ over predecessors at the
+    *     previous level, DECIMAL(38,0) (path counts explode
+    *     combinatorially long before they overflow 38 digits);
+    *  3. dependency accumulation descending by level with the
+    *     QUANTIZED recurrence D(v) = Σ_w floor(σ_v·(10⁶ + D_w) / σ_w)
+    *     over shortest-path-DAG successors w. Flooring each summand to
+    *     integer micro-units keeps every cross-row sum an integer sum
+    *     (a raw double δ accumulation would be addend-order-sensitive
+    *     across engines), at the cost of ≤1 micro-unit per edge —
+    *     quantization the oracle replays EXACTLY.
+    *
+    * Emitted bc = Σ_seeds D(seed, v) for v ≠ seed, in micro-units and
+    * as a double. Level-`rounds` frontier nodes have D = 0 (the
+    * truncation boundary).
+    */
+  def betweennessSampled(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val und = Funnel.stage(edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+    val dist = Funnel.stage(msBfs(edges, seeds, rounds))
+    def level(k: Int) = dist.filter(col("d") === k).select("seed", "node")
+    // sigma per level
+    val sigs = scala.collection.mutable.ArrayBuffer(
+      Funnel.stage(seeds.select(col("seed"), col("seed").as("node"),
+        lit(1L).cast(d38).as("sig"))))
+    for (k <- 1 to rounds) {
+      sigs += Funnel.stage(sigs(k - 1)
+        .select(col("seed"), col("node").as("u"), col("sig"))
+        .join(und, "u")
+        .select(col("seed"), col("v").as("node"), col("sig"))
+        .join(level(k), Seq("seed", "node"), "left_semi")
+        .groupBy("seed", "node").agg(sum("sig").cast(d38).as("sig")))
+    }
+    // dependency, descending levels; level `rounds` is the truncation boundary
+    var dep = sigs(rounds).select(col("seed"), col("node"), lit(0L).as("dw"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- (rounds - 1) to 0 by -1) {
+      val succ = sigs(k + 1).select(col("seed"), col("node").as("w"), col("sig").as("sigw"))
+        .join(dep.select(col("seed"), col("node").as("w"), col("dw")), Seq("seed", "w"))
+      val contrib = sigs(k)
+        .select(col("seed"), col("node"), col("sig").as("sigv"))
+        .join(und.select(col("u").as("node"), col("v").as("w")), "node")
+        .join(succ, Seq("seed", "w"))
+        .groupBy("seed", "node")
+        .agg(sum(expr(
+          "(CAST(sigv AS DECIMAL(38,0)) * CAST(1000000 + dw AS DECIMAL(38,0))) div CAST(sigw AS DECIMAL(38,0))"))
+          .as("s"))
+      val dK = Funnel.stage(sigs(k).select(col("seed"), col("node"))
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), coalesce(col("s"), lit(0L)).cast("long").as("dw")))
+      acc += dK
+      dep = dK
+    }
+    acc.reduce(_ unionByName _)
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum("dw").cast("long").as("bc1e6"))
+      .select(col("node"), col("bc1e6"),
+        (col("bc1e6").cast("double") / 1e6).as("bc"))
+      .orderBy("node")
+  }
+
   /** Fixed-round HITS (hubs & authorities) over DIRECTED edges
     * `(src, dst)` — ref: flink-gelly `HITS.java:90` (the link-analysis
     * library algorithm, authorities-then-hubs per superstep). Scores are

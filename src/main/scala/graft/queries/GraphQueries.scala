@@ -210,6 +210,72 @@ object GraphQueries {
          |  sum(60 // d)::DOUBLE / 60.0 AS harmonic
          |FROM d$BfsRounds WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin
 
+  /** Sampled Brandes betweenness ([[Graph.betweennessSampled]]): the
+    * 5 smallest node ids as pivots (the harmonic-centrality seed rule),
+    * 6-hop truncation, dependency accumulation quantized to integer
+    * micro-units so every cross-row sum is an integer sum. The oracle
+    * replays all three passes — the min-plus distance chain, the
+    * per-level σ recurrence, and the descending floor-quantized
+    * dependency walk — unrolled over the same (seed, node) frames.
+    */
+  def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val seeds = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+      .orderBy("v").limit(5).select(col("v").as("seed"))
+    Graph.betweennessSampled(e, seeds, rounds = BfsRounds)
+  }
+
+  lazy val graphBetweennessSql: String = {
+    val R = BfsRounds
+    val sigma = (1 to R).map { k =>
+      s""",
+         |sg$k AS MATERIALIZED (SELECT seed, node, sum(sig)::HUGEINT AS sig FROM (
+         |  SELECT sg.seed, n.v AS node, sg.sig
+         |  FROM sg${k - 1} sg JOIN n ON n.u = sg.node
+         |  JOIN (SELECT seed, node FROM d$R WHERE d = $k) lv
+         |    ON lv.seed = sg.seed AND lv.node = n.v
+         |) GROUP BY 1, 2)""".stripMargin
+      }.mkString
+    val dep = ((R - 1) to 0 by -1).map { k =>
+      s""",
+         |dp$k AS MATERIALIZED (
+         |  SELECT l.seed, l.node, coalesce(c.s, 0)::BIGINT AS dw FROM sg$k l
+         |  LEFT JOIN (
+         |    SELECT v.seed, v.node,
+         |      sum((v.sig * (1000000 + w.dw)) // sw.sig)::BIGINT AS s
+         |    FROM sg$k v
+         |    JOIN n ON n.u = v.node
+         |    JOIN sg${k + 1} sw ON sw.seed = v.seed AND sw.node = n.v
+         |    JOIN dp${k + 1} w ON w.seed = v.seed AND w.node = n.v
+         |    GROUP BY 1, 2) c ON c.seed = l.seed AND c.node = l.node)""".stripMargin
+    }.mkString
+    Tables.eventsCte + edgesCte +
+      """
+        |, vs AS (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |seeds AS MATERIALIZED (SELECT v AS seed FROM vs ORDER BY v LIMIT 5),
+        |n AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |d0 AS (SELECT seed, seed AS node, 0::BIGINT AS d FROM seeds)""".stripMargin +
+      (1 to R).map { k =>
+        s""",
+           |d$k AS MATERIALIZED (SELECT seed, node, min(d) AS d FROM (
+           |  SELECT seed, node, d FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT seed, n.v AS node, d${k - 1}.d + 1 AS d
+           |  FROM d${k - 1} JOIN n ON n.u = d${k - 1}.node
+           |) GROUP BY 1, 2)""".stripMargin
+      }.mkString +
+      s""",
+         |sg0 AS (SELECT seed, seed AS node, 1::HUGEINT AS sig FROM seeds)""".stripMargin +
+      sigma +
+      s""",
+         |dp$R AS (SELECT seed, node, 0::BIGINT AS dw FROM sg$R)""".stripMargin +
+      dep +
+      s"""
+         |SELECT node, sum(dw)::BIGINT AS bc1e6, sum(dw)::DOUBLE / 1e6 AS bc
+         |FROM (${(0 until R).map(k => s"SELECT * FROM dp$k").mkString(" UNION ALL ")})
+         |WHERE node <> seed GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** Three fixed HITS rounds over the co-engagement edges directed
     * low→high id (the canonical orientation — every node can hold both
     * roles, which is exactly what distinguishes hub from authority
@@ -504,6 +570,7 @@ object GraphQueries {
     Q("q_graph_components", graphComponents, Some(graphComponentsSql)),
     Q("q_graph_sssp", graphSssp, Some(graphSsspSql)),
     Q("q_graph_harmonic", graphHarmonic, Some(graphHarmonicSql)),
+    Q("q_graph_betweenness", graphBetweenness, Some(graphBetweennessSql)),
     Q("q_graph_sssp_sg", graphSsspSg, Some(graphSsspSql)),
     Q("q_graph_hits", graphHits, Some(graphHitsSql)),
     Q("q_graph_jaccard", graphJaccard, Some(graphJaccardSql)),

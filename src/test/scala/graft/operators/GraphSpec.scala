@@ -339,4 +339,31 @@ class GraphSpec extends SparkSpec {
     val core = Graph.kCorePeel(e, 2, 10).as[(Long, Long)].collect().toSet
     assert(core == Set((20L, 21L), (20L, 22L), (21L, 22L)))
   }
+
+  test("betweennessSampled: path P4 with all nodes as pivots — exact Brandes") {
+    // 1-2-3-4: interior nodes carry every crossing pair; with D in
+    // micro-units and all four pivots, bc(2) = bc(3) = 4.0 (directional
+    // accumulation), endpoints 0 (node != seed rows only)
+    val e = edges((1, 2), (2, 3), (3, 4))
+    val seeds = Seq(1L, 2L, 3L, 4L).toDF("seed")
+    val out = Graph.betweennessSampled(e, seeds, rounds = 6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._2 === 4000000L)
+    assert(out(2L)._3 === 4.0)
+    assert(out(3L)._3 === 4.0)
+    assert(out(1L)._3 === 0.0)
+    assert(out(4L)._3 === 0.0)
+  }
+
+  test("betweennessSampled: diamond splits path mass by sigma") {
+    // 1-2-4, 1-3-4 (diamond): two shortest 1->4 paths, sigma(4)=2;
+    // from pivot 1: D(2) = floor(1*(1e6+0)/2) = 500000, same for 3
+    val e = edges((1, 2), (1, 3), (2, 4), (3, 4))
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graph.betweennessSampled(e, seeds, rounds = 6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._2 === 500000L)
+    assert(out(3L)._2 === 500000L)
+    assert(out(4L)._2 === 0L)
+  }
 }
