@@ -482,6 +482,128 @@ object AnalyticsQueries {
     * runs over that bounded aggregate (the budget-snapshot discipline —
     * never a global per-row rank).
     */
+  /** Trapezoidal PR-AUC (average precision) for the SAME scorer/label
+    * pair as [[docAuc]] — the metric of record when positives are rare
+    * (ROC-AUC saturates under class imbalance; every retrieval/filter
+    * eval reports AP beside it). Tie-safe by construction: scores are
+    * grouped (the deci-milli score domain is bounded), blocks walk in
+    * DESCENDING score order, and each block contributes
+    * ΔTP·(prec_before + prec_after)/2 — the trapezoid between the PR
+    * points at the block edges, which is what interpolated AP degrades
+    * to under ties. Each block term quantizes to 1e-12 units BEFORE the
+    * cross-block sum (integer sum, order-free); counts are exact.
+    */
+  def docPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = docs.select(
+      (col("lang") === "en").cast("long").as("pos"),
+      round(TextAnalysis.stopwordCount(col("text"), "en") /
+        TextAnalysis.tokenCount(col("text")), 3).as("sc"))
+    val g = t.groupBy("sc").agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = Window.orderBy(col("sc").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val r = g
+      .withColumn("tp", sum("np").over(w))
+      .withColumn("nn", sum("n").over(w))
+      .withColumn("tp0", col("tp") - col("np"))
+      .withColumn("nn0", col("nn") - col("n"))
+      .withColumn("term", floor(
+        (col("np").cast("double") *
+          (when(col("nn0") > 0, col("tp0").cast("double") / col("nn0")).otherwise(lit(1.0))
+            + col("tp").cast("double") / col("nn")) / 2) * 1e12).cast("long"))
+    r.agg(sum("term").as("t12"), sum("np").cast("long").as("p"),
+        sum("n").cast("long").as("ntot"))
+      .select(
+        (col("t12").cast("double") / 1e12 / col("p")).as("ap"),
+        col("p").as("n_pos"), (col("ntot") - col("p")).as("n_neg"))
+  }
+
+  val docPrAucSql: String =
+    s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    round(len(list_filter(string_split($normSql, ' '),
+       |        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+       |      / len(string_split($normSql, ' ')), 3) AS sc
+       |  FROM documents),
+       |g AS (SELECT sc, count(*)::BIGINT AS n, sum(pos)::BIGINT AS np FROM t GROUP BY 1),
+       |r AS (SELECT *,
+       |        sum(np) OVER w AS tp, sum(n) OVER w AS nn,
+       |        sum(np) OVER w - np AS tp0, sum(n) OVER w - n AS nn0
+       |      FROM g WINDOW w AS (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |q AS (SELECT floor((np::DOUBLE *
+       |          ((CASE WHEN nn0 > 0 THEN tp0::DOUBLE / nn0 ELSE 1.0 END)
+       |            + tp::DOUBLE / nn) / 2) * 1e12)::BIGINT AS term, np, n
+       |      FROM r)
+       |SELECT sum(term)::DOUBLE / 1e12 / sum(np) AS ap,
+       |  sum(np)::BIGINT AS n_pos, (sum(n) - sum(np))::BIGINT AS n_neg
+       |FROM q""".stripMargin
+
+  /** Unicode script profile per document — the mixed-script spam /
+    * mojibake-adjacent diagnostic a multilingual corpus pipeline runs
+    * beside [[PipelineQueries.docLangid language-ID]]: per-script
+    * character counts from regex class strips (Latin letters, digits,
+    * Cyrillic, Greek, CJK, Arabic, whitespace, other), the dominant
+    * script by a fixed-priority CASE chain (deterministic on ties), and
+    * a mixed flag when a second script holds > 10 % of the non-space
+    * non-digit mass. Pure scan-stage regexp counting — zero shuffles
+    * beyond the final sort.
+    */
+  def docScript(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def cnt(re: String) =
+      (char_length(col("text")) - char_length(regexp_replace(col("text"), re, ""))).cast("long")
+    val t = docs.select(col("doc_id"),
+      char_length(col("text")).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("latin"), cnt("[0-9]").as("digit"),
+      cnt("[\\u0400-\\u04FF]").as("cyrillic"), cnt("[\\u0370-\\u03FF]").as("greek"),
+      cnt("[\\u4E00-\\u9FFF]").as("cjk"), cnt("[\\u0600-\\u06FF]").as("arabic"),
+      cnt("\\s").as("space"))
+    t.withColumn("other",
+        col("n_chars") - col("latin") - col("digit") - col("cyrillic")
+          - col("greek") - col("cjk") - col("arabic") - col("space"))
+      .withColumn("scripted",
+        col("latin") + col("cyrillic") + col("greek") + col("cjk") + col("arabic"))
+      .withColumn("dominant",
+        when(col("scripted") === 0, lit("none"))
+          .when(col("latin") >= col("cyrillic") && col("latin") >= col("greek")
+            && col("latin") >= col("cjk") && col("latin") >= col("arabic"), lit("latin"))
+          .when(col("cyrillic") >= col("greek") && col("cyrillic") >= col("cjk")
+            && col("cyrillic") >= col("arabic"), lit("cyrillic"))
+          .when(col("greek") >= col("cjk") && col("greek") >= col("arabic"), lit("greek"))
+          .when(col("cjk") >= col("arabic"), lit("cjk"))
+          .otherwise(lit("arabic")))
+      .withColumn("second",
+        col("scripted") - greatest(col("latin"), col("cyrillic"), col("greek"),
+          col("cjk"), col("arabic")))
+      .withColumn("mixed",
+        col("scripted") > 0 && col("second") * 10 > col("scripted"))
+      .select(col("doc_id"), col("n_chars"), col("latin"), col("digit"),
+        col("cyrillic"), col("greek"), col("cjk"), col("arabic"), col("space"),
+        col("other"), col("dominant"), col("mixed"))
+      .orderBy("doc_id")
+  }
+
+  val docScriptSql: String = {
+    def cnt(re: String, as: String) =
+      s"(length(text) - length(regexp_replace(text, '$re', '', 'g')))::BIGINT AS $as"
+    s"""WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |  ${cnt("[A-Za-z]", "latin")}, ${cnt("[0-9]", "digit")},
+       |  ${cnt("[\\x{0400}-\\x{04FF}]", "cyrillic")}, ${cnt("[\\x{0370}-\\x{03FF}]", "greek")},
+       |  ${cnt("[\\x{4E00}-\\x{9FFF}]", "cjk")}, ${cnt("[\\x{0600}-\\x{06FF}]", "arabic")},
+       |  ${cnt("\\s", "space")}
+       |  FROM documents),
+       |u AS (SELECT *,
+       |  n_chars - latin - digit - cyrillic - greek - cjk - arabic - space AS other,
+       |  latin + cyrillic + greek + cjk + arabic AS scripted FROM t)
+       |SELECT doc_id, n_chars, latin, digit, cyrillic, greek, cjk, arabic, space, other,
+       |  CASE WHEN scripted = 0 THEN 'none'
+       |       WHEN latin >= cyrillic AND latin >= greek AND latin >= cjk AND latin >= arabic THEN 'latin'
+       |       WHEN cyrillic >= greek AND cyrillic >= cjk AND cyrillic >= arabic THEN 'cyrillic'
+       |       WHEN greek >= cjk AND greek >= arabic THEN 'greek'
+       |       WHEN cjk >= arabic THEN 'cjk'
+       |       ELSE 'arabic' END AS dominant,
+       |  scripted > 0 AND (scripted - greatest(latin, cyrillic, greek, cjk, arabic)) * 10 > scripted AS mixed
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
   def docAuc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val t = docs.select(
@@ -4687,6 +4809,8 @@ object AnalyticsQueries {
     Q("q_evt_active_users", evtActiveUsers, Some(evtActiveUsersSql)),
     Q("q_evt_runs", evtRuns, Some(evtRunsSql)),
     Q("q_doc_auc", docAuc, Some(docAucSql)),
+    Q("q_doc_prauc", docPrAuc, Some(docPrAucSql)),
+    Q("q_doc_script", docScript, Some(docScriptSql)),
     Q("q_doc_zipf", docZipf, Some(docZipfSql)),
     Q("q_doc_rouge", docRouge, Some(docRougeSql)),
     Q("q_doc_sentence_dedup", docSentenceDedup, Some(docSentenceDedupSql)),

@@ -131,6 +131,39 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(abcd.getAs[Boolean]("matches_viterbi"))
   }
 
+  test("script profile: dominant script and mixed flag on constructed docs") {
+    val dir = writeDocs("/tmp/graft-lm-script", Seq(
+      "hello plain english text",
+      "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0442\u0435\u0441\u0442",
+      "\u4e2d\u6587\u6587\u672c\u6d4b\u8bd5\u6837\u4f8b\u5185\u5bb9",
+      "mostly english \u0442\u0435\u043a\u0441\u0442 here"))
+    val out = AnalyticsQueries.docScript(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("dominant") === "latin")
+    assert(!out(0L).getAs[Boolean]("mixed"))
+    assert(out(1L).getAs[String]("dominant") === "cyrillic")
+    assert(out(2L).getAs[String]("dominant") === "cjk")
+    assert(out(3L).getAs[String]("dominant") === "latin")
+    assert(out(3L).getAs[Boolean]("mixed"),
+      "5 cyrillic chars out of ~23 scripted must trip the 10% mixed flag")
+  }
+
+  test("pr-auc: perfect scorer gives AP = 1") {
+    // en docs stopword-rich, others stopword-free: score separates classes
+    val dir = "/tmp/graft-lm-prauc"
+    import spark.implicits._
+    Seq(
+      (1L, "the of and to in is the of", "en", "s", 10L),
+      (2L, "the a of and is in the a", "en", "s", 10L),
+      (3L, "xxx yyy zzz www", "de", "s", 10L),
+      (4L, "qqq rrr sss ttt", "fr", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = AnalyticsQueries.docPrAuc(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(math.abs(r.getAs[Double]("ap") - 1.0) < 1e-9)
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6
