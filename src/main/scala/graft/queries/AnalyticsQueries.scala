@@ -604,6 +604,80 @@ object AnalyticsQueries {
        |FROM u ORDER BY doc_id""".stripMargin
   }
 
+  /** Isotonic regression of the positive rate on the quality score
+    * (PAV's fit, computed by the EXACT minimax identity fit_i =
+    * max_{j≤i} min_{k≥i} avg(positives in blocks j..k) — Barlow 1972) —
+    * the calibration fitter that turns a raw quality scorer into a
+    * monotone probability, run beside the [[docCalibration reliability
+    * bins]]. Everything happens on the bounded deci-milli score-block
+    * domain (≤1001 blocks): the O(B²) (j,k) pair frame takes prefix-sum
+    * averages (one exact IEEE division of BIGINTs per pair), a suffix
+    * MIN per j and a prefix MAX per i finish the fit — min/max only, no
+    * cross-row float sums anywhere, so there is no accumulation-order
+    * hazard to quantize away. Emits the calibration curve
+    * (score, n, positives, raw rate, isotonic fit); the fit column is
+    * non-decreasing BY CONSTRUCTION (spec-pinned).
+    */
+  def docIsotonic(s: SparkSession, dir: String): DataFrame =
+    isotonicFromBlocks(Tables.documents(s, dir)
+      .select((col("lang") === "en").cast("long").as("pos"),
+        round(TextAnalysis.stopwordCount(col("text"), "en") /
+          TextAnalysis.tokenCount(col("text")), 3).as("sc"))
+      .groupBy("sc").agg(count(lit(1)).as("n"), sum("pos").as("np")))
+
+  private[queries] def isotonicFromBlocks(g: DataFrame): DataFrame = {
+    val wIdx = Window.orderBy("sc")
+    val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
+    val blocks = Funnel.stage(g
+      .withColumn("i", row_number().over(wIdx).cast("long"))
+      .withColumn("pn", sum("n").over(wCum))
+      .withColumn("pp", sum("np").over(wCum)))
+    val a = blocks.select(col("i").as("j"), (col("pn") - col("n")).as("pn0"),
+      (col("pp") - col("np")).as("pp0"))
+    val b = blocks.select(col("i").as("k"), col("pn"), col("pp"))
+    val pairs = a.join(b, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("pp") - col("pp0")).cast("double")
+          / (col("pn") - col("pn0")).cast("double")).as("avgjk"))
+    val wSuf = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = pairs.withColumn("mjk", min("avgjk").over(wSuf))
+    val wPre = Window.partitionBy("k").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fit = m.filter(col("j") <= col("k"))
+      .withColumn("fit", max("mjk").over(wPre))
+      .filter(col("j") === col("k"))
+      .select(col("k").as("i"), col("fit"))
+    blocks.join(fit, "i")
+      .select(col("sc"), col("n").cast("long").as("n"), col("np").cast("long").as("np"),
+        (col("np").cast("double") / col("n")).as("raw"), col("fit"))
+      .orderBy("sc")
+  }
+
+  val docIsotonicSql: String =
+    s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    round(len(list_filter(string_split($normSql, ' '),
+       |        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+       |      / len(string_split($normSql, ' ')), 3) AS sc
+       |  FROM documents),
+       |g AS (SELECT sc, count(*)::BIGINT AS n, sum(pos)::BIGINT AS np FROM t GROUP BY 1),
+       |blocks AS (SELECT sc, n, np,
+       |    row_number() OVER (ORDER BY sc) AS i,
+       |    sum(n) OVER w AS pn, sum(np) OVER w AS pp
+       |  FROM g WINDOW w AS (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pairs AS (SELECT a.i AS j, b.i AS k,
+       |    (b.pp - (a.pp - a.np))::DOUBLE / (b.pn - (a.pn - a.n))::DOUBLE AS avgjk
+       |  FROM blocks a JOIN blocks b ON a.i <= b.i),
+       |m AS (SELECT j, k, min(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mjk
+       |      FROM pairs),
+       |fit AS (SELECT k AS i, fit FROM (
+       |    SELECT j, k, max(mjk) OVER (PARTITION BY k ORDER BY j
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fit
+       |    FROM m) WHERE j = k)
+       |SELECT sc, n, np, np::DOUBLE / n AS raw, fit
+       |FROM blocks JOIN fit USING (i) ORDER BY sc""".stripMargin
+
   def docAuc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val t = docs.select(
@@ -4810,6 +4884,7 @@ object AnalyticsQueries {
     Q("q_evt_runs", evtRuns, Some(evtRunsSql)),
     Q("q_doc_auc", docAuc, Some(docAucSql)),
     Q("q_doc_prauc", docPrAuc, Some(docPrAucSql)),
+    Q("q_doc_isotonic", docIsotonic, Some(docIsotonicSql)),
     Q("q_doc_script", docScript, Some(docScriptSql)),
     Q("q_doc_zipf", docZipf, Some(docZipfSql)),
     Q("q_doc_rouge", docRouge, Some(docRougeSql)),

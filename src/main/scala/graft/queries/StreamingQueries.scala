@@ -3575,6 +3575,40 @@ object StreamingQueries {
       dayStore.version(lastBatchId(srcDir)))
   }
 
+  /** Streaming isotonic-calibration maintainer: the (score, n,
+    * positives) block table is additive (the deci-milli score domain is
+    * bounded), sum-merged per batch; end of stream runs the exact
+    * minimax PAV tail over the final blocks — the batch oracle applies
+    * verbatim. The production shape: a quality scorer streams in, the
+    * calibration curve is re-fit from ≤1001 maintained rows.
+    */
+  def streamIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val docs = Tables.documents(s, dir)
+    def blocksOf(df: DataFrame): DataFrame =
+      df.select((col("lang") === "en").cast("long").as("pos"),
+          round(graft.operators.TextAnalysis.stopwordCount(col("text"), "en") /
+            graft.operators.TextAnalysis.tokenCount(col("text")), 3).as("sc"))
+        .groupBy("sc").agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val srcDir = stageBatchFiles(dir, "siso",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "siso_store"))
+    store.init(blocksOf(docs.limit(0)))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(blocksOf(batch))
+            .groupBy("sc").agg(sum("n").as("n"), sum("np").as("np")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.isotonicFromBlocks(store.version(lastBatchId(srcDir)))
+  }
+
   /** Streaming Granger maintainer: the per-day (click, purchase) count
     * grid is additive — sum-merge per batch, then the lag-1 F-test tail
     * over the final grid. The maintained readout equals the batch query
@@ -5554,6 +5588,7 @@ object StreamingQueries {
     Q("q_stream_tclose", streamTclose, Some(AnalyticsQueries.evtTcloseSql)),
     Q("q_stream_granger", streamGranger, Some(AnalyticsQueries.evtGrangerSql)),
     Q("q_stream_goodturing", streamGoodTuring, Some(PipelineQueries.docGoodTuringSql)),
+    Q("q_stream_isotonic", streamIsotonic, Some(AnalyticsQueries.docIsotonicSql)),
     Q("q_stream_js", streamJs, Some(PipelineQueries.docJsDriftSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),

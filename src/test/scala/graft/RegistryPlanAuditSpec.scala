@@ -52,6 +52,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_cms_change", // 1-row min-day scalar + 2-row window-id probe cross
     "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_evt_tclose", // bounded QI-group x class frame: |classes|-row + 1-row totals broadcast
+    "q_doc_isotonic", // bounded score-block pair frame (≤1001² j≤k minimax grid)
     "q_doc_llr_bigrams", // 1-row bigram-total scalar broadcast
     "q_evt_churn", // 1-row span-origin scalar broadcast
     // (q_doc_heaps' 1-row bound crosses run inside its stage boundary,
@@ -151,6 +152,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
     "q_doc_prauc", // PR-curve walk over the ≤1001-row deci-milli score-block domain (the q_doc_auc shape)
+    "q_doc_isotonic", // minimax fit windows over the same ≤1001-row score-block domain
     "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
     "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
