@@ -1926,6 +1926,68 @@ object PipelineQueries {
        |SELECT cid, i::BIGINT AS pos, c FROM comp3 ORDER BY cid, pos""".stripMargin
   }
 
+  /** Simplified silhouette score per trained cluster (Rousseeuw 1987's
+    * silhouette with the CENTROID simplification — a(i)/b(i) are
+    * distances to the own/nearest-other centroid, not all-pairs member
+    * distances, which is the only formulation that survives 100×: the
+    * corpus meets only the broadcast k-row centroid table, never
+    * itself). The cluster-quality readout for the kmeans/SemDeDup
+    * family: s ≈ 1 tight and separated, s ≈ 0 boundary, s < 0
+    * misassigned. Assignment reuses the EXACT kmeans argmax rule
+    * (rounded cosine, smaller cid on ties); per-point s quantizes to
+    * 1e-9 units BEFORE the per-cluster mean (integer sum — a raw double
+    * Σ would be addend-order-sensitive). The oracle replays the 3
+    * Lloyd rounds and the same rank-1/rank-2 centroid frame.
+    */
+  def embSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val emb = Tables.embeddings(s, dir)
+    val cents = Funnel.stage(Similarity.kmeansCentroids(emb, k = 8, iters = 3))
+    val e = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("e"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
+      .orderBy(col("cd").desc, col("cid").asc)
+    val ranked = e.join(broadcast(cents))
+      .select(col("vid"), col("cid"),
+        round(cosine_double(col("e"), col("ce")), 6).as("cd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val ab = ranked.groupBy("vid")
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, lit(1.0) - col("cd"))).as("a"),
+        max(when(col("rn") === 2, lit(1.0) - col("cd"))).as("b"))
+    val s9 = ab.withColumn("s9",
+      floor(when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))) * 1e9 + 0.5)
+        .cast("long"))
+    s9.groupBy("cid")
+      .agg(count(lit(1)).cast("long").as("n"), sum("s9").as("sil9"))
+      .select(col("cid"), col("n"),
+        (col("sil9").cast("double") / 1e9 / col("n")).as("mean_sil"))
+      .orderBy("cid")
+  }
+
+  lazy val embSilhouetteSql: String = {
+    val base = embKmeansSql.substring(0, embKmeansSql.indexOf("\nSELECT cid"))
+    s"""$base,
+       |ranked AS (SELECT vid, cid, cd, row_number() OVER (
+       |    PARTITION BY vid ORDER BY cd DESC, cid ASC) AS rn
+       |  FROM (SELECT m.vec_id AS vid, c.cid,
+       |          round(list_dot_product(m.e, c.ce)
+       |            / sqrt(list_dot_product(m.e, m.e) * list_dot_product(c.ce, c.ce)), 6) AS cd
+       |        FROM emb m, c3 c)),
+       |ab AS (SELECT vid,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    max(CASE WHEN rn = 1 THEN 1.0 - cd END) AS a,
+       |    max(CASE WHEN rn = 2 THEN 1.0 - cd END) AS b
+       |  FROM ranked WHERE rn <= 2 GROUP BY 1),
+       |s9 AS (SELECT cid, floor((CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+       |    ELSE (b - a) / greatest(a, b) END) * 1e9 + 0.5)::BIGINT AS s9
+       |  FROM ab)
+       |SELECT cid, count(*)::BIGINT AS n, sum(s9)::DOUBLE / 1e9 / count(*) AS mean_sil
+       |FROM s9 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   /** IVF probing k-means-TRAINED centroids — the production composition
     * (train with [[graft.operators.Similarity.kmeansCentroids]], probe
     * with [[graft.operators.Similarity.ivfTopKWithCentroids]]). The
@@ -5920,6 +5982,7 @@ object PipelineQueries {
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
+    Q("q_emb_silhouette", embSilhouette, Some(embSilhouetteSql)),
     Q("q_emb_pq", embPq, Some(embPqSql)),
     Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),

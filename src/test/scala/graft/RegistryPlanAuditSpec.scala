@@ -84,6 +84,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_unigram_logprob", // 1-row corpus token total
     "q_emb_ivf_kmeans", // k-row centroid table broadcast
     "q_emb_kmeans", // k-row centroid table broadcast per Lloyd round
+    "q_emb_silhouette", // k-row trained-centroid table broadcast (rank-1/rank-2 frame)
     "q_emb_kmeans_par", // 1-row collected candidate-array broadcast (bounded model)
     "q_emb_rp_recall", // 10-query probe side broadcast (both brute-force legs)
     "q_evt_itemsets", // 1-row basket-count scalar for the lift denominator
@@ -152,7 +153,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
     "q_doc_prauc", // PR-curve walk over the ≤1001-row deci-milli score-block domain (the q_doc_auc shape)
-    "q_doc_isotonic", // minimax fit windows over the same ≤1001-row score-block domain
+    // (q_doc_isotonic's block window runs inside its stage boundary — no window node in the executed plan)
     "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
     "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
