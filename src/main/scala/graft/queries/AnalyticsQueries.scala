@@ -4817,6 +4817,100 @@ object AnalyticsQueries {
         |  (rss_r - rss_u) * (n - 3) / nullif(rss_u, 0.0) > 4.21 AS reject
         |FROM rss ORDER BY direction""".stripMargin
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Mantel–Haenszel
+    * 1959) of assignment → purchase-heaviness association CONTROLLING
+    * for activity (treated = the user_id parity split, outcome =
+    * purchases ≥ 20 % of the user's events — the fixture's signup/
+    * purchase flags are degenerate constants, every user has both) —
+    * the experimentation-family member that answers "does the treatment
+    * effect survive stratification by the confounder" (Simpson's-
+    * paradox insurance; [[evtAte]] estimates the adjusted effect size,
+    * CMH tests it). Strata = the bounded activity buckets over the SAME
+    * additive per-user profile as ATE. Per stratum the 2×2 margins are
+    * exact BIGINTs; E, V and the Mantel–Haenszel odds-ratio terms
+    * quantize to 1e-9 units BEFORE the cross-stratum sums (integer
+    * sums, order-free); the χ² (continuity-corrected) and OR_MH
+    * emissions are identical IEEE chains. Degenerate strata pool
+    * naturally (V = 0 rows contribute nothing); an all-degenerate table
+    * emits NULL.
+    */
+  def evtCmh(s: SparkSession, dir: String): DataFrame =
+    cmhFromUsers(Funnel.stage(cmhUsers(Tables.events(s, dir))))
+
+  /** Additive per-user profile under [[evtCmh]]: activity, event count,
+    * purchase count (all sums — the maintainer sum-merges).
+    */
+  private[queries] def cmhUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("act"),
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+
+  private[queries] def cmhFromUsers(users: DataFrame): DataFrame = {
+    val cells = users
+      .withColumn("stratum", least(floor(col("act") / 5), lit(9L)))
+      .withColumn("treated", pmod(col("user_id"), lit(2L)))
+      .withColumn("conv", (col("np") * 5 >= col("n")).cast("long"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).cast("long").as("nn"),
+        sum("treated").cast("long").as("n1"),
+        sum("conv").cast("long").as("m1"),
+        sum(col("treated") * col("conv")).cast("long").as("a"))
+      .filter(col("nn") > 1)
+    val q = cells.select(col("stratum"), col("a"),
+      floor((col("n1").cast("double") * col("m1") / col("nn")) * 1e9 + 0.5)
+        .cast("long").as("e9"),
+      floor((col("n1").cast("double") * (col("nn") - col("n1")) * col("m1")
+        * (col("nn") - col("m1"))
+        / (col("nn").cast("double") * col("nn") * (col("nn") - 1))) * 1e9 + 0.5)
+        .cast("long").as("v9"),
+      floor((col("a").cast("double") * (col("nn") - col("n1") - col("m1") + col("a"))
+        / col("nn")) * 1e9 + 0.5).cast("long").as("orn9"),
+      floor(((col("n1") - col("a")).cast("double") * (col("m1") - col("a"))
+        / col("nn")) * 1e9 + 0.5).cast("long").as("ord9"))
+    q.agg(count(lit(1)).cast("long").as("n_strata"),
+        sum("a").cast("long").as("sa"), sum("e9").as("se9"),
+        sum("v9").as("sv9"), sum("orn9").as("sn9"), sum("ord9").as("sd9"))
+      .select(col("n_strata"),
+        (pow(greatest(abs(col("sa").cast("double") - col("se9").cast("double") / 1e9)
+          - 0.5, lit(0.0)), 2)
+          / nullif(col("sv9").cast("double") / 1e9, lit(0.0))).as("chi2"),
+        (col("sn9").cast("double") / nullif(col("sd9").cast("double"), lit(0.0))).as("or_mh"))
+      .withColumn("reject", col("chi2") > 3.841)
+      .orderBy("n_strata")
+  }
+
+  val evtCmhSql: String =
+    Tables.eventsCte +
+      """
+        |, u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT AS act,
+        |    user_id % 2 AS treated,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+        |              >= count(*) THEN 1 ELSE 0 END::BIGINT AS conv
+        |  FROM ev GROUP BY 1),
+        |cells AS (SELECT least(act // 5, 9) AS stratum, count(*)::BIGINT AS nn,
+        |    sum(treated)::BIGINT AS n1, sum(conv)::BIGINT AS m1,
+        |    sum(treated * conv)::BIGINT AS a
+        |  FROM u GROUP BY 1 HAVING count(*) > 1),
+        |q AS (SELECT a,
+        |    floor((n1::DOUBLE * m1 / nn) * 1e9 + 0.5)::BIGINT AS e9,
+        |    floor((n1::DOUBLE * (nn - n1) * m1 * (nn - m1)
+        |      / (nn::DOUBLE * nn * (nn - 1))) * 1e9 + 0.5)::BIGINT AS v9,
+        |    floor((a::DOUBLE * (nn - n1 - m1 + a) / nn) * 1e9 + 0.5)::BIGINT AS orn9,
+        |    floor(((n1 - a)::DOUBLE * (m1 - a) / nn) * 1e9 + 0.5)::BIGINT AS ord9
+        |  FROM cells),
+        |m AS (SELECT count(*)::BIGINT AS n_strata, sum(a)::BIGINT AS sa, sum(e9)::BIGINT AS se9,
+        |        sum(v9)::BIGINT AS sv9, sum(orn9)::BIGINT AS sn9, sum(ord9)::BIGINT AS sd9
+        |      FROM q)
+        |SELECT n_strata,
+        |  pow(greatest(abs(sa::DOUBLE - se9::DOUBLE / 1e9) - 0.5, 0.0), 2)
+        |    / nullif(sv9::DOUBLE / 1e9, 0.0) AS chi2,
+        |  sn9::DOUBLE / nullif(sd9::DOUBLE, 0.0) AS or_mh,
+        |  pow(greatest(abs(sa::DOUBLE - se9::DOUBLE / 1e9) - 0.5, 0.0), 2)
+        |    / nullif(sv9::DOUBLE / 1e9, 0.0) > 3.841 AS reject
+        |FROM m ORDER BY n_strata""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_evt_itemsets", evtItemsets, Some(evtItemsetsSql)),
     Q("q_emb_negatives", embNegatives, Some(embNegativesSql)),
@@ -4849,6 +4943,7 @@ object AnalyticsQueries {
     Q("q_evt_tclose", evtTclose, Some(evtTcloseSql)),
     Q("q_evt_pagehinkley", evtPageHinkley, Some(evtPageHinkleySql)),
     Q("q_evt_granger", evtGranger, Some(evtGrangerSql)),
+    Q("q_evt_cmh", evtCmh, Some(evtCmhSql)),
     Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
     Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),

@@ -3609,6 +3609,34 @@ object StreamingQueries {
     AQ.isotonicFromBlocks(store.version(lastBatchId(srcDir)))
   }
 
+  /** Streaming CMH maintainer: the SAME additive per-user
+    * (activity, events, purchases) profile
+    * posture as [[streamAte]] (all sums), with the stratified 2x2 test over the final profile —
+    * one user-keyed state serves the whole experimentation family.
+    */
+  def streamCmh(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, "scmh",
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "scmh_store"))
+    store.init(AQ.cmhUsers(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.cmhUsers(batch))
+            .groupBy("user_id")
+            .agg(sum("act").as("act"), sum("n").as("n"), sum("np").as("np")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AQ.cmhFromUsers(store.version(lastBatchId(srcDir)))
+  }
+
   /** Streaming Granger maintainer: the per-day (click, purchase) count
     * grid is additive — sum-merge per batch, then the lag-1 F-test tail
     * over the final grid. The maintained readout equals the batch query
@@ -5589,6 +5617,7 @@ object StreamingQueries {
     Q("q_stream_granger", streamGranger, Some(AnalyticsQueries.evtGrangerSql)),
     Q("q_stream_goodturing", streamGoodTuring, Some(PipelineQueries.docGoodTuringSql)),
     Q("q_stream_isotonic", streamIsotonic, Some(AnalyticsQueries.docIsotonicSql)),
+    Q("q_stream_cmh", streamCmh, Some(AnalyticsQueries.evtCmhSql)),
     Q("q_stream_js", streamJs, Some(PipelineQueries.docJsDriftSql)),
     Q("q_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("q_stream_transitions", streamTransitions, Some(streamTransitionsSql)),

@@ -164,6 +164,23 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ap") - 1.0) < 1e-9)
   }
 
+  test("cmh: a perfect within-stratum association rejects with the exact chi2") {
+    // 40 users, one stratum: odd ids (treated) purchase-heavy, even not.
+    // 2x2: a=20, n1=20, m1=20, N=40 -> E=10, V=160000/62400,
+    // chi2 = (10-0.5)^2 / V = 90.25 * 62400 / 160000 = 35.1975
+    val rows = for {
+      uid <- 0L until 40L
+      ev <- if (uid % 2 == 1) Seq.fill(5)("purchase") ++ Seq.fill(5)("view")
+            else Seq.fill(1)("purchase") ++ Seq.fill(9)("view")
+    } yield (uid, "2024-01-01", ev)
+    val dir = writeEvents("/tmp/graft-lm-cmh", rows)
+    val r = AnalyticsQueries.evtCmh(spark, dir).collect().head
+    assert(r.getAs[Long]("n_strata") === 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 35.1975) < 1e-4)
+    assert(r.getAs[Boolean]("reject"))
+    assert(r.isNullAt(r.fieldIndex("or_mh")), "b = 0 makes OR_MH infinite -> NULL")
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6
