@@ -3937,6 +3937,89 @@ object PipelineQueries {
        |       ELSE 0.0 END AS self_bleu
        |FROM bpj ORDER BY source""".stripMargin
 
+  /** License-marker detection per source (the compliance gate every
+    * code/web pretraining corpus runs BEFORE mixing: Apache/MIT/GPL/CC
+    * phrase markers, plus the 'all rights reserved' proprietary flag) —
+    * first match in a FIXED priority order (GPL before MIT: dual-marked
+    * files must land on the restrictive side), pure scan-stage
+    * `contains` chains on the lowercased text, aggregated to the
+    * bounded (source, license) histogram.
+    */
+  def docLicense(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("license",
+        when(t.contains("gnu general public license") || t.contains("gplv"), "gpl")
+          .when(t.contains("apache license"), "apache")
+          .when(t.contains("mit license"), "mit")
+          .when(t.contains("creative commons") || t.contains("cc by"), "cc")
+          .when(t.contains("all rights reserved"), "proprietary")
+          .otherwise("none"))
+      .groupBy("source", "license")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("source", "license")
+  }
+
+  val docLicenseSql: String =
+    """WITH t AS (SELECT source,
+      |  CASE WHEN contains(lower(text), 'gnu general public license')
+      |         OR contains(lower(text), 'gplv') THEN 'gpl'
+      |       WHEN contains(lower(text), 'apache license') THEN 'apache'
+      |       WHEN contains(lower(text), 'mit license') THEN 'mit'
+      |       WHEN contains(lower(text), 'creative commons')
+      |         OR contains(lower(text), 'cc by') THEN 'cc'
+      |       WHEN contains(lower(text), 'all rights reserved') THEN 'proprietary'
+      |       ELSE 'none' END AS license
+      |  FROM documents)
+      |SELECT source, license, count(*)::BIGINT AS n_docs
+      |FROM t GROUP BY 1, 2 ORDER BY source, license""".stripMargin
+
+  /** Code-vs-prose detection per source — the corpus-mix diagnostic a
+    * text pipeline runs before treating everything as natural language
+    * (code inside prose corpora wrecks n-gram statistics and tokenizer
+    * training): symbol density (braces/semicolons/operators per char,
+    * exact integer cross-multiply against the 3 % threshold) OR ≥ 3
+    * distinct code keywords flags a document. All counts are
+    * regex-strip lengths — scan-stage, zero shuffles before the bounded
+    * per-source rollup.
+    */
+  def docCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val kws = Seq("def ", "return ", "import ", "class ", "function ", "var ", "const ")
+    val t = lower(col("text"))
+    val sym = (char_length(col("text"))
+      - char_length(regexp_replace(col("text"), "[{}();=<>\\[\\]]", ""))).cast("long")
+    val kwHits = kws.map(k => when(t.contains(k), 1L).otherwise(0L)).reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        ((sym * 100 > char_length(col("text")).cast("long") * 3) || kwHits >= 3)
+          .cast("long").as("is_code"),
+        sym.as("sym"), char_length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("is_code").cast("long").as("n_code"),
+        (sum("is_code").cast("double") / count(lit(1))).as("code_frac"),
+        (sum("sym").cast("double") / sum("nc")).as("sym_density"))
+      .orderBy("source")
+  }
+
+  val docCodeDetectSql: String = {
+    val kws = Seq("def ", "return ", "import ", "class ", "function ", "var ", "const ")
+    val kwSum = kws.map(k => s"CASE WHEN contains(lower(text), '$k') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source,
+       |    (length(text) - length(regexp_replace(text, '[{}();=<>\\[\\]]', '', 'g')))::BIGINT AS sym,
+       |    length(text)::BIGINT AS nc,
+       |    ($kwSum)::BIGINT AS kw
+       |  FROM documents),
+       |f AS (SELECT source, sym, nc,
+       |    CASE WHEN sym * 100 > nc * 3 OR kw >= 3 THEN 1 ELSE 0 END::BIGINT AS is_code
+       |  FROM t)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(is_code)::BIGINT AS n_code,
+       |  sum(is_code)::DOUBLE / count(*) AS code_frac,
+       |  sum(sym)::DOUBLE / sum(nc) AS sym_density
+       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
@@ -5926,6 +6009,8 @@ object PipelineQueries {
     Q("q_doc_unigram_lm", docUnigramLm, Some(docUnigramLmSql)),
     Q("q_doc_unigram_segment", docUnigramSegment, Some(docUnigramSegmentSql)),
     Q("q_doc_wordpiece", docWordPiece, Some(docWordPieceSql)),
+    Q("q_doc_license", docLicense, Some(docLicenseSql)),
+    Q("q_doc_code_detect", docCodeDetect, Some(docCodeDetectSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),

@@ -181,6 +181,24 @@ class LmDiagnosticsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("or_mh")), "b = 0 makes OR_MH infinite -> NULL")
   }
 
+  test("license and code detection on constructed docs") {
+    val dir = writeDocs("/tmp/graft-lm-lic", Seq(
+      "licensed under the Apache License version 2",
+      "released under the MIT License terms",
+      "this file is covered by the GNU General Public License and the MIT License",
+      "copyright 2024 all rights reserved",
+      "plain prose about nothing in particular",
+      "def f(x): return g(x); import os; class A: var b = {1: 2};"))
+    val lic = PipelineQueries.docLicense(spark, dir).collect()
+      .map(r => r.getAs[String]("license") -> r.getAs[Long]("n_docs")).toMap
+    assert(lic("apache") === 1L && lic("mit") === 1L)
+    assert(lic("gpl") === 1L, "dual-marked doc must land on the restrictive side")
+    assert(lic("proprietary") === 1L && lic("none") === 2L)
+    val code = PipelineQueries.docCodeDetect(spark, dir).collect().head
+    assert(code.getAs[Long]("n_docs") === 6L)
+    assert(code.getAs[Long]("n_code") === 1L)
+  }
+
   test("granger: constant series emit NULL, not a fake F") {
     val rows = for {
       i <- 0 until 6
