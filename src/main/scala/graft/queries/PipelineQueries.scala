@@ -4020,6 +4020,39 @@ object PipelineQueries {
        |FROM f GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** Lexical diversity per source: type-token ratio, root TTR (Guiraud
+    * 1954's length-corrected variant — raw TTR falls with corpus size,
+    * so cross-source comparison needs V/√N), and the hapax share of the
+    * vocabulary (Zipf's tail mass — templated/boilerplate sources show
+    * abnormally FEW hapaxes). Pairs with [[docHeaps]]' growth-curve
+    * view; counts exact, three divisions at emission.
+    */
+  def docTtr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_types").cast("double") / sqrt(col("n_tokens").cast("double"))).as("root_ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+      .orderBy("source")
+
+  val docTtrSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+       |m AS (SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       |        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+       |      FROM c GROUP BY 1)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  n_types::DOUBLE / n_tokens AS ttr,
+       |  n_types::DOUBLE / sqrt(n_tokens::DOUBLE) AS root_ttr,
+       |  n_hapax::DOUBLE / n_types AS hapax_frac
+       |FROM m ORDER BY source""".stripMargin
+
   // ---------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
@@ -6011,6 +6044,7 @@ object PipelineQueries {
     Q("q_doc_wordpiece", docWordPiece, Some(docWordPieceSql)),
     Q("q_doc_license", docLicense, Some(docLicenseSql)),
     Q("q_doc_code_detect", docCodeDetect, Some(docCodeDetectSql)),
+    Q("q_doc_ttr", docTtr, Some(docTtrSql)),
     Q("q_mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("q_mm_decode", mmDecode, Some(mmDecodeSql)),
     Q("q_mm_sobel", mmSobel, Some(mmSobelSql)),
