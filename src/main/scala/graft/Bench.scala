@@ -122,7 +122,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapOf(rs)},"fixtures":${mapOf(fixtures)},"fixture_total":${fmt(fixtureTotal)},"isolated":$isolated,"sf":"$sfDir"$filtered}"""
     }
     val full = lineOf(results)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // bench_out.json is the COMMITTED closing-sweep artifact: a filtered
+    // run (isolated re-time) must never clobber it (r9/r10 What's-wrong
+    // recurrence — the 7-query re-time table shipped as "the sweep").
+    // Partial sweeps default to their own file, structurally.
+    val defaultOut = if (only.isDefined) "retime_out.json" else "bench_out.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

@@ -281,6 +281,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF candidate generation for the leave-one-out SELF-probe (every
+    * corpus vector is also a query — the kNN-graph build the embedding
+    * quality evals run): cell-assign the corpus against the broadcast
+    * k-row centroid table, compute each vector's `nprobe` nearest
+    * cells, then meet candidates through a **cid equi-join** — the
+    * corpus is never the broadcast side (the r10 review's scale
+    * killer: `bruteForceTopK(corpus, corpus)` broadcast the whole
+    * embedding table). Both legs shuffle once on cid; at production
+    * nlist the cells are fine-grained so the join is an ordinary
+    * co-partitioned hash join, and the scored candidate volume is
+    * O(n · nprobe · cell), not O(n²).
+    *
+    * Output: (qid, nid, cos, rn) for rn ≤ k — same contract as
+    * [[bruteForceTopK]], approximate by cell truncation (identically
+    * on both engines: assignment/probe ranks round to 6 with cid
+    * tie-break, so the oracle replays the exact candidate set).
+    */
+  def ivfSelfTopK(
+      corpus: DataFrame, // (vec_id, embedding: array<float>, …)
+      centroids: DataFrame, // (cid: int, ce: array<double>)
+      k: Int,
+      nprobe: Int = 3
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      col("embedding").cast("array<double>").as("ed"))
+    val assigned = e.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine_double(col("ed"), col("ce")), 6).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qd").desc, col("cid"))
+    val probes = e
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("ed"))
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("cid"),
+        round(cosine_double(col("ed"), col("ce")), 6).as("qd"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qe", "cid")
+    // cid equi-join, NOT a broadcast: both sides are corpus-sized
+    val scored = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine_sim(col("qe"), col("embedding")).as("c"))
+    rankTopK(scored, k)
+  }
+
   /** Incremental ANN index routing — the daily-increment analog of
     * [[ivfTopKWithCentroids]], completing the delta family
     * ([[Dedup.deltaDedup]] / [[Dedup.deltaMinHashKeepers]]) on the
@@ -518,14 +567,21 @@ object Similarity {
     * accuracy emits as basis points (floor), one exact division.
     *
     * Scale: the probe itself is counts over the kNN table; neighbor
-    * generation here is the exact [[bruteForceTopK]] (the corpus is
-    * the broadcast side at test scale) — at 100 TB swap in
-    * [[ivfTopKWithCentroids]] candidates, the probe tail is unchanged.
-    * `corpus` must arrive STAGED (it is referenced three times).
+    * generation is [[ivfSelfTopK]] over [[kmeansCentroids]]-trained
+    * cells (nlist=8, 2 Lloyd rounds, nprobe=3 here; thousands of
+    * cells at production nlist) — the corpus meets only the broadcast
+    * k-row centroid table and itself through a cid equi-join, never a
+    * corpus broadcast (r10 review: the brute-force kNN-graph build
+    * was the registry's one remaining scale killer). The kNN graph is
+    * cell-truncated identically on both engines, so the metric stays
+    * exactly oracle-able. `corpus` must arrive STAGED (it is
+    * referenced by training, both candidate legs, and the label
+    * joins).
     */
-  def knnLabelProbe(corpus: DataFrame, k: Int): DataFrame = {
-    val knn = bruteForceTopK(
-      corpus.select(col("vec_id").as("qid"), col("embedding").as("qe")), corpus, k)
+  def knnLabelProbe(corpus: DataFrame, k: Int, nlist: Int = 8,
+      iters: Int = 2, nprobe: Int = 3): DataFrame = {
+    val cent = Funnel.stage(kmeansCentroids(corpus, nlist, iters), "knn_probe_centroids")
+    val knn = ivfSelfTopK(corpus, cent, k, nprobe)
     val votes = knn
       .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
       .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
@@ -548,12 +604,15 @@ object Similarity {
     * embedding-quality readout: Q = Σ_l (e_l/m − (d_l/2m)²) over
     * undirected kNN edges, computed from exact integer moments
     * (4·m·e_l − d_l² numerators), one rounded division per label at
-    * emission. High Q ⇔ the kNN graph respects the labels.
-    * `corpus` must arrive STAGED.
+    * emission. High Q ⇔ the kNN graph respects the labels. The graph
+    * is built on [[ivfSelfTopK]] candidates over trained cells (the
+    * [[knnLabelProbe]] route — no corpus broadcast, cell truncation
+    * replayed exactly by the oracle). `corpus` must arrive STAGED.
     */
-  def knnLabelModularity(corpus: DataFrame, k: Int): DataFrame = {
-    val knn = bruteForceTopK(
-      corpus.select(col("vec_id").as("qid"), col("embedding").as("qe")), corpus, k)
+  def knnLabelModularity(corpus: DataFrame, k: Int, nlist: Int = 8,
+      iters: Int = 2, nprobe: Int = 3): DataFrame = {
+    val cent = Funnel.stage(kmeansCentroids(corpus, nlist, iters), "knn_mod_centroids")
+    val knn = ivfSelfTopK(corpus, cent, k, nprobe)
     // undirected unique edges: symmetrize then keep a < b once
     val edges = Funnel.stage(knn
       .select(least(col("qid"), col("nid")).as("a"), greatest(col("qid"), col("nid")).as("b"))

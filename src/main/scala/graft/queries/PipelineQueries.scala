@@ -1753,46 +1753,40 @@ object PipelineQueries {
     * (see [[graft.operators.Similarity.knnLabelProbe]]): per-label
     * accuracy of the majority-of-5-neighbors classifier over the
     * labeled embeddings table — exact integer counts, basis-point
-    * accuracies.
+    * accuracies. Neighbors come from the IVF candidate route (8
+    * trained cells, nprobe=3) — no corpus×corpus broadcast (r10
+    * review); the oracle replays training, routing, and the
+    * cell-truncated kNN graph exactly.
     */
   def embKnnProbe(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelProbe(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
       .orderBy("label")
 
   val embKnnProbeSql: String =
-    """WITH s AS (
-      |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
-      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
-      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
-      |knn AS (SELECT qid, nid, nlabel,
-      |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
-      |        FROM s QUALIFY rn <= 5),
-      |votes AS (SELECT qid, nlabel, count(*) AS votes FROM knn GROUP BY 1, 2),
-      |pred AS (SELECT qid, nlabel AS pred,
-      |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rk
-      |         FROM votes QUALIFY rk = 1)
-      |SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n,
-      |  sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)::BIGINT AS correct,
-      |  CAST(floor(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS acc_bp
-      |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
-      |GROUP BY 1 ORDER BY label""".stripMargin
+    s"""${ivfSelfKnnCtes(8, 2, 3, 5)},
+       |votes AS (SELECT k.qid, l.label AS nlabel, count(*) AS votes
+       |          FROM knn k JOIN embeddings l ON l.vec_id = k.nid GROUP BY 1, 2),
+       |pred AS (SELECT qid, nlabel AS pred,
+       |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rk
+       |         FROM votes QUALIFY rk = 1)
+       |SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)::BIGINT AS correct,
+       |  CAST(floor(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS acc_bp
+       |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+       |GROUP BY 1 ORDER BY label""".stripMargin
 
   /** Label-partition modularity of the symmetrized 5-NN graph (see
     * [[graft.operators.Similarity.knnLabelModularity]]): integer graph
-    * moments per label + the per-label modularity contribution.
+    * moments per label + the per-label modularity contribution. The
+    * graph is built on the same IVF candidate route as
+    * [[embKnnProbe]] — no corpus broadcast, oracle-exact truncation.
     */
   def embModularity(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelModularity(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
       .orderBy("label")
 
   val embModularitySql: String =
-    """WITH s AS (
-      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
-      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
-      |knn AS (SELECT qid, nid,
-      |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
-      |        FROM s QUALIFY rn <= 5),
+    s"""${ivfSelfKnnCtes(8, 2, 3, 5)},
       |edges AS (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM knn),
       |el AS (SELECT e.a, e.b, la.label AS la, lb.label AS lb
       |       FROM edges e JOIN embeddings la ON la.vec_id = e.a
@@ -1908,23 +1902,60 @@ object PipelineQueries {
       .select(col("cid"), col("pos").cast("long").as("pos"), col("col").as("c"))
       .orderBy("cid", "pos")
 
-  val embKmeansSql: String = {
-    val cos = (e: String, c: String) =>
-      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+  /** Rounded-cosine SQL fragment shared by every Lloyd/IVF oracle. */
+  private[queries] def cosRound6(e: String, c: String): String =
+    s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
+
+  /** Shared DuckDB Lloyd-rounds CTE prefix — `WITH emb, c0, a1/comp1/c1
+    * … c$iters` — replaying [[graft.operators.Similarity.kmeansCentroids]]
+    * (k seeds = ids < k, rounded-cosine argmax with cid tie-break,
+    * components rounded to 6 per round). One definition composed by the
+    * kmeans / silhouette / IVF / SemDeDup / kNN-eval oracles (r10
+    * ADVICE: no string surgery on finished statements). `embSrc` lets
+    * the streaming maintainer train on a renumbered base split.
+    */
+  private[queries] def lloydCtes(k: Int, iters: Int,
+      embSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"): String = {
     val iter = (i: Int) =>
       s"""a$i AS (SELECT vid, cid FROM (
          |  SELECT m.vec_id AS vid, c.cid,
          |    row_number() OVER (PARTITION BY m.vec_id
-         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
+         |      ORDER BY ${cosRound6("m.e", "c.ce")} DESC, c.cid) AS rn
          |  FROM emb m, c${i - 1} c) WHERE rn = 1),
          |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
          |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
          |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
-       |${(1 to 3).map(iter).mkString(",\n")}
-       |SELECT cid, i::BIGINT AS pos, c FROM comp3 ORDER BY cid, pos""".stripMargin
+    s"""WITH emb AS ($embSrc),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < $k),
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  /** IVF self-probe candidate CTEs (assigned / probes / sc / knn) over
+    * a trained `c$iters` centroid table — the oracle replay of
+    * [[graft.operators.Similarity.ivfSelfTopK]]: every vector is a
+    * query, nprobe nearest cells, in-cell rounded-cosine rank ≤ topK.
+    */
+  private def ivfSelfKnnCtes(k: Int, iters: Int, nprobe: Int, topK: Int): String =
+    s"""${lloydCtes(k, iters)},
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT m.vec_id, m.e, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cosRound6("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb m, c$iters c) WHERE rn = 1),
+       |probes AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosRound6("q.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb q, c$iters c) WHERE rn <= $nprobe),
+       |sc AS (SELECT qid, a.vec_id AS nid, list_cosine_similarity(qe, a.e) AS c
+       |       FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+       |knn AS (SELECT qid, nid,
+       |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+       |        FROM sc QUALIFY rn <= $topK)""".stripMargin
+
+  val embKmeansSql: String =
+    s"""${lloydCtes(8, 3)}
+       |SELECT cid, i::BIGINT AS pos, c FROM comp3 ORDER BY cid, pos""".stripMargin
 
   /** Simplified silhouette score per trained cluster (Rousseeuw 1987's
     * silhouette with the CENTROID simplification — a(i)/b(i) are
@@ -1967,9 +1998,8 @@ object PipelineQueries {
       .orderBy("cid")
   }
 
-  lazy val embSilhouetteSql: String = {
-    val base = embKmeansSql.substring(0, embKmeansSql.indexOf("\nSELECT cid"))
-    s"""$base,
+  val embSilhouetteSql: String = {
+    s"""${lloydCtes(8, 3)},
        |ranked AS (SELECT vid, cid, cd, row_number() OVER (
        |    PARTITION BY vid ORDER BY cd DESC, cid ASC) AS rn
        |  FROM (SELECT m.vec_id AS vid, c.cid,
@@ -2004,20 +2034,8 @@ object PipelineQueries {
   }
 
   val embIvfKmeansSql: String = {
-    val cos = (e: String, c: String) =>
-      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
-    val iter = (i: Int) =>
-      s"""a$i AS (SELECT vid, cid FROM (
-         |  SELECT m.vec_id AS vid, c.cid,
-         |    row_number() OVER (PARTITION BY m.vec_id
-         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
-         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
-         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
-         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
-         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
-       |${(1 to 2).map(iter).mkString(",\n")},
+    val cos = cosRound6 _
+    s"""${lloydCtes(8, 2)},
        |assigned AS (SELECT vec_id, e, cid FROM (
        |  SELECT m.vec_id, m.e, c.cid,
        |    row_number() OVER (PARTITION BY m.vec_id
@@ -2047,20 +2065,8 @@ object PipelineQueries {
       .orderBy("vec_id")
 
   val embSemDedupSql: String = {
-    val cos = (e: String, c: String) =>
-      s"round(list_dot_product($e, $c) / sqrt(list_dot_product($e, $e) * list_dot_product($c, $c)), 6)"
-    val iter = (i: Int) =>
-      s"""a$i AS (SELECT vid, cid FROM (
-         |  SELECT m.vec_id AS vid, c.cid,
-         |    row_number() OVER (PARTITION BY m.vec_id
-         |      ORDER BY ${cos("m.e", "c.ce")} DESC, c.cid) AS rn
-         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
-         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
-         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
-         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < 8),
-       |${(1 to 2).map(iter).mkString(",\n")},
+    val cos = cosRound6 _
+    s"""${lloydCtes(8, 2)},
        |assigned AS (SELECT vec_id, e, cid, ccos FROM (
        |  SELECT m.vec_id, m.e, c.cid, ${cos("m.e", "c.ce")} AS ccos,
        |    row_number() OVER (PARTITION BY m.vec_id

@@ -2573,19 +2573,45 @@ object StreamingQueries {
     * production shape of [[graft.operators.Similarity.knnLabelProbe]]:
     * each micro-batch's NEW vectors classify against the corpus
     * accumulated from PRIOR batches (majority of 5 cosine neighbors,
-    * ties to the smallest label), then append to it — delta-probe cost
-    * ∝ |batch| × |corpus| with the batch side broadcast, the
-    * [[streamDeltaMinhash]] posture for embeddings. State = the
-    * appended corpus + the appended prediction log; batch 0 has no
-    * prior and predicts nothing. Oracle: replay the prior-batches
-    * neighbor restriction directly (batches are vec_id % 3 splits).
+    * ties to the smallest label), then append to it. Candidates route
+    * through the persisted IVF index (r10 review: was brute-force
+    * batch × corpus): the coarse quantizer (k=8 centroids, 2 Lloyd
+    * rounds) trains ONCE on the base split — ids renumbered dense so
+    * [[graft.operators.Similarity.kmeansCentroids]]'s id<k seeding
+    * holds — and every corpus vector stores its cell id at APPEND
+    * time, so a batch probes only its nprobe=3 nearest cells through
+    * a cid equi-join: delta cost ∝ |batch| × probed-cell mass,
+    * independent of total corpus size ([[streamDeltaMinhash]]'s
+    * index posture for embeddings). State = the cell-annotated corpus
+    * + the appended prediction log; batch 0 has no prior and predicts
+    * nothing. Oracle: replay training on the base split, the global
+    * cell assignment (fixed centroids make it batch-independent), and
+    * the prior-batches restriction (batches are vec_id % 3 splits).
     */
   def streamKnnProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_double
+    val Sim = graft.operators.Similarity
     val emb = Tables.embeddings(s, dir)
     val srcDir = stageBatchFiles(dir, "sknn",
       (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
+    // coarse quantizer trained offline on the base split (renumbered
+    // dense by vec_id order to satisfy the id<k seed contract)
+    val base = emb.filter(col("vec_id") % 3 === 0)
+      .withColumn("vec_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast("long") - 1)
+    val cent = graft.operators.Funnel.stage(
+      Sim.kmeansCentroids(base, k = 8, iters = 2), "sknn_centroids")
+    def withCell(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("label"), col("embedding"),
+          col("embedding").cast("array<double>").as("ed"))
+        .join(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+          round(cosine_double(col("ed"), col("ce")), 6).as("cd"))
+        .groupBy("vec_id")
+        .agg(first("label").as("label"), first("embedding").as("embedding"),
+          max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"))
     val corpus = graft.streaming.VersionedStore(s, freshDir(dir, "sknn_corpus"))
-    corpus.init(emb.limit(0))
+    corpus.init(withCell(emb.limit(0)))
     val preds = graft.streaming.VersionedStore(s, freshDir(dir, "sknn_preds"))
     preds.init(emb.limit(0)
       .select(col("vec_id"), col("label").cast("long"), col("label").cast("long").as("pred")))
@@ -2594,11 +2620,28 @@ object StreamingQueries {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prior = corpus.prior(batchId)
-        val knn = graft.operators.Similarity.bruteForceTopK(
-          batch.select(col("vec_id").as("qid"), col("embedding").as("qe")), prior, k = 5)
-        val votes = knn
-          .join(prior.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
-          .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+        // nprobe nearest cells per probe vector, then a cid equi-join
+        // against the stored index — never a corpus-side broadcast
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("qd").desc, col("cid"))
+        val probes = batch
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("embedding").cast("array<double>").as("ed"))
+          .join(broadcast(cent))
+          .select(col("qid"), col("qe"), col("cid"),
+            round(cosine_double(col("ed"), col("ce")), 6).as("qd"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 3)
+          .select("qid", "qe", "cid")
+        val scored = probes.join(prior, Seq("cid"))
+          .select(col("qid"), col("vec_id").as("nid"), col("label").as("nlabel"),
+            graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("c"))
+        val knn = scored
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(round(col("c"), 6).desc, col("nid"))))
+          .filter(col("rn") <= 5)
+        val votes = knn.groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
         val p = votes
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -2608,7 +2651,7 @@ object StreamingQueries {
           .join(batch.select(col("vec_id"), col("label").cast("long")), "vec_id")
           .select(col("vec_id"), col("label"), col("pred"))
         preds.write(batchId, preds.prior(batchId).unionByName(p))
-        corpus.write(batchId, corpus.prior(batchId).unionByName(batch))
+        corpus.write(batchId, prior.unionByName(withCell(batch)))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2617,13 +2660,24 @@ object StreamingQueries {
     preds.version(lastBatchId(srcDir)).orderBy("vec_id")
   }
 
-  val streamKnnProbeSql: String =
-    """WITH tgt AS (SELECT vec_id, label, embedding::DOUBLE[] AS qe, vec_id % 3 AS b
-      |             FROM embeddings WHERE vec_id % 3 >= 1),
-      |prior AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, vec_id % 3 AS b FROM embeddings),
-      |s AS (SELECT t.vec_id AS qid, t.label, p.vec_id AS nid, p.label AS nlabel,
-      |        list_cosine_similarity(t.qe, p.e) AS c
-      |      FROM tgt t JOIN prior p ON p.b < t.b),
+  val streamKnnProbeSql: String = {
+    val trainSrc = "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, " +
+      "embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 3 = 0"
+    s"""${PipelineQueries.lloydCtes(8, 2, trainSrc)},
+      |alle AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, vec_id % 3 AS b FROM embeddings),
+      |assigned AS (SELECT vec_id, label, e, b, cid FROM (
+      |  SELECT a.vec_id, a.label, a.e, a.b, c.cid,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY ${PipelineQueries.cosRound6("a.e", "c.ce")} DESC, c.cid) AS rn
+      |  FROM alle a, c2 c) WHERE rn = 1),
+      |probes AS (SELECT qid, label, qe, b, cid FROM (
+      |  SELECT t.vec_id AS qid, t.label, t.e AS qe, t.b, c.cid,
+      |    row_number() OVER (PARTITION BY t.vec_id
+      |      ORDER BY ${PipelineQueries.cosRound6("t.e", "c.ce")} DESC, c.cid) AS rn
+      |  FROM alle t, c2 c WHERE t.b >= 1) WHERE rn <= 3),
+      |s AS (SELECT p.qid, p.label, a.vec_id AS nid, a.label AS nlabel,
+      |        list_cosine_similarity(p.qe, a.e) AS c
+      |      FROM probes p JOIN assigned a ON a.cid = p.cid AND a.b < p.b),
       |knn AS (SELECT qid, label, nid, nlabel,
       |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
       |        FROM s QUALIFY rn <= 5),
@@ -2632,6 +2686,7 @@ object StreamingQueries {
       |FROM votes
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) = 1
       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Holt–Winters maintained on a stream: state = the additive
     * (event_type, day, cnt) grid, key-sum merged per batch under

@@ -64,9 +64,9 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_ivf", // k-row centroid table broadcast (cell assignment)
     "q_emb_recall", // 10-query probe side broadcast (brute-force leg)
     "q_emb_topk", // 10-query probe side broadcast (brute-force contract)
-    "q_emb_knn_probe", // exact kNN-graph build at test scale (corpus broadcast);
-    // the probe tail is pure counts — at 100 TB the neighbor stage swaps
-    // to ivfTopKWithCentroids candidates (audited scale path), unchanged tail
+    "q_emb_knn_probe", // k-row centroid table broadcast (IVF candidate
+    // route, r11) — the corpus itself meets only a cid equi-join; the
+    // r10 corpus-broadcast BNL is gone
     "q_join_theta", // deliberate non-equi theta join, small side broadcast
     "q_doc_bigram_logprob", // 1-row bigram-total scalar broadcast
     "q_doc_dsir", // 1-row source-mass totals broadcast
