@@ -37,16 +37,30 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object DdlSql {
 
+  /** One declared column: physical (name + type, backed by files) or
+    * computed (`name AS expr` — ref SqlTableColumn.java's computed
+    * variant: virtual, projected into the registered view in declared
+    * order, never an INSERT target). `PROCTIME()` lowers to
+    * `current_timestamp()` — the documented processing-time posture.
+    */
+  sealed trait Col { def name: String }
+  final case class PhysCol(name: String, typ: String) extends Col
+  final case class CompCol(name: String, sqlExpr: String) extends Col
+
   /** A DDL-declared table: the catalog entry every later statement
     * resolves against (ref CatalogTable / ResolvedSchema).
     */
   final case class TableDef(
       name: String,
-      cols: Seq[(String, String)], // (column, Spark DDL type)
+      colDefs: Seq[Col], // declared order, physical + computed
       watermark: Option[(String, String)], // (rowtime col, "10 minutes")
       path: String,
       format: String,
-      maxFilesPerTrigger: Option[Int]) {
+      maxFilesPerTrigger: Option[Int],
+      partitions: Seq[String] = Nil) { // PARTITIONED BY columns (physical)
+    /** Physical (file-backed, insertable) columns in declared order. */
+    def cols: Seq[(String, String)] = colDefs.collect { case PhysCol(n, t) => (n, t) }
+    def computed: Seq[(String, String)] = colDefs.collect { case CompCol(n, e) => (n, e) }
     def schema: StructType =
       StructType(cols.map { case (n, t) => StructField(n, DataType.fromDDL(t)) })
   }
@@ -54,18 +68,74 @@ object DdlSql {
   final case class Insert(table: String, select: String, overwrite: Boolean)
 
   private val CreateTableRx =
-    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*$$".r
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?WITH\s*\((.*)\)\s*$$".r
   private val CreateViewRx =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
   private val InsertRx =
     raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(SELECT\b.+)$$".r
   private val WatermarkRx =
     raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*-\s*INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$$".r
+  private val ComputedColRx =
+    raw"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
+  private val DropRx =
+    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$$".r
+  private val AlterRenameRx =
+    raw"(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+TO\s+([A-Za-z_]\w*)\s*$$".r
+  private val CreateFunctionRx =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+'([^']+)'\s*$$".r
 
   def isCreateTable(sql: String): Boolean = CreateTableRx.pattern.matcher(sql).matches()
   def isCreateView(sql: String): Boolean = CreateViewRx.pattern.matcher(sql).matches()
   def isInsert(sql: String): Boolean = InsertRx.pattern.matcher(sql).matches()
+  def isDrop(sql: String): Boolean = DropRx.pattern.matcher(sql).matches() ||
+    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\b.*".r.pattern.matcher(sql).matches()
+  def isAlterTable(sql: String): Boolean =
+    raw"(?is)^\s*ALTER\s+TABLE\b.*".r.pattern.matcher(sql).matches()
+  def isCreateFunction(sql: String): Boolean =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\b.*".r
+      .pattern.matcher(sql).matches()
+  def isShowTables(sql: String): Boolean =
+    raw"(?is)^\s*SHOW\s+TABLES\s*$$".r.pattern.matcher(sql).matches()
+  def isDescribe(sql: String): Boolean =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b)(?:TABLE\s+)?[A-Za-z_]\w*\s*$$".r
+      .pattern.matcher(sql).matches()
   def applies(sql: String): Boolean = isCreateTable(sql) || isCreateView(sql) || isInsert(sql)
+
+  /** DROP TABLE|VIEW [IF EXISTS] name → (kind, ifExists, name); loud on
+    * any other DROP shape (ref SqlDropTable.java / SqlDropView.java).
+    */
+  def parseDrop(sql: String): (String, Boolean, String) = sql match {
+    case DropRx(kind, ifExists, name) => (kind.toUpperCase, ifExists != null, name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DROP shape — expected DROP TABLE|VIEW [IF EXISTS] name")
+  }
+
+  /** ALTER TABLE a RENAME TO b → (a, b); loud on every other ALTER
+    * (ref SqlAlterTable.java — rename is the supported subset).
+    */
+  def parseAlterRename(sql: String): (String, String) = sql match {
+    case AlterRenameRx(from, to) => (from, to)
+    case _ => throw new IllegalArgumentException(
+      "unsupported ALTER TABLE shape — expected ALTER TABLE a RENAME TO b " +
+        "(ADD/MODIFY/DROP COLUMN and SET options are not in the supported subset)")
+  }
+
+  /** CREATE FUNCTION alias AS 'target' → (alias, target) (ref
+    * SqlCreateFunction.java:41 — the identifier names a function
+    * already known to the session's registry, the class-loading route
+    * is out of scope for a library build).
+    */
+  def parseCreateFunction(sql: String): (String, String) = sql match {
+    case CreateFunctionRx(name, target) => (name, target)
+    case _ => throw new IllegalArgumentException(
+      "unsupported CREATE FUNCTION shape — expected CREATE [TEMPORARY] FUNCTION " +
+        "name AS '<registered function name>'")
+  }
+
+  def parseDescribe(sql: String): String =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*$$".r
+      .findFirstMatchIn(sql).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException("unsupported DESCRIBE shape"))
 
   /** Top-level comma split ([[SqlLex.splitTopCommas]] — the shared
     * quote/paren-aware lexer), so `DECIMAL(38,0)` / `'a,b'` survive.
@@ -108,10 +178,25 @@ object DdlSql {
       m.group(1).toLowerCase -> m.group(2)
     }.toMap
 
+  /** `name AS expr` computed-column lowering: PROCTIME() becomes
+    * `current_timestamp()` (the documented processing-time posture —
+    * evaluation-time, non-replayable, so oracled queries must not
+    * emit it); everything else passes to Catalyst's expression parser
+    * at view-registration time, which fails loudly on unknown columns
+    * or functions. Subqueries are rejected here — a computed column
+    * is a scalar projection, not a correlated plan.
+    */
+  private def mapComputedExpr(name: String, e: String): String = {
+    val t = e.trim
+    require(!raw"(?is)\bSELECT\b".r.findFirstIn(t).isDefined,
+      s"computed column $name: subqueries are not supported in computed columns")
+    if (t.equalsIgnoreCase("PROCTIME()")) "current_timestamp()" else t
+  }
+
   def parseCreateTable(sql: String): TableDef = sql match {
-    case CreateTableRx(name, colsRaw, optsRaw) =>
+    case CreateTableRx(name, colsRaw, partsRaw, optsRaw) =>
       var watermark: Option[(String, String)] = None
-      val cols = splitTop(colsRaw).flatMap { item =>
+      val colDefs: Seq[Col] = splitTop(colsRaw).flatMap { item =>
         WatermarkRx.findFirstMatchIn(item) match {
           case Some(m) =>
             require(m.group(1).equalsIgnoreCase(m.group(2)),
@@ -127,16 +212,31 @@ object DdlSql {
             require(!item.toUpperCase.startsWith("PRIMARY KEY"),
               "CREATE TABLE: PRIMARY KEY constraints are not in the supported subset — " +
                 "declare version axes with createVersionedView")
-            val m = raw"(?s)^([A-Za-z_]\w*)\s+(.+)$$".r.findFirstMatchIn(item.trim)
-              .getOrElse(throw new IllegalArgumentException(
-                s"CREATE TABLE: cannot parse column declaration: $item"))
-            Some(m.group(1) -> mapType(m.group(2)))
+            ComputedColRx.findFirstMatchIn(item.trim) match {
+              case Some(c) =>
+                Some(CompCol(c.group(1), mapComputedExpr(c.group(1), c.group(2))))
+              case None =>
+                val m = raw"(?s)^([A-Za-z_]\w*)\s+(.+)$$".r.findFirstMatchIn(item.trim)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"CREATE TABLE: cannot parse column declaration: $item"))
+                Some(PhysCol(m.group(1), mapType(m.group(2))))
+            }
         }
       }
-      require(cols.nonEmpty, s"CREATE TABLE $name: no columns declared")
+      val cols = colDefs.collect { case PhysCol(n, t) => (n, t) }
+      require(cols.nonEmpty, s"CREATE TABLE $name: no physical columns declared")
+      val dupes = colDefs.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+      require(dupes.isEmpty, s"CREATE TABLE $name: duplicate columns ${dupes.mkString(", ")}")
       watermark.foreach { case (c, _) =>
-        require(cols.exists(_._1.equalsIgnoreCase(c)),
+        require(colDefs.exists(_.name.equalsIgnoreCase(c)),
           s"WATERMARK FOR $c: no such column")
+      }
+      val partitions = Option(partsRaw).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      partitions.foreach { p =>
+        require(cols.exists(_._1.equalsIgnoreCase(p)),
+          s"PARTITIONED BY $p: not a declared physical column " +
+            "(computed columns cannot partition the layout)")
       }
       val opts = parseOptions(optsRaw)
       val known = Set("connector", "path", "format", "source.max-files-per-trigger")
@@ -152,11 +252,12 @@ object DdlSql {
       val format = opts.getOrElse("format", "parquet").toLowerCase
       require(Set("parquet", "csv", "json").contains(format),
         s"CREATE TABLE $name: unsupported format $format (parquet|csv|json)")
-      TableDef(name, cols, watermark, path, format,
-        opts.get("source.max-files-per-trigger").map(_.toInt))
+      TableDef(name, colDefs, watermark, path, format,
+        opts.get("source.max-files-per-trigger").map(_.toInt), partitions)
     case _ => throw new IllegalArgumentException(
-      "unsupported CREATE TABLE shape — expected CREATE TABLE name (col TYPE, …" +
-        "[, WATERMARK FOR ts AS ts - INTERVAL 'n' UNIT]) WITH ('path'='…'[, 'format'='…'])")
+      "unsupported CREATE TABLE shape — expected CREATE TABLE name (col TYPE | col AS expr, …" +
+        "[, WATERMARK FOR ts AS ts - INTERVAL 'n' UNIT]) [PARTITIONED BY (col, …)] " +
+        "WITH ('path'='…'[, 'format'='…'])")
   }
 
   def parseCreateView(sql: String): (String, String) = sql match {

@@ -76,7 +76,81 @@ final class TableEnv(val spark: SparkSession, dir: String) {
       val ins = DdlSql.parseInsert(sql)
       runInsert(ins)
       okResult(if (ins.overwrite) "INSERT OVERWRITE" else "INSERT INTO", ins.table)
+    } else if (DdlSql.isDrop(sql)) {
+      // ref: SqlDropTable.java / SqlDropView.java — unregister from the
+      // DDL catalog AND the session view catalog; IF EXISTS swallows
+      // only the not-found case, never a parse failure
+      val (kind, ifExists, name) = DdlSql.parseDrop(sql)
+      val wasDdl = ddlTables.remove(name.toLowerCase).isDefined
+      val wasView = spark.catalog.dropTempView(name)
+      require(wasDdl || wasView || ifExists,
+        s"DROP $kind $name: no such ${kind.toLowerCase} (add IF EXISTS to ignore)")
+      okResult(s"DROP $kind", name)
+    } else if (DdlSql.isAlterTable(sql)) {
+      // ref: SqlAlterTable.java — RENAME is the supported subset; the
+      // files stay where they are, only the catalog entry moves
+      val (from, to) = DdlSql.parseAlterRename(sql)
+      val td = ddlTables.getOrElse(from.toLowerCase,
+        throw new IllegalArgumentException(
+          s"ALTER TABLE $from: not a DDL-declared table"))
+      require(!ddlTables.contains(to.toLowerCase) &&
+          !spark.catalog.tableExists(to),
+        s"ALTER TABLE $from RENAME TO $to: target already exists")
+      ddlTables.remove(from.toLowerCase)
+      spark.catalog.dropTempView(from)
+      val renamed = td.copy(name = to)
+      ddlTables.update(to.toLowerCase, renamed)
+      registerDdlView(renamed)
+      okResult("ALTER TABLE RENAME", s"$from -> $to")
+    } else if (DdlSql.isCreateFunction(sql)) {
+      // ref: SqlCreateFunction.java:41 — the identifier binds to a
+      // function the session registry already knows (graft library or
+      // Spark built-in); the class-loading route is out of scope
+      val (alias, target) = DdlSql.parseCreateFunction(sql)
+      val reg = spark.sessionState.functionRegistry
+      val builder = reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(target.toLowerCase))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE FUNCTION $alias AS '$target': unknown function $target " +
+            "(must name a registered graft or Spark function)"))
+      reg.createOrReplaceTempFunction(alias.toLowerCase, builder, "built-in")
+      okResult("CREATE FUNCTION", alias)
+    } else if (DdlSql.isShowTables(sql)) {
+      // ref: TableEnvironmentImpl.listTables — sorted names of every
+      // table visible to statements in this environment
+      import spark.implicits._
+      spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+        .toDF("table_name")
+    } else if (DdlSql.isDescribe(sql)) {
+      describeTable(DdlSql.parseDescribe(sql))
     } else sqlQuery(sql)
+
+  /** ref: DESCRIBE statement / TableEnvironmentImpl.from(...).getSchema
+    * — declared columns with the DDL annotations a reference user sees:
+    * computed expression and watermark bound on the rowtime column.
+    * Non-DDL views describe their Catalyst schema with empty extras.
+    */
+  private def describeTable(name: String): DataFrame = {
+    import spark.implicits._
+    ddlTables.get(name.toLowerCase) match {
+      case Some(td) =>
+        td.colDefs.map {
+          case DdlSql.PhysCol(n, t) =>
+            val wm = td.watermark.collect {
+              case (c, d) if c.equalsIgnoreCase(n) => s"WATERMARK $c - INTERVAL $d" }
+            (n, t.toUpperCase, "", wm.getOrElse(""))
+          case DdlSql.CompCol(n, e) =>
+            val wm = td.watermark.collect {
+              case (c, d) if c.equalsIgnoreCase(n) => s"WATERMARK $c - INTERVAL $d" }
+            (n, "", s"AS $e", wm.getOrElse(""))
+        }.toDF("col_name", "data_type", "expr", "watermark")
+      case None =>
+        require(spark.catalog.tableExists(name), s"DESCRIBE $name: no such table or view")
+        spark.table(name).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.sql, "", ""))
+          .toDF("col_name", "data_type", "expr", "watermark")
+    }
+  }
 
   private def okResult(op: String, name: String): DataFrame = {
     import spark.implicits._
@@ -92,23 +166,36 @@ final class TableEnv(val spark: SparkSession, dir: String) {
   private def registerDdlView(td: DdlSql.TableDef): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(td.path)
       .toAbsolutePath.getParent)
+    import org.apache.spark.sql.functions.{col, expr}
+    // computed columns project in DECLARED order over the physical read
+    // (ref SqlTableColumn's computed variant); Catalyst's expression
+    // parser/analyzer is the loud gate for unsupported expressions
+    // chained withColumn in declared order lets a computed column
+    // reference earlier computed columns (forward references fail loud)
+    def project(df: DataFrame): DataFrame =
+      if (td.computed.isEmpty) df
+      else td.computed.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+        .select(td.colDefs.map(c => col(c.name)): _*)
     val df = if (td.watermark.isDefined) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(td.path))
       var r = spark.readStream.schema(td.schema).format(td.format)
       td.maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
       if (td.format == "csv") r = r.option("header", "true")
       val (wmCol, delay) = td.watermark.get
-      r.load(td.path).withWatermark(wmCol, delay)
+      // project BEFORE the watermark so a computed rowtime can carry it
+      project(r.load(td.path)).withWatermark(wmCol, delay)
     } else {
       val exists = {
         val p = new java.io.File(td.path)
         p.exists && (p.isFile || Option(p.listFiles()).exists(_.nonEmpty))
       }
-      if (!exists) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
+      if (!exists)
+        project(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema))
       else {
         var r = spark.read.schema(td.schema).format(td.format)
         if (td.format == "csv") r = r.option("header", "true")
-        r.load(td.path)
+        project(r.load(td.path))
       }
     }
     df.createOrReplaceTempView(td.name)
@@ -129,7 +216,8 @@ final class TableEnv(val spark: SparkSession, dir: String) {
     val df0 = sqlQuery(ins.select)
     require(df0.columns.length == td.cols.length,
       s"INSERT INTO ${ins.table}: select has ${df0.columns.length} columns, " +
-        s"table declares ${td.cols.length}")
+        s"table declares ${td.cols.length} physical " +
+        "(computed columns are virtual — never INSERT targets)")
     import org.apache.spark.sql.functions.col
     // backtick-quote: auto-generated select-item names can contain dots
     val aligned = df0.select(df0.columns.toSeq.zip(td.cols).map {
@@ -146,12 +234,17 @@ final class TableEnv(val spark: SparkSession, dir: String) {
       // the read path consumes csv with header=true — a headerless
       // streamed file would lose its first data row there (r10 review)
       if (td.format == "csv") ws = ws.option("header", "true")
+      if (td.partitions.nonEmpty) ws = ws.partitionBy(td.partitions: _*)
       val q = ws.start()
       q.awaitTermination()
     } else {
       var w = aligned.write.mode(if (ins.overwrite) "overwrite" else "append")
         .format(td.format)
       if (td.format == "csv") w = w.option("header", "true")
+      // PARTITIONED BY (ref SqlCreateTable.java:306): dynamic partition
+      // layout — partition values become directories, so a reader's
+      // partition-column filter prunes whole directories at plan time
+      if (td.partitions.nonEmpty) w = w.partitionBy(td.partitions: _*)
       w.save(td.path)
     }
     // a sink declared with a watermark stays a streaming view; re-read

@@ -508,6 +508,82 @@ object SourceQueries {
       |  (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)))::BIGINT AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
 
+  /** Computed columns + PROCTIME in SQL DDL (ref: SqlTableColumn.java's
+    * computed variant / SqlCreateTable.java — nearly every reference
+    * DDL example declares `p AS PROCTIME()` or a derived expression
+    * column): the source table declares two chained computed columns
+    * (micro-unit gross referencing a prior computed column) and a
+    * PROCTIME attribute; a downstream INSERT consumes the computed
+    * columns and filters on the proctime attribute (`p IS NOT NULL` —
+    * deterministically true, so the statement exercises the attribute
+    * without emitting a wall-clock value the oracle cannot replay).
+    */
+  def sqlDdlComputed(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "ddl_comp")
+    val env = graft.TableEnv(s, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlc_lineitem (
+         |  l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+         |  l_discount DOUBLE,
+         |  gross AS l_extendedprice * (1 - l_discount),
+         |  gross_c AS CAST(floor(gross * 100 + 0.5) AS BIGINT),
+         |  qc AS CAST(floor(l_quantity * 100 + 0.5) AS BIGINT),
+         |  p AS PROCTIME()
+         |) WITH ('connector'='filesystem', 'path'='$dir/lineitem.parquet',
+         |  'format'='parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ddlc_sink (bucket BIGINT, cnt BIGINT, gross_sum BIGINT, qty BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      """INSERT OVERWRITE ddlc_sink
+        |SELECT l_orderkey % 10, count(*), sum(gross_c), sum(qc)
+        |FROM ddlc_lineitem WHERE p IS NOT NULL GROUP BY l_orderkey % 10""".stripMargin)
+    env.executeSql("SELECT bucket, cnt, gross_sum, qty FROM ddlc_sink ORDER BY bucket")
+  }
+
+  val sqlDdlComputedSql: String =
+    """SELECT l_orderkey % 10 AS bucket, count(*)::BIGINT AS cnt,
+      |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS gross_sum,
+      |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS qty
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** PARTITIONED BY through the SQL DDL route (ref:
+    * SqlCreateTable.java:306 — the filesystem connector's warehouse
+    * posture): the sink declares a partition column, INSERT lays the
+    * files out as partition directories, and the read-back filter on
+    * the partition column prunes whole directories at plan time (the
+    * pruning plan lock lives in TableEnvSpec).
+    */
+  def sqlDdlPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(dir, "ddl_part")
+    val env = graft.TableEnv(s, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlp_orders (o_orderkey BIGINT, o_totalprice DOUBLE,
+         |  o_orderstatus STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/orders.parquet',
+         |  'format'='parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE ddlp_sink (o_orderkey BIGINT, cents BIGINT, o_orderstatus STRING)
+         |PARTITIONED BY (o_orderstatus)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      """INSERT OVERWRITE ddlp_sink
+        |SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderstatus
+        |FROM ddlp_orders""".stripMargin)
+    env.executeSql(
+      """SELECT o_orderstatus, count(*) AS cnt, sum(cents) AS total,
+        |  min(o_orderkey) AS mn
+        |FROM ddlp_sink WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlDdlPartitionedSql: String =
+    """SELECT o_orderstatus, count(*)::BIGINT AS cnt,
+      |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total,
+      |  min(o_orderkey)::BIGINT AS mn
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   /** StatementSet multi-sink execution (ref: StatementSetImpl /
     * TableEnvironmentImpl.createStatementSet — the reference batches N
     * INSERTs into one execute() over shared registered views): two
@@ -555,6 +631,8 @@ object SourceQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_sql_ddl_roundtrip", sqlDdlRoundtrip, Some(sqlDdlRoundtripSql)),
+    Q("q_sql_ddl_computed", sqlDdlComputed, Some(sqlDdlComputedSql)),
+    Q("q_sql_ddl_partitioned", sqlDdlPartitioned, Some(sqlDdlPartitionedSql)),
     Q("q_sql_statement_set", sqlStatementSet, Some(sqlStatementSetSql)),
     Q("q_sink_avro", avroRoundtrip, Some(avroRoundtripSql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),

@@ -377,6 +377,185 @@ class TableEnvSpec extends SparkSpec {
     assert(e8.getMessage.contains("not an INSERT"))
   }
 
+  test("executeSql DDL: computed columns project in declared order, PROCTIME lowers, misuse fails loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_comp (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+         |  n_comment STRING,
+         |  keyx2 AS n_nationkey * 2,
+         |  keyx4 AS keyx2 * 2,
+         |  p AS PROCTIME())
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    val view = spark.table("ddlspec_comp")
+    // declared order: physical first here, then the three computed
+    assert(view.schema.map(_.name) ===
+      Seq("n_nationkey", "n_name", "n_regionkey", "n_comment", "keyx2", "keyx4", "p"))
+    // chained computed-from-computed evaluates through the projection
+    val r = env.executeSql(
+      "SELECT n_nationkey, keyx2, keyx4 FROM ddlspec_comp WHERE n_nationkey = 3").head()
+    assert(r.getLong(1) === 6L && r.getLong(2) === 12L)
+    // PROCTIME() is a usable timestamp attribute
+    assert(view.schema("p").dataType.typeName === "timestamp")
+    assert(env.executeSql(
+      "SELECT count(*) AS c FROM ddlspec_comp WHERE p IS NOT NULL").head().getLong(0) === 25L)
+    // subquery in a computed column: rejected at parse time
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      s"CREATE TABLE badc1 (a BIGINT, b AS (SELECT max(a) FROM t)) WITH ('path'='/tmp/x')"))
+    assert(e1.getMessage.contains("subqueries"))
+    // unknown column in a computed expression: Catalyst fails loudly at registration
+    intercept[Exception](env.executeSql(
+      s"CREATE TABLE badc2 (a BIGINT, b AS nope + 1) WITH ('path'='$dir/nation.parquet')"))
+    // forward reference to a later computed column: loud
+    intercept[Exception](env.executeSql(
+      s"CREATE TABLE badc3 (n_nationkey BIGINT, b AS c + 1, c AS n_nationkey * 2) " +
+        s"WITH ('path'='$dir/nation.parquet')"))
+    // a table of ONLY computed columns has nothing to read
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE badc4 (b AS 1 + 1) WITH ('path'='/tmp/x')"))
+    assert(e2.getMessage.contains("no physical columns"))
+  }
+
+  test("executeSql DDL: PARTITIONED BY lays out partition dirs and the read-back prunes") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-part").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_psink (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+         |PARTITIONED BY (n_regionkey)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      "INSERT OVERWRITE ddlspec_psink SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    // files land under partition directories
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === (0 to 4).map(r => s"n_regionkey=$r"))
+    // read-back sees all rows with the declared schema
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_psink").head().getLong(0) === 25L)
+    // PLAN LOCK: a partition-column filter must prune at the scan —
+    // PartitionFilters carries the predicate, and the data filter list
+    // does NOT re-apply it as a row-level filter over file contents
+    val plan = spark.table("ddlspec_psink")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no PartitionFilters in the scan:\n$plan"))
+    assert(scanLine.contains("n_regionkey"),
+      s"partition filter not pushed to the partition layer:\n$plan")
+    assert(env.executeSql(
+      "SELECT count(*) AS c FROM ddlspec_psink WHERE n_regionkey = 2").head().getLong(0) === 5L)
+    // partition column must be a declared physical column
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE badp1 (a BIGINT) PARTITIONED BY (b) WITH ('path'='/tmp/x')"))
+    assert(e1.getMessage.contains("PARTITIONED BY b"))
+    // computed columns cannot partition the layout
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE badp2 (a BIGINT, c AS a * 2) PARTITIONED BY (c) WITH ('path'='/tmp/x')"))
+    assert(e2.getMessage.contains("computed columns cannot partition"))
+  }
+
+  test("executeSql: DROP TABLE/VIEW unregister, IF EXISTS swallows only not-found") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_drop (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+         |  n_comment STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_drop").head().getLong(0) === 25L)
+    assert(env.executeSql("DROP TABLE ddlspec_drop").head().getString(2) === "OK")
+    // the view is gone AND the DDL catalog entry is gone (INSERT refuses)
+    intercept[Exception](env.executeSql("SELECT count(*) FROM ddlspec_drop"))
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "INSERT INTO ddlspec_drop SELECT n_name, n_nationkey FROM nation"))
+    assert(e1.getMessage.contains("not a DDL-declared table"))
+    // IF EXISTS: not-found is OK; without it, loud
+    assert(env.executeSql("DROP TABLE IF EXISTS ddlspec_drop").head().getString(2) === "OK")
+    val e2 = intercept[IllegalArgumentException](env.executeSql("DROP TABLE ddlspec_drop"))
+    assert(e2.getMessage.contains("no such table"))
+    // DROP VIEW over a CREATE VIEW registration
+    env.executeSql("CREATE VIEW ddlspec_dropv AS SELECT n_name FROM nation")
+    assert(env.executeSql("DROP VIEW ddlspec_dropv").head().getString(2) === "OK")
+    intercept[Exception](env.executeSql("SELECT * FROM ddlspec_dropv"))
+    // other DROP shapes fail loudly (never silently ignored)
+    val e3 = intercept[IllegalArgumentException](env.executeSql("DROP TABLE a.b.c"))
+    assert(e3.getMessage.contains("unsupported DROP shape"))
+  }
+
+  test("executeSql: ALTER TABLE RENAME moves the catalog entry; other ALTER shapes fail loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_ren_a (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+         |  n_comment STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    env.executeSql("ALTER TABLE ddlspec_ren_a RENAME TO ddlspec_ren_b")
+    // old name gone, new name queryable AND still a DDL table (INSERT resolves)
+    intercept[Exception](env.executeSql("SELECT count(*) FROM ddlspec_ren_a"))
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_ren_b").head().getLong(0) === 25L)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-ren-sink").toString
+    env.executeSql(
+      s"CREATE TABLE ddlspec_ren_sink (k STRING, n BIGINT) WITH ('path'='$out')")
+    env.executeSql("ALTER TABLE ddlspec_ren_sink RENAME TO ddlspec_ren_sink2")
+    env.executeSql("INSERT INTO ddlspec_ren_sink2 SELECT n_name, n_nationkey FROM ddlspec_ren_b")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_ren_sink2").head().getLong(0) === 25L)
+    // misuse: unknown source, occupied target, unsupported ALTER verb
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE nope RENAME TO x"))
+    assert(e1.getMessage.contains("not a DDL-declared table"))
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE ddlspec_ren_b RENAME TO nation"))
+    assert(e2.getMessage.contains("already exists"))
+    val e3 = intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE ddlspec_ren_b ADD COLUMN x BIGINT"))
+    assert(e3.getMessage.contains("unsupported ALTER TABLE shape"))
+  }
+
+  test("executeSql: CREATE FUNCTION binds an alias to a registered function; unknown fails loudly") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    // alias a graft library function and call it through SQL
+    env.executeSql("CREATE TEMPORARY FUNCTION jw2 AS 'jaro_winkler'")
+    val viaAlias = env.sqlQuery("SELECT jw2(n_name, 'CANADA') AS s FROM nation ORDER BY s DESC LIMIT 1")
+    val direct = env.sqlQuery("SELECT jaro_winkler(n_name, 'CANADA') AS s FROM nation ORDER BY s DESC LIMIT 1")
+    assert(viaAlias.head().getDouble(0) === direct.head().getDouble(0))
+    // alias a Spark built-in
+    env.executeSql("CREATE FUNCTION my_upper AS 'upper'")
+    assert(env.sqlQuery("SELECT my_upper('ok') AS u").head().getString(0) === "OK")
+    // unknown target fails loudly
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION f AS 'no_such_function_anywhere'"))
+    assert(e1.getMessage.contains("unknown function"))
+    // class-path shapes are out of scope and the message says what IS supported
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION f AS com.example.MyFunction"))
+    assert(e2.getMessage.contains("unsupported CREATE FUNCTION shape"))
+  }
+
+  test("executeSql: SHOW TABLES lists the environment's tables; DESCRIBE surfaces DDL annotations") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_show (id BIGINT, ts TIMESTAMP(3),
+         |  v2 AS id * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)
+         |WITH ('connector'='filesystem', 'path'='${java.nio.file.Files.createTempDirectory("ddlspec-show")}',
+         |  'format'='parquet')""".stripMargin)
+    val names = env.executeSql("SHOW TABLES").collect().map(_.getString(0)).toSet
+    assert(names.contains("ddlspec_show") && names.contains("nation"))
+    // DESCRIBE on the DDL table: declared order, computed expr, watermark bound
+    val desc = env.executeSql("DESCRIBE ddlspec_show").collect()
+    assert(desc.map(_.getString(0)).toSeq === Seq("id", "ts", "v2"))
+    val tsRow = desc.find(_.getString(0) == "ts").get
+    assert(tsRow.getString(3).contains("5 minutes"))
+    val v2Row = desc.find(_.getString(0) == "v2").get
+    assert(v2Row.getString(2) === "AS id * 2")
+    // DESCRIBE on a plain registered view: Catalyst schema, empty extras
+    val descN = env.executeSql("DESC nation").collect()
+    assert(descN.map(_.getString(0)).toSeq ===
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // unknown relation fails loudly
+    val e = intercept[IllegalArgumentException](env.executeSql("DESCRIBE nope"))
+    assert(e.getMessage.contains("no such table"))
+  }
+
   test("rank-pattern SQL route: batch passthrough equals Catalyst; misuse fails loudly") {
     val env = TableEnv(spark, "/root/testdata/sf0.001")
     val stmt =
