@@ -542,9 +542,13 @@ object AnalyticsQueries {
     * character counts from regex class strips (Latin letters, digits,
     * Cyrillic, Greek, CJK, Arabic, whitespace, other), the dominant
     * script by a fixed-priority CASE chain (deterministic on ties), and
-    * a mixed flag when a second script holds > 10 % of the non-space
-    * non-digit mass. Pure scan-stage regexp counting — zero shuffles
-    * beyond the final sort.
+    * a mixed flag when the NON-DOMINANT scripted mass (all scripts
+    * other than the dominant one, summed) holds > 10 % of the
+    * non-space non-digit mass — deliberately a total-contamination
+    * gate, so three minority scripts at ~4 % each trip it even though
+    * no single second script crosses 10 % (r10 ADVICE: comment now
+    * states the implemented semantics). Pure scan-stage regexp
+    * counting — zero shuffles beyond the final sort.
     */
   def docScript(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -4668,47 +4672,55 @@ object AnalyticsQueries {
     * the RUNNING mean — no training window needed, which is why it is
     * the default drift detector for unattended pipelines. Pure window
     * functions on the bounded daily grid (running Σm, running Σm̄,
-    * running min — no recursion); daily means are exact rationals
-    * (cents/cnt), and every running double sum accumulates in the same
-    * row order on both engines.
+    * running min — no recursion). The daily mean quantizes to integer
+    * MICRO-units (floor(cents·1e6 / cnt)) before any running sum, and
+    * the running reference mean floors to micro-units per row, so the
+    * whole c/ph walk is exact BIGINT arithmetic — the house
+    * quantize-before-sum discipline (r10 ADVICE: raw running double
+    * sums are association-order-sensitive and only coincidentally
+    * bit-equal across engines); the alarm compares integers and ph
+    * converts with ONE division at emission.
     */
   def evtPageHinkley(s: SparkSession, dir: String): DataFrame =
     pageHinkleyFromDaily(dailyCents(Tables.events(s, dir)))
 
   private[queries] def pageHinkleyFromDaily(daily: DataFrame): DataFrame = {
-    val (delta, lambda) = (0.0, 10.0)
+    val lambda6 = 10000000L // λ = 10.0 in micro-units
     val wIdx = Window.partitionBy("event_type").orderBy("d")
     val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
     daily
-      .withColumn("m", col("cents").cast("double") / col("cnt").cast("double"))
+      .withColumn("m6", expr("cents * 1000000L DIV cnt"))
       .withColumn("i", row_number().over(wIdx).cast("long"))
-      .withColumn("avg_i", sum("m").over(wCum) / col("i"))
-      .withColumn("c", sum("m").over(wCum) - sum("avg_i").over(wCum) - col("i") * delta)
-      .withColumn("ph", col("c") - min("c").over(wCum))
+      .withColumn("a6", expr("sum(m6) OVER (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) DIV i"))
+      .withColumn("c6", sum("m6").over(wCum) - sum("a6").over(wCum))
+      .withColumn("ph6", col("c6") - min("c6").over(wCum))
       .select(col("event_type"), col("d").cast("string").as("day"),
-        col("m"), col("ph"), (col("ph") > lambda).as("alarm"))
+        (col("m6").cast("double") / 1e6).as("m"),
+        (col("ph6").cast("double") / 1e6).as("ph"), (col("ph6") > lambda6).as("alarm"))
       .orderBy("event_type", "day")
   }
 
   val evtPageHinkleySql: String =
     Tables.eventsCte + dailyCentsSql +
       """
-        |, g1 AS (SELECT event_type, d, cents::DOUBLE / cnt::DOUBLE AS m,
+        |, g1 AS (SELECT event_type, d, (cents * 1000000) // cnt AS m6,
         |           (row_number() OVER w)::BIGINT AS i,
-        |           sum(cents::DOUBLE / cnt::DOUBLE) OVER (PARTITION BY event_type ORDER BY d
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |           sum((cents * 1000000) // cnt) OVER (PARTITION BY event_type ORDER BY d
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cm6
         |         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
-        |g2 AS (SELECT event_type, d, m, i, cm, cm / i AS avg_i FROM g1),
-        |g3 AS (SELECT event_type, d, m, i, cm,
-        |         sum(avg_i) OVER (PARTITION BY event_type ORDER BY d
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa
+        |g2 AS (SELECT event_type, d, m6, i, cm6, cm6 // i AS a6 FROM g1),
+        |g3 AS (SELECT event_type, d, m6, i, cm6,
+        |         sum(a6) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sa6
         |       FROM g2),
-        |g4 AS (SELECT event_type, d, m, cm - sa - i * 0.0 AS c FROM g3),
-        |g5 AS (SELECT event_type, d, m, c,
-        |         c - min(c) OVER (PARTITION BY event_type ORDER BY d
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |g4 AS (SELECT event_type, d, m6, cm6 - sa6 AS c6 FROM g3),
+        |g5 AS (SELECT event_type, d, m6, c6,
+        |         c6 - min(c6) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph6
         |       FROM g4)
-        |SELECT event_type, d::VARCHAR AS day, m, ph, ph > 10.0 AS alarm
+        |SELECT event_type, d::VARCHAR AS day, m6::DOUBLE / 1e6 AS m,
+        |  ph6::DOUBLE / 1e6 AS ph, ph6 > 10000000 AS alarm
         |FROM g5 ORDER BY event_type, day""".stripMargin
 
   /** Granger causality at lag 1 between the daily click and purchase
