@@ -4465,6 +4465,330 @@ object AnalyticsQueries {
         |    / sqrt(n1d * n2d / 12 * ((nd + 1) - tie3d / (nd * (nd - 1))))) > 1.96 AS reject
         |FROM uz ORDER BY n1""".stripMargin
 
+  /** Per-(bin, event_type) count table over the deci-bucket value grid
+    * — the k-sample generalization of [[ksBins]]'s two-sample state:
+    * PURELY ADDITIVE (≤4901 bins × |types| rows at any data volume),
+    * one state serving both the Kruskal–Wallis and Jonckheere–Terpstra
+    * maintainers.
+    */
+  private[graft] def typeBins(ev: DataFrame): DataFrame =
+    ev.groupBy(round(col("value") * 10).cast("long").as("b"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952) across ALL event types'
+    * value distributions — the k-sample extension of
+    * [[evtMannWhitney]] (does ANY of k groups stochastically dominate?),
+    * the screen run before k·(k−1)/2 pairwise rank tests. Same midrank
+    * device over the shared deci-bucket bins: 2·R_j accumulates in
+    * DECIMAL(38,0) per group, each group's H term quantizes to 1e-6
+    * units BEFORE the cross-group sum (the CMH per-cell discipline —
+    * a raw double Σ over groups would be addend-order-sensitive), and
+    * the tie correction Σ(t³−t)/(N³−N) divides once at emission.
+    * Output: one row per group (nj, 2R_j) carrying the shared
+    * tie-corrected H, df = k−1, and the χ²₀.₀₅ decision.
+    */
+  def evtKruskal(s: SparkSession, dir: String): DataFrame =
+    kruskalFromBins(typeBins(Tables.events(s, dir)))
+
+  private[graft] def kruskalFromBins(bins: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val bt = bins.groupBy("b").agg(sum("c").as("ct"))
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    // staged: referenced by the per-group join AND the totals readout
+    // (also keeps the bounded-domain global window inside the boundary)
+    val wi = Funnel.stage(
+      bt.withColumn("cumb", coalesce(sum("ct").over(wb), lit(0L))), "kw_bins")
+    val grp = bins.join(wi, "b")
+      .groupBy("event_type")
+      .agg(sum("c").cast("long").as("nj"),
+        sum(col("c").cast(d) * (col("cumb").cast(d) * 2 + col("ct") + 1)).as("r2x"))
+    val tot = wi.agg(sum("ct").cast("long").as("n"),
+      sum(col("ct").cast(d) * col("ct") * col("ct") - col("ct").cast(d)).as("tie3"))
+    // 12·R_j² = 3·(2R_j)²; per-group term quantized to 1e-6 then
+    // integer-summed — order-free across groups
+    val q = grp.crossJoin(broadcast(tot))
+      .withColumn("h6", floor(
+        (col("r2x").cast("double") * col("r2x").cast("double") * lit(3.0)
+          / (col("nj").cast("double") * col("n").cast("double")
+            * (col("n") + 1).cast("double"))) * 1e6 + 0.5).cast("long"))
+    val summary = q.agg(count(lit(1)).cast("long").as("k"), sum("h6").as("s6"),
+        max("n").as("n"), max(col("tie3").cast(d)).as("tie3"))
+      .select(col("k"), (col("k") - 1).cast("long").as("df"),
+        round((col("s6").cast("double") / 1e6 - (col("n") + 1).cast("double") * 3.0)
+          / (lit(1.0) - col("tie3").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * col("n").cast("double") - col("n").cast("double"))), 6).as("h"))
+      .withColumn("crit",
+        when(col("df") === 1, 3.841).when(col("df") === 2, 5.991)
+          .when(col("df") === 3, 7.815).when(col("df") === 4, 9.488)
+          .when(col("df") === 5, 11.070))
+    grp.select(col("event_type"), col("nj"), col("r2x").cast("double").as("r2x"))
+      .crossJoin(broadcast(summary))
+      .select(col("event_type"), col("nj"), col("r2x"), col("h"), col("df"),
+        (col("h") > col("crit")).as("reject"))
+      .orderBy("event_type")
+  }
+
+  val evtKruskalSql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b FROM ev),
+        |bins AS (SELECT b, event_type, count(*)::BIGINT AS c FROM fl GROUP BY 1, 2),
+        |bt AS (SELECT b, sum(c)::BIGINT AS ct FROM bins GROUP BY 1),
+        |wi AS (SELECT b, ct, coalesce(sum(ct) OVER (ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumb
+        |       FROM bt),
+        |grp AS (SELECT event_type, sum(c)::BIGINT AS nj,
+        |          sum(c::HUGEINT * (cumb::HUGEINT * 2 + ct + 1)) AS r2x
+        |        FROM bins JOIN wi USING (b) GROUP BY 1),
+        |tot AS (SELECT sum(ct)::BIGINT AS n,
+        |          sum(ct::HUGEINT * ct * ct - ct::HUGEINT) AS tie3 FROM wi),
+        |q AS (SELECT event_type, nj, r2x, n, tie3,
+        |        floor((r2x::DOUBLE * r2x::DOUBLE * 3.0
+        |          / (nj::DOUBLE * n::DOUBLE * (n + 1)::DOUBLE)) * 1e6 + 0.5)::BIGINT AS h6
+        |      FROM grp, tot),
+        |s AS (SELECT count(*)::BIGINT AS k, sum(h6)::BIGINT AS s6,
+        |        max(n) AS n, max(tie3) AS tie3 FROM q),
+        |hh AS (SELECT k, (k - 1)::BIGINT AS df,
+        |         round((s6::DOUBLE / 1e6 - (n + 1)::DOUBLE * 3.0)
+        |           / (1.0 - tie3::DOUBLE
+        |             / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 6) AS h
+        |       FROM s)
+        |SELECT g.event_type, g.nj, g.r2x::DOUBLE AS r2x, hh.h, hh.df,
+        |  hh.h > CASE hh.df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+        |                    WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 END AS reject
+        |FROM grp g, hh ORDER BY event_type""".stripMargin
+
+  /** Jonckheere–Terpstra ordered-alternative trend test (Jonckheere
+    * 1954) across the event types taken in lexicographic order — the
+    * test of record when the groups carry a natural ordering (dose,
+    * tier, cohort age) and the question is a MONOTONE shift, where it
+    * dominates Kruskal–Wallis in power; the type ordering here is the
+    * deterministic stand-in for the caller's ordered categories.
+    * 2·JT = Σ_{i<j} Σ_b c_j(b)·(2·cum_i(<b) + c_i(b)) accumulates in
+    * DECIMAL(38,0) over the DENSIFIED (bin × type) grid (absent cells
+    * as zeros — the per-pair cumulative must be defined at every bin
+    * the left group occupies), mean and variance from exact integer
+    * moments, one z emission. Ties from binning are inherent to the
+    * shared-bins device and identical on both engines (documented:
+    * the classic variance formula, not the tie-adjusted one).
+    */
+  def evtJt(s: SparkSession, dir: String): DataFrame =
+    jtFromBins(typeBins(Tables.events(s, dir)))
+
+  private[graft] def jtFromBins(bins: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val bt = bins.groupBy("b").agg(sum("c").as("ct"))
+    val types = bins.select("event_type").distinct()
+    val grid = bt.select("b").crossJoin(broadcast(types))
+      .join(bins, Seq("b", "event_type"), "left")
+      .select(col("b"), col("event_type"), coalesce(col("c"), lit(0L)).as("c0"))
+    val wg = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // staged: the pair self-join reads it twice, the group totals once
+    val g = Funnel.stage(
+      grid.withColumn("cum", coalesce(sum("c0").over(wg), lit(0L))), "jt_grid")
+    // 2·U_ij = Σ_b c_j(b)·(2·cum_i(<b) + c_i(b)): each later-group
+    // observation at bin b pairs with the EARLIER group's mass strictly
+    // below (concordant) plus half the same-bin ties
+    val pairs = g.select(col("b"), col("event_type").as("ta"), col("c0").as("ca"),
+        col("cum").as("cuma"))
+      .join(g.select(col("b"), col("event_type").as("tb"), col("c0").as("cb")), Seq("b"))
+      .filter(col("ta") < col("tb"))
+    val jt2 = pairs.agg(
+      sum(col("cb").cast(d) * (col("cuma").cast(d) * 2 + col("ca"))).as("jt2"))
+    val nj = g.groupBy("event_type").agg(sum("c0").cast("long").as("nj"))
+    val mo = nj.agg(count(lit(1)).cast("long").as("k"), sum("nj").cast("long").as("n"),
+      sum(col("nj").cast(d) * col("nj")).as("sn2"),
+      sum(col("nj").cast(d) * col("nj") * (col("nj") * 2 + 3)).as("sv"))
+    jt2.crossJoin(broadcast(mo))
+      .select(col("n"), col("k"), (col("jt2").cast("double") / 2).as("jt"),
+        (((col("jt2").cast("double") / 2)
+          - (col("n").cast(d) * col("n") - col("sn2")).cast("double") / 4)
+          / sqrt((col("n").cast(d) * col("n") * (col("n") * 2 + 3) - col("sv"))
+            .cast("double") / 72)).as("z"))
+      .withColumn("reject", abs(col("z")) > 1.96)
+      .orderBy("n")
+  }
+
+  val evtJtSql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b FROM ev),
+        |bins AS (SELECT b, event_type, count(*)::BIGINT AS c FROM fl GROUP BY 1, 2),
+        |bt AS (SELECT b FROM bins GROUP BY 1),
+        |types AS (SELECT DISTINCT event_type FROM bins),
+        |grid AS (SELECT bt.b, t.event_type, coalesce(bins.c, 0)::BIGINT AS c0
+        |         FROM bt CROSS JOIN types t
+        |         LEFT JOIN bins ON bins.b = bt.b AND bins.event_type = t.event_type),
+        |g AS (SELECT b, event_type, c0,
+        |        coalesce(sum(c0) OVER (PARTITION BY event_type ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |      FROM grid),
+        |pairs AS (SELECT a.b, a.c0 AS ca, a.cum AS cuma, bq.c0 AS cb
+        |          FROM g a JOIN g bq USING (b) WHERE a.event_type < bq.event_type),
+        |jt AS (SELECT sum(cb::HUGEINT * (cuma::HUGEINT * 2 + ca)) AS jt2 FROM pairs),
+        |nj AS (SELECT event_type, sum(c0)::BIGINT AS nj FROM g GROUP BY 1),
+        |mo AS (SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+        |         sum(nj::HUGEINT * nj) AS sn2,
+        |         sum(nj::HUGEINT * nj * (nj * 2 + 3)) AS sv FROM nj)
+        |SELECT n, k, jt2::DOUBLE / 2 AS jt,
+        |  (jt2::DOUBLE / 2 - (n::HUGEINT * n - sn2)::DOUBLE / 4)
+        |    / sqrt((n::HUGEINT * n * (n * 2 + 3) - sv)::DOUBLE / 72) AS z,
+        |  abs((jt2::DOUBLE / 2 - (n::HUGEINT * n - sn2)::DOUBLE / 4)
+        |    / sqrt((n::HUGEINT * n * (n * 2 + 3) - sv)::DOUBLE / 72)) > 1.96 AS reject
+        |FROM jt, mo ORDER BY n""".stripMargin
+
+  /** The per-(user, day) activity grid — purchases and total events.
+    * PURELY ADDITIVE (sum-merge on (user_id, d)), the shared state for
+    * the paired-design tests below: McNemar needs per-half conversion,
+    * Cochran's Q per-tertile conversion, both derivable from this one
+    * grid at readout time.
+    */
+  private[graft] def userDayGrid(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+
+  /** McNemar's paired test (McNemar 1947) on per-user conversion in the
+    * first vs second half of the observation window — the PAIRED
+    * before/after companion to the independent-sample A/B family
+    * (each user is their own control, so cross-user variance cancels).
+    * Conversion = purchase share ≥ 25 % within the half (the
+    * [[evtCmh]] share-threshold device — raw any-purchase flags are
+    * degenerate on this fixture); halves split at the integer midpoint
+    * of the day span. χ² uses the Edwards continuity correction
+    * max(¦b−c¦−1, 0)²/(b+c) from exact integer discordant counts —
+    * the only float is one division.
+    */
+  def evtMcnemar(s: SparkSession, dir: String): DataFrame =
+    mcnemarFromGrid(userDayGrid(Tables.events(s, dir)))
+
+  private[graft] def mcnemarFromGrid(grid: DataFrame): DataFrame = {
+    val span = grid.agg(min("d").as("d0"), max("d").as("d1"))
+    val h = grid.crossJoin(broadcast(span))
+      .withColumn("h1",
+        (datediff(col("d"), col("d0")) * 2 <= datediff(col("d1"), col("d0"))).cast("long"))
+      .groupBy("user_id")
+      .agg(sum(col("np") * col("h1")).as("np1"), sum(col("n") * col("h1")).as("n1"),
+        sum(col("np") * (lit(1L) - col("h1"))).as("np2"),
+        sum(col("n") * (lit(1L) - col("h1"))).as("n2"))
+    val cv = h.select(
+      when(col("np1") * 4 >= col("n1") && col("n1") > 0, 1L).otherwise(0L).as("c1"),
+      when(col("np2") * 4 >= col("n2") && col("n2") > 0, 1L).otherwise(0L).as("c2"))
+    cv.agg(
+        sum(when(col("c1") === 0 && col("c2") === 0, 1L).otherwise(0L)).cast("long").as("n00"),
+        sum(when(col("c1") === 0 && col("c2") === 1, 1L).otherwise(0L)).cast("long").as("n01"),
+        sum(when(col("c1") === 1 && col("c2") === 0, 1L).otherwise(0L)).cast("long").as("n10"),
+        sum(when(col("c1") === 1 && col("c2") === 1, 1L).otherwise(0L)).cast("long").as("n11"))
+      .withColumn("chi2",
+        when(col("n01") + col("n10") > 0,
+          (greatest(abs(col("n01") - col("n10")) - 1, lit(0L))
+            * greatest(abs(col("n01") - col("n10")) - 1, lit(0L))).cast("double")
+            / (col("n01") + col("n10")).cast("double")))
+      .withColumn("reject", col("chi2") > 3.841)
+      .orderBy("n00")
+  }
+
+  val evtMcnemarSql: String =
+    Tables.eventsCte +
+      """
+        |, ud AS (SELECT user_id, ts::DATE AS d, count(*)::BIGINT AS n,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS np
+        |         FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |h AS (SELECT user_id,
+        |        sum(np * h1)::BIGINT AS np1, sum(n * h1)::BIGINT AS n1,
+        |        sum(np * (1 - h1))::BIGINT AS np2, sum(n * (1 - h1))::BIGINT AS n2
+        |      FROM (SELECT ud.*, CASE WHEN (d - d0) * 2 <= (d1 - d0)
+        |                              THEN 1 ELSE 0 END::BIGINT AS h1 FROM ud, sp)
+        |      GROUP BY 1),
+        |cv AS (SELECT CASE WHEN np1 * 4 >= n1 AND n1 > 0 THEN 1 ELSE 0 END AS c1,
+        |              CASE WHEN np2 * 4 >= n2 AND n2 > 0 THEN 1 ELSE 0 END AS c2 FROM h),
+        |m AS (SELECT
+        |        sum(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+        |        sum(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |        sum(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |        sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n11 FROM cv)
+        |SELECT n00, n01, n10, n11,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    (greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0))::DOUBLE
+        |      / (n01 + n10)::DOUBLE END AS chi2,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    (greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0))::DOUBLE
+        |      / (n01 + n10)::DOUBLE END > 3.841 AS reject
+        |FROM m ORDER BY n00""".stripMargin
+
+  /** Cochran's Q (Cochran 1950) — k related binary treatments per
+    * subject: did the per-user conversion rate CHANGE across the three
+    * day-tertiles of the window? The k>2 generalization of
+    * [[evtMcnemar]] (and its df=2 χ² is the gate run before pairwise
+    * McNemars). x_uj = purchase share ≥ 25 % within tertile j (shared
+    * threshold device over the same [[userDayGrid]] state);
+    * Q = (k−1)·(k·ΣT_j² − (ΣT)²) / (k·ΣR_u − ΣR_u²) is a ratio of
+    * exact integer moments — one division, integer comparison against
+    * nothing, χ²₀.₀₅(2) = 5.991 on the emitted double.
+    */
+  def evtCochranq(s: SparkSession, dir: String): DataFrame =
+    cochranqFromGrid(userDayGrid(Tables.events(s, dir)))
+
+  private[graft] def cochranqFromGrid(grid: DataFrame): DataFrame = {
+    val span = grid.agg(min("d").as("d0"), max("d").as("d1"))
+    val bk = grid.crossJoin(broadcast(span))
+      .withColumn("j", least(
+        expr("datediff(d, d0) * 3 DIV (datediff(d1, d0) + 1)"), lit(2L)))
+      .groupBy("user_id", "j")
+      .agg(sum("np").as("np"), sum("n").as("n"))
+    val x = bk.select(col("user_id"), col("j"),
+      when(col("np") * 4 >= col("n") && col("n") > 0, 1L).otherwise(0L).as("x"))
+    val r = x.groupBy("user_id").agg(sum("x").as("ru"))
+    val t = x.agg(
+      sum(when(col("j") === 0, col("x")).otherwise(0L)).cast("long").as("t0"),
+      sum(when(col("j") === 1, col("x")).otherwise(0L)).cast("long").as("t1"),
+      sum(when(col("j") === 2, col("x")).otherwise(0L)).cast("long").as("t2"))
+    val rm = r.agg(count(lit(1)).cast("long").as("n_users"),
+      sum("ru").cast("long").as("sr"), sum(col("ru") * col("ru")).cast("long").as("sr2"))
+    t.crossJoin(broadcast(rm))
+      .withColumn("q", when(col("sr") * 3 - col("sr2") > 0,
+        (lit(2L) * (lit(3L) * (col("t0") * col("t0") + col("t1") * col("t1")
+          + col("t2") * col("t2"))
+          - (col("t0") + col("t1") + col("t2"))
+            * (col("t0") + col("t1") + col("t2")))).cast("double")
+          / (col("sr") * 3 - col("sr2")).cast("double")))
+      .select(col("n_users"), col("t0"), col("t1"), col("t2"), col("q"),
+        (col("q") > 5.991).as("reject"))
+      .orderBy("n_users")
+  }
+
+  val evtCochranqSql: String =
+    Tables.eventsCte +
+      """
+        |, ud AS (SELECT user_id, ts::DATE AS d, count(*)::BIGINT AS n,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS np
+        |         FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |bk AS (SELECT user_id, least(((d - d0) * 3) // ((d1 - d0) + 1), 2) AS j,
+        |         sum(np)::BIGINT AS np, sum(n)::BIGINT AS n
+        |       FROM ud, sp GROUP BY 1, 2),
+        |x AS (SELECT user_id, j,
+        |        CASE WHEN np * 4 >= n AND n > 0 THEN 1 ELSE 0 END::BIGINT AS x FROM bk),
+        |r AS (SELECT user_id, sum(x)::BIGINT AS ru FROM x GROUP BY 1),
+        |t AS (SELECT sum(CASE WHEN j = 0 THEN x ELSE 0 END)::BIGINT AS t0,
+        |        sum(CASE WHEN j = 1 THEN x ELSE 0 END)::BIGINT AS t1,
+        |        sum(CASE WHEN j = 2 THEN x ELSE 0 END)::BIGINT AS t2 FROM x),
+        |rm AS (SELECT count(*)::BIGINT AS n_users, sum(ru)::BIGINT AS sr,
+        |         sum(ru * ru)::BIGINT AS sr2 FROM r)
+        |SELECT n_users, t0, t1, t2,
+        |  CASE WHEN sr * 3 - sr2 > 0 THEN
+        |    (2 * (3 * (t0 * t0 + t1 * t1 + t2 * t2)
+        |      - (t0 + t1 + t2) * (t0 + t1 + t2)))::DOUBLE
+        |      / (sr * 3 - sr2)::DOUBLE END AS q,
+        |  CASE WHEN sr * 3 - sr2 > 0 THEN
+        |    (2 * (3 * (t0 * t0 + t1 * t1 + t2 * t2)
+        |      - (t0 + t1 + t2) * (t0 + t1 + t2)))::DOUBLE
+        |      / (sr * 3 - sr2)::DOUBLE END > 5.991 AS reject
+        |FROM t, rm ORDER BY n_users""".stripMargin
+
   /** The per-type daily (count, value-cents) grid — the shared additive
     * state for the rank-correlation pair and Page–Hinkley below. Cents
     * (round(value·100) summed as BIGINT) keep the per-day value total
@@ -4950,6 +5274,10 @@ object AnalyticsQueries {
     Q("q_evt_ols", evtOls, Some(evtOlsSql)),
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
     Q("q_evt_mannwhitney", evtMannWhitney, Some(evtMannWhitneySql)),
+    Q("q_evt_kruskal", evtKruskal, Some(evtKruskalSql)),
+    Q("q_evt_jt", evtJt, Some(evtJtSql)),
+    Q("q_evt_mcnemar", evtMcnemar, Some(evtMcnemarSql)),
+    Q("q_evt_cochranq", evtCochranq, Some(evtCochranqSql)),
     Q("q_evt_spearman", evtSpearman, Some(evtSpearmanSql)),
     Q("q_evt_kendall", evtKendall, Some(evtKendallSql)),
     Q("q_evt_tclose", evtTclose, Some(evtTcloseSql)),

@@ -3554,6 +3554,95 @@ object StreamingQueries {
     AQ.mannWhitneyFromBins(store.version(lastBatchId(srcDir)))
   }
 
+  /** Streaming maintainer for the per-(bin, event_type) count table —
+    * the k-sample rank-test state ([[graft.queries.AnalyticsQueries
+    * .typeBins]]): sum-merge per batch, bounded ≤4901 bins × |types|
+    * rows at any volume; end of stream runs the supplied tail over the
+    * final bins, oracled by the batch statement verbatim.
+    */
+  private def typeBinsMaintained(s: SparkSession, dir: String, tag: String)(
+      tail: DataFrame => DataFrame): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, tag,
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, s"${tag}_store"))
+    store.init(AQ.typeBins(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.typeBins(batch))
+            .groupBy("b", "event_type").agg(sum("c").as("c")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tail(store.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming Kruskal–Wallis: the maintained k-sample bin table, the
+    * batch H tail at end of stream — the live "did any variant's
+    * distribution move" dashboard, bit-identical to the batch query.
+    */
+  def streamKruskal(s: SparkSession, dir: String): DataFrame =
+    typeBinsMaintained(s, dir, "skw")(
+      graft.queries.AnalyticsQueries.kruskalFromBins)
+
+  /** Streaming Jonckheere–Terpstra over the same maintained state —
+    * one bin table serves the whole k-sample rank family (the
+    * [[streamKs]]/[[streamMannWhitney]] sharing posture).
+    */
+  def streamJt(s: SparkSession, dir: String): DataFrame =
+    typeBinsMaintained(s, dir, "sjt")(
+      graft.queries.AnalyticsQueries.jtFromBins)
+
+  /** Streaming maintainer for the per-(user, day) activity grid — the
+    * paired-design state ([[graft.queries.AnalyticsQueries
+    * .userDayGrid]]): sum-merge on (user_id, d) per batch; the grid is
+    * |users| × |days| bounded. The half/tertile split points derive
+    * from the FINAL grid's min/max day, so the maintained readout is
+    * the batch statement verbatim.
+    */
+  private def userDayMaintained(s: SparkSession, dir: String, tag: String)(
+      tail: DataFrame => DataFrame): DataFrame = {
+    import graft.queries.{AnalyticsQueries => AQ}
+    val ev = Tables.events(s, dir)
+    val srcDir = stageBatchFiles(dir, tag,
+      (0 until 3).map(b => ev.filter(col("event_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, s"${tag}_store"))
+    store.init(AQ.userDayGrid(ev.limit(0)))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(AQ.userDayGrid(batch))
+            .groupBy("user_id", "d").agg(sum("n").as("n"), sum("np").as("np")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tail(store.version(lastBatchId(srcDir)))
+  }
+
+  /** Streaming McNemar: the maintained (user, day) grid with the
+    * paired before/after readout at end of stream.
+    */
+  def streamMcnemar(s: SparkSession, dir: String): DataFrame =
+    userDayMaintained(s, dir, "smcn")(
+      graft.queries.AnalyticsQueries.mcnemarFromGrid)
+
+  /** Streaming Cochran's Q over the same maintained grid — the k>2
+    * paired readout, sharing the McNemar state.
+    */
+  def streamCochranq(s: SparkSession, dir: String): DataFrame =
+    userDayMaintained(s, dir, "scq")(
+      graft.queries.AnalyticsQueries.cochranqFromGrid)
+
   /** Streaming maintainer for the per-type daily (count, cents) grid —
     * the shared additive state behind the Spearman rank correlation and
     * the Page–Hinkley drift walk (and Kendall, whose twin this also
@@ -5666,6 +5755,10 @@ object StreamingQueries {
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
     Q("q_stream_mannwhitney", streamMannWhitney, Some(AnalyticsQueries.evtMannWhitneySql)),
+    Q("q_stream_kruskal", streamKruskal, Some(AnalyticsQueries.evtKruskalSql)),
+    Q("q_stream_jt", streamJt, Some(AnalyticsQueries.evtJtSql)),
+    Q("q_stream_mcnemar", streamMcnemar, Some(AnalyticsQueries.evtMcnemarSql)),
+    Q("q_stream_cochranq", streamCochranq, Some(AnalyticsQueries.evtCochranqSql)),
     Q("q_stream_spearman", streamSpearman, Some(AnalyticsQueries.evtSpearmanSql)),
     Q("q_stream_pagehinkley", streamPageHinkley, Some(AnalyticsQueries.evtPageHinkleySql)),
     Q("q_stream_tclose", streamTclose, Some(AnalyticsQueries.evtTcloseSql)),

@@ -151,4 +151,82 @@ class RankStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("t_dist") === 0.5))
     assert(out.forall(_.getAs[Boolean]("violates")))
   }
+
+  test("kruskal-wallis: two separated groups give the hand-computed H = 2.4") {
+    // click {0.1, 0.2} vs view {0.3, 0.4}: ranks 1+2 vs 3+4, no ties;
+    // H = 12/(4*5) * (3^2/2 + 7^2/2) - 3*5 = 0.6*29 - 15 = 2.4
+    val rows = Seq(
+      (1L, "2024-01-01", 1L, "click", 0.1), (2L, "2024-01-01", 2L, "click", 0.2),
+      (3L, "2024-01-01", 3L, "view", 0.3), (4L, "2024-01-01", 4L, "view", 0.4))
+    val dir = writeEvents("/tmp/graft-rank-kw", rows)
+    val out = AnalyticsQueries.evtKruskal(spark, dir).collect()
+    assert(out.length === 2) // one row per group
+    assert(out.forall(r => math.abs(r.getAs[Double]("h") - 2.4) < 1e-9))
+    assert(out.forall(_.getAs[Long]("df") === 1L))
+    assert(out.forall(!_.getAs[Boolean]("reject"))) // 2.4 < 3.841
+    val byType = out.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nj")).toMap
+    assert(byType === Map("click" -> 2L, "view" -> 2L))
+  }
+
+  test("jonckheere-terpstra: a monotone shift up the type order maxes JT") {
+    // click (lexicographically first) low, view high: every cross pair
+    // concordant -> JT = n1*n2 = 4; mean = (16-8)/4 = 2;
+    // var = (16*11 - 8*7*2/2... ) = (176 - 2*4*7)/72 = 120/72
+    val rows = Seq(
+      (1L, "2024-01-01", 1L, "click", 0.1), (2L, "2024-01-01", 2L, "click", 0.2),
+      (3L, "2024-01-01", 3L, "view", 0.3), (4L, "2024-01-01", 4L, "view", 0.4))
+    val dir = writeEvents("/tmp/graft-rank-jt", rows)
+    val out = AnalyticsQueries.evtJt(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jt") === 4.0)
+    assert(math.abs(out.head.getAs[Double]("z") - 2.0 / math.sqrt(120.0 / 72)) < 1e-12)
+    // reversed ordering: zero concordant pairs, symmetric negative z
+    val rows2 = rows.map { case (id, d, u, t, v) =>
+      (id, d, u, t, if (t == "click") v + 0.3 else v - 0.2) }
+    val out2 = AnalyticsQueries.evtJt(spark,
+      writeEvents("/tmp/graft-rank-jt2", rows2)).collect()
+    assert(out2.head.getAs[Double]("jt") === 0.0)
+    assert(out2.head.getAs[Double]("z") < 0)
+  }
+
+  test("mcnemar: hand-computed discordant counts and the continuity-corrected chi2") {
+    // days 1-2 = first half, 3-4 = second half (span 3, midpoint offset 1).
+    // 10 users convert ONLY in half 1 (purchase day 1, 4 plain views day 3),
+    // 2 users convert ONLY in half 2 (reverse) -> b=n01=2, c=n10=10,
+    // chi2 = (|2-10|-1)^2 / 12 = 49/12
+    var id = 0L
+    def ev(day: String, uid: Long, typ: String, k: Int): Seq[(Long, String, Long, String, Double)] =
+      (0 until k).map { _ => id += 1; (id, day, uid, typ, 1.0) }
+    val h1Only = (0 until 10).flatMap(i =>
+      ev("2024-01-01", 10 + i, "purchase", 1) ++ ev("2024-01-03", 10 + i, "view", 4))
+    val h2Only = (0 until 2).flatMap(i =>
+      ev("2024-01-01", 50 + i, "view", 4) ++ ev("2024-01-04", 50 + i, "purchase", 1))
+    val dir = writeEvents("/tmp/graft-rank-mcn", h1Only ++ h2Only)
+    val out = AnalyticsQueries.evtMcnemar(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n10") === 10L && out.head.getAs[Long]("n01") === 2L)
+    assert(math.abs(out.head.getAs[Double]("chi2") - 49.0 / 12) < 1e-12)
+    assert(out.head.getAs[Boolean]("reject")) // 4.083 > 3.841
+  }
+
+  test("cochran-q: the hand-computed Q = 6 rejects at df = 2") {
+    // days 1/2/3 are the three tertiles. u1 converts in all three;
+    // u2-u4 convert only in tertile 0: T = (4,1,1), R = (3,1,1,1);
+    // Q = 2*(3*18 - 36) / (3*6 - 12) = 6 > 5.991
+    var id = 0L
+    def ev(day: String, uid: Long, typ: String, k: Int): Seq[(Long, String, Long, String, Double)] =
+      (0 until k).map { _ => id += 1; (id, day, uid, typ, 1.0) }
+    val u1 = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .flatMap(d => ev(d, 1L, "purchase", 1))
+    val rest = (2L to 4L).flatMap(u =>
+      ev("2024-01-01", u, "purchase", 1) ++
+        ev("2024-01-02", u, "view", 4) ++ ev("2024-01-03", u, "view", 4))
+    val dir = writeEvents("/tmp/graft-rank-cq", u1 ++ rest)
+    val out = AnalyticsQueries.evtCochranq(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out.head.getAs[Long]("t0"), out.head.getAs[Long]("t1"),
+      out.head.getAs[Long]("t2")) === ((4L, 1L, 1L)))
+    assert(math.abs(out.head.getAs[Double]("q") - 6.0) < 1e-12)
+    assert(out.head.getAs[Boolean]("reject"))
+  }
 }

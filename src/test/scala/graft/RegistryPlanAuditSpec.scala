@@ -52,6 +52,10 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_cms_change", // 1-row min-day scalar + 2-row window-id probe cross
     "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_evt_tclose", // bounded QI-group x class frame: |classes|-row + 1-row totals broadcast
+    "q_evt_kruskal", // 1-row bin totals + 1-row H summary broadcast
+    "q_evt_jt", // 1-row JT statistic x 1-row moment table broadcast
+    "q_evt_mcnemar", // 1-row day-span scalar broadcast
+    "q_evt_cochranq", // 1-row day-span + 1-row row-moment broadcast
     "q_doc_isotonic", // bounded score-block pair frame (≤1001² j≤k minimax grid)
     "q_doc_llr_bigrams", // 1-row bigram-total scalar broadcast
     "q_evt_churn", // 1-row span-origin scalar broadcast
