@@ -878,6 +878,86 @@ object Similarity {
       .filter(col("rn") <= topK)
   }
 
+  /** Residual (multi-stage) vector quantization ANN (Chen, Guan &
+    * Wang 2010 "Approximate Nearest Neighbor Search by Residual Vector
+    * Quantization"; the additive-quantization family of Babenko &
+    * Lempitsky 2014): stage 0 k-means-quantizes the vector, each later
+    * stage quantizes the RESIDUAL left by the stages before it, and
+    * the reconstruction is the SUM of the selected centroids — the
+    * complement of [[pqTopK]]: PQ splits the dimension axis, RQ stacks
+    * whole-vector stages, so RQ captures cross-dimension structure PQ
+    * cannot. Memory story: `stages`·log₂(k) bits per vector.
+    * REQUIRES ids dense from 0 through at least `stages`·k−1 (stage s
+    * seeds on ids [s·k, (s+1)·k) — the [[kmeansCentroids]] contract,
+    * per stage).
+    *
+    * Spark shape: each stage's codebook (k rows) broadcasts into one
+    * scan + `min_by` partial-agg argmin; the corpus never self-joins
+    * and crosses the wire only in the bounded per-stage aggregates.
+    * Stage s seeds from ids [s·k, (s+1)·k) so no stage seeds on a
+    * vector whose residual is already zero from its own stage-0 seed
+    * row. Assignment ranks round to 6 with cid tie-break and centroid
+    * components round to 6 per Lloyd round — the whole train/encode/
+    * reconstruct trajectory replays exactly in the oracle. Queries
+    * score EXACT-vs-reconstruction (asymmetric, the RQ search mode).
+    *
+    * Output: (qid, nid, adist, rn) — top `topK` per query by ascending
+    * approximate squared L2, `adist` rounded to 4.
+    */
+  def rqTopK(
+      queries: DataFrame, // (qid, qe: array<float|double>)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int,
+      stages: Int,
+      iters: Int,
+      topK: Int
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.dot_double
+    def l2sq(a: Column, b: Column): Column =
+      dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)
+    var resid = Funnel.stage(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("r")),
+      "rq_resid")
+    var recon: DataFrame = null // (vec_id, rec)
+    for (st <- 0 until stages) {
+      var cb = resid.filter(col("vec_id") >= st * k && col("vec_id") < (st + 1) * k)
+        .select((col("vec_id") - st * k).cast("int").as("cid"), col("r").as("cv"))
+      for (_ <- 1 to iters) {
+        val asg = resid.join(broadcast(cb))
+          .select(col("vec_id"), col("r"), col("cid"),
+            round(l2sq(col("r"), col("cv")), 6).as("d"))
+          .groupBy("vec_id")
+          .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+            first(col("r")).as("r"))
+        cb = asg.select(col("cid"), posexplode(col("r")))
+          .groupBy("cid", "pos").agg(round(avg("col"), 6).as("c"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
+      }
+      val coded = Funnel.stage(resid.join(broadcast(cb))
+        .select(col("vec_id"), col("r"), col("cid"), col("cv"),
+          round(l2sq(col("r"), col("cv")), 6).as("d"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cv"), struct(col("d"), col("cid"))).as("cv"),
+          first(col("r")).as("r")), s"rq_code$st")
+      resid = coded.select(col("vec_id"),
+        zip_with(col("r"), col("cv"), (a, b) => a - b).as("r"))
+      val stageRec = coded.select(col("vec_id"), col("cv"))
+      recon =
+        if (recon == null) stageRec.select(col("vec_id"), col("cv").as("rec"))
+        else recon.join(stageRec, "vec_id")
+          .select(col("vec_id"), zip_with(col("rec"), col("cv"), (a, b) => a + b).as("rec"))
+    }
+    val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(round(col("dd"), 6).asc, col("nid"))
+    recon.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), l2sq(col("qe"), col("rec")).as("dd"))
+      .select(col("qid"), col("nid"), round(col("dd"), 4).as("adist"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= topK)
+  }
+
   /** IVF-PQ with residual encoding and per-cell ADC — the full
     * billion-scale index of Jégou, Douze & Schmid 2011 ("Product
     * Quantization for Nearest Neighbor Search", the IVFADC system),

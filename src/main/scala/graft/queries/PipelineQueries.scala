@@ -2316,6 +2316,67 @@ object PipelineQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Residual-quantization ANN (see
+    * [[graft.operators.Similarity.rqTopK]]): two stacked 8-centroid
+    * whole-vector codebooks (2 Lloyd rounds each), reconstruction =
+    * sum of selected centroids, queries scored exact-vs-reconstruction.
+    * The oracle unrolls BOTH stages' L2 Lloyd rounds, the residual
+    * subtraction, and the centroid-sum reconstruction as CTEs.
+    */
+  def embRq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.rqTopK(queries, emb, k = 8, stages = 2, iters = 2, topK = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val embRqSql: String = {
+    val l2 = (a: String, b: String) =>
+      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    // full-vector L2 Lloyd rounds over `src(vec_id, r)` under prefix pfx
+    def lloyd(pfx: String, src: String, i: Int): String =
+      s"""${pfx}a$i AS (SELECT vid, cid FROM (
+         |  SELECT m.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY round(${l2("m.r", "c.cv")}, 6) ASC, c.cid) AS rn
+         |  FROM $src m, ${pfx}c${i - 1} c) WHERE rn = 1),
+         |${pfx}comp$i AS (SELECT cid, i, round(avg(r[i + 1]), 6) AS c
+         |           FROM ${pfx}a$i JOIN $src ON vec_id = vid, range(0, 64) t(i)
+         |           GROUP BY 1, 2),
+         |${pfx}c$i AS (SELECT cid, list(c ORDER BY i) AS cv FROM ${pfx}comp$i GROUP BY 1)""".stripMargin
+    def encode(pfx: String, src: String, out: String): String =
+      s"""$out AS (SELECT vid, r, cv FROM (
+         |  SELECT m.vec_id AS vid, m.r, c.cv,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY round(${l2("m.r", "c.cv")}, 6) ASC, c.cid) AS rn
+         |  FROM $src m, ${pfx}c2 c) WHERE rn = 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |r0 AS (SELECT vec_id, e AS r FROM emb),
+       |s0c0 AS (SELECT vec_id::INTEGER AS cid, r AS cv FROM r0 WHERE vec_id < 8),
+       |${lloyd("s0", "r0", 1)},
+       |${lloyd("s0", "r0", 2)},
+       |${encode("s0", "r0", "code0")},
+       |r1 AS (SELECT vid AS vec_id,
+       |         list_transform(range(1, 65), i -> r[i] - cv[i]) AS r FROM code0),
+       |s1c0 AS (SELECT (vec_id - 8)::INTEGER AS cid, r AS cv FROM r1
+       |         WHERE vec_id >= 8 AND vec_id < 16),
+       |${lloyd("s1", "r1", 1)},
+       |${lloyd("s1", "r1", 2)},
+       |${encode("s1", "r1", "code1")},
+       |rec AS (SELECT c0.vid AS vec_id,
+       |          list_transform(range(1, 65), i -> c0.cv[i] + c1.cv[i]) AS rec
+       |        FROM code0 c0 JOIN code1 c1 USING (vid)),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+       |sc AS (SELECT qid, rec.vec_id AS nid, ${l2("q.qe", "rec.rec")} AS dd
+       |       FROM rec, q WHERE rec.vec_id <> q.qid)
+       |SELECT qid, nid, adist, rn FROM (
+       |  SELECT qid, nid, round(dd, 4) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(dd, 6) ASC, nid) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** SQ8 scalar-quantization ANN (see
     * [[graft.operators.Similarity.sq8TopK]]): per-dimension byte codes
     * against the corpus envelope, asymmetric scoring on the
@@ -6109,6 +6170,7 @@ object PipelineQueries {
     Q("q_emb_kmeans", embKmeans, Some(embKmeansSql)),
     Q("q_emb_silhouette", embSilhouette, Some(embSilhouetteSql)),
     Q("q_emb_pq", embPq, Some(embPqSql)),
+    Q("q_emb_rq", embRq, Some(embRqSql)),
     Q("q_emb_ivfpq", embIvfPq, Some(embIvfPqSql)),
     Q("q_emb_sq8", embSq8, Some(embSq8Sql)),
     Q("q_emb_mmr", embMmr, Some(embMmrSql)),

@@ -98,6 +98,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_mink", // 1-row percentile-threshold scalar broadcast
     "q_doc_linkage", // 1-row EM-parameter broadcast onto the <=8-row pattern table
     "q_emb_ivfpq", // nlist-row coarse-centroid table broadcast (cell assignment)
+    "q_emb_rq", // 10-query probe side broadcast vs the staged reconstruction
     "q_emb_sq8", // 1-row min/max envelope + 10-query probe side broadcast
     "q_graph_hits", // 1-row hub/auth normalization totals broadcast
     "q_doc_neyman", // 1-row weight-total + 1-row remainder crossed with |strata| rows

@@ -106,4 +106,29 @@ class SkewAndIvfSpec extends SparkSpec {
     // planted near-copies must stay high
     assert(recall >= 0.6, s"PQ recall $recall too low")
   }
+
+  test("rqTopK recall vs brute force on clustered data") {
+    val dim = 16
+    val rnd = new scala.util.Random(17)
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat; v.map(_ / n)
+    }
+    // DENSE 0-based ids: rqTopK stage s seeds from ids [s*k, (s+1)*k)
+    val bases = (0 until 8).map(i => unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val all = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.zipWithIndex.flatMap { case (v, i) =>
+        (0 until 4).map(j => ((8 + i * 4 + j).toLong,
+          unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))))
+      }
+    val corpus = all.toDF("vec_id", "embedding")
+    val queries = all.take(8).map { case (id, v) => (id, v) }.toDF("qid", "qe")
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rq = Similarity.rqTopK(queries, corpus, k = 8, stages = 2, iters = 2, topK = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (rq & truth).size.toDouble / truth.size
+    // two whole-vector stages: stage 0 lands the cluster, the residual
+    // stage separates members within it — planted near-copies must rank
+    assert(recall >= 0.6, s"RQ recall $recall too low")
+  }
 }
