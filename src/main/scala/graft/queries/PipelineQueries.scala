@@ -695,6 +695,46 @@ object PipelineQueries {
        |FROM u WHERE domain NOT IN ('example3.org', 'example7.org', 'example11.org')
        |GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Flagged-term content scan (the bad-word / policy-term filter every
+    * pretraining pipeline runs over CONTENT, complementing
+    * [[docBlocklist]]'s URL-level gate — cf. the C4 pipeline's
+    * banned-word list): one Aho–Corasick pass counts every occurrence
+    * of every dictionary term ([[graft.functions.MultiPatternCount]] —
+    * O(n + matches) per document regardless of dictionary size, vs m
+    * regexp passes re-reading the text m times), then per-(source,
+    * term) document and hit totals. The dictionary includes a nested
+    * pair ("tab" ⊂ "table") so the all-occurrence semantics are
+    * exercised; the oracle replays them with an exact position scan.
+    */
+  def docFlaggedTerms(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "merge", "slow", "spark", "tab", "table")
+    val counts = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MultiPatternCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), terms))
+    Tables.documents(s, dir)
+      .select(col("source"), posexplode(counts))
+      .select(col("source"),
+        element_at(typedLit(terms), (col("pos") + 1).cast("int")).as("term"),
+        col("col").as("hits"))
+      .groupBy("source", "term")
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).cast("long").as("docs"),
+        sum("hits").cast("long").as("hits"))
+      .orderBy("source", "term")
+  }
+
+  val docFlaggedTermsSql: String =
+    """WITH pats(term) AS (VALUES ('join'), ('merge'), ('slow'), ('spark'), ('tab'), ('table')),
+      |ps AS (SELECT unnest(range(1, (SELECT max(len(text)) FROM documents) + 1)) AS i),
+      |pos AS (SELECT d.source, d.doc_id, p.term,
+      |          sum(CASE WHEN ps.i + len(p.term) - 1 <= len(d.text)
+      |                    AND substr(d.text, ps.i::INTEGER, len(p.term)) = p.term
+      |              THEN 1 ELSE 0 END)::BIGINT AS hits
+      |        FROM documents d, pats p, ps GROUP BY 1, 2, 3)
+      |SELECT source, term,
+      |  sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS docs,
+      |  sum(hits)::BIGINT AS hits
+      |FROM pos GROUP BY 1, 2 ORDER BY source, term""".stripMargin
+
   /** CCNet-style dedup folding: two deterministic variants of each
     * document (casing, spacing, punctuation, and digit differences —
     * injected like the PII query so the folding is exercised on real
@@ -6126,6 +6166,7 @@ object PipelineQueries {
     Q("q_doc_delta_minhash", docDeltaMinhash, Some(docDeltaMinhashSql)),
     Q("q_doc_url_parse", docUrlParse, Some(docUrlParseSql)),
     Q("q_doc_blocklist", docBlocklist, Some(docBlocklistSql)),
+    Q("q_doc_flagged_terms", docFlaggedTerms, Some(docFlaggedTermsSql)),
     Q("q_doc_bigram_logprob", docBigramLogprob, Some(docBigramLogprobSql)),
     Q("q_doc_kn_logprob", docKnLogprob, Some(docKnLogprobSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
