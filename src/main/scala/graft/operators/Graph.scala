@@ -233,6 +233,52 @@ object Graph {
     * undirected edges — the shared input of the neighbor-similarity
     * measures below.
     */
+  /** Personalized PageRank (the random-walk-with-restart relevance
+    * score of Page et al. 1999 §6 / Jeh & Widom 2003's personalization
+    * view) over the undirected edge set, restarting at `seeds`: the
+    * "related entities" primitive behind people-you-may-know and
+    * seed-expansion labeling. d = 0.85, `rounds` power iterations.
+    *
+    * The ENTIRE mass walk is 64-bit integer arithmetic: ranks live in
+    * 1e-9 units (Σ ≈ 1e9), each edge carries floor(r9 / deg), the damp
+    * step is (s9·85) div 100, and the restart adds 15e7 div |S| on
+    * seeds — no cross-row float sum exists anywhere, so the oracle
+    * replays the walk exactly at ANY graph size (the betweenness
+    * quantized-recurrence discipline; floor leaks ≤1 unit per edge per
+    * round, irrelevant to a relevance ORDERING). The state is SPARSE —
+    * only nodes with nonzero rank materialize, so early rounds touch
+    * only the seeds' neighborhoods (the production PPR locality story);
+    * each round is one join + one dst-keyed integer aggregation.
+    *
+    * Output: (node, r9, rank) for r9 > 0 — exact integer units plus
+    * the rounded double readout.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val dir = Funnel.stage(edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct(), "ppr_edges")
+    val degd = Funnel.stage(
+      dir.join(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src"), "ppr_deg")
+    val sd = Funnel.stage(seeds.select(col("node"), lit(1L).as("sflag")), "ppr_seeds")
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val init = sd.crossJoin(broadcast(ns))
+      .select(col("node"), expr("1000000000L DIV ns").as("r9"))
+    val result = Iterations.loop(init, maxIter = rounds, checkpointEvery = 1) { p =>
+      val inbound = p.join(degd, p("node") === degd("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r9 DIV deg")).as("m9"))
+      inbound.join(sd, Seq("node"), "full")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          (expr("(coalesce(m9, 0L) * 85) DIV 100")
+            + when(col("sflag").isNotNull, expr("150000000L DIV ns"))
+              .otherwise(0L)).as("r9"))
+        .filter(col("r9") > 0)
+    }
+    result.select(col("node"), col("r9"),
+      round(col("r9") / lit(1e9), 6).as("rank"))
+  }
+
   private def neighbors(edges: DataFrame): DataFrame =
     Funnel.stage(edges.select(explode(array(
         struct(col("a").as("c"), col("b").as("n")),

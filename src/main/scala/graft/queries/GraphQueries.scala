@@ -564,7 +564,47 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Personalized PageRank from the three smallest user ids (see
+    * [[graft.operators.Graph.personalizedPageRank]]): 4 integer-unit
+    * power-iteration rounds over the co-engagement graph — the
+    * seed-expansion / related-users primitive. The oracle unrolls the
+    * rounds as CTEs over the identical integer walk (floor-division
+    * edge flows, 85-div-100 damping, 15e7-div-|S| restart), so every
+    * r9 cell is exact.
+    */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(s, dir)
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    val seeds = nodes.orderBy("node").limit(3)
+    Graph.personalizedPageRank(e, seeds, rounds = 4).orderBy("node")
+  }
+
+  val graphPprSql: String = {
+    val iter = (i: Int) =>
+      s"""p$i AS (SELECT node, r9 FROM (
+         |  SELECT coalesce(inb.node, sd.node) AS node,
+         |    ((coalesce(inb.m9, 0) * 85) // 100
+         |      + CASE WHEN sd.node IS NOT NULL THEN 150000000 // ns.ns ELSE 0 END)::BIGINT AS r9
+         |  FROM (SELECT g.dst AS node, sum(p.r9 // g.deg)::BIGINT AS m9
+         |        FROM p${i - 1} p JOIN degd g ON p.node = g.src GROUP BY 1) inb
+         |  FULL JOIN seeds sd ON sd.node = inb.node CROSS JOIN ns) WHERE r9 > 0)""".stripMargin
+    Tables.eventsCte + edgesCte +
+      s"""
+         |, dir AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         |degd AS (SELECT d.src, d.dst, g.deg FROM dir d
+         |         JOIN (SELECT src, count(*)::BIGINT AS deg FROM dir GROUP BY 1) g USING (src)),
+         |seeds AS (SELECT node FROM (SELECT DISTINCT src AS node FROM dir)
+         |          ORDER BY node LIMIT 3),
+         |ns AS (SELECT count(*)::BIGINT AS ns FROM seeds),
+         |p0 AS (SELECT node, (1000000000 // ns)::BIGINT AS r9 FROM seeds, ns),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT node, r9, round(r9 / 1000000000.0, 6) AS rank
+         |FROM p4 ORDER BY node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_graph_ppr", graphPpr, Some(graphPprSql)),
     Q("q_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("q_graph_labelprop", graphLabelProp, Some(graphLabelPropSql)),
     Q("q_graph_components", graphComponents, Some(graphComponentsSql)),

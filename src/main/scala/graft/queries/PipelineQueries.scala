@@ -706,21 +706,28 @@ object PipelineQueries {
     * pair ("tab" ⊂ "table") so the all-occurrence semantics are
     * exercised; the oracle replays them with an exact position scan.
     */
-  def docFlaggedTerms(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("join", "merge", "slow", "spark", "tab", "table")
+  /** The per-(source, term) flagged-term frame — PURELY ADDITIVE
+    * (docs and hits are sums over documents), so the streaming
+    * maintainer sum-merges batch partials of this exact shape.
+    */
+  private[queries] val flaggedTerms = Seq("join", "merge", "slow", "spark", "tab", "table")
+
+  private[queries] def flaggedTermCounts(docs: DataFrame): DataFrame = {
     val counts = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.MultiPatternCount(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), terms))
-    Tables.documents(s, dir)
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), flaggedTerms))
+    docs
       .select(col("source"), posexplode(counts))
       .select(col("source"),
-        element_at(typedLit(terms), (col("pos") + 1).cast("int")).as("term"),
+        element_at(typedLit(flaggedTerms), (col("pos") + 1).cast("int")).as("term"),
         col("col").as("hits"))
       .groupBy("source", "term")
       .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).cast("long").as("docs"),
         sum("hits").cast("long").as("hits"))
-      .orderBy("source", "term")
   }
+
+  def docFlaggedTerms(s: SparkSession, dir: String): DataFrame =
+    flaggedTermCounts(Tables.documents(s, dir)).orderBy("source", "term")
 
   val docFlaggedTermsSql: String =
     """WITH pats(term) AS (VALUES ('join'), ('merge'), ('slow'), ('spark'), ('tab'), ('table')),

@@ -3223,6 +3223,40 @@ object StreamingQueries {
       .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt")))
   }
 
+  /** Flagged-term content scan maintained on a document stream
+    * ([[PipelineQueries.docFlaggedTerms]] as a live-ingest content
+    * monitor — the posture a moderation dashboard runs): each batch
+    * runs the ONE-PASS Aho–Corasick scan over ITS OWN documents only
+    * (scan cost ∝ batch), and the (source, term, docs, hits) partials
+    * sum-merge into the bounded |sources|×|terms| state. The batch
+    * statement is the oracle verbatim.
+    */
+  def streamFlaggedTerms(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val srcDir = stageBatchFiles(dir, "sflag",
+      (0 until 3).map(b => docs.filter(col("doc_id") % 3 === b)))
+    val store = graft.streaming.VersionedStore(s, freshDir(dir, "sflag_store"))
+    store.init(PQ.flaggedTermCounts(docs.limit(0)))
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.write(batchId,
+          store.prior(batchId).unionByName(PQ.flaggedTermCounts(batch))
+            .groupBy("source", "term")
+            .agg(sum("docs").as("docs"), sum("hits").as("hits")))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.version(lastBatchId(srcDir))
+      .select(col("source"), col("term"), col("docs").cast("long").as("docs"),
+        col("hits").cast("long").as("hits"))
+      .orderBy("source", "term")
+  }
+
   /** Sorted-neighborhood dedup candidates maintained on a document
     * stream ([[PipelineQueries.docSnm]] as a live-ingest maintainer):
     * the state is the (id, key) sort-key table on a
@@ -5795,6 +5829,7 @@ object StreamingQueries {
     Q("q_stream_doremi", streamDoremi, Some(PipelineQueries.docDoremiSql)),
     Q("q_stream_binseg", streamBinseg, Some(AnalyticsQueries.evtBinsegSql)),
     Q("q_stream_snm", streamSnm, Some(PipelineQueries.docSnmSql)),
+    Q("q_stream_flagged_terms", streamFlaggedTerms, Some(PipelineQueries.docFlaggedTermsSql)),
     Q("q_stream_linkage", streamLinkage, Some(PipelineQueries.docLinkageSql)),
     Q("q_stream_mink", streamMink, Some(PipelineQueries.docMinkSql)),
     Q("q_stream_kmv", streamKmv, Some(SketchQueries.docKmvSql)),

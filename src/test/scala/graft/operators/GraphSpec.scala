@@ -366,4 +366,27 @@ class GraphSpec extends SparkSpec {
     assert(out(3L)._2 === 500000L)
     assert(out(4L)._2 === 0L)
   }
+
+  test("personalizedPageRank: hand-computed integer walk on a single edge") {
+    // seed {1} on edge 1-2 (both deg 1):
+    //   p0:  1 -> 1e9
+    //   p1:  2 -> (1e9*85)//100 = 85e7;  1 -> restart 15e7
+    //   p2:  1 -> (85e7*85)//100 + 15e7 = 872_500_000;  2 -> (15e7*85)//100 = 127_500_000
+    val e = edges((1L, 2L))
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.personalizedPageRank(e, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 872500000L, 2L -> 127500000L))
+  }
+
+  test("personalizedPageRank: mass stays in the seed component, sparsity holds") {
+    // two disconnected triangles; seeds in the first only
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val seeds = Seq(1L, 2L).toDF("node")
+    val out = Graph.personalizedPageRank(e, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // other component never materializes
+    assert(out.values.sum <= 1000000000L) // floor leaks only shrink the mass
+    assert(out(1L) > out(3L) && out(2L) > out(3L)) // seeds outrank the non-seed
+  }
 }
