@@ -65,14 +65,22 @@ object DdlSql {
       StructType(cols.map { case (n, t) => StructField(n, DataType.fromDDL(t)) })
   }
 
-  final case class Insert(table: String, select: String, overwrite: Boolean)
+  /** `cols` empty = positional insert over ALL physical columns (the
+    * classic shape); non-empty = the declared column-list subset, with
+    * unnamed physical columns null-filled (ref SqlInsert's column
+    * list).
+    */
+  final case class Insert(table: String, select: String, overwrite: Boolean,
+      cols: Seq[String] = Nil)
 
   private val CreateTableRx =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?WITH\s*\((.*)\)\s*$$".r
   private val CreateViewRx =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
   private val InsertRx =
-    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(SELECT\b.+)$$".r
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?(SELECT\b.+)$$".r
+  private val CreateTableLikeRx =
+    raw"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+(?:WITH\s*\((.*)\)\s+)?LIKE\s+([A-Za-z_]\w*)\s*$$".r
   private val WatermarkRx =
     raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*-\s*INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$$".r
   private val ComputedColRx =
@@ -267,9 +275,29 @@ object DdlSql {
   }
 
   def parseInsert(sql: String): Insert = sql match {
-    case InsertRx(kind, table, select) =>
-      Insert(table, select.trim, kind.equalsIgnoreCase("OVERWRITE"))
+    case InsertRx(kind, table, colsRaw, select) =>
+      val cols = Option(colsRaw).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      require(cols.map(_.toLowerCase).distinct.length == cols.length,
+        s"INSERT INTO $table: duplicate columns in the insert list")
+      Insert(table, select.trim, kind.equalsIgnoreCase("OVERWRITE"), cols)
     case _ => throw new IllegalArgumentException(
-      "unsupported INSERT shape — expected INSERT INTO|OVERWRITE table SELECT …")
+      "unsupported INSERT shape — expected INSERT INTO|OVERWRITE table [(col, …)] SELECT …")
+  }
+
+  def isCreateTableLike(sql: String): Boolean =
+    CreateTableLikeRx.pattern.matcher(sql).matches()
+
+  /** `CREATE TABLE b [WITH (…)] LIKE a` (ref SqlCreateTable's LIKE
+    * clause — Flink's schema-inheritance DDL): returns (newName,
+    * overrideOptions, sourceName). Schema, watermark, and partitioning
+    * inherit from the source; WITH overrides connector options
+    * (typically a new path).
+    */
+  def parseCreateTableLike(sql: String): (String, Map[String, String], String) = sql match {
+    case CreateTableLikeRx(name, optsRaw, src) =>
+      (name, Option(optsRaw).map(parseOptions).getOrElse(Map.empty), src)
+    case _ => throw new IllegalArgumentException(
+      "unsupported CREATE TABLE LIKE shape — expected CREATE TABLE name [WITH (…)] LIKE other")
   }
 }

@@ -63,6 +63,30 @@ final class TableEnv(val spark: SparkSession, dir: String) {
       // existed and must keep doing so — r10 review)
       import spark.implicits._
       Seq(explainSql(sql.replaceFirst(raw"(?is)^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?", ""))).toDF("plan")
+    } else if (DdlSql.isCreateTableLike(sql)) {
+      // ref: SqlCreateTable's LIKE clause — inherit schema, watermark,
+      // and partitioning from a declared table; WITH overrides the
+      // connector options (typically a fresh path for a same-shape sink)
+      val (name, opts, src) = DdlSql.parseCreateTableLike(sql)
+      val base = ddlTables.getOrElse(src.toLowerCase,
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name LIKE $src: source is not a DDL-declared table"))
+      val known = Set("connector", "path", "format", "source.max-files-per-trigger")
+      val unknown = opts.keySet.diff(known)
+      require(unknown.isEmpty,
+        s"CREATE TABLE $name LIKE: unsupported WITH options ${unknown.mkString(", ")}")
+      require(opts.get("connector").forall(_ == "filesystem"),
+        s"CREATE TABLE $name LIKE: only 'connector'='filesystem' is supported")
+      val td = base.copy(name = name,
+        path = opts.getOrElse("path", base.path),
+        format = opts.getOrElse("format", base.format).toLowerCase,
+        maxFilesPerTrigger = opts.get("source.max-files-per-trigger").map(_.toInt)
+          .orElse(base.maxFilesPerTrigger))
+      require(Set("parquet", "csv", "json").contains(td.format),
+        s"CREATE TABLE $name LIKE: unsupported format ${td.format}")
+      ddlTables.update(name.toLowerCase, td)
+      registerDdlView(td)
+      okResult("CREATE TABLE LIKE", s"$name <- $src")
     } else if (DdlSql.isCreateTable(sql)) {
       val td = DdlSql.parseCreateTable(sql)
       ddlTables.update(td.name.toLowerCase, td)
@@ -214,15 +238,35 @@ final class TableEnv(val spark: SparkSession, dir: String) {
       throw new IllegalArgumentException(
         s"INSERT INTO ${ins.table}: not a DDL-declared table — CREATE TABLE it first"))
     val df0 = sqlQuery(ins.select)
-    require(df0.columns.length == td.cols.length,
-      s"INSERT INTO ${ins.table}: select has ${df0.columns.length} columns, " +
-        s"table declares ${td.cols.length} physical " +
-        "(computed columns are virtual — never INSERT targets)")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     // backtick-quote: auto-generated select-item names can contain dots
-    val aligned = df0.select(df0.columns.toSeq.zip(td.cols).map {
-      case (c, (name, typ)) => col(s"`$c`").cast(typ).as(name)
-    }: _*)
+    val aligned = if (ins.cols.isEmpty) {
+      require(df0.columns.length == td.cols.length,
+        s"INSERT INTO ${ins.table}: select has ${df0.columns.length} columns, " +
+          s"table declares ${td.cols.length} physical " +
+          "(computed columns are virtual — never INSERT targets)")
+      df0.select(df0.columns.toSeq.zip(td.cols).map {
+        case (c, (name, typ)) => col(s"`$c`").cast(typ).as(name)
+      }: _*)
+    } else {
+      // column-list insert (ref SqlInsert): the select aligns
+      // positionally to the NAMED physical columns; unnamed physical
+      // columns null-fill (the reference's nullable-fill semantics)
+      ins.cols.foreach { c =>
+        require(td.cols.exists(_._1.equalsIgnoreCase(c)),
+          s"INSERT INTO ${ins.table} ($c, …): $c is not a declared physical column")
+      }
+      require(df0.columns.length == ins.cols.length,
+        s"INSERT INTO ${ins.table}: select has ${df0.columns.length} columns, " +
+          s"insert list names ${ins.cols.length}")
+      val byTarget = ins.cols.map(_.toLowerCase).zip(df0.columns.toSeq).toMap
+      df0.select(td.cols.map { case (name, typ) =>
+        byTarget.get(name.toLowerCase) match {
+          case Some(src) => col(s"`$src`").cast(typ).as(name)
+          case None => lit(null).cast(typ).as(name)
+        }
+      }: _*)
+    }
     if (aligned.isStreaming) {
       require(!ins.overwrite, s"INSERT OVERWRITE ${ins.table}: streaming inserts append")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ddl-ckpt").toString

@@ -4465,6 +4465,70 @@ object AnalyticsQueries {
         |    / sqrt(n1d * n2d / 12 * ((nd + 1) - tie3d / (nd * (nd - 1))))) > 1.96 AS reject
         |FROM uz ORDER BY n1""".stripMargin
 
+  /** Cliff's delta + the common-language effect size (Cliff 1993;
+    * McGraw & Wong 1992) for the purchase-vs-click value comparison —
+    * the EFFECT-SIZE companion to [[evtMannWhitney]]'s significance
+    * test (a p-value says "not chance"; δ says "how big", which is
+    * what a metrics review actually asks). Same bin-table derivation:
+    * U₁ from the exact DECIMAL midrank sum (ties at half credit),
+    * CLES = U₁/(n₁n₂), δ = 2·CLES − 1 ∈ [−1, 1]; the magnitude label
+    * uses Romano et al. 2006's |δ| thresholds on the ROUNDED δ so the
+    * band decision is engine-stable. One division; everything upstream
+    * integer-exact.
+    */
+  def evtCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    cliffsFromBins(ksBins(Tables.events(s, dir)))
+
+  private[graft] def cliffsFromBins(bins: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val wi = bins
+      .select(col("b"), col("c1"), col("c2"), (col("c1") + col("c2")).as("ct"))
+      .withColumn("cumb", coalesce(sum("ct").over(wb), lit(0L)))
+    wi.agg(
+        sum("c1").cast("long").as("n1"),
+        sum("c2").cast("long").as("n2"),
+        sum(col("c1").cast(d) * (col("cumb").cast(d) * 2 + col("ct") + 1)).as("r2x"))
+      .select(col("n1"), col("n2"),
+        ((col("r2x") - col("n1").cast(d) * (col("n1") + 1).cast(d)).cast("double") / 2).as("u1"))
+      .select(col("n1"), col("n2"), col("u1"),
+        round(col("u1") / (col("n1").cast("double") * col("n2").cast("double")), 6).as("cles"))
+      .withColumn("delta", round(col("cles") * 2 - 1, 6))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .orderBy("n1")
+  }
+
+  val evtCliffsDeltaSql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b
+        |         FROM ev WHERE event_type IN ('purchase', 'click')),
+        |bins AS (SELECT b,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |         FROM fl GROUP BY b),
+        |wi AS (SELECT b, c1, c2, c1 + c2 AS ct,
+        |         coalesce(sum(c1 + c2) OVER (ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |       FROM bins),
+        |agg AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+        |          sum(c1::HUGEINT * (cumb::HUGEINT * 2 + ct + 1)) AS r2x
+        |        FROM wi),
+        |uz AS (SELECT n1, n2, (r2x - n1::HUGEINT * (n1 + 1))::DOUBLE / 2 AS u1 FROM agg),
+        |cl AS (SELECT n1, n2, u1,
+        |         round(u1 / (n1::DOUBLE * n2::DOUBLE), 6) AS cles FROM uz),
+        |dl AS (SELECT n1, n2, u1, cles, round(cles * 2 - 1, 6) AS delta FROM cl)
+        |SELECT n1, n2, u1, cles, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM dl ORDER BY n1""".stripMargin
+
   /** Per-(bin, event_type) count table over the deci-bucket value grid
     * — the k-sample generalization of [[ksBins]]'s two-sample state:
     * PURELY ADDITIVE (≤4901 bins × |types| rows at any data volume),
@@ -5275,6 +5339,7 @@ object AnalyticsQueries {
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
     Q("q_evt_mannwhitney", evtMannWhitney, Some(evtMannWhitneySql)),
     Q("q_evt_kruskal", evtKruskal, Some(evtKruskalSql)),
+    Q("q_evt_cliffs", evtCliffsDelta, Some(evtCliffsDeltaSql)),
     Q("q_evt_jt", evtJt, Some(evtJtSql)),
     Q("q_evt_mcnemar", evtMcnemar, Some(evtMcnemarSql)),
     Q("q_evt_cochranq", evtCochranq, Some(evtCochranqSql)),

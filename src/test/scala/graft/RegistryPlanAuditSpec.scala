@@ -157,6 +157,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
     "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
     "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
+    "q_evt_cliffs", // the same bounded bin-domain midrank window (effect-size readout)
     "q_doc_prauc", // PR-curve walk over the ≤1001-row deci-milli score-block domain (the q_doc_auc shape)
     // (q_doc_isotonic's block window runs inside its stage boundary — no window node in the executed plan)
     "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)

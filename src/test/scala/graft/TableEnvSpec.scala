@@ -416,6 +416,27 @@ class TableEnvSpec extends SparkSpec {
     assert(e2.getMessage.contains("no physical columns"))
   }
 
+  test("executeSql DDL: WATERMARK on a COMPUTED rowtime column (the reference's canonical shape)") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    val wmDir = java.nio.file.Files.createTempDirectory("ddlspec-cwm").toString
+    // nearly every reference DDL example declares a computed rowtime
+    // and hangs the watermark off it — the projection must run BEFORE
+    // the watermark so the bound sits on the derived column
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_cwm (id BIGINT, raw_ts TIMESTAMP(3), v DOUBLE,
+         |  rt AS raw_ts - INTERVAL 1 SECOND,
+         |  WATERMARK FOR rt AS rt - INTERVAL '3' MINUTE)
+         |WITH ('connector'='filesystem', 'path'='$wmDir', 'format'='parquet')""".stripMargin)
+    val view = spark.table("ddlspec_cwm")
+    assert(view.isStreaming)
+    assert(view.schema.map(_.name) === Seq("id", "raw_ts", "v", "rt"))
+    val wm = view.groupBy(window(col("rt"), "1 hour")).count()
+      .queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+      }
+    assert(wm.nonEmpty && wm.head.delay.toString.contains("3 minutes"))
+  }
+
   test("executeSql DDL: PARTITIONED BY lays out partition dirs and the read-back prunes") {
     val dir = "/root/testdata/sf0.001"
     val env = TableEnv(spark, dir)
@@ -554,6 +575,64 @@ class TableEnvSpec extends SparkSpec {
     // unknown relation fails loudly
     val e = intercept[IllegalArgumentException](env.executeSql("DESCRIBE nope"))
     assert(e.getMessage.contains("no such table"))
+  }
+
+  test("executeSql DML: column-list INSERT aligns named columns and null-fills the rest") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-collist").toString
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_cl (k STRING, n BIGINT, extra DOUBLE)
+         |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""".stripMargin)
+    env.executeSql(
+      "INSERT INTO ddlspec_cl (n, k) SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2")
+    val rows = env.executeSql(
+      "SELECT k, n, extra FROM ddlspec_cl ORDER BY n").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.isNullAt(2))) // unnamed column null-fills
+    assert(rows.forall(r => r.getString(0).nonEmpty && !r.isNullAt(1)))
+    // misuse: unknown column, arity mismatch, duplicate in the list
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "INSERT INTO ddlspec_cl (nope) SELECT n_name FROM nation"))
+    assert(e1.getMessage.contains("not a declared physical column"))
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "INSERT INTO ddlspec_cl (k, n) SELECT n_name FROM nation"))
+    assert(e2.getMessage.contains("insert list names"))
+    val e3 = intercept[IllegalArgumentException](env.executeSql(
+      "INSERT INTO ddlspec_cl (k, k) SELECT n_name, n_name FROM nation"))
+    assert(e3.getMessage.contains("duplicate columns"))
+  }
+
+  test("executeSql DDL: CREATE TABLE LIKE inherits schema and overrides options") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_like_src (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+         |  keyx2 AS n_nationkey * 2)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-like").toString
+    env.executeSql(s"CREATE TABLE ddlspec_like_sink WITH ('path'='$out') LIKE ddlspec_like_src")
+    // inherited: physical + computed columns in declared order
+    assert(spark.table("ddlspec_like_sink").schema.map(_.name) ===
+      Seq("n_nationkey", "n_name", "n_regionkey", "keyx2"))
+    // new path: the sink starts empty, insert lands there, source untouched
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_like_sink").head().getLong(0) === 0L)
+    env.executeSql(
+      "INSERT INTO ddlspec_like_sink SELECT n_nationkey, n_name, n_regionkey FROM ddlspec_like_src WHERE n_regionkey = 0")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_like_sink").head().getLong(0) === 5L)
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_like_src").head().getLong(0) === 25L)
+    // the computed column re-derives over the sink's own rows
+    assert(env.executeSql(
+      "SELECT max(keyx2) AS m FROM ddlspec_like_sink").head().getLong(0) ===
+      env.executeSql(
+        "SELECT max(n_nationkey) * 2 AS m FROM ddlspec_like_sink").head().getLong(0))
+    // misuse: unknown source, unsupported option
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE TABLE x WITH ('path'='/tmp/x') LIKE never_there"))
+    assert(e1.getMessage.contains("not a DDL-declared table"))
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      s"CREATE TABLE x WITH ('bucket'='nope') LIKE ddlspec_like_src"))
+    assert(e2.getMessage.contains("unsupported WITH options"))
   }
 
   test("rank-pattern SQL route: batch passthrough equals Catalyst; misuse fails loudly") {
