@@ -4325,25 +4325,8 @@ object AnalyticsQueries {
     * oracle, not just by specs. Corpus end comes from the staged
     * session maxima, so the final plan reads events exactly once.
     */
-  def evtSurvival(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val tss = col("ts").cast("long")
-    val prev = lag(col("ts"), 1).over(w).cast("long")
-    val sessions = Funnel.stage(ev
-      .withColumn("new_sess", when(prev.isNull || (tss - prev > 1800), 1L).otherwise(0L))
-      .withColumn("sess", sum("new_sess").over(w))
-      .groupBy(col("user_id"), col("sess"))
-      .agg(min(tss).as("s0"), max(tss).as("s1")))
-    val endT = sessions.agg(max(col("s1")).as("te"))
-    val lives = sessions.crossJoin(broadcast(endT))
-      .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"),
-        when(col("s1") > col("te") - lit(1800L), 1L).otherwise(0L).as("cen"))
-    val g = lives.groupBy("dur").agg(
-      sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("d"),
-      sum(col("cen")).as("c"))
-    kmTail(g)
-  }
+  def evtSurvival(s: SparkSession, dir: String): DataFrame =
+    kmTail(survivalGrid(Tables.events(s, dir)))
 
   /** The Kaplan–Meier estimator tail over an aggregated
     * (dur, d deaths, c censored) frame — shared by the batch query and
@@ -4366,6 +4349,78 @@ object AnalyticsQueries {
           .otherwise(round(exp(sum(col("term")).over(wPrefix)), 6)).as("survival"))
       .orderBy("dur")
   }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) over the
+    * SAME session-duration lifetimes as [[evtSurvival]] — the
+    * hazard-scale companion every survival readout ships beside the KM
+    * curve (H(t) = Σ d_i/n_i; additive, so it localizes WHERE the risk
+    * concentrates, where the KM product only shows the survivor
+    * remainder). Each step's increment is the exact integer
+    * floor(d·10¹²/n_risk) and the cumulation is a BIGINT prefix sum
+    * over the bounded duration domain — no cross-row float sum (the
+    * Page–Hinkley discipline; contrast the KM tail's log-sum-exp,
+    * whose product form has no integer formulation), one double
+    * conversion at emission.
+    */
+  def evtCumhaz(s: SparkSession, dir: String): DataFrame =
+    naTail(survivalGrid(Tables.events(s, dir)))
+
+  /** The (dur, d deaths, c censored) lifetime grid shared by the KM
+    * and Nelson–Aalen tails — sessionize, measure, censor at the
+    * corpus end.
+    */
+  private[graft] def survivalGrid(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tss = col("ts").cast("long")
+    val prev = lag(col("ts"), 1).over(w).cast("long")
+    val sessions = Funnel.stage(ev
+      .withColumn("new_sess", when(prev.isNull || (tss - prev > 1800), 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(w))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(tss).as("s0"), max(tss).as("s1")))
+    val endT = sessions.agg(max(col("s1")).as("te"))
+    sessions.crossJoin(broadcast(endT))
+      .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"),
+        when(col("s1") > col("te") - lit(1800L), 1L).otherwise(0L).as("cen"))
+      .groupBy("dur").agg(
+        sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("d"),
+        sum(col("cen")).as("c"))
+  }
+
+  private[graft] def naTail(g: DataFrame): DataFrame = {
+    val wSuffix = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n_risk", sum(col("d") + col("c")).over(wSuffix))
+      .withColumn("h12", expr("d * 1000000000000L DIV n_risk"))
+      .select(col("dur"), col("n_risk"), col("d").as("d_events"), col("c").as("c_censored"),
+        round(sum(col("h12")).over(wPrefix).cast("double") / 1e12, 6).as("cumhaz"))
+      .orderBy("dur")
+  }
+
+  val evtCumhazSql: String =
+    Tables.eventsCte +
+      """
+        |, t0 AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS tss,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR (epoch_us(ts) // 1000000)
+        |              - (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sx AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS sess FROM t0),
+        |u AS (SELECT user_id, sess, min(tss) AS s0, max(tss) AS s1 FROM sx GROUP BY 1, 2),
+        |te AS (SELECT max(s1) AS te FROM u),
+        |lv AS (SELECT (s1 - s0) // 60 AS dur,
+        |         CASE WHEN s1 > te - 1800 THEN 1 ELSE 0 END AS cen FROM u, te),
+        |g AS (SELECT dur, sum(CASE WHEN cen = 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |        sum(cen)::BIGINT AS c FROM lv GROUP BY 1),
+        |r AS (SELECT *, sum(d + c) OVER (ORDER BY dur
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk FROM g),
+        |h AS (SELECT *, (d * 1000000000000) // n_risk AS h12 FROM r)
+        |SELECT dur, n_risk, d AS d_events, c AS c_censored,
+        |  round((sum(h12) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING))::DOUBLE / 1e12, 6) AS cumhaz
+        |FROM h ORDER BY dur""".stripMargin
 
   val evtSurvivalSql: String =
     Tables.eventsCte +
@@ -5350,6 +5405,7 @@ object AnalyticsQueries {
     Q("q_evt_granger", evtGranger, Some(evtGrangerSql)),
     Q("q_evt_cmh", evtCmh, Some(evtCmhSql)),
     Q("q_evt_survival", evtSurvival, Some(evtSurvivalSql)),
+    Q("q_evt_cumhaz", evtCumhaz, Some(evtCumhazSql)),
     Q("q_evt_ltv", evtLtv, Some(evtLtvSql)),
     Q("q_evt_markov", evtMarkov, Some(evtMarkovSql)),
     Q("q_evt_trend_robust", evtTrendRobust, Some(evtTrendRobustSql)),

@@ -3916,12 +3916,23 @@ object StreamingQueries {
     * rounded-equal. State: one open-session row per user + the bounded
     * duration buckets.
     */
-  def streamSurvival(s: SparkSession, dir: String): DataFrame = {
+  def streamSurvival(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.kmTail(survivalGridMaintained(s, dir, "ssv"))
+
+  /** Streaming Nelson–Aalen: the same maintained lifetime grid, the
+    * integer-increment cumulative-hazard tail at end of stream — one
+    * session state, both survival-scale readouts (the KM/NA pairing
+    * every survival dashboard ships).
+    */
+  def streamCumhaz(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.naTail(survivalGridMaintained(s, dir, "scha"))
+
+  private def survivalGridMaintained(s: SparkSession, dir: String, tag: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
-    val srcDir = stageBatchFiles(dir, "ssv", daySplits(ev, col("ts"), 3))
+    val srcDir = stageBatchFiles(dir, tag, daySplits(ev, col("ts"), 3))
     val lastBatch = lastBatchId(srcDir)
-    val durStore = graft.streaming.VersionedStore(s, freshDir(dir, "ssv_store_d"))
-    val openStore = graft.streaming.VersionedStore(s, freshDir(dir, "ssv_store_o"))
+    val durStore = graft.streaming.VersionedStore(s, freshDir(dir, s"${tag}_store_d"))
+    val openStore = graft.streaming.VersionedStore(s, freshDir(dir, s"${tag}_store_o"))
     durStore.init(s.range(0).select(col("id").as("dur"), col("id").as("d")))
     openStore.init(s.range(0).select(col("id").as("user_id"),
       col("id").as("s0"), col("id").as("s1")))
@@ -3968,12 +3979,11 @@ object StreamingQueries {
       .groupBy("dur").agg(
         sum(when(col("cen") === 0L, 1L).otherwise(0L)).as("df"),
         sum(col("cen")).as("c"))
-    val g = durStore.version(lastBatch)
+    durStore.version(lastBatch)
       .join(finals, Seq("dur"), "full_outer")
       .select(col("dur"),
         (coalesce(col("d"), lit(0L)) + coalesce(col("df"), lit(0L))).as("d"),
         coalesce(col("c"), lit(0L)).as("c"))
-    AnalyticsQueries.kmTail(g)
   }
 
   /** Streaming dataset-profile monitor (ref DataSetUtils.summarize made
@@ -5787,6 +5797,7 @@ object StreamingQueries {
     Q("q_stream_heaps", streamHeaps, Some(PipelineQueries.docHeapsSql)),
     Q("q_stream_lda", streamLda, Some(PipelineQueries.embLdaSql)),
     Q("q_stream_survival", streamSurvival, Some(AnalyticsQueries.evtSurvivalSql)),
+    Q("q_stream_cumhaz", streamCumhaz, Some(AnalyticsQueries.evtCumhazSql)),
     Q("q_stream_ks", streamKs, Some(AnalyticsQueries.evtKsSql)),
     Q("q_stream_mannwhitney", streamMannWhitney, Some(AnalyticsQueries.evtMannWhitneySql)),
     Q("q_stream_kruskal", streamKruskal, Some(AnalyticsQueries.evtKruskalSql)),

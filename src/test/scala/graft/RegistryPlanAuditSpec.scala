@@ -105,6 +105,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_emb_compression_recall", // 10-query probe sides broadcast (brute-force + tier legs)
     "q_graph_kcore", // 1-row node-stat × 1-row edge-count per k stage
     "q_evt_survival", // 1-row corpus-end scalar crossed into the session frame
+    "q_evt_cumhaz", // same 1-row corpus-end scalar (the shared lifetime grid)
     "q_doc_js_drift", // 1-row corpus token total crossed into the (source, word) frame
     "q_evt_bootstrap_ci", // 1-row CI × 1-row corpus stats
     "q_evt_did", // 1-row midpoint + 1-row median-exposure scalars broadcast
@@ -162,6 +163,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     // (q_doc_isotonic's block window runs inside its stage boundary — no window node in the executed plan)
     "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
     "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
+    "q_evt_cumhaz", // Nelson–Aalen windows over the same bounded bucket aggregate
     "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
     "q_evt_lorenz" // trapezoid lag over the STAGED 10-row decile curve
     // (q_evt_qini's decile cumulation runs inside a stage boundary, so
