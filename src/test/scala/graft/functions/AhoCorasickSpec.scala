@@ -36,4 +36,23 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(counts("nothing here", "zebra") === Seq(0L))
     assert(counts("héllo héllo", "héllo", "llo") === Seq(2L, 2L))
   }
+
+  test("MultiPatternCount expression agrees with m separate regexp-count scans") {
+    val spark = graft.GraftSession.get("ac-spec")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pats = Seq("ab", "aba", "ba", "zz")
+    val df = Seq("ababab", "zzz", "", "ba ab aba").toDF("text").localCheckpoint()
+    val viaAc = df.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        MultiPatternCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), pats))
+        .as("c"))
+      .collect().map(_.getSeq[Long](0))
+    // reference: overlapping occurrences by position scan per pattern
+    val expected = df.collect().map(_.getString(0)).map { t =>
+      pats.map(p => (0 to t.length - p.length)
+        .count(i => p.nonEmpty && t.regionMatches(i, p, 0, p.length)).toLong)
+    }
+    assert(viaAc.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+  }
 }

@@ -131,4 +131,34 @@ class SkewAndIvfSpec extends SparkSpec {
     // stage separates members within it — planted near-copies must rank
     assert(recall >= 0.6, s"RQ recall $recall too low")
   }
+
+  test("ivfSelfTopK: recall vs brute-force self-probe; candidates meet on an equi-join") {
+    val dim = 16
+    val rnd = new scala.util.Random(19)
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat; v.map(_ / n)
+    }
+    // dense 0-based ids (the kmeansCentroids seed contract)
+    val bases = (0 until 8).map(i => unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val all = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.zipWithIndex.flatMap { case (v, i) =>
+        (0 until 4).map(j => ((8 + i * 4 + j).toLong,
+          unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))))
+      }
+    val corpus = all.toDF("vec_id", "embedding").localCheckpoint()
+    val truth = Similarity.bruteForceTopK(
+        corpus.selectExpr("vec_id AS qid", "embedding AS qe"), corpus, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val cent = Similarity.kmeansCentroids(corpus, k = 8, iters = 2).localCheckpoint()
+    val ivfDf = Similarity.ivfSelfTopK(corpus, cent, k = 3, nprobe = 3)
+    val ivf = ivfDf.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"ivfSelfTopK recall $recall too low")
+    // the scale contract: the corpus meets itself through a cid
+    // EQUI-join — no nested-loop join may survive into the plan beyond
+    // the k-row centroid broadcast (which Spark plans as hash/BNL over
+    // 8 rows); assert no CartesianProduct anywhere
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF self-probe:\n$plan")
+  }
 }
