@@ -4594,6 +4594,91 @@ object AnalyticsQueries {
     ev.groupBy(round(col("value") * 10).cast("long").as("b"), col("event_type"))
       .agg(count(lit(1)).as("c"))
 
+  /** Mood's median test (Mood 1950; Brown–Mood 1951) across all event
+    * types — the k-sample location test that survives GROSS outliers
+    * (it reduces each observation to above/below the pooled median, so
+    * a single 10⁹× value moves nothing; the robustness complement to
+    * [[evtKruskal]]'s rank test). Pooled median = the smallest bin
+    * whose cumulative reaches ⌈N/2⌉ (2·cum ≥ N+1 — integer compare, no
+    * division); ties at the median count LOW (deterministic,
+    * documented). χ² over the 2×k table from exact integer counts,
+    * each cell's term quantized to 1e-9 before the cross-cell sum (the
+    * CMH discipline); zero-expectation legs contribute 0 by the
+    * degenerate-margin convention.
+    */
+  def evtMood(s: SparkSession, dir: String): DataFrame =
+    moodFromBins(typeBins(Tables.events(s, dir)))
+
+  private[graft] def moodFromBins(bins: DataFrame): DataFrame = {
+    val bt = bins.groupBy("b").agg(sum("c").as("ct"))
+    val wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val wi = Funnel.stage(bt.withColumn("cum", sum("ct").over(wp)), "mood_bins")
+    val tot = wi.agg(sum("ct").cast("long").as("n"))
+    val med = wi.crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .agg(min("b").as("mb"))
+    val grp = bins.crossJoin(broadcast(med))
+      .groupBy("event_type")
+      .agg(sum("c").cast("long").as("nj"),
+        sum(when(col("b") <= col("mb"), col("c")).otherwise(0L)).cast("long").as("lowj"))
+    val lt = grp.agg(sum("nj").cast("long").as("n"), sum("lowj").cast("long").as("l"))
+    val q = grp.crossJoin(broadcast(lt))
+      .withColumn("e_low", col("nj").cast("double") * col("l") / col("n"))
+      .withColumn("e_high",
+        col("nj").cast("double") * (col("n") - col("l")) / col("n"))
+      .withColumn("t9", floor((
+        when(col("e_low") > 0,
+          (col("lowj") - col("e_low")) * (col("lowj") - col("e_low")) / col("e_low"))
+          .otherwise(lit(0.0))
+          + when(col("e_high") > 0,
+            (col("nj") - col("lowj") - col("e_high"))
+              * (col("nj") - col("lowj") - col("e_high")) / col("e_high"))
+            .otherwise(lit(0.0))) * 1e9 + 0.5).cast("long"))
+    val summary = q.agg(count(lit(1)).cast("long").as("k"), sum("t9").as("s9"))
+      .select((col("k") - 1).cast("long").as("df"),
+        round(col("s9").cast("double") / 1e9, 6).as("chi2"))
+      .withColumn("crit",
+        when(col("df") === 1, 3.841).when(col("df") === 2, 5.991)
+          .when(col("df") === 3, 7.815).when(col("df") === 4, 9.488)
+          .when(col("df") === 5, 11.070))
+    grp.select(col("event_type"), col("nj"), col("lowj"))
+      .crossJoin(broadcast(summary))
+      .select(col("event_type"), col("nj"), col("lowj"), col("chi2"), col("df"),
+        (col("chi2") > col("crit")).as("reject"))
+      .orderBy("event_type")
+  }
+
+  val evtMoodSql: String =
+    Tables.eventsCte +
+      """
+        |, fl AS (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS b FROM ev),
+        |bins AS (SELECT b, event_type, count(*)::BIGINT AS c FROM fl GROUP BY 1, 2),
+        |bt AS (SELECT b, sum(c)::BIGINT AS ct FROM bins GROUP BY 1),
+        |wi AS (SELECT b, ct, sum(ct) OVER (ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM bt),
+        |tot AS (SELECT sum(ct)::BIGINT AS n FROM wi),
+        |med AS (SELECT min(b) AS mb FROM wi, tot WHERE cum * 2 >= n + 1),
+        |grp AS (SELECT event_type, sum(c)::BIGINT AS nj,
+        |          sum(CASE WHEN b <= mb THEN c ELSE 0 END)::BIGINT AS lowj
+        |        FROM bins, med GROUP BY 1),
+        |lt AS (SELECT sum(nj)::BIGINT AS n, sum(lowj)::BIGINT AS l FROM grp),
+        |q AS (SELECT event_type, nj, lowj,
+        |        floor((
+        |          CASE WHEN nj::DOUBLE * l / n > 0
+        |            THEN (lowj - nj::DOUBLE * l / n) * (lowj - nj::DOUBLE * l / n)
+        |                 / (nj::DOUBLE * l / n) ELSE 0.0 END
+        |          + CASE WHEN nj::DOUBLE * (n - l) / n > 0
+        |            THEN (nj - lowj - nj::DOUBLE * (n - l) / n)
+        |                 * (nj - lowj - nj::DOUBLE * (n - l) / n)
+        |                 / (nj::DOUBLE * (n - l) / n) ELSE 0.0 END) * 1e9 + 0.5)::BIGINT AS t9
+        |      FROM grp, lt),
+        |s AS (SELECT count(*)::BIGINT AS k, sum(t9)::BIGINT AS s9 FROM q),
+        |hh AS (SELECT (k - 1)::BIGINT AS df, round(s9::DOUBLE / 1e9, 6) AS chi2 FROM s)
+        |SELECT g.event_type, g.nj, g.lowj, hh.chi2, hh.df,
+        |  hh.chi2 > CASE hh.df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+        |                       WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 END AS reject
+        |FROM grp g, hh ORDER BY event_type""".stripMargin
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) across ALL event types'
     * value distributions — the k-sample extension of
     * [[evtMannWhitney]] (does ANY of k groups stochastically dominate?),
@@ -5394,6 +5479,7 @@ object AnalyticsQueries {
     Q("q_evt_ks", evtKs, Some(evtKsSql)),
     Q("q_evt_mannwhitney", evtMannWhitney, Some(evtMannWhitneySql)),
     Q("q_evt_kruskal", evtKruskal, Some(evtKruskalSql)),
+    Q("q_evt_mood", evtMood, Some(evtMoodSql)),
     Q("q_evt_cliffs", evtCliffsDelta, Some(evtCliffsDeltaSql)),
     Q("q_evt_jt", evtJt, Some(evtJtSql)),
     Q("q_evt_mcnemar", evtMcnemar, Some(evtMcnemarSql)),

@@ -3625,6 +3625,13 @@ object StreamingQueries {
     typeBinsMaintained(s, dir, "skw")(
       graft.queries.AnalyticsQueries.kruskalFromBins)
 
+  /** Streaming Mood's median test over the same maintained state —
+    * the robust-location member of the one-bin-table family.
+    */
+  def streamMood(s: SparkSession, dir: String): DataFrame =
+    typeBinsMaintained(s, dir, "smood")(
+      graft.queries.AnalyticsQueries.moodFromBins)
+
   /** Streaming Jonckheere–Terpstra over the same maintained state —
     * one bin table serves the whole k-sample rank family (the
     * [[streamKs]]/[[streamMannWhitney]] sharing posture).
@@ -5802,6 +5809,7 @@ object StreamingQueries {
     Q("q_stream_mannwhitney", streamMannWhitney, Some(AnalyticsQueries.evtMannWhitneySql)),
     Q("q_stream_kruskal", streamKruskal, Some(AnalyticsQueries.evtKruskalSql)),
     Q("q_stream_jt", streamJt, Some(AnalyticsQueries.evtJtSql)),
+    Q("q_stream_mood", streamMood, Some(AnalyticsQueries.evtMoodSql)),
     Q("q_stream_mcnemar", streamMcnemar, Some(AnalyticsQueries.evtMcnemarSql)),
     Q("q_stream_cochranq", streamCochranq, Some(AnalyticsQueries.evtCochranqSql)),
     Q("q_stream_spearman", streamSpearman, Some(AnalyticsQueries.evtSpearmanSql)),

@@ -168,6 +168,24 @@ class RankStatsSpec extends SparkSpec {
     assert(byType === Map("click" -> 2L, "view" -> 2L))
   }
 
+  test("mood: hand-computed 2x2 chi2 = 4/3, ties-at-median count low") {
+    // click {0.1, 0.2}, view {0.3, 0.4}: pooled median bin = 3 (first
+    // cum with 2*cum >= N+1), so low counts are (2, 1); with L=3, N=4
+    // each group's cell terms are 1/6 + 1/2 -> chi2 = 4/3, df=1
+    val rows = Seq(
+      (1L, "2024-01-01", 1L, "click", 0.1), (2L, "2024-01-01", 2L, "click", 0.2),
+      (3L, "2024-01-01", 3L, "view", 0.3), (4L, "2024-01-01", 4L, "view", 0.4))
+    val dir = writeEvents("/tmp/graft-rank-mood", rows)
+    val out = AnalyticsQueries.evtMood(spark, dir).collect()
+    assert(out.length === 2)
+    val byType = out.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("nj"), r.getAs[Long]("lowj"))).toMap
+    assert(byType === Map("click" -> ((2L, 2L)), "view" -> ((2L, 1L))))
+    // chi2 emits at round-6 after 1e-9 cell quantization
+    assert(out.forall(r => math.abs(r.getAs[Double]("chi2") - 4.0 / 3) < 1e-5))
+    assert(out.forall(!_.getAs[Boolean]("reject")))
+  }
+
   test("jonckheere-terpstra: a monotone shift up the type order maxes JT") {
     // click (lexicographically first) low, view high: every cross pair
     // concordant -> JT = n1*n2 = 4; mean = (16-8)/4 = 2;

@@ -53,6 +53,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "q_evt_benford", // 1-row digit-total scalar broadcast
     "q_evt_tclose", // bounded QI-group x class frame: |classes|-row + 1-row totals broadcast
     "q_evt_kruskal", // 1-row bin totals + 1-row H summary broadcast
+    "q_evt_mood", // 1-row median/total/margin scalars broadcast
     "q_evt_jt", // 1-row JT statistic x 1-row moment table broadcast
     "q_evt_mcnemar", // 1-row day-span scalar broadcast
     "q_evt_cochranq", // 1-row day-span + 1-row row-moment broadcast
