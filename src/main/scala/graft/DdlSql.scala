@@ -104,6 +104,24 @@ object DdlSql {
       .pattern.matcher(sql).matches()
   def isShowTables(sql: String): Boolean =
     raw"(?is)^\s*SHOW\s+TABLES\s*$$".r.pattern.matcher(sql).matches()
+  def isShowDatabases(sql: String): Boolean =
+    raw"(?is)^\s*SHOW\s+DATABASES\s*$$".r.pattern.matcher(sql).matches()
+  def isShowFunctions(sql: String): Boolean =
+    raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r.pattern.matcher(sql).matches()
+  def isUse(sql: String): Boolean =
+    raw"(?is)^\s*USE\b.*".r.pattern.matcher(sql).matches()
+
+  private val UseRx =
+    raw"(?is)^\s*USE\s+(CATALOG\s+)?([A-Za-z_]\w*)\s*$$".r
+
+  /** USE [CATALOG] name → (isCatalog, name); loud on any other USE
+    * shape (ref SqlUseCatalog.java / SqlUseDatabase.java).
+    */
+  def parseUse(sql: String): (Boolean, String) = sql match {
+    case UseRx(cat, name) => (cat != null, name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported USE shape — expected USE [CATALOG] name")
+  }
   def isDescribe(sql: String): Boolean =
     raw"(?is)^\s*DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b)(?:TABLE\s+)?[A-Za-z_]\w*\s*$$".r
       .pattern.matcher(sql).matches()

@@ -48,6 +48,11 @@ final class TableEnv(val spark: SparkSession, dir: String) {
   private val ddlTables =
     scala.collection.mutable.Map.empty[String, DdlSql.TableDef]
 
+  // ref: the reference's default namespace pair
+  // (default_catalog.default_database) — the one database statements
+  // resolve against; USE can only re-select it
+  private val currentDatabase = "default_database"
+
   /** ref: TableEnvironmentImpl.executeSql:605 — the statement route:
     * DDL (CREATE TABLE / CREATE VIEW) and DML (INSERT) execute and
     * return a one-row status frame (the reference's TableResult "OK");
@@ -105,9 +110,19 @@ final class TableEnv(val spark: SparkSession, dir: String) {
       // DDL catalog AND the session view catalog; IF EXISTS swallows
       // only the not-found case, never a parse failure
       val (kind, ifExists, name) = DdlSql.parseDrop(sql)
-      val wasDdl = ddlTables.remove(name.toLowerCase).isDefined
-      val wasView = spark.catalog.dropTempView(name)
-      require(wasDdl || wasView || ifExists,
+      // kind must MATCH the catalog entry (ref SqlDropTable/SqlDropView
+      // each reject the other kind): DROP VIEW on a DDL-declared table,
+      // or DROP TABLE on a plain view, errors instead of unregistering
+      if (ddlTables.contains(name.toLowerCase)) {
+        require(kind == "TABLE",
+          s"DROP VIEW $name: $name is a table (use DROP TABLE)")
+        ddlTables.remove(name.toLowerCase)
+        spark.catalog.dropTempView(name)
+      } else if (spark.catalog.tableExists(name)) {
+        require(kind == "VIEW",
+          s"DROP TABLE $name: $name is a view (use DROP VIEW)")
+        spark.catalog.dropTempView(name)
+      } else require(ifExists,
         s"DROP $kind $name: no such ${kind.toLowerCase} (add IF EXISTS to ignore)")
       okResult(s"DROP $kind", name)
     } else if (DdlSql.isAlterTable(sql)) {
@@ -139,6 +154,33 @@ final class TableEnv(val spark: SparkSession, dir: String) {
             "(must name a registered graft or Spark function)"))
       reg.createOrReplaceTempFunction(alias.toLowerCase, builder, "built-in")
       okResult("CREATE FUNCTION", alias)
+    } else if (DdlSql.isShowDatabases(sql)) {
+      // ref: TableEnvironmentImpl.listDatabases — the reference's
+      // single-catalog/single-database layout maps to Spark's session
+      // catalog: one default database
+      import spark.implicits._
+      Seq(currentDatabase).toDF("database_name")
+    } else if (DdlSql.isShowFunctions(sql)) {
+      // ref: TableEnvironmentImpl.listFunctions — every function a
+      // statement in this environment can call (Spark built-ins, the
+      // graft library, and CREATE FUNCTION aliases share one registry)
+      import spark.implicits._
+      spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).distinct.sorted.toDF("function_name")
+    } else if (DdlSql.isUse(sql)) {
+      // ref: SqlUseCatalog.java / SqlUseDatabase.java — switching is
+      // only valid onto a catalog/database that exists; the environment
+      // has exactly one of each, so anything else is LOUD
+      val (isCatalog, name) = DdlSql.parseUse(sql)
+      if (isCatalog) {
+        require(name.equalsIgnoreCase("default_catalog"),
+          s"USE CATALOG $name: no catalog named $name (only default_catalog exists)")
+        okResult("USE CATALOG", name)
+      } else {
+        require(name.equalsIgnoreCase(currentDatabase),
+          s"USE $name: no database named $name (only $currentDatabase exists)")
+        okResult("USE", name)
+      }
     } else if (DdlSql.isShowTables(sql)) {
       // ref: TableEnvironmentImpl.listTables — sorted names of every
       // table visible to statements in this environment

@@ -142,7 +142,8 @@ object Similarity {
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
     * `nlist` centroids, probe only the `nprobe` cells nearest each
     * query. Centroids here are a deterministic sample of the corpus
-    * (ids < nlist) — at production scale you'd k-means them; the
+    * (the nlist vectors first in id order, via [[seedBlock]]) — at
+    * production scale you'd k-means them; the
     * dataflow (cell assignment scan → cell equi-join → in-cell rank) is
     * identical. Complements sign-LSH: IVF adapts to data geometry,
     * LSH needs no training.
@@ -154,8 +155,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val centroids = seedBlock(corpus, "vec_id", 0, nlist, "cid")
+      .select(col("cid"), col("embedding").as("ce"))
 
     // cell assignment: nearest centroid per corpus vector (centroids broadcast)
     val wAssign = Window.partitionBy("vec_id").orderBy(round(col("cd"), 6).desc, col("cid"))
@@ -183,13 +184,61 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The first `n` distinct ids of `idCol` in ascending order — the
+    * deterministic seed-selection step every trainer here shares
+    * (k-means seeds, PQ/RQ sub-codebook seeds, IVF centroid samples).
+    * One id-column-pruned distinct + TakeOrdered job, collected as a
+    * BOUNDED list (n is a query parameter, ≤ ~stages·k ≈ 80 — the same
+    * bounded-collect class as q_emb_kmeans_par's candidate array).
+    * Fails LOUD when a NON-EMPTY corpus has fewer than n vectors — the
+    * r11 deficient-codebook risk (silently short stage codebooks on
+    * sparse id spaces) dies here instead of returning plausible-but-
+    * wrong neighbors. A fully EMPTY corpus returns no seeds (and so an
+    * empty model/result downstream) — the repo's empty-input posture:
+    * empty in, empty out; PARTIAL in, loud.
+    */
+  private def seedIds(df: DataFrame, idCol: String, n: Int): Array[Long] = {
+    val ids = df.select(col(idCol).cast("long").as("__sid"))
+      .distinct().orderBy(col("__sid")).limit(n)
+      .collect().map(_.getLong(0))
+    require(ids.isEmpty || ids.length == n,
+      s"seed contract: need $n distinct training-seed vectors, corpus has only ${ids.length}")
+    ids
+  }
+
+  /** Filter `df` to the rows whose `idCol` is in `ids` and attach
+    * `sidCol` = the id's POSITION in `ids` (0-based, int). Together with
+    * [[seedIds]] this replaces the r11 `id < k` seed filters: seeding
+    * now depends only on id ORDER, so arbitrary (sparse, offset,
+    * renumbered) id spaces train correctly — and on dense 0-based ids
+    * (the driver tables) the seed set AND numbering are identical to
+    * the old filter, so every oracle replay is unchanged. Plan shape:
+    * an IN filter (pushdown-eligible) plus a literal-map lookup — no
+    * join, no window, no new exchange.
+    */
+  private def seedFromIds(
+      df: DataFrame, idCol: String, ids: Array[Long], sidCol: String): DataFrame =
+    if (ids.isEmpty) df.filter(lit(false)).withColumn(sidCol, lit(0))
+    else {
+      val m = map_from_arrays(typedLit(ids.toSeq), typedLit(ids.indices.toList))
+      df.filter(col(idCol).cast("long").isin(ids.toSeq: _*))
+        .withColumn(sidCol, element_at(m, col(idCol).cast("long")))
+    }
+
+  /** [[seedIds]] + [[seedFromIds]] in one call: the seed rows at
+    * id-order positions [start, start+count), renumbered 0..count−1.
+    */
+  private def seedBlock(
+      df: DataFrame, idCol: String, start: Int, count: Int, sidCol: String): DataFrame =
+    seedFromIds(df, idCol, seedIds(df, idCol, start + count).drop(start), sidCol)
+
   /** Distributed k-means (Lloyd) over an embedding column — the
     * centroid-training step the IVF index calls for at production scale
     * (public-knowledge algorithm). Deterministic: initial centroids are
-    * the vectors with `id < k` — which REQUIRES dense 0-based ids (the
-    * driver tables guarantee it; with sparse or offset ids seed via
-    * `orderBy(id).limit(k)` and renumber, mirroring the oracle).
-    * Assignment ranks by ROUNDED cosine
+    * the k vectors FIRST in vec-id order (positions, not values — any
+    * id space works; on the driver tables' dense 0-based ids this is
+    * exactly the classic `id < k` seed), renumbered 0..k−1 via
+    * [[seedBlock]]. Assignment ranks by ROUNDED cosine
     * with centroid-id tie-break, updated components are rounded to 6 —
     * so the fixpoint trajectory is engine-exact and fully oracle-able.
     *
@@ -219,7 +268,7 @@ object Similarity {
     // the boundary the plan re-reads the parquet once per round)
     val e = Funnel.stage(
       corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e")))
-    var cent = e.filter(col("vid") < k).select(col("vid").cast("int").as("cid"), col("e").as("ce"))
+    var cent = seedBlock(e, "vid", 0, k, "cid").select(col("cid"), col("e").as("ce"))
     for (_ <- 1 to iters) {
       // argmax by (rounded cosine, smaller cid) via max_by — NOT a
       // per-vector window: the k joined rows of each vector are
@@ -846,8 +895,8 @@ object Similarity {
     // encode + ADC passes read it again — one materialization (the
     // persist-for-iterative-training discipline, as in kmeansCentroids)
     val sub = Funnel.stage(subspaces(corpus, "vid", "vec_id", "embedding"))
-    var cb = sub.filter(col("vid") < ksub)
-      .select(col("s"), col("vid").cast("int").as("cid"), col("v").as("cv"))
+    var cb = seedBlock(sub, "vid", 0, ksub, "cid")
+      .select(col("s"), col("cid"), col("v").as("cv"))
     def assign(df: DataFrame, idCol: String): DataFrame =
       df.join(broadcast(cb), "s")
         .select(col(idCol), col("s"), col("v"), col("cid"),
@@ -887,14 +936,15 @@ object Similarity {
     * complement of [[pqTopK]]: PQ splits the dimension axis, RQ stacks
     * whole-vector stages, so RQ captures cross-dimension structure PQ
     * cannot. Memory story: `stages`·log₂(k) bits per vector.
-    * REQUIRES ids dense from 0 through at least `stages`·k−1 (stage s
-    * seeds on ids [s·k, (s+1)·k) — the [[kmeansCentroids]] contract,
-    * per stage).
+    * Needs at least `stages`·k corpus vectors (fails LOUD below that
+    * via [[seedIds]]; any id SPACE works — seeding is by id ORDER,
+    * not id value, so sparse/offset/renumbered corpora train
+    * correctly).
     *
     * Spark shape: each stage's codebook (k rows) broadcasts into one
     * scan + `min_by` partial-agg argmin; the corpus never self-joins
     * and crosses the wire only in the bounded per-stage aggregates.
-    * Stage s seeds from ids [s·k, (s+1)·k) so no stage seeds on a
+    * Stage s seeds from id-order positions [s·k, (s+1)·k) so no stage seeds on a
     * vector whose residual is already zero from its own stage-0 seed
     * row. Assignment ranks round to 6 with cid tie-break and centroid
     * components round to 6 per Lloyd round — the whole train/encode/
@@ -919,9 +969,12 @@ object Similarity {
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("r")),
       "rq_resid")
     var recon: DataFrame = null // (vec_id, rec)
+    // one ordered-id collect covers every stage's seed block (ids never
+    // change across stages — only the residual values do)
+    val allSeedIds = seedIds(resid, "vec_id", stages * k)
     for (st <- 0 until stages) {
-      var cb = resid.filter(col("vec_id") >= st * k && col("vec_id") < (st + 1) * k)
-        .select((col("vec_id") - st * k).cast("int").as("cid"), col("r").as("cv"))
+      var cb = seedFromIds(resid, "vec_id", allSeedIds.slice(st * k, (st + 1) * k), "cid")
+        .select(col("cid"), col("r").as("cv"))
       for (_ <- 1 to iters) {
         val asg = resid.join(broadcast(cb))
           .select(col("vec_id"), col("r"), col("cid"),
@@ -975,8 +1028,8 @@ object Similarity {
     * exact distances plus a code-stream sum over only the probed
     * cells' vectors. Per-subspace distances are fixed to integer
     * micro-units before the sum (engine-exact); sub-codebook seeds
-    * start at vec id `nlist` so no seed is a coarse centroid's own
-    * zero residual.
+    * start at id-order position `nlist` so no seed is a coarse
+    * centroid's own zero residual.
     *
     * Output: (qid, nid, adist, rn) — top `topK` per query by ascending
     * approximate distance over the probed cells.
@@ -999,8 +1052,11 @@ object Similarity {
       dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)
     val e = Funnel.stage(corpus.select(col("vec_id").as("vid"),
       col("embedding").cast("array<double>").as("e")))
-    val cent = e.filter(col("vid") < nlist)
-      .select(col("vid").cast("int").as("cid"), col("e").as("ce"))
+    // one ordered-id collect seeds both the coarse centroids (first
+    // nlist positions) and the sub-codebooks (the next ksub)
+    val ivfpqSeedIds = seedIds(e, "vid", nlist + ksub)
+    val cent = seedFromIds(e, "vid", ivfpqSeedIds.take(nlist), "cid")
+      .select(col("cid"), col("e").as("ce"))
     // coarse assignment + residual, corpus crosses the wire once
     val assigned = Funnel.stage(e.join(broadcast(cent))
       .select(col("vid"), col("e"), col("cid"), col("ce"),
@@ -1014,8 +1070,8 @@ object Similarity {
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("r"))
       .select(col("vid"), col("s"),
         slice(col("r"), col("s") * subDim + 1, lit(subDim)).as("v")))
-    var cb = sub.filter(col("vid") >= nlist && col("vid") < nlist + ksub)
-      .select(col("s"), (col("vid") - nlist).cast("int").as("code"), col("v").as("cv"))
+    var cb = seedFromIds(sub, "vid", ivfpqSeedIds.drop(nlist), "code")
+      .select(col("s"), col("code"), col("v").as("cv"))
     def assignCodes(df: DataFrame): DataFrame =
       df.join(broadcast(cb), "s")
         .select(col("vid"), col("s"), col("v"), col("code"),

@@ -4599,8 +4599,9 @@ object AnalyticsQueries {
     * (it reduces each observation to above/below the pooled median, so
     * a single 10⁹× value moves nothing; the robustness complement to
     * [[evtKruskal]]'s rank test). Pooled median = the smallest bin
-    * whose cumulative reaches ⌈N/2⌉ (2·cum ≥ N+1 — integer compare, no
-    * division); ties at the median count LOW (deterministic,
+    * whose cumulative reaches ⌈(N+1)/2⌉ (2·cum ≥ N+1 — integer
+    * compare, no division; for even N this selects the UPPER median,
+    * cum ≥ N/2+1); ties at the median count LOW (deterministic,
     * documented). χ² over the 2×k table from exact integer counts,
     * each cell's term quantized to 1e-9 before the cross-cell sum (the
     * CMH discipline); zero-expectation legs contribute 0 by the
@@ -5217,7 +5218,13 @@ object AnalyticsQueries {
     val wIdx = Window.partitionBy("event_type").orderBy("d")
     val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
     daily
-      .withColumn("m6", expr("cents * 1000000L DIV cnt"))
+      // the cents·1e6 product is the one term here that can exceed a
+      // BIGINT at warehouse scale (daily cents > ~9.2e12, i.e. ~$92B/
+      // day/type) — widen it to DECIMAL(38,0) before the integral
+      // divide (DIV returns BIGINT; the QUOTIENT is a daily mean in
+      // micro-units, safely long). Downstream running sums are bounded
+      // by |days| × that mean — long-safe by the calendar bound.
+      .withColumn("m6", expr("CAST(cents AS DECIMAL(38,0)) * 1000000 DIV cnt"))
       .withColumn("i", row_number().over(wIdx).cast("long"))
       .withColumn("a6", expr("sum(m6) OVER (PARTITION BY event_type ORDER BY d " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) DIV i"))
@@ -5232,9 +5239,10 @@ object AnalyticsQueries {
   val evtPageHinkleySql: String =
     Tables.eventsCte + dailyCentsSql +
       """
-        |, g1 AS (SELECT event_type, d, (cents * 1000000) // cnt AS m6,
+        |, g1 AS (SELECT event_type, d,
+        |           ((cents::HUGEINT * 1000000) // cnt)::BIGINT AS m6,
         |           (row_number() OVER w)::BIGINT AS i,
-        |           sum((cents * 1000000) // cnt) OVER (PARTITION BY event_type ORDER BY d
+        |           sum((cents::HUGEINT * 1000000) // cnt) OVER (PARTITION BY event_type ORDER BY d
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cm6
         |         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
         |g2 AS (SELECT event_type, d, m6, i, cm6, cm6 // i AS a6 FROM g1),

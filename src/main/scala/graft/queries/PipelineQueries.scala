@@ -2294,7 +2294,8 @@ object PipelineQueries {
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |b AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
        |d AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
-       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM b WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM b
+       |       QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
        |${(1 to 2).map(iter).mkString(",\n")},
        |idx AS (SELECT vec_id, e, cid FROM (
        |  SELECT m.vec_id, m.e, c.cid,

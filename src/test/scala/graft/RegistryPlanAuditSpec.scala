@@ -147,26 +147,36 @@ class RegistryPlanAuditSpec extends SparkSpec {
     * partition-less window funnels the whole dataset through ONE task —
     * the q_doc_budget failure class its bucketed prefix sum exists to
     * avoid.
+    *
+    * Each entry CARRIES its domain bound (r11 verdict: the boundedness
+    * argument must not live only in scaladoc) and the executed-metrics
+    * test below ENFORCES it — rows actually flowing into every
+    * whitelisted single-partition WindowExec at sf0.01 must stay under
+    * the declared bound, so an unbounded-domain copy of the pattern
+    * (window input scaling with corpus rows: ≥27k events / ≥500 docs
+    * at this SF) trips the audit instead of shipping. Bounds are the
+    * PROVABLE domain sizes (quantization grids, TakeOrdered limits,
+    * calendar spans), not observed counts.
     */
-  private val boundedGlobalWindows: Set[String] = Set(
-    "q_doc_auc", // ≤1001-row quantized-score aggregate
-    "q_doc_zipf", // 1000-row TakeOrdered top-k
-    "q_evt_funnel", // 3-row step table
-    "q_doc_budget", // 256-row bucket-offset table (corpus side is bucket-partitioned)
-    "q_doc_waterfill", // per-stratum levels (bounded strata domain)
-    "q_doc_vocab", // 1000-row TakeOrdered top-k feeds the rank/cum-frac window
-    "q_doc_bpe", // 50-row TakeOrdered top-k feeds the rank window
-    "q_doc_neyman", // largest-remainder rank over the |strata|-row quota table
-    "q_evt_ks", // CDF window over the ≤4901-row deci-bucket bin domain
-    "q_evt_mannwhitney", // midrank window over the same ≤4901-row bin domain as q_evt_ks
-    "q_evt_cliffs", // the same bounded bin-domain midrank window (effect-size readout)
-    "q_doc_prauc", // PR-curve walk over the ≤1001-row deci-milli score-block domain (the q_doc_auc shape)
+  private val boundedGlobalWindows: Map[String, Long] = Map(
+    "q_doc_auc" -> 1001L, // quantized-score grid: milli-scores 0..1000
+    "q_doc_zipf" -> 1000L, // TakeOrdered top-k limit
+    "q_evt_funnel" -> 3L, // 3-row step table
+    "q_doc_budget" -> 256L, // bucket-offset table (corpus side is bucket-partitioned)
+    "q_doc_waterfill" -> 256L, // per-stratum levels (strata = source labels, low-cardinality)
+    "q_doc_vocab" -> 1000L, // TakeOrdered top-k feeds the rank/cum-frac window
+    "q_doc_bpe" -> 50L, // TakeOrdered top-k feeds the rank window
+    "q_doc_neyman" -> 256L, // largest-remainder rank over the |strata|-row quota table
+    "q_evt_ks" -> 4901L, // CDF window over the deci-bucket bin domain
+    "q_evt_mannwhitney" -> 4901L, // midrank window over the same bin domain as q_evt_ks
+    "q_evt_cliffs" -> 4901L, // the same bounded bin-domain midrank window (effect-size readout)
+    "q_doc_prauc" -> 1001L, // PR-curve walk over the deci-milli score-block domain (the q_doc_auc shape)
     // (q_doc_isotonic's block window runs inside its stage boundary — no window node in the executed plan)
-    "q_doc_unigram_lm", // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
-    "q_evt_survival", // KM windows over the ≤|duration-minutes| bucket aggregate
-    "q_evt_cumhaz", // Nelson–Aalen windows over the same bounded bucket aggregate
-    "q_evt_msprt", // cumulative readout over the ≤31-row daily aggregate
-    "q_evt_lorenz" // trapezoid lag over the STAGED 10-row decile curve
+    "q_doc_unigram_lm" -> 64L, // rank window over the 64-row TakeOrdered final-vocab cut (the q_doc_vocab shape)
+    "q_evt_survival" -> 2000L, // KM windows over the |distinct duration-minutes| bucket aggregate (fixture horizon; 37 rows at sf0.01)
+    "q_evt_cumhaz" -> 2000L, // Nelson–Aalen windows over the same bounded bucket aggregate
+    "q_evt_msprt" -> 366L, // cumulative readout over the daily aggregate (calendar-bounded)
+    "q_evt_lorenz" -> 40L // trapezoid lag over the STAGED 10-row decile curve (both legs)
     // (q_evt_qini's decile cumulation runs inside a stage boundary, so
     // the executed plan the audit sees carries no window node)
     // (q_evt_chi2's margin windows are unpartitioned but UNORDERED over
@@ -187,11 +197,66 @@ class RegistryPlanAuditSpec extends SparkSpec {
         catch { case e: Throwable => "" }
       val hasGlobal = unpart.findFirstIn(plan).isDefined
       if (hasGlobal) globalActual += name
-      if (hasGlobal && !boundedGlobalWindows(name)) Some(name) else None
+      if (hasGlobal && !boundedGlobalWindows.contains(name)) Some(name) else None
     }
     assert(violations.isEmpty,
       s"unpartitioned window over potentially unbounded input:\n  ${violations.mkString("\n  ")}")
-    val stale = boundedGlobalWindows -- globalActual
+    val stale = boundedGlobalWindows.keySet -- globalActual
     assert(stale.isEmpty, s"whitelisted but no longer globally-windowed (prune): $stale")
+  }
+
+  // --- executed-metrics enforcement of the declared window bounds ---
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case s: QueryStageExec => Seq(s.plan)
+    case o => o.children ++ o.subqueries
+  }
+  private def planNodes(p: SparkPlan): Seq[SparkPlan] = p +: expand(p).flatMap(planNodes)
+
+  /** Rows a node produced, from executed SQL metrics: TakeOrdered caps
+    * its output at `limit` by construction (its shuffle metrics read 0
+    * when it ran locally); otherwise the first descendant carrying
+    * numOutputRows, else non-zero shuffle record counts; else the sum
+    * over children (exact for unions, identity for chains).
+    */
+  private def rowsProduced(p: SparkPlan): Option[Long] = p match {
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => Some(t.limit.toLong)
+    case _ =>
+      p.metrics.get("numOutputRows").map(_.value)
+        .orElse(p.metrics.get("recordsRead").map(_.value).filter(_ > 0))
+        .orElse(p.metrics.get("shuffleRecordsWritten").map(_.value).filter(_ > 0))
+        .orElse {
+          val counts = expand(p).flatMap(rowsProduced)
+          if (counts.isEmpty) None else Some(counts.sum)
+        }
+  }
+
+  test("whitelisted unpartitioned windows stay within their declared domain bounds (executed)") {
+    // sf0.01 (not the audit's sf0.001): 10× the rows makes a corpus-
+    // scaling window input unmissable against the constant bounds
+    val boundDir = "/root/testdata/sf0.01"
+    val failures = boundedGlobalWindows.toSeq.sortBy(_._1).flatMap { case (name, bound) =>
+      val df = SparkEntry.queries(name)(spark, boundDir)
+      df.collect()
+      val windows = planNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+      }
+      if (windows.isEmpty)
+        Seq(s"$name: no single-partition WindowExec found to measure (extend the walker)")
+      else windows.flatMap { w =>
+        expand(w).flatMap(rowsProduced) match {
+          case Nil => Some(s"$name: window input rows unmeasurable (extend the walker)")
+          case counts if counts.sum > bound =>
+            Some(s"$name: window input ${counts.sum} rows exceeds declared domain bound $bound")
+          case _ => None
+        }
+      }
+    }
+    assert(failures.isEmpty, s"window-bound violations:\n  ${failures.mkString("\n  ")}")
   }
 }

@@ -501,6 +501,49 @@ class TableEnvSpec extends SparkSpec {
     assert(e3.getMessage.contains("unsupported DROP shape"))
   }
 
+  test("executeSql: DROP kind must match the catalog entry (ref SqlDropTable/SqlDropView)") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    env.executeSql(
+      s"""CREATE TABLE ddlspec_kindt (n_nationkey BIGINT, n_name STRING)
+         |WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""".stripMargin)
+    // DROP VIEW on a DDL-declared TABLE: rejected, entry stays usable
+    val e1 = intercept[IllegalArgumentException](env.executeSql("DROP VIEW ddlspec_kindt"))
+    assert(e1.getMessage.contains("is a table"))
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_kindt").head().getLong(0) === 25L)
+    assert(env.executeSql("DROP TABLE ddlspec_kindt").head().getString(2) === "OK")
+    // DROP TABLE on a plain view: rejected, view stays usable
+    env.executeSql("CREATE VIEW ddlspec_kindv AS SELECT n_name FROM nation")
+    val e2 = intercept[IllegalArgumentException](env.executeSql("DROP TABLE ddlspec_kindv"))
+    assert(e2.getMessage.contains("is a view"))
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_kindv").head().getLong(0) === 25L)
+    assert(env.executeSql("DROP VIEW ddlspec_kindv").head().getString(2) === "OK")
+  }
+
+  test("executeSql: SHOW DATABASES / SHOW FUNCTIONS / USE statement routes") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    // ref TableEnvironmentImpl.listDatabases: the single default database
+    val dbs = env.executeSql("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+    assert(dbs === Seq("default_database"))
+    // ref listFunctions: built-ins, the graft library, and CREATE
+    // FUNCTION aliases share the registry the listing dumps
+    env.executeSql("CREATE FUNCTION ddlspec_showfn AS 'upper'")
+    val fns = env.executeSql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(fns.contains("ddlspec_showfn"), "CREATE FUNCTION alias missing from SHOW FUNCTIONS")
+    assert(fns.contains("upper"), "built-in missing from SHOW FUNCTIONS")
+    assert(fns.contains("cosine_sim"), "graft library function missing from SHOW FUNCTIONS")
+    // ref SqlUseDatabase/SqlUseCatalog: valid names re-select, unknown is LOUD
+    assert(env.executeSql("USE default_database").head().getString(2) === "OK")
+    assert(env.executeSql("USE CATALOG default_catalog").head().getString(2) === "OK")
+    val e1 = intercept[IllegalArgumentException](env.executeSql("USE nope"))
+    assert(e1.getMessage.contains("no database named nope"))
+    val e2 = intercept[IllegalArgumentException](env.executeSql("USE CATALOG nope"))
+    assert(e2.getMessage.contains("no catalog named nope"))
+    val e3 = intercept[IllegalArgumentException](env.executeSql("USE a.b"))
+    assert(e3.getMessage.contains("unsupported USE shape"))
+  }
+
   test("executeSql: ALTER TABLE RENAME moves the catalog entry; other ALTER shapes fail loudly") {
     val dir = "/root/testdata/sf0.001"
     val env = TableEnv(spark, dir)
