@@ -1,0 +1,28 @@
+#!/usr/bin/env python3
+"""Scaling exponents from two filtered Bench runs over the same query
+list at data-size ratio R: alpha = ln(t_big/t_small) / ln(R).
+
+Usage: python3 tools/scale_exponents.py <base.json> <scaled.json> [R=5]
+
+alpha ~ 1 = linear in data; << 1 = fixed-overhead floor dominates;
+> 1 = super-linear (needs a disposition).
+"""
+import json
+import math
+import sys
+
+
+def main() -> None:
+    base = json.load(open(sys.argv[1]))
+    scaled = json.load(open(sys.argv[2]))
+    r = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+    print(f"{'query':34s} {'base_s':>8s} {'5x_s':>8s} {'ratio':>6s} {'alpha':>6s}")
+    for q in sorted(base["queries"]):
+        b, s = base["queries"][q], scaled["queries"][q]
+        ratio = s / b
+        alpha = math.log(ratio) / math.log(r)
+        print(f"{q:34s} {b:8.2f} {s:8.2f} {ratio:6.2f} {alpha:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
