@@ -106,26 +106,150 @@ object DdlSql {
     raw"(?is)^\s*SHOW\s+TABLES\s*$$".r.pattern.matcher(sql).matches()
   def isShowDatabases(sql: String): Boolean =
     raw"(?is)^\s*SHOW\s+DATABASES\s*$$".r.pattern.matcher(sql).matches()
+  def isShowCatalogs(sql: String): Boolean =
+    raw"(?is)^\s*SHOW\s+CATALOGS\s*$$".r.pattern.matcher(sql).matches()
   def isShowFunctions(sql: String): Boolean =
     raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r.pattern.matcher(sql).matches()
   def isUse(sql: String): Boolean =
     raw"(?is)^\s*USE\b.*".r.pattern.matcher(sql).matches()
 
   private val UseRx =
-    raw"(?is)^\s*USE\s+(CATALOG\s+)?([A-Za-z_]\w*)\s*$$".r
+    raw"(?is)^\s*USE\s+(CATALOG\s+)?([A-Za-z_]\w*)(?:\s*\.\s*([A-Za-z_]\w*))?\s*$$".r
 
-  /** USE [CATALOG] name → (isCatalog, name); loud on any other USE
-    * shape (ref SqlUseCatalog.java / SqlUseDatabase.java).
+  /** USE CATALOG cat | USE [cat.]db → (isCatalog, catalogPart, name).
+    * The reference's SqlUseDatabase stores a COMPOUND identifier
+    * (fullDatabaseName() is String[]), so `USE default_catalog.
+    * default_database` is valid grammar and carries the catalog part
+    * separately; SqlUseCatalog takes a simple name only. Loud on any
+    * other USE shape.
     */
-  def parseUse(sql: String): (Boolean, String) = sql match {
-    case UseRx(cat, name) => (cat != null, name)
+  def parseUse(sql: String): (Boolean, Option[String], String) = sql match {
+    case UseRx(cat, a, b) if cat != null && b != null =>
+      throw new IllegalArgumentException(
+        s"USE CATALOG $a.$b: a catalog is a simple name (ref SqlUseCatalog)")
+    case UseRx(cat, a, _) if cat != null => (true, None, a)
+    case UseRx(_, a, b) if b != null => (false, Some(a), b)
+    case UseRx(_, a, _) => (false, None, a)
     case _ => throw new IllegalArgumentException(
-      "unsupported USE shape — expected USE [CATALOG] name")
+      "unsupported USE shape — expected USE CATALOG name | USE [catalog.]database")
   }
   def isDescribe(sql: String): Boolean =
     raw"(?is)^\s*DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b)(?:TABLE\s+)?[A-Za-z_]\w*\s*$$".r
       .pattern.matcher(sql).matches()
   def applies(sql: String): Boolean = isCreateTable(sql) || isCreateView(sql) || isInsert(sql)
+
+  // --- the statement tail: function/database DDL + catalog DQL ---
+
+  private val DropFunctionRx =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$$".r
+  private val CreateDatabaseRx =
+    raw"(?is)^\s*CREATE\s+DATABASE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*(?:COMMENT\s+'([^']*)'\s*)?(?:WITH\s*\((.*)\)\s*)?$$".r
+  private val DropDatabaseRx =
+    raw"(?is)^\s*DROP\s+DATABASE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*(RESTRICT|CASCADE)?\s*$$".r
+  private val AlterDatabaseRx =
+    raw"(?is)^\s*ALTER\s+DATABASE\s+([A-Za-z_]\w*)\s+SET\s*\((.*)\)\s*$$".r
+  private val AlterTableSetRx =
+    raw"(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s*\((.*)\)\s*$$".r
+  private val DescribeCatalogRx =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+CATALOG\s+([A-Za-z_]\w*)\s*$$".r
+  private val DescribeDatabaseRx =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+DATABASE\s+(EXTENDED\s+)?([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)\s*$$".r
+
+  def isDropFunction(sql: String): Boolean =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\b.*".r
+      .pattern.matcher(sql).matches()
+  def isCreateDatabase(sql: String): Boolean =
+    raw"(?is)^\s*CREATE\s+DATABASE\b.*".r.pattern.matcher(sql).matches()
+  def isDropDatabase(sql: String): Boolean =
+    raw"(?is)^\s*DROP\s+DATABASE\b.*".r.pattern.matcher(sql).matches()
+  def isAlterDatabase(sql: String): Boolean =
+    raw"(?is)^\s*ALTER\s+DATABASE\b.*".r.pattern.matcher(sql).matches()
+  def isAlterTableSet(sql: String): Boolean =
+    AlterTableSetRx.pattern.matcher(sql).matches()
+  def isDescribeCatalog(sql: String): Boolean =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+CATALOG\b.*".r.pattern.matcher(sql).matches()
+  def isDescribeDatabase(sql: String): Boolean =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+DATABASE\b.*".r.pattern.matcher(sql).matches()
+
+  /** DROP [TEMPORARY] [SYSTEM] FUNCTION [IF EXISTS] name →
+    * (ifExists, name); loud on any other shape (ref
+    * ddl/SqlDropFunction.java — the TEMPORARY/SYSTEM keywords select
+    * the registry tier; one session registry here, so they parse and
+    * fold).
+    */
+  def parseDropFunction(sql: String): (Boolean, String) = sql match {
+    case DropFunctionRx(ifExists, name) => (ifExists != null, name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DROP FUNCTION shape — expected DROP [TEMPORARY] [SYSTEM] " +
+        "FUNCTION [IF EXISTS] name")
+  }
+
+  /** CREATE DATABASE [IF NOT EXISTS] name [COMMENT '…'] [WITH (…)] →
+    * (ifNotExists, name, comment, properties) (ref
+    * ddl/SqlCreateDatabase.java — name, optional comment, property
+    * list).
+    */
+  def parseCreateDatabase(sql: String): (Boolean, String, Option[String], Map[String, String]) =
+    sql match {
+      case CreateDatabaseRx(ifNotExists, name, comment, propsRaw) =>
+        (ifNotExists != null, name, Option(comment),
+          Option(propsRaw).map(parseOptions).getOrElse(Map.empty))
+      case _ => throw new IllegalArgumentException(
+        "unsupported CREATE DATABASE shape — expected CREATE DATABASE " +
+          "[IF NOT EXISTS] name [COMMENT '…'] [WITH ('k'='v', …)]")
+    }
+
+  /** DROP DATABASE [IF EXISTS] name [RESTRICT|CASCADE] →
+    * (ifExists, name, cascade) (ref ddl/SqlDropDatabase.java —
+    * RESTRICT is the default, CASCADE drops contained tables too).
+    */
+  def parseDropDatabase(sql: String): (Boolean, String, Boolean) = sql match {
+    case DropDatabaseRx(ifExists, name, mode) =>
+      (ifExists != null, name, mode != null && mode.equalsIgnoreCase("CASCADE"))
+    case _ => throw new IllegalArgumentException(
+      "unsupported DROP DATABASE shape — expected DROP DATABASE [IF EXISTS] name " +
+        "[RESTRICT|CASCADE]")
+  }
+
+  /** ALTER DATABASE name SET ('k'='v', …) → (name, properties) (ref
+    * ddl/SqlAlterDatabase.java — SET is the only ALTER DATABASE verb).
+    */
+  def parseAlterDatabase(sql: String): (String, Map[String, String]) = sql match {
+    case AlterDatabaseRx(name, propsRaw) => (name, parseOptions(propsRaw))
+    case _ => throw new IllegalArgumentException(
+      "unsupported ALTER DATABASE shape — expected ALTER DATABASE name SET ('k'='v', …)")
+  }
+
+  /** ALTER TABLE t SET ('k'='v', …) → (table, properties) (ref
+    * ddl/SqlAlterTableProperties.java — mutates the table's WITH
+    * options in place).
+    */
+  def parseAlterTableSet(sql: String): (String, Map[String, String]) = sql match {
+    case AlterTableSetRx(name, propsRaw) => (name, parseOptions(propsRaw))
+    case _ => throw new IllegalArgumentException(
+      "unsupported ALTER TABLE SET shape — expected ALTER TABLE t SET ('k'='v', …)")
+  }
+
+  /** DESCRIBE CATALOG name → name (ref dql/SqlDescribeCatalog.java). */
+  def parseDescribeCatalog(sql: String): String = sql match {
+    case DescribeCatalogRx(name) => name
+    case _ => throw new IllegalArgumentException(
+      "unsupported DESCRIBE CATALOG shape — expected DESCRIBE CATALOG name")
+  }
+
+  /** DESCRIBE DATABASE [EXTENDED] [catalog.]db → (extended,
+    * catalogPart, db) (ref dql/SqlDescribeDatabase.java — compound
+    * database identifier, EXTENDED adds the property list).
+    */
+  def parseDescribeDatabase(sql: String): (Boolean, Option[String], String) = sql match {
+    case DescribeDatabaseRx(ext, ident) =>
+      val parts = ident.split(raw"\s*\.\s*")
+      if (parts.length == 2) (ext != null, Some(parts(0)), parts(1))
+      else (ext != null, None, parts(0))
+    case _ => throw new IllegalArgumentException(
+      "unsupported DESCRIBE DATABASE shape — expected DESCRIBE DATABASE [EXTENDED] " +
+        "[catalog.]database")
+  }
 
   /** DROP TABLE|VIEW [IF EXISTS] name → (kind, ifExists, name); loud on
     * any other DROP shape (ref SqlDropTable.java / SqlDropView.java).
@@ -137,13 +261,15 @@ object DdlSql {
   }
 
   /** ALTER TABLE a RENAME TO b → (a, b); loud on every other ALTER
-    * (ref SqlAlterTable.java — rename is the supported subset).
+    * (ref SqlAlterTable.java — RENAME and SET (see
+    * [[parseAlterTableSet]]) are the supported subset).
     */
   def parseAlterRename(sql: String): (String, String) = sql match {
     case AlterRenameRx(from, to) => (from, to)
     case _ => throw new IllegalArgumentException(
-      "unsupported ALTER TABLE shape — expected ALTER TABLE a RENAME TO b " +
-        "(ADD/MODIFY/DROP COLUMN and SET options are not in the supported subset)")
+      "unsupported ALTER TABLE shape — expected ALTER TABLE a RENAME TO b or " +
+        "ALTER TABLE t SET ('k'='v', …) (ADD/MODIFY/DROP COLUMN are not in the " +
+        "supported subset)")
   }
 
   /** CREATE FUNCTION alias AS 'target' → (alias, target) (ref

@@ -55,8 +55,15 @@ object ScaleProbe {
             sequence(lit(0), greatest(size(split(col("text"), " ")) - 1, lit(0))),
             (w, i) => when(i % 3 === 0, concat(w, lit("_"), col("rep"))).otherwise(w)),
             " ")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+        col("lang"), col("source"), col("n_chars"), col("rep"))
+      // replica-0 rows keep the SOURCE n_chars verbatim (the fixture may
+      // deliberately carry n_chars <> length(text) — q_doc_health counts
+      // exactly that mismatch, and the probe must not repair it); new
+      // replicas recompute over their retagged text, BIGINT like the
+      // fixture schema (r12 ADVICE)
+      .withColumn("n_chars", when(col("rep") === 0, col("n_chars"))
+        .otherwise(length(col("text")).cast("long")))
+      .drop("rep")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     spark.read.parquet(s"$src/embeddings.parquet").crossJoin(reps)

@@ -88,4 +88,48 @@ class DdlParseSpec extends AnyFunSuite {
     // Spark's own EXPLAIN/DESCRIBE EXTENDED must fall through untouched
     assert(!DdlSql.isDescribe("DESCRIBE EXTENDED t"))
   }
+
+  test("statement-tail shapes: USE compound, DROP FUNCTION, database DDL, ALTER TABLE SET") {
+    // USE [catalog.]database — ref SqlUseDatabase.fullDatabaseName() is
+    // compound; USE CATALOG stays a simple name (ref SqlUseCatalog)
+    assert(DdlSql.parseUse("USE db1") === ((false, None, "db1")))
+    assert(DdlSql.parseUse("USE cat1.db1") === ((false, Some("cat1"), "db1")))
+    assert(DdlSql.parseUse("USE CATALOG cat1") === ((true, None, "cat1")))
+    intercept[IllegalArgumentException](DdlSql.parseUse("USE CATALOG a.b"))
+    intercept[IllegalArgumentException](DdlSql.parseUse("USE a.b.c"))
+    // DROP FUNCTION (ref ddl/SqlDropFunction.java): keyword tiers fold
+    assert(DdlSql.parseDropFunction("DROP FUNCTION f") === ((false, "f")))
+    assert(DdlSql.parseDropFunction("DROP TEMPORARY SYSTEM FUNCTION IF EXISTS f")
+      === ((true, "f")))
+    assert(!DdlSql.isDrop("DROP FUNCTION f"), "DROP FUNCTION must not route as DROP TABLE/VIEW")
+    intercept[IllegalArgumentException](DdlSql.parseDropFunction("DROP FUNCTION a.b"))
+    // CREATE DATABASE (ref ddl/SqlCreateDatabase.java): comment + props
+    assert(DdlSql.parseCreateDatabase("CREATE DATABASE d") === ((false, "d", None, Map.empty)))
+    assert(DdlSql.parseCreateDatabase(
+      "CREATE DATABASE IF NOT EXISTS d COMMENT 'c' WITH ('k'='v')")
+      === ((true, "d", Some("c"), Map("k" -> "v"))))
+    intercept[IllegalArgumentException](DdlSql.parseCreateDatabase("CREATE DATABASE d WITH (k=v)"))
+    // DROP DATABASE (ref ddl/SqlDropDatabase.java): RESTRICT|CASCADE tail
+    assert(DdlSql.parseDropDatabase("DROP DATABASE d") === ((false, "d", false)))
+    assert(DdlSql.parseDropDatabase("DROP DATABASE IF EXISTS d CASCADE") === ((true, "d", true)))
+    assert(!DdlSql.isDrop("DROP DATABASE d"))
+    // ALTER DATABASE / ALTER TABLE SET (ref SqlAlterDatabase /
+    // SqlAlterTableProperties): property lists parse quote-aware
+    assert(DdlSql.parseAlterDatabase("ALTER DATABASE d SET ('a'='1', 'b'='x,y')")
+      === (("d", Map("a" -> "1", "b" -> "x,y"))))
+    intercept[IllegalArgumentException](DdlSql.parseAlterDatabase("ALTER DATABASE d RENAME TO e"))
+    assert(DdlSql.isAlterTableSet("ALTER TABLE t SET ('path'='/p')"))
+    assert(!DdlSql.isAlterTableSet("ALTER TABLE t RENAME TO u"))
+    assert(DdlSql.parseAlterTableSet("ALTER TABLE t SET ('path'='/p', 'format'='json')")
+      === (("t", Map("path" -> "/p", "format" -> "json"))))
+    // DESCRIBE CATALOG / DATABASE (ref dql/SqlDescribeCatalog.java,
+    // SqlDescribeDatabase.java): disjoint from the plain-table DESCRIBE
+    assert(DdlSql.parseDescribeCatalog("DESCRIBE CATALOG c") === "c")
+    assert(DdlSql.parseDescribeDatabase("DESCRIBE DATABASE d") === ((false, None, "d")))
+    assert(DdlSql.parseDescribeDatabase("DESC DATABASE EXTENDED cat.d")
+      === ((true, Some("cat"), "d")))
+    assert(!DdlSql.isDescribe("DESCRIBE DATABASE d"))
+    assert(!DdlSql.isDescribe("DESCRIBE CATALOG c"))
+    assert(DdlSql.isShowCatalogs("SHOW CATALOGS") && !DdlSql.isShowCatalogs("SHOW CATALOG"))
+  }
 }

@@ -540,8 +540,146 @@ class TableEnvSpec extends SparkSpec {
     assert(e1.getMessage.contains("no database named nope"))
     val e2 = intercept[IllegalArgumentException](env.executeSql("USE CATALOG nope"))
     assert(e2.getMessage.contains("no catalog named nope"))
+    // ref SqlUseDatabase.fullDatabaseName(): the database identifier
+    // may be compound — catalog part validates against default_catalog
+    assert(env.executeSql("USE default_catalog.default_database").head().getString(2) === "OK")
     val e3 = intercept[IllegalArgumentException](env.executeSql("USE a.b"))
-    assert(e3.getMessage.contains("unsupported USE shape"))
+    assert(e3.getMessage.contains("no catalog named a"))
+    // USE CATALOG takes a SIMPLE name (ref SqlUseCatalog)
+    val e4 = intercept[IllegalArgumentException](env.executeSql("USE CATALOG a.b"))
+    assert(e4.getMessage.contains("simple name"))
+  }
+
+  test("executeSql: DROP TABLE accepts env-registered base and versioned tables (r12 ADVICE)") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    // base warehouse tables are catalog TABLES in the reference
+    // (SqlDropTable accepts them) — the kind test must not call them views
+    val e1 = intercept[IllegalArgumentException](env.executeSql("DROP VIEW events"))
+    assert(e1.getMessage.contains("is a table"))
+    assert(env.executeSql("DROP TABLE events").head().getString(2) === "OK")
+    intercept[Exception](env.executeSql("SELECT count(*) FROM events"))
+    // versioned views register table-like: DROP TABLE, not DROP VIEW
+    env.createVersionedView("ddlspec_vv",
+      env.sqlQuery("SELECT n_nationkey, n_name, DATE '2020-01-01' AS vt FROM nation"), "vt")
+    val e2 = intercept[IllegalArgumentException](env.executeSql("DROP VIEW ddlspec_vv"))
+    assert(e2.getMessage.contains("is a table"))
+    assert(env.executeSql("DROP TABLE ddlspec_vv").head().getString(2) === "OK")
+    // a CREATE VIEW registration still classifies as a VIEW
+    env.executeSql("CREATE VIEW ddlspec_vv2 AS SELECT n_name FROM nation")
+    val e3 = intercept[IllegalArgumentException](env.executeSql("DROP TABLE ddlspec_vv2"))
+    assert(e3.getMessage.contains("is a view"))
+    assert(env.executeSql("DROP VIEW ddlspec_vv2").head().getString(2) === "OK")
+  }
+
+  test("executeSql: SHOW CATALOGS / DESCRIBE CATALOG / DESCRIBE DATABASE routes") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    // ref dql/SqlShowCatalogs.java: the one default catalog
+    assert(env.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq
+      === Seq("default_catalog"))
+    // ref dql/SqlDescribeCatalog.java: info rows; unknown is LOUD
+    val dc = env.executeSql("DESCRIBE CATALOG default_catalog").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dc("catalog name") === "default_catalog")
+    assert(dc("default database") === "default_database")
+    val e1 = intercept[IllegalArgumentException](env.executeSql("DESCRIBE CATALOG nope"))
+    assert(e1.getMessage.contains("no catalog named nope"))
+    // ref dql/SqlDescribeDatabase.java: plain + EXTENDED + compound name
+    val dd = env.executeSql("DESCRIBE DATABASE default_database").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dd("database name") === "default_database")
+    env.executeSql("ALTER DATABASE default_database SET ('owner'='graft')")
+    val de = env.executeSql(
+      "DESCRIBE DATABASE EXTENDED default_catalog.default_database").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(de("property owner") === "graft")
+    val e2 = intercept[IllegalArgumentException](env.executeSql("DESCRIBE DATABASE nope"))
+    assert(e2.getMessage.contains("no database named nope"))
+    val e3 = intercept[IllegalArgumentException](
+      env.executeSql("DESCRIBE DATABASE bad_cat.default_database"))
+    assert(e3.getMessage.contains("no catalog named bad_cat"))
+  }
+
+  test("executeSql: CREATE/DROP/ALTER DATABASE with loud single-database semantics") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    // re-creating the one database: loud unless IF NOT EXISTS (ref
+    // DatabaseAlreadyExistException)
+    assert(env.executeSql("CREATE DATABASE IF NOT EXISTS default_database")
+      .head().getString(2) === "OK")
+    val e1 = intercept[IllegalArgumentException](
+      env.executeSql("CREATE DATABASE default_database"))
+    assert(e1.getMessage.contains("already exists"))
+    // new databases are not supported — LOUD, never silently ignored
+    val e2 = intercept[IllegalArgumentException](env.executeSql("CREATE DATABASE fresh"))
+    assert(e2.getMessage.contains("single-database"))
+    // dropping the current database is refused; missing names need IF EXISTS
+    val e3 = intercept[IllegalArgumentException](
+      env.executeSql("DROP DATABASE default_database"))
+    assert(e3.getMessage.contains("cannot drop the current database"))
+    val e4 = intercept[IllegalArgumentException](env.executeSql("DROP DATABASE nope"))
+    assert(e4.getMessage.contains("no such database"))
+    assert(env.executeSql("DROP DATABASE IF EXISTS nope RESTRICT").head().getString(2) === "OK")
+    // ALTER DATABASE SET: only the existing database; bad shape is loud
+    assert(env.executeSql("ALTER DATABASE default_database SET ('k1'='v1')")
+      .head().getString(2) === "OK")
+    val e5 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER DATABASE nope SET ('k'='v')"))
+    assert(e5.getMessage.contains("no database named nope"))
+    val e6 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER DATABASE default_database RENAME TO x"))
+    assert(e6.getMessage.contains("unsupported ALTER DATABASE shape"))
+  }
+
+  test("executeSql: DROP FUNCTION unregisters CREATE FUNCTION aliases only") {
+    val env = TableEnv(spark, "/root/testdata/sf0.001")
+    env.executeSql("CREATE FUNCTION ddlspec_dropfn AS 'upper'")
+    assert(env.sqlQuery("SELECT ddlspec_dropfn('ok') AS u").head().getString(0) === "OK")
+    assert(env.executeSql("DROP FUNCTION ddlspec_dropfn").head().getString(2) === "OK")
+    intercept[Exception](env.sqlQuery("SELECT ddlspec_dropfn('ok') AS u").collect())
+    // gone from SHOW FUNCTIONS too
+    assert(!env.executeSql("SHOW FUNCTIONS").collect().map(_.getString(0))
+      .contains("ddlspec_dropfn"))
+    // not-found: loud without IF EXISTS, swallowed with it (ref SqlDropFunction)
+    val e1 = intercept[IllegalArgumentException](env.executeSql("DROP FUNCTION ddlspec_dropfn"))
+    assert(e1.getMessage.contains("no such function"))
+    assert(env.executeSql("DROP TEMPORARY FUNCTION IF EXISTS ddlspec_dropfn")
+      .head().getString(2) === "OK")
+    // built-in / library tier is not droppable
+    val e2 = intercept[IllegalArgumentException](env.executeSql("DROP FUNCTION upper"))
+    assert(e2.getMessage.contains("cannot be dropped"))
+    val e3 = intercept[IllegalArgumentException](env.executeSql("DROP FUNCTION cosine_sim"))
+    assert(e3.getMessage.contains("cannot be dropped"))
+  }
+
+  test("executeSql: ALTER TABLE SET mutates the WITH options in place (ref SqlAlterTableProperties)") {
+    val dir = "/root/testdata/sf0.001"
+    val env = TableEnv(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ddlspec-altset").toString
+    env.executeSql(
+      s"CREATE TABLE ddlspec_set (k STRING, n BIGINT) WITH ('path'='$out/a', 'format'='parquet')")
+    env.executeSql("INSERT INTO ddlspec_set SELECT n_name, n_nationkey FROM nation")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_set").head().getLong(0) === 25L)
+    // repoint the path: the view re-registers against the new location
+    // (empty until written), the old files stay where they were
+    assert(env.executeSql(s"ALTER TABLE ddlspec_set SET ('path'='$out/b', 'format'='json')")
+      .head().getString(2) === "OK")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_set").head().getLong(0) === 0L)
+    env.executeSql("INSERT INTO ddlspec_set SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 5")
+    assert(env.executeSql("SELECT count(*) AS c FROM ddlspec_set").head().getLong(0) === 5L)
+    assert(new java.io.File(s"$out/b").listFiles().exists(_.getName.endsWith(".json")))
+    // misuse: unknown table, unknown option, bad connector/format
+    val e1 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE nope SET ('path'='/tmp/x')"))
+    assert(e1.getMessage.contains("not a DDL-declared table"))
+    val e2 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE ddlspec_set SET ('zebra'='1')"))
+    assert(e2.getMessage.contains("unsupported options zebra"))
+    val e3 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE ddlspec_set SET ('connector'='kafka')"))
+    assert(e3.getMessage.contains("filesystem"))
+    val e4 = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE ddlspec_set SET ('format'='orc')"))
+    assert(e4.getMessage.contains("unsupported format orc"))
   }
 
   test("executeSql: ALTER TABLE RENAME moves the catalog entry; other ALTER shapes fail loudly") {

@@ -16,9 +16,19 @@ def main() -> None:
     base = json.load(open(sys.argv[1]))
     scaled = json.load(open(sys.argv[2]))
     r = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+    # filtered Bench lists can diverge between runs: compare only the
+    # shared keys, and say so instead of dying mid-table (r12 ADVICE)
+    common = sorted(set(base["queries"]) & set(scaled["queries"]))
+    asym = sorted(set(base["queries"]) ^ set(scaled["queries"]))
+    if asym:
+        print(f"WARNING: {len(asym)} queries in only one run, skipped: "
+              f"{', '.join(asym)}", file=sys.stderr)
     print(f"{'query':34s} {'base_s':>8s} {'5x_s':>8s} {'ratio':>6s} {'alpha':>6s}")
-    for q in sorted(base["queries"]):
+    for q in common:
         b, s = base["queries"][q], scaled["queries"][q]
+        if b <= 0:
+            print(f"{q:34s} {b:8.2f} {s:8.2f}  (base <= 0s, alpha undefined)")
+            continue
         ratio = s / b
         alpha = math.log(ratio) / math.log(r)
         print(f"{q:34s} {b:8.2f} {s:8.2f} {ratio:6.2f} {alpha:6.2f}")
