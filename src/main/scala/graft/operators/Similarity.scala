@@ -232,6 +232,49 @@ object Similarity {
       df: DataFrame, idCol: String, start: Int, count: Int, sidCol: String): DataFrame =
     seedFromIds(df, idCol, seedIds(df, idCol, start + count).drop(start), sidCol)
 
+  /** Corpus-aware IVF list count — the measured sqrt(n) sizing rule.
+    * The r12 scale probe showed a FIXED nlist is the one super-linear
+    * shape left in the library (alpha 1.2-1.4 over a decade of data:
+    * constant cell count means cell SIZE grows linearly, so probed
+    * candidate mass per query grows linearly too), while nlist ~ sqrt(n)
+    * balances cell count against expected cell size (both ~ sqrt(n), the
+    * classic IVF operating point) and measured ~ linear (nlist=18 ~
+    * 8*sqrt(5) on the 5x corpus ran 2.3x faster than the fixed fixture
+    * nlist). `autoNlist(n) = max(floorK, floor(sqrt(n) + 0.5))` —
+    * integer-exact on both engines, so an SQL oracle replays it as
+    * `greatest(floorK, CAST(floor(sqrt(n) + 0.5) AS INT))`. `floorK`
+    * keeps tiny corpora trainable (at least k cells for a top-k probe).
+    */
+  def autoNlist(n: Long, floorK: Int = 1): Int =
+    math.max(floorK, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
+
+  /** [[ivfTopK]] with the [[autoNlist]] default path: callers that
+    * don't pin nlist get the corpus-sized sqrt(n) index instead of a
+    * fixed constant that stops scaling. The count is one column-pruned
+    * scan job (bounded driver state: a single long).
+    */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame =
+    ivfTopK(queries, corpus, k, autoNlist(corpus.count(), k), nprobe)
+
+  /** [[ivfSelfTopK]] over [[kmeansCentroids]] trained at the
+    * [[autoNlist]] size — the auto-sized kNN-graph candidate route.
+    * `corpus` should arrive STAGED (training, both candidate legs, and
+    * the count reference it).
+    */
+  def ivfSelfTopKAuto(corpus: DataFrame, k: Int, iters: Int = 2,
+      nprobe: Int = 3): DataFrame = {
+    val nlist = autoNlist(corpus.count(), k)
+    ivfSelfTopK(corpus, Funnel.stage(kmeansCentroids(corpus, nlist, iters),
+      "ivf_auto_centroids"), k, nprobe)
+  }
+
+  /** [[ivfPqTopK]] with the [[autoNlist]] coarse-list default path. */
+  def ivfPqTopKAuto(queries: DataFrame, corpus: DataFrame, dims: Int,
+      nprobe: Int, m: Int, ksub: Int, iters: Int, topK: Int): DataFrame =
+    ivfPqTopK(queries, corpus, dims, autoNlist(corpus.count(), topK),
+      nprobe, m, ksub, iters, topK)
+
   /** Distributed k-means (Lloyd) over an embedding column — the
     * centroid-training step the IVF index calls for at production scale
     * (public-knowledge algorithm). Deterministic: initial centroids are
@@ -647,6 +690,19 @@ object Similarity {
       .withColumn("acc_bp", floor(col("correct") * 10000 / col("n")).cast("long"))
       .select(col("label").cast("long"), col("n"), col("correct"), col("acc_bp"))
   }
+
+  /** [[knnLabelProbe]] with the [[autoNlist]] index size — the
+    * production default: the quality eval's IVF candidate route sizes
+    * its cell count to the corpus (sqrt(n), floor k) instead of a
+    * pinned constant, which the r12 scale probe measured as the one
+    * remaining super-linear parameterization. Everything downstream of
+    * the size choice is [[knnLabelProbe]] verbatim, so the metric stays
+    * exactly oracle-able (the oracle computes the same count-derived
+    * nlist in SQL). `corpus` must arrive STAGED.
+    */
+  def knnLabelProbeAuto(corpus: DataFrame, k: Int, iters: Int = 2,
+      nprobe: Int = 3): DataFrame =
+    knnLabelProbe(corpus, k, autoNlist(corpus.count(), k), iters, nprobe)
 
   /** Label-partition modularity of the symmetrized kNN graph (Newman
     * 2006) + within-label edge counts — the companion GRAPH-level

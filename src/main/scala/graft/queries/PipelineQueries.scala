@@ -1822,6 +1822,33 @@ object PipelineQueries {
        |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
        |GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** [[embKnnProbe]] on the PRODUCTION index-sizing path: nlist is not
+    * pinned but derived from the corpus as sqrt(n) (floor k) via
+    * [[graft.operators.Similarity.autoNlist]] — the rule the r12 scale
+    * probe measured as the fix for the one super-linear shape left
+    * (fixed nlist: alpha 1.2-1.4 over a decade; sqrt(n) sizing:
+    * ~linear, 2.3x faster at 5x). The oracle computes the SAME
+    * count-derived nlist in SQL and seeds by id-order position, so this
+    * row pins the sizing rule itself at any scale factor, not a
+    * constant that happens to match the fixture.
+    */
+  def embKnnAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelProbeAuto(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+      .orderBy("label")
+
+  val embKnnAutoSql: String =
+    s"""${ivfSelfKnnCtesAutoK(2, 5, 3, 5)},
+       |votes AS (SELECT k.qid, l.label AS nlabel, count(*) AS votes
+       |          FROM knn k JOIN embeddings l ON l.vec_id = k.nid GROUP BY 1, 2),
+       |pred AS (SELECT qid, nlabel AS pred,
+       |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS rk
+       |         FROM votes QUALIFY rk = 1)
+       |SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)::BIGINT AS correct,
+       |  CAST(floor(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS acc_bp
+       |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+       |GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Label-partition modularity of the symmetrized 5-NN graph (see
     * [[graft.operators.Similarity.knnLabelModularity]]): integer graph
     * moments per label + the per-label modularity contribution. The
@@ -1961,21 +1988,38 @@ object PipelineQueries {
     * ADVICE: no string surgery on finished statements). `embSrc` lets
     * the streaming maintainer train on a renumbered base split.
     */
+  private def lloydIterCte(i: Int): String =
+    s"""a$i AS (SELECT vid, cid FROM (
+       |  SELECT m.vec_id AS vid, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cosRound6("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb m, c${i - 1} c) WHERE rn = 1),
+       |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
+       |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
+       |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+
   private[queries] def lloydCtes(k: Int, iters: Int,
-      embSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"): String = {
-    val iter = (i: Int) =>
-      s"""a$i AS (SELECT vid, cid FROM (
-         |  SELECT m.vec_id AS vid, c.cid,
-         |    row_number() OVER (PARTITION BY m.vec_id
-         |      ORDER BY ${cosRound6("m.e", "c.ce")} DESC, c.cid) AS rn
-         |  FROM emb m, c${i - 1} c) WHERE rn = 1),
-         |comp$i AS (SELECT cid, i, round(avg(e[i + 1]), 6) AS c
-         |           FROM a$i JOIN emb ON vec_id = vid, range(0, 64) t(i) GROUP BY 1, 2),
-         |c$i AS (SELECT cid, list(c ORDER BY i) AS ce FROM comp$i GROUP BY 1)""".stripMargin
+      embSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"): String =
     s"""WITH emb AS ($embSrc),
        |c0 AS (SELECT vec_id::INTEGER AS cid, e AS ce FROM emb WHERE vec_id < $k),
-       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
-  }
+       |${(1 to iters).map(lloydIterCte).mkString(",\n")}""".stripMargin
+
+  /** [[lloydCtes]] with a COUNT-DERIVED k — the oracle replay of
+    * [[graft.operators.Similarity.autoNlist]]'s sqrt(n) sizing rule:
+    * nlist = greatest(floorK, floor(sqrt(n) + 0.5)) computed in SQL
+    * from the corpus itself (so the oracle holds at ANY scale factor,
+    * not just the fixture n), seeds taken by id-ORDER position
+    * (row_number over vec_id — the seedBlock contract, identical to
+    * `vec_id < k` on the dense driver ids).
+    */
+  private[queries] def lloydCtesAutoK(iters: Int, floorK: Int): String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |nl AS (SELECT greatest($floorK,
+       |         CAST(floor(sqrt(count(*)) + 0.5) AS INTEGER)) AS nlist FROM emb),
+       |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, e AS ce
+       |       FROM emb
+       |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nlist FROM nl)),
+       |${(1 to iters).map(lloydIterCte).mkString(",\n")}""".stripMargin
 
   /** IVF self-probe candidate CTEs (assigned / probes / sc / knn) over
     * a trained `c$iters` centroid table — the oracle replay of
@@ -1984,6 +2028,30 @@ object PipelineQueries {
     */
   private def ivfSelfKnnCtes(k: Int, iters: Int, nprobe: Int, topK: Int): String =
     s"""${lloydCtes(k, iters)},
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT m.vec_id, m.e, c.cid,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${cosRound6("m.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb m, c$iters c) WHERE rn = 1),
+       |probes AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosRound6("q.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM emb q, c$iters c) WHERE rn <= $nprobe),
+       |sc AS (SELECT qid, a.vec_id AS nid, list_cosine_similarity(qe, a.e) AS c
+       |       FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+       |knn AS (SELECT qid, nid,
+       |          row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn
+       |        FROM sc QUALIFY rn <= $topK)""".stripMargin
+
+  /** [[ivfSelfKnnCtes]] trained at the COUNT-DERIVED [[lloydCtesAutoK]]
+    * size — the oracle replay of the sqrt(n) auto-nlist route
+    * ([[graft.operators.Similarity.knnLabelProbeAuto]]). Identical
+    * probe/truncation shape; only the training CTE prefix differs.
+    */
+  private def ivfSelfKnnCtesAutoK(iters: Int, floorK: Int, nprobe: Int,
+      topK: Int): String =
+    s"""${lloydCtesAutoK(iters, floorK)},
        |assigned AS (SELECT vec_id, e, cid FROM (
        |  SELECT m.vec_id, m.e, c.cid,
        |    row_number() OVER (PARTITION BY m.vec_id
@@ -6213,6 +6281,7 @@ object PipelineQueries {
     Q("q_doc_simhash_portable", docSimHashPortable, Some(docSimHashPortableSql)),
     Q("q_emb_topk", embTopK, Some(embTopKSql)),
     Q("q_emb_knn_probe", embKnnProbe, Some(embKnnProbeSql)),
+    Q("q_emb_knn_auto", embKnnAuto, Some(embKnnAutoSql)),
     Q("q_emb_modularity", embModularity, Some(embModularitySql)),
     Q("q_emb_ann", embAnn, Some(embAnnSql)),
     Q("q_emb_ivf", embIvf, Some(embIvfSql)),
