@@ -10,6 +10,7 @@ and values (sorted columns by name, sorted rows; exact compare plus a
 float-tolerance report so we can see *how* close near-misses are).
 """
 import json
+import os
 import math
 import sys
 
@@ -76,7 +77,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver fixtures are single files; ScaleProbe dirs are
+        # Spark-written directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
