@@ -1539,6 +1539,13 @@ object PipelineQueries {
     * index directionally (see
     * [[graft.operators.Dedup.deltaMinHashKeepers]]). Same fixture as
     * [[docDeltaDedup]] so every re-crawl finds its original.
+    *
+    * The oracle classifies delta membership by PROVENANCE (the %10
+    * split for corpus arrivals, not-in-corpus for the planted ids) —
+    * the r13 oracle-at-5x run caught its old `doc_id >= 1000000`
+    * id-magnitude shortcut silently reclassifying large-id corpus rows
+    * as arrivals (and shrinking the base) on the replica id space,
+    * while this Spark side's explicit unions were correct at any SF.
     */
   def docDeltaMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1573,8 +1580,10 @@ object PipelineQueries {
        |  $keyCols
        |FROM sig),
        |banded AS (SELECT doc_id, unnest([$keyList]) AS key FROM keys),
-       |bb AS (SELECT * FROM banded WHERE doc_id < 1000000 AND doc_id % 10 <> 7),
-       |dd AS (SELECT * FROM banded WHERE doc_id >= 1000000 OR doc_id % 10 = 7),
+       |bb AS (SELECT * FROM banded WHERE doc_id % 10 <> 7
+       |         AND doc_id IN (SELECT doc_id FROM t0)),
+       |dd AS (SELECT * FROM banded WHERE doc_id % 10 = 7
+       |         OR doc_id NOT IN (SELECT doc_id FROM t0)),
        |cand AS (SELECT DISTINCT d.doc_id AS da, b.doc_id AS db
        |         FROM dd d JOIN bb b USING (key)),
        |w AS (SELECT doc_id, unnest(ts) AS word FROM t),
