@@ -232,21 +232,31 @@ object Similarity {
       df: DataFrame, idCol: String, start: Int, count: Int, sidCol: String): DataFrame =
     seedFromIds(df, idCol, seedIds(df, idCol, start + count).drop(start), sidCol)
 
-  /** Corpus-aware IVF list count — the measured sqrt(n) sizing rule.
+  /** Corpus-aware IVF list count — the measured c·sqrt(n) sizing rule.
     * The r12 scale probe showed a FIXED nlist is the one super-linear
     * shape left in the library (alpha 1.2-1.4 over a decade of data:
     * constant cell count means cell SIZE grows linearly, so probed
-    * candidate mass per query grows linearly too), while nlist ~ sqrt(n)
-    * balances cell count against expected cell size (both ~ sqrt(n), the
-    * classic IVF operating point) and measured ~ linear (nlist=18 ~
-    * 8*sqrt(5) on the 5x corpus ran 2.3x faster than the fixed fixture
-    * nlist). `autoNlist(n) = max(floorK, floor(sqrt(n) + 0.5))` —
-    * integer-exact on both engines, so an SQL oracle replays it as
-    * `greatest(floorK, CAST(floor(sqrt(n) + 0.5) AS INT))`. `floorK`
-    * keeps tiny corpora trainable (at least k cells for a top-k probe).
+    * candidate mass per query grows linearly too); nlist ~ sqrt(n)
+    * balances the two n·f(nlist) legs of the self-probe cost.
+    *
+    * The constant is MEASURED, not assumed 1: per-row, the Lloyd
+    * training leg (broadcast join + max_by argmax over n·nlist rows,
+    * array-typed cosine per row) costs ~27x the scoring leg's
+    * candidate rows (codegen'd cid equi-join + per-query rank over
+    * n·nprobe·n/nlist rows). Balancing iters·c1·n·k = nprobe·c2·n²/k
+    * gives k* = sqrt(n)·sqrt(nprobe·c2/(iters·c1)) ≈ 0.24·sqrt(n) for
+    * the library defaults — rounded to the engine-exact sqrt(n)/4
+    * (division by 4 is exact in IEEE, so a SQL oracle replays the
+    * sizing bit-identically as `greatest(floorK,
+    * CAST(floor(sqrt(n)/4 + 0.5) AS INT))`). The r13 A/B confirmed the
+    * U-shape: on the 5x corpus (n=10k) the naive c=1 (nlist=100) ran
+    * 51 s — training-dominated, SLOWER than fixed nlist=8's 32 s —
+    * while the balanced size (r12's nlist=18 ≈ this rule's 25) ran
+    * 20-24 s, and both scale ~ linear. `floorK` keeps tiny corpora
+    * trainable (at least k cells for a top-k probe).
     */
   def autoNlist(n: Long, floorK: Int = 1): Int =
-    math.max(floorK, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
+    math.max(floorK, math.floor(math.sqrt(n.toDouble) / 4 + 0.5).toInt)
 
   /** [[ivfTopK]] with the [[autoNlist]] default path: callers that
     * don't pin nlist get the corpus-sized sqrt(n) index instead of a

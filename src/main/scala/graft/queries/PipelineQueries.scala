@@ -1832,11 +1832,12 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY label""".stripMargin
 
   /** [[embKnnProbe]] on the PRODUCTION index-sizing path: nlist is not
-    * pinned but derived from the corpus as sqrt(n) (floor k) via
+    * pinned but derived from the corpus as sqrt(n)/4 (floor k) via
     * [[graft.operators.Similarity.autoNlist]] — the rule the r12 scale
     * probe measured as the fix for the one super-linear shape left
-    * (fixed nlist: alpha 1.2-1.4 over a decade; sqrt(n) sizing:
-    * ~linear, 2.3x faster at 5x). The oracle computes the SAME
+    * (fixed nlist: alpha 1.2-1.4 over a decade; balanced sqrt(n)
+    * sizing: ~linear, 2.3x faster at 5x; see autoNlist's scaladoc for
+    * the measured cost-balance constant). The oracle computes the SAME
     * count-derived nlist in SQL and seeds by id-order position, so this
     * row pins the sizing rule itself at any scale factor, not a
     * constant that happens to match the fixture.
@@ -2014,17 +2015,18 @@ object PipelineQueries {
        |${(1 to iters).map(lloydIterCte).mkString(",\n")}""".stripMargin
 
   /** [[lloydCtes]] with a COUNT-DERIVED k — the oracle replay of
-    * [[graft.operators.Similarity.autoNlist]]'s sqrt(n) sizing rule:
-    * nlist = greatest(floorK, floor(sqrt(n) + 0.5)) computed in SQL
-    * from the corpus itself (so the oracle holds at ANY scale factor,
-    * not just the fixture n), seeds taken by id-ORDER position
+    * [[graft.operators.Similarity.autoNlist]]'s measured sqrt(n)/4
+    * sizing rule: nlist = greatest(floorK, floor(sqrt(n)/4 + 0.5))
+    * computed in SQL from the corpus itself (sqrt and the /4 are both
+    * IEEE-exact, so the size replays bit-identically at ANY scale
+    * factor, not just the fixture n), seeds taken by id-ORDER position
     * (row_number over vec_id — the seedBlock contract, identical to
     * `vec_id < k` on the dense driver ids).
     */
   private[queries] def lloydCtesAutoK(iters: Int, floorK: Int): String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |nl AS (SELECT greatest($floorK,
-       |         CAST(floor(sqrt(count(*)) + 0.5) AS INTEGER)) AS nlist FROM emb),
+       |         CAST(floor(sqrt(count(*)) / 4 + 0.5) AS INTEGER)) AS nlist FROM emb),
        |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, e AS ce
        |       FROM emb
        |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nlist FROM nl)),

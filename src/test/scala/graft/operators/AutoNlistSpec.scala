@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
 /** The r12 scale probe measured FIXED nlist as the library's one
   * remaining super-linear parameterization (constant cell count ⇒
   * linearly growing cell size ⇒ linearly growing probed candidate
-  * mass; alpha 1.2–1.4 over a decade) and demonstrated the sqrt(n)
-  * sizing rule (nlist=18≈8·√5 on the 5× corpus: 2.3× faster,
-  * ≈linear). r13 promotes that rule into the library as
-  * [[Similarity.autoNlist]] + the `*Auto` trainer entry points; this
+  * mass; alpha 1.2–1.4 over a decade) and demonstrated sqrt(n)
+  * sizing (nlist=18≈8·√5 on the 5× corpus: 2.3× faster, ≈linear).
+  * r13 promotes the rule into the library as [[Similarity.autoNlist]]
+  * with the MEASURED balance constant sqrt(n)/4 — the naive c=1
+  * promotion benched SLOWER than the fixed fixture size at 5× (51 s
+  * vs 32 s, training-dominated: the Lloyd leg costs ~27× per row what
+  * the codegen'd scoring leg costs, so the optimum sits at
+  * sqrt(nprobe·c2/(iters·c1))·sqrt(n) ≈ sqrt(n)/4, which retrodicts
+  * r12's 2.3× point) — plus the `*Auto` trainer entry points; this
   * suite pins the promotion:
   *
   *  1. the arithmetic — nlist grows as sqrt(n) with the floor-k guard;
@@ -57,26 +62,27 @@ class AutoNlistSpec extends SparkSpec {
 
   private def remap(id: Long): Long = 7000L + 41L * id
 
-  test("autoNlist: sqrt(n) with the floor-k guard, monotone in n") {
-    assert(Similarity.autoNlist(60, 5) === 8) // round(sqrt 60)=8 > k
-    assert(Similarity.autoNlist(400, 5) === 20)
-    assert(Similarity.autoNlist(500, 5) === 22)
-    assert(Similarity.autoNlist(10000, 5) === 100)
+  test("autoNlist: the measured sqrt(n)/4 balance with the floor-k guard, monotone in n") {
+    assert(Similarity.autoNlist(1024, 5) === 8) // sqrt(1024)/4 = 8
+    assert(Similarity.autoNlist(500, 5) === 6) // floor(22.36/4 + .5)
+    assert(Similarity.autoNlist(1600, 5) === 10)
+    assert(Similarity.autoNlist(10000, 5) === 25)
+    assert(Similarity.autoNlist(1000000, 5) === 250)
     assert(Similarity.autoNlist(4, 5) === 5) // floor keeps tiny corpora trainable
     assert(Similarity.autoNlist(0, 3) === 3)
-    val sizes = Seq(10L, 100L, 1000L, 10000L, 100000L).map(Similarity.autoNlist(_, 1))
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(Similarity.autoNlist(_, 1))
     assert(sizes === sizes.sorted && sizes.distinct === sizes, "nlist must grow with n")
   }
 
   test("auto route == pinned route when autoNlist lands on the pinned size") {
-    val c = df(corpus(60)) // autoNlist(60, 5) = 8
+    val c = df(corpus(1024)) // autoNlist(1024, 5) = 8
     def rows(d: DataFrame): Seq[Row] = d.orderBy("label").collect().toSeq
     assert(rows(Similarity.knnLabelProbeAuto(c, k = 5)) ===
       rows(Similarity.knnLabelProbe(c, k = 5, nlist = 8)))
   }
 
   test("auto route sizes UP on a larger corpus and keeps classifier quality") {
-    val c = df(corpus(400)) // autoNlist = 20, pinned fixture default = 8
+    val c = df(corpus(1600)) // autoNlist = 10, pinned fixture default = 8
     def overallAccBp(d: DataFrame): Long = {
       val t = d.agg(sum("correct").cast("long"), sum("n").cast("long")).head()
       t.getLong(0) * 10000 / t.getLong(1)
