@@ -2594,8 +2594,11 @@ object StreamingQueries {
     val emb = Tables.embeddings(s, dir)
     val srcDir = stageBatchFiles(dir, "sknn",
       (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
-    // coarse quantizer trained offline on the base split (renumbered
-    // dense by vec_id order to satisfy the id<k seed contract)
+    // coarse quantizer trained offline on the base split (the dense
+    // renumber predates r12's order-position seeding and is now
+    // semantically a no-op — kept only because the ORACLE replays
+    // training over the same renumbered ids; AutoNlistSpec pins that
+    // a sparse-id base trains identically without it)
     val base = emb.filter(col("vec_id") % 3 === 0)
       .withColumn("vec_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast("long") - 1)
