@@ -553,11 +553,12 @@ object Dedup {
       verifyThreshold: Double = 0.9,
       idCol: String = "doc_id",
       textCol: String = "text",
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     val bBand = Funnel.stage(bandIndex(base, bands, rows, idCol, textCol, seed))
     deltaMinHashKeepersWithIndex(bBand, base, delta, bands, rows,
-      verifyThreshold, idCol, textCol, seed)
+      verifyThreshold, idCol, textCol, seed, maxBucket = maxBucket)
   }
 
   /** [[deltaMinHashKeepers]] against a PREBUILT base band index — the
@@ -567,6 +568,16 @@ object Dedup {
     * cost is O(batch·bands + collisions) no matter how large the
     * store has grown. `base` supplies only the verify-phase texts of
     * candidate matches.
+    *
+    * `maxBucket` (default None — the registry rows replay un-capped,
+    * lockstep with their oracles) prunes base-index KEYS whose posting
+    * count exceeds the cap before the probe join: a bucket thousands
+    * of documents share carries no discriminative signal, only
+    * candidate mass. The r13 10× probe measured why a production
+    * deployment wants it on: an adversarially self-similar corpus
+    * (replica families sharing ~20 % of word-set bands) inflated the
+    * un-capped candidate stage to 134.5M pairs — an R² term a cap
+    * bounds to cap·|delta|·bands.
     */
   def deltaMinHashKeepersWithIndex(
       baseIndex: DataFrame, // (id, key) from bandIndex
@@ -581,12 +592,19 @@ object Dedup {
       // a caller that will ALSO append the delta's index to the store
       // passes it prebuilt (materialized) so the batch is minhashed
       // once, not once for the probe and again for the append
-      deltaIndex: Option[DataFrame] = None
+      deltaIndex: Option[DataFrame] = None,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     val dBand = deltaIndex.getOrElse(bandIndex(delta, bands, rows, idCol, textCol, seed))
+    val probed = maxBucket match {
+      case Some(cap) => baseIndex.join(
+        baseIndex.groupBy("key").count().filter(col("count") > cap).select("key"),
+        Seq("key"), "left_anti")
+      case None => baseIndex
+    }
     // staged: the candidate set feeds the id-restriction AND the verify
     // join — without the boundary the probe join would run twice
-    val cand = Funnel.stage(dBand.as("x").join(baseIndex.as("y"), "key")
+    val cand = Funnel.stage(dBand.as("x").join(probed.as("y"), "key")
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct())
     // verify hashes ONLY candidate docs — the store may be arbitrarily

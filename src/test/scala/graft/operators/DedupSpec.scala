@@ -192,6 +192,28 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_._3 == 1.0), "exact re-crawls must verify at jacc 1.0")
   }
 
+  test("deltaMinHashKeepers maxBucket: hot base buckets are pruned before the probe; default stays un-capped") {
+    // a hot family: many base docs with IDENTICAL text share every band
+    // key, so each of their 16 keys collects `fam` postings — above a
+    // cap of fam-1 every one is pruned and the re-crawl finds nothing;
+    // un-capped (the registry/oracle default) it matches keeper = min id
+    val fam = 6
+    val hotBase = (0 until fam).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val arrival = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.deltaMinHashKeepers(hotBase, arrival)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.toSeq === Seq((100L, 0L, 1.0)))
+    val capped = Dedup.deltaMinHashKeepers(hotBase, arrival, maxBucket = Some(fam - 1))
+    assert(capped.count() === 0L,
+      "a bucket above the cap must be pruned from the probe entirely")
+    // a cap ABOVE the bucket size changes nothing
+    val roomy = Dedup.deltaMinHashKeepers(hotBase, arrival, maxBucket = Some(fam))
+      .as[(Long, Long, Double)].collect()
+    assert(roomy.toSeq === uncapped.toSeq)
+  }
+
   test("winnowPairs: shared >= w+k-1 token run guarantees a pair; unrelated docs absent") {
     // winnowing guarantee: any run of >= w+k-1 = 7 shared tokens shares
     // at least one SELECTED fingerprint. Docs 0/1 share a 10-token run;
