@@ -47,10 +47,12 @@ object GraftFunctions {
   /** Sequential left-to-right dot product over array<double> columns —
     * the exact fold DuckDB's list_dot_product performs, so oracle
     * comparisons are bit-identical (each product rounded to double,
-    * then added in order; no FMA contraction).
+    * then added in order; no FMA contraction). Native codegen'd kernel
+    * ([[DotDoubleExact]]); value-identical to the previous
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation, which paid
+    * ~4·dim interpreted lambda evals per pair.
     */
-  def dot_double(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot_double(a: Column, b: Column): Column = col(DotDoubleExact(expr(a), expr(b)))
 
   /** Cosine over array<double> columns via [[dot_double]] with the
     * explicit dot / sqrt(‖a‖²·‖b‖²) formula (mirrored term-for-term by

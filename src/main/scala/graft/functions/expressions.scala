@@ -41,6 +41,100 @@ case class JavaHashCode(child: Expression)
   * exactly), matching DuckDB's `list_cosine_similarity(a::DOUBLE[], ...)`
   * for oracle comparison.
   */
+/** DOT_DOUBLE(a, b) — the ORACLE-EXACT sequential dot product: the fused
+  * native form of `aggregate(zip_with(a, b, (x, y) => x*y), 0.0,
+  * (acc, x) => acc + x)` (see [[GraftFunctions.dot_double]]), which is
+  * the exact fold DuckDB's `list_dot_product` performs. Value-identical
+  * IEEE chain: each product rounded to double, then added left-to-right
+  * (no FMA, no reassociation) — but one primitive loop per pair instead
+  * of an interpreted lambda per element per row (zip_with + aggregate
+  * are CodegenFallback higher-order functions, ~4·dim interpreted
+  * expression evals and two intermediate arrays per pair). This is the
+  * inner loop of every ANN scoring leg, so the HOF overhead multiplies
+  * by O(candidates·dim).
+  *
+  * Edge semantics mirror the HOF chain exactly: unequal lengths → the
+  * zip_with pad makes a null product and `acc + null` poisons the fold →
+  * NULL; a null element → NULL; two empty arrays → the init 0.0. When
+  * both element types are FLOAT the zip_with lambda multiplies IN FLOAT
+  * (then widens on accumulate) — reproduced here; mixed float/double
+  * multiplies in double after widening, as Spark's arithmetic coercion
+  * does.
+  */
+case class DotDoubleExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+  // can yield NULL even for non-null inputs (length mismatch / null
+  // element — the zip_with-pad semantics), so nullability must not be
+  // derived from the children
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_double needs array<double>/array<float> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val lFloat = isFloat(left)
+  @transient private lazy val rFloat = isFloat(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pad → null product → poisoned fold
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (lFloat && rFloat) acc += x.getFloat(i) * y.getFloat(i) // float multiply, then widen
+      else {
+        val xv = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, idx: String, float: Boolean): String =
+        if (float) s"$arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      val prod =
+        if (lFloat && rFloat) s"(double) (${get(a, i, true)} * ${get(b, i, true)})"
+        else s"((double) ${get(a, i, lFloat)}) * ((double) ${get(b, i, rFloat)})"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $prod;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDoubleExact =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSimFloat(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

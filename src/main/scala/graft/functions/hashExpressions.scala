@@ -162,6 +162,121 @@ case class BandFirstMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The md5-token-hash the PORTABLE (cross-engine-oracled) dedup family
+  * shares: value = first 15 hex chars of md5(token) as a 60-bit integer,
+  * i.e. `conv(substring(md5(t), 1, 15), 16, 10)::long`. One digest over
+  * the token's UTF-8 bytes, no hex-string materialization, no base-16
+  * string parse — the first 8 digest bytes read as an unsigned big-endian
+  * long carry the first 16 hex chars, so `>>> 4` drops the 16th.
+  */
+private[graft] object PortableMd5 {
+  def hash60(s: UTF8String): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+    val v = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    v >>> 4
+  }
+}
+
+/** PORTABLE MinHash signature — the fused native form of the oracled
+  * construction `array_min(transform(hs, x => pmod(x*a_i + b_i, P)))`
+  * over `hs = transform(tokens, t => pmod(md5_60(t), P))`, one slot per
+  * permutation. Value-identical to the higher-order-function chain the
+  * DuckDB oracles replay (md5 60-bit token hash mod P, then per-perm
+  * universal-hash minima), but ONE digest + one primitive loop per token
+  * instead of an interpreted lambda per token per permutation — the
+  * md5/array_min chain evaluates ~numPerms·|tokens| interpreted
+  * expression nodes per document and allocates numPerms intermediate
+  * arrays; this is the portable twin of [[MinHashSig]].
+  *
+  * Null/empty contract mirrors the SQL form EXACTLY: `array_min` over an
+  * empty or null hs yields NULL per slot, and the downstream
+  * `array(s0..s63)` wraps those into a non-null array of nulls — so this
+  * expression never returns null; a null or empty token array returns an
+  * array of `perms.length` null slots.
+  */
+case class PortableMinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "portable_minhash_sig"
+
+  @transient private lazy val ca: Array[Long] = perms.map(_._1).toArray
+  @transient private lazy val cb: Array[Long] = perms.map(_._2).toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val numPerms = perms.length
+    if (v == null) return new GenericArrayData(Array.fill[Any](numPerms)(null))
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numPerms)(null))
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val x = PortableMd5.hash60(arr.getUTF8String(t)) % p
+      var i = 0
+      while (i < numPerms) {
+        val s = (ca(i) * x + cb(i)) % p
+        if (s < sig(i)) sig(i) = s
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashSig =
+    copy(child = newChild)
+}
+
+/** PORTABLE 60-bit SimHash — the fused native form of the oracled
+  * construction: per bit j ∈ [0, 60), vote = Σ_tokens (2·bit_j(md5_60(t)) − 1),
+  * fingerprint bit j set iff vote > 0. Value-identical to the
+  * `aggregate(hs, …)` × 60 chain ([[graft.operators.Dedup.simHashPairsPortable]])
+  * but one digest + one primitive loop per token instead of 60
+  * interpreted folds per document. Null/empty token arrays yield
+  * fingerprint 0L, matching the SQL form (aggregate over empty = init 0,
+  * vote 0 → bit clear; null hs → vote null → `when(null > 0)` falls to
+  * otherwise(0)).
+  */
+case class PortableSimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "portable_simhash60"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return java.lang.Long.valueOf(0L)
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val h = PortableMd5.hash60(arr.getUTF8String(t))
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) w(j) += 1 else w(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (w(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash60 =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over array<string> tokens: bit k = sign of
   * Σ_tokens (±1 by bit k of h(token)).
   */

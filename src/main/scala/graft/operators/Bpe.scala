@@ -54,11 +54,11 @@ object Bpe {
           array(lit("</w>"))), "  "),
         lit(" ")).as("ws"),
       col("cnt"))
-    var cur = Funnel.stage(ws0)
+    var cur = Funnel.stageLazy(ws0)
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 0 until rounds) {
       val syms = cur.select(split(trim(col("ws")), " +").as("s"), col("cnt"))
-      val top = Funnel.stage(syms
+      val top = Funnel.stageLazy(syms
         .select(col("cnt"), explode(TextAnalysis.shinglesOf(col("s"), 2)).as("pair"))
         .groupBy("pair").agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
@@ -67,7 +67,7 @@ object Bpe {
       if (r < rounds - 1) {
         val p1 = split(col("pair"), " ").getItem(0)
         val p2 = split(col("pair"), " ").getItem(1)
-        cur = Funnel.stage(cur.crossJoin(broadcast(top.select("pair")))
+        cur = Funnel.stageLazy(cur.crossJoin(broadcast(top.select("pair")))
           .select(regexp_replace(col("ws"),
             concat(lit(" "), p1, lit("  "), p2, lit(" ")),
             concat(lit(" "), p1, p2, lit(" "))).as("ws"), col("cnt")))

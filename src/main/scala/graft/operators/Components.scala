@@ -119,11 +119,17 @@ object Components {
     */
   def starForest(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     // canonicalize u > v once: self-loops dropped, parallel edges merged
+    // LAZY local checkpoints (r13 opt): every round's edge list is
+    // immediately consumed by the full-scan signature aggregate, which
+    // materializes the checkpoint blocks inside that same job — an
+    // eager checkpoint paid a second, redundant pass per round (the
+    // round loop is pure job-count floor on small rounds; see
+    // COVERAGE r12's 2-jobs/round profile).
     var e = edges
       .filter(col("da") =!= col("db"))
       .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // order-independent, overflow-free fixed-point signature: XOR of the
     // per-edge hashes (the edge list is distinct, so no self-cancel)
     def signature(d: DataFrame): (Long, Long) = {
@@ -153,7 +159,7 @@ object Components {
         .select(col("v").as("u"), col("mv").as("v"))
         .unionByName(sm.select(col("u"), col("mv").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by signature(ss) below
       val cur = signature(ss)
       stable = cur == prev || cur._1 == 0L
       prev = cur

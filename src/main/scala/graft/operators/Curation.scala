@@ -474,7 +474,7 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets must fit 4 hex digits, got $buckets")
     val s = docs.sparkSession
-    val tf = Funnel.stage(docs
+    val tf = Funnel.stageLazy(docs
       .select(col(idCol).cast("long").as("id"), label.cast("double").as("y"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("y"), size(col("toks")).cast("double").as("n"),
@@ -495,7 +495,7 @@ object Curation {
         .crossJoin(nD)
         .groupBy("b")
         .agg(round(sum(col("x") * (col("p") - col("y"))) / first("nd"), 9).as("g"))
-      w = Funnel.stage(w.join(grad, Seq("b"), "left")
+      w = Funnel.stageLazy(w.join(grad, Seq("b"), "left")
         .select(col("b"), round(col("w") - coalesce(col("g"), lit(0.0)) * lr, 9).as("w")))
     }
     w.select(col("b").as("bucket"), round(col("w"), 6).as("weight"))
@@ -682,7 +682,7 @@ object Curation {
   def stripBoilerplate(docs: DataFrame, minDocs: Int,
       idCol: String = "doc_id", textCol: String = "text",
       prior: Option[DataFrame] = None): DataFrame = {
-    val lines = Funnel.stage(docs.select(col(idCol).cast("long").as("id"),
+    val lines = Funnel.stageLazy(docs.select(col(idCol).cast("long").as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))))
     val own = lines.select(col("id"), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
@@ -725,8 +725,12 @@ object Curation {
     */
   def ngramNovelty(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the shingle is only a group identity — hash it to 8 bytes before
+    // the two exchanges (guide §2.3; the [[graft.functions.TokenHashes]]
+    // 2⁻⁶⁴-collision argument)
     val sh = docs.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh0"))
+      .select(col("id"), xxhash64(col("sh0")).as("sh"))
     val owners = sh.groupBy("sh").agg(min("id").as("owner"))
     sh.join(owners, Seq("sh"))
       .groupBy("id")
@@ -959,7 +963,7 @@ object Curation {
   def doremiWeights(losses: DataFrame, iters: Int, eta: Double,
       domainCol: String = "domain", lossCol: String = "loss"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = Funnel.stage(losses
+    val base = Funnel.stageLazy(losses
       .select(col(domainCol).as("domain"), col(lossCol).cast("double").as("loss"))
       .crossJoin(broadcast(losses.agg(min(col(lossCol)).cast("double").as("lmin"))))
       .select(col("domain"), col("loss"),
@@ -979,11 +983,11 @@ object Curation {
         .select(col("domain"),
           floor(col("a") * exp(lit(eta) * col("excess")) * 1e9 + 0.5)
             .cast("long").as("un"))
-      alpha = Funnel.stage(up
+      alpha = Funnel.stageLazy(up
         .crossJoin(broadcast(up.agg(sum("un").as("z"))))
         .select(col("domain"), round(col("un").cast("double") / col("z"), 9).as("a")),
         s"doremi_r$t")
-      acc = Funnel.stage(acc.join(alpha, "domain")
+      acc = Funnel.stageLazy(acc.join(alpha, "domain")
         .select(col("domain"), round(col("s") + col("a"), 9).as("s")), s"doremi_acc$t")
     }
     base.join(acc, "domain")

@@ -68,7 +68,11 @@ object Dedup {
       maxDf: Option[Long]
   ): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts"))
-    val words0 = toks.select(col("id"), explode(col("ts")).as("word"))
+    // the token is ONLY a join/group identity from here on — hash it to
+    // 8 bytes before the inverted-index exchange (guide §2.3, narrower
+    // shuffle keys; same 2⁻⁶⁴-collision argument as [[TokenHashes]])
+    val words0 = toks.select(col("id"), explode(col("ts")).as("w0"))
+      .select(col("id"), xxhash64(col("w0")).as("word"))
     val (words, sizes) = maxDf match {
       case Some(cap) =>
         // the hot-token list is tiny by construction → broadcast anti-join
@@ -117,14 +121,21 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Funnel.stage(
-      docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("ts")))
-    val words = toks.select(col("id"), explode(col("ts")).as("word"))
+    // ts drives sizes; th (sorted 64-bit token hashes) drives BOTH the
+    // inverted index and the verify merge — tokens are only identities
+    // past this projection, so the 8-byte form is the one that should
+    // cross every exchange (guide §2.3). Completeness is order-agnostic
+    // (any consistent total token order works — scaladoc above), and
+    // the exact verify keeps the output identical to brute force.
+    val toks = Funnel.stageLazy(
+      docs.select(col(idCol).as("id"), size(TextAnalysis.tokenSet(col(textCol))).as("sz"),
+        tokenHashes(col(textCol)).as("th")))
+    val words = toks.select(col("id"), explode(col("th")).as("word"))
     val dfreq = words.groupBy("word").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("word"))
     val pref = words.join(dfreq, "word")
       .withColumn("rn", row_number().over(byRarity))
-      .join(toks.select(col("id"), size(col("ts")).as("sz")), "id")
+      .join(toks.select(col("id"), col("sz")), "id")
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("id"), col("word"))
     val cand = pref.filter(leftFilter).withColumnRenamed("id", "da")
@@ -132,9 +143,10 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     cand
-      .join(toks.select(col("id").as("da"), col("ts").as("ta")), "da")
-      .join(toks.select(col("id").as("db"), col("ts").as("tb")), "db")
-      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .join(toks.select(col("id").as("da"), col("th").as("ta")), "da")
+      .join(toks.select(col("id").as("db"), col("th").as("tb")), "db")
+      .withColumn("i", ColumnBridge.column(graft.functions.SortedIntersectCount(
+        ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb")))))
       .withColumn("jacc", col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), col("jacc"))
@@ -200,7 +212,7 @@ object Dedup {
       textCol: String = "text",
       maxDf: Option[Long] = None
   ): DataFrame = {
-    def prep(df: DataFrame, out: String): DataFrame = Funnel.stage(
+    def prep(df: DataFrame, out: String): DataFrame = Funnel.stageLazy(
       df.select(col(idCol).as(out),
         TextAnalysis.fingerprint(col(textCol)).as("fp"),
         TextAnalysis.tokenSet(col(textCol)).as("ts")))
@@ -496,17 +508,20 @@ object Dedup {
     * identity LSH banding is built on).
     */
   def portableSignatures(docs: DataFrame, numPerms: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L): DataFrame = {
-    val perms = portablePerms(numPerms, seed)
-    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
-      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(PortableP)))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), x => pmod(x * a + b, lit(PortableP)))).as(s"s$i")
-    }
-    docs.select(col(idCol).as("id"), hs.as("hs"))
-      .select(col("id") +: sigCols: _*)
-      .select(col("id"), array((0 until numPerms).map(i => col(s"s$i")): _*).as("sig"))
-  }
+      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).as("id"),
+      portableSig(col(textCol), numPerms, seed).as("sig"))
+
+  /** The portable signature as ONE native column (value-identical to the
+    * md5 + per-perm `array_min(transform(...))` chain the oracles
+    * replay; see [[graft.functions.PortableMinHashSig]]) — one digest
+    * and one primitive loop per token instead of numPerms interpreted
+    * lambda passes per document.
+    */
+  private def portableSig(textCol: Column, numPerms: Int, seed: Long): Column =
+    ColumnBridge.column(graft.functions.PortableMinHashSig(
+      ColumnBridge.expression(TextAnalysis.tokenSet(textCol)),
+      portablePerms(numPerms, seed), PortableP))
 
   /** Portable (md5-based) per-doc LSH band keys, one (id, key) row per
     * band — the construction shared by [[minHashPairsPortable]] and
@@ -514,17 +529,18 @@ object Dedup {
     */
   private def portableBandKeys(docs: DataFrame, bands: Int, rows: Int,
       idCol: String, textCol: String, seed: Long): DataFrame = {
-    val perms = portablePerms(bands * rows, seed)
-    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
-      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(PortableP)))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), x => pmod(x * a + b, lit(PortableP)))).as(s"s$i")
-    }
-    val sigs = docs.select(col(idCol).as("id"), hs.as("hs"))
-      .select(col("id") +: sigCols: _*)
+    // signature as ONE native column (see portableSig); the band keys
+    // are then 16 cheap md5s over short slot strings. The sig column is
+    // referenced bands·rows times below, which is exactly why it stays a
+    // SEPARATE projection: CollapseProject refuses to inline a non-cheap
+    // expression with multiple references, so the signature is computed
+    // once per document, never once per slot.
+    val sigs = docs.select(col(idCol).as("id"),
+      portableSig(col(textCol), bands * rows, seed).as("sig"))
     val keyCols = (0 until bands).map { bnd =>
       md5(concat_ws("-",
-        lit(bnd.toString) +: (0 until rows).map(r => col(s"s${bnd * rows + r}").cast("string")): _*))
+        lit(bnd.toString) +: (0 until rows).map(r =>
+          element_at(col("sig"), bnd * rows + r + 1).cast("string")): _*))
         .as(s"k$bnd")
     }
     sigs.select(col("id") +: keyCols: _*)
@@ -556,7 +572,7 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Option[Int] = None
   ): DataFrame = {
-    val bBand = Funnel.stage(bandIndex(base, bands, rows, idCol, textCol, seed))
+    val bBand = Funnel.stageLazy(bandIndex(base, bands, rows, idCol, textCol, seed))
     deltaMinHashKeepersWithIndex(bBand, base, delta, bands, rows,
       verifyThreshold, idCol, textCol, seed, maxBucket = maxBucket)
   }
@@ -604,7 +620,7 @@ object Dedup {
     }
     // staged: the candidate set feeds the id-restriction AND the verify
     // join — without the boundary the probe join would run twice
-    val cand = Funnel.stage(dBand.as("x").join(probed.as("y"), "key")
+    val cand = Funnel.stageLazy(dBand.as("x").join(probed.as("y"), "key")
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct())
     // verify hashes ONLY candidate docs — the store may be arbitrarily
@@ -644,20 +660,15 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole banding is exact only for maxHamming <= 3, got $maxHamming")
-    val bits = 60
     val chunkBits = 15
     val chunks = 4 // pigeonhole: hamming <= 3 => some chunk identical
-    val hs = transform(TextAnalysis.tokenSet(col(textCol)),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val voteCols = (0 until bits).map { j =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, x) => acc + shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1)
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L)).as(s"b$j")
-    }
-    val fp = docs.select(col(idCol).as("id"), hs.as("hs"))
-      .select(col("id") +: voteCols: _*)
-      .select(col("id"),
-        (0 until bits).map(j => col(s"b$j")).reduce(_ bitwiseOR _).as("fp"))
+    // fingerprint as ONE native pass (value-identical to the md5 +
+    // 60 × aggregate() vote chain the oracle replays; see
+    // [[graft.functions.PortableSimHash60]]) — one digest + one
+    // primitive loop per token instead of 60 interpreted folds per doc
+    val fp = docs.select(col(idCol).as("id"),
+      ColumnBridge.column(graft.functions.PortableSimHash60(
+        ColumnBridge.expression(TextAnalysis.tokenSet(col(textCol))))).as("fp"))
     hammingBandPairs(fp, chunkBits, chunks, maxHamming)
   }
 
@@ -749,11 +760,11 @@ object Dedup {
     // them once instead of re-running scan+fingerprint+semi-join per
     // consumer. Both are one row per doc / per representative: tiny.
     val fps = docs.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val reps = fps.groupBy("fp").agg(min("id").as("rep"))
     val docRep = fps.join(reps, "fp").select(col("id"), col("rep"))
     val repDocs = docs.join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val edges0 = minHashPairs(repDocs, bands, rows, verifyThreshold, idCol, textCol, maxBucket)
       .select(col("da"), col("db"))
     // min-label contraction components over the verified edges — the
@@ -875,7 +886,7 @@ object Dedup {
       .select(col("id"), explode(selected).as("fp"))
     val dfOk = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val capped = Funnel.stage(fps.join(dfOk, Seq("fp"), "left_semi"))
+    val capped = Funnel.stageLazy(fps.join(dfOk, Seq("fp"), "left_semi"))
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
     capped.as("x").join(capped.as("y"), "fp")
       .filter(col("x.id") < col("y.id"))
@@ -922,7 +933,7 @@ object Dedup {
     // cap join, and the capped index again by both join sides — stage
     // both so the term scan runs once, not 8× (lineage-duplication
     // class; the PlanSpec lock pins it)
-    val idx = Funnel.stage(t.select(col("term"), explode(array_distinct(variants)).as("v")))
+    val idx = Funnel.stageLazy(t.select(col("term"), explode(array_distinct(variants)).as("v")))
     // NO SILENT CAPS (the discipline every other bounded operator here
     // follows): pairs that share ONLY a hotter-than-maxDf variant are
     // not emitted, so surface how many variants the cap dropped. The
@@ -934,7 +945,7 @@ object Dedup {
       org.apache.logging.log4j.LogManager.getLogger("graft.Dedup").warn(
         s"editDistancePairs: $nCapped deletion variants exceeded maxDf=$maxDf and were dropped; " +
           "pairs sharing only capped variants are not emitted (raise maxDf to match a brute-force oracle)")
-    val capped = Funnel.stage(idx.join(
+    val capped = Funnel.stageLazy(idx.join(
       idx.groupBy("v").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("v"),
       "v"))
     capped.select(col("v"), col("term").as("a"))
@@ -1010,7 +1021,7 @@ object Dedup {
     * island pass.
     */
   private def spansFromWindows(wins: DataFrame, minLen: Int): DataFrame = {
-    val winsS = Funnel.stage(wins)
+    val winsS = Funnel.stageLazy(wins)
     val hot = winsS.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val dup = winsS.join(hot, "h").select("doc_id", "pos")
@@ -1145,7 +1156,7 @@ object Dedup {
             / sum(col("n") * col("w9")).cast("double"), 9)).as(s"m_$g"),
           clamp(round(sum(col("n") * (lit(1000000000L) - col("w9")) * col(g)).cast("double")
             / sum(col("n") * (lit(1000000000L) - col("w9"))).cast("double"), 9)).as(s"u_$g")))
-      params = e.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      params = e.agg(aggs.head, aggs.tail: _*).localCheckpoint(eager = false)
     }
     patterns.crossJoin(broadcast(params))
       .withColumn("pm", pm).withColumn("pu", pu)

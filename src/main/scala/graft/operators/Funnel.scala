@@ -48,4 +48,24 @@ object Funnel {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
     }
+
+  /** [[stage]] with LAZY materialization (r13 opt): the logical plan is
+    * truncated immediately (same lineage discipline), but the blocks
+    * populate inside whichever action consumes the stage first instead
+    * of a dedicated eager job. The right boundary for LOOP-internal
+    * stages whose every consumer is a full-scan action (iterative graph
+    * rounds: each round's aggregate feeds the next round's join or a
+    * terminal count) — there the eager job is pure job-count floor,
+    * rounds × one scheduling round-trip of it. Keep the EAGER [[stage]]
+    * wherever a partial action (head/take/isEmpty/limit) may touch the
+    * stage first: a lazy boundary would then checkpoint only the
+    * computed partitions and re-derive the rest from the un-truncated
+    * RDD lineage on the next consumer.
+    */
+  def stageLazy(df: DataFrame, label: String = "stage"): DataFrame =
+    graft.BenchMeters.stageTimed(label) {
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    }
 }

@@ -35,8 +35,8 @@ object Graph {
     // the membership table is read by its own cap aggregate and the
     // capped table by BOTH sides of the pair join — stage each once, or
     // every graph query pays four source evaluations per constructor
-    val m = Funnel.stage(members.select(bc :+ col(idCol).as("id"): _*).distinct())
-    val kept = Funnel.stage(m.join(
+    val m = Funnel.stageLazy(members.select(bc :+ col(idCol).as("id"): _*).distinct())
+    val kept = Funnel.stageLazy(m.join(
       m.groupBy(bc: _*).agg(count(lit(1)).as("n")).filter(col("n") <= blockCap)
         .drop("n"),
       blockCols))
@@ -66,14 +66,14 @@ object Graph {
   def triangleStats(edges: DataFrame): DataFrame = {
     // one materialization of the (possibly expensive) edge constructor:
     // both the degree aggregate and the orientation join read it
-    val e = Funnel.stage(edges.select(col("a"), col("b")))
-    val deg = Funnel.stage(e
+    val e = Funnel.stageLazy(edges.select(col("a"), col("b")))
+    val deg = Funnel.stageLazy(e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg")))
     val dj = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-    val oriented = Funnel.stage(dj.select(
+    val oriented = Funnel.stageLazy(dj.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
@@ -130,7 +130,7 @@ object Graph {
     * quadratic. Returns the surviving canonical edges (a, b).
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = Funnel.stage(edges.select(col("a"), col("b")))
+    var e = Funnel.stageLazy(edges.select(col("a"), col("b")))
     var last = -1L
     var cnt = e.count()
     var r = 0
@@ -140,7 +140,7 @@ object Graph {
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("v"))
-      e = Funnel.stage(e
+      e = Funnel.stageLazy(e
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
@@ -162,14 +162,14 @@ object Graph {
     * the loop's lineage stays linear ([[Iterations]] discipline).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val nbrs = Funnel.stage(edges.select(explode(array(
+    val nbrs = Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
     var labels = nbrs.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      labels = Funnel.stage(nbrs
+      labels = Funnel.stageLazy(nbrs
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy("u", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("u").agg(expr("max_by(label, struct(cnt, -label))").as("label"))
@@ -191,13 +191,13 @@ object Graph {
     * are absent (their distance is the recurrence's, not ∞-filled).
     */
   def sssp(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
-    val und = Funnel.stage(edges.select(explode(array(
+    val und = Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("u"), col("b").as("v"), col("w")),
         struct(col("b").as("u"), col("a").as("v"), col("w")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w")))
     var dist = source.select(col("node"), col("d"))
     for (_ <- 1 to rounds) {
-      dist = Funnel.stage(dist
+      dist = Funnel.stageLazy(dist
         .unionByName(dist.select(col("node").as("u"), col("d"))
           .join(und, "u")
           .select(col("v").as("node"), (col("d") + col("w")).as("d")))
@@ -214,13 +214,13 @@ object Graph {
     * is one node-keyed exchange.
     */
   def msBfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val und = Funnel.stage(edges.select(explode(array(
+    val und = Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
     var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
-      dist = Funnel.stage(dist
+      dist = Funnel.stageLazy(dist
         .unionByName(dist.select(col("seed"), col("node").as("u"), col("d"))
           .join(und, "u")
           .select(col("seed"), col("v").as("node"), (col("d") + 1L).as("d")))
@@ -254,12 +254,12 @@ object Graph {
     * the rounded double readout.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val dir = Funnel.stage(edges.select(col("a").as("src"), col("b").as("dst"))
+    val dir = Funnel.stageLazy(edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct(), "ppr_edges")
-    val degd = Funnel.stage(
+    val degd = Funnel.stageLazy(
       dir.join(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src"), "ppr_deg")
-    val sd = Funnel.stage(seeds.select(col("node"), lit(1L).as("sflag")), "ppr_seeds")
+    val sd = Funnel.stageLazy(seeds.select(col("node"), lit(1L).as("sflag")), "ppr_seeds")
     val ns = sd.agg(count(lit(1)).as("ns"))
     val init = sd.crossJoin(broadcast(ns))
       .select(col("node"), expr("1000000000L DIV ns").as("r9"))
@@ -280,7 +280,7 @@ object Graph {
   }
 
   private def neighbors(edges: DataFrame): DataFrame =
-    Funnel.stage(edges.select(explode(array(
+    Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("c"), col("b").as("n")),
         struct(col("b").as("c"), col("a").as("n")))).as("e"))
       .select(col("e.c").as("c"), col("e.n").as("n")))
@@ -309,18 +309,18 @@ object Graph {
     */
   def betweennessSampled(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val und = Funnel.stage(edges.select(explode(array(
+    val und = Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
-    val dist = Funnel.stage(msBfs(edges, seeds, rounds))
+    val dist = Funnel.stageLazy(msBfs(edges, seeds, rounds))
     def level(k: Int) = dist.filter(col("d") === k).select("seed", "node")
     // sigma per level
     val sigs = scala.collection.mutable.ArrayBuffer(
-      Funnel.stage(seeds.select(col("seed"), col("seed").as("node"),
+      Funnel.stageLazy(seeds.select(col("seed"), col("seed").as("node"),
         lit(1L).cast(d38).as("sig"))))
     for (k <- 1 to rounds) {
-      sigs += Funnel.stage(sigs(k - 1)
+      sigs += Funnel.stageLazy(sigs(k - 1)
         .select(col("seed"), col("node").as("u"), col("sig"))
         .join(und, "u")
         .select(col("seed"), col("v").as("node"), col("sig"))
@@ -341,7 +341,7 @@ object Graph {
         .agg(sum(expr(
           "(CAST(sigv AS DECIMAL(38,0)) * CAST(1000000 + dw AS DECIMAL(38,0))) div CAST(sigw AS DECIMAL(38,0))"))
           .as("s"))
-      val dK = Funnel.stage(sigs(k).select(col("seed"), col("node"))
+      val dK = Funnel.stageLazy(sigs(k).select(col("seed"), col("node"))
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), coalesce(col("s"), lit(0L)).cast("long").as("dw")))
       acc += dK
@@ -374,17 +374,17 @@ object Graph {
     * division deterministic across engines).
     */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = Funnel.stage(edges.select(col("src"), col("dst")).distinct())
-    val nodes = Funnel.stage(
+    val e = Funnel.stageLazy(edges.select(col("src"), col("dst")).distinct())
+    val nodes = Funnel.stageLazy(
       e.select(explode(array(col("src"), col("dst"))).as("node")).distinct())
     var hub = nodes.select(col("node"), lit(1L).as("hub"))
     var auth = nodes.select(col("node"), lit(1L).as("auth"))
     for (_ <- 1 to rounds) {
-      auth = Funnel.stage(nodes
+      auth = Funnel.stageLazy(nodes
         .join(e.join(hub.select(col("node").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("node")).agg(sum("hub").as("x")), Seq("node"), "left")
         .select(col("node"), coalesce(col("x"), lit(0L)).as("auth")))
-      hub = Funnel.stage(nodes
+      hub = Funnel.stageLazy(nodes
         .join(e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("node")).agg(sum("auth").as("x")), Seq("node"), "left")
         .select(col("node"), coalesce(col("x"), lit(0L)).as("hub")))
@@ -415,7 +415,7 @@ object Graph {
     */
   def jaccardIndex(edges: DataFrame): DataFrame = {
     val nbrs = neighbors(edges)
-    val deg = Funnel.stage(nbrs.groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
+    val deg = Funnel.stageLazy(nbrs.groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
     val inter = nbrs.select(col("c"), col("n").as("u"))
       .join(nbrs.select(col("c"), col("n").as("w")), "c")
       .filter(col("u") < col("w"))
@@ -441,7 +441,7 @@ object Graph {
     */
   def adamicAdar(edges: DataFrame): DataFrame = {
     val nbrs = neighbors(edges)
-    val wt = Funnel.stage(nbrs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val wt = Funnel.stageLazy(nbrs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
       .select(col("c"),
         round(lit(1e9) / log(col("deg"))).cast("long").as("wt")))
@@ -464,7 +464,7 @@ object Graph {
   def vertexMetrics(edges: DataFrame): DataFrame = {
     // everything reduces from the degree table alone (Σdeg = 2·|E| on
     // an undirected graph), so the edge constructor evaluates ONCE
-    val deg = Funnel.stage(neighbors(edges)
+    val deg = Funnel.stageLazy(neighbors(edges)
       .groupBy(col("c").as("v")).agg(count(lit(1)).as("deg")))
     deg.agg(count(lit(1)).cast("long").as("vertices"),
         coalesce((sum("deg") / 2).cast("long"), lit(0L)).as("edges"),
@@ -491,8 +491,8 @@ object Graph {
   def summarize(edges: DataFrame, values: DataFrame): DataFrame = {
     // the value assignment is referenced three times (member counts +
     // both endpoint joins) — materialize it once
-    val v = Funnel.stage(values.select(col("node"), col("grp")))
-    val members = Funnel.stage(v.groupBy(col("grp"))
+    val v = Funnel.stageLazy(values.select(col("node"), col("grp")))
+    val members = Funnel.stageLazy(v.groupBy(col("grp"))
       .agg(count(lit(1)).as("members")))
     edges
       .join(v.select(col("node").as("a"), col("grp").as("va")), "a")

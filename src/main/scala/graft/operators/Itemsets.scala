@@ -37,7 +37,7 @@ object Itemsets {
       minSupport: Long, basketCap: Int): DataFrame = {
     val bc = basketCols.map(col)
     val b = baskets.select(bc :+ col(itemCol).as("item"): _*).distinct()
-    val freqItems = Funnel.stage(
+    val freqItems = Funnel.stageLazy(
       b.groupBy("item").agg(count(lit(1)).cast("long").as("item_sup"))
         .filter(col("item_sup") >= minSupport))
     val kept = b.join(freqItems.select("item"), "item")
@@ -45,7 +45,7 @@ object Itemsets {
     // never a funnel): one exchange on the basket key, which the pair
     // self-join below reuses — a groupBy+join-back here would reference
     // `kept` twice and double its lineage
-    val sized = Funnel.stage(kept
+    val sized = Funnel.stageLazy(kept
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(bc: _*)))
       .filter(col("bn") <= basketCap).drop("bn"))

@@ -24,7 +24,14 @@ object Iterations {
     var stop = false
     while (i < maxIter && !stop) {
       var next = step(cur)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint()
+      // LAZY checkpoint (r13 opt): still truncates the logical plan per
+      // iteration (the 2^n growth guard), but materialization folds into
+      // whichever action consumes the chain — `done`'s count when a
+      // convergence check exists, otherwise the caller's terminal
+      // action. The eager form paid one scheduling round PER ITERATION
+      // just to populate blocks (rounds × ~0.1-0.2 s of pure job floor
+      // at local scale; at cluster scale, rounds × scheduler latency).
+      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(eager = false)
       stop = done(cur, next)
       cur = next
       i += 1

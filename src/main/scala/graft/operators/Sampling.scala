@@ -107,8 +107,8 @@ object Sampling {
     // corpus explode — each is referenced twice below (ratio join +
     // total), so without a stage boundary the plan re-scans the corpus
     // 5× (r7 Explain); staging 128 rows is free
-    val srcC = Funnel.stage(srcF.groupBy("b").agg(count(lit(1)).as("cs")))
-    val tgtC = Funnel.stage(tgtF.groupBy("b").agg(count(lit(1)).as("ct")))
+    val srcC = Funnel.stageLazy(srcF.groupBy("b").agg(count(lit(1)).as("cs")))
+    val tgtC = Funnel.stageLazy(tgtF.groupBy("b").agg(count(lit(1)).as("ct")))
     // full bucket domain so features unseen on one side still carry
     // their smoothed mass into the ratio
     val dom = source.sparkSession.range(buckets).select(col("id").as("b"))

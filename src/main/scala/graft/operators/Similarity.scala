@@ -275,7 +275,7 @@ object Similarity {
   def ivfSelfTopKAuto(corpus: DataFrame, k: Int, iters: Int = 2,
       nprobe: Int = 3): DataFrame = {
     val nlist = autoNlist(corpus.count(), k)
-    ivfSelfTopK(corpus, Funnel.stage(kmeansCentroids(corpus, nlist, iters),
+    ivfSelfTopK(corpus, Funnel.stageLazy(kmeansCentroids(corpus, nlist, iters),
       "ivf_auto_centroids"), k, nprobe)
   }
 
@@ -319,7 +319,7 @@ object Similarity {
     // every Lloyd round re-references the cast corpus — materialize it
     // once (the MLlib-persist discipline for iterative training; without
     // the boundary the plan re-reads the parquet once per round)
-    val e = Funnel.stage(
+    val e = Funnel.stageLazy(
       corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e")))
     var cent = seedBlock(e, "vid", 0, k, "cid").select(col("cid"), col("e").as("ce"))
     for (_ <- 1 to iters) {
@@ -468,7 +468,7 @@ object Similarity {
         .groupBy(idOut)
         .agg(max_by(col("cid"), struct(col("cd"), -col("cid"))).as("cid"),
           first(col(embOut)).as(embOut))
-    val index = Funnel.stage(assignCell(base, "vec_id", "embedding"))
+    val index = Funnel.stageLazy(assignCell(base, "vec_id", "embedding"))
     val probes = assignCell(delta, "qid", "qe")
     val scored = index.join(broadcast(probes), Seq("cid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -682,7 +682,7 @@ object Similarity {
     */
   def knnLabelProbe(corpus: DataFrame, k: Int, nlist: Int = 8,
       iters: Int = 2, nprobe: Int = 3): DataFrame = {
-    val cent = Funnel.stage(kmeansCentroids(corpus, nlist, iters), "knn_probe_centroids")
+    val cent = Funnel.stageLazy(kmeansCentroids(corpus, nlist, iters), "knn_probe_centroids")
     val knn = ivfSelfTopK(corpus, cent, k, nprobe)
     val votes = knn
       .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
@@ -726,17 +726,17 @@ object Similarity {
     */
   def knnLabelModularity(corpus: DataFrame, k: Int, nlist: Int = 8,
       iters: Int = 2, nprobe: Int = 3): DataFrame = {
-    val cent = Funnel.stage(kmeansCentroids(corpus, nlist, iters), "knn_mod_centroids")
+    val cent = Funnel.stageLazy(kmeansCentroids(corpus, nlist, iters), "knn_mod_centroids")
     val knn = ivfSelfTopK(corpus, cent, k, nprobe)
     // undirected unique edges: symmetrize then keep a < b once
-    val edges = Funnel.stage(knn
+    val edges = Funnel.stageLazy(knn
       .select(least(col("qid"), col("nid")).as("a"), greatest(col("qid"), col("nid")).as("b"))
       .distinct(), "knn_edges")
     val lbl = corpus.select(col("vec_id"), col("label"))
     // staged: referenced by the count, the within rollup, and both
     // degree legs — without the stage the label joins re-execute per
     // reference (r10 review)
-    val el = Funnel.stage(edges
+    val el = Funnel.stageLazy(edges
       .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
       .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b"),
       "knn_labeled_edges")
@@ -757,10 +757,10 @@ object Similarity {
 
   def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
     import graft.functions.GraftFunctions.cosine_double
-    val e = Funnel.stage(corpus.select(col("vec_id"),
+    val e = Funnel.stageLazy(corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e")))
     val seed = e.agg(min("vec_id").as("vec_id"))
-    var centers = Funnel.stage(e.join(seed, "vec_id")
+    var centers = Funnel.stageLazy(e.join(seed, "vec_id")
       .select(col("vec_id"), col("e"), lit(1).as("step"),
         lit(null).cast("double").as("d")))
     var md: DataFrame = null // (vec_id, e, d = min distance to selected)
@@ -769,12 +769,12 @@ object Similarity {
       val base =
         if (md == null) e.select(col("vec_id"), col("e"), lit(2.0).as("d"))
         else md
-      md = Funnel.stage(base
+      md = Funnel.stageLazy(base
         .crossJoin(broadcast(newC))
         .select(col("vec_id"), col("e"),
           least(col("d"), lit(1.0) - round(cosine_double(col("e"), col("ce")), 6)).as("d"))
         .join(centers.select("vec_id"), Seq("vec_id"), "left_anti"))
-      centers = Funnel.stage(centers.unionByName(
+      centers = Funnel.stageLazy(centers.unionByName(
         md.orderBy(col("d").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("e"), lit(t).as("step"), col("d"))))
     }
@@ -814,14 +814,14 @@ object Similarity {
     val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
     val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
     val wCand = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
-    val cand = Funnel.stage(e.crossJoin(broadcast(q))
+    val cand = Funnel.stageLazy(e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), col("ed"),
         round(cosine_double(col("qe"), col("ed")), 6).as("rel"))
       .withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= candK)
       .drop("rn"))
-    val pairSim = Funnel.stage(cand.select(col("qid"), col("nid").as("c1"), col("ed").as("e1"))
+    val pairSim = Funnel.stageLazy(cand.select(col("qid"), col("nid").as("c1"), col("ed").as("e1"))
       .join(cand.select(col("qid"), col("nid").as("c2"), col("ed").as("e2")), "qid")
       .filter(col("c1") =!= col("c2"))
       .select(col("qid"), col("c1"), col("c2"),
@@ -847,7 +847,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"), col("rel"), col("score"), lit(t).as("step"))
-      selected = Funnel.stage(selected.unionByName(pick))
+      selected = Funnel.stageLazy(selected.unionByName(pick))
     }
     selected.select(col("qid"), col("nid"), round(col("score"), 4).as("mmr"),
       round(col("rel"), 4).as("rel"), col("step").cast("long").as("step"))
@@ -880,7 +880,7 @@ object Similarity {
       topK: Int
   ): DataFrame = {
     import graft.functions.GraftFunctions.cosine_double
-    val e = Funnel.stage(corpus.select(col("vec_id"),
+    val e = Funnel.stageLazy(corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e")))
     val env = e.select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
@@ -960,7 +960,7 @@ object Similarity {
     // training re-references the subvector table once per round and the
     // encode + ADC passes read it again — one materialization (the
     // persist-for-iterative-training discipline, as in kmeansCentroids)
-    val sub = Funnel.stage(subspaces(corpus, "vid", "vec_id", "embedding"))
+    val sub = Funnel.stageLazy(subspaces(corpus, "vid", "vec_id", "embedding"))
     var cb = seedBlock(sub, "vid", 0, ksub, "cid")
       .select(col("s"), col("cid"), col("v").as("cv"))
     def assign(df: DataFrame, idCol: String): DataFrame =
@@ -1031,7 +1031,7 @@ object Similarity {
     import graft.functions.GraftFunctions.dot_double
     def l2sq(a: Column, b: Column): Column =
       dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)
-    var resid = Funnel.stage(
+    var resid = Funnel.stageLazy(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("r")),
       "rq_resid")
     var recon: DataFrame = null // (vec_id, rec)
@@ -1054,7 +1054,7 @@ object Similarity {
           .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
           .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
       }
-      val coded = Funnel.stage(resid.join(broadcast(cb))
+      val coded = Funnel.stageLazy(resid.join(broadcast(cb))
         .select(col("vec_id"), col("r"), col("cid"), col("cv"),
           round(l2sq(col("r"), col("cv")), 6).as("d"))
         .groupBy("vec_id")
@@ -1116,7 +1116,7 @@ object Similarity {
     import graft.functions.GraftFunctions.{cosine_double, dot_double}
     def l2sq(a: Column, b: Column): Column =
       dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)
-    val e = Funnel.stage(corpus.select(col("vec_id").as("vid"),
+    val e = Funnel.stageLazy(corpus.select(col("vec_id").as("vid"),
       col("embedding").cast("array<double>").as("e")))
     // one ordered-id collect seeds both the coarse centroids (first
     // nlist positions) and the sub-codebooks (the next ksub)
@@ -1124,7 +1124,7 @@ object Similarity {
     val cent = seedFromIds(e, "vid", ivfpqSeedIds.take(nlist), "cid")
       .select(col("cid"), col("e").as("ce"))
     // coarse assignment + residual, corpus crosses the wire once
-    val assigned = Funnel.stage(e.join(broadcast(cent))
+    val assigned = Funnel.stageLazy(e.join(broadcast(cent))
       .select(col("vid"), col("e"), col("cid"), col("ce"),
         round(cosine_double(col("e"), col("ce")), 6).as("cd"))
       .groupBy("vid")
@@ -1132,7 +1132,7 @@ object Similarity {
         first(col("e")).as("e"))
       .select(col("vid"), col("cc.cid").as("cid"),
         zip_with(col("e"), col("cc.ce"), (a, b) => a - b).as("r")))
-    val sub = Funnel.stage(assigned
+    val sub = Funnel.stageLazy(assigned
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("r"))
       .select(col("vid"), col("s"),
         slice(col("r"), col("s") * subDim + 1, lit(subDim)).as("v")))
@@ -1209,7 +1209,7 @@ object Similarity {
       tau: Double
   ): DataFrame = {
     val cent = kmeansCentroids(corpus, k, iters)
-    val assigned = Funnel.stage(semDeDupAssign(corpus, cent), "semdedup_assigned")
+    val assigned = Funnel.stageLazy(semDeDupAssign(corpus, cent), "semdedup_assigned")
     semDeDupSolve(assigned, tau)
   }
 
@@ -1271,17 +1271,17 @@ object Similarity {
     def d2q(a: Column, b: Column): Column =
       floor((dot_double(a, a) - lit(2.0) * dot_double(a, b) + dot_double(b, b)) * 1e6
         + 0.5).cast("long")
-    val e = Funnel.stage(
+    val e = Funnel.stageLazy(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
     // seed = the minimum id (the paper's "uniform random point"; a fixed
     // rule keeps both engines and re-runs deterministic, and survives
     // corpora whose ids don't start at 0)
     val c0 = e.join(broadcast(e.agg(min("vec_id").as("vec_id"))), "vec_id")
       .select(col("vec_id").as("cid"), col("e").as("ce"), lit(0).as("rnd"))
-    var cands = c0.localCheckpoint()
+    var cands = c0.localCheckpoint(eager = false)
     var cur = e.crossJoin(broadcast(c0.select(col("ce"))))
       .select(col("vec_id"), col("e"), d2q(col("e"), col("ce")).as("d2q"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (r <- 1 to rounds) {
       val phi = cur.agg(sum("d2q").cast("decimal(38,0)").as("phi"))
       val u = conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$r"))), 1, 7),
@@ -1290,14 +1290,14 @@ object Similarity {
         .filter(u * col("phi") <
           col("d2q").cast("decimal(38,0)") * lit(l * 268435456L).cast("decimal(38,0)"))
         .select(col("vec_id").as("cid"), col("e").as("ce"), lit(r).as("rnd"))
-      cands = cands.unionByName(newc).localCheckpoint()
+      cands = cands.unionByName(newc).localCheckpoint(eager = false)
       val arr = newc.agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
       cur = cur.crossJoin(broadcast(arr))
         .select(col("vec_id"), col("e"),
           least(col("d2q"),
             coalesce(array_min(transform(col("cs"), c => d2q(col("e"), c.getField("ce")))),
               col("d2q"))).as("d2q"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val ca = cands.agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
     val near = cur.crossJoin(broadcast(ca))

@@ -47,7 +47,7 @@ object VertexCentric {
         .join(v.select(col("node").as("src"), col("value")), "src")
         .select(col("dst").as("node"), msgExpr.as("msg"))
         .groupBy("node").agg(aggMsg(col("msg")).as("g"))
-      v = Funnel.stage(v.join(msgs, Seq("node"), "left")
+      v = Funnel.stageLazy(v.join(msgs, Seq("node"), "left")
         .select(col("node"), updateExpr(col("value"), col("g")).as("value")))
     }
     v
@@ -61,7 +61,7 @@ object VertexCentric {
     * [[Graph.sssp]]'s (node, d) rows for reached nodes.
     */
   def ssspOnEngine(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
-    val und = Funnel.stage(edges.select(explode(array(
+    val und = Funnel.stageLazy(edges.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst"), col("w")),
         struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w")))

@@ -115,7 +115,7 @@ object AnalyticsQueries {
     * same quantized sequence in the same window order.
     */
   def evtLtv(s: SparkSession, dir: String): DataFrame = {
-    val pu = Funnel.stage(Tables.events(s, dir)
+    val pu = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev")))
     // cohort = the user's first DAY — the same grain as evtRetention
@@ -201,7 +201,7 @@ object AnalyticsQueries {
     // global max ts, recovered as a second-level aggregate of the staged
     // per-user maxima (every event belongs to a user), so the final plan
     // touches parquet zero times.
-    val u0 = graft.operators.Funnel.stage(Tables.events(s, dir)
+    val u0 = graft.operators.Funnel.stageLazy(Tables.events(s, dir)
       .groupBy("user_id")
       .agg(max(col("ts").cast("long")).as("last_s"),
         count(lit(1)).cast("double").as("f"),
@@ -632,7 +632,7 @@ object AnalyticsQueries {
   private[queries] def isotonicFromBlocks(g: DataFrame): DataFrame = {
     val wIdx = Window.orderBy("sc")
     val wCum = wIdx.rowsBetween(Window.unboundedPreceding, 0)
-    val blocks = Funnel.stage(g
+    val blocks = Funnel.stageLazy(g
       .withColumn("i", row_number().over(wIdx).cast("long"))
       .withColumn("pn", sum("n").over(wCum))
       .withColumn("pp", sum("np").over(wCum)))
@@ -766,7 +766,7 @@ object AnalyticsQueries {
     // Stage the pairs: BOTH the member-id set and the overlap join
     // reference them — without the boundary the whole jaccard inverted
     // index would compute twice (the funnel recompute class).
-    val pairs = graft.operators.Funnel.stage(
+    val pairs = graft.operators.Funnel.stageLazy(
       Dedup.jaccardPairs(docs, threshold = 0.9, leftFilter = col("id") < 100)
         .select(col("da"), col("db")))
     // Token counts only for PAIR MEMBERS: the member ids broadcast into
@@ -775,11 +775,14 @@ object AnalyticsQueries {
     // len both read it.
     val ids = pairs.select(col("da").as("doc_id"))
       .unionAll(pairs.select(col("db").as("doc_id"))).distinct()
-    val member = graft.operators.Funnel.stage(
+    val member = graft.operators.Funnel.stageLazy(
       docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text")))
+    // the word is only a group/join identity — 8-byte hash before the
+    // (doc_id, word) exchange and the word-equality join (guide §2.3)
     val tok = member.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("word"))
+        explode(TextAnalysis.tokens(col("text"))).as("w0"))
+      .select(col("doc_id"), xxhash64(col("w0")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val len = member.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("len"))
     val ov = broadcast(pairs)
@@ -970,7 +973,7 @@ object AnalyticsQueries {
     val emb = Tables.embeddings(s, dir)
     val pl = graft.functions.SignLshBuckets.planes(numPlanes = 32, dim = 64, seed = 137L)
       .toSeq.map(_.toSeq)
-    val proj = graft.operators.Funnel.stage(emb.select(col("vec_id"),
+    val proj = graft.operators.Funnel.stageLazy(emb.select(col("vec_id"),
       Similarity.randomProjection(col("embedding"), pl).as("pe")))
     val pq = proj.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("pe").as("qe"))
@@ -1319,7 +1322,7 @@ object AnalyticsQueries {
     * overall (their rows still report, ate NULL).
     */
   def evtAte(s: SparkSession, dir: String): DataFrame =
-    ateFromUsers(Funnel.stage(ateUsers(Tables.events(s, dir))))
+    ateFromUsers(Funnel.stageLazy(ateUsers(Tables.events(s, dir))))
 
   /** The per-user confounder/treatment/outcome profile under
     * [[evtAte]] — merges additively (sums sum, maxes max), so the
@@ -1362,7 +1365,7 @@ object AnalyticsQueries {
         floor((col("conv_t").cast("double") / col("n_t").cast("double")
           - col("conv_c").cast("double") / col("n_c").cast("double")) * 1e9 + 0.5)
           .cast("long")))
-    val st = Funnel.stage(strat)
+    val st = Funnel.stageLazy(strat)
     val overall = st.filter(col("ate_q").isNotNull)
       .agg(sum((col("n_t") + col("n_c")) * col("ate_q")).as("wsum"),
         sum(col("n_t") + col("n_c")).as("nin"))
@@ -1420,7 +1423,7 @@ object AnalyticsQueries {
     * BIGINT algebra on both engines.
     */
   def evtLorenz(s: SparkSession, dir: String): DataFrame =
-    lorenzFromUsers(Funnel.stage(lorenzUsers(Tables.events(s, dir))))
+    lorenzFromUsers(Funnel.stageLazy(lorenzUsers(Tables.events(s, dir))))
 
   /** The ADDITIVE per-user micro-unit spend table under [[evtLorenz]]. */
   private[queries] def lorenzUsers(ev: DataFrame): DataFrame =
@@ -1441,7 +1444,7 @@ object AnalyticsQueries {
     val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val curve = Funnel.stage(dec
+    val curve = Funnel.stageLazy(dec
       .withColumn("cn", sum("n_d").over(w)).withColumn("cy", sum("y_d").over(w))
       .withColumn("tn", sum("n_d").over(wAll)).withColumn("ty", sum("y_d").over(wAll))
       .withColumn("pq", floor(col("cn").cast("double") / col("tn").cast("double")
@@ -1519,7 +1522,7 @@ object AnalyticsQueries {
     * harness a learned churn model would drop into.
     */
   def evtChurn(s: SparkSession, dir: String): DataFrame = {
-    val ev = Funnel.stage(Tables.events(s, dir)
+    val ev = Funnel.stageLazy(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")))
     val bounds = ev.agg(min(unix_date(col("d"))).as("d0"))
     val withH = ev.crossJoin(broadcast(bounds))
@@ -1583,7 +1586,7 @@ object AnalyticsQueries {
     * literal; the verdict is part of the hash.
     */
   def evtDispersion(s: SparkSession, dir: String): DataFrame =
-    dispersionFromDaily(Funnel.stage(Tables.events(s, dir)
+    dispersionFromDaily(Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))))
 
@@ -1642,7 +1645,7 @@ object AnalyticsQueries {
         unix_micros(col("ts")) - unix_micros(coalesce(lag("ts", 1).over(w), col("ts")))
           > 30L * 60L * 1000000L, 1L).otherwise(0L))
       .withColumn("sess", sum("gap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val perSess = Funnel.stage(sess
+    val perSess = Funnel.stageLazy(sess
       .groupBy("user_id", "sess")
       .agg(count(lit(1)).as("n_events"),
         // zero-padded string key: DuckDB's min_by/max_by take scalar
@@ -1713,7 +1716,7 @@ object AnalyticsQueries {
     * and the flag is part of the hash.)
     */
   def evtBenford(s: SparkSession, dir: String): DataFrame =
-    benfordFromDigits(Funnel.stage(benfordDigits(Tables.events(s, dir))))
+    benfordFromDigits(Funnel.stageLazy(benfordDigits(Tables.events(s, dir))))
 
   /** The ADDITIVE first-digit count table under [[evtBenford]] —
     * ≤9 rows, key-sum merges, so the streaming maintainer is trivial.
@@ -1785,7 +1788,7 @@ object AnalyticsQueries {
     * with an empty control arm report NULL and drop out of AUUC.
     */
   def evtQini(s: SparkSession, dir: String): DataFrame =
-    qiniFromUsers(Funnel.stage(ateUsers(Tables.events(s, dir))))
+    qiniFromUsers(Funnel.stageLazy(ateUsers(Tables.events(s, dir))))
 
   /** The Qini/AUUC tail over the user profile table — shared by the
     * batch query and the streaming maintainer's solve (same additive
@@ -1805,7 +1808,7 @@ object AnalyticsQueries {
     // cumulate from the TOP deciles down (decile 9 = highest score)
     val w = Window.orderBy(col("decile").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val curve = Funnel.stage(dec
+    val curve = Funnel.stageLazy(dec
       .withColumn("nt", sum("nt_d").over(w))
       .withColumn("ct", sum("ct_d").over(w))
       .withColumn("nc", sum("nc_d").over(w))
@@ -1911,7 +1914,7 @@ object AnalyticsQueries {
     * after is ≤6-row algebra with broadcast bounds.
     */
   def evtConformal(s: SparkSession, dir: String): DataFrame =
-    conformalFromUsers(Funnel.stage(conformalUsers(Tables.events(s, dir))))
+    conformalFromUsers(Funnel.stageLazy(conformalUsers(Tables.events(s, dir))))
 
   /** The per-user (covariate, micro-unit spend, fold) profile under
     * [[evtConformal]] — sums are additive, the fold is a pure key
@@ -1941,7 +1944,7 @@ object AnalyticsQueries {
         thresholdBucket(col("x"), (1 to 4).map(i => col(s"b$i"))))
     // staged: the calibration bucketing fans out to the model fit AND
     // the residual-quantile pass
-    val calB = Funnel.stage(bucketed(cal))
+    val calB = Funnel.stageLazy(bucketed(cal))
     val model = broadcast(calB
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_cal"), sum("y_micro").as("sy"))
@@ -2027,7 +2030,7 @@ object AnalyticsQueries {
     val ev = Tables.events(s, dir)
     // one staged (user, day-index flavored) frame feeds exposure,
     // midpoint, and outcomes
-    val base = Funnel.stage(ev.select(col("user_id"), to_date(col("ts")).as("d"),
+    val base = Funnel.stageLazy(ev.select(col("user_id"), to_date(col("ts")).as("d"),
       col("event_type"), col("value")))
     val mid = base.agg(((min(unix_date(col("d"))) + max(unix_date(col("d"))))
       / lit(2)).cast("long").as("mid"))
@@ -2375,7 +2378,7 @@ object AnalyticsQueries {
     * the batch query and the streaming maintainer's final solve.
     */
   private[queries] def cupedSolve(daily: DataFrame): DataFrame = {
-    val st = Funnel.stage(daily)
+    val st = Funnel.stageLazy(daily)
     val mid = st.agg(((min("de") + max("de")) / lit(2)).cast("long").as("mid"))
     val u = st.crossJoin(broadcast(mid))
       .groupBy("user_id")
@@ -2387,7 +2390,7 @@ object AnalyticsQueries {
         lit(2L)))
     val dx = col("x").cast("decimal(38,0)")
     val dy = col("y").cast("decimal(38,0)")
-    val sv = Funnel.stage(u.groupBy("variant").agg(
+    val sv = Funnel.stageLazy(u.groupBy("variant").agg(
       count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
       sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"), sum(dy * dy).as("syy")))
     val pooled = sv.agg(sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
@@ -2465,7 +2468,7 @@ object AnalyticsQueries {
     */
   def evtNextAcc(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Funnel.stage(Tables.events(s, dir)
+    val pairs = Funnel.stageLazy(Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_date(to_date(col("ts"))).cast("long").as("de"))
       .withColumn("t", lead("event_type", 1).over(w))
@@ -2528,7 +2531,7 @@ object AnalyticsQueries {
     * observed class, its size, and the suppression flag.
     */
   def evtKanon(s: SparkSession, dir: String): DataFrame = {
-    val base = Funnel.stage(Tables.events(s, dir)
+    val base = Funnel.stageLazy(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
     kanonSolve(
       base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
@@ -2579,7 +2582,7 @@ object AnalyticsQueries {
     * the class algebra is a bounded-grid rollup.
     */
   def evtLdiv(s: SparkSession, dir: String): DataFrame = {
-    val base = Funnel.stage(Tables.events(s, dir)
+    val base = Funnel.stageLazy(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
     ldivSolve(
       base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
@@ -2904,7 +2907,7 @@ object AnalyticsQueries {
   private[queries] def shapleySolve(s: SparkSession, journeysRaw: DataFrame): DataFrame = {
     import s.implicits._
     // referenced twice (channel census + masks) behind a stage boundary
-    val journeys = Funnel.stage(journeysRaw)
+    val journeys = Funnel.stageLazy(journeysRaw)
     val channels = journeys.select(explode(col("touched")).as("ch")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val k = channels.length
@@ -2989,12 +2992,12 @@ object AnalyticsQueries {
     * bit-for-bit before the round-6.
     */
   def evtTrendRobust(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+    val daily = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("y")))
     val m = daily.groupBy("event_type")
       .agg(min("d").as("d0"), count(lit(1)).as("nd"))
-    val base = Funnel.stage(daily.join(broadcast(m), Seq("event_type"))
+    val base = Funnel.stageLazy(daily.join(broadcast(m), Seq("event_type"))
       .select(col("event_type"), datediff(col("d"), col("d0")).cast("long").as("x"),
         col("y")))
     val pairs = base.as("a").join(base.as("b"), Seq("event_type"))
@@ -3055,7 +3058,7 @@ object AnalyticsQueries {
         |FROM fz ORDER BY event_type""".stripMargin
 
   def evtCusum(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+    val daily = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt")))
     val withMean = daily
@@ -3145,7 +3148,7 @@ object AnalyticsQueries {
     */
   private[queries] def binsegAssign(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("d")
-    val grid = Funnel.stage(daily
+    val grid = Funnel.stageLazy(daily
       .select(col("event_type"), col("d"), col("cnt"),
         row_number().over(wOrd).cast("long").as("i"),
         sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("ps")))
@@ -3513,7 +3516,7 @@ object AnalyticsQueries {
     * far past any daily-count series this shape aggregates to.
     */
   def evtAcf(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+    val daily = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt")))
     val tot = daily.groupBy("event_type")
@@ -3567,7 +3570,7 @@ object AnalyticsQueries {
     * the weekday key is ISO (1 = Monday) on both engines.
     */
   def evtSeasonal(s: SparkSession, dir: String): DataFrame = {
-    val daily = Funnel.stage(Tables.events(s, dir)
+    val daily = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt")))
     val wd = daily.groupBy(col("event_type"), (weekday(col("d")) + 1).as("dow"))
@@ -3614,7 +3617,7 @@ object AnalyticsQueries {
     * ≤150-row window/aggregate algebra.
     */
   def evtStl(s: SparkSession, dir: String): DataFrame =
-    stlFromDaily(Funnel.stage(Tables.events(s, dir)
+    stlFromDaily(Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))))
 
@@ -4201,7 +4204,7 @@ object AnalyticsQueries {
     * tiny per-type aggregates broadcast back over the hourly rollup.
     */
   def evtRobustZ(s: SparkSession, dir: String): DataFrame = {
-    val h = Funnel.stage(Tables.events(s, dir)
+    val h = Funnel.stageLazy(Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("cnt")))
     val med = h.groupBy("event_type").agg(expr("percentile(cnt, 0.5)").as("med"))
@@ -4373,7 +4376,7 @@ object AnalyticsQueries {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val tss = col("ts").cast("long")
     val prev = lag(col("ts"), 1).over(w).cast("long")
-    val sessions = Funnel.stage(ev
+    val sessions = Funnel.stageLazy(ev
       .withColumn("new_sess", when(prev.isNull || (tss - prev > 1800), 1L).otherwise(0L))
       .withColumn("sess", sum("new_sess").over(w))
       .groupBy(col("user_id"), col("sess"))
@@ -4613,7 +4616,7 @@ object AnalyticsQueries {
   private[graft] def moodFromBins(bins: DataFrame): DataFrame = {
     val bt = bins.groupBy("b").agg(sum("c").as("ct"))
     val wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    val wi = Funnel.stage(bt.withColumn("cum", sum("ct").over(wp)), "mood_bins")
+    val wi = Funnel.stageLazy(bt.withColumn("cum", sum("ct").over(wp)), "mood_bins")
     val tot = wi.agg(sum("ct").cast("long").as("n"))
     val med = wi.crossJoin(broadcast(tot))
       .filter(col("cum") * 2 >= col("n") + 1)
@@ -4701,7 +4704,7 @@ object AnalyticsQueries {
     val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     // staged: referenced by the per-group join AND the totals readout
     // (also keeps the bounded-domain global window inside the boundary)
-    val wi = Funnel.stage(
+    val wi = Funnel.stageLazy(
       bt.withColumn("cumb", coalesce(sum("ct").over(wb), lit(0L))), "kw_bins")
     val grp = bins.join(wi, "b")
       .groupBy("event_type")
@@ -4791,7 +4794,7 @@ object AnalyticsQueries {
     val wg = Window.partitionBy("event_type").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     // staged: the pair self-join reads it twice, the group totals once
-    val g = Funnel.stage(
+    val g = Funnel.stageLazy(
       grid.withColumn("cum", coalesce(sum("c0").over(wg), lit(0L))), "jt_grid")
     // 2·U_ij = Σ_b c_j(b)·(2·cum_i(<b) + c_i(b)): each later-group
     // observation at bin b pairs with the EARLIER group's mass strictly
@@ -5074,7 +5077,7 @@ object AnalyticsQueries {
     kendallFromDaily(dailyCents(Tables.events(s, dir)))
 
   private[queries] def kendallFromDaily(daily0: DataFrame): DataFrame = {
-    val daily = Funnel.stage(daily0)
+    val daily = Funnel.stageLazy(daily0)
     val a = daily.select(col("event_type"), col("d").as("da"),
       col("cnt").as("xa"), col("cents").as("ya"))
     val b = daily.select(col("event_type"), col("d").as("db"),
@@ -5130,7 +5133,7 @@ object AnalyticsQueries {
     * is the cross of the two bounded dimension sets, zero-filled.
     */
   def evtTclose(s: SparkSession, dir: String): DataFrame = {
-    val base = Funnel.stage(Tables.events(s, dir)
+    val base = Funnel.stageLazy(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
     tcloseSolve(
       base.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
@@ -5287,7 +5290,7 @@ object AnalyticsQueries {
   private[queries] def grangerFromDaily(daily: DataFrame): DataFrame = {
     val d = "decimal(38,0)"
     val wd = Window.orderBy("d")
-    val lagged = Funnel.stage(daily
+    val lagged = Funnel.stageLazy(daily
       .select(col("d"), col("xc"), col("yp"),
         lag("xc", 1).over(wd).as("xl"), lag("yp", 1).over(wd).as("yl"))
       .filter(col("xl").isNotNull))
@@ -5383,7 +5386,7 @@ object AnalyticsQueries {
     * emits NULL.
     */
   def evtCmh(s: SparkSession, dir: String): DataFrame =
-    cmhFromUsers(Funnel.stage(cmhUsers(Tables.events(s, dir))))
+    cmhFromUsers(Funnel.stageLazy(cmhUsers(Tables.events(s, dir))))
 
   /** Additive per-user profile under [[evtCmh]]: activity, event count,
     * purchase count (all sums — the maintainer sum-merges).

@@ -127,7 +127,7 @@ object GraphQueries {
   def graphSssp(s: SparkSession, dir: String): DataFrame = {
     // the weighted edge frame feeds BOTH the source aggregate and the
     // relaxation loop — one materialization of the constructor
-    val e = graft.operators.Funnel.stage(coEdges(s, dir)
+    val e = graft.operators.Funnel.stageLazy(coEdges(s, dir)
       .withColumn("w", lit(1L) + (col("a") + col("b")) % 7))
     val source = e
       .select(explode(array(col("a"), col("b"))).as("v"))
@@ -173,7 +173,7 @@ object GraphQueries {
     * unrolled over the (seed, node) grid.
     */
   def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val e = graft.operators.Funnel.stageLazy(coEdges(s, dir))
     val seeds = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
       .orderBy("v").limit(5).select(col("v").as("seed"))
     Graph.msBfs(e, seeds, rounds = 6)
@@ -219,7 +219,7 @@ object GraphQueries {
     * dependency walk — unrolled over the same (seed, node) frames.
     */
   def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val e = graft.operators.Funnel.stageLazy(coEdges(s, dir))
     val seeds = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
       .orderBy("v").limit(5).select(col("v").as("seed"))
     Graph.betweennessSampled(e, seeds, rounds = BfsRounds)
@@ -365,7 +365,7 @@ object GraphQueries {
     * near m ~ 10¹² edges).
     */
   def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.operators.Funnel.stage(coEdges(s, dir))
+    val e = graft.operators.Funnel.stageLazy(coEdges(s, dir))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val sums = e
@@ -445,7 +445,7 @@ object GraphQueries {
     * bit-for-bit.
     */
   def graphSsspSg(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.operators.Funnel.stage(coEdges(s, dir)
+    val e = graft.operators.Funnel.stageLazy(coEdges(s, dir)
       .withColumn("w", lit(1L) + (col("a") + col("b")) % 7))
     val source = e
       .select(explode(array(col("a"), col("b"))).as("v"))

@@ -270,8 +270,8 @@ object PipelineQueries {
     */
   def docHeaps(s: SparkSession, dir: String): DataFrame =
     heapsSolve(
-      Funnel.stage(heapsFirstSeen(Tables.documents(s, dir))),
-      Funnel.stage(heapsDocLen(Tables.documents(s, dir))))
+      Funnel.stageLazy(heapsFirstSeen(Tables.documents(s, dir))),
+      Funnel.stageLazy(heapsDocLen(Tables.documents(s, dir))))
 
   /** Token → first-appearance doc (MIN-merges, so the streaming
     * maintainer is a min-keyed store).
@@ -299,7 +299,7 @@ object PipelineQueries {
       .agg(sum(when(col("doc_id") <= col("q1"), col("nt")).otherwise(0L)).as("n1"),
         (2 to 10).map(i =>
           sum(when(col("doc_id") <= col(s"q$i"), col("nt")).otherwise(0L)).as(s"n$i")): _*)
-    val wide = Funnel.stage(vocabRow.crossJoin(tokRow))
+    val wide = Funnel.stageLazy(vocabRow.crossJoin(tokRow))
     val pts = wide.select(explode(array((1 to 10).map(i =>
         struct(lit(i.toLong).as("decile"), col(s"n$i").as("n_tokens"),
           col(s"v$i").as("vocab"))): _*)).as("x"))
@@ -359,7 +359,7 @@ object PipelineQueries {
     * two orderings demonstrably disagree on rare pairs).
     */
   def docLlrBigrams(s: SparkSession, dir: String): DataFrame = {
-    val bi = Funnel.stage(Tables.documents(s, dir)
+    val bi = Funnel.stageLazy(Tables.documents(s, dir)
       .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb")))
     val firsts = bi.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
@@ -440,13 +440,13 @@ object PipelineQueries {
         split(col("bg"), " ").getItem(1).as("w2"))
       .filter(col("w1") =!= col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val edges = Funnel.stage(bi
+    val edges = Funnel.stageLazy(bi
       .select(col("w1").as("src"), col("w2").as("dst"), col("c"))
       .unionByName(bi.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
       .groupBy("src", "dst").agg(sum("c").as("w")))
-    val edgesD = Funnel.stage(
+    val edgesD = Funnel.stageLazy(
       edges.join(edges.groupBy("src").agg(sum("w").as("wout")), Seq("src")))
-    val nodes = Funnel.stage(edges.select(col("src").as("node")).distinct())
+    val nodes = Funnel.stageLazy(edges.select(col("src").as("node")).distinct())
     val init = nodes.select(col("node"), lit(1.0).as("rank"))
     val result = graft.operators.Iterations.loop(init, maxIter = 20, checkpointEvery = 1) { pr =>
       val inbound = pr.join(edgesD, pr("node") === edgesD("src"))
@@ -606,7 +606,7 @@ object PipelineQueries {
     // Stage 1 — fold-dedup: min_by keeper per folded fingerprint; one
     // corpus scan + one fp shuffle. Referenced twice below (shingle
     // probe + anti-join), hence the boundary.
-    val deduped = Funnel.stage(docs
+    val deduped = Funnel.stageLazy(docs
       .groupBy(md5(TextAnalysis.dedupFold(col("text"))).as("ffp"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text")), "dedup")
@@ -617,10 +617,10 @@ object PipelineQueries {
       .select(col("train_id").as("doc_id")).distinct()
     // Stage 2 — decontaminated training slice (corpusBudget references
     // its input twice: bucket-offsets aggregate + join-back).
-    val clean = Funnel.stage(train.join(contaminated, Seq("doc_id"), "left_anti"), "decontaminate")
+    val clean = Funnel.stageLazy(train.join(contaminated, Seq("doc_id"), "left_anti"), "decontaminate")
     // Stage 3 — budget snapshot (referenced by the split AND the final
     // aggregate's n_tokens).
-    val kept = Funnel.stage(Curation.corpusBudget(clean, budget = 20000L), "budget")
+    val kept = Funnel.stageLazy(Curation.corpusBudget(clean, budget = 20000L), "budget")
     // CORRELATED-HASH PITFALL: corpusBudget keeps the md5(doc_id)-
     // ascending prefix, so splitting on the SAME md5 draw would send
     // every kept doc to 'train' (u is small by construction). Chained
@@ -880,7 +880,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val bi = docs.select(col("doc_id"),
       explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
-    val bc = Funnel.stage(bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val bc = Funnel.stageLazy(bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
       .select(col("bigram"), col("cb"),
         split(col("bigram"), " ").getItem(0).as("w1"),
         split(col("bigram"), " ").getItem(1).as("w2")))
@@ -1407,8 +1407,8 @@ object PipelineQueries {
     */
   def docMinhashRecall(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cand = Funnel.stage(Dedup.minHashCandidates(docs, leftFilter = col("id") < 100))
-    val truth = Funnel.stage(Dedup.jaccardPairs(docs, threshold = 0.9,
+    val cand = Funnel.stageLazy(Dedup.minHashCandidates(docs, leftFilter = col("id") < 100))
+    val truth = Funnel.stageLazy(Dedup.jaccardPairs(docs, threshold = 0.9,
       leftFilter = col("id") < 100).select("da", "db"))
     val hit = truth.join(cand, Seq("da", "db"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
@@ -1678,7 +1678,7 @@ object PipelineQueries {
       .select(col("doc_id").as("_1"),
         concat(header.cast("binary"), unhex(pixHex)).as("_2"))
       .as[(Long, Array[Byte])]
-    val fp = Funnel.stage(graft.operators.Multimodal.dHashPnm(img).toDF())
+    val fp = Funnel.stageLazy(graft.operators.Multimodal.dHashPnm(img).toDF())
     // probe-restricted like every pairs contract here (docJaccard,
     // jaccardPairs.leftFilter): the synthetic corpus is deliberately
     // self-similar, so unrestricted all-pairs output grows quadratically
@@ -1776,7 +1776,7 @@ object PipelineQueries {
       |FROM cut GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def mmAudioHash(s: SparkSession, dir: String): DataFrame = {
-    val fp = Funnel.stage(
+    val fp = Funnel.stageLazy(
       graft.operators.Multimodal.audioHashWav(wavGen(s, dir)).toDF())
     Dedup.hammingBandPairs(fp, chunkBits = 14, chunks = 4, maxHamming = 3,
         probe = col("id") < 100)
@@ -1815,7 +1815,7 @@ object PipelineQueries {
     * cell-truncated kNN graph exactly.
     */
   def embKnnProbe(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnLabelProbe(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+    Similarity.knnLabelProbe(Funnel.stageLazy(Tables.embeddings(s, dir)), k = 5)
       .orderBy("label")
 
   val embKnnProbeSql: String =
@@ -1843,7 +1843,7 @@ object PipelineQueries {
     * constant that happens to match the fixture.
     */
   def embKnnAuto(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnLabelProbeAuto(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+    Similarity.knnLabelProbeAuto(Funnel.stageLazy(Tables.embeddings(s, dir)), k = 5)
       .orderBy("label")
 
   val embKnnAutoSql: String =
@@ -1866,7 +1866,7 @@ object PipelineQueries {
     * [[embKnnProbe]] — no corpus broadcast, oracle-exact truncation.
     */
   def embModularity(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnLabelModularity(Funnel.stage(Tables.embeddings(s, dir)), k = 5)
+    Similarity.knnLabelModularity(Funnel.stageLazy(Tables.embeddings(s, dir)), k = 5)
       .orderBy("label")
 
   val embModularitySql: String =
@@ -2099,7 +2099,7 @@ object PipelineQueries {
   def embSilhouette(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.cosine_double
     val emb = Tables.embeddings(s, dir)
-    val cents = Funnel.stage(Similarity.kmeansCentroids(emb, k = 8, iters = 3))
+    val cents = Funnel.stageLazy(Similarity.kmeansCentroids(emb, k = 8, iters = 3))
     val e = emb.select(col("vec_id").as("vid"),
       col("embedding").cast("array<double>").as("e"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
@@ -2248,7 +2248,7 @@ object PipelineQueries {
         substring(TextAnalysis.normalizeText(col("text")), 1, 64).as("key")),
       w = 3, maxDist = 64)
     val src = docs.select(col("doc_id"), col("source"))
-    val pat = Funnel.stage(cands
+    val pat = Funnel.stageLazy(cands
       .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
       .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
       .select((col("dist") === 0).cast("long").as("g1"),
@@ -2719,7 +2719,7 @@ object PipelineQueries {
     * One shuffle on the id; fingerprints computed in the scans.
     */
   def docSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Funnel.stage(Tables.documents(s, dir)
+    val docs = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), col("text")))
     val v1 = docs.filter(col("doc_id") % 11 =!= 3)
       .select(col("doc_id"), md5(col("text")).as("fp1"))
@@ -2793,7 +2793,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val exact = Funnel.stage(
+    val exact = Funnel.stageLazy(
       Similarity.bruteForceTopK(queries, emb, k = 5).select("qid", "nid"))
     val qids = queries.select("qid")
     def tier(name: String, approx: DataFrame): DataFrame =
@@ -2851,7 +2851,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val exact = Funnel.stage(
+    val exact = Funnel.stageLazy(
       Similarity.bruteForceTopK(queries, emb, k = 5).select("qid", "nid"))
     val half = Similarity.bruteForceTopK(
       queries.select(col("qid"), slice(col("qe"), 1, 32).as("qe")),
@@ -3304,7 +3304,7 @@ object PipelineQueries {
   def docStrDist(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{jaro_winkler, damerau_levenshtein, hamming_str}
     val d = Tables.documents(s, dir)
-    val vocab = Funnel.stage(
+    val vocab = Funnel.stageLazy(
       d.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         .unionByName(d.select(col("source").as("term")))
         .filter(length(col("term")) > 0).distinct())
@@ -3547,7 +3547,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = model.agg(sum("cnt").as("total"))
-    val scores = Funnel.stage(toks.join(model, "tok")
+    val scores = Funnel.stageLazy(toks.join(model, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("lang"),
         (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
@@ -3606,7 +3606,7 @@ object PipelineQueries {
     val scored = toks.join(model, "tok").crossJoin(broadcast(total))
       .select(col("doc_id"), col("tok"),
         (-log(round(col("cnt").cast("double") / col("total"), 9))).as("nlp"))
-    val perDoc = Funnel.stage(scored
+    val perDoc = Funnel.stageLazy(scored
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rk") <= greatest(lit(1L), floor(col("n") * 0.2).cast("long")))
@@ -3712,7 +3712,7 @@ object PipelineQueries {
     * 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln 2 nats, ≈ 0.311278 bits).
     */
   private[graft] def jsDrift(docs: DataFrame): DataFrame =
-    jsFromCounts(Funnel.stage(jsCounts(docs)))
+    jsFromCounts(Funnel.stageLazy(jsCounts(docs)))
 
   /** The (source, token, count) table — PURELY ADDITIVE, so the
     * streaming maintainer sum-merges it per batch (vocab-keyed state,
@@ -4021,7 +4021,7 @@ object PipelineQueries {
     * aggregates, two grouped passes for top-2, no self-join anywhere.
     */
   def docSelfBleu(s: SparkSession, dir: String): DataFrame = {
-    val base = Funnel.stage(Tables.documents(s, dir)
+    val base = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("source"), col("t"), size(col("t")).cast("long").as("len")))
     // n-gram counts per (source, doc, n, gram), n = 1..4
@@ -4030,9 +4030,12 @@ object PipelineQueries {
           """flatten(transform(sequence(1, 4), n ->
             |  transform(filter(sequence(0, size(t) - 1), i -> i + n <= size(t)), i ->
             |    named_struct('n', n, 'g', array_join(slice(t, i + 1, n), ' ')))))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("source"), col("e.n").as("n"), col("e.g").as("g"))
+      // the gram string is only a group/join identity downstream — hash
+      // it to 8 bytes before the three (source, n, g) exchanges (guide
+      // §2.3; the TokenHashes 2⁻⁶⁴-collision argument)
+      .select(col("doc_id"), col("source"), col("e.n").as("n"), xxhash64(col("e.g")).as("g"))
       .groupBy("source", "doc_id", "n", "g").agg(count(lit(1)).as("c"))
-    val gstage = Funnel.stage(grams)
+    val gstage = Funnel.stageLazy(grams)
     val top1 = gstage.groupBy("source", "n", "g")
       .agg(max(struct(col("c"), col("doc_id"))).as("t1"))
       .select(col("source"), col("n"), col("g"),
@@ -4293,7 +4296,7 @@ object PipelineQueries {
     * a 100-TB tokenization run applies corpus-wide).
     */
   def docUnigramSegment(s: SparkSession, dir: String): DataFrame = {
-    val words = Funnel.stage(uniWords(Tables.documents(s, dir)))
+    val words = Funnel.stageLazy(uniWords(Tables.documents(s, dir)))
     val v1 = uniCosts(uniCounts(uniSegment(words, uniCosts(uniVocab0(uniSeed(words))))))
     val top = words.orderBy(col("f").desc, col("w")).limit(20)
     uniSegment(top, v1)
@@ -4315,8 +4318,8 @@ object PipelineQueries {
     * backtrack).
     */
   def docWordPiece(s: SparkSession, dir: String): DataFrame = {
-    val words = Funnel.stage(uniWords(Tables.documents(s, dir)))
-    val v1 = Funnel.stage(
+    val words = Funnel.stageLazy(uniWords(Tables.documents(s, dir)))
+    val v1 = Funnel.stageLazy(
       uniCosts(uniCounts(uniSegment(words, uniCosts(uniVocab0(uniSeed(words)))))))
     val top = words.orderBy(col("f").desc, col("w")).limit(20)
     val pieces = v1.select("piece").collect().map(_.getString(0))
@@ -4401,7 +4404,7 @@ object PipelineQueries {
       .groupBy("piece").agg(sum("f").as("cnt"))
 
   private def uniFinalCounts(docs: DataFrame): DataFrame = {
-    val words = Funnel.stage(uniWords(docs))
+    val words = Funnel.stageLazy(uniWords(docs))
     val v0 = uniCosts(uniVocab0(uniSeed(words)))
     val v1 = uniCosts(uniCounts(uniSegment(words, v0)))
     uniCounts(uniSegment(words, v1))
@@ -4560,7 +4563,7 @@ object PipelineQueries {
     * |sources|² rows regardless of corpus size.
     */
   def docSrcOverlap(s: SparkSession, dir: String): DataFrame = {
-    val g = Funnel.stage(Tables.documents(s, dir)
+    val g = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("source"), explode(TextAnalysis.shingles(col("text"), 8)).as("sh"))
       .distinct())
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
@@ -4668,7 +4671,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val caps = docs.groupBy(col("source").as("stratum"))
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("cap"))
-    val alloc = Funnel.stage(
+    val alloc = Funnel.stageLazy(
       Curation.waterfill(caps, budget = 10000L)
         .select(col("stratum"), floor(col("alloc")).cast("long").as("budget")))
     val kept = Curation.corpusBudgetByStratum(docs, alloc,
@@ -5161,7 +5164,7 @@ object PipelineQueries {
     */
   def docBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val post = Funnel.stage(Tables.documents(s, dir)
+    val post = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf")))
     val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -5203,13 +5206,13 @@ object PipelineQueries {
     */
   def docPrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val post = Funnel.stage(Tables.documents(s, dir)
+    val post = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf")))
-    val dl = Funnel.stage(post.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val dl = Funnel.stageLazy(post.groupBy("doc_id").agg(sum("tf").as("dl")))
     val stats = broadcast(dl.agg(count(lit(1)).cast("double").as("nd"),
       (sum("dl") / count(lit(1))).as("avgdl")))
-    val dfT = Funnel.stage(post.groupBy("tok").agg(count(lit(1)).cast("double").as("df")))
+    val dfT = Funnel.stageLazy(post.groupBy("tok").agg(count(lit(1)).cast("double").as("df")))
     val idf = round(log(round((col("nd") - col("df") + lit(0.5))
       / (col("df") + lit(0.5)), 9) + 1), 9)
     def score(queryDf: DataFrame): DataFrame = post
@@ -5225,7 +5228,7 @@ object PipelineQueries {
     val seed = Seq((1L, "table"), (1L, "row")).toDF("qid", "tok")
     val fdocs = broadcast(Similarity.topKPerKey(score(seed), 10)
       .select(col("nid").as("doc_id")))
-    val exp3 = Funnel.stage(post.join(fdocs, "doc_id")
+    val exp3 = Funnel.stageLazy(post.join(fdocs, "doc_id")
       .join(dfT, "tok").crossJoin(stats)
       .filter(!col("tok").isin("table", "row"))
       .select(col("tok"), round(col("tf") * idf, 9).as("w0"))
@@ -5348,7 +5351,7 @@ object PipelineQueries {
     * postings.
     */
   def docPhrase(s: SparkSession, dir: String): DataFrame = {
-    val post = graft.operators.Funnel.stage(Tables.documents(s, dir)
+    val post = graft.operators.Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
     val phrases: Seq[(Long, Seq[String])] = Seq(
@@ -5398,7 +5401,7 @@ object PipelineQueries {
     * product (phrase = slop 1 special case, adjacency-keyed instead).
     */
   def docProximity(s: SparkSession, dir: String): DataFrame = {
-    val post = graft.operators.Funnel.stage(Tables.documents(s, dir)
+    val post = graft.operators.Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
     val pairs: Seq[(Long, String, String, Int)] = Seq(
@@ -5473,7 +5476,7 @@ object PipelineQueries {
       .select(col("query_id").as("qid"), col("doc_id"), col("rank").as("rn"))
     val queries = Seq((1L, "table"), (1L, "row"), (2L, "fast"), (2L, "scan"),
       (2L, "agg"), (3L, "stream"), (3L, "window")).toDF("qid", "tok")
-    val rel = Funnel.stage(Tables.documents(s, dir)
+    val rel = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .join(broadcast(queries), "tok")
       .groupBy("qid", "doc_id").agg(countDistinct("tok").as("rel")))
@@ -5663,7 +5666,7 @@ object PipelineQueries {
     * Returns the STAGED (doc_id, score) table.
     */
   private def qualityScored(docs: DataFrame): DataFrame = {
-    val w = Funnel.stage(Curation.trainQualityModel(docs,
+    val w = Funnel.stageLazy(Curation.trainQualityModel(docs,
       label = col("source") === "src0", buckets = 64, iters = 2))
     val tf = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -5672,7 +5675,7 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("n"),
         pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(64L)).as("bucket"))
       .agg((count(lit(1)) / col("n")).as("x"))
-    Funnel.stage(tf.join(broadcast(w), Seq("bucket"))
+    Funnel.stageLazy(tf.join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id")
       .agg(round(sum(col("x") * col("weight")), 9).as("z"))
       .select(col("doc_id"),

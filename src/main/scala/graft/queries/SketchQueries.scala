@@ -28,7 +28,7 @@ object SketchQueries {
   def docHll(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-    val regs = Funnel.stage(Sketches.hllRegisters(sh, "sh", m = 64, wBits = 54))
+    val regs = Funnel.stageLazy(Sketches.hllRegisters(sh, "sh", m = 64, wBits = 54))
     val est = Sketches.hllEstimate(regs, m = 64, wBits = 54, alpha = 0.709)
     val exact = sh.agg(count_distinct(col("sh")).as("n_exact"))
     regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
@@ -99,10 +99,10 @@ object SketchQueries {
     * estimates vs exact distinct-shingle counts for src0/src1.
     */
   def docHllSetops(s: SparkSession, dir: String): DataFrame = {
-    val sh = Funnel.stage(Tables.documents(s, dir)
+    val sh = Funnel.stageLazy(Tables.documents(s, dir)
       .filter(col("source").isin("src0", "src1"))
       .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("sh")))
-    def regs(src: String) = Funnel.stage(
+    def regs(src: String) = Funnel.stageLazy(
       Sketches.hllRegisters(sh.filter(col("source") === src).select("sh"),
         "sh", m = 64, wBits = 54))
     val ra = regs("src0")
@@ -193,7 +193,7 @@ object SketchQueries {
     * row count.
     */
   def docMgHeavy(s: SparkSession, dir: String): DataFrame = {
-    val toks = Funnel.stage(Tables.documents(s, dir)
+    val toks = Funnel.stageLazy(Tables.documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(substring(col("tok"), 1, 1).as("pfx")))
     Sketches.mgHeavyHitters(toks, "pfx", k = 24)
@@ -223,7 +223,7 @@ object SketchQueries {
     // the fingerprint projection fans out six ways (bits build, the
     // two-part delta union's probe and audit sides, the audit's base
     // set) — a stage boundary computes it once (Funnel scaladoc)
-    val docs = Funnel.stage(Tables.documents(s, dir)
+    val docs = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
     val base = docs.filter(col("doc_id") % 10 =!= 7)
     val delta = docs.filter(col("doc_id") % 10 === 7)
@@ -528,7 +528,7 @@ object SketchQueries {
   def docKmv(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-    val vals = Funnel.stage(Sketches.kmvValues(sh, "sh", k = 256))
+    val vals = Funnel.stageLazy(Sketches.kmvValues(sh, "sh", k = 256))
     val est = Sketches.kmvEstimate(vals, k = 256)
     val exact = sh.agg(count_distinct(col("sh")).as("n_exact"))
     vals.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
@@ -563,10 +563,10 @@ object SketchQueries {
     */
   def docKmvSetops(s: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val sh = Funnel.stage(Tables.documents(s, dir)
+    val sh = Funnel.stageLazy(Tables.documents(s, dir)
       .filter(col("source").isin("src0", "src1"))
       .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("sh")))
-    def vals(src: String) = Funnel.stage(
+    def vals(src: String) = Funnel.stageLazy(
       Sketches.kmvValues(sh.filter(col("source") === src).select("sh"), "sh", k))
     val va = vals("src0")
     val vb = vals("src1")
@@ -643,16 +643,16 @@ object SketchQueries {
     val p = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"),
         concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("item"))
-    val perDay = Funnel.stage(Sketches.kmvValuesBy(p, "day", "item", k))
+    val perDay = Funnel.stageLazy(Sketches.kmvValuesBy(p, "day", "item", k))
     val th = perDay.groupBy("key").agg(count(lit(1)).as("n"), max("h").as("mx"))
       .select(col("key"),
         when(col("n") === k, col("mx")).otherwise(lit(Sketches.KmvDomain)).as("theta_d"))
-    val days = Funnel.stage(perDay.select(col("key").as("day")).distinct())
+    val days = Funnel.stageLazy(perDay.select(col("key").as("day")).distinct())
     val contrib = perDay.join(th, "key")
       .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
       .select(date_add(col("key"), col("off")).as("day"), col("h"), col("theta_d"))
       .join(days, "day")
-    val thetaU = Funnel.stage(contrib.groupBy("day").agg(min("theta_d").as("theta")))
+    val thetaU = Funnel.stageLazy(contrib.groupBy("day").agg(min("theta_d").as("theta")))
     val est = contrib.join(thetaU, "day")
       .filter(col("h") < col("theta"))
       .select(col("day"), col("h")).distinct()
@@ -712,8 +712,8 @@ object SketchQueries {
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), (floor(col("value")).cast("long") + 1).as("v"))
-    val perDay = Funnel.stage(Sketches.hdrCellsBy(p, "day", "v"))
-    val days = Funnel.stage(perDay.select(col("key").as("day")).distinct())
+    val perDay = Funnel.stageLazy(Sketches.hdrCellsBy(p, "day", "v"))
+    val days = Funnel.stageLazy(perDay.select(col("key").as("day")).distinct())
     val merged = perDay
       .withColumn("off", explode(array(lit(0), lit(1), lit(2))))
       .select(date_add(col("key"), col("off")).as("day"), col("bin"), col("cnt"))

@@ -87,15 +87,29 @@ object StreamingQueries {
       import java.nio.file.attribute.FileTime
       val srcDir = freshDir(dir, s"${name}_src")
       Files.createDirectories(Paths.get(srcDir))
-      parts.zipWithIndex.foreach { case (df, b) =>
-        val tmp = freshDir(dir, s"${name}_tmp$b")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        val dst = Paths.get(srcDir, s"b$b.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+      // Stage the per-batch files CONCURRENTLY (guide §2.6 — overlap
+      // independent jobs): each part is an independent single-file
+      // write to its own tmp dir, so submitting them from a small
+      // thread pool lets the next write's tasks back-fill the tail of
+      // the previous one instead of serializing three mostly-idle
+      // jobs. Move + mtime stamping stay per-future (each touches only
+      // its own b<i>.parquet); the staged REPLAY ORDER is carried by
+      // the deterministic mtimes, not by staging completion order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val staged = parts.zipWithIndex.map { case (df, b) =>
+        Future {
+          val tmp = freshDir(dir, s"${name}_tmp$b")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = Paths.get(srcDir, s"b$b.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + b * 60000L))
+        }
       }
+      staged.foreach(f => Await.result(f, Duration.Inf))
       srcDir
     }
 
@@ -1393,13 +1407,17 @@ object StreamingQueries {
         // (the compaction discipline any streaming-ingest store needs —
         // 32-way tiny appends would strangle the re-reads with file
         // overhead long before data volume matters)
-        val idx = graft.operators.Dedup.bandIndex(batch).localCheckpoint()
+        // lazy boundary (r13 opt): the batch index fans out to the probe
+        // and the store append; persist() materializes it inside the
+        // probe write instead of paying a dedicated localCheckpoint job
+        val idx = graft.operators.Dedup.bandIndex(batch).persist()
         graft.operators.Dedup.deltaMinHashKeepersWithIndex(
             s.read.parquet(keyStore), s.read.parquet(docStore), batch,
             deltaIndex = Some(idx))
           .coalesce(1).write.mode("append").parquet(resDir)
         idx.coalesce(1).write.mode("append").parquet(keyStore)
         batch.coalesce(1).write.mode("append").parquet(docStore)
+        idx.unpersist(blocking = false)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1460,7 +1478,7 @@ object StreamingQueries {
             round(cosine_double(col("e"), col("ce")), 6).as("cd"))
           .groupBy("vec_id")
           .agg(expr("max_by(cid, struct(cd, -cid))").as("cid"), first(col("e")).as("e"))
-          .localCheckpoint()
+          .persist()
         val deltas = assigned
           .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
           .groupBy("cid", "i").agg(sum("v").as("ds"), count(lit(1)).as("dn"))
@@ -1653,7 +1671,7 @@ object StreamingQueries {
         val priorL = lastStore.prior(batchId)
         // prior last-events join the sequence so each boundary pair
         // counts exactly once; they have no predecessor in this batch
-        val all = batch.unionByName(priorL).localCheckpoint()
+        val all = batch.unionByName(priorL).persist()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val trans = all
@@ -1708,7 +1726,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val priorC = countStore.prior(batchId)
         val priorL = lastStore.prior(batchId)
-        val all = batch.unionByName(priorL).localCheckpoint()
+        val all = batch.unionByName(priorL).persist()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val tri = all
@@ -1766,19 +1784,19 @@ object StreamingQueries {
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prior = store.prior(batchId)
-        val bt = batch.localCheckpoint()
+        val bt = batch.persist()
         val pv = bt.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("bv"))
         val m1 = prior.join(pv, Seq("user_id"), "full")
           .select(col("user_id"), mergeMin(col("t1"), col("bv")).as("t1"),
-            col("t2"), col("t3")).localCheckpoint()
+            col("t2"), col("t3")).persist()
         val pc = bt.filter(col("event_type") === "click")
           .join(m1.filter(col("t1").isNotNull).select("user_id", "t1"), "user_id")
           .filter(col("ts") > col("t1"))
           .groupBy("user_id").agg(min("ts").as("bc"))
         val m2 = m1.join(pc, Seq("user_id"), "left")
           .select(col("user_id"), col("t1"), mergeMin(col("t2"), col("bc")).as("t2"),
-            col("t3")).localCheckpoint()
+            col("t3")).persist()
         val pp = bt.filter(col("event_type") === "purchase")
           .join(m2.filter(col("t2").isNotNull).select("user_id", "t2"), "user_id")
           .filter(col("ts") > col("t2"))
@@ -1838,7 +1856,7 @@ object StreamingQueries {
         val priorT = touchStore.prior(batchId)
         val all = batch.withColumn("carry", lit(false))
           .unionByName(priorT.withColumn("carry", lit(true)))
-          .localCheckpoint()
+          .persist()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1903,7 +1921,7 @@ object StreamingQueries {
         val firsts = priorF
           .unionByName(batch.groupBy("user_id").agg(min("d").as("d0")))
           .groupBy("user_id").agg(min("d0").as("d0"))
-          .localCheckpoint()
+          .persist()
         val pairs = batch.join(firsts, "user_id")
           .select(col("user_id"),
             expr("datediff(d, d0) div 7").as("week_offset"))
@@ -1961,7 +1979,7 @@ object StreamingQueries {
         // not re-classify itself) — each arrival sees its true prev
         val all = batch.withColumn("carry", lit(false))
           .unionByName(priorL.withColumn("carry", lit(true)))
-          .localCheckpoint()
+          .persist()
         val seq0 = all.withColumn("prev", lag("d", 1).over(w))
         val states = seq0.filter(!col("carry"))
           .select(col("d").as("day"),
@@ -1972,7 +1990,7 @@ object StreamingQueries {
         val churnSeen = seq0.filter(!col("carry") && col("prev").isNotNull
             && datediff(col("d"), col("prev")) > 1)
           .select(date_add(col("prev"), 1).as("day"), lit("churned").as("state"))
-        val newLast = all.groupBy("user_id").agg(max("d").as("d")).localCheckpoint()
+        val newLast = all.groupBy("user_id").agg(max("d").as("d")).persist()
         // end-of-stream flush: every user churns the day after their
         // final activity (the batch query's `nxt IS NULL` leg)
         val churnFlush =
@@ -2057,7 +2075,7 @@ object StreamingQueries {
         // increment-only work: the batch's windows, computed once
         val wins = batch.filter(length(col("text")) >= minLen)
           .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
-          .localCheckpoint()
+          .persist()
         wins.coalesce(1).write.mode("append").parquet(winStore)
         dfStore.write(batchId, dfStore.prior(batchId)
           .unionByName(wins.groupBy("h").agg(count(lit(1)).as("c")))
@@ -2217,7 +2235,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = graft.streaming.Changelog.foldCdc(
           store.prior(batchId), batch, "user_id", "seq", "kind")
-          .localCheckpoint()
+          .persist()
         cur.agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total"))
           .select(lit(batchId).as("batch"), col("n_users"), col("total"))
           .coalesce(1).write.mode("append").parquet(resDir)
@@ -2281,11 +2299,11 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = store.prior(batchId).localCheckpoint()
+        val prior = store.prior(batchId).persist()
         val cur = prior
           .unionByName(batch.groupBy("user_id").agg(count(lit(1)).as("cnt")))
           .groupBy("user_id").agg(sum("cnt").as("cnt"))
-          .localCheckpoint()
+          .persist()
         graft.streaming.Changelog.retractDiff(prior, cur, "user_id")
           .select(lit(batchId).as("batch"), col("kind"), col("user_id"), col("cnt"))
           .coalesce(1).write.mode("append").parquet(resDir)
@@ -2363,7 +2381,7 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = store.prior(batchId).localCheckpoint()
+        val prior = store.prior(batchId).persist()
         // last value per (type, user): max_by over the offset, merged
         // against the prior table the same way (associative)
         val cur = prior
@@ -2373,7 +2391,7 @@ object StreamingQueries {
           .agg(max_by(struct(col("score"), col("seq")), col("seq")).as("m"))
           .select(col("event_type"), col("user_id"),
             col("m.score").as("score"), col("m.seq").as("seq"))
-          .localCheckpoint()
+          .persist()
         // retraction-aware: only types whose (user, score) set changed
         // re-rank — the ranking state of untouched keys is never read
         val changedTypes = graft.streaming.Changelog
@@ -2602,7 +2620,7 @@ object StreamingQueries {
     val base = emb.filter(col("vec_id") % 3 === 0)
       .withColumn("vec_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast("long") - 1)
-    val cent = graft.operators.Funnel.stage(
+    val cent = graft.operators.Funnel.stageLazy(
       Sim.kmeansCentroids(base, k = 8, iters = 2), "sknn_centroids")
     def withCell(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("label"), col("embedding"),
@@ -2770,7 +2788,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.ateFromUsers(graft.operators.Funnel.stage(
+    AQ.ateFromUsers(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("user_id"), col("act").cast("long").as("act"),
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
@@ -2809,9 +2827,9 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     PQ.heapsSolve(
-      graft.operators.Funnel.stage(fsStore.version(lastBatchId(srcDir))
+      graft.operators.Funnel.stageLazy(fsStore.version(lastBatchId(srcDir))
         .select(col("tok"), col("fd").cast("long").as("fd"))),
-      graft.operators.Funnel.stage(dlStore.version(lastBatchId(srcDir))
+      graft.operators.Funnel.stageLazy(dlStore.version(lastBatchId(srcDir))
         .select(col("doc_id").cast("long").as("doc_id"), col("nt").cast("long").as("nt"))))
   }
 
@@ -2840,7 +2858,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.benfordFromDigits(graft.operators.Funnel.stage(
+    AQ.benfordFromDigits(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("d").cast("long").as("d"), col("n").cast("long").as("n"))))
   }
@@ -2869,7 +2887,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.lorenzFromUsers(graft.operators.Funnel.stage(
+    AQ.lorenzFromUsers(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("user_id"), col("y").cast("long").as("y"))))
   }
@@ -2970,7 +2988,7 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint()
+        val b = batch.persist()
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"))
         val dL = b.filter(col("tag") === "l").select(col("k"), col("price_micro"))
         val oPrev = oStore.snapshot(batchId - 1)
@@ -3050,7 +3068,10 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint()
+        // lazy boundary (r13 opt): the batch fans out to both deltas and
+        // three join legs; persist() materializes it inside the first
+        // store action instead of paying a dedicated localCheckpoint job
+        val b = batch.persist()
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"), col("mult"))
         val dL = b.filter(col("tag") === "l")
           .select(col("k"), col("price_micro"), col("ln"), col("mult"))
@@ -3068,6 +3089,7 @@ object StreamingQueries {
         jStore.applyDelta(batchId, dJ, "k", Seq("k", "pri", "price_micro"), "mult")
         oStore.applyDelta(batchId, dO, "k", Seq("k", "pri"), "mult")
         lStore.applyDelta(batchId, dL, "k", Seq("k", "price_micro", "ln"), "mult")
+        b.unpersist(blocking = false)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -3116,7 +3138,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.qiniFromUsers(graft.operators.Funnel.stage(
+    AQ.qiniFromUsers(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("user_id"), col("act").cast("long").as("act"),
           col("treated").cast("long").as("treated"), col("conv").cast("long").as("conv"))))
@@ -3148,7 +3170,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.conformalFromUsers(graft.operators.Funnel.stage(
+    AQ.conformalFromUsers(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("user_id"), col("x").cast("long").as("x"),
           col("y_micro").cast("long").as("y_micro"))
@@ -3185,7 +3207,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AQ.dispersionFromDaily(graft.operators.Funnel.stage(
+    AQ.dispersionFromDaily(graft.operators.Funnel.stageLazy(
       store.version(lastBatchId(srcDir))
         .select(col("event_type"), col("d"), col("cnt").cast("long").as("cnt"))))
   }
@@ -3323,7 +3345,7 @@ object StreamingQueries {
     val snap = store.snapshot(lastBatchId(srcDir))
     val cands = Dedup.snmCandidates(snap.select("id", "key"), w = 3, maxDist = 64)
     val src = snap.select(col("id"), col("source"))
-    val pat = Funnel.stage(cands
+    val pat = Funnel.stageLazy(cands
       .join(src.select(col("id").as("a_id"), col("source").as("sa")), "a_id")
       .join(src.select(col("id").as("b_id"), col("source").as("sb")), "b_id")
       .select((col("dist") === 0).cast("long").as("g1"),
@@ -3370,7 +3392,7 @@ object StreamingQueries {
         // they are never re-counted as transition targets
         val all = batch.withColumn("carried", lit(false))
           .unionByName(priorL.withColumn("carried", lit(true)))
-          .localCheckpoint()
+          .persist()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val kept = all
@@ -3956,7 +3978,7 @@ object StreamingQueries {
           .withColumn("eff0", col("tss"))
           .unionByName(openStore.prior(batchId)
             .select(col("user_id"), col("s1").as("tss"), col("s0").as("eff0")))
-          .localCheckpoint()
+          .persist()
         val sess = all
           .withColumn("prev", lag("tss", 1).over(w))
           .withColumn("brk",
@@ -3966,7 +3988,7 @@ object StreamingQueries {
           .agg(min("eff0").as("s0"), max("tss").as("s1"))
           .withColumn("max_sid",
             max("sid").over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
-          .localCheckpoint()
+          .persist()
         val deaths = sess.filter(col("sid") < col("max_sid"))
           .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"))
           .groupBy("dur").agg(count(lit(1)).as("d"))
@@ -4050,7 +4072,7 @@ object StreamingQueries {
         val rowPart = graft.operators.Expectations
           .audit(batch, PipelineQueries.expectRowRules)
           .select("rule", "n_rows", "n_violations")
-        val perId = batch.groupBy("doc_id").agg(count(lit(1)).as("c")).localCheckpoint()
+        val perId = batch.groupBy("doc_id").agg(count(lit(1)).as("c")).persist()
         val inb = perId.agg(
           coalesce(sum(col("c")), lit(0L)).cast("long").as("rows_b"),
           coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("exc"))
@@ -4192,7 +4214,7 @@ object StreamingQueries {
           .join(own.select(col("bucket"), col("reg").as("o")), Seq("bucket"), "full_outer")
           .select(col("bucket"),
             greatest(coalesce(col("p"), lit(0L)), coalesce(col("o"), lit(0L))).as("reg"))
-          .localCheckpoint() // serves both the store write and the estimate
+          .persist() // serves both the store write and the estimate
         merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         Sketches.hllEstimate(merged, m = 64, wBits = 54, alpha = 0.709)
           .select(lit(batchId).as("batch"), col("est_distinct"))
@@ -4267,7 +4289,7 @@ object StreamingQueries {
           .join(own.select(col("r"), col("b"), col("c").as("o")), Seq("r", "b"), "full_outer")
           .select(col("r"), col("b"),
             (coalesce(col("p"), lit(0L)) + coalesce(col("o"), lit(0L))).as("c"))
-          .localCheckpoint() // serves both the store write and the probes
+          .persist() // serves both the store write and the probes
         merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.map(org.apache.spark.sql.Row(_))),
@@ -5190,7 +5212,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fp = batch.select(col("doc_id").cast("long").as("id"),
           md5(graft.operators.TextAnalysis.dedupFold(col("text"))).as("ffp"))
-          .localCheckpoint()
+          .persist()
         fpStore.append(batchId, fp)
         dfStore.append(batchId, fp.groupBy("ffp").agg(count(lit(1)).as("df")))
         ()
@@ -5227,7 +5249,7 @@ object StreamingQueries {
     val srcDir = stageBatchFiles(dir, "ssem",
       (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
     val cent = graft.BenchMeters.fixture {
-      Similarity.kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint()
+      Similarity.kmeansCentroids(emb, k = 8, iters = 2).persist()
     }
     val store = graft.streaming.DeltaStore(s, freshDir(dir, "ssem_a"))
     store.init(s.range(0).select(col("id").as("vec_id"),
@@ -5373,7 +5395,7 @@ object StreamingQueries {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sh = batch.select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-          .localCheckpoint()
+          .persist()
         val own = Sketches.kmvValues(sh, "sh", k).select("h")
         // bottom-k of the union of bottom-ks = the global bottom-k
         // (min-merge); the window runs over ≤2k rows
@@ -5387,7 +5409,7 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     val last = lastBatchId(srcDir)
-    val vals = Funnel.stage(store.version(last)
+    val vals = Funnel.stageLazy(store.version(last)
       .withColumn("rank", row_number().over(Window.orderBy("h")).cast("long")))
     val est = Sketches.kmvEstimate(vals.select("h"), k)
     val exact = audit.snapshot(last).agg(count_distinct(col("sh")).as("n_exact"))
@@ -5410,7 +5432,7 @@ object StreamingQueries {
     */
   def streamBloom(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Funnel, Sketches, TextAnalysis}
-    val docs = Funnel.stage(Tables.documents(s, dir)
+    val docs = Funnel.stageLazy(Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
     val base = docs.filter(col("doc_id") % 10 =!= 7)
     val srcDir = stageBatchFiles(dir, "sblm",
@@ -5491,7 +5513,7 @@ object StreamingQueries {
             (coalesce(col("pc"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("c"))
         val wRank = org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("item")) // ≤2k rows: bounded
-        val ranked = summed.withColumn("rn", row_number().over(wRank)).localCheckpoint()
+        val ranked = summed.withColumn("rn", row_number().over(wRank)).persist()
         val sub = ranked.agg(max(when(col("rn") === K + 1, col("c"))).as("sub"))
         ranked.crossJoin(broadcast(sub))
           .select(col("item"), (col("c") - coalesce(col("sub"), lit(0L))).as("c"))
@@ -5549,7 +5571,7 @@ object StreamingQueries {
       val stepped = inflow
         .select(col("user_id"), (col("value") - 1).as("value"),
           (col("steps") + 1).as("steps"))
-        .localCheckpoint() // serves both the done split and the feedback
+        .persist() // serves both the done split and the feedback
       stepped.filter(col("value") <= 0)
         .select(col("user_id"), col("steps"), lit(passId).as("finished_pass"))
         .coalesce(1).write.mode("append").parquet(resDir)
@@ -5577,7 +5599,7 @@ object StreamingQueries {
     var fb = s.read.parquet(s"$fbBase/v${lastBatchId(srcDir)}")
     var passId = lastBatchId(srcDir) + 1
     while (!fb.isEmpty) {
-      fb = pass(fb, passId).localCheckpoint()
+      fb = pass(fb, passId).persist()
       passId += 1
     }
     s.read.parquet(resDir)
