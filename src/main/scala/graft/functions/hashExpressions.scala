@@ -277,6 +277,82 @@ case class PortableSimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** k-token shingles of a token array as space-joined strings — the
+  * fused native form of [[graft.operators.TextAnalysis.shinglesOf]]'s
+  * k−1 `zip_with(concat)` passes (each an interpreted lambda per element
+  * building progressively longer intermediate strings). Value-identical:
+  * out(i) = tokens(i) ⧺ " " ⧺ … ⧺ tokens(i+k−1) for i ≤ n−k, empty
+  * array when the input is null or shorter than k (matching
+  * `when(size(toks) >= k, …).otherwise(array())` with size(null)=null
+  * falling through to the empty branch). A null token element yields a
+  * null shingle wherever it participates (concat's null propagation).
+  */
+case class ShingleJoin(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_join"
+
+  @transient private lazy val sep = UTF8String.fromString(" ")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var nullSeen = false
+      val win = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        if (arr.isNullAt(i + j)) nullSeen = true
+        else win(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = if (nullSeen) null else UTF8String.concatWs(sep, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleJoin =
+    copy(child = newChild)
+}
+
+/** array<string> → array<long> of the portable 60-bit md5 hash of each
+  * element ([[PortableMd5.hash60]] — `conv(substring(md5(x),1,15),16,10)`),
+  * one digest per element with no hex/string round-trip; null elements
+  * stay null. The per-element native form of the `transform(...,
+  * conv(substring(md5(g),1,15),16,10))` idiom the portable sketch and
+  * winnowing layers share.
+  */
+case class Md5Hash60Array(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "md5_hash60_array"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else java.lang.Long.valueOf(PortableMd5.hash60(arr.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60Array =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over array<string> tokens: bit k = sign of
   * Σ_tokens (±1 by bit k of h(token)).
   */

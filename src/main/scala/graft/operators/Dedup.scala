@@ -867,8 +867,11 @@ object Dedup {
     // re-evaluates its upstream tree at every reference — O(k·w)
     // normalize+hash passes per row — which measured 20.9 s at sf0.1
     // vs ~1 s staged (see the winnowFingerprint scaladoc)
+    // native shingle + md5 kernels (r13 opt): one pass per doc instead
+    // of an interpreted md5/conv lambda per gram — value-identical
     val gramsExpr = when(size(col("toks")) >= k,
-        transform(TextAnalysis.shinglesOf(col("toks"), k), portable))
+        ColumnBridge.column(graft.functions.Md5Hash60Array(
+          ColumnBridge.expression(TextAnalysis.shinglesOf(col("toks"), k)))))
       .otherwise(array(portable(concat_ws(" ", col("toks")))))
     val m = size(col("grams"))
     val minsChain = (1 until w).foldLeft(col("grams")) { (acc, j) =>

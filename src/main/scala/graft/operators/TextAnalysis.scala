@@ -146,18 +146,14 @@ object TextAnalysis {
     * stacked-HOF multiplication that made the first winnowPairs draft
     * 20× slower than its staged form (see [[Dedup.winnowPairs]]).
     */
-  def shinglesOf(toks: Column, k: Int): Column = {
-    require(k >= 1, s"shingle size must be >= 1, got $k")
-    // after j zips, element i (1-based) = toks_i .. toks_{i+j} for
-    // i <= n-j; beyond that zip_with's null padding propagates nulls,
-    // which the final slice drops
-    val joined = (1 until k).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(toks) >= k, slice(joined, lit(1), size(toks) - (k - 1)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesOf(toks: Column, k: Int): Column =
+    // native one-pass kernel (r13 opt) — value-identical to the former
+    // k−1 × zip_with(concat) chain, which paid an interpreted lambda per
+    // element per level and materialized k−1 progressively longer
+    // intermediate string arrays per document
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShingleJoin(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), k))
 
   /** 1-based token start offsets for overlapping chunks of `chunkSize`
     * tokens advancing by `stride` (< chunkSize ⇒ overlap). Chunks cover

@@ -4025,11 +4025,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("source"), col("t"), size(col("t")).cast("long").as("len")))
     // n-gram counts per (source, doc, n, gram), n = 1..4
-    val grams = base.select(col("doc_id"), col("source"), col("len"),
-        explode(expr(
-          """flatten(transform(sequence(1, 4), n ->
-            |  transform(filter(sequence(0, size(t) - 1), i -> i + n <= size(t)), i ->
-            |    named_struct('n', n, 'g', array_join(slice(t, i + 1, n), ' ')))))""".stripMargin)).as("e"))
+    // n-grams n=1..4 via the native shingle kernel (one pass per n; the
+    // old nested transform/filter/slice/array_join HOF chain evaluated
+    // interpreted lambdas per gram). Values and order are identical:
+    // array_join(slice(t, i+1, n), ' ') IS the space-joined window.
+    val gramArrays = (1 to 4).map { n =>
+      transform(TextAnalysis.shinglesOf(col("t"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val grams = base.select(col("doc_id"), col("source"),
+        explode(flatten(array(gramArrays: _*))).as("e"))
       // the gram string is only a group/join identity downstream — hash
       // it to 8 bytes before the three (source, n, g) exchanges (guide
       // §2.3; the TokenHashes 2⁻⁶⁴-collision argument)

@@ -1410,14 +1410,13 @@ object StreamingQueries {
         // lazy boundary (r13 opt): the batch index fans out to the probe
         // and the store append; persist() materializes it inside the
         // probe write instead of paying a dedicated localCheckpoint job
-        val idx = graft.operators.Dedup.bandIndex(batch).persist()
+        val idx = graft.operators.Dedup.bandIndex(batch).localCheckpoint(eager = false)
         graft.operators.Dedup.deltaMinHashKeepersWithIndex(
             s.read.parquet(keyStore), s.read.parquet(docStore), batch,
             deltaIndex = Some(idx))
           .coalesce(1).write.mode("append").parquet(resDir)
         idx.coalesce(1).write.mode("append").parquet(keyStore)
         batch.coalesce(1).write.mode("append").parquet(docStore)
-        idx.unpersist(blocking = false)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1478,7 +1477,7 @@ object StreamingQueries {
             round(cosine_double(col("e"), col("ce")), 6).as("cd"))
           .groupBy("vec_id")
           .agg(expr("max_by(cid, struct(cd, -cid))").as("cid"), first(col("e")).as("e"))
-          .persist()
+          .localCheckpoint(eager = false)
         val deltas = assigned
           .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
           .groupBy("cid", "i").agg(sum("v").as("ds"), count(lit(1)).as("dn"))
@@ -1671,7 +1670,7 @@ object StreamingQueries {
         val priorL = lastStore.prior(batchId)
         // prior last-events join the sequence so each boundary pair
         // counts exactly once; they have no predecessor in this batch
-        val all = batch.unionByName(priorL).persist()
+        val all = batch.unionByName(priorL).localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val trans = all
@@ -1726,7 +1725,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val priorC = countStore.prior(batchId)
         val priorL = lastStore.prior(batchId)
-        val all = batch.unionByName(priorL).persist()
+        val all = batch.unionByName(priorL).localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val tri = all
@@ -1784,19 +1783,19 @@ object StreamingQueries {
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prior = store.prior(batchId)
-        val bt = batch.persist()
+        val bt = batch.localCheckpoint(eager = false)
         val pv = bt.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("bv"))
         val m1 = prior.join(pv, Seq("user_id"), "full")
           .select(col("user_id"), mergeMin(col("t1"), col("bv")).as("t1"),
-            col("t2"), col("t3")).persist()
+            col("t2"), col("t3")).localCheckpoint(eager = false)
         val pc = bt.filter(col("event_type") === "click")
           .join(m1.filter(col("t1").isNotNull).select("user_id", "t1"), "user_id")
           .filter(col("ts") > col("t1"))
           .groupBy("user_id").agg(min("ts").as("bc"))
         val m2 = m1.join(pc, Seq("user_id"), "left")
           .select(col("user_id"), col("t1"), mergeMin(col("t2"), col("bc")).as("t2"),
-            col("t3")).persist()
+            col("t3")).localCheckpoint(eager = false)
         val pp = bt.filter(col("event_type") === "purchase")
           .join(m2.filter(col("t2").isNotNull).select("user_id", "t2"), "user_id")
           .filter(col("ts") > col("t2"))
@@ -1856,7 +1855,7 @@ object StreamingQueries {
         val priorT = touchStore.prior(batchId)
         val all = batch.withColumn("carry", lit(false))
           .unionByName(priorT.withColumn("carry", lit(true)))
-          .persist()
+          .localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1921,7 +1920,7 @@ object StreamingQueries {
         val firsts = priorF
           .unionByName(batch.groupBy("user_id").agg(min("d").as("d0")))
           .groupBy("user_id").agg(min("d0").as("d0"))
-          .persist()
+          .localCheckpoint(eager = false)
         val pairs = batch.join(firsts, "user_id")
           .select(col("user_id"),
             expr("datediff(d, d0) div 7").as("week_offset"))
@@ -1979,7 +1978,7 @@ object StreamingQueries {
         // not re-classify itself) — each arrival sees its true prev
         val all = batch.withColumn("carry", lit(false))
           .unionByName(priorL.withColumn("carry", lit(true)))
-          .persist()
+          .localCheckpoint(eager = false)
         val seq0 = all.withColumn("prev", lag("d", 1).over(w))
         val states = seq0.filter(!col("carry"))
           .select(col("d").as("day"),
@@ -1990,7 +1989,7 @@ object StreamingQueries {
         val churnSeen = seq0.filter(!col("carry") && col("prev").isNotNull
             && datediff(col("d"), col("prev")) > 1)
           .select(date_add(col("prev"), 1).as("day"), lit("churned").as("state"))
-        val newLast = all.groupBy("user_id").agg(max("d").as("d")).persist()
+        val newLast = all.groupBy("user_id").agg(max("d").as("d")).localCheckpoint(eager = false)
         // end-of-stream flush: every user churns the day after their
         // final activity (the batch query's `nxt IS NULL` leg)
         val churnFlush =
@@ -2075,7 +2074,7 @@ object StreamingQueries {
         // increment-only work: the batch's windows, computed once
         val wins = batch.filter(length(col("text")) >= minLen)
           .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
-          .persist()
+          .localCheckpoint(eager = false)
         wins.coalesce(1).write.mode("append").parquet(winStore)
         dfStore.write(batchId, dfStore.prior(batchId)
           .unionByName(wins.groupBy("h").agg(count(lit(1)).as("c")))
@@ -2235,7 +2234,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = graft.streaming.Changelog.foldCdc(
           store.prior(batchId), batch, "user_id", "seq", "kind")
-          .persist()
+          .localCheckpoint(eager = false)
         cur.agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total"))
           .select(lit(batchId).as("batch"), col("n_users"), col("total"))
           .coalesce(1).write.mode("append").parquet(resDir)
@@ -2299,11 +2298,11 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = store.prior(batchId).persist()
+        val prior = store.prior(batchId).localCheckpoint(eager = false)
         val cur = prior
           .unionByName(batch.groupBy("user_id").agg(count(lit(1)).as("cnt")))
           .groupBy("user_id").agg(sum("cnt").as("cnt"))
-          .persist()
+          .localCheckpoint(eager = false)
         graft.streaming.Changelog.retractDiff(prior, cur, "user_id")
           .select(lit(batchId).as("batch"), col("kind"), col("user_id"), col("cnt"))
           .coalesce(1).write.mode("append").parquet(resDir)
@@ -2381,7 +2380,7 @@ object StreamingQueries {
       .parquet(srcDir)
     val q = batches.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = store.prior(batchId).persist()
+        val prior = store.prior(batchId).localCheckpoint(eager = false)
         // last value per (type, user): max_by over the offset, merged
         // against the prior table the same way (associative)
         val cur = prior
@@ -2391,7 +2390,7 @@ object StreamingQueries {
           .agg(max_by(struct(col("score"), col("seq")), col("seq")).as("m"))
           .select(col("event_type"), col("user_id"),
             col("m.score").as("score"), col("m.seq").as("seq"))
-          .persist()
+          .localCheckpoint(eager = false)
         // retraction-aware: only types whose (user, score) set changed
         // re-rank — the ranking state of untouched keys is never read
         val changedTypes = graft.streaming.Changelog
@@ -2988,7 +2987,7 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
+        val b = batch.localCheckpoint(eager = false)
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"))
         val dL = b.filter(col("tag") === "l").select(col("k"), col("price_micro"))
         val oPrev = oStore.snapshot(batchId - 1)
@@ -3071,7 +3070,7 @@ object StreamingQueries {
         // lazy boundary (r13 opt): the batch fans out to both deltas and
         // three join legs; persist() materializes it inside the first
         // store action instead of paying a dedicated localCheckpoint job
-        val b = batch.persist()
+        val b = batch.localCheckpoint(eager = false)
         val dO = b.filter(col("tag") === "o").select(col("k"), col("pri"), col("mult"))
         val dL = b.filter(col("tag") === "l")
           .select(col("k"), col("price_micro"), col("ln"), col("mult"))
@@ -3089,7 +3088,6 @@ object StreamingQueries {
         jStore.applyDelta(batchId, dJ, "k", Seq("k", "pri", "price_micro"), "mult")
         oStore.applyDelta(batchId, dO, "k", Seq("k", "pri"), "mult")
         lStore.applyDelta(batchId, dL, "k", Seq("k", "price_micro", "ln"), "mult")
-        b.unpersist(blocking = false)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -3392,7 +3390,7 @@ object StreamingQueries {
         // they are never re-counted as transition targets
         val all = batch.withColumn("carried", lit(false))
           .unionByName(priorL.withColumn("carried", lit(true)))
-          .persist()
+          .localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val kept = all
@@ -3978,7 +3976,7 @@ object StreamingQueries {
           .withColumn("eff0", col("tss"))
           .unionByName(openStore.prior(batchId)
             .select(col("user_id"), col("s1").as("tss"), col("s0").as("eff0")))
-          .persist()
+          .localCheckpoint(eager = false)
         val sess = all
           .withColumn("prev", lag("tss", 1).over(w))
           .withColumn("brk",
@@ -3988,7 +3986,7 @@ object StreamingQueries {
           .agg(min("eff0").as("s0"), max("tss").as("s1"))
           .withColumn("max_sid",
             max("sid").over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
-          .persist()
+          .localCheckpoint(eager = false)
         val deaths = sess.filter(col("sid") < col("max_sid"))
           .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"))
           .groupBy("dur").agg(count(lit(1)).as("d"))
@@ -4072,7 +4070,7 @@ object StreamingQueries {
         val rowPart = graft.operators.Expectations
           .audit(batch, PipelineQueries.expectRowRules)
           .select("rule", "n_rows", "n_violations")
-        val perId = batch.groupBy("doc_id").agg(count(lit(1)).as("c")).persist()
+        val perId = batch.groupBy("doc_id").agg(count(lit(1)).as("c")).localCheckpoint(eager = false)
         val inb = perId.agg(
           coalesce(sum(col("c")), lit(0L)).cast("long").as("rows_b"),
           coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("exc"))
@@ -4214,7 +4212,7 @@ object StreamingQueries {
           .join(own.select(col("bucket"), col("reg").as("o")), Seq("bucket"), "full_outer")
           .select(col("bucket"),
             greatest(coalesce(col("p"), lit(0L)), coalesce(col("o"), lit(0L))).as("reg"))
-          .persist() // serves both the store write and the estimate
+          .localCheckpoint(eager = false) // serves both the store write and the estimate
         merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         Sketches.hllEstimate(merged, m = 64, wBits = 54, alpha = 0.709)
           .select(lit(batchId).as("batch"), col("est_distinct"))
@@ -4289,7 +4287,7 @@ object StreamingQueries {
           .join(own.select(col("r"), col("b"), col("c").as("o")), Seq("r", "b"), "full_outer")
           .select(col("r"), col("b"),
             (coalesce(col("p"), lit(0L)) + coalesce(col("o"), lit(0L))).as("c"))
-          .persist() // serves both the store write and the probes
+          .localCheckpoint(eager = false) // serves both the store write and the probes
         merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.map(org.apache.spark.sql.Row(_))),
@@ -5212,7 +5210,7 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fp = batch.select(col("doc_id").cast("long").as("id"),
           md5(graft.operators.TextAnalysis.dedupFold(col("text"))).as("ffp"))
-          .persist()
+          .localCheckpoint(eager = false)
         fpStore.append(batchId, fp)
         dfStore.append(batchId, fp.groupBy("ffp").agg(count(lit(1)).as("df")))
         ()
@@ -5249,7 +5247,7 @@ object StreamingQueries {
     val srcDir = stageBatchFiles(dir, "ssem",
       (0 until 3).map(b => emb.filter(col("vec_id") % 3 === b)))
     val cent = graft.BenchMeters.fixture {
-      Similarity.kmeansCentroids(emb, k = 8, iters = 2).persist()
+      Similarity.kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint(eager = false)
     }
     val store = graft.streaming.DeltaStore(s, freshDir(dir, "ssem_a"))
     store.init(s.range(0).select(col("id").as("vec_id"),
@@ -5395,7 +5393,7 @@ object StreamingQueries {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sh = batch.select(explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-          .persist()
+          .localCheckpoint(eager = false)
         val own = Sketches.kmvValues(sh, "sh", k).select("h")
         // bottom-k of the union of bottom-ks = the global bottom-k
         // (min-merge); the window runs over ≤2k rows
@@ -5513,7 +5511,7 @@ object StreamingQueries {
             (coalesce(col("pc"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("c"))
         val wRank = org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("item")) // ≤2k rows: bounded
-        val ranked = summed.withColumn("rn", row_number().over(wRank)).persist()
+        val ranked = summed.withColumn("rn", row_number().over(wRank)).localCheckpoint(eager = false)
         val sub = ranked.agg(max(when(col("rn") === K + 1, col("c"))).as("sub"))
         ranked.crossJoin(broadcast(sub))
           .select(col("item"), (col("c") - coalesce(col("sub"), lit(0L))).as("c"))
@@ -5571,7 +5569,7 @@ object StreamingQueries {
       val stepped = inflow
         .select(col("user_id"), (col("value") - 1).as("value"),
           (col("steps") + 1).as("steps"))
-        .persist() // serves both the done split and the feedback
+        .localCheckpoint(eager = false) // serves both the done split and the feedback
       stepped.filter(col("value") <= 0)
         .select(col("user_id"), col("steps"), lit(passId).as("finished_pass"))
         .coalesce(1).write.mode("append").parquet(resDir)
@@ -5599,7 +5597,7 @@ object StreamingQueries {
     var fb = s.read.parquet(s"$fbBase/v${lastBatchId(srcDir)}")
     var passId = lastBatchId(srcDir) + 1
     while (!fb.isEmpty) {
-      fb = pass(fb, passId).persist()
+      fb = pass(fb, passId).localCheckpoint(eager = false)
       passId += 1
     }
     s.read.parquet(resDir)

@@ -179,42 +179,41 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
     // LAZY materialization boundary (r13 opt): the delta fans out to the
     // touched-bucket collect and the fold-write, so it must compute
     // once — but an EAGER localCheckpoint paid a third Spark job per
-    // applyDelta just to populate the blocks. persist() materializes
-    // during the collect (the first action) and the write then reads
-    // the cached blocks: same two consumers, one fewer job. The
-    // job-count floor is what the r12 listener profile measured as this
-    // operator family's entire local cost (~27 jobs/batch, ~185 ms/job).
-    val d = withBucket(delta, keyCol).persist()
-    try {
-      val touched = d.select("__b").distinct().collect().map(_.getInt(0)).toSet
-      val priorTouched = readOrEmpty(latestDirs(batchId - 1, Some(touched)))
-      withBucket(priorTouched, keyCol).unionByName(d)
-        .groupBy(("__b" +: groupCols).map(col): _*)
-        .agg(sum(multCol).as(multCol))
-        .filter(col(multCol) =!= 0L)
-        .write.partitionBy("__b").mode("overwrite").parquet(vPath(batchId.toString))
-      // a touched bucket whose ENTIRE net state folded to zero writes no
-      // partition directory above — without an explicit marker the
-      // shadowing rule would keep serving the bucket's stale older
-      // version, resurrecting fully-retracted rows. Materialize an empty
-      // directory for every such bucket so "latest version that wrote the
-      // bucket" is the truth. The marker is a FILE COPY of the schema
-      // dir's (empty, schema-bearing) parquet part — byte-identical to
-      // what an empty Spark write would produce for readers, without
-      // paying a Spark job per emptied bucket (r13 opt).
-      val emptied = touched -- bucketsOf(batchId.toString)
-      emptied.foreach { b =>
-        val dst = new java.io.File(s"${vPath(batchId.toString)}/__b=$b")
-        if (dst.exists()) dst.listFiles().foreach(_.delete()) // retry overwrite
-        dst.mkdirs()
-        val part = new java.io.File(schemaPath).listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"BucketStore $base: schema dir has no parquet part"))
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(dst, part.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally d.unpersist(blocking = false)
+    // applyDelta just to populate the blocks. The lazy checkpoint
+    // materializes its RDD blocks during the collect (the first
+    // action) and the write then reads them: same two consumers, one
+    // fewer job, and no SQL-cache columnar round-trip. The job-count
+    // floor is what the r12 listener profile measured as this operator
+    // family's entire local cost (~27 jobs/batch, ~185 ms/job).
+    val d = withBucket(delta, keyCol).localCheckpoint(eager = false)
+    val touched = d.select("__b").distinct().collect().map(_.getInt(0)).toSet
+    val priorTouched = readOrEmpty(latestDirs(batchId - 1, Some(touched)))
+    withBucket(priorTouched, keyCol).unionByName(d)
+      .groupBy(("__b" +: groupCols).map(col): _*)
+      .agg(sum(multCol).as(multCol))
+      .filter(col(multCol) =!= 0L)
+      .write.partitionBy("__b").mode("overwrite").parquet(vPath(batchId.toString))
+    // a touched bucket whose ENTIRE net state folded to zero writes no
+    // partition directory above — without an explicit marker the
+    // shadowing rule would keep serving the bucket's stale older
+    // version, resurrecting fully-retracted rows. Materialize an empty
+    // directory for every such bucket so "latest version that wrote the
+    // bucket" is the truth. The marker is a FILE COPY of the schema
+    // dir's (empty, schema-bearing) parquet part — byte-identical to
+    // what an empty Spark write would produce for readers, without
+    // paying a Spark job per emptied bucket (r13 opt).
+    val emptied = touched -- bucketsOf(batchId.toString)
+    emptied.foreach { b =>
+      val dst = new java.io.File(s"${vPath(batchId.toString)}/__b=$b")
+      if (dst.exists()) dst.listFiles().foreach(_.delete()) // retry overwrite
+      dst.mkdirs()
+      val part = new java.io.File(schemaPath).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"BucketStore $base: schema dir has no parquet part"))
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dst, part.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Buckets version `batchId` rewrote (the spec's untouched-buckets probe). */
