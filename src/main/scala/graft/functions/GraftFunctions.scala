@@ -61,6 +61,12 @@ object GraftFunctions {
   def cosine_double(a: Column, b: Column): Column =
     dot_double(a, b) / sqrt(dot_double(a, a) * dot_double(b, b))
 
+  /** `conv(substring(md5(x), 1, nHex), 16, 10)::long` as one codegen'd
+    * digest ([[Md5PrefixLong]]) — the portable hash idiom of the sketch /
+    * sampling / hash-split layers, value-identical for nHex ≤ 15.
+    */
+  def md5_prefix(c: Column, nHex: Int): Column = col(Md5PrefixLong(expr(c), nHex))
+
   /** IS_DIGIT(str) (ref: SqlFunctionUtils.isDigit): all chars in [0-9],
     * non-empty.
     */

@@ -170,14 +170,57 @@ case class BandFirstMatch(left: Expression, right: Expression)
   * long carry the first 16 hex chars, so `>>> 4` drops the 16th.
   */
 private[graft] object PortableMd5 {
-  def hash60(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = prefix(s, 15)
+
+  /** First `nHex` hex chars of md5(s) as an unsigned long — the native
+    * value of `conv(substring(md5(s), 1, nHex), 16, 10)::long` for any
+    * nHex ≤ 16: the first 8 digest bytes read big-endian carry the
+    * first 16 hex chars; shifting right by 4·(16−nHex) keeps exactly
+    * the leading nHex nibbles. Public (not private[graft]) at the JVM
+    * level so whole-stage-codegen'd callers can invoke it statically.
+    */
+  def prefix(s: UTF8String, nHex: Int): Long = {
     val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
     val v = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    v >>> 4
+    v >>> (4 * (16 - nHex))
   }
+}
+
+/** The scalar `conv(substring(md5(x), 1, nHex), 16, 10)::long` idiom —
+  * the portable hash every sketch (HLL/CMS/Bloom/KMV/theta), sampler,
+  * hash-splitter and feature-hasher shares — as ONE digest with real
+  * codegen: no 32-char hex string materialization, no substring copy,
+  * no NumberConverter base-16 parse, and the expression stays inside
+  * the surrounding WholeStageCodegen span (the built-in chain already
+  * codegens, so a CodegenFallback kernel here would TRADE wins; this
+  * one only removes work). Value-identical for nHex ≤ 15 (the value is
+  * < 2^60, inside long range exactly like the conv chain's cast).
+  */
+case class Md5PrefixLong(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  // No input-type require: bridge-built children can report placeholder
+  // types pre-binding (a ColumnNode wrapper reads as resolved/NullType
+  // before analysis), and a genuinely wrong child type fails loudly as a
+  // ClassCastException at first evaluation — same posture as the other
+  // kernels in this file.
+  require(nHex >= 1 && nHex <= 15, s"nHex must be in [1, 15], got $nHex")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(PortableMd5.prefix(input.asInstanceOf[UTF8String], nHex))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMd5.prefix($c, $nHex)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
 }
 
 /** PORTABLE MinHash signature — the fused native form of the oracled
@@ -214,17 +257,25 @@ case class PortableMinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Lo
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.fill[Any](numPerms)(null))
     val sig = Array.fill(numPerms)(Long.MaxValue)
+    // null token elements are SKIPPED, matching the SQL chain exactly:
+    // transform keeps them null and array_min ignores nulls; all-null
+    // tokens leave every slot null (array_min over only-nulls = NULL)
+    var nonNull = 0
     var t = 0
     while (t < n) {
-      val x = PortableMd5.hash60(arr.getUTF8String(t)) % p
-      var i = 0
-      while (i < numPerms) {
-        val s = (ca(i) * x + cb(i)) % p
-        if (s < sig(i)) sig(i) = s
-        i += 1
+      if (!arr.isNullAt(t)) {
+        nonNull += 1
+        val x = PortableMd5.hash60(arr.getUTF8String(t)) % p
+        var i = 0
+        while (i < numPerms) {
+          val s = (ca(i) * x + cb(i)) % p
+          if (s < sig(i)) sig(i) = s
+          i += 1
+        }
       }
       t += 1
     }
+    if (nonNull == 0) return new GenericArrayData(Array.fill[Any](numPerms)(null))
     new GenericArrayData(sig)
   }
 
@@ -256,6 +307,11 @@ case class PortableSimHash60(child: Expression)
     val w = new Array[Int](60)
     var t = 0
     while (t < n) {
+      // a null element poisons the SQL aggregate's fold to null for
+      // EVERY bit (acc + null = null from that point on), and
+      // when(null > 0) falls through to the bit-clear branch — so one
+      // null token means fingerprint 0L, exactly as the HOF chain does
+      if (arr.isNullAt(t)) return java.lang.Long.valueOf(0L)
       val h = PortableMd5.hash60(arr.getUTF8String(t))
       var j = 0
       while (j < 60) {

@@ -168,8 +168,9 @@ object Curation {
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0), "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    // first 8 md5 hex chars as a uniform draw in [0, 1)
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+    // first 8 md5 hex chars as a uniform draw in [0, 1) — native
+    // codegen'd digest (r14 opt), value-identical to the conv chain
+    val u = graft.functions.GraftFunctions.md5_prefix(col(idCol).cast("string"), 8)
       .cast("double") / lit(4294967296.0)
     val cut = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val assign = fractions.map(_._1).zip(cut).reverse
@@ -229,8 +230,14 @@ object Curation {
   def cdcChunks(docs: DataFrame, divisor: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val hashes = transform(toks,
-      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(divisor.toLong)))
+    // ONE native digest pass ([[Md5Hash60Array]], r14 opt) feeds a
+    // trivial integer transform — value-identical to the old per-token
+    // interpreted md5/conv lambda
+    val hashes = transform(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Md5Hash60Array(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks))),
+      h => pmod(h, lit(divisor.toLong)))
     // 0-based positions of chunk-ENDING tokens: every boundary token
     // (hash ≡ 0), plus the final token when the doc does not end on a
     // boundary (tail chunk). `get` is 0-based and null-safe; a null
@@ -437,9 +444,16 @@ object Curation {
       buckets: Int): Seq[(String, Column)] = {
     require(weightsMilli.length == buckets, s"need $buckets weights, got ${weightsMilli.length}")
     val w = typedLit(weightsMilli)
-    val bucket = (t: Column) =>
-      (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets).cast("int")
-    val sumMilli = aggregate(toks, lit(0L), (acc, t) => acc + element_at(w, bucket(t) + 1))
+    // ONE native digest pass hashes every token ([[Md5Hash60Array]]);
+    // the first 4 hex chars are the 60-bit hash's top 16 bits, so
+    // shiftright(h, 44) % buckets is value-identical to the old
+    // conv(substring(md5(t), 1, 4), 16, 10) % buckets — the remaining
+    // fold only does integer arithmetic per element (r14 opt)
+    val hs = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Hash60Array(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks)))
+    val bucket = (h: Column) => (shiftright(h, 44) % buckets).cast("int")
+    val sumMilli = aggregate(hs, lit(0L), (acc, h) => acc + element_at(w, bucket(h) + 1))
     val logit = round(sumMilli / (lit(1000.0) * size(toks)), 6)
     val score = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
     Seq("logit" -> logit, "score" -> score, "keep" -> (score >= 0.5))
@@ -480,7 +494,7 @@ object Curation {
       .select(col("id"), col("y"), size(col("toks")).cast("double").as("n"),
         explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("y"), col("n"),
-        pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+        pmod(graft.functions.GraftFunctions.md5_prefix(col("tok"), 4),
           lit(buckets.toLong)).as("b"))
       .agg((count(lit(1)) / col("n")).as("x")))
     val nD = broadcast(tf.select(countDistinct("id").as("nd")))
@@ -673,27 +687,36 @@ object Curation {
     * Output: (id, n_lines, n_kept, kept_text) — one row per input
     * document, `kept_text` empty when every line was boilerplate.
     *
-    * `prior` (line, df) carries distinct-doc counts accumulated from
-    * EARLIER data — the incremental form: a micro-batch strips against
-    * prior knowledge plus its own counts, so the decision for a line
-    * is identical to what a batch run over everything-so-far would
-    * make (see `q_stream_boilerplate`).
+    * `prior` (hl, df) carries distinct-doc counts accumulated from
+    * EARLIER data, keyed by `xxhash64(line)` — the incremental form: a
+    * micro-batch strips against prior knowledge plus its own counts, so
+    * the decision for a line is identical to what a batch run over
+    * everything-so-far would make (see `q_stream_boilerplate`).
+    *
+    * The line TEXT is only a count/join IDENTITY in the df path (it
+    * never reaches the output from that side — `kept_text` rebuilds
+    * from the doc-keyed explode), so the df exchanges and the prior
+    * store carry `xxhash64(line)` instead of the raw string (guide
+    * §2.3; the [[graft.functions.TokenHashes]] 2⁻⁶⁴-collision
+    * argument — r14 opt).
     */
   def stripBoilerplate(docs: DataFrame, minDocs: Int,
       idCol: String = "doc_id", textCol: String = "text",
       prior: Option[DataFrame] = None): DataFrame = {
     val lines = Funnel.stageLazy(docs.select(col(idCol).cast("long").as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))))
-    val own = lines.select(col("id"), col("line")).distinct()
-      .groupBy("line").agg(count(lit(1)).as("df"))
+    val own = lines.select(col("id"), xxhash64(col("line")).as("hl")).distinct()
+      .groupBy("hl").agg(count(lit(1)).as("df"))
     val total = prior match {
       case Some(p) => own
-        .join(p.select(col("line"), col("df").as("pdf")), Seq("line"), "left")
-        .select(col("line"), (col("df") + coalesce(col("pdf"), lit(0L))).as("df"))
+        .join(p.select(col("hl"), col("df").as("pdf")), Seq("hl"), "left")
+        .select(col("hl"), (col("df") + coalesce(col("pdf"), lit(0L))).as("df"))
       case None => own
     }
-    val boiler = total.filter(col("df") >= minDocs).select("line")
-    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+    val boiler = total.filter(col("df") >= minDocs).select("hl")
+    val rebuilt = lines
+      .withColumn("hl", xxhash64(col("line")))
+      .join(boiler, Seq("hl"), "left_anti")
       .groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -861,7 +861,7 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     val portable: Column => Column =
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      g => graft.functions.GraftFunctions.md5_prefix(g, 15)
     // each HOF level consumes the PREVIOUS level as a projected
     // attribute (toks → grams → mins): a nested single-expression form
     // re-evaluates its upstream tree at every reference — O(k·w)

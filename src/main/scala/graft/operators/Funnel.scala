@@ -50,9 +50,15 @@ object Funnel {
     }
 
   /** [[stage]] with LAZY materialization (r13 opt): the logical plan is
-    * truncated immediately (same lineage discipline), but the blocks
-    * populate inside whichever action consumes the stage first instead
-    * of a dedicated eager job. The right boundary for LOOP-internal
+    * truncated immediately (same lineage discipline), but on the
+    * localCheckpoint (local-posture) branch the blocks populate inside
+    * whichever action consumes the stage first instead of a dedicated
+    * eager job. On the reliable-checkpoint branch the laziness only
+    * defers WHEN the checkpoint job runs: `checkpoint(eager = false)`
+    * still recomputes the full lineage in its own job after the first
+    * action (Spark's reliable checkpoint writes from lineage, not from
+    * cached blocks) — the job-count saving applies to the local branch
+    * only. The right boundary for LOOP-internal
     * stages whose every consumer is a full-scan action (iterative graph
     * rounds: each round's aggregate feeds the next round's join or a
     * terminal count) — there the eager job is pure job-count floor,

@@ -195,13 +195,29 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v"), col("w")),
         struct(col("b").as("u"), col("a").as("v"), col("w")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w")))
+    // DELTA relaxation (r14 opt): only nodes whose distance IMPROVED
+    // last round can improve a neighbor this round (an unchanged u
+    // already offered dist(u)+w in the round it last changed), so each
+    // round expands edges from the changed set instead of re-joining
+    // the whole distance table against the adjacency. The computed
+    // dist_k(v) = min over ≤k-edge paths is IDENTICAL to the dense
+    // recurrence the oracle unrolls — standard Bellman–Ford delta
+    // equivalence by induction on rounds.
     var dist = source.select(col("node"), col("d"))
+    var changed = dist
     for (_ <- 1 to rounds) {
-      dist = Funnel.stageLazy(dist
-        .unionByName(dist.select(col("node").as("u"), col("d"))
-          .join(und, "u")
-          .select(col("v").as("node"), (col("d") + col("w")).as("d")))
-        .groupBy("node").agg(min("d").as("d")))
+      val relax = changed.select(col("node").as("u"), col("d"))
+        .join(und, "u")
+        .groupBy(col("v").as("node")).agg(min(col("d") + col("w")).as("nd"))
+      // one staged frame serves both the new distance table and the
+      // changed set (a full-scan projection + a filter of the same join)
+      val both = Funnel.stageLazy(dist.join(relax, Seq("node"), "full"))
+      dist = both.select(col("node"),
+        when(col("d").isNotNull && (col("nd").isNull || col("d") <= col("nd")),
+          col("d")).otherwise(col("nd")).as("d"))
+      changed = both
+        .filter(col("d").isNull || (col("nd").isNotNull && col("nd") < col("d")))
+        .select(col("node"), col("nd").as("d"))
     }
     dist
   }
@@ -218,15 +234,32 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
-    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
-    for (_ <- 1 to rounds) {
-      dist = Funnel.stageLazy(dist
-        .unionByName(dist.select(col("seed"), col("node").as("u"), col("d"))
-          .join(und, "u")
-          .select(col("seed"), col("v").as("node"), (col("d") + 1L).as("d")))
-        .groupBy("seed", "node").agg(min("d").as("d")))
+    // FRONTIER form (r14 opt): the min-plus union-and-reaggregate shape
+    // re-walked every reached node's edges every round — Θ(rounds · k·|E|)
+    // join rows once the graph saturates (these co-occurrence graphs
+    // reach almost everything within 2-3 hops). Synchronous BFS reaches
+    // each (seed, node) at exactly its hop distance, so expanding ONLY
+    // the newly-reached frontier and dropping already-visited candidates
+    // yields the identical (seed, node, d) table while each edge is
+    // walked once per seed TOTAL. A candidate neighbors a level-(k−1)
+    // node, so its level is ≥ k−2: the anti-join only needs the last
+    // TWO levels, keeping the exclusion side bounded instead of the
+    // whole accumulated visited set.
+    var levels = List(Funnel.stageLazy(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("d"))))
+    for (k <- 1 to rounds) {
+      val seen = levels.take(2).map(_.select(col("seed"), col("node")))
+        .reduce(_ unionByName _)
+      val frontier = Funnel.stageLazy(levels.head
+        .select(col("seed"), col("node").as("u"))
+        .join(und, "u")
+        .select(col("seed"), col("v").as("node"))
+        .distinct()
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(k.toLong).as("d")))
+      levels ::= frontier
     }
-    dist
+    levels.reduce(_ unionByName _)
   }
 
   /** Center→neighbor adjacency, both directions, from canonical
@@ -289,13 +322,14 @@ object Graph {
     * Brandes–Pich 2007 pivot sampling), TRUNCATED at `rounds` hops (the
     * same horizon argument as the harmonic k-source BFS: exact all-pairs
     * Brandes is O(V·E) and does not survive 100×; a fixed pivot set and
-    * radius do). Three level-synchronous passes, all DataFrame joins:
+    * radius do). Two level-synchronous passes, all DataFrame joins:
     *
-    *  1. hop distances d(seed, v) — [[msBfs]];
-    *  2. shortest-path counts σ(seed, v) = Σ over predecessors at the
-    *     previous level, DECIMAL(38,0) (path counts explode
+    *  1. a FUSED frontier BFS (r14 opt) carrying hop distance and
+    *     shortest-path count together: level k's frame holds the nodes
+    *     first reached at hop k with σ(seed, v) = Σ over predecessors
+    *     at level k−1, DECIMAL(38,0) (path counts explode
     *     combinatorially long before they overflow 38 digits);
-    *  3. dependency accumulation descending by level with the
+    *  2. dependency accumulation descending by level with the
     *     QUANTIZED recurrence D(v) = Σ_w floor(σ_v·(10⁶ + D_w) / σ_w)
     *     over shortest-path-DAG successors w. Flooring each summand to
     *     integer micro-units keeps every cross-row sum an integer sum
@@ -313,26 +347,41 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
-    val dist = Funnel.stageLazy(msBfs(edges, seeds, rounds))
-    def level(k: Int) = dist.filter(col("d") === k).select("seed", "node")
-    // sigma per level
+    // FUSED distance + sigma BFS (r14 opt): the old shape ran msBfs
+    // (re-aggregating the whole accumulated dist table each round) and
+    // then a second per-level loop that re-joined each level's sigma
+    // frame against the dist table. One frontier loop computes BOTH:
+    // level k's nodes are exactly the round-k candidates not seen at
+    // levels k−1 / k−2 (a neighbor of a level-(k−1) node has level
+    // ≥ k−2, so the anti-join's exclusion side is two bounded frames,
+    // not the accumulated set), and each one's sigma is the sum of its
+    // level-(k−1) predecessors' sigmas — the identical per-level σ
+    // recurrence, in half the exchanges and with each edge expanded
+    // once per seed total instead of once per round.
     val sigs = scala.collection.mutable.ArrayBuffer(
       Funnel.stageLazy(seeds.select(col("seed"), col("seed").as("node"),
         lit(1L).cast(d38).as("sig"))))
     for (k <- 1 to rounds) {
+      val seen = (if (k >= 2) Seq(sigs(k - 1), sigs(k - 2)) else Seq(sigs(k - 1)))
+        .map(_.select(col("seed"), col("node"))).reduce(_ unionByName _)
       sigs += Funnel.stageLazy(sigs(k - 1)
         .select(col("seed"), col("node").as("u"), col("sig"))
         .join(und, "u")
         .select(col("seed"), col("v").as("node"), col("sig"))
-        .join(level(k), Seq("seed", "node"), "left_semi")
-        .groupBy("seed", "node").agg(sum("sig").cast(d38).as("sig")))
+        .groupBy("seed", "node").agg(sum("sig").cast(d38).as("sig"))
+        .join(seen, Seq("seed", "node"), "left_anti"))
     }
-    // dependency, descending levels; level `rounds` is the truncation boundary
-    var dep = sigs(rounds).select(col("seed"), col("node"), lit(0L).as("dw"))
+    // dependency, descending levels; level `rounds` is the truncation
+    // boundary. Each level's frame carries ITS OWN sigma alongside dw
+    // (r14 opt): the old shape re-joined sigs(k+1) against dep every
+    // level just to zip (sigw, dw) over the same key set — both frames
+    // were exactly level k+1 — which was one redundant exchange per
+    // level. Identical arithmetic, one fewer join each round.
+    var dep = sigs(rounds).select(col("seed"), col("node"),
+      col("sig").as("sigw"), lit(0L).as("dw"))
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (k <- (rounds - 1) to 0 by -1) {
-      val succ = sigs(k + 1).select(col("seed"), col("node").as("w"), col("sig").as("sigw"))
-        .join(dep.select(col("seed"), col("node").as("w"), col("dw")), Seq("seed", "w"))
+      val succ = dep.select(col("seed"), col("node").as("w"), col("sigw"), col("dw"))
       val contrib = sigs(k)
         .select(col("seed"), col("node"), col("sig").as("sigv"))
         .join(und.select(col("u").as("node"), col("v").as("w")), "node")
@@ -341,10 +390,11 @@ object Graph {
         .agg(sum(expr(
           "(CAST(sigv AS DECIMAL(38,0)) * CAST(1000000 + dw AS DECIMAL(38,0))) div CAST(sigw AS DECIMAL(38,0))"))
           .as("s"))
-      val dK = Funnel.stageLazy(sigs(k).select(col("seed"), col("node"))
+      val dK = Funnel.stageLazy(sigs(k).select(col("seed"), col("node"), col("sig"))
         .join(contrib, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"), coalesce(col("s"), lit(0L)).cast("long").as("dw")))
-      acc += dK
+        .select(col("seed"), col("node"), col("sig").as("sigw"),
+          coalesce(col("s"), lit(0L)).cast("long").as("dw")))
+      acc += dK.select(col("seed"), col("node"), col("dw"))
       dep = dK
     }
     acc.reduce(_ unionByName _)

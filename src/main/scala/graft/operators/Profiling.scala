@@ -148,7 +148,7 @@ object Profiling {
     */
   def checksumHashCode(df: DataFrame, rowRepr: Column): DataFrame =
     df.select(
-        conv(substring(md5(rowRepr), 1, 8), 16, 10).cast("long").as("h"))
+        graft.functions.GraftFunctions.md5_prefix(rowRepr, 8).as("h"))
       .agg(count(lit(1)).as("cnt"),
         (sum(col("h").cast("decimal(38,0)")) % lit(4611686018427387904L))
           .cast("long").as("checksum"))

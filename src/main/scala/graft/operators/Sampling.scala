@@ -100,7 +100,7 @@ object Sampling {
       df.select(col(idCol).cast("long").as("id"),
           explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
         .withColumn("b",
-          pmod(conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long"), lit(buckets.toLong)))
+          pmod(graft.functions.GraftFunctions.md5_prefix(col("bg"), 4), lit(buckets.toLong)))
     val srcF = feats(source)
     val tgtF = feats(target)
     // the histograms are `buckets` rows but their LINEAGE is a full
@@ -139,7 +139,7 @@ object Sampling {
     */
   def weightedPrioritySample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+    val u = (graft.functions.GraftFunctions.md5_prefix(col(idCol).cast("string"), 15)
       .cast("double") + 0.5) / 1.152921504606846976e18
     val pri = round(pow(u, lit(1.0) / greatest(weight.cast("double"), lit(1.0))), 9)
     df.withColumn("pri", pri)

@@ -1284,8 +1284,8 @@ object Similarity {
       .localCheckpoint(eager = false)
     for (r <- 1 to rounds) {
       val phi = cur.agg(sum("d2q").cast("decimal(38,0)").as("phi"))
-      val u = conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$r"))), 1, 7),
-        16, 10).cast("long").cast("decimal(38,0)")
+      val u = graft.functions.GraftFunctions.md5_prefix(
+        concat(col("vec_id").cast("string"), lit(s":$r")), 7).cast("decimal(38,0)")
       val newc = cur.crossJoin(broadcast(phi))
         .filter(u * col("phi") <
           col("d2q").cast("decimal(38,0)") * lit(l * 268435456L).cast("decimal(38,0)"))

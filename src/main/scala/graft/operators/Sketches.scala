@@ -31,10 +31,13 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Portable 60-bit non-negative hash: first 15 hex chars of md5 —
-    * the cross-engine idiom shared with [[Dedup.portablePerms]].
+    * the cross-engine idiom shared with [[Dedup.portablePerms]]. Native
+    * codegen'd digest (r14 opt, [[graft.functions.Md5PrefixLong]]):
+    * value-identical to `conv(substring(md5(c), 1, 15), 16, 10)::long`
+    * without the hex-string round-trip.
     */
   private[operators] def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5_prefix(c, 15)
 
   // ---------------------------------------------------------------- HLL
 

@@ -1927,8 +1927,8 @@ object AnalyticsQueries {
         sum(when(col("event_type") === "purchase",
           floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L)).as("y_micro"))
       .withColumn("fold", pmod(
-        conv(substring(md5(concat(lit("cf|"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long"), lit(2L)))
+        graft.functions.GraftFunctions.md5_prefix(
+          concat(lit("cf|"), col("user_id").cast("string")), 8), lit(2L)))
 
   /** The split-conformal tail over the user profile table — shared by
     * the batch query and the streaming maintainer's solve. Callers
@@ -2149,8 +2149,8 @@ object AnalyticsQueries {
     val B = 32
     val x = Tables.events(s, dir).filter(col("event_type") === "purchase")
       .select(col("event_id"), col("value"))
-    val u = conv(substring(md5(concat(col("event_id").cast("string"), lit("|"),
-      col("b").cast("string"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val u = graft.functions.GraftFunctions.md5_prefix(concat(col("event_id").cast("string"),
+      lit("|"), col("b").cast("string")), 8).cast("double") / lit(4294967296.0)
     // cumulative Poisson(1) pmf; identical decimal literals in the SQL
     val cum = Seq(0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
       0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
@@ -2386,7 +2386,7 @@ object AnalyticsQueries {
         sum(when(col("de") <= col("mid"), col("pmicro")).otherwise(0L)).as("x"),
         sum(when(col("de") > col("mid"), col("pmicro")).otherwise(0L)).as("y"))
       .withColumn("variant", pmod(
-        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        graft.functions.GraftFunctions.md5_prefix(col("user_id").cast("string"), 8),
         lit(2L)))
     val dx = col("x").cast("decimal(38,0)")
     val dy = col("y").cast("decimal(38,0)")
@@ -2681,8 +2681,8 @@ object AnalyticsQueries {
     * per batch would compound ε).
     */
   private[queries] def dpNoisyRelease(cells: DataFrame): DataFrame = {
-    val u = (conv(substring(md5(concat(col("event_type"), lit("|"),
-      col("d").cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    val u = (graft.functions.GraftFunctions.md5_prefix(concat(col("event_type"),
+      lit("|"), col("d").cast("string")), 8).cast("double") + 0.5) / lit(4294967296.0)
     cells.withColumn("u", u)
       .select(col("event_type"), col("d"), col("n"),
         round(col("n") + lit(-1d) * signum(col("u") - 0.5)
@@ -2714,7 +2714,7 @@ object AnalyticsQueries {
     */
   def evtSrm(s: SparkSession, dir: String): DataFrame = {
     val variant = pmod(
-      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
+      graft.functions.GraftFunctions.md5_prefix(col("user_id").cast("string"), 8), lit(2L))
     Tables.events(s, dir).select(col("user_id")).distinct()
       .select(variant.as("variant"))
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
@@ -2768,7 +2768,7 @@ object AnalyticsQueries {
     */
   private[queries] def msprtDaily(ev: DataFrame): DataFrame = {
     val variant = pmod(
-      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
+      graft.functions.GraftFunctions.md5_prefix(col("user_id").cast("string"), 8), lit(2L))
     ev.select(variant.as("v"), to_date(col("ts")).as("d"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
       .groupBy("d")
@@ -4283,8 +4283,8 @@ object AnalyticsQueries {
       .join(exclude.withColumnRenamed("nid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
       .select(col("qid"), col("vec_id").as("nid"))
       .withColumn("c", round(
-        conv(substring(md5(concat(col("qid").cast("string"), lit("|"),
-          col("nid").cast("string"))), 1, 8), 16, 10).cast("double")
+        graft.functions.GraftFunctions.md5_prefix(concat(col("qid").cast("string"),
+          lit("|"), col("nid").cast("string")), 8).cast("double")
           / lit(4294967296.0), 6))
     Similarity.topKPerKey(cand.select("qid", "nid", "c"), 5)
       .select(col("qid"), col("nid"), col("rn"))

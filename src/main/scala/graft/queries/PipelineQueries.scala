@@ -1454,8 +1454,8 @@ object PipelineQueries {
     * distributes.
     */
   def docSampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|ws"))), 1, 8),
-      16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    val u = (graft.functions.GraftFunctions.md5_prefix(
+      concat(col("doc_id").cast("string"), lit("|ws")), 8).cast("double") + 0.5) / lit(4294967296.0)
     val w = greatest(lit(1), length(col("text"))).cast("double")
     Tables.documents(s, dir)
       .select(col("doc_id"), w.as("w"), (log(u) / w).as("key"))
@@ -5678,7 +5678,7 @@ object PipelineQueries {
       .select(col("doc_id"), size(col("toks")).cast("double").as("n"),
         explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("n"),
-        pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(64L)).as("bucket"))
+        pmod(graft.functions.GraftFunctions.md5_prefix(col("tok"), 4), lit(64L)).as("bucket"))
       .agg((count(lit(1)) / col("n")).as("x"))
     Funnel.stageLazy(tf.join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id")
@@ -6084,7 +6084,7 @@ object PipelineQueries {
         sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_mojibake"),
         sum("cb").as("markers_before"),
         sum(Curation.mojibakeCount(col("fixed"))).as("markers_after"),
-        sum(conv(substring(md5(col("fixed")), 1, 8), 16, 10).cast("long"))
+        sum(graft.functions.GraftFunctions.md5_prefix(col("fixed"), 8))
           .as("fixed_checksum"))
   }
 

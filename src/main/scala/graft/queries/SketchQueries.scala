@@ -332,9 +332,8 @@ object SketchQueries {
       ev.filter(col("uid").cast("long") < 10).select(col("uid")).distinct())
     val addressed = probes
       .withColumn("r", explode(array((0 until 3).map(lit): _*)))
-      .withColumn("b", conv(substring(md5(
-        concat(col("r").cast("string"), lit("|"), col("uid"))), 1, 15), 16, 10)
-        .cast("long") % 128)
+      .withColumn("b", graft.functions.GraftFunctions.md5_prefix(
+        concat(col("r").cast("string"), lit("|"), col("uid")), 15) % 128)
     val est = addressed.join(merged, Seq("day", "r", "b"))
       .groupBy("day", "uid").agg(min("c").cast("long").as("est_cnt"))
     val exact = ev
@@ -397,9 +396,8 @@ object SketchQueries {
     val addressed = probes
       .crossJoin(s.range(2).select(col("id").as("wk")))
       .withColumn("r", explode(array((0 until 3).map(lit): _*)))
-      .withColumn("b", conv(substring(md5(
-        concat(col("r").cast("string"), lit("|"), col("uid"))), 1, 15), 16, 10)
-        .cast("long") % 128)
+      .withColumn("b", graft.functions.GraftFunctions.md5_prefix(
+        concat(col("r").cast("string"), lit("|"), col("uid")), 15) % 128)
     val est = addressed.join(broadcast(cells), addressed("wk") === cells("key")
         && addressed("r") === cells("r") && addressed("b") === cells("b"))
       .groupBy("uid", "wk").agg(min("c").cast("long").as("est"))
@@ -473,9 +471,8 @@ object SketchQueries {
       .distinct()
     val addressed = pairs
       .withColumn("i", explode(array((0 until 4).map(lit): _*)))
-      .withColumn("pos", conv(substring(md5(
-        concat(col("i").cast("string"), lit("|"), col("item"))), 1, 15), 16, 10)
-        .cast("long") % 1024)
+      .withColumn("pos", graft.functions.GraftFunctions.md5_prefix(
+        concat(col("i").cast("string"), lit("|"), col("item")), 15) % 1024)
     val bloom = addressed
       .join(visible.withColumn("set", lit(1)), Seq("day", "pos"), "left")
       .groupBy("day", "item")

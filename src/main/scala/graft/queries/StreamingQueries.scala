@@ -113,6 +113,23 @@ object StreamingQueries {
       srcDir
     }
 
+  /** Run independent per-batch store actions CONCURRENTLY (guide §2.6;
+    * r14 opt): a foreachBatch body that appends a result AND merges a
+    * store pays two sequential jobs whose tails leave the executor idle —
+    * submitting them from futures lets the second job's tasks back-fill
+    * the first's stragglers, so the batch's wall tracks the slower job,
+    * not the sum. ONLY for actions with no mutual dependence (different
+    * output paths/stores; shared INPUT frames are safe — concurrent first
+    * consumers of a lazy checkpoint compute each block once under the
+    * block manager's lock). Failures propagate (Await rethrows).
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    tasks.map(t => Future(t())).foreach(f => Await.result(f, Duration.Inf))
+  }
+
   /** The last batch id a [[stageBatchFiles]] directory will replay —
     * derived from the ACTUAL staged file count, never hard-coded: with
     * `maxFilesPerTrigger=1` under AvailableNow the file source assigns
@@ -3085,9 +3102,19 @@ object StreamingQueries {
           .unionByName(lPrev.join(dO.withColumnRenamed("mult", "m2"), "k")
             .select(col("k"), col("pri"), col("price_micro"),
               (col("mult") * col("m2")).as("mult")))
-        jStore.applyDelta(batchId, dJ, "k", Seq("k", "pri", "price_micro"), "mult")
-        oStore.applyDelta(batchId, dO, "k", Seq("k", "pri"), "mult")
-        lStore.applyDelta(batchId, dL, "k", Seq("k", "price_micro", "ln"), "mult")
+        // the three stores are INDEPENDENT (separate instances, separate
+        // directories; dJ reads o/l version b−1, which is immutable and
+        // resolved to concrete paths above) — submit their applyDeltas
+        // concurrently so each store's scheduling floor overlaps the
+        // others' instead of summing (guide §2.6; r14 opt). Concurrent
+        // first consumers of the shared lazy-checkpointed batch are safe:
+        // the block manager computes each partition once under its lock.
+        inParallel(
+          () => jStore.applyDelta(batchId, dJ, "k",
+            Seq("k", "pri", "price_micro"), "mult"),
+          () => oStore.applyDelta(batchId, dO, "k", Seq("k", "pri"), "mult"),
+          () => lStore.applyDelta(batchId, dL, "k",
+            Seq("k", "price_micro", "ln"), "mult"))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -3173,8 +3200,8 @@ object StreamingQueries {
         .select(col("user_id"), col("x").cast("long").as("x"),
           col("y_micro").cast("long").as("y_micro"))
         .withColumn("fold", pmod(
-          conv(substring(md5(concat(lit("cf|"), col("user_id").cast("string"))), 1, 8),
-            16, 10).cast("long"), lit(2L)))))
+          graft.functions.GraftFunctions.md5_prefix(
+            concat(lit("cf|"), col("user_id").cast("string")), 8), lit(2L)))))
   }
 
   /** The dispersion diagnostic maintained on a stream — the SAME
@@ -4127,7 +4154,9 @@ object StreamingQueries {
     val resDir = freshDir(dir, "sbp_res")
     // pre-seed an empty store version and result table
     graft.BenchMeters.fixture {
-      s.range(0).select(col("id").cast("string").as("line"), col("id").as("df"))
+      // store keyed by xxhash64(line) — 8-byte identities, never the raw
+      // line text (Curation.stripBoilerplate's prior contract, r14 opt)
+      s.range(0).select(col("id").as("hl"), col("id").as("df"))
         .write.mode("overwrite").parquet(s"$storeBase/v_init")
       s.range(0).select(col("id").as("doc_id"), col("id").as("n_lines"),
           col("id").as("n_kept"), col("id").cast("string").as("kept_md5"))
@@ -4150,13 +4179,16 @@ object StreamingQueries {
             md5(col("kept_text")).as("kept_md5"))
           .coalesce(1).write.mode("append").parquet(resDir)
         // merge this batch's distinct-doc line counts into the store
+        // (8-byte xxhash64 line keys — the raw line never enters the
+        // store or its exchanges, r14 opt)
         val own = lined
           .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .select(col("doc_id"), xxhash64(col("line")).as("hl"))
           .distinct()
-          .groupBy("line").agg(count(lit(1)).as("df"))
-        prior.select(col("line"), col("df").as("pdf"))
-          .join(own.select(col("line"), col("df").as("odf")), Seq("line"), "full_outer")
-          .select(col("line"),
+          .groupBy("hl").agg(count(lit(1)).as("df"))
+        prior.select(col("hl"), col("df").as("pdf"))
+          .join(own.select(col("hl"), col("df").as("odf")), Seq("hl"), "full_outer")
+          .select(col("hl"),
             (coalesce(col("pdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"))
           .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         ()
@@ -5597,7 +5629,10 @@ object StreamingQueries {
     var fb = s.read.parquet(s"$fbBase/v${lastBatchId(srcDir)}")
     var passId = lastBatchId(srcDir) + 1
     while (!fb.isEmpty) {
-      fb = pass(fb, passId).localCheckpoint(eager = false)
+      // EAGER: isEmpty (a partial action) is this frame's first consumer,
+      // and a lazy boundary would checkpoint only the probed partitions,
+      // paying a missing-partitions recompute job on the next pass
+      fb = pass(fb, passId).localCheckpoint()
       passId += 1
     }
     s.read.parquet(resDir)

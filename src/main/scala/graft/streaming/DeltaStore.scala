@@ -205,7 +205,16 @@ final case class BucketStore(spark: SparkSession, base: String, numBuckets: Int)
     val emptied = touched -- bucketsOf(batchId.toString)
     emptied.foreach { b =>
       val dst = new java.io.File(s"${vPath(batchId.toString)}/__b=$b")
-      if (dst.exists()) dst.listFiles().foreach(_.delete()) // retry overwrite
+      // retry overwrite: clear the marker dir RECURSIVELY and verify each
+      // delete — a stale data part surviving beside the new empty marker
+      // would be read back, resurrecting the very rows the marker exists
+      // to bury (r13 advice)
+      def clear(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(clear))
+        if (f.exists() && !f.delete())
+          sys.error(s"BucketStore $base: cannot clear stale marker entry $f")
+      }
+      if (dst.exists()) Option(dst.listFiles()).foreach(_.foreach(clear))
       dst.mkdirs()
       val part = new java.io.File(schemaPath).listFiles()
         .find(_.getName.endsWith(".parquet"))
