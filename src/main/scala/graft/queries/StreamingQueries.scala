@@ -1428,12 +1428,19 @@ object StreamingQueries {
         // and the store append; persist() materializes it inside the
         // probe write instead of paying a dedicated localCheckpoint job
         val idx = graft.operators.Dedup.bandIndex(batch).localCheckpoint(eager = false)
-        graft.operators.Dedup.deltaMinHashKeepersWithIndex(
-            s.read.parquet(keyStore), s.read.parquet(docStore), batch,
-            deltaIndex = Some(idx))
-          .coalesce(1).write.mode("append").parquet(resDir)
-        idx.coalesce(1).write.mode("append").parquet(keyStore)
-        batch.coalesce(1).write.mode("append").parquet(docStore)
+        // the probe result and the two store appends write DISJOINT
+        // directories, and the probe's store reads pinned their file
+        // lists at construction (before any append lands) — overlap the
+        // three jobs so the tiny appends back-fill the probe join's
+        // tail (guide §2.6, r14 opt; probe-before-append semantics are
+        // preserved by the pinned listings)
+        val probe = graft.operators.Dedup.deltaMinHashKeepersWithIndex(
+          s.read.parquet(keyStore), s.read.parquet(docStore), batch,
+          deltaIndex = Some(idx))
+        inParallel(
+          () => probe.coalesce(1).write.mode("append").parquet(resDir),
+          () => idx.coalesce(1).write.mode("append").parquet(keyStore),
+          () => batch.coalesce(1).write.mode("append").parquet(docStore))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1498,15 +1505,18 @@ object StreamingQueries {
         val deltas = assigned
           .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
           .groupBy("cid", "i").agg(sum("v").as("ds"), count(lit(1)).as("dn"))
-        store.write(batchId, acc.join(deltas, Seq("cid", "i"), "left")
-          .select(col("cid"), col("i"),
-            (col("s") + coalesce(col("ds"), lit(0.0))).as("s"),
-            (col("n") + coalesce(col("dn"), lit(0L))).as("n")))
         // results versioned-OVERWRITE per batchId like the store, so a
         // foreachBatch retry rewrites the same batch's rows instead of
-        // appending duplicates — the whole job is retry-idempotent
-        assigned.select(col("vec_id"), lit(batchId).as("bat"), col("cid"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$resBase/b$batchId")
+        // appending duplicates — the whole job is retry-idempotent; the
+        // two writes share only read-side frames and land on disjoint
+        // paths, so they overlap (guide §2.6, r14 opt)
+        inParallel(
+          () => store.write(batchId, acc.join(deltas, Seq("cid", "i"), "left")
+            .select(col("cid"), col("i"),
+              (col("s") + coalesce(col("ds"), lit(0.0))).as("s"),
+              (col("n") + coalesce(col("dn"), lit(0L))).as("n"))),
+          () => assigned.select(col("vec_id"), lit(batchId).as("bat"), col("cid"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$resBase/b$batchId"))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1695,13 +1705,14 @@ object StreamingQueries {
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
-        countStore.write(batchId, priorC.unionByName(trans)
-          .groupBy("from_type", "to_type").agg(sum("n").as("n")))
-        lastStore.write(batchId, all
-          .groupBy("user_id")
-          .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.event_type").as("event_type")))
+        inParallel(
+          () => countStore.write(batchId, priorC.unionByName(trans)
+            .groupBy("from_type", "to_type").agg(sum("n").as("n"))),
+          () => lastStore.write(batchId, all
+            .groupBy("user_id")
+            .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1751,13 +1762,14 @@ object StreamingQueries {
           .filter(col("t3").isNotNull)
           .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
           .agg(count(lit(1)).as("n"))
-        countStore.write(batchId, priorC.unionByName(tri)
-          .groupBy("path").agg(sum("n").as("n")))
         val wDesc = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-        lastStore.write(batchId, all
-          .withColumn("rn", row_number().over(wDesc))
-          .filter(col("rn") <= 2).drop("rn"))
+        inParallel(
+          () => countStore.write(batchId, priorC.unionByName(tri)
+            .groupBy("path").agg(sum("n").as("n"))),
+          () => lastStore.write(batchId, all
+            .withColumn("rn", row_number().over(wDesc))
+            .filter(col("rn") <= 2).drop("rn")))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1884,15 +1896,16 @@ object StreamingQueries {
           .filter(!col("carry") && col("event_type") === "purchase")
           .groupBy("channel")
           .agg(count(lit(1)).as("n_purchases"), sum("value").as("revenue"))
-        revStore.write(batchId, priorR.unionByName(credited)
-          .groupBy("channel")
-          .agg(sum("n_purchases").as("n_purchases"), sum("revenue").as("revenue")))
-        touchStore.write(batchId, all
-          .filter(col("event_type") =!= "purchase")
-          .groupBy("user_id")
-          .agg(expr("max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))").as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
-            col("m.event_type").as("event_type"), col("m.value").as("value")))
+        inParallel(
+          () => revStore.write(batchId, priorR.unionByName(credited)
+            .groupBy("channel")
+            .agg(sum("n_purchases").as("n_purchases"), sum("revenue").as("revenue"))),
+          () => touchStore.write(batchId, all
+            .filter(col("event_type") =!= "purchase")
+            .groupBy("user_id")
+            .agg(expr("max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))").as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+              col("m.event_type").as("event_type"), col("m.value").as("value"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1941,9 +1954,9 @@ object StreamingQueries {
         val pairs = batch.join(firsts, "user_id")
           .select(col("user_id"),
             expr("datediff(d, d0) div 7").as("week_offset"))
-        pairStore.write(batchId,
-          priorP.unionByName(pairs).distinct())
-        firstStore.write(batchId, firsts)
+        inParallel(
+          () => pairStore.write(batchId, priorP.unionByName(pairs).distinct()),
+          () => firstStore.write(batchId, firsts))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2016,9 +2029,10 @@ object StreamingQueries {
             col("id").cast("string").as("state"))
         val delta = states.unionByName(churnSeen).unionByName(churnFlush)
           .groupBy("day", "state").agg(count(lit(1)).as("n"))
-        countStore.write(batchId, priorC.unionByName(delta)
-          .groupBy("day", "state").agg(sum("n").as("n")))
-        lastStore.write(batchId, newLast)
+        inParallel(
+          () => countStore.write(batchId, priorC.unionByName(delta)
+            .groupBy("day", "state").agg(sum("n").as("n"))),
+          () => lastStore.write(batchId, newLast))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2092,10 +2106,11 @@ object StreamingQueries {
         val wins = batch.filter(length(col("text")) >= minLen)
           .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
           .localCheckpoint(eager = false)
-        wins.coalesce(1).write.mode("append").parquet(winStore)
-        dfStore.write(batchId, dfStore.prior(batchId)
-          .unionByName(wins.groupBy("h").agg(count(lit(1)).as("c")))
-          .groupBy("h").agg(sum("c").as("c")))
+        inParallel(
+          () => wins.coalesce(1).write.mode("append").parquet(winStore),
+          () => dfStore.write(batchId, dfStore.prior(batchId)
+            .unionByName(wins.groupBy("h").agg(count(lit(1)).as("c")))
+            .groupBy("h").agg(sum("c").as("c"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2252,10 +2267,11 @@ object StreamingQueries {
         val cur = graft.streaming.Changelog.foldCdc(
           store.prior(batchId), batch, "user_id", "seq", "kind")
           .localCheckpoint(eager = false)
-        cur.agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total"))
-          .select(lit(batchId).as("batch"), col("n_users"), col("total"))
-          .coalesce(1).write.mode("append").parquet(resDir)
-        store.write(batchId, cur)
+        inParallel(
+          () => cur.agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total"))
+            .select(lit(batchId).as("batch"), col("n_users"), col("total"))
+            .coalesce(1).write.mode("append").parquet(resDir),
+          () => store.write(batchId, cur))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2320,10 +2336,11 @@ object StreamingQueries {
           .unionByName(batch.groupBy("user_id").agg(count(lit(1)).as("cnt")))
           .groupBy("user_id").agg(sum("cnt").as("cnt"))
           .localCheckpoint(eager = false)
-        graft.streaming.Changelog.retractDiff(prior, cur, "user_id")
-          .select(lit(batchId).as("batch"), col("kind"), col("user_id"), col("cnt"))
-          .coalesce(1).write.mode("append").parquet(resDir)
-        store.write(batchId, cur)
+        inParallel(
+          () => graft.streaming.Changelog.retractDiff(prior, cur, "user_id")
+            .select(lit(batchId).as("batch"), col("kind"), col("user_id"), col("cnt"))
+            .coalesce(1).write.mode("append").parquet(resDir),
+          () => store.write(batchId, cur))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2415,13 +2432,14 @@ object StreamingQueries {
           .select("event_type").distinct()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type").orderBy(col("score").desc, col("user_id"))
-        cur.join(changedTypes, "event_type")
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(lit(batchId).as("batch"), col("event_type"),
-            col("rank").cast("long"), col("user_id"), col("score"))
-          .coalesce(1).write.mode("append").parquet(resDir)
-        store.write(batchId, cur)
+        inParallel(
+          () => cur.join(changedTypes, "event_type")
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 3)
+            .select(lit(batchId).as("batch"), col("event_type"),
+              col("rank").cast("long"), col("user_id"), col("score"))
+            .coalesce(1).write.mode("append").parquet(resDir),
+          () => store.write(batchId, cur))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2545,11 +2563,12 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        tcStore.write(batchId,
-          tcStore.prior(batchId).unionByName(tcOf(batch))
-            .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt")))
-        dayStore.write(batchId,
-          dayStore.prior(batchId).unionByName(daysOf(batch)).distinct())
+        inParallel(
+          () => tcStore.write(batchId,
+            tcStore.prior(batchId).unionByName(tcOf(batch))
+              .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt"))),
+          () => dayStore.write(batchId,
+            dayStore.prior(batchId).unionByName(daysOf(batch)).distinct()))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2687,8 +2706,9 @@ object StreamingQueries {
           .select(col("qid").as("vec_id"), col("nlabel").cast("long").as("pred"))
           .join(batch.select(col("vec_id"), col("label").cast("long")), "vec_id")
           .select(col("vec_id"), col("label"), col("pred"))
-        preds.write(batchId, preds.prior(batchId).unionByName(p))
-        corpus.write(batchId, prior.unionByName(withCell(batch)))
+        inParallel(
+          () => preds.write(batchId, preds.prior(batchId).unionByName(p)),
+          () => corpus.write(batchId, prior.unionByName(withCell(batch))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2832,11 +2852,12 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        fsStore.write(batchId, fsStore.prior(batchId)
-          .unionByName(PQ.heapsFirstSeen(batch))
-          .groupBy("tok").agg(min("fd").as("fd")))
-        dlStore.write(batchId, dlStore.prior(batchId)
-          .unionByName(PQ.heapsDocLen(batch)))
+        inParallel(
+          () => fsStore.write(batchId, fsStore.prior(batchId)
+            .unionByName(PQ.heapsFirstSeen(batch))
+            .groupBy("tok").agg(min("fd").as("fd"))),
+          () => dlStore.write(batchId, dlStore.prior(batchId)
+            .unionByName(PQ.heapsDocLen(batch))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -3013,9 +3034,14 @@ object StreamingQueries {
           .unionByName(lPrev.join(dO, "k"))
           .unionByName(dL.join(dO, "k"))
           .select(col("k"), col("pri"), col("price_micro"))
-        jStore.append(batchId, dJ)
-        oStore.append(batchId, dO)
-        lStore.append(batchId, dL)
+        // three independent stores, disjoint directories; the delta
+        // frames read only version ≤ b−1 paths pinned above — overlap
+        // the appends (guide §2.6, r14 opt). The periodic compact reads
+        // jStore's own just-appended delta, so it stays AFTER the join
+        inParallel(
+          () => jStore.append(batchId, dJ),
+          () => oStore.append(batchId, dO),
+          () => lStore.append(batchId, dL))
         if (batchId % 2 == 1) jStore.compact(batchId) // periodic fold
         ()
       }
@@ -3432,13 +3458,14 @@ object StreamingQueries {
           .withColumn("f", coalesce(lag("state", 1).over(w), lit("START")))
           .filter(!col("carried"))
           .groupBy(col("f"), col("state").as("t")).agg(count(lit(1)).as("n"))
-        transStore.write(batchId, transStore.prior(batchId).unionByName(trans)
-          .groupBy("f", "t").agg(sum("n").as("n")))
-        lastStore.write(batchId, kept
-          .groupBy("user_id")
-          .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.event_type").as("event_type")))
+        inParallel(
+          () => transStore.write(batchId, transStore.prior(batchId).unionByName(trans)
+            .groupBy("f", "t").agg(sum("n").as("n"))),
+          () => lastStore.write(batchId, kept
+            .groupBy("user_id")
+            .agg(expr("max_by(struct(ts, event_id, event_type), struct(ts, event_id))").as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -3796,11 +3823,12 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        tcStore.write(batchId,
-          tcStore.prior(batchId).unionByName(tcOf(batch))
-            .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt")))
-        dayStore.write(batchId,
-          dayStore.prior(batchId).unionByName(daysOf(batch)).distinct())
+        inParallel(
+          () => tcStore.write(batchId,
+            tcStore.prior(batchId).unionByName(tcOf(batch))
+              .groupBy("user_id", "event_type").agg(sum("cnt").as("cnt"))),
+          () => dayStore.write(batchId,
+            dayStore.prior(batchId).unionByName(daysOf(batch)).distinct()))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -4017,10 +4045,11 @@ object StreamingQueries {
         val deaths = sess.filter(col("sid") < col("max_sid"))
           .select(floor((col("s1") - col("s0")) / lit(60)).cast("long").as("dur"))
           .groupBy("dur").agg(count(lit(1)).as("d"))
-        durStore.write(batchId, durStore.prior(batchId).unionByName(deaths)
-          .groupBy("dur").agg(sum("d").as("d")))
-        openStore.write(batchId,
-          sess.filter(col("sid") === col("max_sid")).select("user_id", "s0", "s1"))
+        inParallel(
+          () => durStore.write(batchId, durStore.prior(batchId).unionByName(deaths)
+            .groupBy("dur").agg(sum("d").as("d"))),
+          () => openStore.write(batchId,
+            sess.filter(col("sid") === col("max_sid")).select("user_id", "s0", "s1")))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -4106,10 +4135,12 @@ object StreamingQueries {
         val uniq = inb.crossJoin(coll)
           .select(lit("doc_id_unique").as("rule"), col("rows_b").as("n_rows"),
             (col("exc") + col("coll")).as("n_violations"))
-        reportStore.write(batchId, priorR.unionByName(rowPart.unionByName(uniq))
-          .groupBy("rule")
-          .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations")))
-        keyStore.write(batchId, priorK.unionByName(perId.select("doc_id")).distinct())
+        inParallel(
+          () => reportStore.write(batchId, priorR.unionByName(rowPart.unionByName(uniq))
+            .groupBy("rule")
+            .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations"))),
+          () => keyStore.write(batchId,
+            priorK.unionByName(perId.select("doc_id")).distinct()))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -4172,12 +4203,7 @@ object StreamingQueries {
         val priorPath =
           if (batchId == 0) s"$storeBase/v_init" else s"$storeBase/v${batchId - 1}"
         val prior = s.read.parquet(priorPath)
-        val lined = PipelineQueries.linedDocs(batch)
-        graft.operators.Curation
-          .stripBoilerplate(lined, minDocs = 2, prior = Some(prior))
-          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
-            md5(col("kept_text")).as("kept_md5"))
-          .coalesce(1).write.mode("append").parquet(resDir)
+        val lined = PipelineQueries.linedDocs(batch).localCheckpoint(eager = false)
         // merge this batch's distinct-doc line counts into the store
         // (8-byte xxhash64 line keys — the raw line never enters the
         // store or its exchanges, r14 opt)
@@ -4186,11 +4212,20 @@ object StreamingQueries {
           .select(col("doc_id"), xxhash64(col("line")).as("hl"))
           .distinct()
           .groupBy("hl").agg(count(lit(1)).as("df"))
-        prior.select(col("hl"), col("df").as("pdf"))
-          .join(own.select(col("hl"), col("df").as("odf")), Seq("hl"), "full_outer")
-          .select(col("hl"),
-            (coalesce(col("pdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
+        // the stripped result and the df-store merge share only `prior`
+        // and `lined` (reads) and write disjoint paths — overlap them
+        // (guide §2.6, r14 opt)
+        inParallel(
+          () => graft.operators.Curation
+            .stripBoilerplate(lined, minDocs = 2, prior = Some(prior))
+            .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+              md5(col("kept_text")).as("kept_md5"))
+            .coalesce(1).write.mode("append").parquet(resDir),
+          () => prior.select(col("hl"), col("df").as("pdf"))
+            .join(own.select(col("hl"), col("df").as("odf")), Seq("hl"), "full_outer")
+            .select(col("hl"),
+              (coalesce(col("pdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId"))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -4245,10 +4280,12 @@ object StreamingQueries {
           .select(col("bucket"),
             greatest(coalesce(col("p"), lit(0L)), coalesce(col("o"), lit(0L))).as("reg"))
           .localCheckpoint(eager = false) // serves both the store write and the estimate
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
-        Sketches.hllEstimate(merged, m = 64, wBits = 54, alpha = 0.709)
-          .select(lit(batchId).as("batch"), col("est_distinct"))
-          .coalesce(1).write.mode("append").parquet(resDir)
+        inParallel(
+          () => merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeBase/v$batchId"),
+          () => Sketches.hllEstimate(merged, m = 64, wBits = 54, alpha = 0.709)
+            .select(lit(batchId).as("batch"), col("est_distinct"))
+            .coalesce(1).write.mode("append").parquet(resDir))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -4320,13 +4357,15 @@ object StreamingQueries {
           .select(col("r"), col("b"),
             (coalesce(col("p"), lit(0L)) + coalesce(col("o"), lit(0L))).as("c"))
           .localCheckpoint(eager = false) // serves both the store write and the probes
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$storeBase/v$batchId")
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.map(org.apache.spark.sql.Row(_))),
           StructType(Seq(StructField("tok", StringType))))
-        Sketches.cmsLookup(merged, probeDf, "tok", depth = 4, width = 256)
-          .select(lit(batchId).as("batch"), col("tok"), col("est_cnt"))
-          .coalesce(1).write.mode("append").parquet(resDir)
+        inParallel(
+          () => merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeBase/v$batchId"),
+          () => Sketches.cmsLookup(merged, probeDf, "tok", depth = 4, width = 256)
+            .select(lit(batchId).as("batch"), col("tok"), col("est_cnt"))
+            .coalesce(1).write.mode("append").parquet(resDir))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -5243,8 +5282,9 @@ object StreamingQueries {
         val fp = batch.select(col("doc_id").cast("long").as("id"),
           md5(graft.operators.TextAnalysis.dedupFold(col("text"))).as("ffp"))
           .localCheckpoint(eager = false)
-        fpStore.append(batchId, fp)
-        dfStore.append(batchId, fp.groupBy("ffp").agg(count(lit(1)).as("df")))
+        inParallel(
+          () => fpStore.append(batchId, fp),
+          () => dfStore.append(batchId, fp.groupBy("ffp").agg(count(lit(1)).as("df"))))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -5429,10 +5469,11 @@ object StreamingQueries {
         val own = Sketches.kmvValues(sh, "sh", k).select("h")
         // bottom-k of the union of bottom-ks = the global bottom-k
         // (min-merge); the window runs over ≤2k rows
-        store.write(batchId, store.prior(batchId).unionByName(own).distinct()
-          .withColumn("rk", row_number().over(Window.orderBy("h")))
-          .filter(col("rk") <= k).select("h"))
-        audit.append(batchId, sh.distinct())
+        inParallel(
+          () => store.write(batchId, store.prior(batchId).unionByName(own).distinct()
+            .withColumn("rk", row_number().over(Window.orderBy("h")))
+            .filter(col("rk") <= k).select("h")),
+          () => audit.append(batchId, sh.distinct()))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -5475,10 +5516,11 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.write(batchId, store.prior(batchId)
-          .unionByName(Sketches.bloomBits(batch, "fp", k = 3, mBits = 4096))
-          .distinct())
-        fpStore.append(batchId, batch.select("fp"))
+        inParallel(
+          () => store.write(batchId, store.prior(batchId)
+            .unionByName(Sketches.bloomBits(batch, "fp", k = 3, mBits = 4096))
+            .distinct()),
+          () => fpStore.append(batchId, batch.select("fp")))
         ()
       }
       .trigger(Trigger.AvailableNow())
