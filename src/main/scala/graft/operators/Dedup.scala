@@ -529,18 +529,30 @@ object Dedup {
     */
   private def portableBandKeys(docs: DataFrame, bands: Int, rows: Int,
       idCol: String, textCol: String, seed: Long): DataFrame = {
-    // signature as ONE native column (see portableSig); the band keys
-    // are then 16 cheap md5s over short slot strings. The sig column is
+    // signature as ONE native column (see portableSig). The sig column is
     // referenced bands·rows times below, which is exactly why it stays a
     // SEPARATE projection: CollapseProject refuses to inline a non-cheap
     // expression with multiple references, so the signature is computed
     // once per document, never once per slot.
+    //
+    // The band key is ONLY a join/store identity — it never reaches any
+    // output (candidates emit (da, db); keepers emit (id, keeper, jacc);
+    // the persisted index is probed, not read out) — so it is the 8-byte
+    // xxhash64 of (band, slot values) rather than the old
+    // md5(concat_ws(band, slots-as-strings)) 32-char string (guide §2.3,
+    // r14 opt): key equality still holds exactly iff the band's slot
+    // values agree (modulo the codebase's standard 2⁻⁶⁴ collision
+    // argument — the md5 form carried the same argument at 2⁻¹²⁸), and
+    // docs with null signatures (empty token sets) still collide with
+    // each other and nothing else (hash functions skip null inputs, as
+    // concat_ws skipped them). Every index exchange, the posting-list
+    // self-join, and the persisted key store shrink ~4× per key and lose
+    // the per-band md5 + string-building work.
     val sigs = docs.select(col(idCol).as("id"),
       portableSig(col(textCol), bands * rows, seed).as("sig"))
     val keyCols = (0 until bands).map { bnd =>
-      md5(concat_ws("-",
-        lit(bnd.toString) +: (0 until rows).map(r =>
-          element_at(col("sig"), bnd * rows + r + 1).cast("string")): _*))
+      xxhash64(lit(bnd) +: (0 until rows).map(r =>
+        element_at(col("sig"), bnd * rows + r + 1)): _*)
         .as(s"k$bnd")
     }
     sigs.select(col("id") +: keyCols: _*)
